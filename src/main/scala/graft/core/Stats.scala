@@ -1,0 +1,103 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Batched driver-side statistics.
+  *
+  * The reference runs one query per column per statistic (e.g. bins+1
+  * separate jobs per column, src/transformers/discretization.rs:228-253; two
+  * jobs for min+max, :100-157). At 100 TB each extra job is a full scan, so
+  * every helper here folds ALL requested statistics for ALL columns into ONE
+  * aggregate job — same learned values, one pass (SURVEY §4).
+  */
+object Stats {
+
+  /** Evaluate arbitrary per-column aggregate expressions in one job.
+    * Returns column name → value. */
+  private def aggRow(df: DataFrame, aggs: Seq[Column]): Row = {
+    require(aggs.nonEmpty)
+    df.agg(aggs.head, aggs.tail: _*).head()
+  }
+
+  /** Per-column global mean, one job (reference: imputation.rs:110-133 runs
+    * one job per column). */
+  def means(df: DataFrame, cols: Seq[String]): Map[String, Double] = {
+    val row = aggRow(df, cols.map(c => avg(col(c))))
+    cols.zipWithIndex.map { case (c, i) => c -> row.getDouble(i) }.toMap
+  }
+
+  /** Exact min/max for all columns, one job. Strictly better than the
+    * reference's approx-percentile p=0/p=1 twin jobs
+    * (discretization.rs:100-157). */
+  def minMax(df: DataFrame, cols: Seq[String]): Map[String, (Double, Double)] = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val row = aggRow(df, aggs)
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+    }.toMap
+  }
+
+  /** Per-column quantiles at the given probabilities.
+    *
+    * exact=false (default, the 100-TB path): Greenwald-Khanna
+    * `approxQuantile` — one job for all columns.
+    * exact=true (small data / oracle parity): sort-based `percentile`,
+    * linear interpolation identical to DuckDB's quantile_cont — one agg job
+    * for all columns.
+    */
+  def quantiles(
+      df: DataFrame,
+      cols: Seq[String],
+      probs: Seq[Double],
+      exact: Boolean = false,
+      relativeError: Double = 1e-4,
+  ): Map[String, Seq[Double]] = {
+    if (exact) {
+      val probsArr = array(probs.map(lit): _*)
+      val aggs = cols.map(c => percentile(col(c).cast("double"), probsArr))
+      val row = aggRow(df, aggs)
+      cols.zipWithIndex.map { case (c, i) =>
+        c -> row.getSeq[Double](i)
+      }.toMap
+    } else {
+      val res = df.stat.approxQuantile(cols.toArray, probs.toArray, relativeError)
+      cols.zip(res.map(_.toSeq)).toMap
+    }
+  }
+
+  /** Deterministic mode: highest count, ties broken by smallest value
+    * (reference: imputation.rs:298-305 is sort-by-count-desc + limit 1, which
+    * leaves ties engine-ordered; we pin the tie-break for reproducibility). */
+  def stringMode(df: DataFrame, c: String): Option[String] = {
+    val rows = df
+      .filter(col(c).isNotNull)
+      .groupBy(col(c))
+      .count()
+      .orderBy(col("count").desc, col(c).asc)
+      .limit(1)
+      .collect()
+    rows.headOption.map(_.getString(0))
+  }
+
+  /** Distinct non-null string values of a column, sorted (reference:
+    * categorical.rs:95-124 + the OrdinalEncoder's alphabetical sort). */
+  def distinctSorted(df: DataFrame, c: String): Seq[String] =
+    df.select(col(c))
+      .filter(col(c).isNotNull)
+      .distinct()
+      .orderBy(col(c))
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+
+  /** Category → count map (reference: categorical.rs:127-164). */
+  def countMap(df: DataFrame, c: String): Map[String, Long] =
+    df.filter(col(c).isNotNull)
+      .groupBy(col(c))
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+}

@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Pipeline
+import graft.transformers._
+
+/** End-to-end smoke drive of the public API over real testdata parquet.
+  * Run: sbt "runMain graft.tools.Demo /root/testdata/sf0.001". */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      // inject some nulls so imputation has real work
+      .withColumn("l_quantity",
+        when(col("l_linenumber") % 7 === 0, lit(null)).otherwise(col("l_quantity")))
+
+    val pipe = Pipeline.verbose(
+      "indicate" -> new AddMissingIndicator(Seq("l_quantity")),
+      "impute" -> new MeanMedianImputer(Seq("l_quantity")),
+      "encode" -> new OneHotEncoder(Seq("l_returnflag")),
+      "count_encode" -> new CountFrequencyEncoder(Seq("l_linestatus")),
+      "discretize" -> new EqualWidthDiscretizer(Seq("l_extendedprice"), 5),
+      "cap" -> new ArbitraryOutlierCapper(Map("l_tax" -> (Some(0.01), Some(0.07)))),
+      "log" -> new LogTransformer(Seq("l_quantity")),
+      "dates" -> new DatetimeFeatures(Seq("l_shipdate")),
+    )
+    val out = pipe.fit(li)
+    out.show(8, truncate = false)
+    println(s"rows=${out.count()} cols=${out.columns.length}")
+    println("columns: " + out.columns.mkString(", "))
+    out.explain("formatted")
+
+    // Probe error paths through the same public surface.
+    def probe(name: String)(body: => Unit): Unit =
+      try { body; println(s"PROBE $name: NO ERROR (unexpected)") }
+      catch { case e: Throwable => println(s"PROBE $name: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+    probe("transform-before-fit") {
+      new MeanMedianImputer(Seq("l_quantity")).transform(li).count()
+    }
+    probe("missing-column") {
+      new LogTransformer(Seq("no_such_col")).transform(li).count()
+    }
+    probe("log-of-zero-domain") {
+      // l_discount has min 0.0 → must fail eager validation inside transform
+      new LogTransformer(Seq("l_discount")).transform(li).count()
+    }
+    probe("string-col-as-numeric") {
+      new MeanMedianImputer(Seq("l_returnflag")).fit(li)
+    }
+    probe("empty-pipeline") { Pipeline().fit(li) }
+    spark.stop()
+  }
+}

@@ -1,0 +1,490 @@
+package graft.transformers
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core._
+import graft.errors.FeatureFactoryException._
+
+/** Feature selection (reference: src/transformers/feature_selection.rs, SURVEY §2.9).
+  *
+  * The reference materializes the whole DataFrame and does driver-side math on
+  * the FIRST record batch only (:110, :215, :289 …). Our versions compute the
+  * same statistics as distributed aggregates over ALL rows — identical on
+  * single-batch test data, correct (and feasible) at 100 TB: only scalars ever
+  * reach the driver.
+  *
+  * "Numeric" in the reference's selection module means exactly Float64
+  * (feature_selection.rs:38-40); we mirror that as Double/Float columns.
+  */
+private[transformers] object SelectionUtil {
+  def isNumericField(f: StructField): Boolean = f.dataType match {
+    case DoubleType | FloatType => true
+    case _ => false
+  }
+
+  def numericCols(df: DataFrame): Seq[String] =
+    df.schema.fields.filter(isNumericField).map(_.name).toSeq
+
+  /** Values at nearest-rank indices of the sorted non-null column — the
+    * reference's `sorted[round((n-1)*i/k)]` decile/median idiom
+    * (feature_selection.rs:548-554, :866-871). Exact and distributed: global
+    * sort + zipWithIndex, no single-partition window, only the requested
+    * scalars are collected. */
+  def nearestRank(df: DataFrame, c: String, fractions: Seq[Double]): Seq[Double] = {
+    val sorted = df.select(col(c).cast("double")).na.drop().orderBy(col(c))
+    val n = sorted.count()
+    if (n == 0) return Seq.empty
+    val idx = fractions.map(f => math.round((n - 1).toDouble * f))
+    val idxSet = idx.toSet
+    val found = sorted.rdd
+      .zipWithIndex()
+      .filter { case (_, i) => idxSet(i) }
+      .map { case (r, i) => (i, r.getDouble(0)) }
+      .collect()
+      .toMap
+    idx.map(found)
+  }
+
+  /** One-job Pearson correlation for many column pairs (sample corr — the
+    * n-1 factors cancel exactly as in the reference's cov/sqrt(varx*vary)). */
+  def corrPairs(df: DataFrame, pairs: Seq[(String, String)]): Map[(String, String), Double] = {
+    if (pairs.isEmpty) return Map.empty
+    val aggs = pairs.map { case (a, b) => corr(col(a).cast("double"), col(b).cast("double")) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    pairs.zipWithIndex.map { case (p, i) =>
+      p -> (if (row.isNullAt(i)) Double.NaN else row.getDouble(i))
+    }.toMap
+  }
+
+  def keepInSchemaOrder(df: DataFrame, keep: String => Boolean, errMsg: String): DataFrame = {
+    val cols = df.columns.filter(keep)
+    if (cols.isEmpty) throw InvalidParameter(errMsg)
+    df.select(cols.map(col).toSeq: _*)
+  }
+}
+
+/** Projects away the listed features; error if nothing remains
+  * (reference: feature_selection.rs:43-82). Stateless. */
+class DropFeatures(val features: Seq[String]) extends Transformer {
+  override def fit(df: DataFrame): this.type = this
+  override def transform(df: DataFrame): DataFrame = {
+    Validators.requireColumns(df, features)
+    val drop = features.toSet
+    SelectionUtil.keepInSchemaOrder(df, c => !drop(c),
+      "Dropping these features would leave an empty DataFrame")
+  }
+}
+
+/** Drops numeric columns with population variance < numericThreshold and
+  * other columns with ≤ categoricalThreshold distinct values
+  * (reference: feature_selection.rs:85-186). One aggregate job for all
+  * statistics of all columns. */
+class DropConstantFeatures(
+    val numericThreshold: Double,
+    val categoricalThreshold: Long,
+) extends StatefulTransformer {
+  var dropColumns: Set[String] = Set.empty
+
+  override def fit(df: DataFrame): this.type = {
+    val fields = df.schema.fields.toSeq
+    val aggs = fields.map { f =>
+      if (SelectionUtil.isNumericField(f)) var_pop(col(f.name).cast("double"))
+      else countDistinct(col(f.name)).cast("double")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    dropColumns = fields.zipWithIndex.collect {
+      case (f, i) if SelectionUtil.isNumericField(f) &&
+        !row.isNullAt(i) && row.getDouble(i) < numericThreshold => f.name
+      case (f, i) if !SelectionUtil.isNumericField(f) &&
+        !row.isNullAt(i) && row.getDouble(i) <= categoricalThreshold => f.name
+    }.toSet
+    fitted = true
+    this
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    requireFitted()
+    SelectionUtil.keepInSchemaOrder(df, c => !dropColumns(c),
+      "All features dropped by DropConstantFeatures.")
+  }
+}
+
+/** Drops later columns whose full content equals an earlier column
+  * (reference: feature_selection.rs:189-264 compares whole arrays pairwise).
+  * Distributed: one fingerprint job (count + content hash per column), then
+  * an exact null-safe-equality check only for fingerprint-colliding pairs. */
+class DropDuplicateFeatures() extends StatefulTransformer {
+  var dropColumns: Set[String] = Set.empty
+
+  override def fit(df: DataFrame): this.type = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap(c => Seq(count(col(c)).cast("long"), sum(xxhash64(col(c)))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val fp = cols.zipWithIndex.map { case (c, i) =>
+      c -> (df.schema(c).dataType.simpleString,
+        row.getLong(2 * i),
+        if (row.isNullAt(2 * i + 1)) 0L else row.getLong(2 * i + 1))
+    }.toMap
+    val dropped = scala.collection.mutable.Set[String]()
+    for (i <- cols.indices; j <- (i + 1) until cols.size) {
+      val (a, b) = (cols(i), cols(j))
+      if (!dropped(a) && !dropped(b) && fp(a) == fp(b)) {
+        val differs = df.filter(!(col(a) <=> col(b))).limit(1).count() > 0
+        if (!differs) dropped += b
+      }
+    }
+    dropColumns = dropped.toSet
+    fitted = true
+    this
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    requireFitted()
+    SelectionUtil.keepInSchemaOrder(df, c => !dropColumns(c),
+      "All features dropped by DropDuplicateFeatures.")
+  }
+}
+
+/** Drops the lower-variance member of every numeric pair with
+  * |corr| > threshold (reference: feature_selection.rs:267-367). The
+  * reference's pair order comes from HashMap iteration (nondeterministic);
+  * we use schema order — deterministic, observable only on tied correlations.
+  * Correlations for ALL pairs + variances come from one aggregate job. */
+class DropCorrelatedFeatures(val threshold: Double) extends StatefulTransformer {
+  var dropColumns: Set[String] = Set.empty
+
+  override def fit(df: DataFrame): this.type = {
+    val names = SelectionUtil.numericCols(df)
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (names(i), names(j))
+    val varAggs = names.map(c => var_pop(col(c).cast("double")))
+    val corrAggs = pairs.map { case (a, b) => corr(col(a), col(b)) }
+    val aggs = varAggs ++ corrAggs
+    if (aggs.isEmpty) { fitted = true; return this }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val variance = names.zipWithIndex.map { case (c, i) =>
+      c -> (if (row.isNullAt(i)) 0.0 else row.getDouble(i))
+    }.toMap
+    val toDrop = scala.collection.mutable.Set[String]()
+    pairs.zipWithIndex.foreach { case ((a, b), k) =>
+      val i = names.size + k
+      if (!row.isNullAt(i)) {
+        val c = row.getDouble(i)
+        if (!c.isNaN && math.abs(c) > threshold) {
+          if (variance(a) < variance(b)) toDrop += a else toDrop += b
+        }
+      }
+    }
+    dropColumns = toDrop.toSet
+    fitted = true
+    this
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    requireFitted()
+    SelectionUtil.keepInSchemaOrder(df, c => !dropColumns(c),
+      "All features were dropped by DropCorrelatedFeatures.")
+  }
+}
+
+/** Like DropCorrelatedFeatures but keeps a candidate set: from each
+  * correlated pair (both still candidates) the lower-variance member is
+  * removed; transform keeps surviving numerics plus ALL non-numeric columns
+  * (reference: feature_selection.rs:370-482). */
+class SmartCorrelatedSelection(val threshold: Double) extends StatefulTransformer {
+  var selectedFeatures: Set[String] = Set.empty
+
+  override def fit(df: DataFrame): this.type = {
+    val names = SelectionUtil.numericCols(df)
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (names(i), names(j))
+    val varAggs = names.map(c => var_pop(col(c).cast("double")))
+    val corrAggs = pairs.map { case (a, b) => corr(col(a), col(b)) }
+    val aggs = varAggs ++ corrAggs
+    if (aggs.isEmpty) { selectedFeatures = Set.empty; fitted = true; return this }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val variance = names.zipWithIndex.map { case (c, i) =>
+      c -> (if (row.isNullAt(i)) 0.0 else row.getDouble(i))
+    }.toMap
+    val candidates = scala.collection.mutable.Set[String](names: _*)
+    pairs.zipWithIndex.foreach { case ((a, b), k) =>
+      val i = names.size + k
+      if (candidates(a) && candidates(b) && !row.isNullAt(i)) {
+        val c = row.getDouble(i)
+        if (!c.isNaN && math.abs(c) > threshold) {
+          if (variance(a) < variance(b)) candidates -= a else candidates -= b
+        }
+      }
+    }
+    selectedFeatures = candidates.toSet
+    fitted = true
+    this
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    requireFitted()
+    SelectionUtil.keepInSchemaOrder(
+      df,
+      c => !SelectionUtil.isNumericField(df.schema(c)) || selectedFeatures(c),
+      "No features selected by SmartCorrelatedSelection.")
+  }
+}
+
+/** Population-stability-index drop against a reference DataFrame.
+  * Bins = nearest-rank deciles of the REFERENCE values; every bin is
+  * half-open [lo, hi) — including the last, exactly like the reference
+  * (feature_selection.rs:502-558). Bin counts for all columns come from one
+  * aggregate job per frame. */
+class DropHighPSIFeatures(val reference: DataFrame, val psiThreshold: Double)
+    extends StatefulTransformer {
+  var dropColumns: Set[String] = Set.empty
+
+  private def binCounts(
+      df: DataFrame, binsByCol: Map[String, Seq[Double]]): Map[String, Seq[Double]] = {
+    val aggs = binsByCol.toSeq.flatMap { case (c, bins) =>
+      bins.sliding(2).map { pair =>
+        sum(when(col(c) >= lit(pair(0)) && col(c) < lit(pair(1)), 1L).otherwise(0L))
+      }
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    var i = -1
+    binsByCol.toSeq.map { case (c, bins) =>
+      c -> bins.sliding(2).map { _ => i += 1; row.getLong(i).toDouble }.toSeq
+    }.toMap
+  }
+
+  override def fit(df: DataFrame): this.type = {
+    val cols = SelectionUtil.numericCols(df)
+    if (cols.isEmpty) { fitted = true; return this }
+    val binsByCol = cols.map { c =>
+      c -> SelectionUtil.nearestRank(reference, c, (0 to 10).map(_ / 10.0))
+    }.toMap.filter(_._2.nonEmpty)
+    val refTotals = binsByCol.keys.map { c =>
+      c -> reference.filter(col(c).isNotNull).count().toDouble
+    }.toMap
+    val curTotals = binsByCol.keys.map { c =>
+      c -> df.filter(col(c).isNotNull).count().toDouble
+    }.toMap
+    val refCounts = binCounts(reference, binsByCol)
+    val curCounts = binCounts(df, binsByCol)
+    dropColumns = binsByCol.keys.filter { c =>
+      val psi = refCounts(c).zip(curCounts(c)).map { case (rc, cc) =>
+        val pctRef = math.max(rc / refTotals(c), 0.0001)
+        val pctCur = math.max(cc / curTotals(c), 0.0001)
+        (pctRef - pctCur) * math.log(pctRef / pctCur)
+      }.sum
+      psi > psiThreshold
+    }.toSet
+    fitted = true
+    this
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    requireFitted()
+    SelectionUtil.keepInSchemaOrder(df, c => !dropColumns(c),
+      "All features dropped by DropHighPSIFeatures.")
+  }
+}
+
+/** Information-value selection against a binary (1.0/0.0) target.
+  * Numeric features: nearest-rank decile bins of the CURRENT values, all
+  * half-open; per-bin good/bad counts normalized by class totals (this one IS
+  * normalized, unlike WoEEncoder), clamped at 0.0001; keep when
+  * IV ≥ threshold. String features: per-category counts. Target always kept.
+  * (reference: feature_selection.rs:595-736.) */
+class SelectByInformationValue(val target: String, val ivThreshold: Double)
+    extends StatefulTransformer {
+  var selectedFeatures: Set[String] = Set.empty
+
+  override def fit(df: DataFrame): this.type = {
+    Validators.requireColumns(df, Seq(target))
+    val t = col(target).cast("double")
+    val totRow = df.agg(
+      sum(when(t === 1.0, 1L).otherwise(0L)),
+      sum(when(t =!= 1.0, 1L).otherwise(0L))).head()
+    val totalGood = totRow.getLong(0).toDouble
+    val totalBad = totRow.getLong(1).toDouble
+
+    def ivOf(good: Double, bad: Double): Double = {
+      val pctGood = math.max(good / totalGood, 0.0001)
+      val pctBad = math.max(bad / totalBad, 0.0001)
+      (pctGood - pctBad) * math.log(pctGood / pctBad)
+    }
+
+    val sel = scala.collection.mutable.Set[String]()
+    val numeric = df.schema.fields.filter(f =>
+      f.name != target && SelectionUtil.isNumericField(f)).map(_.name).toSeq
+    val categorical = df.schema.fields.filter(f =>
+      f.name != target && f.dataType == StringType).map(_.name).toSeq
+
+    if (numeric.nonEmpty) {
+      val binsByCol = numeric.map { c =>
+        c -> SelectionUtil.nearestRank(df, c, (0 to 10).map(_ / 10.0))
+      }.toMap.filter(_._2.nonEmpty)
+      val aggs = binsByCol.toSeq.flatMap { case (c, bins) =>
+        bins.sliding(2).flatMap { pair =>
+          val inBin = col(c) >= lit(pair(0)) && col(c) < lit(pair(1))
+          Seq(
+            sum(when(inBin && t === 1.0, 1L).otherwise(0L)),
+            sum(when(inBin && t =!= 1.0, 1L).otherwise(0L)))
+        }
+      }
+      if (aggs.nonEmpty) {
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        var i = -1
+        binsByCol.foreach { case (c, bins) =>
+          val iv = bins.sliding(2).map { _ =>
+            i += 1; val good = row.getLong(i).toDouble
+            i += 1; val bad = row.getLong(i).toDouble
+            ivOf(good, bad)
+          }.sum
+          if (iv >= ivThreshold) sel += c
+        }
+      }
+    }
+    categorical.foreach { c =>
+      val counts = df
+        .filter(col(c).isNotNull)
+        .groupBy(col(c))
+        .agg(
+          sum(when(t === 1.0, 1L).otherwise(0L)).as("good"),
+          sum(when(t =!= 1.0, 1L).otherwise(0L)).as("bad"))
+        .collect()
+      val iv = counts.map(r => ivOf(r.getLong(1).toDouble, r.getLong(2).toDouble)).sum
+      if (iv >= ivThreshold) sel += c
+    }
+    selectedFeatures = sel.toSet
+    fitted = true
+    this
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    requireFitted()
+    val keep = df.columns.filter(c => c == target || selectedFeatures(c))
+    if (keep.isEmpty) throw InvalidParameter("No features selected by information value.")
+    // target first, then selected features in schema order (reference
+    // transform order, feature_selection.rs:717-719)
+    val ordered = Seq(target) ++ df.columns.filter(c => c != target && selectedFeatures(c))
+    df.select(ordered.map(col): _*)
+  }
+}
+
+/** Keeps numeric features with |corr(feature, target)| ≥ threshold
+  * (reference: feature_selection.rs:740-826). All correlations in one job.
+  * Transform projects target first, then survivors in schema order. */
+class SelectBySingleFeaturePerformance(val target: String, val correlationThreshold: Double)
+    extends StatefulTransformer {
+  var selectedFeatures: Set[String] = Set.empty
+
+  override def fit(df: DataFrame): this.type = {
+    Validators.requireColumns(df, Seq(target))
+    val feats = df.schema.fields
+      .filter(f => f.name != target && SelectionUtil.isNumericField(f)).map(_.name).toSeq
+    val corrs = SelectionUtil.corrPairs(df, feats.map(f => (f, target)))
+    selectedFeatures = feats.filter { f =>
+      val c = corrs((f, target)); !c.isNaN && math.abs(c) >= correlationThreshold
+    }.toSet
+    fitted = true
+    this
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    requireFitted()
+    val ordered = Seq(target) ++ df.columns.filter(c => c != target && selectedFeatures(c))
+    df.select(ordered.map(col): _*)
+  }
+}
+
+/** Median-split target-mean selection: split each feature at its nearest-rank
+  * median (sorted[n/2]); keep when |mean(target | x < m) − mean(target | x ≥ m)|
+  * ≥ threshold (reference: feature_selection.rs:829-923). Means for all
+  * columns come from one aggregate job. */
+class SelectByTargetMeanPerformance(val target: String, val meanDiffThreshold: Double)
+    extends StatefulTransformer {
+  var selectedFeatures: Set[String] = Set.empty
+
+  override def fit(df: DataFrame): this.type = {
+    Validators.requireColumns(df, Seq(target))
+    val t = col(target).cast("double")
+    val feats = df.schema.fields
+      .filter(f => f.name != target && SelectionUtil.isNumericField(f)).map(_.name).toSeq
+    val medians = feats.flatMap { c =>
+      SelectionUtil.nearestRank(df, c, Seq(0.5)).headOption.map(c -> _)
+    }.toMap
+    val present = feats.filter(medians.contains)
+    if (present.nonEmpty) {
+      val aggs = present.flatMap { c =>
+        val m = medians(c)
+        Seq(
+          avg(when(col(c) < lit(m), t)),
+          avg(when(col(c) >= lit(m), t)))
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      selectedFeatures = present.zipWithIndex.filter { case (c, i) =>
+        val mean1 = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+        val mean2 = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
+        math.abs(mean1 - mean2) >= meanDiffThreshold
+      }.map(_._1).toSet
+    }
+    fitted = true
+    this
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    requireFitted()
+    val ordered = Seq(target) ++ df.columns.filter(c => c != target && selectedFeatures(c))
+    df.select(ordered.map(col): _*)
+  }
+}
+
+/** Max-relevance-min-redundancy greedy selection
+  * (reference: feature_selection.rs:926-1051): candidates with
+  * |corr(f, target)| ≥ relevanceThreshold, sorted by relevance descending
+  * (ties broken by name for determinism), greedily accepted unless
+  * |corr(f, already-selected)| > redundancyThreshold. The full correlation
+  * matrix (features × features ∪ target) is computed in ONE job; the greedy
+  * loop is driver-side arithmetic on scalars. */
+class MRMR(
+    val target: String,
+    val relevanceThreshold: Double,
+    val redundancyThreshold: Double,
+) extends StatefulTransformer {
+  var selectedFeatures: Set[String] = Set.empty
+
+  override def fit(df: DataFrame): this.type = {
+    Validators.requireColumns(df, Seq(target))
+    val feats = df.schema.fields
+      .filter(f => f.name != target && SelectionUtil.isNumericField(f)).map(_.name).toSeq
+    val relPairs = feats.map(f => (f, target))
+    val redPairs = for {
+      i <- feats.indices; j <- (i + 1) until feats.size
+    } yield (feats(i), feats(j))
+    val corrs = SelectionUtil.corrPairs(df, relPairs ++ redPairs)
+    def corrOf(a: String, b: String): Double =
+      corrs.getOrElse((a, b), corrs.getOrElse((b, a), Double.NaN))
+    val candidates = feats
+      .map(f => f -> corrs((f, target)))
+      .filter { case (_, c) => !c.isNaN && math.abs(c) >= relevanceThreshold }
+      .map { case (f, c) => (f, math.abs(c)) }
+      .sortBy { case (f, c) => (-c, f) }
+    val selected = scala.collection.mutable.ArrayBuffer[String]()
+    candidates.foreach { case (f, _) =>
+      val redundant = selected.exists { s =>
+        val c = corrOf(f, s); !c.isNaN && math.abs(c) > redundancyThreshold
+      }
+      if (!redundant) selected += f
+    }
+    selectedFeatures = selected.toSet
+    fitted = true
+    this
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    requireFitted()
+    val ordered = Seq(target) ++ df.columns.filter(c => c != target && selectedFeatures(c))
+    df.select(ordered.map(col): _*)
+  }
+}
