@@ -33,6 +33,11 @@ object Demo {
       "cap" -> new ArbitraryOutlierCapper(Map("l_tax" -> (Some(0.01), Some(0.07)))),
       "log" -> new LogTransformer(Seq("l_quantity")),
       "dates" -> new DatetimeFeatures(Seq("l_shipdate")),
+      "const" -> new MathFeatures(Seq(
+        "const_one" -> lit(1.0), "qty_twin" -> col("l_quantity"))),
+      "drop_const" -> new DropConstantFeatures(1e-12, 1),
+      "drop_dup" -> new DropDuplicateFeatures(),
+      "drop_corr" -> new DropCorrelatedFeatures(0.95),
     )
     val out = pipe.fit(li)
     out.show(8, truncate = false)

@@ -46,14 +46,37 @@ private[transformers] object SelectionUtil {
     idx.map(found)
   }
 
-  /** One-job Pearson correlation for many column pairs (sample corr — the
-    * n-1 factors cancel exactly as in the reference's cov/sqrt(varx*vary)). */
+  /** One-job Pearson correlation for many column pairs over pairwise-complete
+    * rows (sample moments — the n-1 factors cancel exactly as in the
+    * reference's cov/sqrt(varx*vary)).
+    *
+    * Built from covar_samp + conditional stddev_samp instead of Spark's
+    * `corr`, because under ANSI mode (Spark 4 default) `corr` raises
+    * DIVIDE_BY_ZERO for zero-variance columns; the reference silently skips
+    * those pairs (feature_selection.rs:322-324), so we must too — the
+    * division happens driver-side where we can check the denominator.
+    * Zero-variance pairs → NaN. */
   def corrPairs(df: DataFrame, pairs: Seq[(String, String)]): Map[(String, String), Double] = {
     if (pairs.isEmpty) return Map.empty
-    val aggs = pairs.map { case (a, b) => corr(col(a).cast("double"), col(b).cast("double")) }
+    val aggs = pairs.flatMap { case (a, b) =>
+      val (x, y) = (col(a).cast("double"), col(b).cast("double"))
+      val both = x.isNotNull && y.isNotNull
+      Seq(
+        covar_samp(x, y),
+        stddev_samp(when(both, x)),
+        stddev_samp(when(both, y)))
+    }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     pairs.zipWithIndex.map { case (p, i) =>
-      p -> (if (row.isNullAt(i)) Double.NaN else row.getDouble(i))
+      val c =
+        if (row.isNullAt(3 * i) || row.isNullAt(3 * i + 1) || row.isNullAt(3 * i + 2))
+          Double.NaN
+        else {
+          val (cov, sx, sy) = (row.getDouble(3 * i), row.getDouble(3 * i + 1),
+            row.getDouble(3 * i + 2))
+          if (sx == 0.0 || sy == 0.0) Double.NaN else cov / (sx * sy)
+        }
+      p -> c
     }.toMap
   }
 
@@ -119,12 +142,15 @@ class DropDuplicateFeatures() extends StatefulTransformer {
 
   override def fit(df: DataFrame): this.type = {
     val cols = df.columns.toSeq
-    val aggs = cols.flatMap(c => Seq(count(col(c)).cast("long"), sum(xxhash64(col(c)))))
+    // decimal(38,0) sum: a plain long sum of 64-bit hashes overflows under
+    // ANSI mode (Spark 4 default)
+    val aggs = cols.flatMap(c =>
+      Seq(count(col(c)).cast("long"), sum(xxhash64(col(c)).cast("decimal(38,0)"))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val fp = cols.zipWithIndex.map { case (c, i) =>
       c -> (df.schema(c).dataType.simpleString,
         row.getLong(2 * i),
-        if (row.isNullAt(2 * i + 1)) 0L else row.getLong(2 * i + 1))
+        if (row.isNullAt(2 * i + 1)) BigDecimal(0) else BigDecimal(row.getDecimal(2 * i + 1)))
     }.toMap
     val dropped = scala.collection.mutable.Set[String]()
     for (i <- cols.indices; j <- (i + 1) until cols.size) {
@@ -159,22 +185,18 @@ class DropCorrelatedFeatures(val threshold: Double) extends StatefulTransformer 
     val pairs = for {
       i <- names.indices; j <- (i + 1) until names.size
     } yield (names(i), names(j))
+    if (names.isEmpty) { fitted = true; return this }
     val varAggs = names.map(c => var_pop(col(c).cast("double")))
-    val corrAggs = pairs.map { case (a, b) => corr(col(a), col(b)) }
-    val aggs = varAggs ++ corrAggs
-    if (aggs.isEmpty) { fitted = true; return this }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val varRow = df.agg(varAggs.head, varAggs.tail: _*).head()
     val variance = names.zipWithIndex.map { case (c, i) =>
-      c -> (if (row.isNullAt(i)) 0.0 else row.getDouble(i))
+      c -> (if (varRow.isNullAt(i)) 0.0 else varRow.getDouble(i))
     }.toMap
+    val corrs = SelectionUtil.corrPairs(df, pairs)
     val toDrop = scala.collection.mutable.Set[String]()
-    pairs.zipWithIndex.foreach { case ((a, b), k) =>
-      val i = names.size + k
-      if (!row.isNullAt(i)) {
-        val c = row.getDouble(i)
-        if (!c.isNaN && math.abs(c) > threshold) {
-          if (variance(a) < variance(b)) toDrop += a else toDrop += b
-        }
+    pairs.foreach { case (a, b) =>
+      val c = corrs((a, b))
+      if (!c.isNaN && math.abs(c) > threshold) {
+        if (variance(a) < variance(b)) toDrop += a else toDrop += b
       }
     }
     dropColumns = toDrop.toSet
@@ -201,19 +223,17 @@ class SmartCorrelatedSelection(val threshold: Double) extends StatefulTransforme
     val pairs = for {
       i <- names.indices; j <- (i + 1) until names.size
     } yield (names(i), names(j))
+    if (names.isEmpty) { selectedFeatures = Set.empty; fitted = true; return this }
     val varAggs = names.map(c => var_pop(col(c).cast("double")))
-    val corrAggs = pairs.map { case (a, b) => corr(col(a), col(b)) }
-    val aggs = varAggs ++ corrAggs
-    if (aggs.isEmpty) { selectedFeatures = Set.empty; fitted = true; return this }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val varRow = df.agg(varAggs.head, varAggs.tail: _*).head()
     val variance = names.zipWithIndex.map { case (c, i) =>
-      c -> (if (row.isNullAt(i)) 0.0 else row.getDouble(i))
+      c -> (if (varRow.isNullAt(i)) 0.0 else varRow.getDouble(i))
     }.toMap
+    val corrs = SelectionUtil.corrPairs(df, pairs)
     val candidates = scala.collection.mutable.Set[String](names: _*)
-    pairs.zipWithIndex.foreach { case ((a, b), k) =>
-      val i = names.size + k
-      if (candidates(a) && candidates(b) && !row.isNullAt(i)) {
-        val c = row.getDouble(i)
+    pairs.foreach { case (a, b) =>
+      if (candidates(a) && candidates(b)) {
+        val c = corrs((a, b))
         if (!c.isNaN && math.abs(c) > threshold) {
           if (variance(a) < variance(b)) candidates -= a else candidates -= b
         }
