@@ -1,13 +1,547 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.transformers._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 has one entry in [[queries]]
+  * and (when SQL-expressible) a DuckDB oracle in [[oracleSql]]. The driver
+  * runs each query at sf0.01, dumps parquet, runs the oracle SQL in DuckDB
+  * over the same parquet tables, and hash-compares (columns sorted by name).
+  *
+  * Oracle-parity design rules used throughout:
+  *  - testdata has NO nulls, so imputation queries inject them
+  *    deterministically (`l_orderkey % k = 0`) on both sides;
+  *  - learned floating-point parameters (means, quantiles) are computed over
+  *    `l_quantity`, whose values are integer-valued doubles — sums/averages
+  *    are exact in FP regardless of summation order, so Spark and DuckDB
+  *    learn bit-identical values;
+  *  - exact quantiles (`exact = true`) match DuckDB `quantile_cont`'s
+  *    linear-interpolation definition;
+  *  - selection transformers learn WHICH columns survive; thresholds are
+  *    chosen far from the actual statistics, and the oracle hardcodes the
+  *    expected projection.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def rt(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** lineitem keys + qty with nulls injected where l_orderkey % 7 = 0. */
+  private def qtyWithNulls(s: SparkSession, dir: String): DataFrame =
+    rt(s, dir, "lineitem").select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      when(col("l_orderkey") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("l_quantity"))
+        .as("qty"))
+
+  private val qtyNullsSql =
+    "SELECT l_orderkey, l_linenumber, CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_quantity END AS qty FROM lineitem"
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A representative end-to-end pipeline: impute → encode → discretize →
+    * winsorize → log → datetime features → select. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = rt(spark, dir, "lineitem")
+    val base = li.select(
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      col("l_shipdate"), col("l_extendedprice"),
+      when(col("l_orderkey") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("l_quantity")).as("qty"),
+      col("l_discount"))
+    val pipe = Pipeline(
+      "impute" -> new MeanMedianImputer(Seq("qty"), "mean"),
+      "indicator" -> new AddMissingIndicator(Seq("qty")),
+      "onehot" -> new OneHotEncoder(Seq("l_returnflag")),
+      "winsor" -> new Winsorizer(Seq("l_extendedprice"), 0.05, 0.95),
+      "log" -> new LogTransformer(Seq("l_extendedprice")),
+      "cyc" -> new CyclicalFeatures(Seq(("qty_sin", "qty", 50.0, CyclicalFn.Sin))),
+      "dt" -> new DatetimeFeatures(Seq("l_shipdate")),
+    )
+    pipe.fit(base)
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extension ops). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── §2.2 imputation ────────────────────────────────────────────────
+    "imp_mean" -> ((s, dir) =>
+      new MeanMedianImputer(Seq("qty"), "mean").fitTransform(qtyWithNulls(s, dir))),
+    "imp_median" -> ((s, dir) =>
+      new MeanMedianImputer(Seq("qty"), "median", exact = true)
+        .fitTransform(qtyWithNulls(s, dir))),
+    "imp_arbitrary" -> ((s, dir) =>
+      new ArbitraryNumberImputer(Seq("qty"), -1.0).fitTransform(qtyWithNulls(s, dir))),
+    "imp_endtail" -> ((s, dir) =>
+      new EndTailImputer(Seq("qty"), 0.75, exact = true).fitTransform(qtyWithNulls(s, dir))),
+    "imp_categorical" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_orderkey") % 11 === 0, lit(null).cast("string"))
+          .otherwise(col("l_returnflag")).as("flag"))
+      new CategoricalImputer(Seq("flag")).fitTransform(base)
+    }),
+    "imp_missing_indicator" -> ((s, dir) =>
+      new AddMissingIndicator(Seq("qty")).fitTransform(qtyWithNulls(s, dir))),
+    "imp_drop_missing" -> ((s, dir) =>
+      new DropMissingData(Seq("qty")).fitTransform(qtyWithNulls(s, dir))),
+
+    // ── §2.3 categorical encoding ──────────────────────────────────────
+    "cat_onehot" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      new OneHotEncoder(Seq("l_returnflag")).fitTransform(base)
+    }),
+    "cat_count_frequency" -> ((s, dir) => {
+      val base = rt(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      new CountFrequencyEncoder(Seq("o_orderpriority")).fitTransform(base)
+    }),
+    "cat_ordinal" -> ((s, dir) => {
+      val base = rt(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      new OrdinalEncoder(Seq("o_orderpriority")).fitTransform(base)
+    }),
+    "cat_mean" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+      new MeanEncoder(Seq("l_returnflag"), "l_quantity").fitTransform(base)
+    }),
+    "cat_woe" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        when(col("l_discount") > 0.05, lit(1L)).otherwise(lit(0L)).as("tgt"))
+      new WoEEncoder(Seq("l_returnflag"), "tgt").fitTransform(base)
+    }),
+    "cat_rare_label" -> ((s, dir) => {
+      val base = rt(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      new RareLabelEncoder(Seq("p_brand"), 0.04).fitTransform(base)
+    }),
+
+    // ── §2.4 discretization ────────────────────────────────────────────
+    "disc_arbitrary" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      new ArbitraryDiscretizer(Map("l_quantity" -> Seq(
+        (1.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 50.0, "high"))))
+        .fitTransform(base)
+    }),
+    "disc_equal_frequency" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      new EqualFrequencyDiscretizer(Seq("l_quantity"), 4, exact = true).fitTransform(base)
+    }),
+    "disc_equal_width" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      new EqualWidthDiscretizer(Seq("l_quantity"), 5).fitTransform(base)
+    }),
+    "disc_geometric_width" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      new GeometricWidthDiscretizer(Seq("l_quantity"), 3).fitTransform(base)
+    }),
+
+    // ── §2.5 outliers ──────────────────────────────────────────────────
+    "out_cap_arbitrary" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      new ArbitraryOutlierCapper(Map("l_quantity" -> (Some(5.0), Some(45.0))))
+        .fitTransform(base)
+    }),
+    "out_winsorizer" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      new Winsorizer(Seq("l_quantity"), 0.05, 0.95, exact = true).fitTransform(base)
+    }),
+    "out_trimmer" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      new OutlierTrimmer(Seq("l_quantity"), 0.05, 0.95, exact = true).fitTransform(base)
+    }),
+
+    // ── §2.6 numerical ─────────────────────────────────────────────────
+    // ln differs by 1 ulp between the JVM and DuckDB's libm on some inputs;
+    // both sides round to 12 decimals so the comparison is well-defined.
+    "num_log" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      new LogTransformer(Seq("l_quantity")).fitTransform(base)
+        .withColumn("l_quantity", round(col("l_quantity"), 12))
+    }),
+    "num_log_cp" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      new LogCpTransformer(Seq("l_quantity"), 10.0).fitTransform(base)
+        .withColumn("l_quantity", round(col("l_quantity"), 12))
+    }),
+    "num_reciprocal" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      new ReciprocalTransformer(Seq("l_quantity")).fitTransform(base)
+    }),
+    "num_power" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      new PowerTransformer(Seq("l_quantity"), 2.0).fitTransform(base)
+    }),
+    "num_boxcox" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      new BoxCoxTransformer(Seq("l_quantity"), 2.0).fitTransform(base)
+    }),
+    "num_yeojohnson" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      new YeoJohnsonTransformer(Seq("l_quantity"), 3.0).fitTransform(base)
+    }),
+    "num_arcsin" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"))
+      new ArcsinTransformer(Seq("l_discount")).fitTransform(base)
+    }),
+
+    // ── §2.7 feature creation ──────────────────────────────────────────
+    "creation_math" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+      new MathFeatures(Seq(
+        "disc_price" -> (col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+        .fitTransform(base)
+    }),
+    "creation_relative" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_quantity"))
+      new RelativeFeatures(Seq(
+        ("unit_price", "l_extendedprice", "l_quantity", RelativeOp.Ratio),
+        ("price_minus_qty", "l_extendedprice", "l_quantity", RelativeOp.Difference),
+        ("pct_change", "l_extendedprice", "l_quantity", RelativeOp.PercentChange)))
+        .fitTransform(base)
+    }),
+    "creation_cyclical" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      new CyclicalFeatures(Seq(
+        ("qty_sin", "l_quantity", 50.0, CyclicalFn.Sin),
+        ("qty_cos", "l_quantity", 50.0, CyclicalFn.Cos)))
+        .fitTransform(base)
+    }),
+
+    // ── §2.8 datetime ──────────────────────────────────────────────────
+    "dt_features" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      new DatetimeFeatures(Seq("l_shipdate")).fitTransform(base)
+    }),
+    "dt_subtraction" -> ((s, dir) => {
+      val li = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      val o = rt(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val base = li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("o_orderdate"))
+      new DatetimeSubtraction(Seq(
+        ("ship_delay_days", "l_shipdate", "o_orderdate", TimeUnit.Day)))
+        .fitTransform(base)
+    }),
+
+    // ── §2.9 feature selection ─────────────────────────────────────────
+    "sel_drop_features" -> ((s, dir) =>
+      new DropFeatures(Seq("l_tax", "l_shipdate")).fitTransform(
+        rt(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_tax"), col("l_shipdate")))),
+    "sel_drop_constant" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        lit(1.0).as("const_num"), lit("x").as("const_str"), col("l_returnflag"))
+      new DropConstantFeatures(1e-9, 1L).fitTransform(base)
+    }),
+    "sel_drop_duplicate" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_quantity").as("qty_copy"), col("l_returnflag"))
+      new DropDuplicateFeatures().fitTransform(base)
+    }),
+    "sel_drop_correlated" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        (col("l_quantity") * 2.0).as("qty2"), col("l_discount"))
+      // corr(l_quantity, qty2) = 1 > 0.95; var(l_quantity) < var(qty2) → drops l_quantity
+      new DropCorrelatedFeatures(0.95).fitTransform(base)
+    }),
+    "sel_smart_correlated" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        (col("l_quantity") * 2.0).as("qty2"), col("l_discount"), col("l_returnflag"))
+      new SmartCorrelatedSelection(0.95).fitTransform(base)
+    }),
+    "sel_psi" -> ((s, dir) => {
+      val li = rt(s, dir, "lineitem")
+      val ref = li.select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity").as("q"),
+        col("l_quantity").as("q_shifted"))
+      val cur = li.select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity").as("q"),
+        (col("l_quantity") + 10.0).as("q_shifted"))
+      // q: identical distribution → PSI 0 (kept); q_shifted: +10 shift → PSI >> 0.1 (dropped)
+      new DropHighPSIFeatures(ref, 0.1).fitTransform(cur)
+    }),
+    "sel_information_value" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem").select(
+        when(col("l_discount") > 0.05, lit(1.0)).otherwise(lit(0.0)).as("tgt"),
+        (col("l_discount") * 100.0).as("signal"),
+        col("l_quantity").as("noise"))
+      // signal perfectly separates tgt (IV huge); noise is independent (IV ~ 0)
+      new SelectByInformationValue("tgt", 0.5).fitTransform(base)
+    }),
+    "sel_single_feature_perf" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem").select(
+        col("l_extendedprice").as("tgt"),
+        (col("l_extendedprice") + col("l_quantity")).as("near_copy"),
+        col("l_discount").as("noise"))
+      new SelectBySingleFeaturePerformance("tgt", 0.99).fitTransform(base)
+    }),
+    "sel_target_mean_perf" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem").select(
+        when(col("l_discount") > 0.05, lit(1.0)).otherwise(lit(0.0)).as("tgt"),
+        (col("l_discount") * 100.0).as("signal"),
+        col("l_quantity").as("noise"))
+      new SelectByTargetMeanPerformance("tgt", 0.5).fitTransform(base)
+    }),
+    "sel_mrmr" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem").select(
+        when(col("l_discount") > 0.05, lit(1.0)).otherwise(lit(0.0)).as("tgt"),
+        (col("l_discount") * 100.0).as("signal"),
+        (col("l_discount") * 50.0 + 1.0).as("signal_dup"),
+        col("l_quantity").as("noise"))
+      // signal & signal_dup: relevance high, mutually redundant (corr 1) → keep
+      // the higher-relevance one (ties broken by name: "signal" < "signal_dup",
+      // equal |corr| → alphabetical) ; noise: relevance ~0 → rejected
+      new MRMR("tgt", 0.3, 0.9).fitTransform(base)
+    }),
+  )
+
+  /** DuckDB-runnable ANSI SQL oracle for each query key. Column names/aliases
+    * match the Spark outputs exactly (the driver sorts columns by name before
+    * hashing). */
+  def oracleSql: Map[String, String] = Map(
+    "imp_mean" ->
+      s"""WITH t AS ($qtyNullsSql)
+         |SELECT l_orderkey, l_linenumber,
+         |       COALESCE(qty, (SELECT avg(qty) FROM t)) AS qty FROM t""".stripMargin,
+    "imp_median" ->
+      s"""WITH t AS ($qtyNullsSql)
+         |SELECT l_orderkey, l_linenumber,
+         |       COALESCE(qty, (SELECT quantile_cont(qty, 0.5) FROM t)) AS qty FROM t""".stripMargin,
+    "imp_arbitrary" ->
+      s"""WITH t AS ($qtyNullsSql)
+         |SELECT l_orderkey, l_linenumber, COALESCE(qty, -1.0) AS qty FROM t""".stripMargin,
+    "imp_endtail" ->
+      s"""WITH t AS ($qtyNullsSql)
+         |SELECT l_orderkey, l_linenumber,
+         |       COALESCE(qty, (SELECT quantile_cont(qty, 0.75) FROM t)) AS qty FROM t""".stripMargin,
+    "imp_categorical" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber,
+        |             CASE WHEN l_orderkey % 11 = 0 THEN NULL ELSE l_returnflag END AS flag
+        |           FROM lineitem),
+        |     m AS (SELECT flag FROM t WHERE flag IS NOT NULL
+        |           GROUP BY flag ORDER BY count(*) DESC, flag LIMIT 1)
+        |SELECT l_orderkey, l_linenumber,
+        |       COALESCE(t.flag, (SELECT flag FROM m)) AS flag FROM t""".stripMargin,
+    "imp_missing_indicator" ->
+      s"""WITH t AS ($qtyNullsSql)
+         |SELECT l_orderkey, l_linenumber, qty, (qty IS NULL) AS qty_missing FROM t""".stripMargin,
+    "imp_drop_missing" ->
+      s"""WITH t AS ($qtyNullsSql)
+         |SELECT l_orderkey, l_linenumber, qty FROM t WHERE qty IS NOT NULL""".stripMargin,
+
+    "cat_onehot" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |       CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS l_returnflag_A,
+        |       CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS l_returnflag_N,
+        |       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS l_returnflag_R
+        |FROM lineitem""".stripMargin,
+    "cat_count_frequency" ->
+      """SELECT o_orderkey,
+        |       COUNT(*) OVER (PARTITION BY o_orderpriority) AS o_orderpriority
+        |FROM orders""".stripMargin,
+    "cat_ordinal" ->
+      """SELECT o_orderkey,
+        |       DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS o_orderpriority
+        |FROM orders""".stripMargin,
+    "cat_mean" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       AVG(l_quantity) OVER (PARTITION BY l_returnflag) AS l_returnflag,
+        |       l_quantity
+        |FROM lineitem""".stripMargin,
+    "cat_woe" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |             CAST(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS BIGINT) AS tgt
+        |           FROM lineitem),
+        |     w AS (SELECT l_returnflag AS k,
+        |             ln((sum(CASE WHEN tgt = 1 THEN 1 ELSE 0 END) + 1e-6)
+        |                / (sum(CASE WHEN tgt = 0 THEN 1 ELSE 0 END) + 1e-6)) AS woe
+        |           FROM t GROUP BY 1)
+        |SELECT t.l_orderkey, t.l_linenumber, w.woe AS l_returnflag, t.tgt
+        |FROM t JOIN w ON t.l_returnflag = w.k""".stripMargin,
+    "cat_rare_label" ->
+      """SELECT p_partkey,
+        |       CASE WHEN CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) < 0.04
+        |            THEN 'rare' ELSE p_brand END AS p_brand
+        |FROM (SELECT p_partkey, p_brand,
+        |             COUNT(*) OVER (PARTITION BY p_brand) AS cnt,
+        |             COUNT(*) OVER () AS total
+        |      FROM part)""".stripMargin,
+
+    "disc_arbitrary" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_quantity >= 1.0  AND l_quantity < 10.0 THEN 'low'
+        |            WHEN l_quantity >= 10.0 AND l_quantity < 25.0 THEN 'mid'
+        |            WHEN l_quantity >= 25.0 AND l_quantity <= 50.0 THEN 'high'
+        |            ELSE NULL END AS l_quantity
+        |FROM lineitem""".stripMargin,
+    "disc_equal_frequency" ->
+      """WITH b AS (SELECT quantile_cont(l_quantity, 0.0)  AS q0,
+        |                  quantile_cont(l_quantity, 0.25) AS q1,
+        |                  quantile_cont(l_quantity, 0.5)  AS q2,
+        |                  quantile_cont(l_quantity, 0.75) AS q3,
+        |                  quantile_cont(l_quantity, 1.0)  AS q4
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_quantity >= q0 AND l_quantity < q1 THEN printf('[%.2f, %.2f)', q0, q1)
+        |            WHEN l_quantity >= q1 AND l_quantity < q2 THEN printf('[%.2f, %.2f)', q1, q2)
+        |            WHEN l_quantity >= q2 AND l_quantity < q3 THEN printf('[%.2f, %.2f)', q2, q3)
+        |            WHEN l_quantity >= q3 AND l_quantity <= q4 THEN printf('[%.2f, %.2f)', q3, q4)
+        |            ELSE NULL END AS l_quantity
+        |FROM lineitem, b""".stripMargin,
+    "disc_equal_width" ->
+      """WITH b AS (SELECT min(l_quantity) AS lo, max(l_quantity) AS hi,
+        |                  (max(l_quantity) - min(l_quantity)) / 5 AS w
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_quantity >= lo          AND l_quantity < lo + 1 * w THEN printf('[%.2f, %.2f)', lo, lo + 1 * w)
+        |            WHEN l_quantity >= lo + 1 * w AND l_quantity < lo + 2 * w THEN printf('[%.2f, %.2f)', lo + 1 * w, lo + 2 * w)
+        |            WHEN l_quantity >= lo + 2 * w AND l_quantity < lo + 3 * w THEN printf('[%.2f, %.2f)', lo + 2 * w, lo + 3 * w)
+        |            WHEN l_quantity >= lo + 3 * w AND l_quantity < lo + 4 * w THEN printf('[%.2f, %.2f)', lo + 3 * w, lo + 4 * w)
+        |            WHEN l_quantity >= lo + 4 * w AND l_quantity <= hi THEN printf('[%.2f, %.2f)', lo + 4 * w, hi)
+        |            ELSE NULL END AS l_quantity
+        |FROM lineitem, b""".stripMargin,
+    "disc_geometric_width" ->
+      """WITH b AS (SELECT min(l_quantity) AS lo, max(l_quantity) AS hi,
+        |                  pow(max(l_quantity) / min(l_quantity), 1.0 / 3) AS r
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_quantity >= lo * pow(r, 0) AND l_quantity < lo * pow(r, 1) THEN printf('[%.2f, %.2f)', lo * pow(r, 0), lo * pow(r, 1))
+        |            WHEN l_quantity >= lo * pow(r, 1) AND l_quantity < lo * pow(r, 2) THEN printf('[%.2f, %.2f)', lo * pow(r, 1), lo * pow(r, 2))
+        |            WHEN l_quantity >= lo * pow(r, 2) AND l_quantity <= hi THEN printf('[%.2f, %.2f)', lo * pow(r, 2), hi)
+        |            ELSE NULL END AS l_quantity
+        |FROM lineitem, b""".stripMargin,
+
+    "out_cap_arbitrary" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_quantity < 5.0 THEN 5.0
+        |            WHEN l_quantity > 45.0 THEN 45.0
+        |            ELSE l_quantity END AS l_quantity
+        |FROM lineitem""".stripMargin,
+    "out_winsorizer" ->
+      """WITH b AS (SELECT quantile_cont(l_quantity, 0.05) AS lo,
+        |                  quantile_cont(l_quantity, 0.95) AS hi
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_quantity < lo THEN lo
+        |            WHEN l_quantity > hi THEN hi
+        |            ELSE l_quantity END AS l_quantity
+        |FROM lineitem, b""".stripMargin,
+    "out_trimmer" ->
+      """WITH b AS (SELECT quantile_cont(l_quantity, 0.05) AS lo,
+        |                  quantile_cont(l_quantity, 0.95) AS hi
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem, b WHERE l_quantity >= lo AND l_quantity <= hi""".stripMargin,
+
+    "num_log" ->
+      "SELECT l_orderkey, l_linenumber, round(ln(l_quantity), 12) AS l_quantity FROM lineitem",
+    "num_log_cp" ->
+      "SELECT l_orderkey, l_linenumber, round(ln(l_quantity + 10.0), 12) AS l_quantity FROM lineitem",
+    "num_reciprocal" ->
+      "SELECT l_orderkey, l_linenumber, 1.0 / l_quantity AS l_quantity FROM lineitem",
+    "num_power" ->
+      "SELECT l_orderkey, l_linenumber, pow(l_quantity, 2.0) AS l_quantity FROM lineitem",
+    "num_boxcox" ->
+      "SELECT l_orderkey, l_linenumber, (pow(l_quantity, 2.0) - 1.0) / 2.0 AS l_quantity FROM lineitem",
+    "num_yeojohnson" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_quantity >= 0.0
+        |            THEN (pow(l_quantity + 1.0, 3.0) - 1.0) / 3.0
+        |            ELSE -(pow(1.0 - l_quantity, -1.0) - 1.0) / (-1.0) END AS l_quantity
+        |FROM lineitem""".stripMargin,
+    "num_arcsin" ->
+      "SELECT l_orderkey, l_linenumber, asin(sqrt(l_discount)) AS l_discount FROM lineitem",
+
+    "creation_math" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+        |       l_extendedprice * (1.0 - l_discount) AS disc_price
+        |FROM lineitem""".stripMargin,
+    "creation_relative" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+        |       l_extendedprice / l_quantity AS unit_price,
+        |       l_extendedprice - l_quantity AS price_minus_qty,
+        |       (l_extendedprice - l_quantity) / l_quantity AS pct_change
+        |FROM lineitem""".stripMargin,
+    "creation_cyclical" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       sin(2 * pi() * l_quantity / 50.0) AS qty_sin,
+        |       cos(2 * pi() * l_quantity / 50.0) AS qty_cos
+        |FROM lineitem""".stripMargin,
+
+    "dt_features" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate,
+        |       CAST(year(l_shipdate) AS INTEGER)      AS l_shipdate_year,
+        |       CAST(month(l_shipdate) AS INTEGER)     AS l_shipdate_month,
+        |       CAST(day(l_shipdate) AS INTEGER)       AS l_shipdate_day,
+        |       CAST(hour(l_shipdate) AS INTEGER)      AS l_shipdate_hour,
+        |       CAST(minute(l_shipdate) AS INTEGER)    AS l_shipdate_minute,
+        |       CAST(second(l_shipdate) AS INTEGER)    AS l_shipdate_second,
+        |       CAST(dayofweek(l_shipdate) AS INTEGER) AS l_shipdate_weekday
+        |FROM lineitem""".stripMargin,
+    "dt_subtraction" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate,
+        |       (CAST(epoch(l_shipdate) AS BIGINT) - CAST(epoch(o_orderdate) AS BIGINT))
+        |         / 86400.0 AS ship_delay_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "sel_drop_features" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "sel_drop_constant" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+    "sel_drop_duplicate" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+    "sel_drop_correlated" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity * 2.0 AS qty2, l_discount
+        |FROM lineitem""".stripMargin,
+    "sel_smart_correlated" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity * 2.0 AS qty2, l_discount, l_returnflag
+        |FROM lineitem""".stripMargin,
+    "sel_psi" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity AS q FROM lineitem",
+    "sel_information_value" ->
+      """SELECT CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS tgt,
+        |       l_discount * 100.0 AS signal
+        |FROM lineitem""".stripMargin,
+    "sel_single_feature_perf" ->
+      """SELECT l_extendedprice AS tgt,
+        |       l_extendedprice + l_quantity AS near_copy
+        |FROM lineitem""".stripMargin,
+    "sel_target_mean_perf" ->
+      """SELECT CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS tgt,
+        |       l_discount * 100.0 AS signal
+        |FROM lineitem""".stripMargin,
+    "sel_mrmr" ->
+      """SELECT CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS tgt,
+        |       l_discount * 100.0 AS signal
+        |FROM lineitem""".stripMargin,
+  )
 }
