@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core._
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 import graft.transformers._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -42,6 +43,35 @@ object SparkEntry {
 
   private val qtyNullsSql =
     "SELECT l_orderkey, l_linenumber, CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_quantity END AS qty FROM lineitem"
+
+  /** documents ∪ exact copies of every 5th doc under doc_id+10000 — gives
+    * the dedup queries known duplicates to find. */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = rt(s, dir, "documents")
+    d.unionByName(
+      d.filter(col("doc_id") % 5 === 0).withColumn("doc_id", col("doc_id") + 10000))
+  }
+
+  private val docsWithDupsSql =
+    """SELECT * FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  /** True n-gram (n=3) Jaccard ≥ 0.8 pairs over docsWithDups — the oracle
+    * for both the exact inverted-index dedup and the MinHash-prefilter +
+    * exact-verify dedup (the prefilter's recall at these sizes is 1). */
+  private val ngramJaccardOracleSql =
+    s"""WITH u AS ($docsWithDupsSql),
+       |g AS (SELECT doc_id,
+       |             list_distinct([substr(text, i, 3) FOR i IN range(1, len(text) - 1)]) AS gs
+       |      FROM u)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+       |           / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jaccard
+       |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+       |WHERE jaccard >= 0.8""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A representative end-to-end pipeline: impute → encode → discretize →
@@ -322,6 +352,60 @@ object SparkEntry {
       // equal |corr| → alphabetical) ; noise: relevance ~0 → rejected
       new MRMR("tgt", 0.3, 0.9).fitTransform(base)
     }),
+
+    // ── extension ops: dedup / similarity / text / multimodal ──────────
+    // documents has no duplicate texts at test scale, so dedup queries
+    // union in exact copies of every 5th doc under doc_id+10000.
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docsWithDups(s, dir), Seq("text"), "doc_id")),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashDedupPairs(docsWithDups(s, dir), "doc_id", "text")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashCandidates(docsWithDups(s, dir), "doc_id", "text")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docsWithDups(s, dir), "doc_id", "text")),
+    "text_token_count" -> ((s, dir) =>
+      rt(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.regexTokenCount(col("text")).as("n_regex_tokens"))),
+    "text_quality" -> ((s, dir) =>
+      TextOps.qualityFeatures(
+        rt(s, dir, "documents").select("doc_id", "text"), "text")
+        .drop("text")),
+    "text_langid" -> ((s, dir) =>
+      rt(s, dir, "documents").select(
+        col("doc_id"), TextOps.languageId(col("text")).as("lang_pred"))),
+    "text_fingerprint" -> ((s, dir) =>
+      rt(s, dir, "documents").select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    "sim_topk" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.cosineTopK(e, "vec_id", "embedding", q, 10)
+    }),
+    "sim_ann_lsh" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.annTopK(e, "vec_id", "embedding", q, 10)
+    }),
+    "sim_near_dup" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val withDups = e.unionByName(
+        e.filter(col("vec_id") % 5 === 0).withColumn("vec_id", col("vec_id") + 10000))
+      Similarity.cosineNearDupPairs(withDups, "vec_id", "embedding", threshold = 0.99)
+    }),
+    "mm_binary_meta" -> ((s, dir) =>
+      Multimodal.withBinaryMeta(
+        rt(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload").drop("payload")),
+    "mm_fake_embed" -> ((s, dir) =>
+      rt(s, dir, "documents").select(
+        col("doc_id"),
+        Multimodal.fakeEmbedding(col("text").cast("binary"), 4).as("feat"))),
   )
 
   /** DuckDB-runnable ANSI SQL oracle for each query key. Column names/aliases
@@ -543,5 +627,93 @@ object SparkEntry {
       """SELECT CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS tgt,
         |       l_discount * 100.0 AS signal
         |FROM lineitem""".stripMargin,
+
+    // ── extension ops ──────────────────────────────────────────────────
+    // (dedup_simhash, sim_ann_lsh, mm_fake_embed use engine-side hashing
+    //  that has no DuckDB equivalent → no oracle, rows-only check.)
+    "dedup_exact" ->
+      s"""WITH u AS ($docsWithDupsSql)
+         |SELECT min(doc_id) AS doc_id, text, lang, source, n_chars
+         |FROM u GROUP BY text, lang, source, n_chars""".stripMargin,
+    "dedup_minhash" -> ngramJaccardOracleSql,
+    "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INTEGER) AS n_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_regex_tokens
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(text) AS INTEGER) AS n_chars,
+        |       CAST(len(toks) AS INTEGER) AS n_tokens,
+        |       CASE WHEN len(toks) > 0
+        |            THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+        |                 / CAST(len(toks) AS DOUBLE)
+        |            ELSE 0.0 END AS avg_token_len,
+        |       CASE WHEN len(text) > 0
+        |            THEN CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE)
+        |                 / CAST(len(text) AS DOUBLE)
+        |            ELSE 0.0 END AS punct_ratio,
+        |       CASE WHEN len(toks) > 0
+        |            THEN CAST(len(list_filter(toks,
+        |                   x -> x IN ('the','a','an','and','of','is','to','in'))) AS DOUBLE)
+        |                 / CAST(len(toks) AS DOUBLE)
+        |            ELSE 0.0 END AS stopword_ratio
+        |FROM t""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+        |             text
+        |           FROM documents),
+        |     s AS (SELECT doc_id,
+        |             len(list_filter(toks, x -> x IN ('the','and','of','a','is','to')))   AS s_en,
+        |             len(list_filter(toks, x -> x IN ('der','die','und','das','ist','ein'))) AS s_de,
+        |             len(list_filter(toks, x -> x IN ('el','la','de','y','es','un')))    AS s_es,
+        |             len(list_filter(toks, x -> x IN ('le','la','les','et','est','un'))) AS s_fr,
+        |             len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]'))               AS s_zh
+        |           FROM t)
+        |SELECT doc_id,
+        |       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |            WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |            WHEN s_fr >= s_zh THEN 'fr'
+        |            ELSE 'zh' END AS lang_pred
+        |FROM s""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "sim_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |     c AS (SELECT vec_id AS id,
+        |             list_sum([CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |                       FOR i IN range(1, len(embedding) + 1)])
+        |             / (sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                               FOR i IN range(1, len(embedding) + 1)]))
+        |                * sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |                                 FOR i IN range(1, len(qe) + 1)]))) AS cos
+        |           FROM embeddings, q)
+        |SELECT id, cos FROM c ORDER BY cos DESC, id LIMIT 10""".stripMargin,
+    // data fact (checked): max natural pairwise cosine is 0.513, far below
+    // the 0.99 threshold — so the ≥0.99 pairs are exactly the injected
+    // copies, and the oracle computes the same self-cosine formula on them.
+    "sim_near_dup" ->
+      """SELECT vec_id AS id_a, vec_id + 10000 AS id_b,
+        |       list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                 FOR i IN range(1, len(embedding) + 1)])
+        |       / (sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                         FOR i IN range(1, len(embedding) + 1)]))
+        |          * sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                           FOR i IN range(1, len(embedding) + 1)]))) AS cos
+        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |       md5(text) AS content_md5,
+        |       'unknown' AS format
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata (extension beyond the reference surface).
+  *
+  * The actual media decode (JPEG → pixels, PCM → frames, …) needs native
+  * libraries that are NOT in this environment, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB ([[fakeEmbedding]]) — the Spark-side
+  * contract (binary column, metadata struct, per-row feature extraction as
+  * codegen'd expressions, no driver materialization) is real and is what
+  * matters at 100 TB. Swapping the stub for a real decoder means replacing
+  * one expression with a `mapInArrow`/`mapPartitions` stage of the same
+  * schema.
+  */
+object Multimodal {
+
+  /** Standard metadata for a binary payload column:
+    * byte length, md5 content fingerprint, and a sniffed format from magic
+    * bytes (hex of the first 4). */
+  def withBinaryMeta(df: DataFrame, binCol: String): DataFrame = {
+    val b = col(binCol)
+    val magic = hex(substring(b, 1, 4))
+    df.withColumn("n_bytes", length(b))
+      .withColumn("content_md5", md5(b))
+      .withColumn(
+        "format",
+        when(magic.startsWith("FFD8"), lit("jpeg"))
+          .when(magic.startsWith("89504E47"), lit("png"))
+          .when(magic.startsWith("52494646"), lit("riff"))
+          .when(magic.startsWith("66747970"), lit("mp4"))
+          .otherwise(lit("unknown")))
+  }
+
+  /** DETERMINISTIC STUB for the decode + feature-extract step: a `dim`-long
+    * pseudo-embedding derived from content hashes, values in [0, 1). A real
+    * deployment replaces this with an actual decoder producing the same
+    * `array<double>` schema. */
+  def fakeEmbedding(bin: Column, dim: Int): Column =
+    transform(
+      sequence(lit(1), lit(dim)),
+      i => pmod(xxhash64(bin, i), lit(100000L)).cast("double") / lit(100000.0))
+
+  /** STUB frame sampler: byte-range slices standing in for decoded frames —
+    * real video decode would emit one row per sampled frame with the same
+    * (frame_idx, frame_bytes) schema. */
+  def sampleFrames(df: DataFrame, binCol: String, everyNBytes: Int, frameBytes: Int): DataFrame = {
+    val b = col(binCol)
+    val nFrames = greatest(floor(length(b) / everyNBytes).cast("int"), lit(0))
+    df.withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+      .withColumn(
+        "frame",
+        expr(s"substring($binCol, frame_idx * $everyNBytes + 1, $frameBytes)"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (extension beyond the
+  * reference surface, SURVEY §2.11). All pure Catalyst expressions —
+  * whole-stage-codegen friendly, zero shuffles (per-row feature extraction).
+  */
+object TextOps {
+
+  /** Non-empty whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric glyphs — a cheap upper-bound proxy for subword
+    * tokenizer counts. */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  private val StopwordsEn = Seq("the", "a", "an", "and", "of", "is", "to", "in")
+
+  /** Appends quality-scoring features:
+    *   n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio.
+    * Ratios are exact integer-count divisions (reproducible bit-for-bit
+    * across engines). */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val nChars = length(t)
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_tokens", nTok)
+      .withColumn(
+        "avg_token_len",
+        when(nTok > 0,
+          aggregate(toks, lit(0), (acc, w) => acc + length(w)).cast("double")
+            / nTok.cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn(
+        "punct_ratio",
+        when(nChars > 0,
+          regexp_count(t, lit("[!-/:-@\\[-`{-~]")).cast("double") / nChars.cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn(
+        "stopword_ratio",
+        when(nTok > 0,
+          size(filter(toks, w => w.isin(StopwordsEn: _*))).cast("double")
+            / nTok.cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic. First
+    * language in this order wins score ties (deterministic). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "a", "is", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+  )
+
+  /** Language-ID heuristic: per-language stopword hit count over tokens;
+    * highest score wins, earlier profile order wins ties. CJK text is
+    * detected by codepoint range (score = CJK char count). */
+  def languageId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = LangProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, w => w.isin(words: _*)))
+    } :+ ("zh" -> regexp_count(text, lit("[\\x{4E00}-\\x{9FFF}]")))
+    // first profile with score >= all later ones wins (stable tie-break)
+    val langs = scores.map(_._1)
+    val cols = scores.map(_._2)
+    val picks = langs.indices.init.map { i =>
+      val geAllLater = cols.drop(i + 1).map(c => cols(i) >= c).reduce(_ && _)
+      (geAllLater, lit(langs(i)))
+    }
+    picks.foldRight(lit(langs.last): Column) { case ((cond, v), rest) =>
+      when(cond, v).otherwise(rest)
+    }
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text. Stable across engines (md5 is md5 everywhere). */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+}

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops._
+
+/** Extension-op suites: dedup, similarity search, text analysis, multimodal
+  * plumbing (no reference counterpart — SURVEY §2.11 scope extension). */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "completely different words entirely unrelated content here"),
+    (4L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+  ).toDF("doc_id", "text")
+
+  // ── Dedup ────────────────────────────────────────────────────────────
+
+  test("Dedup.exact keeps one row per key with the smallest tiebreak") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+    out.count() shouldBe 3
+    out.filter($"text".contains("lazy dog")).select("doc_id")
+      .head().getLong(0) shouldBe 1L
+    out.columns.toSeq shouldBe Seq("doc_id", "text") // schema preserved
+  }
+
+  test("Dedup.shingles builds distinct char n-grams; short text → empty") {
+    val r = docs.select(Dedup.shingles(lit("abcd"), 3).as("g")).head().getSeq[String](0)
+    r.toSet shouldBe Set("abc", "bcd")
+    val short = docs.select(Dedup.shingles(lit("ab"), 3).as("g")).head().getSeq[String](0)
+    short shouldBe empty
+  }
+
+  test("Dedup.minhashDedupPairs finds exact and near dups with true jaccard") {
+    val out = Dedup.minhashDedupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L)) // exact dup
+    pairs should contain((1L, 4L)) // near dup (dog→cat)
+    out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+      .get.getDouble(2) shouldBe 1.0 // identical texts → jaccard exactly 1
+  }
+
+  test("Dedup.ngramJaccardPairs computes exact jaccard on hand value") {
+    // "abcdef" grams {abc,bcd,cde,def}; "abcdefg" adds {efg}: 4/5 = 0.8
+    val two = Seq((1L, "abcdef"), (2L, "abcdefg")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(two, "doc_id", "text", n = 3, threshold = 0.7)
+    val r = out.head()
+    (r.getLong(0), r.getLong(1)) shouldBe ((1L, 2L))
+    r.getDouble(2) shouldBe 0.8
+  }
+
+  test("Dedup.simhashCandidates: identical texts at hamming 0, distinct text absent") {
+    val out = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    out((1L, 2L)) shouldBe 0
+    out.keys.flatMap(p => Seq(p._1, p._2)) should not contain 3L
+  }
+
+  // ── Similarity ───────────────────────────────────────────────────────
+
+  private lazy val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(1.0f, 0.0f, 0.0f)),   // identical to query
+    (2L, Seq(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (3L, Seq(0.6f, 0.8f, 0.0f)),   // cos = 0.6
+  ).toDF("vec_id", "embedding")
+
+  test("Similarity.cosineTopK ranks by cosine with id tiebreak") {
+    val out = Similarity.cosineTopK(vecs, "vec_id", "embedding", Seq(1.0, 0.0, 0.0), 3)
+      .collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(0L, 1L, 3L)
+    assert(approxEqual(out(2).getDouble(1), 0.6, 1e-7))
+  }
+
+  test("Similarity.annTopK finds the identical vector through the LSH prune") {
+    val out = Similarity.annTopK(vecs, "vec_id", "embedding", Seq(1.0, 0.0, 0.0), 3,
+      numPlanes = 4)
+    val ids = out.collect().map(_.getLong(0)).toSet
+    ids should contain(0L)
+    ids should contain(1L) // same embedding → same bucket, always recalled
+  }
+
+  test("Similarity.cosineNearDupPairs finds identical embeddings") {
+    val out = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, dim = 3)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((0L, 1L))
+    pairs.size shouldBe 1
+  }
+
+  // ── TextOps ──────────────────────────────────────────────────────────
+
+  test("TextOps token counts and quality features on a hand example") {
+    val d = Seq((1L, "the cat sat, on a mat!")).toDF("doc_id", "text")
+    val q = TextOps.qualityFeatures(d, "text").head()
+    q.getAs[Int]("n_chars") shouldBe 22
+    q.getAs[Int]("n_tokens") shouldBe 6
+    // tokens: the,cat,sat,,on,a,mat! lengths 3+4+2+1+4+3? -> "sat," len 4, "mat!" len 4
+    assert(approxEqual(q.getAs[Double]("avg_token_len"), (3 + 4 + 2 + 1 + 4 + 3).toDouble / 6))
+    assert(approxEqual(q.getAs[Double]("punct_ratio"), 2.0 / 22))
+    assert(approxEqual(q.getAs[Double]("stopword_ratio"), 2.0 / 6)) // the, a
+  }
+
+  test("TextOps.languageId picks profile with most stopword hits; en wins ties") {
+    val d = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "el perro y la casa de un gato es"),
+      (4L, "xyz qqq zzz")) // no hits anywhere → tie → en (first profile)
+      .toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextOps.languageId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "en"
+    out(2L) shouldBe "de"
+    out(3L) shouldBe "es"
+    out(4L) shouldBe "en"
+  }
+
+  test("TextOps.fingerprint is whitespace/case insensitive") {
+    val d = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "hello worlds"))
+      .toDF("doc_id", "text")
+    val fps = d.select(TextOps.fingerprint($"text")).collect().map(_.getString(0))
+    fps(0) shouldBe fps(1)
+    fps(0) should not be fps(2)
+  }
+
+  // ── Multimodal ───────────────────────────────────────────────────────
+
+  test("Multimodal.withBinaryMeta sniffs magic bytes and measures length") {
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A)
+    val d = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, png), Row(2L, "plain text".getBytes("UTF-8"))),
+      StructType(Seq(
+        StructField("id", LongType), StructField("payload", BinaryType))))
+    val out = Multimodal.withBinaryMeta(d, "payload")
+      .select("id", "n_bytes", "format")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    out(1L) shouldBe ((6, "png"))
+    out(2L) shouldBe ((10, "unknown"))
+  }
+
+  test("Multimodal.fakeEmbedding is deterministic with the right shape") {
+    val d = Seq((1L, "same payload"), (2L, "same payload"), (3L, "other"))
+      .toDF("id", "text")
+      .select($"id", Multimodal.fakeEmbedding($"text".cast("binary"), 4).as("f"))
+    val rows = d.collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    rows(0)._2.length shouldBe 4
+    rows(0)._2 shouldBe rows(1)._2 // same bytes → same features
+    rows(0)._2 should not be rows(2)._2
+    all(rows(0)._2) should (be >= 0.0 and be < 1.0)
+  }
+
+  test("Multimodal.sampleFrames emits one row per byte-range frame") {
+    val d = Seq((1L, "0123456789abcdef")).toDF("id", "text")
+      .select($"id", $"text".cast("binary").as("payload"))
+    val out = Multimodal.sampleFrames(d, "payload", everyNBytes = 8, frameBytes = 4)
+    out.count() shouldBe 2
+    val frames = out.orderBy("frame_idx").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("frame"), "UTF-8"))
+    frames shouldBe Array("0123", "89ab")
+  }
+}
