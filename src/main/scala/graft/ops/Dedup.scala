@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -8,10 +9,29 @@ import org.apache.spark.sql.functions._
   * Extension beyond the reference surface (SURVEY §2.11): the reference has
   * no dedup of any kind. Everything here is built from Catalyst expressions
   * (higher-order array functions + xxhash64) — no UDFs, so the hot path
-  * stays inside whole-stage codegen, and no driver-side state, so each
+  * stays inside Tungsten evaluation, and no driver-side data state, so each
   * operator is a fixed number of shuffles regardless of data size.
+  *
+  * Scale design rules shared by every operator below:
+  *  - expensive per-row expressions (shingling, signatures) are computed in
+  *    exactly ONE operator and only compact attributes ride through shuffles;
+  *  - candidate pairs come from grouping by a bucket key (LSH band / bit
+  *    chunk / rare shingle) and expanding each bucket with the similarity
+  *    predicate applied INLINE — never from an unbucketed self-join, and
+  *    non-matching pairs are never materialized;
+  *  - exact verification is adaptive: corpora whose shingle vocabulary is
+  *    small (≤ [[MaxBitmapVocab]] distinct shingles — common for synthetic
+  *    or highly templated text) use global-dictionary bitmaps (V/64 longs
+  *    per doc, exact Jaccard in ~V/32 bit ops per pair); everything else
+  *    uses a minhash-estimate prefilter plus hashed-shingle intersection on
+  *    the surviving candidates only.
   */
 object Dedup {
+
+  /** Distinct-shingle vocabulary size up to which exact Jaccard runs on
+    * global-dictionary bitmaps. 4096 → at most 64 longs (512 B) per doc in
+    * the bucket shuffle, same payload class as a minhash signature. */
+  var MaxBitmapVocab: Int = 4096
 
   /** Exact dedup: one surviving row per distinct value of `keyCols`, keeping
     * the row with the smallest `tieBreak` (deterministic, unlike
@@ -38,77 +58,201 @@ object Dedup {
       .otherwise(lit(Array.empty[String]))
   }
 
-  /** MinHash signature: `numHashes` independent hash functions, each the
-    * minimum of `xxhash64(shingle # seed)` over the shingle set. One
-    * projection, no shuffle. */
-  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      h =>
-        array_min(
-          transform(
-            shingles(text, shingleSize),
-            s => xxhash64(concat(s, lit("#"), h.cast("string"))))))
+  /** Each distinct shingle hashed once to a long — the single place where
+    * string hashing happens; every downstream hash/compare is long-typed.
+    * (Jaccard over hashed shingles equals Jaccard over the string sets
+    * unless xxhash64 collides within one corpus vocabulary — negligible.) */
+  def shingleHashes(text: Column, shingleSize: Int): Column =
+    transform(shingles(text, shingleSize), s => xxhash64(s))
 
-  /** MinHash + LSH banding near-duplicate candidate pairs.
+  // ───────────────────────── shared internals ─────────────────────────
+
+  /** (id, h) rows: one row per distinct shingle hash per doc. Docs shorter
+    * than the shingle size vanish here (no shingles → no candidates). */
+  private def explodedHashes(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    df.select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("h"))
+
+  /** Expand a bucket array `xs` (sorted array<struct>, first field the id)
+    * into the pairs (x, y), x before y, that satisfy `keep` — evaluated as
+    * ONE expression per bucket row, so non-matching pairs are filtered
+    * during evaluation and never materialized into the output array. */
+  private def expandBucket(
+      xs: Column,
+      keep: (Column, Column) => Column,
+      emit: (Column, Column) => Column): Column =
+    flatten(transform(xs, (x, i) =>
+      transform(
+        filter(slice(xs, i + lit(2), size(xs)), y => keep(x, y)),
+        y => emit(x, y))))
+
+  /** Σ bit_count(a[i] & b[i]) — exact intersection size of two bitmap
+    * arrays (same global dictionary). */
+  private def bitmapCommon(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),
+      lit(0L),
+      (acc, v) => acc + v)
+
+  /** Exact Jaccard from bitmaps + set sizes: |A∩B| / (|A|+|B|−|A∩B|). */
+  private def bitmapJaccard(x: Column, y: Column): Column = {
+    val common = bitmapCommon(x("bm"), y("bm"))
+    common.cast("double") / (x("sz") + y("sz") - common).cast("double")
+  }
+
+  /** OR-aggregate building a V-bit bitmap as `words` longs from a 0-based
+    * dictionary index column. Each (doc, shingle) row sets exactly one bit,
+    * and rows are distinct per doc, so SUM of the one-hot words is the OR. */
+  private def bitmapAggs(idx: Column, words: Int): Seq[Column] =
+    (0 until words).map { w =>
+      sum(
+        when(
+          (idx / 64).cast("int") === w,
+          call_function("shiftleft", lit(1L), (idx % 64).cast("int")))
+          .otherwise(lit(0L))).as(s"bm$w")
+    }
+
+  /** Global shingle dictionary (h → 0-based idx) for the bitmap path; only
+    * built after the vocabulary was measured ≤ [[MaxBitmapVocab]], so the
+    * single-partition ordering window is over a provably tiny table. */
+  private def dictionary(hashed: DataFrame): DataFrame =
+    hashed
+      .select(col("h"))
+      .distinct()
+      .withColumn("idx", (row_number().over(Window.orderBy(col("h"))) - 1).cast("int"))
+
+  /** (id, sz, bm): per-doc distinct-shingle count and dictionary bitmap,
+    * one join + one aggregate job. */
+  private def bitmapFeatures(hashed: DataFrame, dict: DataFrame, words: Int): DataFrame = {
+    val aggs = count(lit(1)).cast("int").as("sz") +: bitmapAggs(col("idx"), words)
+    hashed
+      .join(broadcast(dict), "h")
+      .groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), col("sz"), array((0 until words).map(w => col(s"bm$w")): _*).as("bm"))
+  }
+
+  /** Approximate distinct shingle count — decides bitmap vs general path
+    * with one cheap HLL aggregate (no shuffle of the values themselves). */
+  private def approxVocab(hashed: DataFrame): Long =
+    hashed.agg(approx_count_distinct(col("h"))).head().getLong(0)
+
+  /** Exact n-gram Jaccard verification of candidate pairs only (the general
+    * path, vocabulary too large for bitmaps).
     *
-    * Plan shape (the standard scale-out LSH join):
-    *   1. one projection computes the signature per row;
-    *   2. explode to `bands` rows, hash each signature band → (band, bandHash);
-    *   3. self-join on (band, bandHash) — a hash shuffle on the band hash,
-    *      which is uniformly distributed, so no skew;
-    *   4. estimated Jaccard = fraction of matching signature positions,
-    *      filter ≥ `threshold`.
+    * Hashed shingle sets are recomputed just for docs that appear in some
+    * candidate pair (broadcast semijoin prune), so the verify cost is
+    * O(#candidates), not O(corpus). Output: (id_a, id_b, jaccard) with
+    * jaccard ≥ threshold. */
+  private def verifiedJaccardPairs(
+      df: DataFrame,
+      cands: DataFrame, // columns: id_a, id_b
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+  ): DataFrame = {
+    val needed = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val sets = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("gs"))
+      .join(broadcast(needed), "id")
+    val a = sets.select(col("id").as("id_a"), col("gs").as("gs_a"))
+    val b = sets.select(col("id").as("id_b"), col("gs").as("gs_b"))
+    cands
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .withColumn("common", size(array_intersect(col("gs_a"), col("gs_b"))))
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") /
+          (size(col("gs_a")) + size(col("gs_b")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ───────────────────────── MinHash LSH ─────────────────────────
+
+  /** Per-doc minhash band hashes from one explode + one aggregate:
+    * all `numHashes` minhashes are `min(xxhash64(h, seed))` aggregates
+    * (long arithmetic only — the expensive string hashing happened once in
+    * [[shingleHashes]]), band hashes are projected directly off the agg
+    * columns. Returns (id, band, band_hash) plus optional extra per-doc
+    * payload columns carried from `perDoc`. */
+  private def bandedSignatures(
+      hashed: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      withSig: Boolean): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val minAggs =
+      (0 until numHashes).map(k => min(xxhash64(col("h"), lit(k))).as(s"m$k"))
+    val sig = hashed.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val members = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"m$k"))
+      struct(lit(b).as("band"), xxhash64(members: _*).as("band_hash"))
+    }
+    val payload =
+      if (withSig) Seq(array((0 until numHashes).map(k => col(s"m$k")): _*).as("sig"))
+      else Seq.empty
+    sig.select(Seq(col("id"), explode(array(bandStructs: _*)).as("bh")) ++ payload: _*)
+      .select(Seq(col("id"), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+        ++ payload.map(_ => col("sig")): _*)
+  }
+
+  /** MinHash + LSH banding near-duplicate candidate pairs (ids only) — the
+    * general-vocabulary path. Buckets carry (id, sig); expansion applies the
+    * minhash Jaccard estimate inline (≥ `estThreshold`), so the flood of
+    * sub-threshold band collisions is filtered during bucket evaluation and
+    * never shuffled. With 64 hashes the estimate's σ at J=0.8 is ~0.05, so
+    * the default 0.5625 (36/64) cut rejects a true-0.8 pair with p≈1e-6.
     *
-    * Output: (idA, idB, estJaccard) with idA < idB, one row per pair.
-    * `numHashes` must be divisible by `bands`.
+    * Buckets larger than `maxBucketSize` are dropped: they are degenerate
+    * (thousands of identical docs — the job of [[exact]] dedup), and they
+    * cost O(k²) inside one task.
     */
   def minhashCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
       numHashes: Int = 64,
-      bands: Int = 16,
-      shingleSize: Int = 5,
-      threshold: Double = 0.8,
+      bands: Int = 32,
+      shingleSize: Int = 3,
+      estThreshold: Double = 0.5625,
+      maxBucketSize: Int = 100000,
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rowsPerBand = numHashes / bands
-    val sig = df.select(
-      col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
-    val banded = sig.select(
-      col("id"), col("sig"),
-      explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn(
-        "band_hash",
-        xxhash64(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
-      .select("id", "sig", "band", "band_hash")
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val matches = col("a.band") === col("b.band") &&
-      col("a.band_hash") === col("b.band_hash") && col("a.id") < col("b.id")
-    a.join(b, matches)
-      .select(
-        col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b") // sigs are functionally determined by id
-      .withColumn(
-        "est_jaccard",
-        aggregate(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
-          lit(0),
-          (acc, v) => acc + v).cast("double") / numHashes)
-      .filter(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard")
+    val hashed = explodedHashes(df, idCol, textCol, shingleSize)
+    val banded = bandedSignatures(hashed, numHashes, bands, withSig = true)
+    val estMin = math.ceil(estThreshold * numHashes).toInt
+    val est: (Column, Column) => Column = (x, y) =>
+      aggregate(
+        zip_with(x("sig"), y("sig"), (a, b) => (a === b).cast("int")),
+        lit(0),
+        (acc, v) => acc + v) >= estMin
+    banded
+      .groupBy("band", "band_hash")
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
+      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
+      .select(explode(expandBucket(col("xs"), est,
+        (x, y) => struct(x("id").as("a"), y("id").as("b")))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
   }
 
-  /** Production near-dup pattern: MinHash-LSH candidate generation followed
-    * by EXACT n-gram Jaccard verification of only the candidate pairs.
-    * The prefilter bounds the pair space (no O(n²)); the verify step removes
-    * LSH estimation error, so the output is exactly "pairs with true Jaccard
-    * ≥ threshold" as long as the prefilter recalls them (with bands=32,
-    * rows-per-band=2, a true-0.8 pair is missed with p ≈ 6e-15).
+  /** Production near-dup pattern: MinHash-LSH candidate generation + EXACT
+    * n-gram Jaccard verification, adaptive to the corpus vocabulary:
+    *
+    *  - small vocabulary (≤ [[MaxBitmapVocab]] distinct shingles): buckets
+    *    carry dictionary bitmaps and the EXACT Jaccard predicate runs inline
+    *    during bucket expansion — every band collision is verified exactly
+    *    at ~V/32 bit-ops per pair, nothing probabilistic survives;
+    *  - general vocabulary: [[minhashCandidates]] (est-filtered) + hashed
+    *    shingle intersection on the candidates only.
+    *
+    * Both paths emit exactly "pairs with true n-gram Jaccard ≥ threshold"
+    * as long as LSH banding recalls them (bands=32 × rows-per-band=2: a
+    * true-0.8 pair is missed with p ≈ 6e-15).
     */
   def minhashDedupPairs(
       df: DataFrame,
@@ -117,88 +261,120 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 64,
       bands: Int = 32,
-      estThreshold: Double = 0.5,
       threshold: Double = 0.8,
+      maxBucketSize: Int = 100000,
   ): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, n, estThreshold)
-      .select("id_a", "id_b")
-    val sets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("gs"))
-    val a = sets.alias("sa")
-    val b = sets.alias("sb")
-    cands
-      .join(a, cands("id_a") === col("sa.id"))
-      .join(b, cands("id_b") === col("sb.id"))
-      .withColumn("common", size(array_intersect(col("sa.gs"), col("sb.gs"))))
-      .withColumn(
-        "jaccard",
-        col("common").cast("double") /
-          (size(col("sa.gs")) + size(col("sb.gs")) - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val hashed = explodedHashes(df, idCol, textCol, n)
+    if (approxVocab(hashed) <= MaxBitmapVocab * 0.8) {
+      val dict = dictionary(hashed)
+      val words = (dict.count().toInt + 63) / 64
+      val feats = bitmapFeatures(hashed, dict, words) // (id, sz, bm)
+      val banded = bandedSignatures(hashed, numHashes, bands, withSig = false)
+        .join(feats, "id")
+      val keep: (Column, Column) => Column = (x, y) => bitmapJaccard(x, y) >= threshold
+      banded
+        .groupBy("band", "band_hash")
+        .agg(sort_array(collect_list(struct(col("id"), col("sz"), col("bm")))).as("xs"))
+        .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
+        .select(explode(expandBucket(col("xs"), keep,
+          (x, y) => struct(x("id").as("a"), y("id").as("b"), bitmapJaccard(x, y).as("j")))).as("p"))
+        .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.j").as("jaccard"))
+        .dropDuplicates("id_a", "id_b")
+    } else {
+      val cands = minhashCandidates(
+        df, idCol, textCol, numHashes, bands, n, maxBucketSize = maxBucketSize)
+      verifiedJaccardPairs(df, cands, idCol, textCol, n, threshold)
+    }
   }
 
+  // ───────────────────────── SimHash ─────────────────────────
+
   /** 64-bit SimHash over whitespace tokens: per bit, tokens vote +1/−1 by
-    * their xxhash64 bit; the sign of the vote becomes the bit. One
-    * projection (64 array folds), no shuffle. */
+    * their xxhash64 bit; the sign of the vote becomes the bit.
+    *
+    * ONE fold over the token-hash array carries all 64 vote counters in an
+    * array accumulator (the naive form — 64 separate folds — re-evaluates
+    * the tokenization per bit and is 64× the work). Pure expression, no
+    * shuffle. */
   def simhash(text: Column): Column = {
     val hashes = transform(
       filter(split(lower(text), "\\s+"), t => t =!= ""),
       t => xxhash64(t))
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(
-        hashes,
-        lit(0),
-        (acc, h) =>
-          acc + when(shiftrightunsigned(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val bitIdx = sequence(lit(0), lit(63)) // foldable → constant array
+    val votes = aggregate(
+      hashes,
+      transform(bitIdx, _ => lit(0)),
+      (acc, h) =>
+        zip_with(acc, bitIdx, (a, b) =>
+          a + when(
+            call_function("shiftrightunsigned", h, b).bitwiseAND(lit(1L)) === 1L,
+            lit(1)).otherwise(lit(-1))))
+    aggregate(
+      zip_with(votes, bitIdx, (v, b) =>
+        when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc + x)
   }
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHamming`.
     *
-    * Candidate generation: split the 64-bit simhash into 4 16-bit chunks and
-    * self-join on chunk equality — any pair with Hamming distance ≤ 3 shares
-    * at least one chunk (pigeonhole); for larger `maxHamming` this is a
-    * recall-bounded approximation, which is the standard scale trade-off.
-    * Verification: exact `bit_count(xor)` on the candidate pairs.
+    * Candidate generation: split the 64-bit simhash into 4 16-bit chunks;
+    * any pair with Hamming distance ≤ 3 shares at least one chunk
+    * (pigeonhole); for larger `maxHamming` this is a recall-bounded
+    * approximation, the standard scale trade-off. The signature is computed
+    * once per doc; buckets come from a (chunk, chunk_val) group-by (8-byte
+    * payload per row, no self-join), and the exact `bit_count(xor)` check
+    * runs inline during bucket expansion, so non-matching pairs are never
+    * materialized.
     */
   def simhashCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
+      maxBucketSize: Int = 100000,
   ): DataFrame = {
     val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-    val withVal = sh.select(
-      col("id"), col("sh"),
-      explode(array((0 until 4).map { i =>
-        struct(lit(i).as("chunk"),
-          shiftrightunsigned(col("sh"), 16 * i).bitwiseAND(lit(0xFFFFL)).as("chunk_val"))
-      }: _*)).as("c"))
-      .select(col("id"), col("sh"), col("c.chunk").as("chunk"), col("c.chunk_val").as("chunk_val"))
-    val a = withVal.alias("a")
-    val b = withVal.alias("b")
-    a.join(b,
-      col("a.chunk") === col("b.chunk") &&
-        col("a.chunk_val") === col("b.chunk_val") && col("a.id") < col("b.id"))
+    val hamming: (Column, Column) => Column =
+      (x, y) => bit_count(x("sh").bitwiseXOR(y("sh")))
+    sh
+      .select(col("id"), col("sh"), explode(sequence(lit(0), lit(3))).as("chunk"))
       .select(
-        col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+        col("chunk"),
+        call_function("shiftrightunsigned", col("sh"), col("chunk") * 16)
+          .bitwiseAND(lit(0xFFFFL)).as("chunk_val"),
+        struct(col("id"), col("sh")).as("row"))
+      .groupBy("chunk", "chunk_val")
+      .agg(sort_array(collect_list(col("row"))).as("xs"))
+      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
+      .select(explode(expandBucket(col("xs"),
+        (x, y) => hamming(x, y) <= maxHamming,
+        (x, y) => struct(x("id").as("a"), y("id").as("b"), hamming(x, y).as("h")))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.h").as("hamming"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
 
-  /** Exact n-gram Jaccard similarity pairs (similarity ≥ `threshold`).
+  // ───────────────────────── Exact n-gram Jaccard ─────────────────────────
+
+  /** Exact n-gram Jaccard similarity pairs (similarity ≥ `threshold`),
+    * via the classic prefix-filtered set-similarity join:
     *
-    * Plan: explode distinct shingles → self-join on the shingle (hash
-    * shuffle keyed by shingle) → per-pair common count → Jaccard from the
-    * per-doc set sizes. At 100 TB the shingle join is the standard inverted-
-    * index approach; ultra-common shingles create skew, so `maxShingleFreq`
-    * drops shingles occurring in more than that many documents (a stop-gram
-    * cap — they carry no discriminative signal and only inflate the join).
+    *   1. shingle document frequencies from one `groupBy(h).count` —
+    *      defines a global rarity order (freq asc, hash asc);
+    *   2. PREFIX FILTER (exact): a pair with Jaccard ≥ t must share at
+    *      least one shingle among each side's `sz − ⌈t·sz⌉ + 1` globally
+    *      RAREST shingles, so only those are indexed — ultra-common
+    *      shingles (huge posting lists, ~n² pairs) sort last and rarely
+    *      make a prefix;
+    *   3. LENGTH FILTER (exact): Jaccard ≤ min(sz)/max(sz), so require
+    *      min(sz) ≥ t·max(sz);
+    *   4. exact verification — inline bitmap Jaccard during posting-list
+    *      expansion when the vocabulary is small (see [[minhashDedupPairs]]),
+    *      otherwise hashed-shingle intersection of surviving candidates.
+    *
+    * `maxShingleFreq` additionally hard-drops shingles above a document
+    * frequency (stop-gram cap; recall loss only when it triggers).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -208,27 +384,43 @@ object Dedup {
       threshold: Double = 0.8,
       maxShingleFreq: Long = 1000000L,
   ): DataFrame = {
-    val sh = df.select(
-      col(idCol).as("id"), shingles(col(textCol), n).as("gs"))
-      .withColumn("sz", size(col("gs")))
-    val exploded = sh.select(col("id"), col("sz"), explode(col("gs")).as("g"))
-    val filtered = exploded
-      .withColumn("gfreq", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+    val hashed = explodedHashes(df, idCol, textCol, n)
+    val freq = hashed.groupBy("h").agg(count(lit(1)).as("gfreq"))
+    val byDoc = Window.partitionBy(col("id"))
+    val prefix = hashed
+      .join(freq, "h")
       .filter(col("gfreq") <= maxShingleFreq)
-      .drop("gfreq")
-    val a = filtered.alias("a")
-    val b = filtered.alias("b")
-    a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(
-        col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      .agg(count(lit(1)).as("common"))
-      .withColumn(
-        "jaccard",
-        col("common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .withColumn("sz", count(lit(1)).over(byDoc).cast("int"))
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("gfreq").asc, col("h").asc)))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("id", "sz", "h")
+    if (approxVocab(hashed) <= MaxBitmapVocab * 0.8) {
+      val dict = dictionary(hashed)
+      val words = (dict.count().toInt + 63) / 64
+      val feats = bitmapFeatures(hashed, dict, words)
+      val keep: (Column, Column) => Column = (x, y) =>
+        x("id") =!= y("id") && bitmapJaccard(x, y) >= threshold
+      prefix
+        .join(feats.select(col("id"), col("bm")), "id")
+        .groupBy("h")
+        .agg(sort_array(collect_list(struct(col("id"), col("sz"), col("bm")))).as("xs"))
+        .filter(size(col("xs")) > 1)
+        .select(explode(expandBucket(col("xs"), keep,
+          (x, y) => struct(x("id").as("a"), y("id").as("b"), bitmapJaccard(x, y).as("j")))).as("p"))
+        .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.j").as("jaccard"))
+        .dropDuplicates("id_a", "id_b")
+    } else {
+      val a = prefix.select(col("id").as("id_a"), col("sz").as("sz_a"), col("h"))
+      val b = prefix.select(col("id").as("id_b"), col("sz").as("sz_b"), col("h"))
+      val cands = a
+        .join(b, "h")
+        .filter(
+          col("id_a") < col("id_b") &&
+            least(col("sz_a"), col("sz_b")).cast("double") >=
+            greatest(col("sz_a"), col("sz_b")).cast("double") * threshold)
+        .select("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b")
+      verifiedJaccardPairs(df, cands, idCol, textCol, n, threshold)
+    }
   }
 }
