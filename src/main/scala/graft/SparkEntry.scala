@@ -73,6 +73,33 @@ object SparkEntry {
        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
        |WHERE jaccard >= 0.8""".stripMargin
 
+  /** DuckDB SQL for the ANN query: the random hyperplanes are deterministic
+    * driver-side constants (seeded MurmurHash3 — Similarity.hyperplanes), so
+    * they are embedded as literals and the bucket prune + exact cosine top-k
+    * is replayed entirely in SQL. Sums on both sides fold the arrays in
+    * order, so the sign decisions and cosines agree bit-for-bit. */
+  private def annOracleSql(numPlanes: Int, dim: Int, k: Int): String = {
+    val planes = Similarity.hyperplanes(numPlanes, dim)
+    def dot(e: String, p: Seq[Double]): String =
+      s"list_sum([CAST($e[i] AS DOUBLE) * ([${p.mkString(", ")}])[i] FOR i IN range(1, ${dim + 1})])"
+    def bucket(e: String): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${dot(e, p)} > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    val norm = (e: String) =>
+      s"sqrt(list_sum([CAST($e[i] AS DOUBLE) * CAST($e[i] AS DOUBLE) FOR i IN range(1, ${dim + 1})]))"
+    val cos =
+      s"""list_sum([CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) FOR i IN range(1, ${dim + 1})])
+         |        / (${norm("embedding")} * ${norm("qe")})""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |     qb AS (SELECT ${bucket("qe")} AS qbucket FROM q),
+       |     c AS (SELECT vec_id AS id,
+       |             $cos AS cos
+       |           FROM embeddings, q, qb
+       |           WHERE ${bucket("embedding")} = qb.qbucket)
+       |SELECT id, cos FROM c ORDER BY cos DESC, id LIMIT $k""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A representative end-to-end pipeline: impute → encode → discretize →
     * winsorize → log → datetime features → select. */
@@ -130,6 +157,16 @@ object SparkEntry {
     "cat_count_frequency" -> ((s, dir) => {
       val base = rt(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
       new CountFrequencyEncoder(Seq("o_orderpriority")).fitTransform(base)
+    }),
+    // High-cardinality variant (1130 categories > MaxCaseBranches=64) —
+    // drives the broadcast-join encode path (categorical.scala
+    // CategoricalEncoding.encodeInPlace, `large` branch), which the
+    // low-cardinality queries never reach.
+    "cat_count_frequency_hc" -> ((s, dir) => {
+      val base = rt(s, dir, "part").select(
+        col("p_partkey"),
+        concat(col("p_brand"), lit("_"), col("p_name")).as("bn"))
+      new CountFrequencyEncoder(Seq("bn")).fitTransform(base)
     }),
     "cat_ordinal" -> ((s, dir) => {
       val base = rt(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
@@ -362,6 +399,13 @@ object SparkEntry {
       Dedup.minhashDedupPairs(docsWithDups(s, dir), "doc_id", "text")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashCandidates(docsWithDups(s, dir), "doc_id", "text")),
+    // Auxiliary signature dump: the dedup_simhash oracle recomputes the
+    // chunk-collision + Hamming pair logic in DuckDB over THIS table (the
+    // signatures themselves are engine-side xxhash64 math with no SQL
+    // equivalent; the pair logic is what the oracle can and does verify).
+    "dedup_simhash_sig" -> ((s, dir) =>
+      docsWithDups(s, dir).select(
+        col("doc_id").as("id"), Dedup.simhash(col("text")).as("sh"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithDups(s, dir), "doc_id", "text")),
     "text_token_count" -> ((s, dir) =>
@@ -389,7 +433,11 @@ object SparkEntry {
       val e = rt(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
-      Similarity.annTopK(e, "vec_id", "embedding", q, 10)
+      // 4 planes → 16 buckets: the query's bucket holds ~n/16 vectors, so
+      // top-10 is meaningful at sf0.01. The oracle embeds the same plane
+      // constants (deterministic from the seed) and replays the bucket
+      // restriction + exact cosine top-k in SQL.
+      Similarity.annTopK(e, "vec_id", "embedding", q, 10, numPlanes = 4)
     }),
     "sim_near_dup" -> ((s, dir) => {
       val e = rt(s, dir, "embeddings")
@@ -402,10 +450,14 @@ object SparkEntry {
         rt(s, dir, "documents")
           .select(col("doc_id"), col("text").cast("binary").as("payload")),
         "payload").drop("payload")),
+    // posexplode to scalar rows: array columns are not sortable/hashable by
+    // the driver's pandas compare, and the md5-based stub value is exactly
+    // reproducible in DuckDB, so this gets a full hash-match oracle.
     "mm_fake_embed" -> ((s, dir) =>
       rt(s, dir, "documents").select(
         col("doc_id"),
-        Multimodal.fakeEmbedding(col("text").cast("binary"), 4).as("feat"))),
+        posexplode(Multimodal.fakeEmbedding(col("text").cast("binary"), 4))
+          .as(Seq("pos", "value")))),
   )
 
   /** DuckDB-runnable ANSI SQL oracle for each query key. Column names/aliases
@@ -452,6 +504,10 @@ object SparkEntry {
       """SELECT o_orderkey,
         |       COUNT(*) OVER (PARTITION BY o_orderpriority) AS o_orderpriority
         |FROM orders""".stripMargin,
+    "cat_count_frequency_hc" ->
+      """SELECT p_partkey,
+        |       COUNT(*) OVER (PARTITION BY p_brand || '_' || p_name) AS bn
+        |FROM part""".stripMargin,
     "cat_ordinal" ->
       """SELECT o_orderkey,
         |       DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS o_orderpriority
@@ -629,14 +685,29 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
 
     // ── extension ops ──────────────────────────────────────────────────
-    // (dedup_simhash, sim_ann_lsh, mm_fake_embed use engine-side hashing
-    //  that has no DuckDB equivalent → no oracle, rows-only check.)
     "dedup_exact" ->
       s"""WITH u AS ($docsWithDupsSql)
          |SELECT min(doc_id) AS doc_id, text, lang, source, n_chars
          |FROM u GROUP BY text, lang, source, n_chars""".stripMargin,
     "dedup_minhash" -> ngramJaccardOracleSql,
     "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
+    // Verifies the chunk-collision candidate generation + exact Hamming
+    // filter over the Spark-exported signature table (dumped by the
+    // dedup_simhash_sig query; {GRAFT_OUT} is substituted with the dump
+    // directory by Verify). The signature math itself is unit-tested — this
+    // oracle checks the pair logic end to end.
+    "dedup_simhash" ->
+      """WITH s AS (SELECT id, sh
+        |           FROM read_parquet('{GRAFT_OUT}/dedup_simhash_sig/*.parquet'))
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |         CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        |  FROM s a JOIN s b ON a.id < b.id
+        |  WHERE ((a.sh >> 0)  & 65535) = ((b.sh >> 0)  & 65535)
+        |     OR ((a.sh >> 16) & 65535) = ((b.sh >> 16) & 65535)
+        |     OR ((a.sh >> 32) & 65535) = ((b.sh >> 32) & 65535)
+        |     OR ((a.sh >> 48) & 65535) = ((b.sh >> 48) & 65535))
+        |WHERE hamming <= 3""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |       CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INTEGER) AS n_tokens,
@@ -709,11 +780,21 @@ object SparkEntry {
         |          * sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
         |                           FOR i IN range(1, len(embedding) + 1)]))) AS cos
         |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+    "sim_ann_lsh" -> annOracleSql(numPlanes = 4, dim = 64, k = 10),
     "mm_binary_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |       md5(text) AS content_md5,
         |       'unknown' AS format
         |FROM documents""".stripMargin,
+    // Recomputes the md5-based stub embedding component exactly (hex/md5
+    // only; division by 2^32 is lossless in binary64).
+    "mm_fake_embed" ->
+      """SELECT doc_id,
+        |       CAST(i - 1 AS INTEGER) AS pos,
+        |       CAST(CAST(('0x' || substr(md5(upper(hex(encode(text))) || '#'
+        |                                     || CAST(i AS VARCHAR)), 1, 8))
+        |                 AS BIGINT) AS DOUBLE) / 4294967296.0 AS value
+        |FROM documents, range(1, 5) t(i)""".stripMargin,
   )
 }

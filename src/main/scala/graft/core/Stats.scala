@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import graft.errors.FeatureFactoryException.InvalidParameter
 
 /** Batched driver-side statistics.
   *
@@ -20,11 +21,20 @@ object Stats {
     df.agg(aggs.head, aggs.tail: _*).head()
   }
 
+  /** An all-null/empty column makes an aggregate return SQL NULL; surface
+    * that as the library's typed error instead of an opaque NPE from
+    * Row.getDouble (the reference raises FeatureFactoryError here too). */
+  private def checkedDouble(row: Row, i: Int, c: String): Double = {
+    if (row.isNullAt(i))
+      throw InvalidParameter(s"Column '$c' has no non-null values")
+    row.getDouble(i)
+  }
+
   /** Per-column global mean, one job (reference: imputation.rs:110-133 runs
     * one job per column). */
   def means(df: DataFrame, cols: Seq[String]): Map[String, Double] = {
     val row = aggRow(df, cols.map(c => avg(col(c))))
-    cols.zipWithIndex.map { case (c, i) => c -> row.getDouble(i) }.toMap
+    cols.zipWithIndex.map { case (c, i) => c -> checkedDouble(row, i, c) }.toMap
   }
 
   /** Exact min/max for all columns, one job. Strictly better than the
@@ -35,7 +45,7 @@ object Stats {
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val row = aggRow(df, aggs)
     cols.zipWithIndex.map { case (c, i) =>
-      c -> (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      c -> (checkedDouble(row, 2 * i, c), checkedDouble(row, 2 * i + 1, c))
     }.toMap
   }
 
@@ -59,11 +69,17 @@ object Stats {
       val aggs = cols.map(c => percentile(col(c).cast("double"), probsArr))
       val row = aggRow(df, aggs)
       cols.zipWithIndex.map { case (c, i) =>
+        if (row.isNullAt(i))
+          throw InvalidParameter(s"Column '$c' has no non-null values")
         c -> row.getSeq[Double](i)
       }.toMap
     } else {
       val res = df.stat.approxQuantile(cols.toArray, probs.toArray, relativeError)
-      cols.zip(res.map(_.toSeq)).toMap
+      cols.zip(res.map(_.toSeq)).map { case (c, qs) =>
+        if (qs.isEmpty)
+          throw InvalidParameter(s"Column '$c' has no non-null values")
+        c -> qs
+      }.toMap
     }
   }
 

@@ -44,12 +44,17 @@ class Pipeline(val steps: Seq[(String, Transformer)], val verbose: Boolean = fal
     requireNonEmpty()
     steps.foldLeft(df) { case (cur, (name, t)) =>
       val t0 = System.nanoTime()
+      // Library errors pass through untouched; anything else (Spark
+      // AnalysisException, IO failures) is an ENGINE failure — wrap as the
+      // EngineError passthrough variant with the cause chain preserved, the
+      // analogue of the reference's DataFusion/IO passthroughs, rather than
+      // misclassifying it as a parameter error.
       val out =
         try t.fit(cur).transform(cur)
         catch {
           case e: graft.errors.FeatureFactoryException => throw e
           case e: Exception =>
-            throw InvalidParameter(s"Pipeline step '$name' failed: ${e.getMessage}")
+            throw EngineError(s"Pipeline step '$name' failed: ${e.getMessage}", e)
         }
       if (verbose)
         println(f"[pipeline] $name done in ${(System.nanoTime() - t0) / 1e9}%.3fs")

@@ -37,19 +37,35 @@ object Multimodal {
   /** DETERMINISTIC STUB for the decode + feature-extract step: a `dim`-long
     * pseudo-embedding derived from content hashes, values in [0, 1). A real
     * deployment replaces this with an actual decoder producing the same
-    * `array<double>` schema. */
+    * `array<double>` schema.
+    *
+    * Component i = first 32 bits of md5(hex(payload) + "#" + i) / 2³². Built
+    * from md5/hex only (no engine-specific hash), so the value is
+    * reproducible in any SQL engine — the driver's DuckDB oracle recomputes
+    * it exactly; division by 2³² is lossless in binary64. */
   def fakeEmbedding(bin: Column, dim: Int): Column =
     transform(
       sequence(lit(1), lit(dim)),
-      i => pmod(xxhash64(bin, i), lit(100000L)).cast("double") / lit(100000.0))
+      i =>
+        conv(
+          substring(md5(concat(upper(hex(bin)), lit("#"), i.cast("string"))), 1, 8),
+          16, 10)
+          .cast("double") / lit(4294967296.0))
 
   /** STUB frame sampler: byte-range slices standing in for decoded frames —
     * real video decode would emit one row per sampled frame with the same
     * (frame_idx, frame_bytes) schema. */
   def sampleFrames(df: DataFrame, binCol: String, everyNBytes: Int, frameBytes: Int): DataFrame = {
     val b = col(binCol)
-    val nFrames = greatest(floor(length(b) / everyNBytes).cast("int"), lit(0))
-    df.withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+    val nFrames = floor(length(b) / everyNBytes).cast("int")
+    // Guard the sequence: for payloads shorter than everyNBytes,
+    // sequence(0, -1) would yield [0, -1] (step inferred backwards) and emit
+    // two bogus frames — short payloads must produce zero rows instead.
+    df.withColumn(
+        "frame_idx",
+        explode(
+          when(nFrames > 0, sequence(lit(0), nFrames - 1))
+            .otherwise(array().cast("array<int>"))))
       .withColumn(
         "frame",
         expr(s"substring($binCol, frame_idx * $everyNBytes + 1, $frameBytes)"))

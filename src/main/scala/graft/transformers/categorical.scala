@@ -170,7 +170,11 @@ class MeanEncoder(val columns: Seq[String], val target: String)
   * NOT normalized by class totals (the reference computes the total and then
   * never uses it, categorical.rs:496-580). good = rows with target == 1,
   * bad = target == 0 (target read as integer). Unseen/null → 0.0.
-  * Deliberately NOT textbook WoE — parity with the reference. */
+  * Deliberately NOT textbook WoE — parity with the reference.
+  *
+  * Bad = every row whose target is NOT 1 (2, −1, null — anything landing in
+  * the reference's else branch, categorical.rs:563-575), not just target==0:
+  * for non-binary targets the two definitions diverge. */
 class WoEEncoder(val columns: Seq[String], val target: String)
     extends StatefulTransformer {
   var woeMaps: Map[String, Seq[(String, Double)]] = Map.empty
@@ -179,12 +183,13 @@ class WoEEncoder(val columns: Seq[String], val target: String)
     Validators.requireString(df, columns)
     Validators.requireNumeric(df, Seq(target))
     woeMaps = columns.map { c =>
+      val isGood = col(target).cast("long") === 1L // null/≠1 → else branch = bad
       val counts = df
-        .filter(col(c).isNotNull && col(target).isNotNull)
+        .filter(col(c).isNotNull)
         .groupBy(col(c))
         .agg(
-          sum(when(col(target).cast("long") === 1L, 1L).otherwise(0L)).as("good"),
-          sum(when(col(target).cast("long") === 0L, 1L).otherwise(0L)).as("bad"))
+          sum(when(isGood, 1L).otherwise(0L)).as("good"),
+          sum(when(isGood, 0L).otherwise(1L)).as("bad"))
         .collect()
       c -> counts.map { r =>
         val good = r.getLong(1).toDouble
@@ -218,13 +223,26 @@ class RareLabelEncoder(
       threshold >= 0.0 && threshold <= 1.0,
       s"Threshold $threshold must be between 0 and 1")
     Validators.requireString(df, columns)
-    // One job: total row count + every column's category counts via grouping
-    // on each column separately is unavoidable, but the total rides along.
-    val total = df.count().toDouble
+    // ONE job for everything: melt to (column, value) rows and count — the
+    // per-category counts for every column AND the total row count (the sum
+    // of one column's counts, nulls included) come from a single aggregate
+    // instead of df.count() + one groupBy per column. Map-side partial
+    // aggregation collapses the explode before the shuffle.
+    val kv = explode(array(
+      columns.map(c => struct(lit(c).as("c"), col(c).as("v"))): _*))
+    val counts = df
+      .select(kv.as("kv"))
+      .select(col("kv.c").as("c"), col("kv.v").as("v"))
+      .groupBy("c", "v")
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+    val total = counts.iterator
+      .filter(_.getString(0) == columns.head).map(_.getLong(2)).sum.toDouble
     rareCategories = columns.map { c =>
-      c -> Stats.countMap(df, c).collect {
-        case (cat, cnt) if cnt / total < threshold => cat
-      }.toSet
+      c -> counts.iterator
+        .filter(r => r.getString(0) == c && !r.isNullAt(1))
+        .collect { case r if r.getLong(2) / total < threshold => r.getString(1) }
+        .toSet
     }.toMap
     fitted = true
     this

@@ -125,13 +125,17 @@ class AddMissingIndicator(val columns: Seq[String], val suffix: String = "_missi
 
 /** Drops rows with nulls in the given columns (all columns when empty)
   * (reference: imputation.rs:394-449). Stateless; the filter is a plain
-  * Catalyst predicate, so it pushes down to the parquet scan. */
+  * Catalyst predicate, so it pushes down to the parquet scan.
+  *
+  * Deliberately NOT `df.na.drop`: that also drops NaN in double/float
+  * columns, while the reference filters on `is_not_null()` only
+  * (imputation.rs:417-437) — NaN rows must survive. */
 class DropMissingData(val columns: Seq[String] = Seq.empty) extends Transformer {
   override def fit(df: DataFrame): this.type = this
 
   override def transform(df: DataFrame): DataFrame = {
     val target = if (columns.isEmpty) df.columns.toSeq else columns
     Validators.requireColumns(df, target)
-    df.na.drop("any", target)
+    df.filter(target.map(c => col(c).isNotNull).reduce(_ && _))
   }
 }

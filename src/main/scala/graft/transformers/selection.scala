@@ -31,9 +31,13 @@ private[transformers] object SelectionUtil {
     * (feature_selection.rs:548-554, :866-871). Exact and distributed: global
     * sort + zipWithIndex, no single-partition window, only the requested
     * scalars are collected. */
-  def nearestRank(df: DataFrame, c: String, fractions: Seq[Double]): Seq[Double] = {
+  def nearestRank(
+      df: DataFrame, c: String, fractions: Seq[Double],
+      knownN: Option[Long] = None): Seq[Double] = {
     val sorted = df.select(col(c).cast("double")).na.drop().orderBy(col(c))
-    val n = sorted.count()
+    // callers that already know the non-null count (from a batched agg)
+    // pass it in and skip this extra scan
+    val n = knownN.getOrElse(sorted.count())
     if (n == 0) return Seq.empty
     val idx = fractions.map(f => math.round((n - 1).toDouble * f))
     val idxSet = idx.toSet
@@ -262,34 +266,42 @@ class DropHighPSIFeatures(val reference: DataFrame, val psiThreshold: Double)
     extends StatefulTransformer {
   var dropColumns: Set[String] = Set.empty
 
-  private def binCounts(
-      df: DataFrame, binsByCol: Map[String, Seq[Double]]): Map[String, Seq[Double]] = {
-    val aggs = binsByCol.toSeq.flatMap { case (c, bins) =>
-      bins.sliding(2).map { pair =>
-        sum(when(col(c) >= lit(pair(0)) && col(c) < lit(pair(1)), 1L).otherwise(0L))
-      }
+  /** Per-column bin counts AND non-null totals from ONE aggregate job —
+    * the totals ride along instead of costing a filter+count scan each. */
+  private def binCountsAndTotals(
+      df: DataFrame, binsByCol: Map[String, Seq[Double]])
+      : (Map[String, Seq[Double]], Map[String, Double]) = {
+    val perCol = binsByCol.toSeq
+    val aggs = perCol.flatMap { case (c, bins) =>
+      count(col(c)).cast("long") +:
+        bins.sliding(2).map { pair =>
+          sum(when(col(c) >= lit(pair(0)) && col(c) < lit(pair(1)), 1L).otherwise(0L))
+        }.toSeq
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     var i = -1
-    binsByCol.toSeq.map { case (c, bins) =>
-      c -> bins.sliding(2).map { _ => i += 1; row.getLong(i).toDouble }.toSeq
-    }.toMap
+    val pairs = perCol.map { case (c, bins) =>
+      i += 1
+      val total = row.getLong(i).toDouble
+      val counts = bins.sliding(2).map { _ => i += 1; row.getLong(i).toDouble }.toSeq
+      (c -> counts, c -> total)
+    }
+    (pairs.map(_._1).toMap, pairs.map(_._2).toMap)
   }
 
   override def fit(df: DataFrame): this.type = {
     val cols = SelectionUtil.numericCols(df)
     if (cols.isEmpty) { fitted = true; return this }
+    // one agg job on the reference frame: every column's non-null count,
+    // reused by nearestRank (skips its per-column count scan)
+    val refTotRow = reference
+      .agg(count(col(cols.head)), cols.tail.map(c => count(col(c))): _*).head()
+    val refN = cols.zipWithIndex.map { case (c, i) => c -> refTotRow.getLong(i) }.toMap
     val binsByCol = cols.map { c =>
-      c -> SelectionUtil.nearestRank(reference, c, (0 to 10).map(_ / 10.0))
+      c -> SelectionUtil.nearestRank(reference, c, (0 to 10).map(_ / 10.0), Some(refN(c)))
     }.toMap.filter(_._2.nonEmpty)
-    val refTotals = binsByCol.keys.map { c =>
-      c -> reference.filter(col(c).isNotNull).count().toDouble
-    }.toMap
-    val curTotals = binsByCol.keys.map { c =>
-      c -> df.filter(col(c).isNotNull).count().toDouble
-    }.toMap
-    val refCounts = binCounts(reference, binsByCol)
-    val curCounts = binCounts(df, binsByCol)
+    val (refCounts, refTotals) = binCountsAndTotals(reference, binsByCol)
+    val (curCounts, curTotals) = binCountsAndTotals(df, binsByCol)
     dropColumns = binsByCol.keys.filter { c =>
       val psi = refCounts(c).zip(curCounts(c)).map { case (rc, cc) =>
         val pctRef = math.max(rc / refTotals(c), 0.0001)

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.errors.FeatureFactoryException._
+import graft.ops.Multimodal
+import graft.sources.Loader
+import graft.transformers._
+
+/** Round-2 additions: logging bootstrap, loader format dispatch, engine-error
+  * passthrough, typed empty-column errors, and the ADVICE.md semantic fixes
+  * (NaN-preserving drop, else-branch WoE, short-payload frame guard). */
+class CoreExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Logging.enabledIn follows the reference's env rule") {
+    Logging.enabledIn(Map.empty) shouldBe false
+    Logging.enabledIn(Map("DEBUG_FEATURE_FACTORY" -> "")) shouldBe false
+    Logging.enabledIn(Map("DEBUG_FEATURE_FACTORY" -> "0")) shouldBe false
+    Logging.enabledIn(Map("DEBUG_FEATURE_FACTORY" -> "false")) shouldBe false
+    Logging.enabledIn(Map("DEBUG_FEATURE_FACTORY" -> "true")) shouldBe true
+    Logging.enabledIn(Map("DEBUG_FEATURE_FACTORY" -> "1")) shouldBe true
+  }
+
+  test("Loader routes parquet and rejects unknown extensions") {
+    val df = Loader.load(spark, "/root/testdata/sf0.001/region.parquet")
+    df.count() should be > 0L
+    val e = intercept[UnsupportedFormat] {
+      Loader.load(spark, "/tmp/whatever.json")
+    }
+    e.getMessage should include("Unsupported file format")
+    intercept[UnsupportedFormat](Loader.load(spark, "/tmp/noextension"))
+  }
+
+  test("Loader reads csv with header + inferred schema") {
+    val p = java.nio.file.Files.createTempFile("graft", ".csv")
+    java.nio.file.Files.writeString(p, "a,b\n1,x\n2,y\n")
+    val df = Loader.load(spark, p.toString)
+    df.columns.toSeq shouldBe Seq("a", "b")
+    df.count() shouldBe 2
+    df.schema("a").dataType shouldBe org.apache.spark.sql.types.IntegerType
+  }
+
+  test("Pipeline wraps engine failures as EngineError with cause preserved") {
+    val df = Seq((1.0, 2.0)).toDF("a", "b")
+    // MathFeatures referencing a nonexistent column → AnalysisException
+    val pipe = Pipeline("bad" -> new MathFeatures(Seq("c" -> (col("nope") + 1))))
+    val e = intercept[EngineError](pipe.fit(df))
+    e.getCause should not be null
+    // library-typed errors still pass through untouched
+    val pipe2 = Pipeline("log" -> new LogTransformer(Seq("missing")))
+    intercept[MissingColumn](pipe2.fit(df))
+  }
+
+  test("Stats raises InvalidParameter (not NPE) on all-null columns") {
+    val df = Seq[(java.lang.Double, Int)]((null, 1), (null, 2)).toDF("v", "k")
+    val e = intercept[InvalidParameter](Stats.means(df, Seq("v")))
+    e.getMessage should include("no non-null values")
+    intercept[InvalidParameter](Stats.minMax(df, Seq("v")))
+    intercept[InvalidParameter](Stats.quantiles(df, Seq("v"), Seq(0.5), exact = true))
+    intercept[InvalidParameter](Stats.quantiles(df, Seq("v"), Seq(0.5)))
+  }
+
+  test("DropMissingData keeps NaN rows (null-only semantics, unlike na.drop)") {
+    val df = Seq[(java.lang.Double, Int)]((1.0, 1), (Double.NaN, 2), (null, 3))
+      .toDF("v", "k")
+    val out = new DropMissingData(Seq("v")).fitTransform(df)
+    out.count() shouldBe 2 // NaN row survives; only the null row drops
+    out.filter(isnan(col("v"))).count() shouldBe 1
+  }
+
+  test("WoEEncoder counts every target != 1 as bad (reference else-branch)") {
+    // cat 'a': targets (1, 2, -1) → good=1, bad=2 ; woe = ln((1+1e-6)/(2+1e-6))
+    val df = Seq(("a", 1L), ("a", 2L), ("a", -1L)).toDF("c", "t")
+    val enc = new WoEEncoder(Seq("c"), "t")
+    enc.fit(df)
+    val woe = enc.woeMaps("c").toMap.apply("a")
+    assert(approxEqual(woe, math.log((1 + 1e-6) / (2 + 1e-6)), 1e-12))
+  }
+
+  test("Multimodal.sampleFrames emits zero rows for payloads shorter than a frame") {
+    val d = Seq((1L, "abc")).toDF("id", "text")
+      .select($"id", $"text".cast("binary").as("payload"))
+    Multimodal.sampleFrames(d, "payload", everyNBytes = 8, frameBytes = 4)
+      .count() shouldBe 0
+  }
+}
