@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core._
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.streaming.StreamingOps
 import graft.transformers._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -31,6 +32,17 @@ object SparkEntry {
 
   private def rt(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set by
+    * Verify/Bench sessions) it loads as nanos-since-epoch, converted here to
+    * a microsecond timestamp_ntz with integer division (a double division
+    * would lose precision — 2024 epoch-nanos exceed 2^53). DuckDB does the
+    * same nanos→micros truncation on read. */
+  private def rtEvents(s: SparkSession, dir: String): DataFrame =
+    rt(s, dir, "events").withColumn(
+      "ts",
+      timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
 
   /** lineitem keys + qty with nulls injected where l_orderkey % 7 = 0. */
   private def qtyWithNulls(s: SparkSession, dir: String): DataFrame =
@@ -450,6 +462,29 @@ object SparkEntry {
         rt(s, dir, "documents")
           .select(col("doc_id"), col("text").cast("binary").as("payload")),
         "payload").drop("payload")),
+    // ── streaming ops, exercised in batch mode (same DataFrame code runs
+    //    under readStream/writeStream — StreamingSpec covers that mode) ────
+    // sum_value rounded: the window-sum addition order differs between
+    // engines, so the last ulp may differ; 6 decimals is far above the
+    // noise and far below the data's scale.
+    "stream_window_agg" -> ((s, dir) =>
+      StreamingOps.windowedAgg(
+        rtEvents(s, dir), "ts", Seq("event_type"), "value", "6 hours")
+        .withColumn("sum_value", round(col("sum_value"), 6))),
+    "stream_session_agg" -> ((s, dir) =>
+      StreamingOps.sessionAgg(rtEvents(s, dir), "ts", "user_id", "30 minutes")),
+    "stream_dedup" -> ((s, dir) => {
+      val e = rtEvents(s, dir)
+      // inject exact duplicates of every 10th event, then dedup them away
+      val withDups = e.unionByName(e.filter(col("event_id") % 10 === 0))
+      StreamingOps.dedupEvents(withDups, Seq("event_id"), "ts")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    }),
+    "events_json_extract" -> ((s, dir) =>
+      rtEvents(s, dir).select(
+        col("event_id"),
+        StreamingOps.jsonField(col("props"), "$.k").cast("int").as("k"))),
+
     // posexplode to scalar rows: array columns are not sortable/hashable by
     // the driver's pandas compare, and the md5-based stub value is exactly
     // reproducible in DuckDB, so this gets a full hash-match oracle.
@@ -780,6 +815,41 @@ object SparkEntry {
         |          * sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
         |                           FOR i IN range(1, len(embedding) + 1)]))) AS cos
         |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+        |       time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS window_end,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // Session semantics replayed with lag + running sum: a new session
+    // starts when the gap to the previous event is >= 30 min (Spark's
+    // session_window merges on strictly-smaller gaps); end = last + gap.
+    "stream_session_agg" ->
+      """WITH e AS (SELECT user_id, ts,
+        |             CASE WHEN lag(ts) OVER w IS NULL
+        |                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |                  THEN 1 ELSE 0 END AS brk
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |     s AS (SELECT user_id, ts,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |           FROM e)
+        |SELECT user_id,
+        |       min(ts) AS session_start,
+        |       max(ts) + INTERVAL '30 minutes' AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM (SELECT * FROM events UNION ALL
+        |      SELECT * FROM events WHERE event_id % 10 = 0)
+        |GROUP BY event_id, ts, user_id, event_type, value""".stripMargin,
+    "events_json_extract" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events""".stripMargin,
     "sim_ann_lsh" -> annOracleSql(numPlanes = 4, dim = 64, k = 10),
     "mm_binary_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+/** The streaming ops under actual Structured Streaming execution
+  * (MemoryStream source → op → memory sink): proves the SAME DataFrame code
+  * that passes the batch oracle also runs incrementally with state. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowedAgg streaming (complete mode) matches the batch result") {
+    val rows = Seq(
+      (1L, ts(0), "click", 1.0),
+      (2L, ts(5), "click", 2.0),
+      (3L, ts(35), "view", 4.0),
+      (4L, ts(40), "click", 8.0))
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    mem.addData(rows: _*)
+    val stream = StreamingOps.windowedAgg(
+      mem.toDF.toDF("event_id", "ts", "event_type", "value"),
+      "ts", Seq("event_type"), "value", "30 minutes")
+    val q = stream.writeStream.format("memory")
+      .queryName("win_agg").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("win_agg")
+      .select("event_type", "n_events", "sum_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // window [10:00,10:30): 2 clicks sum 3; [10:30,11:00): 1 view sum 4 + 1 click sum 8
+    got shouldBe Set(("click", 2L, 3.0), ("view", 1L, 4.0), ("click", 1L, 8.0))
+
+    val batch = StreamingOps.windowedAgg(
+      rows.toDF("event_id", "ts", "event_type", "value"),
+      "ts", Seq("event_type"), "value", "30 minutes")
+      .select("event_type", "n_events", "sum_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    batch shouldBe got
+  }
+
+  test("dedupEvents streaming drops duplicate ids via watermarked state") {
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    mem.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0), (1L, ts(0), 1.0))
+    val stream = StreamingOps.dedupEvents(
+      mem.toDF.toDF("event_id", "ts", "value"), Seq("event_id"), "ts")
+    val q = stream.writeStream.format("memory")
+      .queryName("dedup_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData((2L, ts(1), 2.0), (3L, ts(2), 3.0)) // dup of 2 + a new event
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("dedup_stream").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L, 3L)
+  }
+
+  test("sessionAgg streaming (complete mode) builds gap sessions incrementally") {
+    val mem = MemoryStream[(Long, Timestamp)]
+    mem.addData((7L, ts(0)), (7L, ts(10)))
+    val stream = StreamingOps.sessionAgg(
+      mem.toDF.toDF("user_id", "ts"), "ts", "user_id", "30 minutes")
+    val q = stream.writeStream.format("memory")
+      .queryName("sess_agg").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // 10:10 + 30min gap → an event at 10:50 starts a NEW session
+      mem.addData((7L, ts(50)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_agg")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    got shouldBe Set(
+      (7L, ts(0), Timestamp.valueOf("2024-01-01 10:40:00"), 2L),
+      (7L, ts(50), Timestamp.valueOf("2024-01-01 11:20:00"), 1L))
+  }
+
+  test("jsonField extracts typed properties") {
+    val df = Seq((1L, """{"k": 42}"""), (2L, """{"k": 7}"""), (3L, "{}"))
+      .toDF("id", "props")
+    val got = df.select($"id", StreamingOps.jsonField($"props", "$.k").cast("int").as("k"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    got shouldBe Map(1L -> Some(42), 2L -> Some(7), 3L -> None)
+  }
+}
