@@ -72,6 +72,26 @@ object Dedup {
   private def explodedHashes(df: DataFrame, idCol: String, textCol: String, n: Int) =
     df.select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("h"))
 
+  /** Spread bucket rows over 2× the configured shuffle parallelism before
+    * the quadratic pair expansion. AQE coalesces the group-by's output by
+    * BYTES, but a bucket's expansion cost is quadratic in its member count,
+    * not its size — without this, a handful of coalesced partitions end up
+    * holding all the big buckets and the stage runs nearly serial. The
+    * explicit numPartitions keeps AQE from re-coalescing. */
+  private def spreadBuckets(buckets: DataFrame, keys: Column*): DataFrame = {
+    val parts = buckets.sparkSession.conf
+      .getOption("spark.sql.shuffle.partitions").map(_.toInt)
+      .getOrElse(buckets.sparkSession.sparkContext.defaultParallelism) * 2
+    buckets.repartition(parts, keys: _*)
+  }
+
+  /** Jaccard length filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair
+    * can only reach `threshold` if the smaller set is at least threshold ×
+    * the larger. Two comparisons — used to short-circuit the bitmap fold. */
+  private def lengthCompatible(x: Column, y: Column, threshold: Double): Column =
+    least(x("sz"), y("sz")).cast("double") >=
+      greatest(x("sz"), y("sz")).cast("double") * threshold
+
   /** Expand a bucket array `xs` (sorted array<struct>, first field the id)
     * into the pairs (x, y), x before y, that satisfy `keep` — evaluated as
     * ONE expression per bucket row, so non-matching pairs are filtered
@@ -87,15 +107,15 @@ object Dedup {
 
   /** Σ bit_count(a[i] & b[i]) — exact intersection size of two bitmap
     * arrays (same global dictionary). */
-  private def bitmapCommon(a: Column, b: Column): Column =
+  private def bitmapCommon(a: Column, b: Column, words: Int): Column =
     aggregate(
       zip_with(a, b, (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),
       lit(0L),
       (acc, v) => acc + v)
 
   /** Exact Jaccard from bitmaps + set sizes: |A∩B| / (|A|+|B|−|A∩B|). */
-  private def bitmapJaccard(x: Column, y: Column): Column = {
-    val common = bitmapCommon(x("bm"), y("bm"))
+  private def bitmapJaccard(x: Column, y: Column, words: Int): Column = {
+    val common = bitmapCommon(x("bm"), y("bm"), words)
     common.cast("double") / (x("sz") + y("sz") - common).cast("double")
   }
 
@@ -229,12 +249,15 @@ object Dedup {
       aggregate(
         zip_with(x("sig"), y("sig"), (a, b) => (a === b).cast("int")),
         lit(0),
-        (acc, v) => acc + v) >= estMin
-    banded
+        (acc, v) => acc + v)
+    val buckets = banded
       .groupBy("band", "band_hash")
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
       .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
-      .select(explode(expandBucket(col("xs"), est,
+    spreadBuckets(buckets, col("band"), col("band_hash"))
+      .select(explode(expandBucket(
+        col("xs"),
+        (x, y) => est(x, y) >= estMin,
         (x, y) => struct(x("id").as("a"), y("id").as("b")))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -272,13 +295,17 @@ object Dedup {
       val feats = bitmapFeatures(hashed, dict, words) // (id, sz, bm)
       val banded = bandedSignatures(hashed, numHashes, bands, withSig = false)
         .join(feats, "id")
-      val keep: (Column, Column) => Column = (x, y) => bitmapJaccard(x, y) >= threshold
-      banded
+      val buckets = banded
         .groupBy("band", "band_hash")
         .agg(sort_array(collect_list(struct(col("id"), col("sz"), col("bm")))).as("xs"))
         .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
-        .select(explode(expandBucket(col("xs"), keep,
-          (x, y) => struct(x("id").as("a"), y("id").as("b"), bitmapJaccard(x, y).as("j")))).as("p"))
+      spreadBuckets(buckets, col("band"), col("band_hash"))
+        .select(explode(expandBucket(
+          col("xs"),
+          (x, y) => lengthCompatible(x, y, threshold) &&
+            bitmapJaccard(x, y, words) >= threshold,
+          (x, y) => struct(
+            x("id").as("a"), y("id").as("b"), bitmapJaccard(x, y, words).as("j")))).as("p"))
         .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.j").as("jaccard"))
         .dropDuplicates("id_a", "id_b")
     } else {
@@ -338,7 +365,7 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val hamming: (Column, Column) => Column =
       (x, y) => bit_count(x("sh").bitwiseXOR(y("sh")))
-    sh
+    val buckets = sh
       .select(col("id"), col("sh"), explode(sequence(lit(0), lit(3))).as("chunk"))
       .select(
         col("chunk"),
@@ -348,7 +375,9 @@ object Dedup {
       .groupBy("chunk", "chunk_val")
       .agg(sort_array(collect_list(col("row"))).as("xs"))
       .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
-      .select(explode(expandBucket(col("xs"),
+    spreadBuckets(buckets, col("chunk"), col("chunk_val"))
+      .select(explode(expandBucket(
+        col("xs"),
         (x, y) => hamming(x, y) <= maxHamming,
         (x, y) => struct(x("id").as("a"), y("id").as("b"), hamming(x, y).as("h")))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.h").as("hamming"))
@@ -398,15 +427,18 @@ object Dedup {
       val dict = dictionary(hashed)
       val words = (dict.count().toInt + 63) / 64
       val feats = bitmapFeatures(hashed, dict, words)
-      val keep: (Column, Column) => Column = (x, y) =>
-        x("id") =!= y("id") && bitmapJaccard(x, y) >= threshold
-      prefix
+      val buckets = prefix
         .join(feats.select(col("id"), col("bm")), "id")
         .groupBy("h")
         .agg(sort_array(collect_list(struct(col("id"), col("sz"), col("bm")))).as("xs"))
         .filter(size(col("xs")) > 1)
-        .select(explode(expandBucket(col("xs"), keep,
-          (x, y) => struct(x("id").as("a"), y("id").as("b"), bitmapJaccard(x, y).as("j")))).as("p"))
+      spreadBuckets(buckets, col("h"))
+        .select(explode(expandBucket(
+          col("xs"),
+          (x, y) => lengthCompatible(x, y, threshold) &&
+            bitmapJaccard(x, y, words) >= threshold,
+          (x, y) => struct(
+            x("id").as("a"), y("id").as("b"), bitmapJaccard(x, y, words).as("j")))).as("p"))
         .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.j").as("jaccard"))
         .dropDuplicates("id_a", "id_b")
     } else {
