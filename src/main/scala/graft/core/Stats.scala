@@ -116,4 +116,31 @@ object Stats {
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
+
+  /** Per-column category aggregates from ONE melt job: melt the string
+    * columns to (column-name, value) rows, aggregate per (column, value),
+    * return each column's per-category rows (value at index 1, agg results
+    * from index 2), nulls excluded. The reference runs one query per column
+    * (categorical.rs:95-164) — at 100 TB each extra job is a full scan;
+    * map-side partial aggregation collapses the explode before the shuffle,
+    * so the shuffle carries one row per (column, category), not per input
+    * row. `aggs` may reference extra carried columns listed in `carry`. */
+  def groupedBy(
+      df: DataFrame,
+      cols: Seq[String],
+      aggs: Seq[Column],
+      carry: Seq[String] = Seq.empty): Map[String, Seq[Row]] = {
+    val kv = explode(array(
+      cols.map(c => struct(lit(c).as("c"), col(c).as("v"))): _*))
+    val melted = df
+      .select(kv.as("kv") +: carry.map(col): _*)
+      .select(col("kv.c").as("c") +: col("kv.v").as("v") +: carry.map(col): _*)
+    val rows = melted
+      .filter(col("v").isNotNull)
+      .groupBy(col("c"), col("v"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val grouped = rows.groupBy(_.getString(0))
+    cols.map(c => c -> grouped.getOrElse(c, Array.empty[Row]).toSeq).toMap
+  }
 }

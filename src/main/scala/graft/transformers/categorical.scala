@@ -70,7 +70,10 @@ class OneHotEncoder(val columns: Seq[String]) extends StatefulTransformer {
 
   override def fit(df: DataFrame): this.type = {
     Validators.requireString(df, columns)
-    categories = columns.map(c => c -> Stats.distinctSorted(df, c)).toMap
+    // all columns' dictionaries from ONE melt job (reference: one
+    // SELECT DISTINCT per column, categorical.rs:215-223)
+    val d = Stats.groupedBy(df, columns, Seq(count(lit(1))))
+    categories = columns.map(c => c -> d(c).map(_.getString(1)).sorted).toMap
     fitted = true
     this
   }
@@ -96,7 +99,10 @@ class CountFrequencyEncoder(val columns: Seq[String]) extends StatefulTransforme
 
   override def fit(df: DataFrame): this.type = {
     Validators.requireString(df, columns)
-    countMaps = columns.map(c => c -> Stats.countMap(df, c)).toMap
+    val d = Stats.groupedBy(df, columns, Seq(count(lit(1))))
+    countMaps = columns.map { c =>
+      c -> d(c).map(r => r.getString(1) -> r.getLong(2)).toMap
+    }.toMap
     fitted = true
     this
   }
@@ -121,8 +127,9 @@ class OrdinalEncoder(val columns: Seq[String]) extends StatefulTransformer {
 
   override def fit(df: DataFrame): this.type = {
     Validators.requireString(df, columns)
+    val d = Stats.groupedBy(df, columns, Seq(count(lit(1))))
     ordinals = columns.map { c =>
-      c -> Stats.distinctSorted(df, c).zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      c -> d(c).map(_.getString(1)).sorted.zipWithIndex.map { case (v, i) => (v, i.toLong) }
     }.toMap
     fitted = true
     this
@@ -144,15 +151,11 @@ class MeanEncoder(val columns: Seq[String], val target: String)
   override def fit(df: DataFrame): this.type = {
     Validators.requireString(df, columns)
     Validators.requireNumeric(df, Seq(target))
+    // one melt job for every column's per-category target means
+    val d = Stats.groupedBy(
+      df, columns, Seq(avg(col(target)).as("__graft_mean")), carry = Seq(target))
     meanMaps = columns.map { c =>
-      c -> df
-        .filter(col(c).isNotNull)
-        .groupBy(col(c))
-        .agg(avg(col(target)).as("__graft_mean"))
-        .collect()
-        .map(r => r.getString(0) -> r.getDouble(1))
-        .toSeq
-        .sortBy(_._1)
+      c -> d(c).map(r => r.getString(1) -> r.getDouble(2)).sortBy(_._1)
     }.toMap
     fitted = true
     this
@@ -182,20 +185,20 @@ class WoEEncoder(val columns: Seq[String], val target: String)
   override def fit(df: DataFrame): this.type = {
     Validators.requireString(df, columns)
     Validators.requireNumeric(df, Seq(target))
+    val isGood = col(target).cast("long") === 1L // null/≠1 → else branch = bad
+    // one melt job for every column's per-category good/bad counts
+    val d = Stats.groupedBy(
+      df, columns,
+      Seq(
+        sum(when(isGood, 1L).otherwise(0L)).as("good"),
+        sum(when(isGood, 0L).otherwise(1L)).as("bad")),
+      carry = Seq(target))
     woeMaps = columns.map { c =>
-      val isGood = col(target).cast("long") === 1L // null/≠1 → else branch = bad
-      val counts = df
-        .filter(col(c).isNotNull)
-        .groupBy(col(c))
-        .agg(
-          sum(when(isGood, 1L).otherwise(0L)).as("good"),
-          sum(when(isGood, 0L).otherwise(1L)).as("bad"))
-        .collect()
-      c -> counts.map { r =>
-        val good = r.getLong(1).toDouble
-        val bad = r.getLong(2).toDouble
-        r.getString(0) -> math.log((good + 1e-6) / (bad + 1e-6))
-      }.toSeq.sortBy(_._1)
+      c -> d(c).map { r =>
+        val good = r.getLong(2).toDouble
+        val bad = r.getLong(3).toDouble
+        r.getString(1) -> math.log((good + 1e-6) / (bad + 1e-6))
+      }.sortBy(_._1)
     }.toMap
     fitted = true
     this

@@ -95,9 +95,14 @@ class CategoricalImputer(val columns: Seq[String], val default: Option[String] =
     imputeValues = default match {
       case Some(d) => columns.map(_ -> d).toMap
       case None =>
+        // every column's mode from ONE melt+count job (not one per column);
+        // ties break to the smallest value, matching Stats.stringMode
+        val counts = Stats.groupedBy(df, columns, Seq(count(lit(1)).as("cnt")))
         columns.map { c =>
-          c -> Stats.stringMode(df, c).getOrElse(
-            throw InvalidParameter(s"Column '$c' has no non-null values; cannot learn a mode"))
+          val rows = counts(c)
+          if (rows.isEmpty)
+            throw InvalidParameter(s"Column '$c' has no non-null values; cannot learn a mode")
+          c -> rows.minBy(r => (-r.getLong(2), r.getString(1))).getString(1)
         }.toMap
     }
     fitted = true
