@@ -72,18 +72,16 @@ object Dedup {
   private def explodedHashes(df: DataFrame, idCol: String, textCol: String, n: Int) =
     df.select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("h"))
 
-  /** Spread bucket rows over 2× the configured shuffle parallelism before
-    * the quadratic pair expansion. AQE coalesces the group-by's output by
-    * BYTES, but a bucket's expansion cost is quadratic in its member count,
-    * not its size — without this, a handful of coalesced partitions end up
-    * holding all the big buckets and the stage runs nearly serial. The
-    * explicit numPartitions keeps AQE from re-coalescing. */
-  private def spreadBuckets(buckets: DataFrame, keys: Column*): DataFrame = {
-    val parts = buckets.sparkSession.conf
-      .getOption("spark.sql.shuffle.partitions").map(_.toInt)
-      .getOrElse(buckets.sparkSession.sparkContext.defaultParallelism) * 2
-    buckets.repartition(parts, keys: _*)
-  }
+  /** Side length of a pair-expansion tile (members per side). */
+  private val BlockSize = 512
+
+  /** All (x ∈ left, y ∈ right) pairs satisfying `keep` — left members all
+    * precede right members in the bucket's sort order, so pair order holds. */
+  private def crossPairs(
+      l: Column, r: Column,
+      keep: (Column, Column) => Column,
+      emit: (Column, Column) => Column): Column =
+    flatten(transform(l, x => transform(filter(r, y => keep(x, y)), y => emit(x, y))))
 
   /** Jaccard length filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair
     * can only reach `threshold` if the smaller set is at least threshold ×
@@ -104,6 +102,42 @@ object Dedup {
       transform(
         filter(slice(xs, i + lit(2), size(xs)), y => keep(x, y)),
         y => emit(x, y))))
+
+  /** Blocked, cluster-spread bucket expansion. A bucket's expansion cost is
+    * quadratic in member count, so (a) AQE's byte-based partition coalescing
+    * misjudges it, and (b) one giant bucket (skewed key — e.g. thousands of
+    * near-identical docs sharing a band hash) would pin its whole O(k²)
+    * evaluation on a single core. Split each bucket's pair space into
+    * (block i ≤ block j) tiles of at most [[BlockSize]] members per side,
+    * repartition the TILES across 2× the configured parallelism (explicit
+    * numPartitions so AQE cannot re-coalesce), then evaluate each tile —
+    * diagonal tiles as ordered pairs, off-diagonal as full crosses. `buckets`
+    * must have the sorted member array in column `xs`; returns one column
+    * `p` per surviving pair. */
+  private def expandBuckets(
+      buckets: DataFrame,
+      keys: Seq[Column],
+      keep: (Column, Column) => Column,
+      emit: (Column, Column) => Column): DataFrame = {
+    val g = ceil(size(col("xs")).cast("double") / BlockSize).cast("int")
+    val blockPairs = flatten(transform(sequence(lit(0), g - 1), bi =>
+      transform(sequence(bi, g - 1), bj => struct(bi.as("bi"), bj.as("bj")))))
+    val parts = buckets.sparkSession.conf
+      .getOption("spark.sql.shuffle.partitions").map(_.toInt)
+      .getOrElse(buckets.sparkSession.sparkContext.defaultParallelism) * 2
+    val tiled = buckets
+      .select(keys :+ col("xs") :+ explode(blockPairs).as("b"): _*)
+      .select(
+        keys ++ Seq(
+          col("b.bi").as("bi"), col("b.bj").as("bj"),
+          slice(col("xs"), col("b.bi") * BlockSize + 1, lit(BlockSize)).as("l"),
+          slice(col("xs"), col("b.bj") * BlockSize + 1, lit(BlockSize)).as("r")): _*)
+    tiled
+      .repartition(parts, keys ++ Seq(col("bi"), col("bj")): _*)
+      .select(explode(
+        when(col("bi") === col("bj"), expandBucket(col("l"), keep, emit))
+          .otherwise(crossPairs(col("l"), col("r"), keep, emit))).as("p"))
+  }
 
   /** Σ bit_count(a[i] & b[i]) — exact intersection size of two bitmap
     * arrays (same global dictionary). */
@@ -254,11 +288,10 @@ object Dedup {
       .groupBy("band", "band_hash")
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
       .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
-    spreadBuckets(buckets, col("band"), col("band_hash"))
-      .select(explode(expandBucket(
-        col("xs"),
-        (x, y) => est(x, y) >= estMin,
-        (x, y) => struct(x("id").as("a"), y("id").as("b")))).as("p"))
+    expandBuckets(
+      buckets, Seq(col("band"), col("band_hash")),
+      (x, y) => est(x, y) >= estMin,
+      (x, y) => struct(x("id").as("a"), y("id").as("b")))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
@@ -299,13 +332,12 @@ object Dedup {
         .groupBy("band", "band_hash")
         .agg(sort_array(collect_list(struct(col("id"), col("sz"), col("bm")))).as("xs"))
         .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
-      spreadBuckets(buckets, col("band"), col("band_hash"))
-        .select(explode(expandBucket(
-          col("xs"),
-          (x, y) => lengthCompatible(x, y, threshold) &&
-            bitmapJaccard(x, y, words) >= threshold,
-          (x, y) => struct(
-            x("id").as("a"), y("id").as("b"), bitmapJaccard(x, y, words).as("j")))).as("p"))
+      expandBuckets(
+        buckets, Seq(col("band"), col("band_hash")),
+        (x, y) => lengthCompatible(x, y, threshold) &&
+          bitmapJaccard(x, y, words) >= threshold,
+        (x, y) => struct(
+          x("id").as("a"), y("id").as("b"), bitmapJaccard(x, y, words).as("j")))
         .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.j").as("jaccard"))
         .dropDuplicates("id_a", "id_b")
     } else {
@@ -375,11 +407,10 @@ object Dedup {
       .groupBy("chunk", "chunk_val")
       .agg(sort_array(collect_list(col("row"))).as("xs"))
       .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
-    spreadBuckets(buckets, col("chunk"), col("chunk_val"))
-      .select(explode(expandBucket(
-        col("xs"),
-        (x, y) => hamming(x, y) <= maxHamming,
-        (x, y) => struct(x("id").as("a"), y("id").as("b"), hamming(x, y).as("h")))).as("p"))
+    expandBuckets(
+      buckets, Seq(col("chunk"), col("chunk_val")),
+      (x, y) => hamming(x, y) <= maxHamming,
+      (x, y) => struct(x("id").as("a"), y("id").as("b"), hamming(x, y).as("h")))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.h").as("hamming"))
       .dropDuplicates("id_a", "id_b")
   }
@@ -432,13 +463,12 @@ object Dedup {
         .groupBy("h")
         .agg(sort_array(collect_list(struct(col("id"), col("sz"), col("bm")))).as("xs"))
         .filter(size(col("xs")) > 1)
-      spreadBuckets(buckets, col("h"))
-        .select(explode(expandBucket(
-          col("xs"),
-          (x, y) => lengthCompatible(x, y, threshold) &&
-            bitmapJaccard(x, y, words) >= threshold,
-          (x, y) => struct(
-            x("id").as("a"), y("id").as("b"), bitmapJaccard(x, y, words).as("j")))).as("p"))
+      expandBuckets(
+        buckets, Seq(col("h")),
+        (x, y) => lengthCompatible(x, y, threshold) &&
+          bitmapJaccard(x, y, words) >= threshold,
+        (x, y) => struct(
+          x("id").as("a"), y("id").as("b"), bitmapJaccard(x, y, words).as("j")))
         .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.j").as("jaccard"))
         .dropDuplicates("id_a", "id_b")
     } else {
