@@ -14,6 +14,7 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS) — load as epoch-nanos longs
       // (SparkEntry.rtEvents converts to timestamp_ntz explicitly)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

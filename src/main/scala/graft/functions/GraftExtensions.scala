@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions installer for graft's native Catalyst expressions
+  * (the sanctioned extension route — set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` on the session).
+  * graft.ops.Dedup detects the functions via the catalog and falls back to
+  * the equivalent pure-DataFrame formulation when absent. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(
+      name: String,
+      builder: Seq[Expression] => Expression): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[JaccardTilePairs].getName, name),
+      builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn(TilePairs.JaccardName, { args =>
+      require(args.length == 4, s"${TilePairs.JaccardName} expects 4 arguments")
+      JaccardTilePairs(args(0), args(1), args(2), args(3))
+    }))
+    ext.injectFunction(fn(TilePairs.HammingName, { args =>
+      require(args.length == 4, s"${TilePairs.HammingName} expects 4 arguments")
+      HammingTilePairs(args(0), args(1), args(2), args(3))
+    }))
+  }
+}

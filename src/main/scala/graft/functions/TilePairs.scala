@@ -1,0 +1,169 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the dedup tile expansion (the O(pairs)
+  * hot loop). The equivalent higher-order-function expression walks an
+  * interpreted expression tree per candidate pair; these expressions run one
+  * `eval` per TILE with tight loops over primitive arrays — same results,
+  * roughly an order of magnitude less per-pair overhead. Registered through
+  * [[GraftExtensions]] (SparkSessionExtensions); graft.ops.Dedup falls back
+  * to the pure-DataFrame formulation when they are not installed, so the
+  * library works on vanilla sessions.
+  */
+object TilePairs {
+  val JaccardName = "graft_jaccard_tile_pairs"
+  val HammingName = "graft_hamming_tile_pairs"
+}
+
+private[functions] trait TileExpression extends Expression with CodegenFallback {
+  def left: Expression
+  def right: Expression
+  def diagonal: Expression
+
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = true
+
+  /** (ids, per-member payloads) extracted once per tile — pair loops then
+    * touch only primitive arrays. */
+  protected def memberCount(a: ArrayData): Int = if (a == null) 0 else a.numElements()
+}
+
+/** graft_jaccard_tile_pairs(left, right, diagonal, threshold):
+  * input arrays of struct(id long, sz int, bm array&lt;long&gt;); emits
+  * struct(a, b, j) for every (x ∈ left, y ∈ right) pair — upper triangle
+  * when `diagonal` — whose exact bitmap Jaccard ≥ threshold. The length
+  * bound J ≤ min(sz)/max(sz) prunes before the popcount loop. */
+case class JaccardTilePairs(
+    left: Expression,
+    right: Expression,
+    diagonal: Expression,
+    threshold: Expression)
+    extends TileExpression {
+
+  override def children: Seq[Expression] = Seq(left, right, diagonal, threshold)
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("j", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(left = c(0), right = c(1), diagonal = c(2), threshold = c(3))
+
+  private def extract(a: ArrayData): (Array[Long], Array[Int], Array[Array[Long]]) = {
+    val n = memberCount(a)
+    val ids = new Array[Long](n)
+    val szs = new Array[Int](n)
+    val bms = new Array[Array[Long]](n)
+    var i = 0
+    while (i < n) {
+      val row = a.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      szs(i) = row.getInt(1)
+      bms(i) = row.getArray(2).toLongArray()
+      i += 1
+    }
+    (ids, szs, bms)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input).asInstanceOf[ArrayData]
+    val r = right.eval(input).asInstanceOf[ArrayData]
+    val diag = diagonal.eval(input).asInstanceOf[Boolean]
+    val t = threshold.eval(input).asInstanceOf[Double]
+    val (lIds, lSzs, lBms) = extract(l)
+    val (rIds, rSzs, rBms) = if (diag) (lIds, lSzs, lBms) else extract(r)
+    val out = new ArrayBuffer[InternalRow]()
+    var i = 0
+    while (i < lIds.length) {
+      val szA = lSzs(i)
+      val bmA = lBms(i)
+      var j = if (diag) i + 1 else 0
+      while (j < rIds.length) {
+        val szB = rSzs(j)
+        // length bound: J <= min/max — skip the popcount loop when impossible
+        if (math.min(szA, szB).toDouble >= math.max(szA, szB).toDouble * t) {
+          val bmB = rBms(j)
+          var common = 0L
+          var w = 0
+          while (w < bmA.length) {
+            common += java.lang.Long.bitCount(bmA(w) & bmB(w))
+            w += 1
+          }
+          val jac = common.toDouble / (szA.toLong + szB.toLong - common).toDouble
+          if (jac >= t) out += InternalRow(lIds(i), rIds(j), jac)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+}
+
+/** graft_hamming_tile_pairs(left, right, diagonal, maxHamming):
+  * input arrays of struct(id long, sh long); emits struct(a, b, h) for every
+  * pair with popcount(sh_a xor sh_b) ≤ maxHamming. */
+case class HammingTilePairs(
+    left: Expression,
+    right: Expression,
+    diagonal: Expression,
+    maxHamming: Expression)
+    extends TileExpression {
+
+  override def children: Seq[Expression] = Seq(left, right, diagonal, maxHamming)
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("h", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(left = c(0), right = c(1), diagonal = c(2), maxHamming = c(3))
+
+  private def extract(a: ArrayData): (Array[Long], Array[Long]) = {
+    val n = memberCount(a)
+    val ids = new Array[Long](n)
+    val shs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = a.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      shs(i) = row.getLong(1)
+      i += 1
+    }
+    (ids, shs)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input).asInstanceOf[ArrayData]
+    val r = right.eval(input).asInstanceOf[ArrayData]
+    val diag = diagonal.eval(input).asInstanceOf[Boolean]
+    val maxH = maxHamming.eval(input).asInstanceOf[Int]
+    val (lIds, lShs) = extract(l)
+    val (rIds, rShs) = if (diag) (lIds, lShs) else extract(r)
+    val out = new ArrayBuffer[InternalRow]()
+    var i = 0
+    while (i < lIds.length) {
+      var j = if (diag) i + 1 else 0
+      while (j < rIds.length) {
+        val h = java.lang.Long.bitCount(lShs(i) ^ rShs(j))
+        if (h <= maxH) out += InternalRow(lIds(i), rIds(j), h)
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+}

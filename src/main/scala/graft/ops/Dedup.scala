@@ -114,30 +114,48 @@ object Dedup {
     * diagonal tiles as ordered pairs, off-diagonal as full crosses. `buckets`
     * must have the sorted member array in column `xs`; returns one column
     * `p` per surviving pair. */
-  private def expandBuckets(
-      buckets: DataFrame,
-      keys: Seq[Column],
-      keep: (Column, Column) => Column,
-      emit: (Column, Column) => Column): DataFrame = {
+  private def tileBuckets(buckets: DataFrame, keys: Seq[Column]): DataFrame = {
     val g = ceil(size(col("xs")).cast("double") / BlockSize).cast("int")
     val blockPairs = flatten(transform(sequence(lit(0), g - 1), bi =>
       transform(sequence(bi, g - 1), bj => struct(bi.as("bi"), bj.as("bj")))))
     val parts = buckets.sparkSession.conf
       .getOption("spark.sql.shuffle.partitions").map(_.toInt)
       .getOrElse(buckets.sparkSession.sparkContext.defaultParallelism) * 2
-    val tiled = buckets
+    buckets
       .select(keys :+ col("xs") :+ explode(blockPairs).as("b"): _*)
       .select(
         keys ++ Seq(
           col("b.bi").as("bi"), col("b.bj").as("bj"),
           slice(col("xs"), col("b.bi") * BlockSize + 1, lit(BlockSize)).as("l"),
           slice(col("xs"), col("b.bj") * BlockSize + 1, lit(BlockSize)).as("r")): _*)
-    tiled
       .repartition(parts, keys ++ Seq(col("bi"), col("bj")): _*)
+  }
+
+  private def expandBuckets(
+      buckets: DataFrame,
+      keys: Seq[Column],
+      keep: (Column, Column) => Column,
+      emit: (Column, Column) => Column): DataFrame =
+    tileBuckets(buckets, keys)
       .select(explode(
         when(col("bi") === col("bj"), expandBucket(col("l"), keep, emit))
           .otherwise(crossPairs(col("l"), col("r"), keep, emit))).as("p"))
-  }
+
+  /** Tile expansion through a native Catalyst expression (one tight eval
+    * per tile — see graft.functions.TilePairs) when [[GraftExtensions]] is
+    * installed on the session; callers fall back to [[expandBuckets]]'s
+    * higher-order-function formulation otherwise. */
+  private def expandBucketsNative(
+      buckets: DataFrame,
+      keys: Seq[Column],
+      fnName: String,
+      arg: Column): DataFrame =
+    tileBuckets(buckets, keys)
+      .select(explode(call_function(
+        fnName, col("l"), col("r"), col("bi") === col("bj"), arg)).as("p"))
+
+  private def nativeTilePairsAvailable(df: DataFrame): Boolean =
+    df.sparkSession.catalog.functionExists(graft.functions.TilePairs.JaccardName)
 
   /** Σ bit_count(a[i] & b[i]) — exact intersection size of two bitmap
     * arrays (same global dictionary). */
@@ -332,12 +350,19 @@ object Dedup {
         .groupBy("band", "band_hash")
         .agg(sort_array(collect_list(struct(col("id"), col("sz"), col("bm")))).as("xs"))
         .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
-      expandBuckets(
-        buckets, Seq(col("band"), col("band_hash")),
-        (x, y) => lengthCompatible(x, y, threshold) &&
-          bitmapJaccard(x, y, words) >= threshold,
-        (x, y) => struct(
-          x("id").as("a"), y("id").as("b"), bitmapJaccard(x, y, words).as("j")))
+      val keys = Seq(col("band"), col("band_hash"))
+      val expanded =
+        if (nativeTilePairsAvailable(df))
+          expandBucketsNative(
+            buckets, keys, graft.functions.TilePairs.JaccardName, lit(threshold))
+        else
+          expandBuckets(
+            buckets, keys,
+            (x, y) => lengthCompatible(x, y, threshold) &&
+              bitmapJaccard(x, y, words) >= threshold,
+            (x, y) => struct(
+              x("id").as("a"), y("id").as("b"), bitmapJaccard(x, y, words).as("j")))
+      expanded
         .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.j").as("jaccard"))
         .dropDuplicates("id_a", "id_b")
     } else {
@@ -407,10 +432,17 @@ object Dedup {
       .groupBy("chunk", "chunk_val")
       .agg(sort_array(collect_list(col("row"))).as("xs"))
       .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
-    expandBuckets(
-      buckets, Seq(col("chunk"), col("chunk_val")),
-      (x, y) => hamming(x, y) <= maxHamming,
-      (x, y) => struct(x("id").as("a"), y("id").as("b"), hamming(x, y).as("h")))
+    val keys = Seq(col("chunk"), col("chunk_val"))
+    val expanded =
+      if (nativeTilePairsAvailable(df))
+        expandBucketsNative(
+          buckets, keys, graft.functions.TilePairs.HammingName, lit(maxHamming))
+      else
+        expandBuckets(
+          buckets, keys,
+          (x, y) => hamming(x, y) <= maxHamming,
+          (x, y) => struct(x("id").as("a"), y("id").as("b"), hamming(x, y).as("h")))
+    expanded
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.h").as("hamming"))
       .dropDuplicates("id_a", "id_b")
   }
@@ -463,12 +495,19 @@ object Dedup {
         .groupBy("h")
         .agg(sort_array(collect_list(struct(col("id"), col("sz"), col("bm")))).as("xs"))
         .filter(size(col("xs")) > 1)
-      expandBuckets(
-        buckets, Seq(col("h")),
-        (x, y) => lengthCompatible(x, y, threshold) &&
-          bitmapJaccard(x, y, words) >= threshold,
-        (x, y) => struct(
-          x("id").as("a"), y("id").as("b"), bitmapJaccard(x, y, words).as("j")))
+      val keys = Seq(col("h"))
+      val expanded =
+        if (nativeTilePairsAvailable(df))
+          expandBucketsNative(
+            buckets, keys, graft.functions.TilePairs.JaccardName, lit(threshold))
+        else
+          expandBuckets(
+            buckets, keys,
+            (x, y) => lengthCompatible(x, y, threshold) &&
+              bitmapJaccard(x, y, words) >= threshold,
+            (x, y) => struct(
+              x("id").as("a"), y("id").as("b"), bitmapJaccard(x, y, words).as("j")))
+      expanded
         .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.j").as("jaccard"))
         .dropDuplicates("id_a", "id_b")
     } else {

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TilePairs
+
+/** The native tile-pair expressions (registered via GraftExtensions) against
+  * hand-computed expectations; Dedup's end-to-end use of them is covered by
+  * OpsSpec + the driver oracles. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GraftExtensions registers the tile-pair functions") {
+    spark.catalog.functionExists(TilePairs.JaccardName) shouldBe true
+    spark.catalog.functionExists(TilePairs.HammingName) shouldBe true
+  }
+
+  test("graft_jaccard_tile_pairs: diagonal tile, exact bitmap jaccard") {
+    // members: id 1 bm {bits 0,1,2} sz 3; id 2 bm {bits 1,2,3} sz 3;
+    // id 3 bm {bit 10} sz 1. J(1,2) = 2/4 = 0.5; J with 3 = 0.
+    val df = Seq(1).toDF("x").select(
+      expr(
+        """array(
+          |  named_struct('id', 1L, 'sz', 3, 'bm', array(7L)),
+          |  named_struct('id', 2L, 'sz', 3, 'bm', array(14L)),
+          |  named_struct('id', 3L, 'sz', 1, 'bm', array(1024L))
+          |) AS xs""".stripMargin))
+    val out = df
+      .select(explode(call_function(
+        TilePairs.JaccardName, col("xs"), col("xs"), lit(true), lit(0.4))).as("p"))
+      .select("p.a", "p.b", "p.j")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.toSeq shouldBe Seq((1L, 2L, 0.5))
+  }
+
+  test("graft_jaccard_tile_pairs: off-diagonal tile crosses left with right") {
+    val l = "array(named_struct('id', 1L, 'sz', 2, 'bm', array(3L)))"
+    val r = "array(named_struct('id', 5L, 'sz', 2, 'bm', array(3L)), " +
+      "named_struct('id', 6L, 'sz', 2, 'bm', array(12L)))"
+    val out = Seq(1).toDF("x")
+      .select(explode(call_function(
+        TilePairs.JaccardName, expr(l), expr(r), lit(false), lit(0.9))).as("p"))
+      .select("p.a", "p.b", "p.j")
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2)))
+    out.toSeq shouldBe Seq((1L, 5L, 1.0)) // (1,6): disjoint bitmaps -> 0
+  }
+
+  test("graft_hamming_tile_pairs: pairs within the Hamming radius") {
+    val xs = "array(named_struct('id', 1L, 'sh', 0L), " +
+      "named_struct('id', 2L, 'sh', 3L), named_struct('id', 3L, 'sh', -1L))"
+    val out = Seq(1).toDF("x")
+      .select(explode(call_function(
+        TilePairs.HammingName, expr(xs), expr(xs), lit(true), lit(2))).as("p"))
+      .select("p.a", "p.b", "p.h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // d(1,2)=2 ok; d(1,3)=64, d(2,3)=62 out of radius
+    out.toSeq shouldBe Seq((1L, 2L, 2))
+  }
+}
