@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 4, s"${TilePairs.HammingName} expects 4 arguments")
       HammingTilePairs(args(0), args(1), args(2), args(3))
     }))
+    ext.injectFunction(fn(TilePairs.SigEstName, { args =>
+      require(args.length == 4, s"${TilePairs.SigEstName} expects 4 arguments")
+      SigEstTilePairs(args(0), args(1), args(2), args(3))
+    }))
   }
 }

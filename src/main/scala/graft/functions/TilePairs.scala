@@ -20,6 +20,7 @@ import org.apache.spark.sql.types._
 object TilePairs {
   val JaccardName = "graft_jaccard_tile_pairs"
   val HammingName = "graft_hamming_tile_pairs"
+  val SigEstName = "graft_sig_est_tile_pairs"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {
@@ -102,6 +103,76 @@ case class JaccardTilePairs(
           val jac = common.toDouble / (szA.toLong + szB.toLong - common).toDouble
           if (jac >= t) out += InternalRow(lIds(i), rIds(j), jac)
         }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+}
+
+/** graft_sig_est_tile_pairs(left, right, diagonal, minEqual):
+  * input arrays of struct(id long, sig array&lt;long&gt;); emits struct(a, b)
+  * for every pair whose minhash signatures agree in at least `minEqual`
+  * positions — the general-vocabulary candidate filter (estimated Jaccard),
+  * exact verification happens downstream. */
+case class SigEstTilePairs(
+    left: Expression,
+    right: Expression,
+    diagonal: Expression,
+    minEqual: Expression)
+    extends TileExpression {
+
+  override def children: Seq[Expression] = Seq(left, right, diagonal, minEqual)
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))),
+    containsNull = false)
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(left = c(0), right = c(1), diagonal = c(2), minEqual = c(3))
+
+  private def extract(a: ArrayData): (Array[Long], Array[Array[Long]]) = {
+    val n = memberCount(a)
+    val ids = new Array[Long](n)
+    val sigs = new Array[Array[Long]](n)
+    var i = 0
+    while (i < n) {
+      val row = a.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      sigs(i) = row.getArray(1).toLongArray()
+      i += 1
+    }
+    (ids, sigs)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input).asInstanceOf[ArrayData]
+    val r = right.eval(input).asInstanceOf[ArrayData]
+    val diag = diagonal.eval(input).asInstanceOf[Boolean]
+    val minEq = minEqual.eval(input).asInstanceOf[Int]
+    val (lIds, lSigs) = extract(l)
+    val (rIds, rSigs) = if (diag) (lIds, lSigs) else extract(r)
+    val out = new ArrayBuffer[InternalRow]()
+    var i = 0
+    while (i < lIds.length) {
+      val sigA = lSigs(i)
+      var j = if (diag) i + 1 else 0
+      while (j < rIds.length) {
+        val sigB = rSigs(j)
+        val n = sigA.length
+        // count equal positions; bail once a match became impossible
+        var eq = 0
+        var k = 0
+        var remaining = n
+        while (k < n && eq + remaining >= minEq) {
+          if (sigA(k) == sigB(k)) eq += 1
+          remaining -= 1
+          k += 1
+        }
+        if (eq >= minEq) out += InternalRow(lIds(i), rIds(j))
         j += 1
       }
       i += 1

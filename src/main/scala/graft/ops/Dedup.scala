@@ -306,10 +306,17 @@ object Dedup {
       .groupBy("band", "band_hash")
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
       .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
-    expandBuckets(
-      buckets, Seq(col("band"), col("band_hash")),
-      (x, y) => est(x, y) >= estMin,
-      (x, y) => struct(x("id").as("a"), y("id").as("b")))
+    val keys = Seq(col("band"), col("band_hash"))
+    val expanded =
+      if (nativeTilePairsAvailable(df))
+        expandBucketsNative(
+          buckets, keys, graft.functions.TilePairs.SigEstName, lit(estMin))
+      else
+        expandBuckets(
+          buckets, keys,
+          (x, y) => est(x, y) >= estMin,
+          (x, y) => struct(x("id").as("a"), y("id").as("b")))
+    expanded
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
   }

@@ -44,6 +44,19 @@ class FunctionsSpec extends SparkSpec {
     out.toSeq shouldBe Seq((1L, 5L, 1.0)) // (1,6): disjoint bitmaps -> 0
   }
 
+  test("graft_sig_est_tile_pairs: pairs with enough equal signature positions") {
+    // sigs of length 4; (1,2) agree in 3 positions, (1,3) in 1, (2,3) in 1
+    val xs = "array(named_struct('id', 1L, 'sig', array(10L, 20L, 30L, 40L)), " +
+      "named_struct('id', 2L, 'sig', array(10L, 20L, 30L, 99L)), " +
+      "named_struct('id', 3L, 'sig', array(10L, 77L, 88L, 99L)))"
+    val out = Seq(1).toDF("x")
+      .select(explode(call_function(
+        TilePairs.SigEstName, expr(xs), expr(xs), lit(true), lit(3))).as("p"))
+      .select("p.a", "p.b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.toSeq shouldBe Seq((1L, 2L))
+  }
+
   test("graft_hamming_tile_pairs: pairs within the Hamming radius") {
     val xs = "array(named_struct('id', 1L, 'sh', 0L), " +
       "named_struct('id', 2L, 'sh', 3L), named_struct('id', 3L, 'sh', -1L))"

@@ -44,6 +44,20 @@ class OpsSpec extends SparkSpec {
       .get.getDouble(2) shouldBe 1.0 // identical texts → jaccard exactly 1
   }
 
+  test("Dedup.minhashDedupPairs general-vocab path (est filter + exact verify) agrees") {
+    val saved = Dedup.MaxBitmapVocab
+    try {
+      Dedup.MaxBitmapVocab = 0 // force the general (non-bitmap) path
+      val out = Dedup.minhashDedupPairs(docs, "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b").collect()
+      val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs should contain((1L, 2L))
+      pairs should contain((1L, 4L))
+      out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+        .get.getDouble(2) shouldBe 1.0
+    } finally Dedup.MaxBitmapVocab = saved
+  }
+
   test("Dedup.ngramJaccardPairs computes exact jaccard on hand value") {
     // "abcdef" grams {abc,bcd,cde,def}; "abcdefg" adds {efg}: 4/5 = 0.8
     val two = Seq((1L, "abcdef"), (2L, "abcdefg")).toDF("doc_id", "text")
