@@ -183,14 +183,28 @@ object Dedup {
           .otherwise(lit(0L))).as(s"bm$w")
     }
 
-  /** Global shingle dictionary (h → 0-based idx) for the bitmap path; only
-    * built after the vocabulary was measured ≤ [[MaxBitmapVocab]], so the
-    * single-partition ordering window is over a provably tiny table. */
-  private def dictionary(hashed: DataFrame): DataFrame =
-    hashed
+  /** ONE probe job deciding the verification strategy: collect the distinct
+    * shingle hashes when there are at most [[MaxBitmapVocab]] of them
+    * (partial distinct + limit MaxBitmapVocab+1 — the limit caps what can
+    * ever reach the driver), else None → general path. Replaces a separate
+    * approx-count job plus a distinct+window+count dictionary build. */
+  private def smallVocab(hashed: DataFrame): Option[Array[Long]] = {
+    val probe = hashed
       .select(col("h"))
       .distinct()
-      .withColumn("idx", (row_number().over(Window.orderBy(col("h"))) - 1).cast("int"))
+      .limit(MaxBitmapVocab + 1)
+      .collect()
+      .map(_.getLong(0))
+    if (probe.length <= MaxBitmapVocab) Some(probe.sorted) else None
+  }
+
+  /** Tiny (h → 0-based idx) dictionary DataFrame from the collected
+    * vocabulary — broadcast into the feature join. */
+  private def dictionaryDf(df: DataFrame, vocab: Array[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    vocab.zipWithIndex.toSeq.toDF("h", "idx")
+  }
 
   /** (id, sz, bm): per-doc distinct-shingle count and dictionary bitmap,
     * one join + one aggregate job. */
@@ -202,11 +216,6 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"), col("sz"), array((0 until words).map(w => col(s"bm$w")): _*).as("bm"))
   }
-
-  /** Approximate distinct shingle count — decides bitmap vs general path
-    * with one cheap HLL aggregate (no shuffle of the values themselves). */
-  private def approxVocab(hashed: DataFrame): Long =
-    hashed.agg(approx_count_distinct(col("h"))).head().getLong(0)
 
   /** Exact n-gram Jaccard verification of candidate pairs only (the general
     * path, vocabulary too large for bitmaps).
@@ -347,9 +356,9 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val hashed = explodedHashes(df, idCol, textCol, n)
-    if (approxVocab(hashed) <= MaxBitmapVocab * 0.8) {
-      val dict = dictionary(hashed)
-      val words = (dict.count().toInt + 63) / 64
+    smallVocab(hashed) match { case Some(vocab) =>
+      val dict = dictionaryDf(df, vocab)
+      val words = (vocab.length + 63) / 64
       val feats = bitmapFeatures(hashed, dict, words) // (id, sz, bm)
       val banded = bandedSignatures(hashed, numHashes, bands, withSig = false)
         .join(feats, "id")
@@ -372,7 +381,7 @@ object Dedup {
       expanded
         .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.j").as("jaccard"))
         .dropDuplicates("id_a", "id_b")
-    } else {
+    case None =>
       val cands = minhashCandidates(
         df, idCol, textCol, numHashes, bands, n, maxBucketSize = maxBucketSize)
       verifiedJaccardPairs(df, cands, idCol, textCol, n, threshold)
@@ -493,9 +502,9 @@ object Dedup {
       .withColumn("rn", row_number().over(byDoc.orderBy(col("gfreq").asc, col("h").asc)))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select("id", "sz", "h")
-    if (approxVocab(hashed) <= MaxBitmapVocab * 0.8) {
-      val dict = dictionary(hashed)
-      val words = (dict.count().toInt + 63) / 64
+    smallVocab(hashed) match { case Some(vocab) =>
+      val dict = dictionaryDf(df, vocab)
+      val words = (vocab.length + 63) / 64
       val feats = bitmapFeatures(hashed, dict, words)
       val buckets = prefix
         .join(feats.select(col("id"), col("bm")), "id")
@@ -517,7 +526,7 @@ object Dedup {
       expanded
         .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.j").as("jaccard"))
         .dropDuplicates("id_a", "id_b")
-    } else {
+    case None =>
       val a = prefix.select(col("id").as("id_a"), col("sz").as("sz_a"), col("h"))
       val b = prefix.select(col("id").as("id_b"), col("sz").as("sz_b"), col("h"))
       val cands = a
