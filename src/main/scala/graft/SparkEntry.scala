@@ -451,6 +451,24 @@ object SparkEntry {
       // restriction + exact cosine top-k in SQL.
       Similarity.annTopK(e, "vec_id", "embedding", q, 10, numPlanes = 4)
     }),
+    "sim_ivf" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.ivfTopK(e, "vec_id", "embedding", q, 10, nlist = 8, nprobe = 2)
+    }),
+    // Auxiliary centroid dump: the sim_ivf oracle replays cell assignment,
+    // probing, and exact top-k in DuckDB over THESE centroids (k-means
+    // training itself is MLlib math with no SQL equivalent; the IVF
+    // structure around it is what the oracle verifies). Deterministic:
+    // fixed seed, same data/partitioning as the sim_ivf training run.
+    "sim_ivf_centroids" -> ((s, dir) => {
+      import s.implicits._
+      val cents = Similarity.ivfCentroids(rt(s, dir, "embeddings"), "embedding", 8)
+      cents.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (v, p) => (i, p, v) }
+      }.toDF("cell_id", "pos", "value")
+    }),
     "sim_near_dup" -> ((s, dir) => {
       val e = rt(s, dir, "embeddings")
       val withDups = e.unionByName(
@@ -851,6 +869,39 @@ object SparkEntry {
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events""".stripMargin,
     "sim_ann_lsh" -> annOracleSql(numPlanes = 4, dim = 64, k = 10),
+    // IVF replay over the exported centroids: per-vector nearest cell
+    // (squared L2, ties by cell id), probe the 2 cells nearest the query,
+    // exact cosine top-10 within them. Distances use explicit
+    // (x-c)*(x-c) sums folded in array order on both engines.
+    "sim_ivf" ->
+      """WITH cent AS (SELECT cell_id, list(value ORDER BY pos) AS c
+        |              FROM read_parquet('{GRAFT_OUT}/sim_ivf_centroids/*.parquet')
+        |              GROUP BY cell_id),
+        |     q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |     qd AS (SELECT cell_id,
+        |              list_sum([(CAST(qe[i] AS DOUBLE) - c[i]) * (CAST(qe[i] AS DOUBLE) - c[i])
+        |                        FOR i IN range(1, 65)]) AS d
+        |            FROM cent, q),
+        |     probed AS (SELECT cell_id FROM qd ORDER BY d, cell_id LIMIT 2),
+        |     ad AS (SELECT e.vec_id, e.embedding, cent.cell_id,
+        |              list_sum([(CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        * (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        FOR i IN range(1, 65)]) AS d
+        |            FROM embeddings e CROSS JOIN cent),
+        |     assign AS (SELECT vec_id, embedding, cell_id,
+        |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+        |                FROM ad),
+        |     sel AS (SELECT vec_id, embedding FROM assign
+        |             WHERE rn = 1 AND cell_id IN (SELECT cell_id FROM probed)),
+        |     c AS (SELECT vec_id AS id,
+        |             list_sum([CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |                       FOR i IN range(1, 65)])
+        |             / (sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                               FOR i IN range(1, 65)]))
+        |                * sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |                                 FOR i IN range(1, 65)]))) AS cos
+        |           FROM sel, q)
+        |SELECT id, cos FROM c ORDER BY cos DESC, id LIMIT 10""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

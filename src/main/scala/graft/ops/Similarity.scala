@@ -91,6 +91,72 @@ object Similarity {
       idCol, embCol, query, k)
   }
 
+  /** Squared L2 distance Σ (aᵢ − cᵢ)² to a literal centroid — sequential
+    * fold in array order (bit-reproducible across engines). */
+  def sqDist(e: Column, c: Seq[Double]): Column =
+    aggregate(
+      zip_with(e, typedLit(c), (x, y) => {
+        val d = x.cast("double") - y
+        d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** IVF coarse quantizer: k-means centroids (MLlib kmeans||, fixed seed)
+    * over the embedding column. Driver holds nlist × dim doubles — the
+    * standard IVF "train" step; everything downstream is expressions. */
+  def ivfCentroids(
+      df: DataFrame,
+      embCol: String,
+      nlist: Int,
+      seed: Long = 42L,
+      maxIter: Int = 5,
+  ): Seq[Seq[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = df.select(array_to_vector(col(embCol)).as("features"))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
+      .fit(feats)
+    model.clusterCenters.map(_.toArray.toSeq).toSeq
+  }
+
+  /** Nearest-centroid cell id (ties by cell id): the argmin over per-cell
+    * squared distances, selected via a sorted struct array — one projection,
+    * no shuffle, no UDF. */
+  def ivfCell(e: Column, centroids: Seq[Seq[Double]]): Column = {
+    val cands = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(e, c).as("d"), lit(i).as("cell"))
+    }: _*)
+    element_at(array_sort(cands), 1)("cell")
+  }
+
+  /** IVF top-k: assign every vector to its nearest centroid cell, probe the
+    * `nprobe` cells nearest the query, exact cosine top-k within them. The
+    * scale path complement to [[annTopK]]: with the table partitioned by
+    * cell, a query reads ~nprobe/nlist of the data; recall is tuned by
+    * nprobe rather than plane count. */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: Seq[Double],
+      k: Int,
+      nlist: Int = 8,
+      nprobe: Int = 2,
+      seed: Long = 42L,
+  ): DataFrame = {
+    val cents = ivfCentroids(df, embCol, nlist, seed)
+    val probed = cents.zipWithIndex
+      .map { case (c, i) =>
+        (c.zip(query).foldLeft(0.0) { case (acc, (x, y)) => acc + (y - x) * (y - x) }, i)
+      }
+      .sorted.take(nprobe).map(_._2)
+    cosineTopK(
+      df.filter(ivfCell(col(embCol), cents).isin(probed: _*)),
+      idCol, embCol, query, k)
+  }
+
   /** All-pairs embedding near-duplicates: pairs with cosine ≥ threshold,
     * LSH-bucketed so only same-bucket pairs are compared (the scale path —
     * brute-force all-pairs is O(n²) and off the table at 100 TB).

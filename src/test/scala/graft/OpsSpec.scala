@@ -98,6 +98,16 @@ class OpsSpec extends SparkSpec {
     ids should contain(1L) // same embedding → same bucket, always recalled
   }
 
+  test("Similarity.ivfTopK recalls the identical vector through the probed cells") {
+    val out = Similarity.ivfTopK(vecs, "vec_id", "embedding", Seq(1.0, 0.0, 0.0), 3,
+      nlist = 2, nprobe = 1)
+    val rows = out.collect()
+    val ids = rows.map(_.getLong(0)).toSet
+    ids should contain(0L) // the query IS vec 0 → its cell is always probed
+    ids should contain(1L) // identical embedding → same cell
+    rows.find(_.getLong(0) == 0L).get.getDouble(1) shouldBe 1.0 +- 1e-12
+  }
+
   test("Similarity.cosineNearDupPairs finds identical embeddings") {
     val out = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
       threshold = 0.99, dim = 3)

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.transformers._
+
+/** Physical-plan regression guards: the plan-shape properties the library
+  * is designed around, asserted on explain output so a regression fails
+  * sbt test instead of only showing up in a benchmark. */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out))(df.explain("formatted"))
+    out.toString
+  }
+
+  test("a stateless multi-step pipeline collapses to one scan, no exchange") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val pipe = Pipeline(
+      "imp" -> new ArbitraryNumberImputer(Seq("l_quantity"), 0.0),
+      "log" -> new LogCpTransformer(Seq("l_extendedprice"), 1.0),
+      "cap" -> new ArbitraryOutlierCapper(Map("l_tax" -> (Some(0.01), Some(0.07)))),
+      "cyc" -> new CyclicalFeatures(Seq(("q_sin", "l_quantity", 50.0, CyclicalFn.Sin))),
+      "ind" -> new AddMissingIndicator(Seq("l_discount")))
+    val out = pipe.fit(li)
+    val exec = out.queryExecution.sparkPlan
+    val scans = exec.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    scans should have size 1 // the stacked per-step projections fused into one pass
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges shouldBe empty
+    formatted(out) should include("[codegen id : 1]") // whole-stage codegen'd
+  }
+
+  test("trimming filters push down to the parquet scan") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val t = new OutlierTrimmer(Seq("l_quantity"), 0.05, 0.95, exact = true)
+    val plan = formatted(t.fitTransform(li))
+    plan should include("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThanOrEqual(l_quantity,")
+  }
+
+  test("column pruning reaches the scan (ReadSchema carries only used columns)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val plan = formatted(
+      li.select(col("l_orderkey"), col("l_quantity"))
+        .filter(col("l_quantity") > 10))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    readSchema should include("l_orderkey")
+    readSchema should include("l_quantity")
+    readSchema should not include "l_extendedprice"
+  }
+
+  test("high-cardinality encode uses a broadcast hash join") {
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select(col("p_partkey"), concat(col("p_brand"), lit("_"), col("p_name")).as("bn"))
+    val enc = new CountFrequencyEncoder(Seq("bn"))
+    val plan = formatted(enc.fitTransform(part))
+    plan should include("BroadcastHashJoin")
+  }
+}
