@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   *
   * Extension beyond the reference surface (SURVEY §2.11): the reference has
   * no dedup of any kind. Everything here is built from Catalyst expressions
-  * (higher-order array functions + xxhash64) — no UDFs, so the hot path
-  * stays inside Tungsten evaluation, and no driver-side data state, so each
-  * operator is a fixed number of shuffles regardless of data size.
+  * (higher-order array functions + xxhash64, plus the native tile-pair
+  * expressions of graft.functions when GraftExtensions is installed) — no
+  * UDFs, and no driver-side data state, so each operator is a fixed number
+  * of shuffles regardless of data size.
   *
   * Scale design rules shared by every operator below:
   *  - expensive per-row expressions (shingling, signatures) are computed in
@@ -258,8 +259,8 @@ object Dedup {
     * all `numHashes` minhashes are `min(xxhash64(h, seed))` aggregates
     * (long arithmetic only — the expensive string hashing happened once in
     * [[shingleHashes]]), band hashes are projected directly off the agg
-    * columns. Returns (id, band, band_hash) plus optional extra per-doc
-    * payload columns carried from `perDoc`. */
+    * columns. Returns (id, band, band_hash), plus the full signature array
+    * as a `sig` column when `withSig`. */
   private def bandedSignatures(
       hashed: DataFrame,
       numHashes: Int,
@@ -506,8 +507,12 @@ object Dedup {
       val dict = dictionaryDf(df, vocab)
       val words = (vocab.length + 63) / 64
       val feats = bitmapFeatures(hashed, dict, words)
+      // true set size (and bitmap) from feats — the prefix frame's sz is the
+      // POST-stop-gram-cap posting count, fine for the prefix-length bound
+      // but not for the Jaccard denominator when the cap triggers
       val buckets = prefix
-        .join(feats.select(col("id"), col("bm")), "id")
+        .select("id", "h")
+        .join(feats.select(col("id"), col("sz"), col("bm")), "id")
         .groupBy("h")
         .agg(sort_array(collect_list(struct(col("id"), col("sz"), col("bm")))).as("xs"))
         .filter(size(col("xs")) > 1)
