@@ -56,6 +56,7 @@ class Pipeline(val steps: Seq[(String, Transformer)], val verbose: Boolean = fal
           case e: Exception =>
             throw EngineError(s"Pipeline step '$name' failed: ${e.getMessage}", e)
         }
+      Logging.debug(f"fit step '$name' done in ${(System.nanoTime() - t0) / 1e9}%.3fs")
       if (verbose)
         println(f"[pipeline] $name done in ${(System.nanoTime() - t0) / 1e9}%.3fs")
       out
@@ -69,6 +70,7 @@ class Pipeline(val steps: Seq[(String, Transformer)], val verbose: Boolean = fal
     steps.foldLeft(df) { case (cur, (name, t)) =>
       val t0 = System.nanoTime()
       val out = t.transform(cur)
+      Logging.debug(f"transform step '$name' done in ${(System.nanoTime() - t0) / 1e9}%.3fs")
       if (verbose)
         println(f"[pipeline] $name done in ${(System.nanoTime() - t0) / 1e9}%.3fs")
       out
