@@ -502,6 +502,12 @@ object SparkEntry {
       rtEvents(s, dir).select(
         col("event_id"),
         StreamingOps.jsonField(col("props"), "$.k").cast("int").as("k"))),
+    // flatMapGroupsWithState custom state, exercised in batch (one state
+    // pass per user over all rows = the plain per-user aggregate). Value
+    // sums rounded: per-user fold order is partition-dependent.
+    "stream_user_stats" -> ((s, dir) =>
+      StreamingOps.userEventStats(rtEvents(s, dir))
+        .withColumn("sum_value", round(col("sum_value"), 6))),
 
     // posexplode to scalar rows: array columns are not sortable/hashable by
     // the driver's pandas compare, and the md5-based stub value is exactly
@@ -868,6 +874,13 @@ object SparkEntry {
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events""".stripMargin,
+    "stream_user_stats" ->
+      """SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 6) AS sum_value,
+        |       min(ts) AS first_ts,
+        |       max(ts) AS last_ts
+        |FROM events GROUP BY user_id""".stripMargin,
     "sim_ann_lsh" -> annOracleSql(numPlanes = 4, dim = 64, k = 10),
     // IVF replay over the exported centroids: per-vector nearest cell
     // (squared L2, ties by cell id), probe the 2 cells nearest the query,

@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 4, s"${TilePairs.SigEstName} expects 4 arguments")
       SigEstTilePairs(args(0), args(1), args(2), args(3))
     }))
+    ext.injectFunction(fn(TilePairs.DotName, { args =>
+      require(args.length == 2, s"${TilePairs.DotName} expects 2 arguments")
+      DotProduct(args(0), args(1))
+    }))
   }
 }

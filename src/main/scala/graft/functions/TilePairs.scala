@@ -21,6 +21,7 @@ object TilePairs {
   val JaccardName = "graft_jaccard_tile_pairs"
   val HammingName = "graft_hamming_tile_pairs"
   val SigEstName = "graft_sig_est_tile_pairs"
+  val DotName = "graft_dot"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

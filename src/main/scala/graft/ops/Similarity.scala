@@ -26,6 +26,17 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Dot-product implementation for a given session: the codegen'd native
+    * graft_dot expression when GraftExtensions is installed (same fold
+    * order, bit-identical results), else the higher-order-function fold. */
+  private def dotFor(df: DataFrame): (Column, Column) => Column =
+    if (df.sparkSession.catalog.functionExists(graft.functions.TilePairs.DotName))
+      (a, b) => call_function(graft.functions.TilePairs.DotName, a, b)
+    else dot
+
+  private def cosineWith(d: (Column, Column) => Column)(a: Column, b: Column): Column =
+    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
+
   /** Exact brute-force cosine top-k against a broadcast-literal query vector.
     *
     * Plan: one projection over the scan computes the score, then
@@ -41,7 +52,7 @@ object Similarity {
       k: Int,
   ): DataFrame = {
     val q = typedLit(query)
-    df.select(col(idCol).as("id"), cosine(col(embCol), q).as("cos"))
+    df.select(col(idCol).as("id"), cosineWith(dotFor(df))(col(embCol), q).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)
       .limit(k)
   }
@@ -62,9 +73,12 @@ object Similarity {
   /** Random-hyperplane (sign) LSH bucket id: bit p = 1 iff emb·planeₚ > 0.
     * Cosine-similar vectors collide with high probability. One projection,
     * no shuffle. */
-  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+  def lshBucket(
+      emb: Column,
+      planes: Seq[Seq[Double]],
+      dotImpl: (Column, Column) => Column = dot): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(emb, typedLit(p)) > 0.0, lit(1L << i)).otherwise(lit(0L))
+      when(dotImpl(emb, typedLit(p)) > 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Bucketed ANN top-k: prune to the query's bucket, then exact cosine
@@ -87,7 +101,7 @@ object Similarity {
       if (d > 0.0) 1L << i else 0L
     }.sum
     cosineTopK(
-      df.filter(lshBucket(col(embCol), planes) === queryBucket),
+      df.filter(lshBucket(col(embCol), planes, dotFor(df)) === queryBucket),
       idCol, embCol, query, k)
   }
 
@@ -171,15 +185,16 @@ object Similarity {
       seed: Long = 42L,
   ): DataFrame = {
     val planes = hyperplanes(numPlanes, dim, seed)
+    val d = dotFor(df)
     val bucketed = df.select(
       col(idCol).as("id"), col(embCol).as("emb"),
-      lshBucket(col(embCol), planes).as("bucket"))
+      lshBucket(col(embCol), planes, d).as("bucket"))
     val a = bucketed.alias("a")
     val b = bucketed.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.emb"), col("b.emb")).as("cos"))
+        cosineWith(d)(col("a.emb"), col("b.emb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -88,4 +88,49 @@ object StreamingOps {
     * UDF). */
   def jsonField(payload: Column, path: String): Column =
     get_json_object(payload, path)
+
+  /** Per-user event row for the custom-state op (timestamp_ntz ↔
+    * LocalDateTime). Public visibility: encoder codegen instantiates it. */
+  case class UserEvent(user_id: Long, ts: java.time.LocalDateTime, value: Double)
+
+  /** The running state carried across micro-batches per user. */
+  case class UserState(
+      n: Long, sum: Double,
+      first: java.time.LocalDateTime, last: java.time.LocalDateTime)
+
+  /** Custom streaming state via `flatMapGroupsWithState`: per-user running
+    * event statistics (count, value sum, first/last event time) that
+    * ACCUMULATE across micro-batches — the pattern for state the built-in
+    * windowed aggregates can't express. Update output mode, no timeout
+    * (bound state with a timeout in production). In batch mode the state
+    * machine runs once per key over all rows, so the result is the plain
+    * per-user aggregate — which is what the batch oracle checks.
+    * Output: user_id, n_events, sum_value, first_ts, last_ts. */
+  def userEventStats(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ds = df
+      .select(
+        col("user_id"),
+        col(tsCol).cast("timestamp_ntz").as("ts"),
+        col("value").cast("double"))
+      .as[UserEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[UserEvent], state: GroupState[UserState]) =>
+          var (n, sum, first, last) = state.getOption
+            .map(s => (s.n, s.sum, s.first, s.last))
+            .getOrElse((0L, 0.0, null: java.time.LocalDateTime, null: java.time.LocalDateTime))
+          events.foreach { e =>
+            n += 1
+            sum += e.value
+            if (first == null || e.ts.isBefore(first)) first = e.ts
+            if (last == null || e.ts.isAfter(last)) last = e.ts
+          }
+          state.update(UserState(n, sum, first, last))
+          Iterator((user, n, sum, first, last))
+      }
+      .toDF("user_id", "n_events", "sum_value", "first_ts", "last_ts")
+  }
 }

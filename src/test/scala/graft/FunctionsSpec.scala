@@ -57,6 +57,20 @@ class FunctionsSpec extends SparkSpec {
     out.toSeq shouldBe Seq((1L, 2L))
   }
 
+  test("graft_dot matches the HOF fold bit-for-bit (float and double arrays)") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(0.5, -1.0, 2.0)),
+      (Seq(0.1f, 0.2f, 0.3f), Seq(0.7, 0.8, 0.9)),
+    ).toDF("a", "b")
+    val rows = df.select(
+      call_function(TilePairs.DotName, $"a", $"b").as("native"),
+      graft.ops.Similarity.dot($"a", $"b").as("hof")).collect()
+    rows.foreach(r => r.getDouble(0) shouldBe r.getDouble(1)) // exact equality
+    // codegen path actually used (expression is codegen-capable, not fallback)
+    classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[graft.functions.DotProduct]) shouldBe false
+  }
+
   test("graft_hamming_tile_pairs: pairs within the Hamming radius") {
     val xs = "array(named_struct('id', 1L, 'sh', 0L), " +
       "named_struct('id', 2L, 'sh', 3L), named_struct('id', 3L, 'sh', -1L))"

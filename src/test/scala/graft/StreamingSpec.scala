@@ -83,6 +83,28 @@ class StreamingSpec extends SparkSpec {
       (7L, ts(50), Timestamp.valueOf("2024-01-01 11:20:00"), 1L))
   }
 
+  test("userEventStats accumulates custom state across micro-batches") {
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    mem.addData((7L, ts(0), 1.0), (7L, ts(5), 2.0), (9L, ts(1), 5.0))
+    val stream = StreamingOps.userEventStats(
+      mem.toDF.toDF("user_id", "ts", "value"))
+    val q = stream.writeStream.format("memory")
+      .queryName("user_stats").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      mem.addData((7L, ts(10), 4.0)) // second micro-batch: state must carry over
+      q.processAllAvailable()
+    } finally q.stop()
+    // update sink appends one row per key per batch — take the latest per key
+    val latest = spark.table("user_stats")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) => u -> rows.maxBy(_.getLong(1)) }
+    latest(7L).getLong(1) shouldBe 3L // 2 events batch 1 + 1 event batch 2
+    latest(7L).getDouble(2) shouldBe 7.0
+    latest(9L).getLong(1) shouldBe 1L
+  }
+
   test("jsonField extracts typed properties") {
     val df = Seq((1L, """{"k": 42}"""), (2L, """{"k": 7}"""), (3L, "{}"))
       .toDF("id", "props")
