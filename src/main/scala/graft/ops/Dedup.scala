@@ -218,6 +218,52 @@ object Dedup {
       .select(col("id"), col("sz"), array((0 until words).map(w => col(s"bm$w")): _*).as("bm"))
   }
 
+  /** Exact-duplicate groups: (text, sorted member ids). Near-dup pipelines
+    * run on one REPRESENTATIVE per distinct text — on dup-heavy corpora
+    * (the common case for web-scale training data) this shrinks the LSH
+    * problem by the duplication factor AND keeps identical-doc clusters
+    * from blowing buckets toward maxBucketSize, where their pairs would be
+    * dropped. Within-group pairs are emitted directly with Jaccard 1.0;
+    * representative pairs are expanded back over the group members. */
+  private def dupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .groupBy("text")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+
+  /** All pairs inside each exact-duplicate group: identical texts have
+    * Jaccard exactly 1.0 (skipped for texts too short to have shingles —
+    * their Jaccard is undefined, matching the pipelines). Tiled like every
+    * other quadratic expansion. */
+  private def withinGroupPairs(groups: DataFrame, n: Int): DataFrame =
+    expandBuckets(
+      groups
+        .filter(size(col("ids")) > 1 && length(col("text")) >= n)
+        .select(xxhash64(col("text")).as("gk"), col("ids").as("xs")),
+      Seq(col("gk")),
+      (_, _) => lit(true),
+      (x, y) => struct(x.as("a"), y.as("b"), lit(1.0).as("j")))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.j").as("jaccard"))
+
+  /** Expand representative pairs over their groups' members; pair order is
+    * restored with least/greatest (members of different groups have no
+    * inherent order). */
+  private def crossGroupPairs(repPairs: DataFrame, groups: DataFrame): DataFrame = {
+    val gmap = groups.select(col("ids").getItem(0).as("rep"), col("ids"))
+    repPairs
+      .join(
+        gmap.select(col("rep").as("rep_a"), col("ids").as("ids_a")),
+        col("id_a") === col("rep_a"))
+      .join(
+        gmap.select(col("rep").as("rep_b"), col("ids").as("ids_b")),
+        col("id_b") === col("rep_b"))
+      .select(explode(col("ids_a")).as("xa"), col("ids_b"), col("jaccard"))
+      .select(col("xa"), explode(col("ids_b")).as("xb"), col("jaccard"))
+      .select(
+        least(col("xa"), col("xb")).as("id_a"),
+        greatest(col("xa"), col("xb")).as("id_b"),
+        col("jaccard"))
+  }
+
   /** Exact n-gram Jaccard verification of candidate pairs only (the general
     * path, vocabulary too large for bitmaps).
     *
@@ -344,6 +390,13 @@ object Dedup {
     * Both paths emit exactly "pairs with true n-gram Jaccard ≥ threshold"
     * as long as LSH banding recalls them (bands=32 × rows-per-band=2: a
     * true-0.8 pair is missed with p ≈ 6e-15).
+    *
+    * Exact text duplicates are collapsed FIRST ([[dupGroups]]): LSH runs on
+    * one representative per distinct text, within-group pairs are emitted
+    * directly at Jaccard 1.0 (never missed, never bucket-capped), and
+    * representative pairs are expanded back over group members — on
+    * dup-heavy corpora this shrinks the LSH problem by the duplication
+    * factor.
     */
   def minhashDedupPairs(
       df: DataFrame,
@@ -356,6 +409,23 @@ object Dedup {
       maxBucketSize: Int = 100000,
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val groups = dupGroups(df, idCol, textCol)
+    val reps = groups.select(col("ids").getItem(0).as("id"), col("text"))
+    val repPairs = minhashDedupPairsDistinct(
+      reps, n, numHashes, bands, threshold, maxBucketSize)
+    withinGroupPairs(groups, n).unionByName(crossGroupPairs(repPairs, groups))
+  }
+
+  /** [[minhashDedupPairs]] over already-distinct texts (columns id, text). */
+  private def minhashDedupPairsDistinct(
+      df: DataFrame,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucketSize: Int,
+  ): DataFrame = {
+    val (idCol, textCol) = ("id", "text")
     val hashed = explodedHashes(df, idCol, textCol, n)
     smallVocab(hashed) match { case Some(vocab) =>
       val dict = dictionaryDf(df, vocab)
@@ -484,6 +554,10 @@ object Dedup {
     *
     * `maxShingleFreq` additionally hard-drops shingles above a document
     * frequency (stop-gram cap; recall loss only when it triggers).
+    *
+    * Exact text duplicates are collapsed first, exactly as in
+    * [[minhashDedupPairs]] — here the collapse additionally keeps identical
+    * docs from inflating every posting list they appear in.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -493,6 +567,20 @@ object Dedup {
       threshold: Double = 0.8,
       maxShingleFreq: Long = 1000000L,
   ): DataFrame = {
+    val groups = dupGroups(df, idCol, textCol)
+    val reps = groups.select(col("ids").getItem(0).as("id"), col("text"))
+    val repPairs = ngramJaccardPairsDistinct(reps, n, threshold, maxShingleFreq)
+    withinGroupPairs(groups, n).unionByName(crossGroupPairs(repPairs, groups))
+  }
+
+  /** [[ngramJaccardPairs]] over already-distinct texts (columns id, text). */
+  private def ngramJaccardPairsDistinct(
+      df: DataFrame,
+      n: Int,
+      threshold: Double,
+      maxShingleFreq: Long,
+  ): DataFrame = {
+    val (idCol, textCol) = ("id", "text")
     val hashed = explodedHashes(df, idCol, textCol, n)
     val freq = hashed.groupBy("h").agg(count(lit(1)).as("gfreq"))
     val byDoc = Window.partitionBy(col("id"))
