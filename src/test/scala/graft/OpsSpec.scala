@@ -58,6 +58,21 @@ class OpsSpec extends SparkSpec {
     } finally Dedup.MaxBitmapVocab = saved
   }
 
+  test("bitmap and general-vocab paths agree on real documents (sf0.001)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val real = d.unionByName(
+      d.filter($"doc_id" % 5 === 0).withColumn("doc_id", $"doc_id" + 10000))
+    def run(): Seq[(Long, Long, Double)] =
+      Dedup.minhashDedupPairs(real, "doc_id", "text")
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val bitmap = run()
+    val saved = Dedup.MaxBitmapVocab
+    val general = try { Dedup.MaxBitmapVocab = 0; run() } finally Dedup.MaxBitmapVocab = saved
+    bitmap should not be empty // the injected copies guarantee pairs
+    general shouldBe bitmap
+  }
+
   test("Dedup.ngramJaccardPairs computes exact jaccard on hand value") {
     // "abcdef" grams {abc,bcd,cde,def}; "abcdefg" adds {efg}: 4/5 = 0.8
     val two = Seq((1L, "abcdef"), (2L, "abcdefg")).toDF("doc_id", "text")
