@@ -33,12 +33,30 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    Files.writeString(Paths.get(outFile), line + "\n")
+    def jsonLine(rs: Map[String, Double]): String = {
+      val qs = rs.toSeq.sortBy(-_._2)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val total = f"${results.values.sum}%.3f"
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Full detail goes to the file; the stdout line must survive the
+    // driver's ~2 KB tail capture (BENCH_r02 "parsed": null was this line
+    // getting truncated), so trim it to the slowest queries if oversized.
+    val full = jsonLine(results.toMap)
+    Files.writeString(Paths.get(outFile), full + "\n")
+    val stdoutLine =
+      if (full.length <= 1600) full
+      else {
+        val slowest = results.toSeq.sortBy(-_._2)
+          .scanLeft(("", 0.0, 90)) { case ((_, _, len), (k, v)) =>
+            (k, v, len + k.length + 12)
+          }
+          .drop(1).takeWhile(_._3 <= 1600)
+          .map { case (k, v, _) => k -> v }.toMap
+        jsonLine(slowest)
+      }
     spark.stop()
+    println(stdoutLine)
   }
 }

@@ -36,5 +36,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 2, s"${TilePairs.DotName} expects 2 arguments")
       DotProduct(args(0), args(1))
     }))
+    ext.injectFunction(fn(TilePairs.ShingleName, { args =>
+      require(args.length == 2, s"${TilePairs.ShingleName} expects 2 arguments")
+      ShingleHashes(args(0), args(1))
+    }))
+    ext.injectFunction(fn(TilePairs.MinhashName, { args =>
+      require(args.length == 2, s"${TilePairs.MinhashName} expects 2 arguments")
+      MinhashSig(args(0), args(1))
+    }))
+    ext.injectFunction(fn(TilePairs.BitmapName, { args =>
+      require(args.length == 3, s"${TilePairs.BitmapName} expects 3 arguments")
+      BitmapOfSet(args(0), args(1), args(2))
+    }))
   }
 }

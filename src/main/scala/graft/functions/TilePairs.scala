@@ -22,6 +22,9 @@ object TilePairs {
   val HammingName = "graft_hamming_tile_pairs"
   val SigEstName = "graft_sig_est_tile_pairs"
   val DotName = "graft_dot"
+  val ShingleName = "graft_shingle_hashes"
+  val MinhashName = "graft_minhash_sig"
+  val BitmapName = "graft_bitmap"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

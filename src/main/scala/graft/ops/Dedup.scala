@@ -34,6 +34,11 @@ object Dedup {
     * the bucket shuffle, same payload class as a minhash signature. */
   var MaxBitmapVocab: Int = 4096
 
+  /** Test hook: force the pure-Column fallback formulations even when the
+    * native kernels are registered on the session (lets one session
+    * cross-check both variants). */
+  var ForceFallback: Boolean = false
+
   /** Exact dedup: one surviving row per distinct value of `keyCols`, keeping
     * the row with the smallest `tieBreak` (deterministic, unlike
     * `dropDuplicates`, which keeps an arbitrary row per key).
@@ -68,10 +73,22 @@ object Dedup {
 
   // ───────────────────────── shared internals ─────────────────────────
 
+  private def nativeFnsAvailable(df: DataFrame): Boolean =
+    !ForceFallback &&
+      df.sparkSession.catalog.functionExists(graft.functions.TilePairs.ShingleName)
+
+  /** [[shingleHashes]] through the native kernel (bit-identical, ~10× less
+    * per-row overhead) when GraftExtensions is installed on the session. */
+  private def shingleHashesFor(df: DataFrame, text: Column, shingleSize: Int): Column =
+    if (nativeFnsAvailable(df))
+      call_function(graft.functions.TilePairs.ShingleName, text, lit(shingleSize))
+    else shingleHashes(text, shingleSize)
+
   /** (id, h) rows: one row per distinct shingle hash per doc. Docs shorter
     * than the shingle size vanish here (no shingles → no candidates). */
   private def explodedHashes(df: DataFrame, idCol: String, textCol: String, n: Int) =
-    df.select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("h"))
+    df.select(col(idCol).as("id"),
+      explode(shingleHashesFor(df, col(textCol), n)).as("h"))
 
   /** Side length of a pair-expansion tile (members per side). */
   private val BlockSize = 512
@@ -156,7 +173,8 @@ object Dedup {
         fnName, col("l"), col("r"), col("bi") === col("bj"), arg)).as("p"))
 
   private def nativeTilePairsAvailable(df: DataFrame): Boolean =
-    df.sparkSession.catalog.functionExists(graft.functions.TilePairs.JaccardName)
+    !ForceFallback &&
+      df.sparkSession.catalog.functionExists(graft.functions.TilePairs.JaccardName)
 
   /** Σ bit_count(a[i] & b[i]) — exact intersection size of two bitmap
     * arrays (same global dictionary). */
@@ -185,19 +203,57 @@ object Dedup {
     }
 
   /** ONE probe job deciding the verification strategy: collect the distinct
-    * shingle hashes when there are at most [[MaxBitmapVocab]] of them
-    * (partial distinct + limit MaxBitmapVocab+1 — the limit caps what can
-    * ever reach the driver), else None → general path. Replaces a separate
-    * approx-count job plus a distinct+window+count dictionary build. */
-  private def smallVocab(hashed: DataFrame): Option[Array[Long]] = {
+    * shingle hashes AND their document frequencies when there are at most
+    * [[MaxBitmapVocab]] of them (partial agg + limit MaxBitmapVocab+1 — the
+    * limit caps what can ever reach the driver), else None → general path.
+    * The driver-side frequencies also replace the freq-join + per-doc window
+    * the prefix filter otherwise needs. */
+  private def smallVocabFreq(hashed: DataFrame): Option[Array[(Long, Long)]] = {
     val probe = hashed
-      .select(col("h"))
-      .distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"))
       .limit(MaxBitmapVocab + 1)
       .collect()
-      .map(_.getLong(0))
-    if (probe.length <= MaxBitmapVocab) Some(probe.sorted) else None
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (probe.length <= MaxBitmapVocab) Some(probe) else None
   }
+
+  private def smallVocab(hashed: DataFrame): Option[Array[Long]] =
+    smallVocabFreq(hashed).map(_.map(_._1).sorted)
+
+  /** Driver-side dictionary over a small vocabulary: hashes sorted by value
+    * (for binary search), each position's bit RANK in global rarity order
+    * (freq asc, hash asc), and the per-rank frequency. Bit r of a bitmap =
+    * "doc contains the r-th rarest shingle", so a prefix filter is just the
+    * first k set bits. */
+  private case class RarityDict(
+      vocabSorted: Array[Long], rankOf: Array[Int], freqByRank: Array[Long]) {
+    def words: Int = (vocabSorted.length + 63) / 64
+  }
+
+  private def rarityDict(entries: Array[(Long, Long)]): RarityDict = {
+    val byRarity = entries.sortBy { case (h, n) => (n, h) }
+    val rankIndex = byRarity.iterator.zipWithIndex
+      .map { case ((h, _), r) => h -> r }.toMap
+    val vocabSorted = entries.map(_._1).sorted
+    RarityDict(vocabSorted, vocabSorted.map(rankIndex), byRarity.map(_._2))
+  }
+
+  /** Per-doc (id, sz, bm) through the native kernels: one narrow projection,
+    * no join, no shuffle. Docs with no shingles are dropped (as in the
+    * exploded formulation, where they produce no rows). */
+  private def nativeFeatures(
+      df: DataFrame, idCol: String, textCol: String, n: Int, d: RarityDict): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      shingleHashesFor(df, col(textCol), n).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(
+        col("id"),
+        size(col("gs")).cast("int").as("sz"),
+        call_function(graft.functions.TilePairs.BitmapName, col("gs"),
+          typedLit(d.vocabSorted.toSeq), typedLit(d.rankOf.toSeq)).as("bm"),
+        col("gs"))
 
   /** Tiny (h → 0-based idx) dictionary DataFrame from the collected
     * vocabulary — broadcast into the feature join. */
@@ -283,7 +339,7 @@ object Dedup {
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
     val sets = df
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("gs"))
+      .select(col(idCol).as("id"), shingleHashesFor(df, col(textCol), n).as("gs"))
       .join(broadcast(needed), "id")
     val a = sets.select(col("id").as("id_a"), col("gs").as("gs_a"))
     val b = sets.select(col("id").as("id_b"), col("gs").as("gs_b"))
@@ -301,31 +357,47 @@ object Dedup {
 
   // ───────────────────────── MinHash LSH ─────────────────────────
 
-  /** Per-doc minhash band hashes from one explode + one aggregate:
-    * all `numHashes` minhashes are `min(xxhash64(h, seed))` aggregates
-    * (long arithmetic only — the expensive string hashing happened once in
-    * [[shingleHashes]]), band hashes are projected directly off the agg
-    * columns. Returns (id, band, band_hash), plus the full signature array
-    * as a `sig` column when `withSig`. */
+  /** (id, sig): all `numHashes` minhashes per doc. Native path: one narrow
+    * projection through graft_minhash_sig — no explode, no aggregate, no
+    * shuffle. Fallback: explode + `min(xxhash64(h, k))` aggregates (long
+    * arithmetic only — the expensive string hashing happened once in
+    * [[shingleHashes]]). Bit-identical results. */
+  private def docSignatures(
+      df: DataFrame, idCol: String, textCol: String, n: Int, numHashes: Int): DataFrame =
+    if (nativeFnsAvailable(df))
+      df.select(col(idCol).as("id"), shingleHashesFor(df, col(textCol), n).as("gs"))
+        .filter(size(col("gs")) > 0)
+        .select(col("id"),
+          call_function(graft.functions.TilePairs.MinhashName,
+            col("gs"), lit(numHashes)).as("sig"))
+    else {
+      val hashed = explodedHashes(df, idCol, textCol, n)
+      val minAggs =
+        (0 until numHashes).map(k => min(xxhash64(col("h"), lit(k))).as(s"m$k"))
+      hashed.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+        .select(col("id"),
+          array((0 until numHashes).map(k => col(s"m$k")): _*).as("sig"))
+    }
+
+  /** Explode a (id, sig, <payload…>) frame into one row per LSH band:
+    * (id, <payload…>, band, band_hash); the band hash chains xxhash64 over
+    * the band's signature rows exactly like the aggregate formulation did. */
   private def bandedSignatures(
-      hashed: DataFrame,
+      sigDf: DataFrame,
       numHashes: Int,
       bands: Int,
-      withSig: Boolean): DataFrame = {
+      payload: Seq[String]): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val minAggs =
-      (0 until numHashes).map(k => min(xxhash64(col("h"), lit(k))).as(s"m$k"))
-    val sig = hashed.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
     val bandStructs = (0 until bands).map { b =>
-      val members = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"m$k"))
+      val members = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(k => element_at(col("sig"), k + 1))
       struct(lit(b).as("band"), xxhash64(members: _*).as("band_hash"))
     }
-    val payload =
-      if (withSig) Seq(array((0 until numHashes).map(k => col(s"m$k")): _*).as("sig"))
-      else Seq.empty
-    sig.select(Seq(col("id"), explode(array(bandStructs: _*)).as("bh")) ++ payload: _*)
-      .select(Seq(col("id"), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
-        ++ payload.map(_ => col("sig")): _*)
+    sigDf
+      .select((col("id") +: payload.map(col)) :+
+        explode(array(bandStructs: _*)).as("bh"): _*)
+      .select((col("id") +: payload.map(col)) ++
+        Seq(col("bh.band").as("band"), col("bh.band_hash").as("band_hash")): _*)
   }
 
   /** MinHash + LSH banding near-duplicate candidate pairs (ids only) — the
@@ -350,8 +422,8 @@ object Dedup {
       maxBucketSize: Int = 100000,
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val hashed = explodedHashes(df, idCol, textCol, shingleSize)
-    val banded = bandedSignatures(hashed, numHashes, bands, withSig = true)
+    val sigDf = docSignatures(df, idCol, textCol, shingleSize, numHashes)
+    val banded = bandedSignatures(sigDf, numHashes, bands, Seq("sig"))
     val estMin = math.ceil(estThreshold * numHashes).toInt
     val est: (Column, Column) => Column = (x, y) =>
       aggregate(
@@ -427,12 +499,23 @@ object Dedup {
   ): DataFrame = {
     val (idCol, textCol) = ("id", "text")
     val hashed = explodedHashes(df, idCol, textCol, n)
-    smallVocab(hashed) match { case Some(vocab) =>
-      val dict = dictionaryDf(df, vocab)
-      val words = (vocab.length + 63) / 64
-      val feats = bitmapFeatures(hashed, dict, words) // (id, sz, bm)
-      val banded = bandedSignatures(hashed, numHashes, bands, withSig = false)
-        .join(feats, "id")
+    smallVocabFreq(hashed) match { case Some(entries) =>
+      // (id, sz, bm, sig): native path is ONE narrow projection (shingle
+      // hashes → bitmap + minhash in the same kernel pass, no join, no agg
+      // shuffle); fallback joins the dictionary-aggregated bitmaps onto the
+      // min-aggregated signatures.
+      val words = rarityDict(entries).words
+      val sigd =
+        if (nativeFnsAvailable(df))
+          nativeFeatures(df, idCol, textCol, n, rarityDict(entries))
+            .select(col("id"), col("sz"), col("bm"),
+              call_function(graft.functions.TilePairs.MinhashName,
+                col("gs"), lit(numHashes)).as("sig"))
+        else {
+          val feats = bitmapFeatures(hashed, dictionaryDf(df, entries.map(_._1).sorted), words)
+          docSignatures(df, idCol, textCol, n, numHashes).join(feats, "id")
+        }
+      val banded = bandedSignatures(sigd, numHashes, bands, Seq("sz", "bm"))
       val buckets = banded
         .groupBy("band", "band_hash")
         .agg(sort_array(collect_list(struct(col("id"), col("sz"), col("bm")))).as("xs"))
@@ -582,43 +665,70 @@ object Dedup {
   ): DataFrame = {
     val (idCol, textCol) = ("id", "text")
     val hashed = explodedHashes(df, idCol, textCol, n)
-    val freq = hashed.groupBy("h").agg(count(lit(1)).as("gfreq"))
-    val byDoc = Window.partitionBy(col("id"))
-    val prefix = hashed
-      .join(freq, "h")
-      .filter(col("gfreq") <= maxShingleFreq)
-      .withColumn("sz", count(lit(1)).over(byDoc).cast("int"))
-      .withColumn("rn", row_number().over(byDoc.orderBy(col("gfreq").asc, col("h").asc)))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select("id", "sz", "h")
-    smallVocab(hashed) match { case Some(vocab) =>
-      val dict = dictionaryDf(df, vocab)
-      val words = (vocab.length + 63) / 64
-      val feats = bitmapFeatures(hashed, dict, words)
-      // true set size (and bitmap) from feats — the prefix frame's sz is the
-      // POST-stop-gram-cap posting count, fine for the prefix-length bound
-      // but not for the Jaccard denominator when the cap triggers
-      val buckets = prefix
-        .select("id", "h")
-        .join(feats.select(col("id"), col("sz"), col("bm")), "id")
-        .groupBy("h")
-        .agg(sort_array(collect_list(struct(col("id"), col("sz"), col("bm")))).as("xs"))
-        .filter(size(col("xs")) > 1)
-      val keys = Seq(col("h"))
-      val expanded =
-        if (nativeTilePairsAvailable(df))
-          expandBucketsNative(
-            buckets, keys, graft.functions.TilePairs.JaccardName, lit(threshold))
-        else
-          expandBuckets(
-            buckets, keys,
-            (x, y) => lengthCompatible(x, y, threshold) &&
-              bitmapJaccard(x, y, words) >= threshold,
-            (x, y) => struct(
-              x("id").as("a"), y("id").as("b"), bitmapJaccard(x, y, words).as("j")))
-      expanded
-        .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.j").as("jaccard"))
-        .dropDuplicates("id_a", "id_b")
+    // the general-vocabulary prefix frame: rarest `sz − ⌈t·sz⌉ + 1` shingles
+    // per doc via a freq join + per-doc window (only evaluated on that path)
+    def prefix = {
+      val freq = hashed.groupBy("h").agg(count(lit(1)).as("gfreq"))
+      val byDoc = Window.partitionBy(col("id"))
+      hashed
+        .join(freq, "h")
+        .filter(col("gfreq") <= maxShingleFreq)
+        .withColumn("sz", count(lit(1)).over(byDoc).cast("int"))
+        .withColumn("rn", row_number().over(byDoc.orderBy(col("gfreq").asc, col("h").asc)))
+        .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+        .select("id", "sz", "h")
+    }
+    smallVocabFreq(hashed) match { case Some(entries) =>
+      val d = rarityDict(entries)
+      val words = d.words
+      if (nativeFnsAvailable(df)) {
+        // Small-vocab native path: the vocabulary AND its frequencies are on
+        // the driver, so the prefix filter needs no freq join and no per-doc
+        // window — bit r of a doc's bitmap is its r-th rarest shingle, so
+        // the prefix is just the first k set bits (restricted to ranks under
+        // the stop-gram cap). One projection + one groupBy.
+        val eligible = d.freqByRank.count(_ <= maxShingleFreq)
+        if (eligible == 0)
+          return df.select(col("id").as("id_a"), col("id").as("id_b"),
+            lit(0.0).as("jaccard")).limit(0)
+        val feats = nativeFeatures(df, idCol, textCol, n, d).drop("gs")
+        val isSet = (i: Column) =>
+          call_function("shiftrightunsigned",
+            element_at(col("bm"), call_function("shiftright", i, lit(6)) + 1),
+            i.bitwiseAND(lit(63))).bitwiseAND(lit(1L)) === 1L
+        val kPrefix = (col("sz") - ceil(col("sz") * threshold).cast("int") + 1)
+        val buckets = feats
+          .withColumn("pid",
+            explode(slice(filter(sequence(lit(0), lit(eligible - 1)), isSet),
+              lit(1), kPrefix)))
+          .groupBy("pid")
+          .agg(sort_array(collect_list(struct(col("id"), col("sz"), col("bm")))).as("xs"))
+          .filter(size(col("xs")) > 1)
+        expandBucketsNative(
+          buckets, Seq(col("pid")), graft.functions.TilePairs.JaccardName, lit(threshold))
+          .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.j").as("jaccard"))
+          .dropDuplicates("id_a", "id_b")
+      } else {
+        val dict = dictionaryDf(df, entries.map(_._1).sorted)
+        val feats = bitmapFeatures(hashed, dict, words)
+        // true set size (and bitmap) from feats — the prefix frame's sz is the
+        // POST-stop-gram-cap posting count, fine for the prefix-length bound
+        // but not for the Jaccard denominator when the cap triggers
+        val buckets = prefix
+          .select("id", "h")
+          .join(feats.select(col("id"), col("sz"), col("bm")), "id")
+          .groupBy("h")
+          .agg(sort_array(collect_list(struct(col("id"), col("sz"), col("bm")))).as("xs"))
+          .filter(size(col("xs")) > 1)
+        expandBuckets(
+          buckets, Seq(col("h")),
+          (x, y) => lengthCompatible(x, y, threshold) &&
+            bitmapJaccard(x, y, words) >= threshold,
+          (x, y) => struct(
+            x("id").as("a"), y("id").as("b"), bitmapJaccard(x, y, words).as("j")))
+          .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.j").as("jaccard"))
+          .dropDuplicates("id_a", "id_b")
+      }
     case None =>
       val a = prefix.select(col("id").as("id_a"), col("sz").as("sz_a"), col("h"))
       val b = prefix.select(col("id").as("id_b"), col("sz").as("sz_b"), col("h"))

@@ -2,7 +2,6 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.transformers._
 
 /** Scratch timing harness for digging into a single query's phases. */
 object TimeQuery {
@@ -17,20 +16,34 @@ object TimeQuery {
     val dir = "/root/testdata/sf0.1"
     def t(label: String)(body: => Any): Unit = {
       val t0 = System.nanoTime()
-      body
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val r = body
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2fs -> $r")
     }
-    val base = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
-    t("warm count")(base.count())
-    val enc = new MeanEncoder(Seq("l_returnflag"), "l_quantity")
-    t("fit")(enc.fit(base))
-    val out = enc.transform(base)
-    t("transform+count")(out.count())
-    t("again count")(out.count())
-    val enc2 = new WoEEncoder(Seq("l_returnflag"), "l_quantity")
-    t("woe fit")(enc2.fit(base))
-    t("woe transform+count")(enc2.transform(base).count())
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = d.unionByName(
+      d.filter(col("doc_id") % 5 === 0).withColumn("doc_id", col("doc_id") + 10000))
+    t("warm")(docs.count())
+    // corpus shape: docs, distinct texts, distinct shingle-sets
+    val reps = docs.groupBy("text").agg(min("doc_id").as("id"))
+    t("distinct texts")(reps.count())
+    val sets = reps.select(col("id"),
+      sort_array(graft.ops.Dedup.shingleHashes(col("text"), 3)).as("gs"))
+    t("distinct shingle-sets")(sets.groupBy("gs").count().count())
+    t("set-size stats")(sets.agg(min(size(col("gs"))), avg(size(col("gs"))),
+      max(size(col("gs")))).head())
+    // phase timings of the ngram bitmap path
+    val hashed = reps.select(col("id"),
+      explode(graft.ops.Dedup.shingleHashes(col("text"), 3)).as("h"))
+    t("phase explode+distinct-probe")(
+      hashed.select("h").distinct().limit(4097).count())
+    t("phase freq groupBy")(hashed.groupBy("h").count().count())
+    t("phase bitmap feats")(hashed.groupBy("id").agg(count(lit(1))).count())
+    t("ngramJaccardPairs")(
+      graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
+    t("ngramJaccardPairs again")(
+      graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
+    t("minhashDedupPairs")(
+      graft.ops.Dedup.minhashDedupPairs(docs, "doc_id", "text").count())
     spark.stop()
   }
 }

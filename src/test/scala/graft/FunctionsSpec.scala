@@ -71,6 +71,42 @@ class FunctionsSpec extends SparkSpec {
       .isAssignableFrom(classOf[graft.functions.DotProduct]) shouldBe false
   }
 
+  test("graft_shingle_hashes matches the HOF formulation bit-for-bit") {
+    val df = Seq(
+      "the quick brown fox", "ab", "", "aaaa",
+      "naïve café — ünïcode ½ text", "abcabcabc").toDF("t")
+    val rows = df.select(
+      call_function(TilePairs.ShingleName, $"t", lit(3)).as("native"),
+      graft.ops.Dedup.shingleHashes($"t", 3).as("hof")).collect()
+    rows.foreach { r =>
+      r.getSeq[Long](0) shouldBe r.getSeq[Long](1) // same values, same order
+    }
+  }
+
+  test("graft_minhash_sig matches the min(xxhash64(h, k)) aggregate bit-for-bit") {
+    val df = Seq("the quick brown fox", "jumps over the lazy dog").toDF("t")
+      .withColumn("id", monotonically_increasing_id())
+    val native = df.select($"id",
+      call_function(TilePairs.MinhashName,
+        call_function(TilePairs.ShingleName, $"t", lit(3)), lit(8)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val exploded = df.select($"id",
+      explode(graft.ops.Dedup.shingleHashes($"t", 3)).as("h"))
+    val aggs = (0 until 8).map(k => min(xxhash64($"h", lit(k))).as(s"m$k"))
+    val agg = exploded.groupBy($"id").agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong(_)).toSeq).toMap
+    agg.foreach { case (id, sig) => native(id) shouldBe sig }
+  }
+
+  test("graft_bitmap sets exactly the rank bits of present vocab hashes") {
+    // vocab sorted by value {10,20,30}; ranks {2,0,1}: h=10→bit2, 20→bit0, 30→bit1
+    val out = Seq(Seq(10L, 30L, 999L)).toDF("gs")
+      .select(call_function(TilePairs.BitmapName, $"gs",
+        typedLit(Seq(10L, 20L, 30L)), typedLit(Seq(2, 0, 1))).as("bm"))
+      .head().getSeq[Long](0)
+    out shouldBe Seq((1L << 2) | (1L << 1)) // 999 ignored
+  }
+
   test("graft_hamming_tile_pairs: pairs within the Hamming radius") {
     val xs = "array(named_struct('id', 1L, 'sh', 0L), " +
       "named_struct('id', 2L, 'sh', 3L), named_struct('id', 3L, 'sh', -1L))"

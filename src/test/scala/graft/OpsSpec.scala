@@ -73,6 +73,24 @@ class OpsSpec extends SparkSpec {
     general shouldBe bitmap
   }
 
+  test("native-kernel and pure-Column fallback pipelines agree on real documents") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val real = d.unionByName(
+      d.filter($"doc_id" % 5 === 0).withColumn("doc_id", $"doc_id" + 10000))
+    def run(op: => org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      op.orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def both(op: => org.apache.spark.sql.DataFrame): Unit = {
+      val native = run(op)
+      val fallback = try { Dedup.ForceFallback = true; run(op) }
+      finally Dedup.ForceFallback = false
+      native should not be empty
+      fallback shouldBe native
+    }
+    both(Dedup.minhashDedupPairs(real, "doc_id", "text"))
+    both(Dedup.ngramJaccardPairs(real, "doc_id", "text"))
+  }
+
   test("Dedup.ngramJaccardPairs computes exact jaccard on hand value") {
     // "abcdef" grams {abc,bcd,cde,def}; "abcdefg" adds {efg}: 4/5 = 0.8
     val two = Seq((1L, "abcdef"), (2L, "abcdefg")).toDF("doc_id", "text")
