@@ -17,7 +17,7 @@ import graft.errors.FeatureFactoryException._
   * "Numeric" in the reference's selection module means exactly Float64
   * (feature_selection.rs:38-40); we mirror that as Double/Float columns.
   */
-private[transformers] object SelectionUtil {
+private[graft] object SelectionUtil {
   def isNumericField(f: StructField): Boolean = f.dataType match {
     case DoubleType | FloatType => true
     case _ => false
@@ -25,6 +25,52 @@ private[transformers] object SelectionUtil {
 
   def numericCols(df: DataFrame): Seq[String] =
     df.schema.fields.filter(isNumericField).map(_.name).toSeq
+
+  /** Distinct-value cap for the histogram fast path of [[nearestRankAll]]:
+    * up to this many (column, value) rows are collected per column. */
+  var MaxHistogramValues: Int = 100000
+
+  /** Nearest-rank values (`sorted[round((n-1)*f)]`) for MANY columns and
+    * fractions from ONE Spark job: melt the columns to (feature, value)
+    * rows, aggregate per-value counts, and walk the cumulative counts on
+    * the driver — exact, and cheap whenever the value distribution is
+    * compressible (the common case for bounded/discretized features).
+    * Columns whose distinct-value count exceeds [[MaxHistogramValues]] fall
+    * back to the distributed sort path of [[nearestRank]] (a window caps
+    * what can reach the driver, so oversized histograms never collect). */
+  def nearestRankAll(
+      df: DataFrame, cols: Seq[String], fractions: Seq[Double]): Map[String, Seq[Double]] = {
+    if (cols.isEmpty) return Map.empty
+    import org.apache.spark.sql.expressions.Window
+    val melted = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("f"), col(c).cast("double").as("v"))): _*)).as("fv"))
+      .select(col("fv.f").as("f"), col("fv.v").as("v"))
+      .filter(col("v").isNotNull)
+    val hist = melted.groupBy("f", "v").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window.partitionBy("f").orderBy("v")))
+      .filter(col("rk") <= MaxHistogramValues + 1)
+      .collect()
+      .groupBy(_.getString(0))
+    cols.flatMap { c =>
+      hist.get(c) match {
+        case None => Some(c -> Seq.empty[Double]) // all-null / empty column
+        case Some(rows) if rows.length > MaxHistogramValues =>
+          Some(c -> nearestRank(df, c, fractions))
+        case Some(rows) =>
+          val byValue = rows.map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+          val n = byValue.map(_._2).sum
+          val values = fractions.map { f =>
+            val target = math.round((n - 1).toDouble * f) // 0-based rank
+            var cum = 0L
+            var i = 0
+            while (cum + byValue(i)._2 <= target) { cum += byValue(i)._2; i += 1 }
+            byValue(i)._1
+          }
+          Some(c -> values)
+      }
+    }.toMap
+  }
 
   /** Values at nearest-rank indices of the sorted non-null column — the
     * reference's `sorted[round((n-1)*i/k)]` decile/median idiom
@@ -292,14 +338,11 @@ class DropHighPSIFeatures(val reference: DataFrame, val psiThreshold: Double)
   override def fit(df: DataFrame): this.type = {
     val cols = SelectionUtil.numericCols(df)
     if (cols.isEmpty) { fitted = true; return this }
-    // one agg job on the reference frame: every column's non-null count,
-    // reused by nearestRank (skips its per-column count scan)
-    val refTotRow = reference
-      .agg(count(col(cols.head)), cols.tail.map(c => count(col(c))): _*).head()
-    val refN = cols.zipWithIndex.map { case (c, i) => c -> refTotRow.getLong(i) }.toMap
-    val binsByCol = cols.map { c =>
-      c -> SelectionUtil.nearestRank(reference, c, (0 to 10).map(_ / 10.0), Some(refN(c)))
-    }.toMap.filter(_._2.nonEmpty)
+    // every column's decile boundaries from ONE histogram job on the
+    // reference frame
+    val binsByCol = SelectionUtil
+      .nearestRankAll(reference, cols, (0 to 10).map(_ / 10.0))
+      .filter(_._2.nonEmpty)
     val (refCounts, refTotals) = binCountsAndTotals(reference, binsByCol)
     val (curCounts, curTotals) = binCountsAndTotals(df, binsByCol)
     dropColumns = binsByCol.keys.filter { c =>
@@ -353,9 +396,9 @@ class SelectByInformationValue(val target: String, val ivThreshold: Double)
       f.name != target && f.dataType == StringType).map(_.name).toSeq
 
     if (numeric.nonEmpty) {
-      val binsByCol = numeric.map { c =>
-        c -> SelectionUtil.nearestRank(df, c, (0 to 10).map(_ / 10.0))
-      }.toMap.filter(_._2.nonEmpty)
+      val binsByCol = SelectionUtil
+        .nearestRankAll(df, numeric, (0 to 10).map(_ / 10.0))
+        .filter(_._2.nonEmpty)
       val aggs = binsByCol.toSeq.flatMap { case (c, bins) =>
         bins.sliding(2).flatMap { pair =>
           val inBin = col(c) >= lit(pair(0)) && col(c) < lit(pair(1))
@@ -443,9 +486,8 @@ class SelectByTargetMeanPerformance(val target: String, val meanDiffThreshold: D
     val t = col(target).cast("double")
     val feats = df.schema.fields
       .filter(f => f.name != target && SelectionUtil.isNumericField(f)).map(_.name).toSeq
-    val medians = feats.flatMap { c =>
-      SelectionUtil.nearestRank(df, c, Seq(0.5)).headOption.map(c -> _)
-    }.toMap
+    val medians = SelectionUtil.nearestRankAll(df, feats, Seq(0.5))
+      .flatMap { case (c, vs) => vs.headOption.map(c -> _) }
     val present = feats.filter(medians.contains)
     if (present.nonEmpty) {
       val aggs = present.flatMap { c =>

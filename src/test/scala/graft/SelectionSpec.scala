@@ -122,4 +122,24 @@ class SelectionSpec extends SparkSpec {
     a[FitNotCalled] should be thrownBy new DropConstantFeatures(0.0, 0).transform(selDf)
     a[FitNotCalled] should be thrownBy new MRMR("target", 0.1, 0.9).transform(tgtDf)
   }
+
+  test("nearestRankAll histogram path matches the sort path on real data") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_quantity"), col("l_extendedprice"),
+        when(col("l_orderkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("l_discount")).as("disc_nulls"))
+    val cols = Seq("l_quantity", "l_extendedprice", "disc_nulls")
+    val fractions = (0 to 10).map(_ / 10.0)
+    val hist = SelectionUtil.nearestRankAll(df, cols, fractions)
+    val sorted = cols.map(c => c -> SelectionUtil.nearestRank(df, c, fractions)).toMap
+    hist shouldBe sorted
+    // capped columns fall back to the sort path and still agree
+    val saved = SelectionUtil.MaxHistogramValues
+    val capped = try {
+      SelectionUtil.MaxHistogramValues = 10 // l_extendedprice has far more
+      SelectionUtil.nearestRankAll(df, cols, fractions)
+    } finally SelectionUtil.MaxHistogramValues = saved
+    capped shouldBe sorted
+  }
 }
