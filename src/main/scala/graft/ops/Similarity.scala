@@ -128,11 +128,15 @@ object Similarity {
   ): Seq[Seq[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feats = df.select(array_to_vector(col(embCol)).as("features"))
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
-      .fit(feats)
-    model.clusterCenters.map(_.toArray.toSeq).toSeq
+    // cache for the duration of training: kmeans|| makes maxIter+2 passes,
+    // and without this each pass re-reads parquet and re-builds the vectors
+    val feats = df.select(array_to_vector(col(embCol)).as("features")).cache()
+    try {
+      val model = new KMeans()
+        .setK(nlist).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
+        .fit(feats)
+      model.clusterCenters.map(_.toArray.toSeq).toSeq
+    } finally feats.unpersist()
   }
 
   /** Nearest-centroid cell id (ties by cell id): the argmin over per-cell
