@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Relational, Sampling, Similarity, TextOps}
 import graft.streaming.StreamingOps
 import graft.transformers._
 
@@ -420,6 +420,43 @@ object SparkEntry {
         col("doc_id").as("id"), Dedup.simhash(col("text")).as("sh"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithDups(s, dir), "doc_id", "text")),
+    // Near-dup pairs → connected components → one cluster id (min member)
+    // per doc: the step that picks a single representative per duplicate
+    // cluster. The oracle recomputes the same components with a recursive
+    // CTE over the true-Jaccard pair graph.
+    "dedup_cluster" -> ((s, dir) => {
+      val docs = docsWithDups(s, dir)
+      Dedup.duplicateClusters(
+        docs, "doc_id",
+        Dedup.minhashDedupPairs(docs, "doc_id", "text").select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+    // Point-in-time enrichment: each purchase event joined to the user's
+    // latest preceding (ts ≤) view event — the classic as-of join, run as a
+    // tagged union + running last() window (no range join; see
+    // Relational.asofJoin). DuckDB has native ASOF JOIN for the oracle.
+    "asof_join" -> ((s, dir) => {
+      val e = rtEvents(s, dir)
+      Relational.asofJoin(
+        e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        e.filter(col("event_type") === "view")
+          .select("user_id", "ts", "value"),
+        Seq("user_id"), "ts", Seq("ts", "value"), "_view")
+    }),
+    // Deterministic id-hash sampling (engine-portable modular arithmetic —
+    // the oracle recomputes membership exactly).
+    "sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(rt(s, dir, "documents"), "doc_id", 20)
+        .select("doc_id", "lang", "source", "n_chars")),
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(rt(s, dir, "documents"), "lang", "doc_id", 10)
+        .select("doc_id", "lang")),
+    // Grouped top-k selection ("best k docs per language").
+    "text_topk_per_lang" -> ((s, dir) =>
+      Relational.topKPerGroup(
+        rt(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        Seq("lang"), Seq(col("n_chars").desc, col("doc_id").asc), 5)),
     "text_token_count" -> ((s, dir) =>
       rt(s, dir, "documents").select(
         col("doc_id"),
@@ -750,6 +787,44 @@ object SparkEntry {
          |FROM u GROUP BY text, lang, source, n_chars""".stripMargin,
     "dedup_minhash" -> ngramJaccardOracleSql,
     "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
+    // Connected components by recursive closure: walk(id, lbl) enumerates
+    // every (node, label of a node reachable from it); min per node = the
+    // smallest id in its component. Pair graph = the same true-Jaccard ≥ 0.8
+    // oracle the pairwise dedup queries verify against.
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE
+         | u AS ($docsWithDupsSql),
+         | pairs AS ($ngramJaccardOracleSql),
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |           UNION ALL SELECT id_b, id_a FROM pairs),
+         | walk(id, lbl) AS (
+         |   SELECT doc_id, doc_id FROM u
+         |   UNION
+         |   SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id""".stripMargin,
+    "asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts, l.value,
+        |       r.ts AS ts_view, r.value AS value_view
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "sample_hash" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 100 < 20""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang ORDER BY
+        |           ((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647,
+        |           doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin,
+    "text_topk_per_lang" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5""".stripMargin,
     // Verifies the chunk-collision candidate generation + exact Hamming
     // filter over the Spark-exported signature table (dumped by the
     // dedup_simhash_sig query; {GRAFT_OUT} is substituted with the dump

@@ -542,6 +542,57 @@ object Dedup {
     }
   }
 
+  // ───────────────────── duplicate-cluster assignment ─────────────────────
+
+  /** Iteration cap for [[duplicateClusters]] — pointer jumping halves the
+    * forest depth each round, so 50 covers any graph that fits on disk. */
+  var MaxClusterIters: Int = 50
+
+  /** Connected components over a duplicate-pair graph: one row per id of
+    * `df` with `cluster_id` = the smallest id in its component (singletons
+    * cluster to themselves) — the step that turns pairwise near-dup output
+    * into "keep one representative per duplicate cluster".
+    *
+    * Pregel-style label propagation: each round takes the min label over
+    * graph neighbors (one join + partial-agg groupBy) and then POINTER-JUMPS
+    * (label := label of label, one self-join) so chains collapse in
+    * O(log diameter) rounds instead of O(diameter). Every round materializes
+    * via `localCheckpoint` — truncated lineage, each label table used twice
+    * without recomputation; only the per-round change COUNT reaches the
+    * driver. Duplicate graphs are near-cliques, so this converges in 2-3
+    * rounds in practice.
+    */
+  def duplicateClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = df.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < MaxClusterIters) {
+      iter += 1
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("dl")), "dst")
+        .groupBy(col("src"))
+        .agg(min(col("dl")).as("nl"))
+      val stepped = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id"))).as("cluster_id"),
+          col("cluster_id").as("prev"))
+      val ptr = stepped.select(col("id").as("jid"), col("cluster_id").as("jl"))
+      val jumped = stepped
+        .join(ptr, col("cluster_id") === col("jid"))
+        .select(col("id"), col("jl").as("cluster_id"), col("prev"))
+        .localCheckpoint()
+      changed = jumped.filter(col("cluster_id") =!= col("prev")).count()
+      labels = jumped.select("id", "cluster_id")
+    }
+    labels
+  }
+
   // ───────────────────────── SimHash ─────────────────────────
 
   /** 64-bit SimHash over whitespace tokens: per bit, tokens vote +1/−1 by

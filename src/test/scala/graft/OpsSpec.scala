@@ -91,6 +91,55 @@ class OpsSpec extends SparkSpec {
     both(Dedup.ngramJaccardPairs(real, "doc_id", "text"))
   }
 
+  test("Dedup.duplicateClusters: chains collapse to min-id components") {
+    val ids = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
+    // component {1,2,3,4} via a chain, {5,6} via one pair, 7 singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L)
+  }
+
+  test("Relational.asofJoin picks the latest right row at or before each left ts") {
+    val l = Seq((1L, 10L, 100L, "p1"), (1L, 20L, 101L, "p2"), (2L, 5L, 102L, "p3"))
+      .toDF("user", "ts", "eid", "tag")
+    val r = Seq((1L, 10L, 0.5), (1L, 15L, 0.7), (2L, 9L, 0.9))
+      .toDF("user", "ts", "v")
+    val out = Relational.asofJoin(l, r, Seq("user"), "ts", Seq("ts", "v"), "_r")
+      .orderBy("eid").collect()
+    // p1: equal-ts right row matches (≤ semantics); p2: latest is ts 15;
+    // p3: no right row at or before ts 5 → nulls
+    out(0).getLong(out(0).fieldIndex("ts_r")) shouldBe 10L
+    out(0).getDouble(out(0).fieldIndex("v_r")) shouldBe 0.5
+    out(1).getLong(out(1).fieldIndex("ts_r")) shouldBe 15L
+    out(1).getDouble(out(1).fieldIndex("v_r")) shouldBe 0.7
+    out(2).isNullAt(out(2).fieldIndex("ts_r")) shouldBe true
+    out(2).isNullAt(out(2).fieldIndex("v_r")) shouldBe true
+  }
+
+  test("Relational.topKPerGroup keeps k rows per key in order") {
+    val df = Seq(("a", 1L, 10), ("a", 2L, 30), ("a", 3L, 20), ("b", 4L, 5))
+      .toDF("k", "id", "score")
+    val out = Relational.topKPerGroup(
+      df, Seq("k"), Seq($"score".desc, $"id".asc), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    out shouldBe Set(("a", 2L), ("a", 3L), ("b", 4L))
+  }
+
+  test("Sampling is deterministic and stratified counts are capped") {
+    val df = (1L to 1000L).map(i => (i, (i % 3).toString)).toDF("id", "k")
+    val s1 = Sampling.hashSample(df, "id", 20).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(df, "id", 20).collect().map(_.getLong(0)).toSet
+    s1 shouldBe s2
+    s1.size should (be > 120 and be < 280) // ~20% of 1000
+    // 0% and 100% edges
+    Sampling.hashSample(df, "id", 0).count() shouldBe 0
+    Sampling.hashSample(df, "id", 100).count() shouldBe 1000
+    val strat = Sampling.stratifiedSample(df, "k", "id", 7)
+      .groupBy("k").count().collect().map(_.getLong(1))
+    strat.foreach(_ shouldBe 7L)
+  }
+
   test("Dedup.ngramJaccardPairs computes exact jaccard on hand value") {
     // "abcdef" grams {abc,bcd,cde,def}; "abcdefg" adds {efg}: 4/5 = 0.8
     val two = Seq((1L, "abcdef"), (2L, "abcdefg")).toDF("doc_id", "text")
