@@ -415,9 +415,10 @@ object SparkEntry {
     // chunk-collision + Hamming pair logic in DuckDB over THIS table (the
     // signatures themselves are engine-side xxhash64 math with no SQL
     // equivalent; the pair logic is what the oracle can and does verify).
-    "dedup_simhash_sig" -> ((s, dir) =>
-      docsWithDups(s, dir).select(
-        col("doc_id").as("id"), Dedup.simhash(col("text")).as("sh"))),
+    "dedup_simhash_sig" -> ((s, dir) => {
+      val docs = docsWithDups(s, dir)
+      docs.select(col("doc_id").as("id"), Dedup.simhashFor(docs, col("text")).as("sh"))
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithDups(s, dir), "doc_id", "text")),
     // Near-dup pairs → connected components → one cluster id (min member)

@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 3, s"${TilePairs.BitmapName} expects 3 arguments")
       BitmapOfSet(args(0), args(1), args(2))
     }))
+    ext.injectFunction(fn(TilePairs.SimhashName, { args =>
+      require(args.length == 1, s"${TilePairs.SimhashName} expects 1 argument")
+      SimHash64(args(0))
+    }))
   }
 }

@@ -82,6 +82,60 @@ case class ShingleHashes(child: Expression, shingleSize: Expression)
     copy(child = newChildren(0), shingleSize = newChildren(1))
 }
 
+/** graft_simhash(text): 64-bit SimHash over lowercased whitespace tokens —
+  * bit-identical to the `aggregate(zip_with(...))` vote fold it replaces
+  * (same UTF8String lowercase/split, same xxhash64 per token, same +1/−1
+  * vote per bit, sign → bit). One primitive loop per row instead of an
+  * interpreted 64-counter array fold per token. */
+case class SimHash64(child: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_simhash expects a string input")
+
+  private val ws = UTF8String.fromString("\\s+")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val s = child.eval(input).asInstanceOf[UTF8String]
+    if (s == null) return null
+    val votes = new Array[Int](64)
+    val tokens = s.toLowerCase.split(ws, -1)
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      if (t.numBytes() > 0) {
+        val h = XXH64.hashUTF8String(t, TextHashes.Seed)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
 /** graft_minhash_sig(hashes, k): the k minhashes of a hashed shingle set —
   * element j = min over h of xxhash64(h, j) — bit-identical to the
   * `min(xxhash64(col("h"), lit(j)))` aggregate formulation (hashInt(j,

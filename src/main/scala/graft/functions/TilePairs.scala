@@ -25,6 +25,7 @@ object TilePairs {
   val ShingleName = "graft_shingle_hashes"
   val MinhashName = "graft_minhash_sig"
   val BitmapName = "graft_bitmap"
+  val SimhashName = "graft_simhash"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

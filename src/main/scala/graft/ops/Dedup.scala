@@ -602,6 +602,13 @@ object Dedup {
     * array accumulator (the naive form — 64 separate folds — re-evaluates
     * the tokenization per bit and is 64× the work). Pure expression, no
     * shuffle. */
+  /** [[simhash]] through the native kernel (bit-identical) when
+    * GraftExtensions is installed on the session. */
+  def simhashFor(df: DataFrame, text: Column): Column =
+    if (nativeFnsAvailable(df))
+      call_function(graft.functions.TilePairs.SimhashName, text)
+    else simhash(text)
+
   def simhash(text: Column): Column = {
     val hashes = transform(
       filter(split(lower(text), "\\s+"), t => t =!= ""),
@@ -640,7 +647,7 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 100000,
   ): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val sh = df.select(col(idCol).as("id"), simhashFor(df, col(textCol)).as("sh"))
     val hamming: (Column, Column) => Column =
       (x, y) => bit_count(x("sh").bitwiseXOR(y("sh")))
     val buckets = sh

@@ -98,6 +98,19 @@ class FunctionsSpec extends SparkSpec {
     agg.foreach { case (id, sig) => native(id) shouldBe sig }
   }
 
+  test("graft_simhash matches the HOF vote fold bit-for-bit") {
+    val df = Seq(
+      Option("The quick  Brown fox"), Option(" leading space"), Option(""),
+      Option("naïve CAFÉ tokens ½"), None).toDF("t")
+    val rows = df.select(
+      call_function(TilePairs.SimhashName, $"t").as("native"),
+      graft.ops.Dedup.simhash($"t").as("hof")).collect()
+    rows.foreach { r =>
+      r.isNullAt(0) shouldBe r.isNullAt(1)
+      if (!r.isNullAt(0)) r.getLong(0) shouldBe r.getLong(1)
+    }
+  }
+
   test("graft_bitmap sets exactly the rank bits of present vocab hashes") {
     // vocab sorted by value {10,20,30}; ranks {2,0,1}: h=10→bit2, 20→bit0, 30→bit1
     val out = Seq(Seq(10L, 30L, 999L)).toDF("gs")
