@@ -63,4 +63,41 @@ class PlanSpec extends SparkSpec {
     val plan = formatted(enc.fitTransform(part))
     plan should include("BroadcastHashJoin")
   }
+
+  test("asofJoin plans as one key shuffle + window, filters pushed to both scans") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("event_id")) // any orderable column works
+    val out = graft.ops.Relational.asofJoin(
+      e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value"),
+      e.filter(col("event_type") === "view").select("user_id", "ts", "value"),
+      Seq("user_id"), "ts", Seq("value"), "_view")
+    val plan = formatted(out)
+    // the window's hash partition is the ONLY exchange — no range join
+    "\\(\\d+\\) Exchange".r.findAllIn(plan).size shouldBe 1
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    plan should include("EqualTo(event_type,purchase)")
+    plan should include("EqualTo(event_type,view)")
+  }
+
+  test("topKPerGroup prunes map-side before the shuffle (WindowGroupLimit)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val out = graft.ops.Relational.topKPerGroup(
+      docs, Seq("lang"), Seq(col("n_chars").desc, col("doc_id").asc), 5)
+    // partial + final WindowGroupLimit (one below the exchange) = each task
+    // keeps only its local top-k before shuffling — the property that makes
+    // grouped top-k scale
+    val limits = out.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    limits should have size 2
+  }
+
+  test("hashSample is a pure narrow filter — no shuffle") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.ops.Sampling.hashSample(docs, "doc_id", 20)
+    formatted(out) should not include "Exchange"
+  }
 }
