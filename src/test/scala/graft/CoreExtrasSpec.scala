@@ -41,6 +41,52 @@ class CoreExtrasSpec extends SparkSpec {
     df.schema("a").dataType shouldBe org.apache.spark.sql.types.IntegerType
   }
 
+  test("Writer round-trips partitioned parquet with partition pruning, rejects unknown formats") {
+    import graft.sources.Writer
+    val dir = java.nio.file.Files.createTempDirectory("graft_w").toString + "/docs.parquet"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    Writer.save(docs, dir, partitionBy = Seq("lang"))
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe docs.count()
+    // a lang filter becomes a PartitionFilter — only matching dirs scanned
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out))(
+      back.filter(col("lang") === "en").explain("formatted"))
+    out.toString should include regex "PartitionFilters: \\[.*lang.*\\]"
+    intercept[UnsupportedFormat](Writer.save(docs, "/tmp/out.json"))
+  }
+
+  test("Writer.writeBucketed: same-bucketing join plans with no shuffle") {
+    import graft.sources.Writer
+    val tmp = java.nio.file.Files.createTempDirectory("graft_b")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    try {
+      Writer.writeBucketed(docs, "graft_b1", Seq("doc_id"), 4,
+        path = Some(s"$tmp/b1"))
+      Writer.writeBucketed(docs.withColumnRenamed("n_chars", "nc2"), "graft_b2",
+        Seq("doc_id"), 4, path = Some(s"$tmp/b2"))
+      // suppress broadcast (these test tables are tiny) so the plan shows
+      // what happens at scale: a sort-merge join over co-located buckets
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val plan = try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = spark.table("graft_b1")
+          .join(spark.table("graft_b2").select("doc_id", "nc2"), "doc_id")
+        val out = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(out))(joined.explain("formatted"))
+        joined.count() shouldBe docs.count()
+        out.toString
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange" // co-located: bucketing replaces the shuffle
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_b1")
+      spark.sql("DROP TABLE IF EXISTS graft_b2")
+    }
+  }
+
   test("Pipeline wraps engine failures as EngineError with cause preserved") {
     val df = Seq((1.0, 2.0)).toDF("a", "b")
     // MathFeatures referencing a nonexistent column → AnalysisException
