@@ -425,13 +425,8 @@ object SparkEntry {
     // per doc: the step that picks a single representative per duplicate
     // cluster. The oracle recomputes the same components with a recursive
     // CTE over the true-Jaccard pair graph.
-    "dedup_cluster" -> ((s, dir) => {
-      val docs = docsWithDups(s, dir)
-      Dedup.duplicateClusters(
-        docs, "doc_id",
-        Dedup.minhashDedupPairs(docs, "doc_id", "text").select("id_a", "id_b"))
-        .select(col("id").as("doc_id"), col("cluster_id"))
-    }),
+    "dedup_cluster" -> ((s, dir) =>
+      Dedup.duplicateClustersByText(docsWithDups(s, dir), "doc_id", "text")),
     // Point-in-time enrichment: each purchase event joined to the user's
     // latest preceding (ts ≤) view event — the classic as-of join, run as a
     // tagged union + running last() window (no range join; see

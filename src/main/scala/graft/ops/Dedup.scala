@@ -593,6 +593,39 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dup clustering from text: collapse exact duplicates
+    * first ([[dupGroups]]), run MinHash pair generation + connected
+    * components over one REPRESENTATIVE per distinct text, then assign every
+    * group member its representative's cluster. Equivalent to
+    * `duplicateClusters(df, id, minhashDedupPairs(df, …))` — identical texts
+    * are connected through their representative, and each group's
+    * representative is its min id, so the component minimum is unchanged —
+    * but the pair expansion back over group members and the k² within-group
+    * pairs never happen, and the CC graph shrinks by the duplication factor
+    * (the dominant cost on dup-heavy corpora). */
+  def duplicateClustersByText(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 100000,
+  ): DataFrame = {
+    val groups = dupGroups(df, idCol, textCol)
+    val reps = groups.select(col("ids").getItem(0).as("id"), col("text"))
+    val repPairs = minhashDedupPairsDistinct(
+      reps, n, numHashes, bands, threshold, maxBucketSize)
+      .select("id_a", "id_b")
+    val repLabels = duplicateClusters(reps.select("id"), "id", repPairs)
+      .select(col("id").as("__graft_rep"), col("cluster_id"))
+    groups
+      .select(col("ids").getItem(0).as("__graft_rep"), explode(col("ids")).as(idCol))
+      .join(repLabels, "__graft_rep")
+      .select(col(idCol), col("cluster_id"))
+  }
+
   // ───────────────────────── SimHash ─────────────────────────
 
   /** 64-bit SimHash over whitespace tokens: per bit, tokens vote +1/−1 by

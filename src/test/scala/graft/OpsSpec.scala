@@ -100,6 +100,20 @@ class OpsSpec extends SparkSpec {
     out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L)
   }
 
+  test("duplicateClustersByText equals generic CC over the full pair graph") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val real = d.unionByName(
+      d.filter($"doc_id" % 5 === 0).withColumn("doc_id", $"doc_id" + 10000))
+    val fast = Dedup.duplicateClustersByText(real, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val generic = Dedup.duplicateClusters(
+      real.select("doc_id"), "doc_id",
+      Dedup.minhashDedupPairs(real, "doc_id", "text").select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fast shouldBe generic
+    fast.values.toSet.size should be < fast.size // some real clusters formed
+  }
+
   test("Relational.asofJoin picks the latest right row at or before each left ts") {
     val l = Seq((1L, 10L, 100L, "p1"), (1L, 20L, 101L, "p2"), (2L, 5L, 102L, "p3"))
       .toDF("user", "ts", "eid", "tag")
