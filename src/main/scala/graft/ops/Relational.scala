@@ -34,6 +34,8 @@ object Relational {
       payloadCols: Seq[String],
       suffix: String = "_right",
   ): DataFrame = {
+    graft.core.Validators.requireColumns(left, keyCols :+ tsCol)
+    graft.core.Validators.requireColumns(right, (keyCols :+ tsCol) ++ payloadCols)
     val payloadOut = payloadCols.map(_ + suffix)
     val l = left.select(
       left.columns.map(col).toSeq ++
@@ -64,9 +66,12 @@ object Relational {
       keyCols: Seq[String],
       order: Seq[Column],
       k: Int,
-  ): DataFrame =
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    graft.core.Validators.requireColumns(df, keyCols)
     df.withColumn("__graft_rn",
       row_number().over(Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)))
       .filter(col("__graft_rn") <= k)
       .drop("__graft_rn")
+  }
 }

@@ -32,6 +32,7 @@ object Sampling {
     * past column pruning). */
   def hashSample(df: DataFrame, idCol: String, percent: Int): DataFrame = {
     require(percent >= 0 && percent <= 100, "percent must be in [0, 100]")
+    graft.core.Validators.requireColumns(df, Seq(idCol))
     df.filter(pmod(minstdHash(col(idCol)), lit(100L)) < percent)
   }
 
@@ -39,11 +40,14 @@ object Sampling {
     * stratum is smaller): deterministic stratified sampling. One hash
     * shuffle on the stratum key. */
   def stratifiedSample(
-      df: DataFrame, keyCol: String, idCol: String, perKey: Int): DataFrame =
+      df: DataFrame, keyCol: String, idCol: String, perKey: Int): DataFrame = {
+    require(perKey > 0, "perKey must be positive")
+    graft.core.Validators.requireColumns(df, Seq(keyCol, idCol))
     df.withColumn("__graft_rn",
       row_number().over(
         Window.partitionBy(col(keyCol))
           .orderBy(minstdHash(col(idCol)).asc, col(idCol).asc)))
       .filter(col("__graft_rn") <= perKey)
       .drop("__graft_rn")
+  }
 }
