@@ -23,6 +23,10 @@ trait StatefulTransformer extends Transformer {
   @transient protected var fitted: Boolean = false
   override def isStateful: Boolean = true
   protected def requireFitted(): Unit = if (!fitted) throw FitNotCalled()
+  /** ModelIO restore hooks: a deserialized transformer carries its learned
+    * state, so it must also carry the fitted flag. */
+  private[core] def markFitted(): Unit = fitted = true
+  private[core] def isFitted: Boolean = fitted
 }
 
 /** Sequential (name, transformer) chain (reference: src/pipeline.rs:118-192).
