@@ -513,6 +513,16 @@ object SparkEntry {
         rt(s, dir, "documents")
           .select(col("doc_id"), col("text").cast("binary").as("payload")),
         "payload").drop("payload")),
+    // Frame sampling stub over binary payloads: byte-range slices, one row
+    // per frame. Frames dumped as hex strings (binary columns are not
+    // hashable by the driver compare; hex slicing is exactly replayable in
+    // DuckDB at 2× byte offsets).
+    "mm_sample_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        rt(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload", everyNBytes = 256, frameBytes = 64)
+        .select(col("doc_id"), col("frame_idx"), hex(col("frame")).as("frame_hex"))),
     // ── streaming ops, exercised in batch mode (same DataFrame code runs
     //    under readStream/writeStream — StreamingSpec covers that mode) ────
     // sum_value rounded: the window-sum addition order differs between
@@ -992,6 +1002,14 @@ object SparkEntry {
         |       md5(text) AS content_md5,
         |       'unknown' AS format
         |FROM documents""".stripMargin,
+    // Byte-range frames replayed on the hex encoding (DuckDB cannot slice
+    // BLOBs): hex offset = 2 × byte offset, and Spark's hex() is uppercase
+    // like DuckDB's.
+    "mm_sample_frames" ->
+      """SELECT doc_id, CAST(t.i AS INTEGER) AS frame_idx,
+        |       substring(upper(hex(encode(text))), CAST(t.i AS BIGINT) * 512 + 1, 128) AS frame_hex
+        |FROM documents, range(0, 256) t(i)
+        |WHERE t.i < floor(octet_length(encode(text)) / 256)""".stripMargin,
     // Recomputes the md5-based stub embedding component exactly (hex/md5
     // only; division by 2^32 is lossless in binary64).
     "mm_fake_embed" ->

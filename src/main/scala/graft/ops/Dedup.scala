@@ -285,6 +285,11 @@ object Dedup {
     df.select(col(idCol).as("id"), col(textCol).as("text"))
       .groupBy("text")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
+      // materialized once (executor-local storage, disk-spillable): the
+      // pipelines read this 3-4× (probe, features, within-group pairs,
+      // member re-expansion) and would otherwise repeat the text shuffle
+      // each time
+      .localCheckpoint()
 
   /** All pairs inside each exact-duplicate group: identical texts have
     * Jaccard exactly 1.0 (skipped for texts too short to have shingles —
