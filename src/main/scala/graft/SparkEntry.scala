@@ -427,6 +427,13 @@ object SparkEntry {
     // CTE over the true-Jaccard pair graph.
     "dedup_cluster" -> ((s, dir) =>
       Dedup.duplicateClustersByText(docsWithDups(s, dir), "doc_id", "text")),
+    // Benchmark-contamination check: right corpus = every 3rd document; the
+    // cross-side true-Jaccard ≥ 0.8 pairs are each right doc against its
+    // identical left self plus cross near-dups — replayed exactly in DuckDB.
+    "dedup_contamination" -> ((s, dir) => {
+      val l = rt(s, dir, "documents")
+      Dedup.crossDupPairs(l, l.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    }),
     // Point-in-time enrichment: each purchase event joined to the user's
     // latest preceding (ts ≤) view event — the classic as-of join, run as a
     // tagged union + running last() window (no range join; see
@@ -808,6 +815,17 @@ object SparkEntry {
          |   UNION
          |   SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
          |SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id""".stripMargin,
+    "dedup_contamination" ->
+      """WITH lg AS (SELECT doc_id,
+        |              list_distinct([substr(text, i, 3) FOR i IN range(1, len(text) - 1)]) AS gs
+        |            FROM documents),
+        |     rg AS (SELECT doc_id, gs FROM lg WHERE doc_id % 3 = 0)
+        |SELECT left_id, right_id, jaccard FROM (
+        |  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |         CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        |           / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jaccard
+        |  FROM lg a CROSS JOIN rg b)
+        |WHERE jaccard >= 0.8""".stripMargin,
     "asof_join" ->
       """SELECT l.event_id, l.user_id, l.ts, l.value,
         |       r.ts AS ts_view, r.value AS value_view

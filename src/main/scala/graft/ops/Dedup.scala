@@ -598,6 +598,51 @@ object Dedup {
     labels
   }
 
+  /** Cross-corpus contamination pairs: documents of `right` (e.g. a held-out
+    * benchmark) whose n-gram Jaccard against some document of `left` (e.g.
+    * the training corpus) reaches `threshold` — the standard
+    * benchmark-contamination check for training data. Output:
+    * (left_id, right_id, jaccard).
+    *
+    * Runs the SAME MinHash-LSH + exact-verify machinery as
+    * [[minhashDedupPairs]] over the tagged union (right ids offset into a
+    * disjoint range by one scalar agg on each side), then keeps only
+    * cross-side pairs. Within-side duplicates ride through the shared
+    * bucketing but are filtered before any downstream work. */
+  def crossDupPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 100000,
+  ): DataFrame = {
+    val maxLeft = left.agg(max(col(idCol).cast("long"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val minRight = right.agg(min(col(idCol).cast("long"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val offset = maxLeft - minRight + 1 // right ids start just past left's max
+    val tagged = left
+      .select(col(idCol).cast("long").as(idCol), col(textCol))
+      .unionByName(right.select(
+        (col(idCol).cast("long") + offset).as(idCol), col(textCol)))
+    minhashDedupPairs(tagged, idCol, textCol, n, numHashes, bands, threshold, maxBucketSize)
+      // pair ids are emitted (smaller, larger), so a cross pair always has
+      // the left doc in id_a and the right doc in id_b
+      .filter(col("id_a") <= maxLeft && col("id_b") > maxLeft)
+      .select(
+        col("id_a").as("left_id"),
+        (col("id_b") - offset).as("right_id"),
+        col("jaccard"))
+  }
+
   /** End-to-end near-dup clustering from text: collapse exact duplicates
     * first ([[dupGroups]]), run MinHash pair generation + connected
     * components over one REPRESENTATIVE per distinct text, then assign every

@@ -100,6 +100,21 @@ class OpsSpec extends SparkSpec {
     out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L)
   }
 
+  test("crossDupPairs finds only cross-side contamination") {
+    val left = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "completely unrelated content here")).toDF("doc_id", "text")
+    val right = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // = left 1
+      (9L, "zzz nothing in common at all qqq")).toDF("doc_id", "text")
+    val out = Dedup.crossDupPairs(left, right, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.map(p => (p._1, p._2)).toSet shouldBe Set((1L, 1L), (2L, 1L))
+    out.find(p => p._1 == 1L).get._3 shouldBe 1.0 // identical text
+    // the left-side near-dup pair (1,2) must NOT appear — cross pairs only
+  }
+
   test("duplicateClustersByText equals generic CC over the full pair graph") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val real = d.unionByName(
