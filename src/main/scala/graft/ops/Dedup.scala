@@ -159,6 +159,47 @@ object Dedup {
         when(col("bi") === col("bj"), expandBucket(col("l"), keep, emit))
           .otherwise(crossPairs(col("l"), col("r"), keep, emit))).as("p"))
 
+  /** Two-sided bucket tiling for ASYMMETRIC joins: buckets have separate
+    * left (`lxs`) and right (`rxs`) member arrays; every (left block ×
+    * right block) tile of at most [[BlockSize]] members per side is spread
+    * across the cluster and evaluated as a full cross (no diagonal) — the
+    * degenerate-bucket protection of [[tileBuckets]] for band joins where a
+    * hot band hash would otherwise materialize millions of joined rows. */
+  private def tileBucketsCross(buckets: DataFrame, keys: Seq[Column]): DataFrame = {
+    val gl = ceil(size(col("lxs")).cast("double") / BlockSize).cast("int")
+    val gr = ceil(size(col("rxs")).cast("double") / BlockSize).cast("int")
+    val blockPairs = flatten(transform(sequence(lit(0), gl - 1), bi =>
+      transform(sequence(lit(0), gr - 1), bj => struct(bi.as("bi"), bj.as("bj")))))
+    val parts = buckets.sparkSession.conf
+      .getOption("spark.sql.shuffle.partitions").map(_.toInt)
+      .getOrElse(buckets.sparkSession.sparkContext.defaultParallelism) * 2
+    buckets
+      .select(keys ++ Seq(col("lxs"), col("rxs")) :+ explode(blockPairs).as("b"): _*)
+      .select(
+        keys ++ Seq(
+          col("b.bi").as("bi"), col("b.bj").as("bj"),
+          slice(col("lxs"), col("b.bi") * BlockSize + 1, lit(BlockSize)).as("l"),
+          slice(col("rxs"), col("b.bj") * BlockSize + 1, lit(BlockSize)).as("r")): _*)
+      .repartition(parts, keys ++ Seq(col("bi"), col("bj")): _*)
+  }
+
+  /** Expand cross-side bucket pairs: native tile kernel when available
+    * (diagonal=false → full left×right cross), HOF crossPairs fallback. */
+  private def expandCrossBuckets(
+      buckets: DataFrame,
+      keys: Seq[Column],
+      fnName: String,
+      arg: Column,
+      keep: (Column, Column) => Column,
+      emit: (Column, Column) => Column): DataFrame = {
+    val tiles = tileBucketsCross(buckets, keys)
+    if (nativeTilePairsAvailable(buckets))
+      tiles.select(explode(call_function(
+        fnName, col("l"), col("r"), lit(false), arg)).as("p"))
+    else
+      tiles.select(explode(crossPairs(col("l"), col("r"), keep, emit)).as("p"))
+  }
+
   /** Tile expansion through a native Catalyst expression (one tight eval
     * per tile — see graft.functions.TilePairs) when [[GraftExtensions]] is
     * installed on the session; callers fall back to [[expandBuckets]]'s
@@ -604,11 +645,17 @@ object Dedup {
     * benchmark-contamination check for training data. Output:
     * (left_id, right_id, jaccard).
     *
-    * Runs the SAME MinHash-LSH + exact-verify machinery as
-    * [[minhashDedupPairs]] over the tagged union (right ids offset into a
-    * disjoint range by one scalar agg on each side), then keeps only
-    * cross-side pairs. Within-side duplicates ride through the shared
-    * bucketing but are filtered before any downstream work. */
+    * ASYMMETRIC by design: the left corpus is usually orders of magnitude
+    * larger than the benchmark, so running ordinary self-join LSH over the
+    * union would spend almost all its time on useless left-left pairs.
+    * Instead each side's exact duplicates are collapsed, both sides get
+    * minhash band hashes from the shared machinery, and the candidate pairs
+    * come from an equi-JOIN of left bands against right bands — only
+    * cross-side collisions ever materialize; the exact Jaccard check runs
+    * on the joined rows. Identical cross-side texts have identical
+    * signatures, so they collide in every band (recall 1 for exact leaks).
+    * One shuffle on (band, band_hash); a hot band (templated corpora) is
+    * AQE-skew-splittable like any join key. */
   def crossDupPairs(
       left: DataFrame,
       right: DataFrame,
@@ -618,29 +665,106 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 32,
       threshold: Double = 0.8,
-      maxBucketSize: Int = 100000,
   ): DataFrame = {
-    val maxLeft = left.agg(max(col(idCol).cast("long"))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
+    val lGroups = dupGroups(left, idCol, textCol)
+    val rGroups = dupGroups(right, idCol, textCol)
+    val lReps = lGroups.select(col("ids").getItem(0).as("id"), col("text"))
+    val rReps = rGroups.select(col("ids").getItem(0).as("id"), col("text"))
+    // shared vocabulary decision over BOTH sides (bitmaps must agree)
+    val unionReps = lReps.unionByName(rReps)
+    val hashedUnion = explodedHashes(unionReps, "id", "text", n)
+    val repPairs = smallVocabFreq(hashedUnion) match {
+      case Some(entries) =>
+        val d = rarityDict(entries)
+        val words = d.words
+        def sided(df: DataFrame, p: String): DataFrame = {
+          val sigd =
+            if (nativeFnsAvailable(df))
+              nativeFeatures(df, "id", "text", n, d)
+                .select(col("id"), col("sz"), col("bm"),
+                  call_function(graft.functions.TilePairs.MinhashName,
+                    col("gs"), lit(numHashes)).as("sig"))
+            else {
+              val hashed = explodedHashes(df, "id", "text", n)
+              val feats = bitmapFeatures(hashed, dictionaryDf(df, entries.map(_._1).sorted), words)
+              docSignatures(df, "id", "text", n, numHashes).join(feats, "id")
+            }
+          bandedSignatures(sigd, numHashes, bands, Seq("sz", "bm"))
+            .select(col("id").as(s"${p}id"), col("sz").as(s"${p}sz"),
+              col("bm").as(s"${p}bm"), col("band"), col("band_hash"))
+        }
+        // bucket each side per (band, band_hash), inner-join buckets (only
+        // hashes present on BOTH sides survive), tile the cross space
+        def bucketize(df: DataFrame, out: String): DataFrame = df
+          .groupBy("band", "band_hash")
+          .agg(collect_list(struct(
+            col(s"${out.head}id").as("id"), col(s"${out.head}sz").as("sz"),
+            col(s"${out.head}bm").as("bm"))).as(out))
+        val buckets = bucketize(sided(lReps, "l"), "lxs")
+          .join(bucketize(sided(rReps, "r"), "rxs"), Seq("band", "band_hash"))
+        expandCrossBuckets(
+          buckets, Seq(col("band"), col("band_hash")),
+          graft.functions.TilePairs.JaccardName, lit(threshold),
+          (x, y) => lengthCompatible(x, y, threshold) &&
+            bitmapJaccard(x, y, words) >= threshold,
+          (x, y) => struct(
+            x("id").as("a"), y("id").as("b"), bitmapJaccard(x, y, words).as("j")))
+          .select(col("p.a").as("left_id"), col("p.b").as("right_id"),
+            col("p.j").as("jaccard"))
+          .dropDuplicates("left_id", "right_id")
+      case None =>
+        // general vocabulary: band-join on (band, band_hash) carrying sigs,
+        // est-filter inline, then exact hashed-shingle verify of survivors
+        def sidedSig(df: DataFrame, p: String): DataFrame =
+          bandedSignatures(
+            docSignatures(df, "id", "text", n, numHashes), numHashes, bands, Seq("sig"))
+            .select(col("id").as(s"${p}id"), col("sig").as(s"${p}sig"),
+              col("band"), col("band_hash"))
+        val estMin = math.ceil(0.5625 * numHashes).toInt
+        def bucketizeSig(df: DataFrame, out: String): DataFrame = df
+          .groupBy("band", "band_hash")
+          .agg(collect_list(struct(
+            col(s"${out.head}id").as("id"), col(s"${out.head}sig").as("sig"))).as(out))
+        val sigBuckets = bucketizeSig(sidedSig(lReps, "l"), "lxs")
+          .join(bucketizeSig(sidedSig(rReps, "r"), "rxs"), Seq("band", "band_hash"))
+        val est: (Column, Column) => Column = (x, y) =>
+          aggregate(
+            zip_with(x("sig"), y("sig"), (a, b) => (a === b).cast("int")),
+            lit(0), (acc, v) => acc + v)
+        val cands = expandCrossBuckets(
+          sigBuckets, Seq(col("band"), col("band_hash")),
+          graft.functions.TilePairs.SigEstName, lit(estMin),
+          (x, y) => est(x, y) >= estMin,
+          (x, y) => struct(x("id").as("a"), y("id").as("b")))
+          .select(col("p.a").as("left_id"), col("p.b").as("right_id"))
+          .dropDuplicates("left_id", "right_id")
+        val needL = cands.select(col("left_id").as("id")).distinct()
+        val needR = cands.select(col("right_id").as("id")).distinct()
+        val setsL = lReps
+          .select(col("id").as("left_id"), shingleHashesFor(lReps, col("text"), n).as("gs_l"))
+          .join(broadcast(needL.select(col("id").as("left_id"))), "left_id")
+        val setsR = rReps
+          .select(col("id").as("right_id"), shingleHashesFor(rReps, col("text"), n).as("gs_r"))
+          .join(broadcast(needR.select(col("id").as("right_id"))), "right_id")
+        cands
+          .join(setsL, "left_id")
+          .join(setsR, "right_id")
+          .withColumn("common", size(array_intersect(col("gs_l"), col("gs_r"))))
+          .withColumn("jaccard",
+            col("common").cast("double") /
+              (size(col("gs_l")) + size(col("gs_r")) - col("common")).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select("left_id", "right_id", "jaccard")
     }
-    val minRight = right.agg(min(col(idCol).cast("long"))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
-    val offset = maxLeft - minRight + 1 // right ids start just past left's max
-    val tagged = left
-      .select(col(idCol).cast("long").as(idCol), col(textCol))
-      .unionByName(right.select(
-        (col(idCol).cast("long") + offset).as(idCol), col(textCol)))
-    minhashDedupPairs(tagged, idCol, textCol, n, numHashes, bands, threshold, maxBucketSize)
-      // pair ids are emitted (smaller, larger), so a cross pair always has
-      // the left doc in id_a and the right doc in id_b
-      .filter(col("id_a") <= maxLeft && col("id_b") > maxLeft)
-      .select(
-        col("id_a").as("left_id"),
-        (col("id_b") - offset).as("right_id"),
-        col("jaccard"))
+    // expand representative pairs over both sides' exact-duplicate groups
+    val lMembers = lGroups.select(col("ids").getItem(0).as("left_id"),
+      explode(col("ids")).as("lm"))
+    val rMembers = rGroups.select(col("ids").getItem(0).as("right_id"),
+      explode(col("ids")).as("rm"))
+    repPairs
+      .join(lMembers, "left_id")
+      .join(rMembers, "right_id")
+      .select(col("lm").as("left_id"), col("rm").as("right_id"), col("jaccard"))
   }
 
   /** End-to-end near-dup clustering from text: collapse exact duplicates

@@ -108,11 +108,27 @@ class OpsSpec extends SparkSpec {
     val right = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"), // = left 1
       (9L, "zzz nothing in common at all qqq")).toDF("doc_id", "text")
-    val out = Dedup.crossDupPairs(left, right, "doc_id", "text", threshold = 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def run(): Seq[(Long, Long, Double)] =
+      Dedup.crossDupPairs(left, right, "doc_id", "text", threshold = 0.5)
+        .orderBy("left_id", "right_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val out = run()
     out.map(p => (p._1, p._2)).toSet shouldBe Set((1L, 1L), (2L, 1L))
     out.find(p => p._1 == 1L).get._3 shouldBe 1.0 // identical text
     // the left-side near-dup pair (1,2) must NOT appear — cross pairs only
+    // all four path combinations (native/fallback × bitmap/general) agree
+    val savedVocab = Dedup.MaxBitmapVocab
+    try {
+      Dedup.ForceFallback = true
+      run() shouldBe out
+      Dedup.MaxBitmapVocab = 0
+      run() shouldBe out
+      Dedup.ForceFallback = false
+      run() shouldBe out
+    } finally {
+      Dedup.ForceFallback = false
+      Dedup.MaxBitmapVocab = savedVocab
+    }
   }
 
   test("duplicateClustersByText equals generic CC over the full pair graph") {
