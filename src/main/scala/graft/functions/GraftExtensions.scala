@@ -52,5 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 1, s"${TilePairs.SimhashName} expects 1 argument")
       SimHash64(args(0))
     }))
+    ext.injectFunction(fn(TilePairs.IvfCellName, { args =>
+      require(args.length == 3, s"${TilePairs.IvfCellName} expects 3 arguments")
+      IvfCell(args(0), args(1), args(2))
+    }))
   }
 }

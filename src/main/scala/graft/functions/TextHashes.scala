@@ -136,6 +136,61 @@ case class SimHash64(child: Expression)
     copy(child = newChildren(0))
 }
 
+/** graft_ivf_cell(embedding, centroidsFlat, dims): nearest-centroid cell id
+  * by squared L2 distance, ties to the lowest cell — bit-identical to the
+  * sorted-struct-array formulation (sequential fold in array order, strict-<
+  * argmin keeps the earlier cell on ties). One primitive loop per row
+  * instead of k interpreted aggregate folds. */
+case class IvfCell(child: Expression, centroids: Expression, dims: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child, centroids, dims)
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (centroids.foldable && dims.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_ivf_cell expects foldable centroids/dims")
+
+  private lazy val cents: Array[Double] =
+    centroids.eval().asInstanceOf[ArrayData].toDoubleArray()
+  private lazy val d: Int = dims.eval().asInstanceOf[Int]
+  private lazy val k: Int = cents.length / d
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val e = child.eval(input).asInstanceOf[ArrayData]
+    var best = Double.PositiveInfinity
+    var bestCell = 0
+    var c = 0
+    while (c < k) {
+      var dist = 0.0
+      var i = 0
+      val base = c * d
+      val n = math.min(d, if (e == null) 0 else e.numElements())
+      while (i < n) {
+        val x = (if (isFloat) e.getFloat(i).toDouble else e.getDouble(i)) - cents(base + i)
+        dist += x * x
+        i += 1
+      }
+      if (dist < best) { best = dist; bestCell = c }
+      c += 1
+    }
+    bestCell
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), centroids = newChildren(1), dims = newChildren(2))
+}
+
 /** graft_minhash_sig(hashes, k): the k minhashes of a hashed shingle set —
   * element j = min over h of xxhash64(h, j) — bit-identical to the
   * `min(xxhash64(col("h"), lit(j)))` aggregate formulation (hashInt(j,

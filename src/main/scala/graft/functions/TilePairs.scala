@@ -26,6 +26,7 @@ object TilePairs {
   val MinhashName = "graft_minhash_sig"
   val BitmapName = "graft_bitmap"
   val SimhashName = "graft_simhash"
+  val IvfCellName = "graft_ivf_cell"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

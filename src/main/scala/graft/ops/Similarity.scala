@@ -116,9 +116,16 @@ object Similarity {
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** IVF coarse quantizer: k-means centroids (MLlib kmeans||, fixed seed)
-    * over the embedding column. Driver holds nlist × dim doubles — the
-    * standard IVF "train" step; everything downstream is expressions. */
+  /** IVF coarse quantizer: k-means (Lloyd) centroids over the embedding
+    * column, written directly against the DataFrame API — each iteration is
+    * one narrow cell-assignment projection + one aggregate (64 per-dimension
+    * means), so training is maxIter+1 small jobs with no RDD conversion
+    * (the MLlib estimator spent ~4 s of per-job overhead on a corpus this
+    * path trains in ~0.5 s; quantizer quality is equivalent for IVF use).
+    * Init is deterministic: the `nlist` distinct embeddings with the
+    * smallest xxhash64(embedding, seed) — stable across partitionings.
+    * Driver holds nlist × dim doubles; everything downstream is
+    * expressions. Empty cells keep their previous centroid. */
   def ivfCentroids(
       df: DataFrame,
       embCol: String,
@@ -126,17 +133,39 @@ object Similarity {
       seed: Long = 42L,
       maxIter: Int = 5,
   ): Seq[Seq[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    // cache for the duration of training: kmeans|| makes maxIter+2 passes,
-    // and without this each pass re-reads parquet and re-builds the vectors
-    val feats = df.select(array_to_vector(col(embCol)).as("features")).cache()
+    val cached = df.select(col(embCol).as("e")).cache()
     try {
-      val model = new KMeans()
-        .setK(nlist).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
-        .fit(feats)
-      model.clusterCenters.map(_.toArray.toSeq).toSeq
-    } finally feats.unpersist()
+      var cents: Seq[Seq[Double]] = cached
+        .distinct()
+        .orderBy(xxhash64(col("e"), lit(seed)).asc)
+        .limit(nlist)
+        .collect()
+        .map(_.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case x => x.toString.toDouble
+        }.toSeq)
+        .toSeq
+      require(cents.nonEmpty, "ivfCentroids: no embeddings to train on")
+      val dims = cents.head.length
+      for (_ <- 1 to maxIter) {
+        // (cell, pos) → mean: one small shuffle and a 3-expression plan —
+        // 64 separate avg aggregates made every iteration pay ~0.3 s of
+        // plan compilation for 8 rows of output
+        val byCell = cached
+          .select(ivfCellFor(cached)(col("e"), cents).as("cell"),
+            posexplode(col("e")).as(Seq("pos", "v")))
+          .groupBy("cell", "pos")
+          .agg(avg(col("v").cast("double")).as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cell, rows) =>
+            cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          }
+        cents = cents.zipWithIndex.map { case (old, i) => byCell.getOrElse(i, old) }
+      }
+      cents
+    } finally cached.unpersist()
   }
 
   /** Nearest-centroid cell id (ties by cell id): the argmin over per-cell
@@ -148,6 +177,14 @@ object Similarity {
     }: _*)
     element_at(array_sort(cands), 1)("cell")
   }
+
+  /** [[ivfCell]] through the native argmin kernel (bit-identical fold order
+    * and tie-breaking) when GraftExtensions is installed. */
+  private def ivfCellFor(df: DataFrame)(e: Column, centroids: Seq[Seq[Double]]): Column =
+    if (df.sparkSession.catalog.functionExists(graft.functions.TilePairs.IvfCellName))
+      call_function(graft.functions.TilePairs.IvfCellName, e,
+        typedLit(centroids.flatten), lit(centroids.head.length))
+    else ivfCell(e, centroids)
 
   /** IVF top-k: assign every vector to its nearest centroid cell, probe the
     * `nprobe` cells nearest the query, exact cosine top-k within them. The
@@ -171,7 +208,7 @@ object Similarity {
       }
       .sorted.take(nprobe).map(_._2)
     cosineTopK(
-      df.filter(ivfCell(col(embCol), cents).isin(probed: _*)),
+      df.filter(ivfCellFor(df)(col(embCol), cents).isin(probed: _*)),
       idCol, embCol, query, k)
   }
 

@@ -1,17 +1,12 @@
 package graft.tools
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-
-/** Scratch timing harness for digging into a single query's phases. */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
+    val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
     def t(label: String)(body: => Any): Unit = {
@@ -19,21 +14,12 @@ object TimeQuery {
       val r = body
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2fs -> $r")
     }
-    val d = spark.read.parquet(s"$dir/documents.parquet")
-    val docs = d.unionByName(
-      d.filter(col("doc_id") % 5 === 0).withColumn("doc_id", col("doc_id") + 10000))
-    t("warm")(docs.count())
-    t("minhash pairs")(
-      graft.ops.Dedup.minhashDedupPairs(docs, "doc_id", "text").count())
-    t("cluster byText")(
-      graft.ops.Dedup.duplicateClustersByText(docs, "doc_id", "text").count())
-    t("cluster generic")(
-      graft.ops.Dedup.duplicateClusters(
-        docs.select("doc_id"), "doc_id",
-        graft.ops.Dedup.minhashDedupPairs(docs, "doc_id", "text")
-          .select("id_a", "id_b")).count())
-    t("cluster byText again")(
-      graft.ops.Dedup.duplicateClustersByText(docs, "doc_id", "text").count())
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    t("warm")(e.count())
+    t("centroids lloyd 1")(graft.ops.Similarity.ivfCentroids(e, "embedding", 8).length)
+    t("centroids lloyd 2")(graft.ops.Similarity.ivfCentroids(e, "embedding", 8).length)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+    t("ivfTopK full")(graft.ops.Similarity.ivfTopK(e, "vec_id", "embedding", q, 10, 8, 2).count())
     spark.stop()
   }
 }

@@ -111,6 +111,17 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_ivf_cell matches the sorted-struct argmin bit-for-bit") {
+    val cents = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(0.25, 0.25))
+    val df = Seq(Seq(0.1f, 0.1f), Seq(0.9f, 0.8f), Seq(0.25f, 0.25f),
+      Seq(0.125f, 0.125f)).toDF("e")
+    val rows = df.select(
+      call_function(TilePairs.IvfCellName, $"e",
+        typedLit(cents.flatten), lit(2)).as("native"),
+      graft.ops.Similarity.ivfCell($"e", cents).as("hof")).collect()
+    rows.foreach(r => r.getInt(0) shouldBe r.getInt(1))
+  }
+
   test("graft_bitmap sets exactly the rank bits of present vocab hashes") {
     // vocab sorted by value {10,20,30}; ranks {2,0,1}: h=10→bit2, 20→bit0, 30→bit1
     val out = Seq(Seq(10L, 30L, 999L)).toDF("gs")
