@@ -312,29 +312,6 @@ class DropHighPSIFeatures(val reference: DataFrame, val psiThreshold: Double)
     extends StatefulTransformer {
   var dropColumns: Set[String] = Set.empty
 
-  /** Per-column bin counts AND non-null totals from ONE aggregate job —
-    * the totals ride along instead of costing a filter+count scan each. */
-  private def binCountsAndTotals(
-      df: DataFrame, binsByCol: Map[String, Seq[Double]])
-      : (Map[String, Seq[Double]], Map[String, Double]) = {
-    val perCol = binsByCol.toSeq
-    val aggs = perCol.flatMap { case (c, bins) =>
-      count(col(c)).cast("long") +:
-        bins.sliding(2).map { pair =>
-          sum(when(col(c) >= lit(pair(0)) && col(c) < lit(pair(1)), 1L).otherwise(0L))
-        }.toSeq
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    var i = -1
-    val pairs = perCol.map { case (c, bins) =>
-      i += 1
-      val total = row.getLong(i).toDouble
-      val counts = bins.sliding(2).map { _ => i += 1; row.getLong(i).toDouble }.toSeq
-      (c -> counts, c -> total)
-    }
-    (pairs.map(_._1).toMap, pairs.map(_._2).toMap)
-  }
-
   override def fit(df: DataFrame): this.type = {
     val cols = SelectionUtil.numericCols(df)
     if (cols.isEmpty) { fitted = true; return this }
@@ -343,8 +320,34 @@ class DropHighPSIFeatures(val reference: DataFrame, val psiThreshold: Double)
     val binsByCol = SelectionUtil
       .nearestRankAll(reference, cols, (0 to 10).map(_ / 10.0))
       .filter(_._2.nonEmpty)
-    val (refCounts, refTotals) = binCountsAndTotals(reference, binsByCol)
-    val (curCounts, curTotals) = binCountsAndTotals(df, binsByCol)
+    // ONE aggregate job for BOTH frames: tag-union reference and current,
+    // compute side-conditional bin counts + non-null totals together
+    val perCol = binsByCol.toSeq
+    val binCols = perCol.map(_._1)
+    def tagged(d: DataFrame, s: Int) =
+      d.select(lit(s).as("__graft_side") +: binCols.map(col(_).cast("double")): _*)
+    val u = tagged(reference, 0).unionByName(tagged(df, 1))
+    def sideAggs(side: Int): Seq[Column] = perCol.flatMap { case (c, bins) =>
+      count(when(col("__graft_side") === side, col(c))).cast("long") +:
+        bins.sliding(2).map { pair =>
+          sum(when(col("__graft_side") === side &&
+            col(c) >= lit(pair(0)) && col(c) < lit(pair(1)), 1L).otherwise(0L))
+        }.toSeq
+    }
+    val aggs = sideAggs(0) ++ sideAggs(1)
+    val row = u.agg(aggs.head, aggs.tail: _*).head()
+    def unpack(base: Int): (Map[String, Seq[Double]], Map[String, Double]) = {
+      var i = base - 1
+      val pairs = perCol.map { case (c, bins) =>
+        i += 1
+        val total = row.getLong(i).toDouble
+        val counts = bins.sliding(2).map { _ => i += 1; row.getLong(i).toDouble }.toSeq
+        (c -> counts, c -> total)
+      }
+      (pairs.map(_._1).toMap, pairs.map(_._2).toMap)
+    }
+    val (refCounts, refTotals) = unpack(0)
+    val (curCounts, curTotals) = unpack(sideAggs(0).length)
     dropColumns = binsByCol.keys.filter { c =>
       val psi = refCounts(c).zip(curCounts(c)).map { case (rc, cc) =>
         val pctRef = math.max(rc / refTotals(c), 0.0001)

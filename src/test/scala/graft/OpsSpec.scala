@@ -131,6 +131,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("new ops tolerate empty inputs") {
+    val docs = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val noDocs = docs.limit(0)
+    Dedup.crossDupPairs(docs, noDocs, "doc_id", "text").count() shouldBe 0
+    Dedup.crossDupPairs(noDocs, docs, "doc_id", "text").count() shouldBe 0
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    Dedup.duplicateClusters(docs.select("doc_id"), "doc_id", noPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 1L))
+    val ev = Seq((1L, 10L, 0.5)).toDF("user", "ts", "v")
+    Relational.asofJoin(
+      ev.select("user", "ts"), ev.limit(0), Seq("user"), "ts", Seq("v"), "_r")
+      .collect().foreach(_.isNullAt(2) shouldBe true)
+  }
+
   test("duplicateClustersByText equals generic CC over the full pair graph") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val real = d.unionByName(
