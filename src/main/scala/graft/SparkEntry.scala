@@ -515,6 +515,20 @@ object SparkEntry {
         e.filter(col("vec_id") % 5 === 0).withColumn("vec_id", col("vec_id") + 10000))
       Similarity.cosineNearDupPairs(withDups, "vec_id", "embedding", threshold = 0.99)
     }),
+    // Embedding-space dedup composition: LSH-bucketed cosine near-dup pairs
+    // → connected components → one cluster id per vector. The ≥0.99 pairs
+    // are exactly the injected copies (max natural pairwise cosine 0.513),
+    // so the oracle enumerates the expected clusters in closed form.
+    "sim_dedup_cluster" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val withDups = e.unionByName(
+        e.filter(col("vec_id") % 5 === 0).withColumn("vec_id", col("vec_id") + 10000))
+      Dedup.duplicateClusters(
+        withDups.select("vec_id"), "vec_id",
+        Similarity.cosineNearDupPairs(withDups, "vec_id", "embedding", threshold = 0.99)
+          .select("id_a", "id_b"))
+        .select(col("id").as("vec_id"), col("cluster_id"))
+    }),
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.withBinaryMeta(
         rt(s, dir, "documents")
@@ -538,6 +552,14 @@ object SparkEntry {
     "stream_window_agg" -> ((s, dir) =>
       StreamingOps.windowedAgg(
         rtEvents(s, dir), "ts", Seq("event_type"), "value", "6 hours")
+        .withColumn("sum_value", round(col("sum_value"), 6))),
+    // Sliding windows: each event lands in length/slide = 3 windows; the
+    // oracle replays the epoch-aligned window starts with a small offset
+    // cross join.
+    "stream_sliding_agg" -> ((s, dir) =>
+      StreamingOps.windowedAgg(
+        rtEvents(s, dir), "ts", Seq("event_type"), "value", "6 hours",
+        slide = Some("2 hours"))
         .withColumn("sum_value", round(col("sum_value"), 6))),
     "stream_session_agg" -> ((s, dir) =>
       StreamingOps.sessionAgg(rtEvents(s, dir), "ts", "user_id", "30 minutes")),
@@ -938,6 +960,11 @@ object SparkEntry {
         |          * sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
         |                           FOR i IN range(1, len(embedding) + 1)]))) AS cos
         |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+    "sim_dedup_cluster" ->
+      """SELECT vec_id, vec_id AS cluster_id FROM embeddings
+        |UNION ALL
+        |SELECT vec_id + 10000 AS vec_id, vec_id AS cluster_id
+        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
     "stream_window_agg" ->
       """SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
         |       time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS window_end,
@@ -945,6 +972,19 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // A 6h/2h sliding window's starts for event ts are time_bucket(2h, ts)
+    // − k·2h for k ∈ {0,1,2} (epoch-aligned like Spark's window()).
+    "stream_sliding_agg" ->
+      """SELECT window_start,
+        |       window_start + INTERVAL '6 hours' AS window_end,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 6) AS sum_value
+        |FROM (SELECT time_bucket(INTERVAL '2 hours', ts)
+        |               - CAST(t.k AS BIGINT) * INTERVAL '2 hours' AS window_start,
+        |             event_type, value
+        |      FROM events, range(0, 3) t(k))
+        |GROUP BY 1, 2, 3""".stripMargin,
     // Session semantics replayed with lag + running sum: a new session
     // starts when the gap to the previous event is >= 30 min (Spark's
     // session_window merges on strictly-smaller gaps); end = last + gap.

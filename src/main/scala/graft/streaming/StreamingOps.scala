@@ -32,12 +32,17 @@ object StreamingOps {
       valueCol: String,
       windowLength: String,
       watermark: Option[String] = None,
+      slide: Option[String] = None, // sliding windows when shorter than length
   ): DataFrame = {
     val in = watermark match {
       case Some(w) if df.isStreaming => df.withWatermark(tsCol, w)
       case _ => df
     }
-    in.groupBy(window(col(tsCol), windowLength).as("w") +: keyCols.map(col): _*)
+    val w = slide match {
+      case Some(s) => window(col(tsCol), windowLength, s)
+      case None => window(col(tsCol), windowLength)
+    }
+    in.groupBy(w.as("w") +: keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
       .select(
         Seq(col("w.start").as("window_start"), col("w.end").as("window_end")) ++

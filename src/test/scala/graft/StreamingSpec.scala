@@ -44,6 +44,27 @@ class StreamingSpec extends SparkSpec {
     batch shouldBe got
   }
 
+  test("windowedAgg sliding windows: each event lands in length/slide windows") {
+    val rows = Seq(
+      (1L, ts(0), "click", 1.0),  // 10:00
+      (2L, ts(35), "click", 2.0)) // 10:35
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    mem.addData(rows: _*)
+    val stream = StreamingOps.windowedAgg(
+      mem.toDF.toDF("event_id", "ts", "event_type", "value"),
+      "ts", Seq("event_type"), "value", "30 minutes", slide = Some("15 minutes"))
+    val q = stream.writeStream.format("memory")
+      .queryName("slide_agg").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("slide_agg").collect()
+    got.length shouldBe 4 // 2 events × 2 windows each (30m/15m), no overlap here
+    val batch = StreamingOps.windowedAgg(
+      rows.toDF("event_id", "ts", "event_type", "value"),
+      "ts", Seq("event_type"), "value", "30 minutes", slide = Some("15 minutes"))
+    batch.count() shouldBe 4
+  }
+
   test("dedupEvents streaming drops duplicate ids via watermarked state") {
     val mem = MemoryStream[(Long, Timestamp, Double)]
     mem.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0), (1L, ts(0), 1.0))
