@@ -277,6 +277,19 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       new YeoJohnsonTransformer(Seq("l_quantity"), 3.0).fitTransform(base)
     }),
+    // scalers (extension: the reference defers scaling to scikit-learn)
+    "scale_standard" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      new StandardScaler(Seq("l_quantity")).fitTransform(base)
+        .withColumn("l_quantity", round(col("l_quantity"), 12))
+    }),
+    "scale_minmax" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      new MinMaxScaler(Seq("l_quantity")).fitTransform(base)
+        .withColumn("l_quantity", round(col("l_quantity"), 12))
+    }),
     "num_arcsin" -> ((s, dir) => {
       val base = rt(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"))
@@ -475,6 +488,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       rt(s, dir, "documents").select(
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    "text_top_ngrams" -> ((s, dir) =>
+      TextOps.topNgrams(rt(s, dir, "documents"), "text", 3, 20)),
     "sim_topk" -> ((s, dir) => {
       val e = rt(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
@@ -751,6 +766,16 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
     "num_arcsin" ->
       "SELECT l_orderkey, l_linenumber, asin(sqrt(l_discount)) AS l_discount FROM lineitem",
+    "scale_standard" ->
+      """WITH s AS (SELECT avg(l_quantity) AS m, stddev_pop(l_quantity) AS sd FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       round((l_quantity - m) / (CASE WHEN sd = 0 THEN 1 ELSE sd END), 12) AS l_quantity
+        |FROM lineitem, s""".stripMargin,
+    "scale_minmax" ->
+      """WITH s AS (SELECT min(l_quantity) AS lo, max(l_quantity) AS hi FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       round((l_quantity - lo) / (hi - lo), 12) AS l_quantity
+        |FROM lineitem, s""".stripMargin,
 
     "creation_math" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
@@ -937,6 +962,14 @@ object SparkEntry {
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "text_top_ngrams" ->
+      """SELECT gram, doc_freq FROM (
+        |  SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
+        |  FROM (SELECT doc_id,
+        |          unnest(list_distinct([substr(text, i, 3) FOR i IN range(1, len(text) - 1)])) AS gram
+        |        FROM documents)
+        |  GROUP BY gram)
+        |ORDER BY doc_freq DESC, gram LIMIT 20""".stripMargin,
     "sim_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |     c AS (SELECT vec_id AS id,

@@ -164,6 +164,18 @@ object ModelIO {
           .map { case (c, (lo, hi)) => c -> JArray(List(JDouble(lo), JDouble(hi))) }),
         "fitted" -> JBool(x.isFitted))
 
+    // ── scaling ──
+    case x: StandardScaler =>
+      obj("StandardScaler", "columns" -> jStrs(x.columns),
+        "stats" -> JObject(x.stats.toList.sortBy(_._1)
+          .map { case (c, (m, s)) => c -> JArray(List(JDouble(m), JDouble(s))) }),
+        "fitted" -> JBool(x.isFitted))
+    case x: MinMaxScaler =>
+      obj("MinMaxScaler", "columns" -> jStrs(x.columns),
+        "stats" -> JObject(x.stats.toList.sortBy(_._1)
+          .map { case (c, (lo, hi)) => c -> JArray(List(JDouble(lo), JDouble(hi))) }),
+        "fitted" -> JBool(x.isFitted))
+
     // ── numerical (stateless) ──
     case x: LogCpTransformer =>
       obj("LogCpTransformer", "columns" -> jStrs(x.columns), "c" -> JDouble(x.c))
@@ -396,6 +408,13 @@ object ModelIO {
         restore(new OutlierTrimmer(strSeq(f("columns")), dbl(f("lowerPercentile")),
           dbl(f("upperPercentile")), bool(f("exact"))), conf)(
           _.boundsLearned = boundsMap(f("boundsLearned")))
+
+      case "StandardScaler" =>
+        restore(new StandardScaler(strSeq(f("columns"))), conf)(
+          _.stats = boundsMap(f("stats")))
+      case "MinMaxScaler" =>
+        restore(new MinMaxScaler(strSeq(f("columns"))), conf)(
+          _.stats = boundsMap(f("stats")))
 
       case "LogTransformer" => new LogTransformer(strSeq(f("columns")))
       case "LogCpTransformer" => new LogCpTransformer(strSeq(f("columns")), dbl(f("c")))

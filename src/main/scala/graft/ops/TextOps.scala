@@ -87,4 +87,17 @@ object TextOps {
     * text. Stable across engines (md5 is md5 everywhere). */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+
+  /** Corpus n-gram statistics: the k character n-grams with the highest
+    * DOCUMENT frequency (each doc counts a gram once — the statistic behind
+    * stop-gram lists for the dedup prefix filters). Ties break by gram for
+    * determinism. One explode + hash aggregate + TakeOrdered — no full
+    * sort, scales like any word-count. */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String, n: Int, k: Int)
+      : org.apache.spark.sql.DataFrame =
+    df.select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram").asc)
+      .limit(k)
 }

@@ -59,6 +59,8 @@ class FitJobCountSpec extends SparkSpec {
     ("Winsorizer", new Winsorizer(Seq("n1", "n2"), 0.1, 0.9, exact = true), 2),
     ("OutlierTrimmer", new OutlierTrimmer(Seq("n1", "n2"), 0.1, 0.9, exact = true), 2),
     ("DropConstantFeatures", new DropConstantFeatures(1e-9, 1L), 3),
+    ("StandardScaler", new StandardScaler(Seq("n1", "n2")), 2),
+    ("MinMaxScaler", new MinMaxScaler(Seq("n1", "n2")), 2),
   )
 
   fits.foreach { case (name, t, maxJobs) =>

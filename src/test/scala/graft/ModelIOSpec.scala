@@ -35,6 +35,8 @@ class ModelIOSpec extends SparkSpec {
       "disc" -> new EqualWidthDiscretizer(Seq("qty"), 4),
       "dt" -> new DatetimeFeatures(Seq("l_shipdate")),
       "log" -> new LogTransformer(Seq("l_extendedprice")),
+      "std" -> new StandardScaler(Seq("l_discount")),
+      "minmax" -> new MinMaxScaler(Seq("l_extendedprice")),
       "selconst" -> new DropConstantFeatures(1e-12, 0L),
     ))
     val expected = pipe.fit(base) // fits every step

@@ -77,4 +77,23 @@ class NumericalSpec extends SparkSpec {
     assert(approxEqual(out(0), math.asin(0.5)))
     an[InvalidParameter] should be thrownBy new ArcsinTransformer(Seq("a")).transform(df)
   }
+
+  test("StandardScaler: population std, zero-variance column maps to 0") {
+    import spark.implicits._
+    val d = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "const")
+    val out = new StandardScaler(Seq("x", "const")).fitTransform(d).collect()
+    val std = math.sqrt(2.0 / 3.0) // population: mean 2, M2/n
+    assert(approxEqual(out(0).getDouble(0), (1.0 - 2.0) / std))
+    out.map(_.getDouble(1)).foreach(_ shouldBe 0.0) // sigma=0 -> scale 1, centered
+    a[FitNotCalled] should be thrownBy new StandardScaler(Seq("x")).transform(d)
+  }
+
+  test("MinMaxScaler: [0,1] range, zero-range column maps to 0") {
+    import spark.implicits._
+    val d = Seq((10.0, 5.0), (20.0, 5.0), (30.0, 5.0)).toDF("x", "const")
+    val out = new MinMaxScaler(Seq("x", "const")).fitTransform(d)
+      .orderBy("x").collect()
+    out.map(_.getDouble(0)).toSeq shouldBe Seq(0.0, 0.5, 1.0)
+    out.map(_.getDouble(1)).foreach(_ shouldBe 0.0)
+  }
 }

@@ -295,6 +295,15 @@ class OpsSpec extends SparkSpec {
 
   // ── Multimodal ───────────────────────────────────────────────────────
 
+  test("TextOps.topNgrams ranks by document frequency with gram tiebreak") {
+    val df = Seq("abcd", "abef", "abxy", "zzzz").toDF("text")
+    val out = TextOps.topNgrams(df, "text", 2, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    out.head shouldBe ("ab", 3L) // in 3 docs
+    out.map(_._1) should not contain "zz" // "zzzz" has distinct grams {zz}; freq 1 ties
+    out should have size 3
+  }
+
   test("Multimodal.withBinaryMeta sniffs magic bytes and measures length") {
     val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A)
     val d = spark.createDataFrame(
