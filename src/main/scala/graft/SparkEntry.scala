@@ -290,6 +290,12 @@ object SparkEntry {
       new MinMaxScaler(Seq("l_quantity")).fitTransform(base)
         .withColumn("l_quantity", round(col("l_quantity"), 12))
     }),
+    "scale_robust" -> ((s, dir) => {
+      val base = rt(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      new RobustScaler(Seq("l_quantity"), exact = true).fitTransform(base)
+        .withColumn("l_quantity", round(col("l_quantity"), 12))
+    }),
     "num_arcsin" -> ((s, dir) => {
       val base = rt(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"))
@@ -775,6 +781,15 @@ object SparkEntry {
       """WITH s AS (SELECT min(l_quantity) AS lo, max(l_quantity) AS hi FROM lineitem)
         |SELECT l_orderkey, l_linenumber,
         |       round((l_quantity - lo) / (hi - lo), 12) AS l_quantity
+        |FROM lineitem, s""".stripMargin,
+    "scale_robust" ->
+      """WITH s AS (SELECT quantile_cont(l_quantity, 0.25) AS q1,
+        |                  quantile_cont(l_quantity, 0.5)  AS med,
+        |                  quantile_cont(l_quantity, 0.75) AS q3
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       round((l_quantity - med)
+        |             / (CASE WHEN q3 - q1 = 0 THEN 1 ELSE q3 - q1 END), 12) AS l_quantity
         |FROM lineitem, s""".stripMargin,
 
     "creation_math" ->

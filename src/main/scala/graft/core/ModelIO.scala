@@ -175,6 +175,11 @@ object ModelIO {
         "stats" -> JObject(x.stats.toList.sortBy(_._1)
           .map { case (c, (lo, hi)) => c -> JArray(List(JDouble(lo), JDouble(hi))) }),
         "fitted" -> JBool(x.isFitted))
+    case x: RobustScaler =>
+      obj("RobustScaler", "columns" -> jStrs(x.columns), "exact" -> JBool(x.exact),
+        "stats" -> JObject(x.stats.toList.sortBy(_._1).map { case (c, (a, b, cc)) =>
+          c -> JArray(List(JDouble(a), JDouble(b), JDouble(cc))) }),
+        "fitted" -> JBool(x.isFitted))
 
     // ── numerical (stateless) ──
     case x: LogCpTransformer =>
@@ -415,6 +420,12 @@ object ModelIO {
       case "MinMaxScaler" =>
         restore(new MinMaxScaler(strSeq(f("columns"))), conf)(
           _.stats = boundsMap(f("stats")))
+      case "RobustScaler" =>
+        restore(new RobustScaler(strSeq(f("columns")), bool(f("exact"))), conf)(
+          _.stats = fields(f("stats")).map { case (c, b) => arr(b) match {
+            case List(a, m, q) => c -> (dbl(a), dbl(m), dbl(q))
+            case other => fail(s"bad robust stats $other")
+          }}.toMap)
 
       case "LogTransformer" => new LogTransformer(strSeq(f("columns")))
       case "LogCpTransformer" => new LogCpTransformer(strSeq(f("columns")), dbl(f("c")))

@@ -54,6 +54,34 @@ class StandardScaler(val columns: Seq[String]) extends StatefulTransformer {
   }
 }
 
+/** x' = (x − median) / IQR (q75 − q25); zero IQR → scale 1 (sklearn
+  * convention) — the outlier-robust scaler. Quantiles via [[Stats.quantiles]]
+  * (one job for all columns; `exact = true` matches DuckDB quantile_cont for
+  * oracle parity, approximate by default for scale). */
+class RobustScaler(val columns: Seq[String], val exact: Boolean = false)
+    extends StatefulTransformer {
+  var stats: Map[String, (Double, Double, Double)] = Map.empty // (q25, median, q75)
+
+  override def fit(df: DataFrame): this.type = {
+    Validators.requireNumeric(df, columns)
+    stats = Stats.quantiles(df, columns, Seq(0.25, 0.5, 0.75), exact)
+      .map { case (c, qs) => c -> (qs(0), qs(1), qs(2)) }
+    fitted = true
+    this
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    requireFitted()
+    Validators.requireColumns(df, columns)
+    ScalingUtil.applyInPlace(df, columns.toSet, { c =>
+      val (q25, med, q75) = stats(c)
+      val iqr = q75 - q25
+      val scale = if (iqr == 0.0) 1.0 else iqr
+      (col(c).cast("double") - lit(med)) / lit(scale)
+    })
+  }
+}
+
 /** x' = (x − min) / (max − min); zero range → 0 (sklearn convention). */
 class MinMaxScaler(val columns: Seq[String]) extends StatefulTransformer {
   var stats: Map[String, (Double, Double)] = Map.empty // col -> (min, max)

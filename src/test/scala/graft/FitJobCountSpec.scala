@@ -61,6 +61,7 @@ class FitJobCountSpec extends SparkSpec {
     ("DropConstantFeatures", new DropConstantFeatures(1e-9, 1L), 3),
     ("StandardScaler", new StandardScaler(Seq("n1", "n2")), 2),
     ("MinMaxScaler", new MinMaxScaler(Seq("n1", "n2")), 2),
+    ("RobustScaler", new RobustScaler(Seq("n1", "n2"), exact = true), 2),
   )
 
   fits.foreach { case (name, t, maxJobs) =>

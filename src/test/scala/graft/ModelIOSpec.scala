@@ -37,6 +37,7 @@ class ModelIOSpec extends SparkSpec {
       "log" -> new LogTransformer(Seq("l_extendedprice")),
       "std" -> new StandardScaler(Seq("l_discount")),
       "minmax" -> new MinMaxScaler(Seq("l_extendedprice")),
+      "robust" -> new RobustScaler(Seq("l_extendedprice"), exact = true),
       "selconst" -> new DropConstantFeatures(1e-12, 0L),
     ))
     val expected = pipe.fit(base) // fits every step

@@ -88,6 +88,15 @@ class NumericalSpec extends SparkSpec {
     a[FitNotCalled] should be thrownBy new StandardScaler(Seq("x")).transform(d)
   }
 
+  test("RobustScaler: (x - median) / IQR, zero IQR -> scale 1") {
+    import spark.implicits._
+    val d = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("x")
+    val out = new RobustScaler(Seq("x"), exact = true).fitTransform(d)
+      .orderBy("x").collect().map(_.getDouble(0))
+    // q25=2, med=3, q75=4 (linear interpolation on 5 points) -> IQR 2
+    out.toSeq shouldBe Seq(-1.0, -0.5, 0.0, 0.5, 1.0)
+  }
+
   test("MinMaxScaler: [0,1] range, zero-range column maps to 0") {
     import spark.implicits._
     val d = Seq((10.0, 5.0), (20.0, 5.0), (30.0, 5.0)).toDF("x", "const")
