@@ -496,6 +496,9 @@ object SparkEntry {
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
     "text_top_ngrams" -> ((s, dir) =>
       TextOps.topNgrams(rt(s, dir, "documents"), "text", 3, 20)),
+    "text_tfidf" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(rt(s, dir, "documents"), "doc_id", "text", 3)
+        .withColumnRenamed("id", "doc_id")),
     "sim_topk" -> ((s, dir) => {
       val e = rt(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
@@ -985,6 +988,26 @@ object SparkEntry {
         |        FROM documents)
         |  GROUP BY gram)
         |ORDER BY doc_freq DESC, gram LIMIT 20""".stripMargin,
+    // rank on the 9-decimal-rounded score (both engines) so libm ulp
+    // differences in ln cannot flip near-ties; exact ties break by term
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |                unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                   x -> x <> '')) AS term
+        |              FROM documents),
+        |     tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |            FROM toks GROUP BY 1, 2),
+        |     dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |     n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |     scored AS (SELECT doc_id, tf.term AS term,
+        |                  round(tf * ln(n.n / dfq.df), 9) AS tfidf
+        |                FROM tf, dfq, n WHERE tf.term = dfq.term)
+        |SELECT doc_id, term, tfidf FROM (
+        |  SELECT doc_id, term, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3""".stripMargin,
     "sim_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |     c AS (SELECT vec_id AS id,

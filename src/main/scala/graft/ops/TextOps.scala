@@ -88,6 +88,33 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 
+  /** Per-document TF-IDF top terms: lowercased whitespace tokens, raw term
+    * frequency × ln(N / doc_freq), the k highest-scoring terms per doc
+    * (ties by term). Scores are rounded to 9 decimals BEFORE ranking so the
+    * ordering is engine-portable (ln differs in the last ulp across libm
+    * implementations). Shuffle profile: two hash aggregates, one join on
+    * term (broadcastable when the vocabulary is small), one per-doc window.
+    * Output: (id, term, tfidf). */
+  def tfidfTopTerms(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count().toDouble
+    val tf = df
+      .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(n) / col("df")), 9))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("__rn") <= k)
+      .select("id", "term", "tfidf")
+  }
+
   /** Corpus n-gram statistics: the k character n-grams with the highest
     * DOCUMENT frequency (each doc counts a gram once — the statistic behind
     * stop-gram lists for the dedup prefix filters). Ties break by gram for

@@ -304,6 +304,18 @@ class OpsSpec extends SparkSpec {
     out should have size 3
   }
 
+  test("TextOps.tfidfTopTerms scores rare terms above common ones") {
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana banana")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(df, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "apple"  // tf 2 × ln(3/1) beats banana's tf 1 × ln(3/3)=0
+    out(2L) shouldBe "cherry" // unique term wins
+    out(3L) shouldBe "banana" // only term present
+  }
+
   test("Multimodal.withBinaryMeta sniffs magic bytes and measures length") {
     val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A)
     val d = spark.createDataFrame(
