@@ -136,6 +136,61 @@ case class SimHash64(child: Expression)
     copy(child = newChildren(0))
 }
 
+/** graft_shingle_strings(text, n): distinct n-character substrings in
+  * first-occurrence order — the string-valued sibling of
+  * graft_shingle_hashes (for operators whose OUTPUT is the gram itself,
+  * e.g. corpus n-gram statistics). Bit-identical to
+  * `array_distinct(transform(sequence(...), substr))`. */
+case class ShingleStrings(child: Expression, shingleSize: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child, shingleSize)
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && shingleSize.foldable &&
+      shingleSize.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_shingle_strings expects (string, int literal)")
+
+  private lazy val n: Int = shingleSize.eval().asInstanceOf[Int]
+  private val empty = new GenericArrayData(Array.empty[Any])
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val s = child.eval(input).asInstanceOf[UTF8String]
+    if (s == null) return empty
+    val bytes = s.getBytes
+    val offsets = new Array[Int](s.numChars() + 1)
+    var i = 0
+    var c = 0
+    while (i < bytes.length) {
+      offsets(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    offsets(c) = bytes.length
+    if (c < n) return empty
+    val seen = new java.util.HashSet[UTF8String](c * 2)
+    val out = new ArrayBuffer[Any](c - n + 1)
+    var p = 0
+    while (p <= c - n) {
+      val start = offsets(p)
+      val g = UTF8String.fromBytes(bytes, start, offsets(p + n) - start)
+      if (seen.add(g)) out += g
+      p += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), shingleSize = newChildren(1))
+}
+
 /** graft_ivf_cell(embedding, centroidsFlat, dims): nearest-centroid cell id
   * by squared L2 distance, ties to the lowest cell — bit-identical to the
   * sorted-struct-array formulation (sequential fold in array order, strict-<

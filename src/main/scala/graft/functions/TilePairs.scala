@@ -27,6 +27,7 @@ object TilePairs {
   val BitmapName = "graft_bitmap"
   val SimhashName = "graft_simhash"
   val IvfCellName = "graft_ivf_cell"
+  val ShingleStrName = "graft_shingle_strings"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

@@ -121,10 +121,16 @@ object TextOps {
     * determinism. One explode + hash aggregate + TakeOrdered — no full
     * sort, scales like any word-count. */
   def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String, n: Int, k: Int)
-      : org.apache.spark.sql.DataFrame =
-    df.select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      : org.apache.spark.sql.DataFrame = {
+    val grams =
+      if (df.sparkSession.catalog.functionExists(
+        graft.functions.TilePairs.ShingleStrName))
+        call_function(graft.functions.TilePairs.ShingleStrName, col(textCol), lit(n))
+      else Dedup.shingles(col(textCol), n)
+    df.select(explode(grams).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("gram").asc)
       .limit(k)
+  }
 }

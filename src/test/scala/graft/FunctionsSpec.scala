@@ -111,6 +111,14 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_shingle_strings matches the HOF formulation") {
+    val df = Seq("the quick", "ab", "", "aaaa", "naïve ünïcode").toDF("t")
+    val rows = df.select(
+      call_function(TilePairs.ShingleStrName, $"t", lit(3)).as("native"),
+      graft.ops.Dedup.shingles($"t", 3).as("hof")).collect()
+    rows.foreach(r => r.getSeq[String](0) shouldBe r.getSeq[String](1))
+  }
+
   test("graft_ivf_cell matches the sorted-struct argmin bit-for-bit") {
     val cents = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(0.25, 0.25))
     val df = Seq(Seq(0.1f, 0.1f), Seq(0.9f, 0.8f), Seq(0.25f, 0.25f),
