@@ -446,6 +446,9 @@ object SparkEntry {
     // CTE over the true-Jaccard pair graph.
     "dedup_cluster" -> ((s, dir) =>
       Dedup.duplicateClustersByText(docsWithDups(s, dir), "doc_id", "text")),
+    // The cleaned corpus: one representative (min id) per near-dup cluster.
+    "dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupCorpus(docsWithDups(s, dir), "doc_id", "text")),
     // Benchmark-contamination check: right corpus = every 3rd document; the
     // cross-side true-Jaccard ≥ 0.8 pairs are each right doc against its
     // identical left self plus cross near-dups — replayed exactly in DuckDB.
@@ -891,6 +894,20 @@ object SparkEntry {
         |           / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jaccard
         |  FROM lg a CROSS JOIN rg b)
         |WHERE jaccard >= 0.8""".stripMargin,
+    // docs whose connected-component minimum is themselves (the recursive
+    // walk is the dedup_cluster oracle's)
+    "dedup_corpus" ->
+      s"""WITH RECURSIVE
+         | u AS ($docsWithDupsSql),
+         | pairs AS ($ngramJaccardOracleSql),
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |           UNION ALL SELECT id_b, id_a FROM pairs),
+         | walk(id, lbl) AS (
+         |   SELECT doc_id, doc_id FROM u
+         |   UNION
+         |   SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+         | keep AS (SELECT id FROM walk GROUP BY id HAVING min(lbl) = id)
+         |SELECT u.* FROM u JOIN keep ON u.doc_id = keep.id""".stripMargin,
     "asof_join" ->
       """SELECT l.event_id, l.user_id, l.ts, l.value,
         |       r.ts AS ts_view, r.value AS value_view

@@ -800,6 +800,25 @@ object Dedup {
       .select(col(idCol), col("cluster_id"))
   }
 
+  /** The user-facing dedup endpoint: the corpus with near-duplicates
+    * REMOVED — one representative (the cluster's smallest id) per duplicate
+    * cluster, all columns preserved. Composes [[duplicateClustersByText]]
+    * with a semi-join filter; singletons pass through untouched. */
+  def dedupCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+  ): DataFrame = {
+    val keep = duplicateClustersByText(df, idCol, textCol, n, numHashes, bands, threshold)
+      .filter(col(idCol) === col("cluster_id"))
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   // ───────────────────────── SimHash ─────────────────────────
 
   /** 64-bit SimHash over whitespace tokens: per bit, tokens vote +1/−1 by

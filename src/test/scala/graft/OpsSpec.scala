@@ -100,6 +100,16 @@ class OpsSpec extends SparkSpec {
     out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L)
   }
 
+  test("dedupCorpus keeps one representative per near-dup cluster") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (7L, "completely different content lives here")).toDF("doc_id", "text")
+    val out = Dedup.dedupCorpus(df, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    out shouldBe Set(1L, 7L) // 2 collapsed into 1 (min id survives)
+  }
+
   test("crossDupPairs finds only cross-side contamination") {
     val left = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
