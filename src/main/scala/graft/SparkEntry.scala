@@ -502,6 +502,11 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(rt(s, dir, "documents"), "doc_id", "text", 3)
         .withColumnRenamed("id", "doc_id")),
+    "text_quality_filter" -> ((s, dir) =>
+      TextOps.qualityFilter(
+        rt(s, dir, "documents").select("doc_id", "text", "lang"),
+        "text", minTokens = 10, maxPunctRatio = 0.1, minStopwordRatio = 0.05)
+        .drop("text")),
     "sim_topk" -> ((s, dir) => {
       val e = rt(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
@@ -1005,6 +1010,20 @@ object SparkEntry {
         |        FROM documents)
         |  GROUP BY gram)
         |ORDER BY doc_freq DESC, gram LIMIT 20""".stripMargin,
+    "text_quality_filter" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+        |             text
+        |           FROM documents)
+        |SELECT doc_id, lang FROM t
+        |WHERE len(toks) >= 10
+        |  AND (CASE WHEN len(text) > 0
+        |            THEN CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE)
+        |                 / CAST(len(text) AS DOUBLE) ELSE 0.0 END) <= 0.1
+        |  AND (CASE WHEN len(toks) > 0
+        |            THEN CAST(len(list_filter(toks,
+        |                   x -> x IN ('the','a','an','and','of','is','to','in'))) AS DOUBLE)
+        |                 / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) >= 0.05""".stripMargin,
     // rank on the 9-decimal-rounded score (both engines) so libm ulp
     // differences in ln cannot flip near-ties; exact ties break by term
     "text_tfidf" ->

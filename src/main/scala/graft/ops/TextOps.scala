@@ -88,6 +88,25 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 
+  /** The quality-filter pipeline stage: keep documents passing all
+    * [[qualityFeatures]]-based thresholds (and none of the feature columns
+    * survive into the output — this is the filter, not the profiler). A
+    * single narrow filter projection; predicates push toward the scan. */
+  def qualityFilter(
+      df: DataFrame,
+      textCol: String,
+      minTokens: Int = 5,
+      maxPunctRatio: Double = 0.2,
+      minStopwordRatio: Double = 0.0,
+  ): DataFrame = {
+    val scored = qualityFeatures(df, textCol)
+    scored
+      .filter(col("n_tokens") >= minTokens &&
+        col("punct_ratio") <= maxPunctRatio &&
+        col("stopword_ratio") >= minStopwordRatio)
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** Per-document TF-IDF top terms: lowercased whitespace tokens, raw term
     * frequency × ln(N / doc_freq), the k highest-scoring terms per doc
     * (ties by term). Scores are rounded to 9 decimals BEFORE ranking so the
