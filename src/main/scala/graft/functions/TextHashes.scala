@@ -2,14 +2,16 @@ package graft.functions
 
 import scala.collection.mutable.ArrayBuffer
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native per-document hashing kernels for the dedup operators.
+/** Native per-document kernels for the dedup/similarity operators.
   *
   * The equivalent pure-Column formulations (sequence + substr + transform +
   * array_distinct, or 64 separate min-aggregates) walk an interpreted
@@ -18,10 +20,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * These expressions do the same math in one tight primitive loop per row
   * and are bit-identical to the fallbacks (same XXH64 calls in the same
   * order), so graft.ops.Dedup can dispatch on availability.
+  *
+  * All kernels implement `doGenCode` as a direct call to their primitive
+  * `compute` method, so projections using them STAY INSIDE whole-stage
+  * codegen (a CodegenFallback would force the surrounding operators out of
+  * the generated loop and hand every row over as an InternalRow).
   */
 object TextHashes {
   /** Spark's xxhash64 seed (XxHash64 expression default). */
   val Seed = 42L
+
+  /** Byte offsets of each character start (+ end sentinel); length = chars+1. */
+  private[functions] def charOffsets(bytes: Array[Byte], numChars: Int): Array[Int] = {
+    val offsets = new Array[Int](numChars + 1)
+    var i = 0
+    var c = 0
+    while (i < bytes.length) {
+      offsets(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    offsets(c) = bytes.length
+    offsets
+  }
 }
 
 /** graft_shingle_hashes(text, n): distinct xxhash64 values of all n-character
@@ -31,7 +52,7 @@ object TextHashes {
   * text → empty array (the `when(...).otherwise(empty)` fallback behavior).
   */
 case class ShingleHashes(child: Expression, shingleSize: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   override def children: Seq[Expression] = Seq(child, shingleSize)
   override def nullable: Boolean = false
@@ -49,20 +70,11 @@ case class ShingleHashes(child: Expression, shingleSize: Expression)
   private lazy val n: Int = shingleSize.eval().asInstanceOf[Int]
   private val empty = new GenericArrayData(Array.empty[Long])
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val s = child.eval(input).asInstanceOf[UTF8String]
+  def compute(s: UTF8String): ArrayData = {
     if (s == null) return empty
     val bytes = s.getBytes
-    // byte offset of each character start (+ end sentinel)
-    val offsets = new Array[Int](s.numChars() + 1)
-    var i = 0
-    var c = 0
-    while (i < bytes.length) {
-      offsets(c) = i
-      i += UTF8String.numBytesForFirstByte(bytes(i))
-      c += 1
-    }
-    offsets(c) = bytes.length
+    val offsets = TextHashes.charOffsets(bytes, s.numChars())
+    val c = offsets.length - 1
     if (c < n) return empty
     val seen = new java.util.HashSet[java.lang.Long](c * 2)
     val out = new ArrayBuffer[Long](c - n + 1)
@@ -77,6 +89,79 @@ case class ShingleHashes(child: Expression, shingleSize: Expression)
     new GenericArrayData(out.toArray)
   }
 
+  override def eval(input: InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        $ref.compute(${c.isNull} ? null : ${c.value});
+    """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), shingleSize = newChildren(1))
+}
+
+/** graft_shingle_strings(text, n): distinct n-character substrings in
+  * first-occurrence order — the string-valued sibling of
+  * graft_shingle_hashes (for operators whose OUTPUT is the gram itself,
+  * e.g. corpus n-gram statistics). Bit-identical to
+  * `array_distinct(transform(sequence(...), substr))`. */
+case class ShingleStrings(child: Expression, shingleSize: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(child, shingleSize)
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && shingleSize.foldable &&
+      shingleSize.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_shingle_strings expects (string, int literal)")
+
+  private lazy val n: Int = shingleSize.eval().asInstanceOf[Int]
+  private val empty = new GenericArrayData(Array.empty[Any])
+
+  def compute(s: UTF8String): ArrayData = {
+    if (s == null) return empty
+    val bytes = s.getBytes
+    val offsets = TextHashes.charOffsets(bytes, s.numChars())
+    val c = offsets.length - 1
+    if (c < n) return empty
+    val seen = new java.util.HashSet[UTF8String](c * 2)
+    val out = new ArrayBuffer[Any](c - n + 1)
+    var p = 0
+    while (p <= c - n) {
+      val start = offsets(p)
+      val g = UTF8String.fromBytes(bytes, start, offsets(p + n) - start)
+      if (seen.add(g)) out += g
+      p += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def eval(input: InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        $ref.compute(${c.isNull} ? null : ${c.value});
+    """, isNull = FalseLiteral)
+  }
+
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0), shingleSize = newChildren(1))
@@ -87,8 +172,7 @@ case class ShingleHashes(child: Expression, shingleSize: Expression)
   * (same UTF8String lowercase/split, same xxhash64 per token, same +1/−1
   * vote per bit, sign → bit). One primitive loop per row instead of an
   * interpreted 64-counter array fold per token. */
-case class SimHash64(child: Expression)
-    extends Expression with CodegenFallback {
+case class SimHash64(child: Expression) extends Expression {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
@@ -104,9 +188,7 @@ case class SimHash64(child: Expression)
 
   private val ws = UTF8String.fromString("\\s+")
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val s = child.eval(input).asInstanceOf[UTF8String]
-    if (s == null) return null
+  def compute(s: UTF8String): Long = {
     val votes = new Array[Int](64)
     val tokens = s.toLowerCase.split(ws, -1)
     var i = 0
@@ -131,64 +213,25 @@ case class SimHash64(child: Expression)
     out
   }
 
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren(0))
-}
-
-/** graft_shingle_strings(text, n): distinct n-character substrings in
-  * first-occurrence order — the string-valued sibling of
-  * graft_shingle_hashes (for operators whose OUTPUT is the gram itself,
-  * e.g. corpus n-gram statistics). Bit-identical to
-  * `array_distinct(transform(sequence(...), substr))`. */
-case class ShingleStrings(child: Expression, shingleSize: Expression)
-    extends Expression with CodegenFallback {
-
-  override def children: Seq[Expression] = Seq(child, shingleSize)
-  override def nullable: Boolean = false
-  override lazy val deterministic: Boolean = true
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType && shingleSize.foldable &&
-      shingleSize.dataType == IntegerType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "graft_shingle_strings expects (string, int literal)")
-
-  private lazy val n: Int = shingleSize.eval().asInstanceOf[Int]
-  private val empty = new GenericArrayData(Array.empty[Any])
-
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+  override def eval(input: InternalRow): Any = {
     val s = child.eval(input).asInstanceOf[UTF8String]
-    if (s == null) return empty
-    val bytes = s.getBytes
-    val offsets = new Array[Int](s.numChars() + 1)
-    var i = 0
-    var c = 0
-    while (i < bytes.length) {
-      offsets(c) = i
-      i += UTF8String.numBytesForFirstByte(bytes(i))
-      c += 1
-    }
-    offsets(c) = bytes.length
-    if (c < n) return empty
-    val seen = new java.util.HashSet[UTF8String](c * 2)
-    val out = new ArrayBuffer[Any](c - n + 1)
-    var p = 0
-    while (p <= c - n) {
-      val start = offsets(p)
-      val g = UTF8String.fromBytes(bytes, start, offsets(p + n) - start)
-      if (seen.add(g)) out += g
-      p += 1
-    }
-    new GenericArrayData(out.toArray)
+    if (s == null) null else compute(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      long ${ev.value} = -1L;
+      if (!${ev.isNull}) ${ev.value} = $ref.compute(${c.value});
+    """)
   }
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren(0), shingleSize = newChildren(1))
+    copy(child = newChildren(0))
 }
 
 /** graft_ivf_cell(embedding, centroidsFlat, dims): nearest-centroid cell id
@@ -197,7 +240,7 @@ case class ShingleStrings(child: Expression, shingleSize: Expression)
   * argmin keeps the earlier cell on ties). One primitive loop per row
   * instead of k interpreted aggregate folds. */
 case class IvfCell(child: Expression, centroids: Expression, dims: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   override def children: Seq[Expression] = Seq(child, centroids, dims)
   override def nullable: Boolean = false
@@ -220,8 +263,7 @@ case class IvfCell(child: Expression, centroids: Expression, dims: Expression)
     case _ => false
   }
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val e = child.eval(input).asInstanceOf[ArrayData]
+  def compute(e: ArrayData): Int = {
     var best = Double.PositiveInfinity
     var bestCell = 0
     var c = 0
@@ -241,6 +283,18 @@ case class IvfCell(child: Expression, centroids: Expression, dims: Expression)
     bestCell
   }
 
+  override def eval(input: InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      int ${ev.value} = $ref.compute(${c.isNull} ? null : ${c.value});
+    """, isNull = FalseLiteral)
+  }
+
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0), centroids = newChildren(1), dims = newChildren(2))
@@ -253,7 +307,7 @@ case class IvfCell(child: Expression, centroids: Expression, dims: Expression)
   * literal)). Empty input → all Long.MaxValue (callers filter empty sets
   * out beforehand, matching the aggregate path where such docs vanish). */
 case class MinhashSig(child: Expression, numHashes: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   override def children: Seq[Expression] = Seq(child, numHashes)
   override def nullable: Boolean = false
@@ -270,8 +324,7 @@ case class MinhashSig(child: Expression, numHashes: Expression)
 
   private lazy val k: Int = numHashes.eval().asInstanceOf[Int]
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val arr = child.eval(input).asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val m = Array.fill(k)(Long.MaxValue)
     if (arr != null) {
       val n = arr.numElements()
@@ -290,6 +343,19 @@ case class MinhashSig(child: Expression, numHashes: Expression)
     new GenericArrayData(m)
   }
 
+  override def eval(input: InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        $ref.compute(${c.isNull} ? null : ${c.value});
+    """, isNull = FalseLiteral)
+  }
+
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0), numHashes = newChildren(1))
@@ -302,7 +368,7 @@ case class MinhashSig(child: Expression, numHashes: Expression)
   * bit order = global rarity order and prefix selection is "first k set
   * bits"). Hashes not in the vocabulary are ignored. */
 case class BitmapOfSet(child: Expression, vocab: Expression, rank: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   override def children: Seq[Expression] = Seq(child, vocab, rank)
   override def nullable: Boolean = false
@@ -326,8 +392,7 @@ case class BitmapOfSet(child: Expression, vocab: Expression, rank: Expression)
   }
   private lazy val words: Int = (vocabArr.length + 63) / 64
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val arr = child.eval(input).asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val bm = new Array[Long](words)
     if (arr != null) {
       val n = arr.numElements()
@@ -342,6 +407,19 @@ case class BitmapOfSet(child: Expression, vocab: Expression, rank: Expression)
       }
     }
     new GenericArrayData(bm)
+  }
+
+  override def eval(input: InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        $ref.compute(${c.isNull} ? null : ${c.value});
+    """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(

@@ -139,6 +139,24 @@ class FunctionsSpec extends SparkSpec {
     out shouldBe Seq((1L << 2) | (1L << 1)) // 999 ignored
   }
 
+  test("per-row kernels are codegen-capable (projections stay in WholeStageCodegen)") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    Seq(
+      classOf[graft.functions.ShingleHashes], classOf[graft.functions.ShingleStrings],
+      classOf[graft.functions.MinhashSig], classOf[graft.functions.BitmapOfSet],
+      classOf[graft.functions.SimHash64], classOf[graft.functions.IvfCell])
+      .foreach(c => classOf[CodegenFallback].isAssignableFrom(c) shouldBe false)
+    // and a projection through them really compiles into a codegen stage
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val proj = docs.select(
+      call_function(TilePairs.SimhashName, $"text").as("sh"),
+      call_function(TilePairs.ShingleName, $"text", lit(3)).as("gs"))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out))(proj.explain("formatted"))
+    out.toString should include regex "Project \\[codegen id : 1\\]"
+    proj.count() shouldBe docs.count() // the generated code actually runs
+  }
+
   test("graft_hamming_tile_pairs: pairs within the Hamming radius") {
     val xs = "array(named_struct('id', 1L, 'sh', 0L), " +
       "named_struct('id', 2L, 'sh', 3L), named_struct('id', 3L, 'sh', -1L))"
