@@ -91,4 +91,42 @@ class PropertySpec extends SparkSpec {
       rows.map(_._2).zip(out).forall { case (s, code) => code == cats.indexOf(s).toLong }
     })
   }
+
+  private val numGen: Gen[List[Double]] =
+    Gen.listOfN(20, Gen.choose(-1000.0, 1000.0))
+
+  test("property: StandardScaler output has mean ~0 and population std ~1") {
+    check(Prop.forAll(numGen) { xs =>
+      (xs.distinct.size > 1) ==> {
+        val out = new StandardScaler(Seq("x"))
+          .fitTransform(xs.map(Tuple1(_)).toDF("x"))
+          .collect().map(_.getDouble(0))
+        val mean = out.sum / out.length
+        val varp = out.map(v => (v - mean) * (v - mean)).sum / out.length
+        math.abs(mean) < 1e-9 && math.abs(varp - 1.0) < 1e-9
+      }
+    })
+  }
+
+  test("property: MinMaxScaler output spans exactly [0, 1] and preserves order") {
+    check(Prop.forAll(numGen) { xs =>
+      (xs.distinct.size > 1) ==> {
+        val out = new MinMaxScaler(Seq("x"))
+          .fitTransform(xs.map(Tuple1(_)).toDF("x"))
+          .collect().map(_.getDouble(0))
+        val sortedIn = xs.zipWithIndex.sortBy(_._1).map(_._2)
+        val sortedOut = out.zipWithIndex.sortBy(_._1).map(_._2)
+        out.min == 0.0 && out.max == 1.0 && sortedIn == sortedOut.toList
+      }
+    })
+  }
+
+  test("property: hashSample keeps a subset, deterministically, within bounds") {
+    check(Prop.forAll(Gen.choose(0, 100)) { pct =>
+      val df = (1L to 500L).map(Tuple1(_)).toDF("id")
+      val a = graft.ops.Sampling.hashSample(df, "id", pct).collect().map(_.getLong(0)).toSet
+      val b = graft.ops.Sampling.hashSample(df, "id", pct).collect().map(_.getLong(0)).toSet
+      a == b && a.size <= 500 && (pct != 0 || a.isEmpty) && (pct != 100 || a.size == 500)
+    })
+  }
 }
