@@ -477,6 +477,9 @@ object SparkEntry {
     "sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(rt(s, dir, "documents"), "lang", "doc_id", 10)
         .select("doc_id", "lang")),
+    "sample_split" -> ((s, dir) =>
+      Sampling.trainTestSplit(rt(s, dir, "documents"), "doc_id", 80)
+        .select("doc_id", "split")),
     // Grouped top-k selection ("best k docs per language").
     "text_topk_per_lang" -> ((s, dir) =>
       Relational.topKPerGroup(
@@ -922,6 +925,11 @@ object SparkEntry {
     "sample_hash" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 100 < 20""".stripMargin,
+    "sample_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 100 < 80
+        |            THEN 'train' ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

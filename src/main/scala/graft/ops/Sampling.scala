@@ -36,6 +36,19 @@ object Sampling {
     df.filter(pmod(minstdHash(col(idCol)), lit(100L)) < percent)
   }
 
+  /** Deterministic train/test assignment: adds a `split` column
+    * ("train"/"test") from the id hash — the same id lands in the same
+    * split on every run, engine, and partitioning, so re-runs and backfills
+    * never leak test rows into training. Pure narrow projection. */
+  def trainTestSplit(df: DataFrame, idCol: String, trainPercent: Int): DataFrame = {
+    require(trainPercent >= 0 && trainPercent <= 100,
+      "trainPercent must be in [0, 100]")
+    graft.core.Validators.requireColumns(df, Seq(idCol))
+    df.withColumn("split",
+      when(pmod(minstdHash(col(idCol)), lit(100L)) < trainPercent, lit("train"))
+        .otherwise(lit("test")))
+  }
+
   /** Exactly `perKey` rows per stratum, chosen by id hash (fewer when the
     * stratum is smaller): deterministic stratified sampling. One hash
     * shuffle on the stratum key. */

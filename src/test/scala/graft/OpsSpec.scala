@@ -207,6 +207,11 @@ class OpsSpec extends SparkSpec {
     val strat = Sampling.stratifiedSample(df, "k", "id", 7)
       .groupBy("k").count().collect().map(_.getLong(1))
     strat.foreach(_ shouldBe 7L)
+    // train/test split: partition of the input, consistent with hashSample
+    val split = Sampling.trainTestSplit(df, "id", 20)
+    split.count() shouldBe 1000
+    val train = split.filter($"split" === "train").collect().map(_.getLong(0)).toSet
+    train shouldBe s1 // same 20% hash bucket as hashSample(20)
   }
 
   test("Dedup.ngramJaccardPairs computes exact jaccard on hand value") {
