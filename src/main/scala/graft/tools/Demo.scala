@@ -45,6 +45,23 @@ object Demo {
     println("columns: " + out.columns.mkString(", "))
     out.explain("formatted")
 
+    // Fitted-pipeline persistence round trip through the public ModelIO API.
+    val modelPath = java.nio.file.Files.createTempFile("graft_demo", ".json").toString
+    graft.core.ModelIO.save(pipe, modelPath)
+    val reloaded = graft.core.ModelIO.load(spark, modelPath)
+    println(s"modelio: reloaded ${reloaded.steps.length} steps, " +
+      s"transform rows=${reloaded.transform(li).count()}")
+
+    // Training-data curation ops over the documents table.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    println(s"dedup: corpus ${docs.count()} -> " +
+      s"${graft.ops.Dedup.dedupCorpus(docs, "doc_id", "text").count()} after near-dup removal")
+    println(s"sampling: 20% hash sample = " +
+      s"${graft.ops.Sampling.hashSample(docs, "doc_id", 20).count()} docs; " +
+      s"train/test = ${graft.ops.Sampling.trainTestSplit(docs, "doc_id", 80)
+        .groupBy("split").count().collect().map(r => s"${r.getString(0)}:${r.getLong(1)}")
+        .sorted.mkString(", ")}")
+
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =
       try { body; println(s"PROBE $name: NO ERROR (unexpected)") }
