@@ -28,6 +28,7 @@ object TilePairs {
   val SimhashName = "graft_simhash"
   val IvfCellName = "graft_ivf_cell"
   val ShingleStrName = "graft_shingle_strings"
+  val CosineName = "graft_cosine_tile_pairs"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {
@@ -180,6 +181,96 @@ case class SigEstTilePairs(
           k += 1
         }
         if (eq >= minEq) out += InternalRow(lIds(i), rIds(j))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+}
+
+/** graft_cosine_tile_pairs(left, right, diagonal, threshold):
+  * input arrays of struct(id long, emb array&lt;float|double&gt;, norm double);
+  * emits struct(a, b, cos) for every (x ∈ left, y ∈ right) pair — upper
+  * triangle when `diagonal` — with cos = dot(embₐ, emb_b)/(normₐ·norm_b)
+  * ≥ threshold. The dot is a sequential fold in array order, so results are
+  * bit-identical to the higher-order-function fallback (and to the
+  * precomputed `norm = sqrt(dot(e, e))` the caller supplies). */
+case class CosineTilePairs(
+    left: Expression,
+    right: Expression,
+    diagonal: Expression,
+    threshold: Expression)
+    extends TileExpression {
+
+  override def children: Seq[Expression] = Seq(left, right, diagonal, threshold)
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("cos", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(left = c(0), right = c(1), diagonal = c(2), threshold = c(3))
+
+  /** Embedding element type, read from the member-struct schema once. */
+  private lazy val embIsFloat: Boolean = left.dataType match {
+    case ArrayType(s: StructType, _) => s.fields(1).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    case _ => false
+  }
+
+  private def extract(a: ArrayData): (Array[Long], Array[Array[Double]], Array[Double]) = {
+    val n = memberCount(a)
+    val ids = new Array[Long](n)
+    val embs = new Array[Array[Double]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = a.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      val e = row.getArray(1)
+      val m = e.numElements()
+      val arr = new Array[Double](m)
+      var j = 0
+      while (j < m) {
+        arr(j) = if (embIsFloat) e.getFloat(j).toDouble else e.getDouble(j)
+        j += 1
+      }
+      embs(i) = arr
+      norms(i) = row.getDouble(2)
+      i += 1
+    }
+    (ids, embs, norms)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input).asInstanceOf[ArrayData]
+    val r = right.eval(input).asInstanceOf[ArrayData]
+    val diag = diagonal.eval(input).asInstanceOf[Boolean]
+    val t = threshold.eval(input).asInstanceOf[Double]
+    val (lIds, lEmbs, lNorms) = extract(l)
+    val (rIds, rEmbs, rNorms) = if (diag) (lIds, lEmbs, lNorms) else extract(r)
+    val out = new ArrayBuffer[InternalRow]()
+    var i = 0
+    while (i < lIds.length) {
+      val ea = lEmbs(i)
+      var j = if (diag) i + 1 else 0
+      while (j < rIds.length) {
+        val eb = rEmbs(j)
+        val n = math.min(ea.length, eb.length)
+        var acc = 0.0
+        var k = 0
+        while (k < n) {
+          acc += ea(k) * eb(k)
+          k += 1
+        }
+        val cos = acc / (lNorms(i) * rNorms(j))
+        if (cos >= t) out += InternalRow(lIds(i), rIds(j), cos)
         j += 1
       }
       i += 1

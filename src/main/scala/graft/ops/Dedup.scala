@@ -213,6 +213,23 @@ object Dedup {
       .select(explode(call_function(
         fnName, col("l"), col("r"), col("bi") === col("bj"), arg)).as("p"))
 
+  /** Symmetric bucket expansion with native/HOF dispatch — the
+    * [[minhashCandidates]] idiom packaged for sibling ops (Similarity's
+    * embedding near-dup runs on the same tiling machinery). `buckets` must
+    * carry the sorted member array in `xs`; returns one `p` struct column
+    * per surviving pair. */
+  private[ops] def expandSymmetricBuckets(
+      buckets: DataFrame,
+      keys: Seq[Column],
+      fnName: String,
+      arg: Column,
+      keep: (Column, Column) => Column,
+      emit: (Column, Column) => Column): DataFrame =
+    if (nativeTilePairsAvailable(buckets))
+      expandBucketsNative(buckets, keys, fnName, arg)
+    else
+      expandBuckets(buckets, keys, keep, emit)
+
   private def nativeTilePairsAvailable(df: DataFrame): Boolean =
     !ForceFallback &&
       df.sparkSession.catalog.functionExists(graft.functions.TilePairs.JaccardName)

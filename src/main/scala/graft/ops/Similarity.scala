@@ -212,10 +212,26 @@ object Similarity {
       idCol, embCol, query, k)
   }
 
-  /** All-pairs embedding near-duplicates: pairs with cosine ≥ threshold,
-    * LSH-bucketed so only same-bucket pairs are compared (the scale path —
-    * brute-force all-pairs is O(n²) and off the table at 100 TB).
-    * Shuffle is a single hash partition by bucket id. */
+  /** All-pairs embedding near-duplicates: pairs with cosine ≥ threshold.
+    *
+    * Scale shape (same machinery as the text dedup path — Dedup's tiled
+    * bucket expansion):
+    *   - `numBands` independent hyperplane sets, OR'd for recall: a pair is
+    *     a candidate if ALL `numPlanes` sign bits agree in ANY band.
+    *     Identical vectors always collide, so exact-duplicate recall is 1.
+    *   - Bucket members are collected per (band, bucket) and the quadratic
+    *     pair space is split into ≤512² tiles spread across the cluster —
+    *     one hot bucket (a dense near-dup cluster, the expected input at
+    *     100 TB) becomes many tasks, not one O(k²) straggler.
+    *   - Buckets over `maxBucketSize` are dropped: degenerate mass
+    *     duplication is [[graft.ops.Dedup.exact]]'s job, and even tiled its
+    *     k² cost is not worth paying here.
+    *   - Cosine is evaluated INLINE during tile expansion (native
+    *     graft_cosine_tile_pairs kernel when GraftExtensions is installed;
+    *     bit-identical HOF fold otherwise) — sub-threshold pairs are never
+    *     materialized or shuffled. Norms are computed once per member at
+    *     bucketing time, not per pair.
+    */
   def cosineNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -224,18 +240,34 @@ object Similarity {
       numPlanes: Int = 8,
       dim: Int = 64,
       seed: Long = 42L,
+      numBands: Int = 4,
+      maxBucketSize: Int = 100000,
   ): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim, seed)
+    val idType = df.schema(idCol).dataType
     val d = dotFor(df)
-    val bucketed = df.select(
-      col(idCol).as("id"), col(embCol).as("emb"),
-      lshBucket(col(embCol), planes, d).as("bucket"))
-    val a = bucketed.alias("a")
-    val b = bucketed.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    // band 0 uses `seed` itself; further bands mix in a fixed odd prime
+    val bands = array((0 until numBands).map { b =>
+      val planes = hyperplanes(numPlanes, dim, seed + 7919L * b)
+      struct(lit(b).as("band"), lshBucket(col("emb"), planes, d).as("h"))
+    }: _*)
+    val buckets = df
+      .select(col(idCol).cast("long").as("id"), col(embCol).as("emb"))
+      .withColumn("norm", sqrt(d(col("emb"), col("emb"))))
+      .select(col("id"), col("emb"), col("norm"), explode(bands).as("bh"))
+      .groupBy(col("bh.band").as("band"), col("bh.h").as("h"))
+      .agg(sort_array(collect_list(struct(col("id"), col("emb"), col("norm")))).as("xs"))
+      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
+    val cosPair: (Column, Column) => Column = (x, y) =>
+      dot(x("emb"), y("emb")) / (x("norm") * y("norm"))
+    Dedup.expandSymmetricBuckets(
+      buckets, Seq(col("band"), col("h")),
+      graft.functions.TilePairs.CosineName, lit(threshold),
+      (x, y) => cosPair(x, y) >= threshold,
+      (x, y) => struct(x("id").as("a"), y("id").as("b"), cosPair(x, y).as("cos")))
       .select(
-        col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosineWith(d)(col("a.emb"), col("b.emb")).as("cos"))
-      .filter(col("cos") >= threshold)
+        col("p.a").cast(idType).as("id_a"),
+        col("p.b").cast(idType).as("id_b"),
+        col("p.cos").as("cos"))
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -272,6 +272,43 @@ class OpsSpec extends SparkSpec {
     pairs.size shouldBe 1
   }
 
+  test("cosineNearDupPairs tiles a degenerate bucket instead of one giant task") {
+    // 1100 identical embeddings: every band puts all of them in ONE bucket.
+    // With BlockSize 512 that bucket must split into 3 blocks → 6 tiles per
+    // band, spread by an explicit repartition on (band, h, bi, bj).
+    val n = 1100
+    val degen = (0L until n.toLong).map(i => (i, Seq(0.6f, 0.8f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDupPairs(degen, "vec_id", "embedding",
+      threshold = 0.99, dim = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*hashpartitioning\\(band#\\d+, h#\\d+L?, bi#\\d+, bj#\\d+.*"),
+      s"expected explicit tile repartition in plan:\n$plan")
+    out.count() shouldBe n.toLong * (n - 1) / 2
+  }
+
+  test("cosineNearDupPairs drops buckets over maxBucketSize") {
+    val degen = (0L until 50L).map(i => (i, Seq(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.cosineNearDupPairs(degen, "vec_id", "embedding",
+      threshold = 0.99, dim = 3, maxBucketSize = 10).count() shouldBe 0
+  }
+
+  test("cosineNearDupPairs HOF fallback agrees with the native kernel") {
+    val mixed = ((0L until 40L).map(i => (i, Seq(0.6f, 0.8f, 0.0f))) ++
+      Seq((100L, Seq(1.0f, 0.0f, 0.0f)), (101L, Seq(0.0f, 1.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    def run() = Similarity.cosineNearDupPairs(mixed, "vec_id", "embedding",
+      threshold = 0.95, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val native = run()
+    val saved = Dedup.ForceFallback
+    val hof = try { Dedup.ForceFallback = true; run() }
+    finally Dedup.ForceFallback = saved
+    native shouldBe hof // same pairs, bit-identical cosines
+    native.map(p => (p._1, p._2)) should contain((0L, 1L))
+  }
+
   // ── TextOps ──────────────────────────────────────────────────────────
 
   test("TextOps token counts and quality features on a hand example") {
