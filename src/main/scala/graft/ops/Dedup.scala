@@ -401,9 +401,12 @@ object Dedup {
     val needed = cands
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
+    // No broadcast hint: the candidate-doc id set is data-dependent and can
+    // reach millions of rows at corpus scale — a forced broadcast would OOM
+    // the driver. AQE picks broadcast when the set is actually small.
     val sets = df
       .select(col(idCol).as("id"), shingleHashesFor(df, col(textCol), n).as("gs"))
-      .join(broadcast(needed), "id")
+      .join(needed, "id")
     val a = sets.select(col("id").as("id_a"), col("gs").as("gs_a"))
     val b = sets.select(col("id").as("id_b"), col("gs").as("gs_b"))
     cands
@@ -755,14 +758,16 @@ object Dedup {
           (x, y) => struct(x("id").as("a"), y("id").as("b")))
           .select(col("p.a").as("left_id"), col("p.b").as("right_id"))
           .dropDuplicates("left_id", "right_id")
+        // un-hinted semijoin prune (see verifiedJaccardPairs): candidate
+        // sets are unbounded, so AQE decides broadcast vs shuffle
         val needL = cands.select(col("left_id").as("id")).distinct()
         val needR = cands.select(col("right_id").as("id")).distinct()
         val setsL = lReps
           .select(col("id").as("left_id"), shingleHashesFor(lReps, col("text"), n).as("gs_l"))
-          .join(broadcast(needL.select(col("id").as("left_id"))), "left_id")
+          .join(needL.select(col("id").as("left_id")), "left_id")
         val setsR = rReps
           .select(col("id").as("right_id"), shingleHashesFor(rReps, col("text"), n).as("gs_r"))
-          .join(broadcast(needR.select(col("id").as("right_id"))), "right_id")
+          .join(needR.select(col("id").as("right_id")), "right_id")
         cands
           .join(setsL, "left_id")
           .join(setsR, "right_id")

@@ -44,6 +44,27 @@ class OpsSpec extends SparkSpec {
       .get.getDouble(2) shouldBe 1.0 // identical texts → jaccard exactly 1
   }
 
+  test("general-vocab verify path works with broadcasting disabled (no forced hint)") {
+    // The candidate-doc semijoin prune must not carry a forced broadcast
+    // hint (an unbounded candidate set would OOM the driver at scale):
+    // with autoBroadcastJoinThreshold=-1 the join must still execute, as a
+    // shuffle join, and produce the same pairs.
+    val savedVocab = Dedup.MaxBitmapVocab
+    val savedThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Dedup.MaxBitmapVocab = 0 // force the general (est + exact-verify) path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = Dedup.minhashDedupPairs(docs, "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b").collect()
+      val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs should contain((1L, 2L))
+      pairs should contain((1L, 4L))
+    } finally {
+      Dedup.MaxBitmapVocab = savedVocab
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
+    }
+  }
+
   test("Dedup.minhashDedupPairs general-vocab path (est filter + exact verify) agrees") {
     val saved = Dedup.MaxBitmapVocab
     try {
