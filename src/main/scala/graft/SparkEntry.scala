@@ -544,6 +544,24 @@ object SparkEntry {
         c.zipWithIndex.map { case (v, p) => (i, p, v) }
       }.toDF("cell_id", "pos", "value")
     }),
+    // Large-nlist IVF: 256 cells × 64 dims is past LiteralAssignMax, so
+    // cell assignment runs as a broadcast centroid table + argmin agg
+    // (BroadcastHashJoin — asserted in PlanSpec) instead of a giant plan
+    // literal. nprobe=32 keeps enough vectors in scope for a top-10 at
+    // sf0.01.
+    "sim_ivf_bcast" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.ivfTopK(e, "vec_id", "embedding", q, 10, nlist = 256, nprobe = 32)
+    }),
+    "sim_ivf_bcast_centroids" -> ((s, dir) => {
+      import s.implicits._
+      val cents = Similarity.ivfCentroids(rt(s, dir, "embeddings"), "embedding", 256)
+      cents.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (v, p) => (i, p, v) }
+      }.toDF("cell_id", "pos", "value")
+    }),
     "sim_near_dup" -> ((s, dir) => {
       val e = rt(s, dir, "embeddings")
       val withDups = e.unionByName(
@@ -1062,6 +1080,37 @@ object SparkEntry {
         |                * sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
         |                                 FOR i IN range(1, len(qe) + 1)]))) AS cos
         |           FROM embeddings, q)
+        |SELECT id, cos FROM c ORDER BY cos DESC, id LIMIT 10""".stripMargin,
+    // Same IVF replay as sim_ivf, over the 256-cell aux dump and 32 probes
+    // (the broadcast-assignment path — argmin semantics identical).
+    "sim_ivf_bcast" ->
+      """WITH cent AS (SELECT cell_id, list(value ORDER BY pos) AS c
+        |              FROM read_parquet('{GRAFT_OUT}/sim_ivf_bcast_centroids/*.parquet')
+        |              GROUP BY cell_id),
+        |     q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |     qd AS (SELECT cell_id,
+        |              list_sum([(CAST(qe[i] AS DOUBLE) - c[i]) * (CAST(qe[i] AS DOUBLE) - c[i])
+        |                        FOR i IN range(1, 65)]) AS d
+        |            FROM cent, q),
+        |     probed AS (SELECT cell_id FROM qd ORDER BY d, cell_id LIMIT 32),
+        |     ad AS (SELECT e.vec_id, e.embedding, cent.cell_id,
+        |              list_sum([(CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        * (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        FOR i IN range(1, 65)]) AS d
+        |            FROM embeddings e CROSS JOIN cent),
+        |     assign AS (SELECT vec_id, embedding, cell_id,
+        |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+        |                FROM ad),
+        |     sel AS (SELECT vec_id, embedding FROM assign
+        |             WHERE rn = 1 AND cell_id IN (SELECT cell_id FROM probed)),
+        |     c AS (SELECT vec_id AS id,
+        |             list_sum([CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |                       FOR i IN range(1, 65)])
+        |             / (sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                               FOR i IN range(1, 65)]))
+        |                * sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |                                 FOR i IN range(1, 65)]))) AS cos
+        |           FROM sel, q)
         |SELECT id, cos FROM c ORDER BY cos DESC, id LIMIT 10""".stripMargin,
     // data fact (checked): max natural pairwise cosine is 0.513, far below
     // the 0.99 threshold — so the ≥0.99 pairs are exactly the injected

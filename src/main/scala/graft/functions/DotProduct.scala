@@ -70,3 +70,69 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
        """.stripMargin
     })
 }
+
+/** graft_sqdist(a, b): Σ (aᵢ−bᵢ)² in double precision, sequential in array
+  * order — bit-identical to the `aggregate(zip_with(...))` fold it replaces
+  * (and to the DuckDB list-comprehension replay in the oracles), with
+  * whole-stage codegen. Accepts array&lt;float&gt; or array&lt;double&gt;. */
+case class SqDist(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_sqdist expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val arrA = a.asInstanceOf[ArrayData]
+    val arrB = b.asInstanceOf[ArrayData]
+    val n = math.min(arrA.numElements(), arrB.numElements())
+    val aFloat = elemType(left) == FloatType
+    val bFloat = elemType(right) == FloatType
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) arrA.getFloat(i).toDouble else arrA.getDouble(i)
+      val y = if (bFloat) arrB.getFloat(i).toDouble else arrB.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val getA = if (elemType(left) == FloatType) s"(double) $a.getFloat" else s"$a.getDouble"
+      val getB = if (elemType(right) == FloatType) s"(double) $b.getFloat" else s"$b.getDouble"
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $getA($i) - $getB($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+}

@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 3, s"${TilePairs.IvfCellName} expects 3 arguments")
       IvfCell(args(0), args(1), args(2))
     }))
+    ext.injectFunction(fn(TilePairs.SqDistName, { args =>
+      require(args.length == 2, s"${TilePairs.SqDistName} expects 2 arguments")
+      SqDist(args(0), args(1))
+    }))
     ext.injectFunction(fn(TilePairs.CosineName, { args =>
       require(args.length == 4, s"${TilePairs.CosineName} expects 4 arguments")
       CosineTilePairs(args(0), args(1), args(2), args(3))

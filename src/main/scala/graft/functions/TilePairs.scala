@@ -29,6 +29,7 @@ object TilePairs {
   val IvfCellName = "graft_ivf_cell"
   val ShingleStrName = "graft_shingle_strings"
   val CosineName = "graft_cosine_tile_pairs"
+  val SqDistName = "graft_sqdist"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

@@ -116,6 +116,70 @@ object Similarity {
       lit(0.0),
       (acc, v) => acc + v)
 
+  /** Squared L2 between two array COLUMNS — same sequential fold as
+    * [[sqDist]] (bit-identical when the right side is already double). */
+  def sqDistCols(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Column-column squared distance for a session: native graft_sqdist
+    * (codegen'd primitive loop, same fold order) when GraftExtensions is
+    * installed, else the higher-order-function fold. */
+  private def sqDistFor(df: DataFrame): (Column, Column) => Column =
+    if (df.sparkSession.catalog.functionExists(graft.functions.TilePairs.SqDistName))
+      (a, b) => call_function(graft.functions.TilePairs.SqDistName, a, b)
+    else sqDistCols
+
+  /** Above nlist × dim literal doubles, centroid sets stop riding as plan
+    * literals and become a broadcast centroid TABLE (see [[assignCells]]).
+    * A var so tests can force either path. */
+  var LiteralAssignMax: Int = 4096
+
+  /** Nearest-centroid assignment for every row: returns (id, emb, cell).
+    *
+    * Small centroid sets (nlist × dim ≤ [[LiteralAssignMax]]) are a single
+    * narrow projection with the centroids as plan literals. Large sets ride
+    * as a BROADCAST centroid table instead — a giant literal bloats every
+    * serialized plan and the per-row argmin expression tree — joined on a
+    * constant key (BroadcastHashJoin fan-out to row × centroid), followed by
+    * a map-side partial argmin and one O(n) shuffle on id. Ties break by
+    * cell id in both paths, matching [[ivfCell]]. */
+  def assignCells(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: Seq[Seq[Double]],
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+    if (centroids.length.toLong * centroids.head.length <= LiteralAssignMax)
+      base.withColumn("cell", ivfCellFor(df)(col("emb"), centroids))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      // The fan-out key is constant-valued but DERIVED FROM DATA on both
+      // sides: a literal key would constant-fold away and degrade the plan
+      // to BroadcastNestedLoopJoin; a data-derived key keeps the equi-join
+      // → BroadcastHashJoin (each streamed row probes one bucket holding
+      // all nlist centroids).
+      val centDf = centroids.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cell", "c")
+        .withColumn("__j", pmod(col("cell").cast("long"), lit(1L)))
+      val sq = sqDistFor(df)
+      base
+        .withColumn("__j", pmod(xxhash64(col("emb")), lit(1L)))
+        .join(broadcast(centDf), "__j") // bounded: nlist rows by construction
+        .select(col("id"), col("emb"),
+          struct(sq(col("emb"), col("c")).as("d"), col("cell")).as("dc"))
+        .groupBy("id")
+        .agg(first(col("emb")).as("emb"), min(col("dc")).getField("cell").as("cell"))
+    }
+  }
+
   /** IVF coarse quantizer: k-means (Lloyd) centroids over the embedding
     * column, written directly against the DataFrame API — each iteration is
     * one narrow cell-assignment projection + one aggregate (64 per-dimension
@@ -132,10 +196,23 @@ object Similarity {
       nlist: Int,
       seed: Long = 42L,
       maxIter: Int = 5,
+      maxTrainRows: Long = 100000L,
   ): Seq[Seq[Double]] = {
     val cached = df.select(col(embCol).as("e")).cache()
     try {
-      var cents: Seq[Seq[Double]] = cached
+      // A coarse quantizer doesn't need the whole corpus: above
+      // `maxTrainRows`, train on a deterministic content-hash sample (same
+      // xxhash64 family as the init ordering — stable across runs, engines,
+      // and partitionings; no RNG state). At 100 TB this is the difference
+      // between maxIter full-corpus passes and maxIter sample passes.
+      val n = cached.count()
+      val train =
+        if (n <= maxTrainRows) cached
+        else {
+          val pct = math.max(1L, maxTrainRows * 100L / n)
+          cached.filter(pmod(xxhash64(col("e"), lit(seed)), lit(100L)) < pct)
+        }
+      var cents: Seq[Seq[Double]] = train
         .distinct()
         .orderBy(xxhash64(col("e"), lit(seed)).asc)
         .limit(nlist)
@@ -148,15 +225,42 @@ object Similarity {
         .toSeq
       require(cents.nonEmpty, "ivfCentroids: no embeddings to train on")
       val dims = cents.head.length
+      val literalMode = nlist.toLong * dims <= LiteralAssignMax
+      // Join-mode Lloyd runs over DISTINCT embeddings with multiplicity
+      // weights: the broadcast-join argmin groups by the embedding value, so
+      // collapsing duplicates up front keeps the fan-out small while
+      // sum(w·v)/sum(w) preserves the exact row-level mean.
+      lazy val weighted =
+        train.groupBy("e").agg(count(lit(1)).cast("double").as("w"))
       for (_ <- 1 to maxIter) {
         // (cell, pos) → mean: one small shuffle and a 3-expression plan —
         // 64 separate avg aggregates made every iteration pay ~0.3 s of
         // plan compilation for 8 rows of output
-        val byCell = cached
-          .select(ivfCellFor(cached)(col("e"), cents).as("cell"),
-            posexplode(col("e")).as(Seq("pos", "v")))
-          .groupBy("cell", "pos")
-          .agg(avg(col("v").cast("double")).as("m"))
+        val perCellRows =
+          if (literalMode)
+            train
+              .select(ivfCellFor(train)(col("e"), cents).as("cell"),
+                posexplode(col("e")).as(Seq("pos", "v")))
+              .groupBy("cell", "pos")
+              .agg(avg(col("v").cast("double")).as("m"))
+          else {
+            val spark = df.sparkSession
+            import spark.implicits._
+            val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+              .toDF("cell", "c").withColumn("__j", lit(1))
+            val sq = sqDistFor(train)
+            weighted
+              .withColumn("__j", lit(1))
+              .join(broadcast(centDf), "__j")
+              .select(col("e"), col("w"),
+                struct(sq(col("e"), col("c")).as("d"), col("cell")).as("dc"))
+              .groupBy("e", "w") // the distinct embedding IS the row key here
+              .agg(min(col("dc")).getField("cell").as("cell"))
+              .select(col("cell"), col("w"), posexplode(col("e")).as(Seq("pos", "v")))
+              .groupBy("cell", "pos")
+              .agg((sum(col("v").cast("double") * col("w")) / sum(col("w"))).as("m"))
+          }
+        val byCell = perCellRows
           .collect()
           .groupBy(_.getInt(0))
           .map { case (cell, rows) =>
@@ -208,8 +312,8 @@ object Similarity {
       }
       .sorted.take(nprobe).map(_._2)
     cosineTopK(
-      df.filter(ivfCellFor(df)(col(embCol), cents).isin(probed: _*)),
-      idCol, embCol, query, k)
+      assignCells(df, idCol, embCol, cents).filter(col("cell").isin(probed: _*)),
+      "id", "emb", query, k)
   }
 
   /** All-pairs embedding near-duplicates: pairs with cosine ≥ threshold.

@@ -56,6 +56,17 @@ class PlanSpec extends SparkSpec {
     readSchema should not include "l_extendedprice"
   }
 
+  test("large-nlist cell assignment is a broadcast join, not a giant literal") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // 256 cells × 64 dims > LiteralAssignMax → broadcast centroid table
+    val cents = (0 until 256).map(i => (0 until 64).map(j => (i * 64 + j).toDouble))
+    val out = graft.ops.Similarity.assignCells(e, "vec_id", "embedding", cents)
+    val plan = formatted(out)
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("high-cardinality encode uses a broadcast hash join") {
     val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
       .select(col("p_partkey"), concat(col("p_brand"), lit("_"), col("p_name")).as("bn"))
