@@ -107,38 +107,67 @@ object StreamingOps {
   /** Custom streaming state via `flatMapGroupsWithState`: per-user running
     * event statistics (count, value sum, first/last event time) that
     * ACCUMULATE across micro-batches — the pattern for state the built-in
-    * windowed aggregates can't express. Update output mode, no timeout
-    * (bound state with a timeout in production). In batch mode the state
-    * machine runs once per key over all rows, so the result is the plain
-    * per-user aggregate — which is what the batch oracle checks.
+    * windowed aggregates can't express. Update output mode. In batch mode
+    * the state machine runs once per key over all rows, so the result is
+    * the plain per-user aggregate — which is what the batch oracle checks.
+    *
+    * `idleTtl` (streaming only) bounds the state store: a user idle past
+    * the TTL in EVENT time — no events while the watermark advances beyond
+    * last_event + TTL — has its state evicted, so state size tracks the
+    * ACTIVE key set, not every key ever seen. Unbounded keyed state is a
+    * slow-motion OOM on a real stream; watermark-driven event-time timeout
+    * keeps eviction deterministic (replayable, unlike wall-clock timeouts).
+    * `watermarkDelay` is the out-of-orderness bound that drives eviction.
     * Output: user_id, n_events, sum_value, first_ts, last_ts. */
-  def userEventStats(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+  def userEventStats(
+      df: DataFrame,
+      tsCol: String = "ts",
+      idleTtl: Option[String] = None,
+      watermarkDelay: String = "10 minutes",
+  ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ttlMs = idleTtl.map(t => scala.concurrent.duration.Duration(t).toMillis)
+    val useTtl = ttlMs.isDefined && df.isStreaming
     // timestamp_ntz → epoch micros anchored in the session timezone (UTC in
     // every graft main); the output converts back with the same anchor, so
     // the round trip is exact and min/max ordering is preserved
-    val ds = df
-      .select(
-        col("user_id"),
-        unix_micros(col(tsCol).cast("timestamp_ntz").cast("timestamp")).as("ts"),
-        col("value").cast("double"))
-      .as[UserEvent]
+    val withTs = df.select(
+      col("user_id"),
+      col(tsCol).cast("timestamp_ntz").cast("timestamp").as("event_ts"),
+      col("value").cast("double"))
+    val bounded = if (useTtl) withTs.withWatermark("event_ts", watermarkDelay) else withTs
+    // the TTL path must keep the watermark-tagged column visible to the
+    // state operator or the event-time-timeout analysis check rejects it
+    val cols =
+      Seq(col("user_id"), unix_micros(col("event_ts")).as("ts"), col("value")) ++
+        (if (useTtl) Seq(col("event_ts")) else Nil)
+    val ds = bounded.select(cols: _*).as[UserEvent]
+    val timeoutConf =
+      if (useTtl) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf) {
         (user: Long, events: Iterator[UserEvent], state: GroupState[UserState]) =>
-          var (n, sum, first, last) = state.getOption
-            .map(s => (s.n, s.sum, s.first, s.last))
-            .getOrElse((0L, 0.0, Long.MaxValue, Long.MinValue))
-          events.foreach { e =>
-            n += 1
-            sum += e.value
-            if (e.ts < first) first = e.ts
-            if (e.ts > last) last = e.ts
+          if (state.hasTimedOut) {
+            // idle past the TTL: evict; the user's stats were already
+            // emitted with the last batch that touched them
+            state.remove()
+            Iterator.empty
+          } else {
+            var (n, sum, first, last) = state.getOption
+              .map(s => (s.n, s.sum, s.first, s.last))
+              .getOrElse((0L, 0.0, Long.MaxValue, Long.MinValue))
+            events.foreach { e =>
+              n += 1
+              sum += e.value
+              if (e.ts < first) first = e.ts
+              if (e.ts > last) last = e.ts
+            }
+            state.update(UserState(n, sum, first, last))
+            ttlMs.foreach(t => if (useTtl) state.setTimeoutTimestamp(last / 1000L + t))
+            Iterator((user, n, sum, first, last))
           }
-          state.update(UserState(n, sum, first, last))
-          Iterator((user, n, sum, first, last))
       }
       .toDF("user_id", "n_events", "sum_value", "first_us", "last_us")
       .select(

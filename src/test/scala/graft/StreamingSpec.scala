@@ -126,6 +126,30 @@ class StreamingSpec extends SparkSpec {
     latest(9L).getLong(1) shouldBe 1L
   }
 
+  test("userEventStats idleTtl evicts an idle user's state via the watermark") {
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    mem.addData((7L, ts(0), 1.0), (9L, ts(1), 5.0))
+    val stream = StreamingOps.userEventStats(
+      mem.toDF.toDF("user_id", "ts", "value"),
+      idleTtl = Some("5 minutes"), watermarkDelay = "0 seconds")
+    val q = stream.writeStream.format("memory")
+      .queryName("user_stats_ttl").outputMode("update").start()
+    try {
+      q.processAllAvailable() // batch 1: both users in state
+      // user 9 stays active; the new event pushes the watermark to 10:30,
+      // far past user 7's last event (10:00) + 5 min TTL
+      mem.addData((9L, ts(30), 2.0))
+      q.processAllAvailable() // batch 2: watermark advances AFTER this batch
+      mem.addData((9L, ts(35), 3.0))
+      q.processAllAvailable() // batch 3: timeout fires for user 7 → evicted
+      val numKeys = q.lastProgress.stateOperators.head.numRowsTotal
+      numKeys shouldBe 1L // only user 9 remains in the state store
+    } finally q.stop()
+    // user 7's accumulated stats were emitted before eviction
+    val sevens = spark.table("user_stats_ttl").filter($"user_id" === 7L).collect()
+    sevens.map(_.getLong(1)).max shouldBe 1L
+  }
+
   test("jsonField extracts typed properties") {
     val df = Seq((1L, """{"k": 42}"""), (2L, """{"k": 7}"""), (3L, "{}"))
       .toDF("id", "props")
