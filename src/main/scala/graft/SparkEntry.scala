@@ -469,6 +469,18 @@ object SparkEntry {
           .select("user_id", "ts", "value"),
         Seq("user_id"), "ts", Seq("ts", "value"), "_view")
     }),
+    // Same as-of semantics through the skew-salted path (daily time-bucket
+    // windows + segmented carry) — the oracle is identical to asof_join's.
+    "asof_join_salted" -> ((s, dir) => {
+      val e = rtEvents(s, dir)
+      Relational.asofJoinSalted(
+        e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        e.filter(col("event_type") === "view")
+          .select("user_id", "ts", "value"),
+        Seq("user_id"), "ts", Seq("ts", "value"),
+        t => date_trunc("day", t), "_view")
+    }),
     // Deterministic id-hash sampling (engine-portable modular arithmetic —
     // the oracle recomputes membership exactly).
     "sample_hash" -> ((s, dir) =>
@@ -935,6 +947,12 @@ object SparkEntry {
          | keep AS (SELECT id FROM walk GROUP BY id HAVING min(lbl) = id)
          |SELECT u.* FROM u JOIN keep ON u.doc_id = keep.id""".stripMargin,
     "asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts, l.value,
+        |       r.ts AS ts_view, r.value AS value_view
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "asof_join_salted" ->
       """SELECT l.event_id, l.user_id, l.ts, l.value,
         |       r.ts AS ts_view, r.value AS value_view
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') l

@@ -58,6 +58,84 @@ object Relational {
     filled.filter(col("__side") === 1).drop("__side")
   }
 
+  /** [[asofJoin]] with time-bucket salting for hot keys.
+    *
+    * The plain formulation puts each key's ENTIRE timeline in one window
+    * partition — correct, but a key with a billion events becomes one
+    * straggler task. This variant adds a coarse time bucket (`bucketOf`,
+    * e.g. `t => date_trunc("day", t)`) to the partition key, turning a hot
+    * key into (#buckets) parallel tasks, then repairs the carry across
+    * bucket boundaries with a segmented scan:
+    *
+    *   1. within-bucket running `last(ignoreNulls)` — the salted window;
+    *   2. per (key, bucket) the last non-null payload of that bucket (a
+    *      tiny aggregate: one row per key × bucket), prefix-scanned over
+    *      buckets per key to give each bucket its carry-in;
+    *   3. stitch: a left row takes the within-bucket value, else the
+    *      bucket's carry-in.
+    *
+    * Per-column semantics match [[asofJoin]] exactly: each payload column
+    * independently carries its last non-null value. The extra cost is one
+    * cheap distinct and a join against the small bucket table — worth it
+    * only when keys are genuinely hot; prefer [[asofJoin]] otherwise. */
+  def asofJoinSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String],
+      bucketOf: Column => Column,
+      suffix: String = "_right",
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(left, keyCols :+ tsCol)
+    graft.core.Validators.requireColumns(right, (keyCols :+ tsCol) ++ payloadCols)
+    val payloadOut = payloadCols.map(_ + suffix)
+    val l = left.select(
+      left.columns.map(col).toSeq ++
+        Seq(lit(1).as("__side")) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c + suffix)): _*)
+    val leftOnly = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val r = right.select(
+      keyCols.map(col) ++
+        Seq(col(tsCol), lit(0).as("__side")) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(c => col(c).as(c + suffix)): _*)
+    val unioned = l.unionByName(r.select(l.columns.map(col).toSeq: _*))
+      .withColumn("__bkt", bucketOf(col(tsCol)))
+    val keyed = keyCols.map(col)
+    // 1. salted window: (key, bucket) partitions
+    val wB = Window
+      .partitionBy(keyed :+ col("__bkt"): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadOut.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(wB))
+    }
+    // 2. carry-in: per payload column, value at the max ts among that
+    //    bucket's non-null right rows, prefix-scanned over earlier buckets
+    val perBucketAggs = payloadOut.map(c =>
+      max(when(col(c).isNotNull, struct(col(tsCol).as("t"), col(c).as("v"))))
+        .getField("v").as(c))
+    val perBucket = unioned.filter(col("__side") === 0)
+      .groupBy(keyed :+ col("__bkt"): _*)
+      .agg(perBucketAggs.head, perBucketAggs.tail: _*)
+    val allBuckets = unioned.select(keyed :+ col("__bkt"): _*).distinct()
+      .join(perBucket, keyCols :+ "__bkt", "left")
+    val wC = Window
+      .partitionBy(keyed: _*)
+      .orderBy(col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = payloadOut.foldLeft(allBuckets) { (d, c) =>
+      d.withColumn(c + "__carry", last(col(c), ignoreNulls = true).over(wC))
+    }.select(keyed ++ Seq(col("__bkt")) ++ payloadOut.map(c => col(c + "__carry")): _*)
+    // 3. stitch within-bucket values with the bucket's carry-in
+    val stitched = payloadOut.foldLeft(filled.join(carry, keyCols :+ "__bkt", "left")) {
+      (d, c) => d.withColumn(c, coalesce(col(c), col(c + "__carry")))
+    }
+    stitched.filter(col("__side") === 1)
+      .select(left.columns.map(col).toSeq ++ payloadOut.map(col): _*)
+  }
+
   /** The k rows with the highest `order` per key — the "best documents per
     * language/source" selection step. One hash shuffle + sort; include a
     * unique id in `order` for deterministic results. */

@@ -207,6 +207,29 @@ class OpsSpec extends SparkSpec {
     out(2).isNullAt(out(2).fieldIndex("v_r")) shouldBe true
   }
 
+  test("Relational.asofJoinSalted matches asofJoin on a skewed fixture") {
+    // one hot key (user 1) with 400 interleaved left/right rows spanning
+    // many buckets, incl. bucket-boundary carries and a payload-null gap
+    val l = ((0 until 400).map(i => (1L, i * 10L, 10000L + i, s"p$i")) ++
+      Seq((2L, 5L, 99999L, "cold"))).toDF("user", "ts", "eid", "tag")
+    val r = ((0 until 400 by 3).map(i => (1L, i * 10L + 1L, i.toDouble)) ++
+      Seq((2L, 9L, 0.9))).toDF("user", "ts", "v")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(x => (x.getLong(2), if (x.isNullAt(4)) None else Some(x.getLong(4)),
+        if (x.isNullAt(5)) None else Some(x.getDouble(5)))).toSet
+    val plain = key(Relational.asofJoin(
+      l, r, Seq("user"), "ts", Seq("ts", "v"), "_r").collect())
+    val salted = Relational.asofJoinSalted(
+      l, r, Seq("user"), "ts", Seq("ts", "v"),
+      t => floor(t / 500L), "_r") // 500-tick buckets → 8 partitions for user 1
+    key(salted.collect()) shouldBe plain
+    // the salted window really partitions by (key, bucket): the hot key's
+    // timeline is split across bucket partitions instead of one task
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*hashpartitioning\\(user#\\d+L?, __bkt#\\d+.*"),
+      s"expected (key, bucket) partitioning in plan:\n$plan")
+  }
+
   test("Relational.topKPerGroup keeps k rows per key in order") {
     val df = Seq(("a", 1L, 10), ("a", 2L, 30), ("a", 3L, 20), ("b", 4L, 5))
       .toDF("k", "id", "score")
