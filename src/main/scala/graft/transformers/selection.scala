@@ -74,26 +74,64 @@ private[graft] object SelectionUtil {
 
   /** Values at nearest-rank indices of the sorted non-null column — the
     * reference's `sorted[round((n-1)*i/k)]` decile/median idiom
-    * (feature_selection.rs:548-554, :866-871). Exact and distributed: global
-    * sort + zipWithIndex, no single-partition window, only the requested
-    * scalars are collected. */
+    * (feature_selection.rs:548-554, :866-871). Exact, distributed, and
+    * pure-DataFrame (no RDD conversion): per-value counts are
+    * range-partitioned by value, cumulated within each range chunk (a
+    * window keyed by partition id — many independent groups, never a
+    * single-partition window), the small per-chunk totals turn the local
+    * cumsums into global ranks, and only the handful of rows whose rank
+    * span covers a requested index is collected. */
   def nearestRank(
       df: DataFrame, c: String, fractions: Seq[Double],
       knownN: Option[Long] = None): Seq[Double] = {
-    val sorted = df.select(col(c).cast("double")).na.drop().orderBy(col(c))
-    // callers that already know the non-null count (from a batched agg)
-    // pass it in and skip this extra scan
-    val n = knownN.getOrElse(sorted.count())
-    if (n == 0) return Seq.empty
-    val idx = fractions.map(f => math.round((n - 1).toDouble * f))
-    val idxSet = idx.toSet
-    val found = sorted.rdd
-      .zipWithIndex()
-      .filter { case (_, i) => idxSet(i) }
-      .map { case (r, i) => (i, r.getDouble(0)) }
-      .collect()
-      .toMap
-    idx.map(found)
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val parts = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
+    // one row per distinct value → range partitioning over DISTINCT values
+    // stays balanced even when one value holds most of the mass
+    // pid is materialized as a COLUMN directly over the cached range
+    // partitioning: every later operator (the totals aggregate, the window
+    // and its exchange) must see the range-chunk id, not whatever physical
+    // partition it happens to run in afterwards
+    val hist = df.select(col(c).cast("double").as("v")).na.drop()
+      .groupBy("v").agg(count(lit(1)).as("n"))
+      .repartitionByRange(parts, col("v"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    try {
+      val totals = hist.groupBy("pid")
+        .agg(sum("n").as("t")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // callers that already know the non-null count (from a batched agg)
+      // pass it in; it must equal the histogram mass
+      val n = knownN.getOrElse(totals.values.sum)
+      if (n == 0) return Seq.empty
+      val maxPid = if (totals.isEmpty) -1 else totals.keys.max
+      // offsets(p) = total mass in range chunks before p
+      val offsets = (0 to maxPid).scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
+      val idx = fractions.map(f => math.round((n - 1).toDouble * f))
+      val tgt = typedLit(idx.distinct)
+      val wP = Window.partitionBy(col("pid"))
+        .orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // gend = exclusive global end-rank of each value's run; the value at
+      // 0-based rank t is the one with gend - n <= t < gend
+      val hits = hist
+        .withColumn("gend",
+          sum(col("n")).over(wP) +
+            element_at(typedLit(offsets.toSeq), col("pid") + 1))
+        .filter(exists(tgt, t => t >= col("gend") - col("n") && t < col("gend")))
+        .select(col("v"), col("n"), col("gend"))
+        .collect()
+      val found = idx.distinct.map { t =>
+        t -> hits.find(r => t >= r.getLong(2) - r.getLong(1) && t < r.getLong(2))
+          .getOrElse(throw new IllegalStateException(
+            s"nearestRank: no histogram row covers rank $t of $n"))
+          .getDouble(0)
+      }.toMap
+      idx.map(found)
+    } finally hist.unpersist()
   }
 
   /** One-job Pearson correlation for many column pairs over pairwise-complete

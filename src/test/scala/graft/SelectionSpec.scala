@@ -142,4 +142,23 @@ class SelectionSpec extends SparkSpec {
     } finally SelectionUtil.MaxHistogramValues = saved
     capped shouldBe sorted
   }
+
+  test("PSI and target-mean selectors survive MaxHistogramValues = 0 (pure rank path)") {
+    // force EVERY column through the distributed nearestRank fallback and
+    // require identical selector decisions on real data
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val refDf = li.limit(2000)
+    def psiCols() = new DropHighPSIFeatures(refDf, 0.1).fit(li).transform(li).columns.toSeq
+    val tm = li.withColumnRenamed("l_quantity", "target")
+    def tmCols() = new SelectByTargetMeanPerformance("target", 0.05).fitTransform(tm).columns.toSeq
+    val (psiDefault, tmDefault) = (psiCols(), tmCols())
+    val saved = SelectionUtil.MaxHistogramValues
+    val (psiForced, tmForced) = try {
+      SelectionUtil.MaxHistogramValues = 0
+      (psiCols(), tmCols())
+    } finally SelectionUtil.MaxHistogramValues = saved
+    psiForced shouldBe psiDefault
+    tmForced shouldBe tmDefault
+  }
 }
