@@ -599,6 +599,29 @@ object SparkEntry {
         rt(s, dir, "documents")
           .select(col("doc_id"), col("text").cast("binary").as("payload")),
         "payload").drop("payload")),
+    // Synthetic payloads cycling through the sniffable formats (doc text as
+    // the body, magic prefixes/trailers from literals) so format refinement
+    // AND the truncation checks are exercised end to end. content_md5 is
+    // dropped: this DuckDB build has no md5(BLOB), and the base
+    // mm_binary_meta already oracles the md5 on text payloads.
+    "mm_binary_meta_ext" -> ((s, dir) => {
+      def hx(h: String): Array[Byte] =
+        h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      val body = col("text").cast("binary")
+      val payload =
+        when(col("doc_id") % 7 === 0, concat(lit(hx("FFD8FFE0")), body, lit(hx("FFD9"))))
+          .when(col("doc_id") % 7 === 1, concat(lit(hx("FFD8FFE0")), body))
+          .when(col("doc_id") % 7 === 2,
+            concat(lit(hx("89504E470D0A1A0A")), body, lit(hx("0000000049454E44AE426082"))))
+          .when(col("doc_id") % 7 === 3, concat(lit(hx("474946383961")), body, lit(hx("3B"))))
+          .when(col("doc_id") % 7 === 4, concat(lit(hx("664C6143")), body))
+          .when(col("doc_id") % 7 === 5,
+            concat(lit(hx("52494646")), lit(hx("10000000")), lit("WEBP".getBytes), body))
+          .otherwise(body)
+      Multimodal.withBinaryMeta(
+        rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
+        "payload").select("doc_id", "n_bytes", "format", "truncated")
+    }),
     // Frame sampling stub over binary payloads: byte-range slices, one row
     // per frame. Frames dumped as hex strings (binary columns are not
     // hashable by the driver compare; hex slicing is exactly replayable in
@@ -1240,8 +1263,68 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |       md5(text) AS content_md5,
-        |       'unknown' AS format
+        |       'unknown' AS format,
+        |       CAST(NULL AS BOOLEAN) AS truncated
         |FROM documents""".stripMargin,
+    // Replays the sniffer over the hex encoding (DuckDB cannot slice
+    // BLOBs): magic = chars 1-8, RIFF form = 17-24, box type = 9-16, and
+    // the RIFF little-endian chunk size is reassembled from its byte pairs
+    // with instr-digit arithmetic (no hex→int cast needed on either side).
+    "mm_binary_meta_ext" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 7 AS INTEGER)
+        |      WHEN 0 THEN from_hex('FFD8FFE0') || encode(text) || from_hex('FFD9')
+        |      WHEN 1 THEN from_hex('FFD8FFE0') || encode(text)
+        |      WHEN 2 THEN from_hex('89504E470D0A1A0A') || encode(text)
+        |                  || from_hex('0000000049454E44AE426082')
+        |      WHEN 3 THEN from_hex('474946383961') || encode(text) || from_hex('3B')
+        |      WHEN 4 THEN from_hex('664C6143') || encode(text)
+        |      WHEN 5 THEN from_hex('52494646') || from_hex('10000000')
+        |                  || encode('WEBP') || encode(text)
+        |      ELSE encode(text)
+        |    END AS payload
+        |  FROM documents),
+        |h AS (SELECT doc_id, hex(payload) AS hx,
+        |             CAST(octet_length(payload) AS INTEGER) AS n_bytes
+        |      FROM p),
+        |f AS (SELECT doc_id, hx, n_bytes,
+        |        CASE
+        |          WHEN substr(hx, 1, 4) = 'FFD8' THEN 'jpeg'
+        |          WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+        |          WHEN substr(hx, 1, 8) = '47494638' THEN 'gif'
+        |          WHEN substr(hx, 1, 8) = '664C6143' THEN 'flac'
+        |          WHEN substr(hx, 1, 8) = '52494646' THEN
+        |            CASE substr(hx, 17, 8)
+        |              WHEN '57454250' THEN 'webp'
+        |              WHEN '57415645' THEN 'wav'
+        |              WHEN '41564920' THEN 'avi'
+        |              ELSE 'riff' END
+        |          WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
+        |          ELSE 'unknown'
+        |        END AS format
+        |      FROM h),
+        |r AS (SELECT *,
+        |        (instr('0123456789ABCDEF', substr(hx,  9, 1)) - 1) * 16
+        |        + instr('0123456789ABCDEF', substr(hx, 10, 1)) - 1
+        |        + ((instr('0123456789ABCDEF', substr(hx, 11, 1)) - 1) * 16
+        |           + instr('0123456789ABCDEF', substr(hx, 12, 1)) - 1) * 256
+        |        + ((instr('0123456789ABCDEF', substr(hx, 13, 1)) - 1) * 16
+        |           + instr('0123456789ABCDEF', substr(hx, 14, 1)) - 1) * 65536
+        |        + ((instr('0123456789ABCDEF', substr(hx, 15, 1)) - 1) * 16
+        |           + instr('0123456789ABCDEF', substr(hx, 16, 1)) - 1) * 16777216
+        |        AS riff_declared
+        |      FROM f)
+        |SELECT doc_id, n_bytes, format,
+        |       CASE
+        |         WHEN format = 'jpeg' THEN right(hx, 4) <> 'FFD9'
+        |         WHEN format = 'png' THEN right(hx, 16) <> '49454E44AE426082'
+        |         WHEN format = 'gif' THEN right(hx, 2) <> '3B'
+        |         WHEN format IN ('webp', 'wav', 'avi', 'riff')
+        |           THEN n_bytes <> riff_declared + 8
+        |         ELSE CAST(NULL AS BOOLEAN)
+        |       END AS truncated
+        |FROM r""".stripMargin,
     // Byte-range frames replayed on the hex encoding (DuckDB cannot slice
     // BLOBs): hex offset = 2 × byte offset, and Spark's hex() is uppercase
     // like DuckDB's.

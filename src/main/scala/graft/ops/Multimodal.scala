@@ -17,21 +17,52 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Standard metadata for a binary payload column:
-    * byte length, md5 content fingerprint, and a sniffed format from magic
-    * bytes (hex of the first 4). */
+  /** Standard metadata for a binary payload column: byte length, md5
+    * content fingerprint, a sniffed format, and a length-validated
+    * `truncated` flag (null where the format carries no cheap check).
+    *
+    * Sniffing reads the leading magic bytes (RIFF containers are refined by
+    * their form type at offset 8; ISO-BMFF/mp4 by the 'ftyp' box type at
+    * offset 4). Truncation checks are per-format trailer/length
+    * validations: JPEG must end in the FFD9 EOI marker, PNG in the constant
+    * IEND+CRC tail, GIF in the 0x3B trailer, and RIFF's declared
+    * little-endian chunk size must equal the payload length − 8. All
+    * constant-width slices — no full-payload scan beyond md5. */
   def withBinaryMeta(df: DataFrame, binCol: String): DataFrame = {
     val b = col(binCol)
     val magic = hex(substring(b, 1, 4))
+    val boxType = hex(substring(b, 5, 4)) // ISO-BMFF box type at offset 4
+    val riffForm = hex(substring(b, 9, 4)) // RIFF form type at offset 8
+    val fmt =
+      when(magic.startsWith("FFD8"), lit("jpeg"))
+        .when(magic.startsWith("89504E47"), lit("png"))
+        .when(magic.startsWith("47494638"), lit("gif"))
+        .when(magic.startsWith("664C6143"), lit("flac"))
+        .when(magic.startsWith("52494646"),
+          when(riffForm === "57454250", lit("webp"))
+            .when(riffForm === "57415645", lit("wav"))
+            .when(riffForm === "41564920", lit("avi"))
+            .otherwise(lit("riff")))
+        .when(boxType === "66747970", lit("mp4"))
+        .otherwise(lit("unknown"))
+    // RIFF header: bytes 4-7 are the chunk size (little endian), which for a
+    // complete file equals total length − 8
+    val riffDeclared = conv(
+      concat(
+        hex(substring(b, 8, 1)), hex(substring(b, 7, 1)),
+        hex(substring(b, 6, 1)), hex(substring(b, 5, 1))),
+      16, 10).cast("long")
     df.withColumn("n_bytes", length(b))
       .withColumn("content_md5", md5(b))
+      .withColumn("format", fmt)
       .withColumn(
-        "format",
-        when(magic.startsWith("FFD8"), lit("jpeg"))
-          .when(magic.startsWith("89504E47"), lit("png"))
-          .when(magic.startsWith("52494646"), lit("riff"))
-          .when(magic.startsWith("66747970"), lit("mp4"))
-          .otherwise(lit("unknown")))
+        "truncated",
+        when(fmt === "jpeg", hex(substring(b, -2, 2)) =!= "FFD9")
+          .when(fmt === "png", hex(substring(b, -8, 8)) =!= "49454E44AE426082")
+          .when(fmt === "gif", hex(substring(b, -1, 1)) =!= "3B")
+          .when(fmt.isin("webp", "wav", "avi", "riff"),
+            length(b).cast("long") =!= riffDeclared + 8L)
+          .otherwise(lit(null).cast("boolean")))
   }
 
   /** DETERMINISTIC STUB for the decode + feature-extract step: a `dim`-long

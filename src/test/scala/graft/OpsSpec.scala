@@ -447,6 +447,41 @@ class OpsSpec extends SparkSpec {
     out(2L) shouldBe ((10, "unknown"))
   }
 
+  test("withBinaryMeta refines gif/webp/flac and validates truncation") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val rows = Seq(
+      (1L, hx("FFD8FFE0") ++ "body".getBytes ++ hx("FFD9")), // jpeg complete
+      (2L, hx("FFD8FFE0") ++ "body".getBytes), // jpeg missing EOI
+      (3L, hx("89504E470D0A1A0A") ++ hx("0000000049454E44AE426082")), // png complete
+      (4L, hx("89504E470D0A1A0A") ++ "cut".getBytes), // png truncated
+      (5L, hx("474946383961") ++ "x".getBytes ++ hx("3B")), // gif complete
+      (6L, hx("474946383961")), // gif no trailer
+      (7L, hx("664C6143") ++ "streaminfo".getBytes), // flac → no cheap check
+      (8L, hx("52494646") ++ hx("08000000") ++ "WEBP".getBytes ++ hx("DEADBEEF")), // webp, declared 8 = 16-8 → complete
+      (9L, hx("52494646") ++ hx("20000000") ++ "WAVE".getBytes), // wav, declared 32 ≠ 4 → truncated
+      (10L, hx("00000018") ++ "ftyp".getBytes ++ "isom".getBytes)) // mp4 via box type
+    val d = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*),
+      StructType(Seq(
+        StructField("id", LongType), StructField("payload", BinaryType))))
+    val out = Multimodal.withBinaryMeta(d, "payload")
+      .select("id", "format", "truncated")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getBoolean(2))))).toMap
+    out(1L) shouldBe (("jpeg", Some(false)))
+    out(2L) shouldBe (("jpeg", Some(true)))
+    out(3L) shouldBe (("png", Some(false)))
+    out(4L) shouldBe (("png", Some(true)))
+    out(5L) shouldBe (("gif", Some(false)))
+    out(6L) shouldBe (("gif", Some(true)))
+    out(7L) shouldBe (("flac", None))
+    out(8L) shouldBe (("webp", Some(false)))
+    out(9L) shouldBe (("wav", Some(true)))
+    out(10L) shouldBe (("mp4", None))
+  }
+
   test("Multimodal.fakeEmbedding is deterministic with the right shape") {
     val d = Seq((1L, "same payload"), (2L, "same payload"), (3L, "other"))
       .toDF("id", "text")
