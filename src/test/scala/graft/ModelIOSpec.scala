@@ -80,4 +80,86 @@ class ModelIOSpec extends SparkSpec {
       ModelIO.fromJsonString(
         """{"version":1,"steps":[{"name":"x","conf":{"type":"NoSuchThing"}}]}""")
   }
+
+  test("every transformer in the persistence registry round-trips and transforms identically") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_shipdate"), col("l_shipdate").as("ship2"),
+        (col("l_orderkey") % 2).cast("double").as("target"),
+        when(col("l_orderkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("l_quantity")).as("qty"),
+        col("l_quantity").as("qty2"),
+        col("l_extendedprice").as("price"), // strictly positive
+        (col("l_discount") / lit(2.0) + lit(0.1)).as("unit")) // in (0, 1), nonzero
+      .limit(3000)
+    val ref = df.limit(1000)
+    val registry: Seq[(String, () => Transformer)] = Seq(
+      "MeanMedianImputer" -> (() => new MeanMedianImputer(Seq("qty"), "mean")),
+      "ArbitraryNumberImputer" -> (() => new ArbitraryNumberImputer(Seq("qty"), -1.0)),
+      "EndTailImputer" -> (() => new EndTailImputer(Seq("qty"), 0.75, exact = true)),
+      "CategoricalImputer" -> (() => new CategoricalImputer(Seq("l_returnflag"))),
+      "AddMissingIndicator" -> (() => new AddMissingIndicator(Seq("qty"))),
+      "DropMissingData" -> (() => new DropMissingData(Seq("qty"))),
+      "OneHotEncoder" -> (() => new OneHotEncoder(Seq("l_returnflag"))),
+      "CountFrequencyEncoder" -> (() => new CountFrequencyEncoder(Seq("l_returnflag"))),
+      "OrdinalEncoder" -> (() => new OrdinalEncoder(Seq("l_returnflag"))),
+      "MeanEncoder" -> (() => new MeanEncoder(Seq("l_returnflag"), "target")),
+      "WoEEncoder" -> (() => new WoEEncoder(Seq("l_returnflag"), "target")),
+      "RareLabelEncoder" -> (() => new RareLabelEncoder(Seq("l_returnflag"), 0.2)),
+      "ArbitraryDiscretizer" -> (() => new ArbitraryDiscretizer(
+        Map("price" -> Seq((0.0, 50000.0, "lo"), (50000.0, 1e9, "hi"))))),
+      "EqualFrequencyDiscretizer" -> (() =>
+        new EqualFrequencyDiscretizer(Seq("price"), 4, exact = true)),
+      "EqualWidthDiscretizer" -> (() => new EqualWidthDiscretizer(Seq("price"), 4)),
+      "GeometricWidthDiscretizer" -> (() => new GeometricWidthDiscretizer(Seq("price"), 4)),
+      "ArbitraryOutlierCapper" -> (() => new ArbitraryOutlierCapper(
+        Map("price" -> (Some(1000.0), Some(50000.0))))),
+      "Winsorizer" -> (() => new Winsorizer(Seq("price"), 0.05, 0.95, exact = true)),
+      "OutlierTrimmer" -> (() => new OutlierTrimmer(Seq("price"), 0.05, 0.95, exact = true)),
+      "LogTransformer" -> (() => new LogTransformer(Seq("price"))),
+      "LogCpTransformer" -> (() => new LogCpTransformer(Seq("qty2"), 1.0)),
+      "ReciprocalTransformer" -> (() => new ReciprocalTransformer(Seq("price"))),
+      "PowerTransformer" -> (() => new PowerTransformer(Seq("price"), 0.5)),
+      "BoxCoxTransformer" -> (() => new BoxCoxTransformer(Seq("price"), 0.3)),
+      "YeoJohnsonTransformer" -> (() => new YeoJohnsonTransformer(Seq("qty2"), 0.7)),
+      "ArcsinTransformer" -> (() => new ArcsinTransformer(Seq("unit"))),
+      "MathFeatures" -> (() => new MathFeatures(Seq("dbl_qty" -> (col("qty2") * 2.0)))),
+      "RelativeFeatures" -> (() => new RelativeFeatures(
+        Seq(("rel", "price", "qty2", RelativeOp.Ratio)))),
+      "CyclicalFeatures" -> (() => new CyclicalFeatures(
+        Seq(("s", "unit", 1.0, CyclicalFn.Sin)))),
+      "DatetimeFeatures" -> (() => new DatetimeFeatures(Seq("l_shipdate"))),
+      "DatetimeSubtraction" -> (() => new DatetimeSubtraction(
+        Seq(("dt_diff", "l_shipdate", "ship2", TimeUnit.Day)))),
+      "DropFeatures" -> (() => new DropFeatures(Seq("ship2"))),
+      "DropConstantFeatures" -> (() => new DropConstantFeatures(1e-12, 0L)),
+      "DropDuplicateFeatures" -> (() => new DropDuplicateFeatures()),
+      "DropCorrelatedFeatures" -> (() => new DropCorrelatedFeatures(0.95)),
+      "SmartCorrelatedSelection" -> (() => new SmartCorrelatedSelection(0.95)),
+      "DropHighPSIFeatures" -> (() => new DropHighPSIFeatures(ref, 0.2)),
+      "SelectByInformationValue" -> (() => new SelectByInformationValue("target", 0.001)),
+      "SelectBySingleFeaturePerformance" -> (() =>
+        new SelectBySingleFeaturePerformance("target", 0.001)),
+      "SelectByTargetMeanPerformance" -> (() =>
+        new SelectByTargetMeanPerformance("target", 0.0)),
+      "MRMR" -> (() => new MRMR("target", 0.001, 0.999)),
+      "StandardScaler" -> (() => new StandardScaler(Seq("price"))),
+      "MinMaxScaler" -> (() => new MinMaxScaler(Seq("price"))),
+      "RobustScaler" -> (() => new RobustScaler(Seq("price"), exact = true)))
+    registry.size shouldBe 44 // every class in graft.transformers
+    registry.foreach { case (name, mk) =>
+      withClue(s"transformer $name: ") {
+        val pipe = new Pipeline(Seq(name -> mk()))
+        val expected = pipe.fit(df)
+        val json = ModelIO.toJsonString(pipe)
+        val loaded = ModelIO.fromJsonString(json)
+        val actual = loaded.transform(df)
+        actual.columns.toSeq shouldBe expected.columns.toSeq
+        actual.exceptAll(expected).count() shouldBe 0
+        expected.exceptAll(actual).count() shouldBe 0
+        ModelIO.toJsonString(loaded) shouldBe json // byte-stable re-encode
+      }
+    }
+  }
 }
