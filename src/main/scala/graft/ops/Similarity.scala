@@ -199,6 +199,7 @@ object Similarity {
       maxTrainRows: Long = 100000L,
   ): Seq[Seq[Double]] = {
     val cached = df.select(col(embCol).as("e")).cache()
+    var weightedCache: Option[DataFrame] = None
     try {
       // A coarse quantizer doesn't need the whole corpus: above
       // `maxTrainRows`, train on a deterministic content-hash sample (same
@@ -227,11 +228,19 @@ object Similarity {
       val dims = cents.head.length
       val literalMode = nlist.toLong * dims <= LiteralAssignMax
       // Join-mode Lloyd runs over DISTINCT embeddings with multiplicity
-      // weights: the broadcast-join argmin groups by the embedding value, so
-      // collapsing duplicates up front keeps the fan-out small while
-      // sum(w·v)/sum(w) preserves the exact row-level mean.
-      lazy val weighted =
-        train.groupBy("e").agg(count(lit(1)).cast("double").as("w"))
+      // weights and a LONG surrogate key: grouping the post-join argmin by
+      // the embedding array itself forces sort-based aggregation with
+      // per-row array comparisons (measured ~4 s/iteration at 6 k × 256);
+      // grouping by a 64-bit content hash makes the same aggregate sort
+      // longs (collision odds at the ≤100 k training cap: ~1e-10).
+      lazy val weighted = {
+        val w = train
+          .groupBy("e").agg(count(lit(1)).cast("double").as("w"))
+          .withColumn("rid", xxhash64(col("e"), lit(seed)))
+          .cache()
+        weightedCache = Some(w)
+        w
+      }
       for (_ <- 1 to maxIter) {
         // (cell, pos) → mean: one small shuffle and a 3-expression plan —
         // 64 separate avg aggregates made every iteration pay ~0.3 s of
@@ -247,15 +256,17 @@ object Similarity {
             val spark = df.sparkSession
             import spark.implicits._
             val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
-              .toDF("cell", "c").withColumn("__j", lit(1))
+              .toDF("cell", "c")
+              .withColumn("__j", pmod(col("cell").cast("long"), lit(1L)))
             val sq = sqDistFor(train)
             weighted
-              .withColumn("__j", lit(1))
+              .withColumn("__j", pmod(col("rid"), lit(1L)))
               .join(broadcast(centDf), "__j")
-              .select(col("e"), col("w"),
+              .select(col("rid"), col("e"), col("w"),
                 struct(sq(col("e"), col("c")).as("d"), col("cell")).as("dc"))
-              .groupBy("e", "w") // the distinct embedding IS the row key here
-              .agg(min(col("dc")).getField("cell").as("cell"))
+              .groupBy("rid")
+              .agg(first(col("e")).as("e"), first(col("w")).as("w"),
+                min(col("dc")).getField("cell").as("cell"))
               .select(col("cell"), col("w"), posexplode(col("e")).as(Seq("pos", "v")))
               .groupBy("cell", "pos")
               .agg((sum(col("v").cast("double") * col("w")) / sum(col("w"))).as("m"))
@@ -269,7 +280,10 @@ object Similarity {
         cents = cents.zipWithIndex.map { case (old, i) => byCell.getOrElse(i, old) }
       }
       cents
-    } finally cached.unpersist()
+    } finally {
+      cached.unpersist()
+      weightedCache.foreach(_.unpersist())
+    }
   }
 
   /** Nearest-centroid cell id (ties by cell id): the argmin over per-cell
