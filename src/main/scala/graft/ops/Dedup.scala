@@ -230,6 +230,17 @@ object Dedup {
     else
       expandBuckets(buckets, keys, keep, emit)
 
+  /** Materialize an intermediate that later stages read several times.
+    * Uses RELIABLE checkpointing (survives executor loss — the right choice
+    * for long cluster jobs) when the session has a checkpoint dir
+    * configured, else `localCheckpoint` (executor-local blocks: faster, but
+    * an executor death forces recompute — acceptable in local mode and
+    * short jobs). */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   private def nativeTilePairsAvailable(df: DataFrame): Boolean =
     !ForceFallback &&
       df.sparkSession.catalog.functionExists(graft.functions.TilePairs.JaccardName)
@@ -347,7 +358,7 @@ object Dedup {
       // pipelines read this 3-4× (probe, features, within-group pairs,
       // member re-expansion) and would otherwise repeat the text shuffle
       // each time
-      .localCheckpoint()
+      .transform(materialize)
 
   /** All pairs inside each exact-duplicate group: identical texts have
     * Jaccard exactly 1.0 (skipped for texts too short to have shingles —
@@ -632,9 +643,9 @@ object Dedup {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+      .transform(materialize)
     var labels = df.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
-      .localCheckpoint()
+      .transform(materialize)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < MaxClusterIters) {
@@ -652,7 +663,7 @@ object Dedup {
       val jumped = stepped
         .join(ptr, col("cluster_id") === col("jid"))
         .select(col("id"), col("jl").as("cluster_id"), col("prev"))
-        .localCheckpoint()
+        .transform(materialize)
       changed = jumped.filter(col("cluster_id") =!= col("prev")).count()
       labels = jumped.select("id", "cluster_id")
     }

@@ -176,6 +176,22 @@ class OpsSpec extends SparkSpec {
       .collect().foreach(_.isNullAt(2) shouldBe true)
   }
 
+  test("clustering uses reliable checkpointing when a checkpoint dir is configured") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+      val out = Dedup.duplicateClusters(
+        Seq(1L, 2L, 3L, 4L).toDF("doc_id"), "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L)
+      // the rounds really wrote to the reliable dir, not executor-local blocks
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+      files(dir) should not be empty
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("duplicateClustersByText equals generic CC over the full pair graph") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val real = d.unionByName(
