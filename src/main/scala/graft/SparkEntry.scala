@@ -509,6 +509,18 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       rt(s, dir, "documents").select(
         col("doc_id"), TextOps.languageId(col("text")).as("lang_pred"))),
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetitionFeatures(
+        rt(s, dir, "documents").select("doc_id", "text"), "text")
+        .drop("text")),
+    "text_repetition_filter" -> ((s, dir) =>
+      TextOps.repetitionFilter(
+        rt(s, dir, "documents").select("doc_id", "text"), "text")
+        .drop("text")),
+    "text_pii" -> ((s, dir) =>
+      TextOps.piiCounts(
+        rt(s, dir, "documents").select("doc_id", "text"), "text")
+        .drop("text")),
     "text_fingerprint" -> ((s, dir) =>
       rt(s, dir, "documents").select(
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
@@ -1046,6 +1058,68 @@ object SparkEntry {
         |                 / CAST(len(toks) AS DOUBLE)
         |            ELSE 0.0 END AS stopword_ratio
         |FROM t""".stripMargin,
+    // Repetition metrics replayed with DuckDB list lambdas; the per-doc
+    // mode is the same O(|distinct| × |tokens|) count-per-distinct-token
+    // formulation, and all fractions are exact-integer divisions.
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |           FROM documents),
+        |     b AS (SELECT doc_id, w,
+        |             CASE WHEN len(w) >= 2
+        |                  THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+        |                  ELSE CAST([] AS VARCHAR[]) END AS bg
+        |           FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(w) > 0
+        |       THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+        |       ELSE 0.0 END AS rep_dup_word_frac,
+        |  CASE WHEN len(w) > 0
+        |       THEN CAST(list_max(list_transform(list_distinct(w),
+        |                    d -> len(list_filter(w, x -> x = d)))) AS DOUBLE)
+        |            / CAST(len(w) AS DOUBLE)
+        |       ELSE 0.0 END AS rep_top_word_frac,
+        |  CASE WHEN len(bg) > 0
+        |       THEN CAST(list_max(list_transform(list_distinct(bg),
+        |                    d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE)
+        |            / CAST(len(bg) AS DOUBLE)
+        |       ELSE 0.0 END AS rep_top_bigram_frac
+        |FROM b""".stripMargin,
+    "text_repetition_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |           FROM documents),
+        |     b AS (SELECT doc_id, w,
+        |             CASE WHEN len(w) >= 2
+        |                  THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+        |                  ELSE CAST([] AS VARCHAR[]) END AS bg
+        |           FROM t),
+        |     f AS (SELECT doc_id,
+        |             CASE WHEN len(w) > 0
+        |                  THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+        |                  ELSE 0.0 END AS dupf,
+        |             CASE WHEN len(w) > 0
+        |                  THEN CAST(list_max(list_transform(list_distinct(w),
+        |                               d -> len(list_filter(w, x -> x = d)))) AS DOUBLE)
+        |                       / CAST(len(w) AS DOUBLE)
+        |                  ELSE 0.0 END AS topf,
+        |             CASE WHEN len(bg) > 0
+        |                  THEN CAST(list_max(list_transform(list_distinct(bg),
+        |                               d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE)
+        |                       / CAST(len(bg) AS DOUBLE)
+        |                  ELSE 0.0 END AS bigf
+        |           FROM b)
+        |SELECT doc_id FROM f
+        |WHERE dupf <= 0.3 AND topf <= 0.2 AND bigf <= 0.18""".stripMargin,
+    "text_pii" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS INTEGER) AS n_phones,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_ipv4
+        |FROM documents""".stripMargin,
     "text_langid" ->
       """WITH t AS (SELECT doc_id,
         |             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,

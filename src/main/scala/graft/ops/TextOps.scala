@@ -107,6 +107,72 @@ object TextOps {
       .select(df.columns.map(col).toSeq: _*)
   }
 
+  /** Word-level repetition features — the Gopher/RefinedWeb-style corpus
+    * hygiene signals for machine-generated or boilerplate text:
+    *   rep_dup_word_frac   fraction of tokens that are repeats of an
+    *                       earlier token (1 − distinct/total);
+    *   rep_top_word_frac   the most frequent token's share of all tokens;
+    *   rep_top_bigram_frac the most frequent word-bigram's share.
+    * Per-row expressions (the per-doc mode runs O(|distinct| × |tokens|)
+    * inside one projection — no shuffle, no UDF), exact integer-count
+    * divisions so any engine reproduces the doubles bit-for-bit. */
+  def repetitionFeatures(df: DataFrame, textCol: String): DataFrame = {
+    def toks = tokens(lower(col(textCol)))
+    def topShare(arr: Column): Column = {
+      val counts = transform(array_distinct(arr), w => size(filter(arr, x => x === w)))
+      when(size(arr) > 0,
+        array_max(counts).cast("double") / size(arr).cast("double"))
+        .otherwise(lit(0.0))
+    }
+    def bigrams = {
+      val n = size(toks)
+      when(n >= 2, transform(sequence(lit(1), n - 1), i =>
+        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }
+    df.withColumn(
+        "rep_dup_word_frac",
+        when(size(toks) > 0,
+          lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("rep_top_word_frac", topShare(toks))
+      .withColumn("rep_top_bigram_frac", topShare(bigrams))
+  }
+
+  /** The repetition-filter pipeline stage: keep documents whose repetition
+    * signals stay below the thresholds; feature columns do not survive into
+    * the output. Single narrow filter projection. */
+  def repetitionFilter(
+      df: DataFrame,
+      textCol: String,
+      maxDupWordFrac: Double = 0.3,
+      maxTopWordFrac: Double = 0.2,
+      maxTopBigramFrac: Double = 0.18,
+  ): DataFrame = {
+    val scored = repetitionFeatures(df, textCol)
+    scored
+      .filter(col("rep_dup_word_frac") <= maxDupWordFrac &&
+        col("rep_top_word_frac") <= maxTopWordFrac &&
+        col("rep_top_bigram_frac") <= maxTopBigramFrac)
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
+  /** PII signal counts (emails, phone-shaped numbers, IPv4-shaped dotted
+    * quads) — the redaction/filter pre-pass of a training-data pipeline.
+    * Patterns are deliberately RE2-compatible (no lookarounds, no
+    * backreferences) so Java-regex Spark and RE2-based engines count
+    * identically; counts are non-overlapping left-to-right matches in both.
+    * Detection only — redaction policy is the caller's. */
+  def piiCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails",
+        regexp_count(t, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")))
+      .withColumn("n_phones",
+        regexp_count(t, lit("[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}")))
+      .withColumn("n_ipv4",
+        regexp_count(t, lit("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")))
+  }
+
   /** Per-document TF-IDF top terms: lowercased whitespace tokens, raw term
     * frequency × ln(N / doc_freq), the k highest-scoring terms per doc
     * (ties by term). Scores are rounded to 9 decimals BEFORE ranking so the

@@ -404,6 +404,41 @@ class OpsSpec extends SparkSpec {
     assert(approxEqual(q.getAs[Double]("stopword_ratio"), 2.0 / 6)) // the, a
   }
 
+  test("TextOps.repetitionFeatures computes dup/top-word/top-bigram fractions") {
+    val d = Seq(
+      (1L, "the cat the cat sat"), // 5 toks, 3 distinct; top 'the'=2/5; top bigram 'the cat'=2/4
+      (2L, "all words unique here"), // no repetition
+      (3L, "")) // empty → all zeros
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionFeatures(d, "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    out(1L) shouldBe ((1.0 - 3.0 / 5.0, 2.0 / 5.0, 2.0 / 4.0))
+    out(2L) shouldBe ((0.0, 1.0 / 4.0, 1.0 / 3.0))
+    out(3L) shouldBe ((0.0, 0.0, 0.0))
+  }
+
+  test("TextOps.repetitionFilter drops loopy docs, keeps clean ones, drops features") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "a genuinely varied sentence with many distinct words inside"))
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionFilter(d, "text")
+    out.columns.toSeq shouldBe Seq("doc_id", "text")
+    out.collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+  }
+
+  test("TextOps.piiCounts counts emails, phones, ipv4 without overlap") {
+    val d = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org, call 555-123-4567 or 555.987.6543, host 10.0.0.1"),
+      (2L, "no pii at all"))
+      .toDF("doc_id", "text")
+    val out = TextOps.piiCounts(d, "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    out(1L) shouldBe ((2, 2, 1))
+    out(2L) shouldBe ((0, 0, 0))
+  }
+
   test("TextOps.languageId picks profile with most stopword hits; en wins ties") {
     val d = Seq(
       (1L, "the cat and the dog of a house"),
