@@ -70,4 +70,28 @@ class FitJobCountSpec extends SparkSpec {
       withClue(s"$name fit jobs = $jobs: ") { jobs should be <= maxJobs }
     }
   }
+
+  // Lloyd's job budget: count+init plus a bounded number of stage-jobs per
+  // iteration (the melt-aggregate is ONE query; the old per-dimension-avg
+  // formulation paid a job per plan compile). Join mode adds the weighted
+  // cache and the broadcast-join argmin — budget 4 stage-jobs/iteration.
+  private lazy val embs = (0 until 200).map(i =>
+    (i.toLong, Seq.tabulate(8)(j => ((i * 31 + j) % 17).toFloat)))
+    .toDF("vec_id", "embedding")
+
+  test("ivfCentroids literal mode stays within its job budget") {
+    val jobs = jobsDuring(graft.ops.Similarity.ivfCentroids(embs, "embedding", 4, maxIter = 3))
+    withClue(s"literal-mode jobs = $jobs: ") { jobs should be <= 3 + 3 * 3 }
+  }
+
+  test("ivfCentroids join mode stays within its job budget") {
+    val saved = graft.ops.Similarity.LiteralAssignMax
+    val jobs = try {
+      graft.ops.Similarity.LiteralAssignMax = 0
+      jobsDuring(graft.ops.Similarity.ivfCentroids(embs, "embedding", 4, maxIter = 3))
+    } finally graft.ops.Similarity.LiteralAssignMax = saved
+    // ~5 stage-jobs per iteration: broadcast materialization + the argmin
+    // aggregate's AQE stages + the melt collect
+    withClue(s"join-mode jobs = $jobs: ") { jobs should be <= 5 + 5 * 3 }
+  }
 }
