@@ -586,6 +586,12 @@ object SparkEntry {
         c.zipWithIndex.map { case (v, p) => (i, p, v) }
       }.toDF("cell_id", "pos", "value")
     }),
+    // Symmetric int8 quantization, dumped one row per (vector, position)
+    // because the driver compare cannot hash array columns.
+    "sim_quantize" -> ((s, dir) =>
+      Similarity.quantizeEmbedding(rt(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), col("embedding_scale").as("scale"),
+          posexplode(col("embedding_q")).as(Seq("pos", "code")))),
     "sim_near_dup" -> ((s, dir) => {
       val e = rt(s, dir, "embeddings")
       val withDups = e.unionByName(
@@ -1227,6 +1233,20 @@ object SparkEntry {
         |                                 FOR i IN range(1, 65)]))) AS cos
         |           FROM sel, q)
         |SELECT id, cos FROM c ORDER BY cos DESC, id LIMIT 10""".stripMargin,
+    // floor(x + 0.5) on both engines — round() half-rule differs between
+    // engines, floor does not.
+    "sim_quantize" ->
+      """WITH q AS (SELECT vec_id, embedding,
+        |             list_max([abs(CAST(embedding[i] AS DOUBLE))
+        |                       FOR i IN range(1, len(embedding) + 1)]) / 127.0 AS scale
+        |           FROM embeddings),
+        |     p AS (SELECT unnest(range(0, 64)) AS pos)
+        |SELECT vec_id, scale, CAST(pos AS INTEGER) AS pos,
+        |       CAST(CASE WHEN scale > 0
+        |                 THEN greatest(-127.0, least(127.0,
+        |                        floor(CAST(embedding[pos + 1] AS DOUBLE) / scale + 0.5)))
+        |                 ELSE 0.0 END AS TINYINT) AS code
+        |FROM q CROSS JOIN p""".stripMargin,
     // data fact (checked): max natural pairwise cosine is 0.513, far below
     // the 0.99 threshold — so the ≥0.99 pairs are exactly the injected
     // copies, and the oracle computes the same self-cosine formula on them.

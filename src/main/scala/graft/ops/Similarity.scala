@@ -330,6 +330,29 @@ object Similarity {
       "id", "emb", query, k)
   }
 
+  /** Per-vector symmetric int8 scalar quantization: scale = max|vᵢ|/127,
+    * codeᵢ = floor(vᵢ/scale + 0.5) clamped to [−127, 127] — 4× smaller
+    * storage for ANN shortlists, with the scale kept per vector for
+    * dequantization. `floor(x + 0.5)` (not `round`) keeps the rounding rule
+    * engine-portable: SQL engines disagree on round-half semantics, floor
+    * does not. Zero vectors quantize to all-zero codes with scale 0.
+    * One narrow projection; output columns: `<embCol>_scale` double,
+    * `<embCol>_q` array&lt;tinyint&gt;. */
+  def quantizeEmbedding(df: DataFrame, embCol: String): DataFrame = {
+    val e = col(embCol)
+    val scale =
+      array_max(transform(e, v => abs(v.cast("double")))) / lit(127.0)
+    df.withColumn(s"${embCol}_scale", scale)
+      .withColumn(
+        s"${embCol}_q",
+        transform(e, v =>
+          when(col(s"${embCol}_scale") > 0.0,
+            greatest(lit(-127.0),
+              least(lit(127.0), floor(v.cast("double") / col(s"${embCol}_scale") + 0.5))))
+            .otherwise(lit(0.0))
+            .cast("tinyint")))
+  }
+
   /** All-pairs embedding near-duplicates: pairs with cosine ≥ threshold.
     *
     * Scale shape (same machinery as the text dedup path — Dedup's tiled

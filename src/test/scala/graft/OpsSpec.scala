@@ -346,6 +346,22 @@ class OpsSpec extends SparkSpec {
     joinPath shouldBe litPath // same rows, bit-identical cosines
   }
 
+  test("Similarity.quantizeEmbedding rounds symmetrically with per-vector scale") {
+    val d = Seq(
+      (1L, Seq(1.0f, 0.4f, -0.6f, 0.0f)), // scale 1/127: codes 127, 51, -76, 0
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector → scale 0, all-zero codes
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeEmbedding(d, "embedding").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getSeq[Byte](3)))).toMap
+    out(1L)._1 shouldBe 1.0 / 127.0 +- 1e-9
+    out(1L)._2 shouldBe Seq[Byte](127, 51, -76, 0)
+    out(2L) shouldBe ((0.0, Seq[Byte](0, 0, 0, 0)))
+    // reconstruction error bounded by scale/2 per component (+ float noise)
+    val scale = 1.0 / 127.0
+    val err = math.abs(51 * scale - 0.4)
+    err should be <= scale / 2 + 1e-7
+  }
+
   test("Similarity.cosineNearDupPairs finds identical embeddings") {
     val out = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
       threshold = 0.99, dim = 3)
