@@ -586,6 +586,12 @@ object SparkEntry {
         c.zipWithIndex.map { case (v, p) => (i, p, v) }
       }.toDF("cell_id", "pos", "value")
     }),
+    "sim_topk_quantized" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.cosineTopKQuantized(e, "vec_id", "embedding", q, 10)
+    }),
     // Symmetric int8 quantization, dumped one row per (vector, position)
     // because the driver compare cannot hash array columns.
     "sim_quantize" -> ((s, dir) =>
@@ -1232,6 +1238,26 @@ object SparkEntry {
         |                * sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
         |                                 FOR i IN range(1, 65)]))) AS cos
         |           FROM sel, q)
+        |SELECT id, cos FROM c ORDER BY cos DESC, id LIMIT 10""".stripMargin,
+    // Quantized cosine = cosine of the CODE vectors (scales cancel), so the
+    // replay is exact integer arithmetic in double on both engines.
+    "sim_topk_quantized" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |             list_max([abs(CAST(embedding[i] AS DOUBLE))
+        |                       FOR i IN range(1, 65)]) / 127.0 AS sc
+        |           FROM embeddings),
+        |     e AS (SELECT vec_id,
+        |             [CASE WHEN sc > 0
+        |                   THEN greatest(-127.0, least(127.0,
+        |                          floor(CAST(embedding[i] AS DOUBLE) / sc + 0.5)))
+        |                   ELSE 0.0 END FOR i IN range(1, 65)] AS codes
+        |           FROM s),
+        |     qc AS (SELECT codes AS qcodes FROM e WHERE vec_id = 0),
+        |     c AS (SELECT vec_id AS id,
+        |             list_sum([codes[i] * qcodes[i] FOR i IN range(1, 65)])
+        |             / (sqrt(list_sum([codes[i] * codes[i] FOR i IN range(1, 65)]))
+        |                * sqrt(list_sum([qcodes[i] * qcodes[i] FOR i IN range(1, 65)]))) AS cos
+        |           FROM e, qc)
         |SELECT id, cos FROM c ORDER BY cos DESC, id LIMIT 10""".stripMargin,
     // floor(x + 0.5) on both engines — round() half-rule differs between
     // engines, floor does not.

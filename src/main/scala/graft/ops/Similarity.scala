@@ -353,6 +353,30 @@ object Similarity {
             .cast("tinyint")))
   }
 
+  /** Brute-force cosine top-k over INT8-QUANTIZED vectors: the query and
+    * every row are quantized with [[quantizeEmbedding]]'s rule, and cosine
+    * runs on the code vectors — the per-vector scales cancel in the cosine
+    * ratio, so scores are exact integer arithmetic in double (engine-
+    * reproducible bit-for-bit, no float-noise ties). The 4×-smaller scan is
+    * the point at corpus scale; same TakeOrderedAndProject shape as
+    * [[cosineTopK]]. */
+  def cosineTopKQuantized(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: Seq[Double],
+      k: Int,
+  ): DataFrame = {
+    val qscale = query.map(math.abs).max / 127.0
+    val qcodes =
+      if (qscale > 0)
+        query.map(v => math.max(-127.0, math.min(127.0, math.floor(v / qscale + 0.5))))
+      else query.map(_ => 0.0)
+    val quantized = quantizeEmbedding(df, embCol)
+      .select(col(idCol), col(s"${embCol}_q").cast("array<double>").as("emb_q"))
+    cosineTopK(quantized, idCol, "emb_q", qcodes, k)
+  }
+
   /** All-pairs embedding near-duplicates: pairs with cosine ≥ threshold.
     *
     * Scale shape (same machinery as the text dedup path — Dedup's tiled

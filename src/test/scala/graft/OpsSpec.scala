@@ -362,6 +362,13 @@ class OpsSpec extends SparkSpec {
     err should be <= scale / 2 + 1e-7
   }
 
+  test("Similarity.cosineTopKQuantized ranks like the exact path on separated vectors") {
+    val out = Similarity.cosineTopKQuantized(
+      vecs, "vec_id", "embedding", Seq(1.0, 0.0, 0.0), 3).collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(0L, 1L, 3L) // same order as exact cosineTopK
+    out(0).getDouble(1) shouldBe 1.0 +- 1e-12 // identical vector → cos exactly 1
+  }
+
   test("Similarity.cosineNearDupPairs finds identical embeddings") {
     val out = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
       threshold = 0.99, dim = 3)
