@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.ops.{Dedup, Multimodal, Relational, Sampling, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Multimodal, Relational, Sampling, Similarity, TextOps}
 import graft.streaming.StreamingOps
 import graft.transformers._
 
@@ -534,6 +534,13 @@ object SparkEntry {
         rt(s, dir, "documents").select("doc_id", "text", "lang"),
         "text", minTokens = 10, maxPunctRatio = 0.1, minStopwordRatio = 0.05)
         .drop("text")),
+    // The composed curation endpoint (quality → repetition → fingerprint
+    // dedup → 50% hash sample); near-dup clustering is covered separately
+    // by dedup_corpus, whose recursive-CTE oracle doesn't compose cheaply.
+    "corpus_curate" -> ((s, dir) =>
+      Curation.curate(rt(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", nearDup = false, samplePercent = 50)
+        .select("doc_id")),
     "sim_topk" -> ((s, dir) => {
       val e = rt(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
@@ -1177,6 +1184,43 @@ object SparkEntry {
         |            THEN CAST(len(list_filter(toks,
         |                   x -> x IN ('the','a','an','and','of','is','to','in'))) AS DOUBLE)
         |                 / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) >= 0.05""".stripMargin,
+    // The curation chain replayed stage by stage from the already-verified
+    // fragments. DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // global replace in the fingerprint normalization.
+    "corpus_curate" ->
+      """WITH t AS (SELECT doc_id, text,
+        |             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+        |             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |           FROM documents),
+        |     q AS (SELECT * FROM t
+        |           WHERE len(toks) >= 5
+        |             AND (CASE WHEN len(text) > 0
+        |                       THEN CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE)
+        |                            / CAST(len(text) AS DOUBLE) ELSE 0.0 END) <= 0.2),
+        |     bq AS (SELECT *,
+        |              CASE WHEN len(w) >= 2
+        |                   THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+        |                   ELSE CAST([] AS VARCHAR[]) END AS bg
+        |            FROM q),
+        |     r AS (SELECT doc_id, text FROM bq
+        |           WHERE (CASE WHEN len(w) > 0
+        |                       THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+        |                       ELSE 0.0 END) <= 0.3
+        |             AND (CASE WHEN len(w) > 0
+        |                       THEN CAST(list_max(list_transform(list_distinct(w),
+        |                                    d -> len(list_filter(w, x -> x = d)))) AS DOUBLE)
+        |                            / CAST(len(w) AS DOUBLE) ELSE 0.0 END) <= 0.2
+        |             AND (CASE WHEN len(bg) > 0
+        |                       THEN CAST(list_max(list_transform(list_distinct(bg),
+        |                                    d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE)
+        |                            / CAST(len(bg) AS DOUBLE) ELSE 0.0 END) <= 0.18),
+        |     d AS (SELECT min(doc_id) AS doc_id
+        |           FROM (SELECT doc_id,
+        |                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |                 FROM r)
+        |           GROUP BY fp)
+        |SELECT doc_id FROM d
+        |WHERE (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 100 < 50""".stripMargin,
     // rank on the 9-decimal-rounded score (both engines) so libm ulp
     // differences in ln cannot flip near-ties; exact ties break by term
     "text_tfidf" ->

@@ -414,6 +414,30 @@ class OpsSpec extends SparkSpec {
     native.map(p => (p._1, p._2)) should contain((0L, 1L))
   }
 
+  test("Curation.curate chains quality, repetition, dedup, near-dup, and sampling") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "THE  quick brown fox jumps over the lazy dog near the river bank"), // fp-dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat near the river bank"), // near-dup of 1
+      (4L, "spam spam spam spam spam spam spam"), // repetition-filtered
+      (5L, "too short"), // quality-filtered (min tokens)
+      (6L, "a completely different document talking about distributed query engines today"))
+      .toDF("doc_id", "text")
+    // "the" is 3/13 of the fox docs' tokens, so the top-word cap must sit
+    // above 0.23 for them to survive the repetition stage
+    val kept = Curation.curate(corpus, "doc_id", "text",
+      maxTopWordFrac = 0.25, nearDupThreshold = 0.65)
+      .collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(1L, 6L) // 2 exact-dup'd, 3 near-dup'd, 4/5 filtered
+    val noNearDup = Curation.curate(corpus, "doc_id", "text",
+      maxTopWordFrac = 0.25, nearDup = false)
+      .collect().map(_.getLong(0)).toSet
+    noNearDup shouldBe Set(1L, 3L, 6L)
+    // schema preserved
+    Curation.curate(corpus, "doc_id", "text", nearDup = false).columns.toSeq shouldBe
+      Seq("doc_id", "text")
+  }
+
   // ── TextOps ──────────────────────────────────────────────────────────
 
   test("TextOps token counts and quality features on a hand example") {
