@@ -68,5 +68,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 2, s"${TilePairs.ShingleStrName} expects 2 arguments")
       ShingleStrings(args(0), args(1))
     }))
+    ext.injectFunction(fn(TilePairs.RepetitionName, { args =>
+      require(args.length == 1, s"${TilePairs.RepetitionName} expects 1 argument")
+      RepetitionStats(args(0))
+    }))
   }
 }

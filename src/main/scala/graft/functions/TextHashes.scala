@@ -426,3 +426,87 @@ case class BitmapOfSet(child: Expression, vocab: Expression, rank: Expression)
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0), vocab = newChildren(1), rank = newChildren(2))
 }
+
+/** graft_repetition(text): the three repetition signals of
+  * `TextOps.repetitionFeatures` — duplicate-word fraction, top-word share,
+  * top-bigram share — as a struct, in ONE pass over the lowercased
+  * whitespace tokens. Bit-identical to the HOF fallback (same `\s+` split,
+  * same binary string equality, same int→double divisions), which walks the
+  * token array O(distinct × n) times through four interpreted
+  * higher-order-function trees. Null text → (0.0, 0.0, 0.0), matching the
+  * fallback's `when(size > 0, …).otherwise(0.0)` null-condition behavior. */
+case class RepetitionStats(child: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_word_frac", DoubleType, nullable = false),
+    StructField("top_word_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_repetition expects a string input")
+
+  private val ws = UTF8String.fromString("\\s+")
+  private val space = UTF8String.fromString(" ")
+
+  def compute(s: UTF8String): InternalRow = {
+    if (s == null) {
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0.0, 0.0, 0.0))
+    }
+    val parts = s.toLowerCase.split(ws, -1)
+    val wordCounts = new java.util.HashMap[UTF8String, Integer]()
+    val bigramCounts = new java.util.HashMap[UTF8String, Integer]()
+    var total = 0
+    var maxWord = 0
+    var numBigrams = 0
+    var maxBigram = 0
+    var prev: UTF8String = null
+    var i = 0
+    while (i < parts.length) {
+      val t = parts(i)
+      if (t.numBytes() > 0) {
+        total += 1
+        val c = wordCounts.getOrDefault(t, 0) + 1
+        wordCounts.put(t, c)
+        if (c > maxWord) maxWord = c
+        if (prev != null) {
+          numBigrams += 1
+          val key = UTF8String.concat(prev, space, t)
+          val b = bigramCounts.getOrDefault(key, 0) + 1
+          bigramCounts.put(key, b)
+          if (b > maxBigram) maxBigram = b
+        }
+        prev = t
+      }
+      i += 1
+    }
+    val dup = if (total > 0) 1.0 - wordCounts.size.toDouble / total else 0.0
+    val topW = if (total > 0) maxWord.toDouble / total else 0.0
+    val topB = if (numBigrams > 0) maxBigram.toDouble / numBigrams else 0.0
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](dup, topW, topB))
+  }
+
+  override def eval(input: InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      InternalRow ${ev.value} = $ref.compute(${c.isNull} ? null : ${c.value});
+    """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}

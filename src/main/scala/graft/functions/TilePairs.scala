@@ -30,6 +30,7 @@ object TilePairs {
   val ShingleStrName = "graft_shingle_strings"
   val CosineName = "graft_cosine_tile_pairs"
   val SqDistName = "graft_sqdist"
+  val RepetitionName = "graft_repetition"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

@@ -438,6 +438,32 @@ class OpsSpec extends SparkSpec {
       Seq("doc_id", "text")
   }
 
+  test("repetition kernel is bit-identical to the HOF fallback on real docs") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def run(): Seq[(Long, Double, Double, Double)] =
+      TextOps.repetitionFeatures(d, "text").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    val native = run()
+    val fallback = try { Dedup.ForceFallback = true; run() }
+    finally Dedup.ForceFallback = false
+    native should not be empty
+    fallback shouldBe native
+    // hand cases the corpus may not cover: empty, single-token, null text
+    val edge = Seq((1L, Some("")), (2L, Some("word")), (3L, None),
+      (4L, Some("a a b")), (5L, Some("x y x y")))
+      .toDF("doc_id", "text")
+    def runEdge(): Seq[(Long, Double, Double, Double)] =
+      TextOps.repetitionFeatures(edge, "text").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    val ne = runEdge()
+    val fe = try { Dedup.ForceFallback = true; runEdge() }
+    finally Dedup.ForceFallback = false
+    fe shouldBe ne
+    ne.find(_._1 == 4L).get shouldBe (4L, 1.0 - 2.0 / 3.0, 2.0 / 3.0, 0.5)
+    ne.find(_._1 == 3L).get shouldBe (3L, 0.0, 0.0, 0.0)
+  }
+
   // ── TextOps ──────────────────────────────────────────────────────────
 
   test("TextOps token counts and quality features on a hand example") {
