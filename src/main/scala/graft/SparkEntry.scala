@@ -575,16 +575,17 @@ object SparkEntry {
         c.zipWithIndex.map { case (v, p) => (i, p, v) }
       }.toDF("cell_id", "pos", "value")
     }),
-    // Large-nlist IVF: 256 cells × 64 dims is past LiteralAssignMax, so
-    // cell assignment runs as a broadcast centroid table + argmin agg
-    // (BroadcastHashJoin — asserted in PlanSpec) instead of a giant plan
-    // literal. nprobe=32 keeps enough vectors in scope for a top-10 at
-    // sf0.01.
+    // Large-nlist IVF through the broadcast-assignment path (forced: with
+    // the native argmin kernel installed, 256 × 64 would otherwise ride as
+    // one constant and skip the join) — keeps the broadcast centroid table
+    // + argmin agg (BroadcastHashJoin, asserted in PlanSpec) oracle-checked.
+    // nprobe=32 keeps enough vectors in scope for a top-10 at sf0.01.
     "sim_ivf_bcast" -> ((s, dir) => {
       val e = rt(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
-      Similarity.ivfTopK(e, "vec_id", "embedding", q, 10, nlist = 256, nprobe = 32)
+      Similarity.ivfTopK(e, "vec_id", "embedding", q, 10, nlist = 256, nprobe = 32,
+        forceBroadcastAssign = true)
     }),
     "sim_ivf_bcast_centroids" -> ((s, dir) => {
       import s.implicits._

@@ -140,6 +140,25 @@ object Similarity {
     * A var so tests can force either path. */
   var LiteralAssignMax: Int = 4096
 
+  /** Higher literal-mode cap when the native argmin kernel is installed:
+    * there the centroids are ONE constant ArrayData referenced by a single
+    * expression (not an nlist-wide struct-array tree), so the only literal
+    * cost is the ~8·nlist·dim bytes it adds to the serialized stage — 1 M
+    * doubles ≈ 8 MB, past which the broadcast table wins. A var so tests
+    * can force the join path. */
+  var NativeLiteralAssignMax: Int = 1 << 20
+
+  /** Literal-mode assignment is sound when the plan-literal stays small —
+    * the threshold depends on whether the native kernel (single constant)
+    * or the HOF struct-array tree (nlist × dim expression nodes) would
+    * carry it. */
+  private def literalAssignOk(df: DataFrame, nlist: Int, dims: Int): Boolean = {
+    val sz = nlist.toLong * dims
+    sz <= LiteralAssignMax ||
+      (sz <= NativeLiteralAssignMax &&
+        df.sparkSession.catalog.functionExists(graft.functions.TilePairs.IvfCellName))
+  }
+
   /** Nearest-centroid assignment for every row: returns (id, emb, cell).
     *
     * Small centroid sets (nlist × dim ≤ [[LiteralAssignMax]]) are a single
@@ -154,9 +173,10 @@ object Similarity {
       idCol: String,
       embCol: String,
       centroids: Seq[Seq[Double]],
+      forceBroadcast: Boolean = false,
   ): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
-    if (centroids.length.toLong * centroids.head.length <= LiteralAssignMax)
+    if (!forceBroadcast && literalAssignOk(df, centroids.length, centroids.head.length))
       base.withColumn("cell", ivfCellFor(df)(col("emb"), centroids))
     else {
       val spark = df.sparkSession
@@ -170,13 +190,19 @@ object Similarity {
         .toDF("cell", "c")
         .withColumn("__j", pmod(col("cell").cast("long"), lit(1L)))
       val sq = sqDistFor(df)
-      base
+      // The argmin aggregate sees only (id, dc) — carrying the embedding
+      // through the nlist-wide fan-out would put a dim-float array on every
+      // row × centroid intermediate; the winning cell joins back against
+      // the (small, one-row-per-id) assignment instead, which AQE
+      // broadcast-joins when it fits.
+      val assigned = base
         .withColumn("__j", pmod(xxhash64(col("emb")), lit(1L)))
         .join(broadcast(centDf), "__j") // bounded: nlist rows by construction
-        .select(col("id"), col("emb"),
+        .select(col("id"),
           struct(sq(col("emb"), col("c")).as("d"), col("cell")).as("dc"))
         .groupBy("id")
-        .agg(first(col("emb")).as("emb"), min(col("dc")).getField("cell").as("cell"))
+        .agg(min(col("dc")).getField("cell").as("cell"))
+      base.join(assigned, "id")
     }
   }
 
@@ -226,7 +252,7 @@ object Similarity {
         .toSeq
       require(cents.nonEmpty, "ivfCentroids: no embeddings to train on")
       val dims = cents.head.length
-      val literalMode = nlist.toLong * dims <= LiteralAssignMax
+      val literalMode = literalAssignOk(df, nlist, dims)
       // Join-mode Lloyd runs over DISTINCT embeddings with multiplicity
       // weights and a LONG surrogate key: grouping the post-join argmin by
       // the embedding array itself forces sort-based aggregation with
@@ -247,9 +273,14 @@ object Similarity {
         // plan compilation for 8 rows of output
         val perCellRows =
           if (literalMode)
+            // The argmin must be materialized BELOW the explode: a select
+            // mixing a generator with other expressions puts those
+            // expressions in a Project ABOVE the Generate, re-evaluating
+            // the nlist × dim argmin once per exploded POSITION (dim× the
+            // work — measured 32 s instead of ~2 s at 256 × 64 over sf0.1).
             train
-              .select(ivfCellFor(train)(col("e"), cents).as("cell"),
-                posexplode(col("e")).as(Seq("pos", "v")))
+              .select(ivfCellFor(train)(col("e"), cents).as("cell"), col("e"))
+              .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
               .groupBy("cell", "pos")
               .agg(avg(col("v").cast("double")).as("m"))
           else {
@@ -318,6 +349,7 @@ object Similarity {
       nlist: Int = 8,
       nprobe: Int = 2,
       seed: Long = 42L,
+      forceBroadcastAssign: Boolean = false,
   ): DataFrame = {
     val cents = ivfCentroids(df, embCol, nlist, seed)
     val probed = cents.zipWithIndex
@@ -326,7 +358,8 @@ object Similarity {
       }
       .sorted.take(nprobe).map(_._2)
     cosineTopK(
-      assignCells(df, idCol, embCol, cents).filter(col("cell").isin(probed: _*)),
+      assignCells(df, idCol, embCol, cents, forceBroadcastAssign)
+        .filter(col("cell").isin(probed: _*)),
       "id", "emb", query, k)
   }
 

@@ -86,10 +86,15 @@ class FitJobCountSpec extends SparkSpec {
 
   test("ivfCentroids join mode stays within its job budget") {
     val saved = graft.ops.Similarity.LiteralAssignMax
+    val savedNative = graft.ops.Similarity.NativeLiteralAssignMax
     val jobs = try {
       graft.ops.Similarity.LiteralAssignMax = 0
+      graft.ops.Similarity.NativeLiteralAssignMax = 0
       jobsDuring(graft.ops.Similarity.ivfCentroids(embs, "embedding", 4, maxIter = 3))
-    } finally graft.ops.Similarity.LiteralAssignMax = saved
+    } finally {
+      graft.ops.Similarity.LiteralAssignMax = saved
+      graft.ops.Similarity.NativeLiteralAssignMax = savedNative
+    }
     // ~5 stage-jobs per iteration: broadcast materialization + the argmin
     // aggregate's AQE stages + the melt collect
     withClue(s"join-mode jobs = $jobs: ") { jobs should be <= 5 + 5 * 3 }

@@ -326,24 +326,20 @@ class OpsSpec extends SparkSpec {
 
   test("Similarity.assignCells broadcast-join path agrees with the literal path") {
     val cents = Similarity.ivfCentroids(vecs, "embedding", 2)
-    def assignments() = Similarity.assignCells(vecs, "vec_id", "embedding", cents)
-      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val litPath = assignments() // 2 × 3 doubles ≤ LiteralAssignMax
-    val saved = Similarity.LiteralAssignMax
-    val joinPath = try { Similarity.LiteralAssignMax = 0; assignments() }
-    finally Similarity.LiteralAssignMax = saved
+    def assignments(bcast: Boolean) =
+      Similarity.assignCells(vecs, "vec_id", "embedding", cents, forceBroadcast = bcast)
+        .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val litPath = assignments(bcast = false) // 2 × 3 doubles ≤ LiteralAssignMax
+    val joinPath = assignments(bcast = true)
     joinPath shouldBe litPath
     litPath(0L) shouldBe litPath(1L) // identical embeddings share a cell
   }
 
   test("Similarity.ivfTopK through the broadcast-assignment path matches the literal path") {
-    def run() = Similarity.ivfTopK(vecs, "vec_id", "embedding", Seq(1.0, 0.0, 0.0), 3,
-      nlist = 2, nprobe = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val litPath = run()
-    val saved = Similarity.LiteralAssignMax
-    val joinPath = try { Similarity.LiteralAssignMax = 0; run() }
-    finally Similarity.LiteralAssignMax = saved
-    joinPath shouldBe litPath // same rows, bit-identical cosines
+    def run(bcast: Boolean) = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0), 3, nlist = 2, nprobe = 2, forceBroadcastAssign = bcast)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    run(bcast = true) shouldBe run(bcast = false) // same rows, bit-identical cosines
   }
 
   test("Similarity.quantizeEmbedding rounds symmetrically with per-vector scale") {

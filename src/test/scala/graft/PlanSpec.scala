@@ -58,13 +58,20 @@ class PlanSpec extends SparkSpec {
 
   test("large-nlist cell assignment is a broadcast join, not a giant literal") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    // 256 cells × 64 dims > LiteralAssignMax → broadcast centroid table
     val cents = (0 until 256).map(i => (0 until 64).map(j => (i * 64 + j).toDouble))
-    val out = graft.ops.Similarity.assignCells(e, "vec_id", "embedding", cents)
+    // forced broadcast path: centroid table join, never a nested-loop
+    val out = graft.ops.Similarity.assignCells(e, "vec_id", "embedding", cents,
+      forceBroadcast = true)
     val plan = formatted(out)
     plan should include("BroadcastHashJoin")
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
+    // with the native argmin kernel installed, 256 × 64 defaults to ONE
+    // narrow projection — no join, no shuffle at all
+    val lit = formatted(
+      graft.ops.Similarity.assignCells(e, "vec_id", "embedding", cents))
+    lit should not include "Join"
+    lit should not include "Exchange"
   }
 
   test("high-cardinality encode uses a broadcast hash join") {
