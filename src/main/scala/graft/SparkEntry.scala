@@ -534,6 +534,14 @@ object SparkEntry {
         rt(s, dir, "documents").select("doc_id", "text", "lang"),
         "text", minTokens = 10, maxPunctRatio = 0.1, minStopwordRatio = 0.05)
         .drop("text")),
+    // Common-line removal at token granularity (the corpus has no newline
+    // structure): tokens appearing in >50 of the docs — corpus-level
+    // boilerplate/stopword removal through the same explode → doc-freq →
+    // anti-join → reassemble path a newline-separated corpus would take.
+    "text_line_dedup" -> ((s, dir) =>
+      TextOps.removeCommonLines(
+        rt(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", sepRegex = " ", joinSep = " ", maxDocFreq = 50L)),
     // The composed curation endpoint (quality → repetition → fingerprint
     // dedup → 50% hash sample); near-dup clustering is covered separately
     // by dedup_corpus, whose recursive-CTE oracle doesn't compose cheaply.
@@ -1185,6 +1193,20 @@ object SparkEntry {
         |            THEN CAST(len(list_filter(toks,
         |                   x -> x IN ('the','a','an','and','of','is','to','in'))) AS DOUBLE)
         |                 / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) >= 0.05""".stripMargin,
+    // Common-line removal replay: same doc-frequency threshold, same
+    // order-preserving reassembly; docs reduced to nothing come back "".
+    "text_line_dedup" ->
+      """WITH l AS (SELECT doc_id, string_split_regex(text, ' ') AS ls FROM documents),
+        |     e AS (SELECT doc_id,
+        |             unnest([{'pos': i, 'ln': ls[i]} FOR i IN range(1, len(ls)+1)]) AS u
+        |           FROM l),
+        |     x AS (SELECT doc_id, u.pos AS pos, u.ln AS ln FROM e),
+        |     c AS (SELECT ln FROM x GROUP BY ln HAVING count(DISTINCT doc_id) > 50),
+        |     k AS (SELECT doc_id, pos, ln FROM x WHERE ln NOT IN (SELECT ln FROM c)),
+        |     re AS (SELECT doc_id, string_agg(ln, ' ' ORDER BY pos) AS t
+        |            FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(re.t, '') AS text
+        |FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id""".stripMargin,
     // The curation chain replayed stage by stage from the already-verified
     // fragments. DuckDB regexp_replace needs the 'g' flag to match Spark's
     // global replace in the fingerprint normalization.

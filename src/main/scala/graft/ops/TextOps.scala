@@ -83,6 +83,47 @@ object TextOps {
     }
   }
 
+  /** Corpus-level common-line removal (the Gopher/CCNet boilerplate pass):
+    * split every document on `sepRegex`, drop the lines that occur in MORE
+    * than `maxDocFreq` distinct documents (nav bars, license footers,
+    * cookie banners…), reassemble the survivors in original order with
+    * `joinSep`. Documents whose every line is common come back as "".
+    *
+    * Shuffle profile: one distinct + count aggregate keyed on the line
+    * (map-side partial), one anti-join of the exploded lines against the
+    * (small — boilerplate is by definition rare as a fraction of distinct
+    * lines) common set, one per-doc reassembly aggregate, one join back to
+    * the input for the non-text columns. At extreme corpus scale swap the
+    * line join keys for 128-bit hashes to shrink shuffle width; keys stay
+    * exact here so removal can never false-positive. */
+  def removeCommonLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sepRegex: String = "\n",
+      joinSep: String = "\n",
+      maxDocFreq: Long = 1L,
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(idCol, textCol))
+    require(maxDocFreq >= 1L, "maxDocFreq must be >= 1")
+    val lines = df.select(col(idCol).as("__graft_id"),
+      posexplode(split(col(textCol), sepRegex)).as(Seq("__graft_pos", "__graft_ln")))
+    val common = lines.select("__graft_ln", "__graft_id").distinct()
+      .groupBy("__graft_ln").agg(count(lit(1)).as("__graft_df"))
+      .filter(col("__graft_df") > maxDocFreq)
+      .select("__graft_ln")
+    val rebuilt = lines.join(common, Seq("__graft_ln"), "left_anti")
+      .groupBy("__graft_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__graft_pos"), col("__graft_ln")))),
+          s => s("__graft_ln")),
+        joinSep).as("__graft_new"))
+    df.join(rebuilt, col(idCol) === col("__graft_id"), "left")
+      .withColumn(textCol, coalesce(col("__graft_new"), lit("")))
+      .drop("__graft_id", "__graft_new")
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text. Stable across engines (md5 is md5 everywhere). */
   def fingerprint(text: Column): Column =

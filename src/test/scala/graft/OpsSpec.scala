@@ -434,6 +434,29 @@ class OpsSpec extends SparkSpec {
       Seq("doc_id", "text")
   }
 
+  test("removeCommonLines drops boilerplate lines, preserves order, empties full-boilerplate docs") {
+    val docs = Seq(
+      (1L, "unique opening\nsubscribe to our newsletter\nreal content one"),
+      (2L, "subscribe to our newsletter\nreal content two\nall rights reserved"),
+      (3L, "all rights reserved\nsubscribe to our newsletter"), // all common
+      (4L, "standalone document with nothing shared"))
+      .toDF("doc_id", "text")
+    val out = TextOps.removeCommonLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "unique opening\nreal content one"
+    out(2L) shouldBe "real content two"
+    out(3L) shouldBe "" // every line shared with another doc
+    out(4L) shouldBe "standalone document with nothing shared"
+    // a line repeated WITHIN one doc is not common (doc-frequency, not count)
+    val self = Seq((1L, "echo\necho\nbody"), (2L, "other")).toDF("doc_id", "text")
+    TextOps.removeCommonLines(self, "doc_id", "text")
+      .filter(col("doc_id") === 1L).head().getString(1) shouldBe "echo\necho\nbody"
+    // higher threshold: "all rights reserved" (2 docs) survives, the
+    // 3-doc newsletter line still goes
+    TextOps.removeCommonLines(docs, "doc_id", "text", maxDocFreq = 2L)
+      .filter(col("doc_id") === 3L).head().getString(1) shouldBe "all rights reserved"
+  }
+
   test("repetition kernel is bit-identical to the HOF fallback on real docs") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
