@@ -610,6 +610,20 @@ object SparkEntry {
     }),
     // Symmetric int8 quantization, dumped one row per (vector, position)
     // because the driver compare cannot hash array columns.
+    // JL sign-projection to 16 dims, dumped one row per (vector, out-dim);
+    // the oracle replays the matmul from the sim_rp_matrix aux dump.
+    "sim_random_projection" -> ((s, dir) => {
+      val p = Similarity.randomProject(
+        rt(s, dir, "embeddings"), "embedding", 16, inDim = 64)
+      p.select(col("vec_id"), col("embedding_rp"))
+        .select(col("vec_id"), posexplode(col("embedding_rp")).as(Seq("pos", "value")))
+    }),
+    "sim_rp_matrix" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.signProjectionMatrix(16, 64).zipWithIndex.flatMap { case (row, o) =>
+        row.zipWithIndex.map { case (v, i) => (o, i, v) }
+      }.toDF("out_pos", "in_pos", "value")
+    }),
     "sim_quantize" -> ((s, dir) =>
       Similarity.quantizeEmbedding(rt(s, dir, "embeddings"), "embedding")
         .select(col("vec_id"), col("embedding_scale").as("scale"),
@@ -1328,6 +1342,17 @@ object SparkEntry {
         |SELECT id, cos FROM c ORDER BY cos DESC, id LIMIT 10""".stripMargin,
     // floor(x + 0.5) on both engines — round() half-rule differs between
     // engines, floor does not.
+    // Projection replay over the dumped sign matrix: same sequential fold,
+    // same √outDim division.
+    "sim_random_projection" ->
+      """WITH m AS (SELECT out_pos, list(value ORDER BY in_pos) AS r
+        |           FROM read_parquet('{GRAFT_OUT}/sim_rp_matrix/*.parquet')
+        |           GROUP BY out_pos),
+        |     p AS (SELECT e.vec_id, m.out_pos AS pos,
+        |             list_sum([CAST(e.embedding[i] AS DOUBLE) * m.r[i]
+        |                       FOR i IN range(1, 65)]) / sqrt(16.0) AS value
+        |           FROM embeddings e CROSS JOIN m)
+        |SELECT vec_id, pos, value FROM p""".stripMargin,
     "sim_quantize" ->
       """WITH q AS (SELECT vec_id, embedding,
         |             list_max([abs(CAST(embedding[i] AS DOUBLE))

@@ -105,6 +105,46 @@ object Similarity {
       idCol, embCol, query, k)
   }
 
+  /** Deterministic ±1 sign-projection matrix (Achlioptas/JL): outDim rows
+    * of inDim signs derived from a hash of (seed, row, dim) — reproducible
+    * everywhere, no RNG state to ship. Driver-side literals (a few KB). */
+  def signProjectionMatrix(outDim: Int, inDim: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    (0 until outDim).map { o =>
+      (0 until inDim).map { i =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(s"rp:$seed:$o:$i")
+        if ((h & 1) == 1) 1.0 else -1.0
+      }
+    }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
+    * yⱼ = (emb · signRowⱼ) / √outDim. Distances/cosines are approximately
+    * preserved (JL lemma), at outDim/inDim the storage and downstream ANN
+    * cost. ONE narrow projection — outDim dot products per row against
+    * plan-literal sign rows, no shuffle, no fit; the matrix is a pure
+    * function of the seed so write-time and read-time projections always
+    * agree. `inDim` ≤ 0 peeks the width from the first row (one tiny job).
+    */
+  def randomProject(
+      df: DataFrame,
+      embCol: String,
+      outDim: Int,
+      inDim: Int = -1,
+      seed: Long = 42L,
+      outCol: String = "",
+  ): DataFrame = {
+    require(outDim >= 1, "outDim must be >= 1")
+    graft.core.Validators.requireColumns(df, Seq(embCol))
+    val dim =
+      if (inDim > 0) inDim
+      else df.select(size(col(embCol))).head().getInt(0)
+    val m = signProjectionMatrix(outDim, dim, seed)
+    val d = dotFor(df)
+    val scale = math.sqrt(outDim.toDouble)
+    val out = if (outCol.nonEmpty) outCol else s"${embCol}_rp"
+    df.withColumn(out,
+      array(m.map(row => d(col(embCol), typedLit(row)) / lit(scale)): _*))
+  }
+
   /** Squared L2 distance Σ (aᵢ − cᵢ)² to a literal centroid — sequential
     * fold in array order (bit-reproducible across engines). */
   def sqDist(e: Column, c: Seq[Double]): Column =

@@ -342,6 +342,37 @@ class OpsSpec extends SparkSpec {
     run(bcast = true) shouldBe run(bcast = false) // same rows, bit-identical cosines
   }
 
+  test("Similarity.randomProject matches the hand matmul and roughly preserves cosine") {
+    val m = Similarity.signProjectionMatrix(2, 4)
+    m.flatten.foreach(v => math.abs(v) shouldBe 1.0)
+    val v = Seq(1.0f, 2.0f, -3.0f, 0.5f)
+    val df = Seq((1L, v)).toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(df, "embedding", 2, inDim = 4)
+      .head().getSeq[Double](2)
+    val want = m.map(row =>
+      row.zip(v).foldLeft(0.0) { case (a, (s, x)) => a + s * x.toDouble } / math.sqrt(2.0))
+    got.zip(want).foreach { case (g, w) => g shouldBe w +- 1e-12 }
+    // JL sanity on real embeddings: projected cosine of a near-dup pair
+    // stays far above that of a random pair
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = Similarity.randomProject(e, "embedding", 16, inDim = 64)
+      .select(col("vec_id"), col("embedding_rp"))
+    def cosOf(a: Long, b: Long): Double = {
+      val va = p.filter(col("vec_id") === a).head().getSeq[Double](1)
+      val vb = p.filter(col("vec_id") === b).head().getSeq[Double](1)
+      val d = va.zip(vb).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+    }
+    // peek dim inference path too (inDim unset)
+    Similarity.randomProject(e.limit(5), "embedding", 3)
+      .head().getAs[Seq[Double]]("embedding_rp").length shouldBe 3
+    val orig = Similarity.cosineTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") === 0).head().getSeq[Float](1).map(_.toDouble).toSeq, 2)
+      .collect()
+    val nearest = orig.map(_.getLong(0)).filter(_ != 0L).head
+    cosOf(0L, nearest) should be > cosOf(0L, (nearest + 7) % 100)
+  }
+
   test("Similarity.quantizeEmbedding rounds symmetrically with per-vector scale") {
     val d = Seq(
       (1L, Seq(1.0f, 0.4f, -0.6f, 0.0f)), // scale 1/127: codes 127, 51, -76, 0
