@@ -624,6 +624,25 @@ object SparkEntry {
         row.zipWithIndex.map { case (v, i) => (o, i, v) }
       }.toDF("out_pos", "in_pos", "value")
     }),
+    // PCA to 8 components: one graft_gram_sum moment pass + driver Jacobi;
+    // the oracle replays projection from the sim_pca_loadings aux dump
+    // (components at in_pos ≥ 0, per-component offsets μ·w at in_pos = -1).
+    "sim_pca" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val m = Similarity.pcaFit(e, "embedding", 8, inDim = 64)
+      Similarity.pcaProject(e, "embedding", m)
+        .select(col("vec_id"), col("embedding_pca"))
+        .select(col("vec_id"), posexplode(col("embedding_pca")).as(Seq("pos", "value")))
+    }),
+    "sim_pca_loadings" -> ((s, dir) => {
+      import s.implicits._
+      val m = Similarity.pcaFit(rt(s, dir, "embeddings"), "embedding", 8, inDim = 64)
+      val comps = m.components.zipWithIndex.flatMap { case (row, o) =>
+        row.zipWithIndex.map { case (v, i) => (o, i, v) }
+      }
+      val offs = m.offsets.zipWithIndex.map { case (o, c) => (c, -1, o) }
+      (comps ++ offs).toDF("out_pos", "in_pos", "value")
+    }),
     "sim_quantize" -> ((s, dir) =>
       Similarity.quantizeEmbedding(rt(s, dir, "embeddings"), "embedding")
         .select(col("vec_id"), col("embedding_scale").as("scale"),
@@ -1342,6 +1361,20 @@ object SparkEntry {
         |SELECT id, cos FROM c ORDER BY cos DESC, id LIMIT 10""".stripMargin,
     // floor(x + 0.5) on both engines — round() half-rule differs between
     // engines, floor does not.
+    // PCA replay from the dumped loadings: y = emb·w − offset, the same
+    // sequential fold and the same driver-precomputed μ·w subtraction.
+    "sim_pca" ->
+      """WITH w AS (SELECT out_pos, list(value ORDER BY in_pos) AS r
+        |           FROM read_parquet('{GRAFT_OUT}/sim_pca_loadings/*.parquet')
+        |           WHERE in_pos >= 0 GROUP BY out_pos),
+        |     o AS (SELECT out_pos, value AS off
+        |           FROM read_parquet('{GRAFT_OUT}/sim_pca_loadings/*.parquet')
+        |           WHERE in_pos = -1),
+        |     p AS (SELECT e.vec_id, w.out_pos AS pos,
+        |             list_sum([CAST(e.embedding[i] AS DOUBLE) * w.r[i]
+        |                       FOR i IN range(1, 65)]) - o.off AS value
+        |           FROM embeddings e CROSS JOIN w JOIN o ON w.out_pos = o.out_pos)
+        |SELECT vec_id, pos, value FROM p""".stripMargin,
     // Projection replay over the dumped sign matrix: same sequential fold,
     // same √outDim division.
     "sim_random_projection" ->

@@ -72,5 +72,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 1, s"${TilePairs.RepetitionName} expects 1 argument")
       RepetitionStats(args(0))
     }))
+    ext.injectFunction(fn(TilePairs.GramSumName, { args =>
+      require(args.length == 2, s"${TilePairs.GramSumName} expects 2 arguments")
+      GramSum(args(0), args(1))
+    }))
   }
 }

@@ -31,6 +31,7 @@ object TilePairs {
   val CosineName = "graft_cosine_tile_pairs"
   val SqDistName = "graft_sqdist"
   val RepetitionName = "graft_repetition"
+  val GramSumName = "graft_gram_sum"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

@@ -145,6 +145,161 @@ object Similarity {
       array(m.map(row => d(col(embCol), typedLit(row)) / lit(scale)): _*))
   }
 
+  // ───────────────────────── PCA ─────────────────────────
+
+  /** PCA model: per-dim mean, top-k loadings (rows = components), and the
+    * per-component projection offsets μ·wⱼ precomputed so transform is a
+    * plain dot minus a scalar. */
+  final case class PcaModel(
+      mean: Seq[Double],
+      components: Seq[Seq[Double]],
+      offsets: Seq[Double],
+      eigenvalues: Seq[Double])
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — driver-side,
+    * deterministic (fixed sweep order, fixed tolerance). Returns
+    * (eigenvalues, eigenvectors as ROWS), unsorted. Fine to ~a few hundred
+    * dims; the distributed part of PCA is the moment aggregate, not this. */
+  private[graft] def jacobiEigen(
+      sym: Array[Array[Double]],
+      maxSweeps: Int = 100): (Array[Double], Array[Array[Double]]) = {
+    val n = sym.length
+    val a = sym.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (off() > 1e-20 && sweep < maxSweeps) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (math.abs(theta) > 1e150) 1.0 / (2.0 * theta)
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < n) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val values = Array.tabulate(n)(i => a(i)(i))
+    val vectors = Array.tabulate(n, n)((comp, i) => v(i)(comp)) // rows
+    (values, vectors)
+  }
+
+  /** Fit PCA over an embedding column: count/mean/Gram in ONE distributed
+    * aggregate (native graft_gram_sum buffer when installed; a d²-row
+    * posexplode formulation otherwise — correct but only sensible on small
+    * data), then covariance + Jacobi on the driver (d × d — independent of
+    * corpus size; at 100 TB the single moment pass IS the whole cost).
+    *
+    * Covariance entries are rounded to 1e-9 before the eigensolve so
+    * run-to-run float-merge-order noise (partial aggregates combine in
+    * arrival order) cannot rotate near-degenerate eigenvectors between two
+    * fits of the same data. Component signs are normalized (largest-|w|
+    * coordinate positive, first index on ties) and components are ordered
+    * by descending eigenvalue (index ascending on exact ties). */
+  def pcaFit(df: DataFrame, embCol: String, k: Int, inDim: Int = -1): PcaModel = {
+    graft.core.Validators.requireColumns(df, Seq(embCol))
+    val d =
+      if (inDim > 0) inDim
+      else df.select(size(col(embCol))).head().getInt(0)
+    require(k >= 1 && k <= d, s"k must be in [1, $d]")
+    val stats: Array[Double] =
+      if (df.sparkSession.catalog.functionExists(graft.functions.TilePairs.GramSumName) &&
+          !Dedup.ForceFallback) {
+        df.select(call_function(graft.functions.TilePairs.GramSumName,
+            col(embCol), lit(d)).as("s"))
+          .head().getSeq[Double](0).toArray
+      } else {
+        // d² exploded product rows per vector — the no-extensions fallback
+        val n = df.count().toDouble
+        val sums = df
+          .select(posexplode(col(embCol)).as(Seq("i", "x")))
+          .groupBy("i").agg(sum(col("x").cast("double")).as("s"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val gram = df
+          .select(col(embCol).as("e"))
+          .select(posexplode(col("e")).as(Seq("i", "x")), col("e"))
+          .select(col("i"), col("x"), posexplode(col("e")).as(Seq("j", "y")))
+          .groupBy("i", "j")
+          .agg(sum(col("x").cast("double") * col("y").cast("double")).as("g"))
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+        val out = new Array[Double](1 + d + d * d)
+        out(0) = n
+        for (i <- 0 until d) out(1 + i) = sums.getOrElse(i, 0.0)
+        for (i <- 0 until d; j <- 0 until d)
+          out(1 + d + i * d + j) = gram.getOrElse((i, j), 0.0)
+        out
+      }
+    val n = stats(0)
+    require(n >= 2.0, "pcaFit needs at least 2 rows")
+    val mean = Array.tabulate(d)(i => stats(1 + i) / n)
+    def round9(x: Double): Double = math.rint(x * 1e9) / 1e9
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      round9((stats(1 + d + i * d + j) - n * mean(i) * mean(j)) / (n - 1.0))
+    }
+    val (values, vectors) = jacobiEigen(cov)
+    val order = values.indices.sortBy(i => (-values(i), i)).take(k)
+    val comps = order.map { ci =>
+      val w = vectors(ci)
+      val m = w.indices.maxBy(i => (math.abs(w(i)), -i))
+      val sgn = if (w(m) < 0.0) -1.0 else 1.0
+      w.map(_ * sgn).toSeq
+    }
+    val offsets = comps.map(w => w.zip(mean).foldLeft(0.0) { case (a, (wi, mi)) => a + wi * mi })
+    PcaModel(mean.toSeq, comps, offsets, order.map(values(_)))
+  }
+
+  /** Apply a fitted [[PcaModel]]: yⱼ = emb·wⱼ − μ·wⱼ. One narrow
+    * projection, k native dot products per row against plan-literal
+    * component rows — no shuffle, trivially parallel at any scale. */
+  def pcaProject(
+      df: DataFrame,
+      embCol: String,
+      model: PcaModel,
+      outCol: String = "",
+  ): DataFrame = {
+    val dImpl = dotFor(df)
+    val out = if (outCol.nonEmpty) outCol else s"${embCol}_pca"
+    df.withColumn(out,
+      array(model.components.zip(model.offsets).map { case (w, o) =>
+        dImpl(col(embCol), typedLit(w)) - lit(o)
+      }: _*))
+  }
+
   /** Squared L2 distance Σ (aᵢ − cᵢ)² to a literal centroid — sequential
     * fold in array order (bit-reproducible across engines). */
   def sqDist(e: Column, c: Seq[Double]): Column =

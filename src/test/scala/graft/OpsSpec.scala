@@ -373,6 +373,37 @@ class OpsSpec extends SparkSpec {
     cosOf(0L, nearest) should be > cosOf(0L, (nearest + 7) % 100)
   }
 
+  test("Similarity.pcaFit recovers the dominant axis; kernel and fallback agree") {
+    // points along y = 2x in 3D, tiny deterministic z jitter
+    val pts = (0 until 40).map { i =>
+      val t = (i - 20).toDouble / 10.0
+      (i.toLong, Seq(t.toFloat, (2 * t).toFloat, ((i % 3) - 1).toFloat * 0.01f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val m = Similarity.pcaFit(df, "embedding", 2)
+    val w0 = m.components.head
+    // dominant direction ∝ (1, 2, 0); sign convention: largest coord positive
+    math.abs(w0(0) * 2 - w0(1)) should be < 1e-6
+    math.abs(w0(2)) should be < 0.01
+    w0(1) should be > 0.0
+    m.eigenvalues.head should be > m.eigenvalues(1)
+    // the no-kernel fallback lands on the same 1e-9-rounded covariance →
+    // identical model
+    val fb = try { Dedup.ForceFallback = true; Similarity.pcaFit(df, "embedding", 2) }
+    finally Dedup.ForceFallback = false
+    fb.components shouldBe m.components
+    fb.mean shouldBe m.mean
+    // sample variance of the first projected coordinate = its eigenvalue
+    val proj = Similarity.pcaProject(df, "embedding", m)
+      .select("embedding_pca").collect().map(_.getSeq[Double](0))
+    val c0 = proj.map(_.head)
+    val mu = c0.sum / c0.length
+    val v0 = c0.map(x => (x - mu) * (x - mu)).sum / (c0.length - 1)
+    v0 shouldBe m.eigenvalues.head +- 1e-6
+    // projected mean is ~0 (centering via the offset worked)
+    math.abs(mu) should be < 1e-9
+  }
+
   test("Similarity.quantizeEmbedding rounds symmetrically with per-vector scale") {
     val d = Seq(
       (1L, Seq(1.0f, 0.4f, -0.6f, 0.0f)), // scale 1/127: codes 127, 51, -76, 0
