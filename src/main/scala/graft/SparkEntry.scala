@@ -610,6 +610,13 @@ object SparkEntry {
     }),
     // Symmetric int8 quantization, dumped one row per (vector, position)
     // because the driver compare cannot hash array columns.
+    // Batch retrieval: 5 query vectors × top-10 each in one corpus pass.
+    "sim_topk_batch" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      Similarity.cosineTopKBatch(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    }),
     // JL sign-projection to 16 dims, dumped one row per (vector, out-dim);
     // the oracle replays the matmul from the sim_rp_matrix aux dump.
     "sim_random_projection" -> ((s, dir) => {
@@ -1361,6 +1368,25 @@ object SparkEntry {
         |SELECT id, cos FROM c ORDER BY cos DESC, id LIMIT 10""".stripMargin,
     // floor(x + 0.5) on both engines — round() half-rule differs between
     // engines, floor does not.
+    // Batch-retrieval replay: identical cosine formula (sequential fold,
+    // dot / (norm · qnorm) association), identical (cos DESC, id) ranking.
+    "sim_topk_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+        |             sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                            FOR i IN range(1, 65)])) AS qnrm
+        |           FROM embeddings WHERE vec_id < 5),
+        |     b AS (SELECT vec_id AS id, embedding,
+        |             sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                            FOR i IN range(1, 65)])) AS nrm
+        |           FROM embeddings),
+        |     s AS (SELECT q.query_id, b.id,
+        |             list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |                       FOR i IN range(1, 65)]) / (b.nrm * q.qnrm) AS cos
+        |           FROM b CROSS JOIN q),
+        |     r AS (SELECT query_id, id, cos,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn
+        |           FROM s)
+        |SELECT query_id, id, cos FROM r WHERE rn <= 10""".stripMargin,
     // PCA replay from the dumped loadings: y = emb·w − offset, the same
     // sequential fold and the same driver-precomputed μ·w subtraction.
     "sim_pca" ->

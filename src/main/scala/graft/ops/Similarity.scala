@@ -57,6 +57,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch exact cosine top-k: every query in `queries` retrieves its k
+    * nearest corpus rows in ONE pass over the corpus. The query table is
+    * broadcast (batches are small — thousands of rows — next to a 100-TB
+    * corpus) and fanned out with an intentional BroadcastNestedLoopJoin:
+    * scoring IS the cross product here, there is no join key to hash on.
+    * Corpus and query norms are computed once below the fan-out (not per
+    * pair), and the per-query top-k runs as a rank window that Spark's
+    * WindowGroupLimit prunes to k rows per partition map-side BEFORE the
+    * single shuffle on query id. Ties break by corpus id. */
+  def cosineTopKBatch(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qEmbCol: String,
+      k: Int,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val d = dotFor(corpus)
+    val q = broadcast(
+      queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("qemb"))
+        .withColumn("qnrm", sqrt(d(col("qemb"), col("qemb")))))
+    val base = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("nrm", sqrt(d(col("emb"), col("emb"))))
+    base.join(q)
+      .select(col("query_id"), col("id"),
+        (d(col("emb"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("id").asc)))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
     * from a hash of (seed, plane, dim) — reproducible everywhere, no RNG
     * state to ship. */

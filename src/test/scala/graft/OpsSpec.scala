@@ -373,6 +373,26 @@ class OpsSpec extends SparkSpec {
     cosOf(0L, nearest) should be > cosOf(0L, (nearest + 7) % 100)
   }
 
+  test("Similarity.cosineTopKBatch matches per-query cosineTopK") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val batch = Similarity.cosineTopKBatch(
+      e, "vec_id", "embedding", e.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(-_._3).map(t => (t._2, t._3)).toSeq).toMap
+    batch.keySet shouldBe Set(0L, 1L, 2L)
+    for (qid <- 0L to 2L) {
+      val single = Similarity.cosineTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") === qid).head().getSeq[Float](1).map(_.toDouble).toSeq, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      batch(qid).map(_._1) shouldBe single.map(_._1)
+      // scores agree to float-assembly tolerance (single-query path folds
+      // against a double literal, batch against the raw float row)
+      batch(qid).map(_._2).zip(single.map(_._2)).foreach { case (b, s) =>
+        b shouldBe s +- 1e-6
+      }
+    }
+  }
+
   test("Similarity.pcaFit recovers the dominant axis; kernel and fallback agree") {
     // points along y = 2x in 3D, tiny deterministic z jitter
     val pts = (0 until 40).map { i =>

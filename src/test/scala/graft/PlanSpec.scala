@@ -113,6 +113,23 @@ class PlanSpec extends SparkSpec {
     limits should have size 2
   }
 
+  test("cosineTopKBatch: broadcast fan-out, map-side top-k pruning, one shuffle") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = graft.ops.Similarity.cosineTopKBatch(
+      e, "vec_id", "embedding", e.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+    val plan = formatted(out)
+    // the cross product is INTENTIONAL (scoring = corpus × query batch) and
+    // must ride a broadcast, never a shuffled cartesian
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "CartesianProduct"
+    // each task keeps only its local top-k per query before the one shuffle
+    val limits = out.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    limits should have size 2
+    "\\(\\d+\\) Exchange".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("hashSample is a pure narrow filter — no shuffle") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = graft.ops.Sampling.hashSample(docs, "doc_id", 20)
