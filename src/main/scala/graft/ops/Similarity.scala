@@ -184,12 +184,45 @@ object Similarity {
 
   /** PCA model: per-dim mean, top-k loadings (rows = components), and the
     * per-component projection offsets μ·wⱼ precomputed so transform is a
-    * plain dot minus a scalar. */
+    * plain dot minus a scalar. Persists to inspectable JSON (same
+    * philosophy as [[graft.core.ModelIO]]): fit on the cluster once, load
+    * for apply-only projection anywhere. */
   final case class PcaModel(
       mean: Seq[Double],
       components: Seq[Seq[Double]],
       offsets: Seq[Double],
-      eigenvalues: Seq[Double])
+      eigenvalues: Seq[Double]) {
+    def toJsonString: String = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      def arr(xs: Seq[Double]) = JArray(xs.map(JDouble(_)).toList)
+      JsonMethods.compact(JsonMethods.render(JObject(
+        "version" -> JInt(1),
+        "mean" -> arr(mean),
+        "components" -> JArray(components.map(arr).toList),
+        "offsets" -> arr(offsets),
+        "eigenvalues" -> arr(eigenvalues))))
+    }
+    def save(path: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), toJsonString)
+  }
+
+  object PcaModel {
+    def fromJsonString(json: String): PcaModel = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val o = JsonMethods.parse(json)
+      def arr(v: JValue): Seq[Double] =
+        v.asInstanceOf[JArray].arr.map(x => x.asInstanceOf[JDouble].num)
+      PcaModel(
+        mean = arr(o \ "mean"),
+        components = (o \ "components").asInstanceOf[JArray].arr.map(arr),
+        offsets = arr(o \ "offsets"),
+        eigenvalues = arr(o \ "eigenvalues"))
+    }
+    def load(path: String): PcaModel =
+      fromJsonString(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+  }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix — driver-side,
     * deterministic (fixed sweep order, fixed tolerance). Returns
@@ -318,20 +351,24 @@ object Similarity {
     PcaModel(mean.toSeq, comps, offsets, order.map(values(_)))
   }
 
-  /** Apply a fitted [[PcaModel]]: yⱼ = emb·wⱼ − μ·wⱼ. One narrow
-    * projection, k native dot products per row against plan-literal
+  /** Apply a fitted [[PcaModel]]: yⱼ = emb·wⱼ − μ·wⱼ, optionally whitened
+    * (divided by √λⱼ so every output coordinate has unit variance — the
+    * usual pre-step before cosine/L2 ANN on PCA-reduced vectors). One
+    * narrow projection, k native dot products per row against plan-literal
     * component rows — no shuffle, trivially parallel at any scale. */
   def pcaProject(
       df: DataFrame,
       embCol: String,
       model: PcaModel,
       outCol: String = "",
+      whiten: Boolean = false,
   ): DataFrame = {
     val dImpl = dotFor(df)
     val out = if (outCol.nonEmpty) outCol else s"${embCol}_pca"
     df.withColumn(out,
-      array(model.components.zip(model.offsets).map { case (w, o) =>
-        dImpl(col(embCol), typedLit(w)) - lit(o)
+      array(model.components.indices.map { j =>
+        val y = dImpl(col(embCol), typedLit(model.components(j))) - lit(model.offsets(j))
+        if (whiten) y / lit(math.sqrt(model.eigenvalues(j))) else y
       }: _*))
   }
 

@@ -422,6 +422,15 @@ class OpsSpec extends SparkSpec {
     v0 shouldBe m.eigenvalues.head +- 1e-6
     // projected mean is ~0 (centering via the offset worked)
     math.abs(mu) should be < 1e-9
+    // whitening: unit sample variance per component
+    val white = Similarity.pcaProject(df, "embedding", m, whiten = true)
+      .select("embedding_pca").collect().map(_.getSeq[Double](0))
+    val w1 = white.map(_.head)
+    val wmu = w1.sum / w1.length
+    (w1.map(x => (x - wmu) * (x - wmu)).sum / (w1.length - 1)) shouldBe 1.0 +- 1e-9
+    // JSON round trip is exact (doubles survive)
+    val rt = Similarity.PcaModel.fromJsonString(m.toJsonString)
+    rt shouldBe m
   }
 
   test("Similarity.quantizeEmbedding rounds symmetrically with per-vector scale") {
