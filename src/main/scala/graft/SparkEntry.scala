@@ -534,6 +534,15 @@ object SparkEntry {
         rt(s, dir, "documents").select("doc_id", "text", "lang"),
         "text", minTokens = 10, maxPunctRatio = 0.1, minStopwordRatio = 0.05)
         .drop("text")),
+    // Unicode canonicalization + case/whitespace folding. The synthetic
+    // corpus is ASCII so the normalization legs are identity here — the
+    // accent/ligature/width behavior is pinned by unit fixtures; this
+    // oracle locks the composition order and the ASCII no-op property.
+    "text_normalize" -> ((s, dir) =>
+      TextOps.normalizeText(
+        rt(s, dir, "documents").select("doc_id", "text"),
+        "text", form = "NFC", stripAccents = true,
+        lowercase = true, collapseWhitespace = true)),
     // Common-line removal at token granularity (the corpus has no newline
     // structure): tokens appearing in >50 of the docs — corpus-level
     // boilerplate/stopword removal through the same explode → doc-freq →
@@ -1233,6 +1242,11 @@ object SparkEntry {
         |            THEN CAST(len(list_filter(toks,
         |                   x -> x IN ('the','a','an','and','of','is','to','in'))) AS DOUBLE)
         |                 / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) >= 0.05""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),
+        |                      '\s+', ' ', 'g')) AS text
+        |FROM documents""".stripMargin,
     // Common-line removal replay: same doc-frequency threshold, same
     // order-preserving reassembly; docs reduced to nothing come back "".
     "text_line_dedup" ->

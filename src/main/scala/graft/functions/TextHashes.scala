@@ -510,3 +510,65 @@ case class RepetitionStats(child: Expression) extends Expression {
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0))
 }
+
+/** graft_normalize(text, form, stripAccents): Unicode normalization to the
+  * given form ("NFC" | "NFD" | "NFKC" | "NFKD"), optionally stripping
+  * combining marks (decompose → drop Mn category → recompose to the target
+  * form) — the canonicalization pass that must run BEFORE any hashing,
+  * fingerprinting, or dedup so that visually-identical byte sequences
+  * (é precomposed vs e + U+0301) collide. No pure-Column fallback exists
+  * (Spark has no normalization builtin); TextOps.normalizeText raises a
+  * clear error when the extension is not installed. */
+case class NormalizeText(child: Expression, form: Expression, stripAccents: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(child, form, stripAccents)
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && form.foldable && stripAccents.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_normalize expects (string, foldable form, foldable bool)")
+
+  private lazy val normForm: java.text.Normalizer.Form =
+    java.text.Normalizer.Form.valueOf(
+      form.eval().asInstanceOf[UTF8String].toString.toUpperCase(java.util.Locale.ROOT))
+  private lazy val strip: Boolean = stripAccents.eval().asInstanceOf[Boolean]
+  private val marks = java.util.regex.Pattern.compile("\\p{Mn}+")
+
+  def compute(s: UTF8String): UTF8String = {
+    val in = s.toString
+    val out =
+      if (strip) {
+        val decomposed =
+          java.text.Normalizer.normalize(in, java.text.Normalizer.Form.NFD)
+        java.text.Normalizer.normalize(
+          marks.matcher(decomposed).replaceAll(""), normForm)
+      } else java.text.Normalizer.normalize(in, normForm)
+    UTF8String.fromString(out)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val s = child.eval(input).asInstanceOf[UTF8String]
+    if (s == null) null else compute(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      UTF8String ${ev.value} = null;
+      if (!${ev.isNull}) ${ev.value} = $ref.compute(${c.value});
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), form = newChildren(1), stripAccents = newChildren(2))
+}

@@ -32,6 +32,7 @@ object TilePairs {
   val SqDistName = "graft_sqdist"
   val RepetitionName = "graft_repetition"
   val GramSumName = "graft_gram_sum"
+  val NormalizeName = "graft_normalize"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

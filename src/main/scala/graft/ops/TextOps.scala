@@ -83,6 +83,37 @@ object TextOps {
     }
   }
 
+  /** Unicode canonicalization — the pass that must precede any hashing,
+    * fingerprinting, or dedup so visually-identical byte sequences
+    * (precomposed é vs e + combining accent, NFKC-folded ligatures and
+    * width variants) collide. Normalization runs in the native
+    * graft_normalize expression (Spark has no builtin; there is no
+    * pure-Column fallback, so this op requires GraftExtensions and says so
+    * loudly); lowercasing and whitespace collapsing compose on top as
+    * ordinary codegen'd expressions. In-place replacement of `textCol`;
+    * one narrow projection, no shuffle. */
+  def normalizeText(
+      df: DataFrame,
+      textCol: String,
+      form: String = "NFC",
+      stripAccents: Boolean = false,
+      lowercase: Boolean = false,
+      collapseWhitespace: Boolean = false,
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(textCol))
+    require(Set("NFC", "NFD", "NFKC", "NFKD")(form.toUpperCase(java.util.Locale.ROOT)),
+      s"unknown normalization form '$form'")
+    if (!df.sparkSession.catalog.functionExists(graft.functions.TilePairs.NormalizeName))
+      throw graft.errors.FeatureFactoryException.InvalidParameter(
+        "normalizeText requires graft.functions.GraftExtensions on the session " +
+          "(spark.sql.extensions=graft.functions.GraftExtensions)")
+    var c: Column = call_function(graft.functions.TilePairs.NormalizeName,
+      col(textCol), lit(form), lit(stripAccents))
+    if (lowercase) c = lower(c)
+    if (collapseWhitespace) c = trim(regexp_replace(c, "\\s+", " "))
+    df.withColumn(textCol, c)
+  }
+
   /** Corpus-level common-line removal (the Gopher/CCNet boilerplate pass):
     * split every document on `sepRegex`, drop the lines that occur in MORE
     * than `maxDocFreq` distinct documents (nav bars, license footers,

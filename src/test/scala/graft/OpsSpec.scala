@@ -525,6 +525,34 @@ class OpsSpec extends SparkSpec {
       Seq("doc_id", "text")
   }
 
+  test("normalizeText folds composition forms, accents, ligatures, width, case") {
+    val fixtures = Seq(
+      (1L, "café"),            // precomposed é
+      (2L, "café"),           // e + combining acute
+      (3L, "ﬁne"),             // ﬁ ligature
+      (4L, "ＡＢ"),         // fullwidth ＡＢ
+      (5L, "  spaced  out  "),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.normalizeText(fixtures, "text",
+      form = "NFKC", stripAccents = true, lowercase = true, collapseWhitespace = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "cafe" // accent stripped after decomposition
+    out(2L) shouldBe out(1L) // both é encodings collide post-normalization
+    out(3L) shouldBe "fine" // NFKC expands the ligature
+    out(4L) shouldBe "ab" // width folded, lowercased
+    out(5L) shouldBe "spaced out" // NFKC maps the NBSPs to spaces first
+    out(6L) shouldBe null
+    // without NFKC the ligature survives; without stripAccents é survives
+    val plain = TextOps.normalizeText(fixtures, "text", form = "NFC")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    plain(3L) shouldBe "ﬁne"
+    plain(1L) shouldBe "café"
+    plain(2L) shouldBe "café" // NFC recomposes the combining form
+    an[IllegalArgumentException] should be thrownBy
+      TextOps.normalizeText(fixtures, "text", form = "NFX")
+  }
+
   test("removeCommonLines drops boilerplate lines, preserves order, empties full-boilerplate docs") {
     val docs = Seq(
       (1L, "unique opening\nsubscribe to our newsletter\nreal content one"),
