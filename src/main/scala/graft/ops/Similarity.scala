@@ -534,7 +534,10 @@ object Similarity {
         weightedCache = Some(w)
         w
       }
-      for (_ <- 1 to maxIter) {
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        iter += 1
         // (cell, pos) → mean: one small shuffle and a 3-expression plan —
         // 64 separate avg aggregates made every iteration pay ~0.3 s of
         // plan compilation for 8 rows of output
@@ -575,7 +578,13 @@ object Similarity {
           .map { case (cell, rows) =>
             cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
           }
-        cents = cents.zipWithIndex.map { case (old, i) => byCell.getOrElse(i, old) }
+        val next = cents.zipWithIndex.map { case (old, i) => byCell.getOrElse(i, old) }
+        // Exact-equality early stop: an iteration that moved nothing would
+        // be followed only by no-op iterations, so skipping them is
+        // bit-identical to running maxIter — pure saved jobs, never a
+        // different model.
+        converged = next == cents
+        cents = next
       }
       cents
     } finally {
