@@ -619,6 +619,18 @@ object SparkEntry {
     }),
     // Symmetric int8 quantization, dumped one row per (vector, position)
     // because the driver compare cannot hash array columns.
+    // Embedding-space outliers at z > 1.5 (the synthetic corpus is fairly
+    // uniform, so 3σ flags almost nothing at sf0.01); oracle replays the
+    // distance/z filter from the sim_outlier_stats aux dump.
+    "sim_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(rt(s, dir, "embeddings"),
+        "vec_id", "embedding", z = 1.5)),
+    "sim_outlier_stats" -> ((s, dir) => {
+      import s.implicits._
+      val st = Similarity.embeddingOutlierStats(rt(s, dir, "embeddings"), "embedding")
+      (st.mean.zipWithIndex.map { case (v, i) => (i, v) } ++
+        Seq((-1, st.meanDist), (-2, st.stdDist))).toDF("pos", "value")
+    }),
     // Batch retrieval: 5 query vectors × top-10 each in one corpus pass.
     "sim_topk_batch" -> ((s, dir) => {
       val e = rt(s, dir, "embeddings")
@@ -1382,6 +1394,23 @@ object SparkEntry {
         |SELECT id, cos FROM c ORDER BY cos DESC, id LIMIT 10""".stripMargin,
     // floor(x + 0.5) on both engines — round() half-rule differs between
     // engines, floor does not.
+    // Outlier replay from the dumped stats: same sequential squared-distance
+    // fold, same (d − μ)/σ z-score, same strict > threshold.
+    "sim_outliers" ->
+      """WITH mu AS (SELECT list(value ORDER BY pos) AS m
+        |            FROM read_parquet('{GRAFT_OUT}/sim_outlier_stats/*.parquet')
+        |            WHERE pos >= 0),
+        |     st AS (SELECT
+        |              (SELECT value FROM read_parquet('{GRAFT_OUT}/sim_outlier_stats/*.parquet') WHERE pos = -1) AS md,
+        |              (SELECT value FROM read_parquet('{GRAFT_OUT}/sim_outlier_stats/*.parquet') WHERE pos = -2) AS sd),
+        |     d AS (SELECT e.vec_id AS id,
+        |             sqrt(list_sum([(CAST(e.embedding[i] AS DOUBLE) - mu.m[i])
+        |                            * (CAST(e.embedding[i] AS DOUBLE) - mu.m[i])
+        |                            FOR i IN range(1, 65)])) AS dist
+        |           FROM embeddings e CROSS JOIN mu)
+        |SELECT d.id, d.dist, (d.dist - st.md) / st.sd AS z
+        |FROM d CROSS JOIN st
+        |WHERE (d.dist - st.md) / st.sd > 1.5""".stripMargin,
     // Batch-retrieval replay: identical cosine formula (sequential fold,
     // dot / (norm · qnorm) association), identical (cos DESC, id) ranking.
     "sim_topk_batch" ->

@@ -180,6 +180,65 @@ object Similarity {
       array(m.map(row => d(col(embCol), typedLit(row)) / lit(scale)): _*))
   }
 
+  // ─────────────────── embedding outliers ───────────────────
+
+  /** Fitted outlier stats: the (1e-9-rounded, run-stable) corpus mean
+    * vector and the mean/stddev of the L2 distance to it. */
+  final case class OutlierStats(mean: Seq[Double], meanDist: Double, stdDist: Double)
+
+  /** Two aggregate passes, both O(corpus) with map-side partials: the mean
+    * vector via the graft_gram_sum moment buffer (posexplode means on
+    * vanilla sessions), then avg/stddev of each row's distance to it.
+    * Values are rounded to 1e-9 so independent fits of the same data agree
+    * bit-for-bit (float partials merge in arrival order). */
+  def embeddingOutlierStats(df: DataFrame, embCol: String, inDim: Int = -1): OutlierStats = {
+    graft.core.Validators.requireColumns(df, Seq(embCol))
+    val d =
+      if (inDim > 0) inDim
+      else df.select(size(col(embCol))).head().getInt(0)
+    def round9(x: Double): Double = math.rint(x * 1e9) / 1e9
+    val mean: Seq[Double] =
+      if (df.sparkSession.catalog.functionExists(graft.functions.TilePairs.GramSumName) &&
+          !Dedup.ForceFallback) {
+        val stats = df.select(call_function(graft.functions.TilePairs.GramSumName,
+            col(embCol), lit(d)).as("s"))
+          .head().getSeq[Double](0)
+        val n = stats(0)
+        require(n >= 2.0, "embeddingOutlierStats needs at least 2 rows")
+        (0 until d).map(i => round9(stats(1 + i) / n))
+      } else {
+        val n = df.count().toDouble
+        require(n >= 2.0, "embeddingOutlierStats needs at least 2 rows")
+        df.select(posexplode(col(embCol)).as(Seq("i", "x")))
+          .groupBy("i").agg(sum(col("x").cast("double")).as("s"))
+          .collect().map(r => r.getInt(0) -> round9(r.getDouble(1) / n))
+          .toMap.toSeq.sortBy(_._1).map(_._2)
+      }
+    val dist = sqrt(sqDistFor(df)(col(embCol), typedLit(mean)))
+    val r = df.select(avg(dist).as("m"), stddev_samp(dist).as("s")).head()
+    OutlierStats(mean, round9(r.getDouble(0)), round9(r.getDouble(1)))
+  }
+
+  /** Embedding-space outliers: rows whose L2 distance to the corpus mean
+    * sits more than `z` standard deviations above the mean distance —
+    * corrupt encodes, wrong-modality rows, adversarial junk. Returns
+    * (id, dist, z) for flagged rows. The apply side is ONE narrow filter
+    * projection against plan-literal stats — trivially parallel. */
+  def embeddingOutliers(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      z: Double = 3.0,
+      stats: OutlierStats = null,
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(idCol, embCol))
+    val st = Option(stats).getOrElse(embeddingOutlierStats(df, embCol))
+    val dist = sqrt(sqDistFor(df)(col(embCol), typedLit(st.mean)))
+    df.select(col(idCol).as("id"), dist.as("dist"))
+      .withColumn("z", (col("dist") - lit(st.meanDist)) / lit(st.stdDist))
+      .filter(col("z") > z)
+  }
+
   // ───────────────────────── PCA ─────────────────────────
 
   /** PCA model: per-dim mean, top-k loadings (rows = components), and the

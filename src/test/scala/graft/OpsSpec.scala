@@ -373,6 +373,25 @@ class OpsSpec extends SparkSpec {
     cosOf(0L, nearest) should be > cosOf(0L, (nearest + 7) % 100)
   }
 
+  test("Similarity.embeddingOutliers flags the injected far-away vector") {
+    // 50 clustered vectors + one far outlier
+    val base = (0 until 50).map(i =>
+      (i.toLong, Seq(1.0f + (i % 5) * 0.01f, 2.0f - (i % 7) * 0.01f, 0.5f)))
+    val all = base :+ (99L, Seq(50.0f, -40.0f, 30.0f))
+    val df = all.toDF("vec_id", "embedding")
+    val flagged = Similarity.embeddingOutliers(df, "vec_id", "embedding", z = 3.0)
+      .collect().map(_.getLong(0)).toSet
+    flagged shouldBe Set(99L)
+    // kernel-mean and fallback-mean fits agree after rounding
+    val st = Similarity.embeddingOutlierStats(df, "embedding")
+    val fb = try { Dedup.ForceFallback = true; Similarity.embeddingOutlierStats(df, "embedding") }
+    finally Dedup.ForceFallback = false
+    fb shouldBe st
+    // pre-fitted stats skip the fit jobs and give the same answer
+    Similarity.embeddingOutliers(df, "vec_id", "embedding", z = 3.0, stats = st)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(99L)
+  }
+
   test("Similarity.cosineTopKBatch matches per-query cosineTopK") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val batch = Similarity.cosineTopKBatch(
