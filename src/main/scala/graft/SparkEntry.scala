@@ -534,6 +534,9 @@ object SparkEntry {
         rt(s, dir, "documents").select("doc_id", "text", "lang"),
         "text", minTokens = 10, maxPunctRatio = 0.1, minStopwordRatio = 0.05)
         .drop("text")),
+    "text_corpus_stats" -> ((s, dir) =>
+      TextOps.corpusStats(
+        rt(s, dir, "documents").select("lang", "text"), "lang", "text")),
     // Unicode canonicalization + case/whitespace folding. The synthetic
     // corpus is ASCII so the normalization legs are identity here — the
     // accent/ligature/width behavior is pinned by unit fixtures; this
@@ -1254,6 +1257,20 @@ object SparkEntry {
         |            THEN CAST(len(list_filter(toks,
         |                   x -> x IN ('the','a','an','and','of','is','to','in'))) AS DOUBLE)
         |                 / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) >= 0.05""".stripMargin,
+    // Exact interpolated percentiles: Spark `percentile` and DuckDB
+    // `quantile_cont` share the p·(n−1) linear-interpolation definition.
+    "text_corpus_stats" ->
+      """WITH t AS (SELECT lang,
+        |             CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                                  x -> x <> '')) AS BIGINT) AS n
+        |           FROM documents)
+        |SELECT lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens,
+        |  quantile_cont(n, 0.5) AS p50_tokens,
+        |  quantile_cont(n, 0.9) AS p90_tokens
+        |FROM t GROUP BY lang""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),

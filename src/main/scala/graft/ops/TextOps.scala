@@ -83,6 +83,30 @@ object TextOps {
     }
   }
 
+  /** Per-group corpus statistics — the monitoring table a curation
+    * pipeline publishes after every run: document counts, token totals and
+    * means, and exact interpolated token-count percentiles (p50/p90).
+    * One hash aggregate on the group key; the percentile aggregate is the
+    * only part that buffers per-group values, which is fine at a
+    * per-language cardinality. */
+  def corpusStats(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(groupCol, textCol))
+    val n = tokenCount(col(textCol)).cast("long")
+    df.select(col(groupCol), n.as("__graft_n"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__graft_n")).as("total_tokens"),
+        (sum(col("__graft_n")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_tokens"),
+        percentile(col("__graft_n"), lit(0.5)).as("p50_tokens"),
+        percentile(col("__graft_n"), lit(0.9)).as("p90_tokens"))
+  }
+
   /** Unicode canonicalization — the pass that must precede any hashing,
     * fingerprinting, or dedup so visually-identical byte sequences
     * (precomposed é vs e + combining accent, NFKC-folded ligatures and

@@ -544,6 +544,22 @@ class OpsSpec extends SparkSpec {
       Seq("doc_id", "text")
   }
 
+  test("corpusStats aggregates per-group token statistics") {
+    val docs = Seq(
+      (1L, "en", "one two three"),
+      (2L, "en", "one two three four five"),
+      (3L, "fr", "un"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.corpusStats(docs, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    out("en")._1 shouldBe 2L
+    out("en")._2 shouldBe 8L
+    out("en")._3 shouldBe 4.0
+    out("en")._4 shouldBe 4.0 // p50 of {3, 5} interpolates to 4
+    out("fr") shouldBe ((1L, 1L, 1.0, 1.0))
+  }
+
   test("normalizeText folds composition forms, accents, ligatures, width, case") {
     val fixtures = Seq(
       (1L, "café"),            // precomposed é
