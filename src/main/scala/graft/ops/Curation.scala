@@ -16,35 +16,49 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Quality filter → repetition filter → exact dedup on the
+  /** Optional Unicode normalization → quality filter → repetition filter →
+    * optional corpus-level common-line removal → exact dedup on the
     * whitespace/case-insensitive fingerprint (keep the smallest id) →
     * optional MinHash near-dup removal (keep one representative per
     * cluster) → optional deterministic id-hash sample.
     *
-    * Input schema is preserved. `samplePercent = 100` keeps everything;
-    * `nearDup = false` skips the clustering stage (the only non-narrow
-    * stage besides the fingerprint dedup shuffle). */
+    * Input schema is preserved. Defaults: `normalize = false` (requires
+    * GraftExtensions when on), `lineDedupMaxDocFreq = 0` (off; > 0 removes
+    * lines appearing in more than that many docs BEFORE fingerprinting, so
+    * de-boilerplated duplicates collapse), `samplePercent = 100` keeps
+    * everything, `nearDup = false` skips the clustering stage. */
   def curate(
       df: DataFrame,
       idCol: String,
       textCol: String,
+      normalize: Boolean = false,
       minTokens: Int = 5,
       maxPunctRatio: Double = 0.2,
       maxDupWordFrac: Double = 0.3,
       maxTopWordFrac: Double = 0.2,
       maxTopBigramFrac: Double = 0.18,
+      lineDedupMaxDocFreq: Long = 0L,
       nearDup: Boolean = true,
       nearDupThreshold: Double = 0.8,
       samplePercent: Int = 100,
   ): DataFrame = {
     graft.core.Validators.requireColumns(df, Seq(idCol, textCol))
+    val canonical =
+      if (normalize)
+        TextOps.normalizeText(df, textCol, form = "NFKC", stripAccents = false)
+      else df
     val filtered = TextOps.repetitionFilter(
-      TextOps.qualityFilter(df, textCol, minTokens, maxPunctRatio),
+      TextOps.qualityFilter(canonical, textCol, minTokens, maxPunctRatio),
       textCol, maxDupWordFrac, maxTopWordFrac, maxTopBigramFrac)
+    val lineClean =
+      if (lineDedupMaxDocFreq > 0L)
+        TextOps.removeCommonLines(filtered, idCol, textCol,
+          maxDocFreq = lineDedupMaxDocFreq)
+      else filtered
     // exact dedup on the normalized fingerprint: one hash shuffle, smallest
     // id survives (deterministic)
     val exact = Dedup.exact(
-      filtered.withColumn("__fp", TextOps.fingerprint(col(textCol))),
+      lineClean.withColumn("__fp", TextOps.fingerprint(col(textCol))),
       Seq("__fp"), idCol).drop("__fp")
     val deduped =
       if (nearDup) Dedup.dedupCorpus(exact, idCol, textCol, threshold = nearDupThreshold)

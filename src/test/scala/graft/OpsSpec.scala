@@ -542,6 +542,26 @@ class OpsSpec extends SparkSpec {
     // schema preserved
     Curation.curate(corpus, "doc_id", "text", nearDup = false).columns.toSeq shouldBe
       Seq("doc_id", "text")
+    // line dedup inside the chain: shared boilerplate lines vanish before
+    // fingerprinting, so the de-boilerplated texts collapse as exact dups
+    val boiler = Seq(
+      (1L, "follow us on social media\nthe actual unique article body text here"),
+      (2L, "the actual unique article body text here\nfollow us on social media"),
+      (3L, "some other totally unrelated document body text"))
+      .toDF("doc_id", "text")
+    Curation.curate(boiler, "doc_id", "text", nearDup = false,
+      lineDedupMaxDocFreq = 1L)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 3L)
+    // normalize stage folds both é encodings into one fingerprint
+    val uni = Seq(
+      (1L, "café menu items listed for the whole week here"),
+      (2L, "café menu items listed for the whole week here"),
+      (3L, "unrelated second document with enough tokens to pass"))
+      .toDF("doc_id", "text")
+    Curation.curate(uni, "doc_id", "text", normalize = true, nearDup = false)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 3L)
+    Curation.curate(uni, "doc_id", "text", normalize = false, nearDup = false)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L)
   }
 
   test("corpusStats aggregates per-group token statistics") {
