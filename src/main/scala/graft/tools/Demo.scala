@@ -62,6 +62,25 @@ object Demo {
         .groupBy("split").count().collect().map(r => s"${r.getString(0)}:${r.getLong(1)}")
         .sorted.mkString(", ")}")
 
+    // Round-4 ops (vanilla session — every one runs through its fallback).
+    println(s"curate: ${docs.count()} -> " +
+      s"${graft.ops.Curation.curate(docs.select("doc_id", "text"), "doc_id", "text",
+        maxTopWordFrac = 0.5, nearDup = false).count()} docs after quality+repetition+fp-dedup")
+    println("corpus stats: " + graft.ops.TextOps.corpusStats(docs, "lang", "text")
+      .orderBy("lang").collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}docs/p90=${r.getDouble(5)}")
+      .mkString(", "))
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pca = graft.ops.Similarity.pcaFit(embs, "embedding", 4)
+    println(s"pca: top-4 eigenvalues = ${pca.eigenvalues.map(v => f"$v%.4f").mkString(", ")}")
+    println(s"random projection: 64 -> 8 dims, " +
+      s"${graft.ops.Similarity.randomProject(embs, "embedding", 8).count()} vectors")
+    println(s"outliers (z>2): ${graft.ops.Similarity.embeddingOutliers(
+      embs, "vec_id", "embedding", z = 2.0).count()} flagged")
+    println(s"batch top-3: ${graft.ops.Similarity.cosineTopKBatch(
+      embs, "vec_id", "embedding", embs.filter(col("vec_id") < 2),
+      "vec_id", "embedding", 3).count()} result rows")
+
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =
       try { body; println(s"PROBE $name: NO ERROR (unexpected)") }
