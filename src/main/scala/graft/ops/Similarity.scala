@@ -183,8 +183,35 @@ object Similarity {
   // ─────────────────── embedding outliers ───────────────────
 
   /** Fitted outlier stats: the (1e-9-rounded, run-stable) corpus mean
-    * vector and the mean/stddev of the L2 distance to it. */
-  final case class OutlierStats(mean: Seq[Double], meanDist: Double, stdDist: Double)
+    * vector and the mean/stddev of the L2 distance to it. JSON-persistable
+    * like [[PcaModel]] — fit on the corpus once, filter anywhere. */
+  final case class OutlierStats(mean: Seq[Double], meanDist: Double, stdDist: Double) {
+    def toJsonString: String = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.compact(JsonMethods.render(JObject(
+        "version" -> JInt(1),
+        "mean" -> JArray(mean.map(JDouble(_)).toList),
+        "meanDist" -> JDouble(meanDist),
+        "stdDist" -> JDouble(stdDist))))
+    }
+    def save(path: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), toJsonString)
+  }
+
+  object OutlierStats {
+    def fromJsonString(json: String): OutlierStats = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val o = JsonMethods.parse(json)
+      OutlierStats(
+        mean = (o \ "mean").asInstanceOf[JArray].arr.map(_.asInstanceOf[JDouble].num),
+        meanDist = (o \ "meanDist").asInstanceOf[JDouble].num,
+        stdDist = (o \ "stdDist").asInstanceOf[JDouble].num)
+    }
+    def load(path: String): OutlierStats =
+      fromJsonString(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+  }
 
   /** Two aggregate passes, both O(corpus) with map-side partials: the mean
     * vector via the graft_gram_sum moment buffer (posexplode means on

@@ -85,17 +85,24 @@ object TextOps {
 
   /** Per-group corpus statistics — the monitoring table a curation
     * pipeline publishes after every run: document counts, token totals and
-    * means, and exact interpolated token-count percentiles (p50/p90).
-    * One hash aggregate on the group key; the percentile aggregate is the
-    * only part that buffers per-group values, which is fine at a
-    * per-language cardinality. */
+    * means, and token-count percentiles (p50/p90).
+    *
+    * `exact = true` uses the interpolated `percentile` aggregate, which
+    * buffers every group's values — right for oracle checks and moderate
+    * groups, wrong for a 100-TB corpus with billions of docs per language.
+    * `exact = false` switches to `approx_percentile` (t-digest sketch,
+    * bounded memory per group) — the form to run at scale. */
   def corpusStats(
       df: DataFrame,
       groupCol: String,
       textCol: String,
+      exact: Boolean = true,
   ): DataFrame = {
     graft.core.Validators.requireColumns(df, Seq(groupCol, textCol))
     val n = tokenCount(col(textCol)).cast("long")
+    def pct(p: Double): Column =
+      if (exact) percentile(col("__graft_n"), lit(p))
+      else approx_percentile(col("__graft_n"), lit(p), lit(10000)).cast("double")
     df.select(col(groupCol), n.as("__graft_n"))
       .groupBy(groupCol)
       .agg(
@@ -103,8 +110,8 @@ object TextOps {
         sum(col("__graft_n")).as("total_tokens"),
         (sum(col("__graft_n")).cast("double") / count(lit(1)).cast("double"))
           .as("mean_tokens"),
-        percentile(col("__graft_n"), lit(0.5)).as("p50_tokens"),
-        percentile(col("__graft_n"), lit(0.9)).as("p90_tokens"))
+        pct(0.5).as("p50_tokens"),
+        pct(0.9).as("p90_tokens"))
   }
 
   /** Unicode canonicalization — the pass that must precede any hashing,

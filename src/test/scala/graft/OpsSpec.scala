@@ -390,6 +390,8 @@ class OpsSpec extends SparkSpec {
     // pre-fitted stats skip the fit jobs and give the same answer
     Similarity.embeddingOutliers(df, "vec_id", "embedding", z = 3.0, stats = st)
       .collect().map(_.getLong(0)).toSet shouldBe Set(99L)
+    // JSON round trip is exact
+    Similarity.OutlierStats.fromJsonString(st.toJsonString) shouldBe st
   }
 
   test("Similarity.cosineTopKBatch matches per-query cosineTopK") {
@@ -578,6 +580,10 @@ class OpsSpec extends SparkSpec {
     out("en")._3 shouldBe 4.0
     out("en")._4 shouldBe 4.0 // p50 of {3, 5} interpolates to 4
     out("fr") shouldBe ((1L, 1L, 1.0, 1.0))
+    // the sketch path (the 100-TB form) agrees on this tiny input
+    val approx = TextOps.corpusStats(docs, "lang", "text", exact = false)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    approx("fr") shouldBe 1.0
   }
 
   test("normalizeText folds composition forms, accents, ligatures, width, case") {
