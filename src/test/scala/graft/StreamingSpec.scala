@@ -157,4 +157,28 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
     got shouldBe Map(1L -> Some(42), 2L -> Some(7), 3L -> None)
   }
+
+  test("text hygiene ops run unchanged on a stream (narrow per-row projections)") {
+    // the quality/repetition/PII/normalize stages are stateless narrow
+    // projections, so the SAME calls compose onto readStream sources —
+    // this is the streaming half of the ingest-time curation story
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (1L, "a perfectly reasonable document with plenty of distinct tokens here"),
+      (2L, "spam spam spam spam spam spam"),
+      (3L, "too short"))
+    val cleaned = graft.ops.TextOps.repetitionFilter(
+      graft.ops.TextOps.qualityFilter(
+        graft.ops.TextOps.piiCounts(
+          mem.toDF.toDF("doc_id", "text"), "text"),
+        "text", minTokens = 5, maxPunctRatio = 0.2),
+      "text", maxDupWordFrac = 0.3, maxTopWordFrac = 0.3, maxTopBigramFrac = 0.3)
+    val q = cleaned.writeStream.format("memory")
+      .queryName("stream_hygiene").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("stream_hygiene").collect()
+    got.map(_.getLong(0)).toSet shouldBe Set(1L) // 2 repetition-cut, 3 length-cut
+    got.head.getInt(got.head.fieldIndex("n_emails")) shouldBe 0
+  }
 }
