@@ -234,9 +234,11 @@ object Similarity {
         require(n >= 2.0, "embeddingOutlierStats needs at least 2 rows")
         (0 until d).map(i => round9(stats(1 + i) / n))
       } else {
-        val n = df.count().toDouble
+        // match the kernel's null semantics: only non-null vectors count
+        val nonNull = df.filter(col(embCol).isNotNull)
+        val n = nonNull.count().toDouble
         require(n >= 2.0, "embeddingOutlierStats needs at least 2 rows")
-        df.select(posexplode(col(embCol)).as(Seq("i", "x")))
+        nonNull.select(posexplode(col(embCol)).as(Seq("i", "x")))
           .groupBy("i").agg(sum(col("x").cast("double")).as("s"))
           .collect().map(r => r.getInt(0) -> round9(r.getDouble(1) / n))
           .toMap.toSeq.sortBy(_._1).map(_._2)
@@ -398,13 +400,15 @@ object Similarity {
             col(embCol), lit(d)).as("s"))
           .head().getSeq[Double](0).toArray
       } else {
-        // d² exploded product rows per vector — the no-extensions fallback
-        val n = df.count().toDouble
-        val sums = df
+        // d² exploded product rows per vector — the no-extensions fallback;
+        // null vectors excluded to match the kernel's skip-null semantics
+        val nonNull = df.filter(col(embCol).isNotNull)
+        val n = nonNull.count().toDouble
+        val sums = nonNull
           .select(posexplode(col(embCol)).as(Seq("i", "x")))
           .groupBy("i").agg(sum(col("x").cast("double")).as("s"))
           .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-        val gram = df
+        val gram = nonNull
           .select(col(embCol).as("e"))
           .select(posexplode(col("e")).as(Seq("i", "x")), col("e"))
           .select(col("i"), col("x"), posexplode(col("e")).as(Seq("j", "y")))
@@ -449,6 +453,9 @@ object Similarity {
       outCol: String = "",
       whiten: Boolean = false,
   ): DataFrame = {
+    if (whiten) require(model.eigenvalues.forall(_ > 0.0),
+      "whiten requires strictly positive eigenvalues (a zero-variance " +
+        "component cannot be scaled to unit variance)")
     val dImpl = dotFor(df)
     val out = if (outCol.nonEmpty) outCol else s"${embCol}_pca"
     df.withColumn(out,
