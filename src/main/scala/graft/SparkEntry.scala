@@ -1442,7 +1442,8 @@ object SparkEntry {
         |     s AS (SELECT q.query_id, b.id,
         |             list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
         |                       FOR i IN range(1, 65)]) / (b.nrm * q.qnrm) AS cos
-        |           FROM b CROSS JOIN q),
+        |           FROM b CROSS JOIN q
+        |           WHERE b.nrm > 0 AND q.qnrm > 0),
         |     r AS (SELECT query_id, id, cos,
         |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn
         |           FROM s)

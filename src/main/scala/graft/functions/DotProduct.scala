@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = true // null on length mismatch, like the HOF fold
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -39,7 +39,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val arrA = a.asInstanceOf[ArrayData]
     val arrB = b.asInstanceOf[ArrayData]
-    val n = math.min(arrA.numElements(), arrB.numElements())
+    // zip_with pads the shorter side with null and the fold propagates it:
+    // the fallback yields NULL on a length mismatch, so the kernel must too
+    if (arrA.numElements() != arrB.numElements()) return null
+    val n = arrA.numElements()
     val aFloat = elemType(left) == FloatType
     val bFloat = elemType(right) == FloatType
     var acc = 0.0
@@ -61,12 +64,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $getA($i) * $getB($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $getA($i) * $getB($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 }
@@ -78,7 +85,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 case class SqDist(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = true // null on length mismatch, like the HOF fold
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -102,7 +109,10 @@ case class SqDist(left: Expression, right: Expression) extends BinaryExpression 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val arrA = a.asInstanceOf[ArrayData]
     val arrB = b.asInstanceOf[ArrayData]
-    val n = math.min(arrA.numElements(), arrB.numElements())
+    // zip_with pads the shorter side with null and the fold propagates it:
+    // the fallback yields NULL on a length mismatch, so the kernel must too
+    if (arrA.numElements() != arrB.numElements()) return null
+    val n = arrA.numElements()
     val aFloat = elemType(left) == FloatType
     val bFloat = elemType(right) == FloatType
     var acc = 0.0
@@ -126,13 +136,17 @@ case class SqDist(left: Expression, right: Expression) extends BinaryExpression 
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $getA($i) - $getB($i);
-         |  $acc += $d * $d;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $getA($i) - $getB($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 }

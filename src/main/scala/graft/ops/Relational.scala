@@ -77,7 +77,13 @@ object Relational {
     * Per-column semantics match [[asofJoin]] exactly: each payload column
     * independently carries its last non-null value. The extra cost is one
     * cheap distinct and a join against the small bucket table — worth it
-    * only when keys are genuinely hot; prefer [[asofJoin]] otherwise. */
+    * only when keys are genuinely hot; prefer [[asofJoin]] otherwise.
+    *
+    * Limitation vs [[asofJoin]]: the per-bucket carry is a
+    * `max(struct(ts, payload))` aggregate, so payload columns must be
+    * ORDERABLE (no maps, no structs containing maps) — plain asofJoin's
+    * `last()` window has no such constraint. Checked eagerly with a clear
+    * error rather than Spark's analysis-time struct-ordering failure. */
   def asofJoinSalted(
       left: DataFrame,
       right: DataFrame,
@@ -89,6 +95,14 @@ object Relational {
   ): DataFrame = {
     graft.core.Validators.requireColumns(left, keyCols :+ tsCol)
     graft.core.Validators.requireColumns(right, (keyCols :+ tsCol) ++ payloadCols)
+    payloadCols.foreach { c =>
+      val dt = right.schema(c).dataType
+      if (!org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt))
+        throw graft.errors.FeatureFactoryException.InvalidParameter(
+          s"asofJoinSalted payload column '$c' has non-orderable type $dt " +
+            "(the per-bucket carry aggregates max(struct(ts, payload))); " +
+            "use asofJoin for map-typed payloads")
+    }
     val payloadOut = payloadCols.map(_ + suffix)
     val l = left.select(
       left.columns.map(col).toSeq ++

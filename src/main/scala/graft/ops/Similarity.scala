@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -78,11 +79,16 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be >= 1")
     val d = dotFor(corpus)
+    // zero-norm vectors have no defined cosine; dropping them beats letting
+    // their NaN scores sort above every real neighbor (Spark ranks NaN
+    // first under DESC, so one corrupt row would enter EVERY query's top-k)
     val q = broadcast(
       queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("qemb"))
-        .withColumn("qnrm", sqrt(d(col("qemb"), col("qemb")))))
+        .withColumn("qnrm", sqrt(d(col("qemb"), col("qemb"))))
+        .filter(col("qnrm") > 0.0))
     val base = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("nrm", sqrt(d(col("emb"), col("emb"))))
+      .filter(col("nrm") > 0.0)
     base.join(q)
       .select(col("query_id"), col("id"),
         (d(col("emb"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cos"))
@@ -550,19 +556,24 @@ object Similarity {
         .toDF("cell", "c")
         .withColumn("__j", pmod(col("cell").cast("long"), lit(1L)))
       val sq = sqDistFor(df)
-      // The argmin aggregate sees only (id, dc) — carrying the embedding
-      // through the nlist-wide fan-out would put a dim-float array on every
-      // row × centroid intermediate; the winning cell joins back against
-      // the (small, one-row-per-id) assignment instead, which AQE
-      // broadcast-joins when it fits.
+      // The argmin aggregate sees only (id, emb-hash, dc) — carrying the
+      // embedding through the nlist-wide fan-out would put a dim-float
+      // array on every row × centroid intermediate; the winning cell joins
+      // back against the (small) assignment instead, which AQE
+      // broadcast-joins when it fits. The embedding hash rides in the
+      // group/join keys so duplicate ids with DIFFERENT embeddings keep
+      // their own argmins (matching the literal path row-for-row).
       val assigned = base
-        .withColumn("__j", pmod(xxhash64(col("emb")), lit(1L)))
+        .withColumn("__eh", xxhash64(col("emb")))
+        .withColumn("__j", pmod(col("__eh"), lit(1L)))
         .join(broadcast(centDf), "__j") // bounded: nlist rows by construction
-        .select(col("id"),
+        .select(col("id"), col("__eh"),
           struct(sq(col("emb"), col("c")).as("d"), col("cell")).as("dc"))
-        .groupBy("id")
+        .groupBy("id", "__eh")
         .agg(min(col("dc")).getField("cell").as("cell"))
-      base.join(assigned, "id")
+      base.withColumn("__eh", xxhash64(col("emb")))
+        .join(assigned, Seq("id", "__eh"))
+        .drop("__eh")
     }
   }
 
@@ -596,8 +607,11 @@ object Similarity {
       val train =
         if (n <= maxTrainRows) cached
         else {
-          val pct = math.max(1L, maxTrainRows * 100L / n)
-          cached.filter(pmod(xxhash64(col("e"), lit(seed)), lit(100L)) < pct)
+          // parts-per-billion resolution: a percent-granularity filter
+          // floors at 1% of the corpus, which at 10B+ rows is 100×+ the
+          // documented training cap
+          val ppb = math.max(1L, maxTrainRows * 1000000000L / n)
+          cached.filter(pmod(xxhash64(col("e"), lit(seed)), lit(1000000000L)) < ppb)
         }
       var cents: Seq[Seq[Double]] = train
         .distinct()
@@ -755,29 +769,45 @@ object Similarity {
             .cast("tinyint")))
   }
 
-  /** Brute-force cosine top-k over INT8-QUANTIZED vectors: the query and
-    * every row are quantized with [[quantizeEmbedding]]'s rule, and cosine
-    * runs on the code vectors — the per-vector scales cancel in the cosine
-    * ratio, so scores are exact integer arithmetic in double (engine-
-    * reproducible bit-for-bit, no float-noise ties). The 4×-smaller scan is
-    * the point at corpus scale; same TakeOrderedAndProject shape as
-    * [[cosineTopK]]. */
+  /** Cosine top-k over a table that ALREADY stores int8 codes (the
+    * [[quantizeEmbedding]] output written to parquet) — this is the form
+    * that realizes the 4×-smaller scan at corpus scale: only the tinyint
+    * code column is read, never the float embeddings. The query is
+    * quantized driver-side with the same floor(x/scale + 0.5) rule; the
+    * per-vector scales cancel in the cosine ratio, so scores are exact
+    * integer arithmetic in double (engine-reproducible, no float-noise
+    * ties). Same TakeOrderedAndProject shape as [[cosineTopK]]. */
+  def cosineTopKCodes(
+      df: DataFrame,
+      idCol: String,
+      codesCol: String,
+      query: Seq[Double],
+      k: Int,
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(idCol, codesCol))
+    val qscale = query.map(math.abs).max / 127.0
+    val qcodes =
+      if (qscale > 0)
+        query.map(v => math.max(-127.0, math.min(127.0, math.floor(v / qscale + 0.5))))
+      else query.map(_ => 0.0)
+    val cast = df.select(col(idCol), col(codesCol).cast("array<double>").as("__graft_codes"))
+    cosineTopK(cast, idCol, "__graft_codes", qcodes, k)
+  }
+
+  /** Convenience form of [[cosineTopKCodes]] that quantizes the float
+    * column inline — same scores, but it still scans the full-precision
+    * embeddings; store [[quantizeEmbedding]]'s codes and search those to
+    * get the smaller scan. */
   def cosineTopKQuantized(
       df: DataFrame,
       idCol: String,
       embCol: String,
       query: Seq[Double],
       k: Int,
-  ): DataFrame = {
-    val qscale = query.map(math.abs).max / 127.0
-    val qcodes =
-      if (qscale > 0)
-        query.map(v => math.max(-127.0, math.min(127.0, math.floor(v / qscale + 0.5))))
-      else query.map(_ => 0.0)
-    val quantized = quantizeEmbedding(df, embCol)
-      .select(col(idCol), col(s"${embCol}_q").cast("array<double>").as("emb_q"))
-    cosineTopK(quantized, idCol, "emb_q", qcodes, k)
-  }
+  ): DataFrame =
+    cosineTopKCodes(
+      quantizeEmbedding(df, embCol).select(col(idCol), col(s"${embCol}_q")),
+      idCol, s"${embCol}_q", query, k)
 
   /** All-pairs embedding near-duplicates: pairs with cosine ≥ threshold.
     *
@@ -811,6 +841,18 @@ object Similarity {
       maxBucketSize: Int = 100000,
   ): DataFrame = {
     val idType = df.schema(idCol).dataType
+    // The tile kernels carry LONG member ids. Integral id types cast
+    // losslessly; anything else (string ids, decimals…) rides a 64-bit
+    // content-hash surrogate and joins the original ids back onto the
+    // (small) pair output afterwards. Surrogate collisions would mispair
+    // with probability ~n²/2⁶⁴ — negligible against the LSH recall noise.
+    val integralId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val sid: Column =
+      if (integralId) col(idCol).cast("long")
+      else xxhash64(col(idCol))
     val d = dotFor(df)
     // band 0 uses `seed` itself; further bands mix in a fixed odd prime
     val bands = array((0 until numBands).map { b =>
@@ -818,7 +860,7 @@ object Similarity {
       struct(lit(b).as("band"), lshBucket(col("emb"), planes, d).as("h"))
     }: _*)
     val buckets = df
-      .select(col(idCol).cast("long").as("id"), col(embCol).as("emb"))
+      .select(sid.as("id"), col(embCol).as("emb"))
       .withColumn("norm", sqrt(d(col("emb"), col("emb"))))
       .select(col("id"), col("emb"), col("norm"), explode(bands).as("bh"))
       .groupBy(col("bh.band").as("band"), col("bh.h").as("h"))
@@ -826,15 +868,26 @@ object Similarity {
       .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
     val cosPair: (Column, Column) => Column = (x, y) =>
       dot(x("emb"), y("emb")) / (x("norm") * y("norm"))
-    Dedup.expandSymmetricBuckets(
+    val pairs = Dedup.expandSymmetricBuckets(
       buckets, Seq(col("band"), col("h")),
       graft.functions.TilePairs.CosineName, lit(threshold),
       (x, y) => cosPair(x, y) >= threshold,
       (x, y) => struct(x("id").as("a"), y("id").as("b"), cosPair(x, y).as("cos")))
-      .select(
+    if (integralId)
+      pairs.select(
         col("p.a").cast(idType).as("id_a"),
         col("p.b").cast(idType).as("id_b"),
         col("p.cos").as("cos"))
-      .dropDuplicates("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b")
+    else {
+      val idMap = df.select(xxhash64(col(idCol)).as("sid"), col(idCol).as("orig"))
+        .dropDuplicates("sid")
+      pairs
+        .join(idMap, col("p.a") === col("sid"))
+        .select(col("orig").as("id_a"), col("p.b").as("b"), col("p.cos").as("cos"))
+        .join(idMap, col("b") === col("sid"))
+        .select(col("id_a"), col("orig").as("id_b"), col("cos"))
+        .dropDuplicates("id_a", "id_b")
+    }
   }
 }

@@ -394,6 +394,58 @@ class OpsSpec extends SparkSpec {
     Similarity.OutlierStats.fromJsonString(st.toJsonString) shouldBe st
   }
 
+  test("cosineNearDupPairs works with string ids (hash surrogate + join-back)") {
+    val vecs = Seq(
+      ("doc-a", Seq(1.0f, 0.0f, 0.0f)),
+      ("doc-b", Seq(1.0f, 0.001f, 0.0f)), // near-dup of doc-a
+      ("doc-c", Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("doc_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, "doc_id", "embedding",
+      threshold = 0.99, dim = 3)
+      .collect().map(r => Set(r.getString(0), r.getString(1)))
+    pairs should contain(Set("doc-a", "doc-b"))
+    pairs should have size 1
+    // leading-zero numeric strings survive (a long round-trip would eat them)
+    val zeroIds = Seq(("0123", Seq(1.0f, 0.0f, 0.0f)), ("123", Seq(1.0f, 0.0f, 0.0f)))
+      .toDF("doc_id", "embedding")
+    val zp = Similarity.cosineNearDupPairs(zeroIds, "doc_id", "embedding",
+      threshold = 0.99, dim = 3)
+      .collect().map(r => Set(r.getString(0), r.getString(1)))
+    zp should contain(Set("0123", "123"))
+  }
+
+  test("cosineTopKBatch drops zero-norm vectors instead of ranking their NaN first") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 0.0f))) // corrupt zero vector
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopKBatch(corpus, "vec_id", "embedding",
+      corpus.filter(col("vec_id") === 1L), "vec_id", "embedding", 2)
+      .collect().map(_.getLong(1)).toSet
+    out shouldBe Set(1L, 2L) // the zero vector never enters a top-k
+  }
+
+  test("assignCells broadcast path keeps duplicate ids with different embeddings apart") {
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0))
+    val dup = Seq((1L, Seq(0.1f, 0.1f)), (1L, Seq(9.9f, 9.9f)), (2L, Seq(0.2f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    def cells(bcast: Boolean) =
+      Similarity.assignCells(dup, "vec_id", "embedding", cents, forceBroadcast = bcast)
+        .collect().map(r => (r.getLong(0), r.getInt(2))).sorted.toSeq
+    cells(bcast = true) shouldBe cells(bcast = false)
+    cells(bcast = true) shouldBe Seq((1L, 0), (1L, 1), (2L, 0))
+  }
+
+  test("asofJoinSalted rejects non-orderable payload types eagerly") {
+    val l = Seq((1L, 10L)).toDF("k", "ts")
+    val r = Seq((1L, 5L, Map("a" -> "b"))).toDF("k", "ts", "attrs")
+    val e = intercept[graft.errors.FeatureFactoryException.InvalidParameter] {
+      Relational.asofJoinSalted(l, r, Seq("k"), "ts", Seq("attrs"),
+        b => pmod(b, lit(2)))
+    }
+    e.getMessage should include("non-orderable")
+  }
+
   test("Similarity.cosineTopKBatch matches per-query cosineTopK") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val batch = Similarity.cosineTopKBatch(
