@@ -492,6 +492,31 @@ object SparkEntry {
     "sample_split" -> ((s, dir) =>
       Sampling.trainTestSplit(rt(s, dir, "documents"), "doc_id", 80)
         .select("doc_id", "split")),
+    // Training-mix rebalancing: every language thinned to ≈ the smallest
+    // language's share via the portable integer hash rule — the oracle
+    // recomputes the per-group thresholds and membership exactly.
+    "sample_balance_lang" -> ((s, dir) =>
+      Sampling.balanceGroups(rt(s, dir, "documents"), "lang", "doc_id")
+        .select("doc_id", "lang")),
+    // Token-budget sequence packing: documents streamed into ≈512-token
+    // bins within 8 hash buckets; the oracle replays the same hash order,
+    // running sums, and integer bin math.
+    "pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(
+        rt(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", capacity = 512, numBuckets = 8)),
+    // Exact n-gram decontamination (the "shared 13-gram" rule, n=5 for the
+    // synthetic corpus): training docs (doc_id % 3 != 0) flagged with the
+    // count of distinct token 5-grams they share with the benchmark slice
+    // (every 3rd doc). The bloom prefilter changes the plan, never the
+    // rows — the oracle replays the exact string-level overlap.
+    "dedup_ngram_overlap" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      Dedup.ngramOverlapContamination(
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", n = 5)
+    }),
     // Grouped top-k selection ("best k docs per language").
     "text_topk_per_lang" -> ((s, dir) =>
       Relational.topKPerGroup(
@@ -1093,6 +1118,39 @@ object SparkEntry {
         |       CASE WHEN (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 100 < 80
         |            THEN 'train' ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "sample_balance_lang" ->
+      """WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+        |     m AS (SELECT min(cnt) AS mn FROM n),
+        |     t AS (SELECT lang, (mn * 1000000) // cnt AS thr FROM n CROSS JOIN m)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
+        |WHERE (((d.doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 1000000 < thr""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS n_tokens
+        |           FROM documents),
+        |     h AS (SELECT doc_id, n_tokens,
+        |             (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS hh
+        |           FROM t WHERE n_tokens > 0),
+        |     c AS (SELECT doc_id, n_tokens, hh % 8 AS bucket,
+        |             CAST(sum(n_tokens) OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id
+        |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |           FROM h)
+        |SELECT doc_id, n_tokens, bucket, (cum - 1) // 512 AS bin,
+        |       cum - n_tokens AS start_offset
+        |FROM c""".stripMargin,
+    "dedup_ngram_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |           FROM documents),
+        |     g AS (SELECT doc_id,
+        |             unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                                   FOR i IN range(1, len(toks) - 3)])) AS gram
+        |           FROM t WHERE len(toks) >= 5),
+        |     b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 3 = 0),
+        |     c AS (SELECT doc_id, gram FROM g WHERE doc_id % 3 <> 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM c JOIN b USING (gram)
+        |GROUP BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

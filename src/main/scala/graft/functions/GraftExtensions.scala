@@ -80,5 +80,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 3, s"${TilePairs.NormalizeName} expects 3 arguments")
       NormalizeText(args(0), args(1), args(2))
     }))
+    ext.injectFunction(fn(TilePairs.BloomAggName, { args =>
+      require(args.length == 3, s"${TilePairs.BloomAggName} expects 3 arguments")
+      BloomBuildAgg(args(0), args(1), args(2))
+    }))
+    ext.injectFunction(fn(TilePairs.BloomContainsName, { args =>
+      require(args.length == 3, s"${TilePairs.BloomContainsName} expects 3 arguments")
+      BloomMightContain(args(0), args(1), args(2))
+    }))
   }
 }

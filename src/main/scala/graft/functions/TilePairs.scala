@@ -33,6 +33,8 @@ object TilePairs {
   val RepetitionName = "graft_repetition"
   val GramSumName = "graft_gram_sum"
   val NormalizeName = "graft_normalize"
+  val BloomAggName = "graft_bloom_agg"
+  val BloomContainsName = "graft_bloom_contains"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

@@ -1060,4 +1060,77 @@ object Dedup {
       verifiedJaccardPairs(df, cands, idCol, textCol, n, threshold)
     }
   }
+
+  /** Distinct lowercased whitespace-token n-grams of a text column, hashed
+    * with Spark's xxhash64 — the overlap unit for exact decontamination. */
+  private def tokenNgramHashes(textCol: Column, n: Int): Column = {
+    val toks = graft.ops.TextOps.tokens(lower(textCol))
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(n)))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Exact token-n-gram decontamination (the "shared 13-gram" rule used to
+    * scrub pretraining corpora against evaluation benchmarks): for each
+    * corpus document, the number of its distinct token n-grams that appear
+    * anywhere in the benchmark corpus; only documents with at least
+    * `minOverlap` shared n-grams survive the filter. Unlike the estimated
+    * [[crossDupPairs]] path this is exact containment, not similarity —
+    * one leaked benchmark sentence in a 10k-token document flags it.
+    *
+    * Scale shape: the benchmark side (small — eval sets, not the corpus)
+    * reduces to one distinct-hash table plus, when the native bloom kernel
+    * is registered, a single bloom-filter binary (~`bloomBitsPerKey` bits
+    * per key) built by one aggregate and broadcast as a one-row constant.
+    * The 100-TB corpus side then drops non-candidate n-grams in a NARROW
+    * filter before anything shuffles; only bloom survivors (true overlaps
+    * plus ~0.1% false positives) reach the exact-verify hash join, so the
+    * result is identical with the prefilter on or off. */
+  def ngramOverlapContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      minOverlap: Int = 1,
+      bloomBitsPerKey: Int = 16,
+      bloomHashes: Int = 5,
+      useBloom: Boolean = true): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(minOverlap >= 1, "minOverlap must be >= 1")
+    require(bloomBitsPerKey >= 1, "bloomBitsPerKey must be >= 1")
+    require(bloomHashes >= 1 && bloomHashes <= 32, "bloomHashes must be in [1, 32]")
+    graft.core.Validators.requireColumns(corpus, Seq(idCol, textCol))
+    graft.core.Validators.requireColumns(benchmark, Seq(textCol))
+    val benchHashes = benchmark
+      .select(explode(tokenNgramHashes(col(textCol), n)).as("__graft_h"))
+      .distinct()
+    val corpusGrams = corpus
+      .select(col(idCol).as("__graft_id"),
+        explode(tokenNgramHashes(col(textCol), n)).as("__graft_h"))
+    val bloomOk = !ForceFallback && useBloom &&
+      corpus.sparkSession.catalog.functionExists(graft.functions.TilePairs.BloomAggName)
+    val candidates =
+      if (bloomOk) {
+        // fit-time count sizes the filter; the cap (256 MB) is BloomBuildAgg's
+        val keys = benchHashes.count()
+        val bits = math.max(64L,
+          math.min(keys * bloomBitsPerKey, Int.MaxValue.toLong - 63))
+        val bloom = benchHashes.agg(
+          call_function(graft.functions.TilePairs.BloomAggName,
+            col("__graft_h"), lit(bits), lit(bloomHashes)).as("__graft_bf"))
+        corpusGrams
+          .join(broadcast(bloom)) // one-row build side: a broadcast constant
+          .filter(call_function(graft.functions.TilePairs.BloomContainsName,
+            col("__graft_bf"), col("__graft_h"), lit(bloomHashes)))
+          .drop("__graft_bf")
+      } else corpusGrams
+    candidates
+      .join(benchHashes, "__graft_h") // exact verify: bloom false positives die here
+      .groupBy("__graft_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+      .select(col("__graft_id").as(idCol), col("n_shared"))
+  }
 }

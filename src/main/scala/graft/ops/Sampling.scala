@@ -63,4 +63,81 @@ object Sampling {
       .filter(col("__graft_rn") <= perKey)
       .drop("__graft_rn")
   }
+
+  /** Rebalance the group mix by deterministic downsampling: every group is
+    * thinned to ≈ the size of the smallest group, so downstream training
+    * sees a uniform group distribution (the standard language/domain
+    * rebalancing step in corpus curation). Keep decisions use the same
+    * portable id-hash rule as [[hashSample]] with an integer per-group
+    * threshold `minCount·denom/count` — all exact 64-bit integer math, so
+    * any engine replays membership bit-for-bit.
+    *
+    * Fit: one groupBy-count, collected (group cardinality is dictionary-
+    * sized, like any categorical fit). Transform: for up to
+    * [[graft.transformers.CategoricalEncoding.MaxCaseBranches]] groups the
+    * thresholds inline as a when-chain — a pure NARROW filter, no shuffle
+    * at any corpus size; above that, a broadcast join against the tiny
+    * threshold table. */
+  def balanceGroups(
+      df: DataFrame, groupCol: String, idCol: String,
+      denom: Long = 1000000L): DataFrame = {
+    require(denom >= 1, "denom must be >= 1")
+    graft.core.Validators.requireColumns(df, Seq(groupCol, idCol))
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n")).collect()
+    if (counts.isEmpty) return df
+    val minCount = counts.map(_.getLong(1)).min
+    val thresholds: Seq[(Any, Long)] =
+      counts.map(r => (r.get(0), minCount * denom / r.getLong(1))).toSeq
+    val h = pmod(minstdHash(col(idCol)), lit(denom))
+    if (thresholds.size <= graft.transformers.CategoricalEncoding.MaxCaseBranches) {
+      val thrCol = thresholds.foldLeft(lit(0L)) { case (acc, (g, t)) =>
+        if (g == null) when(col(groupCol).isNull, lit(t)).otherwise(acc)
+        else when(col(groupCol) === lit(g), lit(t)).otherwise(acc)
+      }
+      df.filter(h < thrCol)
+    } else {
+      import scala.jdk.CollectionConverters._
+      val spark = df.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        df.schema(groupCol).copy(name = "__graft_g"),
+        org.apache.spark.sql.types.StructField(
+          "__graft_thr", org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = thresholds.map { case (g, t) =>
+        org.apache.spark.sql.Row(g, t)
+      }.asJava
+      val thrDf = broadcast(spark.createDataFrame(rows, schema))
+      df.join(thrDf, col(groupCol) <=> col("__graft_g"))
+        .filter(h < col("__graft_thr"))
+        .drop("__graft_g", "__graft_thr")
+    }
+  }
+
+  /** Greedy token-budget sequence packing for pretraining batches: orders
+    * documents deterministically (id hash), streams them into bins of
+    * `capacity` tokens, and emits `(bucket, bin, start_offset)` so a
+    * downstream tokenizer can concatenate each bin into one training
+    * sequence. A document lands in the bin where its running total ENDS
+    * (documents are not split), so bins hold ≈capacity tokens; rows with a
+    * non-positive token count are dropped (nothing to pack).
+    *
+    * Scale shape: a single global ordering would serialize into one task,
+    * so packing is two-level — documents hash into `numBuckets` independent
+    * streams, and the running sum windows WITHIN each bucket (one shuffle
+    * on `bucket`, `numBuckets`-way parallel). Bin ids are deterministic
+    * integer math over the portable hash order, replayable by any engine. */
+  def packSequences(
+      df: DataFrame, idCol: String, tokenCol: String,
+      capacity: Long, numBuckets: Int = 1024): DataFrame = {
+    require(capacity >= 1, "capacity must be >= 1")
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    graft.core.Validators.requireColumns(df, Seq(idCol, tokenCol))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(minstdHash(col(idCol)).asc, col(idCol).asc)
+    df.filter(col(tokenCol) > 0)
+      .withColumn("bucket", pmod(minstdHash(col(idCol)), lit(numBuckets.toLong)))
+      .withColumn("__graft_cum", sum(col(tokenCol).cast("long")).over(w))
+      .withColumn("bin", expr(s"(__graft_cum - 1) DIV ${capacity}L"))
+      .withColumn("start_offset", col("__graft_cum") - col(tokenCol).cast("long"))
+      .drop("__graft_cum")
+  }
 }

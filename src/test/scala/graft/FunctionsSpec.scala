@@ -168,4 +168,35 @@ class FunctionsSpec extends SparkSpec {
     // d(1,2)=2 ok; d(1,3)=64, d(2,3)=62 out of radius
     out.toSeq shouldBe Seq((1L, 2L, 2))
   }
+
+  test("graft_bloom_agg + graft_bloom_contains: no false negatives across partitions") {
+    val keys = (0L until 2000L).map(_ * 2654435761L)
+    // 8 partitions force the merge (bit-OR of partial filters) path
+    val built = keys.toDF("k").repartition(8)
+      .agg(call_function(TilePairs.BloomAggName, $"k", lit(32768), lit(5)).as("bf"))
+    val bf = built.collect()(0).getAs[Array[Byte]](0)
+    bf.length shouldBe 32768 / 8
+    keys.foreach { k =>
+      graft.functions.BloomRuntime.mightContain(bf, k, 5) shouldBe true
+    }
+    // disjoint probe set: fp rate should be near the theoretical ~3% for
+    // m/n=16, k=5 — assert an order-of-magnitude bound, not the exact value
+    val probes = (1L to 10000L).map(_ * 7046029254386353131L)
+    val fps = probes.count(graft.functions.BloomRuntime.mightContain(bf, _, 5))
+    fps.toDouble / probes.size should be < 0.10
+    // the expression side agrees with the runtime probe
+    val contains = keys.take(5).toDF("k")
+      .select(call_function(TilePairs.BloomContainsName, lit(bf), $"k", lit(5)))
+      .collect().map(_.getBoolean(0))
+    contains.foreach(_ shouldBe true)
+  }
+
+  test("graft_bloom_agg skips null keys; empty filter contains nothing") {
+    val bf = Seq[Option[Long]](Some(42L), None).toDF("k")
+      .agg(call_function(TilePairs.BloomAggName, $"k", lit(64), lit(3)).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    graft.functions.BloomRuntime.mightContain(bf, 42L, 3) shouldBe true
+    graft.functions.BloomRuntime.mightContain(Array.emptyByteArray, 42L, 3) shouldBe false
+    graft.functions.BloomRuntime.mightContain(null, 42L, 3) shouldBe false
+  }
 }

@@ -877,4 +877,97 @@ class OpsSpec extends SparkSpec {
       .map(r => new String(r.getAs[Array[Byte]]("frame"), "UTF-8"))
     frames shouldBe Array("0123", "89ab")
   }
+
+  test("ngramOverlapContamination counts distinct shared token n-grams") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains bench 3-grams
+      (2L, "completely unrelated words here nothing shared at all"),
+      (3L, "quick brown fox appears once more"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox jumps high")).toDF("doc_id", "text")
+    val out = Dedup.ngramOverlapContamination(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bench 3-grams: "a quick brown","quick brown fox","brown fox jumps","fox jumps high"
+    out shouldBe Map(1L -> 2L, 3L -> 1L) // doc 1 shares 2, doc 3 shares 1, doc 2 none
+  }
+
+  test("ngramOverlapContamination: bloom prefilter and plain join agree") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = d.filter($"doc_id" % 3 =!= 0)
+    val bench = d.filter($"doc_id" % 3 === 0)
+    def run(bloom: Boolean) =
+      Dedup.ngramOverlapContamination(corpus, bench, "doc_id", "text",
+        n = 4, useBloom = bloom)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val withBloom = run(bloom = true)
+    val without = run(bloom = false)
+    withBloom shouldBe without
+    withBloom should not be empty
+    // minOverlap filters low-overlap docs
+    val strict = Dedup.ngramOverlapContamination(corpus, bench, "doc_id", "text",
+      n = 4, minOverlap = 5).collect().map(_.getLong(1))
+    all(strict) should be >= 5L
+  }
+
+  test("balanceGroups thins every group to ≈ the smallest group's size") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val before = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = before.values.min
+    val after = Sampling.balanceGroups(d, "lang", "doc_id")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every group lands within sampling noise of the smallest group; the
+    // smallest group itself is kept whole (threshold = denom keeps all)
+    after(before.minBy(_._2)._1) shouldBe minN
+    after.values.foreach { n =>
+      n.toDouble should be >= minN * 0.5
+      n.toDouble should be <= minN * 1.5
+    }
+    // deterministic: same rows on re-run
+    val again = Sampling.balanceGroups(d, "lang", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    Sampling.balanceGroups(d, "lang", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe again
+  }
+
+  test("balanceGroups broadcast-join path (many groups) matches the when-chain path") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def ids() = Sampling.balanceGroups(d, "source", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaChain = ids()
+    val saved = graft.transformers.CategoricalEncoding.MaxCaseBranches
+    graft.transformers.CategoricalEncoding.MaxCaseBranches = 2 // force join path
+    try ids() shouldBe viaChain
+    finally graft.transformers.CategoricalEncoding.MaxCaseBranches = saved
+  }
+
+  test("packSequences: bins are contiguous token runs within each bucket") {
+    val d = Seq(
+      (1L, 100), (2L, 200), (3L, 150), (4L, 300), (5L, 80),
+      (6L, 250), (7L, 120), (8L, 90), (9L, 60), (10L, 40))
+      .toDF("doc_id", "n_tokens")
+    val out = Sampling.packSequences(d, "doc_id", "n_tokens",
+      capacity = 300, numBuckets = 2)
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(1)))
+      .groupBy(_._1) // bucket
+    out.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._3) // by start_offset
+      // offsets tile the bucket's token stream with no gaps or overlaps
+      ordered.foldLeft(0L) { case (expect, (_, _, start, toks)) =>
+        start shouldBe expect
+        expect + toks
+      }
+      // bin ids never decrease along the stream and derive from the end token
+      ordered.foreach { case (_, bin, start, toks) =>
+        bin shouldBe (start + toks - 1) / 300
+      }
+    }
+    // zero/negative token rows are dropped
+    Sampling.packSequences(
+      Seq((1L, 0), (2L, 5)).toDF("doc_id", "n_tokens"),
+      "doc_id", "n_tokens", capacity = 10)
+      .count() shouldBe 1
+  }
 }

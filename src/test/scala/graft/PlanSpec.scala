@@ -135,4 +135,35 @@ class PlanSpec extends SparkSpec {
     val out = graft.ops.Sampling.hashSample(docs, "doc_id", 20)
     formatted(out) should not include "Exchange"
   }
+
+  test("balanceGroups transform is a pure narrow filter — no shuffle") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.ops.Sampling.balanceGroups(docs, "lang", "doc_id")
+    // the fit collected counts; the returned TRANSFORM must not shuffle
+    formatted(out) should not include "Exchange"
+  }
+
+  test("packSequences shuffles once, on the pack bucket") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), graft.ops.TextOps.tokenCount(col("text")).as("n_tokens"))
+    val out = graft.ops.Sampling.packSequences(docs, "doc_id", "n_tokens",
+      capacity = 512, numBuckets = 8)
+    val plan = formatted(out)
+    "\\(\\d+\\) Exchange".r.findAllIn(plan).size shouldBe 1
+    plan should include("hashpartitioning(bucket")
+  }
+
+  test("ngramOverlapContamination: bloom prefilters the corpus side before the verify join") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.ops.Dedup.ngramOverlapContamination(
+      d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", n = 4)
+    val plan = formatted(out)
+    // the one-row bloom constant rides a broadcast (never a shuffled
+    // cartesian), and the membership probe filters corpus n-grams BEFORE
+    // the exact-verify equi-join
+    plan should include("graft_bloom_contains")
+    plan should not include "CartesianProduct"
+    "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).size shouldBe 1
+  }
 }
