@@ -88,5 +88,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 3, s"${TilePairs.BloomContainsName} expects 3 arguments")
       BloomMightContain(args(0), args(1), args(2))
     }))
+    ext.injectFunction(fn(TilePairs.TokenNgramName, { args =>
+      require(args.length == 2, s"${TilePairs.TokenNgramName} expects 2 arguments")
+      TokenNgramHashes(args(0), args(1))
+    }))
   }
 }

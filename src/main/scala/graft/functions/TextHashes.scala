@@ -572,3 +572,99 @@ case class NormalizeText(child: Expression, form: Expression, stripAccents: Expr
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0), form = newChildren(1), stripAccents = newChildren(2))
 }
+
+/** graft_token_ngram_hashes(text, n): distinct xxhash64 values of the
+  * lowercased whitespace-token n-grams of `text` (tokens joined with a
+  * single space), in first-occurrence order — bit-identical to
+  * `array_distinct(transform(sequence(0, size(toks) - n), i =>
+  * xxhash64(concat_ws(" ", slice(toks, i + 1, n)))))` over
+  * `filter(split(lower(text), "\s+"), t => t =!= "")`. Null or
+  * fewer-than-n-token text → empty array (the `when(...).otherwise`
+  * fallback behavior). Tokenization matches Java regex `\s` (ASCII
+  * whitespace — all single bytes in UTF-8, so the byte scan is exact).
+  *
+  * One-buffer trick: the tokens are written once into a normalized buffer
+  * joined by single spaces, so every n-gram is a CONTIGUOUS slice of that
+  * buffer — one XXH64 call per window, no per-window string assembly. */
+case class TokenNgramHashes(child: Expression, n: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(child, n)
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = TilePairs.TokenNgramName
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && n.foldable && n.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_token_ngram_hashes expects (string, int literal)")
+
+  private lazy val nn: Int = {
+    val v = n.eval().asInstanceOf[Int]
+    require(v >= 1, s"graft_token_ngram_hashes: n must be >= 1, got $v")
+    v
+  }
+  private val empty = new GenericArrayData(Array.empty[Long])
+
+  private def isWs(b: Byte): Boolean = // Java regex \s: [ \t\n\x0B\f\r]
+    b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+      b == 0x0B.toByte || b == '\f'.toByte || b == '\r'.toByte
+
+  def compute(s0: UTF8String): ArrayData = {
+    if (s0 == null) return empty
+    val bytes = s0.toLowerCase.getBytes // same lowercase as Spark's lower()
+    // normalize: tokens joined by single spaces, recording token starts
+    val buf = new Array[Byte](bytes.length)
+    val starts = new ArrayBuffer[Int]()
+    var w = 0
+    var i = 0
+    var inTok = false
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (isWs(b)) inTok = false
+      else {
+        if (!inTok) {
+          if (w > 0) { buf(w) = ' '.toByte; w += 1 }
+          starts += w
+          inTok = true
+        }
+        buf(w) = b
+        w += 1
+      }
+      i += 1
+    }
+    val t = starts.length - nn + 1
+    if (t <= 0) return empty
+    val seen = new java.util.HashSet[java.lang.Long](t * 2)
+    val out = new ArrayBuffer[Long](t)
+    var g = 0
+    while (g < t) {
+      val from = starts(g)
+      val until = if (g + nn < starts.length) starts(g + nn) - 1 else w
+      val h = XXH64.hashUnsafeBytes(
+        buf, Platform.BYTE_ARRAY_OFFSET + from, until - from, TextHashes.Seed)
+      if (seen.add(h)) out += h
+      g += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def eval(input: InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        $ref.compute(${c.isNull} ? null : ${c.value});
+    """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), n = newChildren(1))
+}

@@ -35,6 +35,7 @@ object TilePairs {
   val NormalizeName = "graft_normalize"
   val BloomAggName = "graft_bloom_agg"
   val BloomContainsName = "graft_bloom_contains"
+  val TokenNgramName = "graft_token_ngram_hashes"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

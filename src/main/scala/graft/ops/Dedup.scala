@@ -1062,14 +1062,20 @@ object Dedup {
   }
 
   /** Distinct lowercased whitespace-token n-grams of a text column, hashed
-    * with Spark's xxhash64 — the overlap unit for exact decontamination. */
-  private def tokenNgramHashes(textCol: Column, n: Int): Column = {
-    val toks = graft.ops.TextOps.tokens(lower(textCol))
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(n)))))))
-      .otherwise(array().cast("array<bigint>"))
-  }
+    * with Spark's xxhash64 — the overlap unit for exact decontamination.
+    * The native kernel does one buffer pass per doc; the Column fallback is
+    * bit-identical but interpreted (and re-evaluated per consuming subtree,
+    * since Catalyst does no CSE across them). */
+  private def tokenNgramHashes(textCol: Column, n: Int, native: Boolean): Column =
+    if (native)
+      call_function(graft.functions.TilePairs.TokenNgramName, textCol, lit(n))
+    else {
+      val toks = graft.ops.TextOps.tokens(lower(textCol))
+      when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(0), size(toks) - n),
+          i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(n)))))))
+        .otherwise(array().cast("array<bigint>"))
+    }
 
   /** Exact token-n-gram decontamination (the "shared 13-gram" rule used to
     * scrub pretraining corpora against evaluation benchmarks): for each
@@ -1103,12 +1109,17 @@ object Dedup {
     require(bloomHashes >= 1 && bloomHashes <= 32, "bloomHashes must be in [1, 32]")
     graft.core.Validators.requireColumns(corpus, Seq(idCol, textCol))
     graft.core.Validators.requireColumns(benchmark, Seq(textCol))
-    val benchHashes = benchmark
-      .select(explode(tokenNgramHashes(col(textCol), n)).as("__graft_h"))
-      .distinct()
+    val native = !ForceFallback &&
+      corpus.sparkSession.catalog.functionExists(graft.functions.TilePairs.TokenNgramName)
+    // materialized once: the count, the bloom build, and the verify join all
+    // consume this table — without it each would re-scan and re-shuffle the
+    // benchmark corpus (benchmarks are small by assumption, so this is cheap)
+    val benchHashes = materialize(benchmark
+      .select(explode(tokenNgramHashes(col(textCol), n, native)).as("__graft_h"))
+      .distinct())
     val corpusGrams = corpus
       .select(col(idCol).as("__graft_id"),
-        explode(tokenNgramHashes(col(textCol), n)).as("__graft_h"))
+        explode(tokenNgramHashes(col(textCol), n, native)).as("__graft_h"))
     val bloomOk = !ForceFallback && useBloom &&
       corpus.sparkSession.catalog.functionExists(graft.functions.TilePairs.BloomAggName)
     val candidates =
@@ -1117,14 +1128,17 @@ object Dedup {
         val keys = benchHashes.count()
         val bits = math.max(64L,
           math.min(keys * bloomBitsPerKey, Int.MaxValue.toLong - 63))
-        val bloom = benchHashes.agg(
+        // The filter bytes ride as ONE plan literal (like Spark's own
+        // runtime bloom join filters): shipped once per stage in the task
+        // binary and referenced in place. A one-row cross join instead
+        // would copy the binary into EVERY joined gram row before the
+        // probe could drop it — measured 5× the whole query's cost.
+        val bf = benchHashes.agg(
           call_function(graft.functions.TilePairs.BloomAggName,
             col("__graft_h"), lit(bits), lit(bloomHashes)).as("__graft_bf"))
-        corpusGrams
-          .join(broadcast(bloom)) // one-row build side: a broadcast constant
-          .filter(call_function(graft.functions.TilePairs.BloomContainsName,
-            col("__graft_bf"), col("__graft_h"), lit(bloomHashes)))
-          .drop("__graft_bf")
+          .head().getAs[Array[Byte]](0)
+        corpusGrams.filter(call_function(graft.functions.TilePairs.BloomContainsName,
+          lit(bf), col("__graft_h"), lit(bloomHashes)))
       } else corpusGrams
     candidates
       .join(benchHashes, "__graft_h") // exact verify: bloom false positives die here

@@ -191,6 +191,34 @@ class FunctionsSpec extends SparkSpec {
     contains.foreach(_ shouldBe true)
   }
 
+  test("graft_token_ngram_hashes matches the HOF formulation bit-for-bit") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  leading and\ttab\nand trailing whitespace  ",
+      "Mixed CASE Ünïcode tökens ça va",
+      "short one",           // fewer than n tokens → empty
+      "exactly three tokens",
+      "dup dup dup dup dup", // repeated n-grams collapse to one hash
+      "",
+      "   \t\r\n  ").toDF("text")
+    import org.apache.spark.sql.{functions => F}
+    val toks = filter(split(lower($"text"), "\\s+"), t => t =!= "")
+    val hof = when(F.size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), F.size(toks) - 3),
+        i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(3)))))))
+      .otherwise(array().cast("array<bigint>"))
+    val rows = docs.select(
+      call_function(TilePairs.TokenNgramName, $"text", lit(3)).as("k"),
+      hof.as("f"))
+      .collect()
+    rows.foreach(r => r.getSeq[Long](0) shouldBe r.getSeq[Long](1))
+    // null text → empty (the when(...).otherwise fallback behavior)
+    val nullRow = Seq[Option[String]](None).toDF("text")
+      .select(call_function(TilePairs.TokenNgramName, $"text", lit(3)))
+      .collect()(0).getSeq[Long](0)
+    nullRow shouldBe Seq.empty
+  }
+
   test("graft_bloom_agg skips null keys; empty filter contains nothing") {
     val bf = Seq[Option[Long]](Some(42L), None).toDF("k")
       .agg(call_function(TilePairs.BloomAggName, $"k", lit(64), lit(3)).as("bf"))
