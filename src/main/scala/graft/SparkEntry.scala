@@ -481,6 +481,23 @@ object SparkEntry {
         Seq("user_id"), "ts", Seq("ts", "value"),
         t => date_trunc("day", t), "_view")
     }),
+    // Interval-containment join through the bucketed equi-join path (the
+    // broadcast-nested-loop-free formulation): events against per-(type,
+    // hour) activity windows; 15-minute buckets so every window spans
+    // several buckets and the explode → equi-join → exact-predicate shape
+    // is genuinely exercised.
+    "range_join" -> ((s, dir) => {
+      val e = rtEvents(s, dir)
+      val points = e.select("event_id", "ts", "event_type")
+      val windows = e
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("__h"))
+        .agg(min(col("ts")).as("w_start"), max(col("ts")).as("w_end"),
+          count(lit(1)).as("n_in_window"))
+        .drop("__h")
+      Relational.rangeJoin(points, windows, "ts", "w_start", "w_end",
+        Seq("event_type"), bucketWidth = 900000000L)
+        .select("event_id", "event_type", "ts", "w_start", "w_end", "n_in_window")
+    }),
     // Deterministic id-hash sampling (engine-portable modular arithmetic —
     // the oracle recomputes membership exactly).
     "sample_hash" -> ((s, dir) =>
@@ -546,6 +563,16 @@ object SparkEntry {
       TextOps.piiCounts(
         rt(s, dir, "documents").select("doc_id", "text"), "text")
         .drop("text")),
+    "text_pii_redact" -> ((s, dir) =>
+      TextOps.redactPii(
+        rt(s, dir, "documents").select("doc_id", "text"), "text")),
+    // Token-window chunking (context-length splitting): 40-token windows
+    // advancing by 32 (8-token overlap).
+    "text_chunk" -> ((s, dir) =>
+      TextOps.chunkTokens(
+        rt(s, dir, "documents").select("doc_id", "text"), "text",
+        chunkSize = 40, overlap = 8)
+        .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")),
     "text_fingerprint" -> ((s, dir) =>
       rt(s, dir, "documents").select(
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
@@ -1110,6 +1137,15 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "range_join" ->
+      """WITH w AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |                  min(ts) AS w_start, max(ts) AS w_end,
+        |                  count(*) AS n_in_window
+        |           FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, e.ts, w.w_start, w.w_end, w.n_in_window
+        |FROM events e
+        |JOIN w ON e.event_type = w.event_type
+        |      AND e.ts >= w.w_start AND e.ts <= w.w_end""".stripMargin,
     "sample_hash" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 100 < 20""".stripMargin,
@@ -1270,6 +1306,29 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text,
         |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_ipv4
         |FROM documents""".stripMargin,
+    "text_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS text
+        |FROM documents""".stripMargin,
+    // Chunk boundaries are exact integer math over the token count —
+    // chunk i covers 1-based token positions [i·stride+1, i·stride+40].
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |           FROM documents),
+        |     c AS (SELECT doc_id, toks, len(toks) AS n,
+        |             CASE WHEN len(toks) <= 0 THEN 0
+        |                  WHEN len(toks) <= 40 THEN 1
+        |                  ELSE (len(toks) - 40 + 31) // 32 + 1 END AS nc
+        |           FROM t),
+        |     x AS (SELECT doc_id, toks, n, unnest(range(nc)) AS i FROM c)
+        |SELECT doc_id, i AS chunk_id,
+        |       array_to_string(toks[(i*32+1):(i*32+40)], ' ') AS chunk_text,
+        |       CAST(least(40, n - i*32) AS INTEGER) AS chunk_tokens
+        |FROM x""".stripMargin,
     "text_langid" ->
       """WITH t AS (SELECT doc_id,
         |             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,

@@ -150,6 +150,68 @@ object Relational {
       .select(left.columns.map(col).toSeq ++ payloadOut.map(col): _*)
   }
 
+  /** Range (interval-containment) join: every `points` row paired with every
+    * `intervals` row of the same `keyCols` whose `[startCol, endCol]` contains
+    * `pointCol` (`inclusiveEnd = false` gives half-open `[start, end)`).
+    *
+    * Catalyst can only execute a bare inequality join as a broadcast-nested-
+    * loop — a full cross product per partition, off the table at 100 TB. This
+    * formulation discretizes the join domain into fixed-width buckets:
+    * points land in exactly ONE bucket (`floor(t / width)`), intervals are
+    * exploded over every bucket they overlap, and the join becomes a plain
+    * hash equi-join on (keys…, bucket) with the exact containment predicate
+    * re-checked inline. Each (point, interval) match is found exactly once —
+    * the point's bucket is unique — so no dedup pass is needed.
+    *
+    * Scale shape: one explode (fan-out = interval span / width, so pick
+    * `bucketWidth` near the typical interval length — spans cost
+    * span/width candidate rows each) + one hash shuffle. A long interval
+    * fans out over many buckets, which is parallelism, not skew; a hot
+    * BUCKET (many intervals overlapping one window) is bounded by the
+    * bucket's interval count × its point count, tunable via `bucketWidth`.
+    *
+    * Timestamp point/bound columns are bucketed on `unix_micros`;
+    * `bucketWidth` is then in MICROSECONDS (e.g. 3_600_000_000L = 1 h).
+    * Numeric columns bucket on their own scale. */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      keyCols: Seq[String] = Nil,
+      bucketWidth: Long = 3600000000L,
+      inclusiveEnd: Boolean = true,
+  ): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    graft.core.Validators.requireColumns(points, keyCols :+ pointCol)
+    graft.core.Validators.requireColumns(intervals, keyCols ++ Seq(startCol, endCol))
+    def ticks(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      // NTZ/date → micros via the session-UTC timestamp cast (Verify/Bench
+      // sessions pin spark.sql.session.timeZone=UTC, so the cast is a
+      // zone-free relabel)
+      case org.apache.spark.sql.types.TimestampNTZType | org.apache.spark.sql.types.DateType =>
+        unix_micros(col(c).cast("timestamp"))
+      case _ => col(c).cast("long")
+    }
+    // floor-division bucket ids (pmod-free: Spark's `div` truncates toward
+    // zero, so shift via floor() on longs — exact for |ticks| < 2^62)
+    def bucketOf(t: Column): Column = floor(t.cast("double") / bucketWidth.toDouble).cast("long")
+    val p = points.withColumn("__graft_bkt", bucketOf(ticks(points, pointCol)))
+    val iv = intervals
+      .withColumn("__graft_b0", bucketOf(ticks(intervals, startCol)))
+      .withColumn("__graft_b1", bucketOf(ticks(intervals, endCol)))
+      .filter(col("__graft_b1") >= col("__graft_b0")) // end < start: no match possible
+      .withColumn("__graft_bkt", explode(sequence(col("__graft_b0"), col("__graft_b1"))))
+      .drop("__graft_b0", "__graft_b1")
+    val endPred =
+      if (inclusiveEnd) col(pointCol) <= col(endCol) else col(pointCol) < col(endCol)
+    p.join(iv, keyCols :+ "__graft_bkt")
+      .filter(col(pointCol) >= col(startCol) && endPred)
+      .drop("__graft_bkt")
+  }
+
   /** The k rows with the highest `order` per key — the "best documents per
     * language/source" selection step. One hash shuffle + sort; include a
     * unique id in `order` for deterministic results. */

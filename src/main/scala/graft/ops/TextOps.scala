@@ -292,6 +292,72 @@ object TextOps {
         regexp_count(t, lit("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")))
   }
 
+  /** PII redaction — the scrub counterpart of [[piiCounts]]: replaces every
+    * email, phone-shaped number, and IPv4-shaped dotted quad with its
+    * placeholder token, in that order (emails first so their digit runs
+    * can't be half-eaten by the phone pattern; phones before IPs so
+    * `123.456.7890` isn't misread as a dotted quad). Same RE2-compatible
+    * patterns as [[piiCounts]] — any engine reproduces the output
+    * byte-for-byte. One narrow projection, in-place on `textCol`. */
+  def redactPii(
+      df: DataFrame,
+      textCol: String,
+      emailToken: String = "<EMAIL>",
+      phoneToken: String = "<PHONE>",
+      ipToken: String = "<IP>",
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(textCol))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col(textCol),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", emailToken),
+        "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", phoneToken),
+      "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", ipToken)
+    df.withColumn(textCol, scrubbed)
+  }
+
+  /** Token-window document chunking — the context-length splitting step
+    * before tokenization/packing: each document becomes
+    * ceil-many windows of `chunkSize` whitespace tokens advancing by
+    * `chunkSize − overlap` (so consecutive chunks share `overlap` tokens).
+    * Documents with ≤ `chunkSize` tokens yield exactly one chunk; empty/
+    * whitespace-only documents yield none. Output appends
+    * (chunk_id, chunk_text, chunk_tokens); other columns pass through.
+    *
+    * Chunk count is exact integer math — `(n − chunkSize + stride − 1) DIV
+    * stride + 1` — so any engine replays the same chunk boundaries. One
+    * narrow projection + generator (explode): no shuffle at any corpus
+    * size; output rows ≈ input tokens / stride. */
+  def chunkTokens(
+      df: DataFrame,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int = 0,
+  ): DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be >= 1")
+    require(overlap >= 0 && overlap < chunkSize, "overlap must be in [0, chunkSize)")
+    graft.core.Validators.requireColumns(df, Seq(textCol))
+    val stride = chunkSize - overlap
+    val n = size(col("__graft_toks"))
+    // ceil((n − chunkSize) / stride) + 1 via exact integer math (values are
+    // token counts < 2^31, exact in the double floor)
+    val nChunks = when(n <= 0, lit(0L))
+      .when(n <= chunkSize, lit(1L))
+      .otherwise(floor((n - chunkSize + stride - 1).cast("double") / stride).cast("long") + 1)
+    df.withColumn("__graft_toks", tokens(col(textCol)))
+      .withColumn("__graft_nc", nChunks.cast("long"))
+      .withColumn("chunk_id",
+        explode(when(col("__graft_nc") > 0,
+          sequence(lit(0L), col("__graft_nc") - 1)).otherwise(array().cast("array<long>"))))
+      .withColumn("chunk_text",
+        array_join(slice(col("__graft_toks"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)), " "))
+      .withColumn("chunk_tokens",
+        least(lit(chunkSize).cast("int"),
+          (size(col("__graft_toks")) - col("chunk_id") * stride).cast("int")))
+      .drop("__graft_toks", "__graft_nc")
+  }
+
   /** Per-document TF-IDF top terms: lowercased whitespace tokens, raw term
     * frequency × ln(N / doc_freq), the k highest-scoring terms per doc
     * (ties by term). Scores are rounded to 9 decimals BEFORE ranking so the

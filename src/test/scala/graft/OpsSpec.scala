@@ -255,6 +255,81 @@ class OpsSpec extends SparkSpec {
     out shouldBe Set(("a", 2L), ("a", 3L), ("b", 4L))
   }
 
+  test("Relational.rangeJoin matches the brute-force inequality join") {
+    // intervals spanning 1..many buckets, touching bucket boundaries,
+    // a zero-length interval, an inverted (end < start) interval, and a
+    // point landing exactly on start/end
+    val pts = Seq((1L, 5L, "a"), (2L, 10L, "a"), (3L, 27L, "a"), (4L, 10L, "b"),
+      (5L, 0L, "a"), (6L, 100L, "a")).toDF("pid", "t", "k")
+    val ivs = Seq((10L, 0L, 10L, "a"), (11L, 9L, 30L, "a"), (12L, 10L, 10L, "a"),
+      (13L, 20L, 5L, "a"), (14L, 8L, 12L, "b")).toDF("iid", "s", "e", "k")
+    def key(rows: Array[Row]) =
+      rows.map(r => (r.getLong(r.fieldIndex("pid")), r.getLong(r.fieldIndex("iid")))).toSet
+    val brute = key(pts.join(ivs, Seq("k")).filter($"t" >= $"s" && $"t" <= $"e").collect())
+    val out = Relational.rangeJoin(pts, ivs, "t", "s", "e", Seq("k"), bucketWidth = 8L)
+    key(out.collect()) shouldBe brute
+    // each match appears exactly once even when the interval spans buckets
+    out.count() shouldBe brute.size
+    // half-open variant drops the point sitting exactly on an interval end
+    val open = key(Relational.rangeJoin(pts, ivs, "t", "s", "e", Seq("k"),
+      bucketWidth = 8L, inclusiveEnd = false).collect())
+    open shouldBe key(pts.join(ivs, Seq("k")).filter($"t" >= $"s" && $"t" < $"e").collect())
+    open should not be brute
+  }
+
+  test("Relational.rangeJoin plans as a hash equi-join, never a nested loop") {
+    val pts = (0L until 200L).map(i => (i, i * 3L)).toDF("pid", "t")
+    val ivs = (0L until 50L).map(i => (1000L + i, i * 10L, i * 10L + 25L))
+      .toDF("iid", "s", "e")
+    val out = Relational.rangeJoin(pts, ivs, "t", "s", "e", Nil, bucketWidth = 16L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must bucket into an equi-join:\n$plan")
+    // keyless brute-force cross-check
+    val brute = pts.join(ivs).filter($"t" >= $"s" && $"t" <= $"e").count()
+    out.count() shouldBe brute
+  }
+
+  test("TextOps.chunkTokens emits exact overlapping windows") {
+    val df = Seq(
+      (1L, (1 to 11).map(i => s"w$i").mkString(" ")), // 11 tokens
+      (2L, "only three tokens"),                      // ≤ chunkSize → 1 chunk
+      (3L, ""),                                       // empty → no chunks
+      (4L, "   \t "),                                 // whitespace-only → no chunks
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(df, "text", chunkSize = 4, overlap = 1)
+      .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
+      .orderBy("doc_id", "chunk_id").collect()
+    // doc 1: stride 3 → starts 1,4,7,10 → ceil((11−4)/3)+1 = 4 chunks
+    val d1 = out.filter(_.getLong(0) == 1L)
+    d1.map(_.getLong(1)).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
+    d1.map(_.getString(2)).toSeq shouldBe Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10 w11")
+    d1.map(_.getInt(3)).toSeq shouldBe Seq(4, 4, 4, 2)
+    // consecutive chunks share exactly `overlap` tokens
+    d1.sliding(2).foreach { case Array(a, b) =>
+      a.getString(2).split(" ").last shouldBe b.getString(2).split(" ").head
+    }
+    out.filter(_.getLong(0) == 2L).map(_.getString(2)).toSeq shouldBe Seq("only three tokens")
+    out.count(r => r.getLong(0) >= 3L) shouldBe 0
+  }
+
+  test("TextOps.redactPii scrubs emails, phones, and IPs in safe order") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org and carol@ex.io now"),
+      (2L, "call 415-555-0199 or 415.555.0100 at 10.0.0.1"),
+      (3L, "version 1.2.3 stays; 123.456.7890 is a phone, not an IP"),
+      (4L, "clean text untouched"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.redactPii(df, "text").orderBy("doc_id")
+      .collect().map(_.getString(1))
+    out(0) shouldBe "mail <EMAIL> and <EMAIL> now"
+    out(1) shouldBe "call <PHONE> or <PHONE> at <IP>"
+    // the phone pattern wins before the dotted-quad pattern can misfire
+    out(2) shouldBe "version 1.2.3 stays; <PHONE> is a phone, not an IP"
+    out(3) shouldBe "clean text untouched"
+  }
+
   test("Sampling is deterministic and stratified counts are capped") {
     val df = (1L to 1000L).map(i => (i, (i % 3).toString)).toDF("id", "k")
     val s1 = Sampling.hashSample(df, "id", 20).collect().map(_.getLong(0)).toSet
