@@ -498,6 +498,31 @@ object SparkEntry {
         Seq("event_type"), bucketWidth = 900000000L)
         .select("event_id", "event_type", "ts", "w_start", "w_end", "n_in_window")
     }),
+    // Row-level sessionization: 30-minute inactivity gap per user,
+    // event_id tiebreak for deterministic equal-ts ordering.
+    "events_sessionize" -> ((s, dir) =>
+      Relational.sessionize(
+        rtEvents(s, dir).select("event_id", "user_id", "ts"),
+        Seq("user_id"), "ts", maxGap = 1800000000L, tieCols = Seq("event_id"))),
+    // Trailing 1-hour / 1-day per-user activity features. The summed value
+    // is integer cents (round(value·100)) so window sums are association-
+    // free and replay bit-for-bit on any engine.
+    "events_rolling" -> ((s, dir) =>
+      Relational.rollingFeatures(
+        rtEvents(s, dir).select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents")),
+        Seq("user_id"), "ts", "cents",
+        Seq("1h" -> 3600000000L, "1d" -> 86400000000L))),
+    // Leakage-safe target-mean encoding (leave-one-out), exercising the
+    // null-target path via the injected qty nulls. Integer target → exact
+    // sums, one double division.
+    "cat_mean_loo" -> ((s, dir) =>
+      Relational.looMeanEncode(
+        rt(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          when(col("l_orderkey") % 7 === 0, lit(null).cast("long"))
+            .otherwise(col("l_quantity").cast("long")).as("qty")),
+        "l_returnflag", "qty", "qty_loo")),
     // Deterministic id-hash sampling (engine-portable modular arithmetic —
     // the oracle recomputes membership exactly).
     "sample_hash" -> ((s, dir) =>
@@ -1146,6 +1171,44 @@ object SparkEntry {
         |FROM events e
         |JOIN w ON e.event_type = w.event_type
         |      AND e.ts >= w.w_start AND e.ts <= w.w_end""".stripMargin,
+    "events_sessionize" ->
+      """WITH p AS (SELECT event_id, user_id, ts,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |           FROM events)
+        |SELECT event_id, user_id, ts,
+        |       CAST(sum(CASE WHEN prev IS NULL
+        |                  OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1
+        |                ELSE 0 END)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM p""".stripMargin,
+    "events_rolling" ->
+      """SELECT event_id, user_id, ts,
+        |       CAST(round(value * 100) AS BIGINT) AS cents,
+        |       count(*) OVER w1 AS n_1h,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w1 AS BIGINT) AS sum_1h,
+        |       count(*) OVER w2 AS n_1d,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w2 AS BIGINT) AS sum_1d
+        |FROM events
+        |WINDOW w1 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+        |       w2 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "cat_mean_loo" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |             CASE WHEN l_orderkey % 7 = 0 THEN NULL
+        |                  ELSE CAST(l_quantity AS BIGINT) END AS qty
+        |           FROM lineitem),
+        |     s AS (SELECT *,
+        |             sum(qty) OVER (PARTITION BY l_returnflag) AS sq,
+        |             count(qty) OVER (PARTITION BY l_returnflag) AS nq
+        |           FROM b)
+        |SELECT l_orderkey, l_linenumber, l_returnflag, qty,
+        |       CASE WHEN qty IS NULL THEN
+        |              CASE WHEN nq > 0 THEN CAST(sq AS DOUBLE) / CAST(nq AS DOUBLE) END
+        |            WHEN nq > 1 THEN CAST(sq - qty AS DOUBLE) / CAST(nq - 1 AS DOUBLE)
+        |            END AS qty_loo
+        |FROM s""".stripMargin,
     "sample_hash" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 100 < 20""".stripMargin,

@@ -186,22 +186,13 @@ object Relational {
     require(bucketWidth >= 1, "bucketWidth must be >= 1")
     graft.core.Validators.requireColumns(points, keyCols :+ pointCol)
     graft.core.Validators.requireColumns(intervals, keyCols ++ Seq(startCol, endCol))
-    def ticks(df: DataFrame, c: String): Column = df.schema(c).dataType match {
-      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
-      // NTZ/date → micros via the session-UTC timestamp cast (Verify/Bench
-      // sessions pin spark.sql.session.timeZone=UTC, so the cast is a
-      // zone-free relabel)
-      case org.apache.spark.sql.types.TimestampNTZType | org.apache.spark.sql.types.DateType =>
-        unix_micros(col(c).cast("timestamp"))
-      case _ => col(c).cast("long")
-    }
     // floor-division bucket ids (pmod-free: Spark's `div` truncates toward
     // zero, so shift via floor() on longs — exact for |ticks| < 2^62)
     def bucketOf(t: Column): Column = floor(t.cast("double") / bucketWidth.toDouble).cast("long")
-    val p = points.withColumn("__graft_bkt", bucketOf(ticks(points, pointCol)))
+    val p = points.withColumn("__graft_bkt", bucketOf(ticksOf(points, pointCol)))
     val iv = intervals
-      .withColumn("__graft_b0", bucketOf(ticks(intervals, startCol)))
-      .withColumn("__graft_b1", bucketOf(ticks(intervals, endCol)))
+      .withColumn("__graft_b0", bucketOf(ticksOf(intervals, startCol)))
+      .withColumn("__graft_b1", bucketOf(ticksOf(intervals, endCol)))
       .filter(col("__graft_b1") >= col("__graft_b0")) // end < start: no match possible
       .withColumn("__graft_bkt", explode(sequence(col("__graft_b0"), col("__graft_b1"))))
       .drop("__graft_b0", "__graft_b1")
@@ -210,6 +201,110 @@ object Relational {
     p.join(iv, keyCols :+ "__graft_bkt")
       .filter(col(pointCol) >= col(startCol) && endPred)
       .drop("__graft_bkt")
+  }
+
+  /** Timestamp column → epoch-micros ticks (numeric columns pass through as
+    * long). NTZ/date go through the session-UTC timestamp cast — Verify/
+    * Bench sessions pin spark.sql.session.timeZone=UTC, so it's a zone-free
+    * relabel. */
+  private def ticksOf(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+    case org.apache.spark.sql.types.TimestampNTZType | org.apache.spark.sql.types.DateType =>
+      unix_micros(col(c).cast("timestamp"))
+    case _ => col(c).cast("long")
+  }
+
+  /** Sessionization: assigns each row a per-key `session_id` (1-based) that
+    * increments whenever the gap since the key's previous event exceeds
+    * `maxGap` (micros for timestamp columns, own units for numeric). The
+    * row-level counterpart of a session-window AGGREGATE — downstream
+    * training features usually need the id on every event, not just the
+    * session summary.
+    *
+    * One hash shuffle on the key (two window passes over the same sort —
+    * Catalyst plans a single Exchange + Sort). Ties at identical timestamps
+    * order by `tieCols` — pass a unique id there for deterministic output.
+    * Hot-key caution as [[asofJoin]]: a key's whole timeline is one
+    * partition. */
+  def sessionize(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      maxGap: Long,
+      tieCols: Seq[String] = Nil,
+  ): DataFrame = {
+    require(maxGap >= 0, "maxGap must be >= 0")
+    graft.core.Validators.requireColumns(df, (keyCols :+ tsCol) ++ tieCols)
+    val ord = col("__graft_t").asc +: tieCols.map(col(_).asc)
+    val wLag = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    val wRun = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__graft_t", ticksOf(df, tsCol))
+      .withColumn("__graft_prev", lag(col("__graft_t"), 1).over(wLag))
+      .withColumn("session_id",
+        sum(when(col("__graft_prev").isNull ||
+          col("__graft_t") - col("__graft_prev") > maxGap, 1L).otherwise(0L))
+          .over(wRun))
+      .drop("__graft_t", "__graft_prev")
+  }
+
+  /** Rolling time-window features: for every row, the count and sum of
+    * `valueCol` over this key's trailing `[ts − span, ts]` window, one
+    * (count, sum) column pair per `(suffix, span)` entry (micros for
+    * timestamp columns). The classic "events in the last hour / last day"
+    * feature block.
+    *
+    * All windows share one partitioning + sort, so Catalyst plans a single
+    * Exchange however many spans are asked for. For bit-exact replay on
+    * other engines feed an INTEGER `valueCol` (e.g. cents instead of a
+    * double amount): integer sums are association-free, double sums are
+    * not ([[graft.ops.Sampling]] has the same portability note). */
+  def rollingFeatures(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      spans: Seq[(String, Long)],
+  ): DataFrame = {
+    require(spans.nonEmpty, "spans must be non-empty")
+    spans.foreach { case (_, s) => require(s >= 0, "span must be >= 0") }
+    graft.core.Validators.requireColumns(df, keyCols ++ Seq(tsCol, valueCol))
+    val base = df.withColumn("__graft_t", ticksOf(df, tsCol))
+    val out = spans.foldLeft(base) { case (d, (sfx, span)) =>
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col("__graft_t").asc)
+        .rangeBetween(-span, 0)
+      d.withColumn(s"n_$sfx", count(col(valueCol)).over(w))
+        .withColumn(s"sum_$sfx", sum(col(valueCol)).over(w))
+    }
+    out.drop("__graft_t")
+  }
+
+  /** Leave-one-out target-mean encoding — the leakage-safe variant of the
+    * reference's MeanEncoder (categorical.rs MeanEncoder learns plain
+    * per-category means, which leak each row's own target into its feature):
+    * each row gets the mean target of the OTHER rows in its category,
+    * `(Σ target − own) / (n − 1)`; rows with a null target get the plain
+    * category mean (they contribute nothing to leak); singleton categories
+    * get NULL (no other rows to average).
+    *
+    * One hash shuffle on the category. Integer targets replay bit-for-bit
+    * on any engine (exact sums, then one double division); double targets
+    * carry the usual association caveat. */
+  def looMeanEncode(
+      df: DataFrame,
+      catCol: String,
+      targetCol: String,
+      outCol: String,
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(catCol, targetCol))
+    val w = Window.partitionBy(col(catCol))
+    val s = sum(col(targetCol)).over(w)
+    val n = count(col(targetCol)).over(w)
+    df.withColumn(outCol,
+      when(col(targetCol).isNull,
+        when(n > 0, s.cast("double") / n.cast("double")))
+        .otherwise(when(n > 1,
+          (s - col(targetCol)).cast("double") / (n - 1).cast("double"))))
   }
 
   /** The k rows with the highest `order` per key — the "best documents per

@@ -290,6 +290,50 @@ class OpsSpec extends SparkSpec {
     out.count() shouldBe brute
   }
 
+  test("Relational.sessionize splits per-key timelines on inactivity gaps") {
+    val e = Seq(
+      (1L, 1L, 0L), (2L, 1L, 50L), (3L, 1L, 151L),  // gap 101 > 100 → new session
+      (4L, 1L, 251L),                                // gap exactly 100 → same session
+      (5L, 2L, 10L),                                 // separate key restarts at 1
+    ).toDF("event_id", "user", "t")
+    val out = Relational.sessionize(e, Seq("user"), "t", maxGap = 100L,
+      tieCols = Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("session_id"))).toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L)
+  }
+
+  test("Relational.rollingFeatures counts/sums the trailing window per key") {
+    val e = Seq(
+      (1L, 1L, 0L, 10L), (2L, 1L, 5L, 20L), (3L, 1L, 11L, 40L), (4L, 2L, 6L, 7L),
+    ).toDF("event_id", "user", "t", "v")
+    val out = Relational.rollingFeatures(e, Seq("user"), "t", "v",
+      Seq("w" -> 10L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("n_w")), r.getLong(r.fieldIndex("sum_w")))).toMap
+    // id 3 at t=11: [1, 11] covers t=5 and t=11 only (t=0 just outside)
+    out shouldBe Map(1L -> ((1L, 10L)), 2L -> ((2L, 30L)), 3L -> ((2L, 60L)),
+      4L -> ((1L, 7L)))
+    // all spans share one partitioning: exactly one exchange in the plan
+    val plan = Relational.rollingFeatures(e, Seq("user"), "t", "v",
+      Seq("a" -> 10L, "b" -> 100L)).queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("Relational.looMeanEncode excludes each row's own target") {
+    val df = Seq(
+      ("a", Some(10L)), ("a", Some(20L)), ("a", None), // null target → plain mean
+      ("b", Some(5L)),                                 // singleton → NULL
+    ).toDF("cat", "y")
+    val out = Relational.looMeanEncode(df, "cat", "y", "y_loo")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    out shouldBe Set(
+      ("a", Some(10L), Some(20.0)), // mean of {20}
+      ("a", Some(20L), Some(10.0)), // mean of {10}
+      ("a", None, Some(15.0)),      // mean of all non-null
+      ("b", Some(5L), None))        // no other rows
+  }
+
   test("TextOps.chunkTokens emits exact overlapping windows") {
     val df = Seq(
       (1L, (1 to 11).map(i => s"w$i").mkString(" ")), // 11 tokens

@@ -153,6 +153,28 @@ class PlanSpec extends SparkSpec {
     plan should include("hashpartitioning(bucket")
   }
 
+  test("rangeJoin buckets the inequality into a shuffled equi-join on (key, bucket)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("t", col("event_id"))
+    val ivs = e.groupBy("event_type")
+      .agg(min(col("t")).as("s"), (min(col("t")) + 1000L).as("w_end"))
+    val out = graft.ops.Relational.rangeJoin(
+      e.select("event_id", "t", "event_type"), ivs, "t", "s", "w_end",
+      Seq("event_type"), bucketWidth = 100L)
+    val plan = formatted(out)
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    plan should include("__graft_bkt") // the bucket key reaches the join
+  }
+
+  test("chunkTokens and redactPii are narrow — no shuffle at any corpus size") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    formatted(graft.ops.TextOps.chunkTokens(docs, "text", 40, 8)) should
+      not include "Exchange"
+    formatted(graft.ops.TextOps.redactPii(docs, "text")) should
+      not include "Exchange"
+  }
+
   test("ngramOverlapContamination: bloom prefilters the corpus side before the verify join") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = graft.ops.Dedup.ngramOverlapContamination(

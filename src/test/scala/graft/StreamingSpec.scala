@@ -181,4 +181,25 @@ class StreamingSpec extends SparkSpec {
     got.map(_.getLong(0)).toSet shouldBe Set(1L) // 2 repetition-cut, 3 length-cut
     got.head.getInt(got.head.fieldIndex("n_emails")) shouldBe 0
   }
+
+  test("redactPii and chunkTokens compose onto a stream (narrow + generator)") {
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (1L, "contact me at alice@example.com " + (1 to 9).map(i => s"t$i").mkString(" ")),
+      (2L, ""))
+    val out = graft.ops.TextOps.chunkTokens(
+      graft.ops.TextOps.redactPii(mem.toDF.toDF("doc_id", "text"), "text"),
+      "text", chunkSize = 6, overlap = 2)
+    val q = out.writeStream.format("memory")
+      .queryName("stream_chunks").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("stream_chunks")
+      .orderBy("doc_id", "chunk_id").collect()
+    // doc 1: 13 tokens (redacted email is one token), stride 4 → 3 chunks;
+    // doc 2 empty → none
+    got.map(_.getLong(0)).toSeq shouldBe Seq(1L, 1L, 1L)
+    got.head.getString(got.head.fieldIndex("chunk_text")) should
+      startWith("contact me at <EMAIL>")
+  }
 }
