@@ -15,6 +15,8 @@ object Demo {
       .appName("graft-demo")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS): load as epoch-nanos longs
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -80,6 +82,28 @@ object Demo {
     println(s"batch top-3: ${graft.ops.Similarity.cosineTopKBatch(
       embs, "vec_id", "embedding", embs.filter(col("vec_id") < 2),
       "vec_id", "embedding", 3).count()} result rows")
+
+    // Round-5 ops: windowed features + text prep.
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+      .select("event_id", "user_id", "ts", "value")
+    println(s"sessionize: ${graft.ops.Relational.sessionize(ev, Seq("user_id"), "ts",
+      maxGap = 1800000000L, tieCols = Seq("event_id"))
+      .agg(max(col("session_id"))).head().getLong(0)} max sessions for one user")
+    println(s"rolling: ${graft.ops.Relational.rollingFeatures(ev, Seq("user_id"), "ts",
+      "value", Seq("1h" -> 3600000000L)).filter(col("n_1h") > 1).count()} rows with 1h neighbors")
+    println(s"range join: ${graft.ops.Relational.rangeJoin(
+      ev.select(col("event_id"), col("ts")),
+      ev.groupBy(col("user_id")).agg(min(col("ts")).as("s"), max(col("ts")).as("e")),
+      "ts", "s", "e", Nil, bucketWidth = 86400000000L).count()} point-interval matches")
+    println(s"loo encode: ${graft.ops.Relational.looMeanEncode(
+      docs.select(col("lang"), col("n_chars")), "lang", "n_chars", "enc")
+      .filter(col("enc").isNotNull).count()} encoded rows")
+    println(s"chunk: ${graft.ops.TextOps.chunkTokens(docs.select("doc_id", "text"),
+      "text", 40, 8).count()} chunks from ${docs.count()} docs; " +
+      s"pii redact changed ${graft.ops.TextOps.redactPii(docs.select("doc_id", "text"), "text")
+        .join(docs.select(col("doc_id"), col("text").as("orig")), "doc_id")
+        .filter(col("text") =!= col("orig")).count()} docs")
 
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =
