@@ -129,4 +129,100 @@ class PropertySpec extends SparkSpec {
       a == b && a.size <= 500 && (pct != 0 || a.isEmpty) && (pct != 100 || a.size == 500)
     })
   }
+
+  test("property: rangeJoin equals the brute-force inequality join at any bucket width") {
+    val fixtureGen = Gen.zip(
+      Gen.listOfN(15, Gen.zip(Gen.choose(0L, 200L), Gen.oneOf("x", "y"))),
+      Gen.listOfN(8, Gen.zip(Gen.choose(0L, 200L), Gen.choose(0L, 80L), Gen.oneOf("x", "y"))),
+      Gen.choose(1L, 64L))
+    check(Prop.forAll(fixtureGen) { case (ps, ivs, width) =>
+      val pts = ps.zipWithIndex.map { case ((t, k), i) => (i.toLong, t, k) }
+        .toDF("pid", "t", "k")
+      val ivl = ivs.zipWithIndex.map { case ((s, len, k), i) => (i.toLong, s, s + len, k) }
+        .toDF("iid", "s", "e", "k")
+      def key(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(r.fieldIndex("pid")), r.getLong(r.fieldIndex("iid")))).toSet
+      val brute = key(pts.join(ivl, Seq("k")).filter($"t" >= $"s" && $"t" <= $"e").collect())
+      val bucketed = graft.ops.Relational.rangeJoin(
+        pts, ivl, "t", "s", "e", Seq("k"), bucketWidth = width)
+      key(bucketed.collect()) == brute && bucketed.count() == brute.size
+    })
+  }
+
+  test("property: chunkTokens covers every token exactly once plus overlaps") {
+    val docGen = Gen.zip(
+      Gen.choose(0, 40).flatMap(n => Gen.const((1 to n).map(i => s"t$i").mkString(" "))),
+      Gen.choose(1, 8)).flatMap { case (text, cs) =>
+      Gen.choose(0, cs - 1).map(ov => (text, cs, ov))
+    }
+    check(Prop.forAll(docGen) { case (text, chunkSize, overlap) =>
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val chunks = graft.ops.TextOps.chunkTokens(df, "text", chunkSize, overlap)
+        .orderBy("chunk_id").collect()
+      val n = text.split("\\s+").count(_.nonEmpty)
+      val total = chunks.map(_.getInt(chunks.head.fieldIndex("chunk_tokens"))).sum
+      val nc = chunks.length
+      if (n == 0) nc == 0
+      else {
+        val stride = chunkSize - overlap
+        val expectedNc = if (n <= chunkSize) 1 else ((n - chunkSize + stride - 1) / stride) + 1
+        // every chunk's token count matches its text; totals = n + shared overlaps
+        val textsOk = chunks.forall { r =>
+          r.getString(r.fieldIndex("chunk_text")).split(" ").count(_.nonEmpty) ==
+            r.getInt(r.fieldIndex("chunk_tokens"))
+        }
+        // stitching chunk texts (dropping each chunk's leading overlap) rebuilds the doc
+        val stitched = chunks.zipWithIndex.map { case (r, i) =>
+          val toks = r.getString(r.fieldIndex("chunk_text")).split(" ").toSeq
+          if (i == 0) toks else toks.drop(overlap min toks.length)
+        }.flatten
+        nc == expectedNc && textsOk &&
+          total >= n && stitched.toSeq == text.split("\\s+").filter(_.nonEmpty).toSeq
+      }
+    })
+  }
+
+  test("property: sessionize ids are 1-based, contiguous, and split exactly on gaps") {
+    val evGen = Gen.listOfN(20, Gen.zip(Gen.choose(0L, 300L), Gen.oneOf(1L, 2L)))
+      .map(_.zipWithIndex.map { case ((t, u), i) => (i.toLong, u, t) })
+    check(Prop.forAll(evGen, Gen.choose(1L, 60L)) { (rows, gap) =>
+      val df = rows.toDF("eid", "user", "t")
+      val out = graft.ops.Relational.sessionize(df, Seq("user"), "t", gap, Seq("eid"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(0),
+          r.getLong(r.fieldIndex("session_id"))))
+      out.groupBy(_._1).values.forall { g =>
+        val sorted = g.sortBy(e => (e._2, e._3))
+        sorted.head._4 == 1L && sorted.sliding(2).forall {
+          case Array((_, t0, _, s0), (_, t1, _, s1)) =>
+            if (t1 - t0 > gap) s1 == s0 + 1 else s1 == s0
+          case _ => true
+        }
+      }
+    })
+  }
+
+  test("property: looMeanEncode matches the direct leave-one-out computation") {
+    val gen = Gen.listOfN(18, Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.option(Gen.choose(-50L, 50L))))
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.zipWithIndex.map { case ((c, y), i) => (i.toLong, c, y) }
+        .toDF("id", "cat", "y")
+      val got = graft.ops.Relational.looMeanEncode(df, "cat", "y", "enc")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(r.fieldIndex("enc"))) None
+           else Some(r.getDouble(r.fieldIndex("enc"))))).toMap
+      rows.zipWithIndex.forall { case ((c, y), i) =>
+        val others = rows.filter(_._1 == c).flatMap(_._2)
+        val expect = y match {
+          case Some(v) =>
+            val rest = others.diff(Seq(v))
+            if (others.size > 1) Some((others.sum - v).toDouble / (others.size - 1))
+            else None
+          case None =>
+            if (others.nonEmpty) Some(others.sum.toDouble / others.size) else None
+        }
+        got(i.toLong) == expect
+      }
+    })
+  }
 }
