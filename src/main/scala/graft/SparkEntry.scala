@@ -711,6 +711,13 @@ object SparkEntry {
       (st.mean.zipWithIndex.map { case (v, i) => (i, v) } ++
         Seq((-1, st.meanDist), (-2, st.stdDist))).toDF("pos", "value")
     }),
+    // Per-label embedding centroids (class prototypes), dumped one row per
+    // (label, position) because the driver compare cannot hash array
+    // columns. Means are 1e-9-rounded on both engines.
+    "sim_group_centroids" -> ((s, dir) =>
+      Similarity.groupCentroids(rt(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "mean_val")),
+          col("n_vectors"))),
     // Batch retrieval: 5 query vectors × top-10 each in one corpus pass.
     "sim_topk_batch" -> ((s, dir) => {
       val e = rt(s, dir, "embeddings")
@@ -1608,6 +1615,18 @@ object SparkEntry {
         |SELECT d.id, d.dist, (d.dist - st.md) / st.sd AS z
         |FROM d CROSS JOIN st
         |WHERE (d.dist - st.md) / st.sd > 1.5""".stripMargin,
+    // Element-wise group means: DuckDB zips parallel unnests; both engines
+    // round to 1e-9 half-away-from-zero after one double division.
+    "sim_group_centroids" ->
+      """WITH e AS (SELECT label,
+        |             unnest(embedding) AS x,
+        |             unnest(range(1, len(embedding) + 1)) AS i
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |     g AS (SELECT label, i, sum(CAST(x AS DOUBLE)) AS s, count(*) AS c
+        |           FROM e GROUP BY 1, 2)
+        |SELECT label, CAST(i - 1 AS INTEGER) AS pos, round(s / c, 9) AS mean_val,
+        |       CAST(c AS BIGINT) AS n_vectors
+        |FROM g""".stripMargin,
     // Batch-retrieval replay: identical cosine formula (sequential fold,
     // dot / (norm · qnorm) association), identical (cos DESC, id) ranking.
     "sim_topk_batch" ->

@@ -76,6 +76,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 2, s"${TilePairs.GramSumName} expects 2 arguments")
       GramSum(args(0), args(1))
     }))
+    ext.injectFunction(fn(TilePairs.VecSumName, { args =>
+      require(args.length == 2, s"${TilePairs.VecSumName} expects 2 arguments")
+      VecSum(args(0), args(1))
+    }))
     ext.injectFunction(fn(TilePairs.NormalizeName, { args =>
       require(args.length == 3, s"${TilePairs.NormalizeName} expects 3 arguments")
       NormalizeText(args(0), args(1), args(2))

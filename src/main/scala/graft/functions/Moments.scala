@@ -101,3 +101,79 @@ case class GramSum(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0), dims = newChildren(1))
 }
+
+/** graft_vec_sum(embedding, dims): first-moment statistics of a vector
+  * column — output `[count, sum_0 … sum_{d-1}]` (1 + d doubles). The
+  * per-GROUP companion of [[GramSum]] for centroid/prototype computation:
+  * grouping the pure-DataFrame posexplode formulation shuffles rows × d
+  * exploded values, this buffer shuffles one (1 + d)-double partial per
+  * (group, partition). Null vectors are skipped; wrong-length vectors
+  * raise (same contract as graft_gram_sum). */
+case class VecSum(
+    child: Expression,
+    dims: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = Seq(child, dims)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) if dims.foldable =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "graft_vec_sum expects (array<float|double>, foldable int dims)")
+    }
+
+  private lazy val d: Int = dims.eval().asInstanceOf[Number].intValue()
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](1 + d)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null) return buf
+    require(arr.numElements() == d,
+      s"graft_vec_sum: vector of length ${arr.numElements()}, expected $d")
+    buf(0) += 1.0
+    var i = 0
+    while (i < d) {
+      buf(1 + i) += (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Double]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    bb.asDoubleBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](bytes.length / 8)
+    ByteBuffer.wrap(bytes).asDoubleBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), dims = newChildren(1))
+}

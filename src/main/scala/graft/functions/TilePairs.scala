@@ -32,6 +32,7 @@ object TilePairs {
   val SqDistName = "graft_sqdist"
   val RepetitionName = "graft_repetition"
   val GramSumName = "graft_gram_sum"
+  val VecSumName = "graft_vec_sum"
   val NormalizeName = "graft_normalize"
   val BloomAggName = "graft_bloom_agg"
   val BloomContainsName = "graft_bloom_contains"

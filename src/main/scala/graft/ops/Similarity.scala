@@ -274,6 +274,56 @@ object Similarity {
       .filter(col("z") > z)
   }
 
+  /** Per-group embedding centroids (class prototypes / cluster summaries):
+    * one row per group with `centroid` = the element-wise mean of the
+    * group's non-null vectors and `n_vectors` = how many contributed.
+    * Means are rounded to 1e-9 (HALF_UP, the Column `round`) so the output
+    * is stable across partial-aggregate merge orders and replays on other
+    * engines.
+    *
+    * Scale shape: with GraftExtensions installed, one hash aggregate whose
+    * per-(group, partition) partial is a single (1 + d)-double buffer
+    * (graft_vec_sum — map-side combine, no row explosion). The vanilla
+    * fallback posexplodes rows × d values through two hash aggregates and
+    * reassembles per group — same result, d× shuffle width. */
+  def groupCentroids(
+      df: DataFrame,
+      keyCol: String,
+      embCol: String,
+      inDim: Int = -1,
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(keyCol, embCol))
+    val d =
+      if (inDim > 0) inDim
+      else df.filter(col(embCol).isNotNull).select(size(col(embCol))).head().getInt(0)
+    if (df.sparkSession.catalog.functionExists(graft.functions.TilePairs.VecSumName) &&
+        !Dedup.ForceFallback) {
+      val n = element_at(col("__graft_vs"), 1)
+      df.groupBy(col(keyCol))
+        .agg(call_function(graft.functions.TilePairs.VecSumName,
+          col(embCol), lit(d)).as("__graft_vs"))
+        .filter(n > 0)
+        .select(
+          col(keyCol),
+          transform(slice(col("__graft_vs"), 2, d), x => round(x / n, 9)).as("centroid"),
+          n.cast("long").as("n_vectors"))
+    } else {
+      val nonNull = df.filter(col(embCol).isNotNull)
+      nonNull
+        .select(col(keyCol), posexplode(col(embCol)).as(Seq("__graft_i", "__graft_x")))
+        .groupBy(col(keyCol), col("__graft_i"))
+        .agg(sum(col("__graft_x").cast("double")).as("__graft_s"),
+          count(lit(1)).as("__graft_n"))
+        .groupBy(col(keyCol))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("__graft_i"),
+              round(col("__graft_s") / col("__graft_n"), 9).as("__graft_m")))),
+            s => s("__graft_m")).as("centroid"),
+          max(col("__graft_n")).as("n_vectors"))
+    }
+  }
+
   // ───────────────────────── PCA ─────────────────────────
 
   /** PCA model: per-dim mean, top-k loadings (rows = components), and the

@@ -290,6 +290,24 @@ class OpsSpec extends SparkSpec {
     out.count() shouldBe brute
   }
 
+  test("Similarity.groupCentroids: kernel and fallback agree, nulls skipped") {
+    val df = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 6.0f)), (0, null),
+      (1, Seq(-1.0f, 0.5f)),
+    ).toDF("label", "embedding")
+    def key(rows: Array[Row]) = rows.map { r =>
+      (r.getInt(0), r.getSeq[Double](1), r.getLong(2))
+    }.toSet
+    val fast = key(Similarity.groupCentroids(df, "label", "embedding").collect())
+    fast shouldBe Set(
+      (0, Seq(2.0, 4.0), 2L),   // null vector excluded from count and mean
+      (1, Seq(-1.0, 0.5), 1L))
+    val prev = Dedup.ForceFallback
+    Dedup.ForceFallback = true
+    try key(Similarity.groupCentroids(df, "label", "embedding").collect()) shouldBe fast
+    finally Dedup.ForceFallback = prev
+  }
+
   test("Relational.sessionize splits per-key timelines on inactivity gaps") {
     val e = Seq(
       (1L, 1L, 0L), (2L, 1L, 50L), (3L, 1L, 151L),  // gap 101 > 100 → new session
