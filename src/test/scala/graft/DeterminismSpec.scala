@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Parallelism-invariance guards: on a real cluster the partition count is
+  * whatever AQE / the data size dictates, so any operator whose OUTPUT
+  * depends on partitioning or merge order is silently broken at scale.
+  * Each test runs the same op under different shuffle-partition settings
+  * and input partitionings and asserts bit-identical results. */
+class DeterminismSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Runs `body` under the given shuffle-partition count, restoring after. */
+  private def withShufflePartitions[T](n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private lazy val docs = {
+    val base = (1L to 300L).map { i =>
+      val fam = i % 7
+      (i, s"doc family $fam body " + (1 to (i % 11 + 3).toInt).map(j => s"w${(i + j) % 17}").mkString(" "))
+    }
+    base.toDF("doc_id", "text")
+  }
+
+  private lazy val embs = (1L to 200L).map { i =>
+    (i, (0 until 8).map(j => ((i * 31 + j * 17) % 13).toFloat / 13.0f), (i % 5).toInt)
+  }.toDF("vec_id", "embedding", "label")
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("minhash dedup pairs are identical under 3 vs 17 shuffle partitions") {
+    def run() = rows(graft.ops.Dedup.minhashDedupPairs(docs, "doc_id", "text", threshold = 0.5))
+    val a = withShufflePartitions(3)(run())
+    val b = withShufflePartitions(17)(run())
+    a shouldBe b
+    a should not be empty
+  }
+
+  test("dedupCorpus keeps the same representatives under repartitioned input") {
+    def run(d: DataFrame) = rows(graft.ops.Dedup.dedupCorpus(d, "doc_id", "text"))
+    val a = withShufflePartitions(5)(run(docs.repartition(3)))
+    val b = withShufflePartitions(13)(run(docs.repartition(11, col("text"))))
+    a shouldBe b
+  }
+
+  test("ivfCentroids and pcaFit are partitioning-independent") {
+    val a = withShufflePartitions(3)(
+      graft.ops.Similarity.ivfCentroids(embs.repartition(2), "embedding", 4))
+    val b = withShufflePartitions(19)(
+      graft.ops.Similarity.ivfCentroids(embs.repartition(9, col("vec_id")), "embedding", 4))
+    a shouldBe b
+    val pa = withShufflePartitions(3)(
+      graft.ops.Similarity.pcaFit(embs.repartition(2), "embedding", 3))
+    val pb = withShufflePartitions(19)(
+      graft.ops.Similarity.pcaFit(embs.repartition(9, col("vec_id")), "embedding", 3))
+    pa shouldBe pb
+  }
+
+  test("groupCentroids and packSequences are partitioning-independent") {
+    def cents(d: DataFrame) =
+      rows(graft.ops.Similarity.groupCentroids(d, "label", "embedding"))
+    cents(embs.repartition(2)) shouldBe
+      withShufflePartitions(17)(cents(embs.repartition(7, col("label"))))
+    val toks = docs.select(col("doc_id"),
+      graft.ops.TextOps.tokenCount(col("text")).as("n"))
+    def pack(d: DataFrame) =
+      rows(graft.ops.Sampling.packSequences(d, "doc_id", "n", capacity = 40, numBuckets = 4))
+    withShufflePartitions(3)(pack(toks.repartition(2))) shouldBe
+      withShufflePartitions(11)(pack(toks.repartition(6, col("doc_id"))))
+  }
+
+  test("balanceGroups and hashSample membership ignores physical layout") {
+    val d = docs.withColumn("lang", (col("doc_id") % 3).cast("string"))
+    def bal(x: DataFrame) = rows(graft.ops.Sampling.balanceGroups(x, "lang", "doc_id"))
+    bal(d.repartition(1)) shouldBe bal(d.repartition(13, col("lang")))
+    def samp(x: DataFrame) = rows(graft.ops.Sampling.hashSample(x, "doc_id", 37))
+    samp(d.repartition(1)) shouldBe samp(d.repartition(8))
+  }
+}
