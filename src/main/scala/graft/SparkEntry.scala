@@ -504,6 +504,15 @@ object SparkEntry {
       Relational.sessionize(
         rtEvents(s, dir).select("event_id", "user_id", "ts"),
         Seq("user_id"), "ts", maxGap = 1800000000L, tieCols = Seq("event_id"))),
+    // Same session semantics through the skew-salted path (daily buckets +
+    // stitched boundary merges) — the oracle is identical to
+    // events_sessionize's.
+    "events_sessionize_salted" -> ((s, dir) =>
+      Relational.sessionizeSalted(
+        rtEvents(s, dir).select("event_id", "user_id", "ts"),
+        Seq("user_id"), "ts", maxGap = 1800000000L,
+        t => date_trunc("day", t), tieCols = Seq("event_id"))
+        .select("event_id", "user_id", "ts", "session_id")),
     // Trailing 1-hour / 1-day per-user activity features. The summed value
     // is integer cents (round(value·100)) so window sums are association-
     // free and replay bit-for-bit on any engine.
@@ -1179,6 +1188,17 @@ object SparkEntry {
         |JOIN w ON e.event_type = w.event_type
         |      AND e.ts >= w.w_start AND e.ts <= w.w_end""".stripMargin,
     "events_sessionize" ->
+      """WITH p AS (SELECT event_id, user_id, ts,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |           FROM events)
+        |SELECT event_id, user_id, ts,
+        |       CAST(sum(CASE WHEN prev IS NULL
+        |                  OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1
+        |                ELSE 0 END)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM p""".stripMargin,
+    "events_sessionize_salted" ->
       """WITH p AS (SELECT event_id, user_id, ts,
         |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |           FROM events)

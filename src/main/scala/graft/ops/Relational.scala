@@ -247,6 +247,74 @@ object Relational {
       .drop("__graft_t", "__graft_prev")
   }
 
+  /** [[sessionize]] with time-bucket salting for hot keys (same trade as
+    * [[asofJoinSalted]]): the plain formulation puts a key's ENTIRE
+    * timeline in one window partition — a bot user with a billion events
+    * becomes one straggler task. Here rows window within (key, bucket)
+    * to get a LOCAL session index, and a per-(key, bucket) summary table
+    * (one row per present bucket — tiny) stitches the global numbering:
+    *
+    *   merge_k   = first event of bucket k is ≤ maxGap after the previous
+    *               PRESENT bucket's last event (the boundary session
+    *               continues);
+    *   cum_k     = Σ_{j ≤ k} (localSessions_j − merge_j);
+    *   global id = cum_{k−1} + local − merge_k.
+    *
+    * All exact integer math — output is identical to [[sessionize]] row
+    * for row (guarded by OpsSpec on a skewed fixture). Costs one extra
+    * tiny aggregate + join; prefer plain [[sessionize]] when keys are not
+    * hot. `bucketOf` maps the RAW ts column to a coarse bucket (e.g.
+    * `date_trunc("day", _)`); pick buckets ≫ maxGap so boundary merges
+    * stay rare. */
+  def sessionizeSalted(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      maxGap: Long,
+      bucketOf: Column => Column,
+      tieCols: Seq[String] = Nil,
+  ): DataFrame = {
+    require(maxGap >= 0, "maxGap must be >= 0")
+    graft.core.Validators.requireColumns(df, (keyCols :+ tsCol) ++ tieCols)
+    val keyed = keyCols.map(col)
+    val ord = col("__graft_t").asc +: tieCols.map(col(_).asc)
+    // 1. local session index within (key, bucket)
+    val wLag = Window.partitionBy(keyed :+ col("__graft_bkt"): _*).orderBy(ord: _*)
+    val wRun = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = df
+      .withColumn("__graft_t", ticksOf(df, tsCol))
+      .withColumn("__graft_bkt", bucketOf(col(tsCol)))
+      .withColumn("__graft_prev", lag(col("__graft_t"), 1).over(wLag))
+      .withColumn("__graft_local",
+        sum(when(col("__graft_prev").isNull ||
+          col("__graft_t") - col("__graft_prev") > maxGap, 1L).otherwise(0L))
+          .over(wRun))
+    // 2. per-(key, bucket) summary → merge flags and cumulative offsets
+    //    (the summary is one row per present bucket; its window shuffle is
+    //    negligible next to the data)
+    val summary = local.groupBy(keyed :+ col("__graft_bkt"): _*)
+      .agg(min(col("__graft_t")).as("__graft_first"),
+        max(col("__graft_t")).as("__graft_last"),
+        max(col("__graft_local")).as("__graft_n"))
+    val wB = Window.partitionBy(keyed: _*).orderBy(col("__graft_bkt").asc)
+    val stitched = summary
+      .withColumn("__graft_prev_last", lag(col("__graft_last"), 1).over(wB))
+      .withColumn("__graft_merge",
+        when(col("__graft_prev_last").isNotNull &&
+          col("__graft_first") - col("__graft_prev_last") <= maxGap, 1L).otherwise(0L))
+      .withColumn("__graft_cum_prev",
+        coalesce(sum(col("__graft_n") - col("__graft_merge"))
+          .over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(keyed ++ Seq(col("__graft_bkt"), col("__graft_merge"),
+        col("__graft_cum_prev")): _*)
+    // 3. stitch: global = cum_prev + local − merge
+    local.join(stitched, keyCols :+ "__graft_bkt")
+      .withColumn("session_id",
+        col("__graft_cum_prev") + col("__graft_local") - col("__graft_merge"))
+      .drop("__graft_t", "__graft_bkt", "__graft_prev", "__graft_local",
+        "__graft_merge", "__graft_cum_prev")
+  }
+
   /** Rolling time-window features: for every row, the count and sum of
     * `valueCol` over this key's trailing `[ts − span, ts]` window, one
     * (count, sum) column pair per `(suffix, span)` entry (micros for

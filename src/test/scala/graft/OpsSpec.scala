@@ -320,6 +320,32 @@ class OpsSpec extends SparkSpec {
     out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L)
   }
 
+  test("Relational.sessionizeSalted matches sessionize on a skewed fixture") {
+    // one hot key with 300 events spanning many buckets: sessions that
+    // cross bucket boundaries (small gaps at multiples near the bucket
+    // edge) AND boundary gaps that start new sessions; plus a cold key
+    val hot = (0 until 300).map { i =>
+      // irregular spacing: mostly 40-tick gaps (same session), every 7th
+      // jump 200 ticks (new session); buckets are 500 wide below
+      val t = (0 until i).map(j => if (j % 7 == 6) 200L else 40L).sum
+      (i.toLong, 1L, t)
+    }
+    val all = (hot :+ ((9999L, 2L, 123L))).toDF("eid", "user", "t")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(r.fieldIndex("eid")),
+        r.getLong(r.fieldIndex("session_id")))).toSet
+    val plain = key(Relational.sessionize(
+      all, Seq("user"), "t", maxGap = 100L, tieCols = Seq("eid")).collect())
+    val salted = Relational.sessionizeSalted(
+      all, Seq("user"), "t", maxGap = 100L,
+      t => floor(t / 500L), tieCols = Seq("eid"))
+    key(salted.collect()) shouldBe plain
+    // the heavy window really partitions by (key, bucket)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*hashpartitioning\\(user#\\d+L?, __graft_bkt#\\d+.*"),
+      s"expected (key, bucket) partitioning in plan:\n$plan")
+  }
+
   test("Relational.rollingFeatures counts/sums the trailing window per key") {
     val e = Seq(
       (1L, 1L, 0L, 10L), (2L, 1L, 5L, 20L), (3L, 1L, 11L, 40L), (4L, 2L, 6L, 7L),
