@@ -325,7 +325,12 @@ object Relational {
     * Exchange however many spans are asked for. For bit-exact replay on
     * other engines feed an INTEGER `valueCol` (e.g. cents instead of a
     * double amount): integer sums are association-free, double sums are
-    * not ([[graft.ops.Sampling]] has the same portability note). */
+    * not ([[graft.ops.Sampling]] has the same portability note).
+    * Hot-key caution as [[asofJoin]]/[[sessionize]]: a key's timeline is
+    * one window partition — unlike those two, a trailing RANGE frame has
+    * no cheap segmented-carry salting (a bucket's carry-in is the previous
+    * bucket's span-length tail, not a scalar), so shard pathological keys
+    * upstream instead. */
   def rollingFeatures(
       df: DataFrame,
       keyCols: Seq[String],
