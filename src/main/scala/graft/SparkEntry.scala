@@ -607,6 +607,13 @@ object SparkEntry {
         rt(s, dir, "documents").select("doc_id", "text"), "text",
         chunkSize = 40, overlap = 8)
         .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")),
+    // Exact-substring (token 3-gram) repeated-span removal: spans shared by
+    // more than 5 distinct docs are cut mid-sentence (the corpus's trigram
+    // doc-frequency tops out at 7, so this threshold has real bite).
+    "text_span_dedup" -> ((s, dir) =>
+      TextOps.removeRepeatedSpans(
+        rt(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", n = 3, maxDocFreq = 5L)),
     "text_fingerprint" -> ((s, dir) =>
       rt(s, dir, "documents").select(
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
@@ -1497,6 +1504,29 @@ object SparkEntry {
         |            FROM k GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(re.t, '') AS text
         |FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id""".stripMargin,
+    // Repeated-span removal replay: token 3-gram starts whose gram is
+    // shared by >10 distinct docs cover positions [q, q+2]; surviving
+    // tokens reassemble in order.
+    "text_span_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |           FROM documents),
+        |     g AS (SELECT doc_id, q, array_to_string(w[(q+1):(q+3)], ' ') AS gram
+        |           FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS q
+        |                 FROM t WHERE len(w) >= 3)),
+        |     c AS (SELECT gram FROM g GROUP BY gram
+        |           HAVING count(DISTINCT doc_id) > 5),
+        |     cov AS (SELECT DISTINCT doc_id, pos
+        |             FROM (SELECT doc_id, q + unnest(range(3)) AS pos
+        |                   FROM g WHERE gram IN (SELECT gram FROM c))),
+        |     p AS (SELECT doc_id, unnest(w) AS tok,
+        |             unnest(range(len(w))) AS pos FROM t),
+        |     k AS (SELECT p.doc_id, p.pos, p.tok FROM p
+        |           ANTI JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.pos),
+        |     re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS nt
+        |            FROM k GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(re.nt, '') AS text
+        |FROM t LEFT JOIN re ON t.doc_id = re.doc_id""".stripMargin,
     // The curation chain replayed stage by stage from the already-verified
     // fragments. DuckDB regexp_replace needs the 'g' flag to match Spark's
     // global replace in the fingerprint normalization.

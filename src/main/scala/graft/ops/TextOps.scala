@@ -186,6 +186,64 @@ object TextOps {
       .drop("__graft_id", "__graft_new")
   }
 
+  /** Corpus-level repeated-span removal — the exact-substring dedup pass
+    * (RefinedWeb / "Deduplicating Training Data" style) at token-n-gram
+    * granularity: any token covered by an n-gram occurring in MORE than
+    * `maxDocFreq` distinct documents is cut, and each document is
+    * reassembled from its surviving tokens in order. Catches boilerplate
+    * that repeats mid-sentence (license blurbs, navigation crumbs,
+    * templated spans), which line-level [[removeCommonLines]] misses when
+    * the surrounding text varies. Documents shorter than `n` tokens have
+    * no grams and pass through unchanged; a fully-covered document comes
+    * back as "".
+    *
+    * Shuffle profile mirrors [[removeCommonLines]]: gram doc-freq
+    * aggregate, semi-join of gram starts against the common set, one
+    * distinct over covered (doc, position) pairs, anti-join of the token
+    * rows, per-doc reassembly, join back. Gram keys stay exact strings so
+    * removal can never false-positive; swap in 128-bit hashes to shrink
+    * shuffle width at extreme corpus scale. */
+  def removeRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      maxDocFreq: Long = 1L,
+      joinSep: String = " ",
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(idCol, textCol))
+    require(n >= 1, "n must be >= 1")
+    require(maxDocFreq >= 1L, "maxDocFreq must be >= 1")
+    val base = df.select(col(idCol).as("__graft_id"), tokens(col(textCol)).as("__graft_w"))
+    val grams = base
+      .filter(size(col("__graft_w")) >= n)
+      .select(col("__graft_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("__graft_w")) - n),
+          q => array_join(slice(col("__graft_w"), q + 1, lit(n)), " ")))
+          .as(Seq("__graft_q", "__graft_g")))
+    val common = grams.select("__graft_g", "__graft_id").distinct()
+      .groupBy("__graft_g").agg(count(lit(1)).as("__graft_df"))
+      .filter(col("__graft_df") > maxDocFreq)
+      .select("__graft_g")
+    val covered = grams.join(common, Seq("__graft_g"), "left_semi")
+      .select(col("__graft_id"),
+        explode(sequence(col("__graft_q"), col("__graft_q") + (n - 1))).as("__graft_p"))
+      .distinct()
+    val tokRows = base.select(col("__graft_id"),
+      posexplode(col("__graft_w")).as(Seq("__graft_p", "__graft_tok")))
+    val rebuilt = tokRows.join(covered, Seq("__graft_id", "__graft_p"), "left_anti")
+      .groupBy("__graft_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__graft_p"), col("__graft_tok")))),
+          s => s("__graft_tok")),
+        joinSep).as("__graft_new"))
+    df.join(rebuilt, col(idCol) === col("__graft_id"), "left")
+      .withColumn(textCol, coalesce(col("__graft_new"), lit("")))
+      .drop("__graft_id", "__graft_new")
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text. Stable across engines (md5 is md5 everywhere). */
   def fingerprint(text: Column): Column =

@@ -402,6 +402,31 @@ class OpsSpec extends SparkSpec {
     out.count(r => r.getLong(0) >= 3L) shouldBe 0
   }
 
+  test("TextOps.removeRepeatedSpans cuts common n-gram runs, keeps unique text") {
+    val df = Seq(
+      (1L, "alpha beta COPY RIGHT NOTICE gamma delta"),
+      (2L, "other words COPY RIGHT NOTICE trailing bits"),
+      (3L, "COPY RIGHT NOTICE standalone prefix case"),
+      (4L, "no shared spans here at all"),
+      (5L, "tiny doc"), // shorter than n → no grams, unchanged
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeRepeatedSpans(df, "doc_id", "text", n = 3, maxDocFreq = 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "COPY RIGHT NOTICE" appears in 3 distinct docs (> 2) → its tokens cut
+    out(1L) shouldBe "alpha beta gamma delta"
+    out(2L) shouldBe "other words trailing bits"
+    out(3L) shouldBe "standalone prefix case"
+    out(4L) shouldBe "no shared spans here at all"
+    out(5L) shouldBe "tiny doc"
+    // a doc that is nothing but the common span comes back empty
+    val full = TextOps.removeRepeatedSpans(
+      df.union(Seq((6L, "COPY RIGHT NOTICE"), (7L, "COPY RIGHT NOTICE"))
+        .toDF("doc_id", "text")),
+      "doc_id", "text", n = 3, maxDocFreq = 2L)
+      .filter($"doc_id" === 6L).head().getString(1)
+    full shouldBe ""
+  }
+
   test("TextOps.redactPii scrubs emails, phones, and IPs in safe order") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org and carol@ex.io now"),
