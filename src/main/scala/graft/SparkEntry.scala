@@ -456,6 +456,14 @@ object SparkEntry {
       val l = rt(s, dir, "documents")
       Dedup.crossDupPairs(l, l.filter(col("doc_id") % 3 === 0), "doc_id", "text")
     }),
+    // Incremental ingest: 2/3 of the corpus arrives as a new batch and
+    // dedups against the already-ingested 1/3, then within itself.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      Dedup.dedupAgainstCorpus(
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+    }),
     // Point-in-time enrichment: each purchase event joined to the user's
     // latest preceding (ts ≤) view event — the classic as-of join, run as a
     // tagged union + running last() window (no range join; see
@@ -1159,6 +1167,34 @@ object SparkEntry {
         |           / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jaccard
         |  FROM lg a CROSS JOIN rg b)
         |WHERE jaccard >= 0.8""".stripMargin,
+    // Cross-filter against the ingested third, then the dedup_corpus
+    // recursive walk over the surviving batch.
+    "dedup_incremental" ->
+      """WITH RECURSIVE
+        | inc AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        | cor AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+        | ig AS (SELECT doc_id,
+        |          list_distinct([substr(text, i, 3) FOR i IN range(1, len(text) - 1)]) AS gs
+        |        FROM inc),
+        | cg AS (SELECT doc_id,
+        |          list_distinct([substr(text, i, 3) FOR i IN range(1, len(text) - 1)]) AS gs
+        |        FROM cor),
+        | hit AS (SELECT DISTINCT a.doc_id FROM ig a, cg b
+        |         WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        |               / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.8),
+        | cl AS (SELECT * FROM ig WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+        | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM cl a, cl b
+        |           WHERE a.doc_id < b.doc_id
+        |             AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        |                 / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.8),
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |           UNION ALL SELECT id_b, id_a FROM pairs),
+        | walk(id, lbl) AS (
+        |   SELECT doc_id, doc_id FROM cl
+        |   UNION
+        |   SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+        | keep AS (SELECT id FROM walk GROUP BY id HAVING min(lbl) = id)
+        |SELECT inc.* FROM inc JOIN keep ON inc.doc_id = keep.id""".stripMargin,
     // docs whose connected-component minimum is themselves (the recursive
     // walk is the dedup_cluster oracle's)
     "dedup_corpus" ->

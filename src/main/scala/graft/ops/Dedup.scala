@@ -852,6 +852,33 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental-ingest dedup: the rows of `incoming` that survive against
+    * an EXISTING corpus — drop every incoming doc with a near-duplicate
+    * already in `corpus` (asymmetric [[crossDupPairs]] check — the corpus
+    * itself is never rewritten), then [[dedupCorpus]] the survivors so the
+    * batch is also internally deduplicated. The daily-batch counterpart of
+    * the one-shot [[dedupCorpus]]: run per ingest, append the result to the
+    * corpus, and the corpus stays near-dup-free without ever re-clustering
+    * the historical data.
+    *
+    * Scale shape: both stages are the already-bucketed LSH paths; the only
+    * addition is one distinct + left-anti join on the incoming ids. */
+  def dedupAgainstCorpus(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+  ): DataFrame = {
+    val hits = crossDupPairs(incoming, corpus, idCol, textCol, n, numHashes, bands, threshold)
+      .select(col("left_id").as("__graft_hit")).distinct()
+    val clean = incoming.join(hits, col(idCol) === col("__graft_hit"), "left_anti")
+    dedupCorpus(clean, idCol, textCol, n, numHashes, bands, threshold)
+  }
+
   // ───────────────────────── SimHash ─────────────────────────
 
   /** 64-bit SimHash over whitespace tokens: per bit, tokens vote +1/−1 by

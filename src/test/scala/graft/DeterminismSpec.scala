@@ -75,6 +75,13 @@ class DeterminismSpec extends SparkSpec {
       withShufflePartitions(11)(pack(toks.repartition(6, col("doc_id"))))
   }
 
+  test("removeRepeatedSpans output is identical under different partitionings") {
+    def run(d: DataFrame) =
+      rows(graft.ops.TextOps.removeRepeatedSpans(d, "doc_id", "text", n = 2, maxDocFreq = 3))
+    withShufflePartitions(3)(run(docs.repartition(2))) shouldBe
+      withShufflePartitions(13)(run(docs.repartition(9, col("doc_id"))))
+  }
+
   test("balanceGroups and hashSample membership ignores physical layout") {
     val d = docs.withColumn("lang", (col("doc_id") % 3).cast("string"))
     def bal(x: DataFrame) = rows(graft.ops.Sampling.balanceGroups(x, "lang", "doc_id"))

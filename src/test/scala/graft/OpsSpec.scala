@@ -290,6 +290,21 @@ class OpsSpec extends SparkSpec {
     out.count() shouldBe brute
   }
 
+  test("Dedup.dedupAgainstCorpus drops corpus near-dups then intra-batch dups") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // dup of corpus → dropped
+      (2L, "totally novel content first variant appears here"),
+      (3L, "totally novel content first variant appears here"), // intra dup of 2 → dropped
+      (4L, "an entirely different standalone document"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstCorpus(incoming, corpus, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    out shouldBe Set(2L, 4L)
+  }
+
   test("Similarity.groupCentroids: kernel and fallback agree, nulls skipped") {
     val df = Seq(
       (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 6.0f)), (0, null),
