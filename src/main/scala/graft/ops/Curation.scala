@@ -23,21 +23,28 @@ object Curation {
     * cluster) → optional deterministic id-hash sample.
     *
     * Input schema is preserved. Defaults: `normalize = false` (requires
-    * GraftExtensions when on), `lineDedupMaxDocFreq = 0` (off; > 0 removes
+    * GraftExtensions when on), `redactPii = false` (on: scrub emails/
+    * phones/IPs right after normalization, BEFORE any fingerprinting so
+    * redacted twins collapse), `lineDedupMaxDocFreq = 0` (off; > 0 removes
     * lines appearing in more than that many docs BEFORE fingerprinting, so
-    * de-boilerplated duplicates collapse), `samplePercent = 100` keeps
-    * everything, `nearDup = false` skips the clustering stage. */
+    * de-boilerplated duplicates collapse), `spanDedupMaxDocFreq = 0` (off;
+    * > 0 cuts token n-gram spans shared by more than that many docs — the
+    * exact-substring pass, same placement rationale), `samplePercent = 100`
+    * keeps everything, `nearDup = false` skips the clustering stage. */
   def curate(
       df: DataFrame,
       idCol: String,
       textCol: String,
       normalize: Boolean = false,
+      redactPii: Boolean = false,
       minTokens: Int = 5,
       maxPunctRatio: Double = 0.2,
       maxDupWordFrac: Double = 0.3,
       maxTopWordFrac: Double = 0.2,
       maxTopBigramFrac: Double = 0.18,
       lineDedupMaxDocFreq: Long = 0L,
+      spanDedupMaxDocFreq: Long = 0L,
+      spanDedupN: Int = 13,
       nearDup: Boolean = true,
       nearDupThreshold: Double = 0.8,
       samplePercent: Int = 100,
@@ -47,14 +54,21 @@ object Curation {
       if (normalize)
         TextOps.normalizeText(df, textCol, form = "NFKC", stripAccents = false)
       else df
+    val scrubbed =
+      if (redactPii) TextOps.redactPii(canonical, textCol) else canonical
     val filtered = TextOps.repetitionFilter(
-      TextOps.qualityFilter(canonical, textCol, minTokens, maxPunctRatio),
+      TextOps.qualityFilter(scrubbed, textCol, minTokens, maxPunctRatio),
       textCol, maxDupWordFrac, maxTopWordFrac, maxTopBigramFrac)
-    val lineClean =
+    val lineClean0 =
       if (lineDedupMaxDocFreq > 0L)
         TextOps.removeCommonLines(filtered, idCol, textCol,
           maxDocFreq = lineDedupMaxDocFreq)
       else filtered
+    val lineClean =
+      if (spanDedupMaxDocFreq > 0L)
+        TextOps.removeRepeatedSpans(lineClean0, idCol, textCol,
+          n = spanDedupN, maxDocFreq = spanDedupMaxDocFreq)
+      else lineClean0
     // exact dedup on the normalized fingerprint: one hash shuffle, smallest
     // id survives (deterministic)
     val exact = Dedup.exact(

@@ -875,7 +875,11 @@ object Dedup {
   ): DataFrame = {
     val hits = crossDupPairs(incoming, corpus, idCol, textCol, n, numHashes, bands, threshold)
       .select(col("left_id").as("__graft_hit")).distinct()
+    // materialized once: dedupCorpus reads its input several times (dup
+    // groups, member re-expansion, final semi-join) and would otherwise
+    // re-run the whole cross-LSH filter on every read
     val clean = incoming.join(hits, col(idCol) === col("__graft_hit"), "left_anti")
+      .localCheckpoint(false)
     dedupCorpus(clean, idCol, textCol, n, numHashes, bands, threshold)
   }
 

@@ -305,6 +305,27 @@ class OpsSpec extends SparkSpec {
     out shouldBe Set(2L, 4L)
   }
 
+  test("Curation.curate optional scrub/span stages compose into the chain") {
+    val df = Seq(
+      (1L, "contact alice@example.com about the quick brown fox jumping high today"),
+      (2L, "contact alice@example.com about some other matter entirely different here"),
+      (3L, "LEGAL BOILERPLATE SPAN plus unique content words one two three four five"),
+      (4L, "LEGAL BOILERPLATE SPAN plus different unique following text six seven eight nine"),
+      (5L, "LEGAL BOILERPLATE SPAN with more distinct trailing words ten eleven twelve thirteen"),
+      (6L, "LEGAL BOILERPLATE SPAN and yet another unique continuation fourteen fifteen sixteen seventeen"),
+    ).toDF("doc_id", "text")
+    val out = Curation.curate(df, "doc_id", "text",
+      redactPii = true, spanDedupMaxDocFreq = 3L, spanDedupN = 3,
+      maxTopWordFrac = 0.5, nearDup = false)
+    out.count() shouldBe 6 // all pass quality; nothing became an exact dup
+    // PII scrubbed and the 4-doc boilerplate span cut before fingerprinting
+    val texts = out.orderBy("doc_id").collect().map(_.getString(1))
+    texts(0) should include("<EMAIL>")
+    texts.drop(2).foreach { t =>
+      t should not include "LEGAL BOILERPLATE SPAN"
+    }
+  }
+
   test("Similarity.groupCentroids: kernel and fallback agree, nulls skipped") {
     val df = Seq(
       (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 6.0f)), (0, null),
