@@ -182,19 +182,31 @@ object Relational {
       keyCols: Seq[String] = Nil,
       bucketWidth: Long = 3600000000L,
       inclusiveEnd: Boolean = true,
+      maxBucketsPerInterval: Int = 100000,
   ): DataFrame = {
     require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    require(maxBucketsPerInterval >= 1, "maxBucketsPerInterval must be >= 1")
     graft.core.Validators.requireColumns(points, keyCols :+ pointCol)
     graft.core.Validators.requireColumns(intervals, keyCols ++ Seq(startCol, endCol))
     // floor-division bucket ids (pmod-free: Spark's `div` truncates toward
     // zero, so shift via floor() on longs — exact for |ticks| < 2^62)
     def bucketOf(t: Column): Column = floor(t.cast("double") / bucketWidth.toDouble).cast("long")
     val p = points.withColumn("__graft_bkt", bucketOf(ticksOf(points, pointCol)))
+    // a single interval spanning ≫ bucketWidth would silently explode into
+    // span/width candidate rows — fail loudly instead and tell the caller
+    // to widen the bucket (or pre-split the interval)
+    val spanGuard = when(
+      col("__graft_b1") - col("__graft_b0") >= lit(maxBucketsPerInterval.toLong),
+      raise_error(concat(
+        lit(s"rangeJoin: an interval spans more than $maxBucketsPerInterval buckets " +
+          s"(bucketWidth=$bucketWidth); widen bucketWidth or pre-split intervals — span: "),
+        (col("__graft_b1") - col("__graft_b0")).cast("string"))))
+      .otherwise(sequence(col("__graft_b0"), col("__graft_b1")))
     val iv = intervals
       .withColumn("__graft_b0", bucketOf(ticksOf(intervals, startCol)))
       .withColumn("__graft_b1", bucketOf(ticksOf(intervals, endCol)))
       .filter(col("__graft_b1") >= col("__graft_b0")) // end < start: no match possible
-      .withColumn("__graft_bkt", explode(sequence(col("__graft_b0"), col("__graft_b1"))))
+      .withColumn("__graft_bkt", explode(spanGuard))
       .drop("__graft_b0", "__graft_b1")
     val endPred =
       if (inclusiveEnd) col(pointCol) <= col(endCol) else col(pointCol) < col(endCol)

@@ -414,6 +414,29 @@ class OpsSpec extends SparkSpec {
       ("b", Some(5L), None))        // no other rows
   }
 
+  test("rangeJoin fails loudly on a pathological interval instead of exploding") {
+    val pts = Seq((1L, 5L)).toDF("pid", "t")
+    val ivs = Seq((10L, 0L, 10000000L)).toDF("iid", "s", "e") // 1M buckets at width 10
+    val ex = intercept[Exception] {
+      Relational.rangeJoin(pts, ivs, "t", "s", "e", Nil,
+        bucketWidth = 10L, maxBucketsPerInterval = 1000).count()
+    }
+    ex.getMessage should include("spans more than 1000 buckets")
+    // new-op parameter validation is eager and descriptive
+    intercept[IllegalArgumentException] {
+      Relational.rangeJoin(pts, ivs, "t", "s", "e", bucketWidth = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Relational.sessionize(pts.toDF("eid", "ts"), Seq("eid"), "ts", maxGap = -1L)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.chunkTokens(pts.toDF("id", "text"), "text", chunkSize = 4, overlap = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Relational.rollingFeatures(pts.toDF("id", "t"), Seq("id"), "t", "t", Nil)
+    }
+  }
+
   test("TextOps.chunkTokens emits exact overlapping windows") {
     val df = Seq(
       (1L, (1 to 11).map(i => s"w$i").mkString(" ")), // 11 tokens
