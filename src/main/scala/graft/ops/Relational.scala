@@ -172,7 +172,9 @@ object Relational {
     *
     * Timestamp point/bound columns are bucketed on `unix_micros`;
     * `bucketWidth` is then in MICROSECONDS (e.g. 3_600_000_000L = 1 h).
-    * Numeric columns bucket on their own scale. */
+    * Numeric columns bucket on their own scale. Non-key column names must
+    * be distinct across the two inputs (the containment predicate reads
+    * them post-join). */
   def rangeJoin(
       points: DataFrame,
       intervals: DataFrame,
@@ -275,9 +277,10 @@ object Relational {
     * All exact integer math — output is identical to [[sessionize]] row
     * for row (guarded by OpsSpec on a skewed fixture). Costs one extra
     * tiny aggregate + join; prefer plain [[sessionize]] when keys are not
-    * hot. `bucketOf` maps the RAW ts column to a coarse bucket (e.g.
-    * `date_trunc("day", _)`); pick buckets ≫ maxGap so boundary merges
-    * stay rare. */
+    * hot. `bucketOf` maps the RAW ts column to a coarse bucket and MUST be
+    * monotone non-decreasing in it (e.g. `date_trunc("day", _)` — a
+    * non-monotone bucketing would scramble the boundary stitch); pick
+    * buckets ≫ maxGap so boundary merges stay rare. */
   def sessionizeSalted(
       df: DataFrame,
       keyCols: Seq[String],

@@ -285,7 +285,9 @@ object Similarity {
     * per-(group, partition) partial is a single (1 + d)-double buffer
     * (graft_vec_sum — map-side combine, no row explosion). The vanilla
     * fallback posexplodes rows × d values through two hash aggregates and
-    * reassembles per group — same result, d× shuffle width. */
+    * reassembles per group — same result, d× shuffle width. Ragged inputs
+    * (vectors of differing lengths) raise in the kernel path; the fallback
+    * averages per position, so validate upstream when lengths can vary. */
   def groupCentroids(
       df: DataFrame,
       keyCol: String,
