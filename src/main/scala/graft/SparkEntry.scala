@@ -1541,10 +1541,11 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(re.t, '') AS text
         |FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id""".stripMargin,
     // Repeated-span removal replay: token 3-gram starts whose gram is
-    // shared by >10 distinct docs cover positions [q, q+2]; surviving
-    // tokens reassemble in order.
+    // shared by >5 distinct docs cover positions [q, q+2]; only documents
+    // that actually lose a token are rebuilt (others pass through
+    // byte-identical); a fully-covered doc becomes ''.
     "text_span_dedup" ->
-      """WITH t AS (SELECT doc_id,
+      """WITH t AS (SELECT doc_id, text,
         |             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
         |           FROM documents),
         |     g AS (SELECT doc_id, q, array_to_string(w[(q+1):(q+3)], ' ') AS gram
@@ -1555,13 +1556,17 @@ object SparkEntry {
         |     cov AS (SELECT DISTINCT doc_id, pos
         |             FROM (SELECT doc_id, q + unnest(range(3)) AS pos
         |                   FROM g WHERE gram IN (SELECT gram FROM c))),
+        |     aff AS (SELECT DISTINCT doc_id FROM cov),
         |     p AS (SELECT doc_id, unnest(w) AS tok,
-        |             unnest(range(len(w))) AS pos FROM t),
+        |             unnest(range(len(w))) AS pos FROM t
+        |           WHERE doc_id IN (SELECT doc_id FROM aff)),
         |     k AS (SELECT p.doc_id, p.pos, p.tok FROM p
         |           ANTI JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.pos),
         |     re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS nt
         |            FROM k GROUP BY doc_id)
-        |SELECT t.doc_id, coalesce(re.nt, '') AS text
+        |SELECT t.doc_id,
+        |       CASE WHEN t.doc_id IN (SELECT doc_id FROM aff)
+        |            THEN coalesce(re.nt, '') ELSE t.text END AS text
         |FROM t LEFT JOIN re ON t.doc_id = re.doc_id""".stripMargin,
     // The curation chain replayed stage by stage from the already-verified
     // fragments. DuckDB regexp_replace needs the 'g' flag to match Spark's

@@ -54,6 +54,7 @@ case class GramSum(
     val x = new Array[Double](d)
     var i = 0
     while (i < d) {
+      require(!arr.isNullAt(i), s"graft_gram_sum: null element at position $i")
       x(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }
@@ -143,6 +144,7 @@ case class VecSum(
     buf(0) += 1.0
     var i = 0
     while (i < d) {
+      require(!arr.isNullAt(i), s"graft_vec_sum: null element at position $i")
       buf(1 + i) += (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
       i += 1
     }

@@ -236,7 +236,7 @@ object Dedup {
     * configured, else `localCheckpoint` (executor-local blocks: faster, but
     * an executor death forces recompute — acceptable in local mode and
     * short jobs). */
-  private def materialize(df: DataFrame): DataFrame =
+  private[ops] def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint()
     else df.localCheckpoint()
@@ -877,9 +877,10 @@ object Dedup {
       .select(col("left_id").as("__graft_hit")).distinct()
     // materialized once: dedupCorpus reads its input several times (dup
     // groups, member re-expansion, final semi-join) and would otherwise
-    // re-run the whole cross-LSH filter on every read
-    val clean = incoming.join(hits, col(idCol) === col("__graft_hit"), "left_anti")
-      .localCheckpoint(false)
+    // re-run the whole cross-LSH filter on every read; materialize picks
+    // reliable checkpointing when the session has a checkpoint dir
+    val clean = materialize(
+      incoming.join(hits, col(idCol) === col("__graft_hit"), "left_anti"))
     dedupCorpus(clean, idCol, textCol, n, numHashes, bands, threshold)
   }
 

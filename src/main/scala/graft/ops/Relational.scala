@@ -191,7 +191,10 @@ object Relational {
     graft.core.Validators.requireColumns(points, keyCols :+ pointCol)
     graft.core.Validators.requireColumns(intervals, keyCols ++ Seq(startCol, endCol))
     // floor-division bucket ids (pmod-free: Spark's `div` truncates toward
-    // zero, so shift via floor() on longs — exact for |ticks| < 2^62)
+    // zero, so shift via floor() on doubles). The long→double cast is exact
+    // only below 2^53 (micros until year ~2255); above that it stays
+    // MONOTONE, so bucket ids remain consistent between points and interval
+    // bounds and the inline exact predicate keeps the join correct.
     def bucketOf(t: Column): Column = floor(t.cast("double") / bucketWidth.toDouble).cast("long")
     val p = points.withColumn("__graft_bkt", bucketOf(ticksOf(points, pointCol)))
     // a single interval spanning ≫ bucketWidth would silently explode into
@@ -296,14 +299,17 @@ object Relational {
     // 1. local session index within (key, bucket)
     val wLag = Window.partitionBy(keyed :+ col("__graft_bkt"): _*).orderBy(ord: _*)
     val wRun = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = df
+    // materialized once: both the summary aggregate and the final join read
+    // this windowed intermediate — without it the heaviest stage (the
+    // per-(key, bucket) sort + lag + running sum) executes twice
+    val local = Dedup.materialize(df
       .withColumn("__graft_t", ticksOf(df, tsCol))
       .withColumn("__graft_bkt", bucketOf(col(tsCol)))
       .withColumn("__graft_prev", lag(col("__graft_t"), 1).over(wLag))
       .withColumn("__graft_local",
         sum(when(col("__graft_prev").isNull ||
           col("__graft_t") - col("__graft_prev") > maxGap, 1L).otherwise(0L))
-          .over(wRun))
+          .over(wRun)))
     // 2. per-(key, bucket) summary → merge flags and cumulative offsets
     //    (the summary is one row per present bucket; its window shuffle is
     //    negligible next to the data)
@@ -361,7 +367,9 @@ object Relational {
       val w = Window.partitionBy(keyCols.map(col): _*)
         .orderBy(col("__graft_t").asc)
         .rangeBetween(-span, 0)
-      d.withColumn(s"n_$sfx", count(col(valueCol)).over(w))
+      // count(*) row count ("events in the window"), not non-null values —
+      // matching the documented semantics and the DuckDB oracle
+      d.withColumn(s"n_$sfx", count(lit(1)).over(w))
         .withColumn(s"sum_$sfx", sum(col(valueCol)).over(w))
     }
     out.drop("__graft_t")

@@ -295,20 +295,30 @@ object Similarity {
       inDim: Int = -1,
   ): DataFrame = {
     graft.core.Validators.requireColumns(df, Seq(keyCol, embCol))
-    val d =
-      if (inDim > 0) inDim
-      else df.filter(col(embCol).isNotNull).select(size(col(embCol))).head().getInt(0)
+    // dimension probe: only the kernel path needs d (one tiny job); empty /
+    // all-null input yields an empty result instead of a head() crash
+    lazy val probedDim: Option[Int] =
+      if (inDim > 0) Some(inDim)
+      else df.filter(col(embCol).isNotNull).select(size(col(embCol)))
+        .take(1).headOption.map(_.getInt(0))
     if (df.sparkSession.catalog.functionExists(graft.functions.TilePairs.VecSumName) &&
         !Dedup.ForceFallback) {
-      val n = element_at(col("__graft_vs"), 1)
-      df.groupBy(col(keyCol))
-        .agg(call_function(graft.functions.TilePairs.VecSumName,
-          col(embCol), lit(d)).as("__graft_vs"))
-        .filter(n > 0)
-        .select(
-          col(keyCol),
-          transform(slice(col("__graft_vs"), 2, d), x => round(x / n, 9)).as("centroid"),
-          n.cast("long").as("n_vectors"))
+      probedDim match {
+        case None => // no non-null vector anywhere → empty result, not a crash
+          df.select(col(keyCol)).limit(0)
+            .withColumn("centroid", typedLit(Seq.empty[Double]))
+            .withColumn("n_vectors", lit(0L))
+        case Some(d) =>
+          val n = element_at(col("__graft_vs"), 1)
+          df.groupBy(col(keyCol))
+            .agg(call_function(graft.functions.TilePairs.VecSumName,
+              col(embCol), lit(d)).as("__graft_vs"))
+            .filter(n > 0)
+            .select(
+              col(keyCol),
+              transform(slice(col("__graft_vs"), 2, d), x => round(x / n, 9)).as("centroid"),
+              n.cast("long").as("n_vectors"))
+      }
     } else {
       val nonNull = df.filter(col(embCol).isNotNull)
       nonNull

@@ -193,9 +193,10 @@ object TextOps {
     * reassembled from its surviving tokens in order. Catches boilerplate
     * that repeats mid-sentence (license blurbs, navigation crumbs,
     * templated spans), which line-level [[removeCommonLines]] misses when
-    * the surrounding text varies. Documents shorter than `n` tokens have
-    * no grams and pass through unchanged; a fully-covered document comes
-    * back as "".
+    * the surrounding text varies. Documents with NO covered token pass
+    * through byte-identical (original whitespace intact — only documents
+    * that actually lose a span are re-joined with `joinSep`); a
+    * fully-covered document comes back as "".
     *
     * Shuffle profile mirrors [[removeCommonLines]]: gram doc-freq
     * aggregate, semi-join of gram starts against the common set, one
@@ -230,8 +231,12 @@ object TextOps {
       .select(col("__graft_id"),
         explode(sequence(col("__graft_q"), col("__graft_q") + (n - 1))).as("__graft_p"))
       .distinct()
-    val tokRows = base.select(col("__graft_id"),
-      posexplode(col("__graft_w")).as(Seq("__graft_p", "__graft_tok")))
+    // only documents that actually lose a token are rebuilt — everything
+    // else passes through byte-identical (original whitespace intact)
+    val affected = covered.select("__graft_id").distinct()
+    val tokRows = base.join(affected, Seq("__graft_id"), "left_semi")
+      .select(col("__graft_id"),
+        posexplode(col("__graft_w")).as(Seq("__graft_p", "__graft_tok")))
     val rebuilt = tokRows.join(covered, Seq("__graft_id", "__graft_p"), "left_anti")
       .groupBy("__graft_id")
       .agg(array_join(
@@ -239,8 +244,12 @@ object TextOps {
           array_sort(collect_list(struct(col("__graft_p"), col("__graft_tok")))),
           s => s("__graft_tok")),
         joinSep).as("__graft_new"))
-    df.join(rebuilt, col(idCol) === col("__graft_id"), "left")
-      .withColumn(textCol, coalesce(col("__graft_new"), lit("")))
+    val affectedText = affected
+      .join(rebuilt, Seq("__graft_id"), "left")
+      // a fully-covered doc keeps zero tokens → no rebuilt row → ""
+      .select(col("__graft_id"), coalesce(col("__graft_new"), lit("")).as("__graft_new"))
+    df.join(affectedText, col(idCol) === col("__graft_id"), "left")
+      .withColumn(textCol, coalesce(col("__graft_new"), col(textCol)))
       .drop("__graft_id", "__graft_new")
   }
 
@@ -395,6 +404,13 @@ object TextOps {
     require(chunkSize >= 1, "chunkSize must be >= 1")
     require(overlap >= 0 && overlap < chunkSize, "overlap must be in [0, chunkSize)")
     graft.core.Validators.requireColumns(df, Seq(textCol))
+    Seq("chunk_id", "chunk_text", "chunk_tokens").foreach { c =>
+      if (df.columns.contains(c))
+        throw graft.errors.FeatureFactoryException.InvalidParameter(
+          s"chunkTokens output column '$c' already exists in the input " +
+            "(rename or drop it first — silently overwriting a prior " +
+            "chunking pass would corrupt it)")
+    }
     val stride = chunkSize - overlap
     val n = size(col("__graft_toks"))
     // ceil((n − chunkSize) / stride) + 1 via exact integer math (values are

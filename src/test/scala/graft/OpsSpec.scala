@@ -461,6 +461,37 @@ class OpsSpec extends SparkSpec {
     out.count(r => r.getLong(0) >= 3L) shouldBe 0
   }
 
+  test("removeRepeatedSpans leaves untouched docs byte-identical (whitespace intact)") {
+    val df = Seq(
+      (1L, "line one\nline two\twith   spacing"), // unique → byte-identical
+      (2L, "SHARED SPAN HERE plus alpha"),
+      (3L, "SHARED SPAN HERE plus beta"),
+      (4L, "SHARED SPAN HERE plus gamma"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeRepeatedSpans(df, "doc_id", "text", n = 3, maxDocFreq = 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "line one\nline two\twith   spacing" // not re-joined
+    // both "SHARED SPAN HERE" and "SPAN HERE plus" repeat in 3 docs, so
+    // positions 0-3 are covered and only the unique tail survives
+    out(2L) shouldBe "alpha"
+  }
+
+  test("groupCentroids on empty / all-null input returns empty, not a crash") {
+    val empty = Seq.empty[(Int, Seq[Float])].toDF("label", "embedding")
+    Similarity.groupCentroids(empty, "label", "embedding").count() shouldBe 0
+    val allNull = Seq((1, null: Seq[Float]), (2, null: Seq[Float]))
+      .toDF("label", "embedding")
+    Similarity.groupCentroids(allNull, "label", "embedding").count() shouldBe 0
+  }
+
+  test("chunkTokens refuses input that already carries its output columns") {
+    val df = Seq((1L, "a b c", 9L)).toDF("id", "text", "chunk_id")
+    val ex = intercept[graft.errors.FeatureFactoryException.InvalidParameter] {
+      TextOps.chunkTokens(df, "text", 4)
+    }
+    ex.getMessage should include("chunk_id")
+  }
+
   test("TextOps.removeRepeatedSpans cuts common n-gram runs, keeps unique text") {
     val df = Seq(
       (1L, "alpha beta COPY RIGHT NOTICE gamma delta"),
