@@ -26,10 +26,28 @@ class CoreExtrasSpec extends SparkSpec {
     val df = Loader.load(spark, "/root/testdata/sf0.001/region.parquet")
     df.count() should be > 0L
     val e = intercept[UnsupportedFormat] {
-      Loader.load(spark, "/tmp/whatever.json")
+      Loader.load(spark, "/tmp/whatever.avro")
     }
     e.getMessage should include("Unsupported file format")
     intercept[UnsupportedFormat](Loader.load(spark, "/tmp/noextension"))
+  }
+
+  test("Loader reads jsonl and txt; compression suffix routes on inner extension") {
+    val j = java.nio.file.Files.createTempFile("graft", ".jsonl")
+    java.nio.file.Files.writeString(j,
+      """{"id": 1, "text": "hello"}
+        |{"id": 2, "text": "world"}
+        |""".stripMargin)
+    val jdf = Loader.load(spark, j.toString)
+    jdf.count() shouldBe 2
+    jdf.columns.toSet shouldBe Set("id", "text")
+    val t = java.nio.file.Files.createTempFile("graft", ".txt")
+    java.nio.file.Files.writeString(t, "line one\nline two\n")
+    val tdf = Loader.load(spark, t.toString)
+    tdf.columns.toSeq shouldBe Seq("value")
+    tdf.count() shouldBe 2
+    // .jsonl.gz routes as jsonl (reader handles the codec)
+    intercept[UnsupportedFormat](Loader.load(spark, "/tmp/whatever.avro.gz"))
   }
 
   test("Loader reads csv with header + inferred schema") {
