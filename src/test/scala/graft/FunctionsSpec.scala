@@ -227,4 +227,22 @@ class FunctionsSpec extends SparkSpec {
     graft.functions.BloomRuntime.mightContain(Array.emptyByteArray, 42L, 3) shouldBe false
     graft.functions.BloomRuntime.mightContain(null, 42L, 3) shouldBe false
   }
+
+  test("moment kernels skip null VECTORS but raise on null ELEMENTS") {
+    // null vectors: not counted
+    val vs = Seq(Some(Seq(1.0, 2.0)), None).toDF("e")
+      .agg(call_function(TilePairs.VecSumName, $"e", lit(2)))
+      .collect()(0).getSeq[Double](0)
+    vs shouldBe Seq(1.0, 1.0, 2.0) // [count, sum_0, sum_1]
+    // a null element inside a vector is corrupt input → loud
+    val ragged = Seq(Seq[java.lang.Double](1.0, null)).toDF("e")
+    val ex = intercept[Exception] {
+      ragged.agg(call_function(TilePairs.VecSumName, $"e", lit(2))).collect()
+    }
+    ex.getMessage should include("null element")
+    val ex2 = intercept[Exception] {
+      ragged.agg(call_function(TilePairs.GramSumName, $"e", lit(2))).collect()
+    }
+    ex2.getMessage should include("null element")
+  }
 }
