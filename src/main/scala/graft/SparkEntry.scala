@@ -870,6 +870,13 @@ object SparkEntry {
       StreamingOps.dedupEvents(withDups, Seq("event_id"), "ts")
         .select("event_id", "ts", "user_id", "event_type", "value")
     }),
+    // Content-keyed ingest dedup through the batch-unified path: smallest
+    // doc_id survives per normalized-text fingerprint.
+    "stream_content_dedup" -> ((s, dir) => {
+      val d = rt(s, dir, "documents").select("doc_id", "text")
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+      StreamingOps.dedupByContent(d, Seq("fp"), "doc_id")
+    }),
     "events_json_extract" -> ((s, dir) =>
       rtEvents(s, dir).select(
         col("event_id"),
@@ -1836,6 +1843,13 @@ object SparkEntry {
         |FROM (SELECT * FROM events UNION ALL
         |      SELECT * FROM events WHERE event_id % 10 = 0)
         |GROUP BY event_id, ts, user_id, event_type, value""".stripMargin,
+    "stream_content_dedup" ->
+      """WITH f AS (SELECT doc_id, text,
+        |             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |           FROM documents),
+        |     k AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp)
+        |SELECT f.doc_id, f.text, f.fp
+        |FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.doc_id""".stripMargin,
     "events_json_extract" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

@@ -88,6 +88,34 @@ object StreamingOps {
       df.withWatermark(tsCol, watermark).dropDuplicates(idCols :+ tsCol)
     else df.dropDuplicates(idCols :+ tsCol)
 
+  /** Content-keyed dedup for an INGEST stream: drops any document whose
+    * dedup key (e.g. a [[graft.ops.TextOps.fingerprint]] column) was
+    * already seen within the watermark horizon — the streaming half of
+    * exact corpus dedup. Unlike [[dedupEvents]] the event-time column is
+    * NOT part of the key (the same content at a different timestamp is
+    * still a duplicate), so streaming uses
+    * `dropDuplicatesWithinWatermark`: state holds one entry per distinct
+    * key and expires by watermark instead of growing forever.
+    *
+    * Semantics note: streaming keeps the FIRST arrival of each key within
+    * the horizon (arrival order — the only option on an unbounded input);
+    * the batch path keeps the row with the smallest `tieCol` (Dedup.exact's
+    * deterministic rule). Re-runs of the batch path are reproducible;
+    * a replayed stream with different arrival interleaving may keep a
+    * different representative of each duplicate class. */
+  def dedupByContent(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tieCol: String,
+      tsCol: String = "",
+      watermark: String = "1 hour",
+  ): DataFrame =
+    if (df.isStreaming) {
+      require(tsCol.nonEmpty,
+        "dedupByContent on a stream needs tsCol (the watermark column)")
+      df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
+    } else graft.ops.Dedup.exact(df, keyCols, tieCol)
+
   /** Typed JSON property extraction from a string payload column — the
     * enrichment step of an event pipeline (codegen'd get_json_object, no
     * UDF). */

@@ -182,6 +182,37 @@ class StreamingSpec extends SparkSpec {
     got.head.getInt(got.head.fieldIndex("n_emails")) shouldBe 0
   }
 
+  test("dedupByContent drops same-fingerprint docs across micro-batches") {
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    mem.addData(
+      (1L, ts(10), "the exact same document"),
+      (2L, ts(20), "a different document entirely"))
+    val fp = graft.ops.TextOps.fingerprint(col("text"))
+    val out = graft.streaming.StreamingOps.dedupByContent(
+      mem.toDF.toDF("doc_id", "ts", "text").withColumn("fp", fp),
+      Seq("fp"), "doc_id", tsCol = "ts", watermark = "10 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("stream_content_dedup").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second batch: a re-send of doc 1's content (different id/ts, extra
+      // whitespace — the fingerprint normalizes it) and one new doc
+      mem.addData(
+        (3L, ts(30), "the  exact   same document"),
+        (4L, ts(40), "yet another novel document"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("stream_content_dedup").collect()
+      .map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 4L)
+    // batch path: deterministic smallest-tiebreak representative
+    val batch = graft.streaming.StreamingOps.dedupByContent(
+      Seq((9L, ts(1), "x y"), (3L, ts(2), "x  y"), (5L, ts(3), "other"))
+        .toDF("doc_id", "ts", "text").withColumn("fp", fp),
+      Seq("fp"), "doc_id")
+    batch.collect().map(_.getLong(0)).toSet shouldBe Set(3L, 5L)
+  }
+
   test("redactPii and chunkTokens compose onto a stream (narrow + generator)") {
     val mem = MemoryStream[(Long, String)]
     mem.addData(
