@@ -565,6 +565,16 @@ object SparkEntry {
         rt(s, dir, "documents")
           .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", capacity = 512, numBuckets = 8)),
+    // End-to-end training-prep composition: 40-token chunks (8 overlap) →
+    // 256-token training bins, keyed by a (doc, chunk) surrogate id.
+    "text_chunk_pack" -> ((s, dir) => {
+      val chunks = TextOps.chunkTokens(
+        rt(s, dir, "documents").select("doc_id", "text"),
+        "text", chunkSize = 40, overlap = 8)
+        .select((col("doc_id") * 100 + col("chunk_id")).as("cid"), col("chunk_tokens"))
+      Sampling.packSequences(chunks, "cid", "chunk_tokens",
+        capacity = 256, numBuckets = 8)
+    }),
     // Exact n-gram decontamination (the "shared 13-gram" rule, n=5 for the
     // synthetic corpus): training docs (doc_id % 3 != 0) flagged with the
     // count of distinct token 5-grams they share with the benchmark slice
@@ -1314,6 +1324,30 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, bucket, (cum - 1) // 512 AS bin,
         |       cum - n_tokens AS start_offset
         |FROM c""".stripMargin,
+    // The verified chunk replay feeding the verified pack replay.
+    "text_chunk_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |           FROM documents),
+        |     c AS (SELECT doc_id, toks, len(toks) AS n,
+        |             CASE WHEN len(toks) <= 0 THEN 0
+        |                  WHEN len(toks) <= 40 THEN 1
+        |                  ELSE (len(toks) - 40 + 31) // 32 + 1 END AS nc
+        |           FROM t),
+        |     x AS (SELECT doc_id, n, unnest(range(nc)) AS i FROM c),
+        |     ch AS (SELECT doc_id * 100 + i AS cid,
+        |              CAST(least(40, n - i*32) AS INTEGER) AS chunk_tokens
+        |            FROM x),
+        |     h AS (SELECT cid, chunk_tokens,
+        |             (((cid % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS hh
+        |           FROM ch WHERE chunk_tokens > 0),
+        |     p AS (SELECT cid, chunk_tokens, hh % 8 AS bucket,
+        |             CAST(sum(chunk_tokens) OVER (PARTITION BY hh % 8 ORDER BY hh, cid
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |           FROM h)
+        |SELECT cid, chunk_tokens, bucket, (cum - 1) // 256 AS bin,
+        |       cum - chunk_tokens AS start_offset
+        |FROM p""".stripMargin,
     "dedup_ngram_overlap" ->
       """WITH t AS (SELECT doc_id,
         |             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
