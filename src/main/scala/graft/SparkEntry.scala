@@ -566,12 +566,15 @@ object SparkEntry {
           .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", capacity = 512, numBuckets = 8)),
     // End-to-end training-prep composition: 40-token chunks (8 overlap) →
-    // 256-token training bins, keyed by a (doc, chunk) surrogate id.
+    // 256-token training bins, keyed by a (doc, chunk) surrogate id. The
+    // 1e6 stride keeps cids collision-free up to 1M chunks/doc (32M-token
+    // docs at stride 32) — collisions would make the pack order ambiguous.
     "text_chunk_pack" -> ((s, dir) => {
       val chunks = TextOps.chunkTokens(
         rt(s, dir, "documents").select("doc_id", "text"),
         "text", chunkSize = 40, overlap = 8)
-        .select((col("doc_id") * 100 + col("chunk_id")).as("cid"), col("chunk_tokens"))
+        .select((col("doc_id") * 1000000L + col("chunk_id")).as("cid"),
+          col("chunk_tokens"))
       Sampling.packSequences(chunks, "cid", "chunk_tokens",
         capacity = 256, numBuckets = 8)
     }),
@@ -1335,7 +1338,7 @@ object SparkEntry {
         |                  ELSE (len(toks) - 40 + 31) // 32 + 1 END AS nc
         |           FROM t),
         |     x AS (SELECT doc_id, n, unnest(range(nc)) AS i FROM c),
-        |     ch AS (SELECT doc_id * 100 + i AS cid,
+        |     ch AS (SELECT doc_id * 1000000 + i AS cid,
         |              CAST(least(40, n - i*32) AS INTEGER) AS chunk_tokens
         |            FROM x),
         |     h AS (SELECT cid, chunk_tokens,
@@ -1883,7 +1886,8 @@ object SparkEntry {
         |           FROM documents),
         |     k AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp)
         |SELECT f.doc_id, f.text, f.fp
-        |FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.doc_id""".stripMargin,
+        |FROM f JOIN k ON f.fp IS NOT DISTINCT FROM k.fp
+        |            AND f.doc_id = k.doc_id""".stripMargin,
     "events_json_extract" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

@@ -53,4 +53,18 @@ object Validators {
 
   def requireParam(cond: Boolean, msg: => String): Unit =
     if (!cond) throw InvalidParameter(msg)
+
+  /** Guard for operators that APPEND output columns: silently clobbering a
+    * pre-existing column of the same name (e.g. re-chunking already-chunked
+    * rows, re-packing a frame that already carries `bucket`) corrupts data
+    * with no error — reject loudly instead. */
+  def requireColumnsAbsent(df: DataFrame, cols: Seq[String], op: String): Unit = {
+    val have = df.columns.toSet
+    val clash = cols.filter(have)
+    if (clash.nonEmpty)
+      throw InvalidParameter(
+        s"$op output column(s) ${clash.mkString(", ")} already exist in the " +
+          "input (rename or drop them first — silently overwriting would " +
+          "corrupt prior results)")
+  }
 }

@@ -241,6 +241,16 @@ object Dedup {
       df.checkpoint()
     else df.localCheckpoint()
 
+  /** [[materialize]] without the eager job: the checkpoint materializes on
+    * FIRST ACTION instead of at DataFrame-construction time. Use at
+    * public-API construction sites — a caller that builds the frame but
+    * never executes it (explain, conditional pipelines) shouldn't pay the
+    * upstream computation. */
+  private[ops] def materializeLazy(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
+
   private def nativeTilePairsAvailable(df: DataFrame): Boolean =
     !ForceFallback &&
       df.sparkSession.catalog.functionExists(graft.functions.TilePairs.JaccardName)
@@ -875,11 +885,12 @@ object Dedup {
   ): DataFrame = {
     val hits = crossDupPairs(incoming, corpus, idCol, textCol, n, numHashes, bands, threshold)
       .select(col("left_id").as("__graft_hit")).distinct()
-    // materialized once: dedupCorpus reads its input several times (dup
-    // groups, member re-expansion, final semi-join) and would otherwise
-    // re-run the whole cross-LSH filter on every read; materialize picks
-    // reliable checkpointing when the session has a checkpoint dir
-    val clean = materialize(
+    // materialized once (on first action — construction stays job-free):
+    // dedupCorpus reads its input several times (dup groups, member
+    // re-expansion, final semi-join) and would otherwise re-run the whole
+    // cross-LSH filter on every read; reliable checkpointing when the
+    // session has a checkpoint dir
+    val clean = materializeLazy(
       incoming.join(hits, col(idCol) === col("__graft_hit"), "left_anti"))
     dedupCorpus(clean, idCol, textCol, n, numHashes, bands, threshold)
   }

@@ -252,6 +252,7 @@ object Relational {
   ): DataFrame = {
     require(maxGap >= 0, "maxGap must be >= 0")
     graft.core.Validators.requireColumns(df, (keyCols :+ tsCol) ++ tieCols)
+    graft.core.Validators.requireColumnsAbsent(df, Seq("session_id"), "sessionize")
     val ord = col("__graft_t").asc +: tieCols.map(col(_).asc)
     val wLag = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
     val wRun = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -294,15 +295,17 @@ object Relational {
   ): DataFrame = {
     require(maxGap >= 0, "maxGap must be >= 0")
     graft.core.Validators.requireColumns(df, (keyCols :+ tsCol) ++ tieCols)
+    graft.core.Validators.requireColumnsAbsent(df, Seq("session_id"), "sessionizeSalted")
     val keyed = keyCols.map(col)
     val ord = col("__graft_t").asc +: tieCols.map(col(_).asc)
     // 1. local session index within (key, bucket)
     val wLag = Window.partitionBy(keyed :+ col("__graft_bkt"): _*).orderBy(ord: _*)
     val wRun = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // materialized once: both the summary aggregate and the final join read
-    // this windowed intermediate — without it the heaviest stage (the
-    // per-(key, bucket) sort + lag + running sum) executes twice
-    val local = Dedup.materialize(df
+    // materialized once (on first action): both the summary aggregate and
+    // the final join read this windowed intermediate — without it the
+    // heaviest stage (the per-(key, bucket) sort + lag + running sum)
+    // executes twice
+    val local = Dedup.materializeLazy(df
       .withColumn("__graft_t", ticksOf(df, tsCol))
       .withColumn("__graft_bkt", bucketOf(col(tsCol)))
       .withColumn("__graft_prev", lag(col("__graft_t"), 1).over(wLag))
@@ -362,6 +365,8 @@ object Relational {
     require(spans.nonEmpty, "spans must be non-empty")
     spans.foreach { case (_, s) => require(s >= 0, "span must be >= 0") }
     graft.core.Validators.requireColumns(df, keyCols ++ Seq(tsCol, valueCol))
+    graft.core.Validators.requireColumnsAbsent(df,
+      spans.flatMap { case (sfx, _) => Seq(s"n_$sfx", s"sum_$sfx") }, "rollingFeatures")
     val base = df.withColumn("__graft_t", ticksOf(df, tsCol))
     val out = spans.foldLeft(base) { case (d, (sfx, span)) =>
       val w = Window.partitionBy(keyCols.map(col): _*)

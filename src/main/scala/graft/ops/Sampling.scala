@@ -44,6 +44,7 @@ object Sampling {
     require(trainPercent >= 0 && trainPercent <= 100,
       "trainPercent must be in [0, 100]")
     graft.core.Validators.requireColumns(df, Seq(idCol))
+    graft.core.Validators.requireColumnsAbsent(df, Seq("split"), "trainTestSplit")
     df.withColumn("split",
       when(pmod(minstdHash(col(idCol)), lit(100L)) < trainPercent, lit("train"))
         .otherwise(lit("test")))
@@ -131,6 +132,8 @@ object Sampling {
     require(capacity >= 1, "capacity must be >= 1")
     require(numBuckets >= 1, "numBuckets must be >= 1")
     graft.core.Validators.requireColumns(df, Seq(idCol, tokenCol))
+    graft.core.Validators.requireColumnsAbsent(df,
+      Seq("bucket", "bin", "start_offset"), "packSequences")
     val w = Window.partitionBy(col("bucket"))
       .orderBy(minstdHash(col(idCol)).asc, col(idCol).asc)
     df.filter(col(tokenCol) > 0)

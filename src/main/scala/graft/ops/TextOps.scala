@@ -404,13 +404,8 @@ object TextOps {
     require(chunkSize >= 1, "chunkSize must be >= 1")
     require(overlap >= 0 && overlap < chunkSize, "overlap must be in [0, chunkSize)")
     graft.core.Validators.requireColumns(df, Seq(textCol))
-    Seq("chunk_id", "chunk_text", "chunk_tokens").foreach { c =>
-      if (df.columns.contains(c))
-        throw graft.errors.FeatureFactoryException.InvalidParameter(
-          s"chunkTokens output column '$c' already exists in the input " +
-            "(rename or drop it first — silently overwriting a prior " +
-            "chunking pass would corrupt it)")
-    }
+    graft.core.Validators.requireColumnsAbsent(df,
+      Seq("chunk_id", "chunk_text", "chunk_tokens"), "chunkTokens")
     val stride = chunkSize - overlap
     val n = size(col("__graft_toks"))
     // ceil((n − chunkSize) / stride) + 1 via exact integer math (values are

@@ -46,7 +46,16 @@ class CoreExtrasSpec extends SparkSpec {
     val tdf = Loader.load(spark, t.toString)
     tdf.columns.toSeq shouldBe Seq("value")
     tdf.count() shouldBe 2
-    // .jsonl.gz routes as jsonl (reader handles the codec)
+    // .jsonl.gz routes as jsonl and the reader decompresses it
+    val gz = java.nio.file.Files.createTempFile("graft", ".jsonl.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    out.write("""{"id": 7, "text": "compressed"}""".getBytes("UTF-8"))
+    out.close()
+    val gdf = Loader.load(spark, gz.toString)
+    gdf.count() shouldBe 1
+    gdf.select("id").head().getLong(0) shouldBe 7L
+    // a compression suffix on an unsupported inner extension still rejects
     intercept[UnsupportedFormat](Loader.load(spark, "/tmp/whatever.avro.gz"))
   }
 
