@@ -530,6 +530,15 @@ object SparkEntry {
           round(col("value") * 100).cast("long").as("cents")),
         Seq("user_id"), "ts", "cents",
         Seq("1h" -> 3600000000L, "1d" -> 86400000000L))),
+    // Hot-key path: ghost-replicated (key, day-bucket) windows — output is
+    // row-identical to events_rolling, so it shares that oracle SQL.
+    "events_rolling_salted" -> ((s, dir) =>
+      Relational.rollingFeaturesSalted(
+        rtEvents(s, dir).select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents")),
+        Seq("user_id"), "ts", "cents",
+        Seq("1h" -> 3600000000L, "1d" -> 86400000000L),
+        bucketWidth = 86400000000L)),
     // Leakage-safe target-mean encoding (leave-one-out), exercising the
     // null-target path via the injected qty nulls. Integer target → exact
     // sums, one double division.
@@ -1273,6 +1282,19 @@ object SparkEntry {
         |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |FROM p""".stripMargin,
     "events_rolling" ->
+      """SELECT event_id, user_id, ts,
+        |       CAST(round(value * 100) AS BIGINT) AS cents,
+        |       count(*) OVER w1 AS n_1h,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w1 AS BIGINT) AS sum_1h,
+        |       count(*) OVER w2 AS n_1d,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w2 AS BIGINT) AS sum_1d
+        |FROM events
+        |WINDOW w1 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+        |       w2 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // salted path is row-identical to the plain one — same replay
+    "events_rolling_salted" ->
       """SELECT event_id, user_id, ts,
         |       CAST(round(value * 100) AS BIGINT) AS cents,
         |       count(*) OVER w1 AS n_1h,

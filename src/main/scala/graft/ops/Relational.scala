@@ -351,10 +351,8 @@ object Relational {
     * double amount): integer sums are association-free, double sums are
     * not ([[graft.ops.Sampling]] has the same portability note).
     * Hot-key caution as [[asofJoin]]/[[sessionize]]: a key's timeline is
-    * one window partition — unlike those two, a trailing RANGE frame has
-    * no cheap segmented-carry salting (a bucket's carry-in is the previous
-    * bucket's span-length tail, not a scalar), so shard pathological keys
-    * upstream instead. */
+    * one window partition — use [[rollingFeaturesSalted]] when keys are
+    * hot. */
   def rollingFeatures(
       df: DataFrame,
       keyCols: Seq[String],
@@ -378,6 +376,72 @@ object Relational {
         .withColumn(s"sum_$sfx", sum(col(valueCol)).over(w))
     }
     out.drop("__graft_t")
+  }
+
+  /** [[rollingFeatures]] with time-bucket salting for hot keys (same trade
+    * as [[asofJoinSalted]]/[[sessionizeSalted]]): the plain formulation
+    * puts a key's ENTIRE timeline in one window partition, so a key with a
+    * billion events becomes one span-length sort+scan on one task.
+    *
+    * A trailing RANGE frame has no scalar segmented carry (a bucket's
+    * carry-in is the previous bucket's span-length tail), so the salting
+    * here is GHOST REPLICATION instead of summary-stitching: the timeline
+    * is cut into `bucketWidth` buckets, and every event is additionally
+    * copied into the ⌈maxSpan / bucketWidth⌉ successor buckets as a
+    * non-output "ghost" contributor. Within each (key, bucket) partition
+    * the usual RANGE `[t − span, t]` frame then sees exactly one copy of
+    * every event it must aggregate — its own bucket's real rows plus the
+    * earlier buckets' tails as ghosts — so the per-row (count, sum) values
+    * are IDENTICAL to [[rollingFeatures]] (guarded row-for-row by OpsSpec
+    * and the shared `events_rolling` oracle), while a hot key runs as
+    * (#buckets) parallel tasks.
+    *
+    * Cost: the shuffle carries (1 + ⌈maxSpan/bucketWidth⌉)× the rows —
+    * pick `bucketWidth ≥ maxSpan` (2× replication) unless skew is extreme;
+    * a width below maxSpan/32 is rejected loudly rather than silently
+    * multiplying the input. All spans still share one partitioning + sort
+    * (a single Exchange). Prefer plain [[rollingFeatures]] when keys are
+    * not hot. `bucketWidth` is in the same units as the spans (micros for
+    * timestamp columns). */
+  def rollingFeaturesSalted(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      spans: Seq[(String, Long)],
+      bucketWidth: Long,
+  ): DataFrame = {
+    require(spans.nonEmpty, "spans must be non-empty")
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    spans.foreach { case (_, s) => require(s >= 0, "span must be >= 0") }
+    val maxSpan = spans.map(_._2).max
+    val ghosts = (maxSpan + bucketWidth - 1) / bucketWidth // successor buckets an event reaches
+    require(ghosts <= 32,
+      s"bucketWidth=$bucketWidth replicates every row ${ghosts + 1}x against the " +
+        s"max span $maxSpan — pick bucketWidth >= maxSpan/32 (ideally >= maxSpan)")
+    graft.core.Validators.requireColumns(df, keyCols ++ Seq(tsCol, valueCol))
+    graft.core.Validators.requireColumnsAbsent(df,
+      spans.flatMap { case (sfx, _) => Seq(s"n_$sfx", s"sum_$sfx") }, "rollingFeaturesSalted")
+    // floor-division bucket ids via double floor (same monotonicity note as
+    // rangeJoin: exact below 2^53 micros, monotone above — and the frame
+    // itself re-checks nothing because every in-range event has exactly one
+    // copy in the partition by construction)
+    val exploded = df
+      .withColumn("__graft_t", ticksOf(df, tsCol))
+      .withColumn("__graft_off", explode(sequence(lit(0L), lit(ghosts))))
+      .withColumn("__graft_bkt",
+        floor(col("__graft_t").cast("double") / bucketWidth.toDouble).cast("long") +
+          col("__graft_off"))
+    val out = spans.foldLeft(exploded) { case (d, (sfx, span)) =>
+      val w = Window.partitionBy(keyCols.map(col) :+ col("__graft_bkt"): _*)
+        .orderBy(col("__graft_t").asc)
+        .rangeBetween(-span, 0)
+      d.withColumn(s"n_$sfx", count(lit(1)).over(w))
+        .withColumn(s"sum_$sfx", sum(col(valueCol)).over(w))
+    }
+    // ghosts contributed to frames; only real rows are output
+    out.filter(col("__graft_off") === 0L)
+      .drop("__graft_t", "__graft_off", "__graft_bkt")
   }
 
   /** Leave-one-out target-mean encoding — the leakage-safe variant of the

@@ -399,6 +399,41 @@ class OpsSpec extends SparkSpec {
     "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
   }
 
+  test("Relational.rollingFeaturesSalted matches rollingFeatures on a skewed fixture") {
+    // one hot key with 400 irregularly spaced events spanning many buckets
+    // (bucket width 100 below; spans 50 and 250 — the long span needs
+    // ghosts from THREE predecessor buckets), plus a cold key
+    val hot = (0 until 400).map { i =>
+      val t = (0 until i).map(j => if (j % 5 == 4) 90L else 13L).sum
+      (i.toLong, 1L, t, (i % 17).toLong)
+    }
+    val all = (hot :+ ((9999L, 2L, 123L, 7L))).toDF("eid", "user", "t", "v")
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getLong(r.fieldIndex("eid")),
+        r.getLong(r.fieldIndex("n_a")), r.getLong(r.fieldIndex("sum_a")),
+        r.getLong(r.fieldIndex("n_b")), r.getLong(r.fieldIndex("sum_b")))
+    }.toSet
+    val spans = Seq("a" -> 50L, "b" -> 250L)
+    val plain = key(Relational.rollingFeatures(
+      all, Seq("user"), "t", "v", spans).collect())
+    val salted = Relational.rollingFeaturesSalted(
+      all, Seq("user"), "t", "v", spans, bucketWidth = 100L)
+    key(salted.collect()) shouldBe plain
+    // the heavy window really partitions by (key, bucket) — a single hot
+    // key becomes #buckets tasks, and all spans share one Exchange
+    // look at the final plan only — AQE's toString repeats the pre-adaptive
+    // plan under "== Initial Plan ==", double-counting the one Exchange
+    val plan = salted.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.matches("(?s).*hashpartitioning\\(user#\\d+L?, __graft_bkt#\\d+.*"),
+      s"expected (key, bucket) partitioning in plan:\n$plan")
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    // absurd replication factors are rejected loudly
+    intercept[IllegalArgumentException] {
+      Relational.rollingFeaturesSalted(all, Seq("user"), "t", "v",
+        Seq("x" -> 100000L), bucketWidth = 10L)
+    }
+  }
+
   test("Relational.looMeanEncode excludes each row's own target") {
     val df = Seq(
       ("a", Some(10L)), ("a", Some(20L)), ("a", None), // null target → plain mean
