@@ -496,7 +496,8 @@ object Dedup {
     *
     * Buckets larger than `maxBucketSize` are dropped: they are degenerate
     * (thousands of identical docs — the job of [[exact]] dedup), and they
-    * cost O(k²) inside one task.
+    * cost O(k²) inside one task. Drops are counted and WARNed (see
+    * [[BucketCap]]); strict mode throws instead.
     */
   def minhashCandidates(
       df: DataFrame,
@@ -517,10 +518,11 @@ object Dedup {
         zip_with(x("sig"), y("sig"), (a, b) => (a === b).cast("int")),
         lit(0),
         (acc, v) => acc + v)
-    val buckets = banded
-      .groupBy("band", "band_hash")
-      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
-      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
+    val buckets = BucketCap.capped(
+      banded
+        .groupBy("band", "band_hash")
+        .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs")),
+      maxBucketSize, "minhashCandidates")
     val keys = Seq(col("band"), col("band_hash"))
     val expanded =
       if (nativeTilePairsAvailable(df))
@@ -603,10 +605,11 @@ object Dedup {
           docSignatures(df, idCol, textCol, n, numHashes).join(feats, "id")
         }
       val banded = bandedSignatures(sigd, numHashes, bands, Seq("sz", "bm"))
-      val buckets = banded
-        .groupBy("band", "band_hash")
-        .agg(sort_array(collect_list(struct(col("id"), col("sz"), col("bm")))).as("xs"))
-        .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
+      val buckets = BucketCap.capped(
+        banded
+          .groupBy("band", "band_hash")
+          .agg(sort_array(collect_list(struct(col("id"), col("sz"), col("bm")))).as("xs")),
+        maxBucketSize, "minhashDedupPairs")
       val keys = Seq(col("band"), col("band_hash"))
       val expanded =
         if (nativeTilePairsAvailable(df))
@@ -961,15 +964,15 @@ object Dedup {
         struct(col("id"), col("sh")).as("row"))
       .groupBy("chunk", "chunk_val")
       .agg(sort_array(collect_list(col("row"))).as("xs"))
-      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
+    val cappedBuckets = BucketCap.capped(buckets, maxBucketSize, "simhashCandidates")
     val keys = Seq(col("chunk"), col("chunk_val"))
     val expanded =
       if (nativeTilePairsAvailable(df))
         expandBucketsNative(
-          buckets, keys, graft.functions.TilePairs.HammingName, lit(maxHamming))
+          cappedBuckets, keys, graft.functions.TilePairs.HammingName, lit(maxHamming))
       else
         expandBuckets(
-          buckets, keys,
+          cappedBuckets, keys,
           (x, y) => hamming(x, y) <= maxHamming,
           (x, y) => struct(x("id").as("a"), y("id").as("b"), hamming(x, y).as("h")))
     expanded

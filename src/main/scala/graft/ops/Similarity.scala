@@ -884,7 +884,8 @@ object Similarity {
     *     100 TB) becomes many tasks, not one O(k²) straggler.
     *   - Buckets over `maxBucketSize` are dropped: degenerate mass
     *     duplication is [[graft.ops.Dedup.exact]]'s job, and even tiled its
-    *     k² cost is not worth paying here.
+    *     k² cost is not worth paying here. Drops are counted and WARNed
+    *     (see [[BucketCap]]); strict mode throws instead.
     *   - Cosine is evaluated INLINE during tile expansion (native
     *     graft_cosine_tile_pairs kernel when GraftExtensions is installed;
     *     bit-identical HOF fold otherwise) — sub-threshold pairs are never
@@ -921,13 +922,14 @@ object Similarity {
       val planes = hyperplanes(numPlanes, dim, seed + 7919L * b)
       struct(lit(b).as("band"), lshBucket(col("emb"), planes, d).as("h"))
     }: _*)
-    val buckets = df
-      .select(sid.as("id"), col(embCol).as("emb"))
-      .withColumn("norm", sqrt(d(col("emb"), col("emb"))))
-      .select(col("id"), col("emb"), col("norm"), explode(bands).as("bh"))
-      .groupBy(col("bh.band").as("band"), col("bh.h").as("h"))
-      .agg(sort_array(collect_list(struct(col("id"), col("emb"), col("norm")))).as("xs"))
-      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucketSize)
+    val buckets = BucketCap.capped(
+      df
+        .select(sid.as("id"), col(embCol).as("emb"))
+        .withColumn("norm", sqrt(d(col("emb"), col("emb"))))
+        .select(col("id"), col("emb"), col("norm"), explode(bands).as("bh"))
+        .groupBy(col("bh.band").as("band"), col("bh.h").as("h"))
+        .agg(sort_array(collect_list(struct(col("id"), col("emb"), col("norm")))).as("xs")),
+      maxBucketSize, "cosineNearDupPairs")
     val cosPair: (Column, Column) => Column = (x, y) =>
       dot(x("emb"), y("emb")) / (x("norm") * y("norm"))
     val pairs = Dedup.expandSymmetricBuckets(

@@ -865,11 +865,30 @@ class OpsSpec extends SparkSpec {
     out.count() shouldBe n.toLong * (n - 1) / 2
   }
 
-  test("cosineNearDupPairs drops buckets over maxBucketSize") {
+  test("cosineNearDupPairs drops buckets over maxBucketSize — and says so") {
     val degen = (0L until 50L).map(i => (i, Seq(1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
+    BucketCap.reset(spark)
     Similarity.cosineNearDupPairs(degen, "vec_id", "embedding",
       threshold = 0.99, dim = 3, maxBucketSize = 10).count() shouldBe 0
+    // all 50 identical vectors share one bucket per band (4 bands), each
+    // over the cap of 10 — the drop is counted, not silent (accumulator
+    // totals land before the action returns)
+    BucketCap.drops(spark, "cosineNearDupPairs") shouldBe ((4L, 200L))
+    // strict mode fails the query loudly instead
+    spark.conf.set(BucketCap.StrictConfKey, "true")
+    try {
+      val ex = intercept[Exception] {
+        Similarity.cosineNearDupPairs(degen, "vec_id", "embedding",
+          threshold = 0.99, dim = 3, maxBucketSize = 10).count()
+      }
+      ex.getMessage should include("exceeds maxBucketSize=10")
+    } finally spark.conf.unset(BucketCap.StrictConfKey)
+    // under-cap runs leave the counters untouched
+    BucketCap.reset(spark)
+    Similarity.cosineNearDupPairs(degen, "vec_id", "embedding",
+      threshold = 0.99, dim = 3).count() shouldBe 50L * 49 / 2
+    BucketCap.drops(spark, "cosineNearDupPairs") shouldBe ((0L, 0L))
   }
 
   test("cosineNearDupPairs HOF fallback agrees with the native kernel") {
