@@ -466,6 +466,46 @@ object Dedup {
           array((0 until numHashes).map(k => col(s"m$k")): _*).as("sig"))
     }
 
+  /** Minhash signature from an already-computed shingle-hash array — the
+    * HOF fallback twin of the native Minhash kernel. Bit-identical to the
+    * exploded `min(xxhash64(h, k))` aggregate formulation (same hashes,
+    * same min), but a pure narrow projection over `gs`. */
+  private def sigFromGs(gs: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      k => array_min(transform(gs, h => xxhash64(h, k))))
+
+  /** Per-doc LSH features computed ONCE: (id, gs, sz, sig) — the shingle
+    * hash array, its size, and the minhash signature. Every downstream
+    * stage (vocabulary probe, banding, bitmap build, exact verify) derives
+    * from these columns instead of re-shingling the text, so the expensive
+    * per-character work happens exactly once per document however many
+    * passes consume it. Docs with no shingles are dropped (as everywhere
+    * in the minhash machinery). */
+  private def distinctFeats(reps: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    val withGs = reps
+      .select(col("id"), shingleHashesFor(reps, col("text"), n).as("gs"))
+      .filter(size(col("gs")) > 0)
+    withGs.select(
+      col("id"), col("gs"), size(col("gs")).cast("int").as("sz"),
+      (if (nativeFnsAvailable(reps))
+         call_function(graft.functions.TilePairs.MinhashName, col("gs"), lit(numHashes))
+       else sigFromGs(col("gs"), numHashes)).as("sig"))
+  }
+
+  /** Exact-dup groups + once-computed rep features for one corpus side.
+    * `feats` is lazily checkpointed: both the cross-corpus filter and the
+    * intra-batch clustering of [[dedupAgainstCorpus]] (and the multiple
+    * reads within a single pass) then reuse the stored arrays instead of
+    * recomputing shingles and signatures. */
+  private case class RepLsh(groups: DataFrame, feats: DataFrame)
+
+  private def repLshFeatures(
+      df: DataFrame, idCol: String, textCol: String, n: Int, numHashes: Int): RepLsh = {
+    val groups = dupGroups(df, idCol, textCol)
+    val reps = groups.select(col("ids").getItem(0).as("id"), col("text"))
+    RepLsh(groups, materializeLazy(distinctFeats(reps, n, numHashes)))
+  }
+
   /** Explode a (id, sig, <payload…>) frame into one row per LSH band:
     * (id, <payload…>, band, band_hash); the band hash chains xxhash64 over
     * the band's signature rows exactly like the aggregate formulation did. */
@@ -585,25 +625,38 @@ object Dedup {
       bands: Int,
       threshold: Double,
       maxBucketSize: Int,
+  ): DataFrame =
+    minhashDedupPairsLsh(distinctFeats(df, n, numHashes), numHashes, bands,
+      threshold, maxBucketSize)
+
+  /** [[minhashDedupPairsDistinct]] from once-computed [[distinctFeats]]
+    * columns — no text access: the vocabulary probe explodes `gs`, the
+    * bitmap/band build projects it, and the general-path exact verify
+    * intersects it. */
+  private def minhashDedupPairsLsh(
+      feats: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucketSize: Int,
   ): DataFrame = {
-    val (idCol, textCol) = ("id", "text")
-    val hashed = explodedHashes(df, idCol, textCol, n)
+    val hashed = feats.select(col("id"), explode(col("gs")).as("h"))
     smallVocabFreq(hashed) match { case Some(entries) =>
-      // (id, sz, bm, sig): native path is ONE narrow projection (shingle
-      // hashes → bitmap + minhash in the same kernel pass, no join, no agg
-      // shuffle); fallback joins the dictionary-aggregated bitmaps onto the
-      // min-aggregated signatures.
-      val words = rarityDict(entries).words
+      // (id, sz, bm, sig): native path is ONE narrow projection over the
+      // stored arrays (bitmap kernel over gs, signature already computed);
+      // fallback joins the dictionary-aggregated bitmaps onto the stored
+      // signatures.
+      val d = rarityDict(entries)
+      val words = d.words
       val sigd =
-        if (nativeFnsAvailable(df))
-          nativeFeatures(df, idCol, textCol, n, rarityDict(entries))
-            .select(col("id"), col("sz"), col("bm"),
-              call_function(graft.functions.TilePairs.MinhashName,
-                col("gs"), lit(numHashes)).as("sig"))
-        else {
-          val feats = bitmapFeatures(hashed, dictionaryDf(df, entries.map(_._1).sorted), words)
-          docSignatures(df, idCol, textCol, n, numHashes).join(feats, "id")
-        }
+        if (nativeFnsAvailable(feats))
+          feats.select(col("id"), col("sz"),
+            call_function(graft.functions.TilePairs.BitmapName, col("gs"),
+              typedLit(d.vocabSorted.toSeq), typedLit(d.rankOf.toSeq)).as("bm"),
+            col("sig"))
+        else
+          bitmapFeatures(hashed, dictionaryDf(feats, entries.map(_._1).sorted), words)
+            .join(feats.select(col("id"), col("sig")), "id")
       val banded = bandedSignatures(sigd, numHashes, bands, Seq("sz", "bm"))
       val buckets = BucketCap.capped(
         banded
@@ -612,7 +665,7 @@ object Dedup {
         maxBucketSize, "minhashDedupPairs")
       val keys = Seq(col("band"), col("band_hash"))
       val expanded =
-        if (nativeTilePairsAvailable(df))
+        if (nativeTilePairsAvailable(feats))
           expandBucketsNative(
             buckets, keys, graft.functions.TilePairs.JaccardName, lit(threshold))
         else
@@ -626,9 +679,50 @@ object Dedup {
         .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.j").as("jaccard"))
         .dropDuplicates("id_a", "id_b")
     case None =>
-      val cands = minhashCandidates(
-        df, idCol, textCol, numHashes, bands, n, maxBucketSize = maxBucketSize)
-      verifiedJaccardPairs(df, cands, idCol, textCol, n, threshold)
+      // est-filtered candidates from the stored signatures, then exact
+      // verify over the stored shingle arrays
+      val banded = bandedSignatures(feats.select(col("id"), col("sig")),
+        numHashes, bands, Seq("sig"))
+      val estMin = math.ceil(0.5625 * numHashes).toInt
+      val est: (Column, Column) => Column = (x, y) =>
+        aggregate(
+          zip_with(x("sig"), y("sig"), (a, b) => (a === b).cast("int")),
+          lit(0),
+          (acc, v) => acc + v)
+      val buckets = BucketCap.capped(
+        banded
+          .groupBy("band", "band_hash")
+          .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs")),
+        maxBucketSize, "minhashCandidates")
+      val keys = Seq(col("band"), col("band_hash"))
+      val expanded =
+        if (nativeTilePairsAvailable(feats))
+          expandBucketsNative(
+            buckets, keys, graft.functions.TilePairs.SigEstName, lit(estMin))
+        else
+          expandBuckets(
+            buckets, keys,
+            (x, y) => est(x, y) >= estMin,
+            (x, y) => struct(x("id").as("a"), y("id").as("b")))
+      val cands = expanded
+        .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val needed = cands
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .distinct()
+      val sets = feats.select(col("id"), col("gs")).join(needed, "id")
+      val a = sets.select(col("id").as("id_a"), col("gs").as("gs_a"))
+      val b = sets.select(col("id").as("id_b"), col("gs").as("gs_b"))
+      cands
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("common", size(array_intersect(col("gs_a"), col("gs_b"))))
+        .withColumn(
+          "jaccard",
+          col("common").cast("double") /
+            (size(col("gs_a")) + size(col("gs_b")) - col("common")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     }
   }
 
@@ -709,29 +803,42 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 32,
       threshold: Double = 0.8,
+  ): DataFrame =
+    crossDupPairsLsh(
+      repLshFeatures(left, idCol, textCol, n, numHashes),
+      repLshFeatures(right, idCol, textCol, n, numHashes),
+      numHashes, bands, threshold)
+
+  /** [[crossDupPairs]] from once-computed per-side [[RepLsh]] features —
+    * lets [[dedupAgainstCorpus]] share the incoming batch's groups and
+    * signatures with the intra-batch clustering pass. */
+  private def crossDupPairsLsh(
+      l: RepLsh,
+      r: RepLsh,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
   ): DataFrame = {
-    val lGroups = dupGroups(left, idCol, textCol)
-    val rGroups = dupGroups(right, idCol, textCol)
-    val lReps = lGroups.select(col("ids").getItem(0).as("id"), col("text"))
-    val rReps = rGroups.select(col("ids").getItem(0).as("id"), col("text"))
+    val lGroups = l.groups
+    val rGroups = r.groups
     // shared vocabulary decision over BOTH sides (bitmaps must agree)
-    val unionReps = lReps.unionByName(rReps)
-    val hashedUnion = explodedHashes(unionReps, "id", "text", n)
+    val hashedUnion = l.feats.select(col("id"), explode(col("gs")).as("h"))
+      .unionByName(r.feats.select(col("id"), explode(col("gs")).as("h")))
     val repPairs = smallVocabFreq(hashedUnion) match {
       case Some(entries) =>
         val d = rarityDict(entries)
         val words = d.words
-        def sided(df: DataFrame, p: String): DataFrame = {
+        def sided(feats: DataFrame, p: String): DataFrame = {
           val sigd =
-            if (nativeFnsAvailable(df))
-              nativeFeatures(df, "id", "text", n, d)
-                .select(col("id"), col("sz"), col("bm"),
-                  call_function(graft.functions.TilePairs.MinhashName,
-                    col("gs"), lit(numHashes)).as("sig"))
+            if (nativeFnsAvailable(feats))
+              feats.select(col("id"), col("sz"),
+                call_function(graft.functions.TilePairs.BitmapName, col("gs"),
+                  typedLit(d.vocabSorted.toSeq), typedLit(d.rankOf.toSeq)).as("bm"),
+                col("sig"))
             else {
-              val hashed = explodedHashes(df, "id", "text", n)
-              val feats = bitmapFeatures(hashed, dictionaryDf(df, entries.map(_._1).sorted), words)
-              docSignatures(df, "id", "text", n, numHashes).join(feats, "id")
+              val hashed = feats.select(col("id"), explode(col("gs")).as("h"))
+              val bf = bitmapFeatures(hashed, dictionaryDf(feats, entries.map(_._1).sorted), words)
+              feats.select(col("id"), col("sig")).join(bf, "id")
             }
           bandedSignatures(sigd, numHashes, bands, Seq("sz", "bm"))
             .select(col("id").as(s"${p}id"), col("sz").as(s"${p}sz"),
@@ -744,8 +851,8 @@ object Dedup {
           .agg(collect_list(struct(
             col(s"${out.head}id").as("id"), col(s"${out.head}sz").as("sz"),
             col(s"${out.head}bm").as("bm"))).as(out))
-        val buckets = bucketize(sided(lReps, "l"), "lxs")
-          .join(bucketize(sided(rReps, "r"), "rxs"), Seq("band", "band_hash"))
+        val buckets = bucketize(sided(l.feats, "l"), "lxs")
+          .join(bucketize(sided(r.feats, "r"), "rxs"), Seq("band", "band_hash"))
         expandCrossBuckets(
           buckets, Seq(col("band"), col("band_hash")),
           graft.functions.TilePairs.JaccardName, lit(threshold),
@@ -759,9 +866,9 @@ object Dedup {
       case None =>
         // general vocabulary: band-join on (band, band_hash) carrying sigs,
         // est-filter inline, then exact hashed-shingle verify of survivors
-        def sidedSig(df: DataFrame, p: String): DataFrame =
+        def sidedSig(feats: DataFrame, p: String): DataFrame =
           bandedSignatures(
-            docSignatures(df, "id", "text", n, numHashes), numHashes, bands, Seq("sig"))
+            feats.select(col("id"), col("sig")), numHashes, bands, Seq("sig"))
             .select(col("id").as(s"${p}id"), col("sig").as(s"${p}sig"),
               col("band"), col("band_hash"))
         val estMin = math.ceil(0.5625 * numHashes).toInt
@@ -769,8 +876,8 @@ object Dedup {
           .groupBy("band", "band_hash")
           .agg(collect_list(struct(
             col(s"${out.head}id").as("id"), col(s"${out.head}sig").as("sig"))).as(out))
-        val sigBuckets = bucketizeSig(sidedSig(lReps, "l"), "lxs")
-          .join(bucketizeSig(sidedSig(rReps, "r"), "rxs"), Seq("band", "band_hash"))
+        val sigBuckets = bucketizeSig(sidedSig(l.feats, "l"), "lxs")
+          .join(bucketizeSig(sidedSig(r.feats, "r"), "rxs"), Seq("band", "band_hash"))
         val est: (Column, Column) => Column = (x, y) =>
           aggregate(
             zip_with(x("sig"), y("sig"), (a, b) => (a === b).cast("int")),
@@ -786,11 +893,11 @@ object Dedup {
         // sets are unbounded, so AQE decides broadcast vs shuffle
         val needL = cands.select(col("left_id").as("id")).distinct()
         val needR = cands.select(col("right_id").as("id")).distinct()
-        val setsL = lReps
-          .select(col("id").as("left_id"), shingleHashesFor(lReps, col("text"), n).as("gs_l"))
+        val setsL = l.feats
+          .select(col("id").as("left_id"), col("gs").as("gs_l"))
           .join(needL.select(col("id").as("left_id")), "left_id")
-        val setsR = rReps
-          .select(col("id").as("right_id"), shingleHashesFor(rReps, col("text"), n).as("gs_r"))
+        val setsR = r.feats
+          .select(col("id").as("right_id"), col("gs").as("gs_r"))
           .join(needR.select(col("id").as("right_id")), "right_id")
         cands
           .join(setsL, "left_id")
@@ -874,8 +981,15 @@ object Dedup {
     * corpus, and the corpus stays near-dup-free without ever re-clustering
     * the historical data.
     *
-    * Scale shape: both stages are the already-bucketed LSH paths; the only
-    * addition is one distinct + left-anti join on the incoming ids. */
+    * Scale shape: both stages are the already-bucketed LSH paths, and the
+    * incoming batch's exact-dup groups and minhash/shingle features are
+    * computed ONCE ([[RepLsh]], lazily checkpointed) and shared by the
+    * cross filter and the intra-batch clustering — the second pass never
+    * re-shingles. The only other addition is one distinct + left-anti join
+    * on the incoming ids. Sharing is sound because exact-dup groups are
+    * hit ATOMICALLY (identical texts have identical signatures, and cross
+    * hits are expanded over all group members), so the surviving groups
+    * are exactly the incoming groups whose representative was not hit. */
   def dedupAgainstCorpus(
       incoming: DataFrame,
       corpus: DataFrame,
@@ -886,16 +1000,44 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.8,
   ): DataFrame = {
-    val hits = crossDupPairs(incoming, corpus, idCol, textCol, n, numHashes, bands, threshold)
-      .select(col("left_id").as("__graft_hit")).distinct()
-    // materialized once (on first action — construction stays job-free):
-    // dedupCorpus reads its input several times (dup groups, member
-    // re-expansion, final semi-join) and would otherwise re-run the whole
-    // cross-LSH filter on every read; reliable checkpointing when the
-    // session has a checkpoint dir
-    val clean = materializeLazy(
-      incoming.join(hits, col(idCol) === col("__graft_hit"), "left_anti"))
-    dedupCorpus(clean, idCol, textCol, n, numHashes, bands, threshold)
+    val in = repLshFeatures(incoming, idCol, textCol, n, numHashes)
+    val corp = repLshFeatures(corpus, idCol, textCol, n, numHashes)
+    // materialized once (on first action): read by the row-level anti-join
+    // AND the group/feature anti-joins below — without it each read would
+    // re-run the whole cross-LSH filter
+    val hits = materializeLazy(
+      crossDupPairsLsh(in, corp, numHashes, bands, threshold)
+        .select(col("left_id").as("__graft_hit")).distinct())
+    val clean = incoming.join(hits, col(idCol) === col("__graft_hit"), "left_anti")
+    val cleanGroups = in.groups
+      .join(hits, col("ids").getItem(0) === col("__graft_hit"), "left_anti")
+    val cleanFeats = in.feats
+      .join(cleanGroups.select(col("ids").getItem(0).as("id")), Seq("id"), "left_semi")
+    dedupCorpusLsh(clean, idCol, cleanGroups, cleanFeats, numHashes, bands, threshold)
+  }
+
+  /** [[dedupCorpus]] body from precomputed groups + features: intra-batch
+    * rep pairs → connected components → keep each cluster's smallest id. */
+  private def dedupCorpusLsh(
+      df: DataFrame,
+      idCol: String,
+      groups: DataFrame,
+      feats: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+  ): DataFrame = {
+    val repPairs = minhashDedupPairsLsh(feats, numHashes, bands, threshold,
+      maxBucketSize = 100000).select("id_a", "id_b")
+    val reps = groups.select(col("ids").getItem(0).as("id"))
+    val repLabels = duplicateClusters(reps, "id", repPairs)
+      .select(col("id").as("__graft_rep"), col("cluster_id"))
+    val keep = groups
+      .select(col("ids").getItem(0).as("__graft_rep"), explode(col("ids")).as(idCol))
+      .join(repLabels, "__graft_rep")
+      .filter(col(idCol) === col("cluster_id"))
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
   }
 
   // ───────────────────────── SimHash ─────────────────────────
