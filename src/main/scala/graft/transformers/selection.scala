@@ -148,11 +148,13 @@ private[graft] object SelectionUtil {
     if (pairs.isEmpty) return Map.empty
     val aggs = pairs.flatMap { case (a, b) =>
       val (x, y) = (col(a).cast("double"), col(b).cast("double"))
-      val both = x.isNotNull && y.isNotNull
+      // pairwise-complete masks: stddev_samp already ignores nulls of its
+      // own input, so masking each side by the OTHER side's presence is
+      // enough — one comparison per row instead of two
       Seq(
         covar_samp(x, y),
-        stddev_samp(when(both, x)),
-        stddev_samp(when(both, y)))
+        stddev_samp(when(y.isNotNull, x)),
+        stddev_samp(when(x.isNotNull, y)))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     pairs.zipWithIndex.map { case (p, i) =>
