@@ -704,7 +704,13 @@ object SparkEntry {
       val e = rt(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
-      Similarity.ivfTopK(e, "vec_id", "embedding", q, 10, nlist = 8, nprobe = 2)
+      // fit → JSON round-trip → apply: the oracle gate also proves the
+      // persistence path (Double.toString is shortest-round-trip, so the
+      // loaded model is bit-identical)
+      val m = Similarity.IvfModel.fromJsonString(
+        Similarity.ivfFit(e, "embedding", nlist = 8).toJsonString)
+      Similarity.ivfTopK(e, "vec_id", "embedding", q, 10, m,
+        nprobe = 2, forceBroadcastAssign = false)
     }),
     // Auxiliary centroid dump: the sim_ivf oracle replays cell assignment,
     // probing, and exact top-k in DuckDB over THESE centroids (k-means
@@ -748,9 +754,13 @@ object SparkEntry {
     // Embedding-space outliers at z > 1.5 (the synthetic corpus is fairly
     // uniform, so 3σ flags almost nothing at sf0.01); oracle replays the
     // distance/z filter from the sim_outlier_stats aux dump.
-    "sim_outliers" -> ((s, dir) =>
-      Similarity.embeddingOutliers(rt(s, dir, "embeddings"),
-        "vec_id", "embedding", z = 1.5)),
+    "sim_outliers" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      // fit → JSON round-trip → apply (see sim_ivf)
+      val st = Similarity.OutlierStats.fromJsonString(
+        Similarity.embeddingOutlierStats(e, "embedding").toJsonString)
+      Similarity.embeddingOutliers(e, "vec_id", "embedding", z = 1.5, stats = st)
+    }),
     "sim_outlier_stats" -> ((s, dir) => {
       import s.implicits._
       val st = Similarity.embeddingOutlierStats(rt(s, dir, "embeddings"), "embedding")
@@ -790,7 +800,9 @@ object SparkEntry {
     // (components at in_pos ≥ 0, per-component offsets μ·w at in_pos = -1).
     "sim_pca" -> ((s, dir) => {
       val e = rt(s, dir, "embeddings")
-      val m = Similarity.pcaFit(e, "embedding", 8, inDim = 64)
+      // fit → JSON round-trip → apply (see sim_ivf)
+      val m = Similarity.PcaModel.fromJsonString(
+        Similarity.pcaFit(e, "embedding", 8, inDim = 64).toJsonString)
       Similarity.pcaProject(e, "embedding", m)
         .select(col("vec_id"), col("embedding_pca"))
         .select(col("vec_id"), posexplode(col("embedding_pca")).as(Seq("pos", "value")))

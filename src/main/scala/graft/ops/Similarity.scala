@@ -639,6 +639,48 @@ object Similarity {
     }
   }
 
+  /** Fitted IVF coarse quantizer: the trained centroid table, JSON-
+    * persistable like [[PcaModel]] / [[OutlierStats]] — train once on the
+    * cluster ([[ivfFit]]), save, and load for apply-only cell assignment
+    * and probing anywhere ([[assignCells]], [[ivfTopK]]). */
+  final case class IvfModel(centroids: Seq[Seq[Double]]) {
+    def nlist: Int = centroids.length
+    def dim: Int = if (centroids.isEmpty) 0 else centroids.head.length
+    def toJsonString: String = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.compact(JsonMethods.render(JObject(
+        "version" -> JInt(1),
+        "centroids" -> JArray(centroids.map(c =>
+          JArray(c.map(JDouble(_)).toList)).toList))))
+    }
+    def save(path: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), toJsonString)
+  }
+
+  object IvfModel {
+    def fromJsonString(json: String): IvfModel = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val o = JsonMethods.parse(json)
+      IvfModel((o \ "centroids").asInstanceOf[JArray].arr.map(row =>
+        row.asInstanceOf[JArray].arr.map(_.asInstanceOf[JDouble].num)))
+    }
+    def load(path: String): IvfModel =
+      fromJsonString(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+  }
+
+  /** [[ivfCentroids]] packaged as a persistable [[IvfModel]]. */
+  def ivfFit(
+      df: DataFrame,
+      embCol: String,
+      nlist: Int,
+      seed: Long = 42L,
+      maxIter: Int = 5,
+      maxTrainRows: Long = 100000L,
+  ): IvfModel =
+    IvfModel(ivfCentroids(df, embCol, nlist, seed, maxIter, maxTrainRows))
+
   /** IVF coarse quantizer: k-means (Lloyd) centroids over the embedding
     * column, written directly against the DataFrame API — each iteration is
     * one narrow cell-assignment projection + one aggregate (64 per-dimension
@@ -795,8 +837,24 @@ object Similarity {
       nprobe: Int = 2,
       seed: Long = 42L,
       forceBroadcastAssign: Boolean = false,
+  ): DataFrame =
+    ivfTopK(df, idCol, embCol, query, k,
+      ivfFit(df, embCol, nlist, seed), nprobe, forceBroadcastAssign)
+
+  /** Apply-only [[ivfTopK]] against an already-fitted (possibly loaded)
+    * [[IvfModel]] — no training pass; the search itself is one narrow
+    * assignment + filter + TakeOrdered. */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: Seq[Double],
+      k: Int,
+      model: IvfModel,
+      nprobe: Int,
+      forceBroadcastAssign: Boolean,
   ): DataFrame = {
-    val cents = ivfCentroids(df, embCol, nlist, seed)
+    val cents = model.centroids
     val probed = cents.zipWithIndex
       .map { case (c, i) =>
         (c.zip(query).foldLeft(0.0) { case (acc, (x, y)) => acc + (y - x) * (y - x) }, i)

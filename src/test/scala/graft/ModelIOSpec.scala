@@ -81,6 +81,45 @@ class ModelIOSpec extends SparkSpec {
         """{"version":1,"steps":[{"name":"x","conf":{"type":"NoSuchThing"}}]}""")
   }
 
+  test("fitted ops artifacts (IVF, PCA, outlier stats) round-trip through files") {
+    import graft.ops.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ops_models")
+
+    // IVF: centroids survive exactly; apply-only search over the loaded
+    // model equals the fit-inline search
+    val ivf = Similarity.ivfFit(e, "embedding", nlist = 4)
+    ivf.save(s"$dir/ivf.json")
+    val ivf2 = Similarity.IvfModel.load(s"$dir/ivf.json")
+    ivf2 shouldBe ivf
+    val q = e.select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+    val direct = Similarity.ivfTopK(e, "vec_id", "embedding", q, 5, ivf,
+      nprobe = 2, forceBroadcastAssign = false).collect().map(_.getLong(0)).toSeq
+    val viaLoad = Similarity.ivfTopK(e, "vec_id", "embedding", q, 5, ivf2,
+      nprobe = 2, forceBroadcastAssign = false).collect().map(_.getLong(0)).toSeq
+    viaLoad shouldBe direct
+
+    // PCA: model fields survive exactly; loaded projection is identical
+    val pca = Similarity.pcaFit(e, "embedding", 3, inDim = 64)
+    pca.save(s"$dir/pca.json")
+    val pca2 = Similarity.PcaModel.load(s"$dir/pca.json")
+    pca2 shouldBe pca
+    val p1 = Similarity.pcaProject(e, "embedding", pca).select("embedding_pca")
+    val p2 = Similarity.pcaProject(e, "embedding", pca2).select("embedding_pca")
+    p1.exceptAll(p2).count() shouldBe 0
+
+    // Outlier stats: loaded filter flags the same rows
+    val st = Similarity.embeddingOutlierStats(e, "embedding")
+    st.save(s"$dir/outliers.json")
+    val st2 = Similarity.OutlierStats.load(s"$dir/outliers.json")
+    st2 shouldBe st
+    val o1 = Similarity.embeddingOutliers(e, "vec_id", "embedding", 1.5, st)
+      .collect().map(_.getLong(0)).toSet
+    val o2 = Similarity.embeddingOutliers(e, "vec_id", "embedding", 1.5, st2)
+      .collect().map(_.getLong(0)).toSet
+    o2 shouldBe o1
+  }
+
   test("every transformer in the persistence registry round-trips and transforms identically") {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(
