@@ -155,9 +155,15 @@ object TextOps {
     * (map-side partial), one anti-join of the exploded lines against the
     * (small — boilerplate is by definition rare as a fraction of distinct
     * lines) common set, one per-doc reassembly aggregate, one join back to
-    * the input for the non-text columns. At extreme corpus scale swap the
-    * line join keys for 128-bit hashes to shrink shuffle width; keys stay
-    * exact here so removal can never false-positive. */
+    * the input for the non-text columns.
+    *
+    * `hashKeys = true` is the extreme-scale mode: the doc-freq aggregate
+    * and the anti-join key on `xxhash64(line)` instead of the line string,
+    * so aggregate state and shuffle keys are 8 bytes regardless of line
+    * length. The trade is a documented false-positive chance: two distinct
+    * lines colliding merge their document frequencies (expected colliding
+    * pairs ≈ V²/2⁶⁵ for V distinct lines — about 0.003 at V = 10⁹), which
+    * can only remove MORE lines, never fewer. Default stays exact. */
   def removeCommonLines(
       df: DataFrame,
       idCol: String,
@@ -165,16 +171,19 @@ object TextOps {
       sepRegex: String = "\n",
       joinSep: String = "\n",
       maxDocFreq: Long = 1L,
+      hashKeys: Boolean = false,
   ): DataFrame = {
     graft.core.Validators.requireColumns(df, Seq(idCol, textCol))
     require(maxDocFreq >= 1L, "maxDocFreq must be >= 1")
     val lines = df.select(col(idCol).as("__graft_id"),
       posexplode(split(col(textCol), sepRegex)).as(Seq("__graft_pos", "__graft_ln")))
-    val common = lines.select("__graft_ln", "__graft_id").distinct()
-      .groupBy("__graft_ln").agg(count(lit(1)).as("__graft_df"))
+      .withColumn("__graft_k",
+        if (hashKeys) xxhash64(col("__graft_ln")) else col("__graft_ln"))
+    val common = lines.select("__graft_k", "__graft_id").distinct()
+      .groupBy("__graft_k").agg(count(lit(1)).as("__graft_df"))
       .filter(col("__graft_df") > maxDocFreq)
-      .select("__graft_ln")
-    val rebuilt = lines.join(common, Seq("__graft_ln"), "left_anti")
+      .select("__graft_k")
+    val rebuilt = lines.join(common, Seq("__graft_k"), "left_anti")
       .groupBy("__graft_id")
       .agg(array_join(
         transform(
@@ -201,9 +210,13 @@ object TextOps {
     * Shuffle profile mirrors [[removeCommonLines]]: gram doc-freq
     * aggregate, semi-join of gram starts against the common set, one
     * distinct over covered (doc, position) pairs, anti-join of the token
-    * rows, per-doc reassembly, join back. Gram keys stay exact strings so
-    * removal can never false-positive; swap in 128-bit hashes to shrink
-    * shuffle width at extreme corpus scale. */
+    * rows, per-doc reassembly, join back.
+    *
+    * `hashKeys = true` keys the gram doc-freq aggregate and semi-join on
+    * `xxhash64(gram)` — 8 bytes of aggregate state per distinct n-gram at
+    * 100 TB instead of the n-token string. Collisions (expected pairs ≈
+    * V²/2⁶⁵) can only mark MORE spans common, never fewer; the default
+    * stays exact so removal can never false-positive. */
   def removeRepeatedSpans(
       df: DataFrame,
       idCol: String,
@@ -211,6 +224,7 @@ object TextOps {
       n: Int = 13,
       maxDocFreq: Long = 1L,
       joinSep: String = " ",
+      hashKeys: Boolean = false,
   ): DataFrame = {
     graft.core.Validators.requireColumns(df, Seq(idCol, textCol))
     require(n >= 1, "n must be >= 1")
@@ -223,11 +237,13 @@ object TextOps {
           sequence(lit(0), size(col("__graft_w")) - n),
           q => array_join(slice(col("__graft_w"), q + 1, lit(n)), " ")))
           .as(Seq("__graft_q", "__graft_g")))
-    val common = grams.select("__graft_g", "__graft_id").distinct()
-      .groupBy("__graft_g").agg(count(lit(1)).as("__graft_df"))
+      .withColumn("__graft_k",
+        if (hashKeys) xxhash64(col("__graft_g")) else col("__graft_g"))
+    val common = grams.select("__graft_k", "__graft_id").distinct()
+      .groupBy("__graft_k").agg(count(lit(1)).as("__graft_df"))
       .filter(col("__graft_df") > maxDocFreq)
-      .select("__graft_g")
-    val covered = grams.join(common, Seq("__graft_g"), "left_semi")
+      .select("__graft_k")
+    val covered = grams.join(common, Seq("__graft_k"), "left_semi")
       .select(col("__graft_id"),
         explode(sequence(col("__graft_q"), col("__graft_q") + (n - 1))).as("__graft_p"))
       .distinct()

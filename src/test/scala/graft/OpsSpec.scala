@@ -1021,6 +1021,39 @@ class OpsSpec extends SparkSpec {
       .filter(col("doc_id") === 3L).head().getString(1) shouldBe "all rights reserved"
   }
 
+  test("hash-keyed line/span dedup matches exact mode; removals only ever grow") {
+    // real corpus slice: collision-free at this scale, so hash mode must be
+    // byte-identical to exact mode for BOTH ops
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exactLines = rows(TextOps.removeCommonLines(d, "doc_id", "text", sepRegex = " ",
+      joinSep = " ", maxDocFreq = 3L))
+    val hashLines = rows(TextOps.removeCommonLines(d, "doc_id", "text", sepRegex = " ",
+      joinSep = " ", maxDocFreq = 3L, hashKeys = true))
+    hashLines shouldBe exactLines
+    val exactSpans = rows(TextOps.removeRepeatedSpans(d, "doc_id", "text",
+      n = 2, maxDocFreq = 3L))
+    val hashSpans = rows(TextOps.removeRepeatedSpans(d, "doc_id", "text",
+      n = 2, maxDocFreq = 3L, hashKeys = true))
+    hashSpans shouldBe exactSpans
+    // containment property: anything exact mode removes, hash mode removes
+    // too (collisions merge doc frequencies — they can only ADD removals).
+    // Checked per token multiset: hash-mode survivors ⊆ exact-mode survivors.
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"header common to all\nbody $i stays\nfooter ${i % 4}"))
+      .toDF("doc_id", "text")
+    val ex = rows(TextOps.removeCommonLines(docs, "doc_id", "text"))
+    val hs = rows(TextOps.removeCommonLines(docs, "doc_id", "text", hashKeys = true))
+    ex.keySet shouldBe hs.keySet
+    ex.foreach { case (id, t) =>
+      val exSurv = t.split("\n").filter(_.nonEmpty).toSet
+      val hsSurv = hs(id).split("\n").filter(_.nonEmpty).toSet
+      assert(hsSurv.subsetOf(exSurv), s"doc $id: hash mode kept a line exact mode removed")
+    }
+  }
+
   test("repetition kernel is bit-identical to the HOF fallback on real docs") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
