@@ -911,6 +911,26 @@ object SparkEntry {
         .withColumn("fp", TextOps.fingerprint(col("text")))
       StreamingOps.dedupByContent(d, Seq("fp"), "doc_id")
     }),
+    // MinHash-banded near-dup ingest dedup, batch-replay form: a doc
+    // survives iff it holds the smallest doc_id on EVERY one of its LSH
+    // band keys. The oracle replays the first-wins rule over the exported
+    // band-key table (xxhash64 chains have no DuckDB equivalent).
+    "stream_neardup_dedup" -> ((s, dir) =>
+      StreamingOps.dedupNearDups(
+        rt(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", "doc_id")),
+    // Aux dump backing the stream_neardup_dedup oracle: one row per
+    // (doc, band) with the band's chained hash, from the same kernels.
+    "stream_neardup_keys" -> ((s, dir) => {
+      val d = rt(s, dir, "documents").select("doc_id", "text")
+      d.withColumn("__graft_sig",
+        graft.ops.Dedup.minhashSigFor(d, col("text"), 3, 64))
+        .filter(col("__graft_sig").isNotNull)
+        .select(col("doc_id"),
+          explode(graft.ops.Dedup.bandKeyStructs(col("__graft_sig"), 64, 8)).as("bh"))
+        .select(col("doc_id"), col("bh.band").as("band"),
+          col("bh.band_hash").as("band_hash"))
+    }),
     "events_json_extract" -> ((s, dir) =>
       rtEvents(s, dir).select(
         col("event_id"),
@@ -1922,6 +1942,18 @@ object SparkEntry {
         |SELECT f.doc_id, f.text, f.fp
         |FROM f JOIN k ON f.fp IS NOT DISTINCT FROM k.fp
         |            AND f.doc_id = k.doc_id""".stripMargin,
+    // first-wins-on-every-band replay over the exported band-key table;
+    // docs with no band rows (no shingles) are kept
+    "stream_neardup_dedup" ->
+      """WITH k AS (SELECT * FROM read_parquet('{GRAFT_OUT}/stream_neardup_keys/*.parquet')),
+        |     m AS (SELECT band, band_hash, min(doc_id) AS first_id
+        |           FROM k GROUP BY band, band_hash),
+        |     dropped AS (SELECT DISTINCT k.doc_id
+        |                 FROM k JOIN m USING (band, band_hash)
+        |                 WHERE k.doc_id <> m.first_id)
+        |SELECT d.doc_id, d.text
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
     "events_json_extract" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

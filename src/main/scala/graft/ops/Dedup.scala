@@ -492,6 +492,32 @@ object Dedup {
        else sigFromGs(col("gs"), numHashes)).as("sig"))
   }
 
+  /** Minhash signature column for banded consumers outside this file (the
+    * streaming near-dup ingest dedup): NULL for docs with no shingles —
+    * callers route those to a per-doc unique key. Native kernel when
+    * installed, HOF fallback otherwise; bit-identical either way. */
+  private[graft] def minhashSigFor(
+      df: DataFrame, text: Column, n: Int, numHashes: Int): Column = {
+    val gs = shingleHashesFor(df, text, n)
+    val sig =
+      if (nativeFnsAvailable(df))
+        call_function(graft.functions.TilePairs.MinhashName, gs, lit(numHashes))
+      else sigFromGs(gs, numHashes)
+    when(size(gs) > 0, sig)
+  }
+
+  /** (band, band_hash) structs from a MATERIALIZED signature column —
+    * xxhash64-chained exactly like [[bandedSignatures]], so keys agree
+    * with every batch LSH path in this file. */
+  private[graft] def bandKeyStructs(sig: Column, numHashes: Int, bands: Int): Column = {
+    val rowsPerBand = numHashes / bands
+    array((0 until bands).map { b =>
+      val members = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(k => element_at(sig, k + 1))
+      struct(lit(b).as("band"), xxhash64(members: _*).as("band_hash"))
+    }: _*)
+  }
+
   /** Exact-dup groups + once-computed rep features for one corpus side.
     * `feats` is lazily checkpointed: both the cross-corpus filter and the
     * intra-batch clustering of [[dedupAgainstCorpus]] (and the multiple

@@ -116,6 +116,91 @@ object StreamingOps {
       df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
     } else graft.ops.Dedup.exact(df, keyCols, tieCol)
 
+  /** Near-duplicate ingest dedup — the MinHash-banded extension of
+    * [[dedupByContent]]: a document is kept only when it is the FIRST
+    * holder of EVERY one of its LSH band keys (numHashes/bands consecutive
+    * minhashes per band, xxhash64-chained through Dedup's signature
+    * kernels). An exact duplicate collides on all bands and is always
+    * dropped; a near-duplicate at Jaccard J collides on a band with
+    * probability 1 − (1 − J^(numHashes/bands))^bands (≈ 0.96 at J = 0.8
+    * with the 64/8 defaults), and any collision drops it. Dropped
+    * documents still REGISTER their remaining bands, so chains (C near-dup
+    * of B, B near-dup of A) are cut conservatively. Documents with no
+    * shingles get a per-doc unique key and pass through.
+    *
+    * Streaming: watermarked per-(band, hash) first-arrival state
+    * (`dropDuplicatesWithinWatermark`) chained into a windowed per-doc
+    * count — Spark's multi-stateful-operator append mode. A kept document
+    * emits once its `emitWindow` closes under the watermark; state is one
+    * entry per distinct band key within the horizon. Caveat: two copies
+    * arriving in the SAME micro-batch race per band (no intra-batch order),
+    * so a same-batch duplicate pair can lose different bands and BOTH drop
+    * — at ingest granularity duplicates usually span batches, and the
+    * batch path below is the deterministic form.
+    *
+    * Batch: the exact replay — keep a doc iff it holds the minimal
+    * `tieCol` on every one of its band keys (tie values should be unique,
+    * as in [[graft.ops.Dedup.exact]]); arrival order becomes tie order. */
+  def dedupNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tieCol: String,
+      tsCol: String = "",
+      watermark: String = "1 hour",
+      emitWindow: String = "1 minute",
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 8,
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    import graft.ops.Dedup
+    val payloadCols = df.columns.toSeq
+    if (df.isStreaming) {
+      require(tsCol.nonEmpty,
+        "dedupNearDups on a stream needs tsCol (the watermark column)")
+      val wm = df.withWatermark(tsCol, watermark)
+      val withSig = wm.withColumn("__graft_sig",
+        Dedup.minhashSigFor(wm, col(textCol), n, numHashes))
+      val keyArr = when(col("__graft_sig").isNotNull,
+        Dedup.bandKeyStructs(col("__graft_sig"), numHashes, bands))
+        .otherwise(array(struct(lit(-1).as("band"), xxhash64(col(idCol)).as("band_hash"))))
+      val exploded = withSig
+        .withColumn("__graft_nb", size(keyArr))
+        .select(col(tsCol), col(idCol).as("__graft_id"), col("__graft_nb"),
+          explode(keyArr).as("__graft_bh"),
+          struct(payloadCols.map(col): _*).as("__graft_row"))
+        .select(col(tsCol), col("__graft_id"), col("__graft_nb"),
+          col("__graft_bh.band").as("__graft_band"),
+          col("__graft_bh.band_hash").as("__graft_hash"), col("__graft_row"))
+      exploded
+        .dropDuplicatesWithinWatermark("__graft_band", "__graft_hash")
+        .groupBy(window(col(tsCol), emitWindow), col("__graft_id"))
+        .agg(count(lit(1)).as("__graft_won"),
+          first(col("__graft_nb")).as("__graft_nb"),
+          first(col("__graft_row")).as("__graft_row"))
+        .filter(col("__graft_won") === col("__graft_nb"))
+        .select(col("__graft_row.*"))
+    } else {
+      val withSig = df.withColumn("__graft_sig",
+        Dedup.minhashSigFor(df, col(textCol), n, numHashes))
+      val keyed = withSig
+        .filter(col("__graft_sig").isNotNull)
+        .select(col(idCol).as("__graft_id"), col(tieCol).as("__graft_tie"),
+          explode(Dedup.bandKeyStructs(col("__graft_sig"), numHashes, bands))
+            .as("__graft_bh"))
+        .select(col("__graft_id"), col("__graft_tie"),
+          col("__graft_bh.band").as("__graft_band"),
+          col("__graft_bh.band_hash").as("__graft_hash"))
+      val firsts = keyed.groupBy("__graft_band", "__graft_hash")
+        .agg(min(col("__graft_tie")).as("__graft_min"))
+      val dropped = keyed.join(firsts, Seq("__graft_band", "__graft_hash"))
+        .filter(col("__graft_tie") =!= col("__graft_min"))
+        .select("__graft_id").distinct()
+      df.join(dropped, col(idCol) === col("__graft_id"), "left_anti")
+    }
+  }
+
   /** Typed JSON property extraction from a string payload column — the
     * enrichment step of an event pipeline (codegen'd get_json_object, no
     * UDF). */

@@ -213,6 +213,51 @@ class StreamingSpec extends SparkSpec {
     batch.collect().map(_.getLong(0)).toSet shouldBe Set(3L, 5L)
   }
 
+  test("dedupNearDups drops banded near-dups across micro-batches; batch replay agrees") {
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val docA = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val docB = "completely unrelated text about distributed query engines and shuffles"
+    // near-dup of A: one word changed — high character-3-gram Jaccard
+    val docA2 = "the quick brown fox jumps over the lazy cat near the riverbank today"
+    mem.addData((1L, ts(0), docA), (2L, ts(1), docB))
+    val out = StreamingOps.dedupNearDups(
+      mem.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "doc_id",
+      tsCol = "ts", watermark = "5 minutes", emitWindow = "1 minute")
+    val q = out.writeStream.format("memory")
+      .queryName("stream_neardup").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: an exact re-send of A (all bands collide → always dropped),
+      // the near-dup of A, and a fresh doc; later event times advance the
+      // watermark so batch-1 windows finalize
+      mem.addData((3L, ts(20), docA), (4L, ts(21), docA2),
+        (5L, ts(22), "yet another entirely novel piece of text about volcanoes"))
+      q.processAllAvailable()
+      // batch 3: far-future heartbeat flushes the batch-2 windows
+      mem.addData((99L, ts(59), "final heartbeat document to advance the watermark"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_neardup").collect().map(_.getLong(0)).toSet
+    streamed should contain allOf (1L, 2L, 5L)
+    streamed should not contain 3L // exact dup of doc 1
+    // the batch replay over the same rows (tie = arrival order = doc_id)
+    // must agree doc-for-doc, including the near-dup verdict on doc 4
+    val allRows = Seq((1L, ts(0), docA), (2L, ts(1), docB), (3L, ts(20), docA),
+      (4L, ts(21), docA2), (5L, ts(22), "yet another entirely novel piece of text about volcanoes"),
+      (99L, ts(59), "final heartbeat document to advance the watermark"))
+      .toDF("doc_id", "ts", "text")
+    val batch = StreamingOps.dedupNearDups(
+      allRows, "doc_id", "text", "doc_id").collect().map(_.getLong(0)).toSet
+    // the heartbeat (99) is kept by the batch rule but its stream window
+    // never closed — everything that did flush must agree doc-for-doc
+    batch shouldBe streamed + 99L
+    // a doc too short to shingle passes through (unique per-doc key)
+    StreamingOps.dedupNearDups(
+      Seq((1L, ts(0), "ab"), (2L, ts(1), "ab")).toDF("doc_id", "ts", "text"),
+      "doc_id", "text", "doc_id").count() shouldBe 2L
+  }
+
   test("redactPii and chunkTokens compose onto a stream (narrow + generator)") {
     val mem = MemoryStream[(Long, String)]
     mem.addData(
