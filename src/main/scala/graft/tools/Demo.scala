@@ -92,6 +92,16 @@ object Demo {
       .agg(max(col("session_id"))).head().getLong(0)} max sessions for one user")
     println(s"rolling: ${graft.ops.Relational.rollingFeatures(ev, Seq("user_id"), "ts",
       "value", Seq("1h" -> 3600000000L)).filter(col("n_1h") > 1).count()} rows with 1h neighbors")
+    println(s"rolling salted: ${graft.ops.Relational.rollingFeaturesSalted(ev, Seq("user_id"),
+      "ts", "value", Seq("1h" -> 3600000000L), bucketWidth = 3600000000L)
+      .filter(col("n_1h") > 1).count()} rows with 1h neighbors (hot-key bucketed)")
+    println(s"neardup ingest dedup: ${graft.streaming.StreamingOps.dedupNearDups(
+      docs.select("doc_id", "text"), "doc_id", "text", "doc_id").count()} " +
+      s"of ${docs.count()} docs survive banded first-wins")
+    val ivf = graft.ops.Similarity.ivfFit(embs, "embedding", 8)
+    val ivfLoaded = graft.ops.Similarity.IvfModel.fromJsonString(ivf.toJsonString)
+    println(s"ivf model: ${ivfLoaded.nlist} cells x ${ivfLoaded.dim} dims; " +
+      s"JSON round-trip exact: ${ivfLoaded == ivf}")
     println(s"range join: ${graft.ops.Relational.rangeJoin(
       ev.select(col("event_id"), col("ts")),
       ev.groupBy(col("user_id")).agg(min(col("ts")).as("s"), max(col("ts")).as("e")),

@@ -201,6 +201,25 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: salted rolling features equal the plain formulation at any bucket width") {
+    val evGen = Gen.listOfN(25,
+      Gen.zip(Gen.oneOf(1L, 2L, 3L), Gen.choose(0L, 500L), Gen.choose(-5L, 20L)))
+      .map(_.zipWithIndex.map { case ((u, t, v), i) => (i.toLong, u, t, v) })
+    // widths below, at, and above the spans — including one small enough to
+    // need multiple ghost buckets per event
+    val widthGen = Gen.oneOf(7L, 50L, 100L, 400L)
+    check(Prop.forAll(evGen, widthGen) { (rows, width) =>
+      val df = rows.toDF("eid", "user", "t", "v")
+      val spans = Seq("a" -> 25L, "b" -> 120L)
+      def key(d: org.apache.spark.sql.DataFrame) = d.collect().map(r =>
+        (r.getLong(0), r.getLong(r.fieldIndex("n_a")), r.getLong(r.fieldIndex("sum_a")),
+          r.getLong(r.fieldIndex("n_b")), r.getLong(r.fieldIndex("sum_b")))).toSet
+      key(graft.ops.Relational.rollingFeaturesSalted(
+        df, Seq("user"), "t", "v", spans, width)) ==
+        key(graft.ops.Relational.rollingFeatures(df, Seq("user"), "t", "v", spans))
+    })
+  }
+
   test("property: looMeanEncode matches the direct leave-one-out computation") {
     val gen = Gen.listOfN(18, Gen.zip(Gen.oneOf("a", "b", "c"),
       Gen.option(Gen.choose(-50L, 50L))))
