@@ -923,8 +923,7 @@ object SparkEntry {
     // (doc, band) with the band's chained hash, from the same kernels.
     "stream_neardup_keys" -> ((s, dir) => {
       val d = rt(s, dir, "documents").select("doc_id", "text")
-      d.withColumn("__graft_sig",
-        graft.ops.Dedup.minhashSigFor(d, col("text"), 3, 64))
+      graft.ops.Dedup.withMinhashSig(d, col("text"), 3, 64, "__graft_sig")
         .filter(col("__graft_sig").isNotNull)
         .select(col("doc_id"),
           explode(graft.ops.Dedup.bandKeyStructs(col("__graft_sig"), 64, 8)).as("bh"))

@@ -40,7 +40,13 @@ import org.apache.spark.util.LongAccumulator
 object BucketCap {
 
   /** Session-conf key: "true" → an over-cap bucket throws instead of being
-    * dropped and counted. */
+    * dropped and counted.
+    *
+    * CONSTRUCTION-TIME BINDING: the conf is read when an operator BUILDS
+    * its DataFrame, not when the frame executes — toggling it later has no
+    * effect on already-constructed frames (a built strict frame keeps
+    * throwing, a built counting frame keeps counting). Set the conf before
+    * calling the dedup/similarity op, or rebuild the query after toggling. */
   val StrictConfKey = "graft.bucketCap.strict"
 
   private case class Accs(buckets: LongAccumulator, members: LongAccumulator)
@@ -48,16 +54,31 @@ object BucketCap {
   // last totals already WARNed per (context, op), so the listener only
   // logs when an action actually grew the counters
   private val warnedAt = new ConcurrentHashMap[(SparkContext, String), (Long, Long)]()
+
+  /** Drop registry entries of stopped SparkContexts — without this the
+    * strong (context, op) keys would pin every cycled context's object
+    * graph for the JVM lifetime (test suites, notebook servers). Called on
+    * the registration path, so a long-lived JVM is bounded by its LIVE
+    * contexts' op set. (`sessions` needs no pruning: weak keys.) */
+  private def pruneStopped(): Unit = {
+    val it = accs.keySet.iterator()
+    while (it.hasNext) {
+      val key = it.next()
+      if (key._1.isStopped) { it.remove(); warnedAt.remove(key) }
+    }
+  }
   private val sessions = java.util.Collections.newSetFromMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  private def accsFor(spark: SparkSession, op: String): Accs =
+  private def accsFor(spark: SparkSession, op: String): Accs = {
+    pruneStopped()
     accs.computeIfAbsent((spark.sparkContext, op), { case (sc, o) =>
       Accs(
         sc.longAccumulator(s"graft.bucketCap.$o.droppedBuckets"),
         sc.longAccumulator(s"graft.bucketCap.$o.droppedMembers"))
     })
+  }
 
   /** (droppedBuckets, droppedMembers) total for `op` on this session's
     * context since startup/[[reset]] — (0, 0) when nothing was ever

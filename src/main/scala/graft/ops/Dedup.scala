@@ -492,18 +492,29 @@ object Dedup {
        else sigFromGs(col("gs"), numHashes)).as("sig"))
   }
 
-  /** Minhash signature column for banded consumers outside this file (the
-    * streaming near-dup ingest dedup): NULL for docs with no shingles —
+  /** Adds a minhash signature column for banded consumers outside this file
+    * (the streaming near-dup ingest dedup): NULL for docs with no shingles —
     * callers route those to a per-doc unique key. Native kernel when
-    * installed, HOF fallback otherwise; bit-identical either way. */
-  private[graft] def minhashSigFor(
-      df: DataFrame, text: Column, n: Int, numHashes: Int): Column = {
-    val gs = shingleHashesFor(df, text, n)
+    * installed, HOF fallback otherwise; bit-identical either way.
+    *
+    * DataFrame-in/DataFrame-out (not a bare Column) so the shingle-hash
+    * array lands in its OWN projection first: the signature expression
+    * references `gs` twice (size guard + per-hash min), and in the HOF
+    * fallback it sits inside a ×numHashes lambda — an un-materialized `gs`
+    * would re-shingle the full text per hash. CollapseProject keeps the
+    * split because the array is non-cheap and multiply-referenced (the same
+    * guarantee [[distinctFeats]] builds on). */
+  private[graft] def withMinhashSig(
+      df: DataFrame, text: Column, n: Int, numHashes: Int, outCol: String): DataFrame = {
+    val gsCol = "__graft_sig_gs"
+    val withGs = df.withColumn(gsCol, shingleHashesFor(df, text, n))
     val sig =
       if (nativeFnsAvailable(df))
-        call_function(graft.functions.TilePairs.MinhashName, gs, lit(numHashes))
-      else sigFromGs(gs, numHashes)
-    when(size(gs) > 0, sig)
+        call_function(graft.functions.TilePairs.MinhashName, col(gsCol), lit(numHashes))
+      else sigFromGs(col(gsCol), numHashes)
+    withGs
+      .withColumn(outCol, when(size(col(gsCol)) > 0, sig))
+      .drop(gsCol)
   }
 
   /** (band, band_hash) structs from a MATERIALIZED signature column —
@@ -572,11 +583,33 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 32,
       shingleSize: Int = 3,
-      estThreshold: Double = 0.5625,
+      estThreshold: Double = DefaultEstThreshold,
       maxBucketSize: Int = 100000,
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val sigDf = docSignatures(df, idCol, textCol, shingleSize, numHashes)
+    estCandidatePairs(sigDf, numHashes, bands, estThreshold, maxBucketSize,
+      "minhashCandidates")
+  }
+
+  /** Default inline-estimate cut for LSH candidate generation: 36/64 —
+    * rejects a true-0.8 pair with p ≈ 1e-6 at 64 hashes (σ ≈ 0.05). */
+  val DefaultEstThreshold: Double = 0.5625
+
+  /** The est-filtered LSH candidate pipeline shared by [[minhashCandidates]]
+    * and [[minhashDedupPairs]]' general-vocabulary path: band a (id, sig)
+    * frame, cap buckets (counted/WARNed under `opName` — the op the USER
+    * called, so [[BucketCap.drops]] polled by that name sees the drops
+    * whichever internal path ran), expand with the inline minhash Jaccard
+    * estimate, emit distinct (id_a, id_b). */
+  private def estCandidatePairs(
+      sigDf: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      estThreshold: Double,
+      maxBucketSize: Int,
+      opName: String,
+  ): DataFrame = {
     val banded = bandedSignatures(sigDf, numHashes, bands, Seq("sig"))
     val estMin = math.ceil(estThreshold * numHashes).toInt
     val est: (Column, Column) => Column = (x, y) =>
@@ -588,10 +621,10 @@ object Dedup {
       banded
         .groupBy("band", "band_hash")
         .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs")),
-      maxBucketSize, "minhashCandidates")
+      maxBucketSize, opName)
     val keys = Seq(col("band"), col("band_hash"))
     val expanded =
-      if (nativeTilePairsAvailable(df))
+      if (nativeTilePairsAvailable(sigDf))
         expandBucketsNative(
           buckets, keys, graft.functions.TilePairs.SigEstName, lit(estMin))
       else
@@ -705,34 +738,11 @@ object Dedup {
         .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.j").as("jaccard"))
         .dropDuplicates("id_a", "id_b")
     case None =>
-      // est-filtered candidates from the stored signatures, then exact
-      // verify over the stored shingle arrays
-      val banded = bandedSignatures(feats.select(col("id"), col("sig")),
-        numHashes, bands, Seq("sig"))
-      val estMin = math.ceil(0.5625 * numHashes).toInt
-      val est: (Column, Column) => Column = (x, y) =>
-        aggregate(
-          zip_with(x("sig"), y("sig"), (a, b) => (a === b).cast("int")),
-          lit(0),
-          (acc, v) => acc + v)
-      val buckets = BucketCap.capped(
-        banded
-          .groupBy("band", "band_hash")
-          .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs")),
-        maxBucketSize, "minhashCandidates")
-      val keys = Seq(col("band"), col("band_hash"))
-      val expanded =
-        if (nativeTilePairsAvailable(feats))
-          expandBucketsNative(
-            buckets, keys, graft.functions.TilePairs.SigEstName, lit(estMin))
-        else
-          expandBuckets(
-            buckets, keys,
-            (x, y) => est(x, y) >= estMin,
-            (x, y) => struct(x("id").as("a"), y("id").as("b")))
-      val cands = expanded
-        .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-        .dropDuplicates("id_a", "id_b")
+      // est-filtered candidates from the stored signatures (the shared
+      // [[estCandidatePairs]] pipeline — drop counters under THIS op's
+      // name), then exact verify over the stored shingle arrays
+      val cands = estCandidatePairs(feats.select(col("id"), col("sig")),
+        numHashes, bands, DefaultEstThreshold, maxBucketSize, "minhashDedupPairs")
       val needed = cands
         .select(explode(array(col("id_a"), col("id_b"))).as("id"))
         .distinct()

@@ -422,15 +422,17 @@ object Relational {
     graft.core.Validators.requireColumns(df, keyCols ++ Seq(tsCol, valueCol))
     graft.core.Validators.requireColumnsAbsent(df,
       spans.flatMap { case (sfx, _) => Seq(s"n_$sfx", s"sum_$sfx") }, "rollingFeaturesSalted")
-    // floor-division bucket ids via double floor (same monotonicity note as
-    // rangeJoin: exact below 2^53 micros, monotone above — and the frame
-    // itself re-checks nothing because every in-range event has exactly one
-    // copy in the partition by construction)
+    // EXACT long floor-division bucket ids ((t − pmod(t, w)) div w — correct
+    // for negative ticks too; `div` is IntegralDivide, so the arithmetic
+    // never leaves LongType — Spark's `/` would cast to double and lose
+    // exactness above 2^53). Unlike rangeJoin, nothing downstream re-checks
+    // an exact predicate here — a misplaced ghost would silently
+    // undercount — so the double-floor shortcut is not acceptable in this op.
     val exploded = df
       .withColumn("__graft_t", ticksOf(df, tsCol))
       .withColumn("__graft_off", explode(sequence(lit(0L), lit(ghosts))))
       .withColumn("__graft_bkt",
-        floor(col("__graft_t").cast("double") / bucketWidth.toDouble).cast("long") +
+        expr(s"(__graft_t - pmod(__graft_t, ${bucketWidth}L)) div ${bucketWidth}L") +
           col("__graft_off"))
     val out = spans.foldLeft(exploded) { case (d, (sfx, span)) =>
       val w = Window.partitionBy(keyCols.map(col) :+ col("__graft_bkt"): _*)

@@ -205,15 +205,29 @@ object Similarity {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), toJsonString)
   }
 
+  /** Numeric extraction for the JSON model loaders: this library always
+    * writes doubles, but external producers round-trip whole numbers as
+    * integers (Python's json.dump of ints, JSON minifiers), and json4s
+    * parses those as JInt/JLong/JDecimal — accept them all rather than
+    * ClassCastException on a perfectly valid centroid file. */
+  private def jsonNum(v: org.json4s.JValue): Double = v match {
+    case org.json4s.JDouble(x)  => x
+    case org.json4s.JInt(x)     => x.toDouble
+    case org.json4s.JLong(x)    => x.toDouble
+    case org.json4s.JDecimal(x) => x.toDouble
+    case other =>
+      throw new IllegalArgumentException(s"expected a JSON number, got $other")
+  }
+
   object OutlierStats {
     def fromJsonString(json: String): OutlierStats = {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
       val o = JsonMethods.parse(json)
       OutlierStats(
-        mean = (o \ "mean").asInstanceOf[JArray].arr.map(_.asInstanceOf[JDouble].num),
-        meanDist = (o \ "meanDist").asInstanceOf[JDouble].num,
-        stdDist = (o \ "stdDist").asInstanceOf[JDouble].num)
+        mean = (o \ "mean").asInstanceOf[JArray].arr.map(jsonNum),
+        meanDist = jsonNum(o \ "meanDist"),
+        stdDist = jsonNum(o \ "stdDist"))
     }
     def load(path: String): OutlierStats =
       fromJsonString(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
@@ -369,7 +383,7 @@ object Similarity {
       import org.json4s.jackson.JsonMethods
       val o = JsonMethods.parse(json)
       def arr(v: JValue): Seq[Double] =
-        v.asInstanceOf[JArray].arr.map(x => x.asInstanceOf[JDouble].num)
+        v.asInstanceOf[JArray].arr.map(jsonNum)
       PcaModel(
         mean = arr(o \ "mean"),
         components = (o \ "components").asInstanceOf[JArray].arr.map(arr),
@@ -664,7 +678,7 @@ object Similarity {
       import org.json4s.jackson.JsonMethods
       val o = JsonMethods.parse(json)
       IvfModel((o \ "centroids").asInstanceOf[JArray].arr.map(row =>
-        row.asInstanceOf[JArray].arr.map(_.asInstanceOf[JDouble].num)))
+        row.asInstanceOf[JArray].arr.map(jsonNum)))
     }
     def load(path: String): IvfModel =
       fromJsonString(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))

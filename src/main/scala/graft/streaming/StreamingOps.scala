@@ -136,11 +136,18 @@ object StreamingOps {
     * arriving in the SAME micro-batch race per band (no intra-batch order),
     * so a same-batch duplicate pair can lose different bands and BOTH drop
     * — at ingest granularity duplicates usually span batches, and the
-    * batch path below is the deterministic form.
+    * batch path below is the deterministic form. Mitigation for bursty
+    * ingest: chain [[dedupByContent]] upstream — it keeps exactly one row
+    * per content key even within a batch, so exact same-batch copies (the
+    * common case) collapse to one before banding; only same-batch NEAR
+    * duplicates remain exposed to the race.
     *
     * Batch: the exact replay — keep a doc iff it holds the minimal
-    * `tieCol` on every one of its band keys (tie values should be unique,
-    * as in [[graft.ops.Dedup.exact]]); arrival order becomes tie order. */
+    * `tieCol` on every one of its band keys (tie values should be unique
+    * and non-null, as in [[graft.ops.Dedup.exact]]); arrival order becomes
+    * tie order. A null tie sorts LAST: it loses any band where a non-null
+    * tie exists (null-safe comparison — a null tie never silently survives
+    * a collision), and an all-null band key keeps all its docs. */
   def dedupNearDups(
       df: DataFrame,
       idCol: String,
@@ -160,8 +167,7 @@ object StreamingOps {
       require(tsCol.nonEmpty,
         "dedupNearDups on a stream needs tsCol (the watermark column)")
       val wm = df.withWatermark(tsCol, watermark)
-      val withSig = wm.withColumn("__graft_sig",
-        Dedup.minhashSigFor(wm, col(textCol), n, numHashes))
+      val withSig = Dedup.withMinhashSig(wm, col(textCol), n, numHashes, "__graft_sig")
       val keyArr = when(col("__graft_sig").isNotNull,
         Dedup.bandKeyStructs(col("__graft_sig"), numHashes, bands))
         .otherwise(array(struct(lit(-1).as("band"), xxhash64(col(idCol)).as("band_hash"))))
@@ -182,8 +188,7 @@ object StreamingOps {
         .filter(col("__graft_won") === col("__graft_nb"))
         .select(col("__graft_row.*"))
     } else {
-      val withSig = df.withColumn("__graft_sig",
-        Dedup.minhashSigFor(df, col(textCol), n, numHashes))
+      val withSig = Dedup.withMinhashSig(df, col(textCol), n, numHashes, "__graft_sig")
       val keyed = withSig
         .filter(col("__graft_sig").isNotNull)
         .select(col(idCol).as("__graft_id"), col(tieCol).as("__graft_tie"),
@@ -194,8 +199,11 @@ object StreamingOps {
           col("__graft_bh.band_hash").as("__graft_hash"))
       val firsts = keyed.groupBy("__graft_band", "__graft_hash")
         .agg(min(col("__graft_tie")).as("__graft_min"))
+      // null-safe: tie = NULL must DROP against a non-null min (plain =!=
+      // yields NULL and silently keeps the duplicate); min() ignores nulls,
+      // so an all-null key leaves __graft_min null and <=> keeps every copy
       val dropped = keyed.join(firsts, Seq("__graft_band", "__graft_hash"))
-        .filter(col("__graft_tie") =!= col("__graft_min"))
+        .filter(!(col("__graft_tie") <=> col("__graft_min")))
         .select("__graft_id").distinct()
       df.join(dropped, col(idCol) === col("__graft_id"), "left_anti")
     }

@@ -434,6 +434,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Relational.rollingFeaturesSalted stays exact above 2^53 ticks (long bucket math)") {
+    // epoch-nanosecond regime: double ulp at 1.7e18 is 256, so a double
+    // floor-division would misplace boundary ghosts and silently undercount
+    // — the bucket ids must be computed in long arithmetic
+    val base = 1_700_000_000_000_000_000L
+    val offs = Seq(0L, 1L, 99L, 100L, 101L, 177L, 250L, 299L, 300L, 455L)
+    val rows = offs.zipWithIndex.map { case (o, i) => (i.toLong, 1L, base + o, 1L) }
+    val all = rows.toDF("eid", "user", "t", "v")
+    def key(rs: Array[org.apache.spark.sql.Row]) = rs.map { r =>
+      (r.getLong(r.fieldIndex("eid")),
+        r.getLong(r.fieldIndex("n_w")), r.getLong(r.fieldIndex("sum_w")))
+    }.toSet
+    val spans = Seq("w" -> 100L)
+    val plain = key(Relational.rollingFeatures(all, Seq("user"), "t", "v", spans).collect())
+    val salted = key(Relational.rollingFeaturesSalted(
+      all, Seq("user"), "t", "v", spans, bucketWidth = 100L).collect())
+    salted shouldBe plain
+    // sanity: the fixture really exercises multi-bucket frames
+    // t=base+101 → frame [base+1, base+101] covers offsets 1, 99, 100, 101
+    plain.find(_._1 == 4L).get._2 shouldBe 4L
+  }
+
   test("Relational.looMeanEncode excludes each row's own target") {
     val df = Seq(
       ("a", Some(10L)), ("a", Some(20L)), ("a", None), // null target → plain mean
@@ -705,6 +727,20 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet shouldBe Set(99L)
     // JSON round trip is exact
     Similarity.OutlierStats.fromJsonString(st.toJsonString) shouldBe st
+  }
+
+  test("model loaders accept integer-formatted JSON numbers (external producers)") {
+    // Python json.dump / minifiers write whole doubles as ints; json4s
+    // parses those as JInt — loaders must not ClassCastException
+    Similarity.IvfModel.fromJsonString(
+      """{"version":1,"centroids":[[1, 2],[3.5, -4]]}""") shouldBe
+      Similarity.IvfModel(Seq(Seq(1.0, 2.0), Seq(3.5, -4.0)))
+    Similarity.OutlierStats.fromJsonString(
+      """{"version":1,"mean":[0, 1.5],"meanDist":2,"stdDist":0.5}""") shouldBe
+      Similarity.OutlierStats(Seq(0.0, 1.5), 2.0, 0.5)
+    Similarity.PcaModel.fromJsonString(
+      """{"version":1,"mean":[1],"components":[[1, 0]],"offsets":[1],"eigenvalues":[2]}""") shouldBe
+      Similarity.PcaModel(Seq(1.0), Seq(Seq(1.0, 0.0)), Seq(1.0), Seq(2.0))
   }
 
   test("cosineNearDupPairs works with string ids (hash surrogate + join-back)") {

@@ -258,6 +258,20 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text", "doc_id").count() shouldBe 2L
   }
 
+  test("batch dedupNearDups drops a null-tie duplicate against a non-null min") {
+    val docA = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val docB = "completely unrelated text about distributed query engines and shuffles"
+    val rows = Seq(
+      (1L, docA, Option(10L)),
+      (2L, docA, None: Option[Long]), // null tie sorts LAST → dropped vs tie=10
+      (3L, docB, None: Option[Long]), // all-null band keys: no winner, both kept
+      (4L, docB, None: Option[Long]))
+      .toDF("doc_id", "text", "tie")
+    val kept = StreamingOps.dedupNearDups(rows, "doc_id", "text", "tie")
+      .collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(1L, 3L, 4L)
+  }
+
   test("redactPii and chunkTokens compose onto a stream (narrow + generator)") {
     val mem = MemoryStream[(Long, String)]
     mem.addData(
