@@ -132,15 +132,20 @@ object StreamingOps {
     * (`dropDuplicatesWithinWatermark`) chained into a windowed per-doc
     * count — Spark's multi-stateful-operator append mode. A kept document
     * emits once its `emitWindow` closes under the watermark; state is one
-    * entry per distinct band key within the horizon. Caveat: two copies
-    * arriving in the SAME micro-batch race per band (no intra-batch order),
-    * so a same-batch duplicate pair can lose different bands and BOTH drop
-    * — at ingest granularity duplicates usually span batches, and the
-    * batch path below is the deterministic form. Mitigation for bursty
-    * ingest: chain [[dedupByContent]] upstream — it keeps exactly one row
-    * per content key even within a batch, so exact same-batch copies (the
-    * common case) collapse to one before banding; only same-batch NEAR
-    * duplicates remain exposed to the race.
+    * entry per distinct band key within the horizon, plus one signature
+    * key per distinct text (the exact-copy collapse below).
+    *
+    * EXACT copies are collapsed by a signature-keyed first-arrival pass
+    * BEFORE banding, so however many copies of one text share a micro-batch,
+    * exactly one reaches the band race — the common bursty-ingest case
+    * cannot lose all copies. Residual caveat: two NEAR duplicates (same
+    * bands, different texts) in the SAME micro-batch still race per band
+    * (no intra-batch order) and can lose different bands and both drop;
+    * at ingest granularity near-dups usually span batches, and the batch
+    * path below is the deterministic form. (A fully deterministic stream
+    * would need arbitrary state chained into an aggregation, which Spark's
+    * checker disallows — flatMapGroupsWithState cannot precede stateful
+    * operators in append mode.)
     *
     * Batch: the exact replay — keep a doc iff it holds the minimal
     * `tieCol` on every one of its band keys (tie values should be unique
@@ -168,10 +173,24 @@ object StreamingOps {
         "dedupNearDups on a stream needs tsCol (the watermark column)")
       val wm = df.withWatermark(tsCol, watermark)
       val withSig = Dedup.withMinhashSig(wm, col(textCol), n, numHashes, "__graft_sig")
+      // Collapse EXACT copies first (signature-keyed first-arrival state):
+      // two copies of one text in the SAME micro-batch would otherwise race
+      // the per-band state below and could BOTH drop. After this pass
+      // exactly one copy reaches banding, so the same-batch race is
+      // confined to true NEAR duplicates. Identical signatures from
+      // different texts would have landed in identical band buckets anyway
+      // (same one-survivor outcome, decided earlier). Shingle-less docs get
+      // per-doc unique keys here exactly as they do in the banding, so
+      // their pass-through behavior is unchanged.
+      val collapsed = withSig
+        .withColumn("__graft_fp",
+          coalesce(col("__graft_sig"), array(xxhash64(col(idCol)))))
+        .dropDuplicatesWithinWatermark("__graft_fp")
+        .drop("__graft_fp")
       val keyArr = when(col("__graft_sig").isNotNull,
         Dedup.bandKeyStructs(col("__graft_sig"), numHashes, bands))
         .otherwise(array(struct(lit(-1).as("band"), xxhash64(col(idCol)).as("band_hash"))))
-      val exploded = withSig
+      val exploded = collapsed
         .withColumn("__graft_nb", size(keyArr))
         .select(col(tsCol), col(idCol).as("__graft_id"), col("__graft_nb"),
           explode(keyArr).as("__graft_bh"),

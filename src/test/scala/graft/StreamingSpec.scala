@@ -258,6 +258,32 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text", "doc_id").count() shouldBe 2L
   }
 
+  test("dedupNearDups keeps exactly one of N exact copies sharing a micro-batch") {
+    // without the signature-keyed collapse, same-batch exact copies race
+    // the per-band state, can split band wins, and ALL drop — total data
+    // loss; the collapse must leave exactly one survivor
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val docA = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val docB = "completely unrelated text about distributed query engines and shuffles"
+    mem.addData((1L, ts(0), docA), (2L, ts(0), docA), (3L, ts(0), docA),
+      (4L, ts(1), docB))
+    val out = StreamingOps.dedupNearDups(
+      mem.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "doc_id",
+      tsCol = "ts", watermark = "5 minutes", emitWindow = "1 minute")
+    val q = out.writeStream.format("memory")
+      .queryName("stream_neardup_samebatch").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData((99L, ts(59), "heartbeat to advance the watermark and flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_neardup_samebatch").collect()
+      .map(_.getLong(0)).toSet
+    streamed should contain(4L)
+    (streamed & Set(1L, 2L, 3L)) should have size 1
+  }
+
   test("batch dedupNearDups drops a null-tie duplicate against a non-null min") {
     val docA = "the quick brown fox jumps over the lazy dog near the riverbank today"
     val docB = "completely unrelated text about distributed query engines and shuffles"
