@@ -181,12 +181,18 @@ object StreamingOps {
       // different texts would have landed in identical band buckets anyway
       // (same one-survivor outcome, decided earlier). Shingle-less docs get
       // per-doc unique keys here exactly as they do in the banding, so
-      // their pass-through behavior is unchanged.
+      // their pass-through behavior is unchanged. The state key is the
+      // 128-bit (xxhash64(sig), sig[0]) pair — 16 bytes/distinct doc in the
+      // horizon instead of the 8×64-bit signature itself; a collision
+      // (negligible at 128 bits) costs one doc, the same failure mode as
+      // the op's banding hashes.
       val collapsed = withSig
-        .withColumn("__graft_fp",
-          coalesce(col("__graft_sig"), array(xxhash64(col(idCol)))))
-        .dropDuplicatesWithinWatermark("__graft_fp")
-        .drop("__graft_fp")
+        .withColumn("__graft_fp1",
+          coalesce(xxhash64(col("__graft_sig")), xxhash64(col(idCol))))
+        .withColumn("__graft_fp2",
+          coalesce(element_at(col("__graft_sig"), 1), xxhash64(col(idCol), lit(1))))
+        .dropDuplicatesWithinWatermark("__graft_fp1", "__graft_fp2")
+        .drop("__graft_fp1", "__graft_fp2")
       val keyArr = when(col("__graft_sig").isNotNull,
         Dedup.bandKeyStructs(col("__graft_sig"), numHashes, bands))
         .otherwise(array(struct(lit(-1).as("band"), xxhash64(col(idCol)).as("band_hash"))))
