@@ -901,6 +901,29 @@ class OpsSpec extends SparkSpec {
     out.count() shouldBe n.toLong * (n - 1) / 2
   }
 
+  test("general-path bucket-cap drops are counted under minhashDedupPairs") {
+    // the general (non-bitmap) path routes through the shared candidate
+    // pipeline — its drop counters must carry the name of the op the USER
+    // called, not the internal helper's
+    val saved = Dedup.MaxBitmapVocab
+    try {
+      Dedup.MaxBitmapVocab = 0 // force the general (est + exact-verify) path
+      BucketCap.reset(spark)
+      val docs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river"),
+        (2L, "the quick brown fox jumps over the lazy dog near the rivers"),
+        (3L, "the quick brown fox jumps over the lazy dog near the riverz"))
+        .toDF("doc_id", "text")
+      Dedup.minhashDedupPairs(docs, "doc_id", "text", maxBucketSize = 1).count()
+      val (buckets, members) = BucketCap.drops(spark, "minhashDedupPairs")
+      buckets should be > 0L
+      members should be >= 2L * buckets
+    } finally {
+      Dedup.MaxBitmapVocab = saved
+      BucketCap.reset(spark)
+    }
+  }
+
   test("cosineNearDupPairs drops buckets over maxBucketSize — and says so") {
     val degen = (0L until 50L).map(i => (i, Seq(1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
