@@ -281,7 +281,11 @@ object ModelIO {
   private def str(j: JValue): String = j match {
     case JString(s) => s; case _ => fail(s"expected string, got $j")
   }
-  private def dbl(j: JValue): Double = j match {
+  /** Lenient JSON-number extraction, shared with the ops-model loaders
+    * ([[graft.ops.Similarity.IvfModel]] etc.): this library writes doubles,
+    * but external producers round-trip whole numbers as ints (Python
+    * json.dump, minifiers) and json4s parses those as JInt/JLong/JDecimal. */
+  private[graft] def dbl(j: JValue): Double = j match {
     case JDouble(d) => d
     case JInt(i) => i.toDouble
     case JLong(l) => l.toDouble

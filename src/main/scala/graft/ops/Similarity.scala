@@ -205,19 +205,12 @@ object Similarity {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), toJsonString)
   }
 
-  /** Numeric extraction for the JSON model loaders: this library always
-    * writes doubles, but external producers round-trip whole numbers as
-    * integers (Python's json.dump of ints, JSON minifiers), and json4s
-    * parses those as JInt/JLong/JDecimal — accept them all rather than
-    * ClassCastException on a perfectly valid centroid file. */
-  private def jsonNum(v: org.json4s.JValue): Double = v match {
-    case org.json4s.JDouble(x)  => x
-    case org.json4s.JInt(x)     => x.toDouble
-    case org.json4s.JLong(x)    => x.toDouble
-    case org.json4s.JDecimal(x) => x.toDouble
-    case other =>
-      throw new IllegalArgumentException(s"expected a JSON number, got $other")
-  }
+  /** Numeric extraction for the JSON model loaders — the one lenient
+    * number reader shared with the transformer persistence layer
+    * ([[graft.core.ModelIO]]): accepts JInt/JLong/JDecimal alongside the
+    * JDouble this library writes, rather than ClassCastException on a
+    * perfectly valid externally-produced centroid file. */
+  private def jsonNum(v: org.json4s.JValue): Double = graft.core.ModelIO.dbl(v)
 
   object OutlierStats {
     def fromJsonString(json: String): OutlierStats = {

@@ -147,6 +147,12 @@ object StreamingOps {
     * checker disallows — flatMapGroupsWithState cannot precede stateful
     * operators in append mode.)
     *
+    * CHECKPOINT COMPATIBILITY: the exact-copy collapse added a stateful
+    * operator to this op's plan. A streaming query restarted from a
+    * checkpoint written by an earlier version fails Spark's state-metadata
+    * validation (different operator count) — restart such queries with a
+    * fresh checkpoint location.
+    *
     * Batch: the exact replay — keep a doc iff it holds the minimal
     * `tieCol` on every one of its band keys (tie values should be unique
     * and non-null, as in [[graft.ops.Dedup.exact]]); arrival order becomes
@@ -186,9 +192,14 @@ object StreamingOps {
       // horizon instead of the 8×64-bit signature itself; a collision
       // (negligible at 128 bits) costs one doc, the same failure mode as
       // the op's banding hashes.
+      // explicit isNotNull branch (not coalesce): xxhash64 is never NULL —
+      // it skips NULL inputs and returns the seed — so a coalesce fallback
+      // on it would be dead code and shingle-less docs would all share
+      // fp1 = seed, resting their identity on fp2's 64 bits alone
       val collapsed = withSig
         .withColumn("__graft_fp1",
-          coalesce(xxhash64(col("__graft_sig")), xxhash64(col(idCol))))
+          when(col("__graft_sig").isNotNull, xxhash64(col("__graft_sig")))
+            .otherwise(xxhash64(col(idCol))))
         .withColumn("__graft_fp2",
           coalesce(element_at(col("__graft_sig"), 1), xxhash64(col(idCol), lit(1))))
         .dropDuplicatesWithinWatermark("__graft_fp1", "__graft_fp2")
