@@ -598,6 +598,19 @@ object SparkEntry {
         d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0),
         "doc_id", "text", n = 5)
     }),
+    // Same contamination check through the persisted-index path: fit on
+    // the benchmark side once, save (params.json + hashes.parquet), load,
+    // probe — the oracle gate proves the persistence round-trip gives the
+    // identical exact-overlap result.
+    "dedup_contamination_model" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_contam_idx").toString
+      Dedup.contaminationFit(d.filter(col("doc_id") % 3 === 0), "text", n = 5)
+        .save(tmp)
+      Dedup.contaminationApply(
+        d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        Dedup.ContaminationIndex.load(s, tmp))
+    }),
     // Grouped top-k selection ("best k docs per language").
     "text_topk_per_lang" -> ((s, dir) =>
       Relational.topKPerGroup(
@@ -1405,6 +1418,20 @@ object SparkEntry {
         |       cum - chunk_tokens AS start_offset
         |FROM p""".stripMargin,
     "dedup_ngram_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |           FROM documents),
+        |     g AS (SELECT doc_id,
+        |             unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                                   FOR i IN range(1, len(toks) - 3)])) AS gram
+        |           FROM t WHERE len(toks) >= 5),
+        |     b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 3 = 0),
+        |     c AS (SELECT doc_id, gram FROM g WHERE doc_id % 3 <> 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM c JOIN b USING (gram)
+        |GROUP BY doc_id""".stripMargin,
+    // the persisted-index path must reproduce the direct path exactly
+    "dedup_contamination_model" ->
       """WITH t AS (SELECT doc_id,
         |             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
         |           FROM documents),

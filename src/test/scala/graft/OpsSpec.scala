@@ -1333,6 +1333,35 @@ class OpsSpec extends SparkSpec {
     all(strict) should be >= 5L
   }
 
+  test("ContaminationIndex round-trips through disk and reproduces the direct path") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = d.filter($"doc_id" % 3 =!= 0)
+    val bench = d.filter($"doc_id" % 3 === 0)
+    val direct = Dedup.ngramOverlapContamination(corpus, bench, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_contam_spec").toString
+    val fitted = Dedup.contaminationFit(bench, "text", n = 4)
+    fitted.bloom shouldBe defined // native session builds the prefilter
+    fitted.save(dir)
+    val loaded = Dedup.ContaminationIndex.load(spark, dir)
+    loaded.n shouldBe 4
+    loaded.bloomHashes shouldBe fitted.bloomHashes
+    loaded.bloom.map(_.toSeq) shouldBe fitted.bloom.map(_.toSeq)
+    Dedup.contaminationApply(corpus, "doc_id", "text", loaded)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq shouldBe direct
+    // a fallback-session fit (no kernels) persists a bloom-less index that
+    // still probes exactly; a native session can consume it
+    val saved = Dedup.ForceFallback
+    val fbIdx = try { Dedup.ForceFallback = true; Dedup.contaminationFit(bench, "text", n = 4) }
+    finally Dedup.ForceFallback = saved
+    fbIdx.bloom shouldBe None
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_contam_spec_fb").toString
+    fbIdx.save(dir2)
+    Dedup.contaminationApply(corpus, "doc_id", "text",
+      Dedup.ContaminationIndex.load(spark, dir2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq shouldBe direct
+  }
+
   test("balanceGroups thins every group to ≈ the smallest group's size") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val before = d.groupBy("lang").count().collect()
