@@ -566,6 +566,13 @@ object SparkEntry {
     "sample_balance_lang" -> ((s, dir) =>
       Sampling.balanceGroups(rt(s, dir, "documents"), "lang", "doc_id")
         .select("doc_id", "lang")),
+    // Pretraining mixture reweighting: three sources kept at 5 : 2 : 1
+    // with all others dropped; the oracle replays the integer
+    // rows-per-part maximization and the exact hash thresholds.
+    "sample_mix_sources" -> ((s, dir) =>
+      Sampling.mixGroups(rt(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 5L, "src1" -> 2L, "src2" -> 1L))
+        .select("doc_id", "source")),
     // Token-budget sequence packing: documents streamed into ≈512-token
     // bins within 8 hash buckets; the oracle replays the same hash order,
     // running sums, and integer bin math.
@@ -1378,6 +1385,14 @@ object SparkEntry {
         |     m AS (SELECT min(cnt) AS mn FROM n),
         |     t AS (SELECT lang, (mn * 1000000) // cnt AS thr FROM n CROSS JOIN m)
         |SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
+        |WHERE (((d.doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 1000000 < thr""".stripMargin,
+    "sample_mix_sources" ->
+      """WITH w AS (SELECT * FROM (VALUES ('src0', 5), ('src1', 2), ('src2', 1)) AS v(source, wt)),
+        |     n AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+        |     k AS (SELECT min(cnt // wt) AS k FROM n JOIN w USING (source)),
+        |     t AS (SELECT source, (wt * k * 1000000) // cnt AS thr
+        |           FROM n JOIN w USING (source) CROSS JOIN k)
+        |SELECT d.doc_id, d.source FROM documents d JOIN t USING (source)
         |WHERE (((d.doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 1000000 < thr""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id,

@@ -89,6 +89,20 @@ object Sampling {
     val minCount = counts.map(_.getLong(1)).min
     val thresholds: Seq[(Any, Long)] =
       counts.map(r => (r.get(0), minCount * denom / r.getLong(1))).toSeq
+    thresholdFilter(df, groupCol, idCol, thresholds, denom)
+  }
+
+  /** The per-group keep-threshold filter shared by [[balanceGroups]] and
+    * [[mixGroups]]: a row survives iff `idHash mod denom < threshold(group)`.
+    * Up to [[graft.transformers.CategoricalEncoding.MaxCaseBranches]] groups
+    * the thresholds inline as a when-chain — a pure NARROW filter, no
+    * shuffle at any corpus size; above that, a broadcast join against the
+    * tiny threshold table. Groups absent from `thresholds` get threshold 0
+    * (dropped) on both branches — the when-chain default and the inner
+    * join agree. */
+  private def thresholdFilter(
+      df: DataFrame, groupCol: String, idCol: String,
+      thresholds: Seq[(Any, Long)], denom: Long): DataFrame = {
     val h = pmod(minstdHash(col(idCol)), lit(denom))
     if (thresholds.size <= graft.transformers.CategoricalEncoding.MaxCaseBranches) {
       val thrCol = thresholds.foldLeft(lit(0L)) { case (acc, (g, t)) =>
@@ -111,6 +125,56 @@ object Sampling {
         .filter(h < col("__graft_thr"))
         .drop("__graft_g", "__graft_thr")
     }
+  }
+
+  /** Reweight the corpus to caller-specified RELATIVE group weights by
+    * deterministic downsampling — the "mixture weights" step of pretraining
+    * data assembly (web : code : books = 5 : 2 : 1 and so on), where
+    * [[balanceGroups]] is the special case of all-equal weights.
+    *
+    * Downsample-only: each weighted group g keeps ≈ `weights(g) × K` rows,
+    * with the rows-per-part K maximized subject to every weighted group
+    * having enough rows (`weights(g) × K ≤ count(g)`) — the most
+    * constrained group is kept (almost) whole and every other group thins
+    * to match the requested proportions. Groups absent from `weights`
+    * (including NULL) are dropped: the result IS the requested mixture,
+    * not the input plus corrections. Throws [[graft.errors.FeatureFactoryException.InvalidParameter]]
+    * when a weighted group cannot supply even one part (K = 0) — a silent
+    * empty result would read as "no data", the misread the LSH bucket caps
+    * guard against; and when a weighted group is entirely absent.
+    *
+    * Fit: one groupBy-count (group cardinality is dictionary-sized).
+    * Transform: the same pure-NARROW exact-integer hash filter as
+    * [[hashSample]]/[[balanceGroups]] — membership replays bit-for-bit on
+    * any engine, and re-runs keep the same rows. */
+  def mixGroups(
+      df: DataFrame, groupCol: String, idCol: String,
+      weights: Map[String, Long],
+      denom: Long = 1000000L): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    weights.foreach { case (g, w) =>
+      require(w >= 1, s"weight for group '$g' must be >= 1 (got $w)") }
+    require(denom >= 1, "denom must be >= 1")
+    graft.core.Validators.requireColumns(df, Seq(groupCol, idCol))
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__graft_g"))
+      .agg(count(lit(1)).as("__graft_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = weights.keys.filterNot(counts.contains)
+    if (missing.nonEmpty)
+      throw graft.errors.FeatureFactoryException.InvalidParameter(
+        s"mixGroups: weighted group(s) absent from the data: ${missing.mkString(", ")}")
+    val k = weights.map { case (g, w) => counts(g) / w }.min
+    if (k < 1) {
+      val (wg, ww) = weights.minBy { case (g, w) => counts(g).toDouble / w }
+      throw graft.errors.FeatureFactoryException.InvalidParameter(
+        s"mixGroups: group '$wg' has ${counts(wg)} rows — fewer than its weight " +
+          s"$ww, so no mixture multiple fits; lower the weights or supply more data")
+    }
+    val thresholds: Seq[(Any, Long)] = weights.toSeq.map { case (g, w) =>
+      (g: Any, (w * k) * denom / counts(g))
+    }
+    thresholdFilter(df, groupCol, idCol, thresholds, denom)
   }
 
   /** Greedy token-budget sequence packing for pretraining batches: orders

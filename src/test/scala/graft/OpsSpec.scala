@@ -1362,6 +1362,41 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq shouldBe direct
   }
 
+  test("mixGroups realizes the requested weight ratios and drops unweighted groups") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Sampling.mixGroups(d, "source", "doc_id",
+      Map("src0" -> 5L, "src1" -> 2L, "src2" -> 1L))
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 25 rows per source → K = min(25/5, 25/2, 25/1) = 5 → thresholds
+    // (w·K·denom/25): src0 = denom (kept whole), src1 = 400000, src2 =
+    // 200000. Exact membership: replay the integer hash rule directly
+    // (realized ratios on 25 strided ids are noisy; membership is not).
+    bySource.keySet shouldBe Set("src0", "src1", "src2") // others dropped
+    bySource("src0") shouldBe 25L
+    def h(id: Long) = ((id % 2147483647L) * 48271L % 2147483647L) * 48271L % 2147483647L % 1000000L
+    val thr = Map("src0" -> 1000000L, "src1" -> 400000L, "src2" -> 200000L)
+    val expected = d.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, s) => thr.get(s).exists(h(id) < _) }
+      .map(_._1).toSet
+    out.collect().map(_.getLong(0)).toSet shouldBe expected
+    // deterministic: the same rows on a re-run
+    Sampling.mixGroups(d, "source", "doc_id",
+      Map("src0" -> 5L, "src1" -> 2L, "src2" -> 1L))
+      .collect().map(_.getLong(0)).toSet shouldBe out.collect().map(_.getLong(0)).toSet
+    // a pure narrow filter: no shuffle in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    // loud failures: weight larger than the group, and absent group
+    intercept[graft.errors.FeatureFactoryException.InvalidParameter] {
+      Sampling.mixGroups(d, "source", "doc_id", Map("src0" -> 26L, "src1" -> 1L))
+    }
+    intercept[graft.errors.FeatureFactoryException.InvalidParameter] {
+      Sampling.mixGroups(d, "source", "doc_id", Map("no_such_source" -> 1L))
+    }
+  }
+
   test("balanceGroups thins every group to ≈ the smallest group's size") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val before = d.groupBy("lang").count().collect()
