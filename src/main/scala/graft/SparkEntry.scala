@@ -581,6 +581,14 @@ object SparkEntry {
         rt(s, dir, "documents")
           .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", capacity = 512, numBuckets = 8)),
+    // "Train on the first 3000 tokens of this corpus": deterministic
+    // bucket-major prefix; the oracle replays bucket totals, driver-style
+    // prefix offsets, and the within-bucket running sums.
+    "sample_token_budget" -> ((s, dir) =>
+      Sampling.sampleTokenBudget(
+        rt(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 3000L, numBuckets = 8)),
     // End-to-end training-prep composition: 40-token chunks (8 overlap) →
     // 256-token training bins, keyed by a (doc, chunk) surrogate id. The
     // 1e6 stride keeps cids collision-free up to 1M chunks/doc (32M-token
@@ -1408,6 +1416,26 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, bucket, (cum - 1) // 512 AS bin,
         |       cum - n_tokens AS start_offset
         |FROM c""".stripMargin,
+    "sample_token_budget" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS n_tokens
+        |           FROM documents),
+        |     h AS (SELECT doc_id, n_tokens,
+        |             (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS hh
+        |           FROM t WHERE n_tokens > 0),
+        |     c AS (SELECT doc_id, n_tokens, hh % 8 AS bkt,
+        |             CAST(sum(n_tokens) OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id
+        |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |           FROM h),
+        |     tot AS (SELECT bkt, CAST(sum(n_tokens) AS BIGINT) AS tot
+        |             FROM h, LATERAL (SELECT hh % 8 AS bkt) GROUP BY bkt),
+        |     off AS (SELECT bkt,
+        |               CAST(COALESCE(sum(tot) OVER (ORDER BY bkt
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |             FROM tot)
+        |SELECT c.doc_id, c.n_tokens
+        |FROM c JOIN off USING (bkt)
+        |WHERE off.off + c.cum <= 3000""".stripMargin,
     // The verified chunk replay feeding the verified pack replay.
     "text_chunk_pack" ->
       """WITH t AS (SELECT doc_id,

@@ -207,4 +207,55 @@ object Sampling {
       .withColumn("start_offset", col("__graft_cum") - col(tokenCol).cast("long"))
       .drop("__graft_cum")
   }
+
+  /** Deterministic token-budget sampling: keep documents, in the portable
+    * two-level hash order, until the running token total reaches `budget`
+    * — "train on the first N tokens of this corpus", the token-count
+    * sibling of [[hashSample]]'s row-percent rule. A document is kept iff
+    * its running total ENDS at or below the budget (documents are not
+    * split); rows with a non-positive token count are dropped (nothing to
+    * count), as in [[packSequences]].
+    *
+    * The order is bucket-major (bucket, id-hash, id): documents hash into
+    * `numBuckets` independent streams — pseudorandom, so the kept slice is
+    * an unbiased cross-section of the corpus — each bucket's token total
+    * aggregates first, the driver prefix-sums the `numBuckets` totals into
+    * per-bucket starting offsets (dictionary-sized collect, like every fit
+    * in this file), and the within-bucket running sum plus the bucket
+    * offset decides membership. One aggregate plus one shuffle on the
+    * bucket, `numBuckets`-way parallel — no global sort, no serialized
+    * running sum — and all exact 64-bit integer math over the portable
+    * hash, so membership replays bit-for-bit on any engine and re-runs
+    * keep exactly the same slice. */
+  def sampleTokenBudget(
+      df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, numBuckets: Int = 1024): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    graft.core.Validators.requireColumns(df, Seq(idCol, tokenCol))
+    val positive = df.filter(col(tokenCol) > 0)
+      .withColumn("__graft_bkt", pmod(minstdHash(col(idCol)), lit(numBuckets.toLong)))
+    val totals = positive.groupBy(col("__graft_bkt"))
+      .agg(sum(col(tokenCol).cast("long")).as("__graft_tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, t) => val o = (b, acc); acc += t; o }
+    import scala.jdk.CollectionConverters._
+    val spark = df.sparkSession
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "__graft_bkt", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "__graft_off", org.apache.spark.sql.types.LongType, nullable = false)))
+    val offDf = broadcast(spark.createDataFrame(
+      offsets.map { case (b, o) => org.apache.spark.sql.Row(b, o) }.toSeq.asJava,
+      offSchema))
+    val w = Window.partitionBy(col("__graft_bkt"))
+      .orderBy(minstdHash(col(idCol)).asc, col(idCol).asc)
+    positive
+      .withColumn("__graft_cum", sum(col(tokenCol).cast("long")).over(w))
+      .join(offDf, "__graft_bkt")
+      .filter(col("__graft_off") + col("__graft_cum") <= budget)
+      .drop("__graft_bkt", "__graft_cum", "__graft_off")
+  }
 }

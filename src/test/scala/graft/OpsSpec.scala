@@ -1397,6 +1397,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("sampleTokenBudget keeps the exact bucket-major hash-order token prefix") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", graft.ops.TextOps.tokenCount($"text").as("n_tokens"))
+    val budget = 1500L
+    val out = Sampling.sampleTokenBudget(d, "doc_id", "n_tokens", budget, numBuckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // replay the rule directly: bucket totals → prefix offsets → cumsum
+    def h(id: Long) = ((id % 2147483647L) * 48271L % 2147483647L) * 48271L % 2147483647L
+    val rows = d.collect().map(r => (r.getLong(0), r.getInt(1)))
+      .filter(_._2 > 0).map { case (id, n) => (h(id) % 8, h(id), id, n) }
+    val totals = rows.groupBy(_._1).view.mapValues(_.map(_._4.toLong).sum).toMap
+    // offset of bucket b = sum of totals of buckets < b
+    val offs = totals.keys.toSeq.sorted.foldLeft((Map.empty[Long, Long], 0L)) {
+      case ((m, acc), b) => (m + (b -> acc), acc + totals(b))
+    }._1
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (b, rs) =>
+      rs.sortBy(r => (r._2, r._3)).scanLeft((0L, 0L, 0)) {
+        case ((cum, _, _), (_, _, id, n)) => (cum + n, id, n)
+      }.drop(1).filter { case (cum, _, _) => offs(b) + cum <= budget }
+        .map { case (_, id, n) => id -> n }
+    }.toMap
+    expected should not be empty
+    out shouldBe expected
+    // total kept tokens never exceed the budget; determinism across re-runs
+    out.values.map(_.toLong).sum should be <= budget
+    Sampling.sampleTokenBudget(d, "doc_id", "n_tokens", budget, numBuckets = 8)
+      .collect().map(_.getLong(0)).toSet shouldBe out.keySet
+  }
+
   test("balanceGroups thins every group to ≈ the smallest group's size") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val before = d.groupBy("lang").count().collect()
