@@ -33,6 +33,12 @@ object SparkEntry {
   private def rt(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** One contamination-index save dir per JVM for the model round-trip
+    * query: created once, reused (overwrite) across invocations so bench
+    * loops don't leak a parquet table per run. */
+  private lazy val contamIdxDir: String =
+    java.nio.file.Files.createTempDirectory("graft_contam_idx").toString
+
   /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set by
     * Verify/Bench sessions) it loads as nanos-since-epoch, converted here to
@@ -619,12 +625,13 @@ object SparkEntry {
     // identical exact-overlap result.
     "dedup_contamination_model" -> ((s, dir) => {
       val d = rt(s, dir, "documents")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_contam_idx").toString
+      // one fixed dir per JVM (mode=overwrite handles re-runs) — a fresh
+      // temp dir per invocation would leak one parquet table per bench loop
       Dedup.contaminationFit(d.filter(col("doc_id") % 3 === 0), "text", n = 5)
-        .save(tmp)
+        .save(contamIdxDir)
       Dedup.contaminationApply(
         d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
-        Dedup.ContaminationIndex.load(s, tmp))
+        Dedup.ContaminationIndex.load(s, contamIdxDir))
     }),
     // Grouped top-k selection ("best k docs per language").
     "text_topk_per_lang" -> ((s, dir) =>

@@ -1326,10 +1326,16 @@ object Dedup {
       minOverlap: Int = 1,
       bloomBitsPerKey: Int = 16,
       bloomHashes: Int = 5,
-      useBloom: Boolean = true): DataFrame =
+      useBloom: Boolean = true): DataFrame = {
+    // validate EVERYTHING before the fit: contaminationFit runs eager jobs
+    // (checkpoint, count, bloom build) — a bad corpus argument must fail
+    // instantly, not after minutes of benchmark aggregation
+    require(minOverlap >= 1, "minOverlap must be >= 1")
+    graft.core.Validators.requireColumns(corpus, Seq(idCol, textCol))
     contaminationApply(corpus, idCol, textCol,
       contaminationFit(benchmark, textCol, n, bloomBitsPerKey, bloomHashes, useBloom),
       minOverlap)
+  }
 
   /** Fitted decontamination index — the benchmark side of
     * [[ngramOverlapContamination]] reduced to what the probe needs: the
@@ -1342,7 +1348,10 @@ object Dedup {
     * Persists as a DIRECTORY: `params.json` (n, bloom hashes, bloom bytes
     * base64) plus `hashes.parquet` (the exact hash table) — the hash table
     * is data, not metadata, so it rides the columnar format like the
-    * oracle aux dumps do, not a JSON string. */
+    * oracle aux dumps do, not a JSON string. Save a LOADED index only to a
+    * NEW directory: its `hashes` frame lazily reads the directory it was
+    * loaded from, and Spark rejects overwriting a path that is also being
+    * read (re-fitting is the refresh path, not load-edit-save-in-place). */
   final case class ContaminationIndex(
       n: Int,
       bloomHashes: Int,

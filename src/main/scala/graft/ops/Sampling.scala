@@ -174,7 +174,13 @@ object Sampling {
     val thresholds: Seq[(Any, Long)] = weights.toSeq.map { case (g, w) =>
       (g: Any, (w * k) * denom / counts(g))
     }
-    thresholdFilter(df, groupCol, idCol, thresholds, denom)
+    // the weights (and so the thresholds) are keyed by the group's STRING
+    // form — filter on an explicit string cast so both thresholdFilter
+    // branches type-agree with the keys whatever the column's native type
+    thresholdFilter(
+      df.withColumn("__graft_mix_g", col(groupCol).cast("string")),
+      "__graft_mix_g", idCol, thresholds, denom)
+      .drop("__graft_mix_g")
   }
 
   /** Greedy token-budget sequence packing for pretraining batches: orders
@@ -198,8 +204,12 @@ object Sampling {
     graft.core.Validators.requireColumns(df, Seq(idCol, tokenCol))
     graft.core.Validators.requireColumnsAbsent(df,
       Seq("bucket", "bin", "start_offset"), "packSequences")
+    // explicit ROWS frame: the default RANGE frame gives order-peer rows
+    // (duplicate ids) one shared running total, diverging from the
+    // one-row-at-a-time semantics the oracle replays
     val w = Window.partitionBy(col("bucket"))
       .orderBy(minstdHash(col(idCol)).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.filter(col(tokenCol) > 0)
       .withColumn("bucket", pmod(minstdHash(col(idCol)), lit(numBuckets.toLong)))
       .withColumn("__graft_cum", sum(col(tokenCol).cast("long")).over(w))
@@ -233,8 +243,11 @@ object Sampling {
     require(budget >= 0, "budget must be >= 0")
     require(numBuckets >= 1, "numBuckets must be >= 1")
     graft.core.Validators.requireColumns(df, Seq(idCol, tokenCol))
-    val positive = df.filter(col(tokenCol) > 0)
-      .withColumn("__graft_bkt", pmod(minstdHash(col(idCol)), lit(numBuckets.toLong)))
+    // both the totals aggregate and the window pass consume this frame —
+    // lazily checkpointed so the upstream (often a per-document tokenize)
+    // computes once, not twice
+    val positive = Dedup.materializeLazy(df.filter(col(tokenCol) > 0)
+      .withColumn("__graft_bkt", pmod(minstdHash(col(idCol)), lit(numBuckets.toLong))))
     val totals = positive.groupBy(col("__graft_bkt"))
       .agg(sum(col(tokenCol).cast("long")).as("__graft_tot"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
@@ -250,8 +263,12 @@ object Sampling {
     val offDf = broadcast(spark.createDataFrame(
       offsets.map { case (b, o) => org.apache.spark.sql.Row(b, o) }.toSeq.asJava,
       offSchema))
+    // explicit ROWS frame, as in [[packSequences]]: the default RANGE
+    // frame gives order-peer rows (duplicate ids) one shared running
+    // total, diverging from the one-row-at-a-time rule the oracle replays
     val w = Window.partitionBy(col("__graft_bkt"))
       .orderBy(minstdHash(col(idCol)).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     positive
       .withColumn("__graft_cum", sum(col(tokenCol).cast("long")).over(w))
       .join(offDf, "__graft_bkt")
