@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core._
 import graft.ops.{Curation, Dedup, Multimodal, Relational, Sampling, Similarity, TextOps}
+import graft.sources.Writer
 import graft.streaming.StreamingOps
 import graft.transformers._
 
@@ -595,6 +596,30 @@ object SparkEntry {
         rt(s, dir, "documents")
           .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", budget = 3000L, numBuckets = 8)),
+    // Leakage-safe split: the split decision hashes each content group's
+    // representative id (min doc_id per md5(text)), so exact copies can
+    // never straddle the train/test fence; the oracle replays the digest
+    // grouping and the representative hash exactly.
+    "sample_split_grouped" -> ((s, dir) =>
+      Sampling.leakageSafeSplit(
+        rt(s, dir, "documents")
+          .withColumn("ckey", md5(col("text").cast("binary"))),
+        "ckey", "doc_id", 80)
+        .select("doc_id", "ckey", "split")),
+    // Weighted round-robin training order (5 src0 : 2 src1 : 1 src2 per
+    // cycle); the oracle replays the per-source bucket-major rank and the
+    // exact integer cycle math.
+    "sample_interleave" -> ((s, dir) =>
+      Sampling.interleaveSources(
+        rt(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 5L, "src1" -> 2L, "src2" -> 1L), numBuckets = 64)
+        .select("doc_id", "source", "order_key")),
+    // Deterministic training-shard layout (membership + within-shard order
+    // as pure functions of the id); the write side is writeTrainingShards,
+    // round-tripped in WriterSpec — the oracle audits the layout itself.
+    "sink_shards" -> ((s, dir) =>
+      Writer.shardAssignments(rt(s, dir, "documents"), "doc_id", 16)
+        .select("doc_id", "shard", "shard_pos")),
     // End-to-end training-prep composition: 40-token chunks (8 overlap) →
     // 256-token training bins, keyed by a (doc, chunk) surrogate id. The
     // 1e6 stride keeps cids collision-free up to 1M chunks/doc (32M-token
@@ -1443,6 +1468,31 @@ object SparkEntry {
         |SELECT c.doc_id, c.n_tokens
         |FROM c JOIN off USING (bkt)
         |WHERE off.off + c.cum <= 3000""".stripMargin,
+    "sample_split_grouped" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS ckey FROM documents),
+        |     r AS (SELECT ckey, min(doc_id) AS rep FROM d GROUP BY 1)
+        |SELECT d.doc_id, d.ckey,
+        |       CASE WHEN (((rep % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 100 < 80
+        |            THEN 'train' ELSE 'test' END AS split
+        |FROM d JOIN r USING (ckey)""".stripMargin,
+    "sample_interleave" ->
+      """WITH w AS (SELECT * FROM (VALUES ('src0', 5, 0), ('src1', 2, 5), ('src2', 1, 7)) AS v(source, wt, cyc_off)),
+        |     h AS (SELECT doc_id, source,
+        |             (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS hh
+        |           FROM documents),
+        |     r AS (SELECT doc_id, h.source, wt, cyc_off,
+        |             row_number() OVER (PARTITION BY h.source ORDER BY hh % 64, hh, doc_id) - 1 AS k
+        |           FROM h JOIN w USING (source))
+        |SELECT doc_id, source,
+        |       CAST((k // wt) * 8 + cyc_off + (k % wt) AS BIGINT) AS order_key
+        |FROM r""".stripMargin,
+    "sink_shards" ->
+      """WITH h AS (SELECT doc_id,
+        |             (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS hh
+        |           FROM documents)
+        |SELECT doc_id, hh % 16 AS shard,
+        |       CAST(row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) - 1 AS BIGINT) AS shard_pos
+        |FROM h""".stripMargin,
     // The verified chunk replay feeding the verified pack replay.
     "text_chunk_pack" ->
       """WITH t AS (SELECT doc_id,

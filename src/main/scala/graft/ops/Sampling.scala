@@ -275,4 +275,130 @@ object Sampling {
       .filter(col("__graft_off") + col("__graft_cum") <= budget)
       .drop("__graft_bkt", "__graft_cum", "__graft_off")
   }
+
+  /** Leakage-safe train/test assignment: like [[trainTestSplit]], but every
+    * row sharing `groupCol` (a content digest, an exact-dup cluster key, a
+    * url host…) lands in the SAME split — the split decision hashes the
+    * group's representative id (its minimum `idCol`), not the row's own id.
+    * Plain id-hash splitting puts two copies of one document on both sides
+    * of the train/test fence, which reads as generalization but is
+    * memorization; grouping the split by content key is the standard
+    * defense.
+    *
+    * Scale shape: one groupBy(min) whose shuffle carries only
+    * `(group, id)` pairs after map-side partial aggregation, then one
+    * shuffle join back on the group key (no sort, unlike a window min).
+    * The representative-id choice (min) is deterministic under any
+    * partitioning, so membership replays bit-for-bit on any engine. */
+  def leakageSafeSplit(
+      df: DataFrame, groupCol: String, idCol: String,
+      trainPercent: Int): DataFrame = {
+    require(trainPercent >= 0 && trainPercent <= 100,
+      "trainPercent must be in [0, 100]")
+    graft.core.Validators.requireColumns(df, Seq(groupCol, idCol))
+    graft.core.Validators.requireColumnsAbsent(df, Seq("split"), "leakageSafeSplit")
+    val reps = df.groupBy(col(groupCol).as("__graft_lsg"))
+      .agg(min(col(idCol)).as("__graft_rep"))
+    df.join(reps, col(groupCol) <=> col("__graft_lsg"))
+      .withColumn("split",
+        when(pmod(minstdHash(col("__graft_rep")), lit(100L)) < trainPercent,
+          lit("train")).otherwise(lit("test")))
+      .drop("__graft_lsg", "__graft_rep")
+  }
+
+  /** Deterministic weighted round-robin training order: assigns every row
+    * an `order_key` such that reading the corpus in `order_key` order
+    * interleaves the groups at the requested rates — weights
+    * `web:code:books = 5:2:1` yield cycles of 5 web docs, 2 code docs,
+    * 1 book doc, repeating. This is the "epoch schedule" step of
+    * pretraining assembly: [[mixGroups]] decides WHAT survives the
+    * mixture, this decides the ORDER it is consumed in.
+    *
+    * Within each group, documents take the bucket-major portable hash
+    * order of [[sampleTokenBudget]] (pseudorandom, engine-replayable);
+    * the k-th document of group g (0-based) gets
+    * `order_key = (k div w_g)·W + offset_g + (k mod w_g)` with
+    * `W = Σ weights` and `offset_g` the cycle offset of g's slot block
+    * (groups in sorted name order) — exact integer math, unique across
+    * the corpus, monotone in k within each group. Keys stay DENSE while
+    * all groups last; once a group exhausts, later cycles keep their
+    * gaps (order_key is a SORT key, not a row number). Groups absent
+    * from `weights` (including NULL) are dropped, as in [[mixGroups]].
+    *
+    * Scale shape: the per-group rank is two-level like
+    * [[sampleTokenBudget]] — rank within (group, bucket) plus
+    * driver-prefix-summed per-(group, bucket) counts — so a group is
+    * `numBuckets` window partitions, not one giant sorted task; one
+    * count aggregate (dictionary-sized collect: groups × buckets) and
+    * one shuffle on (group, bucket). */
+  def interleaveSources(
+      df: DataFrame, groupCol: String, idCol: String,
+      weights: Map[String, Long], numBuckets: Int = 1024): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    weights.foreach { case (g, w) =>
+      require(w >= 1, s"weight for group '$g' must be >= 1 (got $w)") }
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    graft.core.Validators.requireColumns(df, Seq(groupCol, idCol))
+    graft.core.Validators.requireColumnsAbsent(df,
+      Seq("order_key"), "interleaveSources")
+    val W = weights.values.sum
+    val names = weights.keys.toSeq.sorted
+    val cycleOffsets: Map[String, Long] =
+      names.zip(names.scanLeft(0L)(_ + weights(_)).init).toMap
+    val gs = col(groupCol).cast("string")
+    val base = df.filter(gs.isin(names: _*))
+      .withColumn("__graft_bkt", pmod(minstdHash(col(idCol)), lit(numBuckets.toLong)))
+    // per-(group, bucket) counts → driver prefix offsets, so the global
+    // per-group rank is bucket rank + bucket start (dictionary-sized
+    // collect: |groups| × numBuckets, the same budget as sampleTokenBudget)
+    val counts = base.groupBy(gs.as("__g"), col("__graft_bkt"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a weighted group with zero rows is almost always a typo'd name —
+    // fail loudly, as mixGroups does, rather than silently skip its slots
+    val present = counts.map(_._1).toSet
+    val absent = names.filterNot(present)
+    if (absent.nonEmpty)
+      throw graft.errors.FeatureFactoryException.InvalidParameter(
+        s"interleaveSources: weighted group(s) absent from the data: ${absent.mkString(", ")}")
+    val starts: Seq[(String, Long, Long)] = counts
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).map { case (_, b, n) =>
+          val s = (g, b, acc); acc += n; s
+        }
+      }
+    import scala.jdk.CollectionConverters._
+    val startSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "__graft_sg", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "__graft_sbkt", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "__graft_start", org.apache.spark.sql.types.LongType, nullable = false)))
+    val startDf = broadcast(df.sparkSession.createDataFrame(
+      starts.map { case (g, b, s) => org.apache.spark.sql.Row(g, b, s) }.asJava,
+      startSchema))
+    val rankW = Window.partitionBy(gs, col("__graft_bkt"))
+      .orderBy(minstdHash(col(idCol)).asc, col(idCol).asc)
+    // dictionary-sized when-chains (like thresholdFilter's narrow branch)
+    val wCol = names.foldLeft(lit(0L)) { (acc, g) =>
+      when(gs === lit(g), lit(weights(g))).otherwise(acc) }
+    val offCol = names.foldLeft(lit(0L)) { (acc, g) =>
+      when(gs === lit(g), lit(cycleOffsets(g))).otherwise(acc) }
+    base
+      .withColumn("__graft_rb", row_number().over(rankW).cast("long") - 1L)
+      .join(startDf,
+        gs === col("__graft_sg") && col("__graft_bkt") === col("__graft_sbkt"))
+      .drop("__graft_sg", "__graft_sbkt")
+      .withColumn("__graft_k", col("__graft_start") + col("__graft_rb"))
+      .withColumn("__graft_w", wCol)
+      .withColumn("__graft_cyc_off", offCol)
+      // SQL DIV (IntegralDivide), not `/` (Divide→double): exact long math
+      // at any corpus size; k ≥ 0 and w ≥ 1 so % matches pmod here
+      .withColumn("order_key", expr(
+        s"(__graft_k DIV __graft_w) * ${W}L + __graft_cyc_off + (__graft_k % __graft_w)"))
+      .drop("__graft_bkt", "__graft_rb", "__graft_start",
+        "__graft_k", "__graft_w", "__graft_cyc_off")
+  }
 }

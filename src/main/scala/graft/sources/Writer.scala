@@ -1,7 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import graft.errors.FeatureFactoryException.UnsupportedFormat
+import graft.ops.Sampling.minstdHash
 
 /** Sink-side counterpart of [[Loader]] (the reference has NO sinks — callers
   * `collect()`; at 100 TB the result must be written distributed, so this is
@@ -57,4 +60,44 @@ object Writer {
       .format("parquet")
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
+
+  /** The deterministic shard layout behind [[writeTrainingShards]], exposed
+    * so callers (and the driver's oracle) can audit it without writing:
+    * adds `shard` = id-hash mod `numShards` and `shard_pos` = the row's
+    * 0-based rank within its shard under the portable (id-hash, id) order.
+    * Re-runs, engines, and physical layouts all agree on both columns, so
+    * a training job reading shard k row j sees the same document every
+    * time — the reproducibility contract a pretraining sink must offer.
+    *
+    * One shuffle (the per-shard rank window); the hash order within a
+    * shard is pseudorandom, so shards are unbiased cross-sections of the
+    * corpus, pre-shuffled for training (no separate global-shuffle pass). */
+  def shardAssignments(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    graft.core.Validators.requireColumns(df, Seq(idCol))
+    graft.core.Validators.requireColumnsAbsent(df,
+      Seq("shard", "shard_pos"), "shardAssignments")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(minstdHash(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("shard", pmod(minstdHash(col(idCol)), lit(numShards.toLong)))
+      .withColumn("shard_pos", row_number().over(w).cast("long") - 1L)
+  }
+
+  /** Deterministic training-shard export: hive-partitions the corpus into
+    * `numShards` directories (`shard=0` … `shard=N-1`) with each shard's
+    * rows carrying their stable `shard_pos` rank from [[shardAssignments]].
+    * A 1000-executor training job then reads shard directories
+    * independently (partition pruning per reader), and any shard can be
+    * re-materialized bit-identically after a lost-worker retry or a
+    * backfill — membership and order are pure functions of the id.
+    *
+    * Rows are clustered so each shard's data lands in one task
+    * (`repartition` on the shard column) and sorted within partitions so
+    * per-file row order follows `shard_pos`. */
+  def writeTrainingShards(
+      df: DataFrame, path: String, idCol: String, numShards: Int): Unit =
+    shardAssignments(df, idCol, numShards)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

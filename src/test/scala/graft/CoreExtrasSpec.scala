@@ -84,6 +84,35 @@ class CoreExtrasSpec extends SparkSpec {
     intercept[UnsupportedFormat](Writer.save(docs, "/tmp/out.json"))
   }
 
+  test("Writer.writeTrainingShards round-trips the deterministic shard layout") {
+    import graft.sources.Writer
+    val dir = java.nio.file.Files.createTempDirectory("graft_sh").toString + "/shards"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    Writer.writeTrainingShards(docs, dir, "doc_id", 8)
+    // all 8 shard directories exist (hive layout → partition pruning)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    dirs.toSeq shouldBe (0 to 7).map(i => s"shard=$i")
+    // read-back matches the audited layout exactly: membership AND order
+    // partition-dir values are type-inferred on read (int) — cast back
+    val back = spark.read.parquet(dir)
+      .select(col("doc_id"), col("shard").cast("long"), col("shard_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val audit = Writer.shardAssignments(docs, "doc_id", 8)
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    back shouldBe audit
+    audit.size.toLong shouldBe docs.count()
+    // shard_pos is a dense 0-based rank within each shard
+    audit.groupBy(_._2).foreach { case (_, rows) =>
+      rows.map(_._3).toSeq.sorted shouldBe (0L until rows.size.toLong)
+    }
+    // membership replays the portable hash rule
+    def h(id: Long) = ((id % 2147483647L) * 48271L % 2147483647L) * 48271L % 2147483647L
+    audit.foreach { case (id, shard, _) => shard shouldBe h(id) % 8 }
+  }
+
   test("Writer.writeBucketed: same-bucketing join plans with no shuffle") {
     import graft.sources.Writer
     val tmp = java.nio.file.Files.createTempDirectory("graft_b")

@@ -1426,6 +1426,66 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet shouldBe out.keySet
   }
 
+  test("leakageSafeSplit puts every copy of a document on the same side of the fence") {
+    // ids chosen so a naive per-id split WOULD separate some dup pairs
+    val d = (1L to 400L).map(i => (i, s"text-${i % 100}")).toDF("doc_id", "text")
+    val out = Sampling.leakageSafeSplit(d, "text", "doc_id", 80)
+    out.count() shouldBe 400
+    // one split value per content group
+    out.groupBy("text").agg(countDistinct("split").as("n"))
+      .filter($"n" > 1).count() shouldBe 0
+    // the split is the rep's (min doc_id per group) trainTestSplit decision
+    def h(id: Long) = ((id % 2147483647L) * 48271L % 2147483647L) * 48271L % 2147483647L
+    val got = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 400L).foreach { id =>
+      val rep = id % 100 match { case 0 => 100L case r => r } // min id with same text
+      got(id) shouldBe (if (h(rep) % 100 < 80) "train" else "test")
+    }
+    // a naive per-id split disagrees somewhere on this fixture (the point)
+    val naive = Sampling.trainTestSplit(d, "doc_id", 80)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    naive should not be got
+    intercept[IllegalArgumentException](Sampling.leakageSafeSplit(d, "text", "doc_id", 101))
+    intercept[graft.errors.FeatureFactoryException.MissingColumn](
+      Sampling.leakageSafeSplit(d, "nope", "doc_id", 80))
+  }
+
+  test("interleaveSources emits the weighted round-robin cycle order") {
+    val d = (1L to 90L).map(i =>
+      (i, if (i <= 50) "a" else if (i <= 80) "b" else "c")).toDF("doc_id", "g")
+    val weights = Map("a" -> 3L, "b" -> 2L, "c" -> 1L) // W=6, offsets a=0,b=3,c=5
+    val out = Sampling.interleaveSources(d, "g", "doc_id", weights, numBuckets = 4)
+      .select("doc_id", "g", "order_key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    out.length shouldBe 90
+    out.map(_._3).distinct.length shouldBe 90 // order_key unique
+    // replay: per group, rank in (bucket, hash, id) order → cycle math
+    def h(id: Long) = ((id % 2147483647L) * 48271L % 2147483647L) * 48271L % 2147483647L
+    val offs = Map("a" -> 0L, "b" -> 3L, "c" -> 5L)
+    val expected = d.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+        rs.map(_._1).sortBy(id => (h(id) % 4, h(id), id)).zipWithIndex.map {
+          case (id, k) =>
+            (id, g, (k / weights(g)) * 6L + offs(g) + (k % weights(g)))
+        }
+      }.toSet
+    out.toSet shouldBe expected
+    // while every group lasts, each full cycle holds exactly w_g of each group
+    val byCycle = out.groupBy(_._3 / 6).toSeq.sortBy(_._1)
+    val fullCycles = byCycle.takeWhile(_._2.length == 6)
+    fullCycles.length should be >= 10 // c (smallest, 10 docs) sustains 10 cycles
+    fullCycles.foreach { case (_, rows) =>
+      rows.groupBy(_._2).view.mapValues(_.length).toMap shouldBe
+        Map("a" -> 3, "b" -> 2, "c" -> 1)
+    }
+    // unweighted groups are dropped; absent weighted groups fail loudly
+    Sampling.interleaveSources(d, "g", "doc_id", Map("a" -> 1L), 4)
+      .select("g").distinct().collect().map(_.getString(0)) shouldBe Array("a")
+    intercept[graft.errors.FeatureFactoryException.InvalidParameter](
+      Sampling.interleaveSources(d, "g", "doc_id", Map("a" -> 1L, "zz" -> 2L), 4))
+  }
+
   test("balanceGroups thins every group to ≈ the smallest group's size") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val before = d.groupBy("lang").count().collect()
