@@ -1474,7 +1474,7 @@ object SparkEntry {
         |SELECT d.doc_id, d.ckey,
         |       CASE WHEN (((rep % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 100 < 80
         |            THEN 'train' ELSE 'test' END AS split
-        |FROM d JOIN r USING (ckey)""".stripMargin,
+        |FROM d JOIN r ON d.ckey IS NOT DISTINCT FROM r.ckey""".stripMargin,
     "sample_interleave" ->
       """WITH w AS (SELECT * FROM (VALUES ('src0', 5, 0), ('src1', 2, 5), ('src2', 1, 7)) AS v(source, wt, cyc_off)),
         |     h AS (SELECT doc_id, source,

@@ -36,6 +36,15 @@ object Sampling {
     df.filter(pmod(minstdHash(col(idCol)), lit(100L)) < percent)
   }
 
+  /** The shared split decision of [[trainTestSplit]] and
+    * [[leakageSafeSplit]]: "train" iff the id's hash bucket is below the
+    * percent, "test" otherwise (including a NULL id — the hash comparison
+    * is NULL and the otherwise-branch wins). One definition so the two
+    * ops can never diverge on the rule. */
+  private def splitDecision(idExpr: Column, trainPercent: Int): Column =
+    when(pmod(minstdHash(idExpr), lit(100L)) < trainPercent, lit("train"))
+      .otherwise(lit("test"))
+
   /** Deterministic train/test assignment: adds a `split` column
     * ("train"/"test") from the id hash — the same id lands in the same
     * split on every run, engine, and partitioning, so re-runs and backfills
@@ -45,9 +54,7 @@ object Sampling {
       "trainPercent must be in [0, 100]")
     graft.core.Validators.requireColumns(df, Seq(idCol))
     graft.core.Validators.requireColumnsAbsent(df, Seq("split"), "trainTestSplit")
-    df.withColumn("split",
-      when(pmod(minstdHash(col(idCol)), lit(100L)) < trainPercent, lit("train"))
-        .otherwise(lit("test")))
+    df.withColumn("split", splitDecision(col(idCol), trainPercent))
   }
 
   /** Exactly `perKey` rows per stratum, chosen by id hash (fewer when the
@@ -289,7 +296,13 @@ object Sampling {
     * `(group, id)` pairs after map-side partial aggregation, then one
     * shuffle join back on the group key (no sort, unlike a window min).
     * The representative-id choice (min) is deterministic under any
-    * partitioning, so membership replays bit-for-bit on any engine. */
+    * partitioning, so membership replays bit-for-bit on any engine.
+    *
+    * NULL handling follows [[trainTestSplit]]: `min` skips NULL ids, so a
+    * row with a NULL id inherits its group's non-NULL representative; a
+    * group whose ids are ALL NULL has a NULL rep and lands in "test"
+    * (exactly where trainTestSplit puts a NULL id). NULL groups are one
+    * group (null-safe join). */
   def leakageSafeSplit(
       df: DataFrame, groupCol: String, idCol: String,
       trainPercent: Int): DataFrame = {
@@ -300,9 +313,7 @@ object Sampling {
     val reps = df.groupBy(col(groupCol).as("__graft_lsg"))
       .agg(min(col(idCol)).as("__graft_rep"))
     df.join(reps, col(groupCol) <=> col("__graft_lsg"))
-      .withColumn("split",
-        when(pmod(minstdHash(col("__graft_rep")), lit(100L)) < trainPercent,
-          lit("train")).otherwise(lit("test")))
+      .withColumn("split", splitDecision(col("__graft_rep"), trainPercent))
       .drop("__graft_lsg", "__graft_rep")
   }
 
@@ -346,8 +357,13 @@ object Sampling {
     val cycleOffsets: Map[String, Long] =
       names.zip(names.scanLeft(0L)(_ + weights(_)).init).toMap
     val gs = col(groupCol).cast("string")
-    val base = df.filter(gs.isin(names: _*))
-      .withColumn("__graft_bkt", pmod(minstdHash(col(idCol)), lit(numBuckets.toLong)))
+    // NULL ids are dropped (as hashSample's filter does implicitly): a
+    // null id has no hash position in the order. Both the counts pass and
+    // the rank pass consume this frame — lazily checkpointed so an
+    // expensive upstream computes once, not twice.
+    val base = Dedup.materializeLazy(
+      df.filter(gs.isin(names: _*) && col(idCol).isNotNull)
+        .withColumn("__graft_bkt", pmod(minstdHash(col(idCol)), lit(numBuckets.toLong))))
     // per-(group, bucket) counts → driver prefix offsets, so the global
     // per-group rank is bucket rank + bucket start (dictionary-sized
     // collect: |groups| × numBuckets, the same budget as sampleTokenBudget)

@@ -68,24 +68,72 @@ object Writer {
     * Re-runs, engines, and physical layouts all agree on both columns, so
     * a training job reading shard k row j sees the same document every
     * time — the reproducibility contract a pretraining sink must offer.
+    * Rows with a NULL id are dropped (no hash position in the order).
     *
-    * One shuffle (the per-shard rank window); the hash order within a
-    * shard is pseudorandom, so shards are unbiased cross-sections of the
-    * corpus, pre-shuffled for training (no separate global-shuffle pass). */
-  def shardAssignments(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    * Scale shape: a plain per-shard rank window would serialize a whole
+    * shard (corpus/numShards rows) into ONE task's sort, so the rank is
+    * two-level: the hash is RANGE-bucketed (`hash DIV ceil(M/numSub)` is
+    * monotone in the hash, so bucket-major order IS (hash, id) order —
+    * the rank rule is unchanged), ranked within (shard, bucket), and the
+    * per-(shard, bucket) counts prefix-sum on the driver into bucket
+    * start offsets — one dictionary-sized collect (numShards × numSub),
+    * one shuffle, and a shard is numSub sort tasks, not one. The hash
+    * order within a shard is pseudorandom, so shards are unbiased
+    * cross-sections of the corpus, pre-shuffled for training (no
+    * separate global-shuffle pass). */
+  def shardAssignments(
+      df: DataFrame, idCol: String, numShards: Int,
+      numSubBuckets: Int = 64): DataFrame = {
     require(numShards >= 1, "numShards must be >= 1")
+    require(numSubBuckets >= 1, "numSubBuckets must be >= 1")
     graft.core.Validators.requireColumns(df, Seq(idCol))
     graft.core.Validators.requireColumnsAbsent(df,
       Seq("shard", "shard_pos"), "shardAssignments")
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(minstdHash(col(idCol)).asc, col(idCol).asc)
-    df.withColumn("shard", pmod(minstdHash(col(idCol)), lit(numShards.toLong)))
-      .withColumn("shard_pos", row_number().over(w).cast("long") - 1L)
+    val M = 2147483647L // minstdHash range: [0, M)
+    val subWidth = (M + numSubBuckets - 1) / numSubBuckets
+    // counts and rank both consume this frame — checkpoint the upstream once
+    val base = graft.ops.Dedup.materializeLazy(
+      df.filter(col(idCol).isNotNull)
+        .withColumn("__graft_hh", minstdHash(col(idCol)))
+        .withColumn("shard", pmod(col("__graft_hh"), lit(numShards.toLong)))
+        // SQL DIV (IntegralDivide) for exact long range-bucketing
+        .withColumn("__graft_sub", expr(s"__graft_hh DIV ${subWidth}L")))
+    val counts = base.groupBy(col("shard"), col("__graft_sub"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val starts = counts.groupBy(_._1).toSeq.flatMap { case (sh, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, b, n) =>
+        val s = (sh, b, acc); acc += n; s
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val startSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "__graft_ssh", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "__graft_ssub", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "__graft_start", org.apache.spark.sql.types.LongType, nullable = false)))
+    val startDf = broadcast(df.sparkSession.createDataFrame(
+      starts.map { case (sh, b, s) => org.apache.spark.sql.Row(sh, b, s) }.asJava,
+      startSchema))
+    val w = Window.partitionBy(col("shard"), col("__graft_sub"))
+      .orderBy(col("__graft_hh").asc, col(idCol).asc)
+    base
+      .withColumn("__graft_rb", row_number().over(w).cast("long") - 1L)
+      .join(startDf,
+        col("shard") === col("__graft_ssh") && col("__graft_sub") === col("__graft_ssub"))
+      .withColumn("shard_pos", col("__graft_start") + col("__graft_rb"))
+      .drop("__graft_hh", "__graft_sub", "__graft_rb", "__graft_start",
+        "__graft_ssh", "__graft_ssub")
   }
 
   /** Deterministic training-shard export: hive-partitions the corpus into
-    * `numShards` directories (`shard=0` … `shard=N-1`) with each shard's
-    * rows carrying their stable `shard_pos` rank from [[shardAssignments]].
+    * up to `numShards` directories (`shard=0` … `shard=N-1`; a shard with
+    * no rows writes NO directory — readers should list the actual dirs,
+    * not enumerate 0..N-1) with each shard's rows carrying their stable
+    * `shard_pos` rank from [[shardAssignments]].
     * A 1000-executor training job then reads shard directories
     * independently (partition pruning per reader), and any shard can be
     * re-materialized bit-identically after a lost-worker retry or a

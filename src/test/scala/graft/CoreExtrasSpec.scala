@@ -111,6 +111,12 @@ class CoreExtrasSpec extends SparkSpec {
     // membership replays the portable hash rule
     def h(id: Long) = ((id % 2147483647L) * 48271L % 2147483647L) * 48271L % 2147483647L
     audit.foreach { case (id, shard, _) => shard shouldBe h(id) % 8 }
+    // the two-level rank (range-bucketed hash + prefix offsets) is EXACTLY
+    // the single-window rank: bucket-major order is (hash, id) order
+    val flat = Writer.shardAssignments(docs, "doc_id", 8, numSubBuckets = 1)
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    flat shouldBe audit
   }
 
   test("Writer.writeBucketed: same-bucketing join plans with no shuffle") {

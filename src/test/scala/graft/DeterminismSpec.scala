@@ -89,4 +89,20 @@ class DeterminismSpec extends SparkSpec {
     def samp(x: DataFrame) = rows(graft.ops.Sampling.hashSample(x, "doc_id", 37))
     samp(d.repartition(1)) shouldBe samp(d.repartition(8))
   }
+
+  test("interleave order, leakage-safe split, and shard layout ignore physical layout") {
+    val d = docs.withColumn("g", (col("doc_id") % 3).cast("string"))
+    def ord(x: DataFrame) = rows(graft.ops.Sampling.interleaveSources(
+      x, "g", "doc_id", Map("0" -> 3L, "1" -> 2L, "2" -> 1L), numBuckets = 4))
+    withShufflePartitions(3)(ord(d.repartition(2))) shouldBe
+      withShufflePartitions(11)(ord(d.repartition(7, col("g"))))
+    def split(x: DataFrame) =
+      rows(graft.ops.Sampling.leakageSafeSplit(x, "text", "doc_id", 70))
+    withShufflePartitions(3)(split(d.repartition(2))) shouldBe
+      withShufflePartitions(13)(split(d.repartition(9, col("text"))))
+    def shards(x: DataFrame) =
+      rows(graft.sources.Writer.shardAssignments(x, "doc_id", 8))
+    withShufflePartitions(3)(shards(d.repartition(2))) shouldBe
+      withShufflePartitions(11)(shards(d.repartition(6, col("doc_id"))))
+  }
 }
