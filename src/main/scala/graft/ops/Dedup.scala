@@ -236,7 +236,7 @@ object Dedup {
     * configured, else `localCheckpoint` (executor-local blocks: faster, but
     * an executor death forces recompute — acceptable in local mode and
     * short jobs). */
-  private[graft] def materialize(df: DataFrame): DataFrame =
+  private[ops] def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint()
     else df.localCheckpoint()
@@ -246,7 +246,7 @@ object Dedup {
     * public-API construction sites — a caller that builds the frame but
     * never executes it (explain, conditional pipelines) shouldn't pay the
     * upstream computation. */
-  private[graft] def materializeLazy(df: DataFrame): DataFrame =
+  private[ops] def materializeLazy(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = false)
     else df.localCheckpoint(eager = false)

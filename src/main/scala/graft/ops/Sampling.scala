@@ -17,8 +17,37 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  private val M = 2147483647L // 2^31 − 1 (prime)
+  /** [[minstdHash]]'s modulus (2^31 − 1, prime): hash values live in
+    * [0, HashM). Shared with the sink-side layout in
+    * [[graft.sources.Writer]]. */
+  private[graft] val HashM = 2147483647L
+  private val M = HashM
   private val A = 48271L      // MINSTD multiplier
+
+  /** Driver half of the two-level rank/offset pattern shared by
+    * [[sampleTokenBudget]], [[interleaveSources]], and
+    * [[graft.sources.Writer.shardAssignments]]: collected
+    * `(part, bucket, value)` triples → `(part, bucket, exclusive prefix
+    * sum of value over the part's buckets in ascending order)` — each
+    * part's bucket start offsets. */
+  private[graft] def exclusivePrefixByPart[K](
+      rows: Seq[(K, Long, Long)]): Seq[(K, Long, Long)] =
+    rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+      var acc = 0L
+      rs.sortBy(_._2).map { case (_, b, n) => val s = (k, b, acc); acc += n; s }
+    }
+
+  /** The broadcast side of the same pattern: a small driver-built frame
+    * (all columns non-nullable) marked for broadcast join. */
+  private[graft] def broadcastFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      fields: Seq[(String, org.apache.spark.sql.types.DataType)],
+      rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, t, nullable = false) })
+    broadcast(spark.createDataFrame(rows.asJava, schema))
+  }
 
   /** Two MINSTD rounds of a non-negative id: uniform-ish value in [0, M). */
   def minstdHash(id: Column): Column = {
@@ -251,25 +280,21 @@ object Sampling {
     require(numBuckets >= 1, "numBuckets must be >= 1")
     graft.core.Validators.requireColumns(df, Seq(idCol, tokenCol))
     // both the totals aggregate and the window pass consume this frame —
-    // lazily checkpointed so the upstream (often a per-document tokenize)
-    // computes once, not twice
-    val positive = Dedup.materializeLazy(df.filter(col(tokenCol) > 0)
-      .withColumn("__graft_bkt", pmod(minstdHash(col(idCol)), lit(numBuckets.toLong))))
+    // lazily checkpointed so the upstream (typically a per-document
+    // tokenize whose token column IS the aggregated value, so a narrow
+    // re-read would not avoid the recompute) runs once, not twice. NULL
+    // ids are dropped: no hash position in the order
+    val positive = Dedup.materializeLazy(
+      df.filter(col(tokenCol) > 0 && col(idCol).isNotNull)
+        .withColumn("__graft_bkt", pmod(minstdHash(col(idCol)), lit(numBuckets.toLong))))
     val totals = positive.groupBy(col("__graft_bkt"))
       .agg(sum(col(tokenCol).cast("long")).as("__graft_tot"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets = totals.map { case (b, t) => val o = (b, acc); acc += t; o }
-    import scala.jdk.CollectionConverters._
-    val spark = df.sparkSession
-    val offSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(
-        "__graft_bkt", org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField(
-        "__graft_off", org.apache.spark.sql.types.LongType, nullable = false)))
-    val offDf = broadcast(spark.createDataFrame(
-      offsets.map { case (b, o) => org.apache.spark.sql.Row(b, o) }.toSeq.asJava,
-      offSchema))
+      .collect().map(r => ((), r.getLong(0), r.getLong(1)))
+    import org.apache.spark.sql.types.LongType
+    val offDf = broadcastFrame(df.sparkSession,
+      Seq("__graft_bkt" -> LongType, "__graft_off" -> LongType),
+      exclusivePrefixByPart(totals.toSeq).map { case (_, b, o) =>
+        org.apache.spark.sql.Row(b, o) })
     // explicit ROWS frame, as in [[packSequences]]: the default RANGE
     // frame gives order-peer rows (duplicate ids) one shared running
     // total, diverging from the one-row-at-a-time rule the oracle replays
@@ -341,7 +366,8 @@ object Sampling {
     * driver-prefix-summed per-(group, bucket) counts — so a group is
     * `numBuckets` window partitions, not one giant sorted task; one
     * count aggregate (dictionary-sized collect: groups × buckets) and
-    * one shuffle on (group, bucket). */
+    * one shuffle on (group, bucket). EAGER, like every fit in this
+    * file: the counts aggregate runs at call time. */
   def interleaveSources(
       df: DataFrame, groupCol: String, idCol: String,
       weights: Map[String, Long], numBuckets: Int = 1024): DataFrame = {
@@ -358,43 +384,34 @@ object Sampling {
       names.zip(names.scanLeft(0L)(_ + weights(_)).init).toMap
     val gs = col(groupCol).cast("string")
     // NULL ids are dropped (as hashSample's filter does implicitly): a
-    // null id has no hash position in the order. Both the counts pass and
-    // the rank pass consume this frame — lazily checkpointed so an
-    // expensive upstream computes once, not twice.
-    val base = Dedup.materializeLazy(
-      df.filter(gs.isin(names: _*) && col(idCol).isNotNull)
-        .withColumn("__graft_bkt", pmod(minstdHash(col(idCol)), lit(numBuckets.toLong))))
+    // null id has no hash position in the order
+    val base = df.filter(gs.isin(names: _*) && col(idCol).isNotNull)
+      .withColumn("__graft_bkt", pmod(minstdHash(col(idCol)), lit(numBuckets.toLong)))
     // per-(group, bucket) counts → driver prefix offsets, so the global
     // per-group rank is bucket rank + bucket start (dictionary-sized
-    // collect: |groups| × numBuckets, the same budget as sampleTokenBudget)
+    // collect: |groups| × numBuckets, the same budget as sampleTokenBudget).
+    // This fit pass re-reads the upstream with columns pruned to
+    // (group, id) — deliberately NOT checkpointed: caching the full-width
+    // corpus to make a two-column aggregate cheaper is the wrong trade at
+    // scale (callers with an expensive narrow upstream can checkpoint it
+    // themselves before calling)
     val counts = base.groupBy(gs.as("__g"), col("__graft_bkt"))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    // a weighted group with zero rows is almost always a typo'd name —
+    // a weighted group with zero surviving rows is usually a typo'd name —
     // fail loudly, as mixGroups does, rather than silently skip its slots
     val present = counts.map(_._1).toSet
     val absent = names.filterNot(present)
     if (absent.nonEmpty)
       throw graft.errors.FeatureFactoryException.InvalidParameter(
-        s"interleaveSources: weighted group(s) absent from the data: ${absent.mkString(", ")}")
-    val starts: Seq[(String, Long, Long)] = counts
-      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
-        var acc = 0L
-        rows.sortBy(_._2).map { case (_, b, n) =>
-          val s = (g, b, acc); acc += n; s
-        }
-      }
-    import scala.jdk.CollectionConverters._
-    val startSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(
-        "__graft_sg", org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField(
-        "__graft_sbkt", org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField(
-        "__graft_start", org.apache.spark.sql.types.LongType, nullable = false)))
-    val startDf = broadcast(df.sparkSession.createDataFrame(
-      starts.map { case (g, b, s) => org.apache.spark.sql.Row(g, b, s) }.asJava,
-      startSchema))
+        s"interleaveSources: weighted group(s) absent from the data " +
+          s"(or with all-NULL ids): ${absent.mkString(", ")}")
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val startDf = broadcastFrame(df.sparkSession,
+      Seq("__graft_sg" -> StringType, "__graft_sbkt" -> LongType,
+        "__graft_start" -> LongType),
+      exclusivePrefixByPart(counts.toSeq).map { case (g, b, s) =>
+        org.apache.spark.sql.Row(g, b, s) })
     val rankW = Window.partitionBy(gs, col("__graft_bkt"))
       .orderBy(minstdHash(col(idCol)).asc, col(idCol).asc)
     // dictionary-sized when-chains (like thresholdFilter's narrow branch)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.errors.FeatureFactoryException.UnsupportedFormat
+import graft.ops.Sampling
 import graft.ops.Sampling.minstdHash
 
 /** Sink-side counterpart of [[Loader]] (the reference has NO sinks — callers
@@ -80,7 +81,8 @@ object Writer {
     * one shuffle, and a shard is numSub sort tasks, not one. The hash
     * order within a shard is pseudorandom, so shards are unbiased
     * cross-sections of the corpus, pre-shuffled for training (no
-    * separate global-shuffle pass). */
+    * separate global-shuffle pass). EAGER: the counts aggregate runs at
+    * call time, like the fits in [[graft.ops.Sampling]]. */
   def shardAssignments(
       df: DataFrame, idCol: String, numShards: Int,
       numSubBuckets: Int = 64): DataFrame = {
@@ -89,35 +91,25 @@ object Writer {
     graft.core.Validators.requireColumns(df, Seq(idCol))
     graft.core.Validators.requireColumnsAbsent(df,
       Seq("shard", "shard_pos"), "shardAssignments")
-    val M = 2147483647L // minstdHash range: [0, M)
-    val subWidth = (M + numSubBuckets - 1) / numSubBuckets
-    // counts and rank both consume this frame — checkpoint the upstream once
-    val base = graft.ops.Dedup.materializeLazy(
-      df.filter(col(idCol).isNotNull)
-        .withColumn("__graft_hh", minstdHash(col(idCol)))
-        .withColumn("shard", pmod(col("__graft_hh"), lit(numShards.toLong)))
-        // SQL DIV (IntegralDivide) for exact long range-bucketing
-        .withColumn("__graft_sub", expr(s"__graft_hh DIV ${subWidth}L")))
+    val subWidth = (Sampling.HashM + numSubBuckets - 1) / numSubBuckets
+    // NULL ids are dropped (no hash position in the order). NOT
+    // checkpointed: the counts pass re-reads the upstream with columns
+    // pruned to the id alone — cheaper at any scale than caching the
+    // full-width corpus (see interleaveSources for the same trade)
+    val base = df.filter(col(idCol).isNotNull)
+      .withColumn("__graft_hh", minstdHash(col(idCol)))
+      .withColumn("shard", pmod(col("__graft_hh"), lit(numShards.toLong)))
+      // SQL DIV (IntegralDivide) for exact long range-bucketing
+      .withColumn("__graft_sub", expr(s"__graft_hh DIV ${subWidth}L"))
     val counts = base.groupBy(col("shard"), col("__graft_sub"))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val starts = counts.groupBy(_._1).toSeq.flatMap { case (sh, rows) =>
-      var acc = 0L
-      rows.sortBy(_._2).map { case (_, b, n) =>
-        val s = (sh, b, acc); acc += n; s
-      }
-    }
-    import scala.jdk.CollectionConverters._
-    val startSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(
-        "__graft_ssh", org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField(
-        "__graft_ssub", org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField(
-        "__graft_start", org.apache.spark.sql.types.LongType, nullable = false)))
-    val startDf = broadcast(df.sparkSession.createDataFrame(
-      starts.map { case (sh, b, s) => org.apache.spark.sql.Row(sh, b, s) }.asJava,
-      startSchema))
+    import org.apache.spark.sql.types.LongType
+    val startDf = Sampling.broadcastFrame(df.sparkSession,
+      Seq("__graft_ssh" -> LongType, "__graft_ssub" -> LongType,
+        "__graft_start" -> LongType),
+      Sampling.exclusivePrefixByPart(counts.toSeq).map { case (sh, b, s) =>
+        org.apache.spark.sql.Row(sh, b, s) })
     val w = Window.partitionBy(col("shard"), col("__graft_sub"))
       .orderBy(col("__graft_hh").asc, col(idCol).asc)
     base
