@@ -672,6 +672,17 @@ object SparkEntry {
       TextOps.qualityFeatures(
         rt(s, dir, "documents").select("doc_id", "text"), "text")
         .drop("text")),
+    "text_gopher" -> ((s, dir) =>
+      TextOps.gopherFeatures(
+        rt(s, dir, "documents").select("doc_id", "text"), "text")
+        .drop("text")),
+    // Published thresholds relaxed to the synthetic corpus's 10-99-word
+    // documents (minWords 20, minStopHits 1) so the kept set is non-trivial
+    "text_gopher_filter" -> ((s, dir) =>
+      TextOps.gopherFilter(
+        rt(s, dir, "documents").select("doc_id", "text"), "text",
+        minWords = 20, minStopHits = 1)
+        .drop("text")),
     "text_langid" -> ((s, dir) =>
       rt(s, dir, "documents").select(
         col("doc_id"), TextOps.languageId(col("text")).as("lang_pred"))),
@@ -1601,6 +1612,82 @@ object SparkEntry {
         |                 / CAST(len(toks) AS DOUBLE)
         |            ELSE 0.0 END AS stopword_ratio
         |FROM t""".stripMargin,
+    // Gopher-rule features replayed with DuckDB list lambdas — same
+    // tokenization, same non-blank-line rule, same exact-integer divisions.
+    "text_gopher" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+        |             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lns,
+        |             text
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(toks) AS INTEGER) AS n_words,
+        |       CASE WHEN len(toks) > 0
+        |            THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+        |                 / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+        |       CASE WHEN len(toks) > 0
+        |            THEN CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
+        |                 / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS hash_word_ratio,
+        |       CASE WHEN len(toks) > 0
+        |            THEN CAST(len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE)
+        |                 / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS ellipsis_word_ratio,
+        |       CASE WHEN len(lns) > 0
+        |            THEN CAST(len(list_filter(lns,
+        |                   x -> regexp_matches(x, '^\s*[-*•‣▶]'))) AS DOUBLE)
+        |                 / CAST(len(lns) AS DOUBLE) ELSE 0.0 END AS bullet_line_frac,
+        |       CASE WHEN len(lns) > 0
+        |            THEN CAST(len(list_filter(lns,
+        |                   x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+        |                 / CAST(len(lns) AS DOUBLE) ELSE 0.0 END AS ellipsis_line_frac,
+        |       CASE WHEN len(toks) > 0
+        |            THEN CAST(len(list_filter(toks,
+        |                   x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |                 / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS alpha_word_frac,
+        |       CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+        |          + (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END)
+        |          + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+        |          + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
+        |          + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+        |          + (CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END)
+        |          + (CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END)
+        |          + (CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)
+        |          AS INTEGER) AS stop_hits
+        |FROM t""".stripMargin,
+    // The filter replays the kept-set predicate over the same features
+    // (single-line 10-99-word corpus: the word-count, mean-length, symbol,
+    // alpha, and stopword rules are the live ones)
+    "text_gopher_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+        |             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lns,
+        |             text
+        |           FROM documents)
+        |SELECT doc_id FROM t
+        |WHERE len(toks) >= 20 AND len(toks) <= 100000
+        |  AND len(toks) > 0
+        |  AND CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 10.0
+        |  AND CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) <= 0.1
+        |  AND CAST(len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) <= 0.1
+        |  AND (len(lns) = 0 OR CAST(len(list_filter(lns,
+        |        x -> regexp_matches(x, '^\s*[-*•‣▶]'))) AS DOUBLE)
+        |      / CAST(len(lns) AS DOUBLE) <= 0.9)
+        |  AND (len(lns) = 0 OR CAST(len(list_filter(lns,
+        |        x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+        |      / CAST(len(lns) AS DOUBLE) <= 0.3)
+        |  AND CAST(len(list_filter(toks,
+        |        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) >= 0.8
+        |  AND (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END) >= 1""".stripMargin,
     // Repetition metrics replayed with DuckDB list lambdas; the per-doc
     // mode is the same O(|distinct| × |tokens|) count-per-distinct-token
     // formulation, and all fractions are exact-integer divisions.

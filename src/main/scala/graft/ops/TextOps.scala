@@ -488,4 +488,91 @@ object TextOps {
       .orderBy(col("doc_freq").desc, col("gram").asc)
       .limit(k)
   }
+
+  /** The eight "required stopwords" of the Gopher ruleset: a document is
+    * expected to contain at least `minStopHits` DISTINCT words from this
+    * list (natural-language prose virtually always does; tables, code, and
+    * navigation boilerplate virtually never do). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-ruleset quality features (the published document-hygiene
+    * heuristics from the Gopher corpus pipeline — Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from Training
+    * Gopher", Table A1), complementing [[qualityFeatures]]'s ratio
+    * signals. Appended columns:
+    *   n_words             whitespace token count;
+    *   mean_word_len       mean token length in characters;
+    *   hash_word_ratio     '#' occurrences per word;
+    *   ellipsis_word_ratio '...'/'…' occurrences per word;
+    *   bullet_line_frac    fraction of non-blank lines starting with a
+    *                       bullet glyph (-, *, •, ‣, ▶);
+    *   ellipsis_line_frac  fraction of non-blank lines ending in an
+    *                       ellipsis;
+    *   alpha_word_frac     fraction of words containing an ASCII letter;
+    *   stop_hits           distinct [[GopherStopwords]] present.
+    * One narrow projection — no shuffle, no UDF; every ratio is an exact
+    * integer-count division, so any engine reproduces the doubles
+    * bit-for-bit. Empty documents (no words / no non-blank lines) score
+    * 0.0 on the affected ratios. */
+  def gopherFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val lines = filter(split(t, "\n"), l => trim(l) =!= "")
+    val nLines = size(lines)
+    def perWord(n: Column): Column =
+      when(nTok > 0, n.cast("double") / nTok.cast("double")).otherwise(lit(0.0))
+    def perLine(n: Column): Column =
+      when(nLines > 0, n.cast("double") / nLines.cast("double")).otherwise(lit(0.0))
+    df.withColumn("n_words", nTok)
+      .withColumn("mean_word_len",
+        perWord(aggregate(toks, lit(0), (acc, w) => acc + length(w))))
+      .withColumn("hash_word_ratio", perWord(regexp_count(t, lit("#"))))
+      .withColumn("ellipsis_word_ratio",
+        perWord(regexp_count(t, lit("\\.\\.\\.|…"))))
+      .withColumn("bullet_line_frac",
+        perLine(size(filter(lines, l => l.rlike("^\\s*[-*•‣▶]")))))
+      .withColumn("ellipsis_line_frac",
+        perLine(size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))))
+      .withColumn("alpha_word_frac",
+        perWord(size(filter(toks, w => w.rlike("[A-Za-z]")))))
+      .withColumn("stop_hits",
+        GopherStopwords.map(sw =>
+          when(array_contains(toks, sw), lit(1)).otherwise(lit(0)))
+          .reduce(_ + _))
+  }
+
+  /** [[gopherFeatures]] applied as a filter with the published Gopher
+    * thresholds as defaults: word count in [50, 100k], mean word length in
+    * [3, 10], at most 0.1 hash or ellipsis symbols per word, at most 90%
+    * bullet lines, at most 30% ellipsis-ended lines, at least 80% of words
+    * with an alphabetic character, and at least 2 of the required
+    * stopwords. Input schema is preserved; a pure narrow filter. */
+  def gopherFilter(
+      df: DataFrame,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      minStopHits: Int = 2,
+  ): DataFrame = {
+    val scored = gopherFeatures(df, textCol)
+    scored
+      .filter(col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= minMeanWordLen &&
+        col("mean_word_len") <= maxMeanWordLen &&
+        col("hash_word_ratio") <= maxSymbolWordRatio &&
+        col("ellipsis_word_ratio") <= maxSymbolWordRatio &&
+        col("bullet_line_frac") <= maxBulletLineFrac &&
+        col("ellipsis_line_frac") <= maxEllipsisLineFrac &&
+        col("alpha_word_frac") >= minAlphaWordFrac &&
+        col("stop_hits") >= minStopHits)
+      .select(df.columns.map(col).toSeq: _*)
+  }
 }

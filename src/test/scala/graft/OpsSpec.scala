@@ -1176,6 +1176,46 @@ class OpsSpec extends SparkSpec {
     out.collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
   }
 
+  test("TextOps.gopherFeatures computes word, symbol, line, and stopword signals") {
+    val d = Seq(
+      (1L, "- one two...\nthree # four…\n\n  - five"),
+      (2L, "")) // empty → zero ratios, zero counts
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherFeatures(d, "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    r1.getInt(2) shouldBe 8 // n_words
+    r1.getDouble(3) shouldBe 26.0 / 8.0 // mean_word_len
+    r1.getDouble(4) shouldBe 1.0 / 8.0 // hash_word_ratio
+    r1.getDouble(5) shouldBe 2.0 / 8.0 // ellipsis_word_ratio ('...' + '…')
+    r1.getDouble(6) shouldBe 2.0 / 3.0 // bullet_line_frac (blank line excluded)
+    r1.getDouble(7) shouldBe 2.0 / 3.0 // ellipsis_line_frac
+    r1.getDouble(8) shouldBe 5.0 / 8.0 // alpha_word_frac
+    r1.getInt(9) shouldBe 0 // stop_hits
+    val r2 = out(2L)
+    r2.getInt(2) shouldBe 0
+    (3 to 8).foreach(i => r2.getDouble(i) shouldBe 0.0)
+    r2.getInt(9) shouldBe 0
+  }
+
+  test("TextOps.gopherFilter applies the published thresholds rule-by-rule") {
+    val good =
+      "the quick brown fox jumps over the lazy dog and that have with be to of " * 4
+    val bulletLine = "- the fox and dog that have with some more words"
+    val d = Seq(
+      (1L, good), // 64 words, mean 3.5, 8 stop hits → kept
+      (2L, "the cat sat"), // fails word count
+      (3L, ("# " * 8) + good), // hash ratio 8/72 > 0.1
+      (4L, ("lorem ipsum dolor sit amet consectetur adipiscing elit " +
+        "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua ") * 3),
+      // ^ 60 words, zero required stopwords
+      (5L, Seq.fill(6)(bulletLine).mkString("\n"))) // bullet_line_frac 1.0 > 0.9
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherFilter(d, "text")
+    out.columns.toSeq shouldBe Seq("doc_id", "text")
+    out.collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+  }
+
   test("TextOps.piiCounts counts emails, phones, ipv4 without overlap") {
     val d = Seq(
       (1L, "mail a@b.co and c.d+x@e-f.org, call 555-123-4567 or 555.987.6543, host 10.0.0.1"),
