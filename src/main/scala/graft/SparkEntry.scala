@@ -755,6 +755,10 @@ object SparkEntry {
       Curation.curate(rt(s, dir, "documents").select("doc_id", "text"),
         "doc_id", "text", nearDup = false, samplePercent = 50)
         .select("doc_id")),
+    // One-scan per-rule drop accounting over the narrow curate rules
+    // (default thresholds — the same rules corpus_curate's chain applies)
+    "corpus_funnel" -> ((s, dir) =>
+      Curation.funnel(rt(s, dir, "documents"), "text")),
     "sim_topk" -> ((s, dir) => {
       val e = rt(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
@@ -1916,6 +1920,51 @@ object SparkEntry {
         |           GROUP BY fp)
         |SELECT doc_id FROM d
         |WHERE (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 100 < 50""".stripMargin,
+    // Marginal per-rule failure counts over the same quality + repetition
+    // formulas (each rule independently over the full input)
+    "corpus_funnel" ->
+      """WITH t AS (SELECT text,
+        |             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+        |             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |           FROM documents),
+        |     b AS (SELECT *, CASE WHEN len(w) >= 2
+        |                          THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+        |                          ELSE CAST([] AS VARCHAR[]) END AS bg
+        |           FROM t),
+        |     f AS (SELECT
+        |             (len(toks) < 5) AS f_min,
+        |             (CASE WHEN len(text) > 0
+        |                   THEN CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE)
+        |                        / CAST(len(text) AS DOUBLE) ELSE 0.0 END > 0.2) AS f_punct,
+        |             (CASE WHEN len(w) > 0
+        |                   THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE)
+        |                              / CAST(len(w) AS DOUBLE)
+        |                   ELSE 0.0 END > 0.3) AS f_dup,
+        |             (CASE WHEN len(w) > 0
+        |                   THEN CAST(list_max(list_transform(list_distinct(w),
+        |                          d -> len(list_filter(w, x -> x = d)))) AS DOUBLE)
+        |                        / CAST(len(w) AS DOUBLE) ELSE 0.0 END > 0.2) AS f_topw,
+        |             (CASE WHEN len(bg) > 0
+        |                   THEN CAST(list_max(list_transform(list_distinct(bg),
+        |                          d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE)
+        |                        / CAST(len(bg) AS DOUBLE) ELSE 0.0 END > 0.18) AS f_topb
+        |           FROM b),
+        |     g AS (SELECT *, (f_min OR f_punct OR f_dup OR f_topw OR f_topb) AS f_any FROM f)
+        |SELECT 'input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM g
+        |UNION ALL SELECT 'quality_min_tokens',
+        |  CAST(coalesce(sum(CASE WHEN f_min THEN 1 ELSE 0 END), 0) AS BIGINT) FROM g
+        |UNION ALL SELECT 'quality_punct_ratio',
+        |  CAST(coalesce(sum(CASE WHEN f_punct THEN 1 ELSE 0 END), 0) AS BIGINT) FROM g
+        |UNION ALL SELECT 'rep_dup_word',
+        |  CAST(coalesce(sum(CASE WHEN f_dup THEN 1 ELSE 0 END), 0) AS BIGINT) FROM g
+        |UNION ALL SELECT 'rep_top_word',
+        |  CAST(coalesce(sum(CASE WHEN f_topw THEN 1 ELSE 0 END), 0) AS BIGINT) FROM g
+        |UNION ALL SELECT 'rep_top_bigram',
+        |  CAST(coalesce(sum(CASE WHEN f_topb THEN 1 ELSE 0 END), 0) AS BIGINT) FROM g
+        |UNION ALL SELECT 'fail_any',
+        |  CAST(coalesce(sum(CASE WHEN f_any THEN 1 ELSE 0 END), 0) AS BIGINT) FROM g
+        |UNION ALL SELECT 'kept',
+        |  CAST(coalesce(sum(CASE WHEN NOT f_any THEN 1 ELSE 0 END), 0) AS BIGINT) FROM g""".stripMargin,
     // rank on the 9-decimal-rounded score (both engines) so libm ulp
     // differences in ln cannot flip near-ties; exact ties break by term
     "text_tfidf" ->

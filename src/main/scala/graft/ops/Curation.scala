@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The canonical corpus-curation endpoint: the hygiene chain a
@@ -79,5 +79,57 @@ object Curation {
       else exact
     if (samplePercent >= 100) deduped
     else Sampling.hashSample(deduped, idCol, samplePercent)
+  }
+
+  /** Per-rule drop accounting for [[curate]]'s narrow filter stages — the
+    * "where did my corpus go" report every large curation run needs before
+    * anyone trusts its output. Returns one row per stage:
+    *   input               total documents seen;
+    *   quality_min_tokens  docs with fewer than `minTokens` tokens;
+    *   quality_punct_ratio docs over `maxPunctRatio`;
+    *   rep_dup_word        docs over `maxDupWordFrac`;
+    *   rep_top_word        docs over `maxTopWordFrac`;
+    *   rep_top_bigram      docs over `maxTopBigramFrac`;
+    *   fail_any            docs failing at least one rule;
+    *   kept                docs passing all rules.
+    * Rule counts are MARGINAL — each rule evaluated independently over the
+    * full input (they need not sum to `fail_any`: one doc can fail
+    * several). One scan, one aggregate: all eight numbers come from a
+    * single projection computing every rule's boolean, so the report costs
+    * one pass over the corpus regardless of rule count. The shuffling
+    * stages (dedup, near-dup) are deliberately out of scope — their drop
+    * counts depend on pairing, not per-row predicates; count them by
+    * differencing [[curate]]'s stage outputs. */
+  def funnel(
+      df: DataFrame,
+      textCol: String,
+      minTokens: Int = 5,
+      maxPunctRatio: Double = 0.2,
+      maxDupWordFrac: Double = 0.3,
+      maxTopWordFrac: Double = 0.2,
+      maxTopBigramFrac: Double = 0.18,
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(textCol))
+    // pruned to the text column: the feature appends collide with nothing,
+    // and the scan reads one column regardless of input width
+    val scored = TextOps.repetitionFeatures(
+      TextOps.qualityFeatures(df.select(col(textCol)), textCol), textCol)
+    val fails: Seq[(String, Column)] = Seq(
+      "quality_min_tokens" -> (col("n_tokens") < minTokens),
+      "quality_punct_ratio" -> (col("punct_ratio") > maxPunctRatio),
+      "rep_dup_word" -> (col("rep_dup_word_frac") > maxDupWordFrac),
+      "rep_top_word" -> (col("rep_top_word_frac") > maxTopWordFrac),
+      "rep_top_bigram" -> (col("rep_top_bigram_frac") > maxTopBigramFrac))
+    val fAny = fails.map(_._2).reduce(_ || _)
+    def cnt(c: Column): Column = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    val agg = scored.agg(
+      count(lit(1)).as("input"),
+      (fails.map { case (n, c) => cnt(c).as(n) } :+
+        cnt(fAny).as("fail_any") :+
+        cnt(!fAny).as("kept")): _*)
+    val stages = "input" +: fails.map(_._1) :+ "fail_any" :+ "kept"
+    agg.select(explode(array(stages.map(n =>
+      struct(lit(n).as("stage"), col(n).as("n_docs"))): _*)).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"))
   }
 }

@@ -1176,6 +1176,25 @@ class OpsSpec extends SparkSpec {
     out.collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
   }
 
+  test("Curation.funnel counts marginal rule failures, fail_any, and kept in one pass") {
+    val d = Seq(
+      (1L, "a genuinely varied sentence with many distinct words inside"), // passes all
+      (2L, "tiny doc"), // fails min_tokens; 2 tokens also trip both top fracs
+      (3L, "spam spam spam spam spam spam"), // fails all three repetition rules
+      (4L, "!!! ??? ;;; ... obviously far too much punctuation here !!!")) // fails punct
+      .toDF("doc_id", "text")
+    val out = Curation.funnel(d, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out("input") shouldBe 4L
+    out("quality_min_tokens") shouldBe 1L
+    out("quality_punct_ratio") shouldBe 1L
+    out("rep_dup_word") shouldBe 1L
+    out("rep_top_word") shouldBe 2L
+    out("rep_top_bigram") shouldBe 2L
+    out("fail_any") shouldBe 3L
+    out("kept") shouldBe 1L
+  }
+
   test("TextOps.gopherFeatures computes word, symbol, line, and stopword signals") {
     val d = Seq(
       (1L, "- one two...\nthree # four…\n\n  - five"),
