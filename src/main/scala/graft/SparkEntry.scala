@@ -905,6 +905,23 @@ object SparkEntry {
     // → connected components → one cluster id per vector. The ≥0.99 pairs
     // are exactly the injected copies (max natural pairwise cosine 0.513),
     // so the oracle enumerates the expected clusters in closed form.
+    // SemDeDup over the same corpus with PERTURBED copies (×1.01f — same
+    // direction, different bytes, so exact dedup would miss them): fit the
+    // 8-cell quantizer on the base table (same fit as sim_ivf_centroids,
+    // whose dump the oracle replays cell assignment from), then drop
+    // within-cell docs with an earlier ≥0.95-cosine neighbor.
+    "sim_semantic_dedup" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val withDups = e.unionByName(
+        e.filter(col("vec_id") % 5 === 0)
+          .withColumn("vec_id", col("vec_id") + 10000)
+          .withColumn("embedding",
+            transform(col("embedding"), x => x * lit(1.01f))))
+      val m = Similarity.IvfModel.fromJsonString(
+        Similarity.ivfFit(e, "embedding", nlist = 8).toJsonString)
+      Similarity.semanticDedup(withDups, "vec_id", "embedding", m, threshold = 0.95)
+        .select("vec_id")
+    }),
     "sim_dedup_cluster" -> ((s, dir) => {
       val e = rt(s, dir, "embeddings")
       val withDups = e.unionByName(
@@ -2152,6 +2169,44 @@ object SparkEntry {
         |UNION ALL
         |SELECT vec_id + 10000 AS vec_id, vec_id AS cluster_id
         |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+    // Full replay of the SemDeDup rule over the sim_ivf_centroids dump:
+    // nearest-cell assignment (ties → smaller cell, as ivfCell), then drop
+    // any doc with a smaller-id same-cell neighbor at cosine ≥ 0.95. The
+    // ×1.01 copies are built with FLOAT arithmetic on both sides, so the
+    // perturbed embeddings are bit-identical.
+    "sim_semantic_dedup" ->
+      """WITH cent AS (SELECT cell_id, list(value ORDER BY pos) AS c
+        |              FROM read_parquet('{GRAFT_OUT}/sim_ivf_centroids/*.parquet')
+        |              GROUP BY cell_id),
+        |     docs AS (SELECT vec_id, embedding FROM embeddings
+        |              UNION ALL
+        |              SELECT vec_id + 10000,
+        |                     [x * CAST(1.01 AS FLOAT) FOR x IN embedding]
+        |              FROM embeddings WHERE vec_id % 5 = 0),
+        |     ad AS (SELECT d.vec_id, d.embedding, cent.cell_id,
+        |              list_sum([(CAST(d.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        * (CAST(d.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        FOR i IN range(1, 65)]) AS dist
+        |            FROM docs d CROSS JOIN cent),
+        |     a AS (SELECT vec_id, embedding, cell_id FROM (
+        |             SELECT vec_id, embedding, cell_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY dist, cell_id) AS rn
+        |             FROM ad) WHERE rn = 1),
+        |     drp AS (SELECT DISTINCT y.vec_id
+        |             FROM a x JOIN a y
+        |               ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+        |             WHERE list_sum([CAST(x.embedding[i] AS DOUBLE)
+        |                             * CAST(y.embedding[i] AS DOUBLE)
+        |                             FOR i IN range(1, 65)])
+        |               / (sqrt(list_sum([CAST(x.embedding[i] AS DOUBLE)
+        |                                 * CAST(x.embedding[i] AS DOUBLE)
+        |                                 FOR i IN range(1, 65)]))
+        |                  * sqrt(list_sum([CAST(y.embedding[i] AS DOUBLE)
+        |                                   * CAST(y.embedding[i] AS DOUBLE)
+        |                                   FOR i IN range(1, 65)]))) >= 0.95)
+        |SELECT vec_id FROM a
+        |WHERE vec_id NOT IN (SELECT vec_id FROM drp)""".stripMargin,
     "stream_window_agg" ->
       """SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
         |       time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS window_end,

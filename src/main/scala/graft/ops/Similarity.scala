@@ -1019,4 +1019,82 @@ object Similarity {
         .dropDuplicates("id_a", "id_b")
     }
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster the corpus with a coarse k-means quantizer, then drop, WITHIN
+    * each cluster, every document that has a near-duplicate neighbor
+    * earlier in the keep order. Returns the surviving rows with the input
+    * schema preserved.
+    *
+    * The keep rule is the paper's greedy scan made order-free: document x
+    * is dropped iff SOME same-cell y with a smaller id has
+    * cosine(x, y) ≥ `threshold`. As a predicate over the (unordered) pair
+    * set this is deterministic under any partitioning — no sequential
+    * sweep — and it replays in plain SQL (the `sim_semantic_dedup` oracle).
+    * Like the paper, near-duplicates straddling two cells are NOT compared
+    * (that miss rate is the price of never materializing cross-cluster
+    * pairs; raise recall with a smaller `threshold` or fewer cells).
+    *
+    * Scale shape: one [[assignCells]] pass (narrow literal argmin for small
+    * centroid sets, broadcast centroid join above), then the same tiled
+    * bucket expansion as [[cosineNearDupPairs]] with the CELL as the
+    * bucket key — a dense cluster becomes many ≤512-side tiles, not one
+    * O(k²) task, and cells over `maxClusterSize` are dropped-and-counted
+    * through [[BucketCap]] (their members all survive; strict mode throws
+    * instead). Non-integral id types ride a 64-bit content-hash surrogate
+    * (keep order = hash order); integral ids keep their natural order. */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      model: IvfModel,
+      threshold: Double = 0.95,
+      maxClusterSize: Int = 100000,
+      forceBroadcastAssign: Boolean = false,
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(idCol, embCol))
+    require(model.centroids.nonEmpty, "model must have at least one centroid")
+    val idType = df.schema(idCol).dataType
+    val integralId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def sidOf(c: Column): Column =
+      if (integralId) c.cast("long") else xxhash64(c)
+    val d = dotFor(df)
+    val assigned = assignCells(df, idCol, embCol, model.centroids, forceBroadcastAssign)
+    val buckets = BucketCap.capped(
+      assigned
+        .select(sidOf(col("id")).as("sid"), col("emb"), col("cell"))
+        .withColumn("norm", sqrt(d(col("emb"), col("emb"))))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(
+          struct(col("sid").as("id"), col("emb"), col("norm")))).as("xs")),
+      maxClusterSize, "semanticDedup")
+    val cosPair: (Column, Column) => Column = (x, y) =>
+      dot(x("emb"), y("emb")) / (x("norm") * y("norm"))
+    // pairs arrive (a, b) with a < b in sid order; the b side is exactly
+    // the "has an earlier near neighbor" drop set
+    val dropped = Dedup.expandSymmetricBuckets(
+      buckets, Seq(col("cell")),
+      graft.functions.TilePairs.CosineName, lit(threshold),
+      (x, y) => cosPair(x, y) >= threshold,
+      (x, y) => struct(x("id").as("a"), y("id").as("b"), cosPair(x, y).as("cos")))
+      .select(col("p.b").as("__graft_drop_sid")).distinct()
+    df.join(dropped, sidOf(col(idCol)) === col("__graft_drop_sid"), "left_anti")
+  }
+
+  /** [[semanticDedup]] with the quantizer fitted inline ([[ivfFit]] on the
+    * same corpus) — the one-call form for batch jobs that do not reuse the
+    * model. Fit-once/apply-anywhere pipelines should call [[ivfFit]] and
+    * the model overload instead. */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      nlist: Int,
+      threshold: Double,
+  ): DataFrame =
+    semanticDedup(df, idCol, embCol, ivfFit(df, embCol, nlist), threshold)
 }

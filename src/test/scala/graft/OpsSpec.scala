@@ -950,6 +950,48 @@ class OpsSpec extends SparkSpec {
     BucketCap.drops(spark, "cosineNearDupPairs") shouldBe ((0L, 0L))
   }
 
+  test("semanticDedup drops within-cell docs with an earlier near neighbor") {
+    val m = Similarity.IvfModel(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f)), // cell 0, first → kept
+      (2L, Seq(0.99f, 0.1f)), // cell 0, cos(1,2) ≈ 0.995 → dropped
+      (3L, Seq(0.0f, 1.0f)), // cell 1, first → kept
+      (4L, Seq(0.6f, 0.8f)), // cell 1, cos(3,4) = 0.8 < 0.95 → kept
+      (5L, Seq(0.1f, 0.995f))) // cell 1, cos(3,5) ≈ 0.995 → dropped
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(d, "vec_id", "embedding", m, threshold = 0.95)
+    out.columns.toSeq shouldBe Seq("vec_id", "embedding")
+    out.collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 3L, 4L)
+    // cross-cell near-dups are NOT compared: 4's nearest same-direction
+    // neighbor in cell 0 never pairs with it
+    val inlineFit = Similarity.semanticDedup(d, "vec_id", "embedding",
+      nlist = 2, threshold = 0.95)
+    inlineFit.collect().map(_.getLong(0)).length should be >= 2
+  }
+
+  test("semanticDedup counts capped cells; their members all survive") {
+    val m = Similarity.IvfModel(Seq(Seq(1.0, 0.0)))
+    val degen = (0L until 50L).map(i => (i, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    BucketCap.reset(spark)
+    Similarity.semanticDedup(degen, "vec_id", "embedding", m,
+      threshold = 0.95, maxClusterSize = 10).count() shouldBe 50
+    BucketCap.drops(spark, "semanticDedup") shouldBe ((1L, 50L))
+    spark.conf.set(BucketCap.StrictConfKey, "true")
+    try {
+      val ex = intercept[Exception] {
+        Similarity.semanticDedup(degen, "vec_id", "embedding", m,
+          threshold = 0.95, maxClusterSize = 10).count()
+      }
+      ex.getMessage should include("exceeds maxBucketSize=10")
+    } finally spark.conf.unset(BucketCap.StrictConfKey)
+    // under the cap, the 50 identical vectors collapse to the first id
+    BucketCap.reset(spark)
+    Similarity.semanticDedup(degen, "vec_id", "embedding", m, threshold = 0.95)
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(0L)
+    BucketCap.drops(spark, "semanticDedup") shouldBe ((0L, 0L))
+  }
+
   test("cosineNearDupPairs HOF fallback agrees with the native kernel") {
     val mixed = ((0L until 40L).map(i => (i, Seq(0.6f, 0.8f, 0.0f))) ++
       Seq((100L, Seq(1.0f, 0.0f, 0.0f)), (101L, Seq(0.0f, 1.0f, 0.0f))))
