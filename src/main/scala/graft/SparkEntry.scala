@@ -620,6 +620,13 @@ object SparkEntry {
     "sink_shards" -> ((s, dir) =>
       Writer.shardAssignments(rt(s, dir, "documents"), "doc_id", 16)
         .select("doc_id", "shard", "shard_pos")),
+    // Token-budget shard layout: ~2000-token shards over the whitespace
+    // token counts, in the same bucket-major order as sample_token_budget.
+    "sink_token_shards" -> ((s, dir) =>
+      Writer.shardByTokenBudget(
+        rt(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", tokensPerShard = 2000L, numBuckets = 8)),
     // End-to-end training-prep composition: 40-token chunks (8 overlap) →
     // 256-token training bins, keyed by a (doc, chunk) surrogate id. The
     // 1e6 stride keeps cids collision-free up to 1M chunks/doc (32M-token
@@ -1525,6 +1532,32 @@ object SparkEntry {
         |SELECT doc_id, hh % 16 AS shard,
         |       CAST(row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) - 1 AS BIGINT) AS shard_pos
         |FROM h""".stripMargin,
+    // sample_token_budget's running-sum replay, plus the shard arithmetic:
+    // shard = tokens-before DIV 2000, shard_tok_pos = the remainder
+    "sink_token_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS n_tokens
+        |           FROM documents),
+        |     h AS (SELECT doc_id, n_tokens,
+        |             (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS hh
+        |           FROM t WHERE n_tokens > 0),
+        |     c AS (SELECT doc_id, n_tokens, hh % 8 AS bkt,
+        |             CAST(sum(n_tokens) OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id
+        |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |           FROM h),
+        |     tot AS (SELECT bkt, CAST(sum(n_tokens) AS BIGINT) AS tot
+        |             FROM h, LATERAL (SELECT hh % 8 AS bkt) GROUP BY bkt),
+        |     off AS (SELECT bkt,
+        |               CAST(COALESCE(sum(tot) OVER (ORDER BY bkt
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |             FROM tot),
+        |     b AS (SELECT c.doc_id, c.n_tokens,
+        |             off.off + c.cum - c.n_tokens AS before
+        |           FROM c JOIN off USING (bkt))
+        |SELECT doc_id, n_tokens,
+        |       CAST(before // 2000 AS BIGINT) AS shard,
+        |       CAST(before % 2000 AS BIGINT) AS shard_tok_pos
+        |FROM b""".stripMargin,
     // The verified chunk replay feeding the verified pack replay.
     "text_chunk_pack" ->
       """WITH t AS (SELECT doc_id,

@@ -121,6 +121,83 @@ object Writer {
         "__graft_ssh", "__graft_ssub")
   }
 
+  /** Token-budget shard layout: the TOKEN-count sibling of
+    * [[shardAssignments]] — shard `k` holds the documents whose preceding
+    * token total, in the portable bucket-major hash order of
+    * [[graft.ops.Sampling.sampleTokenBudget]], lands in
+    * `[k·tokensPerShard, (k+1)·tokensPerShard)`. Training sinks want
+    * "~1B tokens per shard", not "~N docs per shard": doc-count shards
+    * skew by document length, token-budget shards are uniform work.
+    * Appends
+    *   shard          0-based shard index (a doc is assigned where it
+    *                  STARTS — documents are never split, so a shard can
+    *                  overflow by at most one document's tokens);
+    *   shard_tok_pos  the doc's starting token offset within its shard
+    *                  (strictly increasing along the shard's order — the
+    *                  stable within-shard sort key).
+    * Rows with a NULL id or a non-positive token count are dropped, as in
+    * `sampleTokenBudget`.
+    *
+    * Scale shape: one per-bucket totals aggregate (pruned to
+    * `(id, tokenCol)` — deliberately NOT checkpointed, the
+    * [[shardAssignments]] trade; callers with an expensive tokenize
+    * upstream should checkpoint it themselves), driver prefix offsets over
+    * `numBuckets` totals, one shuffle on the bucket for the running-sum
+    * window, and exact 64-bit integer math throughout (SQL DIV) — so the
+    * layout replays bit-for-bit on any engine and any partitioning. The
+    * order (hence the layout) is parameterized by `numBuckets`, as in
+    * `sampleTokenBudget` — re-materializing a shard requires the same
+    * value. */
+  def shardByTokenBudget(
+      df: DataFrame, idCol: String, tokenCol: String,
+      tokensPerShard: Long, numBuckets: Int = 1024): DataFrame = {
+    require(tokensPerShard >= 1, "tokensPerShard must be >= 1")
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    graft.core.Validators.requireColumns(df, Seq(idCol, tokenCol))
+    graft.core.Validators.requireColumnsAbsent(df,
+      Seq("shard", "shard_tok_pos"), "shardByTokenBudget")
+    val base = df.filter(col(tokenCol) > 0 && col(idCol).isNotNull)
+      .withColumn("__graft_bkt",
+        pmod(minstdHash(col(idCol)), lit(numBuckets.toLong)))
+    val totals = base.groupBy(col("__graft_bkt"))
+      .agg(sum(col(tokenCol).cast("long")).as("__n"))
+      .collect().map(r => ((), r.getLong(0), r.getLong(1)))
+    import org.apache.spark.sql.types.LongType
+    val offDf = Sampling.broadcastFrame(df.sparkSession,
+      Seq("__graft_obkt" -> LongType, "__graft_off" -> LongType),
+      Sampling.exclusivePrefixByPart(totals.toSeq).map { case (_, b, o) =>
+        org.apache.spark.sql.Row(b, o) })
+    // explicit ROWS frame, as in sampleTokenBudget: order-peer rows must
+    // not share a running total
+    val w = Window.partitionBy(col("__graft_bkt"))
+      .orderBy(minstdHash(col(idCol)).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("__graft_cum", sum(col(tokenCol).cast("long")).over(w))
+      .join(offDf, col("__graft_bkt") === col("__graft_obkt"))
+      .withColumn("__graft_before",
+        col("__graft_off") + col("__graft_cum") - col(tokenCol).cast("long"))
+      // SQL DIV (IntegralDivide) for exact long math above 2^53
+      .withColumn("shard", expr(s"__graft_before DIV ${tokensPerShard}L"))
+      .withColumn("shard_tok_pos",
+        col("__graft_before") - col("shard") * tokensPerShard)
+      .drop("__graft_bkt", "__graft_obkt", "__graft_off",
+        "__graft_cum", "__graft_before")
+  }
+
+  /** [[shardByTokenBudget]] exported hive-partitioned, like
+    * [[writeTrainingShards]]: one directory per token-budget shard, rows
+    * ordered by their stable `shard_tok_pos`. Shard count is data-derived
+    * (ceil(total tokens / tokensPerShard)), so the clustering uses AQE's
+    * partitioning on the shard column rather than a fixed width. */
+  def writeTokenBudgetShards(
+      df: DataFrame, path: String, idCol: String, tokenCol: String,
+      tokensPerShard: Long, numBuckets: Int = 1024): Unit =
+    shardByTokenBudget(df, idCol, tokenCol, tokensPerShard, numBuckets)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_tok_pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Deterministic training-shard export: hive-partitions the corpus into
     * up to `numShards` directories (`shard=0` … `shard=N-1`; a shard with
     * no rows writes NO directory — readers should list the actual dirs,

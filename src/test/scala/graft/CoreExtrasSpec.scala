@@ -119,6 +119,53 @@ class CoreExtrasSpec extends SparkSpec {
     flat shouldBe audit
   }
 
+  test("Writer.shardByTokenBudget: contiguous token slices, stable within-shard order") {
+    import graft.sources.Writer
+    val docs = Seq(
+      (1L, 30L), (2L, 50L), (3L, 20L), (4L, 40L), (5L, 60L),
+      (6L, 10L), (7L, 0L), (8L, 25L)) // id 7 dropped (non-positive tokens)
+      .toDF("doc_id", "n_tok")
+    val out = Writer.shardByTokenBudget(docs, "doc_id", "n_tok",
+      tokensPerShard = 80L, numBuckets = 4)
+      .select("doc_id", "n_tok", "shard", "shard_tok_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.map(_._1).toSet shouldBe Set(1L, 2L, 3L, 4L, 5L, 6L, 8L)
+    // replay the rule driver-side: bucket-major (bucket, hash, id) order,
+    // shard = floor(tokens-before / 80), pos = the remainder
+    def h(id: Long) = ((id % 2147483647L) * 48271L % 2147483647L) * 48271L % 2147483647L
+    val order = out.map(t => (t._1, t._2)).sortBy { case (id, _) => (h(id) % 4, h(id), id) }
+    var before = 0L
+    val expect = order.map { case (id, tok) =>
+      val row = (id, tok, before / 80L, before % 80L); before += tok; row
+    }.toSet
+    out.toSet shouldBe expect
+    // shard_tok_pos is strictly increasing within a shard (stable sort key)
+    out.groupBy(_._3).values.foreach { rows =>
+      val ps = rows.map(_._4).toSeq.sorted
+      ps.distinct.size shouldBe ps.size
+    }
+    // one-bucket layout is the same rule through a single window
+    Writer.shardByTokenBudget(docs, "doc_id", "n_tok",
+      tokensPerShard = 80L, numBuckets = 1)
+      .select("doc_id", "n_tok", "shard", "shard_tok_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet shouldBe (
+      {
+        val o1 = out.map(t => (t._1, t._2)).sortBy { case (id, _) => (h(id), id) }
+        var b = 0L
+        o1.map { case (id, tok) =>
+          val row = (id, tok, b / 80L, b % 80L); b += tok; row
+        }.toSet
+      })
+    // hive export round-trips membership and order
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsh").toString + "/shards"
+    Writer.writeTokenBudgetShards(docs, dir, "doc_id", "n_tok", 80L, numBuckets = 4)
+    spark.read.parquet(dir)
+      .select(col("doc_id"), col("shard").cast("long"), col("shard_tok_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe
+      out.map(t => (t._1, t._3, t._4)).toSet
+  }
+
   test("Writer.writeBucketed: same-bucketing join plans with no shuffle") {
     import graft.sources.Writer
     val tmp = java.nio.file.Files.createTempDirectory("graft_b")
