@@ -279,14 +279,35 @@ object Sampling {
     require(budget >= 0, "budget must be >= 0")
     require(numBuckets >= 1, "numBuckets must be >= 1")
     graft.core.Validators.requireColumns(df, Seq(idCol, tokenCol))
-    // both the totals aggregate and the window pass consume this frame —
-    // lazily checkpointed so the upstream (typically a per-document
-    // tokenize whose token column IS the aggregated value, so a narrow
-    // re-read would not avoid the recompute) runs once, not twice. NULL
-    // ids are dropped: no hash position in the order
-    val positive = Dedup.materializeLazy(
-      df.filter(col(tokenCol) > 0 && col(idCol).isNotNull)
-        .withColumn("__graft_bkt", pmod(minstdHash(col(idCol)), lit(numBuckets.toLong))))
+    withTokensBefore(df, idCol, tokenCol, numBuckets, checkpoint = true)
+      .filter(col("__graft_before") + col(tokenCol).cast("long") <= budget)
+      .drop("__graft_before")
+  }
+
+  /** Shared scaffold of the token-running-sum layouts ([[sampleTokenBudget]],
+    * [[graft.sources.Writer.shardByTokenBudget]]): keeps rows with a
+    * positive token count and a non-NULL id (no hash position in the order
+    * otherwise) and appends `__graft_before` = the exact token total
+    * strictly BEFORE the row in the bucket-major portable hash order
+    * (bucket, id-hash, id). One per-bucket totals aggregate
+    * (numBuckets-sized collect), driver prefix offsets
+    * ([[exclusivePrefixByPart]]), one bucket shuffle for the running sum —
+    * with an explicit ROWS frame, as in [[packSequences]]: the default
+    * RANGE frame gives order-peer rows (duplicate ids) one shared running
+    * total, diverging from the one-row-at-a-time rule the oracles replay.
+    *
+    * `checkpoint` lazily materializes the filtered input so the totals
+    * pass and the window pass share one upstream computation — the
+    * [[sampleTokenBudget]] trade, whose token column is typically a
+    * computed tokenize that a narrow re-read would recompute. Pass false
+    * when a pruned re-read is cheaper than caching the full-width corpus
+    * (the Writer layout trade). */
+  private[graft] def withTokensBefore(
+      df: DataFrame, idCol: String, tokenCol: String,
+      numBuckets: Int, checkpoint: Boolean): DataFrame = {
+    val filtered = df.filter(col(tokenCol) > 0 && col(idCol).isNotNull)
+      .withColumn("__graft_bkt", pmod(minstdHash(col(idCol)), lit(numBuckets.toLong)))
+    val positive = if (checkpoint) Dedup.materializeLazy(filtered) else filtered
     val totals = positive.groupBy(col("__graft_bkt"))
       .agg(sum(col(tokenCol).cast("long")).as("__graft_tot"))
       .collect().map(r => ((), r.getLong(0), r.getLong(1)))
@@ -295,16 +316,14 @@ object Sampling {
       Seq("__graft_bkt" -> LongType, "__graft_off" -> LongType),
       exclusivePrefixByPart(totals.toSeq).map { case (_, b, o) =>
         org.apache.spark.sql.Row(b, o) })
-    // explicit ROWS frame, as in [[packSequences]]: the default RANGE
-    // frame gives order-peer rows (duplicate ids) one shared running
-    // total, diverging from the one-row-at-a-time rule the oracle replays
     val w = Window.partitionBy(col("__graft_bkt"))
       .orderBy(minstdHash(col(idCol)).asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     positive
       .withColumn("__graft_cum", sum(col(tokenCol).cast("long")).over(w))
       .join(offDf, "__graft_bkt")
-      .filter(col("__graft_off") + col("__graft_cum") <= budget)
+      .withColumn("__graft_before",
+        col("__graft_off") + col("__graft_cum") - col(tokenCol).cast("long"))
       .drop("__graft_bkt", "__graft_cum", "__graft_off")
   }
 

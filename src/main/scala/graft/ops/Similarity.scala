@@ -957,6 +957,22 @@ object Similarity {
     *     materialized or shuffled. Norms are computed once per member at
     *     bucketing time, not per pair.
     */
+  /** The tile kernels carry LONG member ids. Integral id types cast
+    * losslessly; anything else (string ids, decimals…) rides a 64-bit
+    * content-hash surrogate (original ids join back onto the small pair
+    * output afterwards). Surrogate collisions would mispair with
+    * probability ~n²/2⁶⁴ — negligible against the LSH recall noise.
+    * Returns (surrogate-of-column function, whether the type is integral).
+    * Shared by [[cosineNearDupPairs]] and [[semanticDedup]] so their keep
+    * orders can never silently diverge. */
+  private def tileIdFn(
+      idType: org.apache.spark.sql.types.DataType): (Column => Column, Boolean) =
+    idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        ((c: Column) => c.cast("long"), true)
+      case _ => ((c: Column) => xxhash64(c), false)
+    }
+
   def cosineNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -969,28 +985,24 @@ object Similarity {
       maxBucketSize: Int = 100000,
   ): DataFrame = {
     val idType = df.schema(idCol).dataType
-    // The tile kernels carry LONG member ids. Integral id types cast
-    // losslessly; anything else (string ids, decimals…) rides a 64-bit
-    // content-hash surrogate and joins the original ids back onto the
-    // (small) pair output afterwards. Surrogate collisions would mispair
-    // with probability ~n²/2⁶⁴ — negligible against the LSH recall noise.
-    val integralId = idType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    }
-    val sid: Column =
-      if (integralId) col(idCol).cast("long")
-      else xxhash64(col(idCol))
+    val (sidOf, integralId) = tileIdFn(idType)
+    val sid: Column = sidOf(col(idCol))
     val d = dotFor(df)
     // band 0 uses `seed` itself; further bands mix in a fixed odd prime
     val bands = array((0 until numBands).map { b =>
       val planes = hyperplanes(numPlanes, dim, seed + 7919L * b)
       struct(lit(b).as("band"), lshBucket(col("emb"), planes, d).as("h"))
     }: _*)
+    // norm = 0 (all-zero embedding) is excluded from pairing: its cosine is
+    // 0/0, and the two evaluation paths disagree on NaN (Spark SQL sorts
+    // NaN above every double so `NaN >= t` is TRUE; the native kernel's JVM
+    // primitive compare says FALSE) — a direction-less vector has no
+    // near-duplicates, so it emits no pairs on either path.
     val buckets = BucketCap.capped(
       df
         .select(sid.as("id"), col(embCol).as("emb"))
         .withColumn("norm", sqrt(d(col("emb"), col("emb"))))
+        .filter(col("norm") > 0.0)
         .select(col("id"), col("emb"), col("norm"), explode(bands).as("bh"))
         .groupBy(col("bh.band").as("band"), col("bh.h").as("h"))
         .agg(sort_array(collect_list(struct(col("id"), col("emb"), col("norm")))).as("xs")),
@@ -1043,7 +1055,11 @@ object Similarity {
     * O(k²) task, and cells over `maxClusterSize` are dropped-and-counted
     * through [[BucketCap]] (their members all survive; strict mode throws
     * instead). Non-integral id types ride a 64-bit content-hash surrogate
-    * (keep order = hash order); integral ids keep their natural order. */
+    * (keep order = hash order); integral ids keep their natural order.
+    * Rows that cannot be compared are never dropped and never drop
+    * others: NULL ids (no defined keep-order position) and all-zero
+    * embeddings (cosine is 0/0) are excluded from pairing but kept in the
+    * output. */
   def semanticDedup(
       df: DataFrame,
       idCol: String,
@@ -1055,19 +1071,20 @@ object Similarity {
   ): DataFrame = {
     graft.core.Validators.requireColumns(df, Seq(idCol, embCol))
     require(model.centroids.nonEmpty, "model must have at least one centroid")
-    val idType = df.schema(idCol).dataType
-    val integralId = idType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    }
-    def sidOf(c: Column): Column =
-      if (integralId) c.cast("long") else xxhash64(c)
+    val (sidOf, _) = tileIdFn(df.schema(idCol).dataType)
     val d = dotFor(df)
-    val assigned = assignCells(df, idCol, embCol, model.centroids, forceBroadcastAssign)
+    val assigned = assignCells(
+      df.filter(col(idCol).isNotNull), idCol, embCol,
+      model.centroids, forceBroadcastAssign)
+    // zero norms excluded for the same NaN-divergence reason as in
+    // [[cosineNearDupPairs]]; NULL ids above because the tile kernel reads
+    // a null long field as 0 (a false pair against the real id 0) and
+    // xxhash64 collapses every NULL onto one surrogate
     val buckets = BucketCap.capped(
       assigned
         .select(sidOf(col("id")).as("sid"), col("emb"), col("cell"))
         .withColumn("norm", sqrt(d(col("emb"), col("emb"))))
+        .filter(col("norm") > 0.0)
         .groupBy(col("cell"))
         .agg(sort_array(collect_list(
           struct(col("sid").as("id"), col("emb"), col("norm")))).as("xs")),

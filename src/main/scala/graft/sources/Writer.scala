@@ -156,33 +156,13 @@ object Writer {
     graft.core.Validators.requireColumns(df, Seq(idCol, tokenCol))
     graft.core.Validators.requireColumnsAbsent(df,
       Seq("shard", "shard_tok_pos"), "shardByTokenBudget")
-    val base = df.filter(col(tokenCol) > 0 && col(idCol).isNotNull)
-      .withColumn("__graft_bkt",
-        pmod(minstdHash(col(idCol)), lit(numBuckets.toLong)))
-    val totals = base.groupBy(col("__graft_bkt"))
-      .agg(sum(col(tokenCol).cast("long")).as("__n"))
-      .collect().map(r => ((), r.getLong(0), r.getLong(1)))
-    import org.apache.spark.sql.types.LongType
-    val offDf = Sampling.broadcastFrame(df.sparkSession,
-      Seq("__graft_obkt" -> LongType, "__graft_off" -> LongType),
-      Sampling.exclusivePrefixByPart(totals.toSeq).map { case (_, b, o) =>
-        org.apache.spark.sql.Row(b, o) })
-    // explicit ROWS frame, as in sampleTokenBudget: order-peer rows must
-    // not share a running total
-    val w = Window.partitionBy(col("__graft_bkt"))
-      .orderBy(minstdHash(col(idCol)).asc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base
-      .withColumn("__graft_cum", sum(col(tokenCol).cast("long")).over(w))
-      .join(offDf, col("__graft_bkt") === col("__graft_obkt"))
-      .withColumn("__graft_before",
-        col("__graft_off") + col("__graft_cum") - col(tokenCol).cast("long"))
+    Sampling.withTokensBefore(df, idCol, tokenCol, numBuckets,
+      checkpoint = false)
       // SQL DIV (IntegralDivide) for exact long math above 2^53
       .withColumn("shard", expr(s"__graft_before DIV ${tokensPerShard}L"))
       .withColumn("shard_tok_pos",
         col("__graft_before") - col("shard") * tokensPerShard)
-      .drop("__graft_bkt", "__graft_obkt", "__graft_off",
-        "__graft_cum", "__graft_before")
+      .drop("__graft_before")
   }
 
   /** [[shardByTokenBudget]] exported hive-partitioned, like

@@ -969,6 +969,41 @@ class OpsSpec extends SparkSpec {
     inlineFit.collect().map(_.getLong(0)).length should be >= 2
   }
 
+  test("semanticDedup: zero-norm embeddings and NULL ids never pair, always survive") {
+    val m = Similarity.IvfModel(Seq(Seq(1.0, 0.0)))
+    val d = Seq(
+      (java.lang.Long.valueOf(0L), Seq(1.0f, 0.0f)), // real id 0 — must survive
+      (java.lang.Long.valueOf(1L), Seq(0.0f, 0.0f)), // zero norm: cosine undefined
+      (java.lang.Long.valueOf(2L), Seq(0.0f, 0.0f)), // zero norm twin — NOT deduped
+      (null.asInstanceOf[java.lang.Long], Seq(1.0f, 0.0f)), // NULL id near-dups id 0
+      (java.lang.Long.valueOf(3L), Seq(0.9999f, 0.001f))) // genuine near-dup of 0
+      .toDF("vec_id", "embedding")
+    def survivors = Similarity.semanticDedup(d, "vec_id", "embedding", m,
+      threshold = 0.95).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    // only the comparable near-dup (id 3, earlier neighbor 0) drops; the
+    // NULL-id row must neither drop nor delete the real id 0 (the tile
+    // kernel would read a null long field as 0)
+    survivors shouldBe Set(Some(0L), Some(1L), Some(2L), None)
+    // same outcome on the HOF fallback (NaN >= t is TRUE in Spark SQL but
+    // FALSE in the kernel's JVM compare — excluded zero norms make the
+    // paths agree)
+    val fallback = try {
+      Dedup.ForceFallback = true; survivors
+    } finally Dedup.ForceFallback = false
+    fallback shouldBe Set(Some(0L), Some(1L), Some(2L), None)
+    // cosineNearDupPairs: the zero-norm twins emit no pair on either path
+    def zeroPairs = Similarity.cosineNearDupPairs(
+      d.filter(col("vec_id").isNotNull), "vec_id", "embedding",
+      threshold = 0.95, dim = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    zeroPairs shouldBe Set((0L, 3L))
+    val zeroPairsFallback = try {
+      Dedup.ForceFallback = true; zeroPairs
+    } finally Dedup.ForceFallback = false
+    zeroPairsFallback shouldBe Set((0L, 3L))
+  }
+
   test("semanticDedup counts capped cells; their members all survive") {
     val m = Similarity.IvfModel(Seq(Seq(1.0, 0.0)))
     val degen = (0L until 50L).map(i => (i, Seq(1.0f, 0.0f)))
