@@ -956,6 +956,9 @@ object Similarity {
     *     bit-identical HOF fold otherwise) — sub-threshold pairs are never
     *     materialized or shuffled. Norms are computed once per member at
     *     bucketing time, not per pair.
+    *   - Rows with a NULL id or a zero/non-finite norm emit no pairs
+    *     (no defined identity / no defined cosine — see the in-body
+    *     comment for the NaN path-divergence rationale).
     */
   /** The tile kernels carry LONG member ids. Integral id types cast
     * losslessly; anything else (string ids, decimals…) rides a 64-bit
@@ -993,16 +996,23 @@ object Similarity {
       val planes = hyperplanes(numPlanes, dim, seed + 7919L * b)
       struct(lit(b).as("band"), lshBucket(col("emb"), planes, d).as("h"))
     }: _*)
-    // norm = 0 (all-zero embedding) is excluded from pairing: its cosine is
-    // 0/0, and the two evaluation paths disagree on NaN (Spark SQL sorts
-    // NaN above every double so `NaN >= t` is TRUE; the native kernel's JVM
-    // primitive compare says FALSE) — a direction-less vector has no
-    // near-duplicates, so it emits no pairs on either path.
+    // Rows that cannot be paired meaningfully emit no pairs on either
+    // evaluation path:
+    //  - NULL ids: the tile kernel would read a null long field as 0 (a
+    //    false pair attributed to the real id 0) and xxhash64 collapses
+    //    every NULL onto one surrogate;
+    //  - non-positive or non-finite norms (all-zero, NaN-component, or
+    //    overflowing embeddings): their cosine is 0/0 or ∞/∞, and the two
+    //    paths disagree on NaN (Spark SQL sorts NaN above every double so
+    //    `NaN >= t` is TRUE; the kernel's JVM primitive compare says
+    //    FALSE). `norm <= MaxValue` rejects both NaN (sorts greatest) and
+    //    +Infinity in one predicate.
     val buckets = BucketCap.capped(
       df
+        .filter(col(idCol).isNotNull)
         .select(sid.as("id"), col(embCol).as("emb"))
         .withColumn("norm", sqrt(d(col("emb"), col("emb"))))
-        .filter(col("norm") > 0.0)
+        .filter(col("norm") > 0.0 && col("norm") <= Double.MaxValue)
         .select(col("id"), col("emb"), col("norm"), explode(bands).as("bh"))
         .groupBy(col("bh.band").as("band"), col("bh.h").as("h"))
         .agg(sort_array(collect_list(struct(col("id"), col("emb"), col("norm")))).as("xs")),
@@ -1057,9 +1067,11 @@ object Similarity {
     * instead). Non-integral id types ride a 64-bit content-hash surrogate
     * (keep order = hash order); integral ids keep their natural order.
     * Rows that cannot be compared are never dropped and never drop
-    * others: NULL ids (no defined keep-order position) and all-zero
-    * embeddings (cosine is 0/0) are excluded from pairing but kept in the
-    * output. */
+    * others: NULL ids (no defined keep-order position) and
+    * zero-/non-finite-norm embeddings (cosine is 0/0 or ∞/∞) are excluded
+    * from pairing but kept in the output. Rows SHARING an id are
+    * order-peers — neither is "earlier", so copies never drop each other;
+    * collapse exact duplicates with [[graft.ops.Dedup.exact]] first. */
   def semanticDedup(
       df: DataFrame,
       idCol: String,
@@ -1073,31 +1085,42 @@ object Similarity {
     require(model.centroids.nonEmpty, "model must have at least one centroid")
     val (sidOf, _) = tileIdFn(df.schema(idCol).dataType)
     val d = dotFor(df)
+    // incomparable rows are excluded BEFORE cell assignment (no point
+    // paying the argmin — or its broadcast-join form — for rows that can
+    // never pair): NULL ids, because the tile kernel reads a null long
+    // field as 0 (a false pair against the real id 0) and xxhash64
+    // collapses every NULL onto one surrogate; non-positive/non-finite
+    // norms for the same NaN-divergence reason as in
+    // [[cosineNearDupPairs]] (`<= MaxValue` rejects NaN and +Infinity)
+    val comparable = df
+      .filter(col(idCol).isNotNull)
+      .withColumn("__graft_n2", d(col(embCol), col(embCol)))
+      .filter(col("__graft_n2") > 0.0 && col("__graft_n2") <= Double.MaxValue)
+      .drop("__graft_n2")
     val assigned = assignCells(
-      df.filter(col(idCol).isNotNull), idCol, embCol,
-      model.centroids, forceBroadcastAssign)
-    // zero norms excluded for the same NaN-divergence reason as in
-    // [[cosineNearDupPairs]]; NULL ids above because the tile kernel reads
-    // a null long field as 0 (a false pair against the real id 0) and
-    // xxhash64 collapses every NULL onto one surrogate
+      comparable, idCol, embCol, model.centroids, forceBroadcastAssign)
     val buckets = BucketCap.capped(
       assigned
         .select(sidOf(col("id")).as("sid"), col("emb"), col("cell"))
         .withColumn("norm", sqrt(d(col("emb"), col("emb"))))
-        .filter(col("norm") > 0.0)
         .groupBy(col("cell"))
         .agg(sort_array(collect_list(
           struct(col("sid").as("id"), col("emb"), col("norm")))).as("xs")),
       maxClusterSize, "semanticDedup")
     val cosPair: (Column, Column) => Column = (x, y) =>
       dot(x("emb"), y("emb")) / (x("norm") * y("norm"))
-    // pairs arrive (a, b) with a < b in sid order; the b side is exactly
-    // the "has an earlier near neighbor" drop set
+    // pairs arrive (a, b) with a <= b in sid order; the strict b side is
+    // exactly the "has an EARLIER near neighbor" drop set. a = b happens
+    // when two rows share an id (order-peers: neither is earlier) — such
+    // copies never drop each other, or the anti-join below would delete
+    // every copy with no survivor; collapsing exact duplicates is
+    // [[graft.ops.Dedup.exact]]'s job.
     val dropped = Dedup.expandSymmetricBuckets(
       buckets, Seq(col("cell")),
       graft.functions.TilePairs.CosineName, lit(threshold),
       (x, y) => cosPair(x, y) >= threshold,
       (x, y) => struct(x("id").as("a"), y("id").as("b"), cosPair(x, y).as("cos")))
+      .filter(col("p.a") =!= col("p.b"))
       .select(col("p.b").as("__graft_drop_sid")).distinct()
     df.join(dropped, sidOf(col(idCol)) === col("__graft_drop_sid"), "left_anti")
   }

@@ -969,39 +969,46 @@ class OpsSpec extends SparkSpec {
     inlineFit.collect().map(_.getLong(0)).length should be >= 2
   }
 
-  test("semanticDedup: zero-norm embeddings and NULL ids never pair, always survive") {
+  test("semanticDedup: incomparable rows never pair, always survive; id copies are peers") {
     val m = Similarity.IvfModel(Seq(Seq(1.0, 0.0)))
     val d = Seq(
       (java.lang.Long.valueOf(0L), Seq(1.0f, 0.0f)), // real id 0 — must survive
       (java.lang.Long.valueOf(1L), Seq(0.0f, 0.0f)), // zero norm: cosine undefined
       (java.lang.Long.valueOf(2L), Seq(0.0f, 0.0f)), // zero norm twin — NOT deduped
       (null.asInstanceOf[java.lang.Long], Seq(1.0f, 0.0f)), // NULL id near-dups id 0
-      (java.lang.Long.valueOf(3L), Seq(0.9999f, 0.001f))) // genuine near-dup of 0
+      (java.lang.Long.valueOf(3L), Seq(0.9999f, 0.001f)), // genuine near-dup of 0
+      (java.lang.Long.valueOf(4L), Seq(Float.NaN, 1.0f)), // NaN norm: undefined
+      (java.lang.Long.valueOf(5L), Seq(0.6f, 0.8f)), // duplicate id, copy 1 (cos to 0 = 0.6)
+      (java.lang.Long.valueOf(5L), Seq(0.6f, 0.8f)), // duplicate id, copy 2
+      (java.lang.Long.valueOf(6L), Seq(0.59f, 0.81f))) // near-dups the id-5 pair (cos ≈ 0.99997)
       .toDF("vec_id", "embedding")
     def survivors = Similarity.semanticDedup(d, "vec_id", "embedding", m,
       threshold = 0.95).collect().map(r =>
-      if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
-    // only the comparable near-dup (id 3, earlier neighbor 0) drops; the
-    // NULL-id row must neither drop nor delete the real id 0 (the tile
-    // kernel would read a null long field as 0)
-    survivors shouldBe Set(Some(0L), Some(1L), Some(2L), None)
-    // same outcome on the HOF fallback (NaN >= t is TRUE in Spark SQL but
-    // FALSE in the kernel's JVM compare — excluded zero norms make the
-    // paths agree)
+      if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq.sortBy(_.map(_.toString))
+    // 3 drops (earlier neighbor 0), 6 drops (earlier neighbors 5); the
+    // NULL-id row neither drops nor deletes the real id 0 (the kernel
+    // would read a null long field as 0); the NaN-norm row survives on
+    // BOTH paths (Spark SQL says NaN >= t, the kernel's JVM compare says
+    // no — excluded, so they agree); the two id-5 copies are order-peers
+    // and BOTH survive (a = b pairs never enter the drop set)
+    val expect = Seq(Some(0L), Some(1L), Some(2L), Some(4L),
+      Some(5L), Some(5L), None).sortBy(_.map(_.toString))
+    survivors shouldBe expect
     val fallback = try {
       Dedup.ForceFallback = true; survivors
     } finally Dedup.ForceFallback = false
-    fallback shouldBe Set(Some(0L), Some(1L), Some(2L), None)
-    // cosineNearDupPairs: the zero-norm twins emit no pair on either path
-    def zeroPairs = Similarity.cosineNearDupPairs(
-      d.filter(col("vec_id").isNotNull), "vec_id", "embedding",
+    fallback shouldBe expect
+    // cosineNearDupPairs handles NULL ids / zero norms / NaN norms itself:
+    // only genuine pairs emerge, identically on both paths ((5,6) arrives
+    // once per id-5 copy and dedups to one row)
+    def pairs = Similarity.cosineNearDupPairs(d, "vec_id", "embedding",
       threshold = 0.95, dim = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    zeroPairs shouldBe Set((0L, 3L))
-    val zeroPairsFallback = try {
-      Dedup.ForceFallback = true; zeroPairs
+    pairs shouldBe Set((0L, 3L), (5L, 5L), (5L, 6L))
+    val pairsFallback = try {
+      Dedup.ForceFallback = true; pairs
     } finally Dedup.ForceFallback = false
-    zeroPairsFallback shouldBe Set((0L, 3L))
+    pairsFallback shouldBe Set((0L, 3L), (5L, 5L), (5L, 6L))
   }
 
   test("semanticDedup counts capped cells; their members all survive") {
