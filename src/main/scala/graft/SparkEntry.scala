@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.ops.{Curation, Dedup, Multimodal, Relational, Sampling, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Dsir, Multimodal, Relational, Sampling, Similarity, TextOps}
 import graft.sources.Writer
 import graft.streaming.StreamingOps
 import graft.transformers._
@@ -39,6 +39,10 @@ object SparkEntry {
     * loops don't leak a parquet table per run. */
   private lazy val contamIdxDir: String =
     java.nio.file.Files.createTempDirectory("graft_contam_idx").toString
+
+  /** sample_dsir's model directory — same one-dir-per-JVM rationale. */
+  private lazy val dsirModelDir: String =
+    java.nio.file.Files.createTempDirectory("graft_dsir_model").toString
 
   /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set by
@@ -91,6 +95,41 @@ object SparkEntry {
        |           / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jaccard
        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
        |WHERE jaccard >= 0.8""".stripMargin
+
+  /** Shared CTE prefix of the DSIR oracles: the gram explosion (lowercased
+    * whitespace unigrams + bigrams, with multiplicity), the top-4096 raw
+    * vocabulary (ties by gram), and the add-1-smoothed round-9 ln-ratio
+    * weights toward the lang='en' target slice — exactly Dsir.dsirFit's
+    * arithmetic (`+ 0.0` collapses a possible -0.0 from rounding). */
+  private val dsirWeightsCte =
+    """toks AS (SELECT doc_id, lang,
+      |               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |        FROM documents),
+      |g AS (SELECT doc_id, lang,
+      |             unnest(list_concat(t, [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])) AS gram
+      |      FROM toks),
+      |rc AS (SELECT gram, count(*) AS cr FROM g GROUP BY gram),
+      |vocab AS (SELECT gram, cr FROM rc ORDER BY cr DESC, gram ASC LIMIT 4096),
+      |tc AS (SELECT gram, count(*) AS ct FROM g WHERE lang = 'en' GROUP BY gram),
+      |v AS (SELECT vocab.gram, COALESCE(tc.ct, 0) AS ct, vocab.cr
+      |      FROM vocab LEFT JOIN tc USING (gram)),
+      |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr,
+      |               count(*) AS vn
+      |        FROM v),
+      |w AS (SELECT gram,
+      |             round(ln((ct + 1.0) / (tt + vn)) - ln((cr + 1.0) / (tr + vn)), 9) + 0.0 AS weight
+      |      FROM v CROSS JOIN tot)""".stripMargin
+
+  /** The per-document score CTE on top: the same ascending-value ordered
+    * fold from 0.0 as Dsir.dsirScore's sort_array + aggregate. */
+  private val dsirScoredCte =
+    s"""$dsirWeightsCte,
+       |sc AS (SELECT g.doc_id,
+       |              list_reduce(list_prepend(0.0, list(weight ORDER BY weight)),
+       |                          (a, b) -> a + b) AS s
+       |       FROM g JOIN w USING (gram) GROUP BY g.doc_id),
+       |scored AS (SELECT d.doc_id, COALESCE(sc.s, 0.0) AS dsir_score
+       |           FROM documents d LEFT JOIN sc USING (doc_id))""".stripMargin
 
   /** DuckDB SQL for the ANN query: the random hyperplanes are deterministic
     * driver-side constants (seeded MurmurHash3 — Similarity.hyperplanes), so
@@ -614,6 +653,35 @@ object SparkEntry {
         rt(s, dir, "documents"), "source", "doc_id",
         Map("src0" -> 5L, "src1" -> 2L, "src2" -> 1L), numBuckets = 64)
         .select("doc_id", "source", "order_key")),
+    // DSIR importance weighting toward an English target slice: the fitted
+    // vocabulary (top-4096 unigrams+bigrams by raw count, ties by gram) and
+    // the add-1-smoothed round-9 ln-ratio weights — the oracle recomputes
+    // the whole fit in SQL.
+    "sample_dsir_weights" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      Dsir.dsirFit(d.filter(col("lang") === "en"), d, "text", vocabSize = 4096)
+        .weights
+    }),
+    // Per-document DSIR log importance score: gram weights folded in
+    // ascending value order from 0.0 (canonical FP order — the oracle
+    // replays the identical fold with an ordered list_reduce).
+    "sample_dsir_score" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      val m = Dsir.dsirFit(d.filter(col("lang") === "en"), d, "text", vocabSize = 4096)
+      Dsir.dsirScore(d, "doc_id", "text", m).select("doc_id", "dsir_score")
+    }),
+    // Gumbel-top-100 importance resample through a save/load round trip
+    // (fit → disk → load → apply, like dedup_contamination_model): the
+    // oracle replays the scores, the minstd-hash Gumbel keys, and the
+    // top-100 selection.
+    "sample_dsir" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      Dsir.dsirFit(d.filter(col("lang") === "en"), d, "text", vocabSize = 4096)
+        .save(dsirModelDir)
+      Dsir.dsirResample(d, "doc_id", "text",
+        Dsir.DsirModel.load(s, dsirModelDir), n = 100)
+        .select("doc_id", "dsir_score")
+    }),
     // Deterministic training-shard layout (membership + within-shard order
     // as pure functions of the id); the write side is writeTrainingShards,
     // round-tripped in WriterSpec — the oracle audits the layout itself.
@@ -1525,6 +1593,22 @@ object SparkEntry {
         |SELECT doc_id, source,
         |       CAST((k // wt) * 8 + cyc_off + (k % wt) AS BIGINT) AS order_key
         |FROM r""".stripMargin,
+    "sample_dsir_weights" ->
+      s"""WITH $dsirWeightsCte
+         |SELECT gram, weight FROM w""".stripMargin,
+    "sample_dsir_score" ->
+      s"""WITH $dsirScoredCte
+         |SELECT doc_id, dsir_score FROM scored""".stripMargin,
+    // Gumbel key = score + round(-ln(-ln(u)), 9) with u from the minstd
+    // hash: (h+1)/2^31 ∈ (0,1) exactly as Dsir.dsirResample computes it
+    "sample_dsir" ->
+      s"""WITH $dsirScoredCte,
+         |k AS (SELECT doc_id, dsir_score,
+         |        dsir_score + round(-ln(-ln(
+         |          ((((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) + 1)
+         |            / 2147483648.0)), 9) AS kk
+         |      FROM scored)
+         |SELECT doc_id, dsir_score FROM k ORDER BY kk DESC, doc_id ASC LIMIT 100""".stripMargin,
     "sink_shards" ->
       """WITH h AS (SELECT doc_id,
         |             (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS hh

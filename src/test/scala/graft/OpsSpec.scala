@@ -1690,4 +1690,101 @@ class OpsSpec extends SparkSpec {
       "doc_id", "n_tokens", capacity = 10)
       .count() shouldBe 1
   }
+
+  // ── DSIR importance resampling ───────────────────────────────────────
+
+  /** Spark's round(x, 9) semantics (HALF_UP BigDecimal), plus the -0.0
+    * collapse — the reference arithmetic the fit must match. */
+  private def r9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+  private def minstd(id: Long): Long =
+    ((id % 2147483647L) * 48271 % 2147483647L) * 48271 % 2147483647L
+
+  test("dsirFit: add-1 ln-ratio weights over the top-K vocab, ties by gram") {
+    val raw = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val target = Seq((1L, "a a b")).toDF("doc_id", "text")
+    // raw gram counts: a=3, then five count-1 grams; top-3 with the gram
+    // tie-break ascending picks "a", "a a", "a b" (space sorts below letters)
+    val m = Dsir.dsirFit(target, raw, "text", vocabSize = 3)
+    val w = m.weights.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    w.keySet shouldBe Set("a", "a a", "a b")
+    // V=3, target vocab-gram counts: a=2, "a a"=1, "a b"=1 (totT=4); raw
+    // vocab counts: 3,1,1 (totR=5)
+    w("a") shouldBe r9(math.log(3.0 / 7.0) - math.log(4.0 / 8.0))
+    w("a a") shouldBe r9(math.log(2.0 / 7.0) - math.log(2.0 / 8.0))
+    w("a b") shouldBe r9(math.log(2.0 / 7.0) - math.log(2.0 / 8.0))
+    // an untokenizable raw corpus cannot produce a vocabulary
+    intercept[graft.errors.FeatureFactoryException.InvalidParameter] {
+      Dsir.dsirFit(target, Seq((1L, "   ")).toDF("doc_id", "text"), "text")
+    }
+  }
+
+  test("dsirScore: ordered fold, OOV ignored, unscorable rows get 0.0, id copies pool") {
+    val weights = Seq(("a", 0.5), ("b", -0.25), ("a b", 2.0))
+      .toDF("gram", "weight")
+    val m = Dsir.DsirModel(16, weights)
+    val d = Seq(
+      (java.lang.Long.valueOf(1L), "A b a"),  // a,b,a + "a b","b a": 0.5+(-0.25)+0.5+2.0
+      (java.lang.Long.valueOf(2L), "zzz"),    // no vocab grams
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[String]),
+      (null.asInstanceOf[java.lang.Long], "a"), // NULL id: no identity to score under
+      (java.lang.Long.valueOf(4L), "a"),      // duplicate id…
+      (java.lang.Long.valueOf(4L), "b"),      // …pools to 0.5 - 0.25 on both rows
+    ).toDF("doc_id", "text")
+    val out = Dsir.dsirScore(d, "doc_id", "text", m)
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getDouble(2))
+    out.toSet shouldBe Set(
+      Some(1L) -> 2.75, Some(2L) -> 0.0, Some(3L) -> 0.0,
+      None -> 0.0, Some(4L) -> 0.25)
+    out.count(_._1 == Some(4L)) shouldBe 2 // both copies kept, same score
+    intercept[graft.errors.FeatureFactoryException.InvalidParameter] {
+      Dsir.dsirScore(d.withColumn("dsir_score", lit(1.0)), "doc_id", "text", m)
+    }
+  }
+
+  test("dsirResample: deterministic Gumbel top-n over the minstd hash") {
+    val weights = Seq(("good", 5.0), ("bad", -5.0)).toDF("gram", "weight")
+    val m = Dsir.DsirModel(16, weights)
+    val d = Seq(
+      (java.lang.Long.valueOf(1L), "good good"),
+      (java.lang.Long.valueOf(2L), "good"),
+      (java.lang.Long.valueOf(3L), "bad"),
+      (java.lang.Long.valueOf(4L), "bad bad"),
+      (null.asInstanceOf[java.lang.Long], "good good"), // no hash position
+    ).toDF("doc_id", "text")
+    def key(id: Long, score: Double): Double = {
+      val u = (minstd(id) + 1).toDouble / 2147483648.0
+      score + r9(-math.log(-math.log(u)))
+    }
+    // "good good" scores 2×5 (bigram "good good" is OOV), "bad bad" −2×5
+    val expect = Seq(1L -> key(1L, 10.0), 2L -> key(2L, 5.0),
+      3L -> key(3L, -5.0), 4L -> key(4L, -10.0))
+      .sortBy { case (id, k) => (-k, id) }.map(_._1)
+    val top2 = Dsir.dsirResample(d, "doc_id", "text", m, n = 2)
+      .collect().map(_.getLong(0)).toSet
+    top2 shouldBe expect.take(2).toSet
+    // n past the corpus keeps every hashable row; NULL ids never appear
+    Dsir.dsirResample(d, "doc_id", "text", m, n = 10)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L, 4L)
+  }
+
+  test("DsirModel save/load round trip preserves weights and scores") {
+    val raw = Seq((1L, "the cat sat"), (2L, "a dog ran"), (3L, "the dog sat"))
+      .toDF("doc_id", "text")
+    val target = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val m = Dsir.dsirFit(target, raw, "text", vocabSize = 8)
+    val dir = java.nio.file.Files.createTempDirectory("dsir_rt").toString
+    m.save(dir)
+    val loaded = Dsir.DsirModel.load(spark, dir)
+    loaded.vocabSize shouldBe 8
+    loaded.weights.collect().map(r => r.getString(0) -> r.getDouble(1)).toSet shouldBe
+      m.weights.collect().map(r => r.getString(0) -> r.getDouble(1)).toSet
+    val a = Dsir.dsirScore(raw, "doc_id", "text", m)
+      .select("doc_id", "dsir_score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toSet
+    val b = Dsir.dsirScore(raw, "doc_id", "text", loaded)
+      .select("doc_id", "dsir_score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toSet
+    b shouldBe a
+  }
 }

@@ -188,4 +188,18 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("dsirScore joins the weight table by broadcast, never a shuffle") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = graft.ops.Dsir.dsirFit(
+      d.filter(col("lang") === "en"), d, "text", vocabSize = 1024)
+    val plan = formatted(graft.ops.Dsir.dsirScore(d, "doc_id", "text", m))
+    // the bounded vocab is always the build side: a gram-keyed shuffle of
+    // the exploded corpus would dwarf the query at scale (the id-keyed
+    // score join-back may legitimately sort-merge — ids are unbounded)
+    plan should include("BroadcastHashJoin")
+    plan should not include "hashpartitioning(gram"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }
