@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.ops.{Curation, Dedup, Dsir, Multimodal, Relational, Sampling, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Dsir, LangModel, Multimodal, Relational, Sampling, Similarity, TextOps}
 import graft.sources.Writer
 import graft.streaming.StreamingOps
 import graft.transformers._
@@ -43,6 +43,10 @@ object SparkEntry {
   /** sample_dsir's model directory — same one-dir-per-JVM rationale. */
   private lazy val dsirModelDir: String =
     java.nio.file.Files.createTempDirectory("graft_dsir_model").toString
+
+  /** text_lm_filter's model directory — same one-dir-per-JVM rationale. */
+  private lazy val lmModelDir: String =
+    java.nio.file.Files.createTempDirectory("graft_lm_model").toString
 
   /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set by
@@ -130,6 +134,53 @@ object SparkEntry {
        |       FROM g JOIN w USING (gram) GROUP BY g.doc_id),
        |scored AS (SELECT d.doc_id, COALESCE(sc.s, 0.0) AS dsir_score
        |           FROM documents d LEFT JOIN sc USING (doc_id))""".stripMargin
+
+  /** Shared CTE prefix of the LM-perplexity oracles: fit the backoff
+    * bigram model on the lang='en' slice (top-4096 unigrams, top-8192
+    * in-vocab-prefix bigrams, ties ascending) and score every document —
+    * exactly LangModel.lmFit + lmScore's arithmetic, ending in a `lscored`
+    * relation of (doc_id, lm_score). */
+  private val lmScoredCte =
+    """ltoks AS (SELECT doc_id, lang,
+      |                 list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |          FROM documents),
+      |lu1 AS (SELECT tok, count(*) AS c1
+      |        FROM (SELECT unnest(t) AS tok FROM ltoks WHERE lang = 'en')
+      |        GROUP BY tok),
+      |ltot AS (SELECT CAST(sum(c1) AS BIGINT) AS tt FROM lu1),
+      |lvocab AS (SELECT tok, c1 FROM lu1 ORDER BY c1 DESC, tok ASC LIMIT 4096),
+      |lbg AS (SELECT pa, pb, count(*) AS c2
+      |        FROM (SELECT pr.pa AS pa, pr.pb AS pb
+      |              FROM (SELECT unnest([{'pa': t[i], 'pb': t[i+1]} FOR i IN range(1, len(t))]) AS pr
+      |                    FROM ltoks WHERE lang = 'en'))
+      |        WHERE pa IN (SELECT tok FROM lvocab)
+      |        GROUP BY pa, pb
+      |        ORDER BY c2 DESC, pa ASC, pb ASC LIMIT 8192),
+      |lp AS (SELECT doc_id, pr.pa AS pa, pr.pb AS pb
+      |       FROM (SELECT doc_id,
+      |               unnest(list_concat(
+      |                 CASE WHEN len(t) >= 1 THEN [{'pa': CAST(NULL AS VARCHAR), 'pb': t[1]}] ELSE [] END,
+      |                 [{'pa': t[i], 'pb': t[i+1]} FOR i IN range(1, len(t))])) AS pr
+      |             FROM ltoks)),
+      |lj AS (SELECT lp.doc_id, lp.pa, lp.pb, va.c1 AS c1a, vb.c1 AS c1b, lbg.c2
+      |       FROM lp LEFT JOIN lvocab va ON lp.pa = va.tok
+      |               LEFT JOIN lvocab vb ON lp.pb = vb.tok
+      |               LEFT JOIN lbg ON lp.pa = lbg.pa AND lp.pb = lbg.pb),
+      |lc AS (SELECT doc_id,
+      |         CASE WHEN pa IS NULL THEN ub
+      |              WHEN c2 IS NOT NULL THEN round(ln(c2 / c1a), 9) + 0.0
+      |              ELSE round(ln(0.4), 9) + ub END AS contrib
+      |       FROM (SELECT lj.*,
+      |               (CASE WHEN c1b IS NOT NULL THEN round(ln(c1b / tt), 9)
+      |                     ELSE round(ln(1.0 / tt), 9) END + 0.0) AS ub
+      |             FROM lj CROSS JOIN ltot)),
+      |lsc AS (SELECT doc_id,
+      |          list_reduce(list_prepend(0.0, list(contrib ORDER BY contrib)),
+      |                      (x, y) -> x + y) AS s,
+      |          count(*) AS n
+      |        FROM lc GROUP BY doc_id),
+      |lscored AS (SELECT d.doc_id, (0.0 - lsc.s) / lsc.n AS lm_score
+      |            FROM documents d LEFT JOIN lsc USING (doc_id))""".stripMargin
 
   /** DuckDB SQL for the ANN query: the random hyperplanes are deterministic
     * driver-side constants (seeded MurmurHash3 — Similarity.hyperplanes), so
@@ -681,6 +732,27 @@ object SparkEntry {
       Dsir.dsirResample(d, "doc_id", "text",
         Dsir.DsirModel.load(s, dsirModelDir), n = 100)
         .select("doc_id", "dsir_score")
+    }),
+    // Backoff-bigram LM perplexity scoring, trained on the English slice:
+    // per-token negative log-likelihood with stupid backoff — foreign and
+    // disfluent docs score high. The oracle recomputes the whole fit and
+    // the canonical ordered fold in SQL.
+    "text_lm_score" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      val m = LangModel.lmFit(d.filter(col("lang") === "en"), "text",
+        vocabSize = 4096, bigramSize = 8192)
+      LangModel.lmScore(d, "doc_id", "text", m).select("doc_id", "lm_score")
+    }),
+    // The filter itself through a save/load round trip (fit → disk → load
+    // → apply): keep docs at or under the perplexity ceiling (3.42 ≈
+    // the fixture median, so the filter demonstrably discriminates).
+    "text_lm_filter" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      LangModel.lmFit(d.filter(col("lang") === "en"), "text",
+        vocabSize = 4096, bigramSize = 8192).save(lmModelDir)
+      LangModel.perplexityFilter(d, "doc_id", "text",
+        LangModel.LmModel.load(s, lmModelDir), maxScore = 3.42)
+        .select("doc_id", "lm_score")
     }),
     // Deterministic training-shard layout (membership + within-shard order
     // as pure functions of the id); the write side is writeTrainingShards,
@@ -1609,6 +1681,12 @@ object SparkEntry {
          |            / 2147483648.0)), 9) AS kk
          |      FROM scored)
          |SELECT doc_id, dsir_score FROM k ORDER BY kk DESC, doc_id ASC LIMIT 100""".stripMargin,
+    "text_lm_score" ->
+      s"""WITH $lmScoredCte
+         |SELECT doc_id, lm_score FROM lscored""".stripMargin,
+    "text_lm_filter" ->
+      s"""WITH $lmScoredCte
+         |SELECT doc_id, lm_score FROM lscored WHERE lm_score <= 3.42""".stripMargin,
     "sink_shards" ->
       """WITH h AS (SELECT doc_id,
         |             (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS hh

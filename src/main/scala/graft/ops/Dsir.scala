@@ -120,15 +120,10 @@ object Dsir {
     val totR = vocab.iterator.map(_._2).sum
     // a plain local frame, NOT broadcastFrame: the weights are projected,
     // never joined here (dsirScore adds its own broadcast at the join site)
-    val countsDf = {
-      import scala.jdk.CollectionConverters._
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("gram", StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("__ct", LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("__cr", LongType, nullable = false)))
-      spark.createDataFrame(vocab.toSeq.map { case (g, cr) =>
-        org.apache.spark.sql.Row(g, targetCounts.getOrElse(g, 0L), cr) }.asJava, schema)
-    }
+    val countsDf = Sampling.localFrame(spark,
+      Seq("gram" -> StringType, "__ct" -> LongType, "__cr" -> LongType),
+      vocab.toSeq.map { case (g, cr) =>
+        org.apache.spark.sql.Row(g, targetCounts.getOrElse(g, 0L), cr) })
     // counts < 2^53 so `long + 1.0` and the total-to-double casts are exact;
     // `+ 0.0` collapses a possible -0.0 from rounding a tiny negative ratio
     val weights = countsDf.select(

@@ -37,17 +37,27 @@ object Sampling {
       rs.sortBy(_._2).map { case (_, b, n) => val s = (k, b, acc); acc += n; s }
     }
 
-  /** The broadcast side of the same pattern: a small driver-built frame
-    * (all columns non-nullable) marked for broadcast join. */
-  private[graft] def broadcastFrame(
+  /** A small driver-built frame (all columns non-nullable), UNhinted — for
+    * fitted tables that are stored/projected and only sometimes joined
+    * (join sites add their own `broadcast()`; a constructor hint that never
+    * reaches a join logs an analyzer warning per query). */
+  private[graft] def localFrame(
       spark: org.apache.spark.sql.SparkSession,
       fields: Seq[(String, org.apache.spark.sql.types.DataType)],
       rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val schema = org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
       org.apache.spark.sql.types.StructField(n, t, nullable = false) })
-    broadcast(spark.createDataFrame(rows.asJava, schema))
+    spark.createDataFrame(rows.asJava, schema)
   }
+
+  /** The broadcast side of the same pattern: a small driver-built frame
+    * (all columns non-nullable) marked for broadcast join. */
+  private[graft] def broadcastFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      fields: Seq[(String, org.apache.spark.sql.types.DataType)],
+      rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+    broadcast(localFrame(spark, fields, rows))
 
   /** Two MINSTD rounds of a non-negative id: uniform-ish value in [0, M). */
   def minstdHash(id: Column): Column = {

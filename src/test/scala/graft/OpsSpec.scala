@@ -1770,6 +1770,87 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L, 4L)
   }
 
+  // ── Backoff-bigram LM perplexity ─────────────────────────────────────
+
+  test("lmFit: bounded vocab/bigram tables with tie-breaks, in-vocab prefixes only") {
+    val corpus = Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
+    val m = LangModel.lmFit(corpus, "text", vocabSize = 2, bigramSize = 8)
+    m.total shouldBe 6 // total counts ALL tokens, not just the vocab cut
+    // counts: the=2, cat=2, sat=1, ran=1 — top-2 ties break token-ascending
+    m.unigrams.collect().map(r => r.getString(0) -> r.getLong(1)).toSet shouldBe
+      Set("cat" -> 2L, "the" -> 2L)
+    // bigram prefixes must be in-vocab: "cat sat"/"cat ran" survive the
+    // vocab cut, "sat …"/"ran …" would not (and don't exist here)
+    m.bigrams.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet shouldBe
+      Set(("the", "cat", 2L), ("cat", "sat", 1L), ("cat", "ran", 1L))
+    LangModel.lmFit(corpus, "text", bigramSize = 1)
+      .bigrams.collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("the", "cat")) // count-desc tie-break never reached
+    intercept[graft.errors.FeatureFactoryException.InvalidParameter] {
+      LangModel.lmFit(Seq((1L, "  ")).toDF("doc_id", "text"), "text")
+    }
+  }
+
+  test("lmScore: stupid-backoff arithmetic, OOV floor, unscorable rows NULL, id copies pool") {
+    val corpus = Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
+    val m = LangModel.lmFit(corpus, "text")
+    val d = Seq(
+      (java.lang.Long.valueOf(10L), "the cat xyz"),
+      (java.lang.Long.valueOf(11L), ""),
+      (java.lang.Long.valueOf(12L), null.asInstanceOf[String]),
+      (null.asInstanceOf[java.lang.Long], "the cat sat"),
+      (java.lang.Long.valueOf(13L), "the"),  // duplicate id…
+      (java.lang.Long.valueOf(13L), "cat"),  // …pools: 2 tokens, 2 unigram terms
+    ).toDF("doc_id", "text")
+    val out = LangModel.lmScore(d, "doc_id", "text", m).collect().map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val uThe = r9(math.log(2.0 / 6.0))
+    val uCat = r9(math.log(2.0 / 6.0))
+    val uOov = r9(math.log(1.0 / 6.0))
+    // "the cat xyz": u(the) + ln c(the cat)/c(the) + backoff(xyz)
+    val contribs = Seq(uThe, r9(math.log(2.0 / 2.0)), r9(math.log(0.4)) + uOov).sorted
+    val s10 = (0.0 - contribs.foldLeft(0.0)(_ + _)) / 3
+    val s13 = (0.0 - Seq(uThe, uCat).sorted.foldLeft(0.0)(_ + _)) / 2
+    out.toSet shouldBe Set(
+      Some(10L) -> Some(s10), Some(11L) -> None, Some(12L) -> None,
+      None -> None, Some(13L) -> Some(s13))
+    out.count(_._1 == Some(13L)) shouldBe 2
+  }
+
+  test("perplexityFilter keeps fluent docs, drops high-score and unscorable rows") {
+    val corpus = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val m = LangModel.lmFit(corpus, "text")
+    val d = Seq(
+      (java.lang.Long.valueOf(1L), "the cat sat"),    // in-model: low score
+      (java.lang.Long.valueOf(2L), "zzz qqq www"),    // all OOV: high score
+      (java.lang.Long.valueOf(3L), ""),               // unscorable: dropped
+    ).toDF("doc_id", "text")
+    val scores = LangModel.lmScore(d, "doc_id", "text", m)
+      .filter(col("lm_score").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    scores(1L) should be < scores(2L)
+    val kept = LangModel.perplexityFilter(d, "doc_id", "text", m,
+      maxScore = (scores(1L) + scores(2L)) / 2)
+      .collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(1L)
+  }
+
+  test("LmModel save/load round trip preserves scores") {
+    val corpus = Seq((1L, "the cat sat"), (2L, "a dog ran fast")).toDF("doc_id", "text")
+    val m = LangModel.lmFit(corpus, "text", vocabSize = 16, bigramSize = 16)
+    val dir = java.nio.file.Files.createTempDirectory("lm_rt").toString
+    m.save(dir)
+    val loaded = LangModel.LmModel.load(spark, dir)
+    loaded.total shouldBe m.total
+    loaded.vocabSize shouldBe 16
+    val a = LangModel.lmScore(corpus, "doc_id", "text", m)
+      .select("doc_id", "lm_score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toSet
+    val b = LangModel.lmScore(corpus, "doc_id", "text", loaded)
+      .select("doc_id", "lm_score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toSet
+    b shouldBe a
+  }
+
   test("DsirModel save/load round trip preserves weights and scores") {
     val raw = Seq((1L, "the cat sat"), (2L, "a dog ran"), (3L, "the dog sat"))
       .toDF("doc_id", "text")

@@ -202,4 +202,16 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("lmScore joins all three model tables by broadcast, never a token shuffle") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = graft.ops.LangModel.lmFit(
+      d.filter(col("lang") === "en"), "text", vocabSize = 1024, bigramSize = 2048)
+    val plan = formatted(graft.ops.LangModel.lmScore(d, "doc_id", "text", m))
+    plan should include("BroadcastHashJoin")
+    plan should not include "hashpartitioning(pa"
+    plan should not include "hashpartitioning(pb"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }
