@@ -171,19 +171,25 @@ object Dsir {
       .drop("__graft_did", "__graft_dscore")
   }
 
-  /** Gumbel-top-`n` importance resampling: keep the `n` documents with the
-    * highest `dsir_score + Gumbel(0,1)` key — a without-replacement sample
-    * with inclusion probability ∝ exp(dsir_score), i.e. ∝ the DSIR
-    * importance weight (the Gumbel-max trick over log-weights). The Gumbel
-    * noise is deterministic: `u = (minstdHash(id)+1) / 2^31 ∈ (0,1)`,
-    * `g = round(−ln(−ln u), 9)` — the portable [[Sampling.minstdHash]]
-    * order, so re-runs and other engines select exactly the same rows.
-    * Rows with a NULL id are dropped (no hash position, as in
+  /** Gumbel-top-`n` importance resampling: keep the `n` DOCUMENTS (ids)
+    * with the highest `dsir_score + Gumbel(0,1)` key — a
+    * without-replacement sample with inclusion probability
+    * ∝ exp(dsir_score), i.e. ∝ the DSIR importance weight (the Gumbel-max
+    * trick over log-weights). The Gumbel noise is deterministic:
+    * `u = (minstdHash(id)+1) / 2^31 ∈ (0,1)`, `g = round(−ln(−ln u), 9)` —
+    * the portable [[Sampling.minstdHash]] order, so re-runs and other
+    * engines select exactly the same documents. The sampling unit is the
+    * ID, matching [[dsirScore]]'s pooling convention: every row of a
+    * selected id is kept (rows sharing an id have identical keys, so a
+    * row-level cut at the boundary would be arbitrary). Rows with a NULL
+    * id are dropped (no hash position, as in
     * [[Sampling.interleaveSources]]); ties break by id ascending. Output
     * keeps `dsir_score`.
     *
-    * Scale shape: [[dsirScore]]'s profile plus a narrow key projection and
-    * a TakeOrdered head — no global sort. */
+    * Scale shape: [[dsirScore]]'s profile plus one id-level distinct (the
+    * per-id score rows), a TakeOrdered head — no global sort — and a
+    * broadcast semi-join of the ≤`n` selected ids back onto the scored
+    * corpus. */
   def dsirResample(
       df: DataFrame,
       idCol: String,
@@ -196,10 +202,16 @@ object Dsir {
     // u < 1 strictly (hash < 2^31−1), so −ln u > 0 and the outer ln is
     // finite; 2^31 is a power of two, so the division is exact
     val u = (Sampling.minstdHash(col(idCol)) + 1).cast("double") / lit(2147483648.0)
-    scored
-      .withColumn("__graft_key", col("dsir_score") + round(-log(-log(u)), 9))
-      .orderBy(col("__graft_key").desc, col(idCol).asc)
+    // score and key are pure functions of the id, so distinct() yields
+    // exactly one row per id and the top-n cut is id-deterministic
+    val selected = scored
+      .select(col(idCol).as("__graft_rid"),
+        (col("dsir_score") + round(-log(-log(u)), 9)).as("__graft_key"))
+      .distinct()
+      .orderBy(col("__graft_key").desc, col("__graft_rid").asc)
       .limit(n)
-      .drop("__graft_key")
+      .select("__graft_rid")
+    scored.join(broadcast(selected),
+      col(idCol) === col("__graft_rid"), "left_semi")
   }
 }

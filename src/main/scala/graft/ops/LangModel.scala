@@ -28,14 +28,14 @@ object LangModel {
     * NULL/empty text yields no rows. */
   private def contributionPairs(text: Column): Column = {
     val t = TextOps.tokens(lower(text))
-    val m = greatest(size(t) - 1, lit(0))
     val pairTpe = "array<struct<pa:string,pb:string>>"
     val first = when(size(t) >= 1,
       array(struct(lit(null).cast("string").as("pa"), element_at(t, 1).as("pb"))))
       .otherwise(array().cast(pairTpe))
-    val rest = zip_with(slice(t, lit(1), m), slice(t, lit(2), m),
-      (a, b) => struct(a.as("pa"), b.as("pb")))
-    concat(first, rest.cast(pairTpe))
+    // the pair tail IS adjacentPairs — one definition, so fit-time and
+    // score-time pair extraction can never diverge (codegen's
+    // subexpression elimination dedupes the repeated tokenize)
+    concat(first, adjacentPairs(text).cast(pairTpe))
   }
 
   /** Fit-time adjacent pairs only (no leading-unigram row). */
@@ -109,9 +109,12 @@ object LangModel {
     graft.core.Validators.requireColumns(corpus, Seq(textCol))
     val spark = corpus.sparkSession
     import org.apache.spark.sql.types.{LongType, StringType}
-    val uniAgg = corpus
+    // materialized (contaminationFit's convention): the grand total and the
+    // vocabulary head both read this aggregate — without it the whole
+    // tokenize+explode+shuffle pass over the corpus would run twice
+    val uniAgg = Dedup.materialize(corpus
       .select(explode(TextOps.tokens(lower(col(textCol)))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c1"))
+      .groupBy("tok").agg(count(lit(1)).as("c1")))
     val totalRow = uniAgg.agg(sum("c1")).head()
     if (totalRow.isNullAt(0))
       throw graft.errors.FeatureFactoryException.InvalidParameter(

@@ -1752,6 +1752,8 @@ class OpsSpec extends SparkSpec {
       (java.lang.Long.valueOf(2L), "good"),
       (java.lang.Long.valueOf(3L), "bad"),
       (java.lang.Long.valueOf(4L), "bad bad"),
+      (java.lang.Long.valueOf(5L), "good"), // duplicate id: pools to 0.0…
+      (java.lang.Long.valueOf(5L), "bad"),  // …and samples as ONE document
       (null.asInstanceOf[java.lang.Long], "good good"), // no hash position
     ).toDF("doc_id", "text")
     def key(id: Long, score: Double): Double = {
@@ -1760,14 +1762,17 @@ class OpsSpec extends SparkSpec {
     }
     // "good good" scores 2×5 (bigram "good good" is OOV), "bad bad" −2×5
     val expect = Seq(1L -> key(1L, 10.0), 2L -> key(2L, 5.0),
-      3L -> key(3L, -5.0), 4L -> key(4L, -10.0))
+      3L -> key(3L, -5.0), 4L -> key(4L, -10.0), 5L -> key(5L, 0.0))
       .sortBy { case (id, k) => (-k, id) }.map(_._1)
     val top2 = Dsir.dsirResample(d, "doc_id", "text", m, n = 2)
       .collect().map(_.getLong(0)).toSet
     top2 shouldBe expect.take(2).toSet
-    // n past the corpus keeps every hashable row; NULL ids never appear
-    Dsir.dsirResample(d, "doc_id", "text", m, n = 10)
-      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L, 4L)
+    // n counts DOCUMENTS (ids): past the corpus every hashable id stays,
+    // both id-5 copies ride along, NULL ids never appear
+    val all = Dsir.dsirResample(d, "doc_id", "text", m, n = 10)
+      .collect().map(_.getLong(0))
+    all.toSet shouldBe Set(1L, 2L, 3L, 4L, 5L)
+    all.count(_ == 5L) shouldBe 2
   }
 
   // ── Backoff-bigram LM perplexity ─────────────────────────────────────
