@@ -1672,15 +1672,19 @@ object SparkEntry {
       s"""WITH $dsirScoredCte
          |SELECT doc_id, dsir_score FROM scored""".stripMargin,
     // Gumbel key = score + round(-ln(-ln(u)), 9) with u from the minstd
-    // hash: (h+1)/2^31 ∈ (0,1) exactly as Dsir.dsirResample computes it
+    // hash: (h+1)/2^31 ∈ (0,1) exactly as Dsir.dsirResample computes it.
+    // Document-level semantics like the op: rank DISTINCT non-NULL ids
+    // (score and key are id-functional), keep every row of a selected id.
     "sample_dsir" ->
       s"""WITH $dsirScoredCte,
-         |k AS (SELECT doc_id, dsir_score,
+         |k AS (SELECT DISTINCT doc_id,
          |        dsir_score + round(-ln(-ln(
          |          ((((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) + 1)
          |            / 2147483648.0)), 9) AS kk
-         |      FROM scored)
-         |SELECT doc_id, dsir_score FROM k ORDER BY kk DESC, doc_id ASC LIMIT 100""".stripMargin,
+         |      FROM scored WHERE doc_id IS NOT NULL),
+         |sel AS (SELECT doc_id FROM k ORDER BY kk DESC, doc_id ASC LIMIT 100)
+         |SELECT doc_id, dsir_score FROM scored
+         |WHERE doc_id IN (SELECT doc_id FROM sel)""".stripMargin,
     "text_lm_score" ->
       s"""WITH $lmScoredCte
          |SELECT doc_id, lm_score FROM lscored""".stripMargin,

@@ -157,19 +157,32 @@ object Dsir {
       model: DsirModel): DataFrame = {
     graft.core.Validators.requireColumns(df, Seq(idCol, textCol))
     graft.core.Validators.requireColumnsAbsent(df, Seq("dsir_score"), "dsirScore")
-    val perDoc = df
-      .select(col(idCol).as("__graft_did"),
-        explode(unigramsBigrams(col(textCol))).as("gram"))
-      .join(broadcast(model.weights), "gram")
-      .groupBy("__graft_did")
-      .agg(aggregate(sort_array(collect_list(col("weight"))),
-        lit(0.0), (acc, x) => acc + x).as("__graft_dscore"))
-    // plain === join-back: a NULL id never matches, so NULL-id rows take
-    // the 0.0 default instead of pooling into one surrogate document
+    scoreJoinBack(df, idCol, perIdScores(df, idCol, textCol, model))
+  }
+
+  /** The aggregation half of [[dsirScore]]: one `(__graft_did,
+    * __graft_dscore)` row per id that has at least one in-vocabulary gram
+    * occurrence (ids with none — and the NULL-id group — simply don't
+    * appear; the join-back defaults them). */
+  private def perIdScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DsirModel): DataFrame = df
+    .select(col(idCol).as("__graft_did"),
+      explode(unigramsBigrams(col(textCol))).as("gram"))
+    .join(broadcast(model.weights), "gram")
+    .groupBy("__graft_did")
+    .agg(aggregate(sort_array(collect_list(col("weight"))),
+      lit(0.0), (acc, x) => acc + x).as("__graft_dscore"))
+
+  /** The join-back half: plain `===`, so a NULL id never matches and takes
+    * the 0.0 default instead of pooling into one surrogate document. */
+  private def scoreJoinBack(
+      df: DataFrame, idCol: String, perDoc: DataFrame): DataFrame =
     df.join(perDoc, col(idCol) === col("__graft_did"), "left")
       .withColumn("dsir_score", coalesce(col("__graft_dscore"), lit(0.0)))
       .drop("__graft_did", "__graft_dscore")
-  }
 
   /** Gumbel-top-`n` importance resampling: keep the `n` DOCUMENTS (ids)
     * with the highest `dsir_score + Gumbel(0,1)` key — a
@@ -186,10 +199,15 @@ object Dsir {
     * [[Sampling.interleaveSources]]); ties break by id ascending. Output
     * keeps `dsir_score`.
     *
-    * Scale shape: [[dsirScore]]'s profile plus one id-level distinct (the
-    * per-id score rows), a TakeOrdered head — no global sort — and a
-    * broadcast semi-join of the ≤`n` selected ids back onto the scored
-    * corpus. */
+    * Scale shape: the per-id score aggregate runs ONCE (lazily
+    * materialized — both the ranking and the output join read it), the
+    * ranking side is a narrow two-column pipeline (distinct ids →
+    * score join → TakeOrdered head, no global sort), and the ≤`n`
+    * selected ids semi-join back onto the scored corpus — by broadcast
+    * when `n` is small (Catalyst's limit statistics), by shuffle when a
+    * caller asks for millions (an explicit broadcast hint here would be
+    * a driver-OOM cliff: `n` is an unbounded user parameter, not a
+    * dictionary-sized constant). */
   def dsirResample(
       df: DataFrame,
       idCol: String,
@@ -198,20 +216,26 @@ object Dsir {
       n: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
     graft.core.Validators.requireColumns(df, Seq(idCol, textCol))
-    val scored = dsirScore(df.filter(col(idCol).isNotNull), idCol, textCol, model)
+    graft.core.Validators.requireColumnsAbsent(df, Seq("dsir_score"), "dsirResample")
+    val base = df.filter(col(idCol).isNotNull)
+    val per = Dedup.materializeLazy(perIdScores(base, idCol, textCol, model))
     // u < 1 strictly (hash < 2^31−1), so −ln u > 0 and the outer ln is
     // finite; 2^31 is a power of two, so the division is exact
-    val u = (Sampling.minstdHash(col(idCol)) + 1).cast("double") / lit(2147483648.0)
-    // score and key are pure functions of the id, so distinct() yields
-    // exactly one row per id and the top-n cut is id-deterministic
-    val selected = scored
-      .select(col(idCol).as("__graft_rid"),
-        (col("dsir_score") + round(-log(-log(u)), 9)).as("__graft_key"))
-      .distinct()
+    val u = (Sampling.minstdHash(col("__graft_rid")) + 1).cast("double") /
+      lit(2147483648.0)
+    // the ranking never touches the corpus width: distinct ids (covers
+    // zero-vocab-gram docs the aggregate omits) joined to the per-id
+    // scores — score and key are pure functions of the id, so the top-n
+    // cut is id-deterministic
+    val selected = base.select(col(idCol).as("__graft_rid")).distinct()
+      .join(per, col("__graft_rid") === col("__graft_did"), "left")
+      .select(col("__graft_rid"),
+        (coalesce(col("__graft_dscore"), lit(0.0)) +
+          round(-log(-log(u)), 9)).as("__graft_key"))
       .orderBy(col("__graft_key").desc, col("__graft_rid").asc)
       .limit(n)
       .select("__graft_rid")
-    scored.join(broadcast(selected),
-      col(idCol) === col("__graft_rid"), "left_semi")
+    scoreJoinBack(base, idCol, per)
+      .join(selected, col(idCol) === col("__graft_rid"), "left_semi")
   }
 }

@@ -203,6 +203,21 @@ class PlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("dsirResample semi-joins the small selected-id head by broadcast") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = graft.ops.Dsir.dsirFit(
+      d.filter(col("lang") === "en"), d, "text", vocabSize = 1024)
+    val plan = formatted(graft.ops.Dsir.dsirResample(d, "doc_id", "text", m, n = 10))
+    // no hint in the op (n is unbounded — a forced broadcast would be a
+    // driver cliff at millions); Catalyst's limit statistics must still
+    // pick broadcast for a small head
+    plan should include("LeftSemi")
+    plan should not include "SortMergeJoin LeftSemi"
+    plan should not include "ShuffledHashJoin LeftSemi"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("lmScore joins all three model tables by broadcast, never a token shuffle") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val m = graft.ops.LangModel.lmFit(
