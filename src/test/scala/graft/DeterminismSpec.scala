@@ -105,4 +105,29 @@ class DeterminismSpec extends SparkSpec {
     withShufflePartitions(3)(shards(d.repartition(2))) shouldBe
       withShufflePartitions(11)(shards(d.repartition(6, col("doc_id"))))
   }
+
+  test("DSIR and LM scores are bit-identical under any partitioning") {
+    // the canonical ascending-value fold is the whole point: collect_list
+    // order varies with partitioning, sort_array must erase that
+    val target = docs.filter(col("doc_id") % 3 === 0)
+    val dm = graft.ops.Dsir.dsirFit(target, docs, "text", vocabSize = 64)
+    // the fit's vocab boundary (64 cuts into count ties) must break ties
+    // by gram, not by partition arrival order
+    val dm2 = withShufflePartitions(5)(graft.ops.Dsir.dsirFit(
+      target.repartition(4), docs.repartition(7), "text", vocabSize = 64))
+    rows(dm2.weights) shouldBe rows(dm.weights)
+    def ds(x: DataFrame) = rows(graft.ops.Dsir
+      .dsirScore(x, "doc_id", "text", dm).select("doc_id", "dsir_score"))
+    withShufflePartitions(3)(ds(docs.repartition(2))) shouldBe
+      withShufflePartitions(17)(ds(docs.repartition(9, col("doc_id"))))
+    def dr(x: DataFrame) = rows(graft.ops.Dsir
+      .dsirResample(x, "doc_id", "text", dm, n = 50).select("doc_id", "dsir_score"))
+    withShufflePartitions(3)(dr(docs.repartition(2))) shouldBe
+      withShufflePartitions(17)(dr(docs.repartition(9, col("doc_id"))))
+    val lm = graft.ops.LangModel.lmFit(target, "text", vocabSize = 64, bigramSize = 128)
+    def ls(x: DataFrame) = rows(graft.ops.LangModel
+      .lmScore(x, "doc_id", "text", lm).select("doc_id", "lm_score"))
+    withShufflePartitions(3)(ls(docs.repartition(2))) shouldBe
+      withShufflePartitions(17)(ls(docs.repartition(9, col("doc_id"))))
+  }
 }
