@@ -767,6 +767,13 @@ object SparkEntry {
         rt(s, dir, "documents")
           .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", tokensPerShard = 2000L, numBuckets = 8)),
+    // Release-audit manifest: per (lang, source), the row count, character
+    // total, and order-free 60-bit md5-XOR content checksum — any engine
+    // re-verifies the exact bytes without agreeing on row order.
+    "sink_manifest" -> ((s, dir) =>
+      Writer.manifest(rt(s, dir, "documents"),
+        groupCols = Seq("lang", "source"), contentCols = Seq("text"),
+        tokenCol = Some("n_chars"))),
     // End-to-end training-prep composition: 40-token chunks (8 overlap) →
     // 256-token training bins, keyed by a (doc, chunk) surrogate id. The
     // 1e6 stride keeps cids collision-free up to 1M chunks/doc (32M-token
@@ -1002,6 +1009,35 @@ object SparkEntry {
       Similarity.cosineTopKBatch(
         e, "vec_id", "embedding",
         e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    }),
+    // Batch IVF retrieval: the same 5-query batch as sim_topk_batch through
+    // the 8-cell coarse quantizer (fit → JSON round trip → apply, as
+    // sim_ivf), nprobe=2. The oracle replays assignment, per-query probing,
+    // and the top-10 ranking from the sim_ivf_centroids dump.
+    "sim_ivf_batch" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val m = Similarity.IvfModel.fromJsonString(
+        Similarity.ivfFit(e, "embedding", nlist = 8).toJsonString)
+      Similarity.ivfTopKBatch(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        m, k = 10, nprobe = 2)
+    }),
+    // Recall@10 of the nprobe=2 IVF batch against the exact batch baseline
+    // — the tuning gauge for the ANN stack. The oracle recomputes the
+    // approximate side from the centroids dump and the exact side brute
+    // force, then the same hit-counting join.
+    "sim_recall" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val m = Similarity.IvfModel.fromJsonString(
+        Similarity.ivfFit(e, "embedding", nlist = 8).toJsonString)
+      Similarity.evalRecall(
+        Similarity.ivfTopKBatch(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", m, k = 10, nprobe = 2),
+        Similarity.cosineTopKBatch(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", 10),
+        "query_id", "id")
     }),
     // JL sign-projection to 16 dims, dumped one row per (vector, out-dim);
     // the oracle replays the matmul from the sim_rp_matrix aux dump.
@@ -1724,6 +1760,16 @@ object SparkEntry {
         |       CAST(before // 2000 AS BIGINT) AS shard,
         |       CAST(before % 2000 AS BIGINT) AS shard_tok_pos
         |FROM b""".stripMargin,
+    // Order-free checksum replay: same md5 15-hex-digit prefix (60 bits,
+    // signed-safe), same XOR combine — commutativity is what makes the two
+    // engines agree without agreeing on row order.
+    "sink_manifest" ->
+      """SELECT lang, source,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+        |       bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+        |         AS content_hash
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     // The verified chunk replay feeding the verified pack replay.
     "text_chunk_pack" ->
       """WITH t AS (SELECT doc_id,
@@ -2515,6 +2561,113 @@ object SparkEntry {
         |                                 FOR i IN range(1, 65)]))) AS cos
         |           FROM sel, q)
         |SELECT id, cos FROM c ORDER BY cos DESC, id LIMIT 10""".stripMargin,
+    // Batch-IVF replay over the same centroids dump: per-corpus-row nearest
+    // cell, per-QUERY nprobe=2 nearest cells (both ties by cell id), exact
+    // cosine + (cos DESC, id) top-10 within the matched cells.
+    "sim_ivf_batch" ->
+      """WITH cent AS (SELECT cell_id, list(value ORDER BY pos) AS c
+        |              FROM read_parquet('{GRAFT_OUT}/sim_ivf_centroids/*.parquet')
+        |              GROUP BY cell_id),
+        |     qd AS (SELECT e.vec_id AS query_id, e.embedding AS qe, cent.cell_id,
+        |              list_sum([(CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        * (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        FOR i IN range(1, 65)]) AS d
+        |            FROM embeddings e CROSS JOIN cent
+        |            WHERE e.vec_id < 5),
+        |     qp AS (SELECT query_id, qe, cell_id FROM (
+        |              SELECT query_id, qe, cell_id,
+        |                row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY d, cell_id) AS rn
+        |              FROM qd) WHERE rn <= 2),
+        |     ad AS (SELECT e.vec_id, e.embedding, cent.cell_id,
+        |              list_sum([(CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        * (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        FOR i IN range(1, 65)]) AS d
+        |            FROM embeddings e CROSS JOIN cent),
+        |     a AS (SELECT vec_id, embedding, cell_id FROM (
+        |             SELECT vec_id, embedding, cell_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY d, cell_id) AS rn
+        |             FROM ad) WHERE rn = 1),
+        |     s AS (SELECT qp.query_id, a.vec_id AS id,
+        |             list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(qp.qe[i] AS DOUBLE)
+        |                       FOR i IN range(1, 65)])
+        |             / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE)
+        |                               * CAST(a.embedding[i] AS DOUBLE)
+        |                               FOR i IN range(1, 65)]))
+        |                * sqrt(list_sum([CAST(qp.qe[i] AS DOUBLE) * CAST(qp.qe[i] AS DOUBLE)
+        |                                 FOR i IN range(1, 65)]))) AS cos
+        |           FROM a JOIN qp ON a.cell_id = qp.cell_id),
+        |     r AS (SELECT query_id, id, cos,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY cos DESC, id) AS rn
+        |           FROM s)
+        |SELECT query_id, id, cos FROM r WHERE rn <= 10""".stripMargin,
+    // Recall replay: the sim_ivf_batch prediction set (from the centroids
+    // dump) left-joined against the brute-force truth set, hits counted per
+    // query — the same small-int division, so the doubles are exact.
+    "sim_recall" ->
+      """WITH cent AS (SELECT cell_id, list(value ORDER BY pos) AS c
+        |              FROM read_parquet('{GRAFT_OUT}/sim_ivf_centroids/*.parquet')
+        |              GROUP BY cell_id),
+        |     qd AS (SELECT e.vec_id AS query_id, e.embedding AS qe, cent.cell_id,
+        |              list_sum([(CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        * (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        FOR i IN range(1, 65)]) AS d
+        |            FROM embeddings e CROSS JOIN cent
+        |            WHERE e.vec_id < 5),
+        |     qp AS (SELECT query_id, qe, cell_id FROM (
+        |              SELECT query_id, qe, cell_id,
+        |                row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY d, cell_id) AS rn
+        |              FROM qd) WHERE rn <= 2),
+        |     ad AS (SELECT e.vec_id, e.embedding, cent.cell_id,
+        |              list_sum([(CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        * (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        FOR i IN range(1, 65)]) AS d
+        |            FROM embeddings e CROSS JOIN cent),
+        |     a AS (SELECT vec_id, embedding, cell_id FROM (
+        |             SELECT vec_id, embedding, cell_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY d, cell_id) AS rn
+        |             FROM ad) WHERE rn = 1),
+        |     s AS (SELECT qp.query_id, a.vec_id AS id,
+        |             list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(qp.qe[i] AS DOUBLE)
+        |                       FOR i IN range(1, 65)])
+        |             / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE)
+        |                               * CAST(a.embedding[i] AS DOUBLE)
+        |                               FOR i IN range(1, 65)]))
+        |                * sqrt(list_sum([CAST(qp.qe[i] AS DOUBLE) * CAST(qp.qe[i] AS DOUBLE)
+        |                                 FOR i IN range(1, 65)]))) AS cos
+        |           FROM a JOIN qp ON a.cell_id = qp.cell_id),
+        |     p AS (SELECT DISTINCT query_id, id FROM (
+        |             SELECT query_id, id,
+        |               row_number() OVER (PARTITION BY query_id
+        |                                  ORDER BY cos DESC, id) AS rn
+        |             FROM s) WHERE rn <= 10),
+        |     tb AS (SELECT e.vec_id AS id, q.vec_id AS query_id,
+        |              list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)
+        |                        FOR i IN range(1, 65)])
+        |              / (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE)
+        |                                * CAST(e.embedding[i] AS DOUBLE)
+        |                                FOR i IN range(1, 65)]))
+        |                 * sqrt(list_sum([CAST(q.embedding[i] AS DOUBLE)
+        |                                  * CAST(q.embedding[i] AS DOUBLE)
+        |                                  FOR i IN range(1, 65)]))) AS cos
+        |            FROM embeddings e CROSS JOIN embeddings q
+        |            WHERE q.vec_id < 5),
+        |     t AS (SELECT query_id, id FROM (
+        |             SELECT query_id, id,
+        |               row_number() OVER (PARTITION BY query_id
+        |                                  ORDER BY cos DESC, id) AS rn
+        |             FROM tb) WHERE rn <= 10)
+        |SELECT t.query_id,
+        |       CAST(count(*) AS BIGINT) AS n_truth,
+        |       CAST(sum(CASE WHEN p.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |       CAST(sum(CASE WHEN p.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS recall
+        |FROM t LEFT JOIN p ON t.query_id = p.query_id AND t.id = p.id
+        |GROUP BY t.query_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -873,6 +873,135 @@ object Similarity {
       "id", "emb", query, k)
   }
 
+  /** Per-query probe list: the `nprobe` cells nearest each query embedding,
+    * ties by cell id (the same rule as [[ivfCell]]). Input must carry
+    * (query_id, qemb); output appends one row per (query, probed cell).
+    *
+    * Small centroid sets ride as plan literals (array_sort over an
+    * nlist-struct array, sliced to nprobe). Past [[LiteralAssignMax]] the
+    * centroids become a broadcast TABLE instead — queries fan out to
+    * nlist rows through a BroadcastHashJoin on a data-derived constant key
+    * (the [[assignCells]] idiom) and a rank window keeps the nprobe
+    * nearest. The window partitions by (query row hash), which is sound
+    * here because the query side is a bounded batch by contract. */
+  private def probeCells(
+      q: DataFrame,
+      cents: Seq[Seq[Double]],
+      nprobe: Int,
+      forceBroadcast: Boolean,
+  ): DataFrame = {
+    val nlist = cents.length
+    if (!forceBroadcast && nlist.toLong * cents.head.length <= LiteralAssignMax) {
+      val cands = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(sqDist(col("qemb"), c).as("d"), lit(i).as("cell"))
+      }: _*)
+      q.withColumn("cell",
+        explode(transform(slice(array_sort(cands), 1, nprobe), p => p("cell"))))
+    } else {
+      val spark = q.sparkSession
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cell", "c")
+        .withColumn("__j", pmod(col("cell").cast("long"), lit(1L)))
+      val sq = sqDistFor(q)
+      q.withColumn("__eh", xxhash64(col("qemb")))
+        .withColumn("__j", pmod(col("__eh"), lit(1L)))
+        .join(broadcast(centDf), "__j") // bounded: nlist rows by construction
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__eh"), col("query_id"))
+            .orderBy(sq(col("qemb"), col("c")), col("cell"))))
+        .filter(col("__rn") <= nprobe)
+        .drop("__j", "__eh", "__rn", "c")
+    }
+  }
+
+  /** Batch IVF top-k: every query in `queries` retrieves its k approximate
+    * nearest corpus rows through the coarse quantizer — the scale
+    * complement to [[cosineTopKBatch]] exactly as [[ivfTopK]] is to
+    * [[cosineTopK]]. Corpus rows are assigned to their nearest cell ONCE
+    * ([[assignCells]]: narrow literal argmin, or broadcast centroid join
+    * for large models); each query probes its `nprobe` nearest cells; the
+    * cell-matched candidates are scored with exact cosine and ranked to k
+    * per query by a window that Spark's WindowGroupLimit prunes map-side
+    * before the single shuffle on query id.
+    *
+    * The query batch is broadcast (bounded — thousands of rows next to a
+    * 100-TB corpus), so the candidate join is a BroadcastHashJoin on the
+    * CELL key: a corpus row is scored only against the queries probing its
+    * cell, ~nprobe/nlist of the batch — unlike [[cosineTopKBatch]]'s
+    * intentional all-pairs fan-out. Recall is tuned by nprobe.
+    * Zero-norm vectors are excluded on both sides (no defined cosine —
+    * same rule as [[cosineTopKBatch]]); ties break by corpus id.
+    * Output: (query_id, id, cos). */
+  def ivfTopKBatch(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qEmbCol: String,
+      model: IvfModel,
+      k: Int,
+      nprobe: Int,
+      forceBroadcastAssign: Boolean = false,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(model.centroids.nonEmpty, "model must have at least one centroid")
+    val cents = model.centroids
+    val d = dotFor(corpus)
+    val q = broadcast(probeCells(
+      queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("qemb"))
+        .withColumn("qnrm", sqrt(d(col("qemb"), col("qemb"))))
+        .filter(col("qnrm") > 0.0),
+      cents, nprobe, forceBroadcastAssign))
+    val base = assignCells(corpus, idCol, embCol, cents, forceBroadcastAssign)
+      .withColumn("nrm", sqrt(d(col("emb"), col("emb"))))
+      .filter(col("nrm") > 0.0)
+    base.join(q, "cell")
+      .select(col("query_id"), col("id"),
+        (d(col("emb"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("id").asc)))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Recall evaluation for approximate retrieval: per query, the fraction
+    * of `truth`'s neighbors that `predicted` recovered — THE quality gauge
+    * for tuning [[annTopK]]'s plane count or [[ivfTopKBatch]]'s nprobe
+    * against the exact [[cosineTopKBatch]] baseline. Output one row per
+    * truth query: (query_id, n_truth, n_hit, recall).
+    *
+    * Both inputs are retrieval results (≤ k rows per query), so every
+    * stage is small regardless of corpus scale: one distinct on the
+    * predicted pairs (duplicate predictions must not double-count), one
+    * join on (query, neighbor), one aggregate on query. Queries present
+    * only in `predicted` are not scored (no truth set to recall against);
+    * a query in `truth` with no predictions scores 0.0. */
+  def evalRecall(
+      predicted: DataFrame,
+      truth: DataFrame,
+      queryCol: String,
+      idCol: String,
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(predicted, Seq(queryCol, idCol))
+    graft.core.Validators.requireColumns(truth, Seq(queryCol, idCol))
+    val p = predicted.select(col(queryCol).as("query_id"), col(idCol).as("id"))
+      .distinct()
+      .withColumn("__graft_hit", lit(1))
+    truth.select(col(queryCol).as("query_id"), col(idCol).as("id"))
+      .join(p, Seq("query_id", "id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__graft_hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_truth").cast("double"))
+  }
+
   /** Per-vector symmetric int8 scalar quantization: scale = max|vᵢ|/127,
     * codeᵢ = floor(vᵢ/scale + 0.5) clamped to [−127, 127] — 4× smaller
     * storage for ANN shortlists, with the scale kept per vector for

@@ -197,4 +197,46 @@ object Writer {
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("shard_pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Deterministic corpus manifest: per `groupCols` group, the row count,
+    * an optional token total, and an ORDER-FREE 60-bit content checksum —
+    * the audit record a data release ships next to its shards, so any
+    * engine can re-verify "these exact bytes, this exact count" without
+    * re-reading row order. Appended columns:
+    *   n_rows        BIGINT row count;
+    *   n_tokens      BIGINT Σ tokenCol (only when `tokenCol` is set);
+    *   content_hash  BIGINT XOR of per-row md5-prefix hashes.
+    *
+    * The per-row hash is the first 15 hex digits of md5 over the
+    * `contentCols` values joined with the 0x1F unit separator (chosen over
+    * xxhash64 because every engine has md5; 15 digits = 60 bits keeps the
+    * value inside a signed 64-bit int in engines without unsigned types).
+    * XOR is the combine — commutative and associative, so the checksum is
+    * independent of row order, partitioning, and engine. NULL content
+    * values are skipped by concat_ws on every engine (documented
+    * asymmetry: ('a', NULL) and (NULL, 'a') hash alike — include an id
+    * column in `contentCols` when that distinction matters). Plan: one
+    * narrow hash projection + one partial-aggregated shuffle on the group
+    * keys; no sort, no window. */
+  def manifest(
+      df: DataFrame,
+      groupCols: Seq[String],
+      contentCols: Seq[String],
+      tokenCol: Option[String] = None,
+  ): DataFrame = {
+    require(contentCols.nonEmpty, "contentCols must be non-empty")
+    graft.core.Validators.requireColumns(df,
+      groupCols ++ contentCols ++ tokenCol.toSeq)
+    val rowHash = conv(
+      substring(md5(concat_ws("\u001f",
+        contentCols.map(c => col(c).cast("string")): _*).cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val hashed = df.withColumn("__graft_ch", rowHash)
+    val aggs =
+      Seq(count(lit(1)).as("n_rows")) ++
+        tokenCol.map(t => sum(col(t)).cast("long").as("n_tokens")).toSeq ++
+        Seq(expr("bit_xor(__graft_ch)").as("content_hash"))
+    if (groupCols.isEmpty) hashed.agg(aggs.head, aggs.tail: _*)
+    else hashed.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -166,6 +166,44 @@ class CoreExtrasSpec extends SparkSpec {
       out.map(t => (t._1, t._3, t._4)).toSet
   }
 
+  test("Writer.manifest: order-free checksum, null skipping, hand-checked hash") {
+    import graft.sources.Writer
+    val docs = Seq(
+      (1L, "en", "hello", 5L),
+      (2L, "en", "world", 5L),
+      (3L, "de", null.asInstanceOf[String], 0L),
+    ).toDF("doc_id", "lang", "text", "n_tok")
+    val got = Writer.manifest(docs, Seq("lang"), Seq("text"), Some("n_tok"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // hand value: first 15 hex digits of md5("hello") xor md5("world")
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    got("en") shouldBe ((2L, 10L, h60("hello") ^ h60("world")))
+    // a NULL content value hashes as md5("") (concat_ws skips it), but the
+    // row still counts
+    got("de") shouldBe ((1L, 0L, h60("")))
+    // row order / partitioning invariance: XOR is commutative
+    val shuffled = Writer.manifest(
+      docs.orderBy(col("doc_id").desc).repartition(7),
+      Seq("lang"), Seq("text"), Some("n_tok"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    shuffled shouldBe got
+    // global form (no group columns): one row over everything, no token col
+    val all = Writer.manifest(docs, Nil, Seq("text")).collect()
+    all.length shouldBe 1
+    all.head.getLong(0) shouldBe 3L
+    all.head.getLong(1) shouldBe (h60("hello") ^ h60("world") ^ h60(""))
+    // multi-column content is separator-joined, so ("ab","c") ≠ ("a","bc")
+    val two = Seq((1L, "ab", "c"), (2L, "a", "bc")).toDF("id", "x", "y")
+    val m2 = Writer.manifest(two, Nil, Seq("x", "y")).collect().head.getLong(1)
+    m2 shouldBe (h60("ab\u001fc") ^ h60("a\u001fbc"))
+  }
+
   test("Writer.writeBucketed: same-bucketing join plans with no shuffle") {
     import graft.sources.Writer
     val tmp = java.nio.file.Files.createTempDirectory("graft_b")

@@ -677,6 +677,56 @@ class OpsSpec extends SparkSpec {
     run(bcast = true) shouldBe run(bcast = false) // same rows, bit-identical cosines
   }
 
+  test("Similarity.ivfTopKBatch with a full probe equals the exact batch baseline") {
+    val m = Similarity.ivfFit(vecs, "embedding", nlist = 2)
+    val queries = vecs.filter(col("vec_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // nprobe = nlist probes every cell → the approximate search IS exact
+    val approx = rows(Similarity.ivfTopKBatch(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", m, k = 3, nprobe = 2))
+    val exact = rows(Similarity.cosineTopKBatch(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 3))
+    approx shouldBe exact
+  }
+
+  test("Similarity.ivfTopKBatch broadcast probe/assign path matches the literal path") {
+    val m = Similarity.ivfFit(vecs, "embedding", nlist = 2)
+    def run(bcast: Boolean) = Similarity.ivfTopKBatch(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") < 2), "vec_id", "embedding", m,
+      k = 3, nprobe = 1, forceBroadcastAssign = bcast)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    run(bcast = true) shouldBe run(bcast = false) // same rows, bit-identical cosines
+  }
+
+  test("Similarity.ivfTopKBatch restricts candidates to the probed cells") {
+    val m = Similarity.ivfFit(vecs, "embedding", nlist = 2)
+    // vec 2 (orthogonal) lands in the other cell; with nprobe=1 the query
+    // batch at (1,0,0) must never retrieve it
+    val got = Similarity.ivfTopKBatch(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") === 0), "vec_id", "embedding", m,
+      k = 4, nprobe = 1)
+      .collect().map(_.getLong(1)).toSet
+    got should contain(0L)
+    got should contain(1L)
+    got should not contain 2L
+  }
+
+  test("Similarity.evalRecall counts hits once and scores truth-only queries 0") {
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L)).toDF("q", "n")
+    val predicted = Seq(
+      (1L, 10L), (1L, 10L), // duplicate prediction must count once
+      (1L, 12L), (1L, 99L), // 99 is a miss
+      (3L, 30L), // query 3 has no truth set → not scored
+    ).toDF("q", "n")
+    val got = Similarity.evalRecall(predicted, truth, "q", "n")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    got.keySet shouldBe Set(1L, 2L)
+    got(1L) shouldBe ((3L, 2L, 2.0 / 3.0))
+    got(2L) shouldBe ((1L, 0L, 0.0))
+  }
+
   test("Similarity.randomProject matches the hand matmul and roughly preserves cosine") {
     val m = Similarity.signProjectionMatrix(2, 4)
     m.flatten.foreach(v => math.abs(v) shouldBe 1.0)
