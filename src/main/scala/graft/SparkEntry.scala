@@ -1039,6 +1039,15 @@ object SparkEntry {
           q, "vec_id", "embedding", 10),
         "query_id", "id")
     }),
+    // Cell-scoped kNN graph: 5 nearest same-cell neighbors at cos ≥ 0 per
+    // vector, under the same 8-cell quantizer as sim_ivf_centroids (whose
+    // dump the oracle replays assignment from).
+    "sim_knn" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val m = Similarity.IvfModel.fromJsonString(
+        Similarity.ivfFit(e, "embedding", nlist = 8).toJsonString)
+      Similarity.knnGraph(e, "vec_id", "embedding", m, k = 5, minCosine = 0.0)
+    }),
     // JL sign-projection to 16 dims, dumped one row per (vector, out-dim);
     // the oracle replays the matmul from the sim_rp_matrix aux dump.
     "sim_random_projection" -> ((s, dir) => {
@@ -2603,6 +2612,41 @@ object SparkEntry {
         |                                ORDER BY cos DESC, id) AS rn
         |           FROM s)
         |SELECT query_id, id, cos FROM r WHERE rn <= 10""".stripMargin,
+    // kNN-graph replay over the centroids dump: nearest-cell assignment,
+    // all within-cell ordered pairs at cos ≥ 0, (cos DESC, neighbor) rank
+    // ≤ 5 per source vector.
+    "sim_knn" ->
+      """WITH cent AS (SELECT cell_id, list(value ORDER BY pos) AS c
+        |              FROM read_parquet('{GRAFT_OUT}/sim_ivf_centroids/*.parquet')
+        |              GROUP BY cell_id),
+        |     ad AS (SELECT e.vec_id, e.embedding, cent.cell_id,
+        |              list_sum([(CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        * (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        FOR i IN range(1, 65)]) AS d
+        |            FROM embeddings e CROSS JOIN cent),
+        |     a AS (SELECT vec_id, embedding, cell_id FROM (
+        |             SELECT vec_id, embedding, cell_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY d, cell_id) AS rn
+        |             FROM ad) WHERE rn = 1),
+        |     pr AS (SELECT x.vec_id AS id, y.vec_id AS neighbor_id,
+        |              list_sum([CAST(x.embedding[i] AS DOUBLE)
+        |                        * CAST(y.embedding[i] AS DOUBLE)
+        |                        FOR i IN range(1, 65)])
+        |              / (sqrt(list_sum([CAST(x.embedding[i] AS DOUBLE)
+        |                                * CAST(x.embedding[i] AS DOUBLE)
+        |                                FOR i IN range(1, 65)]))
+        |                 * sqrt(list_sum([CAST(y.embedding[i] AS DOUBLE)
+        |                                  * CAST(y.embedding[i] AS DOUBLE)
+        |                                  FOR i IN range(1, 65)]))) AS cos
+        |            FROM a x JOIN a y
+        |              ON x.cell_id = y.cell_id AND x.vec_id <> y.vec_id),
+        |     r AS (SELECT id, neighbor_id, cos,
+        |             row_number() OVER (PARTITION BY id
+        |                                ORDER BY cos DESC, neighbor_id) AS rnk
+        |           FROM pr WHERE cos >= 0.0)
+        |SELECT id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rank
+        |FROM r WHERE rnk <= 5""".stripMargin,
     // Recall replay: the sim_ivf_batch prediction set (from the centroids
     // dump) left-joined against the brute-force truth set, hits counted per
     // query — the same small-int division, so the doubles are exact.

@@ -1171,6 +1171,106 @@ object Similarity {
     }
   }
 
+  /** Within-cell k-nearest-neighbor graph over an embedding column — the
+    * backbone artifact for cluster analysis, diversity-aware sampling, and
+    * graph-based dedup over a training corpus. Every vector gets (up to)
+    * its k nearest same-cell neighbors under the coarse quantizer: exact
+    * kNN is O(n²) at corpus scale, so the graph is cell-scoped by
+    * construction (the SemDeDup regime — neighbors in OTHER cells are
+    * deliberately out of scope; enlarge cells / refit with smaller nlist
+    * for more recall). Output: (id, neighbor_id, cos, rank) with rank 1
+    * the nearest, ties broken by neighbor id.
+    *
+    * Scale shape: one [[assignCells]] pass, then the same tiled bucket
+    * expansion as [[semanticDedup]] with the cell as the bucket key — a
+    * dense cell becomes many ≤512-side tiles, not one O(k²) task; cells
+    * over `maxClusterSize` are dropped-and-counted through [[BucketCap]]
+    * (strict mode throws). `minCosine` is the scale lever: sub-floor
+    * pairs are discarded INSIDE the tile kernel (never materialized or
+    * shuffled), so a 0.5+ floor cuts the edge stream by ~half on random
+    * vectors — at the cost of nodes with fewer than k above-floor
+    * neighbors getting short lists. The symmetric pair stream is
+    * materialized once (lazy checkpoint) before fanning into both edge
+    * directions — without it the union would recompute the whole tile
+    * expansion twice. The per-direction top-k runs as a rank window that
+    * WindowGroupLimit prunes map-side before the one shuffle on src.
+    *
+    * Excluded rows (same rules as [[semanticDedup]]): NULL ids and
+    * zero-/non-finite-norm embeddings emit no edges; rows SHARING an id
+    * are indistinguishable in the pair kernel and emit no edges to each
+    * other — collapse exact duplicates with [[graft.ops.Dedup.exact]]
+    * first. Non-integral id types ride the 64-bit content-hash surrogate
+    * ([[tileIdFn]]) and join their original ids back onto the small edge
+    * output. */
+  def knnGraph(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      model: IvfModel,
+      k: Int,
+      minCosine: Double = -1.0,
+      maxClusterSize: Int = 100000,
+      forceBroadcastAssign: Boolean = false,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.core.Validators.requireColumns(df, Seq(idCol, embCol))
+    require(k >= 1, "k must be >= 1")
+    require(model.centroids.nonEmpty, "model must have at least one centroid")
+    val idType = df.schema(idCol).dataType
+    val (sidOf, integralId) = tileIdFn(idType)
+    val d = dotFor(df)
+    // same exclusion rules and rationale as semanticDedup: NULL ids (the
+    // tile kernel reads a null long as 0; xxhash64 collapses NULLs),
+    // non-positive/non-finite norms (NaN path divergence)
+    val comparable = df
+      .filter(col(idCol).isNotNull)
+      .withColumn("__graft_n2", d(col(embCol), col(embCol)))
+      .filter(col("__graft_n2") > 0.0 && col("__graft_n2") <= Double.MaxValue)
+      .drop("__graft_n2")
+    val assigned = assignCells(
+      comparable, idCol, embCol, model.centroids, forceBroadcastAssign)
+    val buckets = BucketCap.capped(
+      assigned
+        .select(sidOf(col("id")).as("sid"), col("emb"), col("cell"))
+        .withColumn("norm", sqrt(d(col("emb"), col("emb"))))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(
+          struct(col("sid").as("id"), col("emb"), col("norm")))).as("xs")),
+      maxClusterSize, "knnGraph")
+    val cosPair: (Column, Column) => Column = (x, y) =>
+      dot(x("emb"), y("emb")) / (x("norm") * y("norm"))
+    // cells are disjoint, so a pair appears in exactly one bucket — no
+    // cross-band dedup needed (unlike cosineNearDupPairs)
+    val pairs = Dedup.materializeLazy(
+      Dedup.expandSymmetricBuckets(
+        buckets, Seq(col("cell")),
+        graft.functions.TilePairs.CosineName, lit(minCosine),
+        (x, y) => cosPair(x, y) >= minCosine,
+        (x, y) => struct(x("id").as("a"), y("id").as("b"), cosPair(x, y).as("cos")))
+        .filter(col("p.a") =!= col("p.b")) // order-peers: no edges between shared ids
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("p.cos").as("cos")))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("cos"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"), col("cos")))
+    val ranked = edges
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)))
+      .filter(col("rank") <= k)
+    if (integralId)
+      ranked.select(
+        col("src").cast(idType).as("id"),
+        col("dst").cast(idType).as("neighbor_id"),
+        col("cos"), col("rank"))
+    else {
+      val idMap = df.select(xxhash64(col(idCol)).as("sid"), col(idCol).as("orig"))
+        .dropDuplicates("sid")
+      ranked
+        .join(idMap, col("src") === col("sid"))
+        .select(col("orig").as("id"), col("dst"), col("cos"), col("rank"))
+        .join(idMap, col("dst") === col("sid"))
+        .select(col("id"), col("orig").as("neighbor_id"), col("cos"), col("rank"))
+    }
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication"):
     * cluster the corpus with a coarse k-means quantizer, then drop, WITHIN

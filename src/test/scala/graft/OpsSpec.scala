@@ -712,6 +712,38 @@ class OpsSpec extends SparkSpec {
     got should not contain 2L
   }
 
+  test("Similarity.knnGraph matches hand kNN in one cell; the floor trims edges") {
+    // one centroid → one cell → the graph is exact kNN over the whole set:
+    //   cos(0,1)=1  cos(0,3)=cos(1,3)=0.6  cos(2,3)=0.8  cos(0,2)=cos(1,2)=0
+    val m = Similarity.IvfModel(Seq(Seq(1.0, 0.0, 0.0)))
+    val got = Similarity.knnGraph(vecs, "vec_id", "embedding", m, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    got shouldBe Set(
+      (0L, 1L, 1), (0L, 3L, 2),
+      (1L, 0L, 1), (1L, 3L, 2),
+      (2L, 3L, 1), (2L, 0L, 2), // ties at cos 0 break by neighbor id → 0
+      (3L, 2L, 1), (3L, 0L, 2))
+    // a 0.5 floor drops the cos-0 edges: node 2 keeps only its 0.8 edge
+    val floored = Similarity
+      .knnGraph(vecs, "vec_id", "embedding", m, k = 2, minCosine = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    floored shouldBe Set(
+      (0L, 1L), (0L, 3L), (1L, 0L), (1L, 3L), (2L, 3L), (3L, 2L), (3L, 0L))
+  }
+
+  test("Similarity.knnGraph joins original ids back for non-integral id types") {
+    val sv = Seq(
+      ("a", Seq(1.0f, 0.0f, 0.0f)),
+      ("b", Seq(1.0f, 0.0f, 0.0f)),
+      ("c", Seq(0.0f, 1.0f, 0.0f))).toDF("doc", "embedding")
+    val m = Similarity.IvfModel(Seq(Seq(1.0, 0.0, 0.0)))
+    val got = Similarity.knnGraph(sv, "doc", "embedding", m, k = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(3))).toSet
+    got.size shouldBe 3 // every node has exactly one rank-1 edge
+    got should contain(("a", "b", 1))
+    got should contain(("b", "a", 1))
+  }
+
   test("Similarity.evalRecall counts hits once and scores truth-only queries 0") {
     val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L)).toDF("q", "n")
     val predicted = Seq(
