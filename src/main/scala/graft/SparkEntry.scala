@@ -1039,6 +1039,17 @@ object SparkEntry {
           q, "vec_id", "embedding", 10),
         "query_id", "id")
     }),
+    // Coverage-balanced sample: ≤40 rows per cell of the same 8-cell
+    // quantizer, membership a pure function of (vec_id, centroids) — the
+    // oracle replays assignment + the minstd-hash quota rank from the
+    // sim_ivf_centroids dump.
+    "sim_cell_sample" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val m = Similarity.IvfModel.fromJsonString(
+        Similarity.ivfFit(e, "embedding", nlist = 8).toJsonString)
+      Similarity.cellBalancedSample(e, "vec_id", "embedding", m, perCell = 40)
+        .select("vec_id", "label", "cell")
+    }),
     // Cell-scoped kNN graph: 5 nearest same-cell neighbors at cos ≥ 0 per
     // vector, under the same 8-cell quantizer as sim_ivf_centroids (whose
     // dump the oracle replays assignment from).
@@ -2612,6 +2623,32 @@ object SparkEntry {
         |                                ORDER BY cos DESC, id) AS rn
         |           FROM s)
         |SELECT query_id, id, cos FROM r WHERE rn <= 10""".stripMargin,
+    // Quota-sample replay over the centroids dump: nearest-cell assignment,
+    // then keep the 40 smallest (minstd-hash, id) rows per cell.
+    "sim_cell_sample" ->
+      """WITH cent AS (SELECT cell_id, list(value ORDER BY pos) AS c
+        |              FROM read_parquet('{GRAFT_OUT}/sim_ivf_centroids/*.parquet')
+        |              GROUP BY cell_id),
+        |     ad AS (SELECT e.vec_id, e.label, cent.cell_id,
+        |              list_sum([(CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        * (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        FOR i IN range(1, 65)]) AS d
+        |            FROM embeddings e CROSS JOIN cent),
+        |     a AS (SELECT vec_id, label, cell_id FROM (
+        |             SELECT vec_id, label, cell_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY d, cell_id) AS rn
+        |             FROM ad) WHERE rn = 1),
+        |     h AS (SELECT vec_id, label, cell_id,
+        |             (((vec_id % 2147483647) * 48271 % 2147483647) * 48271
+        |              % 2147483647) AS hh
+        |           FROM a),
+        |     r AS (SELECT vec_id, label, cell_id,
+        |             row_number() OVER (PARTITION BY cell_id
+        |                                ORDER BY hh, vec_id) AS rn
+        |           FROM h)
+        |SELECT vec_id, label, CAST(cell_id AS INTEGER) AS cell
+        |FROM r WHERE rn <= 40""".stripMargin,
     // kNN-graph replay over the centroids dump: nearest-cell assignment,
     // all within-cell ordered pairs at cos ≥ 0, (cos DESC, neighbor) rank
     // ≤ 5 per source vector.

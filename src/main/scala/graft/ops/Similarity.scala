@@ -1171,6 +1171,65 @@ object Similarity {
     }
   }
 
+  /** Coverage-balanced (diversity) sampling over embedding space: assign
+    * every row to its nearest cell under the coarse quantizer and keep at
+    * most `perCell` rows per cell, chosen by the deterministic minstd id
+    * hash — dense regions of the embedding space are capped, sparse
+    * regions survive whole, so the sample covers the space instead of
+    * mirroring its density (the pruning complement to [[semanticDedup]]:
+    * that drops near-copies, this flattens cluster mass). Membership is a
+    * pure function of (id, model), so re-runs and engines agree row for
+    * row. Returns the input schema + the `cell` column; rows with a NULL
+    * id are dropped (no hash position).
+    *
+    * Scale shape: when the centroid set rides as a plan literal/constant
+    * (the common case — [[literalAssignOk]], up to ~1M doubles with the
+    * native kernel) the assignment is a narrow projection on the
+    * FULL-WIDTH rows and the per-cell quota is one rank window that
+    * WindowGroupLimit prunes to perCell rows per task map-side before the
+    * single shuffle on cell. Giant-model fallback: slim (id, emb)
+    * assignment through the broadcast centroid table, quota rank on the
+    * slim side, then one join back on the id — the join only re-reads the
+    * corpus, never fans out. Duplicate ids draw one quota slot each on
+    * the literal path but join ambiguously on the fallback path — keep
+    * ids unique (they are "the" sample key, as in [[graft.ops.Sampling]]).
+    */
+  def cellBalancedSample(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      model: IvfModel,
+      perCell: Int,
+      forceBroadcastAssign: Boolean = false,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.core.Validators.requireColumns(df, Seq(idCol, embCol))
+    graft.core.Validators.requireColumnsAbsent(df, Seq("cell"), "cellBalancedSample")
+    require(perCell >= 1, "perCell must be >= 1")
+    require(model.centroids.nonEmpty, "model must have at least one centroid")
+    val cents = model.centroids
+    val base = df.filter(col(idCol).isNotNull)
+    val quota = Window.partitionBy(col("cell"))
+      .orderBy(graft.ops.Sampling.minstdHash(col(idCol)).asc, col(idCol).asc)
+    if (!forceBroadcastAssign && literalAssignOk(df, cents.length, cents.head.length))
+      base.withColumn("cell", ivfCellFor(df)(col(embCol), cents))
+        .withColumn("__graft_rn", row_number().over(quota))
+        .filter(col("__graft_rn") <= perCell)
+        .drop("__graft_rn")
+    else {
+      val kept = assignCells(
+        base.select(col(idCol), col(embCol)), idCol, embCol, cents,
+        forceBroadcast = forceBroadcastAssign)
+        .withColumn("__graft_rn", row_number().over(
+          Window.partitionBy(col("cell"))
+            .orderBy(graft.ops.Sampling.minstdHash(col("id")).asc, col("id").asc)))
+        .filter(col("__graft_rn") <= perCell)
+        .select(col("id").as("__graft_keep_id"), col("cell"))
+      base.join(kept, col(idCol) === col("__graft_keep_id"))
+        .drop("__graft_keep_id")
+    }
+  }
+
   /** Within-cell k-nearest-neighbor graph over an embedding column — the
     * backbone artifact for cluster analysis, diversity-aware sampling, and
     * graph-based dedup over a training corpus. Every vector gets (up to)

@@ -712,6 +712,29 @@ class OpsSpec extends SparkSpec {
     got should not contain 2L
   }
 
+  test("Similarity.cellBalancedSample caps dense cells, keeps sparse ones whole") {
+    val m = Similarity.IvfModel(Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)))
+    // cells: {0, 1} → cell 0; {2, 3} → cell 1 (vec 3 is nearer (0,1,0))
+    def h(id: Long) = ((id % 2147483647L) * 48271L % 2147483647L) * 48271L % 2147483647L
+    val got = Similarity.cellBalancedSample(vecs, "vec_id", "embedding", m, perCell = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val want = Set(
+      (Seq(0L, 1L).minBy(i => (h(i), i)), 0),
+      (Seq(2L, 3L).minBy(i => (h(i), i)), 1))
+    got shouldBe want
+    // a quota above every cell size keeps everything (plus the cell column)
+    Similarity.cellBalancedSample(vecs, "vec_id", "embedding", m, perCell = 10)
+      .count() shouldBe 4
+    // the giant-model fallback (slim assign + join back) picks the same rows
+    val viaJoin = Similarity.cellBalancedSample(
+      vecs, "vec_id", "embedding", m, perCell = 1, forceBroadcastAssign = true)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    viaJoin shouldBe want
+    // schema: input columns + cell
+    Similarity.cellBalancedSample(vecs, "vec_id", "embedding", m, perCell = 1)
+      .columns.toSeq shouldBe Seq("vec_id", "embedding", "cell")
+  }
+
   test("Similarity.knnGraph matches hand kNN in one cell; the floor trims edges") {
     // one centroid → one cell → the graph is exact kNN over the whole set:
     //   cos(0,1)=1  cos(0,3)=cos(1,3)=0.6  cos(2,3)=0.8  cos(0,2)=cos(1,2)=0

@@ -130,6 +130,26 @@ class PlanSpec extends SparkSpec {
     "\\(\\d+\\) Exchange".r.findAllIn(plan).size shouldBe 1
   }
 
+  test("ivfTopKBatch: broadcast CELL equi-join (no fan-out), map-side top-k") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = graft.ops.Similarity.ivfFit(e, "embedding", nlist = 4)
+    val out = graft.ops.Similarity.ivfTopKBatch(
+      e, "vec_id", "embedding", e.filter(col("vec_id") < 3), "vec_id", "embedding",
+      m, k = 5, nprobe = 2)
+    val plan = formatted(out)
+    // unlike cosineTopKBatch's intentional all-pairs fan-out, the candidate
+    // join must HASH on the cell key: a corpus row meets only the queries
+    // probing its cell
+    plan should include("BroadcastHashJoin")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    // each task keeps only its local top-k per query before the shuffle
+    val limits = out.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    limits should have size 2
+  }
+
   test("hashSample is a pure narrow filter — no shuffle") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = graft.ops.Sampling.hashSample(docs, "doc_id", 20)
