@@ -1039,6 +1039,14 @@ object SparkEntry {
           q, "vec_id", "embedding", 10),
         "query_id", "id")
     }),
+    // Quantizer health: per-cell counts + 1e-9-rounded mean squared
+    // distance to the assigned centroid, replayed from the centroids dump.
+    "sim_cell_stats" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val m = Similarity.IvfModel.fromJsonString(
+        Similarity.ivfFit(e, "embedding", nlist = 8).toJsonString)
+      Similarity.cellStats(e, "vec_id", "embedding", m)
+    }),
     // Coverage-balanced sample: ≤40 rows per cell of the same 8-cell
     // quantizer, membership a pure function of (vec_id, centroids) — the
     // oracle replays assignment + the minstd-hash quota rank from the
@@ -2623,6 +2631,26 @@ object SparkEntry {
         |                                ORDER BY cos DESC, id) AS rn
         |           FROM s)
         |SELECT query_id, id, cos FROM r WHERE rn <= 10""".stripMargin,
+    // Cell-health replay: nearest-cell assignment from the dump, then the
+    // same count + 1e-9-rounded sum/count distortion aggregate.
+    "sim_cell_stats" ->
+      """WITH cent AS (SELECT cell_id, list(value ORDER BY pos) AS c
+        |              FROM read_parquet('{GRAFT_OUT}/sim_ivf_centroids/*.parquet')
+        |              GROUP BY cell_id),
+        |     ad AS (SELECT e.vec_id, cent.cell_id,
+        |              list_sum([(CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        * (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        FOR i IN range(1, 65)]) AS d
+        |            FROM embeddings e CROSS JOIN cent),
+        |     a AS (SELECT vec_id, cell_id, d FROM (
+        |             SELECT vec_id, cell_id, d,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY d, cell_id) AS rn
+        |             FROM ad) WHERE rn = 1)
+        |SELECT CAST(cell_id AS INTEGER) AS cell,
+        |       CAST(count(*) AS BIGINT) AS n_vectors,
+        |       round(sum(d) / count(*), 9) AS mean_sqdist
+        |FROM a GROUP BY cell_id""".stripMargin,
     // Quota-sample replay over the centroids dump: nearest-cell assignment,
     // then keep the 40 smallest (minstd-hash, id) rows per cell.
     "sim_cell_sample" ->

@@ -1171,6 +1171,39 @@ object Similarity {
     }
   }
 
+  /** Quantizer-quality monitoring table: per cell, the member count and
+    * the 1e-9-rounded mean squared distance to the assigned centroid —
+    * the two numbers that tell you whether an [[IvfModel]] still fits its
+    * corpus (balanced counts, low distortion) or needs a refit (empty /
+    * overfull cells, drifting distortion). One [[assignCells]] pass, one
+    * broadcast centroid join for the per-row distance, one aggregate on
+    * the cell — no sort, no window. Rows with a NULL id or NULL embedding
+    * are excluded (no defined assignment). */
+  def cellStats(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      model: IvfModel,
+      forceBroadcastAssign: Boolean = false,
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(idCol, embCol))
+    require(model.centroids.nonEmpty, "model must have at least one centroid")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val assigned = assignCells(
+      df.filter(col(idCol).isNotNull && col(embCol).isNotNull),
+      idCol, embCol, model.centroids, forceBroadcastAssign)
+    val centDf = model.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "c")
+    val sq = sqDistFor(df)
+    assigned.join(broadcast(centDf), "cell")
+      .select(col("cell"), sq(col("emb"), col("c")).as("d"))
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(sum(col("d")) / count(lit(1)), 9).as("mean_sqdist"))
+  }
+
   /** Coverage-balanced (diversity) sampling over embedding space: assign
     * every row to its nearest cell under the coarse quantizer and keep at
     * most `perCell` rows per cell, chosen by the deterministic minstd id

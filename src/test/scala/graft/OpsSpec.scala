@@ -712,6 +712,18 @@ class OpsSpec extends SparkSpec {
     got should not contain 2L
   }
 
+  test("Similarity.cellStats reports per-cell counts and distortion") {
+    val m = Similarity.IvfModel(Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)))
+    val got = Similarity.cellStats(vecs, "vec_id", "embedding", m)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    got(0) shouldBe ((2L, 0.0)) // vecs 0, 1 sit exactly on centroid 0
+    // cell 1: vec 2 at distance 0, vec 3 at 0.6² + 0.2² = 0.4 → mean 0.2
+    // (float32 fixture values, so the doubles carry ~1e-8 representation
+    // noise — the op itself only rounds at 1e-9)
+    got(1)._1 shouldBe 2L
+    got(1)._2 shouldBe 0.2 +- 1e-7
+  }
+
   test("Similarity.cellBalancedSample caps dense cells, keeps sparse ones whole") {
     val m = Similarity.IvfModel(Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)))
     // cells: {0, 1} → cell 0; {2, 3} → cell 1 (vec 3 is nearer (0,1,0))
