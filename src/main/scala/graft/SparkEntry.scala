@@ -1789,15 +1789,21 @@ object SparkEntry {
         |       CAST(before % 2000 AS BIGINT) AS shard_tok_pos
         |FROM b""".stripMargin,
     // Order-free checksum replay: same md5 15-hex-digit prefix (60 bits,
-    // signed-safe), same XOR combine — commutativity is what makes the two
-    // engines agree without agreeing on row order.
+    // signed-safe), same multiset + distinct XOR combines — commutativity
+    // is what makes the two engines agree without agreeing on row order.
+    // coalesce(text, '') mirrors Spark's concat_ws NULL-skip (DuckDB
+    // md5(NULL) is NULL and '0x' alone would not cast).
     "sink_manifest" ->
-      """SELECT lang, source,
+      """WITH h AS (SELECT lang, source, n_chars,
+        |             CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 15))
+        |                  AS BIGINT) AS ch
+        |           FROM documents)
+        |SELECT lang, source,
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(n_chars) AS BIGINT) AS n_tokens,
-        |       bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
-        |         AS content_hash
-        |FROM documents GROUP BY 1, 2""".stripMargin,
+        |       bit_xor(ch) AS content_hash,
+        |       bit_xor(DISTINCT ch) AS distinct_hash
+        |FROM h GROUP BY 1, 2""".stripMargin,
     // The verified chunk replay feeding the verified pack replay.
     "text_chunk_pack" ->
       """WITH t AS (SELECT doc_id,

@@ -79,16 +79,19 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be >= 1")
     val d = dotFor(corpus)
-    // zero-norm vectors have no defined cosine; dropping them beats letting
-    // their NaN scores sort above every real neighbor (Spark ranks NaN
-    // first under DESC, so one corrupt row would enter EVERY query's top-k)
+    // zero-norm vectors have no defined cosine, and NaN-/overflow-norm
+    // vectors score NaN against everything; dropping both beats letting
+    // NaN scores sort above every real neighbor (Spark ranks NaN first
+    // under DESC, so ONE corrupt row would enter EVERY query's top-k —
+    // note NaN > 0.0 is TRUE under Spark's NaN-is-greatest rule, so the
+    // `<= MaxValue` leg is what actually rejects it)
     val q = broadcast(
       queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("qemb"))
         .withColumn("qnrm", sqrt(d(col("qemb"), col("qemb"))))
-        .filter(col("qnrm") > 0.0))
+        .filter(col("qnrm") > 0.0 && col("qnrm") <= Double.MaxValue))
     val base = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("nrm", sqrt(d(col("emb"), col("emb"))))
-      .filter(col("nrm") > 0.0)
+      .filter(col("nrm") > 0.0 && col("nrm") <= Double.MaxValue)
     base.join(q)
       .select(col("query_id"), col("id"),
         (d(col("emb"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cos"))
@@ -931,8 +934,13 @@ object Similarity {
     * CELL key: a corpus row is scored only against the queries probing its
     * cell, ~nprobe/nlist of the batch — unlike [[cosineTopKBatch]]'s
     * intentional all-pairs fan-out. Recall is tuned by nprobe.
-    * Zero-norm vectors are excluded on both sides (no defined cosine —
-    * same rule as [[cosineTopKBatch]]); ties break by corpus id.
+    * Zero- and non-finite-norm vectors are excluded on both sides (no
+    * defined cosine — same rule as [[cosineTopKBatch]]); ties break by
+    * corpus id. Exact-duplicate query rows are collapsed before probing
+    * (a repeated row must not halve the probe fan-out or double its
+    * candidate stream); a query id should map to ONE embedding — rows
+    * sharing an id with different embeddings rank into one merged,
+    * ill-defined top-k, exactly as in [[cosineTopKBatch]].
     * Output: (query_id, id, cos). */
   def ivfTopKBatch(
       corpus: DataFrame,
@@ -954,12 +962,17 @@ object Similarity {
     val d = dotFor(corpus)
     val q = broadcast(probeCells(
       queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("qemb"))
+        // exact-duplicate rows collapse HERE, deterministically (the key is
+        // the full row): left in, they would halve the broadcast-path probe
+        // fan-out (two copies share one rank window) and double the
+        // literal-path candidate stream
+        .dropDuplicates("query_id", "qemb")
         .withColumn("qnrm", sqrt(d(col("qemb"), col("qemb"))))
-        .filter(col("qnrm") > 0.0),
+        .filter(col("qnrm") > 0.0 && col("qnrm") <= Double.MaxValue),
       cents, nprobe, forceBroadcastAssign))
     val base = assignCells(corpus, idCol, embCol, cents, forceBroadcastAssign)
       .withColumn("nrm", sqrt(d(col("emb"), col("emb"))))
-      .filter(col("nrm") > 0.0)
+      .filter(col("nrm") > 0.0 && col("nrm") <= Double.MaxValue)
     base.join(q, "cell")
       .select(col("query_id"), col("id"),
         (d(col("emb"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cos"))
@@ -976,11 +989,12 @@ object Similarity {
     * truth query: (query_id, n_truth, n_hit, recall).
     *
     * Both inputs are retrieval results (≤ k rows per query), so every
-    * stage is small regardless of corpus scale: one distinct on the
-    * predicted pairs (duplicate predictions must not double-count), one
-    * join on (query, neighbor), one aggregate on query. Queries present
-    * only in `predicted` are not scored (no truth set to recall against);
-    * a query in `truth` with no predictions scores 0.0. */
+    * stage is small regardless of corpus scale: one distinct per side
+    * (duplicate predictions must not double-count a hit; duplicate truth
+    * rows must not inflate the denominator AND the numerator at once),
+    * one join on (query, neighbor), one aggregate on query. Queries
+    * present only in `predicted` are not scored (no truth set to recall
+    * against); a query in `truth` with no predictions scores 0.0. */
   def evalRecall(
       predicted: DataFrame,
       truth: DataFrame,
@@ -993,6 +1007,7 @@ object Similarity {
       .distinct()
       .withColumn("__graft_hit", lit(1))
     truth.select(col(queryCol).as("query_id"), col(idCol).as("id"))
+      .distinct()
       .join(p, Seq("query_id", "id"), "left")
       .groupBy("query_id")
       .agg(
@@ -1213,7 +1228,9 @@ object Similarity {
     * that drops near-copies, this flattens cluster mass). Membership is a
     * pure function of (id, model), so re-runs and engines agree row for
     * row. Returns the input schema + the `cell` column; rows with a NULL
-    * id are dropped (no hash position).
+    * id (no hash position) or a NULL embedding (no defined assignment —
+    * the literal, native, and broadcast paths would each invent a
+    * DIFFERENT cell for it) are dropped.
     *
     * Scale shape: when the centroid set rides as a plan literal/constant
     * (the common case — [[literalAssignOk]], up to ~1M doubles with the
@@ -1241,7 +1258,7 @@ object Similarity {
     require(perCell >= 1, "perCell must be >= 1")
     require(model.centroids.nonEmpty, "model must have at least one centroid")
     val cents = model.centroids
-    val base = df.filter(col(idCol).isNotNull)
+    val base = df.filter(col(idCol).isNotNull && col(embCol).isNotNull)
     val quota = Window.partitionBy(col("cell"))
       .orderBy(graft.ops.Sampling.minstdHash(col(idCol)).asc, col(idCol).asc)
     if (!forceBroadcastAssign && literalAssignOk(df, cents.length, cents.head.length))
@@ -1263,6 +1280,44 @@ object Similarity {
     }
   }
 
+  /** The shared comparable→cell-bucket construction of [[semanticDedup]]
+    * and [[knnGraph]] (one definition so their pair streams can never
+    * silently diverge — the [[tileIdFn]] rationale): excludes rows that
+    * cannot be paired (NULL ids — the tile kernel reads a null long as 0
+    * and xxhash64 collapses every NULL onto one surrogate; non-positive/
+    * non-finite squared norms — cosine is 0/0 or ∞/∞ and the native vs
+    * HOF paths disagree on NaN, `<= MaxValue` rejects NaN and +Infinity
+    * in one predicate), assigns the survivors to cells, and collects each
+    * cell's sorted (id = surrogate, emb, norm) member array through
+    * [[BucketCap]] under the caller's op name. */
+  private def cellPairBuckets(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      model: IvfModel,
+      maxClusterSize: Int,
+      opName: String,
+      forceBroadcastAssign: Boolean,
+  ): DataFrame = {
+    val (sidOf, _) = tileIdFn(df.schema(idCol).dataType)
+    val d = dotFor(df)
+    val comparable = df
+      .filter(col(idCol).isNotNull)
+      .withColumn("__graft_n2", d(col(embCol), col(embCol)))
+      .filter(col("__graft_n2") > 0.0 && col("__graft_n2") <= Double.MaxValue)
+      .drop("__graft_n2")
+    val assigned = assignCells(
+      comparable, idCol, embCol, model.centroids, forceBroadcastAssign)
+    BucketCap.capped(
+      assigned
+        .select(sidOf(col("id")).as("sid"), col("emb"), col("cell"))
+        .withColumn("norm", sqrt(d(col("emb"), col("emb"))))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(
+          struct(col("sid").as("id"), col("emb"), col("norm")))).as("xs")),
+      maxClusterSize, opName)
+  }
+
   /** Within-cell k-nearest-neighbor graph over an embedding column — the
     * backbone artifact for cluster analysis, diversity-aware sampling, and
     * graph-based dedup over a training corpus. Every vector gets (up to)
@@ -1277,7 +1332,9 @@ object Similarity {
     * expansion as [[semanticDedup]] with the cell as the bucket key — a
     * dense cell becomes many ≤512-side tiles, not one O(k²) task; cells
     * over `maxClusterSize` are dropped-and-counted through [[BucketCap]]
-    * (strict mode throws). `minCosine` is the scale lever: sub-floor
+    * (strict mode throws). `minCosine` is the scale lever (default −∞ =
+    * genuinely no floor — a literal −1.0 would drop antipodal pairs
+    * whose floating-point cosine lands an ulp below −1): sub-floor
     * pairs are discarded INSIDE the tile kernel (never materialized or
     * shuffled), so a 0.5+ floor cuts the edge stream by ~half on random
     * vectors — at the cost of nodes with fewer than k above-floor
@@ -1300,7 +1357,7 @@ object Similarity {
       embCol: String,
       model: IvfModel,
       k: Int,
-      minCosine: Double = -1.0,
+      minCosine: Double = Double.NegativeInfinity,
       maxClusterSize: Int = 100000,
       forceBroadcastAssign: Boolean = false,
   ): DataFrame = {
@@ -1310,25 +1367,8 @@ object Similarity {
     require(model.centroids.nonEmpty, "model must have at least one centroid")
     val idType = df.schema(idCol).dataType
     val (sidOf, integralId) = tileIdFn(idType)
-    val d = dotFor(df)
-    // same exclusion rules and rationale as semanticDedup: NULL ids (the
-    // tile kernel reads a null long as 0; xxhash64 collapses NULLs),
-    // non-positive/non-finite norms (NaN path divergence)
-    val comparable = df
-      .filter(col(idCol).isNotNull)
-      .withColumn("__graft_n2", d(col(embCol), col(embCol)))
-      .filter(col("__graft_n2") > 0.0 && col("__graft_n2") <= Double.MaxValue)
-      .drop("__graft_n2")
-    val assigned = assignCells(
-      comparable, idCol, embCol, model.centroids, forceBroadcastAssign)
-    val buckets = BucketCap.capped(
-      assigned
-        .select(sidOf(col("id")).as("sid"), col("emb"), col("cell"))
-        .withColumn("norm", sqrt(d(col("emb"), col("emb"))))
-        .groupBy(col("cell"))
-        .agg(sort_array(collect_list(
-          struct(col("sid").as("id"), col("emb"), col("norm")))).as("xs")),
-      maxClusterSize, "knnGraph")
+    val buckets = cellPairBuckets(
+      df, idCol, embCol, model, maxClusterSize, "knnGraph", forceBroadcastAssign)
     val cosPair: (Column, Column) => Column = (x, y) =>
       dot(x("emb"), y("emb")) / (x("norm") * y("norm"))
     // cells are disjoint, so a pair appears in exactly one bucket — no
@@ -1405,29 +1445,11 @@ object Similarity {
     graft.core.Validators.requireColumns(df, Seq(idCol, embCol))
     require(model.centroids.nonEmpty, "model must have at least one centroid")
     val (sidOf, _) = tileIdFn(df.schema(idCol).dataType)
-    val d = dotFor(df)
-    // incomparable rows are excluded BEFORE cell assignment (no point
-    // paying the argmin — or its broadcast-join form — for rows that can
-    // never pair): NULL ids, because the tile kernel reads a null long
-    // field as 0 (a false pair against the real id 0) and xxhash64
-    // collapses every NULL onto one surrogate; non-positive/non-finite
-    // norms for the same NaN-divergence reason as in
-    // [[cosineNearDupPairs]] (`<= MaxValue` rejects NaN and +Infinity)
-    val comparable = df
-      .filter(col(idCol).isNotNull)
-      .withColumn("__graft_n2", d(col(embCol), col(embCol)))
-      .filter(col("__graft_n2") > 0.0 && col("__graft_n2") <= Double.MaxValue)
-      .drop("__graft_n2")
-    val assigned = assignCells(
-      comparable, idCol, embCol, model.centroids, forceBroadcastAssign)
-    val buckets = BucketCap.capped(
-      assigned
-        .select(sidOf(col("id")).as("sid"), col("emb"), col("cell"))
-        .withColumn("norm", sqrt(d(col("emb"), col("emb"))))
-        .groupBy(col("cell"))
-        .agg(sort_array(collect_list(
-          struct(col("sid").as("id"), col("emb"), col("norm")))).as("xs")),
-      maxClusterSize, "semanticDedup")
+    // exclusion rules (NULL ids, non-finite norms) and the cell-bucket
+    // shape live in cellPairBuckets, shared with knnGraph
+    val buckets = cellPairBuckets(
+      df, idCol, embCol, model, maxClusterSize, "semanticDedup",
+      forceBroadcastAssign)
     val cosPair: (Column, Column) => Column = (x, y) =>
       dot(x("emb"), y("emb")) / (x("norm") * y("norm"))
     // pairs arrive (a, b) with a <= b in sid order; the strict b side is

@@ -203,21 +203,31 @@ object Writer {
     * the audit record a data release ships next to its shards, so any
     * engine can re-verify "these exact bytes, this exact count" without
     * re-reading row order. Appended columns:
-    *   n_rows        BIGINT row count;
-    *   n_tokens      BIGINT Σ tokenCol (only when `tokenCol` is set);
-    *   content_hash  BIGINT XOR of per-row md5-prefix hashes.
+    *   n_rows         BIGINT row count;
+    *   n_tokens       BIGINT Σ tokenCol (only when `tokenCol` is set);
+    *   content_hash   BIGINT XOR of per-row md5-prefix hashes;
+    *   distinct_hash  BIGINT XOR over the DISTINCT per-row hashes.
     *
     * The per-row hash is the first 15 hex digits of md5 over the
     * `contentCols` values joined with the 0x1F unit separator (chosen over
     * xxhash64 because every engine has md5; 15 digits = 60 bits keeps the
     * value inside a signed 64-bit int in engines without unsigned types).
     * XOR is the combine — commutative and associative, so the checksum is
-    * independent of row order, partitioning, and engine. NULL content
+    * independent of row order, partitioning, and engine. A multiset XOR
+    * alone is blind to even-multiplicity changes (a row duplicated twice
+    * cancels itself), which is why `distinct_hash` rides next to it: a
+    * substitution must then preserve the row count, the multiset PARITY
+    * of every hash, and the distinct hash SET simultaneously — e.g.
+    * {A,A,B} vs {C,C,B} agree on content_hash and n_rows but split on
+    * distinct_hash. (Residual blind class: permuting odd multiplicities
+    * among the same distinct rows, {A,A,A,B} vs {A,B,B,B} — carry
+    * n_tokens for a length-sensitive third witness.) NULL content
     * values are skipped by concat_ws on every engine (documented
     * asymmetry: ('a', NULL) and (NULL, 'a') hash alike — include an id
     * column in `contentCols` when that distinction matters). Plan: one
-    * narrow hash projection + one partial-aggregated shuffle on the group
-    * keys; no sort, no window. */
+    * narrow hash projection + one aggregation on the group keys (the
+    * DISTINCT leg partial-aggregates on (group, hash) before the final
+    * combine); no sort, no window. */
   def manifest(
       df: DataFrame,
       groupCols: Seq[String],
@@ -235,7 +245,8 @@ object Writer {
     val aggs =
       Seq(count(lit(1)).as("n_rows")) ++
         tokenCol.map(t => sum(col(t)).cast("long").as("n_tokens")).toSeq ++
-        Seq(expr("bit_xor(__graft_ch)").as("content_hash"))
+        Seq(expr("bit_xor(__graft_ch)").as("content_hash"),
+          expr("bit_xor(DISTINCT __graft_ch)").as("distinct_hash"))
     if (groupCols.isEmpty) hashed.agg(aggs.head, aggs.tail: _*)
     else hashed.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }

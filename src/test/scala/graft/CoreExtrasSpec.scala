@@ -198,6 +198,13 @@ class CoreExtrasSpec extends SparkSpec {
     all.length shouldBe 1
     all.head.getLong(0) shouldBe 3L
     all.head.getLong(1) shouldBe (h60("hello") ^ h60("world") ^ h60(""))
+    // the distinct-set XOR breaks the multiset XOR's even-multiplicity
+    // blindness: {x, x, y} cancels to h(y) in content_hash but keeps
+    // h(x)^h(y) in distinct_hash
+    val dup = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "text")
+    val md = Writer.manifest(dup, Nil, Seq("text")).collect().head
+    md.getLong(1) shouldBe h60("y")
+    md.getLong(2) shouldBe (h60("x") ^ h60("y"))
     // multi-column content is separator-joined, so ("ab","c") ≠ ("a","bc")
     val two = Seq((1L, "ab", "c"), (2L, "a", "bc")).toDF("id", "x", "y")
     val m2 = Writer.manifest(two, Nil, Seq("x", "y")).collect().head.getLong(1)

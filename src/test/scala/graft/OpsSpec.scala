@@ -699,6 +699,33 @@ class OpsSpec extends SparkSpec {
     run(bcast = true) shouldBe run(bcast = false) // same rows, bit-identical cosines
   }
 
+  test("Similarity.ivfTopKBatch collapses duplicate query rows on both paths") {
+    val m = Similarity.ivfFit(vecs, "embedding", nlist = 2)
+    val dupQ = vecs.filter(col("vec_id") < 2)
+      .unionByName(vecs.filter(col("vec_id") < 2)) // every query row twice
+    def run(bcast: Boolean) = Similarity.ivfTopKBatch(vecs, "vec_id", "embedding",
+      dupQ, "vec_id", "embedding", m, k = 3, nprobe = 2,
+      forceBroadcastAssign = bcast)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val clean = Similarity.ivfTopKBatch(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") < 2), "vec_id", "embedding", m, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // duplicated rows must not double candidates (literal path) or halve
+    // the probe fan-out (broadcast path)
+    run(bcast = false).sorted shouldBe clean.sorted
+    run(bcast = true).sorted shouldBe clean.sorted
+  }
+
+  test("Similarity.ivfTopKBatch drops NaN-norm corpus rows instead of ranking them first") {
+    val m = Similarity.IvfModel(Seq(Seq(1.0, 0.0, 0.0)))
+    val poisoned = vecs.unionByName(
+      Seq((99L, Seq(Float.NaN, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val got = Similarity.ivfTopKBatch(poisoned, "vec_id", "embedding",
+      vecs.filter(col("vec_id") === 0), "vec_id", "embedding", m, k = 2, nprobe = 1)
+      .collect().map(_.getLong(1)).toSet
+    got should not contain 99L
+  }
+
   test("Similarity.ivfTopKBatch restricts candidates to the probed cells") {
     val m = Similarity.ivfFit(vecs, "embedding", nlist = 2)
     // vec 2 (orthogonal) lands in the other cell; with nprobe=1 the query
@@ -766,6 +793,18 @@ class OpsSpec extends SparkSpec {
       (0L, 1L), (0L, 3L), (1L, 0L), (1L, 3L), (2L, 3L), (3L, 2L), (3L, 0L))
   }
 
+  test("Similarity.knnGraph default floor keeps negative-cosine edges") {
+    val m = Similarity.IvfModel(Seq(Seq(1.0, 0.0, 0.0)))
+    val anti = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(-0.6f, -0.8f, 0.0f))).toDF("vec_id", "embedding")
+    // the only same-cell neighbor sits at cos −0.6: the −∞ default must
+    // keep it (a −1.0 sentinel would too, but guards the ulp-below-−1 case)
+    val got = Similarity.knnGraph(anti, "vec_id", "embedding", m, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((0L, 1L), (1L, 0L))
+  }
+
   test("Similarity.knnGraph joins original ids back for non-integral id types") {
     val sv = Seq(
       ("a", Seq(1.0f, 0.0f, 0.0f)),
@@ -780,7 +819,10 @@ class OpsSpec extends SparkSpec {
   }
 
   test("Similarity.evalRecall counts hits once and scores truth-only queries 0") {
-    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L)).toDF("q", "n")
+    val truth = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L),
+      (1L, 10L), // duplicate truth row must not inflate n_truth or n_hit
+    ).toDF("q", "n")
     val predicted = Seq(
       (1L, 10L), (1L, 10L), // duplicate prediction must count once
       (1L, 12L), (1L, 99L), // 99 is a miss
