@@ -49,15 +49,23 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory("graft_lm_model").toString
 
   /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set by
-    * Verify/Bench sessions) it loads as nanos-since-epoch, converted here to
-    * a microsecond timestamp_ntz with integer division (a double division
-    * would lose precision — 2024 epoch-nanos exceed 2^53). DuckDB does the
-    * same nanos→micros truncation on read. */
-  private def rtEvents(s: SparkSession, dir: String): DataFrame =
-    rt(s, dir, "events").withColumn(
-      "ts",
-      timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+    * generation-dependent: older drops store TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects — with spark.sql.legacy.parquet.nanosAsLong=
+    * true (set by Verify/Bench sessions) those load as LONG nanos-since-epoch
+    * and are converted here with integer division (a double division would
+    * lose precision — 2024 epoch-nanos exceed 2^53; DuckDB does the same
+    * nanos→micros truncation on read). Newer drops store TIMESTAMP(MICROS),
+    * which both engines read natively — only the NTZ cast applies. The
+    * branch is on the LOADED schema, so either generation works. */
+  private def rtEvents(s: SparkSession, dir: String): DataFrame = {
+    val df = rt(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+  }
 
   /** lineitem keys + qty with nulls injected where l_orderkey % 7 = 0. */
   private def qtyWithNulls(s: SparkSession, dir: String): DataFrame =

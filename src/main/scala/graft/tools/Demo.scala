@@ -84,9 +84,13 @@ object Demo {
       "vec_id", "embedding", 3).count()} result rows")
 
     // Round-5 ops: windowed features + text prep.
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
-      .select("event_id", "user_id", "ts", "value")
+    val evRaw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = (evRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) drop read as long
+        evRaw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+      case _ =>
+        evRaw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }).select("event_id", "user_id", "ts", "value")
     println(s"sessionize: ${graft.ops.Relational.sessionize(ev, Seq("user_id"), "ts",
       maxGap = 1800000000L, tieCols = Seq("event_id"))
       .agg(max(col("session_id"))).head().getLong(0)} max sessions for one user")

@@ -14,8 +14,9 @@ class QueriesSmokeSpec extends SparkSpec {
 
   /** The one intentional BroadcastNestedLoopJoin in the repo:
     * cosineTopKBatch's bounded broadcast fan-out of a k-query batch
-    * (PlanSpec asserts its shape separately). */
-  private val bnljAllowed = Set("sim_topk_batch")
+    * (PlanSpec asserts its shape separately). sim_recall embeds the same
+    * op — its exact-truth side IS a cosineTopKBatch. */
+  private val bnljAllowed = Set("sim_topk_batch", "sim_recall")
 
   private def auditPlan(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.catalyst.expressions.Literal
