@@ -7,6 +7,14 @@ import java.nio.file.{Files, Paths}
   * default bench_out.json) so the driver can parse it even when sbt's
   * logger prefixes stdout.
   *
+  * Each query is run SPARK_GRAFT_BENCH_WARMUP times untimed (default 1) and
+  * then SPARK_GRAFT_BENCH_REPS times timed (default 3); the reported number
+  * is the MEDIAN of the timed runs. A single-shot measurement on a shared
+  * machine conflates the query with whatever else the host is doing —
+  * round 5's driver bench showed 4–7× blowups on untouched code for exactly
+  * that reason. Median-of-3 after a warm-up is robust to a one-off stall
+  * and to first-run effects (JIT, parquet footer cache, codegen compile).
+  *
   * SPARK_GRAFT_QUERIES (comma-separated names) optionally restricts the run
   * — used for focused local timing while iterating on one operator. */
 object Bench {
@@ -14,10 +22,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
@@ -39,9 +50,14 @@ object Bench {
     }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to warmups).foreach(_ => once())
+      val timed = (1 to reps).map(_ => once()).sorted
+      name -> timed(timed.size / 2)
     }
     def jsonLine(rs: Map[String, Double]): String = {
       val qs = rs.toSeq.sortBy(-_._2)

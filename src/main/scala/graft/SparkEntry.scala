@@ -48,8 +48,8 @@ object SparkEntry {
   private lazy val lmModelDir: String =
     java.nio.file.Files.createTempDirectory("graft_lm_model").toString
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    * generation-dependent: older drops store TIMESTAMP(NANOS), which Spark's
+  /** events.parquet's ts encoding is generation-dependent: older drops
+    * store TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects — with spark.sql.legacy.parquet.nanosAsLong=
     * true (set by Verify/Bench sessions) those load as LONG nanos-since-epoch
     * and are converted here with integer division (a double division would

@@ -11,8 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS) — load as epoch-nanos longs
-      // (SparkEntry.rtEvents converts to timestamp_ntz explicitly)
+      // Kept for older testdata drops whose events.parquet stored
+      // TIMESTAMP(NANOS): those load as epoch-nanos longs and
+      // SparkEntry.rtEvents converts explicitly. A no-op for current
+      // TIMESTAMP(MICROS) drops.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")

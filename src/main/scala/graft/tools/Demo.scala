@@ -15,7 +15,8 @@ object Demo {
       .appName("graft-demo")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS): load as epoch-nanos longs
+      // kept for older drops with TIMESTAMP(NANOS) events; no-op for
+      // current TIMESTAMP(MICROS) drops
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
