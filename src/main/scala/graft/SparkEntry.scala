@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.ops.{Curation, Dedup, Dsir, LangModel, Multimodal, Relational, Sampling, Similarity, TextOps}
+import graft.ops.{Bpe, Curation, Dedup, Dsir, LangModel, Multimodal, Relational, Sampling, Similarity, TextOps}
 import graft.sources.Writer
 import graft.streaming.StreamingOps
 import graft.transformers._
@@ -47,6 +47,22 @@ object SparkEntry {
   /** text_lm_filter's model directory — same one-dir-per-JVM rationale. */
   private lazy val lmModelDir: String =
     java.nio.file.Files.createTempDirectory("graft_lm_model").toString
+
+  /** The BPE queries' model directory — same one-dir-per-JVM rationale. */
+  private lazy val bpeModelDir: String =
+    java.nio.file.Files.createTempDirectory("graft_bpe_model").toString
+
+  /** The shared BPE fit of the four BPE queries (24 merges learned from the
+    * English slice), through a save/load round trip. Deterministic, so each
+    * query refitting independently always reproduces the exact merges the
+    * text_bpe_merges dump exports. */
+  private def bpeFitted(s: SparkSession, dir: String): Bpe.BpeModel = {
+    val m = Bpe.bpeFit(
+      rt(s, dir, "documents").filter(col("lang") === "en"), "text",
+      numMerges = 24)
+    m.save(bpeModelDir)
+    Bpe.BpeModel.load(bpeModelDir)
+  }
 
   /** events.parquet's ts encoding is generation-dependent: older drops
     * store TIMESTAMP(NANOS), which Spark's
@@ -107,6 +123,38 @@ object SparkEntry {
        |           / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jaccard
        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
        |WHERE jaccard >= 0.8""".stripMargin
+
+  /** Shared CTE prefix of the BPE oracles (WITH RECURSIVE): replays
+    * tokenization over the text_bpe_merges dump with ONE plain string
+    * REPLACE per merge rank (the recursive CTE steps rank 0..K−1) over the
+    * U+001F double-separator code-point encoding — exactly
+    * [[graft.ops.Bpe]]'s semantics, merge by merge. `btoks` = (doc_id,
+    * toks list). */
+  private val bpeReplayCte =
+    """m AS (SELECT CAST(rank AS INTEGER) AS r, a, b
+      |      FROM read_parquet('{GRAFT_OUT}/text_bpe_merges/*.parquet')),
+      |nm AS (SELECT count(*) AS n FROM m),
+      |e0 AS (SELECT doc_id,
+      |         CASE WHEN len(replace(text, chr(31), '')) = 0 THEN ''
+      |              ELSE chr(31)||chr(31)||
+      |                   array_to_string([substr(replace(text, chr(31), ''), i, 1)
+      |                                    FOR i IN range(1, len(replace(text, chr(31), ''))+1)],
+      |                                   chr(31)||chr(31)) ||
+      |                   chr(31)||chr(31) END AS e
+      |       FROM documents),
+      |st AS (
+      |  SELECT doc_id, e, 0 AS r FROM e0
+      |  UNION ALL
+      |  SELECT s.doc_id,
+      |         replace(s.e, chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31),
+      |                      chr(31)||m.a||m.b||chr(31)),
+      |         s.r + 1
+      |  FROM st s JOIN m ON m.r = s.r),
+      |fin AS (SELECT doc_id, e FROM st WHERE r = (SELECT n FROM nm)),
+      |btoks AS (SELECT doc_id,
+      |            list_filter(string_split(trim(e, chr(31)), chr(31)||chr(31)),
+      |                        x -> x <> '') AS toks
+      |          FROM fin)""".stripMargin
 
   /** Shared CTE prefix of the DSIR oracles: the gram explosion (lowercased
     * whitespace unigrams + bigrams, with multiplicity), the top-4096 raw
@@ -869,6 +917,47 @@ object SparkEntry {
       TextOps.chunkTokens(
         rt(s, dir, "documents").select("doc_id", "text"), "text",
         chunkSize = 40, overlap = 8)
+        .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")),
+    // --- BPE subword tokenizer (round 6) ---
+    // Fitted merge-table dump (rank, a, b) through a save/load round trip.
+    // No SQL oracle for the FIT (the iterative pair-count argmax is not
+    // SQL-replayable); the three queries below replay TOKENIZATION over
+    // this dump with one REPLACE per rank — the sim_ivf_centroids
+    // convention (aux dump feeds downstream oracles).
+    "text_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      bpeFitted(s, dir).merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("rank", "a", "b")
+    }),
+    // The tokenizer itself: per-doc BPE token count and the U+001F-joined
+    // token string (boundary-exact — two different segmentations can never
+    // collide). The oracle replays the merge table with a recursive CTE,
+    // one plain REPLACE per rank, over the double-separator encoding.
+    "text_bpe" -> ((s, dir) =>
+      Bpe.tokenizeBpe(
+        rt(s, dir, "documents").select("doc_id", "text"), "text",
+        bpeFitted(s, dir))
+        .select(col("doc_id"), size(col("bpe_tokens")).as("n_bpe"),
+          array_join(col("bpe_tokens"), Bpe.Sep).as("bpe_joined"))),
+    // "Train on the first 20k SUBWORD tokens": sample_token_budget with its
+    // tokenCol produced by the BPE tokenizer instead of the whitespace
+    // proxy — the re-plumbing the token-budget ops were built for.
+    "sample_token_budget_bpe" -> ((s, dir) =>
+      Sampling.sampleTokenBudget(
+        Bpe.bpeTokenCount(
+          rt(s, dir, "documents").select("doc_id", "text"), "text",
+          bpeFitted(s, dir))
+          .select("doc_id", "n_bpe"),
+        "doc_id", "n_bpe", budget = 20000L, numBuckets = 8)),
+    // Context-length chunking in SUBWORD tokens: 120-token windows advancing
+    // by 96, chunk text rebuilt by plain concatenation (BPE tokens are exact
+    // character subsequences).
+    "text_chunk_bpe" -> ((s, dir) =>
+      TextOps.chunkTokensBy(
+        Bpe.tokenizeBpe(
+          rt(s, dir, "documents").select("doc_id", "text"), "text",
+          bpeFitted(s, dir)).drop("text"),
+        "bpe_tokens", chunkSize = 120, overlap = 24, joiner = "")
         .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")),
     // Exact-substring (token 3-gram) repeated-span removal: spans shared by
     // more than 5 distinct docs are cut mid-sentence (the corpus's trigram
@@ -2065,6 +2154,46 @@ object SparkEntry {
         |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
         |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS text
         |FROM documents""".stripMargin,
+    "text_bpe" ->
+      s"""WITH RECURSIVE $bpeReplayCte
+         |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_bpe,
+         |       array_to_string(toks, chr(31)) AS bpe_joined
+         |FROM btoks""".stripMargin,
+    // sample_token_budget's bucket-major running-sum replay, with the token
+    // counts swapped for the BPE replay's counts.
+    "sample_token_budget_bpe" ->
+      s"""WITH RECURSIVE $bpeReplayCte,
+         |t AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_bpe FROM btoks),
+         |h AS (SELECT doc_id, n_bpe,
+         |        (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS hh
+         |      FROM t WHERE n_bpe > 0),
+         |c AS (SELECT doc_id, n_bpe, hh % 8 AS bkt,
+         |        CAST(sum(n_bpe) OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id
+         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM h),
+         |tot AS (SELECT bkt, CAST(sum(n_bpe) AS BIGINT) AS tot
+         |        FROM h, LATERAL (SELECT hh % 8 AS bkt) GROUP BY bkt),
+         |off AS (SELECT bkt,
+         |          CAST(COALESCE(sum(tot) OVER (ORDER BY bkt
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |        FROM tot)
+         |SELECT c.doc_id, c.n_bpe
+         |FROM c JOIN off USING (bkt)
+         |WHERE off.off + c.cum <= 20000""".stripMargin,
+    // text_chunk's window arithmetic in BPE tokens (size 120, stride 96),
+    // chunk text rebuilt by concatenation.
+    "text_chunk_bpe" ->
+      s"""WITH RECURSIVE $bpeReplayCte,
+         |c AS (SELECT doc_id, toks, len(toks) AS n,
+         |        CASE WHEN len(toks) <= 0 THEN 0
+         |             WHEN len(toks) <= 120 THEN 1
+         |             ELSE (len(toks) - 120 + 95) // 96 + 1 END AS nc
+         |      FROM btoks),
+         |x AS (SELECT doc_id, toks, n, unnest(range(nc)) AS i FROM c)
+         |SELECT doc_id, i AS chunk_id,
+         |       array_to_string(toks[(i*96+1):(i*96+120)], '') AS chunk_text,
+         |       CAST(least(120, n - i*96) AS INTEGER) AS chunk_tokens
+         |FROM x""".stripMargin,
     // Chunk boundaries are exact integer math over the token count —
     // chunk i covers 1-based token positions [i·stride+1, i·stride+40].
     "text_chunk" ->

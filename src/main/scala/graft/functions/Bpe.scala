@@ -1,0 +1,128 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** graft_bpe_encode(text, mergesFlat): byte-pair-encoding tokenization of
+  * `text` under a fixed merge table — the engine-portable subword tokenizer
+  * behind BPE-budgeted sampling/packing/sharding (graft.ops.Bpe).
+  *
+  * Semantics (deliberately chosen so ANY engine can replay them with one
+  * string REPLACE per merge over a separator encoding — see
+  * graft.ops.Bpe.encodedSql):
+  *   1. U+001F (the encoding separator) is stripped from the text;
+  *   2. the text is split into code-point tokens (spaces are ordinary
+  *      tokens, so merge tables without space-containing tokens can never
+  *      merge across words);
+  *   3. merges apply SEQUENTIALLY in rank order; each merge (a, b) → "ab"
+  *      rewrites all left-to-right non-overlapping occurrences of the
+  *      adjacent pair in one pass. For merge tables in valid BPE training
+  *      order (a merged token is always produced by an earlier rank than
+  *      any rank that consumes it) this equals the classic
+  *      lowest-rank-present loop of Sennrich et al. 2016 ("Neural Machine
+  *      Translation of Rare Words with Subword Units").
+  *
+  * `mergesFlat` is a foldable array<string> of flattened pairs
+  * [a1, b1, a2, b2, …] — the merge table travels as a plan literal, like
+  * graft_ivf_cell's centroids; graft.ops.Bpe bounds its size. Per-row cost
+  * is O(K) hash probes (a merge whose parts are both absent from the
+  * document's current token multiset is skipped without a scan) plus one
+  * O(n) scan per merge that might apply. Null text → empty array. */
+case class BpeEncode(child: Expression, merges: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(child, merges)
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && merges.foldable &&
+      (merges.dataType == ArrayType(StringType, containsNull = false) ||
+        merges.dataType == ArrayType(StringType, containsNull = true)))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_bpe_encode expects (string, foldable array<string> of flattened pairs)")
+
+  private lazy val mergeList: Array[(String, String)] = {
+    val a = merges.eval().asInstanceOf[ArrayData]
+    require(a.numElements() % 2 == 0,
+      "graft_bpe_encode: merges array must have even length (flattened pairs)")
+    Array.tabulate(a.numElements() / 2) { i =>
+      (a.getUTF8String(2 * i).toString, a.getUTF8String(2 * i + 1).toString)
+    }
+  }
+
+  private val empty = new GenericArrayData(Array.empty[Any])
+
+  def compute(s: UTF8String): ArrayData = {
+    if (s == null) return empty
+    val str = s.toString
+    // code-point tokens, stripping the U+001F separator
+    var toks = new ArrayBuffer[String](str.length)
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val n = Character.charCount(cp)
+      if (cp != 0x1f) toks += str.substring(i, i + n)
+      i += n
+    }
+    if (toks.isEmpty) return empty
+    // token multiset counts — O(1) "can this merge apply at all?" probe
+    var counts = new java.util.HashMap[String, Integer](toks.length * 2)
+    toks.foreach(t => counts.merge(t, 1, (x, y) => x + y))
+    var m = 0
+    while (m < mergeList.length) {
+      val (a, b) = mergeList(m)
+      val ca = counts.getOrDefault(a, 0).intValue()
+      val cb = counts.getOrDefault(b, 0).intValue()
+      val possible = if (a == b) ca >= 2 else ca >= 1 && cb >= 1
+      if (possible) {
+        val out = new ArrayBuffer[String](toks.length)
+        var applied = false
+        var j = 0
+        while (j < toks.length) {
+          if (j + 1 < toks.length && toks(j) == a && toks(j + 1) == b) {
+            out += a + b
+            applied = true
+            j += 2
+          } else {
+            out += toks(j)
+            j += 1
+          }
+        }
+        if (applied) {
+          toks = out
+          counts = new java.util.HashMap[String, Integer](toks.length * 2)
+          toks.foreach(t => counts.merge(t, 1, (x, y) => x + y))
+        }
+      }
+      m += 1
+    }
+    new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any).toArray)
+  }
+
+  override def eval(input: InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        $ref.compute(${c.isNull} ? null : ${c.value});
+    """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), merges = newChildren(1))
+}

@@ -96,5 +96,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 2, s"${TilePairs.TokenNgramName} expects 2 arguments")
       TokenNgramHashes(args(0), args(1))
     }))
+    ext.injectFunction(fn(TilePairs.BpeName, { args =>
+      require(args.length == 2, s"${TilePairs.BpeName} expects 2 arguments")
+      BpeEncode(args(0), args(1))
+    }))
   }
 }

@@ -37,6 +37,7 @@ object TilePairs {
   val BloomAggName = "graft_bloom_agg"
   val BloomContainsName = "graft_bloom_contains"
   val TokenNgramName = "graft_token_ngram_hashes"
+  val BpeName = "graft_bpe_encode"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

@@ -1,0 +1,219 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding subword tokenization (extension beyond the reference
+  * surface, SURVEY §2.11) — the tokenizer-aware leg of the token-budget
+  * operators: [[Sampling.sampleTokenBudget]], [[Sampling.packSequences]],
+  * [[graft.sources.Writer.shardByTokenBudget]] and [[TextOps.chunkTokens]]
+  * all take an arbitrary token-count/token-array input, so budgeting in REAL
+  * subword tokens (not whitespace proxies) is just `bpeTokenCount` composed
+  * in front of them (see SparkEntry's `sample_token_budget_bpe`).
+  *
+  * The tokenizer is a fixed merge table applied sequentially in rank order;
+  * each merge rewrites all left-to-right non-overlapping occurrences of its
+  * adjacent token pair (Sennrich et al. 2016 — for merge tables in valid
+  * training order this equals the classic lowest-rank-present loop; see
+  * [[graft.functions.BpeEncode]]). Initial tokens are code points, spaces
+  * are ordinary tokens, so a merge table without space-containing tokens
+  * never merges across words. Semantics are engine-portable BY CONSTRUCTION:
+  * over the U+001F double-separator string encoding, one merge is ONE plain
+  * string REPLACE, so any SQL engine replays tokenization with nested
+  * REPLACE calls (the DuckDB oracle does exactly that).
+  *
+  * Scale shape: tokenization is a per-row narrow projection (native kernel
+  * when [[graft.functions.GraftExtensions]] is installed — one primitive
+  * loop per row, whole-stage codegen; else a REPLACE-chain fallback, capped
+  * at [[MaxFallbackMerges]] merges to keep the expression tree sane). The
+  * merge table travels as a plan literal like graft_ivf_cell's centroids —
+  * fine for the ≤ 64k-entry tables real tokenizers use (a few hundred KB,
+  * shipped once per executor with the task closure). Fitting samples the
+  * corpus (like IVF's capped-Lloyd) and runs one small aggregation job per
+  * merge learned.
+  */
+object Bpe {
+
+  /** The token separator of the portable string encoding (stripped from
+    * input text before tokenization so it can never be confused with a
+    * token character). */
+  val Sep = "\u001f"
+  private val Sep2 = Sep + Sep
+
+  /** Largest merge table the pure-Column REPLACE-chain fallback accepts —
+    * beyond this the expression tree (and its codegen) stops being a
+    * reasonable plan; install GraftExtensions for the native kernel. */
+  val MaxFallbackMerges = 512
+
+  /** A fitted BPE merge table, in rank order. Persists as a single
+    * `bpe.json` (merge tables are dictionary-sized — no parquet needed). */
+  final case class BpeModel(merges: Seq[(String, String)]) {
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty && !a.contains(Sep) && !b.contains(Sep),
+        "BpeModel: merge tokens must be non-empty and must not contain U+001F")
+    }
+
+    /** Flattened [a1, b1, a2, b2, …] — the kernel's literal argument. */
+    def flat: Seq[String] = merges.flatMap { case (a, b) => Seq(a, b) }
+
+    def save(dir: String): Unit = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(p)
+      val json = JsonMethods.compact(JsonMethods.render(JObject(
+        "version" -> JInt(1),
+        "merges" -> JArray(merges.toList.map { case (a, b) =>
+          JArray(List(JString(a), JString(b)))
+        }))))
+      java.nio.file.Files.writeString(p.resolve("bpe.json"), json)
+    }
+  }
+
+  object BpeModel {
+    def load(dir: String): BpeModel = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val o = JsonMethods.parse(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir).resolve("bpe.json")))
+      val merges = (o \ "merges") match {
+        case JArray(items) => items.map {
+          case JArray(List(JString(a), JString(b))) => (a, b)
+          case other => throw graft.errors.FeatureFactoryException.InvalidParameter(
+            s"BpeModel.load: malformed merge entry $other")
+        }
+        case other => throw graft.errors.FeatureFactoryException.InvalidParameter(
+          s"BpeModel.load: 'merges' must be an array, got $other")
+      }
+      BpeModel(merges)
+    }
+  }
+
+  /** `text` → the U+001F double-separator code-point encoding
+    * (`␟␟c1␟␟c2␟␟…␟␟`; empty/whitespace-free of chars → empty string).
+    * Shared by the fallback tokenizer and [[bpeFit]] so the two can never
+    * disagree with the kernel's code-point split. */
+  private[ops] def encode0(text: Column): Column = {
+    val cleaned = regexp_replace(text, Sep, "")
+    val chars = filter(split(cleaned, ""), c => c =!= "")
+    when(size(chars) === 0, lit(""))
+      .otherwise(concat(lit(Sep2), array_join(chars, Sep2), lit(Sep2)))
+  }
+
+  /** Inverse of the encoding: token array of an encoded string. */
+  private[ops] def decodeTokens(enc: Column): Column =
+    filter(split(trim(enc, Sep), Sep2), t => t =!= "")
+
+  /** One merge step over the encoded string: plain REPLACE of
+    * `␟a␟␟b␟` with `␟ab␟` — all left-to-right non-overlapping occurrences,
+    * exactly the kernel's single-pass semantics (the shared boundary
+    * separator makes adjacent matches chain correctly). */
+  private[ops] def mergeStep(enc: Column, a: String, b: String): Column =
+    call_function("replace", enc, lit(Sep + a + Sep2 + b + Sep), lit(Sep + a + b + Sep))
+
+  /** BPE token array of `text` under `model` — native kernel when available,
+    * else the REPLACE-chain fallback (≤ [[MaxFallbackMerges]] merges). */
+  def bpeTokens(spark: SparkSession, text: Column, model: BpeModel): Column =
+    if (spark.catalog.functionExists(graft.functions.TilePairs.BpeName))
+      call_function(graft.functions.TilePairs.BpeName, text,
+        typedLit(model.flat))
+    else bpeTokensFallback(text, model)
+
+  /** The pure-Column tokenizer: one codegen'd REPLACE per merge over the
+    * separator encoding. Bit-identical to the kernel (OpsSpec pins it). */
+  private[graft] def bpeTokensFallback(text: Column, model: BpeModel): Column = {
+    if (model.merges.size > MaxFallbackMerges)
+      throw graft.errors.FeatureFactoryException.InvalidParameter(
+        s"bpeTokens: ${model.merges.size} merges exceeds the pure-Column " +
+          s"fallback cap ($MaxFallbackMerges); install GraftExtensions " +
+          "(spark.sql.extensions=graft.functions.GraftExtensions)")
+    val enc = model.merges.foldLeft(encode0(text)) { case (e, (a, b)) =>
+      mergeStep(e, a, b)
+    }
+    decodeTokens(enc)
+  }
+
+  /** Appends `outCol` = the BPE token array of `textCol`. Narrow
+    * projection, no shuffle. */
+  def tokenizeBpe(
+      df: DataFrame,
+      textCol: String,
+      model: BpeModel,
+      outCol: String = "bpe_tokens"): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(textCol))
+    graft.core.Validators.requireColumnsAbsent(df, Seq(outCol), "tokenizeBpe")
+    df.withColumn(outCol, bpeTokens(df.sparkSession, col(textCol), model))
+  }
+
+  /** Appends `outCol` = the BPE token COUNT of `textCol` — the drop-in
+    * `tokenCol` producer for the token-budget operators. */
+  def bpeTokenCount(
+      df: DataFrame,
+      textCol: String,
+      model: BpeModel,
+      outCol: String = "n_bpe"): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(textCol))
+    graft.core.Validators.requireColumnsAbsent(df, Seq(outCol), "bpeTokenCount")
+    df.withColumn(outCol, size(bpeTokens(df.sparkSession, col(textCol), model)))
+  }
+
+  /** Learn a merge table from a corpus: classic BPE training on a capped
+    * sample (the [[Similarity]] capped-Lloyd convention — fits are
+    * dictionary-sized driver state, never corpus-sized). Each round counts
+    * all adjacent token pairs (every position — overlapping occurrences
+    * each count), picks the most frequent (ties: pair ascending — fully
+    * deterministic), applies it, and re-materializes the sample
+    * (localCheckpoint, so the plan stays one REPLACE deep). Stops early
+    * when the best pair's count drops below `minCount`.
+    *
+    * Cost: `numMerges` small jobs over ≤ `sampleCap` encoded documents —
+    * the corpus itself is scanned once. */
+  def bpeFit(
+      corpus: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minCount: Long = 2L,
+      sampleCap: Int = 100000): BpeModel = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    require(minCount >= 1, "minCount must be >= 1")
+    require(sampleCap >= 1, "sampleCap must be >= 1")
+    graft.core.Validators.requireColumns(corpus, Seq(textCol))
+    var enc = corpus
+      .select(encode0(col(textCol)).as("e"))
+      .filter(length(col("e")) > 0)
+      .limit(sampleCap)
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val toks = decodeTokens(col("e"))
+      val m = greatest(size(toks) - 1, lit(0))
+      val pairs = zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+        (a, b) => struct(a.as("pa"), b.as("pb")))
+      // word-internal BPE: whitespace code points never merge, so no token
+      // ever spans a word boundary (the classic pre-split-by-words behavior
+      // without needing an actual pre-split)
+      val best = enc
+        .select(explode(pairs).as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .filter(!col("pa").rlike("\\s") && !col("pb").rlike("\\s"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pa").asc, col("pb").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty || best(0).getLong(2) < minCount) done = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        enc = enc.withColumn("e", mergeStep(col("e"), a, b)).localCheckpoint(true)
+        round += 1
+      }
+    }
+    if (merges.isEmpty)
+      throw graft.errors.FeatureFactoryException.InvalidParameter(
+        "bpeFit: no pair reaches minCount — corpus too small or minCount too high")
+    BpeModel(merges.toSeq)
+  }
+}

@@ -417,9 +417,36 @@ object TextOps {
       chunkSize: Int,
       overlap: Int = 0,
   ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(textCol))
+    chunkWindows(df.withColumn("__graft_toks", tokens(col(textCol))),
+      chunkSize, overlap, joiner = " ")
+  }
+
+  /** [[chunkTokens]] over a PRECOMPUTED token-array column — the
+    * tokenizer-aware variant: chunk by BPE (or any other) tokens by
+    * composing [[Bpe.tokenizeBpe]] (or your own tokenizer) in front.
+    * `joiner` rebuilds `chunk_text` from the window's tokens — `""` for
+    * subword tokens that are exact character subsequences (BPE), `" "` for
+    * whitespace tokens. The token column is consumed (dropped from the
+    * output), matching chunkTokens' shape. */
+  def chunkTokensBy(
+      df: DataFrame,
+      tokensCol: String,
+      chunkSize: Int,
+      overlap: Int = 0,
+      joiner: String = "",
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(tokensCol))
+    chunkWindows(df.withColumn("__graft_toks", col(tokensCol)).drop(tokensCol),
+      chunkSize, overlap, joiner)
+  }
+
+  /** Shared window arithmetic of [[chunkTokens]]/[[chunkTokensBy]] over the
+    * `__graft_toks` array column (consumed). */
+  private def chunkWindows(
+      df: DataFrame, chunkSize: Int, overlap: Int, joiner: String): DataFrame = {
     require(chunkSize >= 1, "chunkSize must be >= 1")
     require(overlap >= 0 && overlap < chunkSize, "overlap must be in [0, chunkSize)")
-    graft.core.Validators.requireColumns(df, Seq(textCol))
     graft.core.Validators.requireColumnsAbsent(df,
       Seq("chunk_id", "chunk_text", "chunk_tokens"), "chunkTokens")
     val stride = chunkSize - overlap
@@ -429,14 +456,13 @@ object TextOps {
     val nChunks = when(n <= 0, lit(0L))
       .when(n <= chunkSize, lit(1L))
       .otherwise(floor((n - chunkSize + stride - 1).cast("double") / stride).cast("long") + 1)
-    df.withColumn("__graft_toks", tokens(col(textCol)))
-      .withColumn("__graft_nc", nChunks.cast("long"))
+    df.withColumn("__graft_nc", nChunks.cast("long"))
       .withColumn("chunk_id",
         explode(when(col("__graft_nc") > 0,
           sequence(lit(0L), col("__graft_nc") - 1)).otherwise(array().cast("array<long>"))))
       .withColumn("chunk_text",
         array_join(slice(col("__graft_toks"),
-          (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)), " "))
+          (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)), joiner))
       .withColumn("chunk_tokens",
         least(lit(chunkSize).cast("int"),
           (size(col("__graft_toks")) - col("chunk_id") * stride).cast("int")))

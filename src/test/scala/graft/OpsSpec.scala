@@ -2032,4 +2032,93 @@ class OpsSpec extends SparkSpec {
       .select("doc_id", "dsir_score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toSet
     b shouldBe a
   }
+
+  // ── Bpe ──────────────────────────────────────────────────────────────
+
+  private lazy val bpeFix = Bpe.BpeModel(Seq(
+    "t" -> "h", "th" -> "e", "t" -> "a", "ta" -> "b", "tab" -> "l",
+    "tabl" -> "e", "a" -> "a"))
+
+  test("Bpe.bpeTokens merges sequentially, leftmost non-overlapping") {
+    val df = Seq((1L, "the table"), (2L, "aaa"), (3L, ""), (4L, "the"))
+      .toDF("id", "text")
+    val out = Bpe.tokenizeBpe(df, "text", bpeFix)
+      .select($"id", $"bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    out(1L) shouldBe Seq("the", " ", "table")
+    out(2L) shouldBe Seq("aa", "a") // leftmost-first, no re-merge of "aa"+"a"
+    out(3L) shouldBe Seq.empty
+    out(4L) shouldBe Seq("the") // U+001F stripped before tokenization
+  }
+
+  test("Bpe native kernel is bit-identical to the REPLACE-chain fallback") {
+    val df = Seq(
+      (1L, "the quick brown fox leapt over the old stone table"),
+      (2L, "tthhee ttaabb aaaa"), // adversarial: interleaved + runs
+      (3L, "español über 中文 text"), // non-ASCII code points
+      (4L, " leading and trailing  "),
+    ).toDF("id", "text")
+    spark.catalog.functionExists(graft.functions.TilePairs.BpeName) shouldBe true
+    val native = df.select($"id", Bpe.bpeTokens(spark, $"text", bpeFix).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val fallback = df.select($"id", Bpe.bpeTokensFallback($"text", bpeFix).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    native shouldBe fallback
+    // tokens always rebuild the (separator-stripped) text exactly
+    native(4L).mkString shouldBe " leading and trailing  "
+  }
+
+  test("Bpe.bpeFit learns word-internal merges deterministically") {
+    val corpus = Seq.tabulate(20)(i => (i.toLong, "the cat the hat the mat"))
+      .toDF("id", "text")
+    val m = Bpe.bpeFit(corpus, "text", numMerges = 3)
+    // (a,t), (t,h), (h,e) all occur 3×/doc — ties break pair-ascending, so
+    // (a,t) wins round 1; whitespace pairs like ("e"," ") are excluded by
+    // the word-internal rule despite being as frequent
+    m.merges.head shouldBe ("a" -> "t")
+    m.merges.foreach { case (a, b) =>
+      (a + b).exists(_.isWhitespace) shouldBe false
+    }
+    val m2 = Bpe.bpeFit(corpus, "text", numMerges = 3)
+    m2.merges shouldBe m.merges
+  }
+
+  test("Bpe.bpeFit stops at minCount and rejects empty fits") {
+    val corpus = Seq((1L, "ab cd"), (2L, "ef gh")).toDF("id", "text")
+    // every pair occurs once → nothing reaches minCount=2
+    val e = intercept[graft.errors.FeatureFactoryException.InvalidParameter] {
+      Bpe.bpeFit(corpus, "text", numMerges = 5, minCount = 2L)
+    }
+    e.getMessage should include("minCount")
+  }
+
+  test("BpeModel save/load round-trips exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model_test").toString
+    bpeFix.save(dir)
+    Bpe.BpeModel.load(dir).merges shouldBe bpeFix.merges
+  }
+
+  test("Bpe.bpeTokenCount plugs into sampleTokenBudget as tokenCol") {
+    val df = Seq.tabulate(30)(i => (i.toLong, "the table " * (i % 5 + 1)))
+      .toDF("doc_id", "text")
+    val counted = Bpe.bpeTokenCount(df, "text", bpeFix).select("doc_id", "n_bpe")
+    val out = Sampling.sampleTokenBudget(counted, "doc_id", "n_bpe",
+      budget = 100L, numBuckets = 4)
+    out.count() should be > 0L
+    // budget respected: selected docs' counts sum to <= budget
+    out.agg(sum("n_bpe")).head().getLong(0) should be <= 100L
+  }
+
+  test("TextOps.chunkTokensBy windows a precomputed token array") {
+    val df = Seq((1L, "the table the table the table")).toDF("doc_id", "text")
+    val out = TextOps.chunkTokensBy(
+      Bpe.tokenizeBpe(df, "text", bpeFix).drop("text"),
+      "bpe_tokens", chunkSize = 4, overlap = 1, joiner = "")
+      .orderBy("chunk_id").collect()
+    // 11 tokens (the,␠,table,␠,the,␠,table,␠,the,␠,table), stride 3
+    out.map(_.getAs[Long]("chunk_id")).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
+    out.head.getAs[String]("chunk_text") shouldBe "the table "
+    out.last.getAs[Int]("chunk_tokens") shouldBe 2 // tail window: "␠table"
+    out.foreach(_.schema.fieldNames should not contain "bpe_tokens")
+  }
 }
