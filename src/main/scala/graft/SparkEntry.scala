@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.ops.{Bpe, Curation, Dedup, Dsir, LangModel, Multimodal, Relational, Sampling, Similarity, TextOps}
+import graft.ops.{Bpe, Curation, Dedup, Dsir, LangModel, Multimodal, Relational, Sampling, Similarity, TextOps, Url}
 import graft.sources.Writer
 import graft.streaming.StreamingOps
 import graft.transformers._
@@ -123,6 +123,47 @@ object SparkEntry {
        |           / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jaccard
        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
        |WHERE jaccard >= 0.8""".stripMargin
+
+  /** The synthetic source URL of the text_url* queries — four shapes keyed
+    * on doc_id % 4 (query string / multi-part suffix / userinfo+port /
+    * bare host), derived only from columns both engines read. */
+  private def synthUrl: org.apache.spark.sql.Column =
+    when(col("doc_id") % 4 === 0,
+      concat(lit("https://www."), col("source"), lit("-news.com/a/b/c?x=1")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("http://blog."), col("source"), lit(".co.uk/post/"), col("doc_id")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://login:pw@"), col("source"), lit("-cdn.org:8080/dl/v2")))
+      .otherwise(concat(lit("ftp://files."), col("source"), lit(".net")))
+
+  /** SQL twin of [[synthUrl]]. */
+  private val synthUrlSql =
+    """CASE doc_id % 4
+      |  WHEN 0 THEN 'https://www.' || source || '-news.com/a/b/c?x=1'
+      |  WHEN 1 THEN 'http://blog.' || source || '.co.uk/post/' || doc_id
+      |  WHEN 2 THEN 'https://login:pw@' || source || '-cdn.org:8080/dl/v2'
+      |  ELSE 'ftp://files.' || source || '.net' END""".stripMargin
+
+  /** SQL replay of [[graft.ops.Url]]'s feature extraction over a `u(doc_id,
+    * url, …)` CTE: same RE2 patterns, same label arithmetic, same default
+    * multi-suffix set. */
+  private val urlFeaturesCte =
+    """f AS (SELECT u.*,
+      |        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)) AS url_host,
+      |        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS url_path
+      |      FROM u),
+      |g AS (SELECT f.*, string_split(url_host, '.') AS labels FROM f),
+      |feats AS (SELECT g.*,
+      |        CASE WHEN len(labels) >= 3
+      |                  AND labels[-2] || '.' || labels[-1] IN
+      |                      ('co.uk','org.uk','ac.uk','gov.uk','co.jp','ne.jp','or.jp',
+      |                       'com.au','net.au','org.au','co.in','co.nz','com.br','com.cn',
+      |                       'com.mx','com.ar','com.tr','co.za','co.kr','com.sg','com.hk')
+      |             THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+      |             WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+      |             ELSE url_host END AS url_domain,
+      |        CAST(len(list_filter(string_split(url_path, '/'), x -> x <> '')) AS INTEGER) AS url_depth
+      |      FROM g)""".stripMargin
 
   /** Shared CTE prefix of the BPE oracles (WITH RECURSIVE): replays
     * tokenization over the text_bpe_merges dump with ONE plain string
@@ -918,6 +959,26 @@ object SparkEntry {
         rt(s, dir, "documents").select("doc_id", "text"), "text",
         chunkSize = 40, overlap = 8)
         .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")),
+    // --- URL/domain curation (round 6) ---
+    // Host / registered-domain / path features over a synthetic source URL
+    // derived deterministically from (source, doc_id) — the testdata has no
+    // URL column, so both engines build the same one (the qtyWithNulls
+    // convention). The four doc_id%4 shapes exercise: www + query string,
+    // a multi-part public suffix (co.uk), userinfo+port, and a bare host
+    // with no path.
+    "text_url" -> ((s, dir) =>
+      Url.urlFeatures(
+        rt(s, dir, "documents").select(col("doc_id"), col("source"))
+          .withColumn("url", synthUrl), "url")
+        .select("doc_id", "url", "url_host", "url_domain", "url_path", "url_depth")),
+    // The blocklist filter itself: broadcast LEFT ANTI on the registered
+    // domain (PlanSpec pins the broadcast).
+    "text_url_filter" -> ((s, dir) =>
+      Url.domainFilter(
+        rt(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"))
+          .withColumn("url", synthUrl), "url",
+        Seq("src1.co.uk", "src3-news.com", "src0-cdn.org"))
+        .select("doc_id", "lang", "source")),
     // --- BPE subword tokenizer (round 6) ---
     // Fitted merge-table dump (rank, a, b) through a save/load round trip.
     // No SQL oracle for the FIT (the iterative pair-count argmax is not
@@ -2154,6 +2215,16 @@ object SparkEntry {
         |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
         |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS text
         |FROM documents""".stripMargin,
+    "text_url" ->
+      s"""WITH u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
+         |$urlFeaturesCte
+         |SELECT doc_id, url, url_host, url_domain, url_path, url_depth
+         |FROM feats""".stripMargin,
+    "text_url_filter" ->
+      s"""WITH u AS (SELECT doc_id, lang, source, $synthUrlSql AS url FROM documents),
+         |$urlFeaturesCte
+         |SELECT doc_id, lang, source FROM feats
+         |WHERE url_domain NOT IN ('src1.co.uk', 'src3-news.com', 'src0-cdn.org')""".stripMargin,
     "text_bpe" ->
       s"""WITH RECURSIVE $bpeReplayCte
          |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_bpe,

@@ -41,6 +41,7 @@ case class BpeEncode(child: Expression, merges: Expression) extends Expression {
   override def nullable: Boolean = false
   override lazy val deterministic: Boolean = true
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = TilePairs.BpeName
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType && merges.foldable &&

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain curation operators (extension beyond the reference surface,
+  * SURVEY §2.11) — the CCNet/RefinedWeb-style provenance filtering stage:
+  * extract host / registered domain / path shape from a document's source
+  * URL, then drop documents from blocklisted domains.
+  *
+  * Parsing is deliberately regex-based (NOT java.net.URI / Spark's
+  * `parse_url`): the same RE2-compatible patterns run identically in any
+  * engine (the [[TextOps.redactPii]] convention), so the DuckDB oracle
+  * replays every feature byte-for-byte. The registered domain uses a
+  * public-suffix rule over a configurable multi-part-suffix set (the
+  * "co.uk problem") — the default covers the common two-label suffixes; at
+  * production scale swap in the full public-suffix list (it is a few
+  * thousand entries — still a driver-side Set, the same shape).
+  *
+  * Scale shape: [[urlFeatures]] is a per-row narrow projection (no
+  * shuffle); [[domainFilter]] is one broadcast LEFT ANTI hash join against
+  * the dictionary-sized blocklist (PlanSpec pins the broadcast) — the scan
+  * side streams, nothing wide ever shuffles.
+  */
+object Url {
+
+  /** Default multi-part public suffixes for registered-domain extraction
+    * (the common ccTLD second-level registries). */
+  val DefaultMultiSuffixes: Set[String] = Set(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "co.in", "co.nz", "com.br", "com.cn",
+    "com.mx", "com.ar", "com.tr", "co.za", "co.kr", "com.sg", "com.hk")
+
+  /** Authority/host/path extraction patterns — RE2-compatible, shared
+    * verbatim with the oracle SQL:
+    *   host: after `scheme://`, skip optional `userinfo@`, take chars up to
+    *         the first of `:/?#` (so ports never leak into the host);
+    *   path: after the authority, chars up to the first of `?#`. */
+  val HostPattern = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)"
+  val PathPattern = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+
+  /** Lowercased host of `url` (empty string when `url` has no
+    * `scheme://authority` prefix). */
+  def host(url: Column): Column = lower(regexp_extract(url, HostPattern, 1))
+
+  /** URL path (leading `/…`, before any query/fragment; empty when absent). */
+  def path(url: Column): Column = regexp_extract(url, PathPattern, 1)
+
+  /** Number of non-empty `/`-separated path segments. */
+  def pathDepth(url: Column): Column =
+    size(filter(split(path(url), "/"), s => s =!= ""))
+
+  /** Registered (pay-level) domain of a host: the last two labels, or the
+    * last three when the trailing two form a multi-part public suffix
+    * (`blog.bbc.co.uk` → `bbc.co.uk`). Hosts with fewer labels pass
+    * through unchanged. */
+  def registeredDomain(
+      hostCol: Column,
+      multiSuffixes: Set[String] = DefaultMultiSuffixes): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".",
+      element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
+    when(n >= 3 && last2.isin(multiSuffixes.toSeq: _*), last3)
+      .when(n >= 2, last2)
+      .otherwise(hostCol)
+  }
+
+  /** Appends `url_host`, `url_domain` (registered domain), `url_path`,
+    * `url_depth` extracted from `urlCol`. NULL urls yield NULL features
+    * (regexp_extract propagates null). One narrow projection. */
+  def urlFeatures(
+      df: DataFrame,
+      urlCol: String,
+      multiSuffixes: Set[String] = DefaultMultiSuffixes): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(urlCol))
+    graft.core.Validators.requireColumnsAbsent(df,
+      Seq("url_host", "url_domain", "url_path", "url_depth"), "urlFeatures")
+    val h = host(col(urlCol))
+    df.withColumn("url_host", h)
+      .withColumn("url_domain", registeredDomain(col("url_host"), multiSuffixes))
+      .withColumn("url_path", path(col(urlCol)))
+      .withColumn("url_depth", pathDepth(col(urlCol)))
+  }
+
+  /** Drops rows whose registered domain appears in `blocklist` (a
+    * one-column DataFrame of lowercase domains) — one broadcast LEFT ANTI
+    * join; rows whose url yields no host are KEPT (no domain evidence to
+    * block on; add an explicit empty-host filter upstream if unsourced
+    * documents should not pass). Pass-through schema. */
+  def domainFilter(
+      df: DataFrame,
+      urlCol: String,
+      blocklist: DataFrame,
+      multiSuffixes: Set[String] = DefaultMultiSuffixes): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(urlCol))
+    require(blocklist.columns.length == 1,
+      "domainFilter: blocklist must be a single-column DataFrame of domains")
+    val bl = blocklist.toDF("__graft_blocked")
+    df.join(
+      broadcast(bl),
+      registeredDomain(host(col(urlCol)), multiSuffixes) === col("__graft_blocked"),
+      "left_anti")
+  }
+
+  /** [[domainFilter]] over an in-memory blocklist. */
+  def domainFilter(df: DataFrame, urlCol: String, blocked: Seq[String]): DataFrame = {
+    import df.sparkSession.implicits._
+    domainFilter(df, urlCol, blocked.toDF("domain"))
+  }
+}

@@ -2033,6 +2033,39 @@ class OpsSpec extends SparkSpec {
     b shouldBe a
   }
 
+  // ── Url ──────────────────────────────────────────────────────────────
+
+  test("Url.urlFeatures extracts host/domain/path/depth across URL shapes") {
+    val df = Seq(
+      (1L, "https://www.example.com/a/b/c?x=1"),
+      (2L, "http://blog.bbc.co.uk/post/42"), // multi-part public suffix
+      (3L, "https://login:pw@files.cdn.org:8080/dl"), // userinfo + port
+      (4L, "ftp://HOST.Example.NET"), // bare host, case folding
+      (5L, "not a url at all"),
+    ).toDF("id", "url")
+    val out = Url.urlFeatures(df, "url").collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[String]("url_host"), r.getAs[String]("url_domain"),
+          r.getAs[String]("url_path"), r.getAs[Int]("url_depth"))).toMap
+    out(1L) shouldBe (("www.example.com", "example.com", "/a/b/c", 3))
+    out(2L) shouldBe (("blog.bbc.co.uk", "bbc.co.uk", "/post/42", 2))
+    out(3L) shouldBe (("files.cdn.org", "cdn.org", "/dl", 1))
+    out(4L) shouldBe (("host.example.net", "example.net", "", 0))
+    out(5L) shouldBe (("", "", "", 0)) // no scheme → no features
+  }
+
+  test("Url.domainFilter drops blocklisted registered domains, keeps hostless") {
+    val df = Seq(
+      (1L, "https://www.bad.com/x"),
+      (2L, "https://sub.deep.bad.com/y"), // same registered domain
+      (3L, "https://good.org/z"),
+      (4L, "no url here"), // hostless → kept
+    ).toDF("id", "url")
+    val kept = Url.domainFilter(df, "url", Seq("bad.com"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(3L, 4L)
+  }
+
   // ── Bpe ──────────────────────────────────────────────────────────────
 
   private lazy val bpeFix = Bpe.BpeModel(Seq(

@@ -249,4 +249,29 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("domainFilter is one broadcast anti join; urlFeatures is narrow") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("url", concat(lit("https://"), col("source"), lit(".example.com/a")))
+    val featPlan = formatted(graft.ops.Url.urlFeatures(d, "url"))
+    featPlan should not include "Exchange" // per-row extraction, no shuffle
+    val filtPlan = formatted(
+      graft.ops.Url.domainFilter(d, "url", Seq("src0.example.com")))
+    // the dictionary-sized blocklist must be the build side of a broadcast
+    // LEFT ANTI hash join — a domain-keyed shuffle of the corpus would
+    // dominate the stage at scale
+    filtPlan should include("BroadcastHashJoin LeftAnti")
+    filtPlan should not include "SortMergeJoin"
+    filtPlan should not include "CartesianProduct"
+    filtPlan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("bpe tokenization is narrow — no shuffle, native kernel in the plan") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = graft.ops.Bpe.BpeModel(Seq("t" -> "h", "th" -> "e"))
+    val plan = formatted(graft.ops.Bpe.tokenizeBpe(d, "text", m))
+    plan should include("graft_bpe_encode")
+    plan should not include "Exchange"
+  }
 }
