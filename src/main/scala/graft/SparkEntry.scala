@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.ops.{Bpe, Curation, Dedup, Dsir, LangModel, Multimodal, Relational, Sampling, Similarity, TextOps, Url}
+import graft.ops.{Bpe, Classifier, Curation, Dedup, Dsir, LangModel, Multimodal, Relational, Sampling, Similarity, TextOps, Url}
 import graft.sources.Writer
 import graft.streaming.StreamingOps
 import graft.transformers._
@@ -51,6 +51,10 @@ object SparkEntry {
   /** The BPE queries' model directory — same one-dir-per-JVM rationale. */
   private lazy val bpeModelDir: String =
     java.nio.file.Files.createTempDirectory("graft_bpe_model").toString
+
+  /** text_classifier_filter's model directory — same rationale. */
+  private lazy val clfModelDir: String =
+    java.nio.file.Files.createTempDirectory("graft_clf_model").toString
 
   /** The shared BPE fit of the four BPE queries (24 merges learned from the
     * English slice), through a save/load round trip. Deterministic, so each
@@ -231,6 +235,41 @@ object SparkEntry {
        |       FROM g JOIN w USING (gram) GROUP BY g.doc_id),
        |scored AS (SELECT d.doc_id, COALESCE(sc.s, 0.0) AS dsir_score
        |           FROM documents d LEFT JOIN sc USING (doc_id))""".stripMargin
+
+  /** Shared CTE prefix of the classifier oracles: NB log-odds fit
+    * (vocabulary = top-4096 grams over BOTH classes, ties by gram; add-1
+    * smoothing over vocab-gram totals; bias = prior logit) and the
+    * per-document ordered-fold logit — exactly Classifier.classifierFit +
+    * classifierScore's arithmetic, ending in `cscored` (doc_id, clf_score). */
+  private val clfScoredCte =
+    """ctoks AS (SELECT doc_id, lang,
+      |                 list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |          FROM documents),
+      |cg AS (SELECT doc_id, lang,
+      |              unnest(list_concat(t, [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])) AS gram
+      |       FROM ctoks),
+      |cc AS (SELECT gram,
+      |              CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+      |              CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cn
+      |       FROM cg GROUP BY gram),
+      |cvocab AS (SELECT gram, cp, cn FROM cc ORDER BY (cp + cn) DESC, gram ASC LIMIT 4096),
+      |ctot AS (SELECT CAST(sum(cp) AS BIGINT) AS tp, CAST(sum(cn) AS BIGINT) AS tn,
+      |                count(*) AS vn
+      |         FROM cvocab),
+      |cw AS (SELECT gram,
+      |              round(ln((cp + 1.0) / (tp + vn)) - ln((cn + 1.0) / (tn + vn)), 9) + 0.0 AS weight
+      |       FROM cvocab CROSS JOIN ctot),
+      |cb AS (SELECT round(ln(CAST(p AS DOUBLE) / CAST(n AS DOUBLE)), 9) + 0.0 AS bias
+      |       FROM (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+      |                    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS n
+      |             FROM documents)),
+      |csc AS (SELECT cg.doc_id,
+      |               list_reduce(list_prepend(0.0, list(weight ORDER BY weight)),
+      |                           (a, b) -> a + b) AS s
+      |        FROM cg JOIN cw USING (gram) GROUP BY cg.doc_id),
+      |cscored AS (SELECT d.doc_id,
+      |                   COALESCE(csc.s, 0.0) + (SELECT bias FROM cb) AS clf_score
+      |            FROM documents d LEFT JOIN csc USING (doc_id))""".stripMargin
 
   /** Shared CTE prefix of the LM-perplexity oracles: fit the backoff
     * bigram model on the lang='en' slice (top-4096 unigrams, top-8192
@@ -850,6 +889,29 @@ object SparkEntry {
       LangModel.perplexityFilter(d, "doc_id", "text",
         LangModel.LmModel.load(s, lmModelDir), maxScore = 3.42)
         .select("doc_id", "lm_score")
+    }),
+    // NB log-odds linear classifier (the fastText-style quality signal):
+    // positive = the English slice, negative = everything else; per-doc
+    // logit = bias + ordered fold of per-occurrence gram weights. The
+    // oracle recomputes the whole fit and the fold in SQL.
+    "text_classifier_score" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      val m = Classifier.classifierFit(
+        d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en"),
+        "text", vocabSize = 4096)
+      Classifier.classifierScore(d, "doc_id", "text", m)
+        .select("doc_id", "clf_score")
+    }),
+    // The probability filter through a save/load round trip: minProb 0.5 ≡
+    // logit ≥ 0 — an exact threshold no engine's exp can smear.
+    "text_classifier_filter" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      Classifier.classifierFit(
+        d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en"),
+        "text", vocabSize = 4096).save(clfModelDir)
+      Classifier.probabilityFilter(d, "doc_id", "text",
+        Classifier.ClassifierModel.load(s, clfModelDir), minProb = 0.5)
+        .select("doc_id", "clf_score")
     }),
     // Deterministic training-shard layout (membership + within-shard order
     // as pure functions of the id); the write side is writeTrainingShards,
@@ -1907,6 +1969,12 @@ object SparkEntry {
          |sel AS (SELECT doc_id FROM k ORDER BY kk DESC, doc_id ASC LIMIT 100)
          |SELECT doc_id, dsir_score FROM scored
          |WHERE doc_id IN (SELECT doc_id FROM sel)""".stripMargin,
+    "text_classifier_score" ->
+      s"""WITH $clfScoredCte
+         |SELECT doc_id, clf_score FROM cscored""".stripMargin,
+    "text_classifier_filter" ->
+      s"""WITH $clfScoredCte
+         |SELECT doc_id, clf_score FROM cscored WHERE clf_score >= 0.0""".stripMargin,
     "text_lm_score" ->
       s"""WITH $lmScoredCte
          |SELECT doc_id, lm_score FROM lscored""".stripMargin,

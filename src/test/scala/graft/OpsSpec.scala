@@ -2033,6 +2033,79 @@ class OpsSpec extends SparkSpec {
     b shouldBe a
   }
 
+  // ── Classifier ───────────────────────────────────────────────────────
+
+  private lazy val clfCorpus = Seq(
+    (1L, "good clean prose text", 1),
+    (2L, "good clean wonderful text", 1),
+    (3L, "spam spam click here", 0),
+    (4L, "click spam buy now", 0),
+  ).toDF("doc_id", "text", "label")
+
+  test("Classifier fit/score separates classes; empty docs score the bias") {
+    val m = Classifier.classifierFit(
+      clfCorpus.filter($"label" === 1), clfCorpus.filter($"label" === 0), "text")
+    m.bias shouldBe 0.0 // 2 vs 2 docs → ln(1) = 0
+    val scored = Classifier.classifierScore(
+      clfCorpus.unionByName(Seq((5L, "", 1)).toDF("doc_id", "text", "label")),
+      "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("clf_score")).toMap
+    scored(1L) should be > 0.0
+    scored(2L) should be > 0.0
+    scored(3L) should be < 0.0
+    scored(4L) should be < 0.0
+    scored(5L) shouldBe m.bias // no grams → prior only
+    // probability filter at 0.5 ≡ logit >= 0
+    Classifier.probabilityFilter(clfCorpus, "doc_id", "text", m, minProb = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+  }
+
+  test("Classifier model save/load round-trips and reproduces scores") {
+    val m = Classifier.classifierFit(
+      clfCorpus.filter($"label" === 1), clfCorpus.filter($"label" === 0), "text")
+    val dir = java.nio.file.Files.createTempDirectory("clf_model_test").toString
+    m.save(dir)
+    val loaded = Classifier.ClassifierModel.load(spark, dir)
+    loaded.bias shouldBe m.bias
+    val a = Classifier.classifierScore(clfCorpus, "doc_id", "text", m)
+      .select("doc_id", "clf_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSet
+    val b = Classifier.classifierScore(clfCorpus, "doc_id", "text", loaded)
+      .select("doc_id", "clf_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSet
+    b shouldBe a
+  }
+
+  test("Classifier.hashed buckets weights; collisions sum deterministically") {
+    val m = Classifier.classifierFit(
+      clfCorpus.filter($"label" === 1), clfCorpus.filter($"label" === 0), "text")
+    val h = Classifier.hashed(m, numBuckets = 4) // tiny → forced collisions
+    h.numBuckets shouldBe 4
+    h.weights.columns.toSeq shouldBe Seq("bucket", "weight")
+    // total mass is preserved up to fold order (weights just re-group)
+    val hashedAgain = Classifier.hashed(m, numBuckets = 4)
+    hashedAgain.weights.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet shouldBe
+      h.weights.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // scoring still runs and keeps sign separation at this vocab size
+    val scored = Classifier.classifierScore(clfCorpus, "doc_id", "text",
+      Classifier.hashed(m, numBuckets = 1024))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("clf_score")).toMap
+    scored(1L) should be > scored(3L)
+    // rejects double-hashing
+    intercept[IllegalArgumentException](Classifier.hashed(h, 8))
+  }
+
+  test("Classifier.withProbability appends a sigmoid convenience column") {
+    val m = Classifier.classifierFit(
+      clfCorpus.filter($"label" === 1), clfCorpus.filter($"label" === 0), "text")
+    val r = Classifier.classifierScore(clfCorpus, "doc_id", "text", m,
+      withProbability = true)
+      .filter($"doc_id" === 1L).head()
+    val p = r.getAs[Double]("clf_prob")
+    p shouldBe 1.0 / (1.0 + math.exp(-r.getAs[Double]("clf_score"))) +- 1e-15
+    p should be > 0.5
+  }
+
   // ── Url ──────────────────────────────────────────────────────────────
 
   test("Url.urlFeatures extracts host/domain/path/depth across URL shapes") {

@@ -250,6 +250,20 @@ class PlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("classifierScore joins the weight table by broadcast, never a gram shuffle") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = graft.ops.Classifier.classifierFit(
+      d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en"),
+      "text", vocabSize = 1024)
+    val plan = formatted(graft.ops.Classifier.classifierScore(d, "doc_id", "text", m))
+    // same contract as dsirScore: the bounded weight table is always the
+    // build side; only the id-keyed aggregate/join-back may shuffle
+    plan should include("BroadcastHashJoin")
+    plan should not include "hashpartitioning(gram"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("domainFilter is one broadcast anti join; urlFeatures is narrow") {
     import spark.implicits._
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
