@@ -201,6 +201,30 @@ object SparkEntry {
       |                        x -> x <> '') AS toks
       |          FROM fin)""".stripMargin
 
+  /** Shared CTE prefix of the IVF-SQ8 oracles: replay cell assignment
+    * (squared L2 argmin, ties by cell), the per-vector residual against the
+    * sim_ivf_centroids dump, and the quantization scale — ending in `sc`
+    * (id, cell, res, res_scale); `cent` stays in scope for probing. */
+  private val ivfPqCodesCte =
+    """cent AS (SELECT cell_id, list(value ORDER BY pos) AS c
+      |         FROM read_parquet('{GRAFT_OUT}/sim_ivf_centroids/*.parquet')
+      |         GROUP BY cell_id),
+      |ad AS (SELECT e.vec_id, e.embedding, cent.cell_id,
+      |         list_sum([(CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+      |                   * (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+      |                   FOR i IN range(1, 65)]) AS d
+      |       FROM embeddings e CROSS JOIN cent),
+      |assign AS (SELECT vec_id, embedding, cell_id FROM (
+      |             SELECT vec_id, embedding, cell_id,
+      |               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+      |             FROM ad) WHERE rn = 1),
+      |r AS (SELECT a.vec_id AS id, a.cell_id AS cell,
+      |        [CAST(a.embedding[i] AS DOUBLE) - cent.c[i] FOR i IN range(1, 65)] AS res
+      |      FROM assign a JOIN cent ON a.cell_id = cent.cell_id),
+      |sc AS (SELECT id, cell, res,
+      |         list_max([abs(res[i]) FOR i IN range(1, 65)]) / 127.0 AS res_scale
+      |       FROM r)""".stripMargin
+
   /** Shared CTE prefix of the DSIR oracles: the gram explosion (lowercased
     * whitespace unigrams + bigrams, with multiplicity), the top-4096 raw
     * vocabulary (ties by gram), and the add-1-smoothed round-9 ln-ratio
@@ -1172,6 +1196,31 @@ object SparkEntry {
       cents.zipWithIndex.flatMap { case (c, i) =>
         c.zipWithIndex.map { case (v, p) => (i, p, v) }
       }.toDF("cell_id", "pos", "value")
+    }),
+    // IVF-SQ8 codes (the billion-vector form: coarse cell + int8 residual
+    // codes, 4× smaller than float32): fit → JSON round trip → encode. The
+    // oracle replays assignment, residual, scale, and every code from the
+    // sim_ivf_centroids dump (same deterministic nlist=8 fit).
+    "sim_ivfpq_codes" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val m = Similarity.IvfModel.fromJsonString(
+        Similarity.ivfFit(e, "embedding", nlist = 8).toJsonString)
+      Similarity.ivfPqEncode(e, "vec_id", "embedding", m)
+        .select(col("id"), col("cell"), col("res_scale"),
+          array_join(transform(col("res_q"),
+            c => c.cast("int").cast("string")), ",").as("codes_str"))
+    }),
+    // Search over the codes: probe the 2 nearest cells, reconstruct
+    // centroid + scale·code, exact cosine top-10 inside the probed cells —
+    // the scan touches int8 codes only, never float embeddings.
+    "sim_ivfpq" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val m = Similarity.IvfModel.fromJsonString(
+        Similarity.ivfFit(e, "embedding", nlist = 8).toJsonString)
+      Similarity.ivfPqTopK(
+        Similarity.ivfPqEncode(e, "vec_id", "embedding", m), m, q, 10, nprobe = 2)
     }),
     // Large-nlist IVF through the broadcast-assignment path (forced: with
     // the native argmin kernel installed, 256 × 64 would otherwise ride as
@@ -2871,6 +2920,39 @@ object SparkEntry {
         |                                 FOR i IN range(1, 65)]))) AS cos
         |           FROM sel, q)
         |SELECT id, cos FROM c ORDER BY cos DESC, id LIMIT 10""".stripMargin,
+    "sim_ivfpq_codes" ->
+      s"""WITH $ivfPqCodesCte
+         |SELECT id, cell, res_scale,
+         |       array_to_string([CAST(CASE WHEN res_scale > 0.0
+         |                                  THEN greatest(-127.0, least(127.0, floor(res[i] / res_scale + 0.5)))
+         |                                  ELSE 0.0 END AS INTEGER)
+         |                        FOR i IN range(1, 65)], ',') AS codes_str
+         |FROM sc""".stripMargin,
+    // IVF-SQ8 search replay: probe nprobe=2 cells nearest the query,
+    // reconstruct centroid + scale·code, exact cosine top-10.
+    "sim_ivfpq" ->
+      s"""WITH $ivfPqCodesCte,
+         |qq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |qd AS (SELECT cell_id,
+         |         list_sum([(CAST(qe[i] AS DOUBLE) - c[i]) * (CAST(qe[i] AS DOUBLE) - c[i])
+         |                   FOR i IN range(1, 65)]) AS d
+         |       FROM cent, qq),
+         |probed AS (SELECT cell_id FROM qd ORDER BY d, cell_id LIMIT 2),
+         |recon AS (SELECT sc.id,
+         |            [cent.c[i] + sc.res_scale *
+         |               CAST(CAST(CASE WHEN sc.res_scale > 0.0
+         |                              THEN greatest(-127.0, least(127.0, floor(sc.res[i] / sc.res_scale + 0.5)))
+         |                              ELSE 0.0 END AS INTEGER) AS DOUBLE)
+         |             FOR i IN range(1, 65)] AS ap
+         |          FROM sc JOIN cent ON sc.cell = cent.cell_id
+         |          WHERE sc.cell IN (SELECT cell_id FROM probed)),
+         |co AS (SELECT recon.id,
+         |         list_sum([ap[i] * CAST(qe[i] AS DOUBLE) FOR i IN range(1, 65)])
+         |         / (sqrt(list_sum([ap[i] * ap[i] FOR i IN range(1, 65)]))
+         |            * sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+         |                             FOR i IN range(1, 65)]))) AS cos
+         |       FROM recon, qq)
+         |SELECT id, cos FROM co ORDER BY cos DESC, id LIMIT 10""".stripMargin,
     // Batch-IVF replay over the same centroids dump: per-corpus-row nearest
     // cell, per-QUERY nprobe=2 nearest cells (both ties by cell id), exact
     // cosine + (cos DESC, id) top-10 within the matched cells.

@@ -1080,6 +1080,95 @@ object Similarity {
       quantizeEmbedding(df, embCol).select(col(idCol), col(s"${embCol}_q")),
       idCol, s"${embCol}_q", query, k)
 
+  /** IVF-PQ-style index encoding: coarse cell + int8-quantized RESIDUAL —
+    * the billion-vector composition of [[ivfFit]]'s coarse quantizer with
+    * [[quantizeEmbedding]]'s scalar codes (faiss's "IVF,SQ8" index): each
+    * vector stores its nearest-centroid cell id, a per-vector scale, and
+    * `code_i = floor((v_i − c_i)/scale + 0.5)` clamped to ±127 over the
+    * residual. Residuals are far smaller than raw coordinates (the coarse
+    * quantizer has absorbed the cell mean), so 8-bit codes lose much less
+    * than raw-vector quantization at the same width.
+    *
+    * Output (id, cell, res_scale, res_q) is the PERSISTED form: 4× smaller
+    * than float32 embeddings, already bucketed by cell for probing. One
+    * assignment pass ([[assignCells]] — literal argmin or broadcast-join,
+    * both O(n)) plus one broadcast join back to the nlist-row centroid
+    * table for the residual; no shuffle anywhere. All arithmetic is
+    * engine-portable ([[quantizeEmbedding]]'s floor(x+0.5) rule; the
+    * sim_ivfpq_codes oracle replays every code byte-for-byte). */
+  def ivfPqEncode(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      model: IvfModel,
+      forceBroadcastAssign: Boolean = false,
+  ): DataFrame = {
+    require(model.centroids.nonEmpty, "model must have at least one centroid")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = model.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "c")
+    val res = assignCells(df, idCol, embCol, model.centroids, forceBroadcastAssign)
+      .join(broadcast(centDf), "cell")
+      .withColumn("__graft_r",
+        zip_with(col("emb"), col("c"), (a, b) => a.cast("double") - b))
+    val scale =
+      array_max(transform(col("__graft_r"), v => abs(v))) / lit(127.0)
+    res.withColumn("res_scale", scale)
+      .withColumn("res_q",
+        transform(col("__graft_r"), v =>
+          when(col("res_scale") > 0.0,
+            greatest(lit(-127.0),
+              least(lit(127.0), floor(v / col("res_scale") + 0.5))))
+            .otherwise(lit(0.0))
+            .cast("tinyint")))
+      .select(col("id"), col("cell"), col("res_scale"), col("res_q"))
+  }
+
+  /** Top-k search over an [[ivfPqEncode]] table: probe the `nprobe` cells
+    * nearest the query (driver-side — nlist × dim doubles), reconstruct
+    * each candidate as `centroid + scale·code`, exact cosine inside the
+    * probed cells only. The scan reads the int8 codes, never float
+    * embeddings — [[cosineTopKCodes]]' 4× IO cut with IVF's
+    * nprobe/nlist scan cut stacked on top. Cell filter is a partition-
+    * prunable predicate when the code table is written partitioned/bucketed
+    * by cell; the rest is [[cosineTopK]]'s TakeOrderedAndProject — no
+    * shuffle. Ties break (cos desc, id asc). Output (id, cos). */
+  def ivfPqTopK(
+      codes: DataFrame,
+      model: IvfModel,
+      query: Seq[Double],
+      k: Int,
+      nprobe: Int,
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(model.centroids.nonEmpty, "model must have at least one centroid")
+    require(query.length == model.dim,
+      s"query dim ${query.length} != model dim ${model.dim}")
+    graft.core.Validators.requireColumns(codes,
+      Seq("id", "cell", "res_scale", "res_q"))
+    // index-order squared-L2 fold, ties by cell — matches assignCells and
+    // the oracle's replay exactly
+    val probed = model.centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < c.length) { val x = query(j) - c(j); d += x * x; j += 1 }
+      (d, i)
+    }.sortBy { case (d, i) => (d, i) }.take(nprobe).map(_._2)
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val centDf = model.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "c")
+    val approx = codes
+      .filter(col("cell").isin(probed: _*))
+      .join(broadcast(centDf), "cell")
+      .withColumn("__graft_approx",
+        zip_with(col("c"), col("res_q"),
+          (c, q) => c + col("res_scale") * q.cast("double")))
+    cosineTopK(approx, "id", "__graft_approx", query, k)
+  }
+
   /** All-pairs embedding near-duplicates: pairs with cosine ≥ threshold.
     *
     * Scale shape (same machinery as the text dedup path — Dedup's tiled

@@ -2033,6 +2033,67 @@ class OpsSpec extends SparkSpec {
     b shouldBe a
   }
 
+  // ── IVF-SQ8 ──────────────────────────────────────────────────────────
+
+  test("ivfPqEncode: cells match assignCells; codes reconstruct within scale/2") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = Similarity.ivfFit(e, "embedding", nlist = 8)
+    val codes = Similarity.ivfPqEncode(e, "vec_id", "embedding", m)
+    codes.count() shouldBe e.count()
+    // same cell per id as the plain assignment path
+    val a = Similarity.assignCells(e, "vec_id", "embedding", m.centroids)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val c = codes.select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    c shouldBe a
+    // reconstruction error per coordinate is bounded by scale/2 (+ eps for
+    // the ±127 clamp never binding: scale IS max|res|/127)
+    val row = codes.filter($"id" === 7L).head()
+    val scale = row.getAs[Double]("res_scale")
+    val rq = row.getSeq[Byte](row.fieldIndex("res_q"))
+    val emb = e.filter($"vec_id" === 7L).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val cent = m.centroids(c(7L))
+    val recon = cent.zip(rq).map { case (ci, qi) => ci + scale * qi }
+    emb.zip(recon).foreach { case (x, y) =>
+      math.abs(x - y) should be <= scale / 2 + 1e-12
+    }
+  }
+
+  test("ivfPqTopK recall matches plain ivfTopK at equal probe cost") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val m = Similarity.ivfFit(e, "embedding", nlist = 8)
+    val truth = Similarity.cosineTopK(e, "vec_id", "embedding", q, 10)
+      .withColumn("query_id", lit(0L))
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", q, 10, m,
+      nprobe = 2, forceBroadcastAssign = false)
+      .withColumn("query_id", lit(0L))
+    val pq = Similarity.ivfPqTopK(
+      Similarity.ivfPqEncode(e, "vec_id", "embedding", m), m, q, 10, nprobe = 2)
+      .withColumn("query_id", lit(0L))
+    val rIvf = Similarity.evalRecall(ivf, truth, "query_id", "id")
+      .select("recall").head().getDouble(0)
+    val rPq = Similarity.evalRecall(pq, truth, "query_id", "id")
+      .select("recall").head().getDouble(0)
+    withClue(s"ivf=$rIvf pq=$rPq: ") {
+      // int8 RESIDUAL codes lose almost nothing at this width: the probe
+      // set is identical, so SQ8 must not fall below the raw-vector path
+      rPq should be >= rIvf
+      rPq should be > 0.0
+    }
+    // full probe (nprobe = nlist): raw IVF degenerates to exact search
+    // (recall 1); SQ8's only remaining error is quantization, which must
+    // not reorder this fixture's top-10
+    val pqFull = Similarity.ivfPqTopK(
+      Similarity.ivfPqEncode(e, "vec_id", "embedding", m), m, q, 10, nprobe = 8)
+      .withColumn("query_id", lit(0L))
+    val rPqFull = Similarity.evalRecall(pqFull, truth, "query_id", "id")
+      .select("recall").head().getDouble(0)
+    withClue(s"pqFull=$rPqFull: ")(rPqFull shouldBe 1.0)
+  }
+
   // ── Classifier ───────────────────────────────────────────────────────
 
   private lazy val clfCorpus = Seq(
