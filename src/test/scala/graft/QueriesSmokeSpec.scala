@@ -42,8 +42,44 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  /** Pinned shuffle-Exchange counts for the most expensive queries (the
+    * BENCH_r04/r05 top set): a code change that ADDS a shuffle to one of
+    * these fails HERE, at test time, instead of surfacing as a bench
+    * anomaly a round later. Counts are `Exchange` nodes in the formatted
+    * physical plan (shuffles only — BroadcastExchange is a different node
+    * name), measured at sf0.001 with GraftExtensions installed
+    * (tools/CountX regenerates the table). A count DECREASE is also a
+    * failure by design: re-pin deliberately after verifying the cheaper
+    * plan is correct. */
+  private val expectedExchanges = Map(
+    "asof_join" -> 1, "asof_join_salted" -> 4,
+    "corpus_curate" -> 1, "corpus_funnel" -> 1,
+    "dedup_cluster" -> 0, "dedup_contamination" -> 4, "dedup_corpus" -> 4,
+    "dedup_exact" -> 1, "dedup_incremental" -> 5, "dedup_minhash" -> 4,
+    "dedup_ngram_jaccard" -> 4, "dedup_ngram_overlap" -> 1,
+    "dedup_simhash" -> 3,
+    "events_rolling_salted" -> 1, "events_sessionize_salted" -> 2,
+    "sample_dsir" -> 4,
+    "sel_mrmr" -> 0, "sel_smart_correlated" -> 0,
+    "sim_ivf" -> 0, "sim_ivf_batch" -> 2, "sim_ivf_bcast" -> 1,
+    "sim_ivfpq" -> 0, "sim_knn" -> 1, "sim_near_dup" -> 3,
+    "sim_quantize" -> 0, "sim_recall" -> 6, "sim_semantic_dedup" -> 6,
+    "text_lm_filter" -> 1, "text_lm_score" -> 2,
+    "text_line_dedup" -> 3, "text_span_dedup" -> 10, "text_tfidf" -> 4,
+  )
+
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out))(df.explain("formatted"))
+    "\\(\\d+\\) Exchange\\b".r.findAllIn(out.toString).size
+  }
+
   test("entry flagship runs and returns rows") {
     SparkEntry.entry(spark).count() should be > 0L
+  }
+
+  test("expectedExchanges keys are a subset of queries keys") {
+    (expectedExchanges.keySet -- SparkEntry.queries.keySet) shouldBe empty
   }
 
   test("oracleSql keys are a subset of queries keys") {
@@ -55,6 +91,11 @@ class QueriesSmokeSpec extends SparkSpec {
     test(s"query $name executes at sf0.001 with a clean plan") {
       val df = fn(spark, dir)
       auditPlan(name, df)
+      expectedExchanges.get(name).foreach { expected =>
+        withClue(s"$name shuffle-Exchange count changed (re-pin deliberately): ") {
+          shuffleCount(df) shouldBe expected
+        }
+      }
       noException should be thrownBy df.count()
     }
   }
