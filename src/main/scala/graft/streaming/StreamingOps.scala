@@ -145,7 +145,9 @@ object StreamingOps {
     * path below is the deterministic form. (A fully deterministic stream
     * would need arbitrary state chained into an aggregation, which Spark's
     * checker disallows — flatMapGroupsWithState cannot precede stateful
-    * operators in append mode.)
+    * operators in append mode.) The documented repair is
+    * [[reconcileNearDups]]: a nightly batch replay over the day's raw
+    * ingest diffs the stream's output back to the deterministic set.
     *
     * CHECKPOINT COMPATIBILITY: the exact-copy collapse added a stateful
     * operator to this op's plan. A streaming query restarted from a
@@ -243,6 +245,47 @@ object StreamingOps {
         .select("__graft_id").distinct()
       df.join(dropped, col(idCol) === col("__graft_id"), "left_anti")
     }
+  }
+
+  /** Day-end repair for [[dedupNearDups]]' documented same-batch race: two
+    * TRUE near-duplicates (different texts, colliding bands) landing in one
+    * micro-batch can split band wins and BOTH drop — and rows whose emit
+    * window never closed before shutdown are missing from the stream's
+    * output entirely. This op replays the DETERMINISTIC batch rule over the
+    * period's archived raw ingest and diffs it against what the stream
+    * actually emitted.
+    *
+    * Output: one row per disagreement — (<idCol>, action), action ∈
+    * {'add' (the batch rule keeps this doc, the stream lost it — the
+    * over-drop repair), 'remove' (the stream emitted a doc the batch rule
+    * drops)}. Applying the delta to the streamed survivor set yields
+    * EXACTLY the batch-deterministic set (StreamingSpec proves the
+    * equality end-to-end through a MemoryStream run).
+    *
+    * Scale shape: one batch [[dedupNearDups]] over the period's raw slice
+    * (a bounded daily log, not the whole corpus) plus two id anti-joins —
+    * the standard lambda-architecture reconciliation cadence: stream for
+    * latency, nightly batch replay for exactness. */
+  def reconcileNearDups(
+      raw: DataFrame,
+      streamKept: DataFrame,
+      idCol: String,
+      textCol: String,
+      tieCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 8,
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(raw, Seq(idCol, textCol, tieCol))
+    graft.core.Validators.requireColumns(streamKept, Seq(idCol))
+    val batchKept = dedupNearDups(raw, idCol, textCol, tieCol,
+      n = n, numHashes = numHashes, bands = bands).select(col(idCol))
+    val streamIds = streamKept.select(col(idCol))
+    batchKept.join(streamIds, Seq(idCol), "left_anti")
+      .withColumn("action", lit("add"))
+      .unionByName(
+        streamIds.join(batchKept, Seq(idCol), "left_anti")
+          .withColumn("action", lit("remove")))
   }
 
   /** Typed JSON property extraction from a string payload column — the

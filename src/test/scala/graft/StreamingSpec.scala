@@ -284,6 +284,47 @@ class StreamingSpec extends SparkSpec {
     (streamed & Set(1L, 2L, 3L)) should have size 1
   }
 
+  test("reconcileNearDups repairs the stream to the batch-deterministic set") {
+    // two TRUE near-duplicates share micro-batch 1 (the documented race:
+    // they can split band wins and both drop), and the final heartbeat's
+    // emit window never closes — both divergence modes repaired below
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val docA = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val docA2 = "the quick brown fox jumps over the lazy cat near the riverbank today"
+    val docB = "completely unrelated text about distributed query engines and shuffles"
+    mem.addData((1L, ts(0), docA), (2L, ts(0), docA2), (3L, ts(1), docB))
+    val out = StreamingOps.dedupNearDups(
+      mem.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "doc_id",
+      tsCol = "ts", watermark = "5 minutes", emitWindow = "1 minute")
+    val q = out.writeStream.format("memory")
+      .queryName("stream_neardup_reconcile").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData((99L, ts(59), "heartbeat to advance the watermark and flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamKept = spark.table("stream_neardup_reconcile")
+    val streamed = streamKept.collect().map(_.getLong(0)).toSet
+    val raw = Seq((1L, ts(0), docA), (2L, ts(0), docA2), (3L, ts(1), docB),
+      (99L, ts(59), "heartbeat to advance the watermark and flush"))
+      .toDF("doc_id", "ts", "text")
+    val batchKept = StreamingOps.dedupNearDups(raw, "doc_id", "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val delta = StreamingOps.reconcileNearDups(
+      raw, streamKept, "doc_id", "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // applying the delta to the streamed set reproduces the batch set
+    val corrected = delta.foldLeft(streamed) {
+      case (s, (id, "add")) => s + id
+      case (s, (id, "remove")) => s - id
+    }
+    corrected shouldBe batchKept
+    // the never-flushed heartbeat is always an 'add' — the delta is doing
+    // real work even when the band race happens not to fire
+    delta should contain(99L -> "add")
+  }
+
   test("batch dedupNearDups drops a null-tie duplicate against a non-null min") {
     val docA = "the quick brown fox jumps over the lazy dog near the riverbank today"
     val docB = "completely unrelated text about distributed query engines and shuffles"
