@@ -120,6 +120,35 @@ object Demo {
         .join(docs.select(col("doc_id"), col("text").as("orig")), "doc_id")
         .filter(col("text") =!= col("orig")).count()} docs")
 
+    // Round-6 ops: subword tokenization, URL curation, classifier, IVF-SQ8.
+    val bpe = graft.ops.Bpe.bpeFit(docs, "text", numMerges = 16)
+    val bpeDir = java.nio.file.Files.createTempDirectory("graft_demo_bpe").toString
+    bpe.save(bpeDir)
+    val bpeLoaded = graft.ops.Bpe.BpeModel.load(bpeDir)
+    println(s"bpe: ${bpeLoaded.merges.size} merges " +
+      s"(first=${bpeLoaded.merges.head}); round-trip exact: ${bpeLoaded == bpe}; " +
+      s"mean subword tokens/doc = ${graft.ops.Bpe.bpeTokenCount(
+        docs.select("doc_id", "text"), "text", bpeLoaded)
+        .agg(round(avg(col("n_bpe")), 1)).head().getDouble(0)}")
+    val urled = docs.withColumn("url",
+      concat(lit("https://www."), col("source"), lit("-news.co.uk/a/b")))
+    println(s"url: ${graft.ops.Url.urlFeatures(urled, "url")
+      .select("url_domain").distinct().count()} registered domains; " +
+      s"blocklist keeps ${graft.ops.Url.domainFilter(urled, "url",
+        Seq("src0-news.co.uk")).count()} of ${urled.count()} docs")
+    val clf = graft.ops.Classifier.classifierFit(
+      docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"),
+      "text", vocabSize = 2048)
+    println(s"classifier: bias=${clf.bias}, " +
+      s"p>=0.5 keeps ${graft.ops.Classifier.probabilityFilter(
+        docs, "doc_id", "text", clf, 0.5).count()} of ${docs.count()} docs")
+    val pqCodes = graft.ops.Similarity.ivfPqEncode(embs, "vec_id", "embedding", ivf)
+    val q0 = embs.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    println(s"ivf-sq8: ${pqCodes.count()} coded vectors; top-5 over codes = " +
+      graft.ops.Similarity.ivfPqTopK(pqCodes, ivf, q0, 5, nprobe = 2)
+        .collect().map(r => r.getLong(0)).mkString(", "))
+
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =
       try { body; println(s"PROBE $name: NO ERROR (unexpected)") }
