@@ -57,7 +57,12 @@ object Bench {
       }
       (1 to warmups).foreach(_ => once())
       val timed = (1 to reps).map(_ => once()).sorted
-      name -> timed(timed.size / 2)
+      // true median: average the two middles for even rep counts (the
+      // upper-middle alone would bias toward a repeated stall)
+      val median =
+        if (timed.size % 2 == 1) timed(timed.size / 2)
+        else (timed(timed.size / 2 - 1) + timed(timed.size / 2)) / 2.0
+      name -> median
     }
     def jsonLine(rs: Map[String, Double]): String = {
       val qs = rs.toSeq.sortBy(-_._2)

@@ -48,10 +48,6 @@ object SparkEntry {
   private lazy val lmModelDir: String =
     java.nio.file.Files.createTempDirectory("graft_lm_model").toString
 
-  /** The BPE queries' model directory — same one-dir-per-JVM rationale. */
-  private lazy val bpeModelDir: String =
-    java.nio.file.Files.createTempDirectory("graft_bpe_model").toString
-
   /** text_classifier_filter's model directory — same rationale. */
   private lazy val clfModelDir: String =
     java.nio.file.Files.createTempDirectory("graft_clf_model").toString
@@ -69,8 +65,12 @@ object SparkEntry {
       val m = Bpe.bpeFit(
         rt(s, dir, "documents").filter(col("lang") === "en"), "text",
         numMerges = 24)
-      m.save(bpeModelDir)
-      Bpe.BpeModel.load(bpeModelDir)
+      // a FRESH directory per fit: a shared path would let interleaved
+      // fits for two sf dirs cross their save/load round trips and cache
+      // the wrong model permanently
+      val d = java.nio.file.Files.createTempDirectory("graft_bpe_model").toString
+      m.save(d)
+      Bpe.BpeModel.load(d)
     })
 
   /** events.parquet's ts encoding is generation-dependent: older drops

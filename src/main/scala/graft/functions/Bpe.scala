@@ -57,7 +57,13 @@ case class BpeEncode(child: Expression, merges: Expression) extends Expression {
     require(a.numElements() % 2 == 0,
       "graft_bpe_encode: merges array must have even length (flattened pairs)")
     Array.tabulate(a.numElements() / 2) { i =>
-      (a.getUTF8String(2 * i).toString, a.getUTF8String(2 * i + 1).toString)
+      val l = a.getUTF8String(2 * i)
+      val r = a.getUTF8String(2 * i + 1)
+      // the type check admits containsNull=true arrays (typedLit produces
+      // them); fail loudly here instead of NPEing mid-eval
+      require(l != null && r != null,
+        "graft_bpe_encode: merges array must not contain NULL elements")
+      (l.toString, r.toString)
     }
   }
 

@@ -90,11 +90,13 @@ object Bpe {
   }
 
   /** `text` → the U+001F double-separator code-point encoding
-    * (`␟␟c1␟␟c2␟␟…␟␟`; empty/whitespace-free of chars → empty string).
-    * Shared by the fallback tokenizer and [[bpeFit]] so the two can never
-    * disagree with the kernel's code-point split. */
+    * (`␟␟c1␟␟c2␟␟…␟␟`; empty string for empty OR NULL text — the kernel
+    * returns an empty token array for NULL, and the fallback must agree
+    * whatever the session's extension config). Shared by the fallback
+    * tokenizer and [[bpeFit]] so the two can never disagree with the
+    * kernel's code-point split. */
   private[ops] def encode0(text: Column): Column = {
-    val cleaned = regexp_replace(text, Sep, "")
+    val cleaned = regexp_replace(coalesce(text, lit("")), Sep, "")
     val chars = filter(split(cleaned, ""), c => c =!= "")
     when(size(chars) === 0, lit(""))
       .otherwise(concat(lit(Sep2), array_join(chars, Sep2), lit(Sep2)))

@@ -166,23 +166,20 @@ object Classifier {
     graft.core.Validators.requireColumnsAbsent(df,
       if (withProbability) Seq("clf_score", "clf_prob") else Seq("clf_score"),
       "classifierScore")
-    val keyed = df
-      .select(col(idCol).as("__graft_did"),
-        explode(Dsir.unigramsBigrams(col(textCol))).as("gram"))
-    val joined =
-      if (model.numBuckets == 0) keyed.join(broadcast(model.weights), "gram")
-      else keyed
+    // gram-keyed: exactly Dsir's explode → broadcast join → ordered fold
+    // (shared code, so the FP fold convention can never fork); bucket-keyed
+    // swaps the join key for the hash bucket before the same shared fold
+    val perDoc =
+      if (model.numBuckets == 0)
+        Dsir.perIdScores(df, idCol, textCol, model.weights)
+      else Dsir.orderedWeightFold(df
+        .select(col(idCol).as("__graft_did"),
+          explode(Dsir.unigramsBigrams(col(textCol))).as("gram"))
         .select(col("__graft_did"),
           pmod(xxhash64(col("gram")), lit(model.numBuckets.toLong)).as("bucket"))
-        .join(broadcast(model.weights), "bucket")
-    val perDoc = joined
-      .groupBy("__graft_did")
-      .agg(aggregate(sort_array(collect_list(col("weight"))),
-        lit(0.0), (acc, x) => acc + x).as("__graft_cs"))
-    val out = df
-      .join(perDoc, col(idCol) === col("__graft_did"), "left")
-      .withColumn("clf_score", coalesce(col("__graft_cs"), lit(0.0)) + model.bias)
-      .drop("__graft_did", "__graft_cs")
+        .join(broadcast(model.weights), "bucket"))
+    val out = Dsir.scoreJoinBack(df, idCol, perDoc,
+      outCol = "clf_score", finish = _ + model.bias)
     if (withProbability)
       out.withColumn("clf_prob", lit(1.0) / (lit(1.0) + exp(-col("clf_score"))))
     else out

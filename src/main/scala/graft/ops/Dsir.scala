@@ -157,31 +157,45 @@ object Dsir {
       model: DsirModel): DataFrame = {
     graft.core.Validators.requireColumns(df, Seq(idCol, textCol))
     graft.core.Validators.requireColumnsAbsent(df, Seq("dsir_score"), "dsirScore")
-    scoreJoinBack(df, idCol, perIdScores(df, idCol, textCol, model))
+    scoreJoinBack(df, idCol, perIdScores(df, idCol, textCol, model.weights))
   }
 
-  /** The aggregation half of [[dsirScore]]: one `(__graft_did,
-    * __graft_dscore)` row per id that has at least one in-vocabulary gram
-    * occurrence (ids with none — and the NULL-id group — simply don't
-    * appear; the join-back defaults them). */
-  private def perIdScores(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      model: DsirModel): DataFrame = df
-    .select(col(idCol).as("__graft_did"),
-      explode(unigramsBigrams(col(textCol))).as("gram"))
-    .join(broadcast(model.weights), "gram")
+  /** The canonical per-document ordered fold over a `(__graft_did, weight)`
+    * joined frame: weights folded in ASCENDING VALUE order from 0.0 — THE
+    * FP-portability rule every weight-scoring op must share (a second copy
+    * of this fold would let the convention silently fork). Shared with
+    * [[Classifier]]. */
+  private[ops] def orderedWeightFold(joined: DataFrame): DataFrame = joined
     .groupBy("__graft_did")
     .agg(aggregate(sort_array(collect_list(col("weight"))),
       lit(0.0), (acc, x) => acc + x).as("__graft_dscore"))
 
+  /** The aggregation half of [[dsirScore]]: one `(__graft_did,
+    * __graft_dscore)` row per id that has at least one occurrence of a
+    * gram in `weights` (ids with none — and the NULL-id group — simply
+    * don't appear; the join-back defaults them). Shared with
+    * [[Classifier]]'s gram-keyed path. */
+  private[ops] def perIdScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame): DataFrame = orderedWeightFold(df
+    .select(col(idCol).as("__graft_did"),
+      explode(unigramsBigrams(col(textCol))).as("gram"))
+    .join(broadcast(weights), "gram"))
+
   /** The join-back half: plain `===`, so a NULL id never matches and takes
-    * the 0.0 default instead of pooling into one surrogate document. */
-  private def scoreJoinBack(
-      df: DataFrame, idCol: String, perDoc: DataFrame): DataFrame =
+    * the default instead of pooling into one surrogate document. `finish`
+    * maps the 0.0-defaulted fold to the output value (identity for DSIR;
+    * Classifier adds its bias). */
+  private[ops] def scoreJoinBack(
+      df: DataFrame,
+      idCol: String,
+      perDoc: DataFrame,
+      outCol: String = "dsir_score",
+      finish: Column => Column = identity): DataFrame =
     df.join(perDoc, col(idCol) === col("__graft_did"), "left")
-      .withColumn("dsir_score", coalesce(col("__graft_dscore"), lit(0.0)))
+      .withColumn(outCol, finish(coalesce(col("__graft_dscore"), lit(0.0))))
       .drop("__graft_did", "__graft_dscore")
 
   /** Gumbel-top-`n` importance resampling: keep the `n` DOCUMENTS (ids)
@@ -218,7 +232,7 @@ object Dsir {
     graft.core.Validators.requireColumns(df, Seq(idCol, textCol))
     graft.core.Validators.requireColumnsAbsent(df, Seq("dsir_score"), "dsirResample")
     val base = df.filter(col(idCol).isNotNull)
-    val per = Dedup.materializeLazy(perIdScores(base, idCol, textCol, model))
+    val per = Dedup.materializeLazy(perIdScores(base, idCol, textCol, model.weights))
     // u < 1 strictly (hash < 2^31−1), so −ln u > 0 and the outer ln is
     // finite; 2^31 is a power of two, so the division is exact
     val u = (Sampling.minstdHash(col("__graft_rid")) + 1).cast("double") /

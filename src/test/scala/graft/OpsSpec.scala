@@ -2224,6 +2224,7 @@ class OpsSpec extends SparkSpec {
       (2L, "tthhee ttaabb aaaa"), // adversarial: interleaved + runs
       (3L, "español über 中文 text"), // non-ASCII code points
       (4L, " leading and trailing  "),
+      (5L, null.asInstanceOf[String]), // NULL text → [] on BOTH paths
     ).toDF("id", "text")
     spark.catalog.functionExists(graft.functions.TilePairs.BpeName) shouldBe true
     val native = df.select($"id", Bpe.bpeTokens(spark, $"text", bpeFix).as("t"))
@@ -2233,6 +2234,7 @@ class OpsSpec extends SparkSpec {
     native shouldBe fallback
     // tokens always rebuild the (separator-stripped) text exactly
     native(4L).mkString shouldBe " leading and trailing  "
+    native(5L) shouldBe Seq.empty // no NULL-vs-empty divergence across paths
   }
 
   test("Bpe.bpeFit learns word-internal merges deterministically") {

@@ -68,11 +68,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_line_dedup" -> 3, "text_span_dedup" -> 10, "text_tfidf" -> 4,
   )
 
-  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
-    val out = new java.io.ByteArrayOutputStream()
-    Console.withOut(new java.io.PrintStream(out))(df.explain("formatted"))
-    "\\(\\d+\\) Exchange\\b".r.findAllIn(out.toString).size
-  }
+  // the counter lives in main scope so the regenerator and this spec can
+  // never disagree on what counts as a shuffle
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int =
+    graft.tools.CountX.shuffleExchanges(df)
 
   test("entry flagship runs and returns rows") {
     SparkEntry.entry(spark).count() should be > 0L
