@@ -58,6 +58,18 @@ object SparkEntry {
     * contamIdxDir convention — changes nothing the oracle can see; without
     * the cache every BPE query would re-run the 24 fit jobs on every bench
     * repetition, timing the fit four extra times instead of the tokenizer. */
+  /** The PQ queries' shared fit (m=8 subspaces × k=16 codewords over the
+    * 64-dim embeddings) through a JSON round trip — cached per (JVM, sf
+    * dir) like [[bpeFitted]]: the fit is deterministic and runs 8 small
+    * Lloyd jobs, which bench repetitions should not re-pay per query. */
+  private val pqModels =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.PqModel]
+  private def pqFitted(s: SparkSession, dir: String): Similarity.PqModel =
+    pqModels.getOrElseUpdate(dir,
+      Similarity.PqModel.fromJsonString(
+        Similarity.pqFit(rt(s, dir, "embeddings"), "embedding", m = 8, k = 16)
+          .toJsonString))
+
   private val bpeModels =
     scala.collection.concurrent.TrieMap.empty[String, Bpe.BpeModel]
   private def bpeFitted(s: SparkSession, dir: String): Bpe.BpeModel =
@@ -205,6 +217,24 @@ object SparkEntry {
       |            list_filter(string_split(trim(e, chr(31)), chr(31)||chr(31)),
       |                        x -> x <> '') AS toks
       |          FROM fin)""".stripMargin
+
+  /** Shared CTE prefix of the PQ oracles: per-subspace nearest-codeword
+    * replay (squared L2 over the 8-dim sub-vector, ties to the lower code)
+    * against the sim_pq_codebooks dump — ending in `best` (vec_id, sub,
+    * code); `cb` stays in scope for reconstruction. */
+  private val pqCodesCte =
+    """cb AS (SELECT sub, code, list(value ORDER BY pos) AS c
+      |       FROM read_parquet('{GRAFT_OUT}/sim_pq_codebooks/*.parquet')
+      |       GROUP BY sub, code),
+      |sd AS (SELECT e.vec_id, cb.sub, cb.code,
+      |         list_sum([(CAST(e.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.c[i])
+      |                   * (CAST(e.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.c[i])
+      |                   FOR i IN range(1, 9)]) AS d
+      |       FROM embeddings e CROSS JOIN cb),
+      |best AS (SELECT vec_id, sub, code FROM (
+      |           SELECT vec_id, sub, code,
+      |             row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+      |           FROM sd) WHERE rn = 1)""".stripMargin
 
   /** Shared CTE prefix of the IVF-SQ8 oracles: replay cell assignment
     * (squared L2 argmin, ties by cell), the per-vector residual against the
@@ -1226,6 +1256,49 @@ object SparkEntry {
         Similarity.ivfFit(e, "embedding", nlist = 8).toJsonString)
       Similarity.ivfPqTopK(
         Similarity.ivfPqEncode(e, "vec_id", "embedding", m), m, q, 10, nprobe = 2)
+    }),
+    // Product quantization (Jégou et al. 2011): per-subspace codebook dump
+    // backing the two PQ oracles (k-means training itself is not
+    // SQL-replayable; the PQ structure around it is what the oracles
+    // verify — the sim_ivf_centroids convention).
+    "sim_pq_codebooks" -> ((s, dir) => {
+      import s.implicits._
+      pqFitted(s, dir).codebooks.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.flatMap { case (c, code) =>
+          c.zipWithIndex.map { case (v, p) => (j, code, p, v) }
+        }
+      }.toDF("sub", "code", "pos", "value")
+    }),
+    // PQ codes: per-subspace nearest-codeword indices — 8 small ints per
+    // 64-dim vector (32× smaller than float32). The oracle replays every
+    // argmin from the codebook dump.
+    "sim_pq_codes" -> ((s, dir) =>
+      Similarity.pqEncode(rt(s, dir, "embeddings"), "vec_id", "embedding",
+        pqFitted(s, dir))
+        .select(col("id"),
+          array_join(transform(col("codes"), c => c.cast("string")), ",")
+            .as("codes_str"))),
+    // Search over the codes: reconstruct codeword concatenations, exact
+    // cosine top-10 — the scan reads the m-int code column only.
+    "sim_pq" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val m = pqFitted(s, dir)
+      Similarity.pqTopK(
+        Similarity.pqEncode(e, "vec_id", "embedding", m), m, q, 10)
+    }),
+    // Two-stage PQ retrieval: top-100 shortlist from the codes, exact
+    // cosine rerank of the shortlist's full embeddings — lossy codes made
+    // exact where it matters. Oracle replays both stages.
+    "sim_pq_refined" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val m = pqFitted(s, dir)
+      Similarity.pqTopKRefined(
+        Similarity.pqEncode(e, "vec_id", "embedding", m), e,
+        "vec_id", "embedding", m, q, 10, shortlistSize = 100)
     }),
     // Large-nlist IVF through the broadcast-assignment path (forced: with
     // the native argmin kernel installed, 256 × 64 would otherwise ride as
@@ -2925,6 +2998,51 @@ object SparkEntry {
         |                                 FOR i IN range(1, 65)]))) AS cos
         |           FROM sel, q)
         |SELECT id, cos FROM c ORDER BY cos DESC, id LIMIT 10""".stripMargin,
+    "sim_pq_codes" ->
+      s"""WITH $pqCodesCte
+         |SELECT vec_id AS id,
+         |       array_to_string(list(code ORDER BY sub), ',') AS codes_str
+         |FROM best GROUP BY vec_id""".stripMargin,
+    // PQ search replay: reconstruct each vector as the concatenation of its
+    // codewords (subspace order), exact cosine top-10 against the query.
+    "sim_pq" ->
+      s"""WITH $pqCodesCte,
+         |qq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |recon AS (SELECT b.vec_id AS id, flatten(list(cb.c ORDER BY b.sub)) AS ap
+         |          FROM best b JOIN cb ON cb.sub = b.sub AND cb.code = b.code
+         |          GROUP BY b.vec_id),
+         |co AS (SELECT recon.id,
+         |         list_sum([ap[i] * CAST(qe[i] AS DOUBLE) FOR i IN range(1, 65)])
+         |         / (sqrt(list_sum([ap[i] * ap[i] FOR i IN range(1, 65)]))
+         |            * sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+         |                             FOR i IN range(1, 65)]))) AS cos
+         |       FROM recon, qq)
+         |SELECT id, cos FROM co ORDER BY cos DESC, id LIMIT 10""".stripMargin,
+    // Two-stage replay: PQ top-100 shortlist (reconstruction cosine, ties
+    // (cos DESC, id)), then exact cosine top-10 within the shortlist.
+    "sim_pq_refined" ->
+      s"""WITH $pqCodesCte,
+         |qq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |recon AS (SELECT b.vec_id AS id, flatten(list(cb.c ORDER BY b.sub)) AS ap
+         |          FROM best b JOIN cb ON cb.sub = b.sub AND cb.code = b.code
+         |          GROUP BY b.vec_id),
+         |co AS (SELECT recon.id,
+         |         list_sum([ap[i] * CAST(qe[i] AS DOUBLE) FOR i IN range(1, 65)])
+         |         / (sqrt(list_sum([ap[i] * ap[i] FOR i IN range(1, 65)]))
+         |            * sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+         |                             FOR i IN range(1, 65)]))) AS cos
+         |       FROM recon, qq),
+         |sl AS (SELECT id FROM co ORDER BY cos DESC, id LIMIT 100),
+         |ex AS (SELECT e.vec_id AS id,
+         |         list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+         |                   FOR i IN range(1, 65)])
+         |         / (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+         |                           FOR i IN range(1, 65)]))
+         |            * sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+         |                             FOR i IN range(1, 65)]))) AS cos
+         |       FROM embeddings e, qq
+         |       WHERE e.vec_id IN (SELECT id FROM sl))
+         |SELECT id, cos FROM ex ORDER BY cos DESC, id LIMIT 10""".stripMargin,
     "sim_ivfpq_codes" ->
       s"""WITH $ivfPqCodesCte
          |SELECT id, cell, res_scale,

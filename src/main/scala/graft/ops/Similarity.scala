@@ -1169,6 +1169,145 @@ object Similarity {
     cosineTopK(approx, "id", "__graft_approx", query, k)
   }
 
+  /** Fitted product quantizer: `m` subspaces of `dsub = dim/m` dimensions,
+    * each with its own `k`-codeword codebook (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"). A vector stores one
+    * codeword INDEX per subspace — `m` small ints instead of `dim` floats
+    * (64-dim float32 → 8 bytes at m=8, an 32× cut; [[quantizeEmbedding]]'s
+    * SQ8 cuts 4×). JSON-persistable like [[IvfModel]]. */
+  final case class PqModel(codebooks: Seq[Seq[Seq[Double]]]) {
+    def m: Int = codebooks.length
+    def k: Int = if (codebooks.isEmpty) 0 else codebooks.head.length
+    def dsub: Int =
+      if (codebooks.isEmpty || codebooks.head.isEmpty) 0
+      else codebooks.head.head.length
+    def dim: Int = m * dsub
+    def toJsonString: String = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.compact(JsonMethods.render(JObject(
+        "version" -> JInt(1),
+        "codebooks" -> JArray(codebooks.map(cb =>
+          JArray(cb.map(c => JArray(c.map(JDouble(_)).toList)).toList)).toList))))
+    }
+    def save(path: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), toJsonString)
+  }
+
+  object PqModel {
+    def fromJsonString(json: String): PqModel = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val o = JsonMethods.parse(json)
+      PqModel((o \ "codebooks").asInstanceOf[JArray].arr.map(cb =>
+        cb.asInstanceOf[JArray].arr.map(c =>
+          c.asInstanceOf[JArray].arr.map(jsonNum))))
+    }
+    def load(path: String): PqModel =
+      fromJsonString(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+  }
+
+  /** Train a [[PqModel]]: one capped-sample Lloyd fit PER SUBSPACE over the
+    * sliced sub-vectors (the same DataFrame-native k-means as [[ivfFit]],
+    * seed varied per subspace so codebooks are independent). `m` small fit
+    * jobs; driver holds m × k × dsub doubles. For IVF-PQ composition, fit
+    * on residuals: `pqFit(ivfPqResiduals-style frame, …)` — the codebook
+    * machinery is identical, so the standalone form is the primitive. */
+  def pqFit(
+      df: DataFrame,
+      embCol: String,
+      m: Int,
+      k: Int,
+      seed: Long = 42L,
+      maxIter: Int = 5,
+      maxTrainRows: Long = 100000L,
+  ): PqModel = {
+    require(m >= 1, "m must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val dim = df.select(size(col(embCol))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    PqModel((0 until m).map { j =>
+      ivfCentroids(
+        df.select(slice(col(embCol), j * dsub + 1, dsub).as("__graft_sub")),
+        "__graft_sub", nlist = k, seed = seed + j, maxIter = maxIter,
+        maxTrainRows = maxTrainRows)
+    })
+  }
+
+  /** PQ-encode every vector: per subspace, the nearest codeword's index
+    * (squared L2 argmin, ties to the lower index — [[ivfCell]]'s rule,
+    * native kernel per subspace when installed). Output (id, codes) with
+    * `codes` an m-element int array — the persisted 8-to-32×-smaller form.
+    * One narrow projection, no shuffle, no join (codebooks are plan
+    * literals: m × k × dsub = the model itself, dictionary-sized). */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      model: PqModel,
+  ): DataFrame = {
+    require(model.m >= 1, "model must have at least one codebook")
+    val dsub = model.dsub
+    val codes = array(model.codebooks.zipWithIndex.map { case (cb, j) =>
+      ivfCellFor(df)(slice(col(embCol), j * dsub + 1, dsub), cb)
+    }: _*)
+    df.select(col(idCol).as("id"), codes.as("codes"))
+  }
+
+  /** Top-k search over a [[pqEncode]] table: reconstruct each candidate as
+    * the concatenation of its codewords, exact cosine against the query —
+    * [[cosineTopK]]'s TakeOrderedAndProject over a scan that reads only the
+    * m-int code column. (Asymmetric-distance lookup tables give the same
+    * ranking for cosine-over-reconstruction; the explicit reconstruction
+    * keeps the arithmetic oracle-replayable.) Output (id, cos). */
+  def pqTopK(
+      codes: DataFrame,
+      model: PqModel,
+      query: Seq[Double],
+      k: Int,
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(query.length == model.dim,
+      s"query dim ${query.length} != model dim ${model.dim}")
+    graft.core.Validators.requireColumns(codes, Seq("id", "codes"))
+    // codebooks flattened to one literal array indexed [(j*k + code) * dsub]
+    val flat = typedLit(model.codebooks.flatten.map(_.toSeq))
+    val recon = flatten(transform(
+      sequence(lit(0), lit(model.m - 1)),
+      j => element_at(flat, j * model.k + element_at(col("codes"), j + 1) + 1)))
+    cosineTopK(codes.withColumn("__graft_recon", recon),
+      "id", "__graft_recon", query, k)
+  }
+
+  /** Two-stage PQ retrieval — the production pattern that makes lossy codes
+    * exact where it matters: [[pqTopK]] over the 8-to-32×-smaller code
+    * table produces a `shortlistSize` candidate set (the cheap full scan),
+    * then the shortlist's FULL embeddings are fetched by id and reranked
+    * with exact cosine (the expensive scan touches only `shortlistSize`
+    * rows). Recall converges to exact as shortlistSize/k grows — tune with
+    * [[evalRecall]]. One left-semi id join between the stages; everything
+    * else is the two TakeOrderedAndProject scans. Output (id, cos) with
+    * EXACT scores. */
+  def pqTopKRefined(
+      codes: DataFrame,
+      full: DataFrame,
+      idCol: String,
+      embCol: String,
+      model: PqModel,
+      query: Seq[Double],
+      k: Int,
+      shortlistSize: Int,
+  ): DataFrame = {
+    require(shortlistSize >= k, "shortlistSize must be >= k")
+    graft.core.Validators.requireColumns(full, Seq(idCol, embCol))
+    val shortlist = pqTopK(codes, model, query, shortlistSize)
+      .select(col("id").as("__graft_slid"))
+    cosineTopK(
+      full.join(shortlist, col(idCol) === col("__graft_slid"), "left_semi"),
+      idCol, embCol, query, k)
+  }
+
   /** All-pairs embedding near-duplicates: pairs with cosine ≥ threshold.
     *
     * Scale shape (same machinery as the text dedup path — Dedup's tiled

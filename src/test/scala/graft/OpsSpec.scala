@@ -2094,6 +2094,56 @@ class OpsSpec extends SparkSpec {
     withClue(s"pqFull=$rPqFull: ")(rPqFull shouldBe 1.0)
   }
 
+  // ── Product quantization ─────────────────────────────────────────────
+
+  test("pqFit/pqEncode: codebook shape, JSON round trip, argmin codes") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = Similarity.pqFit(e, "embedding", m = 8, k = 4)
+    (m.m, m.k, m.dsub, m.dim) shouldBe ((8, 4, 8, 64))
+    Similarity.PqModel.fromJsonString(m.toJsonString) shouldBe m
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", m)
+    codes.count() shouldBe e.count()
+    // every code addresses a real codeword
+    val row = codes.filter($"id" === 3L).head().getSeq[Int](1)
+    row should have size 8
+    all(row) should (be >= 0 and be < 4)
+    // hand-check subspace 0's argmin for one vector
+    val emb = e.filter($"vec_id" === 3L).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val d0 = m.codebooks.head.map(c =>
+      c.zip(emb.take(8)).map { case (ci, xi) => (xi - ci) * (xi - ci) }.sum)
+    row.head shouldBe d0.indexOf(d0.min)
+  }
+
+  test("pqTopK surfaces the query; refined rerank recovers near-exact recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val m = Similarity.pqFit(e, "embedding", m = 8, k = 16)
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", m)
+    val truth = Similarity.cosineTopK(e, "vec_id", "embedding", q, 10)
+      .withColumn("query_id", lit(0L))
+    val raw = Similarity.pqTopK(codes, m, q, 10).withColumn("query_id", lit(0L))
+    val rRaw = Similarity.evalRecall(raw, truth, "query_id", "id")
+      .select("recall").head().getDouble(0)
+    // these synthetic embeddings are near-uniform — the hostile regime for
+    // 32x PQ — so raw-code recall is honestly low; the codes must still
+    // preserve self-similarity (the query itself ranks back in)
+    raw.select("id").collect().map(_.getLong(0)) should contain(0L)
+    // the production two-stage form: PQ top-100 shortlist, exact rerank —
+    // recall must strictly dominate the raw codes and be near-exact
+    val refined = Similarity.pqTopKRefined(codes, e, "vec_id", "embedding",
+      m, q, 10, shortlistSize = 100).withColumn("query_id", lit(0L))
+    val rRef = Similarity.evalRecall(refined, truth, "query_id", "id")
+      .select("recall").head().getDouble(0)
+    withClue(s"raw=$rRaw refined=$rRef: ") {
+      rRef should be >= rRaw
+      rRef should be >= 0.7
+    }
+    // exact scores out of the rerank: the top hit is the query itself, cos 1
+    refined.orderBy(col("cos").desc).head().getLong(0) shouldBe 0L
+  }
+
   // ── Classifier ───────────────────────────────────────────────────────
 
   private lazy val clfCorpus = Seq(
