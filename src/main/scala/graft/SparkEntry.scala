@@ -891,6 +891,13 @@ object SparkEntry {
           .withColumn("ckey", md5(col("text").cast("binary"))),
         "ckey", "doc_id", 80)
         .select("doc_id", "ckey", "split")),
+    // Quantile-threshold curation cut: keep the longest 30% of documents
+    // (n_chars as the score). The oracle recomputes the interpolated
+    // 0.7-quantile and the >= filter.
+    "sample_top_fraction" -> ((s, dir) =>
+      Sampling.keepTopFraction(
+        rt(s, dir, "documents").select("doc_id", "n_chars"),
+        "n_chars", fraction = 0.3)),
     // Weighted round-robin training order (5 src0 : 2 src1 : 1 src2 per
     // cycle); the oracle replays the per-source bucket-major rank and the
     // exact integer cycle math.
@@ -2065,6 +2072,9 @@ object SparkEntry {
         |       CASE WHEN (((rep % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 100 < 80
         |            THEN 'train' ELSE 'test' END AS split
         |FROM d JOIN r ON d.ckey IS NOT DISTINCT FROM r.ckey""".stripMargin,
+    "sample_top_fraction" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.7) FROM documents)""".stripMargin,
     "sample_interleave" ->
       """WITH w AS (SELECT * FROM (VALUES ('src0', 5, 0), ('src1', 2, 5), ('src2', 1, 7)) AS v(source, wt, cyc_off)),
         |     h AS (SELECT doc_id, source,

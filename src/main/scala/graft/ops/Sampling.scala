@@ -96,6 +96,35 @@ object Sampling {
     df.withColumn("split", splitDecision(col(idCol), trainPercent))
   }
 
+  /** Keep the best `fraction` of rows by `scoreCol` — the quantile-threshold
+    * curation cut ("train on the top 30% by quality score"): the
+    * (1 − fraction) quantile is computed once, then applied as a pure
+    * narrow `score ≥ threshold` filter. Ties AT the threshold are all
+    * kept (the cut can only err toward keeping slightly more than the
+    * requested fraction, never silently less); NULL scores drop (no
+    * evidence of quality ≠ top-tier quality). `exact = true` uses the
+    * interpolated `percentile` aggregate (DuckDB `quantile_cont`
+    * semantics — oracle-replayable; buffers the column per group);
+    * `exact = false` switches to `approx_percentile` (t-digest, bounded
+    * memory) — the 100 TB form, where a hair of threshold noise is
+    * irrelevant against score noise. One aggregate job + one narrow
+    * filter; the data itself never shuffles or sorts. */
+  def keepTopFraction(
+      df: DataFrame,
+      scoreCol: String,
+      fraction: Double,
+      exact: Boolean = true): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, "fraction must be in (0, 1]")
+    graft.core.Validators.requireColumns(df, Seq(scoreCol))
+    if (fraction == 1.0) return df.filter(col(scoreCol).isNotNull)
+    val p = lit(1.0 - fraction)
+    val thrCol =
+      if (exact) percentile(col(scoreCol), p)
+      else approx_percentile(col(scoreCol), p, lit(10000)).cast("double")
+    val thr = df.agg(thrCol.cast("double")).head().getDouble(0)
+    df.filter(col(scoreCol) >= thr)
+  }
+
   /** Exactly `perKey` rows per stratum, chosen by id hash (fewer when the
     * stratum is smaller): deterministic stratified sampling. One hash
     * shuffle on the stratum key. */

