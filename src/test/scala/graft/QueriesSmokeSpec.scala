@@ -61,11 +61,17 @@ class QueriesSmokeSpec extends SparkSpec {
     "events_rolling_salted" -> 1, "events_sessionize_salted" -> 2,
     "sample_dsir" -> 4,
     "sel_mrmr" -> 0, "sel_smart_correlated" -> 0,
+    "sample_token_budget_bpe" -> 1, "sample_top_fraction" -> 0,
     "sim_ivf" -> 0, "sim_ivf_batch" -> 2, "sim_ivf_bcast" -> 1,
-    "sim_ivfpq" -> 0, "sim_knn" -> 1, "sim_near_dup" -> 3,
+    "sim_ivfpq" -> 0, "sim_ivfpq_codes" -> 0, "sim_knn" -> 1,
+    "sim_near_dup" -> 3,
+    "sim_pq" -> 0, "sim_pq_codes" -> 0, "sim_pq_refined" -> 0,
     "sim_quantize" -> 0, "sim_recall" -> 6, "sim_semantic_dedup" -> 6,
+    "text_bpe" -> 0, "text_chunk_bpe" -> 0,
+    "text_classifier_filter" -> 1, "text_classifier_score" -> 2,
     "text_lm_filter" -> 1, "text_lm_score" -> 2,
     "text_line_dedup" -> 3, "text_span_dedup" -> 10, "text_tfidf" -> 4,
+    "text_url" -> 0, "text_url_filter" -> 0,
   )
 
   // the counter lives in main scope so the regenerator and this spec can
