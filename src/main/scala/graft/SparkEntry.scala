@@ -891,6 +891,22 @@ object SparkEntry {
           .withColumn("ckey", md5(col("text").cast("binary"))),
         "ckey", "doc_id", 80)
         .select("doc_id", "ckey", "split")),
+    // Temperature mix (α=0.5): integer weight table dump — the pow lives
+    // here, driver-side; the membership oracle replays thresholds from it
+    // (the sim_ivf_centroids aux convention).
+    "sample_mix_temp_weights" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.mixGroupsTemperature(
+        rt(s, dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", alpha = 0.5)._2
+        .toSeq.map { case (g, w) => (g, w) }.toDF("grp", "wt")
+    }),
+    // The tempered mixture itself: low-resource languages keep
+    // proportionally more than the natural distribution.
+    "sample_mix_temperature" -> ((s, dir) =>
+      Sampling.mixGroupsTemperature(
+        rt(s, dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", alpha = 0.5)._1),
     // Quantile-threshold curation cut: keep the longest 30% of documents
     // (n_chars as the score). The oracle recomputes the interpolated
     // 0.7-quantile and the >= filter.
@@ -2075,6 +2091,17 @@ object SparkEntry {
     "sample_top_fraction" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.7) FROM documents)""".stripMargin,
+    // mixGroups' threshold replay with the weight table read from the
+    // temperature dump (the pow stays driver-side, by design).
+    "sample_mix_temperature" ->
+      """WITH w AS (SELECT grp AS lang, wt
+        |           FROM read_parquet('{GRAFT_OUT}/sample_mix_temp_weights/*.parquet')),
+        |     n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+        |     k AS (SELECT min(cnt // wt) AS k FROM n JOIN w USING (lang)),
+        |     t AS (SELECT lang, (wt * k * 1000000) // cnt AS thr
+        |           FROM n JOIN w USING (lang) CROSS JOIN k)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
+        |WHERE (((d.doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) % 1000000 < thr""".stripMargin,
     "sample_interleave" ->
       """WITH w AS (SELECT * FROM (VALUES ('src0', 5, 0), ('src1', 2, 5), ('src2', 1, 7)) AS v(source, wt, cyc_off)),
         |     h AS (SELECT doc_id, source,

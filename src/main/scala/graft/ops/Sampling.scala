@@ -258,6 +258,50 @@ object Sampling {
       .drop("__graft_mix_g")
   }
 
+  /** Temperature-based mixture reweighting (the multilingual-pretraining
+    * standard — Conneau & Lample 2019's `p_g ∝ n_g^α`): group weights are
+    * `n_g^alpha` scaled to integers (largest group = `weightScale`, every
+    * group ≥ 1), then [[mixGroups]] downsamples to those proportions.
+    * `alpha = 1` reproduces the natural distribution (weights ∝ counts);
+    * `alpha = 0` is [[balanceGroups]]' uniform mix; in between, head
+    * groups are tempered and tail groups (low-resource languages) keep
+    * proportionally more of their data.
+    *
+    * The pow lives DRIVER-side in the integer weight table (exported
+    * alongside results for replay — floating pow differs across engines in
+    * the last ulp, so it must not sit inside row-level membership
+    * arithmetic); membership itself is [[mixGroups]]' exact-integer hash
+    * threshold, bit-replayable from the weight table by any engine.
+    * Returns (mixed frame, the weight table used). Same scale shape as
+    * [[mixGroups]]: one groupBy-count fit + a pure narrow filter. */
+  def mixGroupsTemperature(
+      df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double,
+      weightScale: Long = 1000L): (DataFrame, Map[String, Long]) = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    require(weightScale >= 1, "weightScale must be >= 1")
+    graft.core.Validators.requireColumns(df, Seq(groupCol, idCol))
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__graft_g"))
+      .agg(count(lit(1)).as("__graft_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty)
+      throw graft.errors.FeatureFactoryException.InvalidParameter(
+        "mixGroupsTemperature: no non-NULL groups to mix")
+    val raw = counts.map { case (g, n) => g -> math.pow(n.toDouble, alpha) }
+    val maxW = raw.values.max
+    // feasibility cap: mixGroups needs weight(g) <= count(g) for every
+    // group (K >= 1), so the integer scale is bounded by the tightest
+    // group — weight granularity is then limited by the smallest group's
+    // size, which is exactly the resolution the data can express anyway
+    val effScale = math.min(weightScale,
+      raw.map { case (g, w) => math.floor(counts(g) * maxW / w).toLong }.min)
+    val weights = raw.map { case (g, w) =>
+      g -> math.max(1L, math.round(effScale * w / maxW))
+    }
+    (mixGroups(df, groupCol, idCol, weights), weights)
+  }
+
   /** Greedy token-budget sequence packing for pretraining batches: orders
     * documents deterministically (id hash), streams them into bins of
     * `capacity` tokens, and emits `(bucket, bin, start_offset)` so a

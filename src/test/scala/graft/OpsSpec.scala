@@ -2033,6 +2033,30 @@ class OpsSpec extends SparkSpec {
     b shouldBe a
   }
 
+  // ── Temperature mixing ───────────────────────────────────────────────
+
+  test("mixGroupsTemperature tempers the head and keeps the tail") {
+    val rows = (1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 500).map(i => (i.toLong, "mid")) ++
+      (501 to 525).map(i => (i.toLong, "small"))
+    val df = rows.toDF("id", "grp")
+    val (mixed, w) = Sampling.mixGroupsTemperature(df, "grp", "id", alpha = 0.5)
+    // weights follow sqrt(n): 400:100:25 → 20:10:5 ratio
+    w("big").toDouble / w("small") shouldBe 4.0 +- 0.3
+    val kept = mixed.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tempering: the small group keeps a LARGER share of its rows
+    val shareSmall = kept("small").toDouble / 25
+    val shareBig = kept("big").toDouble / 400
+    shareSmall should be > shareBig
+    // alpha=0 degenerates to the uniform mix (equal weights)
+    val (_, w0) = Sampling.mixGroupsTemperature(df, "grp", "id", alpha = 0.0)
+    w0.values.toSet should have size 1
+    // alpha=1 reproduces the natural proportions (weights ∝ counts)
+    val (_, w1) = Sampling.mixGroupsTemperature(df, "grp", "id", alpha = 1.0)
+    w1("big").toDouble / w1("small") shouldBe 16.0 +- 0.5
+  }
+
   // ── IVF-SQ8 ──────────────────────────────────────────────────────────
 
   test("ivfPqEncode: cells match assignCells; codes reconstruct within scale/2") {
