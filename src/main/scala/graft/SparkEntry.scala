@@ -70,6 +70,24 @@ object SparkEntry {
         Similarity.pqFit(rt(s, dir, "embeddings"), "embedding", m = 8, k = 16)
           .toJsonString))
 
+  /** The IVF-PQ product queries' shared fit: the SAME deterministic
+    * nlist=8 coarse quantizer as sim_ivf (so its centroid dump replays for
+    * both families) plus m=8 × k=16 residual codebooks — cached per (JVM,
+    * sf dir) like [[pqFitted]], both halves through JSON round trips. */
+  private val ivfPqModels = scala.collection.concurrent.TrieMap
+    .empty[String, (Similarity.IvfModel, Similarity.PqModel)]
+  private def ivfPqFitted(
+      s: SparkSession, dir: String): (Similarity.IvfModel, Similarity.PqModel) =
+    ivfPqModels.getOrElseUpdate(dir, {
+      val e = rt(s, dir, "embeddings")
+      val coarse = Similarity.IvfModel.fromJsonString(
+        Similarity.ivfFit(e, "embedding", nlist = 8).toJsonString)
+      val pq = Similarity.PqModel.fromJsonString(
+        Similarity.ivfPqFitCodebooks(e, "vec_id", "embedding", coarse,
+          m = 8, k = 16).toJsonString)
+      (coarse, pq)
+    })
+
   private val bpeModels =
     scala.collection.concurrent.TrieMap.empty[String, Bpe.BpeModel]
   private def bpeFitted(s: SparkSession, dir: String): Bpe.BpeModel =
@@ -217,6 +235,24 @@ object SparkEntry {
       |            list_filter(string_split(trim(e, chr(31)), chr(31)||chr(31)),
       |                        x -> x <> '') AS toks
       |          FROM fin)""".stripMargin
+
+  /** Shared CTE suffix of the IVF-PQ PRODUCT oracles, composed ON TOP of
+    * [[ivfPqCodesCte]] (which supplies `sc` = id/cell/res and `cent`):
+    * residual per-subspace nearest-codeword replay against the product
+    * codebook dump — ending in `best2` (id, cell, sub, code). */
+  private val ivfPqProductCte =
+    """pq2 AS (SELECT sub, code, list(value ORDER BY pos) AS c2
+      |        FROM read_parquet('{GRAFT_OUT}/sim_ivfpq_product_codebooks/*.parquet')
+      |        GROUP BY sub, code),
+      |sd2 AS (SELECT sc.id, sc.cell, pq2.sub, pq2.code,
+      |          list_sum([(sc.res[pq2.sub * 8 + i] - pq2.c2[i])
+      |                    * (sc.res[pq2.sub * 8 + i] - pq2.c2[i])
+      |                    FOR i IN range(1, 9)]) AS d
+      |        FROM sc CROSS JOIN pq2),
+      |best2 AS (SELECT id, cell, sub, code FROM (
+      |            SELECT id, cell, sub, code,
+      |              row_number() OVER (PARTITION BY id, sub ORDER BY d, code) AS rn
+      |            FROM sd2) WHERE rn = 1)""".stripMargin
 
   /** Shared CTE prefix of the PQ oracles: per-subspace nearest-codeword
     * replay (squared L2 over the 8-dim sub-vector, ties to the lower code)
@@ -1310,6 +1346,38 @@ object SparkEntry {
       val m = pqFitted(s, dir)
       Similarity.pqTopK(
         Similarity.pqEncode(e, "vec_id", "embedding", m), m, q, 10)
+    }),
+    // TRUE IVF-PQ (Jégou 2011 §IV): residual-trained product codebooks —
+    // the aux dump the two product oracles replay over (coarse cells replay
+    // from the shared sim_ivf_centroids dump).
+    "sim_ivfpq_product_codebooks" -> ((s, dir) => {
+      import s.implicits._
+      ivfPqFitted(s, dir)._2.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.flatMap { case (c, code) =>
+          c.zipWithIndex.map { case (v, p) => (j, code, p, v) }
+        }
+      }.toDF("sub", "code", "pos", "value")
+    }),
+    // IVF-PQ codes: coarse cell + 8 product-quantized residual codeword
+    // indices — 4 bytes/vector at this fixture (64× under float32).
+    "sim_ivfpq_product_codes" -> ((s, dir) => {
+      val (coarse, pq) = ivfPqFitted(s, dir)
+      Similarity.ivfPqEncodeProduct(rt(s, dir, "embeddings"),
+        "vec_id", "embedding", coarse, pq)
+        .select(col("id"), col("cell"),
+          array_join(transform(col("codes"), c => c.cast("string")), ",")
+            .as("codes_str"))
+    }),
+    // Search: probe 2 cells, reconstruct centroid + residual codewords,
+    // exact cosine top-10 inside the probed cells.
+    "sim_ivfpq_product" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val (coarse, pq) = ivfPqFitted(s, dir)
+      Similarity.ivfPqTopKProduct(
+        Similarity.ivfPqEncodeProduct(e, "vec_id", "embedding", coarse, pq),
+        coarse, pq, q, 10, nprobe = 2)
     }),
     // Two-stage PQ retrieval: top-100 shortlist from the codes, exact
     // cosine rerank of the shortlist's full embeddings — lossy codes made
@@ -3080,6 +3148,36 @@ object SparkEntry {
          |       FROM embeddings e, qq
          |       WHERE e.vec_id IN (SELECT id FROM sl))
          |SELECT id, cos FROM ex ORDER BY cos DESC, id LIMIT 10""".stripMargin,
+    "sim_ivfpq_product_codes" ->
+      s"""WITH $ivfPqCodesCte,
+         |$ivfPqProductCte
+         |SELECT id, cell,
+         |       array_to_string(list(code ORDER BY sub), ',') AS codes_str
+         |FROM best2 GROUP BY id, cell""".stripMargin,
+    // IVF-PQ product search replay: probe 2 cells, reconstruct
+    // centroid + concatenated residual codewords, exact cosine top-10.
+    "sim_ivfpq_product" ->
+      s"""WITH $ivfPqCodesCte,
+         |$ivfPqProductCte,
+         |qq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |qd AS (SELECT cell_id,
+         |         list_sum([(CAST(qe[i] AS DOUBLE) - c[i]) * (CAST(qe[i] AS DOUBLE) - c[i])
+         |                   FOR i IN range(1, 65)]) AS d
+         |       FROM cent, qq),
+         |probed AS (SELECT cell_id FROM qd ORDER BY d, cell_id LIMIT 2),
+         |fl AS (SELECT b.id, b.cell, flatten(list(p.c2 ORDER BY b.sub)) AS pr
+         |       FROM best2 b JOIN pq2 p ON p.sub = b.sub AND p.code = b.code
+         |       GROUP BY b.id, b.cell),
+         |recon AS (SELECT fl.id, [cent.c[i] + fl.pr[i] FOR i IN range(1, 65)] AS ap
+         |          FROM fl JOIN cent ON fl.cell = cent.cell_id
+         |          WHERE fl.cell IN (SELECT cell_id FROM probed)),
+         |co AS (SELECT recon.id,
+         |         list_sum([ap[i] * CAST(qe[i] AS DOUBLE) FOR i IN range(1, 65)])
+         |         / (sqrt(list_sum([ap[i] * ap[i] FOR i IN range(1, 65)]))
+         |            * sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+         |                             FOR i IN range(1, 65)]))) AS cos
+         |       FROM recon, qq)
+         |SELECT id, cos FROM co ORDER BY cos DESC, id LIMIT 10""".stripMargin,
     "sim_ivfpq_codes" ->
       s"""WITH $ivfPqCodesCte
          |SELECT id, cell, res_scale,

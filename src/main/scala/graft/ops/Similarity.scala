@@ -1096,6 +1096,28 @@ object Similarity {
     * table for the residual; no shuffle anywhere. All arithmetic is
     * engine-portable ([[quantizeEmbedding]]'s floor(x+0.5) rule; the
     * sim_ivfpq_codes oracle replays every code byte-for-byte). */
+  /** (id, cell, __graft_r) — every vector's coarse cell and double residual
+    * against its centroid. The shared first half of [[ivfPqEncode]] (SQ8),
+    * [[ivfPqFitCodebooks]], and [[ivfPqEncodeProduct]]: one assignment pass
+    * + one broadcast join to the nlist-row centroid table, no shuffle. */
+  private def withResiduals(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      model: IvfModel,
+      forceBroadcastAssign: Boolean,
+  ): DataFrame = {
+    require(model.centroids.nonEmpty, "model must have at least one centroid")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = model.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "c")
+    assignCells(df, idCol, embCol, model.centroids, forceBroadcastAssign)
+      .join(broadcast(centDf), "cell")
+      .withColumn("__graft_r",
+        zip_with(col("emb"), col("c"), (a, b) => a.cast("double") - b))
+  }
+
   def ivfPqEncode(
       df: DataFrame,
       idCol: String,
@@ -1103,15 +1125,7 @@ object Similarity {
       model: IvfModel,
       forceBroadcastAssign: Boolean = false,
   ): DataFrame = {
-    require(model.centroids.nonEmpty, "model must have at least one centroid")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val centDf = model.centroids.zipWithIndex.map { case (c, i) => (i, c) }
-      .toDF("cell", "c")
-    val res = assignCells(df, idCol, embCol, model.centroids, forceBroadcastAssign)
-      .join(broadcast(centDf), "cell")
-      .withColumn("__graft_r",
-        zip_with(col("emb"), col("c"), (a, b) => a.cast("double") - b))
+    val res = withResiduals(df, idCol, embCol, model, forceBroadcastAssign)
     val scale =
       array_max(transform(col("__graft_r"), v => abs(v))) / lit(127.0)
     res.withColumn("res_scale", scale)
@@ -1278,6 +1292,95 @@ object Similarity {
       j => element_at(flat, j * model.k + element_at(col("codes"), j + 1) + 1)))
     cosineTopK(codes.withColumn("__graft_recon", recon),
       "id", "__graft_recon", query, k)
+  }
+
+  /** Train the PQ half of a TRUE IVF-PQ index (Jégou et al. 2011, §IV):
+    * product-quantizer codebooks fitted on the COARSE RESIDUALS — the
+    * residual distribution is concentrated around zero after the cell
+    * centroid absorbs the mean, which is exactly where a small shared
+    * codebook spends its codewords well. One residual pass + [[pqFit]]'s m
+    * capped-sample Lloyd fits. */
+  def ivfPqFitCodebooks(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      coarse: IvfModel,
+      m: Int,
+      k: Int,
+      seed: Long = 42L,
+      maxIter: Int = 5,
+      maxTrainRows: Long = 100000L,
+      forceBroadcastAssign: Boolean = false,
+  ): PqModel =
+    pqFit(
+      withResiduals(df, idCol, embCol, coarse, forceBroadcastAssign)
+        .select(col("__graft_r")),
+      "__graft_r", m, k, seed, maxIter, maxTrainRows)
+
+  /** IVF-PQ encoding proper: coarse cell + m PRODUCT-quantized residual
+    * codeword indices — `⌈log2 k⌉·m` bits per vector (64-dim float32 at
+    * m=8, k=16: 4 bytes — 64× smaller; [[ivfPqEncode]]'s SQ8 stops at 4×).
+    * Same no-shuffle shape: one assignment pass, one broadcast centroid
+    * join, per-subspace argmin projections. Output (id, cell, codes). */
+  def ivfPqEncodeProduct(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      coarse: IvfModel,
+      pq: PqModel,
+      forceBroadcastAssign: Boolean = false,
+  ): DataFrame = {
+    require(pq.dim == coarse.dim,
+      s"pq dim ${pq.dim} != coarse dim ${coarse.dim}")
+    val res = withResiduals(df, idCol, embCol, coarse, forceBroadcastAssign)
+    val dsub = pq.dsub
+    val codes = array(pq.codebooks.zipWithIndex.map { case (cb, j) =>
+      ivfCellFor(df)(slice(col("__graft_r"), j * dsub + 1, dsub), cb)
+    }: _*)
+    res.select(col("id"), col("cell"), codes.as("codes"))
+  }
+
+  /** Top-k search over an [[ivfPqEncodeProduct]] table: probe the `nprobe`
+    * nearest cells driver-side, reconstruct candidates as
+    * `cell centroid + concat(residual codewords)`, exact cosine inside the
+    * probed cells ([[cosineTopK]]'s TakeOrderedAndProject — no shuffle).
+    * The scan reads cell + m small ints per row; at scale, partition the
+    * code table by cell and the probe prunes partitions too. For exact
+    * final scores, rerank a shortlist against full embeddings as in
+    * [[pqTopKRefined]] — the stages compose unchanged. Output (id, cos). */
+  def ivfPqTopKProduct(
+      codes: DataFrame,
+      coarse: IvfModel,
+      pq: PqModel,
+      query: Seq[Double],
+      k: Int,
+      nprobe: Int,
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(query.length == coarse.dim,
+      s"query dim ${query.length} != model dim ${coarse.dim}")
+    graft.core.Validators.requireColumns(codes, Seq("id", "cell", "codes"))
+    val probed = coarse.centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < c.length) { val x = query(j) - c(j); d += x * x; j += 1 }
+      (d, i)
+    }.sortBy { case (d, i) => (d, i) }.take(nprobe).map(_._2)
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val centDf = coarse.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "c")
+    val flat = typedLit(pq.codebooks.flatten.map(_.toSeq))
+    val pqRecon = flatten(transform(
+      sequence(lit(0), lit(pq.m - 1)),
+      j => element_at(flat, j * pq.k + element_at(col("codes"), j + 1) + 1)))
+    val approx = codes
+      .filter(col("cell").isin(probed: _*))
+      .join(broadcast(centDf), "cell")
+      .withColumn("__graft_approx",
+        zip_with(col("c"), pqRecon, (a, b) => a + b))
+    cosineTopK(approx, "id", "__graft_approx", query, k)
   }
 
   /** Two-stage PQ retrieval — the production pattern that makes lossy codes

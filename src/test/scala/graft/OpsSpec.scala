@@ -2168,6 +2168,38 @@ class OpsSpec extends SparkSpec {
     refined.orderBy(col("cos").desc).head().getLong(0) shouldBe 0L
   }
 
+  test("IVF-PQ product: cells match, codes address codebooks, search works") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val coarse = Similarity.ivfFit(e, "embedding", nlist = 8)
+    val pq = Similarity.ivfPqFitCodebooks(e, "vec_id", "embedding", coarse,
+      m = 8, k = 16)
+    Similarity.PqModel.fromJsonString(pq.toJsonString) shouldBe pq
+    val codes = Similarity.ivfPqEncodeProduct(e, "vec_id", "embedding", coarse, pq)
+    codes.count() shouldBe e.count()
+    val a = Similarity.assignCells(e, "vec_id", "embedding", coarse.centroids)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    codes.select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap shouldBe a
+    all(codes.head().getSeq[Int](2)) should (be >= 0 and be < 16)
+    // full-probe search: residual-trained codebooks must beat raw-vector
+    // PQ at identical (m, k) — the whole point of quantizing residuals
+    val truth = Similarity.cosineTopK(e, "vec_id", "embedding", q, 10)
+      .withColumn("query_id", lit(0L))
+    val prod = Similarity.ivfPqTopKProduct(codes, coarse, pq, q, 10, nprobe = 8)
+      .withColumn("query_id", lit(0L))
+    val rProd = Similarity.evalRecall(prod, truth, "query_id", "id")
+      .select("recall").head().getDouble(0)
+    val rawPq = Similarity.pqFit(e, "embedding", m = 8, k = 16)
+    val rRaw = Similarity.evalRecall(
+      Similarity.pqTopK(Similarity.pqEncode(e, "vec_id", "embedding", rawPq),
+        rawPq, q, 10).withColumn("query_id", lit(0L)),
+      truth, "query_id", "id").select("recall").head().getDouble(0)
+    withClue(s"product=$rProd rawPq=$rRaw: ") { rProd should be >= rRaw }
+    prod.select("id").collect().map(_.getLong(0)) should contain(0L)
+  }
+
   // ── Classifier ───────────────────────────────────────────────────────
 
   private lazy val clfCorpus = Seq(
