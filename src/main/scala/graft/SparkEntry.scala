@@ -1051,6 +1051,23 @@ object SparkEntry {
       Writer.manifest(rt(s, dir, "documents"),
         groupCols = Seq("lang", "source"), contentCols = Seq("text"),
         tokenCol = Some("n_chars"))),
+    // Release-audit manifest diff: current drop = previous minus French,
+    // with German texts edited and a re-sourced English slice added — one
+    // deterministic instance of each status. The oracle replays both
+    // manifests and the full-outer status join.
+    "sink_manifest_diff" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      val prev = Writer.manifest(d, Seq("lang", "source"), Seq("text"))
+      val cur = d.filter(col("lang") =!= "fr")
+        .withColumn("text",
+          when(col("lang") === "de", concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(d.filter(col("lang") === "en" && col("doc_id") % 7 === 0)
+          .withColumn("source", lit("srcNEW")))
+      Writer.manifestDiff(prev,
+        Writer.manifest(cur, Seq("lang", "source"), Seq("text")),
+        Seq("lang", "source"))
+    }),
     // End-to-end training-prep composition: 40-token chunks (8 overlap) →
     // 256-token training bins, keyed by a (doc, chunk) surrogate id. The
     // 1e6 stride keeps cids collision-free up to 1M chunks/doc (32M-token
@@ -2220,6 +2237,37 @@ object SparkEntry {
         |SELECT doc_id, hh % 16 AS shard,
         |       CAST(row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) - 1 AS BIGINT) AS shard_pos
         |FROM h""".stripMargin,
+    "sink_manifest_diff" ->
+      """WITH prevh AS (SELECT lang, source,
+        |                 CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 15))
+        |                      AS BIGINT) AS ch
+        |               FROM documents),
+        |     prev AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS pn,
+        |                     bit_xor(ch) AS ph
+        |              FROM prevh GROUP BY 1, 2),
+        |     cur0 AS (SELECT lang, source,
+        |                     CASE WHEN lang = 'de' THEN text || ' v2' ELSE text END AS text
+        |              FROM documents WHERE lang <> 'fr'
+        |              UNION ALL
+        |              SELECT lang, 'srcNEW' AS source, text
+        |              FROM documents WHERE lang = 'en' AND doc_id % 7 = 0),
+        |     curh AS (SELECT lang, source,
+        |                 CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 15))
+        |                      AS BIGINT) AS ch
+        |              FROM cur0),
+        |     cur AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS cn,
+        |                    bit_xor(ch) AS cc
+        |             FROM curh GROUP BY 1, 2),
+        |     j AS (SELECT COALESCE(prev.lang, cur.lang) AS lang,
+        |                  COALESCE(prev.source, cur.source) AS source,
+        |                  pn, ph, cn, cc,
+        |                  CASE WHEN prev.lang IS NULL THEN 'added'
+        |                       WHEN cur.lang IS NULL THEN 'removed'
+        |                       WHEN pn <> cn OR ph <> cc THEN 'changed' END AS status
+        |           FROM prev FULL OUTER JOIN cur
+        |             ON prev.lang = cur.lang AND prev.source = cur.source)
+        |SELECT lang, source, status, pn AS prev_rows, cn AS curr_rows
+        |FROM j WHERE status IS NOT NULL""".stripMargin,
     // sample_token_budget's running-sum replay, plus the shard arithmetic:
     // shard = tokens-before DIV 2000, shard_tok_pos = the remainder
     "sink_token_shards" ->

@@ -250,4 +250,43 @@ object Writer {
     if (groupCols.isEmpty) hashed.agg(aggs.head, aggs.tail: _*)
     else hashed.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Release-audit diff of two [[manifest]] tables (e.g. the previous and
+    * the current corpus drop): one row per group whose content CHANGED —
+    * status ∈ {'added' (group only in `current`), 'removed' (only in
+    * `previous`), 'changed' (present in both, but row count or order-free
+    * content checksum differs)}; identical groups don't appear. Output:
+    * group cols, status, then previous/current n_rows. Because the
+    * manifest checksum is order-free, a re-materialized but bit-identical
+    * group never shows up — the diff reports real content movement only.
+    *
+    * Scale shape: manifests are group-cardinality-sized (dictionary
+    * tables), so this is one small full-outer hash join — run it against
+    * 100 TB by diffing the manifests, never the data. */
+  def manifestDiff(
+      previous: DataFrame,
+      current: DataFrame,
+      groupCols: Seq[String],
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    graft.core.Validators.requireColumns(previous,
+      groupCols ++ Seq("n_rows", "content_hash"))
+    graft.core.Validators.requireColumns(current,
+      groupCols ++ Seq("n_rows", "content_hash"))
+    val p = previous.select(
+      groupCols.map(col) ++ Seq(col("n_rows").as("__graft_pn"),
+        col("content_hash").as("__graft_ph"), lit(1).as("__graft_pp")): _*)
+    val c = current.select(
+      groupCols.map(col) ++ Seq(col("n_rows").as("__graft_cn"),
+        col("content_hash").as("__graft_cc"), lit(1).as("__graft_cp")): _*)
+    p.join(c, groupCols, "full_outer")
+      .withColumn("status",
+        when(col("__graft_pp").isNull, lit("added"))
+          .when(col("__graft_cp").isNull, lit("removed"))
+          .when(col("__graft_pn") =!= col("__graft_cn") ||
+            col("__graft_ph") =!= col("__graft_cc"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(groupCols.map(col) ++ Seq(col("status"),
+        col("__graft_pn").as("prev_rows"), col("__graft_cn").as("curr_rows")): _*)
+  }
 }

@@ -196,6 +196,22 @@ class CoreExtrasSpec extends SparkSpec {
     // global form (no group columns): one row over everything, no token col
     val all = Writer.manifest(docs, Nil, Seq("text")).collect()
     all.length shouldBe 1
+    // manifestDiff: added / removed / changed / silent-identical statuses
+    val docs2 = Seq(
+      (1L, "en", "hello", 5L), (2L, "en", "world!", 6L), // en changed
+      (4L, "es", "hola", 4L), // es added; de removed
+    ).toDF("doc_id", "lang", "text", "n_tok")
+    val prev = Writer.manifest(docs, Seq("lang"), Seq("text"), Some("n_tok"))
+    val diff = Writer.manifestDiff(
+      prev, Writer.manifest(docs2, Seq("lang"), Seq("text"), Some("n_tok")),
+      Seq("lang"))
+      .collect().map(r => r.getString(0) -> r.getAs[String]("status")).toMap
+    diff shouldBe Map("en" -> "changed", "de" -> "removed", "es" -> "added")
+    // identical manifests → empty diff (order-free checksums: a reshuffled
+    // re-materialization is NOT a change)
+    Writer.manifestDiff(prev,
+      Writer.manifest(docs.repartition(5), Seq("lang"), Seq("text"), Some("n_tok")),
+      Seq("lang")).count() shouldBe 0L
     all.head.getLong(0) shouldBe 3L
     all.head.getLong(1) shouldBe (h60("hello") ^ h60("world") ^ h60(""))
     // the distinct-set XOR breaks the multiset XOR's even-multiplicity

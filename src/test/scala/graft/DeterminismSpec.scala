@@ -130,4 +130,52 @@ class DeterminismSpec extends SparkSpec {
     withShufflePartitions(3)(ls(docs.repartition(2))) shouldBe
       withShufflePartitions(17)(ls(docs.repartition(9, col("doc_id"))))
   }
+
+  test("round-6 fits and scores are partitioning-independent") {
+    val target = docs.filter($"doc_id" % 3 === 0)
+    val rest = docs.filter($"doc_id" % 3 =!= 0)
+    // BPE fit: the pair-count argmax must break ties by pair, never by
+    // partition arrival order
+    val bm = withShufflePartitions(3)(
+      graft.ops.Bpe.bpeFit(docs.repartition(2), "text", numMerges = 6))
+    val bm2 = withShufflePartitions(17)(
+      graft.ops.Bpe.bpeFit(docs.repartition(9, col("doc_id")), "text", numMerges = 6))
+    bm2.merges shouldBe bm.merges
+    // classifier fit (vocab-boundary ties) + score (fold order)
+    val cm = withShufflePartitions(5)(graft.ops.Classifier.classifierFit(
+      target.repartition(4), rest.repartition(7), "text", vocabSize = 64))
+    val cm2 = withShufflePartitions(11)(graft.ops.Classifier.classifierFit(
+      target.repartition(2), rest.repartition(3, col("doc_id")), "text", vocabSize = 64))
+    cm2.bias shouldBe cm.bias
+    rows(cm2.weights) shouldBe rows(cm.weights)
+    def cs(x: DataFrame) = rows(graft.ops.Classifier
+      .classifierScore(x, "doc_id", "text", cm).select("doc_id", "clf_score"))
+    withShufflePartitions(3)(cs(docs.repartition(2))) shouldBe
+      withShufflePartitions(17)(cs(docs.repartition(9, col("doc_id"))))
+    // PQ fit + codes
+    val pq = withShufflePartitions(3)(
+      graft.ops.Similarity.pqFit(embs.repartition(2), "embedding", m = 4, k = 4))
+    val pq2 = withShufflePartitions(19)(
+      graft.ops.Similarity.pqFit(embs.repartition(9, col("vec_id")), "embedding", m = 4, k = 4))
+    pq2 shouldBe pq
+    def pc(x: DataFrame) = rows(
+      graft.ops.Similarity.pqEncode(x, "vec_id", "embedding", pq))
+    withShufflePartitions(3)(pc(embs.repartition(2))) shouldBe
+      withShufflePartitions(17)(pc(embs.repartition(9, col("vec_id"))))
+    // temperature mix: weight table AND membership
+    def tm(x: DataFrame) = {
+      val (mixed, w) = graft.ops.Sampling.mixGroupsTemperature(
+        x, "label", "vec_id", alpha = 0.5)
+      (rows(mixed), w)
+    }
+    val (ta, wa) = withShufflePartitions(3)(tm(embs.repartition(2)))
+    val (tb, wb) = withShufflePartitions(17)(tm(embs.repartition(9, col("vec_id"))))
+    wb shouldBe wa
+    tb shouldBe ta
+    // quantile cut: exact percentile is merge-order-independent
+    def tf(x: DataFrame) = rows(
+      graft.ops.Sampling.keepTopFraction(x.select($"vec_id", $"label".cast("double").as("s")), "s", 0.4))
+    withShufflePartitions(3)(tf(embs.repartition(2))) shouldBe
+      withShufflePartitions(17)(tf(embs.repartition(9, col("vec_id"))))
+  }
 }
