@@ -88,6 +88,24 @@ object SparkEntry {
       (coarse, pq)
     })
 
+  /** sim_ivfpq_disk's on-disk IVF-SQ8 index, materialized once per (JVM,
+    * sf dir) — the contamIdxDir convention: the WRITE (encode + partitioned
+    * export) is a one-time indexing cost, the query measures the probe
+    * over the partition-pruned read, which is the per-search cost a
+    * production index pays. Fresh directory per build (the bpeFitted
+    * cross-sf-dir rationale). */
+  private val ivfIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ivfDiskIndex(s: SparkSession, dir: String): String =
+    ivfIndexDirs.getOrElseUpdate(dir, {
+      val m = ivfPqFitted(s, dir)._1 // the same deterministic nlist=8 coarse fit
+      val d = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+      Writer.writeIvfIndex(
+        Similarity.ivfPqEncode(rt(s, dir, "embeddings"), "vec_id", "embedding", m),
+        m, d)
+      d
+    })
+
   private val bpeModels =
     scala.collection.concurrent.TrieMap.empty[String, Bpe.BpeModel]
   private def bpeFitted(s: SparkSession, dir: String): Bpe.BpeModel =
@@ -1037,6 +1055,19 @@ object SparkEntry {
     "sink_shards" -> ((s, dir) =>
       Writer.shardAssignments(rt(s, dir, "documents"), "doc_id", 16)
         .select("doc_id", "shard", "shard_pos")),
+    // Curriculum shard layout: 16 exact score-quantile stages over the
+    // character count (integer-valued, so the 15 boundary doubles are
+    // bit-exact on both engines), each stage ordered (score, doc_id). The
+    // oracle replays the coarse boundaries + a per-stage rank; the Scala
+    // side computes the SAME layout through 128 fine-quantile buckets and
+    // driver prefix offsets (fine buckets are monotone in the score, so
+    // the two-level rank is exactly the windowed rank).
+    "sink_curriculum_shards" -> ((s, dir) =>
+      Writer.shardByScoreQuantile(
+        rt(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("double").as("score")),
+        "doc_id", "score", numShards = 16)
+        .select("doc_id", "score", "shard", "shard_pos")),
     // Token-budget shard layout: ~2000-token shards over the whitespace
     // token counts, in the same bucket-major order as sample_token_budget.
     "sink_token_shards" -> ((s, dir) =>
@@ -1168,6 +1199,14 @@ object SparkEntry {
         rt(s, dir, "documents").select(col("doc_id"), col("source"))
           .withColumn("url", synthUrl), "url")
         .select("doc_id", "url", "url_host", "url_domain", "url_path", "url_depth")),
+    // Per-registered-domain provenance ranking (docs, distinct hosts,
+    // token mass) — the table a CCNet-style pipeline ranks to build the
+    // domainFilter blocklist. All-integer aggregates, so the group stats
+    // hash-match exactly.
+    "text_domain_stats" -> ((s, dir) =>
+      Url.domainStats(
+        rt(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("url", synthUrl), "url", tokenCol = Some("n_chars"))),
     // The blocklist filter itself: broadcast LEFT ANTI on the registered
     // domain (PlanSpec pins the broadcast).
     "text_url_filter" -> ((s, dir) =>
@@ -1332,6 +1371,18 @@ object SparkEntry {
         Similarity.ivfFit(e, "embedding", nlist = 8).toJsonString)
       Similarity.ivfPqTopK(
         Similarity.ivfPqEncode(e, "vec_id", "embedding", m), m, q, 10, nprobe = 2)
+    }),
+    // The same IVF-SQ8 search through the materialized on-disk index
+    // (codes hive-partitioned by coarse cell, Writer.writeIvfIndex): the
+    // probe's cell predicate prunes PARTITIONS, so the scan lists only
+    // nprobe of nlist directories (CoreExtrasSpec pins the
+    // PartitionFilters). Same oracle replay as sim_ivfpq — the disk
+    // round trip must change nothing the search can see.
+    "sim_ivfpq_disk" -> ((s, dir) => {
+      val q = rt(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val (codes, m) = Writer.loadIvfIndex(s, ivfDiskIndex(s, dir))
+      Similarity.ivfPqTopK(codes, m, q, 10, nprobe = 2)
     }),
     // Product quantization (Jégou et al. 2011): per-subspace codebook dump
     // backing the two PQ oracles (k-means training itself is not
@@ -2268,6 +2319,22 @@ object SparkEntry {
         |             ON prev.lang = cur.lang AND prev.source = cur.source)
         |SELECT lang, source, status, pn AS prev_rows, cn AS curr_rows
         |FROM j WHERE status IS NOT NULL""".stripMargin,
+    // Curriculum layout replay: the 15 coarse quantile boundaries (exact
+    // binary fractions over integer-valued scores → bit-exact doubles),
+    // shard = #{boundaries ≤ score} (ties go up), rank within shard by
+    // (score, doc_id). The Scala side's 128-fine-bucket two-level rank
+    // reduces to exactly this window.
+    "sink_curriculum_shards" ->
+      """WITH s AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS score FROM documents),
+        |     b AS (SELECT quantile_cont(score,
+        |             [x / 16.0 FOR x IN range(1, 16)]) AS bl FROM s),
+        |     a AS (SELECT doc_id, score,
+        |             CAST(len(list_filter(bl, x -> score >= x)) AS BIGINT) AS shard
+        |           FROM s, b)
+        |SELECT doc_id, score, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY score, doc_id) - 1
+        |            AS BIGINT) AS shard_pos
+        |FROM a""".stripMargin,
     // sample_token_budget's running-sum replay, plus the shard arithmetic:
     // shard = tokens-before DIV 2000, shard_tok_pos = the remainder
     "sink_token_shards" ->
@@ -2573,6 +2640,16 @@ object SparkEntry {
          |$urlFeaturesCte
          |SELECT doc_id, lang, source FROM feats
          |WHERE url_domain NOT IN ('src1.co.uk', 'src3-news.com', 'src0-cdn.org')""".stripMargin,
+    // Same feature CTE, aggregated per registered domain — all-integer
+    // aggregates (count / distinct-host count / n_chars sum).
+    "text_domain_stats" ->
+      s"""WITH u AS (SELECT doc_id, n_chars, $synthUrlSql AS url FROM documents),
+         |$urlFeaturesCte
+         |SELECT url_domain,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT url_host) AS BIGINT) AS n_hosts,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_tokens
+         |FROM feats GROUP BY url_domain""".stripMargin,
     "text_bpe" ->
       s"""WITH RECURSIVE $bpeReplayCte
          |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_bpe,
@@ -3237,6 +3314,31 @@ object SparkEntry {
     // IVF-SQ8 search replay: probe nprobe=2 cells nearest the query,
     // reconstruct centroid + scale·code, exact cosine top-10.
     "sim_ivfpq" ->
+      s"""WITH $ivfPqCodesCte,
+         |qq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |qd AS (SELECT cell_id,
+         |         list_sum([(CAST(qe[i] AS DOUBLE) - c[i]) * (CAST(qe[i] AS DOUBLE) - c[i])
+         |                   FOR i IN range(1, 65)]) AS d
+         |       FROM cent, qq),
+         |probed AS (SELECT cell_id FROM qd ORDER BY d, cell_id LIMIT 2),
+         |recon AS (SELECT sc.id,
+         |            [cent.c[i] + sc.res_scale *
+         |               CAST(CAST(CASE WHEN sc.res_scale > 0.0
+         |                              THEN greatest(-127.0, least(127.0, floor(sc.res[i] / sc.res_scale + 0.5)))
+         |                              ELSE 0.0 END AS INTEGER) AS DOUBLE)
+         |             FOR i IN range(1, 65)] AS ap
+         |          FROM sc JOIN cent ON sc.cell = cent.cell_id
+         |          WHERE sc.cell IN (SELECT cell_id FROM probed)),
+         |co AS (SELECT recon.id,
+         |         list_sum([ap[i] * CAST(qe[i] AS DOUBLE) FOR i IN range(1, 65)])
+         |         / (sqrt(list_sum([ap[i] * ap[i] FOR i IN range(1, 65)]))
+         |            * sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+         |                             FOR i IN range(1, 65)]))) AS cos
+         |       FROM recon, qq)
+         |SELECT id, cos FROM co ORDER BY cos DESC, id LIMIT 10""".stripMargin,
+    // sim_ivfpq through the partitioned on-disk index: the disk round trip
+    // preserves every code bit, so the replay is the same probe SQL.
+    "sim_ivfpq_disk" ->
       s"""WITH $ivfPqCodesCte,
          |qq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |qd AS (SELECT cell_id,

@@ -104,6 +104,37 @@ object Url {
       "left_anti")
   }
 
+  /** Per-registered-domain corpus statistics — the provenance-ranking
+    * table behind CCNet/RefinedWeb-style domain curation: rank domains by
+    * volume (and, via `tokenCol`, by token mass), then feed the tail or
+    * the spam head into [[domainFilter]]'s blocklist. Output per domain:
+    *   url_domain   the registered domain ("" when the url has no
+    *                `scheme://host` prefix; NULL urls group under NULL);
+    *   n_docs       BIGINT document count;
+    *   n_hosts      BIGINT distinct full hosts under the domain (a
+    *                1-doc-per-host long tail under one domain is a spam
+    *                farm signature);
+    *   n_tokens     BIGINT Σ `tokenCol` (only when `tokenCol` is set).
+    * One narrow feature projection + one hash aggregation on the domain —
+    * the result is dictionary-sized (domains, not documents), safe to
+    * collect or broadcast back as a filter. */
+  def domainStats(
+      df: DataFrame,
+      urlCol: String,
+      tokenCol: Option[String] = None,
+      multiSuffixes: Set[String] = DefaultMultiSuffixes): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(urlCol) ++ tokenCol.toSeq)
+    val h = host(col(urlCol))
+    val base = df
+      .withColumn("__graft_host", h)
+      .withColumn("url_domain", registeredDomain(col("__graft_host"), multiSuffixes))
+    val aggs =
+      Seq(count(lit(1)).as("n_docs"),
+        count_distinct(col("__graft_host")).as("n_hosts")) ++
+        tokenCol.map(t => sum(col(t)).cast("long").as("n_tokens")).toSeq
+    base.groupBy(col("url_domain")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** [[domainFilter]] over an in-memory blocklist. */
   def domainFilter(df: DataFrame, urlCol: String, blocked: Seq[String]): DataFrame = {
     import df.sparkSession.implicits._

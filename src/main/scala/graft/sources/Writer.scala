@@ -198,6 +198,117 @@ object Writer {
       .sortWithinPartitions(col("shard"), col("shard_pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Materializes an IVF-SQ8 index on disk: the [[graft.ops.Similarity.ivfPqEncode]]
+    * code table written hive-partitioned by `cell` (one directory per coarse
+    * cell) next to the coarse quantizer's JSON (`<path>/ivf.json`,
+    * codes under `<path>/codes/cell=K/`). This is the layout
+    * [[graft.ops.Similarity.ivfPqTopK]]'s scaladoc promises: its
+    * `cell IN (probed…)` predicate becomes a PARTITION filter on the read,
+    * so a probe lists and scans only `nprobe` of `nlist` directories —
+    * on a 100 TB corpus the search touches nprobe/nlist of the (already
+    * 4×-compressed) bytes, and never the float embeddings. Rows are
+    * clustered per cell before the write so each cell lands in its own
+    * file set rather than one fragment per upstream task. */
+  def writeIvfIndex(
+      codes: DataFrame,
+      model: graft.ops.Similarity.IvfModel,
+      path: String): Unit = {
+    graft.core.Validators.requireColumns(codes,
+      Seq("id", "cell", "res_scale", "res_q"))
+    codes
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    model.save(s"$path/ivf.json")
+  }
+
+  /** Loads a [[writeIvfIndex]] directory back as (code table, coarse
+    * quantizer) — feed both straight into
+    * [[graft.ops.Similarity.ivfPqTopK]]. The `cell` column comes back as a
+    * partition column, so probe filters on it prune directories instead of
+    * scanning them (WriterSpec pins the `PartitionFilters` in the plan). */
+  def loadIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, graft.ops.Similarity.IvfModel) =
+    (spark.read.parquet(s"$path/codes"),
+      graft.ops.Similarity.IvfModel.load(s"$path/ivf.json"))
+
+  /** Curriculum shard layout: shard `k` holds the rows whose `scoreCol`
+    * falls in the k-th exact score quantile, ordered (score, id) within the
+    * shard — the "easy→hard" export for curriculum training schedules
+    * (difficulty = the score; shard index = the curriculum stage). Appends
+    *   shard      0-based quantile index: #{exact quantile boundaries
+    *              i/numShards (i=1..numShards−1) ≤ score} — ties with a
+    *              boundary go UP (a row equal to boundary i starts stage i);
+    *   shard_pos  the row's 0-based rank within its shard under the
+    *              (score asc, id asc) order.
+    * Rows with a NULL id or score are dropped (no defined position).
+    *
+    * Scale shape: the [[shardAssignments]] two-level rank, with quantile
+    * sub-buckets in place of hash range-buckets — a per-shard rank window
+    * would serialize corpus/numShards rows into ONE task's sort, so rows
+    * are bucketed by `numShards·numSubBuckets` FINE quantiles (fine DIV
+    * numSubBuckets = the shard, because the fine boundary list contains
+    * every coarse boundary at the multiples of numSubBuckets), ranked
+    * within (shard, fine bucket) — fine buckets are monotone in the score,
+    * so bucket-major (score, id) order IS the shard's (score, id) order —
+    * and the per-bucket counts prefix-sum on the driver into start
+    * offsets. One percentile aggregate (a numShards·numSubBuckets-double
+    * driver value), one dictionary-sized counts collect, one shuffle.
+    * Keep numShards·numSubBuckets a power of two and scores
+    * integer-valued for bit-exact cross-engine replay (binary fractions +
+    * integer interpolation endpoints make the boundary doubles exact). */
+  def shardByScoreQuantile(
+      df: DataFrame, idCol: String, scoreCol: String, numShards: Int,
+      numSubBuckets: Int = 8): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    require(numSubBuckets >= 1, "numSubBuckets must be >= 1")
+    graft.core.Validators.requireColumns(df, Seq(idCol, scoreCol))
+    graft.core.Validators.requireColumnsAbsent(df,
+      Seq("shard", "shard_pos"), "shardByScoreQuantile")
+    val base0 = df.filter(col(idCol).isNotNull && col(scoreCol).isNotNull)
+    val nFine = numShards * numSubBuckets
+    // exact fine-quantile boundaries; the counts pass below re-reads the
+    // upstream pruned to (id, score) — the shardAssignments no-checkpoint
+    // trade
+    val bounds: Seq[Double] =
+      if (nFine == 1) Nil
+      else base0
+        .agg(percentile(col(scoreCol).cast("double"),
+          lit((1 until nFine).map(_.toDouble / nFine).toArray)))
+        .head().getSeq[Double](0)
+    // fine bucket = #{boundaries ≤ score}: one array-literal fold, not a
+    // nFine-branch when-chain
+    val fine =
+      if (bounds.isEmpty) lit(0)
+      else aggregate(
+        lit(bounds.toArray),
+        lit(0),
+        (acc, b) => acc + when(col(scoreCol).cast("double") >= b, 1).otherwise(0))
+    val base = base0
+      .withColumn("__graft_fine", fine.cast("long"))
+      .withColumn("shard", expr(s"__graft_fine DIV ${numSubBuckets}L"))
+    val counts = base.groupBy(col("shard"), col("__graft_fine"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    import org.apache.spark.sql.types.LongType
+    val startDf = Sampling.broadcastFrame(df.sparkSession,
+      Seq("__graft_ssh" -> LongType, "__graft_sfine" -> LongType,
+        "__graft_start" -> LongType),
+      Sampling.exclusivePrefixByPart(counts.toSeq).map { case (sh, b, s) =>
+        org.apache.spark.sql.Row(sh, b, s) })
+    val w = Window.partitionBy(col("shard"), col("__graft_fine"))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    base
+      .withColumn("__graft_rb", row_number().over(w).cast("long") - 1L)
+      .join(startDf,
+        col("shard") === col("__graft_ssh") &&
+          col("__graft_fine") === col("__graft_sfine"))
+      .withColumn("shard_pos", col("__graft_start") + col("__graft_rb"))
+      .drop("__graft_fine", "__graft_rb", "__graft_start",
+        "__graft_ssh", "__graft_sfine")
+  }
+
   /** Deterministic corpus manifest: per `groupCols` group, the row count,
     * an optional token total, and an ORDER-FREE 60-bit content checksum —
     * the audit record a data release ships next to its shards, so any

@@ -166,6 +166,85 @@ class CoreExtrasSpec extends SparkSpec {
       out.map(t => (t._1, t._3, t._4)).toSet
   }
 
+  test("Writer IVF index: disk probe equals in-memory probe and prunes partitions") {
+    import graft.sources.Writer
+    import graft.ops.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = Similarity.IvfModel.fromJsonString(
+      Similarity.ivfFit(e, "embedding", nlist = 8).toJsonString)
+    val codes = Similarity.ivfPqEncode(e, "vec_id", "embedding", m)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    Writer.writeIvfIndex(codes, m, dir)
+    // one hive directory per coarse cell, quantizer JSON next to them
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    cellDirs.length should be > 1
+    val (back, m2) = Writer.loadIvfIndex(spark, dir)
+    m2.centroids shouldBe m.centroids
+    back.count() shouldBe codes.count()
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val disk = Similarity.ivfPqTopK(back, m2, q, 10, nprobe = 2)
+    // bit-identical search results through the disk round trip
+    rows(disk) shouldBe rows(Similarity.ivfPqTopK(codes, m, q, 10, nprobe = 2))
+    // the probe's cell predicate reaches the scan as a PARTITION filter —
+    // only nprobe of nlist directories are listed/read
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out))(disk.explain("formatted"))
+    out.toString should include regex "PartitionFilters: \\[.*cell.*\\]"
+  }
+
+  test("Writer.shardByScoreQuantile: quantile stages, dense (score, id) ranks") {
+    import graft.sources.Writer
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("n_chars").cast("double").as("score"))
+    val out = Writer.shardByScoreQuantile(docs, "doc_id", "score", 16)
+      .select("doc_id", "score", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    out.length.toLong shouldBe docs.count()
+    // replay the rule driver-side: exact interpolated quantile boundaries
+    // over the sorted scores, shard = #{boundaries ≤ score}, rank within
+    // shard by (score, id)
+    val scores = out.map(t => (t._1, t._2)).sortBy { case (id, s) => (s, id) }
+    val sorted = scores.map(_._2)
+    def quantile(p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (lo + 1 < sorted.length) sorted(lo) + (sorted(lo + 1) - sorted(lo)) * frac
+      else sorted(lo)
+    }
+    val bounds = (1 until 16).map(i => quantile(i / 16.0))
+    var posByShard = collection.mutable.Map.empty[Long, Long]
+    val expect = scores.map { case (id, s) =>
+      val shard = bounds.count(s >= _).toLong
+      val p = posByShard.getOrElse(shard, 0L)
+      posByShard(shard) = p + 1
+      (id, s, shard, p)
+    }.toSet
+    out.toSet shouldBe expect
+    // stages are score-ordered: every stage-k score ≤ every stage-k+1 score
+    val byShard = out.groupBy(_._3)
+    byShard.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        byShard(a).map(_._2).max should be <= byShard(b).map(_._2).min
+      case _ =>
+    }
+    // the 128-fine-bucket two-level rank IS the single-window rank
+    Writer.shardByScoreQuantile(docs, "doc_id", "score", 16, numSubBuckets = 1)
+      .select("doc_id", "score", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toSet shouldBe out.toSet
+    // numShards=1 degenerates to the global (score, id) rank
+    val one = Writer.shardByScoreQuantile(docs, "doc_id", "score", 1)
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    one.map(_._2).toSet shouldBe Set(0L)
+    one.sortBy(_._3).map(_._1).toSeq shouldBe scores.map(_._1).toSeq
+  }
+
   test("Writer.manifest: order-free checksum, null skipping, hand-checked hash") {
     import graft.sources.Writer
     val docs = Seq(

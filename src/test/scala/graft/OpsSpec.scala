@@ -2306,6 +2306,26 @@ class OpsSpec extends SparkSpec {
     kept shouldBe Set(3L, 4L)
   }
 
+  test("Url.domainStats aggregates docs/hosts/tokens per registered domain") {
+    val df = Seq(
+      (1L, "https://www.shop.com/a", 10L),
+      (2L, "https://cdn.shop.com/b", 20L), // second host, same domain
+      (3L, "https://www.shop.com/c", 5L), // repeat host
+      (4L, "http://blog.bbc.co.uk/post", 7L), // multi-part suffix
+      (5L, "no url", 3L), // hostless → "" group
+    ).toDF("id", "url", "tok")
+    val out = Url.domainStats(df, "url", tokenCol = Some("tok")).collect()
+      .map(r => r.getAs[String]("url_domain") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_hosts"),
+          r.getAs[Long]("n_tokens"))).toMap
+    out("shop.com") shouldBe ((3L, 2L, 35L))
+    out("bbc.co.uk") shouldBe ((1L, 1L, 7L))
+    out("") shouldBe ((1L, 1L, 3L))
+    // tokenCol omitted → no n_tokens column
+    Url.domainStats(df, "url").columns.toSeq shouldBe
+      Seq("url_domain", "n_docs", "n_hosts")
+  }
+
   // ── Bpe ──────────────────────────────────────────────────────────────
 
   private lazy val bpeFix = Bpe.BpeModel(Seq(
