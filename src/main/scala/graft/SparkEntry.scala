@@ -1236,6 +1236,14 @@ object SparkEntry {
         bpeFitted(s, dir))
         .select(col("doc_id"), size(col("bpe_tokens")).as("n_bpe"),
           array_join(col("bpe_tokens"), Bpe.Sep).as("bpe_joined"))),
+    // Tokenizer-fit report: chars-per-BPE-token by language under the
+    // English-fitted merge table — the fertility check run before
+    // committing a tokenizer to a pretraining mix (the en slice should
+    // compress best). Integer sums + one exact double division.
+    "text_bpe_stats" -> ((s, dir) =>
+      Bpe.compressionStats(
+        rt(s, dir, "documents").select("doc_id", "lang", "text"),
+        "text", bpeFitted(s, dir), Seq("lang"))),
     // "Train on the first 20k SUBWORD tokens": sample_token_budget with its
     // tokenCol produced by the BPE tokenizer instead of the whitespace
     // proxy — the re-plumbing the token-budget ops were built for.
@@ -2655,6 +2663,21 @@ object SparkEntry {
          |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_bpe,
          |       array_to_string(toks, chr(31)) AS bpe_joined
          |FROM btoks""".stripMargin,
+    // Fertility replay: BPE token counts from the merge-table replay,
+    // char counts + grouping joined back from documents.
+    "text_bpe_stats" ->
+      s"""WITH RECURSIVE $bpeReplayCte,
+         |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe FROM btoks),
+         |g AS (SELECT d.lang, coalesce(length(d.text), 0) AS nc, t.n_bpe
+         |      FROM documents d JOIN t ON d.doc_id = t.doc_id)
+         |SELECT lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nc) AS BIGINT) AS n_chars,
+         |       CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+         |       CASE WHEN sum(n_bpe) > 0
+         |            THEN CAST(sum(nc) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE)
+         |            END AS chars_per_token
+         |FROM g GROUP BY lang""".stripMargin,
     // sample_token_budget's bucket-major running-sum replay, with the token
     // counts swapped for the BPE replay's counts.
     "sample_token_budget_bpe" ->

@@ -159,6 +159,42 @@ object Bpe {
     df.withColumn(outCol, size(bpeTokens(df.sparkSession, col(textCol), model)))
   }
 
+  /** Per-group tokenizer-fit report — the "does this merge table suit this
+    * corpus slice?" table: a tokenizer trained on English spends far more
+    * tokens per character on, say, Chinese, and this surfaces exactly that
+    * (the fertility/compression check run before committing a tokenizer to
+    * a pretraining mix). Per `groupCols` group:
+    *   n_docs           BIGINT document count;
+    *   n_chars          BIGINT Σ code points of `textCol`;
+    *   n_bpe            BIGINT Σ BPE token count under `model`;
+    *   chars_per_token  n_chars / n_bpe as DOUBLE (NULL when the group
+    *                    tokenizes to zero tokens) — higher = better
+    *                    compression, ≈1 = the tokenizer is spelling the
+    *                    group out character by character.
+    * NULL texts count a document but zero chars/tokens. One narrow
+    * tokenize projection + one hash aggregation; the division is one
+    * exact-long by exact-long double op, so any engine replays it
+    * bit-for-bit. */
+  def compressionStats(
+      df: DataFrame,
+      textCol: String,
+      model: BpeModel,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    graft.core.Validators.requireColumns(df, groupCols :+ textCol)
+    df
+      .withColumn("__graft_nb",
+        size(bpeTokens(df.sparkSession, col(textCol), model)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(length(col(textCol)), lit(0))).cast("long").as("n_chars"),
+        sum(col("__graft_nb")).cast("long").as("n_bpe"))
+      .withColumn("chars_per_token",
+        when(col("n_bpe") > 0L,
+          col("n_chars").cast("double") / col("n_bpe").cast("double")))
+  }
+
   /** Learn a merge table from a corpus: classic BPE training on a capped
     * sample (the [[Similarity]] capped-Lloyd convention — fits are
     * dictionary-sized driver state, never corpus-sized). Each round counts

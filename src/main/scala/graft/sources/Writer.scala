@@ -213,8 +213,10 @@ object Writer {
       codes: DataFrame,
       model: graft.ops.Similarity.IvfModel,
       path: String): Unit = {
-    graft.core.Validators.requireColumns(codes,
-      Seq("id", "cell", "res_scale", "res_q"))
+    // the layout cares only about (id, cell) — the payload may be SQ8
+    // residuals (res_scale, res_q → ivfPqTopK) or product codewords
+    // (codes → ivfPqTopKProduct); each probe validates its own columns
+    graft.core.Validators.requireColumns(codes, Seq("id", "cell"))
     codes
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("id"))
@@ -226,7 +228,7 @@ object Writer {
     * quantizer) — feed both straight into
     * [[graft.ops.Similarity.ivfPqTopK]]. The `cell` column comes back as a
     * partition column, so probe filters on it prune directories instead of
-    * scanning them (WriterSpec pins the `PartitionFilters` in the plan). */
+    * scanning them (CoreExtrasSpec pins the `PartitionFilters` in the plan). */
   def loadIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, graft.ops.Similarity.IvfModel) =

@@ -194,6 +194,15 @@ class CoreExtrasSpec extends SparkSpec {
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out))(disk.explain("formatted"))
     out.toString should include regex "PartitionFilters: \\[.*cell.*\\]"
+    // the same layout serves the product-PQ payload (id, cell, codes)
+    val pq = Similarity.ivfPqFitCodebooks(e, "vec_id", "embedding", m,
+      m = 8, k = 16)
+    val pcodes = Similarity.ivfPqEncodeProduct(e, "vec_id", "embedding", m, pq)
+    val pdir = java.nio.file.Files.createTempDirectory("graft_ivfpqidx").toString
+    Writer.writeIvfIndex(pcodes, m, pdir)
+    val (pback, pm) = Writer.loadIvfIndex(spark, pdir)
+    rows(Similarity.ivfPqTopKProduct(pback, pm, pq, q, 10, nprobe = 2)) shouldBe
+      rows(Similarity.ivfPqTopKProduct(pcodes, m, pq, q, 10, nprobe = 2))
   }
 
   test("Writer.shardByScoreQuantile: quantile stages, dense (score, id) ranks") {

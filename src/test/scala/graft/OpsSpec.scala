@@ -2344,6 +2344,22 @@ class OpsSpec extends SparkSpec {
     out(4L) shouldBe Seq("the") // U+001F stripped before tokenization
   }
 
+  test("Bpe.compressionStats reports per-group chars/tokens fertility") {
+    val df = Seq(
+      (1L, "en", "the table"), // merges spell "the"/"table" → few tokens
+      (2L, "en", "the"),
+      (3L, "zh", "xyzq"), // nothing merges → 1 token per char
+      (4L, "zh", null.asInstanceOf[String]), // counts a doc, 0 chars/tokens
+    ).toDF("id", "lang", "text")
+    val out = Bpe.compressionStats(df, "text", bpeFix, Seq("lang")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_bpe"), Option(r.getAs[Any]("chars_per_token"))))).toMap
+    // "the table" → the|' '|table (3), "the" → the (1)
+    out("en") shouldBe ((2L, 12L, 4L, Some(3.0)))
+    out("zh") shouldBe ((2L, 4L, 4L, Some(1.0)))
+  }
+
   test("Bpe native kernel is bit-identical to the REPLACE-chain fallback") {
     val df = Seq(
       (1L, "the quick brown fox leapt over the old stone table"),

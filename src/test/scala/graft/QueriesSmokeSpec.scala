@@ -63,7 +63,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "sel_mrmr" -> 0, "sel_smart_correlated" -> 0,
     "sample_token_budget_bpe" -> 1, "sample_top_fraction" -> 0,
     "sim_ivf" -> 0, "sim_ivf_batch" -> 2, "sim_ivf_bcast" -> 1,
-    "sim_ivfpq" -> 0, "sim_ivfpq_codes" -> 0, "sim_knn" -> 1,
+    "sim_ivfpq" -> 0, "sim_ivfpq_codes" -> 0, "sim_ivfpq_disk" -> 0,
+    "sim_knn" -> 1,
+    "sink_curriculum_shards" -> 1, // one shuffle: the (shard, fine) rank window
+    "text_bpe_stats" -> 1,
+    "text_domain_stats" -> 2, // the standard two-phase distinct-agg (n_hosts)
     "sim_near_dup" -> 3,
     "sim_pq" -> 0, "sim_pq_codes" -> 0, "sim_pq_refined" -> 0,
     "sim_quantize" -> 0, "sim_recall" -> 6, "sim_semantic_dedup" -> 6,
