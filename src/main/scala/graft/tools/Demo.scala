@@ -149,6 +149,27 @@ object Demo {
       graft.ops.Similarity.ivfPqTopK(pqCodes, ivf, q0, 5, nprobe = 2)
         .collect().map(r => r.getLong(0)).mkString(", "))
 
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_demo_idx").toString
+    graft.sources.Writer.writeIvfIndex(pqCodes, ivf, idxDir)
+    val (diskCodes, diskIvf) = graft.sources.Writer.loadIvfIndex(spark, idxDir)
+    println(s"ivf disk index: top-5 over partitioned codes = " +
+      graft.ops.Similarity.ivfPqTopK(diskCodes, diskIvf, q0, 5, nprobe = 2)
+        .collect().map(r => r.getLong(0)).mkString(", "))
+    val dstats = graft.ops.Url.domainStats(urled, "url", Some("n_chars"))
+      .orderBy(col("n_docs").desc).head()
+    println(s"domain stats: top domain ${dstats.getString(0)} with " +
+      s"${dstats.getLong(1)} docs over ${dstats.getLong(2)} hosts")
+    val cur = graft.sources.Writer.shardByScoreQuantile(
+      docs.select(col("doc_id"), col("n_chars").cast("double").as("score")),
+      "doc_id", "score", numShards = 8)
+    println(s"curriculum shards: ${cur.select("shard").distinct().count()} stages; " +
+      s"stage sizes ${cur.groupBy("shard").count().orderBy("shard")
+        .collect().map(_.getLong(1)).mkString(",")}")
+    val fert = graft.ops.Bpe.compressionStats(docs, "text", bpe, Seq("lang"))
+      .orderBy(col("chars_per_token").desc).head()
+    println(f"bpe fertility: best-compressed lang ${fert.getString(0)} at " +
+      f"${fert.getAs[Double]("chars_per_token")}%.2f chars/token")
+
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =
       try { body; println(s"PROBE $name: NO ERROR (unexpected)") }

@@ -106,6 +106,29 @@ class DeterminismSpec extends SparkSpec {
       withShufflePartitions(11)(shards(d.repartition(6, col("doc_id"))))
   }
 
+  test("curriculum shards, domain stats, and BPE fertility ignore physical layout") {
+    val d = docs.withColumn("score", (col("doc_id") % 37).cast("double"))
+      .withColumn("url",
+        concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+          lit(".dom"), (col("doc_id") % 3).cast("string"), lit(".com/x")))
+      .withColumn("tok", col("doc_id") % 11)
+    // heavy score ties (37 values over 300 rows) stress the fine-bucket
+    // boundaries: equal scores must land in one bucket on ANY layout
+    def cur(x: DataFrame) = rows(graft.sources.Writer.shardByScoreQuantile(
+      x.select("doc_id", "score"), "doc_id", "score", 8))
+    withShufflePartitions(3)(cur(d.repartition(2))) shouldBe
+      withShufflePartitions(11)(cur(d.repartition(7, col("doc_id"))))
+    def dom(x: DataFrame) = rows(graft.ops.Url.domainStats(
+      x.select("url", "tok"), "url", Some("tok")))
+    withShufflePartitions(3)(dom(d.repartition(2))) shouldBe
+      withShufflePartitions(11)(dom(d.repartition(5, col("url"))))
+    val bpe = graft.ops.Bpe.BpeModel(Seq("w" -> "1", "d" -> "o", "do" -> "c"))
+    def fert(x: DataFrame) = rows(graft.ops.Bpe.compressionStats(
+      x.withColumn("g", (col("doc_id") % 3).cast("string")), "text", bpe, Seq("g")))
+    withShufflePartitions(3)(fert(d.repartition(2))) shouldBe
+      withShufflePartitions(11)(fert(d.repartition(6, col("doc_id"))))
+  }
+
   test("DSIR and LM scores are bit-identical under any partitioning") {
     // the canonical ascending-value fold is the whole point: collect_list
     // order varies with partitioning, sort_array must erase that
