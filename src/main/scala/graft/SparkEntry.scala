@@ -314,6 +314,35 @@ object SparkEntry {
       |         list_max([abs(res[i]) FOR i IN range(1, 65)]) / 127.0 AS res_scale
       |       FROM r)""".stripMargin
 
+  /** The complete IVF-SQ8 probe replay over [[ivfPqCodesCte]] (probe 2
+    * cells, reconstruct centroid + scale·code, exact cosine top-10) —
+    * shared verbatim by `sim_ivfpq` and `sim_ivfpq_disk`: the disk round
+    * trip preserves every code bit, so ONE probe SQL serves both and the
+    * two oracles can never drift apart. */
+  private lazy val ivfPqSq8ProbeSql =
+    s"""WITH $ivfPqCodesCte,
+       |qq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qd AS (SELECT cell_id,
+       |         list_sum([(CAST(qe[i] AS DOUBLE) - c[i]) * (CAST(qe[i] AS DOUBLE) - c[i])
+       |                   FOR i IN range(1, 65)]) AS d
+       |       FROM cent, qq),
+       |probed AS (SELECT cell_id FROM qd ORDER BY d, cell_id LIMIT 2),
+       |recon AS (SELECT sc.id,
+       |            [cent.c[i] + sc.res_scale *
+       |               CAST(CAST(CASE WHEN sc.res_scale > 0.0
+       |                              THEN greatest(-127.0, least(127.0, floor(sc.res[i] / sc.res_scale + 0.5)))
+       |                              ELSE 0.0 END AS INTEGER) AS DOUBLE)
+       |             FOR i IN range(1, 65)] AS ap
+       |          FROM sc JOIN cent ON sc.cell = cent.cell_id
+       |          WHERE sc.cell IN (SELECT cell_id FROM probed)),
+       |co AS (SELECT recon.id,
+       |         list_sum([ap[i] * CAST(qe[i] AS DOUBLE) FOR i IN range(1, 65)])
+       |         / (sqrt(list_sum([ap[i] * ap[i] FOR i IN range(1, 65)]))
+       |            * sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+       |                             FOR i IN range(1, 65)]))) AS cos
+       |       FROM recon, qq)
+       |SELECT id, cos FROM co ORDER BY cos DESC, id LIMIT 10""".stripMargin
+
   /** Shared CTE prefix of the DSIR oracles: the gram explosion (lowercased
     * whitespace unigrams + bigrams, with multiplicity), the top-4096 raw
     * vocabulary (ties by gram), and the add-1-smoothed round-9 ln-ratio
@@ -2664,12 +2693,16 @@ object SparkEntry {
          |       array_to_string(toks, chr(31)) AS bpe_joined
          |FROM btoks""".stripMargin,
     // Fertility replay: BPE token counts from the merge-table replay,
-    // char counts + grouping joined back from documents.
+    // char counts + grouping joined back from documents. LEFT JOIN +
+    // coalesce keep NULL-text docs counted with 0 chars/tokens, matching
+    // the Scala side (bpeTokens(NULL) = []).
     "text_bpe_stats" ->
       s"""WITH RECURSIVE $bpeReplayCte,
-         |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe FROM btoks),
-         |g AS (SELECT d.lang, coalesce(length(d.text), 0) AS nc, t.n_bpe
-         |      FROM documents d JOIN t ON d.doc_id = t.doc_id)
+         |t AS (SELECT doc_id, CAST(coalesce(len(toks), 0) AS BIGINT) AS n_bpe
+         |      FROM btoks),
+         |g AS (SELECT d.lang, coalesce(length(d.text), 0) AS nc,
+         |             coalesce(t.n_bpe, 0) AS n_bpe
+         |      FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id)
          |SELECT lang,
          |       CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(nc) AS BIGINT) AS n_chars,
@@ -3335,55 +3368,12 @@ object SparkEntry {
          |                        FOR i IN range(1, 65)], ',') AS codes_str
          |FROM sc""".stripMargin,
     // IVF-SQ8 search replay: probe nprobe=2 cells nearest the query,
-    // reconstruct centroid + scale·code, exact cosine top-10.
-    "sim_ivfpq" ->
-      s"""WITH $ivfPqCodesCte,
-         |qq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |qd AS (SELECT cell_id,
-         |         list_sum([(CAST(qe[i] AS DOUBLE) - c[i]) * (CAST(qe[i] AS DOUBLE) - c[i])
-         |                   FOR i IN range(1, 65)]) AS d
-         |       FROM cent, qq),
-         |probed AS (SELECT cell_id FROM qd ORDER BY d, cell_id LIMIT 2),
-         |recon AS (SELECT sc.id,
-         |            [cent.c[i] + sc.res_scale *
-         |               CAST(CAST(CASE WHEN sc.res_scale > 0.0
-         |                              THEN greatest(-127.0, least(127.0, floor(sc.res[i] / sc.res_scale + 0.5)))
-         |                              ELSE 0.0 END AS INTEGER) AS DOUBLE)
-         |             FOR i IN range(1, 65)] AS ap
-         |          FROM sc JOIN cent ON sc.cell = cent.cell_id
-         |          WHERE sc.cell IN (SELECT cell_id FROM probed)),
-         |co AS (SELECT recon.id,
-         |         list_sum([ap[i] * CAST(qe[i] AS DOUBLE) FOR i IN range(1, 65)])
-         |         / (sqrt(list_sum([ap[i] * ap[i] FOR i IN range(1, 65)]))
-         |            * sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
-         |                             FOR i IN range(1, 65)]))) AS cos
-         |       FROM recon, qq)
-         |SELECT id, cos FROM co ORDER BY cos DESC, id LIMIT 10""".stripMargin,
+    // reconstruct centroid + scale·code, exact cosine top-10 (shared with
+    // sim_ivfpq_disk).
+    "sim_ivfpq" -> ivfPqSq8ProbeSql,
     // sim_ivfpq through the partitioned on-disk index: the disk round trip
-    // preserves every code bit, so the replay is the same probe SQL.
-    "sim_ivfpq_disk" ->
-      s"""WITH $ivfPqCodesCte,
-         |qq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |qd AS (SELECT cell_id,
-         |         list_sum([(CAST(qe[i] AS DOUBLE) - c[i]) * (CAST(qe[i] AS DOUBLE) - c[i])
-         |                   FOR i IN range(1, 65)]) AS d
-         |       FROM cent, qq),
-         |probed AS (SELECT cell_id FROM qd ORDER BY d, cell_id LIMIT 2),
-         |recon AS (SELECT sc.id,
-         |            [cent.c[i] + sc.res_scale *
-         |               CAST(CAST(CASE WHEN sc.res_scale > 0.0
-         |                              THEN greatest(-127.0, least(127.0, floor(sc.res[i] / sc.res_scale + 0.5)))
-         |                              ELSE 0.0 END AS INTEGER) AS DOUBLE)
-         |             FOR i IN range(1, 65)] AS ap
-         |          FROM sc JOIN cent ON sc.cell = cent.cell_id
-         |          WHERE sc.cell IN (SELECT cell_id FROM probed)),
-         |co AS (SELECT recon.id,
-         |         list_sum([ap[i] * CAST(qe[i] AS DOUBLE) FOR i IN range(1, 65)])
-         |         / (sqrt(list_sum([ap[i] * ap[i] FOR i IN range(1, 65)]))
-         |            * sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
-         |                             FOR i IN range(1, 65)]))) AS cos
-         |       FROM recon, qq)
-         |SELECT id, cos FROM co ORDER BY cos DESC, id LIMIT 10""".stripMargin,
+    // preserves every code bit, so the replay is the SAME shared probe SQL.
+    "sim_ivfpq_disk" -> ivfPqSq8ProbeSql,
     // Batch-IVF replay over the same centroids dump: per-corpus-row nearest
     // cell, per-QUERY nprobe=2 nearest cells (both ties by cell id), exact
     // cosine + (cos DESC, id) top-10 within the matched cells.

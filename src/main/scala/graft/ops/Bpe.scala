@@ -182,6 +182,9 @@ object Bpe {
       groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     graft.core.Validators.requireColumns(df, groupCols :+ textCol)
+    graft.core.Validators.requireColumnsAbsent(df,
+      Seq("n_docs", "n_chars", "n_bpe", "chars_per_token", "__graft_nb"),
+      "compressionStats")
     df
       .withColumn("__graft_nb",
         size(bpeTokens(df.sparkSession, col(textCol), model)))

@@ -123,14 +123,16 @@ object Url {
       urlCol: String,
       tokenCol: Option[String] = None,
       multiSuffixes: Set[String] = DefaultMultiSuffixes): DataFrame = {
-    graft.core.Validators.requireColumns(df, Seq(urlCol) ++ tokenCol.toSeq)
-    val h = host(col(urlCol))
-    val base = df
-      .withColumn("__graft_host", h)
-      .withColumn("url_domain", registeredDomain(col("__graft_host"), multiSuffixes))
+    graft.core.Validators.requireColumns(df, tokenCol.toSeq)
+    graft.core.Validators.requireColumnsAbsent(df,
+      Seq("n_docs", "n_hosts") ++ tokenCol.map(_ => "n_tokens"), "domainStats")
+    // one extraction implementation (and one url_host/url_domain-absent
+    // guard) for the whole file: the unused path/depth projections are
+    // pruned by Catalyst before the scan
+    val base = urlFeatures(df, urlCol, multiSuffixes)
     val aggs =
       Seq(count(lit(1)).as("n_docs"),
-        count_distinct(col("__graft_host")).as("n_hosts")) ++
+        count_distinct(col("url_host")).as("n_hosts")) ++
         tokenCol.map(t => sum(col(t)).cast("long").as("n_tokens")).toSeq
     base.groupBy(col("url_domain")).agg(aggs.head, aggs.tail: _*)
   }

@@ -176,7 +176,10 @@ object Writer {
     shardByTokenBudget(df, idCol, tokenCol, tokensPerShard, numBuckets)
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("shard_tok_pos"))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
+      .write.mode("overwrite")
+      // a re-export must replace the whole layout (see writeIvfIndex)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("shard").parquet(path)
 
   /** Deterministic training-shard export: hive-partitions the corpus into
     * up to `numShards` directories (`shard=0` … `shard=N-1`; a shard with
@@ -196,7 +199,10 @@ object Writer {
     shardAssignments(df, idCol, numShards)
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("shard_pos"))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
+      .write.mode("overwrite")
+      // a re-export must replace the whole layout (see writeIvfIndex)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("shard").parquet(path)
 
   /** Materializes an IVF-SQ8 index on disk: the [[graft.ops.Similarity.ivfPqEncode]]
     * code table written hive-partitioned by `cell` (one directory per coarse
@@ -209,6 +215,25 @@ object Writer {
     * 4×-compressed) bytes, and never the float embeddings. Rows are
     * clustered per cell before the write so each cell lands in its own
     * file set rather than one fragment per upstream task. */
+  /** Writes `content` through the path's Hadoop filesystem — local, HDFS,
+    * or object store alike (java.nio would break on any non-local URI). */
+  private def writeFsString(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readFsString(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
   def writeIvfIndex(
       codes: DataFrame,
       model: graft.ops.Similarity.IvfModel,
@@ -220,8 +245,14 @@ object Writer {
     codes
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-    model.save(s"$path/ivf.json")
+      .write.mode("overwrite")
+      // a re-index must replace the WHOLE layout: under inherited dynamic
+      // partition overwrite, a refit that leaves a coarse cell empty would
+      // keep the old cell=K directory and probes would mix codes encoded
+      // against two different centroid sets
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(s"$path/codes")
+    writeFsString(codes.sparkSession, s"$path/ivf.json", model.toJsonString)
   }
 
   /** Loads a [[writeIvfIndex]] directory back as (code table, coarse
@@ -233,7 +264,8 @@ object Writer {
       spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, graft.ops.Similarity.IvfModel) =
     (spark.read.parquet(s"$path/codes"),
-      graft.ops.Similarity.IvfModel.load(s"$path/ivf.json"))
+      graft.ops.Similarity.IvfModel.fromJsonString(
+        readFsString(spark, s"$path/ivf.json")))
 
   /** Curriculum shard layout: shard `k` holds the rows whose `scoreCol`
     * falls in the k-th exact score quantile, ordered (score, id) within the
@@ -273,12 +305,14 @@ object Writer {
     // exact fine-quantile boundaries; the counts pass below re-reads the
     // upstream pruned to (id, score) — the shardAssignments no-checkpoint
     // trade
+    // percentile over ZERO rows aggregates to one row holding NULL —
+    // Option-wrap so an empty slice yields an empty layout, not an NPE
     val bounds: Seq[Double] =
       if (nFine == 1) Nil
-      else base0
+      else Option(base0
         .agg(percentile(col(scoreCol).cast("double"),
           lit((1 until nFine).map(_.toDouble / nFine).toArray)))
-        .head().getSeq[Double](0)
+        .head().getSeq[Double](0)).getOrElse(Nil)
     // fine bucket = #{boundaries ≤ score}: one array-literal fold, not a
     // nFine-branch when-chain
     val fine =
