@@ -201,6 +201,36 @@ object SparkEntry {
       |  WHEN 2 THEN 'https://login:pw@' || source || '-cdn.org:8080/dl/v2'
       |  ELSE 'ftp://files.' || source || '.net' END""".stripMargin
 
+  /** The synthetic HTML wrapper of text_strip_html — three shapes keyed on
+    * doc_id % 3 (full page with script/style/comment; inline div with all
+    * six entities and a <br>; no markup at all), derived only from columns
+    * both engines read (the synthUrl convention). */
+  private def synthHtml: org.apache.spark.sql.Column =
+    when(col("doc_id") % 3 === 0,
+      concat(
+        lit("<html><head><title>T</title><style>p {color: red}</style></head>" +
+          "<body><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "<h1>Head</h1><p>"),
+        col("text"),
+        lit("</p><!-- hidden comment --></body></html>")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("<div class=\"a\" data-x=\"1\">"), col("text"),
+          lit(" &amp; more&nbsp;text &lt;tag&gt; &quot;q&#39;</div><br>tail")))
+      .otherwise(col("text"))
+
+  /** SQL twin of [[synthHtml]]. Concatenation operators sit at line ENDS:
+    * this fragment is embedded in oracle strings that stripMargin AFTER
+    * interpolation, which would eat a leading `||`'s first pipe. */
+  private val synthHtmlSql =
+    """CASE doc_id % 3
+      |  WHEN 0 THEN '<html><head><title>T</title><style>p {color: red}</style></head>' ||
+      |              '<body><script type="text/javascript">var x = 1 < 2;</script>' ||
+      |              '<h1>Head</h1><p>' || text ||
+      |              '</p><!-- hidden comment --></body></html>'
+      |  WHEN 1 THEN '<div class="a" data-x="1">' || text ||
+      |              ' &amp; more&nbsp;text &lt;tag&gt; &quot;q&#39;</div><br>tail'
+      |  ELSE text END""".stripMargin
+
   /** SQL replay of [[graft.ops.Url]]'s feature extraction over a `u(doc_id,
     * url, …)` CTE: same RE2 patterns, same label arithmetic, same default
     * multi-suffix set. */
@@ -1228,6 +1258,27 @@ object SparkEntry {
         rt(s, dir, "documents").select(col("doc_id"), col("source"))
           .withColumn("url", synthUrl), "url")
         .select("doc_id", "url", "url_host", "url_domain", "url_path", "url_depth")),
+    // HTML → plain-text extraction over a synthetic page wrapper (the
+    // testdata has no HTML column): script/style/comment removal, block
+    // tags to newlines, entity decode with &amp; last, whitespace
+    // normalization — every step one RE2-portable regexp_replace the
+    // oracle replays verbatim.
+    "text_strip_html" -> ((s, dir) =>
+      TextOps.stripHtml(
+        rt(s, dir, "documents").select(col("doc_id"), col("text"))
+          .withColumn("html", synthHtml), "html")
+        .select("doc_id", "text_plain")),
+    // Rule-based sentence segmentation over deterministically punctuated
+    // text (the corpus has no sentence-final punctuation, so both engines
+    // inject it the same way first): mark punctuation+gap with U+001E,
+    // split, drop empties — one row per sentence with its reading-order id.
+    "text_sentences" -> ((s, dir) =>
+      TextOps.splitSentences(
+        rt(s, dir, "documents").select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"), " join ", ". Join "),
+            " data ", "! Data ").as("ptext")),
+        "doc_id", "ptext")),
     // Per-registered-domain provenance ranking (docs, distinct hosts,
     // token mass) — the table a CCNet-style pipeline ranks to build the
     // domainFilter blocklist. All-integer aggregates, so the group stats
@@ -2677,6 +2728,56 @@ object SparkEntry {
          |$urlFeaturesCte
          |SELECT doc_id, lang, source FROM feats
          |WHERE url_domain NOT IN ('src1.co.uk', 'src3-news.com', 'src0-cdn.org')""".stripMargin,
+    // The same 13-step regexp cascade, step for step: script/style blocks,
+    // comments, block tags → chr(10), all tags, five entities then &amp;,
+    // space collapse, newline collapse, regex trim.
+    "text_strip_html" ->
+      s"""WITH u AS (SELECT doc_id, $synthHtmlSql AS html FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(
+         |            regexp_replace(
+         |              regexp_replace(
+         |                regexp_replace(
+         |                  regexp_replace(
+         |                    regexp_replace(
+         |                      regexp_replace(
+         |                        regexp_replace(
+         |                          regexp_replace(html,
+         |                            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |                          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |                        '(?s)<!--.*?-->', ' ', 'g'),
+         |                      '(?i)</(p|div|li|h[1-6]|tr)>|<br[^>]*>', chr(10), 'g'),
+         |                    '(?s)<[^>]*>', ' ', 'g'),
+         |                  '&nbsp;', ' ', 'g'),
+         |                '&lt;', '<', 'g'),
+         |              '&gt;', '>', 'g'),
+         |            '&quot;', '"', 'g'),
+         |          '&#39;', chr(39), 'g'),
+         |        '&amp;', '&', 'g'),
+         |      '[ \\t]+', ' ', 'g'),
+         |    ' *\\n[ \\n]*', chr(10), 'g')
+         |    .regexp_replace('^\\s+|\\s+$$', '', 'g') AS text_plain
+         |FROM u""".stripMargin,
+    // Mark-then-split replay: same punctuation injection, same
+    // ([.!?])\s+ → \1 + U+001E rewrite, list positions as sentence ids,
+    // empties dropped AFTER position assignment (as posexplode does).
+    "text_sentences" ->
+      """WITH p AS (SELECT doc_id,
+        |             regexp_replace(regexp_replace(text, ' join ', '. Join ', 'g'),
+        |                            ' data ', '! Data ', 'g') AS ptext
+        |           FROM documents),
+        |     m AS (SELECT doc_id,
+        |             string_split(regexp_replace(ptext, '([.!?])\s+',
+        |                                         '\1' || chr(30), 'g'),
+        |                          chr(30)) AS l
+        |           FROM p),
+        |     x AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM m)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS sent_id, l[i] AS sentence
+        |FROM x WHERE l[i] <> ''""".stripMargin,
     // Same feature CTE, aggregated per registered domain — all-integer
     // aggregates (count / distinct-host count / n_chars sum).
     "text_domain_stats" ->

@@ -399,6 +399,73 @@ object TextOps {
     df.withColumn(textCol, scrubbed)
   }
 
+  /** HTML → plain-text extraction — the boilerplate-stripping stage a web
+    * corpus (Common-Crawl-style) runs before any quality/dedup work. A
+    * deliberately rule-based, RE2-portable cascade (the [[redactPii]]
+    * convention — no HTML parser dependency, identical semantics in any
+    * engine):
+    *   1. `<script>`/`<style>` blocks (content and all) → one space;
+    *   2. HTML comments → one space;
+    *   3. block-closing tags (`</p> </div> </li> </h1..6> </tr>`) and
+    *      `<br>` → newline (so block structure survives as line breaks);
+    *   4. every remaining tag → one space;
+    *   5. the five ubiquitous entities decoded (`&nbsp; &lt; &gt; &quot;
+    *      &#39;`), then `&amp;` LAST — decoding `&amp;` first would
+    *      double-decode `&amp;lt;` into `<`;
+    *   6. whitespace normalization: runs of spaces/tabs → one space,
+    *      newline runs (with surrounding spaces) → one newline, trimmed.
+    * One narrow projection per row, no shuffle. Not a sanitizer — malformed
+    * HTML degrades gracefully (unmatched `<` survives as text), which is
+    * the right failure mode for a lossy extraction stage. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noComments = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val blocksAsNewlines = regexp_replace(noComments,
+      "(?i)</(p|div|li|h[1-6]|tr)>|<br[^>]*>", "\n")
+    val noTags = regexp_replace(blocksAsNewlines, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&",
+    ).foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    // regex trim, not trim(): leading/trailing NEWLINES must go too
+    regexp_replace(
+      regexp_replace(regexp_replace(decoded, "[ \\t]+", " "),
+        " *\\n[ \\n]*", "\n"),
+      "^\\s+|\\s+$", "")
+  }
+
+  /** [[htmlToText]] as a stage: appends `outCol` with the extracted plain
+    * text of `htmlCol`. */
+  def stripHtml(
+      df: DataFrame, htmlCol: String, outCol: String = "text_plain"): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(htmlCol))
+    graft.core.Validators.requireColumnsAbsent(df, Seq(outCol), "stripHtml")
+    df.withColumn(outCol, htmlToText(col(htmlCol)))
+  }
+
+  /** Rule-based sentence segmentation — the granularity shift for
+    * sentence-level dedup/analysis: a sentence ends at `. ! ?` followed by
+    * whitespace (RE2-portable — no lookbehind, so the rule is "mark then
+    * split": punctuation+gap is rewritten to punctuation+U+001E and the
+    * text splits on the marker). Output one row per non-empty sentence:
+    * (`idCol`, `sent_id` = 0-based position in reading order, `sentence`);
+    * a document with no sentence-final punctuation is one sentence.
+    * Abbreviation dots ("Dr. Smith") split — the standard trade of every
+    * rule-based splitter; at curation scale recall beats precision. One
+    * narrow projection + generator, no shuffle. */
+  def splitSentences(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(idCol, textCol))
+    graft.core.Validators.requireColumnsAbsent(df,
+      Seq("sent_id", "sentence"), "splitSentences")
+    val marked = regexp_replace(col(textCol), "([.!?])\\s+", "$1\u001E")
+    df.select(col(idCol),
+      posexplode(split(marked, "\u001E")).as(Seq("sent_id", "sentence")))
+      .filter(col("sentence") =!= "")
+  }
+
   /** Token-window document chunking — the context-length splitting step
     * before tokenization/packing: each document becomes
     * ceil-many windows of `chunkSize` whitespace tokens advancing by

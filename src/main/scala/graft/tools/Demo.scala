@@ -165,10 +165,24 @@ object Demo {
     println(s"curriculum shards: ${cur.select("shard").distinct().count()} stages; " +
       s"stage sizes ${cur.groupBy("shard").count().orderBy("shard")
         .collect().map(_.getLong(1)).mkString(",")}")
-    val fert = graft.ops.Bpe.compressionStats(docs, "text", bpe, Seq("lang"))
+    // project off documents' own n_chars — compressionStats guards its
+    // output names against silent overwrite
+    val fert = graft.ops.Bpe.compressionStats(
+      docs.select("doc_id", "lang", "text"), "text", bpe, Seq("lang"))
       .orderBy(col("chars_per_token").desc).head()
     println(f"bpe fertility: best-compressed lang ${fert.getString(0)} at " +
       f"${fert.getAs[Double]("chars_per_token")}%.2f chars/token")
+
+    val htmled = docs.withColumn("html",
+      concat(lit("<html><body><script>x()</script><p>"), col("text"),
+        lit("</p><!-- c --></body></html>")))
+    println(s"strip html: tags survive in " +
+      s"${graft.ops.TextOps.stripHtml(htmled, "html")
+        .filter(col("text_plain").contains("<p>")).count()} of ${htmled.count()} docs")
+    val sentDocs = docs.withColumn("ptext",
+      regexp_replace(col("text"), " join ", ". Join "))
+    println(s"sentences: ${graft.ops.TextOps.splitSentences(
+      sentDocs, "doc_id", "ptext").count()} sentences from ${docs.count()} docs")
 
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =

@@ -2273,6 +2273,39 @@ class OpsSpec extends SparkSpec {
     p should be > 0.5
   }
 
+  test("TextOps.htmlToText strips blocks/tags, decodes entities once, keeps structure") {
+    val df = Seq(
+      (1L, "<html><head><style>p{c:1}</style></head><body>" +
+        "<script>if(1<2){x()}</script><h1>Title</h1><p>first para</p>" +
+        "<p>second</p><!-- hidden --></body></html>"),
+      (2L, "plain text stays"),
+      (3L, "a &amp;lt; b &nbsp;&quot;q&#39;"), // &amp;lt; must NOT double-decode
+      (4L, "x<br>y<BR/>z"), // br (any case/shape) becomes a line break
+    ).toDF("id", "html")
+    val out = TextOps.stripHtml(df, "html").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("text_plain")).toMap
+    out(1L) shouldBe "Title\nfirst para\nsecond"
+    out(2L) shouldBe "plain text stays"
+    out(3L) shouldBe "a &lt; b \"q'"
+    out(4L) shouldBe "x\ny\nz"
+  }
+
+  test("TextOps.splitSentences: reading-order ids, empties dropped, no lookbehind") {
+    val df = Seq(
+      (1L, "One. Two two! Three? End"),
+      (2L, "no punct at all"),
+      (3L, "Trailing. "), // trailing gap → empty tail dropped
+      (4L, "Dr. Smith went home."), // the documented abbreviation trade
+    ).toDF("id", "text")
+    val out = TextOps.splitSentences(df, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._2, t._3)).toSeq).toMap
+    out(1L) shouldBe Seq((0, "One."), (1, "Two two!"), (2, "Three?"), (3, "End"))
+    out(2L) shouldBe Seq((0, "no punct at all"))
+    out(3L) shouldBe Seq((0, "Trailing."))
+    out(4L) shouldBe Seq((0, "Dr."), (1, "Smith went home."))
+  }
+
   // ── Url ──────────────────────────────────────────────────────────────
 
   test("Url.urlFeatures extracts host/domain/path/depth across URL shapes") {
