@@ -854,6 +854,16 @@ object SparkEntry {
     // The cleaned corpus: one representative (min id) per near-dup cluster.
     "dedup_corpus" -> ((s, dir) =>
       Dedup.dedupCorpus(docsWithDups(s, dir), "doc_id", "text")),
+    // Quality-representative dedup: same clusters, but the survivor is the
+    // BEST-scoring member (ties → min id). The synthetic score doc_id % 7
+    // makes originals and their +10000 copies disagree, so the keep rule
+    // genuinely differs from dedup_corpus's min-id on every dup cluster.
+    "dedup_corpus_best" -> ((s, dir) =>
+      Dedup.dedupCorpusBy(
+        docsWithDups(s, dir)
+          .withColumn("score", (col("doc_id") % 7).cast("double")),
+        "doc_id", "text", "score")
+        .drop("score")),
     // Benchmark-contamination check: right corpus = every 3rd document; the
     // cross-side true-Jaccard ≥ 0.8 pairs are each right doc against its
     // identical left self plus cross near-dups — replayed exactly in DuckDB.
@@ -1027,6 +1037,15 @@ object SparkEntry {
       Sampling.keepTopFraction(
         rt(s, dir, "documents").select("doc_id", "n_chars"),
         "n_chars", fraction = 0.3)),
+    // Epoch replication (zh ×2.5, fr ×0.5, en ×1 explicit, de/es default
+    // ×1): every copy carries its 0-based epoch index; the fractional
+    // epoch membership is the same minstd integer-threshold rule the
+    // sampling family replays.
+    "sample_upsample" -> ((s, dir) =>
+      Sampling.upsampleGroups(
+        rt(s, dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id",
+        Map("zh" -> 2.5, "fr" -> 0.5, "en" -> 1.0))),
     // Weighted round-robin training order (5 src0 : 2 src1 : 1 src2 per
     // cycle); the oracle replays the per-source bucket-major rank and the
     // exact integer cycle math.
@@ -1367,6 +1386,12 @@ object SparkEntry {
     "text_corpus_stats" -> ((s, dir) =>
       TextOps.corpusStats(
         rt(s, dir, "documents").select("lang", "text"), "lang", "text")),
+    // Context-window audit: per lang, docs over a 64-token window and the
+    // token mass inside / past it — exact integer sums end to end.
+    "text_truncation_report" -> ((s, dir) =>
+      TextOps.truncationReport(
+        rt(s, dir, "documents").select("lang", "text"),
+        "lang", "text", contextLen = 64)),
     // Unicode canonicalization + case/whitespace folding. The synthetic
     // corpus is ASCII so the normalization legs are identity here — the
     // accent/ligature/width behavior is pinned by unit fixtures; this
@@ -1736,6 +1761,27 @@ object SparkEntry {
         Similarity.cosineNearDupPairs(withDups, "vec_id", "embedding", threshold = 0.99)
           .select("id_a", "id_b"))
         .select(col("id").as("vec_id"), col("cluster_id"))
+    }),
+    // SSL-prototypes score: cosine of each vector to its own cell's
+    // centroid (same deterministic nlist=8 fit as sim_ivf_centroids, whose
+    // dump the oracle replays assignment + cosine from).
+    "sim_prototypicality" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val m = Similarity.IvfModel.fromJsonString(
+        Similarity.ivfFit(e, "embedding", nlist = 8).toJsonString)
+      Similarity.prototypicalityScore(e, "vec_id", "embedding", m)
+        .select(col("id").as("vec_id"), col("cell"), col("proto"))
+    }),
+    // D4-style per-cluster prune: drop the 25% most prototypical of each
+    // cell (exact integer cut ⌊n·250000/1000000⌋, ranked on the rounded
+    // score, ties by id) — the oracle replays the rank window and the cut.
+    "sim_proto_prune" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val m = Similarity.IvfModel.fromJsonString(
+        Similarity.ivfFit(e, "embedding", nlist = 8).toJsonString)
+      Similarity.pruneByPrototypicality(e, "vec_id", "embedding", m,
+        dropFraction = 0.25)
+        .select("vec_id")
     }),
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.withBinaryMeta(
@@ -2166,6 +2212,25 @@ object SparkEntry {
          |   SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
          | keep AS (SELECT id FROM walk GROUP BY id HAVING min(lbl) = id)
          |SELECT u.* FROM u JOIN keep ON u.doc_id = keep.id""".stripMargin,
+    // Same component walk; the survivor is the member with the max score
+    // (doc_id % 7 here), ties → min id.
+    "dedup_corpus_best" ->
+      s"""WITH RECURSIVE
+         | u AS ($docsWithDupsSql),
+         | pairs AS ($ngramJaccardOracleSql),
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |           UNION ALL SELECT id_b, id_a FROM pairs),
+         | walk(id, lbl) AS (
+         |   SELECT doc_id, doc_id FROM u
+         |   UNION
+         |   SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+         | lbl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+         | keep AS (SELECT doc_id FROM (
+         |     SELECT doc_id,
+         |            row_number() OVER (PARTITION BY cluster_id
+         |                               ORDER BY CAST(doc_id % 7 AS DOUBLE) DESC, doc_id) AS rn
+         |     FROM lbl) WHERE rn = 1)
+         |SELECT u.* FROM u JOIN keep ON u.doc_id = keep.doc_id""".stripMargin,
     "asof_join" ->
       """SELECT l.event_id, l.user_id, l.ts, l.value,
         |       r.ts AS ts_view, r.value AS value_view
@@ -2315,6 +2380,18 @@ object SparkEntry {
     "sample_top_fraction" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.7) FROM documents)""".stripMargin,
+    // Epoch replication replay: whole copies + the minstd fractional-epoch
+    // threshold (zh: 2+½, fr: 0+½, en: 1+0, absent langs default 1).
+    "sample_upsample" ->
+      """WITH t AS (SELECT * FROM (VALUES ('zh', 2, 500000), ('fr', 0, 500000), ('en', 1, 0))
+        |             AS v(lang, whole, thr)),
+        |     c AS (SELECT d.doc_id, d.lang,
+        |             COALESCE(t.whole, 1)
+        |               + CASE WHEN (((d.doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647)
+        |                           % 1000000 < COALESCE(t.thr, 0) THEN 1 ELSE 0 END AS copies
+        |           FROM documents d LEFT JOIN t USING (lang))
+        |SELECT doc_id, lang, CAST(epoch AS INTEGER) AS epoch FROM (
+        |  SELECT doc_id, lang, unnest(range(copies)) AS epoch FROM c)""".stripMargin,
     // mixGroups' threshold replay with the weight table read from the
     // temperature dump (the pow stays driver-side, by design).
     "sample_mix_temperature" ->
@@ -2922,6 +2999,18 @@ object SparkEntry {
         |  quantile_cont(n, 0.5) AS p50_tokens,
         |  quantile_cont(n, 0.9) AS p90_tokens
         |FROM t GROUP BY lang""".stripMargin,
+    "text_truncation_report" ->
+      """WITH t AS (SELECT lang,
+        |             CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                                  x -> x <> '')) AS BIGINT) AS n
+        |           FROM documents)
+        |SELECT lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens,
+        |  CAST(sum(least(n, 64)) AS BIGINT) AS tokens_kept,
+        |  CAST(sum(greatest(n - 64, 0)) AS BIGINT) AS tokens_lost
+        |FROM t GROUP BY lang""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),
@@ -3385,6 +3474,52 @@ object SparkEntry {
         |                                 FOR i IN range(1, 65)]))) AS cos
         |           FROM sel, q)
         |SELECT id, cos FROM c ORDER BY cos DESC, id LIMIT 10""".stripMargin,
+    // Prototypicality replay: cell assignment from the centroid dump (same
+    // sq-dist + (d, cell) tie rule as sim_ivf), then the rounded cosine of
+    // each vector to its own cell's centroid.
+    "sim_prototypicality" ->
+      """WITH cent AS (SELECT cell_id, list(value ORDER BY pos) AS c
+        |              FROM read_parquet('{GRAFT_OUT}/sim_ivf_centroids/*.parquet')
+        |              GROUP BY cell_id),
+        |     ad AS (SELECT e.vec_id, e.embedding, cent.cell_id, cent.c,
+        |              list_sum([(CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        * (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        FOR i IN range(1, 65)]) AS d
+        |            FROM embeddings e CROSS JOIN cent),
+        |     assign AS (SELECT vec_id, embedding, cell_id, c,
+        |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+        |                FROM ad)
+        |SELECT vec_id, cell_id AS cell,
+        |       round(list_sum([CAST(embedding[i] AS DOUBLE) * c[i] FOR i IN range(1, 65)])
+        |             / (sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                               FOR i IN range(1, 65)]))
+        |                * sqrt(list_sum([c[i] * c[i] FOR i IN range(1, 65)]))), 9) AS proto
+        |FROM assign WHERE rn = 1""".stripMargin,
+    // Per-cell prune replay: rank on the ROUNDED proto (ties by id), exact
+    // integer cut ⌊n·250000/1000000⌋ per cell.
+    "sim_proto_prune" ->
+      """WITH cent AS (SELECT cell_id, list(value ORDER BY pos) AS c
+        |              FROM read_parquet('{GRAFT_OUT}/sim_ivf_centroids/*.parquet')
+        |              GROUP BY cell_id),
+        |     ad AS (SELECT e.vec_id, e.embedding, cent.cell_id, cent.c,
+        |              list_sum([(CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        * (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        FOR i IN range(1, 65)]) AS d
+        |            FROM embeddings e CROSS JOIN cent),
+        |     assign AS (SELECT vec_id, embedding, cell_id, c,
+        |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+        |                FROM ad),
+        |     p AS (SELECT vec_id, cell_id,
+        |             round(list_sum([CAST(embedding[i] AS DOUBLE) * c[i] FOR i IN range(1, 65)])
+        |                   / (sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                                     FOR i IN range(1, 65)]))
+        |                      * sqrt(list_sum([c[i] * c[i] FOR i IN range(1, 65)]))), 9) AS proto
+        |           FROM assign WHERE rn = 1),
+        |     r AS (SELECT vec_id,
+        |             row_number() OVER (PARTITION BY cell_id ORDER BY proto DESC, vec_id) AS rnk,
+        |             count(*) OVER (PARTITION BY cell_id) AS n
+        |           FROM p)
+        |SELECT vec_id FROM r WHERE rnk > (n * 250000) // 1000000""".stripMargin,
     "sim_pq_codes" ->
       s"""WITH $pqCodesCte
          |SELECT vec_id AS id,

@@ -1008,6 +1008,44 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** [[dedupCorpus]] with a QUALITY keep rule: per duplicate cluster the
+    * survivor is the member with the LARGEST `scoreCol` (ties → smallest
+    * id), not the smallest id. Production pipelines keep the best page of
+    * a mirror set — the longest extraction, the highest classifier score —
+    * because near-duplicate clusters mix a clean original with truncated /
+    * boilerplate-wrapped copies, and min-id keeps whichever happened to be
+    * crawled first. NULL scores order LAST (a scoreless copy never beats a
+    * scored one); clustering itself is [[duplicateClustersByText]]
+    * unchanged, so the surviving CLUSTERS are identical to
+    * [[dedupCorpus]]'s — only the representative within each changes.
+    *
+    * Scale shape: adds exactly one shuffle over dedupCorpus — a
+    * (cluster_id)-partitioned rank window on the (id, score, cluster) frame,
+    * which is id-table-sized, never corpus-row-sized text. The final
+    * keep-filter stays a left-semi hash join on the id. */
+  def dedupCorpusBy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(idCol, textCol, scoreCol))
+    import org.apache.spark.sql.expressions.Window
+    val labels = duplicateClustersByText(df, idCol, textCol, n, numHashes, bands, threshold)
+    val keep = df.select(col(idCol), col(scoreCol).as("__graft_score"))
+      .join(labels, idCol)
+      .withColumn("__graft_rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("__graft_score").desc_nulls_last, col(idCol).asc)))
+      .filter(col("__graft_rn") === 1)
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Incremental-ingest dedup: the rows of `incoming` that survive against
     * an EXISTING corpus — drop every incoming doc with a near-duplicate
     * already in `corpus` (asymmetric [[crossDupPairs]] check — the corpus

@@ -302,6 +302,57 @@ object Sampling {
     (mixGroups(df, groupCol, idCol, weights), weights)
   }
 
+  /** Upsample (or thin) groups by a REAL-valued factor — the "books × 3
+    * epochs, code × 1.5, web × 1" replication step of pretraining-mix
+    * assembly, the direction [[mixGroups]] (downsample-only) cannot go.
+    * Every row in group g is emitted `⌊f⌋` times, plus one more iff the
+    * row's id-hash bucket falls under the fractional part — so the group's
+    * output mass is ≈ `f × count(g)` and which rows carry the extra epoch
+    * is deterministic, engine-replayable [[minstdHash]] arithmetic (the
+    * fractional thresholds are integerized ONCE driver-side; no per-row
+    * float compare). Factors < 1 thin the group the same way ([[hashSample]]
+    * semantics); groups absent from `factors` keep exactly 1 copy — this op
+    * ADDS epochs to a corpus, it does not select a mixture (that is
+    * [[mixGroups]]' contract). A 0-copy row is dropped before the
+    * generator, so no empty-sequence edge exists.
+    *
+    * Output appends an `epoch` column (0-based copy index) — downstream
+    * shuffling/sharding then treats each (row, epoch) as a distinct
+    * training example, and a loader that wants epoch boundaries can
+    * partition on it. Scale shape: one narrow projection + generator
+    * (explode of a ≤⌈f⌉-element sequence) — no shuffle, no fit job, output
+    * rows ≈ Σ f_g·n_g. */
+  def upsampleGroups(
+      df: DataFrame, groupCol: String, idCol: String,
+      factors: Map[String, Double],
+      denom: Long = 1000000L): DataFrame = {
+    require(factors.nonEmpty, "factors must be non-empty")
+    factors.foreach { case (g, f) =>
+      require(f >= 0.0 && f.isFinite, s"factor for group '$g' must be finite and >= 0 (got $f)") }
+    require(denom >= 1, "denom must be >= 1")
+    graft.core.Validators.requireColumns(df, Seq(groupCol, idCol))
+    graft.core.Validators.requireColumnsAbsent(df, Seq("epoch"), "upsampleGroups")
+    // integerize once, driver-side: whole copies + the fractional-part hash
+    // threshold in [0, denom] — identical literals land in the oracle SQL
+    val table: Seq[(String, Long, Long)] = factors.toSeq.map { case (g, f) =>
+      val whole = math.floor(f).toLong
+      (g, whole, math.round((f - whole) * denom))
+    }
+    val gStr = col(groupCol).cast("string")
+    val whole = table.foldLeft(lit(1L)) { case (acc, (g, w, _)) =>
+      when(gStr === lit(g), lit(w)).otherwise(acc) }
+    val fracThr = table.foldLeft(lit(0L)) { case (acc, (g, _, t)) =>
+      when(gStr === lit(g), lit(t)).otherwise(acc) }
+    val copies = (whole +
+      when(pmod(minstdHash(col(idCol)), lit(denom)) < fracThr, lit(1L))
+        .otherwise(lit(0L))).as("__graft_copies")
+    df.withColumn("__graft_copies", copies)
+      .filter(col("__graft_copies") >= 1)
+      .withColumn("epoch",
+        explode(sequence(lit(0), (col("__graft_copies") - 1).cast("int"))))
+      .drop("__graft_copies")
+  }
+
   /** Greedy token-budget sequence packing for pretraining batches: orders
     * documents deterministically (id hash), streams them into bins of
     * `capacity` tokens, and emits `(bucket, bin, start_offset)` so a

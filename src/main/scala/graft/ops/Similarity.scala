@@ -1811,4 +1811,89 @@ object Similarity {
       threshold: Double,
   ): DataFrame =
     semanticDedup(df, idCol, embCol, ivfFit(df, embCol, nlist), threshold)
+
+  // ───────────────────── Prototypicality pruning ─────────────────────
+
+  /** Per-row prototypicality: `(id, cell, proto)` where `cell` is the row's
+    * nearest [[IvfModel]] centroid and `proto` its cosine to that centroid
+    * (rounded 1e-9 for replay stability). The SSL-prototypes score
+    * (Sorscher 2022 "Beyond neural scaling laws"; the second stage of D4):
+    * a HIGH cosine marks an example sitting on top of its cluster's
+    * prototype — easy, redundant mass — while a LOW cosine marks a hard or
+    * off-manifold example. Feed it to [[pruneByPrototypicality]] for the
+    * per-cluster cut, or use it directly as a difficulty score for
+    * [[graft.sources.Writer.shardByScoreQuantile]] curricula.
+    *
+    * Scale shape: one [[assignCells]] pass (narrow literal kernel small,
+    * broadcast centroid join large) + a broadcast join against the
+    * nlist-row centroid table + one narrow cosine projection. No shuffle
+    * of the corpus itself. Zero-/non-finite-norm embeddings yield NaN
+    * proto (cosine is 0/0) — filter upstream if the corpus can hold them. */
+  def prototypicalityScore(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      model: IvfModel,
+      forceBroadcastAssign: Boolean = false,
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(idCol, embCol))
+    require(model.centroids.nonEmpty, "model must have at least one centroid")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      model.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cell", "__graft_c"))
+    assignCells(df, idCol, embCol, model.centroids, forceBroadcastAssign)
+      .join(centDf, "cell")
+      .select(col("id"), col("cell"),
+        round(cosineWith(dotFor(df))(col("emb"), col("__graft_c")), 9).as("proto"))
+  }
+
+  /** Per-cluster prototypicality pruning (D4's second stage): within each
+    * IVF cell, rank rows by [[prototypicalityScore]] and DROP the top
+    * `dropFraction` most prototypical (`dropEasiest = true`, the
+    * SSL-prototypes "prune easy examples from big data" rule — near-
+    * prototype mass is what web-scale corpora over-represent) or the
+    * bottom fraction (`dropEasiest = false`, the small-data regime where
+    * hard outliers are likelier label noise). The cut count per cell is
+    * exact integer math — `⌊n_cell · round(dropFraction·denom) / denom⌋`
+    * via integral division — so membership replays bit-for-bit from the
+    * exported centroid table; ties break by id, and every cell keeps at
+    * least one row whenever `dropFraction < 1`.
+    *
+    * Scale shape: the score pass (narrow + broadcast), then ONE shuffle of
+    * the (id, cell, proto) triple — never the full rows — for the
+    * cell-partitioned rank window, then a left-semi hash join back on id.
+    * Cells are capped by the quantizer's balance, not by data skew in the
+    * text columns. */
+  def pruneByPrototypicality(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      model: IvfModel,
+      dropFraction: Double,
+      dropEasiest: Boolean = true,
+      denom: Long = 1000000L,
+      forceBroadcastAssign: Boolean = false,
+  ): DataFrame = {
+    require(dropFraction >= 0.0 && dropFraction <= 1.0,
+      "dropFraction must be in [0, 1]")
+    require(denom >= 1, "denom must be >= 1")
+    if (dropFraction == 0.0) return df
+    import org.apache.spark.sql.expressions.Window
+    val numer = math.round(dropFraction * denom)
+    val scored = prototypicalityScore(df, idCol, embCol, model, forceBroadcastAssign)
+    val ord =
+      if (dropEasiest) Seq(col("proto").desc, col("id").asc)
+      else Seq(col("proto").asc, col("id").asc)
+    val keep = scored
+      .withColumn("__graft_rn",
+        row_number().over(Window.partitionBy(col("cell")).orderBy(ord: _*)))
+      .withColumn("__graft_n",
+        count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .filter(col("__graft_rn") >
+        expr(s"CAST((__graft_n * ${numer}L) DIV ${denom}L AS BIGINT)"))
+      .select(col("id").as("__graft_keep_id"))
+    df.join(keep, col(idCol) === col("__graft_keep_id"), "left_semi")
+  }
 }

@@ -114,6 +114,41 @@ object TextOps {
         pct(0.9).as("p90_tokens"))
   }
 
+  /** Context-window truncation report: per group, how much of the corpus a
+    * `contextLen`-token training window actually sees — docs over the
+    * window, the token mass inside it (`Σ min(tokens, contextLen)`), and
+    * the mass lost past it. The pre-flight check before committing a
+    * context length to a mix: a 2k window over a books-heavy slice can
+    * silently discard most of the token mass, and this one aggregate says
+    * so before any tokenization or sharding runs. Counts default to
+    * whitespace tokens; pass `tokenCountCol` (e.g. a precomputed
+    * [[graft.ops.Bpe.bpeTokenCount]] column) to budget in subword tokens —
+    * the same pluggable-token convention as `sampleTokenBudget`.
+    *
+    * Scale shape: one narrow count projection + one hash aggregate (exact
+    * integer sums); output is group-cardinality-sized. */
+  def truncationReport(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      contextLen: Long,
+      tokenCountCol: Option[String] = None,
+  ): DataFrame = {
+    require(contextLen >= 1, "contextLen must be >= 1")
+    graft.core.Validators.requireColumns(df,
+      Seq(groupCol) ++ (if (tokenCountCol.isEmpty) Seq(textCol) else tokenCountCol.toSeq))
+    val n = tokenCountCol.map(c => col(c).cast("long"))
+      .getOrElse(tokenCount(col(textCol)).cast("long"))
+    df.select(col(groupCol), n.as("__graft_n"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__graft_n") > contextLen, 1L).otherwise(0L)).as("n_truncated"),
+        sum(col("__graft_n")).as("total_tokens"),
+        sum(least(col("__graft_n"), lit(contextLen))).as("tokens_kept"),
+        sum(greatest(col("__graft_n") - contextLen, lit(0L))).as("tokens_lost"))
+  }
+
   /** Unicode canonicalization — the pass that must precede any hashing,
     * fingerprinting, or dedup so visually-identical byte sequences
     * (precomposed é vs e + combining accent, NFKC-folded ligatures and

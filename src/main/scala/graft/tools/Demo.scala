@@ -184,6 +184,28 @@ object Demo {
     println(s"sentences: ${graft.ops.TextOps.splitSentences(
       sentDocs, "doc_id", "ptext").count()} sentences from ${docs.count()} docs")
 
+    // Quality-representative dedup, epoch upsampling, prototypicality
+    // pruning, context-window audit.
+    println(s"dedup best-of-cluster: ${graft.ops.Dedup.dedupCorpusBy(
+      docs, "doc_id", "text", "n_chars").count()} of ${docs.count()} docs " +
+      "survive (longest member per near-dup cluster)")
+    val up = graft.ops.Sampling.upsampleGroups(
+      docs.select("doc_id", "lang"), "lang", "doc_id",
+      Map("zh" -> 2.5, "de" -> 2.0))
+    println(s"upsample: ${docs.count()} docs -> ${up.count()} rows " +
+      s"(max epoch ${up.agg(max(col("epoch"))).head().getInt(0)})")
+    val proto = graft.ops.Similarity.prototypicalityScore(
+      embs, "vec_id", "embedding", ivf)
+    println(f"prototypicality: mean cosine-to-centroid ${proto
+      .agg(avg(col("proto"))).head().getDouble(0)}%.3f; " +
+      s"D4 prune (drop easiest 25%/cell) keeps ${graft.ops.Similarity
+        .pruneByPrototypicality(embs, "vec_id", "embedding", ivf, 0.25).count()} " +
+      s"of ${embs.count()} vectors")
+    val trunc = graft.ops.TextOps.truncationReport(docs, "lang", "text", 64)
+      .agg(sum(col("tokens_lost")), sum(col("total_tokens"))).head()
+    println(s"truncation audit @64 tokens: ${trunc.getLong(0)} of " +
+      s"${trunc.getLong(1)} tokens fall past the window")
+
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =
       try { body; println(s"PROBE $name: NO ERROR (unexpected)") }

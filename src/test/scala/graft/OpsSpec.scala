@@ -2465,4 +2465,121 @@ class OpsSpec extends SparkSpec {
     out.last.getAs[Int]("chunk_tokens") shouldBe 2 // tail window: "␠table"
     out.foreach(_.schema.fieldNames should not contain "bpe_tokens")
   }
+
+  // ── dedupCorpusBy / upsampleGroups / prototypicality / truncation ────
+
+  test("dedupCorpusBy keeps the best-scoring cluster member, ties by min id") {
+    val d = Seq(
+      (1L, "aaaa bbbb cccc dddd eeee", 5.0),
+      (2L, "aaaa bbbb cccc dddd eeee", 9.0), // best of cluster {1,2,3}
+      (3L, "aaaa bbbb cccc dddd eeee", 9.0), // ties 2 on score → 2 wins (min id)
+      (4L, "totally unrelated text content", 1.0), // singleton
+    ).toDF("doc_id", "text", "score")
+    Dedup.dedupCorpusBy(d, "doc_id", "text", "score")
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(2L, 4L)
+    // min-id keep rule for reference: dedupCorpus would keep 1, not 2
+    Dedup.dedupCorpus(d, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 4L)
+  }
+
+  test("dedupCorpusBy: a NULL score never beats a scored member") {
+    val d = Seq(
+      (5L, "wwww xxxx yyyy zzzz vvvv", null.asInstanceOf[java.lang.Double]),
+      (6L, "wwww xxxx yyyy zzzz vvvv", java.lang.Double.valueOf(1.0)),
+    ).toDF("doc_id", "text", "score")
+    Dedup.dedupCorpusBy(d, "doc_id", "text", "score")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(6L)
+  }
+
+  test("upsampleGroups replicates whole factors and hash-selects fractional epochs") {
+    val d = (0L until 40L).map(i =>
+      (i, Seq("a", "b", "c", "d")((i % 4).toInt))).toDF("id", "grp")
+    val out = Sampling.upsampleGroups(d, "grp", "id",
+      Map("a" -> 2.0, "b" -> 0.5, "c" -> 2.5)) // d absent → 1 copy
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byId = out.groupBy(_._1)
+    def fracHit(id: Long): Boolean = {
+      val m = 2147483647L
+      (((id % m) * 48271 % m) * 48271 % m) % 1000000 < 500000
+    }
+    (0L until 40L).foreach { id =>
+      val copies = byId.getOrElse(id, Array.empty).length
+      val expected = Seq("a", "b", "c", "d")((id % 4).toInt) match {
+        case "a" => 2
+        case "b" => if (fracHit(id)) 1 else 0
+        case "c" => if (fracHit(id)) 3 else 2
+        case "d" => 1
+      }
+      withClue(s"id=$id: ") { copies shouldBe expected }
+      // epochs are exactly 0..copies-1
+      byId.getOrElse(id, Array.empty).map(_._3).sorted.toSeq shouldBe
+        (0 until copies).toSeq
+    }
+    // factor 0 drops the group entirely; invalid factors are loud
+    Sampling.upsampleGroups(d, "grp", "id", Map("a" -> 0.0))
+      .filter(col("grp") === "a").count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.upsampleGroups(d, "grp", "id", Map("a" -> -1.0))
+    an[Exception] should be thrownBy
+      Sampling.upsampleGroups(d.withColumn("epoch", lit(1)), "grp", "id",
+        Map("a" -> 2.0))
+  }
+
+  test("prototypicalityScore is the rounded cosine to the row's own centroid") {
+    val m = Similarity.IvfModel(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // cell 0, proto 1.0
+      (2L, Seq(0.8f, 0.6f)),   // cell 0 (closer to (1,0)), proto 0.8
+      (3L, Seq(0.0f, 2.0f)),   // cell 1, proto 1.0 (scale-invariant)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.prototypicalityScore(d, "vec_id", "embedding", m)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    out.map(t => (t._1, t._2)) shouldBe Seq((1L, 0), (2L, 0), (3L, 1))
+    out(0)._3 shouldBe 1.0 // axis vector on its centroid: exactly 1
+    out(1)._3 shouldBe 0.8 +- 1e-6 // float32 input → ~1-ulp cosine drift
+    out(2)._3 shouldBe 1.0 // scale-invariant: (0,2) vs centroid (0,1)
+  }
+
+  test("pruneByPrototypicality drops the per-cell easy fraction; never empties a cell") {
+    val m = Similarity.IvfModel(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // cell 0, proto 1.0 — most prototypical
+      (2L, Seq(0.95f, 0.3122f)), // cell 0, proto ≈0.95
+      (3L, Seq(0.8f, 0.6f)),   // cell 0, proto 0.8
+      (4L, Seq(0.72f, 0.69f)), // cell 0, proto ≈0.72 — hardest
+      (5L, Seq(0.0f, 1.0f)),   // cell 1, alone
+    ).toDF("vec_id", "embedding")
+    // cell 0: n=4, drop ⌊4·0.5⌋=2 easiest (1, 2); cell 1: ⌊1·0.5⌋=0 → 5 stays
+    Similarity.pruneByPrototypicality(d, "vec_id", "embedding", m, dropFraction = 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(3L, 4L, 5L)
+    // dropEasiest = false: the HARDEST half goes instead
+    Similarity.pruneByPrototypicality(d, "vec_id", "embedding", m,
+      dropFraction = 0.5, dropEasiest = false)
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L, 5L)
+    // dropFraction 0 is the identity; 1.0 empties every cell
+    Similarity.pruneByPrototypicality(d, "vec_id", "embedding", m, 0.0)
+      .count() shouldBe 5L
+    Similarity.pruneByPrototypicality(d, "vec_id", "embedding", m, 1.0)
+      .count() shouldBe 0L
+  }
+
+  test("truncationReport: exact token masses in and past the window") {
+    val d = Seq(
+      ("en", "one two three four"),        // 4 tokens
+      ("en", "one two"),                   // 2 tokens
+      ("de", "eins zwei drei vier funf"),  // 5 tokens
+    ).toDF("lang", "text")
+    val out = TextOps.truncationReport(d, "lang", "text", contextLen = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
+    out shouldBe Seq(
+      ("de", 1L, 1L, 5L, 3L, 2L),
+      ("en", 2L, 1L, 6L, 5L, 1L))
+    // subword budgeting: a precomputed count column takes over
+    val withCounts = d.withColumn("n_bpe", expr("CAST(length(text) AS LONG)"))
+    val bpeOut = TextOps.truncationReport(withCounts, "lang", "text",
+      contextLen = 10, tokenCountCol = Some("n_bpe"))
+      .filter(col("lang") === "en").head()
+    bpeOut.getAs[Long]("tokens_kept") shouldBe 17L // min(18,10) + min(7,10)
+  }
 }

@@ -55,6 +55,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "asof_join" -> 1, "asof_join_salted" -> 4,
     "corpus_curate" -> 1, "corpus_funnel" -> 1,
     "dedup_cluster" -> 0, "dedup_contamination" -> 4, "dedup_corpus" -> 4,
+    // +3 over dedup_corpus: the (id, score) ⋈ labels SMJ pair + the
+    // cluster-rank window — all on narrow id-tables, never document text
+    "dedup_corpus_best" -> 7,
     "dedup_exact" -> 1, "dedup_incremental" -> 5, "dedup_minhash" -> 4,
     "dedup_ngram_jaccard" -> 4, "dedup_ngram_overlap" -> 1,
     "dedup_simhash" -> 3,
@@ -62,6 +65,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "sample_dsir" -> 4,
     "sel_mrmr" -> 0, "sel_smart_correlated" -> 0,
     "sample_token_budget_bpe" -> 1, "sample_top_fraction" -> 0,
+    "sample_upsample" -> 0, // pure narrow projection + generator
+    // score pass is narrow + broadcast; the prune adds the one cell-rank
+    // window shuffle + the keep-id join pair
+    "sim_prototypicality" -> 0, "sim_proto_prune" -> 3,
+    "text_truncation_report" -> 1, // one hash aggregate
     "sim_ivf" -> 0, "sim_ivf_batch" -> 2, "sim_ivf_bcast" -> 1,
     "sim_ivfpq" -> 0, "sim_ivfpq_codes" -> 0, "sim_ivfpq_disk" -> 0,
     "sim_knn" -> 1,
