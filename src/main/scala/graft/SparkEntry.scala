@@ -40,6 +40,10 @@ object SparkEntry {
   private lazy val contamIdxDir: String =
     java.nio.file.Files.createTempDirectory("graft_contam_idx").toString
 
+  /** dedup_key_seen's index directory — same one-dir-per-JVM rationale. */
+  private lazy val keyIdxDir: String =
+    java.nio.file.Files.createTempDirectory("graft_key_idx").toString
+
   /** sample_dsir's model directory — same one-dir-per-JVM rationale. */
   private lazy val dsirModelDir: String =
     java.nio.file.Files.createTempDirectory("graft_dsir_model").toString
@@ -1214,6 +1218,32 @@ object SparkEntry {
       Dedup.contaminationApply(
         d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
         Dedup.ContaminationIndex.load(s, contamIdxDir))
+    }),
+    // Seen-key ingest dedup through a fit → disk → load → probe round
+    // trip: the corpus third's synthetic URLs index once; the incoming
+    // two-thirds keep only never-crawled URLs (shape 1 embeds doc_id →
+    // always unseen; shapes 0/2/3 collide by source → mostly seen). The
+    // oracle replays at the raw-string level — bloom false positives must
+    // be invisible by construction.
+    "dedup_key_seen" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      Dedup.keyIndexFit(
+        d.filter(col("doc_id") % 3 === 0).withColumn("url", synthUrl), "url")
+        .save(keyIdxDir)
+      Dedup.keyIndexApply(
+        d.filter(col("doc_id") % 3 =!= 0).withColumn("url", synthUrl),
+        "url", Dedup.KeyIndex.load(s, keyIdxDir))
+        .select("doc_id", "url")
+    }),
+    // Corpus drift between drops: source mix of the first third vs the
+    // rest with src0 removed — src0's n_cur = 0 exercises the clamped
+    // vanished-category path the release gate exists to surface.
+    "corpus_drift_psi" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      Curation.categoryDriftPsi(
+        d.filter(col("doc_id") % 3 === 0),
+        d.filter(col("doc_id") % 3 =!= 0 && col("source") =!= "src0"),
+        "source")
     }),
     // Grouped top-k selection ("best k docs per language").
     "text_topk_per_lang" -> ((s, dir) =>
@@ -2607,6 +2637,37 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5""".stripMargin,
+    // String-level replay of the seen-key probe: incoming rows whose URL
+    // never appears among the corpus third's URLs (bloom false positives
+    // must be invisible — the exact verify join guarantees it).
+    "dedup_key_seen" ->
+      s"""WITH cor AS (SELECT DISTINCT $synthUrlSql AS key
+         |             FROM documents WHERE doc_id % 3 = 0),
+         |     inc AS (SELECT doc_id, $synthUrlSql AS url
+         |             FROM documents WHERE doc_id % 3 <> 0)
+         |SELECT inc.doc_id, inc.url
+         |FROM inc LEFT JOIN cor ON inc.url = cor.key
+         |WHERE cor.key IS NULL""".stripMargin,
+    // Category-PSI replay: both drops' share tables, eps-clamped shares,
+    // rounded terms (+ 0.0 folds −0.0, the cat_woe convention).
+    "corpus_drift_psi" ->
+      """WITH r AS (SELECT source, count(*) AS n_ref FROM documents
+        |           WHERE doc_id % 3 = 0 GROUP BY 1),
+        |     c AS (SELECT source, count(*) AS n_cur FROM documents
+        |           WHERE doc_id % 3 <> 0 AND source <> 'src0' GROUP BY 1),
+        |     j AS (SELECT COALESCE(r.source, c.source) AS source,
+        |                  COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        |           FROM r FULL OUTER JOIN c ON r.source IS NOT DISTINCT FROM c.source),
+        |     p AS (SELECT source, n_ref, n_cur,
+        |             greatest(CAST(n_ref AS DOUBLE) / (SELECT CAST(sum(n_ref) AS DOUBLE) FROM j),
+        |                      0.0001) AS rp,
+        |             greatest(CAST(n_cur AS DOUBLE) / (SELECT CAST(sum(n_cur) AS DOUBLE) FROM j),
+        |                      0.0001) AS cp
+        |           FROM j)
+        |SELECT source, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        |       round(rp, 9) AS ref_pct, round(cp, 9) AS cur_pct,
+        |       round((rp - cp) * ln(rp / cp), 9) + 0.0 AS psi_term
+        |FROM p""".stripMargin,
     // Verifies the chunk-collision candidate generation + exact Hamming
     // filter over the Spark-exported signature table (dumped by the
     // dedup_simhash_sig query; {GRAFT_OUT} is substituted with the dump

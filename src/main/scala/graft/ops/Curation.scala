@@ -132,4 +132,55 @@ object Curation {
       struct(lit(n).as("stage"), col(n).as("n_docs"))): _*)).as("s"))
       .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"))
   }
+
+  /** Population-stability drift between two corpus drops over a categorical
+    * column (lang, source, registered domain, quality bin, …): per
+    * category, both drops' counts and shares plus the PSI contribution
+    * `(p_ref − p_cur)·ln(p_ref/p_cur)` with shares clamped at `eps`
+    * (the [[graft.transformers.DropHighPSIFeatures]] convention) and
+    * rounded 1e-9 for engine-stable replay. Σ psi_term is the corpus PSI —
+    * the release-gate number for "did my lang/domain/quality mix move
+    * between drops?" (>0.25 conventionally = major shift). Categories
+    * present in only one drop get count 0 on the other side and a clamped
+    * share, so appearing/vanishing domains surface loudly instead of
+    * silently dropping from the report. NULL categories are real
+    * categories (a missing lang tag drifting IS drift) and join by
+    * null-safe equality. Numeric drift composes: discretize first (e.g.
+    * [[graft.transformers.EqualFrequencyDiscretizer]] on token counts fit
+    * on the reference drop), then feed the bin label here.
+    *
+    * Scale shape: one hash aggregate per drop, then a full-outer join +
+    * share windows on the two DICTIONARY-sized count tables — the drops
+    * themselves never join or shuffle. */
+  def categoryDriftPsi(
+      ref: DataFrame,
+      cur: DataFrame,
+      groupCol: String,
+      eps: Double = 0.0001,
+  ): DataFrame = {
+    require(eps > 0.0, "eps must be > 0")
+    graft.core.Validators.requireColumns(ref, Seq(groupCol))
+    graft.core.Validators.requireColumns(cur, Seq(groupCol))
+    import org.apache.spark.sql.expressions.Window
+    def counted(df: DataFrame, out: String): DataFrame =
+      df.groupBy(col(groupCol).cast("string").as(s"__graft_g_$out"))
+        .agg(count(lit(1)).as(out))
+    val r = counted(ref, "n_ref")
+    val c = counted(cur, "n_cur")
+    val all = Window.partitionBy(lit(1))
+    val joined = r.join(c, col("__graft_g_n_ref") <=> col("__graft_g_n_cur"), "full_outer")
+      .select(
+        coalesce(col("__graft_g_n_ref"), col("__graft_g_n_cur")).as(groupCol),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val refPct = greatest(col("n_ref") / sum(col("n_ref")).over(all), lit(eps))
+    val curPct = greatest(col("n_cur") / sum(col("n_cur")).over(all), lit(eps))
+    joined.select(
+      col(groupCol), col("n_ref"), col("n_cur"),
+      round(refPct, 9).as("ref_pct"),
+      round(curPct, 9).as("cur_pct"),
+      // + 0.0 folds IEEE −0.0 (a tiny-negative term rounded away) to 0.0,
+      // the cat_woe oracle convention, so both engines hash identically
+      (round((refPct - curPct) * log(refPct / curPct), 9) + lit(0.0)).as("psi_term"))
+  }
 }

@@ -1430,6 +1430,119 @@ object Dedup {
     }
   }
 
+  /** Persistable seen-key index: the distinct key strings of an ingested
+    * corpus plus (native sessions) a bloom filter over their xxhash64 —
+    * the CCNet-style "have we crawled this URL before?" structure.
+    * Fit once per corpus drop ([[keyIndexFit]]), save, and probe every
+    * incoming batch ([[keyIndexApply]]) without ever touching the corpus
+    * rows again. The key table holds RAW strings, so the verify join is
+    * collision-free exact and the index replays on any engine; the bloom
+    * is pure pruning (false positives die in the verify join, negatives
+    * are certain by construction). */
+  final case class KeyIndex(
+      bloomHashes: Int,
+      bloom: Option[Array[Byte]],
+      keys: DataFrame) {
+    def save(dir: String): Unit = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(p)
+      keys.write.mode("overwrite").parquet(p.resolve("keys.parquet").toString)
+      val json = JsonMethods.compact(JsonMethods.render(JObject(
+        "version" -> JInt(1),
+        "bloomHashes" -> JInt(bloomHashes),
+        "bloom" -> bloom.map(b =>
+          JString(java.util.Base64.getEncoder.encodeToString(b)): JValue)
+          .getOrElse(JNull))))
+      java.nio.file.Files.writeString(p.resolve("params.json"), json)
+    }
+  }
+
+  object KeyIndex {
+    def load(spark: SparkSession, dir: String): KeyIndex = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get(dir)
+      val o = JsonMethods.parse(java.nio.file.Files.readString(p.resolve("params.json")))
+      val bloom = (o \ "bloom") match {
+        case JString(s) => Some(java.util.Base64.getDecoder.decode(s))
+        case _ => None
+      }
+      KeyIndex(
+        bloomHashes = graft.core.ModelIO.dbl(o \ "bloomHashes").toInt,
+        bloom = bloom,
+        keys = spark.read.parquet(p.resolve("keys.parquet").toString))
+    }
+  }
+
+  /** Build a [[KeyIndex]] over `corpus`'s `keyCol` (cast to string; NULL
+    * keys carry no identity and are not indexed): one distinct aggregate
+    * + one count to size the bloom + one bloom-build aggregate. The
+    * distinct key table is materialized so the count, the bloom build,
+    * and every later probe reuse it. */
+  def keyIndexFit(
+      corpus: DataFrame,
+      keyCol: String,
+      bloomBitsPerKey: Int = 16,
+      bloomHashes: Int = 5,
+      useBloom: Boolean = true): KeyIndex = {
+    require(bloomBitsPerKey >= 1, "bloomBitsPerKey must be >= 1")
+    require(bloomHashes >= 1 && bloomHashes <= 32, "bloomHashes must be in [1, 32]")
+    graft.core.Validators.requireColumns(corpus, Seq(keyCol))
+    val spark = corpus.sparkSession
+    val keys = materialize(corpus
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__graft_key"))
+      .distinct())
+    val bloomOk = !ForceFallback && useBloom &&
+      spark.catalog.functionExists(graft.functions.TilePairs.BloomAggName)
+    val bloom =
+      if (bloomOk) {
+        val n = keys.count()
+        val bits = math.max(64L,
+          math.min(n * bloomBitsPerKey, Int.MaxValue.toLong - 63))
+        Some(keys.agg(
+          call_function(graft.functions.TilePairs.BloomAggName,
+            xxhash64(col("__graft_key")), lit(bits), lit(bloomHashes)).as("__graft_bf"))
+          .head().getAs[Array[Byte]](0))
+      } else None
+    KeyIndex(bloomHashes, bloom, keys)
+  }
+
+  /** The rows of `incoming` whose key is NOT in the index — URL-level (or
+    * content-hash-level) ingest dedup against an already-crawled corpus.
+    * NULL keys always survive (no identity, nothing to match), mirroring
+    * the exact join's NULL semantics on both paths.
+    *
+    * Scale shape: with the bloom installed, the unseen MAJORITY of a
+    * typical crawl batch passes through a pure NARROW filter (one plan-
+    * literal bloom probe per row — the ngramOverlapContamination
+    * convention) and never shuffles; only bloom-positive rows (true hits
+    * + the ~0.04%-at-16-bits false positives) enter the exact LEFT ANTI
+    * verify join against the key table. The batch side is read twice, but
+    * an ingest batch is daily-sized next to the corpus the index replaced
+    * — the corpus itself is never scanned at probe time at all. Without
+    * the kernel, the whole batch takes the one anti join. */
+  def keyIndexApply(
+      incoming: DataFrame,
+      keyCol: String,
+      index: KeyIndex): DataFrame = {
+    graft.core.Validators.requireColumns(incoming, Seq(keyCol))
+    val spark = incoming.sparkSession
+    val bloomOk = !ForceFallback && index.bloom.isDefined &&
+      spark.catalog.functionExists(graft.functions.TilePairs.BloomContainsName)
+    val k = col(keyCol).cast("string")
+    def verified(df: DataFrame): DataFrame =
+      df.join(index.keys, k === col("__graft_key"), "left_anti")
+    if (bloomOk) {
+      val hit = call_function(graft.functions.TilePairs.BloomContainsName,
+        lit(index.bloom.get), xxhash64(k), lit(index.bloomHashes))
+      incoming.filter(k.isNull || !hit)
+        .unionByName(verified(incoming.filter(k.isNotNull && hit)))
+    } else verified(incoming)
+  }
+
   /** Build a [[ContaminationIndex]] from a benchmark corpus: one distinct
     * aggregate over the exploded token-n-gram hashes, one count to size
     * the bloom filter, one bloom-build aggregate (native kernel only —

@@ -205,6 +205,25 @@ object Demo {
       .agg(sum(col("tokens_lost")), sum(col("total_tokens"))).head()
     println(s"truncation audit @64 tokens: ${trunc.getLong(0)} of " +
       s"${trunc.getLong(1)} tokens fall past the window")
+    // per-post URLs (doc_id % 4 == 1) never repeat across the split; bare
+    // site URLs collide by source — a realistic seen/unseen mix
+    val keyed = docs.withColumn("url2",
+      when(col("doc_id") % 4 === 1,
+        concat(lit("https://"), col("source"), lit(".com/p/"), col("doc_id")))
+        .otherwise(concat(lit("https://"), col("source"), lit(".com"))))
+    // split on % 3 — coprime with the source cycle, so the corpus third
+    // indexes every site and only the per-post URLs stay unseen
+    val keyIdx = graft.ops.Dedup.keyIndexFit(
+      keyed.filter(col("doc_id") % 3 === 0), "url2")
+    println(s"seen-key index: ${keyIdx.keys.count()} corpus URLs indexed; " +
+      s"probe keeps ${graft.ops.Dedup.keyIndexApply(
+        keyed.filter(col("doc_id") % 3 =!= 0), "url2", keyIdx).count()} " +
+      s"never-crawled of ${keyed.filter(col("doc_id") % 3 =!= 0).count()} incoming")
+    val drift = graft.ops.Curation.categoryDriftPsi(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0), "lang")
+    println(f"corpus drift: lang-mix PSI between halves = ${drift
+      .agg(sum(col("psi_term"))).head().getDouble(0)}%.6f")
 
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =

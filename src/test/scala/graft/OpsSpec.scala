@@ -2563,6 +2563,55 @@ class OpsSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("KeyIndex: fit → disk → load → probe keeps exactly the unseen keys") {
+    val corpus = Seq((1L, "u1"), (2L, "u2"), (3L, "u2")).toDF("id", "url")
+    val inc = Seq(
+      (10L, "u1"), // seen
+      (11L, "u3"), // unseen
+      (12L, "u2"), // seen
+      (13L, null.asInstanceOf[String]), // NULL key: always survives
+      (14L, "u4"), // unseen
+    ).toDF("id", "url")
+    val dir = java.nio.file.Files.createTempDirectory("graft_keyidx_t").toString
+    val idx = Dedup.keyIndexFit(corpus, "url")
+    idx.bloom.isDefined shouldBe true // native session builds the filter
+    idx.keys.count() shouldBe 2 // distinct, NULL-free
+    idx.save(dir)
+    val loaded = Dedup.KeyIndex.load(spark, dir)
+    loaded.bloom.map(_.toSeq) shouldBe idx.bloom.map(_.toSeq)
+    def unseen(i: Dedup.KeyIndex) =
+      Dedup.keyIndexApply(inc, "url", i).collect().map(_.getLong(0)).sorted.toSeq
+    unseen(loaded) shouldBe Seq(11L, 13L, 14L)
+    // bloom and exact-only paths agree row for row
+    val fallback = try {
+      Dedup.ForceFallback = true; unseen(loaded)
+    } finally Dedup.ForceFallback = false
+    fallback shouldBe Seq(11L, 13L, 14L)
+    // bloom-free index (useBloom = false) is the same exact filter
+    Dedup.keyIndexFit(corpus, "url", useBloom = false).bloom shouldBe None
+  }
+
+  test("categoryDriftPsi surfaces vanished and appearing categories with clamped shares") {
+    val ref = Seq.fill(50)("a").map(Tuple1(_)) ++ Seq.fill(50)("b").map(Tuple1(_))
+    val cur = Seq.fill(25)("a").map(Tuple1(_)) ++ Seq.fill(50)("b").map(Tuple1(_)) ++
+      Seq.fill(25)("c").map(Tuple1(_))
+    val out = Curation.categoryDriftPsi(
+      ref.toDF("grp"), cur.toDF("grp"), "grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    out.map(t => (t._1, t._2, t._3)) shouldBe
+      Seq(("a", 50L, 25L), ("b", 50L, 50L), ("c", 0L, 25L))
+    val a = out(0); val b = out(1); val c = out(2)
+    a._4 shouldBe 0.5; a._5 shouldBe 0.25
+    a._6 shouldBe (0.5 - 0.25) * math.log(0.5 / 0.25) +- 1e-9
+    b._6 shouldBe 0.0 // identical share → exactly zero, not −0.0
+    c._4 shouldBe 1e-4 // vanished-from-ref side clamps at eps
+    c._6 shouldBe (1e-4 - 0.25) * math.log(1e-4 / 0.25) +- 1e-9
+    // identical drops → every term 0
+    Curation.categoryDriftPsi(ref.toDF("grp"), ref.toDF("grp"), "grp")
+      .agg(sum(abs(col("psi_term")))).head().getDouble(0) shouldBe 0.0
+  }
+
   test("truncationReport: exact token masses in and past the window") {
     val d = Seq(
       ("en", "one two three four"),        // 4 tokens

@@ -58,6 +58,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // +3 over dedup_corpus: the (id, score) ⋈ labels SMJ pair + the
     // cluster-rank window — all on narrow id-tables, never document text
     "dedup_corpus_best" -> 7,
+    "dedup_key_seen" -> 0, // narrow bloom pass + broadcast anti verify
+    // two drop-side hash aggs + the dictionary-sized full-outer join pair
+    // + the single-partition share window — the drops never shuffle
+    "corpus_drift_psi" -> 5,
     "dedup_exact" -> 1, "dedup_incremental" -> 5, "dedup_minhash" -> 4,
     "dedup_ngram_jaccard" -> 4, "dedup_ngram_overlap" -> 1,
     "dedup_simhash" -> 3,
