@@ -201,4 +201,42 @@ class DeterminismSpec extends SparkSpec {
     withShufflePartitions(3)(tf(embs.repartition(2))) shouldBe
       withShufflePartitions(17)(tf(embs.repartition(9, col("vec_id"))))
   }
+
+  test("representative dedup, upsampling, prototypicality prune, drift PSI ignore layout") {
+    // best-score representative: the cluster-rank window must order by
+    // (score, id), never by arrival
+    val scored = docs.withColumn("score", ($"doc_id" % 5).cast("double"))
+    def db(x: DataFrame) = rows(
+      graft.ops.Dedup.dedupCorpusBy(x, "doc_id", "text", "score", threshold = 0.5))
+    withShufflePartitions(3)(db(scored.repartition(2))) shouldBe
+      withShufflePartitions(17)(db(scored.repartition(9, col("text"))))
+    // epoch replication: membership is id-hash math, narrow on any layout
+    def up(x: DataFrame) = rows(graft.ops.Sampling.upsampleGroups(
+      x.select($"vec_id", $"label"), "label", "vec_id",
+      Map("0" -> 2.5, "1" -> 0.5)))
+    withShufflePartitions(3)(up(embs.repartition(2))) shouldBe
+      withShufflePartitions(17)(up(embs.repartition(9, col("vec_id"))))
+    // per-cell prune: rank on (rounded proto, id) — merge-order-free
+    val m = withShufflePartitions(3)(
+      graft.ops.Similarity.ivfFit(embs.repartition(2), "embedding", 4))
+    def pr(x: DataFrame) = rows(graft.ops.Similarity
+      .pruneByPrototypicality(x, "vec_id", "embedding", m, 0.3))
+    withShufflePartitions(3)(pr(embs.repartition(2))) shouldBe
+      withShufflePartitions(17)(pr(embs.repartition(9, col("vec_id"))))
+    // seen-key probe: set semantics on both bloom and fallback paths
+    val idx = graft.ops.Dedup.keyIndexFit(
+      docs.filter($"doc_id" % 3 === 0).withColumn("k", $"text"), "k")
+    def ks(x: DataFrame) = rows(graft.ops.Dedup.keyIndexApply(
+      x.withColumn("k", $"text"), "k", idx))
+    withShufflePartitions(3)(ks(docs.filter($"doc_id" % 3 =!= 0).repartition(2))) shouldBe
+      withShufflePartitions(17)(ks(docs.filter($"doc_id" % 3 =!= 0)
+        .repartition(9, col("doc_id"))))
+    // drift PSI: share division + ln must not depend on agg merge order
+    def dp(r: DataFrame, c: DataFrame) = rows(
+      graft.ops.Curation.categoryDriftPsi(r, c, "label"))
+    withShufflePartitions(3)(
+      dp(embs.repartition(2), embs.filter($"vec_id" % 2 === 0).repartition(3))) shouldBe
+      withShufflePartitions(17)(
+        dp(embs.repartition(9, col("vec_id")), embs.filter($"vec_id" % 2 === 0)))
+  }
 }
