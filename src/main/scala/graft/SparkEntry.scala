@@ -1439,6 +1439,14 @@ object SparkEntry {
       TextOps.removeCommonLines(
         rt(s, dir, "documents").select("doc_id", "text"),
         "doc_id", "text", sepRegex = " ", joinSep = " ", maxDocFreq = 50L)),
+    // The intra-doc half of the RefinedWeb line-dedup pass at token
+    // granularity: each doc keeps the FIRST occurrence of every token,
+    // reading order preserved — a pure narrow keep-first filter, replayed
+    // with DuckDB's indexed list lambda.
+    "text_line_dedup_doc" -> ((s, dir) =>
+      TextOps.dedupLinesWithinDoc(
+        rt(s, dir, "documents").select("doc_id", "text"),
+        "text", sepRegex = " ", joinSep = " ")),
     // The composed curation endpoint (quality → repetition → fingerprint
     // dedup → 50% hash sample); near-dup clustering is covered separately
     // by dedup_corpus, whose recursive-CTE oracle doesn't compose cheaply.
@@ -3091,6 +3099,15 @@ object SparkEntry {
         |            FROM k GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(re.t, '') AS text
         |FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id""".stripMargin,
+    // Keep-first within each doc: DuckDB's indexed list lambda replays the
+    // same growing-prefix first-occurrence test.
+    "text_line_dedup_doc" ->
+      """SELECT doc_id,
+        |       array_to_string(
+        |         list_filter(string_split_regex(text, ' '),
+        |                     (x, i) -> list_position(string_split_regex(text, ' ')[1:i], x) = i),
+        |         ' ') AS text
+        |FROM documents""".stripMargin,
     // Repeated-span removal replay: token 3-gram starts whose gram is
     // shared by >5 distinct docs cover positions [q, q+2]; only documents
     // that actually lose a token are rebuilt (others pass through

@@ -114,6 +114,34 @@ object TextOps {
         pct(0.9).as("p90_tokens"))
   }
 
+  /** WITHIN-document repeated-line removal — the intra-doc half of the
+    * RefinedWeb line-dedup pass ([[removeCommonLines]] is the cross-corpus
+    * half): each document keeps only the FIRST occurrence of every line,
+    * in reading order, so navigation bars and footers repeated inside one
+    * page collapse without any corpus-level statistics. In-place
+    * replacement of `textCol`; NULL text stays NULL.
+    *
+    * Scale shape: a PURE NARROW projection — split, keep-first filter,
+    * re-join all happen inside one row, no explode, no shuffle, no fit.
+    * The keep-first test is `array_position(prefix, line) == own position`
+    * over growing prefixes (O(lines²) comparisons per doc — lines per
+    * document are bounded small, and it stays whole-stage-codegen where
+    * the grouped alternative would shuffle every line of the corpus). */
+  def dedupLinesWithinDoc(
+      df: DataFrame,
+      textCol: String,
+      sepRegex: String = "\n",
+      joinSep: String = "\n",
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(textCol))
+    val arr = split(col(textCol), sepRegex)
+    val kept = filter(arr, (x, i) =>
+      array_position(slice(arr, lit(1), i + 1), x) === (i + 1).cast("long"))
+    df.withColumn(textCol,
+      when(col(textCol).isNull, lit(null).cast("string"))
+        .otherwise(array_join(kept, joinSep)))
+  }
+
   /** Context-window truncation report: per group, how much of the corpus a
     * `contextLen`-token training window actually sees — docs over the
     * window, the token mass inside it (`Σ min(tokens, contextLen)`), and

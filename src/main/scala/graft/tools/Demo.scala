@@ -219,6 +219,10 @@ object Demo {
       s"probe keeps ${graft.ops.Dedup.keyIndexApply(
         keyed.filter(col("doc_id") % 3 =!= 0), "url2", keyIdx).count()} " +
       s"never-crawled of ${keyed.filter(col("doc_id") % 3 =!= 0).count()} incoming")
+    println(s"intra-doc line dedup: ${graft.ops.TextOps.dedupLinesWithinDoc(
+      docs.select(col("doc_id"), col("text")), "text", sepRegex = " ", joinSep = " ")
+      .join(docs.select(col("doc_id"), col("text").as("orig")), "doc_id")
+      .filter(col("text") =!= col("orig")).count()} docs had repeated tokens removed")
     val drift = graft.ops.Curation.categoryDriftPsi(
       docs.filter(col("doc_id") % 2 === 0),
       docs.filter(col("doc_id") % 2 =!= 0), "lang")

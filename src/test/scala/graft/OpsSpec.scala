@@ -2612,6 +2612,24 @@ class OpsSpec extends SparkSpec {
       .agg(sum(abs(col("psi_term")))).head().getDouble(0) shouldBe 0.0
   }
 
+  test("dedupLinesWithinDoc keeps first occurrences in reading order, narrowly") {
+    val d = Seq(
+      (1L, "nav|body text|nav|footer|body text|unique"),
+      (2L, "only once"),
+      (3L, null.asInstanceOf[String]),
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupLinesWithinDoc(d, "text", sepRegex = "\\|", joinSep = "|")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    out(1L) shouldBe Some("nav|body text|footer|unique")
+    out(2L) shouldBe Some("only once")
+    out(3L) shouldBe None // NULL stays NULL
+    out(4L) shouldBe Some("")
+    // pure narrow: no shuffle in the plan
+    graft.tools.CountX.shuffleExchanges(
+      TextOps.dedupLinesWithinDoc(d, "text")) shouldBe 0
+  }
+
   test("truncationReport: exact token masses in and past the window") {
     val d = Seq(
       ("en", "one two three four"),        // 4 tokens

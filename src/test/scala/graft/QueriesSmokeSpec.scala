@@ -86,7 +86,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_bpe" -> 0, "text_chunk_bpe" -> 0,
     "text_classifier_filter" -> 1, "text_classifier_score" -> 2,
     "text_lm_filter" -> 1, "text_lm_score" -> 2,
-    "text_line_dedup" -> 3, "text_span_dedup" -> 10, "text_tfidf" -> 4,
+    "text_line_dedup" -> 3, "text_line_dedup_doc" -> 0,
+    "text_span_dedup" -> 10, "text_tfidf" -> 4,
     "text_sentences" -> 0, "text_strip_html" -> 0,
     "text_url" -> 0, "text_url_filter" -> 0,
   )
