@@ -23,20 +23,42 @@ import graft.ops.Sampling.minstdHash
   */
 object Writer {
 
-  /** Extension-dispatched write, mirroring [[Loader.load]]'s csv/parquet
-    * surface (+ `UnsupportedFormat` on anything else). */
+  /** Extension-dispatched write, mirroring [[Loader.load]]'s full
+    * csv/parquet/jsonl/txt surface (+ `UnsupportedFormat` on anything
+    * else), with [[Loader.load]]'s compression-suffix routing
+    * (`out.jsonl.gz` writes gzip'd line-delimited JSON — the common
+    * trainer-ingest format). `txt` requires exactly one string column
+    * (the shape [[Loader.load]] produces for it) and says so loudly. */
   def save(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
-    val ext = path.lastIndexOf('.') match {
-      case -1 => ""
-      case i => path.substring(i + 1).toLowerCase
+    def ext(s: String): (String, String) = s.lastIndexOf('.') match {
+      case -1 => (s, "")
+      case i => (s.substring(0, i), s.substring(i + 1).toLowerCase)
     }
-    val w = df.write.mode("overwrite").partitionBy(partitionBy: _*)
-    ext match {
+    val (base, last) = ext(path)
+    val compression = last match {
+      case "gz" => Some("gzip")
+      case "zst" | "zstd" => Some("zstd")
+      case _ => None
+    }
+    val fmt = if (compression.isDefined) ext(base)._2 else last
+    val w0 = df.write.mode("overwrite").partitionBy(partitionBy: _*)
+    val w = compression.fold(w0)(c => w0.option("compression", c))
+    fmt match {
       case "parquet" => w.parquet(path)
       case "csv" => w.option("header", "true").csv(path)
+      case "json" | "jsonl" => w.json(path)
+      case "txt" =>
+        val ok = df.schema.fields.length == 1 &&
+          df.schema.fields.head.dataType ==
+            org.apache.spark.sql.types.StringType
+        if (!ok)
+          throw UnsupportedFormat(
+            "txt output requires exactly one string column; " +
+              s"got ${df.schema.simpleString}")
+        w.text(path)
       case _ =>
         throw UnsupportedFormat(
-          "Unsupported file format. Please provide a CSV or Parquet file.")
+          "Unsupported file format. Please provide a CSV, Parquet, JSONL, or TXT file.")
     }
   }
 

@@ -81,7 +81,28 @@ class CoreExtrasSpec extends SparkSpec {
     Console.withOut(new java.io.PrintStream(out))(
       back.filter(col("lang") === "en").explain("formatted"))
     out.toString should include regex "PartitionFilters: \\[.*lang.*\\]"
-    intercept[UnsupportedFormat](Writer.save(docs, "/tmp/out.json"))
+    intercept[UnsupportedFormat](Writer.save(docs, "/tmp/out.avro"))
+    intercept[UnsupportedFormat](Writer.save(docs, "/tmp/out"))
+  }
+
+  test("Writer.save round-trips jsonl (gz) and single-column txt, mirrors Loader") {
+    import graft.sources.{Loader, Writer}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val jl = java.nio.file.Files.createTempDirectory("graft_jl").toString + "/out.jsonl.gz"
+    Writer.save(docs, jl)
+    // compression suffix routed: the part files are gzip'd
+    new java.io.File(jl).listFiles().map(_.getName)
+      .exists(_.endsWith(".json.gz")) shouldBe true
+    val back = Loader.load(spark, jl)
+    back.count() shouldBe docs.count()
+    back.select("doc_id", "lang", "n_chars").except(docs).count() shouldBe 0
+    // txt: one string column round-trips; anything else is loud
+    val tx = java.nio.file.Files.createTempDirectory("graft_tx").toString + "/out.txt"
+    Writer.save(docs.select(col("lang")), tx)
+    Loader.load(spark, tx).count() shouldBe docs.count()
+    val e = intercept[UnsupportedFormat](Writer.save(docs, "/tmp/out.txt"))
+    e.getMessage should include("exactly one string column")
   }
 
   test("Writer.writeTrainingShards round-trips the deterministic shard layout") {
