@@ -1523,7 +1523,13 @@ object Dedup {
     * verify join against the key table. The batch side is read twice, but
     * an ingest batch is daily-sized next to the corpus the index replaced
     * — the corpus itself is never scanned at probe time at all. Without
-    * the kernel, the whole batch takes the one anti join. */
+    * the kernel, the whole batch takes the one anti join.
+    *
+    * STREAMING: works unchanged on a streaming `incoming` — the bloom leg
+    * is a stateless narrow filter and the verify leg is a stream-static
+    * LEFT ANTI join against the loaded key table (both supported, no
+    * state store), so the same call filters a live ingest stream against
+    * last night's index (StreamingSpec proves batch/stream parity). */
   def keyIndexApply(
       incoming: DataFrame,
       keyCol: String,

@@ -359,4 +359,26 @@ class StreamingSpec extends SparkSpec {
     got.head.getString(got.head.fieldIndex("chunk_text")) should
       startWith("contact me at <EMAIL>")
   }
+
+  test("keyIndexApply filters a live stream against a static index, matching batch") {
+    val corpus = Seq(Tuple1("u1"), Tuple1("u2")).toDF("k")
+    val dir = java.nio.file.Files.createTempDirectory("graft_keyidx_s").toString
+    graft.ops.Dedup.keyIndexFit(corpus, "k").save(dir)
+    val idx = graft.ops.Dedup.KeyIndex.load(spark, dir)
+    val rows = Seq((1L, "u1"), (2L, "u3"), (3L, "u2"), (4L, "u4"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    // stateless: narrow bloom leg + stream-static LEFT ANTI verify leg
+    val out = graft.ops.Dedup.keyIndexApply(
+      mem.toDF.toDF("id", "key"), "key", idx)
+    val q = out.writeStream.format("memory")
+      .queryName("stream_unseen").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("stream_unseen").collect().map(_.getLong(0)).sorted.toSeq
+    streamed shouldBe Seq(2L, 4L)
+    // identical to the batch path over the same rows
+    graft.ops.Dedup.keyIndexApply(rows.toDF("id", "key"), "key", idx)
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe streamed
+  }
 }
