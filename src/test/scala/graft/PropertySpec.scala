@@ -303,4 +303,45 @@ class PropertySpec extends SparkSpec {
         (kept.isEmpty || scores.sorted.reverse.take(kept.size).sum >= kept.sum - 1e-9)
     })
   }
+
+  test("property: upsampleGroups mass matches per-row integer copies; epochs contiguous") {
+    val factorGen = Gen.choose(0, 35).map(_ / 10.0) // 0.0 .. 3.5 in tenths
+    check(Prop.forAll(Gen.zip(factorGen, factorGen)) { case (fa, fb) =>
+      val df = (0L until 60L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+        .toDF("id", "grp")
+      val out = graft.ops.Sampling.upsampleGroups(
+        df, "grp", "id", Map("a" -> fa, "b" -> fb))
+        .collect().map(r => (r.getLong(0), r.getInt(2)))
+      val byId = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val m = 2147483647L
+      def copies(id: Long, f: Double): Long = {
+        val whole = math.floor(f).toLong
+        val thr = math.round((f - whole) * 1000000L)
+        val h = (((id % m) * 48271 % m) * 48271 % m) % 1000000
+        whole + (if (h < thr) 1L else 0L)
+      }
+      (0L until 60L).forall { id =>
+        val exp = copies(id, if (id % 2 == 0) fa else fb)
+        byId.getOrElse(id, Seq.empty) == (0L until exp).map(_.toInt)
+      }
+    })
+  }
+
+  test("property: pruneByPrototypicality keeps ⌈n(1−f)⌉ per cell, the hardest ones") {
+    val fracGen = Gen.choose(0, 10).map(_ / 10.0)
+    check(Prop.forAll(Gen.zip(fracGen, Gen.choose(5, 30))) { case (frac, n) =>
+      // one cell: all vectors share the (1,0) centroid's halfspace
+      val m = graft.ops.Similarity.IvfModel(Seq(Seq(1.0, 0.0)))
+      val df = (0 until n).map { i =>
+        (i.toLong, Seq(1.0f, i.toFloat / n)) // increasing angle → decreasing proto
+      }.toDF("vec_id", "embedding")
+      val kept = graft.ops.Similarity
+        .pruneByPrototypicality(df, "vec_id", "embedding", m, frac)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val cut = n * math.round(frac * 1000000L) / 1000000L
+      // ids ascend with proto DESCENDING? no: larger i → larger angle →
+      // smaller proto → dropEasiest removes the SMALLEST ids first
+      kept == (cut until n.toLong)
+    })
+  }
 }
