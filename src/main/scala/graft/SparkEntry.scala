@@ -1868,6 +1868,17 @@ object SparkEntry {
       StreamingOps.windowedAgg(
         rtEvents(s, dir), "ts", Seq("event_type"), "value", "6 hours")
         .withColumn("sum_value", round(col("sum_value"), 6))),
+    // Live ingest-quality monitor over the documents table with a synthetic
+    // arrival time (doc_id minutes past midnight, the synthUrl convention —
+    // documents carry no timestamp): per (6h window, lang), docs, token
+    // mass, and quality failures — all exact-integer aggregates.
+    "stream_quality_monitor" -> ((s, dir) =>
+      StreamingOps.qualityMonitor(
+        rt(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+          .withColumn("ts",
+            expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, CAST(doc_id % 1440 AS INT), 0)"))
+          .drop("doc_id"),
+        "ts", "text", "6 hours", keyCols = Seq("lang"))),
     // Sliding windows: each event lands in length/slide = 3 windows; the
     // oracle replays the epoch-aligned window starts with a small offset
     // cross join.
@@ -3450,6 +3461,28 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // Quality-monitor replay: synthetic arrival minute + the text_quality
+    // token/punct formulas + the same epoch-aligned 6h buckets.
+    "stream_quality_monitor" ->
+      """WITH d AS (SELECT lang, text,
+        |             TIMESTAMP '2024-01-01 00:00:00'
+        |               + (doc_id % 1440) * INTERVAL '1 minute' AS ts
+        |           FROM documents),
+        |     q AS (SELECT lang, ts,
+        |             len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+        |             CASE WHEN len(text) > 0
+        |                  THEN CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE)
+        |                       / CAST(len(text) AS DOUBLE)
+        |                  ELSE 0.0 END AS punct_ratio
+        |           FROM d)
+        |SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+        |       time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS window_end,
+        |       lang,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(sum(CASE WHEN n_tokens < 5 OR punct_ratio > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_fail_quality
+        |FROM q GROUP BY 1, 2, 3""".stripMargin,
     // A 6h/2h sliding window's starts for event ts are time_bucket(2h, ts)
     // − k·2h for k ∈ {0,1,2} (epoch-aligned like Spark's window()).
     "stream_sliding_agg" ->

@@ -49,6 +49,51 @@ object StreamingOps {
           keyCols.map(col) ++ Seq(col("n_events"), col("sum_value")): _*)
   }
 
+  /** Windowed ingest-quality monitor — the live dashboard feed a streaming
+    * curation pipeline watches: per (tumbling window × optional keys),
+    * document count, total token mass, and how many docs FAIL the default
+    * quality rules ([[graft.ops.TextOps.qualityFilter]]'s min-tokens /
+    * max-punct thresholds). A crawler that starts emitting boilerplate or
+    * truncated pages moves `n_fail_quality / n_docs` within one window —
+    * hours before a nightly batch audit would notice. Aggregates are
+    * exact-integer (count + two conditional sums), so the batch form is
+    * engine-replayable and the streaming form needs only standard windowed
+    * state (append mode with a watermark).
+    *
+    * Scale shape: one narrow quality-feature projection + one windowed
+    * hash aggregate; output is (windows × keys)-sized. The same call runs
+    * batch (backfill audit) and streaming (live monitor). */
+  def qualityMonitor(
+      df: DataFrame,
+      tsCol: String,
+      textCol: String,
+      windowLength: String,
+      keyCols: Seq[String] = Nil,
+      watermark: Option[String] = None,
+      minTokens: Int = 5,
+      maxPunctRatio: Double = 0.2,
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(tsCol, textCol) ++ keyCols)
+    // pruned to the needed columns so the feature appends can never
+    // collide with caller columns (the Curation.funnel convention)
+    val scored = graft.ops.TextOps.qualityFeatures(
+      df.select((Seq(tsCol, textCol) ++ keyCols).distinct.map(col): _*), textCol)
+    val fail = col("n_tokens") < minTokens || col("punct_ratio") > maxPunctRatio
+    val in = watermark match {
+      case Some(w) if df.isStreaming => scored.withWatermark(tsCol, w)
+      case _ => scored
+    }
+    in.groupBy(window(col(tsCol), windowLength).as("w") +: keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        sum(when(fail, 1L).otherwise(0L)).as("n_fail_quality"))
+      .select(
+        Seq(col("w.start").as("window_start"), col("w.end").as("window_end")) ++
+          keyCols.map(col) ++
+          Seq(col("n_docs"), col("total_tokens"), col("n_fail_quality")): _*)
+  }
+
   /** Native session windows (gap-based): consecutive events of one key merge
     * while each arrives within `gap` of the previous; the session closes at
     * last_event + gap. Output: <key>, session_start, session_end, n_events.

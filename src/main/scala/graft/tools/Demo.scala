@@ -228,6 +228,12 @@ object Demo {
       docs.filter(col("doc_id") % 2 =!= 0), "lang")
     println(f"corpus drift: lang-mix PSI between halves = ${drift
       .agg(sum(col("psi_term"))).head().getDouble(0)}%.6f")
+    val mon = graft.streaming.StreamingOps.qualityMonitor(
+      docs.withColumn("ts", expr(
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0, CAST(doc_id % 1440 AS INT), 0)")),
+      "ts", "text", "6 hours", keyCols = Seq("lang"))
+    println(s"quality monitor: ${mon.count()} (window, lang) cells; total fails " +
+      s"${mon.agg(sum(col("n_fail_quality"))).head().getLong(0)}")
 
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =

@@ -360,6 +360,37 @@ class StreamingSpec extends SparkSpec {
       startWith("contact me at <EMAIL>")
   }
 
+  test("qualityMonitor streaming (append + watermark) matches the batch result") {
+    val rows = Seq(
+      (ts(0), "en", "plenty of good clean tokens right here"), // pass
+      (ts(5), "en", "shrt txt"),                               // fail: < 5 tokens
+      (ts(10), "de", "!!! ??? ***"),                           // fail: punct + tokens
+      (ts(35), "en", "another window with enough words to pass easily"))
+    val mem = MemoryStream[(Timestamp, String, String)]
+    mem.addData(rows: _*)
+    val stream = StreamingOps.qualityMonitor(
+      mem.toDF.toDF("ts", "lang", "text"),
+      "ts", "text", "30 minutes", keyCols = Seq("lang"),
+      watermark = Some("10 minutes"))
+    val q = stream.writeStream.format("memory")
+      .queryName("qual_mon").outputMode("append").start()
+    try { q.processAllAvailable(); mem.addData((ts(59), "en", "watermark push x y z w")); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("qual_mon")
+      .select("lang", "n_docs", "total_tokens", "n_fail_quality")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // first 30m window closed under the watermark: en{pass+fail}, de{fail}
+    got should contain(("en", 2L, 9L, 1L))
+    got should contain(("de", 1L, 3L, 1L))
+    // batch path over the same rows agrees on every closed window
+    val batch = StreamingOps.qualityMonitor(
+      rows.toDF("ts", "lang", "text"), "ts", "text", "30 minutes",
+      keyCols = Seq("lang"))
+      .select("lang", "n_docs", "total_tokens", "n_fail_quality")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    got.subsetOf(batch) shouldBe true
+  }
+
   test("keyIndexApply filters a live stream against a static index, matching batch") {
     val corpus = Seq(Tuple1("u1"), Tuple1("u2")).toDF("k")
     val dir = java.nio.file.Files.createTempDirectory("graft_keyidx_s").toString
