@@ -1000,6 +1000,17 @@ object SparkEntry {
         rt(s, dir, "documents")
           .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", capacity = 512, numBuckets = 8)),
+    // The packed bins MATERIALIZED: one row per (bucket, bin) with member
+    // texts concatenated in pack order — the trainer-ready sequence table
+    // a jsonl export would ship. Same pack config as pack_sequences.
+    "pack_sequences_text" -> ((s, dir) =>
+      Sampling.materializeSequences(
+        Sampling.packSequences(
+          rt(s, dir, "documents")
+            .select(col("doc_id"), col("text"),
+              TextOps.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", capacity = 512, numBuckets = 8),
+        "text", "n_tokens")),
     // "Train on the first 3000 tokens of this corpus": deterministic
     // bucket-major prefix; the oracle replays bucket totals, driver-style
     // prefix offsets, and the within-bucket running sums.
@@ -1365,6 +1376,27 @@ object SparkEntry {
         bpeFitted(s, dir))
         .select(col("doc_id"), size(col("bpe_tokens")).as("n_bpe"),
           array_join(col("bpe_tokens"), Bpe.Sep).as("bpe_joined"))),
+    // The deterministic (token, id) vocabulary: sorted corpus alphabet
+    // first, then merge products in rank order — an aux dump (the
+    // text_bpe_merges convention) that text_bpe_ids replays ids from.
+    "text_bpe_vocab" -> ((s, dir) => {
+      import s.implicits._
+      val d = rt(s, dir, "documents")
+      Bpe.vocabOf(bpeFitted(s, dir), Bpe.alphabetOf(d, "text"))
+        .toDF("token", "id")
+        .select(col("token"), col("id").cast("int").as("id"))
+    }),
+    // Trainer-ready integer ids: tokenize under the fitted merges, then one
+    // vocabulary-map probe per token (UNK = -1, impossible here since the
+    // alphabet comes from the same corpus). Positionally exploded — array
+    // columns are not hashable by the driver compare.
+    "text_bpe_ids" -> ((s, dir) =>
+      Bpe.encodeIds(
+        rt(s, dir, "documents").select("doc_id", "text"), "text",
+        bpeFitted(s, dir),
+        Bpe.vocabOf(bpeFitted(s, dir),
+          Bpe.alphabetOf(rt(s, dir, "documents"), "text")))
+        .select(col("doc_id"), posexplode(col("bpe_ids")).as(Seq("pos", "id")))),
     // Tokenizer-fit report: chars-per-BPE-token by language under the
     // English-fitted merge table — the fertility check run before
     // committing a tokenizer to a pretraining mix (the en slice should
@@ -2399,6 +2431,27 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, bucket, (cum - 1) // 512 AS bin,
         |       cum - n_tokens AS start_offset
         |FROM c""".stripMargin,
+    // Same pack replay with the text carried through, aggregated per bin:
+    // string_agg in start_offset order is exactly the pack order.
+    "pack_sequences_text" ->
+      """WITH t AS (SELECT doc_id, text,
+        |             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS n_tokens
+        |           FROM documents),
+        |     h AS (SELECT doc_id, text, n_tokens,
+        |             (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS hh
+        |           FROM t WHERE n_tokens > 0),
+        |     c AS (SELECT doc_id, text, n_tokens, hh % 8 AS bucket,
+        |             CAST(sum(n_tokens) OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id
+        |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |           FROM h),
+        |     p AS (SELECT bucket, (cum - 1) // 512 AS bin, text, n_tokens,
+        |             cum - n_tokens AS start_offset
+        |           FROM c)
+        |SELECT bucket, bin,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       string_agg(text, ' ' ORDER BY start_offset) AS seq_text
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "sample_token_budget" ->
       """WITH t AS (SELECT doc_id,
         |             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS n_tokens
@@ -2950,6 +3003,34 @@ object SparkEntry {
          |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_bpe,
          |       array_to_string(toks, chr(31)) AS bpe_joined
          |FROM btoks""".stripMargin,
+    // Vocabulary replay: sorted distinct corpus code points first, then
+    // merge products in rank order, first occurrence keeping the id.
+    "text_bpe_vocab" ->
+      """WITH m AS (SELECT CAST(rank AS INTEGER) AS r, a || b AS tok
+        |           FROM read_parquet('{GRAFT_OUT}/text_bpe_merges/*.parquet')),
+        |     al AS (SELECT DISTINCT x AS tok FROM (
+        |              SELECT unnest([substr(replace(text, chr(31), ''), i, 1)
+        |                             FOR i IN range(1, len(replace(text, chr(31), '')) + 1)]) AS x
+        |              FROM documents) WHERE x <> ''),
+        |     u AS (SELECT tok, 0 AS grp, NULL AS r FROM al
+        |           UNION ALL SELECT tok, 1, r FROM m),
+        |     seq AS (SELECT tok,
+        |               row_number() OVER (ORDER BY grp, CASE WHEN grp = 0 THEN tok END, r) AS pos,
+        |               row_number() OVER (PARTITION BY tok ORDER BY grp, r) AS dup
+        |             FROM u),
+        |     keep AS (SELECT tok, pos FROM seq WHERE dup = 1)
+        |SELECT tok AS token,
+        |       CAST(row_number() OVER (ORDER BY pos) - 1 AS INTEGER) AS id
+        |FROM keep""".stripMargin,
+    // Id replay: the merge-table tokenization CTE + one vocabulary join
+    // per token position (UNK = -1).
+    "text_bpe_ids" ->
+      s"""WITH RECURSIVE $bpeReplayCte,
+         | v AS (SELECT token, id FROM read_parquet('{GRAFT_OUT}/text_bpe_vocab/*.parquet')),
+         | x AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM btoks)
+         |SELECT x.doc_id, CAST(x.i - 1 AS INTEGER) AS pos,
+         |       CAST(COALESCE(v.id, -1) AS INTEGER) AS id
+         |FROM x LEFT JOIN v ON x.toks[x.i] = v.token""".stripMargin,
     // Fertility replay: BPE token counts from the merge-table replay,
     // char counts + grouping joined back from documents. LEFT JOIN +
     // coalesce keep NULL-text docs counted with 0 chars/tokens, matching

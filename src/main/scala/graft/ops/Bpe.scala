@@ -159,6 +159,62 @@ object Bpe {
     df.withColumn(outCol, size(bpeTokens(df.sparkSession, col(textCol), model)))
   }
 
+  /** Deterministic integer-id vocabulary of a merge table: ids 0..k−1 are
+    * the sorted distinct base symbols of `alphabet`, then the merge
+    * PRODUCTS in rank order (a product already present keeps its first
+    * id). Every token [[bpeTokens]] can emit is either a base symbol or a
+    * merge product, so a vocabulary built from the fit corpus's alphabet
+    * covers its own corpus exactly; only code points never seen in
+    * `alphabet` map to UNK at encode time. The (token, id) table is
+    * dictionary-sized and fully determined by (model, alphabet) — export
+    * it next to the merge dump and any engine reproduces the ids. */
+  def vocabOf(model: BpeModel, alphabet: Seq[String]): Seq[(String, Int)] = {
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    alphabet.distinct.sorted.foreach(seen += _)
+    model.merges.foreach { case (a, b) => seen += (a + b) }
+    seen.toSeq.zipWithIndex
+  }
+
+  /** The distinct single code points of `textCol`, sorted — [[vocabOf]]'s
+    * base alphabet, taken from the same corpus the model was fit on.
+    * U+001F is stripped exactly as the tokenizer strips it. One explode +
+    * distinct aggregate at fit time; code-point cardinality is
+    * dictionary-sized (`maxChars` is a guard, not a sampler — hitting it
+    * means the corpus has more distinct code points than the vocabulary
+    * budget and the tail maps to UNK). */
+  def alphabetOf(df: DataFrame, textCol: String, maxChars: Int = 65536): Seq[String] = {
+    graft.core.Validators.requireColumns(df, Seq(textCol))
+    df.select(explode(filter(
+      split(regexp_replace(coalesce(col(textCol), lit("")), Sep, ""), ""),
+      c => c =!= "")).as("__graft_c"))
+      .distinct().orderBy(col("__graft_c").asc).limit(maxChars)
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Appends `outCol` = the integer BPE token-id array of `textCol` —
+    * the trainer-ready form ([[tokenizeBpe]] emits token STRINGS; loaders
+    * consume ids). Tokens outside `vocab` encode as −1 (UNK) — possible
+    * only for code points absent from the vocabulary's alphabet. The
+    * vocabulary rides as one plan-literal map (dictionary-sized, the
+    * merge-table convention), so encoding is a pure narrow projection:
+    * tokenize, then one map probe per token. */
+  def encodeIds(
+      df: DataFrame,
+      textCol: String,
+      model: BpeModel,
+      vocab: Seq[(String, Int)],
+      outCol: String = "bpe_ids"): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(textCol))
+    graft.core.Validators.requireColumnsAbsent(df, Seq(outCol), "encodeIds")
+    require(vocab.nonEmpty, "encodeIds: vocab must be non-empty")
+    require(vocab.map(_._1).distinct.size == vocab.size,
+      "encodeIds: vocab tokens must be distinct")
+    val m = typedLit(vocab.toMap)
+    df.withColumn(outCol,
+      transform(bpeTokens(df.sparkSession, col(textCol), model),
+        t => coalesce(element_at(m, t), lit(-1))))
+  }
+
   /** Per-group tokenizer-fit report — the "does this merge table suit this
     * corpus slice?" table: a tokenizer trained on English spends far more
     * tokens per character on, say, Chinese, and this surfaces exactly that

@@ -388,6 +388,39 @@ object Sampling {
       .drop("__graft_cum")
   }
 
+  /** The last mile after [[packSequences]]: turn the (bucket, bin)
+    * assignments into actual trainer-ready rows — one row per bin with the
+    * member texts concatenated IN PACK ORDER plus the bin's document and
+    * token totals. `start_offset` is strictly increasing in pack order
+    * within a bin (token counts are positive), so the in-bin order needs
+    * no re-derivation of the hash ordering — sort the collected members by
+    * it and join. Write the result with
+    * [[graft.sources.Writer.save]]`(…, "out.jsonl.gz")` and a data loader
+    * streams finished sequences.
+    *
+    * Scale shape: ONE hash aggregate on (bucket, bin) — bins hold
+    * ≈capacity tokens, so a group buffers one training sequence's text,
+    * never a partition's. No window, no sort beyond the per-bin
+    * array_sort. */
+  def materializeSequences(
+      packed: DataFrame,
+      textCol: String,
+      tokenCol: String,
+      joiner: String = " "): DataFrame = {
+    graft.core.Validators.requireColumns(packed,
+      Seq(textCol, tokenCol, "bucket", "bin", "start_offset"))
+    packed.groupBy(col("bucket"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCol).cast("long")).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(
+              col("start_offset").as("o"), col(textCol).as("t")))),
+            s => s("t")),
+          joiner).as("seq_text"))
+  }
+
   /** Deterministic token-budget sampling: keep documents, in the portable
     * two-level hash order, until the running token total reaches `budget`
     * — "train on the first N tokens of this corpus", the token-count

@@ -234,6 +234,19 @@ object Demo {
       "ts", "text", "6 hours", keyCols = Seq("lang"))
     println(s"quality monitor: ${mon.count()} (window, lang) cells; total fails " +
       s"${mon.agg(sum(col("n_fail_quality"))).head().getLong(0)}")
+    val vocab = graft.ops.Bpe.vocabOf(bpe, graft.ops.Bpe.alphabetOf(docs, "text"))
+    val ids = graft.ops.Bpe.encodeIds(docs.select("doc_id", "text"), "text", bpe, vocab)
+    println(s"bpe ids: vocab ${vocab.size} entries; " +
+      s"${ids.select(explode(col("bpe_ids"))).count()} ids emitted, UNK count " +
+      s"${ids.select(explode(col("bpe_ids")).as("i")).filter(col("i") === -1).count()}")
+    val seqs = graft.ops.Sampling.materializeSequences(
+      graft.ops.Sampling.packSequences(
+        docs.select(col("doc_id"), col("text"),
+          graft.ops.TextOps.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", capacity = 512, numBuckets = 8),
+      "text", "n_tok")
+    println(s"packed sequences: ${seqs.count()} bins of <=512 tokens, mean fill " +
+      f"${seqs.agg(avg(col("n_tokens"))).head().getDouble(0)}%.0f")
 
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =

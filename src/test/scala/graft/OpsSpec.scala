@@ -2453,6 +2453,48 @@ class OpsSpec extends SparkSpec {
     out.agg(sum("n_bpe")).head().getLong(0) should be <= 100L
   }
 
+  test("vocabOf/encodeIds: deterministic ids, alphabet-first, UNK for unseen code points") {
+    val model = Bpe.BpeModel(Seq(("a", "b"), ("ab", "c"), ("a", "b"))) // dup product
+    val vocab = Bpe.vocabOf(model, Seq("c", "a", "b", "a")) // unsorted, dup input
+    // sorted alphabet first, then products in rank order, dups collapsed
+    vocab shouldBe Seq("a" -> 0, "b" -> 1, "c" -> 2, "ab" -> 3, "abc" -> 4)
+    val d = Seq((1L, "abca"), (2L, "abz")).toDF("doc_id", "text")
+    val out = Bpe.encodeIds(d, "text", model, vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    // "abca" → abc, a; "abz" → ab, z(UNK)
+    out(1L) shouldBe Seq(4, 0)
+    out(2L) shouldBe Seq(3, -1)
+    // alphabetOf extracts sorted distinct code points, stripping U+001F
+    Bpe.alphabetOf(Seq(Tuple1("ba" + Bpe.Sep + "c")).toDF("t"), "t") shouldBe
+      Seq("a", "b", "c")
+  }
+
+  test("materializeSequences concatenates bins in pack order with exact totals") {
+    val counted = Seq(
+      (1L, "one two", 2), (2L, "three", 1), (3L, "four five six", 3),
+      (4L, "seven", 1))
+      .toDF("doc_id", "text", "n")
+    val packed = Sampling.packSequences(counted, "doc_id", "n",
+      capacity = 3, numBuckets = 1)
+    val out = Sampling.materializeSequences(packed, "text", "n")
+      .orderBy("bin").collect()
+    // one bucket: pack order is (hash, id); totals must be exact and the
+    // concatenation must follow start_offset order within each bin
+    out.map(_.getAs[Long]("n_tokens")).sum shouldBe 7L
+    out.map(_.getAs[Long]("n_docs")).sum shouldBe 4L
+    val texts = out.map(_.getAs[String]("seq_text"))
+    texts.mkString(" ").split(" ").sorted.toSeq shouldBe
+      "one two three four five six seven".split(" ").sorted.toSeq
+    // pack order within a bin = ascending start_offset: re-derive it
+    val order = packed.orderBy("bin", "start_offset")
+      .collect().map(r => (r.getAs[Long]("bin"), r.getString(1)))
+    val expected = order.groupBy(_._1).view
+      .mapValues(_.map(_._2).mkString(" ")).toMap
+    out.foreach { r =>
+      r.getAs[String]("seq_text") shouldBe expected(r.getAs[Long]("bin"))
+    }
+  }
+
   test("TextOps.chunkTokensBy windows a precomputed token array") {
     val df = Seq((1L, "the table the table the table")).toDF("doc_id", "text")
     val out = TextOps.chunkTokensBy(

@@ -85,6 +85,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "sim_pq" -> 0, "sim_pq_codes" -> 0, "sim_pq_refined" -> 0,
     "sim_quantize" -> 0, "sim_recall" -> 6, "sim_semantic_dedup" -> 6,
     "text_bpe" -> 0, "text_chunk_bpe" -> 0,
+    "text_bpe_vocab" -> 0, "text_bpe_ids" -> 0,
+    // the bin aggregate reuses the pack window's bucket partitioning
+    // (subset-key clustering) — materializing adds ZERO shuffles
+    "pack_sequences_text" -> 1,
     "text_classifier_filter" -> 1, "text_classifier_score" -> 2,
     "text_lm_filter" -> 1, "text_lm_score" -> 2,
     "text_line_dedup" -> 3, "text_line_dedup_doc" -> 0,
