@@ -1756,6 +1756,16 @@ object SparkEntry {
         Similarity.ivfFit(e, "embedding", nlist = 8).toJsonString)
       Similarity.knnGraph(e, "vec_id", "embedding", m, k = 5, minCosine = 0.0)
     }),
+    // Contrastive hard negatives: per anchor, the 3 most-similar same-cell
+    // vectors with a DIFFERENT label (filter before the top-k rank). The
+    // oracle extends sim_knn's replay with the label join + inequality.
+    "sim_hard_negatives" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      val m = Similarity.IvfModel.fromJsonString(
+        Similarity.ivfFit(e, "embedding", nlist = 8).toJsonString)
+      Similarity.hardNegatives(e, "vec_id", "embedding", "label", m,
+        k = 3, minCosine = 0.0)
+    }),
     // JL sign-projection to 16 dims, dumped one row per (vector, out-dim);
     // the oracle replays the matmul from the sim_rp_matrix aux dump.
     "sim_random_projection" -> ((s, dir) => {
@@ -3925,6 +3935,43 @@ object SparkEntry {
         |           FROM pr WHERE cos >= 0.0)
         |SELECT id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rank
         |FROM r WHERE rnk <= 5""".stripMargin,
+    // sim_knn's pair replay + the label join and inequality BEFORE the
+    // per-anchor top-3 rank.
+    "sim_hard_negatives" ->
+      """WITH cent AS (SELECT cell_id, list(value ORDER BY pos) AS c
+        |              FROM read_parquet('{GRAFT_OUT}/sim_ivf_centroids/*.parquet')
+        |              GROUP BY cell_id),
+        |     ad AS (SELECT e.vec_id, e.embedding, e.label, cent.cell_id,
+        |              list_sum([(CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        * (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+        |                        FOR i IN range(1, 65)]) AS d
+        |            FROM embeddings e CROSS JOIN cent),
+        |     a AS (SELECT vec_id, embedding, label, cell_id FROM (
+        |             SELECT vec_id, embedding, label, cell_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY d, cell_id) AS rn
+        |             FROM ad) WHERE rn = 1),
+        |     pr AS (SELECT x.vec_id AS id, x.label AS label,
+        |              y.vec_id AS neighbor_id, y.label AS neg_label,
+        |              list_sum([CAST(x.embedding[i] AS DOUBLE)
+        |                        * CAST(y.embedding[i] AS DOUBLE)
+        |                        FOR i IN range(1, 65)])
+        |              / (sqrt(list_sum([CAST(x.embedding[i] AS DOUBLE)
+        |                                * CAST(x.embedding[i] AS DOUBLE)
+        |                                FOR i IN range(1, 65)]))
+        |                 * sqrt(list_sum([CAST(y.embedding[i] AS DOUBLE)
+        |                                  * CAST(y.embedding[i] AS DOUBLE)
+        |                                  FOR i IN range(1, 65)]))) AS cos
+        |            FROM a x JOIN a y
+        |              ON x.cell_id = y.cell_id AND x.vec_id <> y.vec_id
+        |             AND x.label IS NOT NULL AND y.label IS NOT NULL
+        |             AND x.label <> y.label),
+        |     r AS (SELECT id, label, neighbor_id, neg_label, cos,
+        |             row_number() OVER (PARTITION BY id
+        |                                ORDER BY cos DESC, neighbor_id) AS rnk
+        |           FROM pr WHERE cos >= 0.0)
+        |SELECT id, label, neighbor_id, neg_label, cos, CAST(rnk AS INTEGER) AS rank
+        |FROM r WHERE rnk <= 3""".stripMargin,
     // Recall replay: the sim_ivf_batch prediction set (from the centroids
     // dump) left-joined against the brute-force truth set, hits counted per
     // query — the same small-int division, so the doubles are exact.

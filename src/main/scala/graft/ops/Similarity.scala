@@ -1734,6 +1734,88 @@ object Similarity {
     }
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor row,
+    * the `k` most-similar same-cell rows whose `labelCol` DIFFERS — the
+    * standard "hard negatives" a bi-encoder / embedding-model trainer
+    * pairs with its positives. The label filter runs BEFORE the per-anchor
+    * top-k rank (an anchor surrounded by same-label neighbors still gets
+    * real negatives, just lower-cosine ones), which is why this cannot be
+    * a post-filter over [[knnGraph]]'s output. Rows with a NULL label are
+    * excluded from BOTH sides — an unlabeled row might share the anchor's
+    * class, and a false negative poisons a contrastive batch. Same
+    * exclusions and bucket shape as [[knnGraph]] (cell-scoped tiled
+    * pairs, [[BucketCap]]-capped, `minCosine` pruning inside the kernel);
+    * same-id rows emit no edges (exact-dedup first), and a duplicated id
+    * takes its MINIMUM label for determinism.
+    *
+    * Output: (id, label, neighbor_id, neg_label, cos, rank). Scale shape:
+    * the [[knnGraph]] pipeline plus two id-table-sized label joins on the
+    * bounded edge stream before the one rank-window shuffle on the
+    * anchor. */
+  def hardNegatives(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      model: IvfModel,
+      k: Int,
+      minCosine: Double = Double.NegativeInfinity,
+      maxClusterSize: Int = 100000,
+      forceBroadcastAssign: Boolean = false,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.core.Validators.requireColumns(df, Seq(idCol, embCol, labelCol))
+    require(k >= 1, "k must be >= 1")
+    require(model.centroids.nonEmpty, "model must have at least one centroid")
+    val idType = df.schema(idCol).dataType
+    val (sidOf, integralId) = tileIdFn(idType)
+    val buckets = cellPairBuckets(
+      df, idCol, embCol, model, maxClusterSize, "hardNegatives",
+      forceBroadcastAssign)
+    val cosPair: (Column, Column) => Column = (x, y) =>
+      dot(x("emb"), y("emb")) / (x("norm") * y("norm"))
+    val pairs = Dedup.materializeLazy(
+      Dedup.expandSymmetricBuckets(
+        buckets, Seq(col("cell")),
+        graft.functions.TilePairs.CosineName, lit(minCosine),
+        (x, y) => cosPair(x, y) >= minCosine,
+        (x, y) => struct(x("id").as("a"), y("id").as("b"), cosPair(x, y).as("cos")))
+        .filter(col("p.a") =!= col("p.b"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("p.cos").as("cos")))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("cos"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"), col("cos")))
+    val lbl = df.filter(col(labelCol).isNotNull)
+      .groupBy(sidOf(col(idCol)).as("__graft_sid"))
+      .agg(min(col(labelCol)).as("__graft_lbl"))
+    val ranked = edges
+      .join(lbl.select(col("__graft_sid").as("__graft_sid_s"),
+        col("__graft_lbl").as("label")), col("src") === col("__graft_sid_s"))
+      .join(lbl.select(col("__graft_sid").as("__graft_sid_d"),
+        col("__graft_lbl").as("neg_label")), col("dst") === col("__graft_sid_d"))
+      .filter(col("label") =!= col("neg_label"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("label"), col("dst"), col("neg_label"),
+        col("cos"), col("rank"))
+    if (integralId)
+      ranked.select(
+        col("src").cast(idType).as("id"), col("label"),
+        col("dst").cast(idType).as("neighbor_id"), col("neg_label"),
+        col("cos"), col("rank"))
+    else {
+      val idMap = df.select(xxhash64(col(idCol)).as("sid"), col(idCol).as("orig"))
+        .dropDuplicates("sid")
+      ranked
+        .join(idMap, col("src") === col("sid"))
+        .select(col("orig").as("id"), col("label"), col("dst"),
+          col("neg_label"), col("cos"), col("rank"))
+        .join(idMap, col("dst") === col("sid"))
+        .select(col("id"), col("label"), col("orig").as("neighbor_id"),
+          col("neg_label"), col("cos"), col("rank"))
+    }
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication"):
     * cluster the corpus with a coarse k-means quantizer, then drop, WITHIN

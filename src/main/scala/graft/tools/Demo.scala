@@ -239,6 +239,10 @@ object Demo {
     println(s"bpe ids: vocab ${vocab.size} entries; " +
       s"${ids.select(explode(col("bpe_ids"))).count()} ids emitted, UNK count " +
       s"${ids.select(explode(col("bpe_ids")).as("i")).filter(col("i") === -1).count()}")
+    val negs = graft.ops.Similarity.hardNegatives(
+      embs, "vec_id", "embedding", "label", ivf, k = 3, minCosine = 0.0)
+    println(s"hard negatives: ${negs.count()} (anchor, negative) pairs mined " +
+      s"for ${negs.select("id").distinct().count()} anchors")
     val seqs = graft.ops.Sampling.materializeSequences(
       graft.ops.Sampling.packSequences(
         docs.select(col("doc_id"), col("text"),

@@ -2672,6 +2672,34 @@ class OpsSpec extends SparkSpec {
       TextOps.dedupLinesWithinDoc(d, "text")) shouldBe 0
   }
 
+  test("hardNegatives: label filter precedes the top-k rank; NULL labels excluded") {
+    val m = Similarity.IvfModel(Seq(Seq(1.0, 0.0)))
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f), "a"),
+      (2L, Seq(0.99f, 0.14f), "a"),  // same label as 1 — never 1's negative
+      (3L, Seq(0.9f, 0.436f), "b"),  // 1's best hard negative
+      (4L, Seq(0.8f, 0.6f), "b"),
+      (5L, Seq(0.7f, 0.71f), null.asInstanceOf[String]), // unlabeled: excluded
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(d, "vec_id", "embedding", "label", m, k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(1), r.getString(3)))
+      .toMap
+    // anchor 1: nearest is 2 (same label, skipped) then 3 → negative 3
+    out(1L) shouldBe ((3L, "a", "b"))
+    // anchor 3: nearest overall is 4 (same label b) then 2 → negative 2
+    out(3L) shouldBe ((2L, "b", "a"))
+    // unlabeled row 5 is neither anchor nor negative
+    out.contains(5L) shouldBe false
+    out.values.map(_._1).toSet should not contain 5L
+    // k bounds per-anchor output; ranks are 1-based contiguous
+    val all = Similarity.hardNegatives(d, "vec_id", "embedding", "label", m, k = 2)
+      .collect()
+    all.groupBy(_.getLong(0)).values.foreach { rows =>
+      rows.length should be <= 2
+      rows.map(_.getAs[Int]("rank")).sorted.toSeq shouldBe (1 to rows.length)
+    }
+  }
+
   test("truncationReport: exact token masses in and past the window") {
     val d = Seq(
       ("en", "one two three four"),        // 4 tokens

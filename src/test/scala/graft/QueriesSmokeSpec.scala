@@ -78,6 +78,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "sim_ivf" -> 0, "sim_ivf_batch" -> 2, "sim_ivf_bcast" -> 1,
     "sim_ivfpq" -> 0, "sim_ivfpq_codes" -> 0, "sim_ivfpq_disk" -> 0,
     "sim_knn" -> 1,
+    // knnGraph's shape + the label-aggregate/join pair on the bounded edge
+    // stream (unhinted like knnGraph's idMap — AQE broadcasts when small)
+    "sim_hard_negatives" -> 3,
     "sink_curriculum_shards" -> 1, // one shuffle: the (shard, fine) rank window
     "text_bpe_stats" -> 1,
     "text_domain_stats" -> 2, // the standard two-phase distinct-agg (n_hosts)
