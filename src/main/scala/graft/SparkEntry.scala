@@ -3571,7 +3571,8 @@ object SparkEntry {
         |       lang,
         |       count(*) AS n_docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-        |       CAST(sum(CASE WHEN n_tokens < 5 OR punct_ratio > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+        |       CAST(sum(CASE WHEN COALESCE(n_tokens, 0) < 5 OR punct_ratio > 0.2
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_fail_quality
         |FROM q GROUP BY 1, 2, 3""".stripMargin,
     // A 6h/2h sliding window's starts for event ts are time_bucket(2h, ts)

@@ -170,7 +170,14 @@ object Bpe {
     * it next to the merge dump and any engine reproduces the ids. */
   def vocabOf(model: BpeModel, alphabet: Seq[String]): Seq[(String, Int)] = {
     val seen = scala.collection.mutable.LinkedHashSet[String]()
-    alphabet.distinct.sorted.foreach(seen += _)
+    // CODE-POINT order, not JVM String order: String.compareTo sorts by
+    // UTF-16 code unit, which puts supplementary-plane symbols (surrogate
+    // lead 0xD800-0xDBFF) BEFORE U+E000..U+FFFF — while every other
+    // engine's binary-UTF-8 ordering (and the text_bpe_vocab oracle) sorts
+    // by code point. Alphabet entries are single code points by
+    // construction ([[alphabetOf]]'s regex split is code-point-aware), so
+    // codePointAt(0) IS the portable sort key.
+    alphabet.distinct.sortBy(_.codePointAt(0)).foreach(seen += _)
     model.merges.foreach { case (a, b) => seen += (a + b) }
     seen.toSeq.zipWithIndex
   }

@@ -173,8 +173,16 @@ object Curation {
         coalesce(col("__graft_g_n_ref"), col("__graft_g_n_cur")).as(groupCol),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    val refPct = greatest(col("n_ref") / sum(col("n_ref")).over(all), lit(eps))
-    val curPct = greatest(col("n_cur") / sum(col("n_cur")).over(all), lit(eps))
+    // an EMPTY drop (total 0) is the loudest drift there is — guard the
+    // division so every share clamps to eps instead of propagating the
+    // 0/0 NaN through greatest() and poisoning psi_term
+    def share(n: Column): Column = {
+      val tot = sum(n).over(all)
+      greatest(when(tot > 0, n.cast("double") / tot.cast("double"))
+        .otherwise(lit(0.0)), lit(eps))
+    }
+    val refPct = share(col("n_ref"))
+    val curPct = share(col("n_cur"))
     joined.select(
       col(groupCol), col("n_ref"), col("n_cur"),
       round(refPct, 9).as("ref_pct"),

@@ -1682,6 +1682,64 @@ object Similarity {
     * first. Non-integral id types ride the 64-bit content-hash surrogate
     * ([[tileIdFn]]) and join their original ids back onto the small edge
     * output. */
+  /** Shared pair pipeline of [[knnGraph]] and [[hardNegatives]]: cell-
+    * scoped tiled pair expansion → symmetric (src, dst, cos) edge stream,
+    * materialized once (lazy checkpoint) before fanning into both
+    * directions — without it the union would recompute the whole tile
+    * expansion twice. Cells are disjoint, so a pair appears in exactly
+    * one bucket — no cross-band dedup needed (unlike cosineNearDupPairs);
+    * order-peer (shared-id) rows emit no edges. */
+  private def cellEdges(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      model: IvfModel,
+      minCosine: Double,
+      maxClusterSize: Int,
+      opName: String,
+      forceBroadcastAssign: Boolean,
+  ): DataFrame = {
+    val buckets = cellPairBuckets(
+      df, idCol, embCol, model, maxClusterSize, opName, forceBroadcastAssign)
+    val cosPair: (Column, Column) => Column = (x, y) =>
+      dot(x("emb"), y("emb")) / (x("norm") * y("norm"))
+    val pairs = Dedup.materializeLazy(
+      Dedup.expandSymmetricBuckets(
+        buckets, Seq(col("cell")),
+        graft.functions.TilePairs.CosineName, lit(minCosine),
+        (x, y) => cosPair(x, y) >= minCosine,
+        (x, y) => struct(x("id").as("a"), y("id").as("b"), cosPair(x, y).as("cos")))
+        .filter(col("p.a") =!= col("p.b"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("p.cos").as("cos")))
+    pairs.select(col("a").as("src"), col("b").as("dst"), col("cos"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"), col("cos")))
+  }
+
+  /** The other shared half: replace the surrogate `src`/`dst` columns of a
+    * ranked edge frame with the caller's original ids (`id`,
+    * `neighbor_id`), casting for integral id types and joining the
+    * content-hash surrogate map back otherwise. Every other column of
+    * `ranked` passes through untouched. */
+  private def remapEdgeIds(
+      ranked: DataFrame, df: DataFrame, idCol: String): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    val (_, integralId) = tileIdFn(idType)
+    if (integralId)
+      ranked
+        .withColumn("id", col("src").cast(idType))
+        .withColumn("neighbor_id", col("dst").cast(idType))
+        .drop("src", "dst")
+    else {
+      val idMap = df.select(xxhash64(col(idCol)).as("sid"), col(idCol).as("orig"))
+        .dropDuplicates("sid")
+      ranked
+        .join(idMap, col("src") === col("sid"))
+        .withColumnRenamed("orig", "id").drop("sid", "src")
+        .join(idMap, col("dst") === col("sid"))
+        .withColumnRenamed("orig", "neighbor_id").drop("sid", "dst")
+    }
+  }
+
   def knnGraph(
       df: DataFrame,
       idCol: String,
@@ -1696,42 +1754,13 @@ object Similarity {
     graft.core.Validators.requireColumns(df, Seq(idCol, embCol))
     require(k >= 1, "k must be >= 1")
     require(model.centroids.nonEmpty, "model must have at least one centroid")
-    val idType = df.schema(idCol).dataType
-    val (sidOf, integralId) = tileIdFn(idType)
-    val buckets = cellPairBuckets(
-      df, idCol, embCol, model, maxClusterSize, "knnGraph", forceBroadcastAssign)
-    val cosPair: (Column, Column) => Column = (x, y) =>
-      dot(x("emb"), y("emb")) / (x("norm") * y("norm"))
-    // cells are disjoint, so a pair appears in exactly one bucket — no
-    // cross-band dedup needed (unlike cosineNearDupPairs)
-    val pairs = Dedup.materializeLazy(
-      Dedup.expandSymmetricBuckets(
-        buckets, Seq(col("cell")),
-        graft.functions.TilePairs.CosineName, lit(minCosine),
-        (x, y) => cosPair(x, y) >= minCosine,
-        (x, y) => struct(x("id").as("a"), y("id").as("b"), cosPair(x, y).as("cos")))
-        .filter(col("p.a") =!= col("p.b")) // order-peers: no edges between shared ids
-        .select(col("p.a").as("a"), col("p.b").as("b"), col("p.cos").as("cos")))
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("cos"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"), col("cos")))
-    val ranked = edges
+    val ranked = cellEdges(df, idCol, embCol, model, minCosine,
+      maxClusterSize, "knnGraph", forceBroadcastAssign)
       .withColumn("rank", row_number().over(
         Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)))
       .filter(col("rank") <= k)
-    if (integralId)
-      ranked.select(
-        col("src").cast(idType).as("id"),
-        col("dst").cast(idType).as("neighbor_id"),
-        col("cos"), col("rank"))
-    else {
-      val idMap = df.select(xxhash64(col(idCol)).as("sid"), col(idCol).as("orig"))
-        .dropDuplicates("sid")
-      ranked
-        .join(idMap, col("src") === col("sid"))
-        .select(col("orig").as("id"), col("dst"), col("cos"), col("rank"))
-        .join(idMap, col("dst") === col("sid"))
-        .select(col("id"), col("orig").as("neighbor_id"), col("cos"), col("rank"))
-    }
+    remapEdgeIds(ranked, df, idCol)
+      .select(col("id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
   /** Hard-negative mining for contrastive training: for each anchor row,
@@ -1767,23 +1796,9 @@ object Similarity {
     graft.core.Validators.requireColumns(df, Seq(idCol, embCol, labelCol))
     require(k >= 1, "k must be >= 1")
     require(model.centroids.nonEmpty, "model must have at least one centroid")
-    val idType = df.schema(idCol).dataType
-    val (sidOf, integralId) = tileIdFn(idType)
-    val buckets = cellPairBuckets(
-      df, idCol, embCol, model, maxClusterSize, "hardNegatives",
-      forceBroadcastAssign)
-    val cosPair: (Column, Column) => Column = (x, y) =>
-      dot(x("emb"), y("emb")) / (x("norm") * y("norm"))
-    val pairs = Dedup.materializeLazy(
-      Dedup.expandSymmetricBuckets(
-        buckets, Seq(col("cell")),
-        graft.functions.TilePairs.CosineName, lit(minCosine),
-        (x, y) => cosPair(x, y) >= minCosine,
-        (x, y) => struct(x("id").as("a"), y("id").as("b"), cosPair(x, y).as("cos")))
-        .filter(col("p.a") =!= col("p.b"))
-        .select(col("p.a").as("a"), col("p.b").as("b"), col("p.cos").as("cos")))
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("cos"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"), col("cos")))
+    val (sidOf, _) = tileIdFn(df.schema(idCol).dataType)
+    val edges = cellEdges(df, idCol, embCol, model, minCosine,
+      maxClusterSize, "hardNegatives", forceBroadcastAssign)
     val lbl = df.filter(col(labelCol).isNotNull)
       .groupBy(sidOf(col(idCol)).as("__graft_sid"))
       .agg(min(col(labelCol)).as("__graft_lbl"))
@@ -1798,22 +1813,9 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("src"), col("label"), col("dst"), col("neg_label"),
         col("cos"), col("rank"))
-    if (integralId)
-      ranked.select(
-        col("src").cast(idType).as("id"), col("label"),
-        col("dst").cast(idType).as("neighbor_id"), col("neg_label"),
+    remapEdgeIds(ranked, df, idCol)
+      .select(col("id"), col("label"), col("neighbor_id"), col("neg_label"),
         col("cos"), col("rank"))
-    else {
-      val idMap = df.select(xxhash64(col(idCol)).as("sid"), col(idCol).as("orig"))
-        .dropDuplicates("sid")
-      ranked
-        .join(idMap, col("src") === col("sid"))
-        .select(col("orig").as("id"), col("label"), col("dst"),
-          col("neg_label"), col("cos"), col("rank"))
-        .join(idMap, col("dst") === col("sid"))
-        .select(col("id"), col("label"), col("orig").as("neighbor_id"),
-          col("neg_label"), col("cos"), col("rank"))
-    }
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:

@@ -35,9 +35,15 @@ object Writer {
       case i => (s.substring(0, i), s.substring(i + 1).toLowerCase)
     }
     val (base, last) = ext(path)
+    // EXACTLY Loader.load's strip set (gz|bz2|zst|snappy|deflate) — a
+    // writable suffix Loader can't re-route (or vice versa) breaks the
+    // save→load round trip this surface promises
     val compression = last match {
       case "gz" => Some("gzip")
-      case "zst" | "zstd" => Some("zstd")
+      case "bz2" => Some("bzip2")
+      case "zst" => Some("zstd")
+      case "snappy" => Some("snappy")
+      case "deflate" => Some("deflate")
       case _ => None
     }
     val fmt = if (compression.isDefined) ext(base)._2 else last

@@ -74,11 +74,22 @@ object StreamingOps {
       maxPunctRatio: Double = 0.2,
   ): DataFrame = {
     graft.core.Validators.requireColumns(df, Seq(tsCol, textCol) ++ keyCols)
-    // pruned to the needed columns so the feature appends can never
-    // collide with caller columns (the Curation.funnel convention)
+    // the feature appends REPLACE same-named columns — a keyCol (or tsCol)
+    // named like one would silently group by the recomputed feature, so
+    // reject the collision loudly (pruning only protects unused columns)
+    val featureNames =
+      Set("n_chars", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio")
+    val clash = (keyCols :+ tsCol).filter(featureNames)
+    if (clash.nonEmpty)
+      throw graft.errors.FeatureFactoryException.InvalidParameter(
+        s"qualityMonitor: column(s) ${clash.mkString(", ")} collide with the " +
+          "appended quality-feature names — rename them upstream")
     val scored = graft.ops.TextOps.qualityFeatures(
       df.select((Seq(tsCol, textCol) ++ keyCols).distinct.map(col): _*), textCol)
-    val fail = col("n_tokens") < minTokens || col("punct_ratio") > maxPunctRatio
+    // NULL text gives NULL features; a doc with no extractable text has
+    // FAILED quality — coalesce so it can't score as a silent pass
+    val fail = coalesce(col("n_tokens"), lit(0)) < minTokens ||
+      col("punct_ratio") > maxPunctRatio
     val in = watermark match {
       case Some(w) if df.isStreaming => scored.withWatermark(tsCol, w)
       case _ => scored

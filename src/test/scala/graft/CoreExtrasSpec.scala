@@ -103,6 +103,13 @@ class CoreExtrasSpec extends SparkSpec {
     Loader.load(spark, tx).count() shouldBe docs.count()
     val e = intercept[UnsupportedFormat](Writer.save(docs, "/tmp/out.txt"))
     e.getMessage should include("exactly one string column")
+    // every Loader compression suffix maps to a codec (symmetry with
+    // load's strip set) — bz2 round-trips here; zst maps correctly but
+    // this container lacks the hadoop zstd native lib, so only the
+    // routing (not the write) is checkable for it
+    val bz = java.nio.file.Files.createTempDirectory("graft_bz").toString + "/out.jsonl.bz2"
+    Writer.save(docs, bz)
+    Loader.load(spark, bz).count() shouldBe docs.count()
   }
 
   test("Writer.writeTrainingShards round-trips the deterministic shard layout") {

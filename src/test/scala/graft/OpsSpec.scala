@@ -2467,6 +2467,13 @@ class OpsSpec extends SparkSpec {
     // alphabetOf extracts sorted distinct code points, stripping U+001F
     Bpe.alphabetOf(Seq(Tuple1("ba" + Bpe.Sep + "c")).toDF("t"), "t") shouldBe
       Seq("a", "b", "c")
+    // CODE-POINT order, not UTF-16 code-unit order: a supplementary-plane
+    // symbol (U+1F600, surrogate lead 0xD83D) sorts AFTER U+FE70 — the
+    // binary-UTF-8 order every replaying engine uses
+    val emoji = new String(Character.toChars(0x1F600))
+    val high = "\uFE70"
+    Bpe.vocabOf(Bpe.BpeModel(Nil), Seq(emoji, high, "a")) shouldBe
+      Seq("a" -> 0, high -> 1, emoji -> 2)
   }
 
   test("materializeSequences concatenates bins in pack order with exact totals") {
@@ -2652,6 +2659,15 @@ class OpsSpec extends SparkSpec {
     // identical drops → every term 0
     Curation.categoryDriftPsi(ref.toDF("grp"), ref.toDF("grp"), "grp")
       .agg(sum(abs(col("psi_term")))).head().getDouble(0) shouldBe 0.0
+    // an EMPTY current drop — the loudest drift — clamps every cur share
+    // to eps instead of propagating 0/0 NaN through the terms
+    val empty = Curation.categoryDriftPsi(
+      ref.toDF("grp"), cur.toDF("grp").limit(0), "grp").collect()
+    empty.length shouldBe 2
+    empty.foreach { r =>
+      r.getDouble(4) shouldBe 1e-4 // cur_pct clamped, not NaN
+      r.getDouble(5).isNaN shouldBe false
+    }
   }
 
   test("dedupLinesWithinDoc keeps first occurrences in reading order, narrowly") {

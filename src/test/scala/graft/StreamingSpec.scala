@@ -389,6 +389,17 @@ class StreamingSpec extends SparkSpec {
       .select("lang", "n_docs", "total_tokens", "n_fail_quality")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     got.subsetOf(batch) shouldBe true
+    // NULL text = extraction failure = a quality FAIL, never a silent pass
+    val nulls = StreamingOps.qualityMonitor(
+      Seq((ts(0), "en", null.asInstanceOf[String]), (ts(1), "en", "five good tokens right here"))
+        .toDF("ts", "lang", "text"),
+      "ts", "text", "30 minutes", keyCols = Seq("lang")).head()
+    nulls.getAs[Long]("n_docs") shouldBe 2L
+    nulls.getAs[Long]("n_fail_quality") shouldBe 1L
+    // a keyCol named like an appended feature column is rejected loudly
+    an[Exception] should be thrownBy StreamingOps.qualityMonitor(
+      rows.toDF("ts", "n_tokens", "text"), "ts", "text", "30 minutes",
+      keyCols = Seq("n_tokens"))
   }
 
   test("keyIndexApply filters a live stream against a static index, matching batch") {
