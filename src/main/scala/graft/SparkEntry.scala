@@ -197,6 +197,23 @@ object SparkEntry {
         concat(lit("https://login:pw@"), col("source"), lit("-cdn.org:8080/dl/v2")))
       .otherwise(concat(lit("ftp://files."), col("source"), lit(".net")))
 
+  /** Synthetic PII suffix of the text_pii_*_ext queries (testdata carries
+    * no card/SSN/IBAN shapes) — three shapes keyed on doc_id % 4, derived
+    * only from columns both engines read (the synthUrl convention). */
+  private def synthPii: org.apache.spark.sql.Column =
+    when(col("doc_id") % 4 === 0, lit(" card 4111 1111 1111 1111 end"))
+      .when(col("doc_id") % 4 === 1, lit(" ssn 123-45-6789 and ip 10.0.0.1"))
+      .when(col("doc_id") % 4 === 2, lit(" iban DE89370400440532013000 ok"))
+      .otherwise(lit(""))
+
+  /** SQL twin of [[synthPii]]. */
+  private val synthPiiSql =
+    """CASE doc_id % 4
+      |  WHEN 0 THEN text || ' card 4111 1111 1111 1111 end'
+      |  WHEN 1 THEN text || ' ssn 123-45-6789 and ip 10.0.0.1'
+      |  WHEN 2 THEN text || ' iban DE89370400440532013000 ok'
+      |  ELSE text END""".stripMargin
+
   /** SQL twin of [[synthUrl]]. */
   private val synthUrlSql =
     """CASE doc_id % 4
@@ -1299,6 +1316,19 @@ object SparkEntry {
     "text_pii_redact" -> ((s, dir) =>
       TextOps.redactPii(
         rt(s, dir, "documents").select("doc_id", "text"), "text")),
+    // Extended detector sweep (cards/SSNs/IBANs) over text with synthetic
+    // PII shapes appended — shape detectors, no Luhn, by design.
+    "text_pii_ext" -> ((s, dir) =>
+      TextOps.piiCountsExtended(
+        rt(s, dir, "documents")
+          .select(col("doc_id"), concat(col("text"), synthPii).as("text")),
+        "text").drop("text")),
+    // The full scrub chain in cross-bite-safe order.
+    "text_pii_redact_ext" -> ((s, dir) =>
+      TextOps.redactPiiExtended(
+        rt(s, dir, "documents")
+          .select(col("doc_id"), concat(col("text"), synthPii).as("text")),
+        "text")),
     // Token-window chunking (context-length splitting): 40-token windows
     // advancing by 32 (8-token overlap).
     "text_chunk" -> ((s, dir) =>
@@ -2938,6 +2968,33 @@ object SparkEntry {
         |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
         |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS text
         |FROM documents""".stripMargin,
+    "text_pii_ext" ->
+      s"""WITH u AS (SELECT doc_id, $synthPiiSql AS text FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS INTEGER) AS n_phones,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS INTEGER) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[0-9](?:[ -]?[0-9]){12,18}')) AS INTEGER) AS n_cards,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INTEGER) AS n_ssns,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}')) AS INTEGER) AS n_ibans
+         |FROM u""".stripMargin,
+    "text_pii_redact_ext" ->
+      s"""WITH u AS (SELECT doc_id, $synthPiiSql AS text FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}', '<IBAN>', 'g'),
+         |    '[0-9](?:[ -]?[0-9]){12,18}', '<CARD>', 'g'),
+         |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+         |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
+         |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS text
+         |FROM u""".stripMargin,
     "text_url" ->
       s"""WITH u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
          |$urlFeaturesCte

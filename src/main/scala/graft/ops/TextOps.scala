@@ -462,6 +462,61 @@ object TextOps {
     df.withColumn(textCol, scrubbed)
   }
 
+  /** [[piiCounts]] plus the financial/identity signals a release gate also
+    * scans for: card-SHAPED digit runs (13–19 digits with optional single
+    * space/dash separators — shape only, no Luhn check, so treat counts as
+    * a detector signal, not a verdict), SSN-shaped 3-2-4 groups, and
+    * IBAN-shaped country-code+check-digit runs. All RE2-compatible (no
+    * backrefs/lookarounds), per-row `regexp_count` projections. Counts
+    * are INDEPENDENT detectors, so one span can trip several (an IBAN's
+    * digit run also counts as card-shaped — RE2 has no lookarounds to
+    * exclude it); [[redactPiiExtended]] resolves such overlaps by
+    * replacement order instead. */
+  def piiCountsExtended(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    piiCounts(df, textCol)
+      .withColumn("n_cards",
+        regexp_count(t, lit("[0-9](?:[ -]?[0-9]){12,18}")))
+      .withColumn("n_ssns",
+        regexp_count(t, lit("[0-9]{3}-[0-9]{2}-[0-9]{4}")))
+      .withColumn("n_ibans",
+        regexp_count(t, lit("[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}")))
+  }
+
+  /** Scrub counterpart of [[piiCountsExtended]] — [[redactPii]]'s chain
+    * with the extended patterns woven in at the order that prevents
+    * cross-bites: emails first (digit runs inside locals), then IBAN
+    * (letter-anchored, can't collide with digit patterns), then
+    * card-shaped runs (≥13 digits — a 10-digit phone never matches), then
+    * SSN (3-2-4 ≠ phone's 3-3-4), then phone, then IPv4. In-place on
+    * `textCol`; one narrow projection; byte-replayable by any RE2
+    * engine. */
+  def redactPiiExtended(
+      df: DataFrame,
+      textCol: String,
+      emailToken: String = "<EMAIL>",
+      phoneToken: String = "<PHONE>",
+      ipToken: String = "<IP>",
+      cardToken: String = "<CARD>",
+      ssnToken: String = "<SSN>",
+      ibanToken: String = "<IBAN>",
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(textCol))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col(textCol),
+                "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", emailToken),
+              "[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}", ibanToken),
+            "[0-9](?:[ -]?[0-9]){12,18}", cardToken),
+          "[0-9]{3}-[0-9]{2}-[0-9]{4}", ssnToken),
+        "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", phoneToken),
+      "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", ipToken)
+    df.withColumn(textCol, scrubbed)
+  }
+
   /** HTML → plain-text extraction — the boilerplate-stripping stage a web
     * corpus (Common-Crawl-style) runs before any quality/dedup work. A
     * deliberately rule-based, RE2-portable cascade (the [[redactPii]]

@@ -239,6 +239,13 @@ object Demo {
     println(s"bpe ids: vocab ${vocab.size} entries; " +
       s"${ids.select(explode(col("bpe_ids"))).count()} ids emitted, UNK count " +
       s"${ids.select(explode(col("bpe_ids")).as("i")).filter(col("i") === -1).count()}")
+    val piiDoc = docs.limit(1).select(col("doc_id"),
+      concat(col("text"), lit(" card 4111 1111 1111 1111 ssn 123-45-6789")).as("text"))
+    println(s"extended pii: " +
+      graft.ops.TextOps.piiCountsExtended(piiDoc, "text")
+        .select("n_cards", "n_ssns").head().toSeq.mkString("cards=", " ssns=", "") +
+      s"; redacted contains tokens: ${graft.ops.TextOps.redactPiiExtended(piiDoc, "text")
+        .filter(col("text").contains("<CARD>") && col("text").contains("<SSN>")).count() == 1}")
     val negs = graft.ops.Similarity.hardNegatives(
       embs, "vec_id", "embedding", "label", ivf, k = 3, minCosine = 0.0)
     println(s"hard negatives: ${negs.count()} (anchor, negative) pairs mined " +

@@ -2716,6 +2716,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("extended PII: shape counts and cross-bite-safe redaction order") {
+    val d = Seq(
+      (1L, "pay 4111 1111 1111 1111 or 4111-1111-1111-1111 now"),
+      (2L, "ssn 123-45-6789 phone 555-123-4567 ip 10.0.0.1"),
+      (3L, "iban DE89370400440532013000 mail a@b.co"),
+      (4L, "clean text, no identifiers at all"),
+    ).toDF("doc_id", "text")
+    val counts = TextOps.piiCountsExtended(d, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("n_cards"), r.getAs[Int]("n_ssns"), r.getAs[Int]("n_ibans"),
+          r.getAs[Int]("n_phones"))).toMap
+    counts(1L) shouldBe ((2, 0, 0, 0)) // both card spellings; NOT phones
+    counts(2L) shouldBe ((0, 1, 0, 1)) // ssn ≠ phone shape, both found once
+    // independent detectors: the IBAN's 20-digit run also trips the card
+    // shape (documented); the redaction chain resolves it by order below
+    counts(3L) shouldBe ((1, 0, 1, 0))
+    counts(4L) shouldBe ((0, 0, 0, 0))
+    val red = TextOps.redactPiiExtended(d, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    red(1L) shouldBe "pay <CARD> or <CARD> now"
+    red(2L) shouldBe "ssn <SSN> phone <PHONE> ip <IP>"
+    red(3L) shouldBe "iban <IBAN> mail <EMAIL>"
+    red(4L) shouldBe "clean text, no identifiers at all"
+  }
+
   test("truncationReport: exact token masses in and past the window") {
     val d = Seq(
       ("en", "one two three four"),        // 4 tokens

@@ -98,6 +98,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_span_dedup" -> 10, "text_tfidf" -> 4,
     "text_sentences" -> 0, "text_strip_html" -> 0,
     "text_url" -> 0, "text_url_filter" -> 0,
+    "text_pii_ext" -> 0, "text_pii_redact_ext" -> 0, // narrow regexp sweeps
   )
 
   // the counter lives in main scope so the regenerator and this spec can
