@@ -283,6 +283,33 @@ object Writer {
     writeFsString(codes.sparkSession, s"$path/ivf.json", model.toJsonString)
   }
 
+  /** Appends a NEW batch's codes to an existing [[writeIvfIndex]] layout —
+    * the incremental-ingest path: encode tonight's documents against the
+    * index's OWN quantizer (loaded from `<path>/ivf.json`, never refit —
+    * codes from two centroid sets must not mix, which is also why this
+    * takes raw (id, embedding) rows rather than pre-encoded codes) and
+    * append them into the per-cell directories. Probes see old + new rows
+    * through the same partition-pruned read; no existing file is
+    * rewritten, so append cost is proportional to the BATCH, not the
+    * index. Re-quantization (drifted centroids, unbalanced cells) is a
+    * deliberate full [[writeIvfIndex]] rebuild. Returns the quantizer so
+    * callers can chain probes without re-reading the JSON. */
+  def appendToIvfIndex(
+      batch: DataFrame,
+      idCol: String,
+      embCol: String,
+      path: String): graft.ops.Similarity.IvfModel = {
+    val spark = batch.sparkSession
+    val model = graft.ops.Similarity.IvfModel.fromJsonString(
+      readFsString(spark, s"$path/ivf.json"))
+    graft.ops.Similarity.ivfPqEncode(batch, idCol, embCol, model)
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("id"))
+      .write.mode("append")
+      .partitionBy("cell").parquet(s"$path/codes")
+    model
+  }
+
   /** Loads a [[writeIvfIndex]] directory back as (code table, coarse
     * quantizer) — feed both straight into
     * [[graft.ops.Similarity.ivfPqTopK]]. The `cell` column comes back as a

@@ -231,6 +231,20 @@ class CoreExtrasSpec extends SparkSpec {
     val (pback, pm) = Writer.loadIvfIndex(spark, pdir)
     rows(Similarity.ivfPqTopKProduct(pback, pm, pq, q, 10, nprobe = 2)) shouldBe
       rows(Similarity.ivfPqTopKProduct(pcodes, m, pq, q, 10, nprobe = 2))
+    // incremental ingest: index half the corpus, append the other half
+    // encoded against the INDEX's quantizer — probes over the appended
+    // layout equal probes over a one-shot full index
+    val adir = java.nio.file.Files.createTempDirectory("graft_ivfapp").toString
+    Writer.writeIvfIndex(
+      Similarity.ivfPqEncode(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", m), m, adir)
+    val mBack = Writer.appendToIvfIndex(
+      e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", adir)
+    mBack.centroids shouldBe m.centroids
+    val (aback, am) = Writer.loadIvfIndex(spark, adir)
+    aback.count() shouldBe e.count()
+    rows(Similarity.ivfPqTopK(aback, am, q, 10, nprobe = 2)) shouldBe
+      rows(Similarity.ivfPqTopK(codes, m, q, 10, nprobe = 2))
   }
 
   test("Writer.shardByScoreQuantile: quantile stages, dense (score, id) ranks") {
