@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.ops.{Bpe, Classifier, Curation, Dedup, Dsir, LangModel, Multimodal, Relational, Sampling, Similarity, TextOps, Url}
+import graft.ops.{Bpe, Classifier, Curation, Dedup, Dsir, LangModel, Multimodal, Relational, Retrieval, Sampling, Similarity, TextOps, Url}
 import graft.sources.Writer
 import graft.streaming.StreamingOps
 import graft.transformers._
@@ -2013,6 +2013,62 @@ object SparkEntry {
         col("doc_id"),
         posexplode(Multimodal.fakeEmbedding(col("text").cast("binary"), 4))
           .as(Seq("pos", "value")))),
+
+    // ── lexical / hybrid retrieval ─────────────────────────────────────
+    // BM25 self-retrieval: docs 0-2 query the whole corpus with their own
+    // text, top-10 each. Per-term scores are 9-decimal-rounded before the
+    // per-doc sum (grid-sum rule), so the oracle's replay is order-free.
+    "text_bm25" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      Retrieval.bm25TopK(d, "doc_id", "text",
+        d.filter(col("doc_id") < 3), "doc_id", "text", k = 10)
+    }),
+    // Hybrid retrieval: the BM25 ranking over documents fused with the
+    // exact dense ranking over embeddings (doc_id ≡ vec_id in testdata)
+    // by reciprocal-rank fusion. The oracle replays both rankings and the
+    // 1/(60+rank) sum.
+    "text_rrf_hybrid" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      val e = rt(s, dir, "embeddings")
+      Retrieval.rrfFuse(
+        Retrieval.bm25TopK(d, "doc_id", "text",
+          d.filter(col("doc_id") < 3), "doc_id", "text", k = 10),
+        Similarity.cosineTopKBatch(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 3), "vec_id", "embedding", 10),
+        "query_id", "id", "bm25", "cos", k = 10)
+    }),
+    // Per-domain quota: the 5 longest docs of every source (score n_chars,
+    // ties by id) — CCNet's per-domain cap as a rank-window replay.
+    "sample_cap_per_group" -> ((s, dir) =>
+      Sampling.capPerGroup(
+        rt(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", perGroup = 5)),
+    // Aux dump backing the two hash-embedding oracles: (term, bucket,
+    // sign) for the corpus vocabulary — the xxhash64 halves have no SQL
+    // equivalent; everything downstream of them does.
+    "text_hash_vocab" -> ((s, dir) =>
+      Retrieval.hashVocab(rt(s, dir, "documents"), "text", dim = 16)),
+    // Feature-hashed signed bag-of-words embedding, dumped one row per
+    // (doc, position); the oracle replays the bucket-sum + L2 normalize
+    // from the vocab dump.
+    "text_hash_embed" -> ((s, dir) =>
+      Retrieval.hashEmbed(
+        rt(s, dir, "documents").select("doc_id", "text"), "text", dim = 16)
+        .select(col("doc_id"),
+          posexplode(col("text_hash")).as(Seq("pos", "value")))
+        .withColumn("value", round(col("value"), 9))),
+    // Raw text straight into the dense retrieval stack: hash-embed the
+    // corpus, then exact cosine top-10 for docs 0-2 — similarity search
+    // with no trained embeddings anywhere. Both engines rank on the
+    // identical sequential-fold cosine (the sim_topk rule); values are
+    // 9-decimal-rounded for the value compare.
+    "text_embed_topk" -> ((s, dir) => {
+      val emb = Retrieval.hashEmbed(
+        rt(s, dir, "documents").select("doc_id", "text"), "text", dim = 16)
+      Similarity.cosineTopKBatch(emb, "doc_id", "text_hash",
+        emb.filter(col("doc_id") < 3), "doc_id", "text_hash", 10)
+        .withColumn("cos", round(col("cos"), 9))
+    }),
   )
 
   /** DuckDB-runnable ANSI SQL oracle for each query key. Column names/aliases
@@ -4178,5 +4234,178 @@ object SparkEntry {
         |                                     || CAST(i AS VARCHAR)), 1, 8))
         |                 AS BIGINT) AS DOUBLE) / 4294967296.0 AS value
         |FROM documents, range(1, 5) t(i)""".stripMargin,
+    // BM25 replay: Lucene idf ln(1 + (N−df+½)/(df+½)), tf saturation with
+    // k1=1.2 b=0.75, per-term scores 9-decimal-rounded BEFORE the per-doc
+    // sum (grid-sum rule: rounded terms are 1e-9 multiples up to one ulp,
+    // so the sum re-rounds identically in any order), rank on the rounded
+    // sum with id ties.
+    "text_bm25" ->
+      """WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |     dl AS (SELECT doc_id,
+        |              CAST(coalesce(len(list_filter(string_split_regex(t, '\s+'),
+        |                                            x -> x <> '')), 0) AS BIGINT) AS dl
+        |            FROM base),
+        |     stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |                      avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |     toks AS (SELECT doc_id,
+        |                unnest(list_filter(string_split_regex(t, '\s+'), x -> x <> '')) AS term
+        |              FROM base),
+        |     qterms AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3),
+        |     tf AS (SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+        |            FROM toks WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+        |     dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |     scored AS (SELECT q.query_id, tf.id,
+        |                  round(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+        |                        * tf.tf * 2.2
+        |                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 9) AS sc
+        |                FROM tf JOIN qterms q ON tf.term = q.term
+        |                     JOIN dfq ON tf.term = dfq.term
+        |                     JOIN dl ON tf.id = dl.doc_id
+        |                     CROSS JOIN stats s),
+        |     summed AS (SELECT query_id, id, round(sum(sc), 9) AS bm25
+        |                FROM scored GROUP BY 1, 2)
+        |SELECT query_id, id, bm25 FROM (
+        |  SELECT query_id, id, bm25,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY bm25 DESC, id) AS rn
+        |  FROM summed)
+        |WHERE rn <= 10""".stripMargin,
+    // Hybrid fusion replay: the text_bm25 CTE chain, the sim_topk_batch
+    // dense chain (queries vec_id < 3), each re-ranked per query, fused by
+    // Σ round(1/(60+rank), 9) and re-rounded (grid-sum rule again).
+    "text_rrf_hybrid" ->
+      """WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |     dl AS (SELECT doc_id,
+        |              CAST(coalesce(len(list_filter(string_split_regex(t, '\s+'),
+        |                                            x -> x <> '')), 0) AS BIGINT) AS dl
+        |            FROM base),
+        |     stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |                      avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |     toks AS (SELECT doc_id,
+        |                unnest(list_filter(string_split_regex(t, '\s+'), x -> x <> '')) AS term
+        |              FROM base),
+        |     qterms AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3),
+        |     tf AS (SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+        |            FROM toks WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+        |     dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |     scored AS (SELECT q.query_id, tf.id,
+        |                  round(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+        |                        * tf.tf * 2.2
+        |                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 9) AS sc
+        |                FROM tf JOIN qterms q ON tf.term = q.term
+        |                     JOIN dfq ON tf.term = dfq.term
+        |                     JOIN dl ON tf.id = dl.doc_id
+        |                     CROSS JOIN stats s),
+        |     summed AS (SELECT query_id, id, round(sum(sc), 9) AS bm25
+        |                FROM scored GROUP BY 1, 2),
+        |     bm_top AS (SELECT query_id, id, bm25 FROM (
+        |                  SELECT query_id, id, bm25,
+        |                         row_number() OVER (PARTITION BY query_id
+        |                                            ORDER BY bm25 DESC, id) AS rn
+        |                  FROM summed) WHERE rn <= 10),
+        |     q AS (SELECT vec_id AS query_id, embedding AS qe,
+        |             sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                            FOR i IN range(1, 65)])) AS qnrm
+        |           FROM embeddings WHERE vec_id < 3),
+        |     b AS (SELECT vec_id AS id, embedding,
+        |             sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                            FOR i IN range(1, 65)])) AS nrm
+        |           FROM embeddings),
+        |     ds AS (SELECT q.query_id, b.id,
+        |              list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |                        FOR i IN range(1, 65)]) / (b.nrm * q.qnrm) AS cos
+        |            FROM b CROSS JOIN q
+        |            WHERE b.nrm > 0 AND q.qnrm > 0),
+        |     dense_top AS (SELECT query_id, id, cos FROM (
+        |                     SELECT query_id, id, cos,
+        |                            row_number() OVER (PARTITION BY query_id
+        |                                               ORDER BY cos DESC, id) AS rn
+        |                     FROM ds) WHERE rn <= 10),
+        |     ra AS (SELECT query_id, id,
+        |              round(1.0 / (60 + row_number() OVER (PARTITION BY query_id
+        |                                                   ORDER BY bm25 DESC, id)), 9) AS r
+        |            FROM bm_top),
+        |     rb AS (SELECT query_id, id,
+        |              round(1.0 / (60 + row_number() OVER (PARTITION BY query_id
+        |                                                   ORDER BY cos DESC, id)), 9) AS r
+        |            FROM dense_top),
+        |     fused AS (SELECT coalesce(ra.query_id, rb.query_id) AS query_id,
+        |                      coalesce(ra.id, rb.id) AS id,
+        |                      round(coalesce(ra.r, 0) + coalesce(rb.r, 0), 9) AS rrf
+        |               FROM ra FULL OUTER JOIN rb
+        |                 ON ra.query_id = rb.query_id AND ra.id = rb.id)
+        |SELECT query_id, id, rrf FROM (
+        |  SELECT query_id, id, rrf,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY rrf DESC, id) AS rn
+        |  FROM fused)
+        |WHERE rn <= 10""".stripMargin,
+    "sample_cap_per_group" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5""".stripMargin,
+    // Hash-embedding replay from the vocab dump: signed bucket sums are
+    // exact integers (order-free), norms are exact integer sums under
+    // sqrt, and the division replays operand-identically.
+    "text_hash_embed" ->
+      """WITH v AS (SELECT term, bucket, sign
+        |           FROM read_parquet('{GRAFT_OUT}/text_hash_vocab/*.parquet')),
+        |     toks AS (SELECT doc_id,
+        |                unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                   x -> x <> '')) AS term
+        |              FROM documents),
+        |     sums AS (SELECT t.doc_id, v.bucket, sum(v.sign) AS s
+        |              FROM toks t JOIN v ON t.term = v.term GROUP BY 1, 2),
+        |     grid AS (SELECT d.doc_id, CAST(r.i AS INTEGER) AS pos
+        |              FROM documents d CROSS JOIN range(0, 16) r(i)),
+        |     raw AS (SELECT g.doc_id, g.pos, coalesce(s.s, 0.0) AS val
+        |             FROM grid g LEFT JOIN sums s
+        |               ON g.doc_id = s.doc_id AND g.pos = s.bucket),
+        |     nrm AS (SELECT doc_id, sqrt(sum(val * val)) AS nrm FROM raw GROUP BY 1)
+        |SELECT r.doc_id, r.pos,
+        |       round(CASE WHEN n.nrm > 0 THEN r.val / n.nrm ELSE r.val END, 9) AS value
+        |FROM raw r JOIN nrm n ON r.doc_id = n.doc_id""".stripMargin,
+    // Text-only dense retrieval replay: rebuild the hash embeddings from
+    // the vocab dump, then the sim_topk_batch cosine chain over them
+    // (identical sequential folds), values 9-decimal-rounded.
+    "text_embed_topk" ->
+      """WITH v AS (SELECT term, bucket, sign
+        |           FROM read_parquet('{GRAFT_OUT}/text_hash_vocab/*.parquet')),
+        |     toks AS (SELECT doc_id,
+        |                unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                   x -> x <> '')) AS term
+        |              FROM documents),
+        |     sums AS (SELECT t.doc_id, v.bucket, sum(v.sign) AS s
+        |              FROM toks t JOIN v ON t.term = v.term GROUP BY 1, 2),
+        |     grid AS (SELECT d.doc_id, CAST(r.i AS INTEGER) AS pos
+        |              FROM documents d CROSS JOIN range(0, 16) r(i)),
+        |     raw AS (SELECT g.doc_id, g.pos, coalesce(s.s, 0.0) AS val
+        |             FROM grid g LEFT JOIN sums s
+        |               ON g.doc_id = s.doc_id AND g.pos = s.bucket),
+        |     nrm AS (SELECT doc_id, sqrt(sum(val * val)) AS nrm FROM raw GROUP BY 1),
+        |     emb AS (SELECT r.doc_id,
+        |               list(CASE WHEN n.nrm > 0 THEN r.val / n.nrm ELSE r.val END
+        |                    ORDER BY r.pos) AS e
+        |             FROM raw r JOIN nrm n ON r.doc_id = n.doc_id
+        |             GROUP BY r.doc_id),
+        |     cs AS (SELECT doc_id, e,
+        |              sqrt(list_sum([e[i] * e[i] FOR i IN range(1, 17)])) AS nr
+        |            FROM emb),
+        |     q AS (SELECT doc_id AS query_id, e AS qe, nr AS qnr
+        |           FROM cs WHERE doc_id < 3 AND nr > 0),
+        |     s AS (SELECT q.query_id, c.doc_id AS id,
+        |             list_sum([c.e[i] * q.qe[i] FOR i IN range(1, 17)])
+        |             / (c.nr * q.qnr) AS cos
+        |           FROM cs c CROSS JOIN q
+        |           WHERE c.nr > 0)
+        |SELECT query_id, id, round(cos, 9) AS cos FROM (
+        |  SELECT query_id, id, cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, id) AS rn
+        |  FROM s)
+        |WHERE rn <= 10""".stripMargin,
   )
 }

@@ -140,6 +140,30 @@ object Sampling {
       .drop("__graft_rn")
   }
 
+  /** Per-group quota by QUALITY: keep the `perGroup` best-scoring rows of
+    * every group (CCNet's per-domain cap — "at most n pages per domain,
+    * prefer the highest-quality ones"). Where [[stratifiedSample]] picks a
+    * hash-uniform subset, this op picks the TOP of the group's score order;
+    * NULL scores rank last (no evidence of quality ≠ quality), ties break
+    * by id so reruns keep the same rows.
+    *
+    * One hash shuffle on the group key; the rank window is a top-k per
+    * group, which Spark's WindowGroupLimit prunes to `perGroup` rows per
+    * partition map-side BEFORE the shuffle — a million-domain corpus moves
+    * ≈ domains·perGroup rows, not the corpus. */
+  def capPerGroup(
+      df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, perGroup: Int): DataFrame = {
+    require(perGroup > 0, "perGroup must be positive")
+    graft.core.Validators.requireColumns(df, Seq(groupCol, idCol, scoreCol))
+    df.withColumn("__graft_rn",
+      row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)))
+      .filter(col("__graft_rn") <= perGroup)
+      .drop("__graft_rn")
+  }
+
   /** Rebalance the group mix by deterministic downsampling: every group is
     * thinned to ≈ the size of the smallest group, so downstream training
     * sees a uniform group distribution (the standard language/domain

@@ -258,6 +258,26 @@ object Demo {
       "text", "n_tok")
     println(s"packed sequences: ${seqs.count()} bins of <=512 tokens, mean fill " +
       f"${seqs.agg(avg(col("n_tokens"))).head().getDouble(0)}%.0f")
+    val bmQ = docs.filter(col("doc_id") < 3)
+    val bm = graft.ops.Retrieval.bm25TopK(
+      docs, "doc_id", "text", bmQ, "doc_id", "text", k = 10)
+    val dense = graft.ops.Similarity.cosineTopKBatch(
+      embs, "vec_id", "embedding",
+      embs.filter(col("vec_id") < 3), "vec_id", "embedding", 10)
+    val hybrid = graft.ops.Retrieval.rrfFuse(
+      bm, dense, "query_id", "id", "bm25", "cos", k = 10)
+    println(s"hybrid retrieval: bm25 ${bm.count()} + dense ${dense.count()} " +
+      s"rows fuse to ${hybrid.count()} (3 queries x top-10)")
+    val hemb = graft.ops.Retrieval.hashEmbed(
+      docs.select("doc_id", "text"), "text", dim = 32)
+    val textTopk = graft.ops.Similarity.cosineTopKBatch(
+      hemb, "doc_id", "text_hash",
+      hemb.filter(col("doc_id") < 3), "doc_id", "text_hash", 5)
+    println(s"hash-embedding retrieval: ${textTopk.count()} hits over " +
+      s"${hemb.filter(col("text_hash_norm") > 0).count()} embeddable docs, no trained vectors")
+    val capped = graft.ops.Sampling.capPerGroup(
+      docs.select("doc_id", "source", "n_chars"), "source", "doc_id", "n_chars", 5)
+    println(s"per-domain cap: ${capped.count()} docs survive the 5-longest-per-source quota")
 
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =

@@ -239,4 +239,36 @@ class DeterminismSpec extends SparkSpec {
       withShufflePartitions(17)(
         dp(embs.repartition(9, col("vec_id")), embs.filter($"vec_id" % 2 === 0)))
   }
+
+  test("BM25, RRF fusion, hash embedding, per-group cap ignore physical layout") {
+    // grid-sum rule: per-term 9-decimal rounding makes the per-doc sum
+    // independent of aggregation order, so scores AND ranks must agree
+    val q = docs.filter($"doc_id" < 3)
+    def bm(x: DataFrame) = rows(graft.ops.Retrieval.bm25TopK(
+      x, "doc_id", "text", q, "doc_id", "text", k = 10))
+    withShufflePartitions(3)(bm(docs.repartition(2))) shouldBe
+      withShufflePartitions(17)(bm(docs.repartition(9, col("text"))))
+    // fusion ranks on (rounded score, id) in both inputs
+    val a = graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text", q, "doc_id", "text", 10)
+    val b = graft.ops.Similarity.cosineTopKBatch(
+      embs, "vec_id", "embedding", embs.filter($"vec_id" < 3), "vec_id", "embedding", 10)
+    def rf(x: DataFrame) = rows(graft.ops.Retrieval.rrfFuse(
+      x, b, "query_id", "id", "bm25", "cos", k = 10))
+    withShufflePartitions(3)(rf(a.repartition(2))) shouldBe
+      withShufflePartitions(17)(rf(a.repartition(4, col("id"))))
+    // hash embedding is per-row math; the vocab dump is a distinct
+    def he(x: DataFrame) = rows(graft.ops.Retrieval.hashEmbed(x, "text", dim = 8)
+      .select($"doc_id", $"text_hash"(0), $"text_hash_norm"))
+    withShufflePartitions(3)(he(docs.repartition(2))) shouldBe
+      withShufflePartitions(17)(he(docs.repartition(9, col("doc_id"))))
+    // per-group cap ranks on (score, id), never arrival order — the %4
+    // score forces ties inside every %3 group
+    val scored = docs
+      .withColumn("g", ($"doc_id" % 3).cast("string"))
+      .withColumn("score", ($"doc_id" % 4).cast("double"))
+    def cp(x: DataFrame) = rows(
+      graft.ops.Sampling.capPerGroup(x, "g", "doc_id", "score", perGroup = 2))
+    withShufflePartitions(3)(cp(scored.repartition(2))) shouldBe
+      withShufflePartitions(17)(cp(scored.repartition(9, col("doc_id"))))
+  }
 }

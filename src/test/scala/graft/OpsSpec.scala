@@ -2760,4 +2760,110 @@ class OpsSpec extends SparkSpec {
       .filter(col("lang") === "en").head()
     bpeOut.getAs[Long]("tokens_kept") shouldBe 17L // min(18,10) + min(7,10)
   }
+
+  // ── Retrieval (BM25 / RRF / hash embedding) ─────────────────────────
+
+  private lazy val bmDocs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry cherry"),
+  ).toDF("doc_id", "text")
+
+  test("Retrieval.bm25TopK matches the hand-computed Lucene-BM25 scores") {
+    val q = Seq((10L, "apple cherry")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(bmDocs, "doc_id", "text", q, "qid", "qtext", k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    // independent replay of the formula (N=3, avgdl=8/3)
+    def idf(df: Double) = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+    def sat(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (8.0 / 3.0)))
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(1L) shouldBe r9(r9(idf(1) * sat(2, 3))) // apple tf=2
+    out(2L) shouldBe r9(r9(idf(2) * sat(1, 2))) // cherry tf=1
+    out(3L) shouldBe r9(r9(idf(2) * sat(3, 3))) // cherry tf=3
+    // the rare term beats the common one despite lower tf
+    out(1L) should be > out(3L)
+  }
+
+  test("Retrieval.bm25TopK: duplicate query terms count once; k truncates with id ties") {
+    val q = Seq((1L, "cherry cherry"), (2L, "cherry")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(bmDocs, "doc_id", "text", q, "qid", "qtext", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.length shouldBe 2
+    // both queries identical after dedup → same winner, same score
+    out.map(t => (t._2, t._3)).distinct.length shouldBe 1
+  }
+
+  test("Retrieval.bm25TopK: NULL/no-hit docs never appear; NULL text still counts toward N and avgdl") {
+    val withNull = bmDocs.union(Seq((4L, null: String)).toDF("doc_id", "text"))
+    val q = Seq((1L, "apple")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(withNull, "doc_id", "text", q, "qid", "qtext", k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    out.map(_._1).toSet shouldBe Set(1L)
+    // N=4, avgdl=8/4 now — the score reflects the larger corpus
+    def idf(df: Double) = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+    def sat(tf: Double, dl: Double) = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.0))
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.head._2 shouldBe r9(r9(idf(1) * sat(2, 3)))
+  }
+
+  test("Retrieval.rrfFuse: rank-only fusion, one-list docs included, k cut, id ties") {
+    val a = Seq((1L, 10L, 10.0), (1L, 20L, 5.0)).toDF("q", "d", "sa")
+    val b = Seq((1L, 20L, 0.9), (1L, 30L, 0.2)).toDF("q", "d", "sb")
+    val out = Retrieval.rrfFuse(a, b, "q", "d", "sa", "sb", k = 10)
+      .orderBy(col("rrf").desc, col("id")).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // d20: rank 2 in a, rank 1 in b; d10: rank 1 in a only; d30: rank 2 in b only
+    out shouldBe Array(
+      (20L, r9(r9(1.0 / 62) + r9(1.0 / 61))),
+      (10L, r9(1.0 / 61)),
+      (30L, r9(1.0 / 62)))
+    // k cuts the fused list
+    Retrieval.rrfFuse(a, b, "q", "d", "sa", "sb", k = 1).count() shouldBe 1
+  }
+
+  test("Retrieval.hashEmbed: unit norm, right dim, zero row for empty text, vocab-consistent") {
+    val d = Seq((1L, "aa bb aa cc"), (2L, ""), (3L, null: String)).toDF("doc_id", "text")
+    val out = Retrieval.hashEmbed(d, "text", dim = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getSeq[Double](r.fieldIndex("text_hash")).toSeq,
+          r.getAs[Double]("text_hash_norm")))).toMap
+    val (v1, n1) = out(1L)
+    v1.length shouldBe 8
+    math.abs(v1.map(x => x * x).sum - 1.0) should be < 1e-12
+    n1 should be > 0.0
+    // empty and NULL text → all-zero vector with norm 0, never NaN
+    Seq(2L, 3L).foreach { id =>
+      val (v, n) = out(id)
+      v shouldBe Seq.fill(8)(0.0)
+      n shouldBe 0.0
+    }
+    // replay doc 1 from the vocab dump: aa twice, bb once, cc once
+    val vocab = Retrieval.hashVocab(d, "text", dim = 8).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val raw = Array.fill(8)(0.0)
+    Seq("aa", "aa", "bb", "cc").foreach { t =>
+      val (b, s) = vocab(t); raw(b) += s
+    }
+    val nrm = math.sqrt(raw.map(x => x * x).sum)
+    out(1L)._1.toArray shouldBe raw.map(_ / nrm)
+  }
+
+  test("Sampling.capPerGroup: keeps the perGroup best, NULL scores last, id ties deterministic") {
+    val d = Seq(
+      (1L, "a", java.lang.Double.valueOf(1.0)),
+      (2L, "a", java.lang.Double.valueOf(3.0)),
+      (3L, "a", java.lang.Double.valueOf(3.0)),
+      (4L, "a", null.asInstanceOf[java.lang.Double]),
+      (5L, "b", java.lang.Double.valueOf(0.5)),
+    ).toDF("id", "g", "score")
+    val out = Sampling.capPerGroup(d, "g", "id", "score", perGroup = 2)
+    out.columns.toSeq shouldBe Seq("id", "g", "score") // schema preserved
+    out.select("id").collect().map(_.getLong(0)).toSet shouldBe Set(2L, 3L, 5L)
+    // NULL score survives only when the group has slack
+    Sampling.capPerGroup(d, "g", "id", "score", perGroup = 4)
+      .select("id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 2L, 3L, 4L, 5L)
+  }
 }

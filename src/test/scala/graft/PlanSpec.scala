@@ -288,4 +288,23 @@ class PlanSpec extends SparkSpec {
     plan should include("graft_bpe_encode")
     plan should not include "Exchange"
   }
+
+  test("bm25TopK prunes postings against the broadcast query vocabulary before any shuffle") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = formatted(graft.ops.Retrieval.bm25TopK(
+      d, "doc_id", "text", d.filter(col("doc_id") < 3), "doc_id", "text", k = 10))
+    // the semi prune and the query-term attach are both broadcast builds:
+    // the corpus postings must never shuffle on raw term before pruning
+    plan should include("BroadcastHashJoin LeftSemi")
+    plan should include("BroadcastHashJoin Inner")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("hashEmbed is a pure narrow per-row fold — no shuffle at any corpus size") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = formatted(graft.ops.Retrieval.hashEmbed(d, "text", dim = 16))
+    plan should not include "Exchange"
+  }
 }

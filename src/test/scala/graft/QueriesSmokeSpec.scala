@@ -16,7 +16,10 @@ class QueriesSmokeSpec extends SparkSpec {
     * cosineTopKBatch's bounded broadcast fan-out of a k-query batch
     * (PlanSpec asserts its shape separately). sim_recall embeds the same
     * op — its exact-truth side IS a cosineTopKBatch. */
-  private val bnljAllowed = Set("sim_topk_batch", "sim_recall")
+  private val bnljAllowed = Set("sim_topk_batch", "sim_recall",
+    // both embed a cosineTopKBatch (hybrid fusion's dense leg; the
+    // hash-embedding retrieval demo)
+    "text_rrf_hybrid", "text_embed_topk")
 
   private def auditPlan(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.catalyst.expressions.Literal
@@ -99,6 +102,17 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_sentences" -> 0, "text_strip_html" -> 0,
     "text_url" -> 0, "text_url_filter" -> 0,
     "text_pii_ext" -> 0, "text_pii_redact_ext" -> 0, // narrow regexp sweeps
+    // postings/tf/df aggregates + the distincts and the top-k window — all
+    // downstream of the broadcast query-vocab prune, so every one of them
+    // moves query-vocab-sized rows, not the corpus
+    "text_bm25" -> 8,
+    // bm25's 8 + the dense leg's top-k window + the two rank windows and
+    // the (query, id) fusion join over ≤ k·|queries| rows
+    "text_rrf_hybrid" -> 12,
+    "sample_cap_per_group" -> 1, // the one per-group rank window
+    "text_hash_vocab" -> 1, // the vocabulary distinct
+    "text_hash_embed" -> 0, // pure narrow per-row fold
+    "text_embed_topk" -> 1, // cosineTopKBatch's per-query top-k window
   )
 
   // the counter lives in main scope so the regenerator and this spec can
