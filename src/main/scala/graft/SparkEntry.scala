@@ -110,6 +110,19 @@ object SparkEntry {
       d
     })
 
+  /** text_bm25_indexed's on-disk inverted index, materialized once per
+    * (JVM, sf dir) — the ivfDiskIndex convention: the fit + partitioned
+    * export is the one-time indexing cost, the query measures the probe,
+    * which is the per-search cost a production index pays. */
+  private val bm25IndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def bm25DiskIndex(s: SparkSession, dir: String): String =
+    bm25IndexDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft_bm25_index").toString
+      graft.ops.Retrieval.bm25Fit(rt(s, dir, "documents"), "doc_id", "text").save(d)
+      d
+    })
+
   private val bpeModels =
     scala.collection.concurrent.TrieMap.empty[String, Bpe.BpeModel]
   private def bpeFitted(s: SparkSession, dir: String): Bpe.BpeModel =
@@ -2057,6 +2070,28 @@ object SparkEntry {
         .select(col("doc_id"),
           posexplode(col("text_hash")).as(Seq("pos", "value")))
         .withColumn("value", round(col("value"), 9))),
+    // The same 3-query BM25 search through a fit → disk → load → probe
+    // round trip of the persisted inverted index: results must be
+    // IDENTICAL to text_bm25 (same oracle SQL) — the index, its term-
+    // sorted layout, and the IN-pushdown probe must all be invisible.
+    "text_bm25_indexed" -> ((s, dir) => {
+      val idx = graft.ops.Retrieval.Bm25Index.load(s, bm25DiskIndex(s, dir))
+      graft.ops.Retrieval.bm25SearchIndex(
+        idx, rt(s, dir, "documents").filter(col("doc_id") < 3),
+        "doc_id", "text", k = 10)
+    }),
+    // Two-stage retrieval: 50-doc BM25 shortlist per query, exact-cosine
+    // rerank against the query's embedding (doc_id ≡ vec_id), top-10 by
+    // rounded cosine. The oracle replays shortlist, join, and rerank.
+    "text_bm25_rerank" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      val e = rt(s, dir, "embeddings")
+      graft.ops.Retrieval.bm25Rerank(
+        d, "doc_id", "text", d.filter(col("doc_id") < 3), "doc_id", "text",
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        kLex = 50, k = 10)
+    }),
     // Raw text straight into the dense retrieval stack: hash-embed the
     // corpus, then exact cosine top-10 for docs 0-2 — similarity search
     // with no trained embeddings anywhere. Both engines rank on the
@@ -4269,6 +4304,91 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id
         |                            ORDER BY bm25 DESC, id) AS rn
         |  FROM summed)
+        |WHERE rn <= 10""".stripMargin,
+    // The indexed search must be bit-identical to the direct one — same
+    // replay as text_bm25 (the disk round trip has no observable effect).
+    "text_bm25_indexed" ->
+      """WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |     dl AS (SELECT doc_id,
+        |              CAST(coalesce(len(list_filter(string_split_regex(t, '\s+'),
+        |                                            x -> x <> '')), 0) AS BIGINT) AS dl
+        |            FROM base),
+        |     stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |                      avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |     toks AS (SELECT doc_id,
+        |                unnest(list_filter(string_split_regex(t, '\s+'), x -> x <> '')) AS term
+        |              FROM base),
+        |     qterms AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3),
+        |     tf AS (SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+        |            FROM toks WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+        |     dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |     scored AS (SELECT q.query_id, tf.id,
+        |                  round(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+        |                        * tf.tf * 2.2
+        |                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 9) AS sc
+        |                FROM tf JOIN qterms q ON tf.term = q.term
+        |                     JOIN dfq ON tf.term = dfq.term
+        |                     JOIN dl ON tf.id = dl.doc_id
+        |                     CROSS JOIN stats s),
+        |     summed AS (SELECT query_id, id, round(sum(sc), 9) AS bm25
+        |                FROM scored GROUP BY 1, 2)
+        |SELECT query_id, id, bm25 FROM (
+        |  SELECT query_id, id, bm25,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY bm25 DESC, id) AS rn
+        |  FROM summed)
+        |WHERE rn <= 10""".stripMargin,
+    // Two-stage replay: the text_bm25 chain cut at rank 50, embeddings
+    // joined on the shortlist ids, the sim_topk_batch cosine formula, and
+    // the final rank on the 9-decimal-rounded cosine.
+    "text_bm25_rerank" ->
+      """WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |     dl AS (SELECT doc_id,
+        |              CAST(coalesce(len(list_filter(string_split_regex(t, '\s+'),
+        |                                            x -> x <> '')), 0) AS BIGINT) AS dl
+        |            FROM base),
+        |     stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |                      avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |     toks AS (SELECT doc_id,
+        |                unnest(list_filter(string_split_regex(t, '\s+'), x -> x <> '')) AS term
+        |              FROM base),
+        |     qterms AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3),
+        |     tf AS (SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+        |            FROM toks WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+        |     dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |     scored AS (SELECT q.query_id, tf.id,
+        |                  round(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+        |                        * tf.tf * 2.2
+        |                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 9) AS sc
+        |                FROM tf JOIN qterms q ON tf.term = q.term
+        |                     JOIN dfq ON tf.term = dfq.term
+        |                     JOIN dl ON tf.id = dl.doc_id
+        |                     CROSS JOIN stats s),
+        |     summed AS (SELECT query_id, id, round(sum(sc), 9) AS bm25
+        |                FROM scored GROUP BY 1, 2),
+        |     shortlist AS (SELECT query_id, id, bm25 FROM (
+        |                     SELECT query_id, id, bm25,
+        |                            row_number() OVER (PARTITION BY query_id
+        |                                               ORDER BY bm25 DESC, id) AS rn
+        |                     FROM summed) WHERE rn <= 50),
+        |     e AS (SELECT vec_id, embedding,
+        |             sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                            FOR i IN range(1, 65)])) AS nrm
+        |           FROM embeddings),
+        |     q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm
+        |           FROM e WHERE vec_id < 3 AND nrm > 0),
+        |     rer AS (SELECT sl.query_id, sl.id, sl.bm25,
+        |               round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |                               FOR i IN range(1, 65)])
+        |                     / (e.nrm * q.qnrm), 9) AS cos
+        |             FROM shortlist sl
+        |                  JOIN e ON sl.id = e.vec_id AND e.nrm > 0
+        |                  JOIN q ON sl.query_id = q.query_id)
+        |SELECT query_id, id, bm25, cos FROM (
+        |  SELECT query_id, id, bm25, cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, id) AS rn
+        |  FROM rer)
         |WHERE rn <= 10""".stripMargin,
     // Hybrid fusion replay: the text_bm25 CTE chain, the sim_topk_batch
     // dense chain (queries vec_id < 3), each re-ranked per query, fused by

@@ -62,41 +62,222 @@ object Retrieval {
     }
 
     // distinct (query, term): duplicate terms in one query count once
-    val qTerms = queries
-      .select(col(qIdCol).as("query_id"),
-        explode(TextOps.tokens(lower(col(qTextCol)))).as("term"))
-      .distinct()
+    val qTerms = queryTerms(queries, qIdCol, qTextCol)
 
-    // postings, pruned to the query vocabulary BEFORE any wide operator
-    val postings = docs
+    // occurrences, pruned to the query vocabulary BEFORE any wide operator
+    val occ = docs
       .select(col(idCol).as("id"), dlExpr.as("dl"),
         explode(TextOps.tokens(lower(col(textCol)))).as("term"))
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
 
-    // document frequency per surviving term (docs containing it ≥ once)
-    val dfreq = postings.select("id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
-
-    // tf per (query, doc, term) — the query id rides in via the broadcast
-    val tf = postings
-      .join(broadcast(qTerms), Seq("term"))
-      .groupBy("query_id", "id", "term")
+    // tf per (doc, term) over the pruned occurrences; df per term falls out
+    // of the same aggregate's output
+    val postings = occ.groupBy("id", "term")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
 
+    scoreAndRank(postings, dfreq, qTerms, n, avgdl, k1, b, k)
+  }
+
+  /** Distinct (query_id, term) pairs of a query batch. */
+  private def queryTerms(
+      queries: DataFrame, qIdCol: String, qTextCol: String): DataFrame =
+    queries
+      .select(col(qIdCol).as("query_id"),
+        explode(TextOps.tokens(lower(col(qTextCol)))).as("term"))
+      .distinct()
+
+  /** The shared BM25 scorer: postings (id, term, tf, dl) and dfreq
+    * (term, df) — both already PRUNED to the query vocabulary, so both
+    * broadcasts here are query-sized — join the broadcast query-term list,
+    * score, sum per (query, doc), rank top-k.
+    *
+    * Per-term scores are rounded to 9 decimals BEFORE the per-doc sum, and
+    * the sum again after: rounded terms are (up to one ulp) multiples of
+    * 1e-9, so their sum in ANY order re-rounds to the same grid point —
+    * aggregation order (partitioning, engine) cannot perturb the score. */
+  private def scoreAndRank(
+      postings: DataFrame, dfreq: DataFrame, qTerms: DataFrame,
+      n: Double, avgdl: Double, k1: Double, b: Double, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val sat = col("tf") * lit(k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
-
-    // Per-term scores are rounded to 9 decimals BEFORE the per-doc sum, and
-    // the sum again after: rounded terms are (up to one ulp) multiples of
-    // 1e-9, so their sum in ANY order re-rounds to the same grid point —
-    // aggregation order (partitioning, engine) cannot perturb the score.
-    tf.join(broadcast(dfreq), Seq("term"))
+    postings
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
       .withColumn("__s", round(idf * sat, 9))
       .groupBy("query_id", "id")
       .agg(round(sum(col("__s")), 9).as("bm25"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("bm25").desc, col("id").asc)))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** A persisted BM25 inverted index: corpus constants + the (id, term,
+    * tf, dl) postings table + the (term, df) document-frequency table —
+    * fit ONCE over the corpus, then every query batch probes the postings
+    * without ever rescanning the documents (the [[graft.sources.Writer]]
+    * IVF-index economics, lexical edition). */
+  final case class Bm25Index(
+      n: Long,
+      avgdl: Double,
+      k1: Double,
+      b: Double,
+      postings: DataFrame,
+      dfreq: DataFrame) {
+
+    /** Persists as a DIRECTORY: `params.json` (n, avgdl, k1, b),
+      * `postings.parquet` — repartitioned on term and SORTED by term
+      * within files, so a term-predicate probe prunes parquet row groups
+      * by min/max statistics — and the vocabulary-sized `df.parquet`. */
+    def save(dir: String): Unit = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(p)
+      postings.repartition(col("term")).sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(p.resolve("postings.parquet").toString)
+      dfreq.write.mode("overwrite").parquet(p.resolve("df.parquet").toString)
+      val json = JsonMethods.compact(JsonMethods.render(JObject(
+        "version" -> JInt(1),
+        "n" -> JInt(BigInt(n)),
+        "avgdl" -> JDouble(avgdl),
+        "k1" -> JDouble(k1),
+        "b" -> JDouble(b))))
+      java.nio.file.Files.writeString(p.resolve("params.json"), json)
+    }
+  }
+
+  object Bm25Index {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): Bm25Index = {
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get(dir)
+      val o = JsonMethods.parse(java.nio.file.Files.readString(p.resolve("params.json")))
+      Bm25Index(
+        n = graft.core.ModelIO.dbl(o \ "n").toLong,
+        avgdl = graft.core.ModelIO.dbl(o \ "avgdl"),
+        k1 = graft.core.ModelIO.dbl(o \ "k1"),
+        b = graft.core.ModelIO.dbl(o \ "b"),
+        postings = spark.read.parquet(p.resolve("postings.parquet").toString),
+        dfreq = spark.read.parquet(p.resolve("df.parquet").toString))
+    }
+  }
+
+  /** Builds the [[Bm25Index]]: one constants aggregate + one (id, term)
+    * tf aggregate over the exploded corpus + the term-keyed df aggregate
+    * it feeds. The full postings table is corpus-token-sized — that IS
+    * the inverted index; searches then touch only the query vocabulary's
+    * slice of it. */
+  def bm25Fit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75): Bm25Index = {
+    require(k1 >= 0.0, "k1 must be >= 0")
+    require(b >= 0.0 && b <= 1.0, "b must be in [0, 1]")
+    graft.core.Validators.requireColumns(docs, Seq(idCol, textCol))
+    val dlExpr = coalesce(TextOps.tokenCount(lower(col(textCol))).cast("long"), lit(0L))
+    val stats = docs.agg(count(lit(1)).as("n"), avg(dlExpr).as("avgdl")).head()
+    val n = stats.getLong(0)
+    val avgdl = if (n == 0) 0.0 else stats.getDouble(1)
+    val postings = docs
+      .select(col(idCol).as("id"), dlExpr.as("dl"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .select("id", "term", "tf", "dl")
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    Bm25Index(n, avgdl, k1, b, postings, dfreq)
+  }
+
+  /** Terms-per-IN-literal bound for the postings probe: at or below this
+    * the query vocabulary pushes into the postings scan as an IN filter
+    * (parquet row-group pruning over the term-sorted index files); above
+    * it the prune falls back to a broadcast semi join (no oversized plan
+    * literal — the [[graft.transformers.CategoricalEncoding.MaxCaseBranches]]
+    * rationale). */
+  val Bm25InListMax = 256
+
+  /** Search a fitted/loaded [[Bm25Index]]: prune its postings and df
+    * tables to the query vocabulary, then the same scorer as [[bm25TopK]]
+    * — identical results, but the corpus is never rescanned and never
+    * re-aggregated. The vocabulary prune pushes into the postings SCAN as
+    * an IN filter when the query batch is small (≤ [[Bm25InListMax]]
+    * distinct terms), so a probe over a term-sorted on-disk index reads
+    * the query terms' row groups, not the corpus's. */
+  def bm25SearchIndex(
+      index: Bm25Index,
+      queries: DataFrame,
+      qIdCol: String,
+      qTextCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.core.Validators.requireColumns(queries, Seq(qIdCol, qTextCol))
+    val qTerms = queryTerms(queries, qIdCol, qTextCol)
+    // the query batch is bounded (it is the broadcast side everywhere in
+    // this file), so collecting its distinct terms is a bounded driver
+    // pull — the literal-vs-broadcast split only guards the PLAN size
+    val terms = qTerms.select("term").distinct().collect().map(_.getString(0))
+    def prune(df: DataFrame): DataFrame =
+      if (terms.length <= Bm25InListMax) df.filter(col("term").isin(terms.toSeq: _*))
+      else df.join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
+    scoreAndRank(prune(index.postings), prune(index.dfreq), qTerms,
+      index.n.toDouble, index.avgdl, index.k1, index.b, k)
+  }
+
+  /** Two-stage retrieval: BM25 shortlist (`kLex` per query) over the text,
+    * exact-cosine rerank of the shortlist against the query embeddings,
+    * top-`k` out — the production lexical-recall / dense-precision split.
+    *
+    * Scale shape: the shortlist (≤ kLex·|queries| rows) is the BROADCAST
+    * build side of the join against the corpus embedding table — the
+    * embeddings never shuffle and only shortlist rows are scored; the
+    * query embeddings broadcast likewise; the final rank window moves
+    * shortlist-sized rows. Zero-norm embeddings drop (the
+    * [[Similarity.cosineTopKBatch]] NaN rule). Scores are 9-decimal-
+    * rounded for engine portability.
+    *
+    * Output: (query_id, id, bm25, cos), ≤ k rows per query, ranked by
+    * rounded cosine with id ties.
+    */
+  def bm25Rerank(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qTextCol: String,
+      corpusEmb: DataFrame,
+      eIdCol: String,
+      eEmbCol: String,
+      queryEmb: DataFrame,
+      qeIdCol: String,
+      qeEmbCol: String,
+      kLex: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kLex >= k, "kLex must be >= k (the shortlist feeds the rerank)")
+    graft.core.Validators.requireColumns(corpusEmb, Seq(eIdCol, eEmbCol))
+    graft.core.Validators.requireColumns(queryEmb, Seq(qeIdCol, qeEmbCol))
+    val d = Similarity.dotFor(corpusEmb)
+    val shortlist = bm25TopK(docs, idCol, textCol, queries, qIdCol, qTextCol, kLex)
+    val e = corpusEmb
+      .select(col(eIdCol).as("id"), col(eEmbCol).as("emb"))
+      .withColumn("nrm", sqrt(d(col("emb"), col("emb"))))
+      .filter(col("nrm") > 0.0 && col("nrm") <= Double.MaxValue)
+    val q = broadcast(
+      queryEmb.select(col(qeIdCol).as("query_id"), col(qeEmbCol).as("qemb"))
+        .withColumn("qnrm", sqrt(d(col("qemb"), col("qemb"))))
+        .filter(col("qnrm") > 0.0 && col("qnrm") <= Double.MaxValue))
+    e.join(broadcast(shortlist), Seq("id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("id"), col("bm25"),
+        round(d(col("emb"), col("qemb")) / (col("nrm") * col("qnrm")), 9).as("cos"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("id").asc)))
       .filter(col("__rn") <= k)
       .drop("__rn")
   }

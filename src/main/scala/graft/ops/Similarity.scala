@@ -30,7 +30,7 @@ object Similarity {
   /** Dot-product implementation for a given session: the codegen'd native
     * graft_dot expression when GraftExtensions is installed (same fold
     * order, bit-identical results), else the higher-order-function fold. */
-  private def dotFor(df: DataFrame): (Column, Column) => Column =
+  private[ops] def dotFor(df: DataFrame): (Column, Column) => Column =
     if (df.sparkSession.catalog.functionExists(graft.functions.TilePairs.DotName))
       (a, b) => call_function(graft.functions.TilePairs.DotName, a, b)
     else dot

@@ -278,6 +278,17 @@ object Demo {
     val capped = graft.ops.Sampling.capPerGroup(
       docs.select("doc_id", "source", "n_chars"), "source", "doc_id", "n_chars", 5)
     println(s"per-domain cap: ${capped.count()} docs survive the 5-longest-per-source quota")
+    val bmIdxDir = java.nio.file.Files.createTempDirectory("demo_bm25").toString
+    graft.ops.Retrieval.bm25Fit(docs, "doc_id", "text").save(bmIdxDir)
+    val bmIdx = graft.ops.Retrieval.Bm25Index.load(spark, bmIdxDir)
+    println(s"bm25 index: ${bmIdx.n} docs, avgdl ${f"${bmIdx.avgdl}%.1f"}; " +
+      s"probe returns ${graft.ops.Retrieval.bm25SearchIndex(bmIdx, bmQ, "doc_id", "text", 10).count()} " +
+      "hits without rescanning the corpus")
+    val rer = graft.ops.Retrieval.bm25Rerank(
+      docs, "doc_id", "text", bmQ, "doc_id", "text",
+      embs, "vec_id", "embedding",
+      embs.filter(col("vec_id") < 3), "vec_id", "embedding", kLex = 50, k = 10)
+    println(s"two-stage retrieval: 50-doc lexical shortlist -> dense rerank -> ${rer.count()} final hits")
 
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =

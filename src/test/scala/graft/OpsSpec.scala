@@ -2807,6 +2807,55 @@ class OpsSpec extends SparkSpec {
     out.head._2 shouldBe r9(r9(idf(1) * sat(2, 3)))
   }
 
+  test("Retrieval.Bm25Index: fit → disk → load → search equals the direct search") {
+    val q = Seq((10L, "apple cherry"), (11L, "banana")).toDF("qid", "qtext")
+    val direct = Retrieval.bm25TopK(bmDocs, "doc_id", "text", q, "qid", "qtext", 10)
+      .collect().map(_.toString).toSet
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Retrieval.bm25Fit(bmDocs, "doc_id", "text").save(dir)
+    val loaded = Retrieval.Bm25Index.load(spark, dir)
+    loaded.n shouldBe 3L
+    loaded.avgdl shouldBe (8.0 / 3.0)
+    Retrieval.bm25SearchIndex(loaded, q, "qid", "qtext", 10)
+      .collect().map(_.toString).toSet shouldBe direct
+    // the broadcast-prune fallback path (> Bm25InListMax simulated by a
+    // zero-threshold copy is not reachable; instead verify the helper
+    // boundary directly): the literal path and the semi-join path must
+    // agree, so probe with a vocabulary overlapping both present and
+    // absent terms
+    val qBig = Seq((1L, "apple nosuchterm banana cherry unknown")).toDF("qid", "qtext")
+    Retrieval.bm25SearchIndex(loaded, qBig, "qid", "qtext", 3)
+      .count() shouldBe 3
+  }
+
+  test("Retrieval.bm25Rerank: lexical shortlist, dense final order, kLex guard") {
+    val docs = Seq(
+      (1L, "apple apple apple"), // strongest lexically
+      (2L, "apple banana"),
+      (3L, "banana banana"),     // no query term → never in shortlist
+    ).toDF("doc_id", "text")
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f)),  // orthogonal to the query vector
+      (2L, Seq(0.0f, 1.0f)),  // aligned with the query vector
+      (3L, Seq(0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val q = Seq((7L, "apple")).toDF("qid", "qtext")
+    val qe = Seq((7L, Seq(0.0f, 2.0f))).toDF("qid", "qemb")
+    val out = Retrieval.bm25Rerank(
+      docs, "doc_id", "text", q, "qid", "qtext",
+      embs, "vec_id", "embedding", qe, "qid", "qemb", kLex = 2, k = 2)
+      .orderBy(col("cos").desc, col("id")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("cos")))
+    // doc 3 is lexically invisible; doc 2 outranks doc 1 on cosine even
+    // though doc 1 wins BM25 — the rerank decides the final order
+    out.map(_._1).toSeq shouldBe Seq(2L, 1L)
+    out(0)._2 shouldBe 1.0
+    out(1)._2 shouldBe 0.0
+    an[IllegalArgumentException] should be thrownBy
+      Retrieval.bm25Rerank(docs, "doc_id", "text", q, "qid", "qtext",
+        embs, "vec_id", "embedding", qe, "qid", "qemb", kLex = 1, k = 2)
+  }
+
   test("Retrieval.rrfFuse: rank-only fusion, one-list docs included, k cut, id ties") {
     val a = Seq((1L, 10L, 10.0), (1L, 20L, 5.0)).toDF("q", "d", "sa")
     val b = Seq((1L, 20L, 0.9), (1L, 30L, 0.2)).toDF("q", "d", "sb")

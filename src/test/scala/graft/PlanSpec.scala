@@ -307,4 +307,32 @@ class PlanSpec extends SparkSpec {
     val plan = formatted(graft.ops.Retrieval.hashEmbed(d, "text", dim = 16))
     plan should not include "Exchange"
   }
+
+  test("bm25SearchIndex pushes the query vocabulary into the postings scan") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_plan_idx").toString
+    graft.ops.Retrieval.bm25Fit(d, "doc_id", "text").save(dir)
+    val idx = graft.ops.Retrieval.Bm25Index.load(spark, dir)
+    val plan = formatted(graft.ops.Retrieval.bm25SearchIndex(
+      idx, d.filter(col("doc_id") < 3), "doc_id", "text", k = 10))
+    // small query batch → IN literal reaches the parquet reader as a
+    // pushed filter, so a term-sorted index skips non-matching row groups
+    plan should include("PushedFilters: [In(term")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("bm25Rerank broadcasts the shortlist — corpus embeddings never shuffle") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = formatted(graft.ops.Retrieval.bm25Rerank(
+      d, "doc_id", "text", d.filter(col("doc_id") < 3), "doc_id", "text",
+      e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 3), "vec_id", "embedding", kLex = 20, k = 5))
+    // both rerank joins build on the bounded side
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }

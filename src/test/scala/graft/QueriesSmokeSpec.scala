@@ -106,6 +106,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // downstream of the broadcast query-vocab prune, so every one of them
     // moves query-vocab-sized rows, not the corpus
     "text_bm25" -> 8,
+    // the probe's win over text_bm25: the corpus tf/df aggregates are
+    // pre-paid in the index, only the query-sized score/rank stages remain
+    "text_bm25_indexed" -> 3,
+    "text_bm25_rerank" -> 9, // bm25's 8 + the rerank's top-k window
     // bm25's 8 + the dense leg's top-k window + the two rank windows and
     // the (query, id) fusion join over ≤ k·|queries| rows
     "text_rrf_hybrid" -> 12,
