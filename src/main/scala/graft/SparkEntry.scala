@@ -1049,6 +1049,17 @@ object SparkEntry {
         rt(s, dir, "documents")
           .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", budget = 3000L, numBuckets = 8)),
+    // Per-group token budgets ("2000 tokens of en, 800 of zh" — the
+    // trainer-mixture statement): sampleTokenBudget's exact bucket-major
+    // prefix rule with the group joined into the part key; es/de/fr docs
+    // (no budget) drop entirely.
+    "sample_token_budget_group" -> ((s, dir) =>
+      Sampling.sampleTokenBudgetPerGroup(
+        rt(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.tokenCount(col("text")).as("n_tokens")),
+        "lang", "doc_id", "n_tokens",
+        budgets = Map("en" -> 2000L, "zh" -> 800L), numBuckets = 8)),
     // Leakage-safe split: the split decision hashes each content group's
     // representative id (min doc_id per md5(text)), so exact copies can
     // never straddle the train/test fence; the oracle replays the digest
@@ -2603,6 +2614,29 @@ object SparkEntry {
         |SELECT c.doc_id, c.n_tokens
         |FROM c JOIN off USING (bkt)
         |WHERE off.off + c.cum <= 3000""".stripMargin,
+    // the sample_token_budget replay with lang joined into every
+    // partition key and a per-group budget table
+    "sample_token_budget_group" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS n_tokens
+        |           FROM documents),
+        |     h AS (SELECT doc_id, lang, n_tokens,
+        |             (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS hh
+        |           FROM t WHERE n_tokens > 0 AND lang IN ('en', 'zh')),
+        |     c AS (SELECT doc_id, lang, n_tokens, hh % 8 AS bkt,
+        |             CAST(sum(n_tokens) OVER (PARTITION BY lang, hh % 8 ORDER BY hh, doc_id
+        |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |           FROM h),
+        |     tot AS (SELECT lang, hh % 8 AS bkt, CAST(sum(n_tokens) AS BIGINT) AS tot
+        |             FROM h GROUP BY 1, 2),
+        |     off AS (SELECT lang, bkt,
+        |               CAST(COALESCE(sum(tot) OVER (PARTITION BY lang ORDER BY bkt
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |             FROM tot),
+        |     bud AS (SELECT 'en' AS lang, 2000 AS b UNION ALL SELECT 'zh', 800)
+        |SELECT c.doc_id, c.lang, c.n_tokens
+        |FROM c JOIN off USING (lang, bkt) JOIN bud USING (lang)
+        |WHERE off.off + c.cum <= bud.b""".stripMargin,
     "sample_split_grouped" ->
       """WITH d AS (SELECT doc_id, md5(text) AS ckey FROM documents),
         |     r AS (SELECT ckey, min(doc_id) AS rep FROM d GROUP BY 1)

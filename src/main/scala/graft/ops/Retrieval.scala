@@ -122,28 +122,42 @@ object Retrieval {
     * IVF-index economics, lexical edition). */
   final case class Bm25Index(
       n: Long,
-      avgdl: Double,
+      tokens: Long,
       k1: Double,
       b: Double,
       postings: DataFrame,
       dfreq: DataFrame) {
 
-    /** Persists as a DIRECTORY: `params.json` (n, avgdl, k1, b),
+    /** Mean document length — derived from the EXACT integer totals so an
+      * appended index recomputes it exactly, never by un-averaging a
+      * stored double. Sum-then-divide matches both Spark's `avg(long)`
+      * and DuckDB's `avg(double)` over integer-valued inputs bit-for-bit
+      * (integer sums below 2⁵³ are exact in binary64). */
+    def avgdl: Double = if (n == 0) 0.0 else tokens.toDouble / n
+
+    /** Persists as a DIRECTORY: `params.json` (n, tokens, k1, b),
       * `postings.parquet` — repartitioned on term and SORTED by term
       * within files, so a term-predicate probe prunes parquet row groups
       * by min/max statistics — and the vocabulary-sized `df.parquet`. */
     def save(dir: String): Unit = {
-      import org.json4s._
-      import org.json4s.jackson.JsonMethods
       val p = java.nio.file.Paths.get(dir)
       java.nio.file.Files.createDirectories(p)
       postings.repartition(col("term")).sortWithinPartitions("term")
         .write.mode("overwrite").parquet(p.resolve("postings.parquet").toString)
       dfreq.write.mode("overwrite").parquet(p.resolve("df.parquet").toString)
+      writeParams(dir)
+    }
+
+    /** params.json alone — what [[appendToBm25Index]] advances (its tables
+      * on disk must never be rewritten from themselves). */
+    private[Retrieval] def writeParams(dir: String): Unit = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get(dir)
       val json = JsonMethods.compact(JsonMethods.render(JObject(
         "version" -> JInt(1),
         "n" -> JInt(BigInt(n)),
-        "avgdl" -> JDouble(avgdl),
+        "tokens" -> JInt(BigInt(tokens)),
         "k1" -> JDouble(k1),
         "b" -> JDouble(b))))
       java.nio.file.Files.writeString(p.resolve("params.json"), json)
@@ -157,12 +171,48 @@ object Retrieval {
       val o = JsonMethods.parse(java.nio.file.Files.readString(p.resolve("params.json")))
       Bm25Index(
         n = graft.core.ModelIO.dbl(o \ "n").toLong,
-        avgdl = graft.core.ModelIO.dbl(o \ "avgdl"),
+        tokens = graft.core.ModelIO.dbl(o \ "tokens").toLong,
         k1 = graft.core.ModelIO.dbl(o \ "k1"),
         b = graft.core.ModelIO.dbl(o \ "b"),
         postings = spark.read.parquet(p.resolve("postings.parquet").toString),
         dfreq = spark.read.parquet(p.resolve("df.parquet").toString))
     }
+  }
+
+  /** Append a NEW batch of documents to an on-disk [[Bm25Index]] without
+    * rebuilding it: the batch's postings land as additional term-sorted
+    * files, the df table is re-aggregated (old ∪ batch, one vocabulary-
+    * sized job — never the corpus), and params.json's exact integer
+    * (n, tokens) totals advance. Cost ∝ batch + vocabulary, exactly the
+    * [[graft.sources.Writer]] IVF-append economics.
+    *
+    * Batch ids must be NEW to the index (dedup first — [[Dedup.keyIndexApply]]
+    * is the standing tool): an id already present would hold two (id, term)
+    * posting rows and double-count its df contributions.
+    */
+  def appendToBm25Index(
+      batch: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
+    graft.core.Validators.requireColumns(batch, Seq(idCol, textCol))
+    val spark = batch.sparkSession
+    val old = Bm25Index.load(spark, dir)
+    val delta = bm25Fit(batch, idCol, textCol, old.k1, old.b)
+    val p = java.nio.file.Paths.get(dir)
+    delta.postings.repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("append").parquet(p.resolve("postings.parquet").toString)
+    // the merged df table must materialize BEFORE the old one is replaced
+    // (the write below still reads it); write-next-then-swap keeps the
+    // index loadable at every instant
+    val next = p.resolve("df.parquet.next").toString
+    old.dfreq.unionByName(delta.dfreq)
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .write.mode("overwrite").parquet(next)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val dfPath = new org.apache.hadoop.fs.Path(p.resolve("df.parquet").toString)
+    fs.delete(dfPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(next), dfPath)
+    old.copy(n = old.n + delta.n, tokens = old.tokens + delta.tokens)
+      .writeParams(dir)
   }
 
   /** Builds the [[Bm25Index]]: one constants aggregate + one (id, term)
@@ -180,9 +230,9 @@ object Retrieval {
     require(b >= 0.0 && b <= 1.0, "b must be in [0, 1]")
     graft.core.Validators.requireColumns(docs, Seq(idCol, textCol))
     val dlExpr = coalesce(TextOps.tokenCount(lower(col(textCol))).cast("long"), lit(0L))
-    val stats = docs.agg(count(lit(1)).as("n"), avg(dlExpr).as("avgdl")).head()
+    val stats = docs.agg(count(lit(1)).as("n"), sum(dlExpr).as("tokens")).head()
     val n = stats.getLong(0)
-    val avgdl = if (n == 0) 0.0 else stats.getDouble(1)
+    val tokens = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val postings = docs
       .select(col(idCol).as("id"), dlExpr.as("dl"),
         explode(TextOps.tokens(lower(col(textCol)))).as("term"))
@@ -190,7 +240,7 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       .select("id", "term", "tf", "dl")
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    Bm25Index(n, avgdl, k1, b, postings, dfreq)
+    Bm25Index(n, tokens, k1, b, postings, dfreq)
   }
 
   /** Terms-per-IN-literal bound for the postings probe: at or below this

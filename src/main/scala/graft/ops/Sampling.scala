@@ -475,6 +475,59 @@ object Sampling {
       .drop("__graft_before")
   }
 
+  /** Per-group token budgets — the pretraining mixture stated the way
+    * trainers actually state it ("100 B tokens of web, 20 B of code, 5 B
+    * of books"): within every budgeted group, keep documents in the
+    * portable two-level hash order until the group's running token total
+    * reaches its budget. [[sampleTokenBudget]]'s rule, one budget per
+    * group; groups absent from `budgets` (including NULL) are dropped —
+    * the result IS the requested mixture ([[mixGroups]]' rule). Budgets
+    * key the group's STRING form, like every group-keyed fit here.
+    *
+    * Scale shape: the same bucket-major prefix machinery with the group
+    * joining the part key — one (group, bucket) totals aggregate
+    * (groups × numBuckets rows collected, dictionary-sized × 1024), driver
+    * prefix offsets WITHIN each group, one shuffle on (group, bucket) for
+    * the running sum, and the keep filter compares against the broadcast
+    * per-group budget row. No global sort, exact 64-bit integer math,
+    * bit-replayable membership. */
+  def sampleTokenBudgetPerGroup(
+      df: DataFrame, groupCol: String, idCol: String, tokenCol: String,
+      budgets: Map[String, Long], numBuckets: Int = 1024): DataFrame = {
+    budgets.foreach { case (g, bud) =>
+      require(bud >= 0, s"budget for group '$g' must be >= 0 (got $bud)") }
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    require(budgets.nonEmpty, "budgets must name at least one group")
+    graft.core.Validators.requireColumns(df, Seq(groupCol, idCol, tokenCol))
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val spark = df.sparkSession
+    val keyDf = broadcastFrame(spark,
+      Seq("__graft_g" -> StringType, "__graft_budget" -> LongType),
+      budgets.toSeq.map { case (g, bud) => org.apache.spark.sql.Row(g, bud) })
+    val filtered = df
+      .withColumn("__graft_g", col(groupCol).cast("string"))
+      .filter(col(tokenCol) > 0 && col(idCol).isNotNull)
+      .join(keyDf, Seq("__graft_g")) // broadcast: scopes to budgeted groups
+      .withColumn("__graft_bkt", pmod(minstdHash(col(idCol)), lit(numBuckets.toLong)))
+    val positive = Dedup.materializeLazy(filtered)
+    val totals = positive.groupBy(col("__graft_g"), col("__graft_bkt"))
+      .agg(sum(col(tokenCol).cast("long")).as("__graft_tot"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val offDf = broadcastFrame(spark,
+      Seq("__graft_g" -> StringType, "__graft_bkt" -> LongType,
+        "__graft_off" -> LongType),
+      exclusivePrefixByPart(totals.toSeq).map { case (g, b, o) =>
+        org.apache.spark.sql.Row(g, b, o) })
+    val w = Window.partitionBy(col("__graft_g"), col("__graft_bkt"))
+      .orderBy(minstdHash(col(idCol)).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    positive
+      .withColumn("__graft_cum", sum(col(tokenCol).cast("long")).over(w))
+      .join(offDf, Seq("__graft_g", "__graft_bkt"))
+      .filter(col("__graft_off") + col("__graft_cum") <= col("__graft_budget"))
+      .drop("__graft_g", "__graft_bkt", "__graft_cum", "__graft_off", "__graft_budget")
+  }
+
   /** Shared scaffold of the token-running-sum layouts ([[sampleTokenBudget]],
     * [[graft.sources.Writer.shardByTokenBudget]]): keeps rows with a
     * positive token count and a non-NULL id (no hash position in the order

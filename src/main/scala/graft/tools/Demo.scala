@@ -284,6 +284,13 @@ object Demo {
     println(s"bm25 index: ${bmIdx.n} docs, avgdl ${f"${bmIdx.avgdl}%.1f"}; " +
       s"probe returns ${graft.ops.Retrieval.bm25SearchIndex(bmIdx, bmQ, "doc_id", "text", 10).count()} " +
       "hits without rescanning the corpus")
+    graft.ops.Retrieval.appendToBm25Index(
+      docs.limit(0), "doc_id", "text", bmIdxDir) // empty append is a no-op
+    val budgeted = graft.ops.Sampling.sampleTokenBudgetPerGroup(
+      docs.select(col("doc_id"), col("lang"),
+        graft.ops.TextOps.tokenCount(col("text")).as("n_tok")),
+      "lang", "doc_id", "n_tok", Map("en" -> 4000L, "zh" -> 1000L))
+    println(s"per-group token budget: ${budgeted.count()} docs fill the en=4000/zh=1000 mixture")
     val rer = graft.ops.Retrieval.bm25Rerank(
       docs, "doc_id", "text", bmQ, "doc_id", "text",
       embs, "vec_id", "embedding",

@@ -261,6 +261,14 @@ class DeterminismSpec extends SparkSpec {
       .select($"doc_id", $"text_hash"(0), $"text_hash_norm"))
     withShufflePartitions(3)(he(docs.repartition(2))) shouldBe
       withShufflePartitions(17)(he(docs.repartition(9, col("doc_id"))))
+    // per-group token budget: integer hash order + driver prefix offsets,
+    // merge-order-free on any layout
+    val toked = docs.withColumn("g", ($"doc_id" % 2).cast("string"))
+      .withColumn("n_tok", (($"doc_id" % 7) + 1).cast("int"))
+    def tb(x: DataFrame) = rows(graft.ops.Sampling.sampleTokenBudgetPerGroup(
+      x, "g", "doc_id", "n_tok", Map("0" -> 120L, "1" -> 60L), numBuckets = 4))
+    withShufflePartitions(3)(tb(toked.repartition(2))) shouldBe
+      withShufflePartitions(17)(tb(toked.repartition(9, col("doc_id"))))
     // per-group cap ranks on (score, id), never arrival order — the %4
     // score forces ties inside every %3 group
     val scored = docs

@@ -2828,6 +2828,60 @@ class OpsSpec extends SparkSpec {
       .count() shouldBe 3
   }
 
+  test("Retrieval.appendToBm25Index: incremental append equals the full rebuild") {
+    val all = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry"),
+      (4L, "apple date"),
+      (5L, "date banana apple"),
+    ).toDF("doc_id", "text")
+    val q = Seq((10L, "apple cherry date")).toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("bm25app").toString
+    Retrieval.bm25Fit(all.filter($"doc_id" <= 3), "doc_id", "text").save(dir)
+    Retrieval.appendToBm25Index(all.filter($"doc_id" > 3), "doc_id", "text", dir)
+    val appended = Retrieval.Bm25Index.load(spark, dir)
+    appended.n shouldBe 5L
+    appended.tokens shouldBe 13L
+    val fullDir = java.nio.file.Files.createTempDirectory("bm25full").toString
+    Retrieval.bm25Fit(all, "doc_id", "text").save(fullDir)
+    val full = Retrieval.Bm25Index.load(spark, fullDir)
+    Retrieval.bm25SearchIndex(appended, q, "qid", "qtext", 10)
+      .collect().map(_.toString).toSet shouldBe
+      Retrieval.bm25SearchIndex(full, q, "qid", "qtext", 10)
+        .collect().map(_.toString).toSet
+    // and both equal the never-persisted direct search
+    Retrieval.bm25SearchIndex(appended, q, "qid", "qtext", 10)
+      .collect().map(_.toString).toSet shouldBe
+      Retrieval.bm25TopK(all, "doc_id", "text", q, "qid", "qtext", 10)
+        .collect().map(_.toString).toSet
+  }
+
+  test("Sampling.sampleTokenBudgetPerGroup: each group fills its own budget, others drop") {
+    val d = (1L to 60L).map { i =>
+      (i, if (i % 3 == 0) "c" else if (i % 2 == 0) "b" else "a", (i % 5 + 1).toInt)
+    }.toDF("id", "g", "n_tok")
+    val out = Sampling.sampleTokenBudgetPerGroup(
+      d, "g", "id", "n_tok", Map("a" -> 20L, "b" -> 15L), numBuckets = 4)
+    val perGroup = out.groupBy("g").agg(sum($"n_tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perGroup.keySet shouldBe Set("a", "b") // un-budgeted c drops entirely
+    perGroup("a") should be <= 20L
+    perGroup("b") should be <= 15L
+    // a kept doc's predecessors in the hash order are all kept too: with
+    // one group and one budget the rule must equal sampleTokenBudget's
+    val one = Sampling.sampleTokenBudgetPerGroup(
+      d.filter($"g" === "a"), "g", "id", "n_tok", Map("a" -> 20L), numBuckets = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    Sampling.sampleTokenBudget(
+      d.filter($"g" === "a"), "id", "n_tok", budget = 20L, numBuckets = 4)
+      .select("id").collect().map(_.getLong(0)).toSet shouldBe one
+    // zero budget → empty but valid; unknown group in budgets is just empty
+    Sampling.sampleTokenBudgetPerGroup(
+      d, "g", "id", "n_tok", Map("a" -> 0L, "zz" -> 100L), numBuckets = 4)
+      .count() shouldBe 0L
+  }
+
   test("Retrieval.bm25Rerank: lexical shortlist, dense final order, kLex guard") {
     val docs = Seq(
       (1L, "apple apple apple"), // strongest lexically

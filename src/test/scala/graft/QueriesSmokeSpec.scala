@@ -72,6 +72,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "sample_dsir" -> 4,
     "sel_mrmr" -> 0, "sel_smart_correlated" -> 0,
     "sample_token_budget_bpe" -> 1, "sample_top_fraction" -> 0,
+    // one (group, bucket) shuffle — the group rides the same window
+    "sample_token_budget_group" -> 1,
     "sample_upsample" -> 0, // pure narrow projection + generator
     // score pass is narrow + broadcast; the prune adds the one cell-rank
     // window shuffle + the keep-id join pair
