@@ -2103,6 +2103,40 @@ object SparkEntry {
         e.filter(col("vec_id") < 3), "vec_id", "embedding",
         kLex = 50, k = 10)
     }),
+    // Ranking report card: how well the lexical BM25 ranking approximates
+    // the dense-cosine truth (doc_id ≡ vec_id) — hit@10, reciprocal rank,
+    // binary NDCG@10 per query, every gain 9-decimal-rounded pre-sum.
+    "text_bm25_eval" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      val e = rt(s, dir, "embeddings")
+      Retrieval.evalRankingMetrics(
+        Retrieval.bm25TopK(d, "doc_id", "text",
+          d.filter(col("doc_id") < 3), "doc_id", "text", k = 10),
+        Similarity.cosineTopKBatch(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 3), "vec_id", "embedding", 10),
+        "query_id", "id", "bm25", k = 10)
+    }),
+    // NUMERIC drift via discretization (the §2.12 composition note made a
+    // query): 8 equal-width n_chars bins fit on the REFERENCE drop's
+    // min/max, applied to both drops (current clamps into range), PSI per
+    // bin — all-integer bin edges, floor-of-double assignment both engines.
+    "corpus_drift_numeric" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      val ref = d.filter(col("doc_id") % 3 === 0)
+      val cur = d.filter(col("doc_id") % 3 =!= 0)
+      val mm = ref.agg(
+        min(col("n_chars")).cast("long"), max(col("n_chars")).cast("long")).head()
+      val lo = mm.getLong(0)
+      val width = mm.getLong(1) - lo + 1
+      val bin = (cc: org.apache.spark.sql.Column) =>
+        least(greatest(
+          floor((cc - lit(lo)) * 8 / lit(width.toDouble)).cast("long"),
+          lit(0L)), lit(7L))
+      Curation.categoryDriftPsi(
+        ref.withColumn("chars_bin", bin(col("n_chars"))),
+        cur.withColumn("chars_bin", bin(col("n_chars"))),
+        "chars_bin")
+    }),
     // Raw text straight into the dense retrieval stack: hash-embed the
     // corpus, then exact cosine top-10 for docs 0-2 — similarity search
     // with no trained embeddings anywhere. Both engines rank on the
@@ -4424,6 +4458,107 @@ object SparkEntry {
         |                            ORDER BY cos DESC, id) AS rn
         |  FROM rer)
         |WHERE rn <= 10""".stripMargin,
+    // Metric replay: the text_bm25 ranking CTE, the dense truth CTE, then
+    // hit/min-rank-reciprocal/DCG with every gain rounded pre-sum and the
+    // closed-form ideal DCG over min(n_truth, 10) positions.
+    "text_bm25_eval" ->
+      """WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |     dl AS (SELECT doc_id,
+        |              CAST(coalesce(len(list_filter(string_split_regex(t, '\s+'),
+        |                                            x -> x <> '')), 0) AS BIGINT) AS dl
+        |            FROM base),
+        |     stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |                      avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |     toks AS (SELECT doc_id,
+        |                unnest(list_filter(string_split_regex(t, '\s+'), x -> x <> '')) AS term
+        |              FROM base),
+        |     qterms AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3),
+        |     tf AS (SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+        |            FROM toks WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+        |     dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |     scored AS (SELECT q.query_id, tf.id,
+        |                  round(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+        |                        * tf.tf * 2.2
+        |                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 9) AS sc
+        |                FROM tf JOIN qterms q ON tf.term = q.term
+        |                     JOIN dfq ON tf.term = dfq.term
+        |                     JOIN dl ON tf.id = dl.doc_id
+        |                     CROSS JOIN stats s),
+        |     summed AS (SELECT query_id, id, round(sum(sc), 9) AS bm25
+        |                FROM scored GROUP BY 1, 2),
+        |     pred AS (SELECT query_id, id,
+        |                row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY bm25 DESC, id) AS rn
+        |              FROM summed QUALIFY rn <= 10),
+        |     eq AS (SELECT vec_id AS query_id, embedding AS qe,
+        |              sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                             FOR i IN range(1, 65)])) AS qnrm
+        |            FROM embeddings WHERE vec_id < 3),
+        |     eb AS (SELECT vec_id AS id, embedding,
+        |              sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                             FOR i IN range(1, 65)])) AS nrm
+        |            FROM embeddings),
+        |     ds AS (SELECT eq.query_id, eb.id,
+        |              list_sum([CAST(eb.embedding[i] AS DOUBLE) * CAST(eq.qe[i] AS DOUBLE)
+        |                        FOR i IN range(1, 65)]) / (eb.nrm * eq.qnrm) AS cos
+        |            FROM eb CROSS JOIN eq
+        |            WHERE eb.nrm > 0 AND eq.qnrm > 0),
+        |     truth AS (SELECT query_id, id FROM (
+        |                 SELECT query_id, id,
+        |                        row_number() OVER (PARTITION BY query_id
+        |                                           ORDER BY cos DESC, id) AS rn
+        |                 FROM ds) WHERE rn <= 10),
+        |     tc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+        |            FROM truth GROUP BY 1),
+        |     rel AS (SELECT p.query_id, p.rn,
+        |               CASE WHEN t.id IS NULL THEN 0 ELSE 1 END AS rel
+        |             FROM pred p LEFT JOIN truth t
+        |               ON p.query_id = t.query_id AND p.id = t.id),
+        |     pq AS (SELECT query_id,
+        |              max(rel) AS hit,
+        |              round(coalesce(1.0 / min(CASE WHEN rel = 1 THEN rn END), 0.0), 9) AS rr,
+        |              round(coalesce(sum(CASE WHEN rel = 1
+        |                                      THEN round(1.0 / log2(rn + 1), 9)
+        |                                      ELSE 0.0 END), 0.0), 9) AS dcg
+        |            FROM rel GROUP BY 1)
+        |SELECT tc.query_id, tc.n_truth,
+        |       CAST(coalesce(pq.hit, 0) AS INTEGER) AS hit,
+        |       coalesce(pq.rr, 0.0) AS rr,
+        |       CASE WHEN round(list_sum([round(1.0 / log2(i + 1), 9)
+        |                                 FOR i IN range(1, CAST(least(tc.n_truth, 10) AS INTEGER) + 1)]), 9) > 0
+        |            THEN round(coalesce(pq.dcg, 0.0)
+        |                       / round(list_sum([round(1.0 / log2(i + 1), 9)
+        |                                         FOR i IN range(1, CAST(least(tc.n_truth, 10) AS INTEGER) + 1)]), 9), 9)
+        |            ELSE 0.0 END AS ndcg
+        |FROM tc LEFT JOIN pq ON tc.query_id = pq.query_id""".stripMargin,
+    // The corpus_drift_psi replay over ref-fit equal-width n_chars bins:
+    // integer edges, floor-of-double assignment, current drop clamped.
+    "corpus_drift_numeric" ->
+      """WITH mm AS (SELECT CAST(min(n_chars) AS BIGINT) AS lo,
+        |                   CAST(max(n_chars) - min(n_chars) + 1 AS BIGINT) AS w
+        |            FROM documents WHERE doc_id % 3 = 0),
+        |     rb AS (SELECT least(greatest(CAST(floor((n_chars - lo) * 8
+        |                     / CAST(w AS DOUBLE)) AS BIGINT), 0), 7) AS bin
+        |            FROM documents, mm WHERE doc_id % 3 = 0),
+        |     cb AS (SELECT least(greatest(CAST(floor((n_chars - lo) * 8
+        |                     / CAST(w AS DOUBLE)) AS BIGINT), 0), 7) AS bin
+        |            FROM documents, mm WHERE doc_id % 3 <> 0),
+        |     r AS (SELECT bin, count(*) AS n_ref FROM rb GROUP BY 1),
+        |     c AS (SELECT bin, count(*) AS n_cur FROM cb GROUP BY 1),
+        |     j AS (SELECT COALESCE(r.bin, c.bin) AS bin,
+        |                  COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        |           FROM r FULL OUTER JOIN c ON r.bin IS NOT DISTINCT FROM c.bin),
+        |     p AS (SELECT bin, n_ref, n_cur,
+        |             greatest(CAST(n_ref AS DOUBLE) / (SELECT CAST(sum(n_ref) AS DOUBLE) FROM j),
+        |                      0.0001) AS rp,
+        |             greatest(CAST(n_cur AS DOUBLE) / (SELECT CAST(sum(n_cur) AS DOUBLE) FROM j),
+        |                      0.0001) AS cp
+        |           FROM j)
+        |SELECT CAST(bin AS VARCHAR) AS chars_bin,
+        |       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        |       round(rp, 9) AS ref_pct, round(cp, 9) AS cur_pct,
+        |       round((rp - cp) * ln(rp / cp), 9) + 0.0 AS psi_term
+        |FROM p""".stripMargin,
     // Hybrid fusion replay: the text_bm25 CTE chain, the sim_topk_batch
     // dense chain (queries vec_id < 3), each re-ranked per query, fused by
     // Σ round(1/(60+rank), 9) and re-rounded (grid-sum rule again).

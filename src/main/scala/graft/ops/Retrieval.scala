@@ -379,6 +379,65 @@ object Retrieval {
       .select("query_id", "id", "rrf")
   }
 
+  /** Per-query ranking-quality metrics against a binary-relevance truth
+    * set — the retrieval stack's report card next to
+    * [[Similarity.evalRecall]]: hit@k (did ANY relevant doc make the top
+    * k), reciprocal rank of the FIRST relevant hit (0 when none — mean
+    * over queries is MRR), and NDCG@k (DCG against the ideal DCG of
+    * min(|truth|, k) relevant docs up top).
+    *
+    * Engine portability: every 1/log₂(rank+1) gain and every 1/rank
+    * reciprocal is 9-decimal-rounded BEFORE summing (the bm25TopK
+    * grid-sum rule), and the predicted list re-ranks on (score DESC, id)
+    * so rank assignment replays exactly. Both inputs are per-query lists
+    * (≤ k·|queries| rows after the rank cut), so every shuffle here is
+    * queries-sized. Output: (query_id, n_truth, hit, rr, ndcg).
+    */
+  def evalRankingMetrics(
+      predicted: DataFrame,
+      truth: DataFrame,
+      queryCol: String,
+      idCol: String,
+      scoreCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    graft.core.Validators.requireColumns(predicted, Seq(queryCol, idCol, scoreCol))
+    graft.core.Validators.requireColumns(truth, Seq(queryCol, idCol))
+    val t = truth.select(col(queryCol).as("query_id"), col(idCol).as("id"))
+      .distinct()
+    val truthCounts = t.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+    val ranked = predicted
+      .select(col(queryCol).as("query_id"), col(idCol).as("id"),
+        col(scoreCol).as("__s"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__s").desc, col("id").asc)))
+      .filter(col("__rn") <= k)
+      .join(t.withColumn("__rel", lit(1)), Seq("query_id", "id"), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0)))
+    val gain = round(lit(1.0) / log2(col("__rn") + lit(1)), 9)
+    val perQuery = ranked.groupBy("query_id").agg(
+      max(col("__rel")).as("hit"),
+      round(coalesce(
+        lit(1.0) / min(when(col("__rel") === 1, col("__rn"))), lit(0.0)), 9)
+        .as("rr"),
+      round(sum(when(col("__rel") === 1, gain).otherwise(lit(0.0))), 9).as("__dcg"))
+    // ideal DCG: the first min(n_truth, k) positions all relevant — a
+    // narrow fold over a generated index sequence, same rounded terms
+    val m = least(col("n_truth"), lit(k.toLong)).cast("int")
+    val idcg = round(aggregate(
+      transform(sequence(lit(1), m), i => round(lit(1.0) / log2(i + lit(1)), 9)),
+      lit(0.0), (acc, v) => acc + v), 9)
+    truthCounts
+      .join(perQuery, Seq("query_id"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0)))
+      .withColumn("rr", coalesce(col("rr"), lit(0.0)))
+      .withColumn("ndcg",
+        when(idcg > 0.0,
+          round(coalesce(col("__dcg"), lit(0.0)) / idcg, 9)).otherwise(lit(0.0)))
+      .select("query_id", "n_truth", "hit", "rr", "ndcg")
+  }
+
   /** Feature-hashed signed bag-of-words embedding (Weinberger et al.'s
     * hashing trick): token t adds sign(t) ∈ {−1, +1} to component
     * bucket(t) = xxhash64(seed, t) mod dim, sign from an independent

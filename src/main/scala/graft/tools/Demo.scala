@@ -296,6 +296,10 @@ object Demo {
       embs, "vec_id", "embedding",
       embs.filter(col("vec_id") < 3), "vec_id", "embedding", kLex = 50, k = 10)
     println(s"two-stage retrieval: 50-doc lexical shortlist -> dense rerank -> ${rer.count()} final hits")
+    val rank = graft.ops.Retrieval.evalRankingMetrics(
+      bm, dense, "query_id", "id", "bm25", k = 10)
+      .agg(avg(col("rr")), avg(col("ndcg"))).head()
+    println(f"lexical-vs-dense report card: MRR ${rank.getDouble(0)}%.3f, mean NDCG@10 ${rank.getDouble(1)}%.3f")
 
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =

@@ -2910,6 +2910,29 @@ class OpsSpec extends SparkSpec {
         embs, "vec_id", "embedding", qe, "qid", "qemb", kLex = 1, k = 2)
   }
 
+  test("Retrieval.evalRankingMetrics: hand-computed hit/MRR/NDCG, no-hit and missing-query paths") {
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def g(rank: Int) = r9(1.0 / (math.log(rank + 1) / math.log(2)))
+    val pred = Seq(
+      // q1: relevant at ranks 2 and 3 (scores rank 10 > 20 > 30)
+      (1L, 10L, 3.0), (1L, 20L, 2.0), (1L, 30L, 1.0),
+      // q2: nothing relevant
+      (2L, 10L, 9.0),
+    ).toDF("q", "d", "s")
+    val truth = Seq((1L, 20L), (1L, 30L), (1L, 99L), (2L, 50L), (3L, 1L))
+      .toDF("q", "d")
+    val out = Retrieval.evalRankingMetrics(pred, truth, "q", "d", "s", k = 2)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_truth"), r.getAs[Int]("hit"),
+          r.getAs[Double]("rr"), r.getAs[Double]("ndcg")))).toMap
+    // q1 @k=2: hits rank 2 only; dcg = g(2); idcg = g(1)+g(2) (n_truth=3 > k)
+    out(1L) shouldBe ((3L, 1, r9(1.0 / 2), r9(r9(g(2)) / r9(r9(g(1)) + r9(g(2))))))
+    // q2: truth exists, no hit in the list
+    out(2L) shouldBe ((1L, 0, 0.0, 0.0))
+    // q3: truth but no predictions at all → all-zero metrics row
+    out(3L) shouldBe ((1L, 0, 0.0, 0.0))
+  }
+
   test("Retrieval.rrfFuse: rank-only fusion, one-list docs included, k cut, id ties") {
     val a = Seq((1L, 10L, 10.0), (1L, 20L, 5.0)).toDF("q", "d", "sa")
     val b = Seq((1L, 20L, 0.9), (1L, 30L, 0.2)).toDF("q", "d", "sb")

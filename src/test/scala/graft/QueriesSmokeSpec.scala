@@ -19,7 +19,9 @@ class QueriesSmokeSpec extends SparkSpec {
   private val bnljAllowed = Set("sim_topk_batch", "sim_recall",
     // both embed a cosineTopKBatch (hybrid fusion's dense leg; the
     // hash-embedding retrieval demo)
-    "text_rrf_hybrid", "text_embed_topk")
+    "text_rrf_hybrid", "text_embed_topk",
+    // the dense-truth leg of the ranking report card
+    "text_bm25_eval")
 
   private def auditPlan(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.catalyst.expressions.Literal
@@ -115,6 +117,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // bm25's 8 + the dense leg's top-k window + the two rank windows and
     // the (query, id) fusion join over ≤ k·|queries| rows
     "text_rrf_hybrid" -> 12,
+    // bm25's 8 + the dense truth's window + the metric re-rank window,
+    // truth-count agg, and per-query metric agg — all queries-sized
+    "text_bm25_eval" -> 13,
+    "corpus_drift_numeric" -> 5, // the corpus_drift_psi shape over bins
     "sample_cap_per_group" -> 1, // the one per-group rank window
     "text_hash_vocab" -> 1, // the vocabulary distinct
     "text_hash_embed" -> 0, // pure narrow per-row fold
