@@ -1297,6 +1297,34 @@ object SparkEntry {
         d.filter(col("doc_id") % 3 =!= 0 && col("source") =!= "src0"),
         "source")
     }),
+    // Content-level release diff: the "new drop" deterministically drops
+    // doc_id%10=1 (removed), rewrites %10=2's text (changed), and appends
+    // %10=3 copies under +10000 (added); unchanged rows stay out of the
+    // report by default.
+    "corpus_diff" -> ((s, dir) => {
+      val d = rt(s, dir, "documents").select(col("doc_id"), col("text"))
+      val cur = d.filter(col("doc_id") % 10 =!= 1)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 2, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Curation.corpusDiff(
+        d.withColumn("fp", md5(col("text").cast("binary"))),
+        cur.withColumn("fp", md5(col("text").cast("binary"))),
+        "doc_id", "fp")
+    }),
+    // Pre-training expectations gate: three per-row rules (one of which
+    // genuinely fails on the synthetic corpus) + the id-uniqueness
+    // aggregate, all evaluated in ONE corpus scan.
+    "corpus_expectations" -> ((s, dir) =>
+      Curation.expectationsReport(
+        rt(s, dir, "documents"),
+        Seq(
+          "nonempty_text" -> (length(col("text")) > 0),
+          "known_lang" -> col("lang").isin("en", "zh", "es", "de", "fr"),
+          "long_text" -> (col("n_chars") >= 200)),
+        uniqueCol = Some("doc_id"))),
     // Grouped top-k selection ("best k docs per language").
     "text_topk_per_lang" -> ((s, dir) =>
       Relational.topKPerGroup(
@@ -2939,6 +2967,36 @@ object SparkEntry {
         |       round(rp, 9) AS ref_pct, round(cp, 9) AS cur_pct,
         |       round((rp - cp) * ln(rp / cp), 9) + 0.0 AS psi_term
         |FROM p""".stripMargin,
+    // full-outer id join over the same deterministic "new drop"
+    // construction; md5 fingerprints compare NULL-safely
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |     c AS (SELECT doc_id, md5(CASE WHEN doc_id % 10 = 2
+        |                                   THEN text || ' v2' ELSE text END) AS fp
+        |           FROM documents WHERE doc_id % 10 <> 1
+        |           UNION ALL
+        |           SELECT doc_id + 10000, md5(text) FROM documents WHERE doc_id % 10 = 3),
+        |     j AS (SELECT o.doc_id AS ido, c.doc_id AS idc, o.fp AS fpo, c.fp AS fpc
+        |           FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id)
+        |SELECT COALESCE(ido, idc) AS id,
+        |       CASE WHEN idc IS NULL THEN 'removed'
+        |            WHEN ido IS NULL THEN 'added'
+        |            WHEN fpo IS DISTINCT FROM fpc THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM j
+        |WHERE NOT (idc IS NOT NULL AND ido IS NOT NULL AND fpo IS NOT DISTINCT FROM fpc)""".stripMargin,
+    // one aggregate per rule over the corpus, stacked as report rows
+    "corpus_expectations" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CASE WHEN length(text) > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        |             CAST(sum(CASE WHEN lang IN ('en','zh','es','de','fr') THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        |             CAST(sum(CASE WHEN n_chars >= 200 THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+        |             CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS v4
+        |           FROM documents)
+        |SELECT 'nonempty_text' AS rule, n AS n_rows, v1 AS n_violations, v1 = 0 AS pass FROM a
+        |UNION ALL SELECT 'known_lang', n, v2, v2 = 0 FROM a
+        |UNION ALL SELECT 'long_text', n, v3, v3 = 0 FROM a
+        |UNION ALL SELECT 'unique(doc_id)', n, v4, v4 = 0 FROM a""".stripMargin,
     // Verifies the chunk-collision candidate generation + exact Hamming
     // filter over the Spark-exported signature table (dumped by the
     // dedup_simhash_sig query; {GRAFT_OUT} is substituted with the dump

@@ -191,4 +191,82 @@ object Curation {
       // the cat_woe oracle convention, so both engines hash identically
       (round((refPct - curPct) * log(refPct / curPct), 9) + lit(0.0)).as("psi_term"))
   }
+
+  /** Content-level diff between two corpus drops — [[graft.sources.Writer]]
+    * `manifestDiff`'s row-granular sibling: per id, `added` (only in the
+    * new drop), `removed` (only in the old), `changed` (both, content
+    * fingerprint differs — NULL-safe, so NULL↔non-NULL IS a change), or
+    * `unchanged`. `includeUnchanged = false` (default) keeps the report
+    * delta-sized — on a 100 TB corpus the interesting rows are the few
+    * that moved, and the status filter prunes before anything returns.
+    *
+    * One full-outer hash join on id over two (id, fingerprint)
+    * projections — the drops' text columns never move, only their
+    * digests. Output: (id, status). */
+  def corpusDiff(
+      old: DataFrame,
+      cur: DataFrame,
+      idCol: String,
+      fpCol: String,
+      includeUnchanged: Boolean = false): DataFrame = {
+    graft.core.Validators.requireColumns(old, Seq(idCol, fpCol))
+    graft.core.Validators.requireColumns(cur, Seq(idCol, fpCol))
+    val o = old.select(col(idCol).as("__graft_ido"), col(fpCol).as("__graft_fpo"))
+    val c = cur.select(col(idCol).as("__graft_idc"), col(fpCol).as("__graft_fpc"))
+    val joined = o.join(c, col("__graft_ido") <=> col("__graft_idc"), "full_outer")
+      .select(
+        coalesce(col("__graft_ido"), col("__graft_idc")).as("id"),
+        when(col("__graft_idc").isNull, lit("removed"))
+          .when(col("__graft_ido").isNull, lit("added"))
+          .when(!(col("__graft_fpo") <=> col("__graft_fpc")), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+    if (includeUnchanged) joined else joined.filter(col("status") =!= "unchanged")
+  }
+
+  /** Pre-training data-quality gate (the expectations report a pipeline
+    * asserts before shipping a drop): every rule is a per-row boolean
+    * Column expected TRUE; a NULL verdict counts as a VIOLATION (an
+    * expectation not demonstrably met is not met). `uniqueCol` adds the
+    * one cross-row expectation worth its aggregate: id uniqueness, whose
+    * violations are duplicate occurrences (n − distinct) plus NULL ids.
+    *
+    * ONE aggregate job evaluates every rule in a single corpus scan
+    * (map-side partial, one sum per rule); the report itself is a
+    * rules-sized driver frame. Output: (rule, n_rows, n_violations,
+    * pass) — `pass` iff n_violations = 0. */
+  def expectationsReport(
+      df: DataFrame,
+      rules: Seq[(String, Column)],
+      uniqueCol: Option[String] = None): DataFrame = {
+    require(rules.nonEmpty || uniqueCol.nonEmpty,
+      "expectationsReport needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be unique")
+    uniqueCol.foreach(u => graft.core.Validators.requireColumns(df, Seq(u)))
+    val aggs =
+      rules.map { case (_, pred) =>
+        sum(when(pred, lit(0L)).otherwise(lit(1L))).as("v")
+      } ++
+      uniqueCol.toSeq.flatMap { u =>
+        Seq(countDistinct(col(u)).as("d"),
+          sum(when(col(u).isNull, lit(1L)).otherwise(lit(0L))).as("nn"))
+      }
+    val row = df.agg(count(lit(1)).as("n"), aggs: _*).head()
+    val n = row.getLong(0)
+    def longAt(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
+    val ruleRows = rules.zipWithIndex.map { case ((name, _), i) =>
+      (name, longAt(i + 1))
+    } ++ uniqueCol.map { u =>
+      val d = longAt(rules.size + 1)
+      val nulls = longAt(rules.size + 2)
+      (s"unique($u)", (n - nulls - d) + nulls)
+    }
+    Sampling.localFrame(df.sparkSession,
+      Seq("rule" -> org.apache.spark.sql.types.StringType,
+        "n_rows" -> org.apache.spark.sql.types.LongType,
+        "n_violations" -> org.apache.spark.sql.types.LongType,
+        "pass" -> org.apache.spark.sql.types.BooleanType),
+      ruleRows.map { case (name, v) =>
+        org.apache.spark.sql.Row(name, n, v, v == 0L) })
+  }
 }

@@ -300,6 +300,19 @@ object Demo {
       bm, dense, "query_id", "id", "bm25", k = 10)
       .agg(avg(col("rr")), avg(col("ndcg"))).head()
     println(f"lexical-vs-dense report card: MRR ${rank.getDouble(0)}%.3f, mean NDCG@10 ${rank.getDouble(1)}%.3f")
+    val diffed = graft.ops.Curation.corpusDiff(
+      docs.withColumn("fp", md5(col("text").cast("binary"))),
+      docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("fp", md5(col("text").cast("binary"))),
+      "doc_id", "fp")
+    println(s"release diff: ${diffed.count()} rows changed between drops " +
+      s"(${diffed.filter(col("status") === "removed").count()} removed)")
+    val gate = graft.ops.Curation.expectationsReport(
+      docs,
+      Seq("nonempty_text" -> (length(col("text")) > 0),
+        "known_lang" -> col("lang").isin("en", "zh", "es", "de", "fr")),
+      uniqueCol = Some("doc_id"))
+    println(s"expectations gate: ${gate.filter(col("pass")).count()} of ${gate.count()} rules pass")
 
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =

@@ -2741,6 +2741,45 @@ class OpsSpec extends SparkSpec {
     red(4L) shouldBe "clean text, no identifiers at all"
   }
 
+  test("Curation.corpusDiff: added/removed/changed statuses, NULL-safe fingerprints") {
+    val old = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), (4L, null: String),
+    ).toDF("id", "fp")
+    val cur = Seq(
+      (1L, "a"),            // unchanged
+      (2L, "B"),            // changed
+      (4L, "now-present"),  // changed: NULL → value IS a change
+      (5L, "new"),          // added
+    ).toDF("id", "fp")      // 3 removed
+    val out = Curation.corpusDiff(old, cur, "id", "fp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "added")
+    Curation.corpusDiff(old, cur, "id", "fp", includeUnchanged = true)
+      .count() shouldBe 5
+  }
+
+  test("Curation.expectationsReport: one-scan rule sums, NULL verdicts violate, uniqueness") {
+    val d = Seq(
+      (java.lang.Long.valueOf(1L), "x", java.lang.Integer.valueOf(5)),
+      (java.lang.Long.valueOf(1L), "y", java.lang.Integer.valueOf(-1)), // dup id, negative
+      (null.asInstanceOf[java.lang.Long], "z", null.asInstanceOf[java.lang.Integer]), // null id, NULL verdict
+    ).toDF("id", "s", "v")
+    val out = Curation.expectationsReport(
+      d, Seq("v_positive" -> (col("v") > 0)), uniqueCol = Some("id"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // v > 0: row2 fails, row3's NULL verdict counts as a violation
+    out("v_positive") shouldBe ((3L, 2L, false))
+    // uniqueness: the duplicate occurrence + the NULL id
+    out("unique(id)") shouldBe ((3L, 2L, false))
+    an[IllegalArgumentException] should be thrownBy
+      Curation.expectationsReport(d, Seq.empty, None)
+    an[IllegalArgumentException] should be thrownBy
+      Curation.expectationsReport(d,
+        Seq("a" -> lit(true), "a" -> lit(false)), None)
+  }
+
   test("truncationReport: exact token masses in and past the window") {
     val d = Seq(
       ("en", "one two three four"),        // 4 tokens
