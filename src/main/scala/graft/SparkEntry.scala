@@ -2057,6 +2057,15 @@ object SparkEntry {
       StreamingOps.userEventStats(rtEvents(s, dir))
         .withColumn("sum_value", round(col("sum_value"), 6))),
 
+    // Frame-hash near-dup screen over binary payloads (the +10000 exact
+    // copies share every frame → overlap 1.0; unrelated docs shouldn't
+    // meet): frame slices → md5 → hash-bucketed pair expansion.
+    "mm_frame_near_dup" -> ((s, dir) =>
+      Multimodal.frameHashNearDupPairs(
+        docsWithDups(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload", everyNBytes = 256, frameBytes = 64,
+        minOverlap = 0.5)),
     // posexplode to scalar rows: array columns are not sortable/hashable by
     // the driver's pandas compare, and the md5-based stub value is exactly
     // reproducible in DuckDB, so this gets a full hash-match oracle.
@@ -4386,6 +4395,29 @@ object SparkEntry {
         |       substring(upper(hex(encode(text))), CAST(t.i AS BIGINT) * 512 + 1, 128) AS frame_hex
         |FROM documents, range(0, 256) t(i)
         |WHERE t.i < floor(octet_length(encode(text)) / 256)""".stripMargin,
+    // the mm_sample_frames hex-slicing parity + md5 per frame, self-joined
+    // on the frame hash — the same pairs the bucketed expansion emits
+    "mm_frame_near_dup" ->
+      """WITH d AS (SELECT * FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
+        |           FROM documents WHERE doc_id % 5 = 0),
+        |     hx AS (SELECT doc_id, upper(hex(encode(text))) AS h FROM d),
+        |     fr AS (SELECT DISTINCT doc_id,
+        |              md5(substring(h, CAST(t.i AS BIGINT) * 512 + 1, 128)) AS fh
+        |            FROM hx, range(0, 256) t(i)
+        |            WHERE t.i < floor(len(h) / 512)),
+        |     cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM fr GROUP BY 1),
+        |     p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |             CAST(count(*) AS BIGINT) AS shared
+        |           FROM fr a JOIN fr b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |     sc AS (SELECT p.id_a, p.id_b, p.shared AS shared_frames,
+        |              round(CAST(p.shared AS DOUBLE) / least(ca.nf, cb.nf), 9) AS overlap
+        |            FROM p JOIN cnt ca ON p.id_a = ca.doc_id
+        |                 JOIN cnt cb ON p.id_b = cb.doc_id)
+        |SELECT id_a, id_b, shared_frames, overlap FROM sc
+        |WHERE overlap >= 0.5""".stripMargin,
     // Recomputes the md5-based stub embedding component exactly (hex/md5
     // only; division by 2^32 is lossless in binary64).
     "mm_fake_embed" ->

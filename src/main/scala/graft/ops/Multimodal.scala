@@ -86,6 +86,61 @@ object Multimodal {
   /** STUB frame sampler: byte-range slices standing in for decoded frames —
     * real video decode would emit one row per sampled frame with the same
     * (frame_idx, frame_bytes) schema. */
+  /** Frame-hash near-duplicate detection over binary payloads — the
+    * multimodal sibling of MinHash near-dup: sample every-Nth-byte frames
+    * ([[sampleFrames]]' slices; real decode would emit real frames with
+    * the same schema), hash each frame, and pair documents sharing at
+    * least `minOverlap` of the smaller side's distinct frame hashes — the
+    * standard cheap screen for re-encoded/re-uploaded video copies.
+    *
+    * Scale shape: the frame hash IS the bucket key (identical frames
+    * co-locate, nothing else meets), buckets carry sorted member arrays
+    * through [[BucketCap.capped]] — a ubiquitous frame (black screen,
+    * silence) hits the cap and is DROPPED WITH ACCOUNTING instead of
+    * exploding quadratically — and the pair expansion is per-bucket.
+    * Hashing (md5 of the frame's hex form, the [[fakeEmbedding]]
+    * portability convention) cuts the shuffle to 32 chars per frame
+    * whatever `frameBytes` is. Counts join back unhinted (AQE broadcasts
+    * the small side), as in the kNN-graph id map.
+    *
+    * Output: (id_a, id_b, shared_frames, overlap), overlap 9-decimal-
+    * rounded, id_a < id_b. */
+  def frameHashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      everyNBytes: Int,
+      frameBytes: Int,
+      minOverlap: Double,
+      maxBucketSize: Int = 1024): DataFrame = {
+    require(minOverlap > 0.0 && minOverlap <= 1.0, "minOverlap must be in (0, 1]")
+    require(maxBucketSize >= 2, "maxBucketSize must be >= 2")
+    graft.core.Validators.requireColumns(df, Seq(idCol, binCol))
+    val fd = sampleFrames(df.select(col(idCol).as("id"), col(binCol)),
+      binCol, everyNBytes, frameBytes)
+      .select(col("id"), md5(upper(hex(col("frame"))).cast("binary")).as("fh"))
+      .distinct()
+    val counts = fd.groupBy("id").agg(count(lit(1)).as("nf"))
+    val buckets = BucketCap.capped(
+      fd.groupBy("fh").agg(sort_array(collect_list(col("id"))).as("xs")),
+      maxBucketSize, "frameHashNearDupPairs")
+    val pairs = buckets
+      .select(explode(flatten(transform(col("xs"), (a, i) =>
+        transform(slice(col("xs"), i + lit(2), size(col("xs"))), b =>
+          struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_frames"))
+    pairs
+      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("nf", "__na"), "id_a")
+      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("nf", "__nb"), "id_b")
+      .withColumn("overlap",
+        round(col("shared_frames").cast("double") /
+          least(col("__na"), col("__nb")).cast("double"), 9))
+      .filter(col("overlap") >= minOverlap)
+      .select("id_a", "id_b", "shared_frames", "overlap")
+  }
+
   def sampleFrames(df: DataFrame, binCol: String, everyNBytes: Int, frameBytes: Int): DataFrame = {
     val b = col(binCol)
     val nFrames = floor(length(b) / everyNBytes).cast("int")

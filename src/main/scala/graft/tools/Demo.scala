@@ -313,6 +313,12 @@ object Demo {
         "known_lang" -> col("lang").isin("en", "zh", "es", "de", "fr")),
       uniqueCol = Some("doc_id"))
     println(s"expectations gate: ${gate.filter(col("pass")).count()} of ${gate.count()} rules pass")
+    val framePairs = graft.ops.Multimodal.frameHashNearDupPairs(
+      docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000))
+        .select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload", everyNBytes = 256, frameBytes = 64, minOverlap = 0.5)
+    println(s"frame-hash near-dup screen: ${framePairs.count()} payload pairs share >=50% of frames")
 
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =

@@ -2780,6 +2780,34 @@ class OpsSpec extends SparkSpec {
         Seq("a" -> lit(true), "a" -> lit(false)), None)
   }
 
+  test("Multimodal.frameHashNearDupPairs: shared-frame overlap, short payloads invisible") {
+    val base = "A" * 256 + "B" * 256 + "C" * 256 + "D" * 256 // 4 frames
+    val d = Seq(
+      (1L, base),
+      (2L, base),                              // exact copy: overlap 1.0
+      (3L, "A" * 256 + "B" * 256 + "X" * 512), // shares frames A,B: 2/4
+      (4L, "Z" * 1024),                        // 4 frames, one DISTINCT hash
+      (5L, "tiny"),                            // < everyNBytes → zero frames
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("bin"))
+    val out = Multimodal.frameHashNearDupPairs(
+      d, "doc_id", "bin", everyNBytes = 256, frameBytes = 64, minOverlap = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // Z*1024 frames all hash identically → doc 4 has ONE distinct frame;
+    // A-frame slices are A*64 = the first 64 bytes of each 256-block, so
+    // doc 3's distinct hashes are {A-slice, B-slice, X-slice} (3), doc 1's
+    // {A,B,C,D} (4): shared 2, overlap 2/3
+    out.keySet shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L))
+    out((1L, 2L)) shouldBe ((4L, 1.0))
+    out((1L, 3L)) shouldBe ((2L, BigDecimal(2.0 / 3)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // raising the bar drops the partial pair
+    Multimodal.frameHashNearDupPairs(
+      d, "doc_id", "bin", everyNBytes = 256, frameBytes = 64, minOverlap = 0.9)
+      .count() shouldBe 1
+  }
+
   test("truncationReport: exact token masses in and past the window") {
     val d = Seq(
       ("en", "one two three four"),        // 4 tokens

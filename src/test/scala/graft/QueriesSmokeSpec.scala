@@ -123,6 +123,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "corpus_drift_numeric" -> 5, // the corpus_drift_psi shape over bins
     "corpus_diff" -> 2, // the two drops' one full-outer id join (union side +1)
     "corpus_expectations" -> 0, // one all-rules aggregate, report is driver-built
+    // frame-hash distinct + per-doc counts + bucket agg + pair agg + the
+    // two unhinted count join-backs — all capped, never all-pairs
+    "mm_frame_near_dup" -> 7,
     "sample_cap_per_group" -> 1, // the one per-group rank window
     "text_hash_vocab" -> 1, // the vocabulary distinct
     "text_hash_embed" -> 0, // pure narrow per-row fold
