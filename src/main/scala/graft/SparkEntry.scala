@@ -2140,6 +2140,16 @@ object SparkEntry {
         e.filter(col("vec_id") < 3), "vec_id", "embedding",
         kLex = 50, k = 10)
     }),
+    // Pseudo-relevance feedback: 5 feedback docs per query, the 10
+    // highest-summed-tf terms expand the query, second BM25 pass — the
+    // zero-training lexical recall lift. Integer tf ranks + the grid-sum
+    // scorer keep both passes engine-replayable.
+    "text_bm25_prf" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      Retrieval.bm25PrfTopK(d, "doc_id", "text",
+        d.filter(col("doc_id") < 3), "doc_id", "text",
+        k = 10, fbDocs = 5, fbTerms = 10)
+    }),
     // Ranking report card: how well the lexical BM25 ranking approximates
     // the dense-cosine truth (doc_id ≡ vec_id) — hit@10, reciprocal rank,
     // binary NDCG@10 per query, every gain 9-decimal-rounded pre-sum.
@@ -4547,6 +4557,67 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id
         |                            ORDER BY cos DESC, id) AS rn
         |  FROM rer)
+        |WHERE rn <= 10""".stripMargin,
+    // Two full bm25 replays: pass one's top-5 feedback docs, the integer
+    // tf-sum expansion rank, the distinct union, pass two over the
+    // expanded vocabulary.
+    "text_bm25_prf" ->
+      """WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |     dl AS (SELECT doc_id,
+        |              CAST(coalesce(len(list_filter(string_split_regex(t, '\s+'),
+        |                                            x -> x <> '')), 0) AS BIGINT) AS dl
+        |            FROM base),
+        |     stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |                      avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |     toks AS (SELECT doc_id,
+        |                unnest(list_filter(string_split_regex(t, '\s+'), x -> x <> '')) AS term
+        |              FROM base),
+        |     q1 AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3),
+        |     tf1 AS (SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+        |             FROM toks WHERE term IN (SELECT term FROM q1) GROUP BY 1, 2),
+        |     df1 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY 1),
+        |     sc1 AS (SELECT q.query_id, tf1.id,
+        |               round(ln(1 + (s.n - df1.df + 0.5) / (df1.df + 0.5))
+        |                     * tf1.tf * 2.2
+        |                     / (tf1.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 9) AS sc
+        |             FROM tf1 JOIN q1 q ON tf1.term = q.term
+        |                  JOIN df1 ON tf1.term = df1.term
+        |                  JOIN dl ON tf1.id = dl.doc_id
+        |                  CROSS JOIN stats s),
+        |     sum1 AS (SELECT query_id, id, round(sum(sc), 9) AS bm25
+        |              FROM sc1 GROUP BY 1, 2),
+        |     fb AS (SELECT query_id, id FROM (
+        |              SELECT query_id, id,
+        |                     row_number() OVER (PARTITION BY query_id
+        |                                        ORDER BY bm25 DESC, id) AS rn
+        |              FROM sum1) WHERE rn <= 5),
+        |     fbtf AS (SELECT fb.query_id, tk.term, CAST(count(*) AS BIGINT) AS tf
+        |              FROM toks tk JOIN fb ON tk.doc_id = fb.id GROUP BY 1, 2),
+        |     exp AS (SELECT query_id, term FROM (
+        |               SELECT query_id, term,
+        |                      row_number() OVER (PARTITION BY query_id
+        |                                         ORDER BY tf DESC, term) AS rn
+        |               FROM fbtf) WHERE rn <= 10),
+        |     q2 AS (SELECT query_id, term FROM q1
+        |            UNION SELECT query_id, term FROM exp),
+        |     tf2 AS (SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+        |             FROM toks WHERE term IN (SELECT term FROM q2) GROUP BY 1, 2),
+        |     df2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY 1),
+        |     sc2 AS (SELECT q.query_id, tf2.id,
+        |               round(ln(1 + (s.n - df2.df + 0.5) / (df2.df + 0.5))
+        |                     * tf2.tf * 2.2
+        |                     / (tf2.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 9) AS sc
+        |             FROM tf2 JOIN q2 q ON tf2.term = q.term
+        |                  JOIN df2 ON tf2.term = df2.term
+        |                  JOIN dl ON tf2.id = dl.doc_id
+        |                  CROSS JOIN stats s),
+        |     sum2 AS (SELECT query_id, id, round(sum(sc), 9) AS bm25
+        |              FROM sc2 GROUP BY 1, 2)
+        |SELECT query_id, id, bm25 FROM (
+        |  SELECT query_id, id, bm25,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY bm25 DESC, id) AS rn
+        |  FROM sum2)
         |WHERE rn <= 10""".stripMargin,
     // Metric replay: the text_bm25 ranking CTE, the dense truth CTE, then
     // hit/min-rank-reciprocal/DCG with every gain rounded pre-sum and the

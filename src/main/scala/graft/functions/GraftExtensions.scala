@@ -100,5 +100,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 2, s"${TilePairs.BpeName} expects 2 arguments")
       BpeEncode(args(0), args(1))
     }))
+    ext.injectFunction(fn(TilePairs.HashEmbedName, { args =>
+      require(args.length == 3, s"${TilePairs.HashEmbedName} expects 3 arguments")
+      HashEmbedCounts(args(0), args(1), args(2))
+    }))
   }
 }

@@ -668,3 +668,87 @@ case class TokenNgramHashes(child: Expression, n: Expression) extends Expression
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0), n = newChildren(1))
 }
+
+/** graft_hash_embed(text, dim, seed): RAW signed feature-hashed bag-of-words
+  * counts — component `pmod(xxhash64(seed, t), dim)` accumulates
+  * `xxhash64(seed+1, t) % 2 == 0 ? +1 : −1` per lowercased whitespace token
+  * t. Bit-identical to the `aggregate(transform(tokens, …), array_repeat…)`
+  * Column fold it replaces (same lowercase/split, same seeded XXH64 chain,
+  * exact integer accumulation), but one primitive loop per row: the fold is
+  * O(tokens · dim) through the INTERPRETED higher-order-function evaluator
+  * — measured 33 s over 5 k sf0.1 docs at dim = 16 — where this kernel is
+  * O(tokens + dim) inside whole-stage codegen. Normalization stays in the
+  * caller (an O(dim) Column, not the hot path). NULL text → NULL (the
+  * caller's coalesce supplies the zero vector). */
+case class HashEmbedCounts(child: Expression, dim: Expression, seed: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(child, dim, seed)
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_hash_embed expects a string input")
+    else if (!dim.foldable || dim.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_hash_embed expects a foldable int dim")
+    else if (!seed.foldable || !Seq[DataType](IntegerType, LongType).contains(seed.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_hash_embed expects a foldable int/long seed")
+    else if (dim.eval().asInstanceOf[Int] < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_hash_embed dim must be >= 1")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  private lazy val d: Int = dim.eval().asInstanceOf[Int]
+  private lazy val seedValue: Long = seed.eval() match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.toLong
+  }
+  // the xxhash64(lit(seed), t) chain: the literal hashes first (over the
+  // expression default seed 42), its result seeds the token hash
+  private lazy val bucketSeed: Long = XXH64.hashLong(seedValue, TextHashes.Seed)
+  private lazy val signSeed: Long = XXH64.hashLong(seedValue + 1L, TextHashes.Seed)
+
+  private val ws = UTF8String.fromString("\\s+")
+
+  def compute(s: UTF8String): ArrayData = {
+    val acc = new Array[Double](d)
+    val tokens = s.toLowerCase.split(ws, -1)
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      if (t.numBytes() > 0) {
+        val b = java.lang.Math.floorMod(XXH64.hashUTF8String(t, bucketSeed), d.toLong).toInt
+        acc(b) +=
+          (if (java.lang.Math.floorMod(XXH64.hashUTF8String(t, signSeed), 2L) == 0L) 1.0
+           else -1.0)
+      }
+      i += 1
+    }
+    new GenericArrayData(acc)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val s = child.eval(input).asInstanceOf[UTF8String]
+    if (s == null) null else compute(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) ${ev.value} = $ref.compute(${c.value});
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), dim = newChildren(1), seed = newChildren(2))
+}

@@ -38,6 +38,7 @@ object TilePairs {
   val BloomContainsName = "graft_bloom_contains"
   val TokenNgramName = "graft_token_ngram_hashes"
   val BpeName = "graft_bpe_encode"
+  val HashEmbedName = "graft_hash_embed"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

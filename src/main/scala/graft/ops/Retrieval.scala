@@ -379,6 +379,87 @@ object Retrieval {
       .select("query_id", "id", "rrf")
   }
 
+  /** BM25 with pseudo-relevance feedback (RM3's rank-only skeleton): a
+    * first BM25 pass retrieves `fbDocs` feedback docs per query, the
+    * `fbTerms` terms with the highest summed term frequency across them
+    * (ties by term) expand the query, and a second BM25 pass scores the
+    * expanded term set. Classic lexical recall lift — "spark shuffle"
+    * pulls in docs that only say "exchange partition" — with zero trained
+    * components.
+    *
+    * Everything stays integer/rank-deterministic: term selection is an
+    * integer tf sum + a (sum DESC, term) rank, expansion is a distinct
+    * union with the original terms, and the rescoring is [[bm25TopK]]'s
+    * grid-sum scorer. Scale shape: two passes of the bm25TopK shape; the
+    * feedback join (shortlist ⋈ postings) is pruned by the broadcast
+    * shortlist before anything aggregates, so pass two's vocabulary is
+    * (original ∪ fbTerms·queries)-sized — still query-sized, never
+    * corpus-sized.
+    *
+    * Output: (query_id, id, bm25), ≤ k rows per query — same contract as
+    * [[bm25TopK]], directly comparable with it through
+    * [[evalRankingMetrics]].
+    */
+  def bm25PrfTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qTextCol: String,
+      k: Int,
+      fbDocs: Int = 5,
+      fbTerms: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fbDocs >= 1, "fbDocs must be >= 1")
+    require(fbTerms >= 1, "fbTerms must be >= 1")
+    graft.core.Validators.requireColumns(docs, Seq(idCol, textCol))
+    graft.core.Validators.requireColumns(queries, Seq(qIdCol, qTextCol))
+    // pass one: plain BM25, feedback shortlist
+    val fb = bm25TopK(docs, idCol, textCol, queries, qIdCol, qTextCol,
+      fbDocs, k1, b).select("query_id", "id")
+    // term statistics of the feedback docs only: the broadcast shortlist
+    // prunes the exploded corpus before the tf aggregate
+    val fbTf = docs
+      .select(col(idCol).as("id"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("term"))
+      .join(broadcast(fb), Seq("id"))
+      .groupBy("query_id", "term")
+      .agg(count(lit(1)).as("__tf"))
+    // The expansion is ≤ fbTerms·|queries| rows — collect it (a bounded
+    // fit-time pull, like every fit in this package) and re-ship it as a
+    // local frame: leaving it lazy embeds the ENTIRE pass-one subtree
+    // into pass two's plan at every use site (measured 41 Exchange nodes
+    // vs pass two's own 9).
+    val expansion = fbTf
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("__tf").desc, col("term").asc)))
+      .filter(col("__rn") <= fbTerms)
+      .select("query_id", "term")
+    val expRows = expansion.collect().toSeq
+    import scala.jdk.CollectionConverters._
+    val expDf = docs.sparkSession.createDataFrame(
+      expRows.asJava, expansion.schema)
+    // pass two: the original terms ∪ the expansion, deduped, rescored
+    val qTerms = queryTerms(queries, qIdCol, qTextCol)
+      .unionByName(expDf).distinct()
+    val dlExpr = coalesce(TextOps.tokenCount(lower(col(textCol))).cast("long"), lit(0L))
+    val stats = docs.agg(count(lit(1)).as("n"), avg(dlExpr).as("avgdl")).head()
+    val n = stats.getLong(0).toDouble
+    val avgdl = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+    val occ = docs
+      .select(col(idCol).as("id"), dlExpr.as("dl"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("term"))
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
+    val postings = occ.groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    scoreAndRank(postings, dfreq, qTerms, n, avgdl, k1, b, k)
+  }
+
   /** Per-query ranking-quality metrics against a binary-relevance truth
     * set — the retrieval stack's report card next to
     * [[Similarity.evalRecall]]: hit@k (did ANY relevant doc make the top
@@ -465,15 +546,26 @@ object Retrieval {
       seed: Long = 42L): DataFrame = {
     require(dim >= 1, "dim must be >= 1")
     graft.core.Validators.requireColumns(df, Seq(textCol))
-    val toks = TextOps.tokens(lower(col(textCol)))
-    val bs = transform(toks, t => struct(
-      hashBucket(t, dim, seed).as("b"),
-      hashSign(t, seed).as("s")))
-    val accum = aggregate(
-      bs,
-      array_repeat(lit(0.0), dim),
-      (acc, x) => transform(acc,
-        (v, i) => v + when(i === x("b"), x("s")).otherwise(lit(0.0))))
+    // the graft_hash_embed kernel is the hot path: the Column fold below
+    // walks the interpreted HOF evaluator O(tokens · dim) per row (33 s
+    // over 5 k sf0.1 docs at dim 16); the kernel is one codegen'd loop,
+    // bit-identical (FunctionsSpec pins parity)
+    val accum =
+      if (df.sparkSession.catalog.functionExists(
+        graft.functions.TilePairs.HashEmbedName))
+        call_function(graft.functions.TilePairs.HashEmbedName,
+          col(textCol), lit(dim), lit(seed))
+      else {
+        val toks = TextOps.tokens(lower(col(textCol)))
+        val bs = transform(toks, t => struct(
+          hashBucket(t, dim, seed).as("b"),
+          hashSign(t, seed).as("s")))
+        aggregate(
+          bs,
+          array_repeat(lit(0.0), dim),
+          (acc, x) => transform(acc,
+            (v, i) => v + when(i === x("b"), x("s")).otherwise(lit(0.0))))
+      }
     val raw = coalesce(accum, array_repeat(lit(0.0), dim))
     val nrm = sqrt(Similarity.dot(raw, raw))
     df.withColumn("__graft_raw", raw)

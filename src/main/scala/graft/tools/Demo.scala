@@ -319,6 +319,10 @@ object Demo {
         .select(col("doc_id"), col("text").cast("binary").as("payload")),
       "doc_id", "payload", everyNBytes = 256, frameBytes = 64, minOverlap = 0.5)
     println(s"frame-hash near-dup screen: ${framePairs.count()} payload pairs share >=50% of frames")
+    val prf = graft.ops.Retrieval.bm25PrfTopK(
+      docs, "doc_id", "text", bmQ, "doc_id", "text", k = 10, fbDocs = 5, fbTerms = 10)
+    val prfNew = prf.join(bm, Seq("query_id", "id"), "left_anti").count()
+    println(s"pseudo-relevance feedback: ${prf.count()} hits, $prfNew not in the plain BM25 top-10")
 
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =

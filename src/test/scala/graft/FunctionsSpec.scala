@@ -219,6 +219,37 @@ class FunctionsSpec extends SparkSpec {
     nullRow shouldBe Seq.empty
   }
 
+  test("graft_hash_embed matches the HOF fold bit-for-bit") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  leading and\ttab\nand trailing whitespace  ",
+      "Mixed CASE Ünïcode tökens ça va",
+      "dup dup dup dup dup",
+      "",
+      "   \t\r\n  ").toDF("text")
+    val dim = 8
+    val seed = 42L
+    val toks = filter(split(lower($"text"), "\\s+"), t => t =!= "")
+    val bs = transform(toks, t => struct(
+      pmod(xxhash64(lit(seed), t), lit(dim.toLong)).cast("int").as("b"),
+      when(pmod(xxhash64(lit(seed + 1L), t), lit(2L)) === 0L, lit(1.0))
+        .otherwise(lit(-1.0)).as("s")))
+    val hof = aggregate(bs, array_repeat(lit(0.0), dim),
+      (acc, x) => transform(acc,
+        (v, i) => v + when(i === x("b"), x("s")).otherwise(lit(0.0))))
+    val rows = docs.select(
+      call_function(TilePairs.HashEmbedName, $"text", lit(dim), lit(seed)).as("k"),
+      hof.as("f")).collect()
+    rows.foreach { r =>
+      r.getSeq[Double](0) shouldBe r.getSeq[Double](1)
+    }
+    // null text → NULL from both paths (hashEmbed's coalesce zero-fills)
+    val nullRow = Seq[Option[String]](None).toDF("text")
+      .select(call_function(TilePairs.HashEmbedName, $"text", lit(dim), lit(seed)))
+      .collect()(0)
+    nullRow.isNullAt(0) shouldBe true
+  }
+
   test("graft_bloom_agg skips null keys; empty filter contains nothing") {
     val bf = Seq[Option[Long]](Some(42L), None).toDF("k")
       .agg(call_function(TilePairs.BloomAggName, $"k", lit(64), lit(3)).as("bf"))

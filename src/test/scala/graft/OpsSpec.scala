@@ -2977,6 +2977,27 @@ class OpsSpec extends SparkSpec {
         embs, "vec_id", "embedding", qe, "qid", "qemb", kLex = 1, k = 2)
   }
 
+  test("Retrieval.bm25PrfTopK: feedback terms pull in docs plain BM25 cannot see") {
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple cherry"),
+      (3L, "cherry date"),       // no query term — only reachable via expansion
+      (4L, "unrelated words"),
+    ).toDF("doc_id", "text")
+    val q = Seq((7L, "apple")).toDF("qid", "qtext")
+    val plain = Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    plain shouldBe Set(1L, 2L)
+    // feedback docs {1, 2}; term tf sums: apple 2, banana 1, cherry 1 →
+    // fbTerms = 3 admits cherry, which retrieves doc 3
+    val prf = Retrieval.bm25PrfTopK(docs, "doc_id", "text", q, "qid", "qtext",
+      k = 10, fbDocs = 2, fbTerms = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    prf shouldBe Set(1L, 2L, 3L)
+    // doc 4 shares no expanded term → still invisible, never all-docs
+    prf should not contain 4L
+  }
+
   test("Retrieval.evalRankingMetrics: hand-computed hit/MRR/NDCG, no-hit and missing-query paths") {
     def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     def g(rank: Int) = r9(1.0 / (math.log(rank + 1) / math.log(2)))

@@ -110,6 +110,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // downstream of the broadcast query-vocab prune, so every one of them
     // moves query-vocab-sized rows, not the corpus
     "text_bm25" -> 8,
+    // pass two's own shape + the qTerms-union distincts; pass one runs
+    // EAGERLY at fit time (the expansion collect) and never bloats this plan
+    "text_bm25_prf" -> 11,
     // the probe's win over text_bm25: the corpus tf/df aggregates are
     // pre-paid in the index, only the query-sized score/rank stages remain
     "text_bm25_indexed" -> 3,
