@@ -379,6 +379,30 @@ object Retrieval {
       .select("query_id", "id", "rrf")
   }
 
+  /** Compact an on-disk [[Bm25Index]] after a run of appends: each
+    * [[appendToBm25Index]] lands the batch as its own term-sorted file
+    * set, so a term's postings fragment across files and the probe's
+    * row-group pruning degrades toward reading every file. Compaction
+    * rewrites the postings once — globally term-repartitioned and
+    * term-sorted again — via write-next-then-swap (the df-table rule:
+    * never rewrite a table from its own path), leaving params and df
+    * untouched. Results are unchanged by construction; only file layout
+    * moves. */
+  def compactBm25Index(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    val postingsPath = p.resolve("postings.parquet").toString
+    val next = p.resolve("postings.parquet.next").toString
+    spark.read.parquet(postingsPath)
+      .repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(next)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val live = new org.apache.hadoop.fs.Path(postingsPath)
+    fs.delete(live, true)
+    fs.rename(new org.apache.hadoop.fs.Path(next), live)
+  }
+
   /** BM25 with pseudo-relevance feedback (RM3's rank-only skeleton): a
     * first BM25 pass retrieves `fbDocs` feedback docs per query, the
     * `fbTerms` terms with the highest summed term frequency across them
@@ -480,42 +504,55 @@ object Retrieval {
       queryCol: String,
       idCol: String,
       scoreCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      relCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be >= 1")
     graft.core.Validators.requireColumns(predicted, Seq(queryCol, idCol, scoreCol))
-    graft.core.Validators.requireColumns(truth, Seq(queryCol, idCol))
-    val t = truth.select(col(queryCol).as("query_id"), col(idCol).as("id"))
-      .distinct()
+    graft.core.Validators.requireColumns(truth, Seq(queryCol, idCol) ++ relCol)
+    // graded relevance when relCol is given (linear rel/log₂ gains — the
+    // exact-integer-replay choice; NULL rel → 0); binary membership (1.0)
+    // otherwise
+    val relExpr = relCol
+      .map(c => coalesce(col(c).cast("double"), lit(0.0)))
+      .getOrElse(lit(1.0))
+    val t = truth.select(col(queryCol).as("query_id"), col(idCol).as("id"),
+      relExpr.as("__rel")).distinct()
     val truthCounts = t.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+    def gainAt(rel: Column, rank: Column): Column =
+      round(rel / log2(rank + lit(1)), 9)
     val ranked = predicted
       .select(col(queryCol).as("query_id"), col(idCol).as("id"),
         col(scoreCol).as("__s"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("__s").desc, col("id").asc)))
       .filter(col("__rn") <= k)
-      .join(t.withColumn("__rel", lit(1)), Seq("query_id", "id"), "left")
-      .withColumn("__rel", coalesce(col("__rel"), lit(0)))
-    val gain = round(lit(1.0) / log2(col("__rn") + lit(1)), 9)
+      .join(t, Seq("query_id", "id"), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0.0)))
     val perQuery = ranked.groupBy("query_id").agg(
-      max(col("__rel")).as("hit"),
+      max((col("__rel") > 0.0).cast("int")).as("hit"),
       round(coalesce(
-        lit(1.0) / min(when(col("__rel") === 1, col("__rn"))), lit(0.0)), 9)
+        lit(1.0) / min(when(col("__rel") > 0.0, col("__rn"))), lit(0.0)), 9)
         .as("rr"),
-      round(sum(when(col("__rel") === 1, gain).otherwise(lit(0.0))), 9).as("__dcg"))
-    // ideal DCG: the first min(n_truth, k) positions all relevant — a
-    // narrow fold over a generated index sequence, same rounded terms
-    val m = least(col("n_truth"), lit(k.toLong)).cast("int")
-    val idcg = round(aggregate(
-      transform(sequence(lit(1), m), i => round(lit(1.0) / log2(i + lit(1)), 9)),
-      lit(0.0), (acc, v) => acc + v), 9)
+      round(sum(gainAt(col("__rel"), col("__rn"))), 9).as("__dcg"))
+    // ideal DCG: the truth set's own best ordering (rel DESC, id) cut at
+    // k — for binary truth this is the closed-form Σ 1/log₂(i+1) over
+    // min(n_truth, k) positions; same 9-decimal grid-sum rule
+    val ideal = t
+      .withColumn("__irn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__rel").desc, col("id").asc)))
+      .filter(col("__irn") <= k)
+      .groupBy("query_id")
+      .agg(round(sum(gainAt(col("__rel"), col("__irn"))), 9).as("__idcg"))
     truthCounts
       .join(perQuery, Seq("query_id"), "left")
+      .join(ideal, Seq("query_id"), "left")
       .withColumn("hit", coalesce(col("hit"), lit(0)))
       .withColumn("rr", coalesce(col("rr"), lit(0.0)))
       .withColumn("ndcg",
-        when(idcg > 0.0,
-          round(coalesce(col("__dcg"), lit(0.0)) / idcg, 9)).otherwise(lit(0.0)))
+        when(coalesce(col("__idcg"), lit(0.0)) > 0.0,
+          round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 9))
+          .otherwise(lit(0.0)))
       .select("query_id", "n_truth", "hit", "rr", "ndcg")
   }
 

@@ -2922,6 +2922,20 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.toString).toSet shouldBe
       Retrieval.bm25TopK(all, "doc_id", "text", q, "qid", "qtext", 10)
         .collect().map(_.toString).toSet
+    // compaction rewrites the fragmented postings into fewer files and
+    // changes NOTHING observable
+    def parquetFiles(sub: String): Int =
+      new java.io.File(s"$dir/$sub").listFiles().count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles("postings.parquet")
+    before should be >= 2 // save + append each contributed files
+    Retrieval.compactBm25Index(spark, dir)
+    // one global rewrite: never MORE files than the two writes combined
+    // (strictly fewer whenever the two writes' term partitions overlap)
+    parquetFiles("postings.parquet") should be <= before
+    Retrieval.bm25SearchIndex(Retrieval.Bm25Index.load(spark, dir), q, "qid", "qtext", 10)
+      .collect().map(_.toString).toSet shouldBe
+      Retrieval.bm25TopK(all, "doc_id", "text", q, "qid", "qtext", 10)
+        .collect().map(_.toString).toSet
   }
 
   test("Sampling.sampleTokenBudgetPerGroup: each group fills its own budget, others drop") {
@@ -3019,6 +3033,30 @@ class OpsSpec extends SparkSpec {
     out(2L) shouldBe ((1L, 0, 0.0, 0.0))
     // q3: truth but no predictions at all → all-zero metrics row
     out(3L) shouldBe ((1L, 0, 0.0, 0.0))
+  }
+
+  test("Retrieval.evalRankingMetrics: graded relevance reorders the ideal, NULL rel = 0") {
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def g(rel: Double, rank: Int) = r9(rel / (math.log(rank + 1) / math.log(2)))
+    val pred = Seq((1L, 10L, 2.0), (1L, 20L, 1.0)).toDF("q", "d", "s")
+    val truth = Seq(
+      (1L, 10L, java.lang.Double.valueOf(1.0)),  // retrieved first, low rel
+      (1L, 20L, java.lang.Double.valueOf(3.0)),  // retrieved second, high rel
+      (1L, 30L, null.asInstanceOf[java.lang.Double]), // NULL rel → 0, never a hit
+    ).toDF("q", "d", "rel")
+    val out = Retrieval.evalRankingMetrics(
+      pred, truth, "q", "d", "s", k = 2, relCol = Some("rel")).head()
+    out.getAs[Long]("n_truth") shouldBe 3L
+    out.getAs[Int]("hit") shouldBe 1
+    out.getAs[Double]("rr") shouldBe 1.0 // rank-1 doc has rel > 0
+    // dcg: rel 1 at rank 1 + rel 3 at rank 2; ideal: rel 3 first, rel 1 second
+    val dcg = r9(g(1.0, 1) + g(3.0, 2))
+    val idcg = r9(g(3.0, 1) + g(1.0, 2))
+    out.getAs[Double]("ndcg") shouldBe r9(dcg / idcg)
+    // the same truth WITHOUT the rel column is plain binary NDCG
+    val bin = Retrieval.evalRankingMetrics(
+      pred, truth.drop("rel"), "q", "d", "s", k = 2).head()
+    bin.getAs[Double]("ndcg") shouldBe 1.0 // both top-2 docs are relevant
   }
 
   test("Retrieval.rrfFuse: rank-only fusion, one-list docs included, k cut, id ties") {

@@ -121,8 +121,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // the (query, id) fusion join over ≤ k·|queries| rows
     "text_rrf_hybrid" -> 12,
     // bm25's 8 + the dense truth's window + the metric re-rank window,
-    // truth-count agg, and per-query metric agg — all queries-sized
-    "text_bm25_eval" -> 13,
+    // truth-count agg, per-query metric agg, and the ideal-DCG rank
+    // window (graded-capable) — all queries-sized
+    "text_bm25_eval" -> 14,
     "corpus_drift_numeric" -> 5, // the corpus_drift_psi shape over bins
     "corpus_diff" -> 2, // the two drops' one full-outer id join (union side +1)
     "corpus_expectations" -> 0, // one all-rules aggregate, report is driver-built
