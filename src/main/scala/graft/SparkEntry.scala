@@ -1530,6 +1530,11 @@ object SparkEntry {
     "text_corpus_stats" -> ((s, dir) =>
       TextOps.corpusStats(
         rt(s, dir, "documents").select("lang", "text"), "lang", "text")),
+    // Distinct-bigram diversity per language — the templated/duplicated-
+    // slice detector; exact integer counts, one division.
+    "text_diversity" -> ((s, dir) =>
+      TextOps.diversityStats(
+        rt(s, dir, "documents").select("lang", "text"), "lang", "text", n = 2)),
     // Context-window audit: per lang, docs over a 64-token window and the
     // token mass inside / past it — exact integer sums end to end.
     "text_truncation_report" -> ((s, dir) =>
@@ -3613,6 +3618,20 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN f_any THEN 1 ELSE 0 END), 0) AS BIGINT) FROM g
         |UNION ALL SELECT 'kept',
         |  CAST(coalesce(sum(CASE WHEN NOT f_any THEN 1 ELSE 0 END), 0) AS BIGINT) FROM g""".stripMargin,
+    "text_diversity" ->
+      """WITH toks AS (SELECT lang,
+        |                list_filter(string_split_regex(lower(text), '\s+'),
+        |                            x -> x <> '') AS ts
+        |              FROM documents),
+        |     grams AS (SELECT lang,
+        |                 unnest([array_to_string(ts[i:i+1], ' ')
+        |                         FOR i IN range(1, len(ts))]) AS gram
+        |               FROM toks WHERE len(ts) >= 2)
+        |SELECT lang AS "group",
+        |       CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+        |       round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 9) AS diversity
+        |FROM grams GROUP BY 1""".stripMargin,
     // rank on the 9-decimal-rounded score (both engines) so libm ulp
     // differences in ln cannot flip near-ties; exact ties break by term
     "text_tfidf" ->

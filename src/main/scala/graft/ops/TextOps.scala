@@ -654,6 +654,38 @@ object TextOps {
       .drop("__graft_toks", "__graft_nc")
   }
 
+  /** Per-group corpus diversity: total token n-gram occurrences, distinct
+    * n-grams, and their ratio (the distinct-n-gram diversity statistic of
+    * text-generation eval, applied to corpora: low values flag templated /
+    * machine-generated / over-duplicated slices BEFORE they train). Grams
+    * are lowercased whitespace-token windows joined by a single space, so
+    * the count replays verbatim in SQL; docs shorter than n tokens
+    * contribute nothing. One explode over the corpus into a single hash
+    * aggregate (count + distinct-count per group) — a word-count-shaped
+    * job at any scale. Output: (group, n_grams, distinct_ngrams,
+    * diversity) with diversity 9-decimal-rounded. */
+  def diversityStats(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    graft.core.Validators.requireColumns(df, Seq(groupCol, textCol))
+    val toks = tokens(lower(col(textCol)))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(groupCol).as("group"), explode(grams).as("gram"))
+      .groupBy("group")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        countDistinct(col("gram")).as("distinct_ngrams"))
+      .withColumn("diversity",
+        round(col("distinct_ngrams").cast("double") /
+          col("n_grams").cast("double"), 9))
+  }
+
   /** Per-document TF-IDF top terms: lowercased whitespace tokens, raw term
     * frequency × ln(N / doc_freq), the k highest-scoring terms per doc
     * (ties by term). Scores are rounded to 9 decimals BEFORE ranking so the

@@ -2741,6 +2741,22 @@ class OpsSpec extends SparkSpec {
     red(4L) shouldBe "clean text, no identifiers at all"
   }
 
+  test("TextOps.diversityStats: exact gram counts, short docs invisible, dup slice scores low") {
+    val d = Seq(
+      ("tpl", "a b a b"),  // bigrams: "a b","b a","a b" → 3 total, 2 distinct
+      ("tpl", "a b"),      // bigram "a b" → 4 total, 2 distinct for tpl
+      ("var", "x y z"),    // "x y","y z" → 2 total, 2 distinct
+      ("var", "w"),        // < 2 tokens → contributes nothing
+    ).toDF("g", "text")
+    val out = TextOps.diversityStats(d, "g", "text", n = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out("tpl") shouldBe ((4L, 2L, 0.5))
+    out("var") shouldBe ((2L, 2L, 1.0))
+    // the templated group scores strictly lower
+    out("tpl")._3 should be < out("var")._3
+  }
+
   test("Curation.corpusDiff: added/removed/changed statuses, NULL-safe fingerprints") {
     val old = Seq(
       (1L, "a"), (2L, "b"), (3L, "c"), (4L, null: String),
