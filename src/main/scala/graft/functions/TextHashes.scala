@@ -695,19 +695,21 @@ case class HashEmbedCounts(child: Expression, dim: Expression, seed: Expression)
     else if (!dim.foldable || dim.dataType != IntegerType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         "graft_hash_embed expects a foldable int dim")
-    else if (!seed.foldable || !Seq[DataType](IntegerType, LongType).contains(seed.dataType))
+    else if (!seed.foldable || seed.dataType != LongType)
+      // LONG only: an int seed would hash through hashLong here but
+      // through hashInt in the documented xxhash64(seed, t) counterpart —
+      // silently different buckets; rejecting the type keeps the
+      // bit-parity contract honest
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "graft_hash_embed expects a foldable int/long seed")
+        "graft_hash_embed expects a foldable LONG seed (cast int seeds: " +
+          "an int hashes through a different xxhash64 chain)")
     else if (dim.eval().asInstanceOf[Int] < 1)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         "graft_hash_embed dim must be >= 1")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
   private lazy val d: Int = dim.eval().asInstanceOf[Int]
-  private lazy val seedValue: Long = seed.eval() match {
-    case l: java.lang.Long => l
-    case i: java.lang.Integer => i.toLong
-  }
+  private lazy val seedValue: Long = seed.eval().asInstanceOf[Long]
   // the xxhash64(lit(seed), t) chain: the literal hashes first (over the
   // expression default seed 42), its result seeds the token hash
   private lazy val bucketSeed: Long = XXH64.hashLong(seedValue, TextHashes.Seed)

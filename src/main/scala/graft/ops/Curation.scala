@@ -211,13 +211,18 @@ object Curation {
       includeUnchanged: Boolean = false): DataFrame = {
     graft.core.Validators.requireColumns(old, Seq(idCol, fpCol))
     graft.core.Validators.requireColumns(cur, Seq(idCol, fpCol))
-    val o = old.select(col(idCol).as("__graft_ido"), col(fpCol).as("__graft_fpo"))
-    val c = cur.select(col(idCol).as("__graft_idc"), col(fpCol).as("__graft_fpc"))
+    // presence FLAGS, not the id values, decide the status: a NULL id
+    // present in both drops null-safe-joins fine but its id VALUE is
+    // null on both sides — testing the value would misreport it removed
+    val o = old.select(col(idCol).as("__graft_ido"), col(fpCol).as("__graft_fpo"),
+      lit(1).as("__graft_po"))
+    val c = cur.select(col(idCol).as("__graft_idc"), col(fpCol).as("__graft_fpc"),
+      lit(1).as("__graft_pc"))
     val joined = o.join(c, col("__graft_ido") <=> col("__graft_idc"), "full_outer")
       .select(
         coalesce(col("__graft_ido"), col("__graft_idc")).as("id"),
-        when(col("__graft_idc").isNull, lit("removed"))
-          .when(col("__graft_ido").isNull, lit("added"))
+        when(col("__graft_pc").isNull, lit("removed"))
+          .when(col("__graft_po").isNull, lit("added"))
           .when(!(col("__graft_fpo") <=> col("__graft_fpc")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
     if (includeUnchanged) joined else joined.filter(col("status") =!= "unchanged")
@@ -247,19 +252,16 @@ object Curation {
       rules.map { case (_, pred) =>
         sum(when(pred, lit(0L)).otherwise(lit(1L))).as("v")
       } ++
-      uniqueCol.toSeq.flatMap { u =>
-        Seq(countDistinct(col(u)).as("d"),
-          sum(when(col(u).isNull, lit(1L)).otherwise(lit(0L))).as("nn"))
-      }
+      uniqueCol.toSeq.map(u => countDistinct(col(u)).as("d"))
     val row = df.agg(count(lit(1)).as("n"), aggs: _*).head()
     val n = row.getLong(0)
     def longAt(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
     val ruleRows = rules.zipWithIndex.map { case ((name, _), i) =>
       (name, longAt(i + 1))
     } ++ uniqueCol.map { u =>
-      val d = longAt(rules.size + 1)
-      val nulls = longAt(rules.size + 2)
-      (s"unique($u)", (n - nulls - d) + nulls)
+      // n − countDistinct: duplicate occurrences among non-NULL ids plus
+      // every NULL id (countDistinct skips NULLs) — each is a violation
+      (s"unique($u)", n - longAt(rules.size + 1))
     }
     Sampling.localFrame(df.sparkSession,
       Seq("rule" -> org.apache.spark.sql.types.StringType,

@@ -115,6 +115,8 @@ object Multimodal {
       maxBucketSize: Int = 1024): DataFrame = {
     require(minOverlap > 0.0 && minOverlap <= 1.0, "minOverlap must be in (0, 1]")
     require(maxBucketSize >= 2, "maxBucketSize must be >= 2")
+    require(everyNBytes >= 1, "everyNBytes must be >= 1")
+    require(frameBytes >= 1, "frameBytes must be >= 1")
     graft.core.Validators.requireColumns(df, Seq(idCol, binCol))
     val fd = sampleFrames(df.select(col(idCol).as("id"), col(binCol)),
       binCol, everyNBytes, frameBytes)

@@ -42,41 +42,53 @@ object Retrieval {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be >= 1")
     require(k1 >= 0.0, "k1 must be >= 0")
     require(b >= 0.0 && b <= 1.0, "b must be in [0, 1]")
     graft.core.Validators.requireColumns(docs, Seq(idCol, textCol))
     graft.core.Validators.requireColumns(queries, Seq(qIdCol, qTextCol))
-
-    // corpus constants: one narrow aggregate (NULL text ⇒ dl 0, in N)
-    val dlExpr = coalesce(TextOps.tokenCount(lower(col(textCol))).cast("long"), lit(0L))
-    val stats = docs.agg(
-      count(lit(1)).as("n"), avg(dlExpr).as("avgdl")).head()
-    val n = stats.getLong(0).toDouble
-    val avgdl = stats.getDouble(1)
-    if (n == 0.0) {
-      return docs.sparkSession.emptyDataFrame
-        .select(lit(0L).as("query_id"), lit(0L).as("id"), lit(0.0).as("bm25"))
-        .limit(0)
-    }
-
-    // distinct (query, term): duplicate terms in one query count once
+    val (n, tokens) = corpusConstants(docs, textCol)
     val qTerms = queryTerms(queries, qIdCol, qTextCol)
+    val (postings, dfreq) = prunedPostings(docs, idCol, textCol, qTerms)
+    scoreAndRank(postings, dfreq, qTerms,
+      n.toDouble, avgdlOf(n, tokens), k1, b, k)
+  }
 
-    // occurrences, pruned to the query vocabulary BEFORE any wide operator
+  /** Document-length expression: whitespace token count, NULL text ⇒ 0. */
+  private def dlExprOf(textCol: String) =
+    coalesce(TextOps.tokenCount(lower(col(textCol))).cast("long"), lit(0L))
+
+  /** One narrow aggregate: (doc count, EXACT total token count). An empty
+    * corpus yields (0, 0) and flows through the normal pipeline — the
+    * postings are empty, so nothing downstream divides by the 0 avgdl. */
+  private def corpusConstants(docs: DataFrame, textCol: String): (Long, Long) = {
+    val stats = docs.agg(
+      count(lit(1)).as("n"), sum(dlExprOf(textCol)).as("tokens")).head()
+    (stats.getLong(0), if (stats.isNullAt(1)) 0L else stats.getLong(1))
+  }
+
+  /** Sum-then-divide mean document length — exact-integer-totals form
+    * (integer sums below 2⁵³ are exact in binary64, so this matches both
+    * Spark's avg(long) and DuckDB's avg(double) bit-for-bit). */
+  private def avgdlOf(n: Long, tokens: Long): Double =
+    if (n == 0) 0.0 else tokens.toDouble / n
+
+  /** The (id, term, tf, dl) postings and (term, df) tables of `docs`,
+    * PRUNED to `qTerms`' vocabulary before any wide operator: the
+    * broadcast semi join means every downstream shuffle moves only rows
+    * whose term occurs in some query. `max(dl)` (not first) keeps the
+    * aggregate deterministic even over a malformed corpus with duplicate
+    * ids. */
+  private def prunedPostings(
+      docs: DataFrame, idCol: String, textCol: String,
+      qTerms: DataFrame): (DataFrame, DataFrame) = {
     val occ = docs
-      .select(col(idCol).as("id"), dlExpr.as("dl"),
+      .select(col(idCol).as("id"), dlExprOf(textCol).as("dl"),
         explode(TextOps.tokens(lower(col(textCol)))).as("term"))
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
-
-    // tf per (doc, term) over the pruned occurrences; df per term falls out
-    // of the same aggregate's output
     val postings = occ.groupBy("id", "term")
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
-
-    scoreAndRank(postings, dfreq, qTerms, n, avgdl, k1, b, k)
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    (postings, postings.groupBy("term").agg(count(lit(1)).as("df")))
   }
 
   /** Distinct (query_id, term) pairs of a query batch. */
@@ -119,7 +131,16 @@ object Retrieval {
     * tf, dl) postings table + the (term, df) document-frequency table —
     * fit ONCE over the corpus, then every query batch probes the postings
     * without ever rescanning the documents (the [[graft.sources.Writer]]
-    * IVF-index economics, lexical edition). */
+    * IVF-index economics, lexical edition).
+    *
+    * On-disk layout is GENERATIONAL and append-only:
+    * `gen-NNNNN/{postings,df}` parquet per fit/append batch, with
+    * `params.json` — atomically replaced via temp-file rename — as the
+    * single commit record naming the live generations and the exact
+    * integer (n, tokens) totals. Nothing on disk is ever rewritten in
+    * place: a crash mid-append leaves an orphan generation directory that
+    * no params.json names (ignored by load, reaped by compact), never a
+    * half-updated index, and a retried append commits exactly once. */
   final case class Bm25Index(
       n: Long,
       tokens: Long,
@@ -130,89 +151,116 @@ object Retrieval {
 
     /** Mean document length — derived from the EXACT integer totals so an
       * appended index recomputes it exactly, never by un-averaging a
-      * stored double. Sum-then-divide matches both Spark's `avg(long)`
-      * and DuckDB's `avg(double)` over integer-valued inputs bit-for-bit
-      * (integer sums below 2⁵³ are exact in binary64). */
-    def avgdl: Double = if (n == 0) 0.0 else tokens.toDouble / n
+      * stored double ([[avgdlOf]]'s bit-parity rationale). */
+    def avgdl: Double = avgdlOf(n, tokens)
 
-    /** Persists as a DIRECTORY: `params.json` (n, tokens, k1, b),
-      * `postings.parquet` — repartitioned on term and SORTED by term
-      * within files, so a term-predicate probe prunes parquet row groups
-      * by min/max statistics — and the vocabulary-sized `df.parquet`. */
+    /** Persists as a fresh single-generation directory. */
     def save(dir: String): Unit = {
-      val p = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.createDirectories(p)
-      postings.repartition(col("term")).sortWithinPartitions("term")
-        .write.mode("overwrite").parquet(p.resolve("postings.parquet").toString)
-      dfreq.write.mode("overwrite").parquet(p.resolve("df.parquet").toString)
-      writeParams(dir)
-    }
-
-    /** params.json alone — what [[appendToBm25Index]] advances (its tables
-      * on disk must never be rewritten from themselves). */
-    private[Retrieval] def writeParams(dir: String): Unit = {
-      import org.json4s._
-      import org.json4s.jackson.JsonMethods
-      val p = java.nio.file.Paths.get(dir)
-      val json = JsonMethods.compact(JsonMethods.render(JObject(
-        "version" -> JInt(1),
-        "n" -> JInt(BigInt(n)),
-        "tokens" -> JInt(BigInt(tokens)),
-        "k1" -> JDouble(k1),
-        "b" -> JDouble(b))))
-      java.nio.file.Files.writeString(p.resolve("params.json"), json)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val gen = Bm25Index.genName(0)
+      Bm25Index.writeGeneration(this, dir, gen)
+      Bm25Index.commitParams(dir, n, tokens, k1, b, Seq(gen))
     }
   }
 
   object Bm25Index {
-    def load(spark: org.apache.spark.sql.SparkSession, dir: String): Bm25Index = {
+
+    private[Retrieval] def genName(i: Int): String = f"gen-$i%05d"
+
+    /** One generation's tables: postings term-repartitioned and SORTED by
+      * term within files — a term-predicate probe prunes parquet row
+      * groups by min/max statistics — plus its vocabulary-sized df. */
+    private[Retrieval] def writeGeneration(
+        idx: Bm25Index, dir: String, gen: String): Unit = {
+      val p = java.nio.file.Paths.get(dir).resolve(gen)
+      idx.postings.repartition(col("term")).sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(p.resolve("postings").toString)
+      idx.dfreq.write.mode("overwrite").parquet(p.resolve("df").toString)
+    }
+
+    /** The COMMIT: params.json names the live generations; written to a
+      * temp file and atomically moved over the old record, so readers see
+      * either the previous index or the new one, never a torn state. */
+    private[Retrieval] def commitParams(
+        dir: String, n: Long, tokens: Long, k1: Double, b: Double,
+        generations: Seq[String]): Unit = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get(dir)
+      val json = JsonMethods.compact(JsonMethods.render(JObject(
+        "version" -> JInt(2),
+        "n" -> JInt(BigInt(n)),
+        "tokens" -> JInt(BigInt(tokens)),
+        "k1" -> JDouble(k1),
+        "b" -> JDouble(b),
+        "generations" -> JArray(generations.map(JString(_)).toList))))
+      val tmp = p.resolve("params.json.tmp")
+      java.nio.file.Files.writeString(tmp, json)
+      java.nio.file.Files.move(tmp, p.resolve("params.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    private[Retrieval] def readParams(dir: String)
+        : (Long, Long, Double, Double, Seq[String]) = {
+      import org.json4s._
       import org.json4s.jackson.JsonMethods
       val p = java.nio.file.Paths.get(dir)
       val o = JsonMethods.parse(java.nio.file.Files.readString(p.resolve("params.json")))
-      Bm25Index(
-        n = graft.core.ModelIO.dbl(o \ "n").toLong,
-        tokens = graft.core.ModelIO.dbl(o \ "tokens").toLong,
-        k1 = graft.core.ModelIO.dbl(o \ "k1"),
-        b = graft.core.ModelIO.dbl(o \ "b"),
-        postings = spark.read.parquet(p.resolve("postings.parquet").toString),
-        dfreq = spark.read.parquet(p.resolve("df.parquet").toString))
+      val gens = (o \ "generations") match {
+        case JArray(xs) => xs.collect { case JString(s) => s }
+        case _ => throw graft.errors.FeatureFactoryException.InvalidParameter(
+          s"$dir/params.json names no generations — not a BM25 index")
+      }
+      (graft.core.ModelIO.dbl(o \ "n").toLong,
+        graft.core.ModelIO.dbl(o \ "tokens").toLong,
+        graft.core.ModelIO.dbl(o \ "k1"),
+        graft.core.ModelIO.dbl(o \ "b"),
+        gens)
+    }
+
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): Bm25Index = {
+      val (n, tokens, k1, b, gens) = readParams(dir)
+      val p = java.nio.file.Paths.get(dir)
+      val postings = spark.read.parquet(
+        gens.map(g => p.resolve(g).resolve("postings").toString): _*)
+      // one generation reads its df verbatim; a multi-generation index
+      // merges the (disjoint-corpus) per-generation counts — a
+      // vocabulary-sized aggregate that the search prunes FIRST anyway
+      val dfreq =
+        if (gens.size == 1)
+          spark.read.parquet(p.resolve(gens.head).resolve("df").toString)
+        else
+          spark.read.parquet(gens.map(g => p.resolve(g).resolve("df").toString): _*)
+            .groupBy("term").agg(sum(col("df")).as("df"))
+      Bm25Index(n, tokens, k1, b, postings, dfreq)
     }
   }
 
   /** Append a NEW batch of documents to an on-disk [[Bm25Index]] without
-    * rebuilding it: the batch's postings land as additional term-sorted
-    * files, the df table is re-aggregated (old ∪ batch, one vocabulary-
-    * sized job — never the corpus), and params.json's exact integer
-    * (n, tokens) totals advance. Cost ∝ batch + vocabulary, exactly the
-    * [[graft.sources.Writer]] IVF-append economics.
+    * rebuilding it: the batch becomes its own term-sorted generation
+    * directory, and the params.json commit atomically adds it to the live
+    * set with the advanced exact integer (n, tokens) totals. Cost ∝ batch
+    * — the existing generations are never read, let alone rewritten. A
+    * crash before the commit leaves an ignored orphan directory; the
+    * retried append commits exactly once.
     *
     * Batch ids must be NEW to the index (dedup first — [[Dedup.keyIndexApply]]
     * is the standing tool): an id already present would hold two (id, term)
-    * posting rows and double-count its df contributions.
+    * posting rows and double-count its df contributions. Run
+    * [[compactBm25Index]] periodically: every append adds a generation the
+    * probe must open.
     */
   def appendToBm25Index(
       batch: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
     graft.core.Validators.requireColumns(batch, Seq(idCol, textCol))
-    val spark = batch.sparkSession
-    val old = Bm25Index.load(spark, dir)
-    val delta = bm25Fit(batch, idCol, textCol, old.k1, old.b)
-    val p = java.nio.file.Paths.get(dir)
-    delta.postings.repartition(col("term")).sortWithinPartitions("term")
-      .write.mode("append").parquet(p.resolve("postings.parquet").toString)
-    // the merged df table must materialize BEFORE the old one is replaced
-    // (the write below still reads it); write-next-then-swap keeps the
-    // index loadable at every instant
-    val next = p.resolve("df.parquet.next").toString
-    old.dfreq.unionByName(delta.dfreq)
-      .groupBy("term").agg(sum(col("df")).as("df"))
-      .write.mode("overwrite").parquet(next)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-    val dfPath = new org.apache.hadoop.fs.Path(p.resolve("df.parquet").toString)
-    fs.delete(dfPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(next), dfPath)
-    old.copy(n = old.n + delta.n, tokens = old.tokens + delta.tokens)
-      .writeParams(dir)
+    val (n, tokens, k1, b, gens) = Bm25Index.readParams(dir)
+    val delta = bm25Fit(batch, idCol, textCol, k1, b)
+    val maxGen = gens.map(g => g.stripPrefix("gen-").toInt).max
+    val gen = Bm25Index.genName(maxGen + 1)
+    Bm25Index.writeGeneration(delta, dir, gen)
+    Bm25Index.commitParams(dir, n + delta.n, tokens + delta.tokens, k1, b,
+      gens :+ gen)
   }
 
   /** Builds the [[Bm25Index]]: one constants aggregate + one (id, term)
@@ -229,15 +277,12 @@ object Retrieval {
     require(k1 >= 0.0, "k1 must be >= 0")
     require(b >= 0.0 && b <= 1.0, "b must be in [0, 1]")
     graft.core.Validators.requireColumns(docs, Seq(idCol, textCol))
-    val dlExpr = coalesce(TextOps.tokenCount(lower(col(textCol))).cast("long"), lit(0L))
-    val stats = docs.agg(count(lit(1)).as("n"), sum(dlExpr).as("tokens")).head()
-    val n = stats.getLong(0)
-    val tokens = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val (n, tokens) = corpusConstants(docs, textCol)
     val postings = docs
-      .select(col(idCol).as("id"), dlExpr.as("dl"),
+      .select(col(idCol).as("id"), dlExprOf(textCol).as("dl"),
         explode(TextOps.tokens(lower(col(textCol)))).as("term"))
       .groupBy("id", "term")
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .select("id", "term", "tf", "dl")
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     Bm25Index(n, tokens, k1, b, postings, dfreq)
@@ -267,12 +312,15 @@ object Retrieval {
     require(k >= 1, "k must be >= 1")
     graft.core.Validators.requireColumns(queries, Seq(qIdCol, qTextCol))
     val qTerms = queryTerms(queries, qIdCol, qTextCol)
-    // the query batch is bounded (it is the broadcast side everywhere in
-    // this file), so collecting its distinct terms is a bounded driver
-    // pull — the literal-vs-broadcast split only guards the PLAN size
-    val terms = qTerms.select("term").distinct().collect().map(_.getString(0))
+    // take(max + 1), not collect: the driver pull stays bounded whatever
+    // the query batch holds — when the probe head shows MORE than the
+    // IN-literal bound, nothing else is pulled and the prune stays
+    // distributed as a broadcast semi join
+    val termsHead = qTerms.select("term").distinct()
+      .take(Bm25InListMax + 1).map(_.getString(0))
     def prune(df: DataFrame): DataFrame =
-      if (terms.length <= Bm25InListMax) df.filter(col("term").isin(terms.toSeq: _*))
+      if (termsHead.length <= Bm25InListMax)
+        df.filter(col("term").isin(termsHead.toSeq: _*))
       else df.join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
     scoreAndRank(prune(index.postings), prune(index.dfreq), qTerms,
       index.n.toDouble, index.avgdl, index.k1, index.b, k)
@@ -379,28 +427,32 @@ object Retrieval {
       .select("query_id", "id", "rrf")
   }
 
-  /** Compact an on-disk [[Bm25Index]] after a run of appends: each
-    * [[appendToBm25Index]] lands the batch as its own term-sorted file
-    * set, so a term's postings fragment across files and the probe's
-    * row-group pruning degrades toward reading every file. Compaction
-    * rewrites the postings once — globally term-repartitioned and
-    * term-sorted again — via write-next-then-swap (the df-table rule:
-    * never rewrite a table from its own path), leaving params and df
-    * untouched. Results are unchanged by construction; only file layout
-    * moves. */
+  /** Compact an on-disk [[Bm25Index]] after a run of appends: every
+    * append adds a generation the probe must open, and a term's postings
+    * fragment across generations, degrading row-group pruning. Compaction
+    * merges all live generations into ONE new globally term-sorted
+    * generation, commits params.json to name only it (same atomic rename
+    * as every commit), and then reaps every other generation directory —
+    * including orphans from crashed appends. Results are unchanged by
+    * construction; only file layout moves. */
   def compactBm25Index(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val (n, tokens, k1, b, gens) = Bm25Index.readParams(dir)
+    val idx = Bm25Index.load(spark, dir)
+    // merged df must MATERIALIZE under the new generation before the old
+    // ones (its inputs) are reaped — writeGeneration's write is that
+    val gen = Bm25Index.genName(
+      gens.map(_.stripPrefix("gen-").toInt).max + 1)
+    Bm25Index.writeGeneration(idx, dir, gen)
+    Bm25Index.commitParams(dir, n, tokens, k1, b, Seq(gen))
     val p = java.nio.file.Paths.get(dir)
-    val postingsPath = p.resolve("postings.parquet").toString
-    val next = p.resolve("postings.parquet.next").toString
-    spark.read.parquet(postingsPath)
-      .repartition(col("term")).sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(next)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-    val live = new org.apache.hadoop.fs.Path(postingsPath)
-    fs.delete(live, true)
-    fs.rename(new org.apache.hadoop.fs.Path(next), live)
+    java.nio.file.Files.list(p).forEach { child =>
+      val name = child.getFileName.toString
+      if (name.startsWith("gen-") && name != gen)
+        java.nio.file.Files.walk(child)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+    }
   }
 
   /** BM25 with pseudo-relevance feedback (RM3's rank-only skeleton): a
@@ -441,9 +493,14 @@ object Retrieval {
     require(fbTerms >= 1, "fbTerms must be >= 1")
     graft.core.Validators.requireColumns(docs, Seq(idCol, textCol))
     graft.core.Validators.requireColumns(queries, Seq(qIdCol, qTextCol))
-    // pass one: plain BM25, feedback shortlist
-    val fb = bm25TopK(docs, idCol, textCol, queries, qIdCol, qTextCol,
-      fbDocs, k1, b).select("query_id", "id")
+    // pass one: plain BM25, feedback shortlist — built from the shared
+    // helpers so the corpus constants aggregate runs ONCE for both passes
+    val (n, tokens) = corpusConstants(docs, textCol)
+    val avgdl = avgdlOf(n, tokens)
+    val qt1 = queryTerms(queries, qIdCol, qTextCol)
+    val (p1, d1) = prunedPostings(docs, idCol, textCol, qt1)
+    val fb = scoreAndRank(p1, d1, qt1, n.toDouble, avgdl, k1, b, fbDocs)
+      .select("query_id", "id")
     // term statistics of the feedback docs only: the broadcast shortlist
     // prunes the exploded corpus before the tf aggregate
     val fbTf = docs
@@ -468,20 +525,10 @@ object Retrieval {
     val expDf = docs.sparkSession.createDataFrame(
       expRows.asJava, expansion.schema)
     // pass two: the original terms ∪ the expansion, deduped, rescored
-    val qTerms = queryTerms(queries, qIdCol, qTextCol)
-      .unionByName(expDf).distinct()
-    val dlExpr = coalesce(TextOps.tokenCount(lower(col(textCol))).cast("long"), lit(0L))
-    val stats = docs.agg(count(lit(1)).as("n"), avg(dlExpr).as("avgdl")).head()
-    val n = stats.getLong(0).toDouble
-    val avgdl = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
-    val occ = docs
-      .select(col(idCol).as("id"), dlExpr.as("dl"),
-        explode(TextOps.tokens(lower(col(textCol)))).as("term"))
-      .join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
-    val postings = occ.groupBy("id", "term")
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    scoreAndRank(postings, dfreq, qTerms, n, avgdl, k1, b, k)
+    // through the same pruned-postings scorer
+    val qTerms = qt1.unionByName(expDf).distinct()
+    val (postings, dfreq) = prunedPostings(docs, idCol, textCol, qTerms)
+    scoreAndRank(postings, dfreq, qTerms, n.toDouble, avgdl, k1, b, k)
   }
 
   /** Per-query ranking-quality metrics against a binary-relevance truth
@@ -516,8 +563,12 @@ object Retrieval {
     val relExpr = relCol
       .map(c => coalesce(col(c).cast("double"), lit(0.0)))
       .getOrElse(lit(1.0))
+    // max-aggregate, not distinct: duplicate (query, id) truth rows with
+    // DIFFERENT graded rel (two annotators) must collapse to one row, or
+    // the join fans out and double-counts DCG and n_truth
     val t = truth.select(col(queryCol).as("query_id"), col(idCol).as("id"),
-      relExpr.as("__rel")).distinct()
+      relExpr.as("__rel"))
+      .groupBy("query_id", "id").agg(max(col("__rel")).as("__rel"))
     val truthCounts = t.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
     def gainAt(rel: Column, rank: Column): Column =
       round(rel / log2(rank + lit(1)), 9)

@@ -2938,16 +2938,24 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.toString).toSet shouldBe
       Retrieval.bm25TopK(all, "doc_id", "text", q, "qid", "qtext", 10)
         .collect().map(_.toString).toSet
-    // compaction rewrites the fragmented postings into fewer files and
-    // changes NOTHING observable
-    def parquetFiles(sub: String): Int =
-      new java.io.File(s"$dir/$sub").listFiles().count(_.getName.endsWith(".parquet"))
-    val before = parquetFiles("postings.parquet")
-    before should be >= 2 // save + append each contributed files
+    // the append committed a SECOND generation; an orphan dir from a
+    // crashed append (no params.json entry) must be invisible to load
+    def genDirs(): Seq[String] =
+      new java.io.File(dir).listFiles().map(_.getName)
+        .filter(_.startsWith("gen-")).sorted.toSeq
+    genDirs() shouldBe Seq("gen-00000", "gen-00001")
+    val orphan = new java.io.File(s"$dir/gen-00099/postings")
+    orphan.mkdirs()
+    Retrieval.bm25SearchIndex(Retrieval.Bm25Index.load(spark, dir), q, "qid", "qtext", 10)
+      .collect().map(_.toString).toSet shouldBe
+      Retrieval.bm25TopK(all, "doc_id", "text", q, "qid", "qtext", 10)
+        .collect().map(_.toString).toSet
+    // compaction merges to ONE fresh generation, reaps the rest
+    // (including the orphan), and changes NOTHING observable
     Retrieval.compactBm25Index(spark, dir)
-    // one global rewrite: never MORE files than the two writes combined
-    // (strictly fewer whenever the two writes' term partitions overlap)
-    parquetFiles("postings.parquet") should be <= before
+    // numbering continues from the COMMITTED set (orphans don't count;
+    // an uncommitted dir in the way is simply overwritten)
+    genDirs() shouldBe Seq("gen-00002")
     Retrieval.bm25SearchIndex(Retrieval.Bm25Index.load(spark, dir), q, "qid", "qtext", 10)
       .collect().map(_.toString).toSet shouldBe
       Retrieval.bm25TopK(all, "doc_id", "text", q, "qid", "qtext", 10)
