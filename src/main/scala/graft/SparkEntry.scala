@@ -1041,6 +1041,15 @@ object SparkEntry {
               TextOps.tokenCount(col("text")).as("n_tokens")),
           "doc_id", "n_tokens", capacity = 512, numBuckets = 8),
         "text", "n_tokens")),
+    // Packing-efficiency gauge over the same pack config: sequences, docs,
+    // token mass, mean fill vs the 512-token capacity.
+    "pack_report" -> ((s, dir) =>
+      Sampling.packingReport(
+        Sampling.packSequences(
+          rt(s, dir, "documents")
+            .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", capacity = 512, numBuckets = 8),
+        "n_tokens", capacity = 512)),
     // "Train on the first 3000 tokens of this corpus": deterministic
     // bucket-major prefix; the oracle replays bucket totals, driver-style
     // prefix offsets, and the within-bucket running sums.
@@ -2123,6 +2132,11 @@ object SparkEntry {
         .select(col("doc_id"),
           posexplode(col("text_hash")).as(Seq("pos", "value")))
         .withColumn("value", round(col("value"), 9))),
+    // Stopword extraction for free off the persisted index's df table.
+    "text_index_stopwords" -> ((s, dir) =>
+      graft.ops.Retrieval.stopwords(
+        graft.ops.Retrieval.Bm25Index.load(s, bm25DiskIndex(s, dir)),
+        minDfFrac = 0.5)),
     // The same 3-query BM25 search through a fit → disk → load → probe
     // round trip of the persisted inverted index: results must be
     // IDENTICAL to text_bm25 (same oracle SQL) — the index, its term-
@@ -4492,6 +4506,36 @@ object SparkEntry {
         |                            ORDER BY bm25 DESC, id) AS rn
         |  FROM summed)
         |WHERE rn <= 10""".stripMargin,
+    // the pack replay aggregated: distinct (bucket, bin) count + sums
+    "pack_report" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS n_tokens
+        |           FROM documents),
+        |     h AS (SELECT doc_id, n_tokens,
+        |             (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS hh
+        |           FROM t WHERE n_tokens > 0),
+        |     c AS (SELECT doc_id, n_tokens, hh % 8 AS bucket,
+        |             CAST(sum(n_tokens) OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id
+        |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |           FROM h),
+        |     p AS (SELECT doc_id, n_tokens, bucket, (cum - 1) // 512 AS bin FROM c)
+        |SELECT CAST(count(DISTINCT (bucket, bin)) AS BIGINT) AS n_sequences,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(n_tokens) AS DOUBLE)
+        |             / (count(DISTINCT (bucket, bin)) * 512), 9) AS fill
+        |FROM p""".stripMargin,
+    // stopword extraction off the persisted index's df table: terms in
+    // at least half the corpus
+    "text_index_stopwords" ->
+      """WITH toks AS (SELECT doc_id,
+        |                unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                   x -> x <> '')) AS term
+        |              FROM documents),
+        |     dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |             FROM toks GROUP BY 1)
+        |SELECT term, df FROM dfq
+        |WHERE CAST(df AS DOUBLE) >= 0.5 * (SELECT count(*) FROM documents)""".stripMargin,
     // The indexed search must be bit-identical to the direct one — same
     // replay as text_bm25 (the disk round trip has no observable effect).
     "text_bm25_indexed" ->

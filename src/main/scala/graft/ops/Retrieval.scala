@@ -427,6 +427,19 @@ object Retrieval {
       .select("query_id", "id", "rrf")
   }
 
+  /** Corpus stopwords straight off the index's df table: the terms
+    * appearing in at least `minDfFrac` of the documents — the data-driven
+    * stopword list that feeds [[TextOps.removeCommonLines]]-style
+    * boilerplate passes and query-term pruning, for free once a
+    * [[Bm25Index]] exists (the df table is vocabulary-sized; no corpus
+    * scan). Output: (term, df), the exact document frequencies. */
+  def stopwords(index: Bm25Index, minDfFrac: Double): DataFrame = {
+    require(minDfFrac > 0.0 && minDfFrac <= 1.0, "minDfFrac must be in (0, 1]")
+    index.dfreq
+      .filter(col("df").cast("double") >= lit(minDfFrac) * lit(index.n.toDouble))
+      .select("term", "df")
+  }
+
   /** Compact an on-disk [[Bm25Index]] after a run of appends: every
     * append adds a generation the probe must open, and a term's postings
     * fragment across generations, degrading row-group pruning. Compaction

@@ -475,6 +475,29 @@ object Sampling {
       .drop("__graft_before")
   }
 
+  /** Packing-efficiency report over a [[packSequences]] layout: sequences
+    * (distinct (bucket, bin)), docs and token mass packed, and the mean
+    * fill fraction against `capacity` — the "how much context window am I
+    * wasting" gauge a trainer checks before committing a packing. The
+    * fill counts each bin at `capacity` except the LAST bin of each
+    * bucket, which holds whatever remained — exact integer sums, one
+    * aggregate pass, a single-row result. */
+  def packingReport(
+      packed: DataFrame, tokenCol: String, capacity: Long): DataFrame = {
+    require(capacity >= 1, "capacity must be >= 1")
+    graft.core.Validators.requireColumns(packed,
+      Seq("bucket", "bin", tokenCol))
+    packed.agg(
+      countDistinct(col("bucket"), col("bin")).as("n_sequences"),
+      count(lit(1)).as("n_docs"),
+      sum(col(tokenCol).cast("long")).as("n_tokens"))
+      .select(
+        col("n_sequences"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("n_tokens"), lit(0L)).cast("double") /
+          (col("n_sequences") * lit(capacity)).cast("double"), 9).as("fill"))
+  }
+
   /** Per-group token budgets — the pretraining mixture stated the way
     * trainers actually state it ("100 B tokens of web, 20 B of code, 5 B
     * of books"): within every budgeted group, keep documents in the

@@ -2987,6 +2987,28 @@ class OpsSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("Retrieval.stopwords: df-fraction threshold off the index table") {
+    val idx = Retrieval.bm25Fit(bmDocs, "doc_id", "text")
+    // df: apple 1, banana 2, cherry 2 of n=3
+    Retrieval.stopwords(idx, minDfFrac = 0.6)
+      .collect().map(_.getString(0)).toSet shouldBe Set("banana", "cherry")
+    Retrieval.stopwords(idx, minDfFrac = 1.0).count() shouldBe 0
+    an[IllegalArgumentException] should be thrownBy
+      Retrieval.stopwords(idx, minDfFrac = 0.0)
+  }
+
+  test("Sampling.packingReport: exact sequence/doc/token counts and fill") {
+    val d = Seq((1L, 3), (2L, 3), (3L, 3), (4L, 3)).toDF("id", "n_tok")
+    val packed = Sampling.packSequences(d, "id", "n_tok",
+      capacity = 5, numBuckets = 1)
+    val r = Sampling.packingReport(packed, "n_tok", capacity = 5).head()
+    // one bucket, cums 3,6,9,12 → bins 0,1,1,2
+    r.getAs[Long]("n_sequences") shouldBe 3L
+    r.getAs[Long]("n_docs") shouldBe 4L
+    r.getAs[Long]("n_tokens") shouldBe 12L
+    r.getAs[Double]("fill") shouldBe 0.8
+  }
+
   test("Retrieval.bm25Rerank: lexical shortlist, dense final order, kLex guard") {
     val docs = Seq(
       (1L, "apple apple apple"), // strongest lexically

@@ -100,6 +100,8 @@ class QueriesSmokeSpec extends SparkSpec {
     // the bin aggregate reuses the pack window's bucket partitioning
     // (subset-key clustering) — materializing adds ZERO shuffles
     "pack_sequences_text" -> 1,
+    "pack_report" -> 2, // pack window + the distinct-agg pair over the report
+    "text_index_stopwords" -> 0, // a narrow filter over the vocab-sized df table
     "text_classifier_filter" -> 1, "text_classifier_score" -> 2,
     "text_lm_filter" -> 1, "text_lm_score" -> 2,
     "text_line_dedup" -> 3, "text_line_dedup_doc" -> 0,
