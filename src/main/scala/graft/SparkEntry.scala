@@ -1781,6 +1781,15 @@ object SparkEntry {
       (st.mean.zipWithIndex.map { case (v, i) => (i, v) } ++
         Seq((-1, st.meanDist), (-2, st.stdDist))).toDF("pos", "value")
     }),
+    // Embedding-space drift between the two vec_id-parity halves: per-dim
+    // centroid means, mean norms, counts, and the rounded-mean centroid
+    // shift — the dense-side release gate next to corpus_drift_psi.
+    "sim_embedding_drift" -> ((s, dir) => {
+      val e = rt(s, dir, "embeddings")
+      Similarity.embeddingDriftStats(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 =!= 0), "embedding")
+    }),
     // Per-label embedding centroids (class prototypes), dumped one row per
     // (label, position) because the driver compare cannot hash array
     // columns. Means are 1e-9-rounded on both engines.
@@ -3759,6 +3768,39 @@ object SparkEntry {
         |SELECT label, CAST(i - 1 AS INTEGER) AS pos, round(s / c, 9) AS mean_val,
         |       CAST(c AS BIGINT) AS n_vectors
         |FROM g""".stripMargin,
+    // drift replay: per-dim round(sum/n, 9) means per half, avg norms,
+    // and the shift recomputed from the oracle's OWN rounded means (the
+    // grid-sum rule makes both engines' shifts identical)
+    "sim_embedding_drift" ->
+      """WITH rm AS (SELECT i, round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 9) AS v
+        |            FROM embeddings, range(1, 65) t(i) WHERE vec_id % 2 = 0 GROUP BY i),
+        |     cm AS (SELECT i, round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 9) AS v
+        |            FROM embeddings, range(1, 65) t(i) WHERE vec_id % 2 <> 0 GROUP BY i),
+        |     rv AS (SELECT list(v ORDER BY i) AS m FROM rm),
+        |     cv AS (SELECT list(v ORDER BY i) AS m FROM cm),
+        |     rn AS (SELECT round(avg(sqrt(list_sum(
+        |                    [CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                     FOR i IN range(1, 65)]))), 9) AS nv,
+        |                   CAST(count(*) AS DOUBLE) AS n
+        |            FROM embeddings WHERE vec_id % 2 = 0),
+        |     cn AS (SELECT round(avg(sqrt(list_sum(
+        |                    [CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                     FOR i IN range(1, 65)]))), 9) AS nv,
+        |                   CAST(count(*) AS DOUBLE) AS n
+        |            FROM embeddings WHERE vec_id % 2 <> 0),
+        |     shift AS (SELECT
+        |         round(list_sum([rv.m[i] * cv.m[i] FOR i IN range(1, 65)])
+        |               / (sqrt(list_sum([rv.m[i] * rv.m[i] FOR i IN range(1, 65)]))
+        |                  * sqrt(list_sum([cv.m[i] * cv.m[i] FOR i IN range(1, 65)]))), 9) AS cos,
+        |         round(sqrt(list_sum([(rv.m[i] - cv.m[i]) * (rv.m[i] - cv.m[i])
+        |                              FOR i IN range(1, 65)])), 9) AS l2
+        |       FROM rv, cv)
+        |SELECT 'mean' AS stat, CAST(rm.i - 1 AS INTEGER) AS pos,
+        |       rm.v AS ref_val, cm.v AS cur_val
+        |FROM rm JOIN cm ON rm.i = cm.i
+        |UNION ALL SELECT 'mean_norm', -1, rn.nv, cn.nv FROM rn, cn
+        |UNION ALL SELECT 'count', -1, rn.n, cn.n FROM rn, cn
+        |UNION ALL SELECT 'centroid_shift', -1, shift.cos, shift.l2 FROM shift""".stripMargin,
     // Batch-retrieval replay: identical cosine formula (sequential fold,
     // dot / (norm · qnorm) association), identical (cos DESC, id) ranking.
     "sim_topk_batch" ->

@@ -1017,6 +1017,63 @@ object Similarity {
         col("n_hit").cast("double") / col("n_truth").cast("double"))
   }
 
+  /** Embedding-space drift between two corpus drops — the dense-side
+    * release gate next to [[Curation.categoryDriftPsi]]: did the embedding
+    * distribution move between what the last model trained on and what
+    * this drop holds? Reports per-dimension centroid means for both drops
+    * (1e-9-rounded, the [[groupCentroids]] rule), the mean vector L2 norm,
+    * the counts, and the centroid shift (cosine + L2 distance, computed
+    * from the ROUNDED means so any engine replays them bit-for-bit).
+    *
+    * One vec-sum aggregate plus one norm aggregate per drop (map-side
+    * combined, d-double partials); the result is a (3 + d)-row driver
+    * frame. Throws [[graft.errors.FeatureFactoryException.InvalidParameter]]
+    * on an empty drop — a centroid of nothing is not "no drift".
+    *
+    * Output: (stat, pos, ref_val, cur_val) — stat 'mean' per dimension;
+    * 'mean_norm', 'count', and 'centroid_shift' (ref_val = cosine,
+    * cur_val = L2 distance) at pos −1. */
+  def embeddingDriftStats(
+      ref: DataFrame, cur: DataFrame, embCol: String): DataFrame = {
+    graft.core.Validators.requireColumns(ref, Seq(embCol))
+    graft.core.Validators.requireColumns(cur, Seq(embCol))
+    val d = dotFor(ref)
+    def side(df: DataFrame, name: String): (Seq[Double], Long, Double) = {
+      val c = groupCentroids(df.withColumn("__graft_one", lit(1)), "__graft_one", embCol)
+        .select("centroid", "n_vectors").collect()
+      if (c.isEmpty || c.head.getLong(1) == 0L)
+        throw graft.errors.FeatureFactoryException.InvalidParameter(
+          s"embeddingDriftStats: the $name drop has no vectors — " +
+            "a centroid of nothing is not evidence of no drift")
+      val normRow = df.filter(col(embCol).isNotNull)
+        .agg(round(avg(sqrt(d(col(embCol), col(embCol)))), 9)).head()
+      (c.head.getSeq[Double](0).toSeq, c.head.getLong(1), normRow.getDouble(0))
+    }
+    val (rm, rn, rNorm) = side(ref, "reference")
+    val (cm, cn, cNorm) = side(cur, "current")
+    require(rm.length == cm.length,
+      s"embeddingDriftStats: dimension mismatch ${rm.length} vs ${cm.length}")
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dot = rm.zip(cm).map { case (a, b) => a * b }.sum
+    val nr = math.sqrt(rm.map(x => x * x).sum)
+    val nc = math.sqrt(cm.map(x => x * x).sum)
+    val cos = if (nr > 0 && nc > 0) r9(dot / (nr * nc)) else 0.0
+    val l2 = r9(math.sqrt(rm.zip(cm).map { case (a, b) => (a - b) * (a - b) }.sum))
+    val rows =
+      rm.zip(cm).zipWithIndex.map { case ((a, b), i) =>
+        org.apache.spark.sql.Row("mean", i, a, b)
+      } ++ Seq(
+        org.apache.spark.sql.Row("mean_norm", -1, rNorm, cNorm),
+        org.apache.spark.sql.Row("count", -1, rn.toDouble, cn.toDouble),
+        org.apache.spark.sql.Row("centroid_shift", -1, cos, l2))
+    Sampling.localFrame(ref.sparkSession,
+      Seq("stat" -> org.apache.spark.sql.types.StringType,
+        "pos" -> org.apache.spark.sql.types.IntegerType,
+        "ref_val" -> org.apache.spark.sql.types.DoubleType,
+        "cur_val" -> org.apache.spark.sql.types.DoubleType),
+      rows)
+  }
+
   /** Per-vector symmetric int8 scalar quantization: scale = max|vᵢ|/127,
     * codeᵢ = floor(vᵢ/scale + 0.5) clamped to [−127, 127] — 4× smaller
     * storage for ANN shortlists, with the scale kept per vector for

@@ -319,6 +319,19 @@ object Demo {
         .select(col("doc_id"), col("text").cast("binary").as("payload")),
       "doc_id", "payload", everyNBytes = 256, frameBytes = 64, minOverlap = 0.5)
     println(s"frame-hash near-dup screen: ${framePairs.count()} payload pairs share >=50% of frames")
+    val edrift = graft.ops.Similarity.embeddingDriftStats(
+      embs.filter(col("vec_id") % 2 === 0),
+      embs.filter(col("vec_id") % 2 =!= 0), "embedding")
+      .filter(col("stat") === "centroid_shift").head()
+    println(f"embedding drift between halves: centroid cosine ${edrift.getDouble(2)}%.6f, L2 ${edrift.getDouble(3)}%.6f")
+    val stop = graft.ops.Retrieval.stopwords(bmIdx, minDfFrac = 0.5)
+    println(s"index stopwords: ${stop.count()} terms appear in >=50% of docs")
+    val packRep = graft.ops.Sampling.packingReport(
+      graft.ops.Sampling.packSequences(
+        docs.select(col("doc_id"), graft.ops.TextOps.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", capacity = 512, numBuckets = 8),
+      "n_tok", capacity = 512).head()
+    println(f"packing report: ${packRep.getAs[Long]("n_sequences")} sequences at fill ${packRep.getAs[Double]("fill")}%.3f")
     val prf = graft.ops.Retrieval.bm25PrfTopK(
       docs, "doc_id", "text", bmQ, "doc_id", "text", k = 10, fbDocs = 5, fbTerms = 10)
     val prfNew = prf.join(bm, Seq("query_id", "id"), "left_anti").count()

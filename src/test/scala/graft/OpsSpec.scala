@@ -2796,6 +2796,23 @@ class OpsSpec extends SparkSpec {
         Seq("a" -> lit(true), "a" -> lit(false)), None)
   }
 
+  test("Similarity.embeddingDriftStats: exact means, shift from rounded means, empty drop errors") {
+    val ref = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(3.0f, 0.0f))).toDF("id", "embedding")
+    val cur = Seq((3L, Seq(0.0f, 2.0f))).toDF("id", "embedding")
+    val out = Similarity.embeddingDriftStats(ref, cur, "embedding")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    out(("mean", 0)) shouldBe ((2.0, 0.0))
+    out(("mean", 1)) shouldBe ((0.0, 2.0))
+    out(("mean_norm", -1)) shouldBe ((2.0, 2.0))
+    out(("count", -1)) shouldBe ((2.0, 1.0))
+    // orthogonal centroids: cosine 0, L2 = sqrt(8)
+    out(("centroid_shift", -1)) shouldBe ((0.0,
+      BigDecimal(math.sqrt(8.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    a[graft.errors.FeatureFactoryException.InvalidParameter] should be thrownBy
+      Similarity.embeddingDriftStats(ref.limit(0), cur, "embedding")
+  }
+
   test("Multimodal.frameHashNearDupPairs: shared-frame overlap, short payloads invisible") {
     val base = "A" * 256 + "B" * 256 + "C" * 256 + "D" * 256 // 4 frames
     val d = Seq(

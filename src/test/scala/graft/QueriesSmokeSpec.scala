@@ -80,6 +80,7 @@ class QueriesSmokeSpec extends SparkSpec {
     // score pass is narrow + broadcast; the prune adds the one cell-rank
     // window shuffle + the keep-id join pair
     "sim_prototypicality" -> 0, "sim_proto_prune" -> 3,
+    "sim_embedding_drift" -> 0, // two map-side vec-sum aggs; result is a driver frame
     "text_truncation_report" -> 1, // one hash aggregate
     "text_diversity" -> 2, // the standard two-phase distinct-agg
     "stream_quality_monitor" -> 1, // narrow features + one windowed agg
