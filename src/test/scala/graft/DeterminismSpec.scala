@@ -240,6 +240,35 @@ class DeterminismSpec extends SparkSpec {
         dp(embs.repartition(9, col("vec_id")), embs.filter($"vec_id" % 2 === 0)))
   }
 
+  test("frame pairs, diversity, corpus diff, drift stats ignore physical layout") {
+    // frame-hash pairs: bucket membership and pair expansion are pure
+    // functions of content; counts join back by key
+    val payloads = docs.select($"doc_id", $"text".cast("binary").as("bin"))
+    def fp(x: DataFrame) = rows(graft.ops.Multimodal.frameHashNearDupPairs(
+      x, "doc_id", "bin", everyNBytes = 16, frameBytes = 8, minOverlap = 0.3))
+    withShufflePartitions(3)(fp(payloads.repartition(2))) shouldBe
+      withShufflePartitions(17)(fp(payloads.repartition(9, col("doc_id"))))
+    // diversity: count + count-distinct aggregates are merge-order-free
+    val grouped = docs.withColumn("g", ($"doc_id" % 3).cast("string"))
+    def dv(x: DataFrame) = rows(graft.ops.TextOps.diversityStats(x, "g", "text", 2))
+    withShufflePartitions(3)(dv(grouped.repartition(2))) shouldBe
+      withShufflePartitions(17)(dv(grouped.repartition(9, col("text"))))
+    // content diff: status is a pure function of the two digest tables
+    val o = docs.withColumn("fp", md5($"text".cast("binary")))
+    val c = docs.filter($"doc_id" % 4 =!= 0)
+      .withColumn("text", concat($"text", when($"doc_id" % 4 === 1, " v2").otherwise("")))
+      .withColumn("fp", md5($"text".cast("binary")))
+    def cd(x: DataFrame, y: DataFrame) = rows(
+      graft.ops.Curation.corpusDiff(x, y, "doc_id", "fp"))
+    withShufflePartitions(3)(cd(o.repartition(2), c.repartition(3))) shouldBe
+      withShufflePartitions(17)(cd(o.repartition(9, col("doc_id")), c))
+    // embedding drift: vec-sum partials merge order-free into rounded means
+    def ed(x: DataFrame) = rows(graft.ops.Similarity.embeddingDriftStats(
+      x.filter($"vec_id" % 2 === 0), x.filter($"vec_id" % 2 =!= 0), "embedding"))
+    withShufflePartitions(3)(ed(embs.repartition(2))) shouldBe
+      withShufflePartitions(17)(ed(embs.repartition(9, col("vec_id"))))
+  }
+
   test("BM25, RRF fusion, hash embedding, per-group cap ignore physical layout") {
     // grid-sum rule: per-term 9-decimal rounding makes the per-doc sum
     // independent of aggregation order, so scores AND ranks must agree
