@@ -3773,25 +3773,30 @@ object SparkEntry {
     // grid-sum rule makes both engines' shifts identical)
     "sim_embedding_drift" ->
       """WITH rm AS (SELECT i, round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 9) AS v
-        |            FROM embeddings, range(1, 65) t(i) WHERE vec_id % 2 = 0 GROUP BY i),
+        |            FROM embeddings, range(1, 65) t(i)
+        |            WHERE vec_id % 2 = 0 AND embedding IS NOT NULL GROUP BY i),
         |     cm AS (SELECT i, round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 9) AS v
-        |            FROM embeddings, range(1, 65) t(i) WHERE vec_id % 2 <> 0 GROUP BY i),
+        |            FROM embeddings, range(1, 65) t(i)
+        |            WHERE vec_id % 2 <> 0 AND embedding IS NOT NULL GROUP BY i),
         |     rv AS (SELECT list(v ORDER BY i) AS m FROM rm),
         |     cv AS (SELECT list(v ORDER BY i) AS m FROM cm),
         |     rn AS (SELECT round(avg(sqrt(list_sum(
         |                    [CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
         |                     FOR i IN range(1, 65)]))), 9) AS nv,
         |                   CAST(count(*) AS DOUBLE) AS n
-        |            FROM embeddings WHERE vec_id % 2 = 0),
+        |            FROM embeddings WHERE vec_id % 2 = 0 AND embedding IS NOT NULL),
         |     cn AS (SELECT round(avg(sqrt(list_sum(
         |                    [CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
         |                     FOR i IN range(1, 65)]))), 9) AS nv,
         |                   CAST(count(*) AS DOUBLE) AS n
-        |            FROM embeddings WHERE vec_id % 2 <> 0),
+        |            FROM embeddings WHERE vec_id % 2 <> 0 AND embedding IS NOT NULL),
         |     shift AS (SELECT
-        |         round(list_sum([rv.m[i] * cv.m[i] FOR i IN range(1, 65)])
+        |         CASE WHEN sqrt(list_sum([rv.m[i] * rv.m[i] FOR i IN range(1, 65)])) > 0
+        |               AND sqrt(list_sum([cv.m[i] * cv.m[i] FOR i IN range(1, 65)])) > 0
+        |              THEN round(list_sum([rv.m[i] * cv.m[i] FOR i IN range(1, 65)])
         |               / (sqrt(list_sum([rv.m[i] * rv.m[i] FOR i IN range(1, 65)]))
-        |                  * sqrt(list_sum([cv.m[i] * cv.m[i] FOR i IN range(1, 65)]))), 9) AS cos,
+        |                  * sqrt(list_sum([cv.m[i] * cv.m[i] FOR i IN range(1, 65)]))), 9)
+        |              ELSE 0.0 END AS cos,
         |         round(sqrt(list_sum([(rv.m[i] - cv.m[i]) * (rv.m[i] - cv.m[i])
         |                              FOR i IN range(1, 65)])), 9) AS l2
         |       FROM rv, cv)

@@ -703,9 +703,14 @@ case class HashEmbedCounts(child: Expression, dim: Expression, seed: Expression)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         "graft_hash_embed expects a foldable LONG seed (cast int seeds: " +
           "an int hashes through a different xxhash64 chain)")
-    else if (dim.eval().asInstanceOf[Int] < 1)
+    else if (dim.eval() == null || dim.eval().asInstanceOf[Int] < 1)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "graft_hash_embed dim must be >= 1")
+        "graft_hash_embed dim must be a non-null int >= 1")
+    else if (seed.eval() == null)
+      // a NULL seed would unbox to 0L and silently hash as seed 0, where
+      // the xxhash64(NULL, t) counterpart returns NULL — reject it
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_hash_embed seed must be non-null")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
   private lazy val d: Int = dim.eval().asInstanceOf[Int]

@@ -208,9 +208,9 @@ object Retrieval {
       val p = java.nio.file.Paths.get(dir)
       val o = JsonMethods.parse(java.nio.file.Files.readString(p.resolve("params.json")))
       val gens = (o \ "generations") match {
-        case JArray(xs) => xs.collect { case JString(s) => s }
+        case JArray(xs) if xs.nonEmpty => xs.collect { case JString(s) => s }
         case _ => throw graft.errors.FeatureFactoryException.InvalidParameter(
-          s"$dir/params.json names no generations — not a BM25 index")
+          s"$dir/params.json names no generations — not a (healthy) BM25 index")
       }
       (graft.core.ModelIO.dbl(o \ "n").toLong,
         graft.core.ModelIO.dbl(o \ "tokens").toLong,
@@ -256,6 +256,9 @@ object Retrieval {
     graft.core.Validators.requireColumns(batch, Seq(idCol, textCol))
     val (n, tokens, k1, b, gens) = Bm25Index.readParams(dir)
     val delta = bm25Fit(batch, idCol, textCol, k1, b)
+    // empty batch → true no-op: committing a junk empty generation would
+    // add one parquet footer to every future probe for nothing
+    if (delta.n == 0L) return
     val maxGen = gens.map(g => g.stripPrefix("gen-").toInt).max
     val gen = Bm25Index.genName(maxGen + 1)
     Bm25Index.writeGeneration(delta, dir, gen)
@@ -459,12 +462,17 @@ object Retrieval {
     Bm25Index.writeGeneration(idx, dir, gen)
     Bm25Index.commitParams(dir, n, tokens, k1, b, Seq(gen))
     val p = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.list(p).forEach { child =>
-      val name = child.getFileName.toString
-      if (name.startsWith("gen-") && name != gen)
-        java.nio.file.Files.walk(child)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.delete(f))
+    // Files.list / Files.walk are must-close resources — leak one open
+    // directory fd per stream otherwise
+    scala.util.Using.resource(java.nio.file.Files.list(p)) { children =>
+      children.forEach { child =>
+        val name = child.getFileName.toString
+        if (name.startsWith("gen-") && name != gen)
+          scala.util.Using.resource(java.nio.file.Files.walk(child)) { files =>
+            files.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(f => java.nio.file.Files.delete(f))
+          }
+      }
     }
   }
 

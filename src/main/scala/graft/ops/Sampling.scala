@@ -478,10 +478,12 @@ object Sampling {
   /** Packing-efficiency report over a [[packSequences]] layout: sequences
     * (distinct (bucket, bin)), docs and token mass packed, and the mean
     * fill fraction against `capacity` — the "how much context window am I
-    * wasting" gauge a trainer checks before committing a packing. The
-    * fill counts each bin at `capacity` except the LAST bin of each
-    * bucket, which holds whatever remained — exact integer sums, one
-    * aggregate pass, a single-row result. */
+    * wasting" gauge a trainer checks before committing a packing. Fill =
+    * tokens / (sequences · capacity): EVERY bin is priced at capacity,
+    * including each bucket's partially-filled last bin, so the metric is
+    * exactly the fraction of reserved context-window slots that carry
+    * tokens. Exact integer sums, one aggregate pass, a single-row
+    * result. */
   def packingReport(
       packed: DataFrame, tokenCol: String, capacity: Long): DataFrame = {
     require(capacity >= 1, "capacity must be >= 1")

@@ -27,6 +27,14 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Driver-side 9-decimal rounding with Spark/DuckDB `round()` tie
+    * semantics (HALF_UP) — use THIS for any driver-computed value an
+    * oracle re-derives. The two local `round9` helpers in the PCA/outlier
+    * fits use half-even (`math.rint`); their outputs only ever reach
+    * oracles through dumps, so the tie rule never crosses engines there. */
+  private[ops] def round9HalfUp(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Dot-product implementation for a given session: the codegen'd native
     * graft_dot expression when GraftExtensions is installed (same fold
     * order, bit-identical results), else the higher-order-function fold. */
@@ -1053,7 +1061,7 @@ object Similarity {
     val (cm, cn, cNorm) = side(cur, "current")
     require(rm.length == cm.length,
       s"embeddingDriftStats: dimension mismatch ${rm.length} vs ${cm.length}")
-    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double) = round9HalfUp(x)
     val dot = rm.zip(cm).map { case (a, b) => a * b }.sum
     val nr = math.sqrt(rm.map(x => x * x).sum)
     val nc = math.sqrt(cm.map(x => x * x).sum)
