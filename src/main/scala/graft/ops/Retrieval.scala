@@ -405,23 +405,28 @@ object Retrieval {
       scoreColA: String,
       scoreColB: String,
       k: Int,
-      c: Int = 60): DataFrame = {
+      c: Int = 60,
+      weightA: Double = 1.0,
+      weightB: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be >= 1")
     require(c >= 0, "c must be >= 0")
+    require(weightA >= 0.0 && weightB >= 0.0, "fusion weights must be >= 0")
     graft.core.Validators.requireColumns(a, Seq(queryCol, idCol, scoreColA))
     graft.core.Validators.requireColumns(b, Seq(queryCol, idCol, scoreColB))
-    // each reciprocal is 9-decimal-rounded before the two-term sum (the
-    // bm25TopK grid-sum rule), so the fused score replays bit-for-bit
-    def ranked(df: DataFrame, scoreCol: String, out: String): DataFrame =
+    // each weighted reciprocal is 9-decimal-rounded before the two-term
+    // sum (the bm25TopK grid-sum rule), so the fused score replays
+    // bit-for-bit; non-unit weights ("trust the dense leg 3x") tilt the
+    // fusion without any score calibration
+    def ranked(df: DataFrame, scoreCol: String, w: Double, out: String): DataFrame =
       df.select(col(queryCol).as("query_id"), col(idCol).as("id"),
         col(scoreCol).as("__s"))
         .withColumn(out,
-          round(lit(1.0) / (lit(c.toDouble) + row_number().over(
+          round(lit(w) / (lit(c.toDouble) + row_number().over(
             Window.partitionBy("query_id").orderBy(col("__s").desc, col("id").asc))), 9))
         .drop("__s")
-    ranked(a, scoreColA, "__ra")
-      .join(ranked(b, scoreColB, "__rb"), Seq("query_id", "id"), "full_outer")
+    ranked(a, scoreColA, weightA, "__ra")
+      .join(ranked(b, scoreColB, weightB, "__rb"), Seq("query_id", "id"), "full_outer")
       .withColumn("rrf",
         round(coalesce(col("__ra"), lit(0.0)) + coalesce(col("__rb"), lit(0.0)), 9))
       .withColumn("__rn", row_number().over(

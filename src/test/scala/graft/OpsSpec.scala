@@ -3136,6 +3136,12 @@ class OpsSpec extends SparkSpec {
       (30L, r9(1.0 / 62)))
     // k cuts the fused list
     Retrieval.rrfFuse(a, b, "q", "d", "sa", "sb", k = 1).count() shouldBe 1
+    // weighted fusion: trusting list b 10x promotes its top doc (d30 is
+    // b-only at rank 2, beating a's rank-1 d10 at weight 10/62 > 1/61)
+    val weighted = Retrieval.rrfFuse(a, b, "q", "d", "sa", "sb", k = 10,
+      weightA = 1.0, weightB = 10.0)
+      .orderBy(col("rrf").desc, col("id")).collect().map(_.getLong(1)).toSeq
+    weighted shouldBe Seq(20L, 30L, 10L)
   }
 
   test("Retrieval.hashEmbed: unit norm, right dim, zero row for empty text, vocab-consistent") {
