@@ -56,12 +56,6 @@ object SparkEntry {
   private lazy val clfModelDir: String =
     java.nio.file.Files.createTempDirectory("graft_clf_model").toString
 
-  /** The shared BPE fit of the four BPE queries (24 merges learned from the
-    * English slice), through a save/load round trip. The fit is
-    * deterministic, so caching one model per (JVM, sf dir) — the
-    * contamIdxDir convention — changes nothing the oracle can see; without
-    * the cache every BPE query would re-run the 24 fit jobs on every bench
-    * repetition, timing the fit four extra times instead of the tokenizer. */
   /** The PQ queries' shared fit (m=8 subspaces × k=16 codewords over the
     * 64-dim embeddings) through a JSON round trip — cached per (JVM, sf
     * dir) like [[bpeFitted]]: the fit is deterministic and runs 8 small

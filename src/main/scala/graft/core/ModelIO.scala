@@ -292,7 +292,11 @@ object ModelIO {
     case JDecimal(d) => d.toDouble
     case _ => fail(s"expected number, got $j")
   }
-  private def lng(j: JValue): Long = j match {
+  /** Integer-preserving counterpart of [[dbl]] for EXACT count fields
+    * (e.g. the BM25 index's (n, tokens) totals, whose append/avgdl
+    * bit-parity contract breaks if a > 2⁵³ total round-trips through
+    * Double). */
+  private[graft] def lng(j: JValue): Long = j match {
     case JInt(i) => i.toLong
     case JLong(l) => l
     case _ => fail(s"expected integer, got $j")

@@ -200,6 +200,12 @@ object Curation {
     * delta-sized — on a 100 TB corpus the interesting rows are the few
     * that moved, and the status filter prunes before anything returns.
     *
+    * PRECONDITION: ids are unique within each drop (the standing corpus
+    * rule — [[expectationsReport]]'s `uniqueCol` is the pre-check, the
+    * Dedup family the fix). A duplicated id fans out through the
+    * full-outer join and emits one (possibly contradictory) status row
+    * per pairing; this op does not aggregate them away.
+    *
     * One full-outer hash join on id over two (id, fingerprint)
     * projections — the drops' text columns never move, only their
     * digests. Output: (id, status). */

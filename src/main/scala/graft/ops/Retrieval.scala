@@ -140,7 +140,18 @@ object Retrieval {
     * integer (n, tokens) totals. Nothing on disk is ever rewritten in
     * place: a crash mid-append leaves an orphan generation directory that
     * no params.json names (ignored by load, reaped by compact), never a
-    * half-updated index, and a retried append commits exactly once. */
+    * half-updated index, and a retried append commits exactly once.
+    *
+    * SINGLE WRITER: append/compact do an unlocked read-modify-write of
+    * params.json — two concurrent appends would both read the same
+    * generation list and the last rename would win, silently dropping the
+    * other batch's generation (whose orphan dir compact later reaps).
+    * Serialize all writers (the usual nightly-ingest shape); readers are
+    * unrestricted. Compaction additionally invalidates IN-FLIGHT readers:
+    * a [[Bm25Index]] loaded before a compact holds lazy DataFrames over
+    * generation directories the compact reaps, so evaluating them
+    * afterwards fails with FileNotFoundException — re-[[Bm25Index.load]]
+    * after compaction (or defer compaction to a quiet window). */
   final case class Bm25Index(
       n: Long,
       tokens: Long,
@@ -212,8 +223,11 @@ object Retrieval {
         case _ => throw graft.errors.FeatureFactoryException.InvalidParameter(
           s"$dir/params.json names no generations — not a (healthy) BM25 index")
       }
-      (graft.core.ModelIO.dbl(o \ "n").toLong,
-        graft.core.ModelIO.dbl(o \ "tokens").toLong,
+      // lng, not dbl(...).toLong: the (n, tokens) totals are the EXACT
+      // integers the avgdl bit-parity contract rests on — a Double
+      // round-trip would silently lose precision above 2^53
+      (graft.core.ModelIO.lng(o \ "n"),
+        graft.core.ModelIO.lng(o \ "tokens"),
         graft.core.ModelIO.dbl(o \ "k1"),
         graft.core.ModelIO.dbl(o \ "b"),
         gens)
@@ -455,7 +469,13 @@ object Retrieval {
     * generation, commits params.json to name only it (same atomic rename
     * as every commit), and then reaps every other generation directory —
     * including orphans from crashed appends. Results are unchanged by
-    * construction; only file layout moves. */
+    * construction; only file layout moves.
+    *
+    * Caveats (the [[Bm25Index]] single-writer contract): don't run
+    * concurrently with an append, and re-load any [[Bm25Index]] held from
+    * before the compact — its lazy postings/df frames point at the reaped
+    * generation directories ("readers see the previous index or the new
+    * one" holds up to the params.json read, not for in-flight frames). */
   def compactBm25Index(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val (n, tokens, k1, b, gens) = Bm25Index.readParams(dir)
