@@ -2172,6 +2172,16 @@ object SparkEntry {
         d.filter(col("doc_id") < 3), "doc_id", "text",
         k = 10, fbDocs = 5, fbTerms = 10)
     }),
+    // The same PRF through the persisted index: both passes and the
+    // feedback tf statistics come off pre-paid postings aggregates — the
+    // corpus text is never rescanned; results identical by construction
+    // (same oracle SQL as text_bm25_prf).
+    "text_bm25_prf_indexed" -> ((s, dir) => {
+      val idx = graft.ops.Retrieval.Bm25Index.load(s, bm25DiskIndex(s, dir))
+      Retrieval.bm25PrfSearchIndex(
+        idx, rt(s, dir, "documents").filter(col("doc_id") < 3),
+        "doc_id", "text", k = 10, fbDocs = 5, fbTerms = 10)
+    }),
     // Ranking report card: how well the lexical BM25 ranking approximates
     // the dense-cosine truth (doc_id ≡ vec_id) — hit@10, reciprocal rank,
     // binary NDCG@10 per query, every gain 9-decimal-rounded pre-sum.
@@ -2219,6 +2229,69 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 9))
     }),
   )
+
+  /** Shared oracle of text_bm25_prf and text_bm25_prf_indexed: two full
+    * bm25 replays — pass one's top-5 feedback docs, the integer tf-sum
+    * expansion rank, the distinct union, pass two over the expanded
+    * vocabulary. */
+  private val bm25PrfOracleSql =
+    """WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |     dl AS (SELECT doc_id,
+        |              CAST(coalesce(len(list_filter(string_split_regex(t, '\s+'),
+        |                                            x -> x <> '')), 0) AS BIGINT) AS dl
+        |            FROM base),
+        |     stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |                      avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |     toks AS (SELECT doc_id,
+        |                unnest(list_filter(string_split_regex(t, '\s+'), x -> x <> '')) AS term
+        |              FROM base),
+        |     q1 AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3),
+        |     tf1 AS (SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+        |             FROM toks WHERE term IN (SELECT term FROM q1) GROUP BY 1, 2),
+        |     df1 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY 1),
+        |     sc1 AS (SELECT q.query_id, tf1.id,
+        |               round(ln(1 + (s.n - df1.df + 0.5) / (df1.df + 0.5))
+        |                     * tf1.tf * 2.2
+        |                     / (tf1.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 9) AS sc
+        |             FROM tf1 JOIN q1 q ON tf1.term = q.term
+        |                  JOIN df1 ON tf1.term = df1.term
+        |                  JOIN dl ON tf1.id = dl.doc_id
+        |                  CROSS JOIN stats s),
+        |     sum1 AS (SELECT query_id, id, round(sum(sc), 9) AS bm25
+        |              FROM sc1 GROUP BY 1, 2),
+        |     fb AS (SELECT query_id, id FROM (
+        |              SELECT query_id, id,
+        |                     row_number() OVER (PARTITION BY query_id
+        |                                        ORDER BY bm25 DESC, id) AS rn
+        |              FROM sum1) WHERE rn <= 5),
+        |     fbtf AS (SELECT fb.query_id, tk.term, CAST(count(*) AS BIGINT) AS tf
+        |              FROM toks tk JOIN fb ON tk.doc_id = fb.id GROUP BY 1, 2),
+        |     exp AS (SELECT query_id, term FROM (
+        |               SELECT query_id, term,
+        |                      row_number() OVER (PARTITION BY query_id
+        |                                         ORDER BY tf DESC, term) AS rn
+        |               FROM fbtf) WHERE rn <= 10),
+        |     q2 AS (SELECT query_id, term FROM q1
+        |            UNION SELECT query_id, term FROM exp),
+        |     tf2 AS (SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+        |             FROM toks WHERE term IN (SELECT term FROM q2) GROUP BY 1, 2),
+        |     df2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY 1),
+        |     sc2 AS (SELECT q.query_id, tf2.id,
+        |               round(ln(1 + (s.n - df2.df + 0.5) / (df2.df + 0.5))
+        |                     * tf2.tf * 2.2
+        |                     / (tf2.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 9) AS sc
+        |             FROM tf2 JOIN q2 q ON tf2.term = q.term
+        |                  JOIN df2 ON tf2.term = df2.term
+        |                  JOIN dl ON tf2.id = dl.doc_id
+        |                  CROSS JOIN stats s),
+        |     sum2 AS (SELECT query_id, id, round(sum(sc), 9) AS bm25
+        |              FROM sc2 GROUP BY 1, 2)
+        |SELECT query_id, id, bm25 FROM (
+        |  SELECT query_id, id, bm25,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY bm25 DESC, id) AS rn
+        |  FROM sum2)
+        |WHERE rn <= 10""".stripMargin
 
   /** DuckDB-runnable ANSI SQL oracle for each query key. Column names/aliases
     * match the Spark outputs exactly (the driver sorts columns by name before
@@ -4665,64 +4738,11 @@ object SparkEntry {
     // Two full bm25 replays: pass one's top-5 feedback docs, the integer
     // tf-sum expansion rank, the distinct union, pass two over the
     // expanded vocabulary.
-    "text_bm25_prf" ->
-      """WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
-        |     dl AS (SELECT doc_id,
-        |              CAST(coalesce(len(list_filter(string_split_regex(t, '\s+'),
-        |                                            x -> x <> '')), 0) AS BIGINT) AS dl
-        |            FROM base),
-        |     stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-        |                      avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
-        |     toks AS (SELECT doc_id,
-        |                unnest(list_filter(string_split_regex(t, '\s+'), x -> x <> '')) AS term
-        |              FROM base),
-        |     q1 AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3),
-        |     tf1 AS (SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
-        |             FROM toks WHERE term IN (SELECT term FROM q1) GROUP BY 1, 2),
-        |     df1 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY 1),
-        |     sc1 AS (SELECT q.query_id, tf1.id,
-        |               round(ln(1 + (s.n - df1.df + 0.5) / (df1.df + 0.5))
-        |                     * tf1.tf * 2.2
-        |                     / (tf1.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 9) AS sc
-        |             FROM tf1 JOIN q1 q ON tf1.term = q.term
-        |                  JOIN df1 ON tf1.term = df1.term
-        |                  JOIN dl ON tf1.id = dl.doc_id
-        |                  CROSS JOIN stats s),
-        |     sum1 AS (SELECT query_id, id, round(sum(sc), 9) AS bm25
-        |              FROM sc1 GROUP BY 1, 2),
-        |     fb AS (SELECT query_id, id FROM (
-        |              SELECT query_id, id,
-        |                     row_number() OVER (PARTITION BY query_id
-        |                                        ORDER BY bm25 DESC, id) AS rn
-        |              FROM sum1) WHERE rn <= 5),
-        |     fbtf AS (SELECT fb.query_id, tk.term, CAST(count(*) AS BIGINT) AS tf
-        |              FROM toks tk JOIN fb ON tk.doc_id = fb.id GROUP BY 1, 2),
-        |     exp AS (SELECT query_id, term FROM (
-        |               SELECT query_id, term,
-        |                      row_number() OVER (PARTITION BY query_id
-        |                                         ORDER BY tf DESC, term) AS rn
-        |               FROM fbtf) WHERE rn <= 10),
-        |     q2 AS (SELECT query_id, term FROM q1
-        |            UNION SELECT query_id, term FROM exp),
-        |     tf2 AS (SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
-        |             FROM toks WHERE term IN (SELECT term FROM q2) GROUP BY 1, 2),
-        |     df2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY 1),
-        |     sc2 AS (SELECT q.query_id, tf2.id,
-        |               round(ln(1 + (s.n - df2.df + 0.5) / (df2.df + 0.5))
-        |                     * tf2.tf * 2.2
-        |                     / (tf2.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 9) AS sc
-        |             FROM tf2 JOIN q2 q ON tf2.term = q.term
-        |                  JOIN df2 ON tf2.term = df2.term
-        |                  JOIN dl ON tf2.id = dl.doc_id
-        |                  CROSS JOIN stats s),
-        |     sum2 AS (SELECT query_id, id, round(sum(sc), 9) AS bm25
-        |              FROM sc2 GROUP BY 1, 2)
-        |SELECT query_id, id, bm25 FROM (
-        |  SELECT query_id, id, bm25,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY bm25 DESC, id) AS rn
-        |  FROM sum2)
-        |WHERE rn <= 10""".stripMargin,
+    "text_bm25_prf" -> bm25PrfOracleSql,
+    // The indexed PRF must be bit-identical to the direct one — the
+    // text_bm25_indexed rationale: stored postings/df/totals replace the
+    // corpus rescans, results don't move.
+    "text_bm25_prf_indexed" -> bm25PrfOracleSql,
     // Metric replay: the text_bm25 ranking CTE, the dense truth CTE, then
     // hit/min-rank-reciprocal/DCG with every gain rounded pre-sum and the
     // closed-form ideal DCG over min(n_truth, 10) positions.

@@ -328,7 +328,14 @@ object Retrieval {
       k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     graft.core.Validators.requireColumns(queries, Seq(qIdCol, qTextCol))
-    val qTerms = queryTerms(queries, qIdCol, qTextCol)
+    searchIndexWithTerms(index, queryTerms(queries, qIdCol, qTextCol), k)
+  }
+
+  /** The index probe shared by [[bm25SearchIndex]] and
+    * [[bm25PrfSearchIndex]]'s two passes: prune postings/df to the
+    * (query_id, term) set, then the common scorer. */
+  private def searchIndexWithTerms(
+      index: Bm25Index, qTerms: DataFrame, k: Int): DataFrame = {
     // take(max + 1), not collect: the driver pull stays bounded whatever
     // the query batch holds — when the probe head shows MORE than the
     // IN-literal bound, nothing else is pulled and the prune stays
@@ -555,11 +562,22 @@ object Retrieval {
       .join(broadcast(fb), Seq("id"))
       .groupBy("query_id", "term")
       .agg(count(lit(1)).as("__tf"))
-    // The expansion is ≤ fbTerms·|queries| rows — collect it (a bounded
-    // fit-time pull, like every fit in this package) and re-ship it as a
-    // local frame: leaving it lazy embeds the ENTIRE pass-one subtree
-    // into pass two's plan at every use site (measured 41 Exchange nodes
-    // vs pass two's own 9).
+    // pass two: the original terms ∪ the expansion, deduped, rescored
+    // through the same pruned-postings scorer
+    val qTerms = qt1.unionByName(collectExpansion(fbTf, fbTerms)).distinct()
+    val (postings, dfreq) = prunedPostings(docs, idCol, textCol, qTerms)
+    scoreAndRank(postings, dfreq, qTerms, n.toDouble, avgdl, k1, b, k)
+  }
+
+  /** The PRF expansion cut shared by [[bm25PrfTopK]] and
+    * [[bm25PrfSearchIndex]]: the `fbTerms` highest-summed-tf terms per
+    * query (ties by term), collected and re-shipped as a local frame. The
+    * expansion is ≤ fbTerms·|queries| rows — a bounded fit-time pull, like
+    * every fit in this package; leaving it lazy would embed the ENTIRE
+    * pass-one subtree into pass two's plan at every use site (measured 41
+    * Exchange nodes vs pass two's own 9). */
+  private def collectExpansion(fbTf: DataFrame, fbTerms: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val expansion = fbTf
       .withColumn("__rn", row_number().over(
         Window.partitionBy("query_id")
@@ -568,13 +586,46 @@ object Retrieval {
       .select("query_id", "term")
     val expRows = expansion.collect().toSeq
     import scala.jdk.CollectionConverters._
-    val expDf = docs.sparkSession.createDataFrame(
-      expRows.asJava, expansion.schema)
-    // pass two: the original terms ∪ the expansion, deduped, rescored
-    // through the same pruned-postings scorer
-    val qTerms = qt1.unionByName(expDf).distinct()
-    val (postings, dfreq) = prunedPostings(docs, idCol, textCol, qTerms)
-    scoreAndRank(postings, dfreq, qTerms, n.toDouble, avgdl, k1, b, k)
+    fbTf.sparkSession.createDataFrame(expRows.asJava, expansion.schema)
+  }
+
+  /** [[bm25PrfTopK]] against a persisted [[Bm25Index]] — IDENTICAL results,
+    * but both passes probe pre-paid aggregates instead of re-scanning the
+    * corpus: the direct form tokenizes and explodes the documents TWICE
+    * (once per pass) plus once more for the feedback tf statistics; here
+    * pass one is an index probe, the feedback term statistics come straight
+    * off the postings table's stored tf column (pruned by the broadcast
+    * ≤ fbDocs·|queries| shortlist before the (query, term) aggregate), and
+    * pass two is a second probe over the expanded vocabulary. The corpus
+    * text is never touched, so the whole query is postings-sized — on a
+    * term-sorted on-disk index both probes row-group-prune to the query
+    * vocabulary exactly like [[bm25SearchIndex]].
+    *
+    * Output: (query_id, id, bm25), ≤ k rows per query — same contract (and
+    * same oracle) as [[bm25PrfTopK]]. */
+  def bm25PrfSearchIndex(
+      index: Bm25Index,
+      queries: DataFrame,
+      qIdCol: String,
+      qTextCol: String,
+      k: Int,
+      fbDocs: Int = 5,
+      fbTerms: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(fbDocs >= 1, "fbDocs must be >= 1")
+    require(fbTerms >= 1, "fbTerms must be >= 1")
+    graft.core.Validators.requireColumns(queries, Seq(qIdCol, qTextCol))
+    val qt1 = queryTerms(queries, qIdCol, qTextCol)
+    val fb = searchIndexWithTerms(index, qt1, fbDocs).select("query_id", "id")
+    // feedback term statistics WITHOUT a corpus scan: tf per (id, term) is
+    // exactly what the postings store — summing it over a query's feedback
+    // docs replays the direct form's explode-and-count to the integer
+    val fbTf = index.postings
+      .join(broadcast(fb), Seq("id"))
+      .groupBy("query_id", "term")
+      .agg(sum(col("tf")).as("__tf"))
+    val qTerms = qt1.unionByName(collectExpansion(fbTf, fbTerms)).distinct()
+    searchIndexWithTerms(index, qTerms, k)
   }
 
   /** Per-query ranking-quality metrics against a binary-relevance truth

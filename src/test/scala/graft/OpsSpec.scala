@@ -3075,6 +3075,30 @@ class OpsSpec extends SparkSpec {
     prf should not contain 4L
   }
 
+  test("Retrieval.bm25PrfSearchIndex: indexed PRF equals the direct two-pass form") {
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple cherry"),
+      (3L, "cherry date"),
+      (4L, "unrelated words"),
+      (5L, "banana banana date"),
+    ).toDF("doc_id", "text")
+    val q = Seq((7L, "apple"), (8L, "date words")).toDF("qid", "qtext")
+    val direct = Retrieval.bm25PrfTopK(docs, "doc_id", "text", q, "qid", "qtext",
+      k = 10, fbDocs = 2, fbTerms = 3)
+      .orderBy("query_id", "id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    direct should not be empty
+    val dir = java.nio.file.Files.createTempDirectory("bm25prfidx").toString
+    Retrieval.bm25Fit(docs, "doc_id", "text").save(dir)
+    val viaIndex = Retrieval.bm25PrfSearchIndex(
+      Retrieval.Bm25Index.load(spark, dir), q, "qid", "qtext",
+      k = 10, fbDocs = 2, fbTerms = 3)
+      .orderBy("query_id", "id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    viaIndex shouldBe direct
+  }
+
   test("Retrieval.evalRankingMetrics: hand-computed hit/MRR/NDCG, no-hit and missing-query paths") {
     def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     def g(rank: Int) = r9(1.0 / (math.log(rank + 1) / math.log(2)))

@@ -120,6 +120,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // the probe's win over text_bm25: the corpus tf/df aggregates are
     // pre-paid in the index, only the query-sized score/rank stages remain
     "text_bm25_indexed" -> 3,
+    // pass one + the feedback-tf aggregate + the expansion cut all run
+    // EAGERLY at construction (the text_bm25_prf collect rationale); the
+    // audited plan is pass two's probe over the expanded vocabulary
+    "text_bm25_prf_indexed" -> 4,
     "text_bm25_rerank" -> 9, // bm25's 8 + the rerank's top-k window
     // bm25's 8 + the dense leg's top-k window + the two rank windows and
     // the (query, id) fusion join over ≤ k·|queries| rows
