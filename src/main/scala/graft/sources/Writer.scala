@@ -310,6 +310,50 @@ object Writer {
     model
   }
 
+  /** Compact an on-disk IVF index after a run of [[appendToIvfIndex]]
+    * calls — the [[graft.ops.Retrieval.compactBm25Index]] of the dense
+    * side: every append adds one file set per touched cell directory, so a
+    * long-lived index fragments each cell across many small parquet files,
+    * degrading the probe's directory listing and per-file footer costs.
+    * Compaction rewrites the WHOLE code table clustered one-task-per-cell
+    * (exactly [[writeIvfIndex]]'s layout — one data file per cell) and
+    * swaps it in: the new layout materializes NEXT TO the live one
+    * (`codes.compact.tmp`), then two directory renames (live → `codes.old`,
+    * tmp → live) publish it and the old layout is reaped. Codes are
+    * unchanged — only file layout moves, so probes before and after return
+    * identical rows.
+    *
+    * Same single-writer contract as the BM25 index: don't run concurrently
+    * with an append, and re-read in-flight readers afterwards. A crash
+    * between the two renames leaves no live `codes` dir — recover by
+    * renaming `codes.old` back (the layout is intact; nothing was deleted
+    * before the new layout was fully written). */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val (codes, _) = loadIvfIndex(spark, path)
+    val tmp = s"$path/codes.compact.tmp"
+    codes
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val old = new org.apache.hadoop.fs.Path(s"$path/codes.old")
+    fs.delete(old, true) // leftover from a previously crashed compact
+    if (!fs.rename(live, old))
+      throw graft.errors.FeatureFactoryException.InvalidParameter(
+        s"compactIvfIndex: cannot move $live aside — is another writer active?")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live)) {
+      fs.rename(old, live) // roll back to the intact previous layout
+      throw graft.errors.FeatureFactoryException.InvalidParameter(
+        s"compactIvfIndex: cannot publish $tmp — compaction rolled back")
+    }
+    fs.delete(old, true)
+  }
+
   /** Loads a [[writeIvfIndex]] directory back as (code table, coarse
     * quantizer) — feed both straight into
     * [[graft.ops.Similarity.ivfPqTopK]]. The `cell` column comes back as a

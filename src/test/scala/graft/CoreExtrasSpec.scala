@@ -245,6 +245,26 @@ class CoreExtrasSpec extends SparkSpec {
     aback.count() shouldBe e.count()
     rows(Similarity.ivfPqTopK(aback, am, q, 10, nprobe = 2)) shouldBe
       rows(Similarity.ivfPqTopK(codes, m, q, 10, nprobe = 2))
+    // compaction: the appended layout has >1 file in a touched cell dir;
+    // after compactIvfIndex every cell holds exactly ONE data file and the
+    // probe still returns the identical rows (append-then-compact ≡ the
+    // one-shot full build's layout)
+    def cellFiles(base: String): Map[String, Int] =
+      new java.io.File(s"$base/codes").listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    cellFiles(adir).values.max should be > 1
+    Writer.compactIvfIndex(spark, adir)
+    val compacted = cellFiles(adir)
+    compacted.values.foreach(_ shouldBe 1)
+    compacted.keySet shouldBe cellFiles(dir).keySet
+    new java.io.File(s"$adir/codes.old").exists() shouldBe false
+    new java.io.File(s"$adir/codes.compact.tmp").exists() shouldBe false
+    val (cback, cm) = Writer.loadIvfIndex(spark, adir)
+    cback.count() shouldBe e.count()
+    rows(Similarity.ivfPqTopK(cback, cm, q, 10, nprobe = 2)) shouldBe
+      rows(Similarity.ivfPqTopK(codes, m, q, 10, nprobe = 2))
   }
 
   test("Writer.shardByScoreQuantile: quantile stages, dense (score, id) ranks") {
