@@ -1192,6 +1192,13 @@ object SparkEntry {
     "sink_shards" -> ((s, dir) =>
       Writer.shardAssignments(rt(s, dir, "documents"), "doc_id", 16)
         .select("doc_id", "shard", "shard_pos")),
+    // The epoch-7 member of the same family: the seeded hash re-permutes
+    // shard membership AND within-shard order deterministically — the
+    // per-epoch corpus shuffle a trainer export replays from (seed, ids)
+    // alone. The oracle replays the seeded MINSTD chain in SQL.
+    "sink_shuffled_shards" -> ((s, dir) =>
+      Writer.shardAssignments(rt(s, dir, "documents"), "doc_id", 16, seed = 7L)
+        .select("doc_id", "shard", "shard_pos")),
     // Curriculum shard layout: 16 exact score-quantile stages over the
     // character count (integer-valued, so the 15 boundary doubles are
     // bit-exact on both engines), each stage ordered (score, doc_id). The
@@ -2893,6 +2900,17 @@ object SparkEntry {
       """WITH h AS (SELECT doc_id,
         |             (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS hh
         |           FROM documents)
+        |SELECT doc_id, hh % 16 AS shard,
+        |       CAST(row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) - 1 AS BIGINT) AS shard_pos
+        |FROM h""".stripMargin,
+    // sink_shards with the seed-7 epochHash: hash(7) folds into the id
+    // before the same two MINSTD rounds — all exact integer arithmetic.
+    "sink_shuffled_shards" ->
+      """WITH s AS (SELECT ((CAST(7 AS BIGINT) * 48271 % 2147483647) * 48271 % 2147483647) AS hs),
+        |     h AS (SELECT doc_id,
+        |             ((((hs + doc_id % 2147483647) % 2147483647)
+        |               * 48271 % 2147483647) * 48271 % 2147483647) AS hh
+        |           FROM documents CROSS JOIN s)
         |SELECT doc_id, hh % 16 AS shard,
         |       CAST(row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) - 1 AS BIGINT) AS shard_pos
         |FROM h""".stripMargin,

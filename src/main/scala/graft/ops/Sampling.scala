@@ -66,6 +66,17 @@ object Sampling {
     pmod(h1 * A, lit(M))
   }
 
+  /** Seeded variant of [[minstdHash]] — the per-epoch corpus-shuffle hash:
+    * the seed is hashed once and folded into the id before the two rounds,
+    * so each seed induces an independent-looking pseudorandom order while
+    * every operand stays < 2³¹ (products < 2⁴⁷) — exact 64-bit integer
+    * math that any engine replays bit-for-bit (an xxhash64-style native
+    * hash would be Spark-only). `epochHash(id, 0) == minstdHash(id)`
+    * (seed 0 hashes to 0), so unseeded layouts are the seed-0 member of
+    * the family. */
+  def epochHash(id: Column, seed: Long): Column =
+    minstdHash(minstdHash(lit(seed)) + pmod(id.cast("long"), lit(M)))
+
   /** Keep ~`percent`% of rows, chosen by id hash — stable across runs,
     * engines, and partitionings; a pure narrow filter (no shuffle, pushes
     * past column pruning). */

@@ -110,10 +110,17 @@ object Writer {
     * order within a shard is pseudorandom, so shards are unbiased
     * cross-sections of the corpus, pre-shuffled for training (no
     * separate global-shuffle pass). EAGER: the counts aggregate runs at
-    * call time, like the fits in [[graft.ops.Sampling]]. */
+    * call time, like the fits in [[graft.ops.Sampling]].
+    *
+    * `seed` re-keys the hash through [[graft.ops.Sampling.epochHash]] —
+    * the deterministic per-EPOCH corpus shuffle a trainer export wants:
+    * each seed induces an independent pseudorandom permutation (shard
+    * membership AND within-shard order both move), every epoch's layout
+    * is re-materializable bit-identically from (seed, ids) alone, and
+    * seed 0 is exactly the unseeded layout (epochHash's identity). */
   def shardAssignments(
       df: DataFrame, idCol: String, numShards: Int,
-      numSubBuckets: Int = 64): DataFrame = {
+      numSubBuckets: Int = 64, seed: Long = 0L): DataFrame = {
     require(numShards >= 1, "numShards must be >= 1")
     require(numSubBuckets >= 1, "numSubBuckets must be >= 1")
     graft.core.Validators.requireColumns(df, Seq(idCol))
@@ -125,7 +132,7 @@ object Writer {
     // pruned to the id alone — cheaper at any scale than caching the
     // full-width corpus (see interleaveSources for the same trade)
     val base = df.filter(col(idCol).isNotNull)
-      .withColumn("__graft_hh", minstdHash(col(idCol)))
+      .withColumn("__graft_hh", Sampling.epochHash(col(idCol), seed))
       .withColumn("shard", pmod(col("__graft_hh"), lit(numShards.toLong)))
       // SQL DIV (IntegralDivide) for exact long range-bucketing
       .withColumn("__graft_sub", expr(s"__graft_hh DIV ${subWidth}L"))
@@ -221,10 +228,16 @@ object Writer {
     *
     * Rows are clustered so each shard's data lands in one task
     * (`repartition` on the shard column) and sorted within partitions so
-    * per-file row order follows `shard_pos`. */
+    * per-file row order follows `shard_pos`.
+    *
+    * `seed` is the [[shardAssignments]] epoch shuffle: export epoch e with
+    * `seed = e` and the trainer reads a fresh deterministic permutation of
+    * the corpus each epoch — no separate global-shuffle job, and any
+    * epoch's shards re-materialize bit-identically for a backfill. */
   def writeTrainingShards(
-      df: DataFrame, path: String, idCol: String, numShards: Int): Unit =
-    shardAssignments(df, idCol, numShards)
+      df: DataFrame, path: String, idCol: String, numShards: Int,
+      seed: Long = 0L): Unit =
+    shardAssignments(df, idCol, numShards, seed = seed)
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("shard_pos"))
       .write.mode("overwrite")

@@ -104,6 +104,14 @@ class DeterminismSpec extends SparkSpec {
       rows(graft.sources.Writer.shardAssignments(x, "doc_id", 8))
     withShufflePartitions(3)(shards(d.repartition(2))) shouldBe
       withShufflePartitions(11)(shards(d.repartition(6, col("doc_id"))))
+    // the seeded epoch shuffle is equally layout-blind, seed 0 is exactly
+    // the unseeded member, and a nonzero seed genuinely re-permutes
+    def seeded(x: DataFrame, s: Long) =
+      rows(graft.sources.Writer.shardAssignments(x, "doc_id", 8, seed = s))
+    withShufflePartitions(3)(seeded(d.repartition(2), 7L)) shouldBe
+      withShufflePartitions(11)(seeded(d.repartition(6, col("doc_id")), 7L))
+    seeded(d, 0L) shouldBe shards(d)
+    seeded(d, 7L) should not be shards(d)
   }
 
   test("curriculum shards, domain stats, and BPE fertility ignore physical layout") {
