@@ -117,6 +117,40 @@ object SparkEntry {
       d
     })
 
+  /** warc_extract's synthetic crawl archive, materialized once per (JVM,
+    * sf dir) — the contamIdxDir convention: every document becomes one
+    * WARC/1.0 conversion record (record id derived from doc_id, target URI
+    * = [[synthUrl]], payload = the text, exact Content-Length), so the
+    * oracle replays the parsed records straight off the documents table.
+    * The build is a bounded driver-side dump (fixture construction, like
+    * the index builds); the QUERY is the distributed loadWarc read. */
+  private val warcDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def warcFixture(s: SparkSession, dir: String): String =
+    warcDirs.getOrElseUpdate(dir, {
+      val rows = rt(s, dir, "documents")
+        .select(col("doc_id"), synthUrl.as("url"), col("text"))
+        .orderBy("doc_id").collect()
+      val d = java.nio.file.Files.createTempDirectory("graft_warc").toString
+      val out = new java.io.ByteArrayOutputStream()
+      rows.foreach { r =>
+        val payload = r.getString(2).getBytes("UTF-8")
+        val header =
+          s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+            s"WARC-Record-ID: <urn:graft:doc-${r.getLong(0)}>\r\n" +
+            s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+            s"WARC-Target-URI: ${r.getString(1)}\r\n" +
+            s"Content-Type: text/plain\r\n" +
+            s"Content-Length: ${payload.length}\r\n\r\n"
+        out.write(header.getBytes("UTF-8"))
+        out.write(payload)
+        out.write("\r\n\r\n".getBytes("UTF-8"))
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(d, "docs.warc"), out.toByteArray)
+      d
+    })
+
   private val bpeModels =
     scala.collection.concurrent.TrieMap.empty[String, Bpe.BpeModel]
   private def bpeFitted(s: SparkSession, dir: String): Bpe.BpeModel =
@@ -1192,6 +1226,13 @@ object SparkEntry {
     "sink_shards" -> ((s, dir) =>
       Writer.shardAssignments(rt(s, dir, "documents"), "doc_id", 16)
         .select("doc_id", "shard", "shard_pos")),
+    // WARC ingest (the Common-Crawl first mile): every document round-trips
+    // through a real WARC/1.0 conversion record — header parse, exact
+    // Content-Length payload framing, and the record→row explode all
+    // oracle against the source table.
+    "warc_extract" -> ((s, dir) =>
+      graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs.warc")
+        .select("record_id", "target_uri", "content_length", "payload")),
     // The epoch-7 member of the same family: the seeded hash re-permutes
     // shard membership AND within-shard order deterministically — the
     // per-epoch corpus shuffle a trainer export replays from (seed, ids)
@@ -2903,6 +2944,15 @@ object SparkEntry {
         |SELECT doc_id, hh % 16 AS shard,
         |       CAST(row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) - 1 AS BIGINT) AS shard_pos
         |FROM h""".stripMargin,
+    // The fixture is a faithful WARC encoding of the documents table, so
+    // the parsed records replay as a pure projection of it (octet_length
+    // over the UTF-8 blob = the record's exact Content-Length).
+    "warc_extract" ->
+      s"""SELECT '<urn:graft:doc-' || doc_id || '>' AS record_id,
+         |       $synthUrlSql AS target_uri,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+         |       text AS payload
+         |FROM documents""".stripMargin,
     // sink_shards with the seed-7 epochHash: hash(7) folds into the id
     // before the same two MINSTD rounds — all exact integer arithmetic.
     "sink_shuffled_shards" ->

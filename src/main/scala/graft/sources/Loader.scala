@@ -12,13 +12,16 @@ import graft.errors.FeatureFactoryException.UnsupportedFormat
   *
   * Extension beyond the reference (the ingest formats a training-data
   * pipeline actually receives): `.json` / `.jsonl` as line-delimited JSON
-  * with schema inference, and `.txt` as one (value: string) row per line.
-  * Compressed variants route on the inner extension (`docs.jsonl.gz`). */
+  * with schema inference, `.txt` as one (value: string) row per line, and
+  * `.warc` / `.wet` web-crawl archives via [[loadWarc]]. Compressed
+  * variants route on the inner extension (`docs.jsonl.gz`). */
 object Loader {
 
   def load(spark: SparkSession, path: String): DataFrame = {
     // strip a trailing compression suffix so `docs.jsonl.gz` routes as jsonl
-    // (Spark's readers handle the codec themselves)
+    // (Spark's readers handle the codec themselves; loadWarc inflates its
+    // own gzip — Common Crawl's member-per-record framing must reach the
+    // record parser intact)
     val base = path.toLowerCase.replaceAll("\\.(gz|bz2|zst|snappy|deflate)$", "")
     val ext = base.lastIndexOf('.') match {
       case -1 => ""
@@ -30,10 +33,39 @@ object Loader {
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
       case "json" | "jsonl" => spark.read.json(path)
       case "txt" => spark.read.text(path)
+      case "warc" | "wet" => loadWarc(spark, path)
       case _ =>
         throw UnsupportedFormat(
           "Unsupported file format. Please provide a CSV, Parquet, JSON(L), " +
-            "or TXT file.")
+            "TXT, or WARC/WET file.")
     }
+  }
+
+  /** Web-crawl ingest (the Common-Crawl first mile): reads WARC/WET
+    * archives — one row per RECORD — with columns
+    * (warc_file, record_index, warc_type, record_id, target_uri,
+    * warc_date, content_type, content_length, payload). WET conversion
+    * records' payload feeds the curation chain directly; WARC response
+    * records' HTML goes through [[graft.ops.TextOps.stripHtml]] first.
+    * gzip archives (`.warc.gz` / `.wet.gz`) inflate inside the parser.
+    *
+    * Scale shape: the binaryFile source makes each archive ONE task (the
+    * standard Spark WARC-reader trade — crawl archives are ~1 GB by
+    * convention, so a 100 TB crawl is ~100k independent file-tasks), and
+    * the graft_warc_records kernel parses a file in one pass; everything
+    * downstream is ordinary narrow column work. Requires
+    * [[graft.functions.GraftExtensions]] on the session (record parsing
+    * is imperative byte work — there is no pure-Column fallback). */
+  def loadWarc(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (!spark.catalog.functionExists(graft.functions.TilePairs.WarcName))
+      throw UnsupportedFormat(
+        "WARC/WET reading needs the graft_warc_records kernel — set " +
+          "spark.sql.extensions=graft.functions.GraftExtensions on the session.")
+    spark.read.format("binaryFile").load(path)
+      .select(col("path").as("warc_file"),
+        posexplode(call_function(graft.functions.TilePairs.WarcName, col("content")))
+          .as(Seq("record_index", "__graft_rec")))
+      .select(col("warc_file"), col("record_index"), col("__graft_rec.*"))
   }
 }

@@ -59,6 +59,55 @@ class CoreExtrasSpec extends SparkSpec {
     intercept[UnsupportedFormat](Loader.load(spark, "/tmp/whatever.avro.gz"))
   }
 
+  test("Loader reads WARC/WET records: headers, payload framing, gzip, torn tail") {
+    def rec(id: Int, uri: Option[String], payload: String): Array[Byte] = {
+      val p = payload.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Record-ID: <urn:t:$id>\r\n" +
+        uri.map(u => s"WARC-Target-URI: $u\r\n").getOrElse("") +
+        s"Content-Length: ${p.length}\r\n\r\n").getBytes("UTF-8") ++
+        p ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    // payload 2 embeds CRLFCRLF — only Content-Length framing parses it
+    val bytes = rec(1, Some("http://a/x"), "hello world") ++
+      rec(2, None, "line one\r\n\r\nline two") ++
+      rec(3, Some("http://c/z"), "tail")
+    val d = java.nio.file.Files.createTempDirectory("graft_warc_t")
+    java.nio.file.Files.write(d.resolve("a.warc"), bytes)
+    val df = Loader.load(spark, d.resolve("a.warc").toString)
+    df.count() shouldBe 3
+    val rows = df.orderBy("record_index").collect()
+    rows.map(_.getAs[String]("record_id")).toSeq shouldBe
+      Seq("<urn:t:1>", "<urn:t:2>", "<urn:t:3>")
+    rows(0).getAs[String]("target_uri") shouldBe "http://a/x"
+    rows(1).getAs[String]("target_uri") shouldBe null // absent header → NULL
+    rows(1).getAs[String]("payload") shouldBe "line one\r\n\r\nline two"
+    rows(1).getAs[Long]("content_length") shouldBe 20L
+    rows.foreach(_.getAs[String]("warc_type") shouldBe "conversion")
+    // gzip (.wet.gz routes here too) — including MULTI-member streams,
+    // Common Crawl's member-per-record framing
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    java.nio.file.Files.write(d.resolve("b.wet.gz"),
+      gzip(rec(1, Some("http://a/x"), "hello world")) ++
+        gzip(rec(2, None, "line one\r\n\r\nline two") ++ rec(3, Some("http://c/z"), "tail")))
+    val gz = Loader.load(spark, d.resolve("b.wet.gz").toString)
+    gz.count() shouldBe 3
+    gz.orderBy("record_index").collect().map(_.getAs[String]("record_id")).toSeq shouldBe
+      Seq("<urn:t:1>", "<urn:t:2>", "<urn:t:3>")
+    // a torn trailing record (declared length > remaining bytes) drops,
+    // the intact prefix survives — ingest must not abort on one bad file
+    java.nio.file.Files.write(d.resolve("c.warc"),
+      rec(1, None, "ok") ++
+        "WARC/1.0\r\nContent-Length: 9999\r\n\r\nshort".getBytes("UTF-8"))
+    val torn = Loader.load(spark, d.resolve("c.warc").toString)
+    torn.count() shouldBe 1
+    torn.head().getAs[String]("payload") shouldBe "ok"
+  }
+
   test("Loader reads csv with header + inferred schema") {
     val p = java.nio.file.Files.createTempFile("graft", ".csv")
     java.nio.file.Files.writeString(p, "a,b\n1,x\n2,y\n")
