@@ -117,6 +117,23 @@ object SparkEntry {
       d
     })
 
+  /** text_langid_model's fitted NB char-bigram model through a save/load
+    * round trip, cached per (JVM, sf dir) — the bpeFitted convention
+    * (deterministic fit; a fresh directory per fit so interleaved sf dirs
+    * can't cross round trips). vocabSize=256 keeps the cutoff BINDING at
+    * sf0.01 so the oracle exercises the vocabulary head, not just the
+    * weights. */
+  private val langIdModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ops.LangId.LangIdModel]
+  private def langIdFitted(s: SparkSession, dir: String): graft.ops.LangId.LangIdModel =
+    langIdModels.getOrElseUpdate(dir, {
+      val m = graft.ops.LangId.langIdFit(
+        rt(s, dir, "documents"), "text", "lang", vocabSize = 256)
+      val d = java.nio.file.Files.createTempDirectory("graft_langid_model").toString
+      m.save(d)
+      graft.ops.LangId.LangIdModel.load(s, d)
+    })
+
   /** warc_extract's synthetic crawl archive, materialized once per (JVM,
     * sf dir) — the contamIdxDir convention: every document becomes one
     * WARC/1.0 conversion record (record id derived from doc_id, target URI
@@ -1404,6 +1421,15 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       rt(s, dir, "documents").select(
         col("doc_id"), TextOps.languageId(col("text")).as("lang_pred"))),
+    // Trained language ID: multi-class NB over char bigrams, fit on the
+    // labeled corpus through a save/load round trip, scored as one
+    // broadcast weight join + per-doc argmax. The oracle replays fit AND
+    // argmax (vocab head, smoothed weights, ordered fold, prior biases).
+    "text_langid_model" -> ((s, dir) =>
+      graft.ops.LangId.langIdScore(
+        rt(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", langIdFitted(s, dir))
+        .select("doc_id", "lang_pred", "lang_score")),
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionFeatures(
         rt(s, dir, "documents").select("doc_id", "text"), "text")
@@ -3586,6 +3612,55 @@ object SparkEntry {
         |            WHEN s_fr >= s_zh THEN 'fr'
         |            ELSE 'zh' END AS lang_pred
         |FROM s""".stripMargin,
+    // Full fit + argmax replay of the trained NB language ID: char-bigram
+    // counts per (gram, lang), the top-256 vocabulary head (total desc,
+    // gram asc), the FULL smoothed (vocab × langs) weight table (zero
+    // counts keep their penalty), prior-logit biases, the ascending-order
+    // weight fold per (doc, lang), + bias, argmax with lang-asc ties; a
+    // doc with no vocab grams defaults to the highest-prior language.
+    "text_langid_model" ->
+      """WITH lt AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+        |     lg AS (SELECT doc_id,
+        |              unnest([substr(t, i, 2) FOR i IN range(1, len(t))]) AS gram
+        |            FROM lt),
+        |     lgl AS (SELECT lt.lang,
+        |               unnest([substr(t, i, 2) FOR i IN range(1, len(t))]) AS gram
+        |             FROM lt),
+        |     lc AS (SELECT gram, lang, CAST(count(*) AS BIGINT) AS c
+        |            FROM lgl GROUP BY 1, 2),
+        |     lv AS (SELECT gram FROM (
+        |              SELECT gram, sum(c) AS tot FROM lc GROUP BY 1)
+        |            ORDER BY tot DESC, gram ASC LIMIT 256),
+        |     langs AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd
+        |               FROM documents GROUP BY 1),
+        |     vn AS (SELECT count(*) AS v FROM lv),
+        |     fullc AS (SELECT lv.gram, langs.lang, COALESCE(lc.c, 0) AS c
+        |               FROM lv CROSS JOIN langs
+        |                    LEFT JOIN lc ON lv.gram = lc.gram AND langs.lang = lc.lang),
+        |     ltot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tl FROM fullc GROUP BY 1),
+        |     w AS (SELECT gram, f.lang,
+        |             round(ln((c + 1.0) / (tl + v)), 9) + 0.0 AS weight
+        |           FROM fullc f JOIN ltot USING (lang) CROSS JOIN vn),
+        |     b AS (SELECT lang,
+        |             round(ln(CAST(nd AS DOUBLE)
+        |                      / CAST((SELECT sum(nd) FROM langs) AS DOUBLE)), 9) + 0.0 AS bias
+        |           FROM langs),
+        |     docsc AS (SELECT g.doc_id, w.lang,
+        |                 list_reduce(list_prepend(0.0, list(weight ORDER BY weight)),
+        |                             (a, x) -> a + x) AS s0
+        |               FROM lg g JOIN w USING (gram) GROUP BY 1, 2),
+        |     withb AS (SELECT doc_id, lang, s0 + bias AS score
+        |               FROM docsc JOIN b USING (lang)),
+        |     pred AS (SELECT doc_id, lang, score,
+        |                     row_number() OVER (PARTITION BY doc_id
+        |                                        ORDER BY score DESC, lang ASC) AS rn
+        |              FROM withb),
+        |     dflt AS (SELECT lang, bias FROM b ORDER BY bias DESC, lang ASC LIMIT 1)
+        |SELECT d.doc_id,
+        |       COALESCE(p.lang, (SELECT lang FROM dflt)) AS lang_pred,
+        |       COALESCE(p.score, (SELECT bias FROM dflt)) AS lang_score
+        |FROM documents d LEFT JOIN (SELECT doc_id, lang, score FROM pred WHERE rn = 1) p
+        |     USING (doc_id)""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -3075,6 +3075,51 @@ class OpsSpec extends SparkSpec {
     prf should not contain 4L
   }
 
+  test("LangId: hand-checked NB fit, argmax score, default path, save/load round trip") {
+    import graft.ops.LangId
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // two "languages" with disjoint characteristic bigrams; doc 5 is
+    // 1-char (no bigrams) → the no-evidence default
+    val corpus = Seq(
+      (1L, "aaab", "xx"), (2L, "aaaa", "xx"), (3L, "aaab", "xx"),
+      (4L, "bbbb", "yy"),
+    ).toDF("doc_id", "text", "lang")
+    val m = LangId.langIdFit(corpus, "text", "lang", vocabSize = 2)
+    // gram totals: aa: docs1-3 → 2+3+2 = 7; ab: 2; bb: 3 → vocab top-2 =
+    // (aa, 7), (bb, 3); counts: aa→(xx 7, yy 0), bb→(xx 0, yy 3);
+    // totals over vocab: xx 7, yy 3; V = 2
+    m.langs shouldBe Seq("xx", "yy")
+    val w = m.weights.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    w(("aa", "xx")) shouldBe r9(math.log(8.0 / 9.0))
+    w(("aa", "yy")) shouldBe r9(math.log(1.0 / 5.0))
+    w(("bb", "xx")) shouldBe r9(math.log(1.0 / 9.0))
+    w(("bb", "yy")) shouldBe r9(math.log(4.0 / 5.0))
+    m.biases("xx") shouldBe r9(math.log(3.0 / 4.0))
+    m.biases("yy") shouldBe r9(math.log(1.0 / 4.0))
+    // score through a save/load round trip
+    val dir = java.nio.file.Files.createTempDirectory("graft_langid_t").toString
+    m.save(dir)
+    val loaded = LangId.LangIdModel.load(spark, dir)
+    loaded.langs shouldBe m.langs
+    loaded.biases shouldBe m.biases
+    val scored = LangId.langIdScore(
+      Seq((10L, "aaa"), (11L, "bbb"), (12L, "x")).toDF("doc_id", "text"),
+      "doc_id", "text", loaded)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang_pred"), r.getAs[Double]("lang_score")))).toMap
+    scored(10L)._1 shouldBe "xx"
+    scored(10L)._2 shouldBe 2 * w(("aa", "xx")) + m.biases("xx")
+    scored(11L)._1 shouldBe "yy"
+    scored(11L)._2 shouldBe 2 * w(("bb", "yy")) + m.biases("yy")
+    // no vocabulary grams → highest-prior language at its bias
+    scored(12L) shouldBe (("xx", m.biases("xx")))
+    // NULL labels are loud, not dropped
+    an[graft.errors.FeatureFactoryException.InvalidParameter] should be thrownBy
+      LangId.langIdFit(
+        Seq(("ab", "xx"), ("cd", null)).toDF("text", "lang"), "text", "lang")
+  }
+
   test("Retrieval.bm25PrfSearchIndex: indexed PRF equals the direct two-pass form") {
     val docs = Seq(
       (1L, "apple banana"),

@@ -264,6 +264,18 @@ class PlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("langIdScore joins the weight table by broadcast; argmax reuses the fold's doc key") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = graft.ops.LangId.langIdFit(d, "text", "lang", vocabSize = 256)
+    val plan = formatted(graft.ops.LangId.langIdScore(d, "doc_id", "text", m))
+    // the (vocab × langs)-sized weight table is always the build side; the
+    // corpus gram stream must never shuffle on the gram
+    plan should include("BroadcastHashJoin")
+    plan should not include "hashpartitioning(gram"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("domainFilter is one broadcast anti join; urlFeatures is narrow") {
     import spark.implicits._
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
