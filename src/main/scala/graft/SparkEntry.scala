@@ -255,6 +255,29 @@ object SparkEntry {
         concat(lit("https://login:pw@"), col("source"), lit("-cdn.org:8080/dl/v2")))
       .otherwise(concat(lit("ftp://files."), col("source"), lit(".net")))
 
+  /** The synthetic HOST of the text_url_psl query — six shapes keyed on
+    * doc_id % 6 exercising every PSL rule kind: plain gTLD, two-label
+    * exact (co.uk), three-label wildcard (*.kawasaki.jp — the public
+    * suffix eats a host label), a wildcard's city EXCEPTION, a
+    * wildcard-only TLD (*.ck), and the !www.ck exception itself. */
+  private def synthPslHost: org.apache.spark.sql.Column =
+    when(col("doc_id") % 6 === 0, concat(lit("www."), col("source"), lit("-news.com")))
+      .when(col("doc_id") % 6 === 1, concat(lit("blog."), col("source"), lit(".co.uk")))
+      .when(col("doc_id") % 6 === 2, concat(lit("a.b."), col("source"), lit(".kawasaki.jp")))
+      .when(col("doc_id") % 6 === 3, lit("www.city.kawasaki.jp"))
+      .when(col("doc_id") % 6 === 4, concat(lit("x."), col("source"), lit(".ck")))
+      .otherwise(lit("www.ck"))
+
+  /** SQL twin of [[synthPslHost]]. */
+  private val synthPslHostSql =
+    """CASE doc_id % 6
+      |  WHEN 0 THEN 'www.' || source || '-news.com'
+      |  WHEN 1 THEN 'blog.' || source || '.co.uk'
+      |  WHEN 2 THEN 'a.b.' || source || '.kawasaki.jp'
+      |  WHEN 3 THEN 'www.city.kawasaki.jp'
+      |  WHEN 4 THEN 'x.' || source || '.ck'
+      |  ELSE 'www.ck' END""".stripMargin
+
   /** Synthetic PII suffix of the text_pii_*_ext queries (testdata carries
     * no card/SSN/IBAN shapes) — three shapes keyed on doc_id % 4, derived
     * only from columns both engines read (the synthUrl convention). */
@@ -1477,6 +1500,28 @@ object SparkEntry {
         rt(s, dir, "documents").select(col("doc_id"), col("source"))
           .withColumn("url", synthUrl), "url")
         .select("doc_id", "url", "url_host", "url_domain", "url_path", "url_depth")),
+    // The PSL rule table (exact / wildcard / exception + label counts) —
+    // the aux dump text_url_psl's oracle replays the prevailing-rule
+    // algorithm over, like the centroid/codebook dumps.
+    "text_psl_rules" -> ((s, dir) => {
+      val r = graft.ops.Psl.snapshot
+      import org.apache.spark.sql.types.{LongType, StringType}
+      def rows(set: Set[String], kind: String) = set.toSeq.sorted.map(x =>
+        org.apache.spark.sql.Row(x, kind, (x.count(_ == '.') + 1).toLong))
+      Sampling.localFrame(s,
+        Seq("rule" -> StringType, "kind" -> StringType, "nlabels" -> LongType),
+        rows(r.exact, "exact") ++ rows(r.wildcardBases, "wildcard") ++
+          rows(r.exceptions, "exception"))
+    }),
+    // Registered-domain extraction under FULL public-suffix-list semantics
+    // (wildcards, exceptions, default rule) over six host shapes covering
+    // every rule kind. The oracle replays the longest-match/exception
+    // algorithm as SQL joins against the text_psl_rules dump.
+    "text_url_psl" -> ((s, dir) =>
+      Url.registeredDomainPsl(
+        rt(s, dir, "documents").select(col("doc_id"), synthPslHost.as("url_host")),
+        "url_host")
+        .select("doc_id", "url_host", "url_domain")),
     // HTML → plain-text extraction over a synthetic page wrapper (the
     // testdata has no HTML column): script/style/comment removal, block
     // tags to newlines, entity decode with &amp; last, whitespace
@@ -3430,6 +3475,36 @@ object SparkEntry {
          |$urlFeaturesCte
          |SELECT doc_id, lang, source FROM feats
          |WHERE url_domain NOT IN ('src1.co.uk', 'src3-news.com', 'src0-cdn.org')""".stripMargin,
+    // Full PSL prevailing-rule replay against the text_psl_rules dump: a
+    // j-label suffix joins rules with j labels; exact → level j, wildcard
+    // base → level j+1, exception → public suffix j−1 (and wins); no match
+    // → the default rule (level 1); registered domain = suffix of level+1
+    // labels, host passthrough when the host IS a public suffix.
+    "text_url_psl" ->
+      s"""WITH u AS (SELECT doc_id, $synthPslHostSql AS host FROM documents),
+         |     r AS (SELECT rule, kind, nlabels
+         |           FROM read_parquet('{GRAFT_OUT}/text_psl_rules/*.parquet')),
+         |     c AS (SELECT doc_id, host, string_split(host, '.') AS ls,
+         |                  len(string_split(host, '.')) AS n
+         |           FROM u),
+         |     sfx AS (SELECT c.doc_id, c.n, j.j,
+         |                    array_to_string(c.ls[c.n - j.j + 1:], '.') AS s
+         |             FROM c CROSS JOIN (SELECT unnest(range(1, 6)) AS j) j
+         |             WHERE c.n >= j.j),
+         |     hits AS (SELECT s.doc_id,
+         |                     CASE WHEN r.kind = 'exact' THEN s.j
+         |                          WHEN r.kind = 'wildcard' THEN s.j + 1 END AS lvl,
+         |                     CASE WHEN r.kind = 'exception' THEN s.j - 1 END AS exc
+         |              FROM sfx s JOIN r ON r.nlabels = s.j AND r.rule = s.s),
+         |     agg AS (SELECT doc_id, max(lvl) AS ml, max(exc) AS mx
+         |             FROM hits GROUP BY 1),
+         |     ps AS (SELECT c.doc_id, c.host, c.ls, c.n,
+         |                   COALESCE(a.mx, GREATEST(COALESCE(a.ml, 1), 1)) AS p
+         |            FROM c LEFT JOIN agg a USING (doc_id))
+         |SELECT doc_id, host AS url_host,
+         |       CASE WHEN n > p THEN array_to_string(ls[n - p:], '.')
+         |            ELSE host END AS url_domain
+         |FROM ps""".stripMargin,
     // The same 13-step regexp cascade, step for step: script/style blocks,
     // comments, block tags → chr(10), all tags, five entities then &amp;,
     // space collapse, newline collapse, regex trim.

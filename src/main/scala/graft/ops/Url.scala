@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
 object Url {
 
   /** Default multi-part public suffixes for registered-domain extraction
-    * (the common ccTLD second-level registries). */
+    * (the common ccTLD second-level registries) — the FALLBACK path:
+    * [[registeredDomainPsl]] with the [[Psl.snapshot]] rules is the
+    * production extraction (three-label registries, wildcard TLDs, and
+    * exception rules this two-label set cannot express). Kept for the
+    * zero-dependency Column form ([[registeredDomain]] stays a pure
+    * narrow expression; the PSL path needs rule-table joins). */
   val DefaultMultiSuffixes: Set[String] = Set(
     "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
     "com.au", "net.au", "org.au", "co.in", "co.nz", "com.br", "com.cn",
@@ -65,6 +70,116 @@ object Url {
     when(n >= 3 && last2.isin(multiSuffixes.toSeq: _*), last3)
       .when(n >= 2, last2)
       .otherwise(hostCol)
+  }
+
+  /** Registered domain under full public-suffix-list semantics — exact,
+    * WILDCARD (`*.ck`), and EXCEPTION (`!www.ck`) rules plus the implicit
+    * default rule `*` — appended as `outCol` from the lowercased host in
+    * `hostCol`. The prevailing rule follows publicsuffix.org: an exception
+    * match wins (its public suffix is the rule minus its leftmost label),
+    * else the LONGEST matching rule, else the default (the bare TLD); the
+    * registered domain is the public suffix plus one label. A host that IS
+    * a public suffix (or empty/NULL) passes through unchanged — the
+    * [[registeredDomain]] compatibility rule.
+    *
+    * Scale shape: label suffixes are pure narrow string expressions; each
+    * (rule kind, label count) bucket of the dictionary-sized rule set is
+    * one BROADCAST left join keyed on the matching suffix — no explode, no
+    * aggregation, no shuffle anywhere (PlanSpec pins zero Exchanges). The
+    * join count is the number of distinct rule shapes in the list (≈7 for
+    * the shipped snapshot), independent of corpus size. */
+  def registeredDomainPsl(
+      df: DataFrame,
+      hostCol: String,
+      outCol: String = "url_domain",
+      rules: Psl.Rules = Psl.snapshot): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(hostCol))
+    graft.core.Validators.requireColumnsAbsent(df, Seq(outCol), "registeredDomainPsl")
+    require(!rules.isEmpty, "registeredDomainPsl: empty rule set")
+    val spark = df.sparkSession
+    def nLabels(r: String): Int = r.count(_ == '.') + 1
+    val labels = split(col(hostCol), "\\.")
+    val n = size(labels)
+    def lastK(k: Int): Column =
+      when(n >= k, array_join(slice(labels, -k, k), "."))
+    import org.apache.spark.sql.types.StringType
+    def ruleTable(rs: Set[String], colName: String, k: Int): Option[DataFrame] = {
+      val subset = rs.filter(nLabels(_) == k)
+      if (subset.isEmpty) None
+      else Some(Sampling.broadcastFrame(spark, Seq(colName -> StringType),
+        subset.toSeq.sorted.map(org.apache.spark.sql.Row(_))))
+    }
+    val maxEx = (rules.exact ++ rules.exceptions).map(nLabels).maxOption.getOrElse(0)
+    val maxW = rules.wildcardBases.map(nLabels).maxOption.getOrElse(0)
+    var out = df
+    var joined = List.empty[String]
+    def addJoin(rs: Set[String], prefix: String, k: Int): Unit =
+      ruleTable(rs, s"$prefix$k", k).foreach { t =>
+        out = out.join(t, lastK(k) === col(s"$prefix$k"), "left")
+        joined ::= s"$prefix$k"
+      }
+    (1 to maxEx).foreach { k =>
+      addJoin(rules.exact, "__graft_pe", k)
+      addJoin(rules.exceptions, "__graft_px", k)
+    }
+    (1 to maxW).foreach(k => addJoin(rules.wildcardBases, "__graft_pw", k))
+    def has(c: String): Boolean = joined.contains(c)
+    // exception match at k labels → public suffix is k−1 labels; largest k
+    // prevails (coalesce descending)
+    val excCols = (maxEx to 1 by -1).collect {
+      case k if has(s"__graft_px$k") =>
+        when(col(s"__graft_px$k").isNotNull, lit(k - 1))
+    }
+    val lvlCols =
+      (1 to maxEx).collect { case k if has(s"__graft_pe$k") =>
+        when(col(s"__graft_pe$k").isNotNull, lit(k)).otherwise(lit(1)) } ++
+        (1 to maxW).collect { case k if has(s"__graft_pw$k") =>
+          when(col(s"__graft_pw$k").isNotNull, lit(k + 1)).otherwise(lit(1)) }
+    val best =
+      if (lvlCols.isEmpty) lit(1)
+      else greatest((lit(1) +: lvlCols): _*)
+    val ps = coalesce((excCols :+ best): _*)
+    out
+      .withColumn(outCol,
+        when(n > ps, array_join(slice(labels, -(ps + lit(1)), ps + lit(1)), "."))
+          .otherwise(col(hostCol)))
+      .drop(joined: _*)
+  }
+
+  /** [[urlFeatures]] with the registered domain under full PSL semantics
+    * ([[registeredDomainPsl]]); host/path/depth are the same narrow
+    * extractions. */
+  def urlFeaturesPsl(
+      df: DataFrame,
+      urlCol: String,
+      rules: Psl.Rules = Psl.snapshot): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(urlCol))
+    graft.core.Validators.requireColumnsAbsent(df,
+      Seq("url_host", "url_domain", "url_path", "url_depth"), "urlFeaturesPsl")
+    registeredDomainPsl(
+      df.withColumn("url_host", host(col(urlCol))), "url_host", "url_domain", rules)
+      .withColumn("url_path", path(col(urlCol)))
+      .withColumn("url_depth", pathDepth(col(urlCol)))
+  }
+
+  /** [[domainFilter]] under full PSL semantics: drops rows whose
+    * PSL registered domain appears in `blocklist` — the rule joins plus
+    * ONE broadcast LEFT ANTI join; pass-through schema. */
+  def domainFilterPsl(
+      df: DataFrame,
+      urlCol: String,
+      blocklist: DataFrame,
+      rules: Psl.Rules = Psl.snapshot): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(urlCol))
+    require(blocklist.columns.length == 1,
+      "domainFilterPsl: blocklist must be a single-column DataFrame of domains")
+    val bl = blocklist.toDF("__graft_blocked")
+    registeredDomainPsl(
+      df.withColumn("__graft_psl_host", host(col(urlCol))),
+      "__graft_psl_host", "__graft_psl_dom", rules)
+      .join(broadcast(bl),
+        col("__graft_psl_dom") === col("__graft_blocked"), "left_anti")
+      .drop("__graft_psl_host", "__graft_psl_dom")
   }
 
   /** Appends `url_host`, `url_domain` (registered domain), `url_path`,

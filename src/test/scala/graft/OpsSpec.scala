@@ -3075,6 +3075,49 @@ class OpsSpec extends SparkSpec {
     prf should not contain 4L
   }
 
+  test("Psl: parser and registeredDomainPsl handle exact/wildcard/exception/default rules") {
+    import graft.ops.{Psl, Url}
+    val rules = Psl.parse(Iterator(
+      "// comment", "", "co.uk", "kawasaki.jp ", "*.kawasaki.jp",
+      "!city.kawasaki.jp", "*.ck", "!www.ck"))
+    rules.exact shouldBe Set("co.uk", "kawasaki.jp")
+    rules.wildcardBases shouldBe Set("kawasaki.jp", "ck")
+    rules.exceptions shouldBe Set("city.kawasaki.jp", "www.ck")
+    val hosts = Seq(
+      "www.example.com",        // default rule → example.com
+      "blog.bbc.co.uk",         // exact co.uk → bbc.co.uk
+      "a.b.x.kawasaki.jp",      // wildcard: x.kawasaki.jp is the ps → b.x.kawasaki.jp
+      "www.city.kawasaki.jp",   // exception beats the wildcard → city.kawasaki.jp
+      "x.y.ck",                 // wildcard TLD: y.ck is the ps → x.y.ck
+      "www.ck",                 // !www.ck → registrable as-is (ps = ck)
+      "y.ck",                   // IS a public suffix → passthrough
+      "com",                    // bare TLD → passthrough
+      "")                       // no host → passthrough
+      .toDF("h")
+    val out = Url.registeredDomainPsl(hosts, "h", "dom", rules)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    out("www.example.com") shouldBe "example.com"
+    out("blog.bbc.co.uk") shouldBe "bbc.co.uk"
+    out("a.b.x.kawasaki.jp") shouldBe "b.x.kawasaki.jp"
+    out("www.city.kawasaki.jp") shouldBe "city.kawasaki.jp"
+    out("x.y.ck") shouldBe "x.y.ck"
+    out("www.ck") shouldBe "www.ck"
+    out("y.ck") shouldBe "y.ck"
+    out("com") shouldBe "com"
+    out("") shouldBe ""
+    // the shipped snapshot parses and carries all three rule kinds
+    Psl.snapshot.exact should contain("co.uk")
+    Psl.snapshot.wildcardBases should contain("ck")
+    Psl.snapshot.exceptions should contain("www.ck")
+    // blocklist filtering under PSL semantics: b.x.kawasaki.jp blocked
+    import org.apache.spark.sql.functions.concat_ws
+    val docs = Seq(
+      (1L, "https://a.b.x.kawasaki.jp/p"),
+      (2L, "https://blog.bbc.co.uk/q")).toDF("id", "url")
+    Url.domainFilterPsl(docs, "url", Seq("b.x.kawasaki.jp").toDF("d"), rules)
+      .select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+  }
+
   test("LangId: hand-checked NB fit, argmax score, default path, save/load round trip") {
     import graft.ops.LangId
     def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble

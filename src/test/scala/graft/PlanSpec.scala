@@ -264,6 +264,19 @@ class PlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("registeredDomainPsl is broadcast rule joins only — zero shuffles") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("h", concat(lit("www."), col("source"), lit(".co.uk")))
+    val plan = formatted(graft.ops.Url.registeredDomainPsl(d, "h"))
+    // every rule bucket is a broadcast build side over a narrow suffix
+    // expression; the corpus never shuffles and nothing explodes
+    plan should include("BroadcastHashJoin")
+    plan should not include "Exchange hashpartitioning"
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("langIdScore joins the weight table by broadcast; argmax reuses the fold's doc key") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val m = graft.ops.LangId.langIdFit(d, "text", "lang", vocabSize = 256)
