@@ -104,9 +104,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 3, s"${TilePairs.HashEmbedName} expects 3 arguments")
       HashEmbedCounts(args(0), args(1), args(2))
     }))
-    ext.injectFunction(fn(TilePairs.WarcName, { args =>
-      require(args.length == 1, s"${TilePairs.WarcName} expects 1 argument")
-      WarcRecords(args(0))
-    }))
   }
 }

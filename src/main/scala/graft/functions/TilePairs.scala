@@ -39,7 +39,6 @@ object TilePairs {
   val TokenNgramName = "graft_token_ngram_hashes"
   val BpeName = "graft_bpe_encode"
   val HashEmbedName = "graft_hash_embed"
-  val WarcName = "graft_warc_records"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

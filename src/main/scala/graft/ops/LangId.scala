@@ -66,13 +66,7 @@ object LangId {
       * (ties by language ascending) — what a document with zero vocabulary
       * grams is predicted as. */
     private[ops] def defaultLang: (String, Double) =
-      langs.map(l => (l, biases(l))).maxBy { case (l, b) => (b, ReverseOrd(l)) }
-  }
-
-  /** Orders strings DESCENDING under maxBy so (bias max, lang asc) ties
-    * break toward the alphabetically first language. */
-  private case class ReverseOrd(s: String) extends Ordered[ReverseOrd] {
-    def compare(that: ReverseOrd): Int = that.s.compareTo(s)
+      langs.map(l => (l, biases(l))).minBy { case (l, b) => (-b, l) }
   }
 
   object LangIdModel {
@@ -109,11 +103,14 @@ object LangId {
     * label are rejected loudly — silently dropping them would shift every
     * prior.
     *
-    * Scale shape: one explode+count aggregate (the word-count shuffle, on
-    * character bigrams), a TakeOrdered vocabulary head, and one bounded
-    * (vocab × langs) collect; the weight/bias arithmetic runs as Spark
-    * expressions over driver-built frames so ln/round is the engine's own,
-    * exactly replayable by the oracle. */
+    * Scale shape: TWO corpus jobs total — one narrow per-language document
+    * count (which also surfaces NULL labels for free), and ONE
+    * explode+aggregate over the character bigrams whose TakeOrdered head
+    * carries the per-language counts alongside each vocabulary gram (so
+    * the vocabulary cut and the (vocab × langs) pull share a single
+    * shuffle instead of recomputing the dominant explode). The weight/bias
+    * arithmetic runs as Spark expressions over driver-built frames so
+    * ln/round is the engine's own, exactly replayable by the oracle. */
   def langIdFit(
       corpus: DataFrame,
       textCol: String,
@@ -122,36 +119,42 @@ object LangId {
     require(vocabSize >= 1, "vocabSize must be >= 1")
     graft.core.Validators.requireColumns(corpus, Seq(textCol, langCol))
     val spark = corpus.sparkSession
-    if (corpus.filter(col(langCol).isNull).limit(1).count() > 0)
+    val langCountsRaw = corpus.groupBy(col(langCol).cast("string").as("lang"))
+      .agg(count(lit(1)).as("nd"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // the group keys surface NULL labels for free — check BEFORE sorting
+    // (a null sort key would NPE) and refuse loudly
+    if (langCountsRaw.exists(_._1 == null))
       throw graft.errors.FeatureFactoryException.InvalidParameter(
         s"langIdFit: NULL labels in '$langCol' — filter or impute them first " +
           "(silently dropping rows would shift every language prior)")
-    val langCounts = corpus.groupBy(col(langCol).cast("string").as("lang"))
-      .agg(count(lit(1)).as("nd"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val langCounts = langCountsRaw.sortBy(_._1)
     if (langCounts.length < 2)
       throw graft.errors.FeatureFactoryException.InvalidParameter(
         s"langIdFit: need at least 2 languages, got ${langCounts.length}")
     val langs = langCounts.map(_._1).toSeq
     val nTotal = langCounts.map(_._2).sum
-    val counts = corpus
+    // one aggregate over the exploded bigrams: the vocabulary head carries
+    // each gram's per-language counts, so no second corpus pass is needed
+    val vocabRows = corpus
       .select(col(langCol).cast("string").as("lang"),
         explode(charBigrams(col(textCol))).as("gram"))
       .groupBy("gram", "lang").agg(count(lit(1)).as("c"))
-    val vocab = counts.groupBy("gram").agg(sum(col("c")).as("tot"))
+      .groupBy("gram").agg(sum(col("c")).as("tot"),
+        collect_list(struct(col("lang"), col("c"))).as("per_lang"))
       .orderBy(col("tot").desc, col("gram").asc)
       .limit(vocabSize)
-      .select("gram").collect().map(_.getString(0))
+      .select("gram", "per_lang").collect()
+    val vocab = vocabRows.map(_.getString(0))
     if (vocab.isEmpty)
       throw graft.errors.FeatureFactoryException.InvalidParameter(
         "langIdFit: corpus has no character bigrams — nothing to fit")
     import org.apache.spark.sql.types.{LongType, StringType}
-    val vocabDf = Sampling.localFrame(spark, Seq("gram" -> StringType),
-      vocab.toSeq.map(org.apache.spark.sql.Row(_)))
-    // bounded (vocab × langs) pull — the classifierFit collect, keyed twice
-    val pairCounts = counts
-      .join(broadcast(vocabDf), Seq("gram"), "left_semi")
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pairCounts = vocabRows.iterator.flatMap { r =>
+      val g = r.getString(0)
+      r.getSeq[org.apache.spark.sql.Row](1).map(p =>
+        (g, p.getString(0)) -> p.getLong(1))
+    }.toMap
     val v = vocab.length
     val totals = langs.map(l =>
       l -> vocab.iterator.map(g => pairCounts.getOrElse((g, l), 0L)).sum).toMap

@@ -80,7 +80,10 @@ object Url {
     * else the LONGEST matching rule, else the default (the bare TLD); the
     * registered domain is the public suffix plus one label. A host that IS
     * a public suffix (or empty/NULL) passes through unchanged — the
-    * [[registeredDomain]] compatibility rule.
+    * [[registeredDomain]] compatibility rule. The host is LOWERCASED
+    * before matching and in the output (hostnames are case-insensitive;
+    * rules are lowercase), so mixed-case crawl hosts can't silently miss
+    * every rule.
     *
     * Scale shape: label suffixes are pure narrow string expressions; each
     * (rule kind, label count) bucket of the dictionary-sized rule set is
@@ -98,7 +101,8 @@ object Url {
     require(!rules.isEmpty, "registeredDomainPsl: empty rule set")
     val spark = df.sparkSession
     def nLabels(r: String): Int = r.count(_ == '.') + 1
-    val labels = split(col(hostCol), "\\.")
+    val h = lower(col(hostCol))
+    val labels = split(h, "\\.")
     val n = size(labels)
     def lastK(k: Int): Column =
       when(n >= k, array_join(slice(labels, -k, k), "."))
@@ -142,7 +146,7 @@ object Url {
     out
       .withColumn(outCol,
         when(n > ps, array_join(slice(labels, -(ps + lit(1)), ps + lit(1)), "."))
-          .otherwise(col(hostCol)))
+          .otherwise(h))
       .drop(joined: _*)
   }
 

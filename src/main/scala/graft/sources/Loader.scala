@@ -47,25 +47,15 @@ object Loader {
     * warc_date, content_type, content_length, payload). WET conversion
     * records' payload feeds the curation chain directly; WARC response
     * records' HTML goes through [[graft.ops.TextOps.stripHtml]] first.
-    * gzip archives (`.warc.gz` / `.wet.gz`) inflate inside the parser.
+    * gzip archives (`.warc.gz` / `.wet.gz`) inflate inside the reader.
     *
-    * Scale shape: the binaryFile source makes each archive ONE task (the
-    * standard Spark WARC-reader trade — crawl archives are ~1 GB by
-    * convention, so a 100 TB crawl is ~100k independent file-tasks), and
-    * the graft_warc_records kernel parses a file in one pass; everything
-    * downstream is ordinary narrow column work. Requires
-    * [[graft.functions.GraftExtensions]] on the session (record parsing
-    * is imperative byte work — there is no pure-Column fallback). */
-  def loadWarc(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    if (!spark.catalog.functionExists(graft.functions.TilePairs.WarcName))
-      throw UnsupportedFormat(
-        "WARC/WET reading needs the graft_warc_records kernel — set " +
-          "spark.sql.extensions=graft.functions.GraftExtensions on the session.")
-    spark.read.format("binaryFile").load(path)
-      .select(col("path").as("warc_file"),
-        posexplode(call_function(graft.functions.TilePairs.WarcName, col("content")))
-          .as(Seq("record_index", "__graft_rec")))
-      .select(col("warc_file"), col("record_index"), col("__graft_rec.*"))
-  }
+    * Backed by the `graft-warc` DataSource V2
+    * ([[graft.sources.warc.WarcDataSource]]): one task per archive file
+    * (gzip is not splittable; crawl archives are ~1 GB by convention, so
+    * a 100 TB crawl is ~100k independent file-tasks) STREAMING records
+    * off the open file — memory is bounded by the largest single record,
+    * never the archive, so multi-GB inflated .warc.gz parses fine.
+    * Directories and globs expand through the path's Hadoop filesystem. */
+  def loadWarc(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft-warc").load(path)
 }

@@ -58,6 +58,22 @@ object ScaleData {
     def rt(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
     def wr(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+    // replica shifts collide silently if any source key reaches the
+    // stride — the 'no manufactured cross-replica duplicates' invariant
+    // the scaling measurement depends on, so verify it loudly
+    def checkStride(df: DataFrame, keys: String*): Unit = keys.foreach { k =>
+      val mx = df.agg(max(col(k))).head().getLong(0)
+      require(mx < Stride,
+        s"ScaleData: max($k) = $mx >= stride $Stride — raise Stride")
+    }
+    checkStride(rt("documents"), "doc_id")
+    checkStride(rt("embeddings"), "vec_id")
+    checkStride(rt("events"), "event_id", "user_id")
+    checkStride(rt("lineitem"), "l_orderkey", "l_partkey", "l_suppkey")
+    checkStride(rt("orders"), "o_orderkey", "o_custkey")
+    checkStride(rt("customer"), "c_custkey")
+    checkStride(rt("part"), "p_partkey")
+    checkStride(rt("supplier"), "s_suppkey")
 
     wr(replicate(rt("documents"), factor) { (d, i) =>
       d.select(
