@@ -146,25 +146,34 @@ object SparkEntry {
   private def warcFixture(s: SparkSession, dir: String): String =
     warcDirs.getOrElseUpdate(dir, {
       val rows = rt(s, dir, "documents")
-        .select(col("doc_id"), synthUrl.as("url"), col("text"))
+        .select(col("doc_id"), synthUrl.as("url"), col("text"),
+          synthHtml.as("html"))
         .orderBy("doc_id").collect()
       val d = java.nio.file.Files.createTempDirectory("graft_warc").toString
-      val out = new java.io.ByteArrayOutputStream()
-      rows.foreach { r =>
-        val payload = r.getString(2).getBytes("UTF-8")
-        val header =
-          s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
-            s"WARC-Record-ID: <urn:graft:doc-${r.getLong(0)}>\r\n" +
-            s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
-            s"WARC-Target-URI: ${r.getString(1)}\r\n" +
-            s"Content-Type: text/plain\r\n" +
-            s"Content-Length: ${payload.length}\r\n\r\n"
-        out.write(header.getBytes("UTF-8"))
-        out.write(payload)
-        out.write("\r\n\r\n".getBytes("UTF-8"))
+      def writeArchive(
+          file: String, warcType: String, contentType: String,
+          payloadOf: org.apache.spark.sql.Row => String): Unit = {
+        val out = new java.io.ByteArrayOutputStream()
+        rows.foreach { r =>
+          val payload = payloadOf(r).getBytes("UTF-8")
+          val header =
+            s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
+              s"WARC-Record-ID: <urn:graft:doc-${r.getLong(0)}>\r\n" +
+              s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+              s"WARC-Target-URI: ${r.getString(1)}\r\n" +
+              s"Content-Type: $contentType\r\n" +
+              s"Content-Length: ${payload.length}\r\n\r\n"
+          out.write(header.getBytes("UTF-8"))
+          out.write(payload)
+          out.write("\r\n\r\n".getBytes("UTF-8"))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(d, file), out.toByteArray)
       }
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(d, "docs.warc"), out.toByteArray)
+      // the WET-shaped plain-text archive (warc_extract) and the
+      // response-shaped HTML archive (warc_html_extract)
+      writeArchive("docs.warc", "conversion", "text/plain", _.getString(2))
+      writeArchive("docs_html.warc", "response", "text/html", _.getString(3))
       d
     })
 
@@ -1273,6 +1282,14 @@ object SparkEntry {
     "warc_extract" -> ((s, dir) =>
       graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs.warc")
         .select("record_id", "target_uri", "content_length", "payload")),
+    // The crawl first mile end to end: WARC response records → HTML
+    // payloads → the 13-step stripHtml cascade — loadWarc composed with
+    // the curation chain's entry op, oracled through the same cascade
+    // replay as text_strip_html.
+    "warc_html_extract" -> ((s, dir) =>
+      graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_html.warc")
+        .select(col("record_id"),
+          TextOps.htmlToText(col("payload")).as("text_plain"))),
     // The epoch-7 member of the same family: the seeded hash re-permutes
     // shard membership AND within-shard order deterministically — the
     // per-epoch corpus shuffle a trainer export replays from (seed, ids)
@@ -2348,6 +2365,38 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 9))
     }),
   )
+
+  /** The 13-step stripHtml regexp cascade over an `html` column, ending
+    * `AS text_plain` — shared by text_strip_html and warc_html_extract so
+    * the replay can never fork from itself. */
+  private val stripHtmlCascadeSql =
+    """  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                regexp_replace(
+      |                  regexp_replace(
+      |                    regexp_replace(
+      |                      regexp_replace(
+      |                        regexp_replace(
+      |                          regexp_replace(html,
+      |                            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |                          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |                        '(?s)<!--.*?-->', ' ', 'g'),
+      |                      '(?i)</(p|div|li|h[1-6]|tr)>|<br[^>]*>', chr(10), 'g'),
+      |                    '(?s)<[^>]*>', ' ', 'g'),
+      |                  '&nbsp;', ' ', 'g'),
+      |                '&lt;', '<', 'g'),
+      |              '&gt;', '>', 'g'),
+      |            '&quot;', '"', 'g'),
+      |          '&#39;', chr(39), 'g'),
+      |        '&amp;', '&', 'g'),
+      |      '[ \t]+', ' ', 'g'),
+      |    ' *\n[ \n]*', chr(10), 'g')
+      |    .regexp_replace('^\s+|\s+$', '', 'g') AS text_plain""".stripMargin
 
   /** Shared oracle of text_bm25_prf and text_bm25_prf_indexed: two full
     * bm25 replays — pass one's top-5 feedback docs, the integer tf-sum
@@ -3511,33 +3560,17 @@ object SparkEntry {
     "text_strip_html" ->
       s"""WITH u AS (SELECT doc_id, $synthHtmlSql AS html FROM documents)
          |SELECT doc_id,
-         |  regexp_replace(
-         |    regexp_replace(
-         |      regexp_replace(
-         |        regexp_replace(
-         |          regexp_replace(
-         |            regexp_replace(
-         |              regexp_replace(
-         |                regexp_replace(
-         |                  regexp_replace(
-         |                    regexp_replace(
-         |                      regexp_replace(
-         |                        regexp_replace(
-         |                          regexp_replace(html,
-         |                            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-         |                          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-         |                        '(?s)<!--.*?-->', ' ', 'g'),
-         |                      '(?i)</(p|div|li|h[1-6]|tr)>|<br[^>]*>', chr(10), 'g'),
-         |                    '(?s)<[^>]*>', ' ', 'g'),
-         |                  '&nbsp;', ' ', 'g'),
-         |                '&lt;', '<', 'g'),
-         |              '&gt;', '>', 'g'),
-         |            '&quot;', '"', 'g'),
-         |          '&#39;', chr(39), 'g'),
-         |        '&amp;', '&', 'g'),
-         |      '[ \\t]+', ' ', 'g'),
-         |    ' *\\n[ \\n]*', chr(10), 'g')
-         |    .regexp_replace('^\\s+|\\s+$$', '', 'g') AS text_plain
+         |$stripHtmlCascadeSql
+         |FROM u""".stripMargin,
+    // loadWarc composed with the strip cascade: the HTML archive is a
+    // faithful WARC encoding of the synthHtml wrapper, so the parsed
+    // payloads strip to exactly what the documents-table replay strips to.
+    "warc_html_extract" ->
+      s"""WITH u AS (SELECT '<urn:graft:doc-' || doc_id || '>' AS record_id,
+         |                  $synthHtmlSql AS html
+         |           FROM documents)
+         |SELECT record_id,
+         |$stripHtmlCascadeSql
          |FROM u""".stripMargin,
     // Mark-then-split replay: same punctuation injection, same
     // ([.!?])\s+ → \1 + U+001E rewrite, list positions as sentence ids,

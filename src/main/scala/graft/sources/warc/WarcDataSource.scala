@@ -95,13 +95,30 @@ private[warc] class WarcTable(paths: Seq[String]) extends Table with SupportsRea
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder { override def build(): Scan = new WarcScan(paths) }
+    new WarcScanBuilder(paths)
 }
 
-private[warc] class WarcScan(paths: Seq[String]) extends Scan with Batch {
-  override def readSchema(): StructType = WarcDataSource.Schema
+/** COLUMN PRUNING: the archive bytes must be read sequentially either way
+  * (Content-Length framing), but a metadata-only query (URL survey, record
+  * census) should not pay the UTF-8 decode + String allocation of every
+  * payload — the dominant CPU cost. Spark pushes the required columns
+  * here; the reader only materializes what the query asks for. */
+private[warc] class WarcScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = WarcDataSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve source field ORDER (get() emits by our own layout)
+    required = StructType(WarcDataSource.Schema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = new WarcScan(paths, required)
+}
+
+private[warc] class WarcScan(paths: Seq[String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"graft-warc ${paths.mkString(",")}"
+  override def description(): String =
+    s"graft-warc ${paths.mkString(",")} cols=[${required.fieldNames.mkString(",")}]"
 
   // planning runs on the driver: expand globs/directories to files and
   // capture the Hadoop conf as a plain map for the executors
@@ -128,23 +145,28 @@ private[warc] class WarcScan(paths: Seq[String]) extends Scan with Batch {
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
-    new WarcReaderFactory(hconf.asScala.map(e => e.getKey -> e.getValue).toMap)
+    new WarcReaderFactory(
+      hconf.asScala.map(e => e.getKey -> e.getValue).toMap,
+      required.fieldNames)
   }
 }
 
 private[warc] final case class WarcInputPartition(file: String) extends InputPartition
 
-private[warc] class WarcReaderFactory(conf: Map[String, String])
+private[warc] class WarcReaderFactory(
+    conf: Map[String, String], columns: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WarcPartitionReader(
-      partition.asInstanceOf[WarcInputPartition].file, conf)
+      partition.asInstanceOf[WarcInputPartition].file, conf, columns)
 }
 
 /** Streams one archive: open → sniff gzip → [[WarcRecordIterator]] → one
-  * InternalRow per record. Memory is bounded by the largest single record
-  * regardless of archive size. */
-private[warc] class WarcPartitionReader(file: String, conf: Map[String, String])
+  * InternalRow per record, emitting only the pruned `columns`. Memory is
+  * bounded by the largest single record regardless of archive size; when
+  * `payload` is pruned away the record bytes are SKIPPED, never decoded. */
+private[warc] class WarcPartitionReader(
+    file: String, conf: Map[String, String], columns: Array[String])
     extends PartitionReader[InternalRow] {
 
   private var stream: InputStream = _
@@ -152,13 +174,14 @@ private[warc] class WarcPartitionReader(file: String, conf: Map[String, String])
   private var index = -1L
   private var current: WarcRecord = _
   private val fileUtf8 = UTF8String.fromString(file)
+  private val wantPayload = columns.contains("payload")
 
   private def ensureOpen(): Unit = if (it == null) {
     val hconf = new Configuration()
     conf.foreach { case (k, v) => hconf.set(k, v) }
     val hp = new Path(file)
     stream = WarcDataSource.maybeGunzip(hp.getFileSystem(hconf).open(hp))
-    it = new WarcRecordIterator(stream)
+    it = new WarcRecordIterator(stream, decodePayload = wantPayload)
   }
 
   override def next(): Boolean = {
@@ -169,10 +192,17 @@ private[warc] class WarcPartitionReader(file: String, conf: Map[String, String])
 
   override def get(): InternalRow = {
     def s(x: String): UTF8String = if (x == null) null else UTF8String.fromString(x)
-    new GenericInternalRow(Array[Any](
-      fileUtf8, index, s(current.warcType), s(current.recordId),
-      s(current.targetUri), s(current.warcDate), s(current.contentType),
-      current.contentLength, s(current.payload)))
+    new GenericInternalRow(columns.map[Any] {
+      case "warc_file" => fileUtf8
+      case "record_index" => index
+      case "warc_type" => s(current.warcType)
+      case "record_id" => s(current.recordId)
+      case "target_uri" => s(current.targetUri)
+      case "warc_date" => s(current.warcDate)
+      case "content_type" => s(current.contentType)
+      case "content_length" => current.contentLength
+      case "payload" => s(current.payload)
+    })
   }
 
   override def close(): Unit = if (stream != null) stream.close()

@@ -40,8 +40,13 @@ final case class WarcRecord(
   * The caller owns the stream (close it when done; [[WarcDataSource]]'s
   * reader does). gzip decompression is the caller's wrapping —
   * [[WarcDataSource.maybeGunzip]] sniffs the magic.
+  *
+  * `decodePayload = false` (the column-pruned read) SKIPS every payload's
+  * bytes instead of allocating and UTF-8-decoding them — payload comes
+  * back null; framing, headers, and content_length are unchanged.
   */
-final class WarcRecordIterator(in: InputStream) extends Iterator[WarcRecord] {
+final class WarcRecordIterator(in: InputStream, decodePayload: Boolean = true)
+    extends Iterator[WarcRecord] {
 
   private val buf = new BufferedInputStream(in, 1 << 16)
   private var pending: WarcRecord = null
@@ -96,13 +101,21 @@ final class WarcRecordIterator(in: InputStream) extends Iterator[WarcRecord] {
     }
     if (h == null) { done = true; return } // header block truncated
     headers.get("content-length").flatMap(_.toLongOption) match {
-      case Some(len) if len >= 0 && len <= WarcRecordIterator.MaxPayloadBytes =>
-        val bytes = new Array[Byte](len.toInt)
-        if (!readFully(bytes)) { done = true; return } // payload truncated
+      case Some(len) if len >= 0 &&
+          (len <= WarcRecordIterator.MaxPayloadBytes || !decodePayload) =>
+        val payload =
+          if (decodePayload) {
+            val bytes = new Array[Byte](len.toInt)
+            if (!readFully(bytes)) { done = true; return } // payload truncated
+            new String(bytes, UTF_8)
+          } else {
+            if (!skipFully(len)) { done = true; return }
+            null
+          }
         def g(k: String): String = headers.getOrElse(k, null)
         pending = WarcRecord(
           g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
-          g("warc-date"), g("content-type"), len, new String(bytes, UTF_8))
+          g("warc-date"), g("content-type"), len, payload)
       case Some(len) if len > WarcRecordIterator.MaxPayloadBytes =>
         // oversized single record: consume and move on (skip, don't abort)
         if (!skipFully(len)) { done = true; return }

@@ -106,6 +106,20 @@ class CoreExtrasSpec extends SparkSpec {
     val torn = Loader.load(spark, d.resolve("c.warc").toString)
     torn.count() shouldBe 1
     torn.head().getAs[String]("payload") shouldBe "ok"
+    // column pruning pushes into the scan: a metadata-only projection
+    // reads a payload-free schema (the reader then skips payload bytes
+    // instead of decoding them)
+    val pruned = Loader.load(spark, d.resolve("a.warc").toString)
+      .select("record_id", "content_length")
+    val scanCols = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.output.map(_.name)
+    }.flatten
+    scanCols should contain allOf ("record_id", "content_length")
+    scanCols should not contain "payload"
+    pruned.orderBy("record_id").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq shouldBe
+      Seq(("<urn:t:1>", 11L), ("<urn:t:2>", 20L), ("<urn:t:3>", 4L))
   }
 
   test("Loader reads csv with header + inferred schema") {

@@ -140,6 +140,14 @@ class QueriesSmokeSpec extends SparkSpec {
     "mm_frame_near_dup" -> 7,
     "sample_cap_per_group" -> 1, // the one per-group rank window
     "text_hash_vocab" -> 1, // the vocabulary distinct
+    "warc_extract" -> 0, "warc_html_extract" -> 0, // streaming scan, narrow strip
+    "text_url_psl" -> 0, // broadcast rule joins over narrow suffix exprs
+    "text_psl_rules" -> 0, // a driver-built dictionary frame
+    // gram explode + broadcast weight join, ONE (doc, lang) fold shuffle
+    // whose partitioning the per-doc argmax window reuses, + the id
+    // join-back pair
+    "text_langid_model" -> 3,
+    "sink_shuffled_shards" -> 1, // the (shard, sub-bucket) rank window
     "text_hash_embed" -> 0, // pure narrow per-row fold
     "text_embed_topk" -> 1, // cosineTopKBatch's per-query top-k window
   )
