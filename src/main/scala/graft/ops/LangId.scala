@@ -37,17 +37,19 @@ object LangId {
   }
 
   /** A fitted language-ID model: `weights` is the FULL (gram, lang, weight)
-    * cross table over the vocabulary — a zero training count still carries
-    * its smoothed penalty weight, which is what lets rare evidence vote
-    * against a language. `biases` are the per-language prior logits;
-    * `langs` the label set (ascending). Persists as params.json +
-    * weights.parquet ([[Dsir.DsirModel]]'s layout; save a LOADED model only
-    * to a NEW directory, same caveat). */
+    * cross table over the vocabulary when `numBuckets == 0`, else the
+    * (bucket, lang, weight) hashing-trick table ([[hashed]]) — a zero
+    * training count still carries its smoothed penalty weight, which is
+    * what lets rare evidence vote against a language. `biases` are the
+    * per-language prior logits; `langs` the label set (ascending).
+    * Persists as params.json + weights.parquet ([[Dsir.DsirModel]]'s
+    * layout; save a LOADED model only to a NEW directory, same caveat). */
   final case class LangIdModel(
       vocabSize: Int,
       langs: Seq[String],
       biases: Map[String, Double],
-      weights: DataFrame) {
+      weights: DataFrame,
+      numBuckets: Int = 0) {
     def save(dir: String): Unit = {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
@@ -57,6 +59,7 @@ object LangId {
       val json = JsonMethods.compact(JsonMethods.render(JObject(
         "version" -> JInt(1),
         "vocabSize" -> JInt(vocabSize),
+        "numBuckets" -> JInt(numBuckets),
         "langs" -> JArray(langs.map(JString(_)).toList),
         "biases" -> JObject(langs.map(l => l -> JDouble(biases(l))).toList))))
       java.nio.file.Files.writeString(p.resolve("params.json"), json)
@@ -85,12 +88,37 @@ object LangId {
         case _ => throw graft.errors.FeatureFactoryException.InvalidParameter(
           s"$dir/params.json carries no biases — not a language-ID model")
       }
+      // absent in pre-hashing saves → gram-keyed (0)
+      val buckets = (o \ "numBuckets") match {
+        case org.json4s.JNothing => 0
+        case j => graft.core.ModelIO.dbl(j).toInt
+      }
       LangIdModel(
         vocabSize = graft.core.ModelIO.dbl(o \ "vocabSize").toInt,
         langs = langs,
         biases = biases,
-        weights = spark.read.parquet(p.resolve("weights.parquet").toString))
+        weights = spark.read.parquet(p.resolve("weights.parquet").toString),
+        numBuckets = buckets)
     }
+  }
+
+  /** Convert a gram-keyed model to fastText's hashing-trick form
+    * ([[Classifier.hashed]]'s multi-class sibling): `bucket =
+    * pmod(xxhash64(gram), numBuckets)`, colliding weights folded per
+    * (bucket, lang) in ascending value order (deterministic sum).
+    * Inference then joins on a fixed-size (buckets × langs) table
+    * regardless of how large the gram space grows — the broadcast-size
+    * escape hatch for very large vocab × language products. */
+  def hashed(model: LangIdModel, numBuckets: Int): LangIdModel = {
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    require(model.numBuckets == 0, "hashed: model is already bucket-keyed")
+    val w = model.weights
+      .select(pmod(xxhash64(col("gram")), lit(numBuckets.toLong)).as("bucket"),
+        col("lang"), col("weight"))
+      .groupBy("bucket", "lang")
+      .agg(aggregate(sort_array(collect_list(col("weight"))),
+        lit(0.0), (acc, x) => acc + x).as("weight"))
+    model.copy(numBuckets = numBuckets, weights = w)
   }
 
   /** Fit a [[LangIdModel]] on a labeled corpus: vocabulary = the
@@ -202,13 +230,20 @@ object LangId {
       Seq("lang" -> org.apache.spark.sql.types.StringType,
         "bias" -> org.apache.spark.sql.types.DoubleType),
       model.langs.map(l => org.apache.spark.sql.Row(l, model.biases(l))))
-    // explode → broadcast weight join → per-(doc, lang) ascending fold
+    // explode → broadcast weight join (gram-keyed, or bucket-keyed under
+    // the hashing trick) → per-(doc, lang) ascending fold
     // (Dsir.orderedWeightFold's rule, keyed by language too) → + bias →
     // per-doc argmax window on the SAME doc key the fold shuffled on
-    val perDocLang = df
+    val exploded = df
       .select(col(idCol).as("__graft_did"),
         explode(charBigrams(col(textCol))).as("gram"))
-      .join(broadcast(model.weights), Seq("gram"))
+    val joined =
+      if (model.numBuckets == 0) exploded.join(broadcast(model.weights), Seq("gram"))
+      else exploded
+        .select(col("__graft_did"),
+          pmod(xxhash64(col("gram")), lit(model.numBuckets.toLong)).as("bucket"))
+        .join(broadcast(model.weights), Seq("bucket"))
+    val perDocLang = joined
       .groupBy("__graft_did", "lang")
       .agg(aggregate(sort_array(collect_list(col("weight"))),
         lit(0.0), (acc, x) => acc + x).as("__graft_s0"))

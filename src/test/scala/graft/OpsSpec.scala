@@ -3161,6 +3161,26 @@ class OpsSpec extends SparkSpec {
     an[graft.errors.FeatureFactoryException.InvalidParameter] should be thrownBy
       LangId.langIdFit(
         Seq(("ab", "xx"), ("cd", null)).toDF("text", "lang"), "text", "lang")
+    // hashing-trick form: collision-free bucket count reproduces the
+    // gram-keyed predictions exactly (same weight multiset per doc/lang,
+    // same ascending fold); round-trips through save/load with its
+    // bucket count intact
+    val probe = Seq((10L, "aaa"), (11L, "bbb"), (12L, "x")).toDF("doc_id", "text")
+    def preds(mm: LangId.LangIdModel) =
+      LangId.langIdScore(probe, "doc_id", "text", mm)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("lang_pred"), r.getAs[Double]("lang_score")))).toMap
+    val hashedM = LangId.hashed(m, 1 << 20)
+    preds(hashedM) shouldBe scored
+    val hdir = java.nio.file.Files.createTempDirectory("graft_langid_h").toString
+    hashedM.save(hdir)
+    val hloaded = LangId.LangIdModel.load(spark, hdir)
+    hloaded.numBuckets shouldBe (1 << 20)
+    preds(hloaded) shouldBe scored
+    // tiny bucket count still runs (collisions fold deterministically)
+    LangId.langIdScore(probe, "doc_id", "text", LangId.hashed(m, 2))
+      .count() shouldBe 3
+    an[IllegalArgumentException] should be thrownBy LangId.hashed(hashedM, 4)
   }
 
   test("Retrieval.bm25PrfSearchIndex: indexed PRF equals the direct two-pass form") {
