@@ -93,7 +93,7 @@ private[warc] class WarcTable(paths: Seq[String]) extends Table with SupportsRea
   override def name(): String = s"graft-warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths)
 }
@@ -120,16 +120,36 @@ private[warc] class WarcScan(paths: Seq[String], required: StructType)
   override def description(): String =
     s"graft-warc ${paths.mkString(",")} cols=[${required.fieldNames.mkString(",")}]"
 
-  // planning runs on the driver: expand globs/directories to files and
-  // capture the Hadoop conf as a plain map for the executors
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    WarcScan.listFiles(paths, strict = true)
+      .map(f => WarcInputPartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    WarcScan.readerFactory(required)
+
+  /** Continuous crawl ingest: the same one-task-per-archive scan as a
+    * micro-batch stream — each trigger processes the files that LANDED
+    * since the last committed offset, exactly once (the offset is the
+    * sorted seen-file list, checkpointed by the engine; files are
+    * immutable once landed, the standard file-source contract). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(paths, required)
+}
+
+private[warc] object WarcScan {
+  /** Driver-side planning: expand globs/directories to data files.
+    * `strict` (the batch path) refuses an empty match loudly; the
+    * streaming path is lenient — an empty landing directory just means
+    * no batch yet. */
+  def listFiles(paths: Seq[String], strict: Boolean): Seq[String] = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
-    val files: Seq[String] = paths.flatMap { p =>
+    paths.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(hconf)
       val matched: Array[FileStatus] =
         Option(fs.globStatus(hp)).getOrElse(Array.empty)
-      if (matched.isEmpty)
+      if (matched.isEmpty && strict)
         throw graft.errors.FeatureFactoryException.InvalidParameter(
           s"graft-warc: no files match '$p'")
       matched.flatMap { st =>
@@ -139,16 +159,54 @@ private[warc] class WarcScan(paths: Seq[String], required: StructType)
               !f.getPath.getName.startsWith("."))
         else Array(st)
       }.map(_.getPath.toString)
-    }
-    files.sorted.map(f => WarcInputPartition(f): InputPartition).toArray
+    }.sorted
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  /** Shared by the batch scan and every micro-batch: capture the Hadoop
+    * conf as a plain map for the executors. */
+  def readerFactory(required: StructType): PartitionReaderFactory = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
     new WarcReaderFactory(
       hconf.asScala.map(e => e.getKey -> e.getValue).toMap,
       required.fieldNames)
   }
+}
+
+/** Offset = the sorted list of files already visible at that point; a
+  * micro-batch is (end minus start). JSON round-trips through the engine's
+  * offset log, which is what makes restarts exactly-once. */
+private[warc] final case class WarcOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+      org.json4s.JArray(files.map(org.json4s.JString(_)).toList)))
+}
+
+private[warc] class WarcMicroBatchStream(paths: Seq[String], required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = WarcOffset(Nil)
+  override def latestOffset(): Offset =
+    WarcOffset(WarcScan.listFiles(paths, strict = false))
+  override def deserializeOffset(json: String): Offset =
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case org.json4s.JArray(xs) =>
+        WarcOffset(xs.collect { case org.json4s.JString(s) => s })
+      case _ => throw graft.errors.FeatureFactoryException.InvalidParameter(
+        s"graft-warc: malformed stream offset $json")
+    }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[WarcOffset].files.toSet
+    end.asInstanceOf[WarcOffset].files.filterNot(seen)
+      .map(f => WarcInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    WarcScan.readerFactory(required)
 }
 
 private[warc] final case class WarcInputPartition(file: String) extends InputPartition

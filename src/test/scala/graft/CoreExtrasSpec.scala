@@ -122,6 +122,39 @@ class CoreExtrasSpec extends SparkSpec {
       Seq(("<urn:t:1>", 11L), ("<urn:t:2>", 20L), ("<urn:t:3>", 4L))
   }
 
+  test("graft-warc streams newly landed archives exactly once across restarts") {
+    def rec(id: Int, payload: String): Array[Byte] = {
+      val p = payload.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:s:$id>\r\n" +
+        s"Content-Length: ${p.length}\r\n\r\n").getBytes("UTF-8") ++
+        p ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_warc_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_warc_out").toString
+    java.nio.file.Files.write(dir.resolve("a.warc"), rec(1, "one") ++ rec(2, "two"))
+    import org.apache.spark.sql.streaming.Trigger
+    // a fault-tolerant (parquet) sink: restarts recover from the same
+    // checkpoint, which is exactly the property under test
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-warc").load(dir.toString)
+        .select("record_id", "payload")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    spark.read.parquet(out).collect().map(_.getAs[String]("record_id")).sorted
+      .toSeq shouldBe Seq("<urn:s:1>", "<urn:s:2>")
+    // a new archive lands; a restarted stream (same checkpoint) processes
+    // ONLY it — the committed offset keeps a.warc from replaying
+    java.nio.file.Files.write(dir.resolve("b.warc"), rec(9, "three"))
+    runOnce()
+    spark.read.parquet(out).collect().map(_.getAs[String]("record_id")).sorted
+      .toSeq shouldBe Seq("<urn:s:1>", "<urn:s:2>", "<urn:s:9>")
+  }
+
   test("Loader reads csv with header + inferred schema") {
     val p = java.nio.file.Files.createTempFile("graft", ".csv")
     java.nio.file.Files.writeString(p, "a,b\n1,x\n2,y\n")
