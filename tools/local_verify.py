@@ -5,12 +5,19 @@ oracle in DuckDB over the same testdata and compares. Usage:
 
     python3 tools/local_verify.py <sfDir> <outDir> [query ...]
 """
-import json, sys, glob
+import json, os, sys, glob
 import duckdb
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def table_pattern(sf_dir: str, t: str) -> str:
+    """Driver testdata is one file per table; Spark-written scale-up dirs
+    (tools/ScaleData) are <table>.parquet/part-*.parquet — accept both."""
+    p = f"{sf_dir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -25,7 +32,7 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_pattern(sf_dir, t)}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     fails = 0
     for name in sorted(oracle):
