@@ -2705,10 +2705,16 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
 
     // ── extension ops ──────────────────────────────────────────────────
+    // Keep the WHOLE ROW of the min-id member per text group (min_by), not
+    // per-column mins over a wider group: the two coincide only while
+    // duplicate texts agree on every other column — true at sf0.01, FALSE
+    // at sf0.1+ where equal texts occur under different (lang, source)
+    // (caught by the round-7 sf1 oracle sweep).
     "dedup_exact" ->
-      s"""WITH u AS ($docsWithDupsSql)
-         |SELECT min(doc_id) AS doc_id, text, lang, source, n_chars
-         |FROM u GROUP BY text, lang, source, n_chars""".stripMargin,
+      s"""WITH u AS ($docsWithDupsSql),
+         |     k AS (SELECT text, min(doc_id) AS doc_id FROM u GROUP BY text)
+         |SELECT u.doc_id, u.text, u.lang, u.source, u.n_chars
+         |FROM u JOIN k ON u.doc_id = k.doc_id AND u.text = k.text""".stripMargin,
     "dedup_minhash" -> ngramJaccardOracleSql,
     "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
     // Connected components by recursive closure: walk(id, lbl) enumerates
