@@ -108,7 +108,16 @@ object LangId {
     * (bucket, lang) in ascending value order (deterministic sum).
     * Inference then joins on a fixed-size (buckets × langs) table
     * regardless of how large the gram space grows — the broadcast-size
-    * escape hatch for very large vocab × language products. */
+    * escape hatch for very large vocab × language products.
+    *
+    * Semantic shift, inherent to the hashing trick (fastText behaves the
+    * same way): out-of-vocabulary grams no longer drop out of scoring —
+    * they hash into whatever buckets exist and pick up those buckets'
+    * folded weights. With generous `numBuckets` (sparse occupancy) most
+    * OOV grams land in empty buckets and the gram-keyed behavior is
+    * recovered; in the small-bucket regime OOV evidence is hash noise by
+    * construction. The no-evidence prior default still applies only to
+    * documents with an empty gram list. */
   def hashed(model: LangIdModel, numBuckets: Int): LangIdModel = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
     require(model.numBuckets == 0, "hashed: model is already bucket-keyed")

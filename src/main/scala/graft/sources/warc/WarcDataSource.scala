@@ -130,8 +130,23 @@ private[warc] class WarcScan(paths: Seq[String], required: StructType)
   /** Continuous crawl ingest: the same one-task-per-archive scan as a
     * micro-batch stream — each trigger processes the files that LANDED
     * since the last committed offset, exactly once (the offset is the
-    * sorted seen-file list, checkpointed by the engine; files are
-    * immutable once landed, the standard file-source contract). */
+    * sorted seen-file list, checkpointed by the engine).
+    *
+    * LANDING-DIRECTORY CONTRACT (the standard Hadoop pattern, and what
+    * makes the exactly-once claim true):
+    *  - land archives ATOMICALLY: upload under a dot- or underscore-
+    *    prefixed temp name (the listing skips those) and rename into
+    *    place — a file listed mid-copy would otherwise be truncated by
+    *    the lenient parser and permanently marked seen;
+    *  - files are immutable once landed, and names are never reused;
+    *  - keep the LIVE directory bounded by periodically archiving
+    *    processed files elsewhere (removal is safe: a removed file simply
+    *    leaves the listing; it is never re-planned). The offset payload
+    *    and the per-trigger listing are both proportional to the CURRENT
+    *    directory size, so rotation is what keeps a long-lived stream's
+    *    checkpoint log and trigger latency flat — this source keeps the
+    *    offset simple (the file list) rather than maintaining
+    *    FileStreamSource-style compacted seen-file logs. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcMicroBatchStream(paths, required)
@@ -248,20 +263,25 @@ private[warc] class WarcPartitionReader(
     else false
   }
 
-  override def get(): InternalRow = {
+  // field extractors resolved ONCE from the pruned column list — the
+  // per-record path below is just an array walk, no per-row name dispatch
+  private val extractors: Array[WarcRecord => Any] = {
     def s(x: String): UTF8String = if (x == null) null else UTF8String.fromString(x)
-    new GenericInternalRow(columns.map[Any] {
-      case "warc_file" => fileUtf8
-      case "record_index" => index
-      case "warc_type" => s(current.warcType)
-      case "record_id" => s(current.recordId)
-      case "target_uri" => s(current.targetUri)
-      case "warc_date" => s(current.warcDate)
-      case "content_type" => s(current.contentType)
-      case "content_length" => current.contentLength
-      case "payload" => s(current.payload)
-    })
+    columns.map[WarcRecord => Any] {
+      case "warc_file" => _ => fileUtf8
+      case "record_index" => _ => index
+      case "warc_type" => r => s(r.warcType)
+      case "record_id" => r => s(r.recordId)
+      case "target_uri" => r => s(r.targetUri)
+      case "warc_date" => r => s(r.warcDate)
+      case "content_type" => r => s(r.contentType)
+      case "content_length" => r => r.contentLength
+      case "payload" => r => s(r.payload)
+    }
   }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(extractors.map(_.apply(current)))
 
   override def close(): Unit = if (stream != null) stream.close()
 }

@@ -43,9 +43,15 @@ final case class WarcRecord(
   *
   * `decodePayload = false` (the column-pruned read) SKIPS every payload's
   * bytes instead of allocating and UTF-8-decoding them — payload comes
-  * back null; framing, headers, and content_length are unchanged.
+  * back null; framing, headers, content_length, AND which records are
+  * emitted (including the oversized-skip rule) are identical to the
+  * decoding read, so row counts and record indexes never depend on the
+  * projection.
   */
-final class WarcRecordIterator(in: InputStream, decodePayload: Boolean = true)
+final class WarcRecordIterator(
+    in: InputStream,
+    decodePayload: Boolean = true,
+    maxPayloadBytes: Long = WarcRecordIterator.MaxPayloadBytes)
     extends Iterator[WarcRecord] {
 
   private val buf = new BufferedInputStream(in, 1 << 16)
@@ -101,8 +107,7 @@ final class WarcRecordIterator(in: InputStream, decodePayload: Boolean = true)
     }
     if (h == null) { done = true; return } // header block truncated
     headers.get("content-length").flatMap(_.toLongOption) match {
-      case Some(len) if len >= 0 &&
-          (len <= WarcRecordIterator.MaxPayloadBytes || !decodePayload) =>
+      case Some(len) if len >= 0 && len <= maxPayloadBytes =>
         val payload =
           if (decodePayload) {
             val bytes = new Array[Byte](len.toInt)
@@ -116,8 +121,11 @@ final class WarcRecordIterator(in: InputStream, decodePayload: Boolean = true)
         pending = WarcRecord(
           g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
           g("warc-date"), g("content-type"), len, payload)
-      case Some(len) if len > WarcRecordIterator.MaxPayloadBytes =>
-        // oversized single record: consume and move on (skip, don't abort)
+      case Some(len) if len > maxPayloadBytes =>
+        // oversized single record: consume and move on (skip, don't abort).
+        // Skipped in BOTH projection modes — a pruned census and a full
+        // read must agree on row count and record_index, or a join on
+        // (warc_file, record_index) would pair the wrong records
         if (!skipFully(len)) { done = true; return }
         advance()
       case _ => done = true // no/invalid Content-Length: unframeable tail

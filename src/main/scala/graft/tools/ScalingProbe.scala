@@ -14,6 +14,8 @@ import graft.ops.Similarity
   */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: ScalingProbe <sfDir> <nlist> [<nlist> ...]")
     val sfDir = args.head
     val nlists = args.tail.map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,8 +30,7 @@ object ScalingProbe {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     e.limit(1).count()
     val results = nlists.map { nlist =>
-      val m = Similarity.IvfModel.fromJsonString(
-        Similarity.ivfFit(e, "embedding", nlist = nlist).toJsonString)
+      val m = Similarity.ivfFit(e, "embedding", nlist = nlist)
       def once(): Double = {
         val t0 = System.nanoTime()
         Similarity.hardNegatives(e, "vec_id", "embedding", "label", m,

@@ -106,6 +106,18 @@ class CoreExtrasSpec extends SparkSpec {
     val torn = Loader.load(spark, d.resolve("c.warc").toString)
     torn.count() shouldBe 1
     torn.head().getAs[String]("payload") shouldBe "ok"
+    // an OVERSIZED record skips identically in both projection modes —
+    // row counts and record order must never depend on the projection
+    val overBytes = rec(1, None, "ok") ++ rec(2, None, "toolarge") ++
+      rec(3, None, "ok2")
+    def overRecs(decode: Boolean) = {
+      val it = new graft.sources.warc.WarcRecordIterator(
+        new java.io.ByteArrayInputStream(overBytes),
+        decodePayload = decode, maxPayloadBytes = 4L)
+      it.toSeq.map(r => (r.recordId, r.contentLength))
+    }
+    overRecs(decode = true) shouldBe Seq(("<urn:t:1>", 2L), ("<urn:t:3>", 3L))
+    overRecs(decode = false) shouldBe overRecs(decode = true)
     // column pruning pushes into the scan: a metadata-only projection
     // reads a payload-free schema (the reader then skips payload bytes
     // instead of decoding them)
