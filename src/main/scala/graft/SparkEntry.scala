@@ -287,6 +287,42 @@ object SparkEntry {
       |  WHEN 4 THEN 'x.' || source || '.ck'
       |  ELSE 'www.ck' END""".stripMargin
 
+  /** The synthetic full PAGE of text_main_content — a link-saturated nav
+    * block, a too-short heading and "ok" block, the document text as the
+    * body paragraph, and a link-saturated footer: every boilerplate rule
+    * (link density AND min length) fires on real structure around the one
+    * content block. */
+  private def synthPage: org.apache.spark.sql.Column =
+    concat(
+      lit("<html><head><title>T</title><style>a {color: blue}</style></head>" +
+        "<body><div class=\"nav\"><a href=\"/\">Home navigation menu</a> " +
+        "<a href=\"/about\">About us and contact</a></div><h1>T</h1><p>"),
+      col("text"),
+      lit("</p><p>ok</p><!-- tracking --><div class=\"footer\">" +
+        "<a href=\"/tos\">Terms of service page</a> · " +
+        "<a href=\"/privacy\">Privacy and cookies</a></div></body></html>"))
+
+  /** SQL twin of [[synthPage]] (concatenation operators at line ends — the
+    * synthHtmlSql stripMargin rule). */
+  private val synthPageSql =
+    """'<html><head><title>T</title><style>a {color: blue}</style></head>' ||
+      |'<body><div class="nav"><a href="/">Home navigation menu</a> ' ||
+      |'<a href="/about">About us and contact</a></div><h1>T</h1><p>' || text ||
+      |'</p><p>ok</p><!-- tracking --><div class="footer">' ||
+      |'<a href="/tos">Terms of service page</a> · ' ||
+      |'<a href="/privacy">Privacy and cookies</a></div></body></html>'""".stripMargin
+
+  /** SQL replay of [[TextOps.mainContent]]'s per-block cleanup over `$x`:
+    * tag strip, six entities (&amp; last), whitespace collapse, trim. */
+  private def mcCleanSql(x: String): String =
+    s"""trim(regexp_replace(
+       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |    $x,
+       |    '(?s)<[^>]*>', ' ', 'g'),
+       |    '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+       |    '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&amp;', '&', 'g'),
+       |  '\\s+', ' ', 'g'))""".stripMargin
+
   /** Synthetic PII suffix of the text_pii_*_ext queries (testdata carries
     * no card/SSN/IBAN shapes) — three shapes keyed on doc_id % 4, derived
     * only from columns both engines read (the synthUrl convention). */
@@ -1539,6 +1575,16 @@ object SparkEntry {
         rt(s, dir, "documents").select(col("doc_id"), synthPslHost.as("url_host")),
         "url_host")
         .select("doc_id", "url_host", "url_domain")),
+    // Main-content extraction (jusText-lite): block split at closing
+    // block tags, keep blocks that are long enough AND not link-saturated
+    // — the nav/footer boilerplate around every synthetic page drops, the
+    // body paragraph survives. The oracle replays blocks, per-block
+    // cleanup, link-density rule, and the ordered newline join.
+    "text_main_content" -> ((s, dir) =>
+      TextOps.extractMainContent(
+        rt(s, dir, "documents")
+          .select(col("doc_id"), synthPage.as("html")), "html")
+        .select("doc_id", "main_content")),
     // HTML → plain-text extraction over a synthetic page wrapper (the
     // testdata has no HTML column): script/style/comment removal, block
     // tags to newlines, entity decode with &amp; last, whitespace
@@ -3560,6 +3606,38 @@ object SparkEntry {
          |       CASE WHEN n > p THEN array_to_string(ls[n - p:], '.')
          |            ELSE host END AS url_domain
          |FROM ps""".stripMargin,
+    // Full block-rule replay: pre-clean (script/style/comment), the same
+    // block-split regex, per-block cleanup + link-text cleanup via
+    // mcCleanSql, the multiplicative density rule (double-cast 0.33), and
+    // the page-ordered newline join; docs with no surviving block yield ''.
+    "text_main_content" ->
+      s"""WITH u AS (SELECT doc_id, $synthPageSql AS html FROM documents),
+         |     pre AS (SELECT doc_id,
+         |               regexp_replace(regexp_replace(regexp_replace(html,
+         |                 '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |                 '(?s)<!--.*?-->', ' ', 'g') AS h
+         |             FROM u),
+         |     sp AS (SELECT doc_id,
+         |              string_split_regex(h,
+         |                '(?i)</(?:p|div|li|h[1-6]|tr|td|section|article|blockquote)>|<br[^>]*>') AS bs
+         |            FROM pre),
+         |     blk AS (SELECT doc_id, bs, unnest(range(1, len(bs) + 1)) AS i FROM sp),
+         |     one AS (SELECT doc_id, i,
+         |               ${mcCleanSql("bs[i]")} AS c,
+         |               ${mcCleanSql(
+             "array_to_string(regexp_extract_all(bs[i], '(?is)<a[^>]*>(.*?)</a>', 1), ' ')")} AS lc
+         |             FROM blk),
+         |     keepb AS (SELECT doc_id, i, c FROM one
+         |               WHERE len(c) >= 20
+         |                 -- DuckDB's array_to_string([]) is NULL where
+         |                 -- Spark's array_join([]) is '' — a linkless
+         |                 -- block has zero link chars, not unknown
+         |                 AND COALESCE(len(lc), 0) <= CAST(0.33 AS DOUBLE) * len(c)),
+         |     res AS (SELECT doc_id, string_agg(c, chr(10) ORDER BY i) AS mc
+         |             FROM keepb GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(res.mc, '') AS main_content
+         |FROM documents d LEFT JOIN res USING (doc_id)""".stripMargin,
     // The same 13-step regexp cascade, step for step: script/style blocks,
     // comments, block tags → chr(10), all tags, five entities then &amp;,
     // space collapse, newline collapse, regex trim.

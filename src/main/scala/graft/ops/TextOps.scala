@@ -563,6 +563,70 @@ object TextOps {
     df.withColumn(outCol, htmlToText(col(htmlCol)))
   }
 
+  /** The per-block cleanup shared by [[mainContent]]'s block and link-text
+    * measurements: strip tags, decode the six entities (`&amp;` last),
+    * collapse whitespace, trim. */
+  private def blockClean(b: Column): Column = {
+    val strip = regexp_replace(b, "(?s)<[^>]*>", " ")
+    val ent = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&",
+    ).foldLeft(strip) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  /** Main-content extraction (the jusText/readability heuristic, rule-based
+    * edition) — what crawl curation actually needs beyond [[htmlToText]]:
+    * a raw page strips to "Home About … TEXT … Terms Privacy", polluting
+    * n-grams, dedup fingerprints, and LM training alike. The page splits
+    * into BLOCKS at block-level closing tags / `<br>`, and a block
+    * survives iff its cleaned text is at least `minChars` long AND its
+    * link-text share is at most `maxLinkDensity` (boilerplate nav/footer
+    * blocks are short or link-saturated; body prose is neither — Kohlschütter
+    * et al.'s boilerplate signal, simplified to its two strongest rules).
+    * Surviving blocks join with newlines in page order.
+    *
+    * Link density is measured multiplicatively (`linkLen ≤ d · cleanLen`,
+    * no division) on the cleaned inner text of `<a>` elements, so the rule
+    * replays exactly in any engine; every step is an RE2-portable regexp
+    * or list operation (the [[htmlToText]] convention). One narrow
+    * projection per row — no shuffle, nothing corpus-wide. */
+  def mainContent(
+      html: Column, minChars: Int = 20, maxLinkDensity: Double = 0.33): Column = {
+    val preClean = regexp_replace(regexp_replace(regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val blocks = split(preClean,
+      "(?i)</(?:p|div|li|h[1-6]|tr|td|section|article|blockquote)>|<br[^>]*>")
+    val scored = transform(blocks, b => {
+      val clean = blockClean(b)
+      val linkClean = blockClean(array_join(
+        regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " "))
+      struct(clean.as("c"), length(clean).as("n"), length(linkClean).as("l"))
+    })
+    val kept = filter(scored, s =>
+      s("n") >= minChars &&
+        s("l").cast("double") <= lit(maxLinkDensity) * s("n").cast("double"))
+    array_join(transform(kept, s => s("c")), "\n")
+  }
+
+  /** [[mainContent]] as a stage: appends `outCol` with the extracted body
+    * text of `htmlCol`. */
+  def extractMainContent(
+      df: DataFrame,
+      htmlCol: String,
+      outCol: String = "main_content",
+      minChars: Int = 20,
+      maxLinkDensity: Double = 0.33): DataFrame = {
+    require(minChars >= 0, "minChars must be >= 0")
+    require(maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
+      "maxLinkDensity must be in [0, 1]")
+    graft.core.Validators.requireColumns(df, Seq(htmlCol))
+    graft.core.Validators.requireColumnsAbsent(df, Seq(outCol), "extractMainContent")
+    df.withColumn(outCol, mainContent(col(htmlCol), minChars, maxLinkDensity))
+  }
+
   /** Rule-based sentence segmentation — the granularity shift for
     * sentence-level dedup/analysis: a sentence ends at `. ! ?` followed by
     * whitespace (RE2-portable — no lookbehind, so the rule is "mark then

@@ -3075,6 +3075,31 @@ class OpsSpec extends SparkSpec {
     prf should not contain 4L
   }
 
+  test("TextOps.extractMainContent keeps body prose, drops nav/footer/short blocks") {
+    import graft.ops.TextOps
+    val body = "This paragraph is the actual readable body content of the page."
+    val page =
+      "<html><head><style>a{}</style></head><body>" +
+        "<div><a href=\"/\">Home navigation menu</a> <a href=\"/a\">About us and contact</a></div>" +
+        "<h1>T</h1>" +
+        s"<p>$body</p>" +
+        "<p>ok</p>" +
+        "<p>Long paragraph with one <a href=\"/x\">tiny link</a> inside it stays.</p>" +
+        "<!-- comment --><div><a href=\"/tos\">Terms of service page</a> " +
+        "<a href=\"/p\">Privacy and cookies policy</a></div></body></html>"
+    val out = TextOps.extractMainContent(
+      Seq((1L, page), (2L, "<p>ok</p>"), (3L, null.asInstanceOf[String]))
+        .toDF("id", "html"), "html")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("main_content")).toMap
+    // nav (link-saturated), heading + "ok" (short), footer (link-saturated)
+    // all drop; the two prose blocks survive in page order — a mostly-text
+    // block with ONE small link passes the density rule
+    out(1L) shouldBe
+      body + "\nLong paragraph with one tiny link inside it stays."
+    out(2L) shouldBe "" // nothing survives → empty, not null
+    out(3L) shouldBe null // NULL html propagates
+  }
+
   test("Psl: parser and registeredDomainPsl handle exact/wildcard/exception/default rules") {
     import graft.ops.{Psl, Url}
     val rules = Psl.parse(Iterator(

@@ -107,7 +107,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_lm_filter" -> 1, "text_lm_score" -> 2,
     "text_line_dedup" -> 3, "text_line_dedup_doc" -> 0,
     "text_span_dedup" -> 10, "text_tfidf" -> 4,
-    "text_sentences" -> 0, "text_strip_html" -> 0,
+    "text_sentences" -> 0, "text_strip_html" -> 0, "text_main_content" -> 0,
     "text_url" -> 0, "text_url_filter" -> 0,
     "text_pii_ext" -> 0, "text_pii_redact_ext" -> 0, // narrow regexp sweeps
     // postings/tf/df aggregates + the distincts and the top-k window — all
