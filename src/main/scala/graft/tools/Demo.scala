@@ -336,6 +336,49 @@ object Demo {
       docs, "doc_id", "text", bmQ, "doc_id", "text", k = 10, fbDocs = 5, fbTerms = 10)
     val prfNew = prf.join(bm, Seq("query_id", "id"), "left_anti").count()
     println(s"pseudo-relevance feedback: ${prf.count()} hits, $prfNew not in the plain BM25 top-10")
+    println(s"indexed PRF: ${graft.ops.Retrieval.bm25PrfSearchIndex(
+      bmIdx, bmQ, "doc_id", "text", k = 10).count()} hits off the persisted index, corpus never rescanned")
+
+    // The crawl first mile (round 7): a synthetic WARC archive of raw
+    // pages → streaming record reader → main-content extraction → trained
+    // language ID → PSL domains → seeded training shards.
+    val warcDir = java.nio.file.Files.createTempDirectory("demo_warc")
+    locally {
+      val out = new java.io.ByteArrayOutputStream()
+      docs.select("doc_id", "source", "text").limit(200).collect().foreach { r =>
+        val page = ("<html><body><div><a href=\"/\">Home navigation menu</a> " +
+          "<a href=\"/x\">About us and contact</a></div><p>" + r.getString(2) +
+          "</p><div><a href=\"/tos\">Terms of service page</a></div></body></html>")
+          .getBytes("UTF-8")
+        out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Record-ID: <urn:demo:${r.getLong(0)}>\r\n" +
+          s"WARC-Target-URI: https://www.${r.getString(1)}.co.uk/p/${r.getLong(0)}\r\n" +
+          s"Content-Length: ${page.length}\r\n\r\n").getBytes("UTF-8"))
+        out.write(page)
+        out.write("\r\n\r\n".getBytes("UTF-8"))
+      }
+      java.nio.file.Files.write(warcDir.resolve("crawl.warc"), out.toByteArray)
+    }
+    val crawled = graft.sources.Loader.load(spark, warcDir.resolve("crawl.warc").toString)
+    val bodies = graft.ops.TextOps.extractMainContent(crawled, "payload")
+    println(s"warc chain: ${crawled.count()} records; main-content keeps body, " +
+      s"drops nav/footer in ${bodies.filter(!col("main_content").contains("Home navigation")).count()} of ${bodies.count()}")
+    val lid = graft.ops.LangId.langIdFit(docs, "text", "lang", vocabSize = 512)
+    val lidScored = graft.ops.LangId.langIdScore(
+      bodies.select(col("record_id"), col("main_content")), "record_id", "main_content", lid)
+    println(s"trained langid: ${lid.langs.size} languages; crawl predictions " +
+      lidScored.groupBy("lang_pred").count().orderBy(col("count").desc)
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+    val pslDoms = graft.ops.Url.registeredDomainPsl(
+      crawled.withColumn("h", graft.ops.Url.host(col("target_uri"))), "h", "dom")
+    println(s"psl domains: ${pslDoms.select("dom").distinct().count()} registered domains " +
+      s"(co.uk handled: ${pslDoms.filter(col("dom").endsWith(".co.uk")).count()} rows)")
+    println(s"epoch shuffle: shard-0 head moves across epochs: " +
+      (0L to 1L).map { epoch =>
+        graft.sources.Writer.shardAssignments(docs, "doc_id", 8, seed = epoch)
+          .filter(col("shard") === 0 && col("shard_pos") === 0)
+          .select("doc_id").head().getLong(0)
+      }.mkString("epoch0=", " epoch1=", ""))
 
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =
