@@ -3626,7 +3626,8 @@ object SparkEntry {
          |     one AS (SELECT doc_id, i,
          |               ${mcCleanSql("bs[i]")} AS c,
          |               ${mcCleanSql(
-             "array_to_string(regexp_extract_all(bs[i], '(?is)<a[^>]*>(.*?)</a>', 1), ' ')")} AS lc
+             "array_to_string(regexp_extract_all(bs[i], " +
+               "'(?is)<a(?:[\\s/][^>]*)?>(.*?)</a>', 1), ' ')")} AS lc
          |             FROM blk),
          |     keepb AS (SELECT doc_id, i, c FROM one
          |               WHERE len(c) >= 20
@@ -3636,8 +3637,12 @@ object SparkEntry {
          |                 AND COALESCE(len(lc), 0) <= CAST(0.33 AS DOUBLE) * len(c)),
          |     res AS (SELECT doc_id, string_agg(c, chr(10) ORDER BY i) AS mc
          |             FROM keepb GROUP BY doc_id)
-         |SELECT d.doc_id, COALESCE(res.mc, '') AS main_content
-         |FROM documents d LEFT JOIN res USING (doc_id)""".stripMargin,
+         |-- NULL html stays NULL (the Spark side propagates it); only a
+         |-- non-NULL page with no surviving block coalesces to ''
+         |SELECT u.doc_id,
+         |       CASE WHEN u.html IS NULL THEN NULL
+         |            ELSE COALESCE(res.mc, '') END AS main_content
+         |FROM u LEFT JOIN res USING (doc_id)""".stripMargin,
     // The same 13-step regexp cascade, step for step: script/style blocks,
     // comments, block tags → chr(10), all tags, five entities then &amp;,
     // space collapse, newline collapse, regex trim.

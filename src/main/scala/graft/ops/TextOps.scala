@@ -536,17 +536,12 @@ object TextOps {
     * HTML degrades gracefully (unmatched `<` survives as text), which is
     * the right failure mode for a lossy extraction stage. */
   def htmlToText(html: Column): Column = {
-    val noScript = regexp_replace(
-      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " "),
-      "(?is)<style[^>]*>.*?</style>", " ")
-    val noComments = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noComments = removeInvisibleHtml(html)
     val blocksAsNewlines = regexp_replace(noComments,
       "(?i)</(p|div|li|h[1-6]|tr)>|<br[^>]*>", "\n")
     val noTags = regexp_replace(blocksAsNewlines, "(?s)<[^>]*>", " ")
-    val decoded = Seq(
-      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&",
-    ).foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    val decoded = EntityDecodes.foldLeft(noTags) { case (c, (ent, ch)) =>
+      regexp_replace(c, ent, ch) }
     // regex trim, not trim(): leading/trailing NEWLINES must go too
     regexp_replace(
       regexp_replace(regexp_replace(decoded, "[ \\t]+", " "),
@@ -563,15 +558,29 @@ object TextOps {
     df.withColumn(outCol, htmlToText(col(htmlCol)))
   }
 
+  /** The six-entity decode table shared by [[htmlToText]] and
+    * [[mainContent]]'s block cleanup — ONE copy so the `&amp;`-last
+    * ordering invariant (decoding it first would double-decode
+    * `&amp;lt;`) can never fork between the two consumers. */
+  private val EntityDecodes: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** Script/style/comment removal shared by [[htmlToText]] and
+    * [[mainContent]] (their common first pass). */
+  private def removeInvisibleHtml(html: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+
   /** The per-block cleanup shared by [[mainContent]]'s block and link-text
     * measurements: strip tags, decode the six entities (`&amp;` last),
     * collapse whitespace, trim. */
   private def blockClean(b: Column): Column = {
     val strip = regexp_replace(b, "(?s)<[^>]*>", " ")
-    val ent = Seq(
-      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&",
-    ).foldLeft(strip) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+    val ent = EntityDecodes.foldLeft(strip) { case (c, (e, ch)) =>
+      regexp_replace(c, e, ch) }
     trim(regexp_replace(ent, "\\s+", " "))
   }
 
@@ -593,16 +602,19 @@ object TextOps {
     * projection per row — no shuffle, nothing corpus-wide. */
   def mainContent(
       html: Column, minChars: Int = 20, maxLinkDensity: Double = 0.33): Column = {
-    val preClean = regexp_replace(regexp_replace(regexp_replace(html,
-      "(?is)<script[^>]*>.*?</script>", " "),
-      "(?is)<style[^>]*>.*?</style>", " "),
-      "(?s)<!--.*?-->", " ")
+    val preClean = removeInvisibleHtml(html)
     val blocks = split(preClean,
       "(?i)</(?:p|div|li|h[1-6]|tr|td|section|article|blockquote)>|<br[^>]*>")
+    // `<a(?:[\s/][^>]*)?>`: the attribute part must start with
+    // whitespace or '/', so <abbr>/<aside>/<article> can never open a
+    // "link" and swallow the prose up to the next real </a>. Known
+    // limitation (inherent to block splitting, as in jusText): an <a>
+    // spanning a block boundary (card-style <a><div>…</div></a>) is cut
+    // by the split and its anchor text counts as plain text.
     val scored = transform(blocks, b => {
       val clean = blockClean(b)
       val linkClean = blockClean(array_join(
-        regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " "))
+        regexp_extract_all(b, lit("(?is)<a(?:[\\s/][^>]*)?>(.*?)</a>"), lit(1)), " "))
       struct(clean.as("c"), length(clean).as("n"), length(linkClean).as("l"))
     })
     val kept = filter(scored, s =>

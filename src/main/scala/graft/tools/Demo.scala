@@ -359,8 +359,11 @@ object Demo {
       }
       java.nio.file.Files.write(warcDir.resolve("crawl.warc"), out.toByteArray)
     }
-    val crawled = graft.sources.Loader.load(spark, warcDir.resolve("crawl.warc").toString)
-    val bodies = graft.ops.TextOps.extractMainContent(crawled, "payload")
+    // cached: four downstream actions would otherwise re-parse the archive
+    // and re-run the extraction cascade each
+    val crawled = graft.sources.Loader.load(
+      spark, warcDir.resolve("crawl.warc").toString).cache()
+    val bodies = graft.ops.TextOps.extractMainContent(crawled, "payload").cache()
     println(s"warc chain: ${crawled.count()} records; main-content keeps body, " +
       s"drops nav/footer in ${bodies.filter(!col("main_content").contains("Home navigation")).count()} of ${bodies.count()}")
     val lid = graft.ops.LangId.langIdFit(docs, "text", "lang", vocabSize = 512)

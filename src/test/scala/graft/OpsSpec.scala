@@ -3098,6 +3098,14 @@ class OpsSpec extends SparkSpec {
       body + "\nLong paragraph with one tiny link inside it stays."
     out(2L) shouldBe "" // nothing survives → empty, not null
     out(3L) shouldBe null // NULL html propagates
+    // <abbr>/<aside> must NOT open a "link": only a real <a> tag (bare or
+    // whitespace/slash before attributes) counts toward link density
+    val abbr = "<p>The <abbr title=\"HyperText Markup Language\">HTML</abbr> " +
+      "standard evolved over decades, see the <a href=\"/spec\">spec</a> " +
+      "for details and much more prose here.</p>"
+    TextOps.extractMainContent(Seq((9L, abbr)).toDF("id", "html"), "html")
+      .head().getAs[String]("main_content") shouldBe
+      "The HTML standard evolved over decades, see the spec for details and much more prose here."
   }
 
   test("Psl: parser and registeredDomainPsl handle exact/wildcard/exception/default rules") {
