@@ -2344,6 +2344,19 @@ object SparkEntry {
         e.filter(col("vec_id") < 3), "vec_id", "embedding",
         kLex = 50, k = 10)
     }),
+    // Two-stage retrieval off the persisted index: same shortlist, same
+    // rerank, identical results (same oracle as text_bm25_rerank) — the
+    // corpus text is never rescanned.
+    "text_bm25_rerank_indexed" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      val e = rt(s, dir, "embeddings")
+      graft.ops.Retrieval.bm25RerankIndex(
+        graft.ops.Retrieval.Bm25Index.load(s, bm25DiskIndex(s, dir)),
+        d.filter(col("doc_id") < 3), "doc_id", "text",
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        kLex = 50, k = 10)
+    }),
     // Pseudo-relevance feedback: 5 feedback docs per query, the 10
     // highest-summed-tf terms expand the query, second BM25 pass — the
     // zero-training lexical recall lift. Integer tf ranks + the grid-sum
@@ -2443,6 +2456,61 @@ object SparkEntry {
       |      '[ \t]+', ' ', 'g'),
       |    ' *\n[ \n]*', chr(10), 'g')
       |    .regexp_replace('^\s+|\s+$', '', 'g') AS text_plain""".stripMargin
+
+
+  /** Shared oracle of text_bm25_rerank and text_bm25_rerank_indexed:
+    * the text_bm25 chain cut at rank 50, embeddings joined on the
+    * shortlist ids, the sim_topk_batch cosine formula, and the final rank
+    * on the 9-decimal-rounded cosine. */
+  private val bm25RerankOracleSql =
+      """WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |     dl AS (SELECT doc_id,
+        |              CAST(coalesce(len(list_filter(string_split_regex(t, '\s+'),
+        |                                            x -> x <> '')), 0) AS BIGINT) AS dl
+        |            FROM base),
+        |     stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |                      avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |     toks AS (SELECT doc_id,
+        |                unnest(list_filter(string_split_regex(t, '\s+'), x -> x <> '')) AS term
+        |              FROM base),
+        |     qterms AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3),
+        |     tf AS (SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+        |            FROM toks WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+        |     dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |     scored AS (SELECT q.query_id, tf.id,
+        |                  round(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+        |                        * tf.tf * 2.2
+        |                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 9) AS sc
+        |                FROM tf JOIN qterms q ON tf.term = q.term
+        |                     JOIN dfq ON tf.term = dfq.term
+        |                     JOIN dl ON tf.id = dl.doc_id
+        |                     CROSS JOIN stats s),
+        |     summed AS (SELECT query_id, id, round(sum(sc), 9) AS bm25
+        |                FROM scored GROUP BY 1, 2),
+        |     shortlist AS (SELECT query_id, id, bm25 FROM (
+        |                     SELECT query_id, id, bm25,
+        |                            row_number() OVER (PARTITION BY query_id
+        |                                               ORDER BY bm25 DESC, id) AS rn
+        |                     FROM summed) WHERE rn <= 50),
+        |     e AS (SELECT vec_id, embedding,
+        |             sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                            FOR i IN range(1, 65)])) AS nrm
+        |           FROM embeddings),
+        |     q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm
+        |           FROM e WHERE vec_id < 3 AND nrm > 0),
+        |     rer AS (SELECT sl.query_id, sl.id, sl.bm25,
+        |               round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+        |                               FOR i IN range(1, 65)])
+        |                     / (e.nrm * q.qnrm), 9) AS cos
+        |             FROM shortlist sl
+        |                  JOIN e ON sl.id = e.vec_id AND e.nrm > 0
+        |                  JOIN q ON sl.query_id = q.query_id)
+        |SELECT query_id, id, bm25, cos FROM (
+        |  SELECT query_id, id, bm25, cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, id) AS rn
+        |  FROM rer)
+        |WHERE rn <= 10""".stripMargin
 
   /** Shared oracle of text_bm25_prf and text_bm25_prf_indexed: two full
     * bm25 replays — pass one's top-5 feedback docs, the integer tf-sum
@@ -5026,55 +5094,10 @@ object SparkEntry {
     // Two-stage replay: the text_bm25 chain cut at rank 50, embeddings
     // joined on the shortlist ids, the sim_topk_batch cosine formula, and
     // the final rank on the 9-decimal-rounded cosine.
-    "text_bm25_rerank" ->
-      """WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
-        |     dl AS (SELECT doc_id,
-        |              CAST(coalesce(len(list_filter(string_split_regex(t, '\s+'),
-        |                                            x -> x <> '')), 0) AS BIGINT) AS dl
-        |            FROM base),
-        |     stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-        |                      avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
-        |     toks AS (SELECT doc_id,
-        |                unnest(list_filter(string_split_regex(t, '\s+'), x -> x <> '')) AS term
-        |              FROM base),
-        |     qterms AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3),
-        |     tf AS (SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
-        |            FROM toks WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
-        |     dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |     scored AS (SELECT q.query_id, tf.id,
-        |                  round(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
-        |                        * tf.tf * 2.2
-        |                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 9) AS sc
-        |                FROM tf JOIN qterms q ON tf.term = q.term
-        |                     JOIN dfq ON tf.term = dfq.term
-        |                     JOIN dl ON tf.id = dl.doc_id
-        |                     CROSS JOIN stats s),
-        |     summed AS (SELECT query_id, id, round(sum(sc), 9) AS bm25
-        |                FROM scored GROUP BY 1, 2),
-        |     shortlist AS (SELECT query_id, id, bm25 FROM (
-        |                     SELECT query_id, id, bm25,
-        |                            row_number() OVER (PARTITION BY query_id
-        |                                               ORDER BY bm25 DESC, id) AS rn
-        |                     FROM summed) WHERE rn <= 50),
-        |     e AS (SELECT vec_id, embedding,
-        |             sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
-        |                            FOR i IN range(1, 65)])) AS nrm
-        |           FROM embeddings),
-        |     q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm
-        |           FROM e WHERE vec_id < 3 AND nrm > 0),
-        |     rer AS (SELECT sl.query_id, sl.id, sl.bm25,
-        |               round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
-        |                               FOR i IN range(1, 65)])
-        |                     / (e.nrm * q.qnrm), 9) AS cos
-        |             FROM shortlist sl
-        |                  JOIN e ON sl.id = e.vec_id AND e.nrm > 0
-        |                  JOIN q ON sl.query_id = q.query_id)
-        |SELECT query_id, id, bm25, cos FROM (
-        |  SELECT query_id, id, bm25, cos,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY cos DESC, id) AS rn
-        |  FROM rer)
-        |WHERE rn <= 10""".stripMargin,
+    "text_bm25_rerank" -> bm25RerankOracleSql,
+    // The indexed two-stage search must be bit-identical to the direct
+    // one (the text_bm25_indexed rationale).
+    "text_bm25_rerank_indexed" -> bm25RerankOracleSql,
     // Two full bm25 replays: pass one's top-5 feedback docs, the integer
     // tf-sum expansion rank, the distinct union, pass two over the
     // expanded vocabulary.

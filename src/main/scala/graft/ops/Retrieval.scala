@@ -380,12 +380,58 @@ object Retrieval {
       qeEmbCol: String,
       kLex: Int,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(kLex >= k, "kLex must be >= k (the shortlist feeds the rerank)")
+    rerankShortlist(
+      bm25TopK(docs, idCol, textCol, queries, qIdCol, qTextCol, kLex),
+      corpusEmb, eIdCol, eEmbCol, queryEmb, qeIdCol, qeEmbCol, k)
+  }
+
+  /** [[bm25Rerank]] with the lexical stage probing a persisted
+    * [[Bm25Index]] instead of rescanning the corpus — the
+    * [[bm25PrfSearchIndex]] treatment for two-stage retrieval: identical
+    * results (same oracle), but the per-search cost is the pruned index
+    * probe plus the shortlist-sized rerank. */
+  def bm25RerankIndex(
+      index: Bm25Index,
+      queries: DataFrame,
+      qIdCol: String,
+      qTextCol: String,
+      corpusEmb: DataFrame,
+      eIdCol: String,
+      eEmbCol: String,
+      queryEmb: DataFrame,
+      qeIdCol: String,
+      qeEmbCol: String,
+      kLex: Int,
+      k: Int): DataFrame = {
+    require(kLex >= k, "kLex must be >= k (the shortlist feeds the rerank)")
+    rerankShortlist(
+      bm25SearchIndex(index, queries, qIdCol, qTextCol, kLex),
+      corpusEmb, eIdCol, eEmbCol, queryEmb, qeIdCol, qeEmbCol, k)
+  }
+
+  /** The dense stage shared by [[bm25Rerank]] and [[bm25RerankIndex]]:
+    * exact-cosine rerank of a (query_id, id, bm25) shortlist against the
+    * query embeddings, top-`k` out. The shortlist (≤ kLex·|queries| rows)
+    * is the BROADCAST build side against the corpus embedding table — the
+    * embeddings never shuffle and only shortlist rows are scored; the
+    * query embeddings broadcast likewise; the final rank window moves
+    * shortlist-sized rows. Zero-norm embeddings drop (the
+    * [[Similarity.cosineTopKBatch]] NaN rule); cosines are
+    * 9-decimal-rounded for engine portability. */
+  private def rerankShortlist(
+      shortlist: DataFrame,
+      corpusEmb: DataFrame,
+      eIdCol: String,
+      eEmbCol: String,
+      queryEmb: DataFrame,
+      qeIdCol: String,
+      qeEmbCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     graft.core.Validators.requireColumns(corpusEmb, Seq(eIdCol, eEmbCol))
     graft.core.Validators.requireColumns(queryEmb, Seq(qeIdCol, qeEmbCol))
     val d = Similarity.dotFor(corpusEmb)
-    val shortlist = bm25TopK(docs, idCol, textCol, queries, qIdCol, qTextCol, kLex)
     val e = corpusEmb
       .select(col(eIdCol).as("id"), col(eEmbCol).as("emb"))
       .withColumn("nrm", sqrt(d(col("emb"), col("emb"))))

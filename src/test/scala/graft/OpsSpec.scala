@@ -3216,6 +3216,30 @@ class OpsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy LangId.hashed(hashedM, 4)
   }
 
+  test("Retrieval.bm25RerankIndex: indexed two-stage equals the direct form") {
+    val docs = Seq(
+      (1L, "apple banana"), (2L, "apple cherry"), (3L, "banana date"),
+    ).toDF("doc_id", "text")
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.6f, 0.8f)),
+      (7L, Seq(0.0f, 2.0f))).toDF("vec_id", "embedding")
+    val q = Seq((7L, "apple banana")).toDF("qid", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val direct = rows(Retrieval.bm25Rerank(
+      docs, "doc_id", "text", q, "qid", "qtext",
+      embs, "vec_id", "embedding", embs.filter($"vec_id" === 7), "vec_id", "embedding",
+      kLex = 3, k = 3))
+    direct should not be empty
+    val dir = java.nio.file.Files.createTempDirectory("bm25reridx").toString
+    Retrieval.bm25Fit(docs, "doc_id", "text").save(dir)
+    rows(Retrieval.bm25RerankIndex(
+      Retrieval.Bm25Index.load(spark, dir), q, "qid", "qtext",
+      embs, "vec_id", "embedding", embs.filter($"vec_id" === 7), "vec_id", "embedding",
+      kLex = 3, k = 3)) shouldBe direct
+  }
+
   test("Retrieval.bm25PrfSearchIndex: indexed PRF equals the direct two-pass form") {
     val docs = Seq(
       (1L, "apple banana"),

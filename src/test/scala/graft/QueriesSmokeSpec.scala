@@ -125,6 +125,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // audited plan is pass two's probe over the expanded vocabulary
     "text_bm25_prf_indexed" -> 4,
     "text_bm25_rerank" -> 9, // bm25's 8 + the rerank's top-k window
+    // the probe's 3 + the shortlist-sized rerank window — the corpus
+    // tf/df aggregates are pre-paid in the index
+    "text_bm25_rerank_indexed" -> 4,
     // bm25's 8 + the dense leg's top-k window + the two rank windows and
     // the (query, id) fusion join over ≤ k·|queries| rows
     "text_rrf_hybrid" -> 12,
