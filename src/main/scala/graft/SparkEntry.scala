@@ -3193,14 +3193,20 @@ object SparkEntry {
          |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
          |       text AS payload
          |FROM documents""".stripMargin,
-    // sink_shards with the seed-7 epochHash: hash(7) folds into the id
-    // before the same two MINSTD rounds — all exact integer arithmetic.
+    // sink_shards with the seed-7 epochHash: the hashed seed becomes a
+    // multiplier in [1, M-1] applied between the two MINSTD rounds (an
+    // additive fold would be an affine shift — a shard relabeling, not a
+    // re-permutation) — all exact integer arithmetic, one product < 2^62.
     "sink_shuffled_shards" ->
-      """WITH s AS (SELECT ((CAST(7 AS BIGINT) * 48271 % 2147483647) * 48271 % 2147483647) AS hs),
+      """WITH s AS (SELECT ((CAST(7 AS BIGINT) * 48271 % 2147483647) * 48271 % 2147483647)
+        |                    % 2147483646 + 1 AS mult),
+        |     h0 AS (SELECT doc_id,
+        |              ((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 AS hi
+        |            FROM documents),
         |     h AS (SELECT doc_id,
-        |             ((((hs + doc_id % 2147483647) % 2147483647)
+        |             (((hi * mult % 2147483647)
         |               * 48271 % 2147483647) * 48271 % 2147483647) AS hh
-        |           FROM documents CROSS JOIN s)
+        |           FROM h0 CROSS JOIN s)
         |SELECT doc_id, hh % 16 AS shard,
         |       CAST(row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) - 1 AS BIGINT) AS shard_pos
         |FROM h""".stripMargin,

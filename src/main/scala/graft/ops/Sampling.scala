@@ -66,16 +66,36 @@ object Sampling {
     pmod(h1 * A, lit(M))
   }
 
-  /** Seeded variant of [[minstdHash]] — the per-epoch corpus-shuffle hash:
-    * the seed is hashed once and folded into the id before the two rounds,
-    * so each seed induces an independent-looking pseudorandom order while
-    * every operand stays < 2³¹ (products < 2⁴⁷) — exact 64-bit integer
-    * math that any engine replays bit-for-bit (an xxhash64-style native
-    * hash would be Spark-only). `epochHash(id, 0) == minstdHash(id)`
-    * (seed 0 hashes to 0), so unseeded layouts are the seed-0 member of
+  /** The seed-derived MULTIPLIER of [[epochHash]], computed driver-side
+    * (the seed is a plan-time constant): two MINSTD rounds of the seed,
+    * then mapped into [1, M−1] so it is invertible mod M (never ≡ 0).
+    * Exposed for the oracle-SQL replay. */
+  private[graft] def epochMultiplier(seed: Long): Long = {
+    val s = ((seed % M) + M) % M
+    val h = (((s * A) % M) * A) % M
+    h % (M - 1) + 1
+  }
+
+  /** Seeded variant of [[minstdHash]] — the per-epoch corpus-shuffle hash.
+    *
+    * The seed must NOT fold in additively: [[minstdHash]] is pure
+    * multiplication mod M, so `minstdHash(K + id)` is an AFFINE shift of
+    * `minstdHash(id)` — a cut-and-rotate of the epoch-0 order (shard
+    * assignment becomes a near-relabeling, within-shard order is
+    * preserved), silently defeating the per-epoch shuffle. Instead the
+    * seed becomes a MULTIPLIER in [1, M−1] applied between hash rounds:
+    * `h = minstdHash(minstdHash(id) · mult(seed) mod M)`. Multiplication
+    * mod M wraps ~mult times across [0, M), so both co-shard membership
+    * and within-shard relative order genuinely re-permute per seed.
+    * Every operand stays < 2³¹ and the one wide product < 2⁶² — exact
+    * 64-bit integer math that any engine replays bit-for-bit (an
+    * xxhash64-style native hash would be Spark-only).
+    * `epochHash(id, 0) == minstdHash(id)` exactly (seed 0 short-circuits
+    * to the unseeded hash), so unseeded layouts are the seed-0 member of
     * the family. */
   def epochHash(id: Column, seed: Long): Column =
-    minstdHash(minstdHash(lit(seed)) + pmod(id.cast("long"), lit(M)))
+    if (seed == 0L) minstdHash(id)
+    else minstdHash(pmod(minstdHash(id) * lit(epochMultiplier(seed)), lit(M)))
 
   /** Keep ~`percent`% of rows, chosen by id hash — stable across runs,
     * engines, and partitionings; a pure narrow filter (no shuffle, pushes

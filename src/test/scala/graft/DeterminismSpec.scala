@@ -112,6 +112,27 @@ class DeterminismSpec extends SparkSpec {
       withShufflePartitions(11)(seeded(d.repartition(6, col("doc_id")), 7L))
     seeded(d, 0L) shouldBe shards(d)
     seeded(d, 7L) should not be shards(d)
+    // structural re-permutation, not a shard RELABELING: an additive
+    // (affine) seed fold would map each epoch-0 shard into <=2 seed-7
+    // shards (only the mod-M wraparound splits it) and preserve
+    // within-shard relative order. Assert the opposite on both axes.
+    def layout(s: Long): Map[Long, (Long, Long)] =
+      graft.sources.Writer.shardAssignments(d, "doc_id", 8, seed = s)
+        .select("doc_id", "shard", "shard_pos").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val l0 = layout(0L); val l7 = layout(7L)
+    val scatter = l0.groupBy { case (_, (sh, _)) => sh }
+      .map { case (_, members) =>
+        members.keys.map(id => l7(id)._1).toSet.size }
+    all(scatter) should be >= 4    // every epoch-0 shard scatters widely
+    // and within-shard ORDER re-permutes: among id pairs co-sharded in
+    // both epochs, some pair's relative order flips across seeds
+    val coPairs = for {
+      (a, (sa0, pa0)) <- l0.toSeq; (b, (sb0, pb0)) <- l0.toSeq
+      if a < b && sa0 == sb0 && l7(a)._1 == l7(b)._1
+    } yield ((pa0 < pb0) != (l7(a)._2 < l7(b)._2))
+    coPairs.count(identity) should be > 0
+    coPairs.count(!_) should be > 0  // ...and some pair's order holds
   }
 
   test("curriculum shards, domain stats, and BPE fertility ignore physical layout") {
