@@ -152,10 +152,10 @@ object SparkEntry {
       val d = java.nio.file.Files.createTempDirectory("graft_warc").toString
       def writeArchive(
           file: String, warcType: String, contentType: String,
-          payloadOf: org.apache.spark.sql.Row => String): Unit = {
+          payloadOf: org.apache.spark.sql.Row => Array[Byte]): Unit = {
         val out = new java.io.ByteArrayOutputStream()
         rows.foreach { r =>
-          val payload = payloadOf(r).getBytes("UTF-8")
+          val payload = payloadOf(r)
           val header =
             s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
               s"WARC-Record-ID: <urn:graft:doc-${r.getLong(0)}>\r\n" +
@@ -170,10 +170,40 @@ object SparkEntry {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(d, file), out.toByteArray)
       }
-      // the WET-shaped plain-text archive (warc_extract) and the
-      // response-shaped HTML archive (warc_html_extract)
-      writeArchive("docs.warc", "conversion", "text/plain", _.getString(2))
-      writeArchive("docs_html.warc", "response", "text/html", _.getString(3))
+      // the WET-shaped plain-text archive (warc_extract)...
+      writeArchive("docs.warc", "conversion", "text/plain",
+        _.getString(2).getBytes("UTF-8"))
+      // ...and the response-shaped HTML archive (warc_html_extract /
+      // warc_http_meta) in TRUE response-record form: the record payload
+      // is the full HTTP message — status line + response headers +
+      // CRLF CRLF + body — exactly what a real Common Crawl .warc
+      // carries, so the reader's envelope stripping (not the fixture)
+      // is what keeps the downstream htmlToText oracle green. Statuses
+      // and content-codings vary deterministically by doc_id: every
+      // 20th doc is a 404 (same body), every 10th-plus-3 body travels
+      // gzip content-coded.
+      writeArchive("docs_html.warc", "response", "application/http; msgtype=response",
+        { r =>
+          val id = r.getLong(0)
+          val rawBody = r.getString(3).getBytes("UTF-8")
+          val gzipped = id % 10 == 3
+          val body =
+            if (!gzipped) rawBody
+            else {
+              val bo = new java.io.ByteArrayOutputStream()
+              val gz = new java.util.zip.GZIPOutputStream(bo)
+              gz.write(rawBody); gz.close(); bo.toByteArray
+            }
+          val statusLine =
+            if (id % 20 == 0) "HTTP/1.1 404 Not Found" else "HTTP/1.1 200 OK"
+          val envelope = statusLine + "\r\n" +
+            "Content-Type: text/html; charset=UTF-8\r\n" +
+            (if (gzipped) "Content-Encoding: gzip\r\n" else "") +
+            s"Content-Length: ${body.length}\r\n\r\n"
+          val msg = new java.io.ByteArrayOutputStream()
+          msg.write(envelope.getBytes("UTF-8")); msg.write(body)
+          msg.toByteArray
+        })
       d
     })
 
@@ -1326,6 +1356,14 @@ object SparkEntry {
       graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_html.warc")
         .select(col("record_id"),
           TextOps.htmlToText(col("payload")).as("text_plain"))),
+    // The stripped HTTP envelope as data: status code + HTTP-level
+    // Content-Type parsed off each response record (the fixture varies
+    // both status and gzip content-coding by doc_id, so this oracles the
+    // envelope PARSE while warc_html_extract oracles the BODY recovery —
+    // including the gunzip of every 10th-plus-3 record).
+    "warc_http_meta" -> ((s, dir) =>
+      graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_html.warc")
+        .select("record_id", "http_status", "http_content_type")),
     // The epoch-7 member of the same family: the seeded hash re-permutes
     // shard membership AND within-shard order deterministically — the
     // per-epoch corpus shuffle a trainer export replays from (seed, ids)
@@ -3735,6 +3773,16 @@ object SparkEntry {
          |SELECT record_id,
          |$stripHtmlCascadeSql
          |FROM u""".stripMargin,
+    // The fixture's envelope rules replayed: every 20th doc a 404, the
+    // HTTP Content-Type constant (the gzip coding is invisible here by
+    // design — warc_html_extract proves the body still strips to the
+    // same text).
+    "warc_http_meta" ->
+      """SELECT '<urn:graft:doc-' || doc_id || '>' AS record_id,
+        |       CAST(CASE WHEN doc_id % 20 = 0 THEN 404 ELSE 200 END AS INTEGER)
+        |         AS http_status,
+        |       'text/html; charset=UTF-8' AS http_content_type
+        |FROM documents""".stripMargin,
     // Mark-then-split replay: same punctuation injection, same
     // ([.!?])\s+ → \1 + U+001E rewrite, list positions as sentence ids,
     // empties dropped AFTER position assignment (as posexplode does).

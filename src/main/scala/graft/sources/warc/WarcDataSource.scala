@@ -60,6 +60,12 @@ object WarcDataSource {
     StructField("warc_date", StringType),
     StructField("content_type", StringType),
     StructField("content_length", LongType, nullable = false),
+    // application/http records only (null otherwise): parsed status code
+    // and the HTTP-level Content-Type — where a response's real MIME type
+    // lives. For those records `payload` is the BODY with the HTTP
+    // envelope stripped (and gzip content-coding inflated).
+    StructField("http_status", IntegerType),
+    StructField("http_content_type", StringType),
     StructField("payload", StringType, nullable = false)))
 
   /** `load(p)` arrives as "path"; `load(p1, p2, …)` as a JSON-array
@@ -167,13 +173,20 @@ private[warc] object WarcScan {
       if (matched.isEmpty && strict)
         throw graft.errors.FeatureFactoryException.InvalidParameter(
           s"graft-warc: no files match '$p'")
-      matched.flatMap { st =>
+      // RECURSIVE directory expansion: crawl layouts nest (e.g.
+      // crawl-data/<segment>/wet/...), and a non-recursive listing would
+      // silently ingest a partial corpus — skip _/.-prefixed names
+      // (atomic-landing temps, _SUCCESS markers) at EVERY level
+      def expand(st: FileStatus): Seq[FileStatus] =
         if (st.isDirectory)
-          fs.listStatus(st.getPath).filter(f =>
-            f.isFile && !f.getPath.getName.startsWith("_") &&
-              !f.getPath.getName.startsWith("."))
-        else Array(st)
-      }.map(_.getPath.toString)
+          fs.listStatus(st.getPath).toSeq
+            .filterNot { f =>
+              val n = f.getPath.getName
+              n.startsWith("_") || n.startsWith(".")
+            }
+            .flatMap(expand)
+        else Seq(st)
+      matched.flatMap(expand).map(_.getPath.toString)
     }.sorted
   }
 
@@ -247,7 +260,10 @@ private[warc] class WarcPartitionReader(
   private var index = -1L
   private var current: WarcRecord = _
   private val fileUtf8 = UTF8String.fromString(file)
-  private val wantPayload = columns.contains("payload")
+  // the http_* columns are parsed out of the payload bytes, so asking for
+  // either forces the decode just like asking for the payload itself
+  private val wantPayload = columns.exists(c =>
+    c == "payload" || c == "http_status" || c == "http_content_type")
 
   private def ensureOpen(): Unit = if (it == null) {
     val hconf = new Configuration()
@@ -276,6 +292,8 @@ private[warc] class WarcPartitionReader(
       case "warc_date" => r => s(r.warcDate)
       case "content_type" => r => s(r.contentType)
       case "content_length" => r => r.contentLength
+      case "http_status" => r => r.httpStatus
+      case "http_content_type" => r => s(r.httpContentType)
       case "payload" => r => s(r.payload)
     }
   }

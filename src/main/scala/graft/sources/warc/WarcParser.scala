@@ -6,7 +6,19 @@ import java.nio.charset.StandardCharsets.UTF_8
 /** One parsed WARC (ISO 28500) record: the five standard headers a curation
   * chain keys on (null when absent), the declared length, and the UTF-8
   * payload. WET files are WARC files whose records are `conversion` text,
-  * so the same parser covers both. */
+  * so the same parser covers both.
+  *
+  * For `application/http` records (Common Crawl `response`/`request`
+  * blocks) the payload is the HTTP MESSAGE — status line + response
+  * headers + CRLF CRLF + body. The parser strips that envelope:
+  * `payload` is the BODY alone (gunzipped when the HTTP headers declare
+  * `Content-Encoding: gzip`), and the envelope surfaces as
+  * `httpStatus` (null unless the first line is an `HTTP/x` status line)
+  * and `httpContentType` (the HTTP-level Content-Type header, where the
+  * real MIME type of a response lives). Both are null for non-http
+  * records (conversion/WET, warcinfo, metadata). `contentLength` stays
+  * the record's DECLARED length (the framing truth), which for http
+  * records includes the envelope. */
 final case class WarcRecord(
     warcType: String,
     recordId: String,
@@ -14,7 +26,9 @@ final case class WarcRecord(
     warcDate: String,
     contentType: String,
     contentLength: Long,
-    payload: String)
+    payload: String,
+    httpStatus: Integer = null,
+    httpContentType: String = null)
 
 /** STREAMING WARC record iterator — the memory contract that makes crawl
   * ingest work: only ONE record is materialized at a time (bounded by the
@@ -108,19 +122,28 @@ final class WarcRecordIterator(
     if (h == null) { done = true; return } // header block truncated
     headers.get("content-length").flatMap(_.toLongOption) match {
       case Some(len) if len >= 0 && len <= maxPayloadBytes =>
-        val payload =
-          if (decodePayload) {
-            val bytes = new Array[Byte](len.toInt)
-            if (!readFully(bytes)) { done = true; return } // payload truncated
-            new String(bytes, UTF_8)
-          } else {
-            if (!skipFully(len)) { done = true; return }
-            null
-          }
         def g(k: String): String = headers.getOrElse(k, null)
-        pending = WarcRecord(
-          g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
-          g("warc-date"), g("content-type"), len, payload)
+        if (decodePayload) {
+          val bytes = new Array[Byte](len.toInt)
+          if (!readFully(bytes)) { done = true; return } // payload truncated
+          val isHttp = headers.get("content-type")
+            .exists(_.toLowerCase.startsWith("application/http"))
+          pending =
+            if (isHttp) {
+              val (status, httpCt, body) = WarcRecordIterator.stripHttpEnvelope(bytes)
+              WarcRecord(
+                g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
+                g("warc-date"), g("content-type"), len, body, status, httpCt)
+            } else
+              WarcRecord(
+                g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
+                g("warc-date"), g("content-type"), len, new String(bytes, UTF_8))
+        } else {
+          if (!skipFully(len)) { done = true; return }
+          pending = WarcRecord(
+            g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
+            g("warc-date"), g("content-type"), len, null)
+        }
       case Some(len) if len > maxPayloadBytes =>
         // oversized single record: consume and move on (skip, don't abort).
         // Skipped in BOTH projection modes — a pruned census and a full
@@ -149,4 +172,69 @@ object WarcRecordIterator {
   /** Largest single-record payload materialized (a String needs an Int
     * array); records beyond this are skipped, not fatal. */
   val MaxPayloadBytes: Long = Int.MaxValue - 16L
+
+  /** Split an `application/http` record payload into
+    * (status, http content-type, body text).
+    *
+    * The envelope ends at the first blank line (`\r\n\r\n`, or bare
+    * `\n\n` from lenient re-writers) — the split happens on BYTES, before
+    * any charset decode, because the body may be binary-ish or
+    * content-coded. Status parses only when the first line is an
+    * `HTTP/x.y <code>` status line (request records' `GET / HTTP/1.1`
+    * yields null). A body declared `Content-Encoding: gzip` (or
+    * `x-gzip`) is inflated here, bounded by [[MaxPayloadBytes]]; any
+    * other content coding, or a gzip stream that fails to inflate
+    * (truncated capture), falls back to the raw bytes — LENIENT, like
+    * the record framing: one bad response must not abort a crawl task,
+    * and the raw bytes preserve what was actually captured. A payload
+    * with no blank line at all (malformed envelope) is returned verbatim
+    * with null status. */
+  private[warc] def stripHttpEnvelope(
+      bytes: Array[Byte]): (Integer, String, String) = {
+    // find the first \r\n\r\n or \n\n; remember where the body starts
+    var i = 0
+    var bodyStart = -1
+    while (bodyStart < 0 && i < bytes.length) {
+      if (bytes(i) == '\n') {
+        if (i + 1 < bytes.length && bytes(i + 1) == '\n') bodyStart = i + 2
+        else if (i + 2 < bytes.length && bytes(i + 1) == '\r' && bytes(i + 2) == '\n')
+          bodyStart = i + 3
+        else if (i + 1 == bytes.length) bodyStart = i + 1 // envelope-only
+      }
+      i += 1
+    }
+    if (bodyStart < 0) return (null, null, new String(bytes, UTF_8))
+    val envLines = new String(bytes, 0, bodyStart, UTF_8).split("\r?\n")
+    val status: Integer =
+      if (envLines.nonEmpty && envLines(0).startsWith("HTTP/")) {
+        val parts = envLines(0).split(" ", 3)
+        if (parts.length >= 2) parts(1).toIntOption.map(Integer.valueOf).orNull
+        else null
+      } else null
+    def header(name: String): Option[String] =
+      envLines.iterator.drop(1).flatMap { l =>
+        val j = l.indexOf(':')
+        if (j > 0 && l.substring(0, j).trim.equalsIgnoreCase(name))
+          Some(l.substring(j + 1).trim)
+        else None
+      }.nextOption()
+    val httpCt = header("content-type").orNull
+    var body = java.util.Arrays.copyOfRange(bytes, bodyStart, bytes.length)
+    val enc = header("content-encoding").map(_.toLowerCase)
+    if (enc.exists(e => e == "gzip" || e == "x-gzip")) {
+      try {
+        val gz = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(body), 1 << 13)
+        val out = new ByteArrayOutputStream(body.length * 4)
+        val chunk = new Array[Byte](1 << 13)
+        var n = gz.read(chunk)
+        var total = 0L
+        while (n != -1 && total <= MaxPayloadBytes) {
+          out.write(chunk, 0, n); total += n; n = gz.read(chunk)
+        }
+        if (total <= MaxPayloadBytes) body = out.toByteArray
+      } catch { case _: java.io.IOException => () } // keep raw bytes
+    }
+    (status, httpCt, new String(body, UTF_8))
+  }
 }

@@ -350,11 +350,16 @@ object Demo {
           "<a href=\"/x\">About us and contact</a></div><p>" + r.getString(2) +
           "</p><div><a href=\"/tos\">Terms of service page</a></div></body></html>")
           .getBytes("UTF-8")
+        // true Common-Crawl response shape: the record payload is the
+        // whole HTTP message; the reader strips the envelope
+        val msg = ("HTTP/1.1 200 OK\r\n" +
+          "Content-Type: text/html; charset=UTF-8\r\n\r\n").getBytes("UTF-8") ++ page
         out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
           s"WARC-Record-ID: <urn:demo:${r.getLong(0)}>\r\n" +
           s"WARC-Target-URI: https://www.${r.getString(1)}.co.uk/p/${r.getLong(0)}\r\n" +
-          s"Content-Length: ${page.length}\r\n\r\n").getBytes("UTF-8"))
-        out.write(page)
+          "Content-Type: application/http; msgtype=response\r\n" +
+          s"Content-Length: ${msg.length}\r\n\r\n").getBytes("UTF-8"))
+        out.write(msg)
         out.write("\r\n\r\n".getBytes("UTF-8"))
       }
       java.nio.file.Files.write(warcDir.resolve("crawl.warc"), out.toByteArray)
@@ -364,7 +369,9 @@ object Demo {
     val crawled = graft.sources.Loader.load(
       spark, warcDir.resolve("crawl.warc").toString).cache()
     val bodies = graft.ops.TextOps.extractMainContent(crawled, "payload").cache()
-    println(s"warc chain: ${crawled.count()} records; main-content keeps body, " +
+    println(s"warc chain: ${crawled.count()} records (" +
+      s"${crawled.filter(col("http_status") === 200).count()} HTTP 200, envelope stripped); " +
+      s"main-content keeps body, " +
       s"drops nav/footer in ${bodies.filter(!col("main_content").contains("Home navigation")).count()} of ${bodies.count()}")
     val lid = graft.ops.LangId.langIdFit(docs, "text", "lang", vocabSize = 512)
     val lidScored = graft.ops.LangId.langIdScore(

@@ -134,6 +134,82 @@ class CoreExtrasSpec extends SparkSpec {
       Seq(("<urn:t:1>", 11L), ("<urn:t:2>", 20L), ("<urn:t:3>", 4L))
   }
 
+  test("WARC response records strip the HTTP envelope (status, content-type, gzip body)") {
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    def rec(id: Int, warcCt: String, payload: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:h:$id>\r\n" +
+        s"Content-Type: $warcCt\r\nContent-Length: ${payload.length}\r\n\r\n")
+        .getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+    def http(status: String, headers: String, body: Array[Byte]): Array[Byte] =
+      (status + "\r\n" + headers + "\r\n").getBytes("UTF-8") ++ body
+    val httpCt = "application/http; msgtype=response"
+    val gzBody = gzip("<p>compressed page</p>".getBytes("UTF-8"))
+    val truncatedGz = gzBody.take(gzBody.length - 6)
+    val bytes =
+      // 1: plain response — envelope stripped, status + HTTP ct surfaced
+      rec(1, httpCt, http("HTTP/1.1 200 OK",
+        "Content-Type: text/html; charset=UTF-8\r\nServer: x\r\n",
+        "<p>plain page</p>".getBytes("UTF-8"))) ++
+      // 2: gzip content-coded body — inflated transparently
+      rec(2, httpCt, http("HTTP/1.1 404 Not Found",
+        s"Content-Type: text/html\r\nContent-Encoding: gzip\r\nContent-Length: ${gzBody.length}\r\n",
+        gzBody)) ++
+      // 3: request record — application/http but no HTTP/ status line
+      rec(3, "application/http; msgtype=request", http("GET /x HTTP/1.1",
+        "Host: a\r\n", Array.empty[Byte])) ++
+      // 4: non-http conversion record — untouched, nulls
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:h:4>\r\n" +
+        "Content-Type: text/plain\r\nContent-Length: 5\r\n\r\nplain\r\n\r\n")
+        .getBytes("UTF-8") ++
+      // 5: malformed http payload (no blank line) — verbatim, null status
+      rec(5, httpCt, "HTTP/1.1 200 OK\r\nbroken".getBytes("UTF-8")) ++
+      // 6: truncated gzip body — lenient raw-bytes fallback, not an abort
+      rec(6, httpCt, http("HTTP/1.1 200 OK",
+        "Content-Encoding: gzip\r\n", truncatedGz))
+    val d = java.nio.file.Files.createTempDirectory("graft_warc_http")
+    java.nio.file.Files.write(d.resolve("h.warc"), bytes)
+    val rows = Loader.load(spark, d.resolve("h.warc").toString)
+      .orderBy("record_index").collect()
+    rows.length shouldBe 6
+    def st(i: Int): AnyRef =
+      rows(i).getAs[Any]("http_status").asInstanceOf[AnyRef]
+    rows(0).getAs[String]("payload") shouldBe "<p>plain page</p>"
+    st(0) shouldBe 200
+    rows(0).getAs[String]("http_content_type") shouldBe "text/html; charset=UTF-8"
+    rows(1).getAs[String]("payload") shouldBe "<p>compressed page</p>"
+    st(1) shouldBe 404
+    rows(1).getAs[String]("http_content_type") shouldBe "text/html"
+    st(2) shouldBe null // request line is not a status line
+    rows(2).getAs[String]("payload") shouldBe ""
+    st(3) shouldBe null
+    rows(3).getAs[String]("payload") shouldBe "plain"
+    rows(3).getAs[String]("http_content_type") shouldBe null
+    st(4) shouldBe null
+    rows(4).getAs[String]("payload") shouldBe "HTTP/1.1 200 OK\r\nbroken"
+    st(5) shouldBe 200
+    // the raw (still-compressed) bytes survive, re-decoded as UTF-8
+    rows(5).getAs[String]("payload") should not be "<p>compressed page</p>"
+    rows(5).getAs[String]("payload").length should be > 0
+    // content_length stays the DECLARED record length (envelope included)
+    rows(0).getAs[Long]("content_length") shouldBe
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\nServer: x\r\n\r\n" +
+        "<p>plain page</p>").getBytes("UTF-8").length.toLong
+    // a nested crawl layout (root/<segment>/wet/x.warc) expands
+    // RECURSIVELY — partial ingest of a segmented directory tree must be
+    // impossible; _/.-prefixed names skip at every level
+    val root = java.nio.file.Files.createTempDirectory("graft_warc_tree")
+    val leaf = root.resolve("seg-00").resolve("wet")
+    java.nio.file.Files.createDirectories(leaf)
+    java.nio.file.Files.createDirectories(root.resolve("_tmp"))
+    java.nio.file.Files.write(leaf.resolve("x.warc"), bytes)
+    java.nio.file.Files.write(root.resolve("_tmp").resolve("y.warc"), bytes)
+    spark.read.format("graft-warc").load(root.toString).count() shouldBe 6
+  }
+
   test("graft-warc streams newly landed archives exactly once across restarts") {
     def rec(id: Int, payload: String): Array[Byte] = {
       val p = payload.getBytes("UTF-8")
