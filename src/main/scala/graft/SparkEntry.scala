@@ -44,6 +44,20 @@ object SparkEntry {
   private lazy val keyIdxDir: String =
     java.nio.file.Files.createTempDirectory("graft_key_idx").toString
 
+  /** dedup_incremental_model's fitted near-dup signature index, cached per
+    * (JVM, sf dir) — the langIdFitted convention (deterministic fit, fresh
+    * directory per fit so interleaved sf dirs can't cross round trips). */
+  private val nearDupIdxDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def nearDupIdxFitted(s: SparkSession, dir: String): String =
+    nearDupIdxDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft_neardup_idx").toString
+      Dedup.nearDupIndexFit(
+        rt(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+        "doc_id", "text").save(d)
+      d
+    })
+
   /** sample_dsir's model directory — same one-dir-per-JVM rationale. */
   private lazy val dsirModelDir: String =
     java.nio.file.Files.createTempDirectory("graft_dsir_model").toString
@@ -1055,6 +1069,16 @@ object SparkEntry {
       Dedup.dedupAgainstCorpus(
         d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0),
         "doc_id", "text")
+    }),
+    // The same incremental ingest through the PERSISTED signature index:
+    // fit on the 1/3 corpus → disk → load → probe the 2/3 batch with zero
+    // corpus recompute. Same oracle as dedup_incremental — the index is a
+    // pure caching structure, invisible in the results.
+    "dedup_incremental_model" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      Dedup.nearDupIndexApply(
+        d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        Dedup.NearDupIndex.load(s, nearDupIdxFitted(s, dir)))
     }),
     // Point-in-time enrichment: each purchase event joined to the user's
     // latest preceding (ts ≤) view event — the classic as-of join, run as a
@@ -2898,6 +2922,34 @@ object SparkEntry {
     // Cross-filter against the ingested third, then the dedup_corpus
     // recursive walk over the surviving batch.
     "dedup_incremental" ->
+      """WITH RECURSIVE
+        | inc AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        | cor AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+        | ig AS (SELECT doc_id,
+        |          list_distinct([substr(text, i, 3) FOR i IN range(1, len(text) - 1)]) AS gs
+        |        FROM inc),
+        | cg AS (SELECT doc_id,
+        |          list_distinct([substr(text, i, 3) FOR i IN range(1, len(text) - 1)]) AS gs
+        |        FROM cor),
+        | hit AS (SELECT DISTINCT a.doc_id FROM ig a, cg b
+        |         WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        |               / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.8),
+        | cl AS (SELECT * FROM ig WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+        | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM cl a, cl b
+        |           WHERE a.doc_id < b.doc_id
+        |             AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        |                 / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.8),
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |           UNION ALL SELECT id_b, id_a FROM pairs),
+        | walk(id, lbl) AS (
+        |   SELECT doc_id, doc_id FROM cl
+        |   UNION
+        |   SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+        | keep AS (SELECT id FROM walk GROUP BY id HAVING min(lbl) = id)
+        |SELECT inc.* FROM inc JOIN keep ON inc.doc_id = keep.id""".stripMargin,
+    // Identical semantics through the persisted signature index — the
+    // index must be result-invisible, so the oracle IS dedup_incremental's.
+    "dedup_incremental_model" ->
       """WITH RECURSIVE
         | inc AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
         | cor AS (SELECT * FROM documents WHERE doc_id % 3 = 0),

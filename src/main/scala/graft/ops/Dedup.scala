@@ -1076,6 +1076,21 @@ object Dedup {
   ): DataFrame = {
     val in = repLshFeatures(incoming, idCol, textCol, n, numHashes)
     val corp = repLshFeatures(corpus, idCol, textCol, n, numHashes)
+    dedupAgainstFeatures(incoming, idCol, in, corp, numHashes, bands, threshold)
+  }
+
+  /** [[dedupAgainstCorpus]] body from per-side features — shared with the
+    * index-backed [[nearDupIndexApply]], whose corpus side comes off disk
+    * instead of being recomputed. */
+  private def dedupAgainstFeatures(
+      incoming: DataFrame,
+      idCol: String,
+      in: RepLsh,
+      corp: RepLsh,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+  ): DataFrame = {
     // materialized once (on first action): read by the row-level anti-join
     // AND the group/feature anti-joins below — without it each read would
     // re-run the whole cross-LSH filter
@@ -1373,6 +1388,164 @@ object Dedup {
     contaminationApply(corpus, idCol, textCol,
       contaminationFit(benchmark, textCol, n, bloomBitsPerKey, bloomHashes, useBloom),
       minOverlap)
+  }
+
+  // ──────────────── Persistable near-dup signature index ────────────────
+
+  /** Persistable near-duplicate SIGNATURE index: the corpus side of
+    * [[dedupAgainstCorpus]] — exact-dup groups (representative = ids[0])
+    * plus the per-representative (gs, sz, sig) MinHash/LSH features —
+    * fit once ([[nearDupIndexFit]]), saved, and probed by every nightly
+    * ingest batch with ZERO corpus recompute: without it,
+    * `dedupAgainstCorpus` re-shingles and re-signs the WHOLE historical
+    * corpus on every batch, the one cost that grows with corpus age
+    * instead of batch size. With it, nightly cost ∝ batch: the probe
+    * band-joins the batch's signatures against the stored table (read
+    * straight off parquet) and only candidate buckets expand.
+    *
+    * On-disk layout is GENERATIONAL and append-only, the [[graft.ops.
+    * Retrieval.Bm25Index]] conventions exactly: `gen-NNNNN/{groups,feats}`
+    * parquet per fit/append batch, `params.json` (atomically replaced via
+    * temp-file rename) as the single commit record naming the live
+    * generations. A crash mid-append leaves an orphan generation no
+    * params.json names — ignored by load, never a torn index — and a
+    * retried append commits exactly once. SINGLE WRITER: append does an
+    * unlocked read-modify-write of params.json, so serialize writers;
+    * readers are unrestricted. */
+  final case class NearDupIndex(
+      n: Int,
+      numHashes: Int,
+      groups: DataFrame,  // (ids): exact-dup groups, representative = ids[0]
+      feats: DataFrame) { // (id, gs, sz, sig) per representative
+
+    /** Persists as a fresh single-generation directory. */
+    def save(dir: String): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val gen = NearDupIndex.genName(0)
+      NearDupIndex.writeGeneration(this, dir, gen)
+      NearDupIndex.commitParams(dir, n, numHashes, Seq(gen))
+    }
+  }
+
+  object NearDupIndex {
+    private[Dedup] def genName(i: Int): String = f"gen-$i%05d"
+
+    private[Dedup] def writeGeneration(
+        idx: NearDupIndex, dir: String, gen: String): Unit = {
+      val p = java.nio.file.Paths.get(dir).resolve(gen)
+      idx.groups.write.mode("overwrite").parquet(p.resolve("groups").toString)
+      idx.feats.write.mode("overwrite").parquet(p.resolve("feats").toString)
+    }
+
+    /** The COMMIT: params.json names the live generations; temp-file +
+      * atomic move, so readers see the previous index or the new one,
+      * never a torn state. */
+    private[Dedup] def commitParams(
+        dir: String, n: Int, numHashes: Int, generations: Seq[String]): Unit = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get(dir)
+      val json = JsonMethods.compact(JsonMethods.render(JObject(
+        "version" -> JInt(1),
+        "n" -> JInt(n),
+        "numHashes" -> JInt(numHashes),
+        "generations" -> JArray(generations.map(JString(_)).toList))))
+      val tmp = p.resolve("params.json.tmp")
+      java.nio.file.Files.writeString(tmp, json)
+      java.nio.file.Files.move(tmp, p.resolve("params.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    private[Dedup] def readParams(dir: String): (Int, Int, Seq[String]) = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val o = JsonMethods.parse(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir).resolve("params.json")))
+      val gens = (o \ "generations") match {
+        case JArray(xs) if xs.nonEmpty => xs.collect { case JString(s) => s }
+        case _ => throw graft.errors.FeatureFactoryException.InvalidParameter(
+          s"$dir/params.json names no generations — not a (healthy) near-dup index")
+      }
+      (graft.core.ModelIO.dbl(o \ "n").toInt,
+        graft.core.ModelIO.dbl(o \ "numHashes").toInt,
+        gens)
+    }
+
+    def load(spark: SparkSession, dir: String): NearDupIndex = {
+      val (n, numHashes, gens) = readParams(dir)
+      val p = java.nio.file.Paths.get(dir)
+      NearDupIndex(n, numHashes,
+        spark.read.parquet(gens.map(g => p.resolve(g).resolve("groups").toString): _*),
+        spark.read.parquet(gens.map(g => p.resolve(g).resolve("feats").toString): _*))
+    }
+  }
+
+  /** Build a [[NearDupIndex]] over a corpus: the exact same exact-dup
+    * grouping + per-representative shingle/minhash features the direct
+    * [[dedupAgainstCorpus]] computes — done ONCE here instead of per
+    * probe. `n` (shingle size) and `numHashes` are fit-time parameters
+    * (they shape the stored features); the LSH band count and Jaccard
+    * threshold stay probe-time knobs. */
+  def nearDupIndexFit(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64): NearDupIndex = {
+    require(n >= 1, "n must be >= 1")
+    require(numHashes >= 1, "numHashes must be >= 1")
+    graft.core.Validators.requireColumns(corpus, Seq(idCol, textCol))
+    val r = repLshFeatures(corpus, idCol, textCol, n, numHashes)
+    NearDupIndex(n, numHashes, r.groups.select("ids"), r.feats)
+  }
+
+  /** The rows of `incoming` that survive against the indexed corpus —
+    * [[dedupAgainstCorpus]] semantics EXACTLY (cross filter, then
+    * intra-batch dedup of the survivors), with the corpus side read from
+    * the index instead of recomputed: the corpus is never re-shingled,
+    * re-hashed, or even scanned beyond the stored feature tables. */
+  def nearDupIndexApply(
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: NearDupIndex,
+      bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(bands >= 1 && index.numHashes % bands == 0,
+      s"bands must divide the index's numHashes=${index.numHashes}")
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    graft.core.Validators.requireColumns(incoming, Seq(idCol, textCol))
+    val in = repLshFeatures(incoming, idCol, textCol, index.n, index.numHashes)
+    dedupAgainstFeatures(incoming, idCol, in,
+      RepLsh(index.groups, index.feats), index.numHashes, bands, threshold)
+  }
+
+  /** Append a batch to an on-disk [[NearDupIndex]] without rebuilding it:
+    * the batch's groups+features become their own generation, committed
+    * by the atomic params.json rename. Cost ∝ batch — existing
+    * generations are never read, let alone rewritten.
+    *
+    * The batch must be the SURVIVORS of [[nearDupIndexApply]] against
+    * this same index (the nightly-ingest loop: probe → keep survivors →
+    * append them). That precondition is what makes append ≡ rebuild for
+    * every future probe: survivors near-match nothing indexed (a ≥
+    * threshold match — exact texts included — would have dropped them),
+    * so the appended representatives are genuinely new and the union of
+    * generations carries the same feature set a from-scratch fit of the
+    * grown corpus would. */
+  def appendToNearDupIndex(
+      survivors: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
+    graft.core.Validators.requireColumns(survivors, Seq(idCol, textCol))
+    val (n, numHashes, gens) = NearDupIndex.readParams(dir)
+    val r = repLshFeatures(survivors, idCol, textCol, n, numHashes)
+    // empty batch → true no-op (no junk generation in every future probe)
+    if (r.groups.isEmpty) return
+    val maxGen = gens.map(_.stripPrefix("gen-").toInt).max
+    val gen = NearDupIndex.genName(maxGen + 1)
+    NearDupIndex.writeGeneration(
+      NearDupIndex(n, numHashes, r.groups.select("ids"), r.feats), dir, gen)
+    NearDupIndex.commitParams(dir, n, numHashes, gens :+ gen)
   }
 
   /** Fitted decontamination index — the benchmark side of

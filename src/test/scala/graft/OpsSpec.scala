@@ -305,6 +305,58 @@ class OpsSpec extends SparkSpec {
     out shouldBe Set(2L, 4L)
   }
 
+  test("NearDupIndex: fit → disk → load → probe matches dedupAgainstCorpus; append ≡ rebuild") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "shared legal boilerplate text appears in many documents"),
+    ).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // corpus dup → dropped
+      (2L, "totally novel content first variant appears here"),
+      (3L, "totally novel content first variant appears here"), // intra dup of 2 → dropped
+      (4L, "an entirely different standalone document"),
+      (5L, "xy"), // too short to shingle: always survives
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndidx_t").toString
+    Dedup.nearDupIndexFit(corpus, "doc_id", "text").save(dir)
+    val loaded = Dedup.NearDupIndex.load(spark, dir)
+    loaded.n shouldBe 3
+    loaded.numHashes shouldBe 64
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val direct = ids(Dedup.dedupAgainstCorpus(batch1, corpus, "doc_id", "text"))
+    val survivors = Dedup.nearDupIndexApply(batch1, "doc_id", "text", loaded)
+    ids(survivors) shouldBe direct
+    ids(survivors) shouldBe Set(2L, 4L, 5L)
+    // the loaded index is disk-backed: its frames are parquet relations,
+    // so the probe never touches (or recomputes) the corpus table
+    loaded.feats.queryExecution.analyzed.toString.toLowerCase should include ("parquet")
+
+    // APPEND the survivors (the nightly-ingest loop), then probe batch 2:
+    // identical results to a from-scratch fit of the grown corpus
+    Dedup.appendToNearDupIndex(survivors, "doc_id", "text", dir)
+    val grown = Dedup.NearDupIndex.load(spark, dir)
+    val batch2 = Seq(
+      (10L, "totally novel content first variant appears here"), // dup of appended 2
+      (11L, "the quick brown fox jumps over the lazy cat"),      // near-dup of corpus 100
+      (12L, "fresh never before seen content in this round"),
+    ).toDF("doc_id", "text")
+    val rebuilt = Dedup.nearDupIndexFit(
+      corpus.unionByName(survivors.filter($"doc_id" =!= 5L)), "doc_id", "text")
+    val viaAppend = ids(Dedup.nearDupIndexApply(batch2, "doc_id", "text", grown))
+    viaAppend shouldBe ids(Dedup.nearDupIndexApply(batch2, "doc_id", "text", rebuilt))
+    viaAppend shouldBe Set(12L)
+    // empty append is a true no-op: no junk generation committed
+    val gensBefore = new java.io.File(dir).listFiles().count(_.getName.startsWith("gen-"))
+    Dedup.appendToNearDupIndex(batch1.filter($"doc_id" < 0), "doc_id", "text", dir)
+    new java.io.File(dir).listFiles().count(_.getName.startsWith("gen-")) shouldBe gensBefore
+    // an orphan generation directory (crash mid-append) is ignored by load
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir).resolve("gen-00099"))
+    ids(Dedup.nearDupIndexApply(batch2, "doc_id", "text",
+      Dedup.NearDupIndex.load(spark, dir))) shouldBe Set(12L)
+  }
+
   test("Curation.curate optional scrub/span stages compose into the chain") {
     val df = Seq(
       (1L, "contact alice@example.com about the quick brown fox jumping high today"),
