@@ -308,28 +308,32 @@ object SparkEntry {
         concat(lit("https://login:pw@"), col("source"), lit("-cdn.org:8080/dl/v2")))
       .otherwise(concat(lit("ftp://files."), col("source"), lit(".net")))
 
-  /** The synthetic HOST of the text_url_psl query — six shapes keyed on
-    * doc_id % 6 exercising every PSL rule kind: plain gTLD, two-label
+  /** The synthetic HOST of the text_url_psl query — seven shapes keyed on
+    * doc_id % 7 exercising every PSL rule kind: plain gTLD, two-label
     * exact (co.uk), three-label wildcard (*.kawasaki.jp — the public
     * suffix eats a host label), a wildcard's city EXCEPTION, a
-    * wildcard-only TLD (*.ck), and the !www.ck exception itself. */
+    * wildcard-only TLD (*.ck), the !www.ck exception itself, and a
+    * PRIVATE-section operator suffix (github.io: each user site is its
+    * own registered domain under the with-private rule set). */
   private def synthPslHost: org.apache.spark.sql.Column =
-    when(col("doc_id") % 6 === 0, concat(lit("www."), col("source"), lit("-news.com")))
-      .when(col("doc_id") % 6 === 1, concat(lit("blog."), col("source"), lit(".co.uk")))
-      .when(col("doc_id") % 6 === 2, concat(lit("a.b."), col("source"), lit(".kawasaki.jp")))
-      .when(col("doc_id") % 6 === 3, lit("www.city.kawasaki.jp"))
-      .when(col("doc_id") % 6 === 4, concat(lit("x."), col("source"), lit(".ck")))
-      .otherwise(lit("www.ck"))
+    when(col("doc_id") % 7 === 0, concat(lit("www."), col("source"), lit("-news.com")))
+      .when(col("doc_id") % 7 === 1, concat(lit("blog."), col("source"), lit(".co.uk")))
+      .when(col("doc_id") % 7 === 2, concat(lit("a.b."), col("source"), lit(".kawasaki.jp")))
+      .when(col("doc_id") % 7 === 3, lit("www.city.kawasaki.jp"))
+      .when(col("doc_id") % 7 === 4, concat(lit("x."), col("source"), lit(".ck")))
+      .when(col("doc_id") % 7 === 5, lit("www.ck"))
+      .otherwise(concat(lit("docs."), col("source"), lit(".github.io")))
 
   /** SQL twin of [[synthPslHost]]. */
   private val synthPslHostSql =
-    """CASE doc_id % 6
+    """CASE doc_id % 7
       |  WHEN 0 THEN 'www.' || source || '-news.com'
       |  WHEN 1 THEN 'blog.' || source || '.co.uk'
       |  WHEN 2 THEN 'a.b.' || source || '.kawasaki.jp'
       |  WHEN 3 THEN 'www.city.kawasaki.jp'
       |  WHEN 4 THEN 'x.' || source || '.ck'
-      |  ELSE 'www.ck' END""".stripMargin
+      |  WHEN 5 THEN 'www.ck'
+      |  ELSE 'docs.' || source || '.github.io' END""".stripMargin
 
   /** The synthetic full PAGE of text_main_content — a link-saturated nav
     * block, a too-short heading and "ok" block, the document text as the
@@ -1619,7 +1623,8 @@ object SparkEntry {
     // the aux dump text_url_psl's oracle replays the prevailing-rule
     // algorithm over, like the centroid/codebook dumps.
     "text_psl_rules" -> ((s, dir) => {
-      val r = graft.ops.Psl.snapshot
+      // the WITH-PRIVATE rule set — the one text_url_psl resolves against
+      val r = graft.ops.Psl.snapshotWithPrivate
       import org.apache.spark.sql.types.{LongType, StringType}
       def rows(set: Set[String], kind: String) = set.toSeq.sorted.map(x =>
         org.apache.spark.sql.Row(x, kind, (x.count(_ == '.') + 1).toLong))
@@ -1629,13 +1634,15 @@ object SparkEntry {
           rows(r.exceptions, "exception"))
     }),
     // Registered-domain extraction under FULL public-suffix-list semantics
-    // (wildcards, exceptions, default rule) over six host shapes covering
-    // every rule kind. The oracle replays the longest-match/exception
-    // algorithm as SQL joins against the text_psl_rules dump.
+    // (wildcards, exceptions, default rule, PRIVATE section) over seven
+    // host shapes covering every rule kind. The oracle replays the
+    // longest-match/exception algorithm as SQL joins against the
+    // text_psl_rules dump (rule-set agnostic: its suffix-level range
+    // derives from the dump's max label count).
     "text_url_psl" -> ((s, dir) =>
       Url.registeredDomainPsl(
         rt(s, dir, "documents").select(col("doc_id"), synthPslHost.as("url_host")),
-        "url_host")
+        "url_host", rules = graft.ops.Psl.snapshotWithPrivate)
         .select("doc_id", "url_host", "url_domain")),
     // Main-content extraction (jusText-lite): block split at closing
     // block tags, keep blocks that are long enough AND not link-saturated
@@ -3754,7 +3761,9 @@ object SparkEntry {
          |           FROM u),
          |     sfx AS (SELECT c.doc_id, c.n, j.j,
          |                    array_to_string(c.ls[c.n - j.j + 1:], '.') AS s
-         |             FROM c CROSS JOIN (SELECT unnest(range(1, 6)) AS j) j
+         |             FROM c CROSS JOIN (
+         |               SELECT unnest(range(1,
+         |                 (SELECT max(nlabels) + 1 FROM r))) AS j) j
          |             WHERE c.n >= j.j),
          |     hits AS (SELECT s.doc_id,
          |                     CASE WHEN r.kind = 'exact' THEN s.j

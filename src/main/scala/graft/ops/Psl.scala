@@ -8,12 +8,16 @@ package graft.ops
   * EXCEPTION rules (`!www.ck` — registrable despite the wildcard), plus
   * the implicit default rule `*` (any unlisted TLD is a public suffix).
   *
-  * [[snapshot]] ships an ICANN-section SUBSET as a classpath resource
-  * (src/main/resources/graft/public_suffix_snapshot.dat) covering the
-  * common multi-label registries and every wildcard/exception TLD — the
-  * parser accepts the upstream publicsuffix.org file verbatim, so
-  * production deployments drop the full list (or its private section) in
-  * via [[parse]]/[[fromFile]] without code changes.
+  * The classpath resource
+  * (src/main/resources/graft/public_suffix_snapshot.dat) ships a curated
+  * SUBSET in the upstream layout — ICANN section (common multi-label
+  * registries + every wildcard/exception TLD) and PRIVATE section
+  * (well-known operator suffixes: github.io, blogspot.com, …), separated
+  * by the upstream `===BEGIN/END=== ` markers. [[snapshot]] keeps the
+  * ICANN section only; [[snapshotWithPrivate]] keeps both. The parser
+  * accepts the upstream publicsuffix.org file verbatim (section markers,
+  * inline whitespace rule), so production deployments drop the full
+  * current list in via [[parse]]/[[fromFile]] without code changes.
   */
 object Psl {
 
@@ -29,35 +33,66 @@ object Psl {
       exact.isEmpty && wildcardBases.isEmpty && exceptions.isEmpty
   }
 
-  /** Parse publicsuffix.org-format lines: `//` comments and blanks skipped,
-    * `*.base` → wildcard, `!rule` → exception, anything else exact. The
-    * upstream file's section markers are comments, so the full list (ICANN
-    * + private sections) parses as-is. */
-  def parse(lines: Iterator[String]): Rules = {
+  /** Parse publicsuffix.org-format lines: `//` comments and blanks
+    * skipped, `*.base` → wildcard, `!rule` → exception, anything else
+    * exact. Spec fidelity (upstream file accepted verbatim):
+    *  - each line is read only UP TO THE FIRST WHITESPACE (the spec's
+    *    rule), so trailing inline annotations can't produce
+    *    never-matching rules;
+    *  - the `===BEGIN/END PRIVATE DOMAINS===` section markers are
+    *    honored: `includePrivate = false` keeps only the ICANN section
+    *    (registry-level suffixes), `true` also keeps the private section
+    *    (github.io-style operator suffixes). Lines outside any marker
+    *    count as ICANN (covers snapshots without markers);
+    *  - rules are lowercased; IDN rules are kept in the (lowercased)
+    *    form they appear in — the upstream list writes them in UNICODE,
+    *    so punycode (`xn--`) crawl hosts will not match them. Punycode-
+    *    normalize hosts upstream (or pre-encode the rules) if IDN
+    *    grouping matters for the corpus. */
+  def parse(lines: Iterator[String], includePrivate: Boolean = true): Rules = {
     val exact = Set.newBuilder[String]
     val wild = Set.newBuilder[String]
     val exc = Set.newBuilder[String]
-    lines.map(_.trim.toLowerCase).foreach {
-      case l if l.isEmpty || l.startsWith("//") => ()
-      case l if l.startsWith("*.") => wild += l.stripPrefix("*.")
-      case l if l.startsWith("!") => exc += l.stripPrefix("!")
-      case l => exact += l
+    var inPrivate = false
+    lines.map(_.trim).foreach { raw =>
+      if (raw.contains("===BEGIN PRIVATE DOMAINS===")) inPrivate = true
+      else if (raw.contains("===END PRIVATE DOMAINS===")) inPrivate = false
+      else if (raw.nonEmpty && !raw.startsWith("//") &&
+          (includePrivate || !inPrivate)) {
+        // spec: "each line is only read up to the first whitespace"
+        val l = raw.takeWhile(!_.isWhitespace).toLowerCase
+        if (l.startsWith("*.")) wild += l.stripPrefix("*.")
+        else if (l.startsWith("!")) exc += l.stripPrefix("!")
+        else if (l.nonEmpty) exact += l
+      }
     }
     Rules(exact.result(), wild.result(), exc.result())
   }
 
   /** Load a rules file from disk (e.g. a freshly downloaded full list). */
-  def fromFile(path: String): Rules = {
+  def fromFile(path: String, includePrivate: Boolean = true): Rules = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
-    try parse(src.getLines()) finally src.close()
+    try parse(src.getLines(), includePrivate) finally src.close()
   }
 
-  /** The shipped ICANN-section snapshot (see the resource header for the
-    * regeneration pointer). Parsed once per JVM. */
-  lazy val snapshot: Rules = {
+  private def parseSnapshot(includePrivate: Boolean): Rules = {
     val in = getClass.getResourceAsStream("/graft/public_suffix_snapshot.dat")
     require(in != null, "graft public-suffix snapshot resource missing")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    try parse(src.getLines()) finally src.close()
+    try parse(src.getLines(), includePrivate) finally src.close()
   }
+
+  /** The shipped snapshot's ICANN section — registry-level suffixes only,
+    * the right default for registered-domain STATS (a company's
+    * `github.io` pages all group under github.io with the private section
+    * on, which is usually not what per-owner domain stats want... and
+    * exactly what abuse/blocklist grouping DOES want — that's
+    * [[snapshotWithPrivate]]). Parsed once per JVM. */
+  lazy val snapshot: Rules = parseSnapshot(includePrivate = false)
+
+  /** The shipped snapshot with the PRIVATE section included: operator
+    * suffixes (`github.io`, `blogspot.com`, …) become public suffixes, so
+    * each user site is its own registered domain — the grouping crawl
+    * blocklists and per-site dedup want. */
+  lazy val snapshotWithPrivate: Rules = parseSnapshot(includePrivate = true)
 }

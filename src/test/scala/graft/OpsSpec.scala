@@ -3194,6 +3194,28 @@ class OpsSpec extends SparkSpec {
     Psl.snapshot.exact should contain("co.uk")
     Psl.snapshot.wildcardBases should contain("ck")
     Psl.snapshot.exceptions should contain("www.ck")
+    // spec rule: a line reads up to the FIRST whitespace — an inline
+    // annotation can't create a never-matching rule
+    Psl.parse(Iterator("foo.bar  // operator note")).exact shouldBe Set("foo.bar")
+    // section markers: private rules drop when includePrivate = false
+    val sectioned = Seq(
+      "// ===BEGIN ICANN DOMAINS===", "co.uk", "// ===END ICANN DOMAINS===",
+      "// ===BEGIN PRIVATE DOMAINS===", "github.io", "// ===END PRIVATE DOMAINS===")
+    Psl.parse(sectioned.iterator, includePrivate = true).exact shouldBe
+      Set("co.uk", "github.io")
+    Psl.parse(sectioned.iterator, includePrivate = false).exact shouldBe Set("co.uk")
+    // the shipped snapshot honors the toggle: ICANN-only by default,
+    // operator suffixes only with the private section on
+    Psl.snapshot.exact should not contain "github.io"
+    Psl.snapshotWithPrivate.exact should contain("github.io")
+    Psl.snapshotWithPrivate.exact should contain("co.uk") // superset
+    // and the grouping flips accordingly: a user site is its own
+    // registered domain only under the with-private rule set
+    val gh = Seq("alice.github.io").toDF("h")
+    Url.registeredDomainPsl(gh, "h", "dom", Psl.snapshot)
+      .head().getString(1) shouldBe "github.io"
+    Url.registeredDomainPsl(gh, "h", "dom", Psl.snapshotWithPrivate)
+      .head().getString(1) shouldBe "alice.github.io"
     // blocklist filtering under PSL semantics: b.x.kawasaki.jp blocked
     import org.apache.spark.sql.functions.concat_ws
     val docs = Seq(
