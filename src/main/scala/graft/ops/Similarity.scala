@@ -598,6 +598,16 @@ object Similarity {
     * the threshold depends on whether the native kernel (single constant)
     * or the HOF struct-array tree (nlist × dim expression nodes) would
     * carry it. */
+  /** The `nlist = 0` auto-sizing rule: round(√N) clamped to [8, 65536].
+    * √N is the standard IVF balance point — the cell-tiled pair stages
+    * ([[knnGraph]]/[[hardNegatives]]/[[semanticDedup]]) are O(N²/nlist)
+    * and the centroid assignment is O(N·nlist), so nlist ≈ √N keeps both
+    * ~O(N^1.5). Pure arithmetic on the corpus count, so fits are
+    * count-stable: same corpus → same nlist → same model, on any
+    * partitioning. */
+  private[graft] def autoNlist(n: Long): Int =
+    math.max(8L, math.min(65536L, math.round(math.sqrt(n.toDouble)))).toInt
+
   private def literalAssignOk(df: DataFrame, nlist: Int, dims: Int): Boolean = {
     val sz = nlist.toLong * dims
     sz <= LiteralAssignMax ||
@@ -708,7 +718,14 @@ object Similarity {
     * Init is deterministic: the `nlist` distinct embeddings with the
     * smallest xxhash64(embedding, seed) — stable across partitionings.
     * Driver holds nlist × dim doubles; everything downstream is
-    * expressions. Empty cells keep their previous centroid. */
+    * expressions. Empty cells keep their previous centroid.
+    *
+    * `nlist = 0` → AUTO-SIZED to [[autoNlist]] (≈√N, the standard IVF
+    * rule): a hand-picked nlist that was right at fit-time silently
+    * becomes the O(N²/nlist) cell-tiling bottleneck when the corpus
+    * grows 10× (the measured sim_hard_negatives curve — BASELINE.md
+    * SCALING); auto-sizing re-derives it from the corpus count at every
+    * fit, so the downstream pair stage stays ~O(N^1.5). */
   def ivfCentroids(
       df: DataFrame,
       embCol: String,
@@ -717,6 +734,7 @@ object Similarity {
       maxIter: Int = 5,
       maxTrainRows: Long = 100000L,
   ): Seq[Seq[Double]] = {
+    require(nlist >= 0, "nlist must be >= 1, or 0 for auto (≈√N)")
     val cached = df.select(col(embCol).as("e")).cache()
     var weightedCache: Option[DataFrame] = None
     try {
@@ -726,6 +744,9 @@ object Similarity {
       // and partitionings; no RNG state). At 100 TB this is the difference
       // between maxIter full-corpus passes and maxIter sample passes.
       val n = cached.count()
+      // auto mode resolves HERE, from the same count the sampling rule
+      // needs anyway — no extra job
+      val k = if (nlist == 0) autoNlist(n) else nlist
       val train =
         if (n <= maxTrainRows) cached
         else {
@@ -738,7 +759,7 @@ object Similarity {
       var cents: Seq[Seq[Double]] = train
         .distinct()
         .orderBy(xxhash64(col("e"), lit(seed)).asc)
-        .limit(nlist)
+        .limit(k)
         .collect()
         .map(_.getSeq[Any](0).map {
           case f: Float => f.toDouble
@@ -748,7 +769,7 @@ object Similarity {
         .toSeq
       require(cents.nonEmpty, "ivfCentroids: no embeddings to train on")
       val dims = cents.head.length
-      val literalMode = literalAssignOk(df, nlist, dims)
+      val literalMode = literalAssignOk(df, k, dims)
       // Join-mode Lloyd runs over DISTINCT embeddings with multiplicity
       // weights and a LONG surrogate key: grouping the post-join argmin by
       // the embedding array itself forces sort-based aggregation with

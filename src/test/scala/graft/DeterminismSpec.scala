@@ -60,6 +60,18 @@ class DeterminismSpec extends SparkSpec {
     val pb = withShufflePartitions(19)(
       graft.ops.Similarity.pcaFit(embs.repartition(9, col("vec_id")), "embedding", 3))
     pa shouldBe pb
+    // auto-sizing (nlist = 0) is COUNT-stable: the resolved nlist is pure
+    // arithmetic on the corpus count, so the same corpus yields the same
+    // model under any layout — and exactly the hand-passed √N model
+    val aa = withShufflePartitions(3)(
+      graft.ops.Similarity.ivfCentroids(embs.repartition(2), "embedding", 0))
+    val ab = withShufflePartitions(19)(
+      graft.ops.Similarity.ivfCentroids(embs.repartition(9, col("vec_id")), "embedding", 0))
+    aa shouldBe ab
+    // auto resolves to round(√200) = 14; this corpus has only 13 distinct
+    // embeddings, so the init caps there — same as hand-passing 14
+    aa.length shouldBe 13
+    aa shouldBe graft.ops.Similarity.ivfCentroids(embs, "embedding", 14)
   }
 
   test("groupCentroids and packSequences are partitioning-independent") {
