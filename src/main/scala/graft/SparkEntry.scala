@@ -161,7 +161,7 @@ object SparkEntry {
     warcDirs.getOrElseUpdate(dir, {
       val rows = rt(s, dir, "documents")
         .select(col("doc_id"), synthUrl.as("url"), col("text"),
-          synthHtml.as("html"))
+          synthHtml.as("html"), col("source"))
         .orderBy("doc_id").collect()
       val d = java.nio.file.Files.createTempDirectory("graft_warc").toString
       def writeArchive(
@@ -218,6 +218,47 @@ object SparkEntry {
           msg.write(envelope.getBytes("UTF-8")); msg.write(body)
           msg.toByteArray
         })
+      // ...and the LINK-graph archive (warc_link_graph /
+      // warc_domain_centrality): each page carries one link of every
+      // resolution shape — absolute, protocol-relative, root-relative,
+      // document-relative, mailto, fragment, and a private-suffix
+      // absolute — against a base URI with a two-segment path. The
+      // oracle recomputes the expected resolved links from the SOURCE
+      // columns, so extraction AND resolution must both be right for the
+      // hashes to match. NOTE: target_uri here deliberately differs from
+      // synthUrl (simple, path-bearing, no userinfo/port cases — those
+      // are warc_extract's job).
+      locally {
+        val out = new java.io.ByteArrayOutputStream()
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          val source = r.getString(4)
+          val body = ("<html><body><p>crawl page body text</p>" +
+            s"""<a href="https://src${id % 7}-news.com/a/b">partner</a>""" +
+            s"""<a href="//cdn.$source.net/lib.js">cdn</a>""" +
+            s"""<a href="/about/contact.html">about</a>""" +
+            s"""<a href='archive/page${id % 5}.html'>archive</a>""" +
+            s"""<a href="mailto:team@example.com">mail</a>""" +
+            s"""<a href="#top">top</a>""" +
+            s"""<a href="https://docs.$source.github.io/guide">docs</a>""" +
+            "</body></html>").getBytes("UTF-8")
+          val envelope = "HTTP/1.1 200 OK\r\n" +
+            "Content-Type: text/html; charset=UTF-8\r\n\r\n"
+          val msg = envelope.getBytes("UTF-8") ++ body
+          val header =
+            s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Record-ID: <urn:graft:link-$id>\r\n" +
+              s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+              s"WARC-Target-URI: https://www.$source.co.uk/p/$id/index.html\r\n" +
+              "Content-Type: application/http; msgtype=response\r\n" +
+              s"Content-Length: ${msg.length}\r\n\r\n"
+          out.write(header.getBytes("UTF-8"))
+          out.write(msg)
+          out.write("\r\n\r\n".getBytes("UTF-8"))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(d, "docs_links.warc"), out.toByteArray)
+      }
       d
     })
 
@@ -1392,6 +1433,30 @@ object SparkEntry {
     "warc_http_meta" -> ((s, dir) =>
       graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_html.warc")
         .select("record_id", "http_status", "http_content_type")),
+    // The crawl LINK graph first mile: WARC pages → outlink extraction
+    // (every href resolution shape) → registered-domain edges under
+    // with-private PSL semantics. The oracle recomputes the expected
+    // links from the source columns, so tag matching, href parsing, URL
+    // resolution, host extraction, AND domain grouping all have to agree.
+    "warc_link_graph" -> ((s, dir) =>
+      graft.ops.LinkGraph.hostGraph(
+        graft.ops.LinkGraph.extractLinks(
+          graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_links.warc")
+            .select("target_uri", "payload"),
+          "payload", "target_uri"),
+        "target_uri", "link_url", rules = graft.ops.Psl.snapshotWithPrivate)),
+    // Katz-style integer in-link centrality over that edge graph, two
+    // bounded rounds — the domain-ranking signal crawl blocklists feed
+    // on. Exact BIGINT path counts, replayed as two unrolled SQL rounds.
+    "warc_domain_centrality" -> ((s, dir) =>
+      graft.ops.LinkGraph.domainCentrality(
+        graft.ops.LinkGraph.hostGraph(
+          graft.ops.LinkGraph.extractLinks(
+            graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_links.warc")
+              .select("target_uri", "payload"),
+            "payload", "target_uri"),
+          "target_uri", "link_url", rules = graft.ops.Psl.snapshotWithPrivate),
+        iterations = 2)),
     // The epoch-7 member of the same family: the seeded hash re-permutes
     // shard membership AND within-shard order deterministically — the
     // per-epoch corpus shuffle a trainer export replays from (seed, ids)
@@ -3844,6 +3909,44 @@ object SparkEntry {
         |         AS http_status,
         |       'text/html; charset=UTF-8' AS http_content_type
         |FROM documents""".stripMargin,
+    // The fixture's cross-domain links replayed from the source columns:
+    // per page, partner (absolute), cdn (protocol-relative → <source>.net)
+    // and docs (private github.io suffix → <source>.github.io); the
+    // root-relative and document-relative links resolve to the page's own
+    // domain (self-edges, dropped), mailto/fragment links never extract.
+    "warc_link_graph" ->
+      """WITH u AS (SELECT doc_id, source FROM documents),
+        |     e AS (SELECT source || '.co.uk' AS s,
+        |                  'src' || (doc_id % 7) || '-news.com' AS t FROM u
+        |           UNION ALL SELECT source || '.co.uk', source || '.net' FROM u
+        |           UNION ALL SELECT source || '.co.uk', source || '.github.io' FROM u)
+        |SELECT s AS src_domain, t AS dst_domain,
+        |       CAST(count(*) AS BIGINT) AS n_links
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    // Two unrolled integer Katz rounds over the same edge graph:
+    // c0 = 1; c_{t+1}(d) = 1 + Σ_{(s,d)} w·c_t(s) — all BIGINT, so the
+    // sums match bit-for-bit in any order on any engine.
+    "warc_domain_centrality" ->
+      """WITH u AS (SELECT doc_id, source FROM documents),
+        |     e AS (SELECT source || '.co.uk' AS s,
+        |                  'src' || (doc_id % 7) || '-news.com' AS t FROM u
+        |           UNION ALL SELECT source || '.co.uk', source || '.net' FROM u
+        |           UNION ALL SELECT source || '.co.uk', source || '.github.io' FROM u),
+        |     g AS (SELECT s, t, CAST(count(*) AS BIGINT) AS w
+        |           FROM e GROUP BY 1, 2),
+        |     nodes AS (SELECT DISTINCT dom FROM
+        |                 (SELECT s AS dom FROM g UNION SELECT t FROM g)),
+        |     c1 AS (SELECT n.dom,
+        |                   1 + COALESCE(SUM(g.w), 0) AS c
+        |            FROM nodes n LEFT JOIN g ON g.t = n.dom
+        |            GROUP BY n.dom),
+        |     c2 AS (SELECT n.dom,
+        |                   1 + COALESCE(SUM(g.w * c1.c), 0) AS c
+        |            FROM nodes n
+        |            LEFT JOIN g ON g.t = n.dom
+        |            LEFT JOIN c1 ON c1.dom = g.s
+        |            GROUP BY n.dom)
+        |SELECT dom AS domain, CAST(c AS BIGINT) AS centrality FROM c2""".stripMargin,
     // Mark-then-split replay: same punctuation injection, same
     // ([.!?])\s+ → \1 + U+001E rewrite, list positions as sentence ids,
     // empties dropped AFTER position assignment (as posexplode does).

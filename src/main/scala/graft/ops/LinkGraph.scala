@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Crawl link graph: outlink extraction from raw HTML, the host/domain
+  * edge graph, and a bounded-iteration centrality over it — the
+  * Common-Crawl-style domain-ranking first mile (extension beyond the
+  * reference surface, SURVEY §2.11's URL family). Composes with
+  * [[Url.domainStats]] / [[Url.domainFilter]]: rank domains by
+  * centrality, feed the tail into a blocklist.
+  *
+  * Everything is Catalyst expressions over linear-scan regexes (no
+  * backreferences or lookaround — RE2-compatible, same family as
+  * [[Url.HostPattern]]) plus dictionary-sized joins; no UDFs, no
+  * driver-side data paths.
+  */
+object LinkGraph {
+
+  /** `<a …>` tags: the attribute part must start with whitespace or `/` —
+    * the [[TextOps]] link-tag rule, so `<abbr>`/`<article>` never match. */
+  private val ATagPattern = "(?i)<a[\\s/][^>]*>"
+
+  /** href value inside one tag: double-quoted, single-quoted, or bare. */
+  private val HrefPattern =
+    "(?i)href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"
+
+  /** Non-navigational schemes a link graph ignores. */
+  private val SkipSchemes = "^(?i)(?:mailto|javascript|data|tel):"
+
+  /** One row per outlink: appends `outCol` (the link target resolved to an
+    * ABSOLUTE URL against the page's base URL) to every input row,
+    * exploding pages with multiple links and dropping pages with none.
+    *
+    * Extraction: `<a>` tags (attribute part must start with whitespace),
+    * href values in either quote style or bare. Skipped: empty hrefs,
+    * pure fragments (`#…`), and mailto/javascript/data/tel pseudo-links.
+    * Resolution (RFC-3986-lite, shared verbatim with the oracle SQL):
+    *   - `scheme://…` absolute → kept as-is;
+    *   - `//host/…` protocol-relative → base scheme prepended;
+    *   - `/path` root-relative → base `scheme://authority` prepended
+    *     (authority keeps userinfo/port — only host EXTRACTION strips
+    *     them later);
+    *   - anything else → appended to the base DIRECTORY (base path up to
+    *     its last `/`, or `/` when the base has no path). Dot segments
+    *     (`../`) are kept verbatim, not normalized — the graph keys on
+    *     the HOST, which dot segments never change.
+    *
+    * Scale shape: one generator (explode) over a narrow per-row
+    * projection — no shuffle, no aggregation; the regexes are
+    * linear-scan. A page with L links emits L rows; crawl pages are
+    * KB-sized, so the fan-out is bounded by page size. */
+  def extractLinks(
+      df: DataFrame,
+      htmlCol: String,
+      baseUrlCol: String,
+      outCol: String = "link_url"): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(htmlCol, baseUrlCol))
+    graft.core.Validators.requireColumnsAbsent(df, Seq(outCol), "extractLinks")
+    val rawHrefs = transform(
+      regexp_extract_all(col(htmlCol), lit(ATagPattern), lit(0)),
+      t => trim(regexp_extract(t, HrefPattern, 1), "\"'"))
+    val hrefs = filter(rawHrefs, h =>
+      h =!= "" && !h.startsWith("#") && !h.rlike(SkipSchemes))
+    val base = col(baseUrlCol)
+    val scheme = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    val authority = regexp_extract(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val basePath = regexp_extract(base, Url.PathPattern, 1)
+    // the base path up to (and including) its last slash; "/" when the
+    // base URL has no path at all
+    val baseDir = {
+      val d = regexp_replace(basePath, "[^/]*$", "")
+      when(d === "", lit("/")).otherwise(d)
+    }
+    def resolved(h: Column): Column =
+      when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), h)
+        .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+        .when(h.startsWith("/"), concat(scheme, lit("://"), authority, h))
+        .otherwise(concat(scheme, lit("://"), authority, baseDir, h))
+    df.withColumn("__graft_h", explode(hrefs))
+      .withColumn(outCol, resolved(col("__graft_h")))
+      .drop("__graft_h")
+  }
+
+  /** The registered-domain edge graph of an outlink table:
+    * `(src_domain, dst_domain, n_links)` — both endpoints mapped through
+    * [[Url.registeredDomainPsl]] (full PSL semantics; pass
+    * [[Psl.snapshotWithPrivate]] to split operator suffixes into per-site
+    * domains). Rows where either endpoint has no parseable host drop;
+    * `includeSelf = false` (the default) also drops intra-domain edges —
+    * site-internal navigation, noise for cross-domain ranking.
+    *
+    * Scale shape: two narrow host extractions + the zero-shuffle
+    * broadcast PSL rule joins per endpoint + ONE (src, dst) aggregate —
+    * the only shuffle, keyed on the domain pair. */
+  def hostGraph(
+      links: DataFrame,
+      srcUrlCol: String,
+      dstUrlCol: String,
+      rules: Psl.Rules = Psl.snapshot,
+      includeSelf: Boolean = false): DataFrame = {
+    graft.core.Validators.requireColumns(links, Seq(srcUrlCol, dstUrlCol))
+    val hosts = links.select(
+      Url.host(col(srcUrlCol)).as("__graft_sh"),
+      Url.host(col(dstUrlCol)).as("__graft_dh"))
+      .filter(col("__graft_sh") =!= "" && col("__graft_dh") =!= "")
+    val withSrc = Url.registeredDomainPsl(hosts, "__graft_sh", "src_domain", rules)
+    val withBoth = Url.registeredDomainPsl(withSrc, "__graft_dh", "dst_domain", rules)
+      .select("src_domain", "dst_domain")
+    val edges =
+      if (includeSelf) withBoth
+      else withBoth.filter(col("src_domain") =!= col("dst_domain"))
+    edges.groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("n_links"))
+  }
+
+  /** Katz-style in-link centrality over a domain edge graph, EXACT integer
+    * arithmetic: after `iterations` rounds,
+    * `centrality(d) = Σ_{paths p ending at d, |p| ≤ iterations} Π weights(p)`
+    * (+1 for the empty path) — the weighted count of inbound link paths
+    * up to the horizon. The recurrence is
+    * `c₀ = 1;  c_{t+1}(d) = 1 + Σ_{(s→d)} n_links(s→d) · c_t(s)`.
+    *
+    * Integers instead of PageRank's damped doubles BY DESIGN: every
+    * engine sums BIGINTs to the same value in any order, so the ranking
+    * replays bit-identically in the DuckDB oracle and downstream systems
+    * — a float power iteration is partition-order-sensitive in its last
+    * ulp. The ranking signal is equivalent for curation use (feed the
+    * low-centrality tail into [[Url.domainFilter]] blocklists). Keep the
+    * horizon small (default 3): weighted path counts grow geometrically
+    * with each round — the values are RANKS, not probabilities, and a
+    * deep horizon on a dense graph would overflow BIGINT.
+    *
+    * Scale shape (the [[Dedup.duplicateClusters]] loop conventions): the
+    * node and score tables are DOMAIN-sized (orders of magnitude below
+    * page count); each round is one edges⋈scores join + one dst-keyed
+    * aggregate, with the score table re-materialized per round
+    * (localCheckpoint) so lineage stays flat at any iteration count.
+    * Rounds are a fixed constant — total shuffles are bounded at plan
+    * time, never data-dependent. */
+  def domainCentrality(
+      edges: DataFrame,
+      srcCol: String = "src_domain",
+      dstCol: String = "dst_domain",
+      weightCol: String = "n_links",
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 0 && iterations <= 10,
+      "iterations must be in [0, 10] (integer path counts grow geometrically)")
+    graft.core.Validators.requireColumns(edges, Seq(srcCol, dstCol, weightCol))
+    val nodes = Dedup.materialize(
+      edges.select(col(srcCol).as("domain"))
+        .unionByName(edges.select(col(dstCol).as("domain")))
+        .distinct())
+    var score = nodes.withColumn("centrality", lit(1L))
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(score.select(col("domain").as(srcCol), col("centrality").as("__graft_cs")),
+          srcCol)
+        .groupBy(col(dstCol).as("domain"))
+        .agg(sum(col(weightCol) * col("__graft_cs")).as("__graft_in"))
+      score = Dedup.materialize(
+        nodes.join(contrib, Seq("domain"), "left")
+          .select(col("domain"),
+            (lit(1L) + coalesce(col("__graft_in"), lit(0L))).as("centrality")))
+    }
+    score
+  }
+}

@@ -3225,6 +3225,65 @@ class OpsSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
   }
 
+  test("LinkGraph: href extraction + resolution, host graph, integer centrality") {
+    import graft.ops.{LinkGraph, Psl}
+    val page =
+      """<html><body>
+        |<a href="https://other.com/x">abs</a>
+        |<a href="//cdn.example.net/l.js">proto-rel</a>
+        |<a href="/root/p.html">root-rel</a>
+        |<a href='sub/q.html'>rel</a>
+        |<a href="mailto:a@b.c">mail</a>
+        |<a href="#frag">frag</a>
+        |<a class="x" href=bare.html>bare</a>
+        |<abbr title="not a link">HTML</abbr>
+        |</body></html>""".stripMargin
+    val df = Seq((1L, "https://www.site.co.uk/dir/index.html", page))
+      .toDF("id", "base", "html")
+    val links = LinkGraph.extractLinks(df, "html", "base")
+      .select("link_url").collect().map(_.getString(0)).toSeq
+    links shouldBe Seq(
+      "https://other.com/x",
+      "https://cdn.example.net/l.js",
+      "https://www.site.co.uk/root/p.html",
+      "https://www.site.co.uk/dir/sub/q.html",
+      "https://www.site.co.uk/dir/bare.html")
+    // a base URL with no path resolves relatives against "/"
+    LinkGraph.extractLinks(
+      Seq((2L, "https://h.com", "<a href='x.html'>x</a>")).toDF("id", "base", "html"),
+      "html", "base").select("link_url").head().getString(0) shouldBe
+      "https://h.com/x.html"
+    // host graph under PSL rules: www strips to the registered domain,
+    // self-edges drop by default, counts aggregate
+    val lk = Seq(
+      ("https://www.site.co.uk/a", "https://other.com/1"),
+      ("https://www.site.co.uk/b", "https://sub.other.com/2"),
+      ("https://www.site.co.uk/c", "https://site.co.uk/self"),
+      ("https://www.site.co.uk/d", "nohost"),
+    ).toDF("src", "dst")
+    val g = LinkGraph.hostGraph(lk, "src", "dst", Psl.snapshot)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    g shouldBe Seq(("site.co.uk", "other.com", 2L))
+    LinkGraph.hostGraph(lk, "src", "dst", Psl.snapshot, includeSelf = true)
+      .count() shouldBe 2
+    // hand-checked two-hop integer Katz: a→b (w2), b→c (w3)
+    // c0: all 1; c1: a=1, b=1+2·1=3, c=1+3·1=4; c2: a=1, b=3, c=1+3·3=10
+    val edges = Seq(("a.com", "b.com", 2L), ("b.com", "c.com", 3L))
+      .toDF("src_domain", "dst_domain", "n_links")
+    def cent(it: Int) = LinkGraph.domainCentrality(edges, iterations = it)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cent(0) shouldBe Map("a.com" -> 1L, "b.com" -> 1L, "c.com" -> 1L)
+    cent(1) shouldBe Map("a.com" -> 1L, "b.com" -> 3L, "c.com" -> 4L)
+    cent(2) shouldBe Map("a.com" -> 1L, "b.com" -> 3L, "c.com" -> 10L)
+    // the ranking composes into a blocklist: the low-centrality tail
+    val block = cent(2).toSeq.filter(_._2 < 3).map(_._1)
+    block shouldBe Seq("a.com")
+    val docs2 = Seq((1L, "https://x.a.com/p"), (2L, "https://x.b.com/p"))
+      .toDF("id", "url")
+    graft.ops.Url.domainFilter(docs2, "url", block)
+      .select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+  }
+
   test("LangId: hand-checked NB fit, argmax score, default path, save/load round trip") {
     import graft.ops.LangId
     def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble

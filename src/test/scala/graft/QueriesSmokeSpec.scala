@@ -68,6 +68,14 @@ class QueriesSmokeSpec extends SparkSpec {
     // + the single-partition share window — the drops never shuffle
     "corpus_drift_psi" -> 5,
     "dedup_exact" -> 1, "dedup_incremental" -> 5, "dedup_minhash" -> 4,
+    // identical body to dedup_incremental; the corpus side is parquet
+    "dedup_incremental_model" -> 5,
+    // one (src, dst) aggregate; link extraction + PSL joins are narrow
+    "warc_link_graph" -> 1,
+    // the final frame is the last round's localCheckpoint (each round
+    // internally = one edges⋈scores join + one dst agg over DOMAIN-sized
+    // tables, truncated per round exactly like duplicateClusters)
+    "warc_domain_centrality" -> 0,
     "dedup_ngram_jaccard" -> 4, "dedup_ngram_overlap" -> 1,
     "dedup_simhash" -> 3,
     "events_rolling_salted" -> 1, "events_sessionize_salted" -> 2,
