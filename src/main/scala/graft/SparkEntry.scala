@@ -1798,6 +1798,25 @@ object SparkEntry {
         Bpe.vocabOf(bpeFitted(s, dir),
           Bpe.alphabetOf(rt(s, dir, "documents"), "text")))
         .select(col("doc_id"), posexplode(col("bpe_ids")).as(Seq("pos", "id")))),
+    // BYTE-FALLBACK ids: every third document gets an accented/CJK tail
+    // appended (the synthetic corpus is all-ASCII, so this is what makes
+    // OOV real), and the vocabulary is built from the UNMODIFIED corpus
+    // alphabet — the appended code points are genuinely outside it and
+    // expand to their UTF-8 bytes (ids 0..255; vocab ids shift +256)
+    // instead of UNK −1. 2–3 ids per OOV code point, so even the row
+    // COUNT catches a fallback that silently stopped firing. The oracle
+    // re-derives the alphabet, the first-win vocabulary, AND the
+    // hex-pair byte expansion from scratch in SQL.
+    "text_bpe_ids_bytes" -> ((s, dir) =>
+      Bpe.encodeIdsBytes(
+        rt(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" d\u00e9j\u00e0 \u4e2d\u6587")))
+            .otherwise(col("text")).as("text")),
+        "text", bpeFitted(s, dir),
+        Bpe.vocabOf(bpeFitted(s, dir),
+          Bpe.alphabetOf(rt(s, dir, "documents"), "text")))
+        .select(col("doc_id"), posexplode(col("bpe_ids")).as(Seq("pos", "id")))),
     // Tokenizer-fit report: chars-per-BPE-token by language under the
     // English-fitted merge table — the fertility check run before
     // committing a tokenizer to a pretraining mix (the en slice should
@@ -4006,6 +4025,56 @@ object SparkEntry {
          |SELECT x.doc_id, CAST(x.i - 1 AS INTEGER) AS pos,
          |       CAST(COALESCE(v.id, -1) AS INTEGER) AS id
          |FROM x LEFT JOIN v ON x.toks[x.i] = v.token""".stripMargin,
+    // Byte-fallback replay: the alphabet + first-win vocabulary re-derived
+    // from scratch over the UNMODIFIED corpus (the text_bpe_vocab
+    // construction), ids shifted +256; the tokenization CTE runs over
+    // docmod (every third doc gains the accented/CJK tail — genuinely
+    // outside that alphabet); an OOV token expands to its UTF-8 bytes via
+    // the hex-pair decode, then the per-doc position renumbers over the
+    // FLATTENED id stream.
+    "text_bpe_ids_bytes" ->
+      s"""WITH RECURSIVE
+         | docmod AS (SELECT doc_id,
+         |              CASE WHEN doc_id % 3 = 0
+         |                   THEN text || ' d' || chr(233) || 'j' || chr(224) ||
+         |                        ' ' || chr(20013) || chr(25991)
+         |                   ELSE text END AS text
+         |            FROM documents),
+         | ${bpeReplayCte.replace("FROM documents", "FROM docmod")},
+         | mm AS (SELECT CAST(rank AS INTEGER) AS r, a || b AS tok
+         |        FROM read_parquet('{GRAFT_OUT}/text_bpe_merges/*.parquet')),
+         | al AS (SELECT DISTINCT x AS tok FROM (
+         |          SELECT unnest([substr(replace(text, chr(31), ''), i, 1)
+         |                         FOR i IN range(1, len(replace(text, chr(31), '')) + 1)]) AS x
+         |          FROM documents) WHERE x <> ''),
+         | u AS (SELECT tok, 0 AS grp, NULL AS r FROM al
+         |       UNION ALL SELECT tok, 1, r FROM mm),
+         | sq AS (SELECT tok,
+         |          row_number() OVER (ORDER BY grp, CASE WHEN grp = 0 THEN tok END, r) AS pos,
+         |          row_number() OVER (PARTITION BY tok ORDER BY grp, r) AS dup
+         |        FROM u),
+         | v AS (SELECT tok AS token,
+         |         CAST(row_number() OVER (ORDER BY pos) - 1 + 256 AS INTEGER) AS id
+         |       FROM sq WHERE dup = 1),
+         | x AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM btoks),
+         | tk AS (SELECT x.doc_id, x.i, x.toks[x.i] AS tok, v.id
+         |        FROM x LEFT JOIN v ON x.toks[x.i] = v.token),
+         | ex AS (SELECT doc_id, i,
+         |          CASE WHEN id IS NOT NULL THEN [id]
+         |               ELSE [CAST(16 * (strpos('0123456789ABCDEF', substr(p, 1, 1)) - 1)
+         |                          + strpos('0123456789ABCDEF', substr(p, 2, 1)) - 1
+         |                          AS INTEGER)
+         |                     FOR p IN regexp_extract_all(hex(encode(tok)), '[0-9A-F]{2}')]
+         |          END AS ids
+         |        FROM tk),
+         | fl AS (SELECT doc_id, i, unnest(ids) AS id,
+         |               unnest(range(1, len(ids) + 1)) AS j
+         |        FROM ex)
+         |SELECT doc_id,
+         |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i, j) - 1
+         |            AS INTEGER) AS pos,
+         |       CAST(id AS INTEGER) AS id
+         |FROM fl""".stripMargin,
     // Fertility replay: BPE token counts from the merge-table replay,
     // char counts + grouping joined back from documents. LEFT JOIN +
     // coalesce keep NULL-text docs counted with 0 chars/tokens, matching

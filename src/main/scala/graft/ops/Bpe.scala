@@ -222,6 +222,64 @@ object Bpe {
         t => coalesce(element_at(m, t), lit(-1))))
   }
 
+  /** [[encodeIds]]'s id space with a BYTE-FALLBACK floor: ids 0..255 are
+    * the 256 raw byte tokens (SentencePiece `byte_fallback` convention,
+    * exported as `<0xNN>` pieces), and every [[vocabOf]] entry shifts up
+    * by 256. The full trainer-facing (piece, id) table for
+    * [[encodeIdsBytes]] — export it next to the merge dump. */
+  def vocabWithBytes(vocab: Seq[(String, Int)]): Seq[(String, Int)] =
+    (0 until 256).map(n => (f"<0x$n%02X>", n)) ++
+      vocab.map { case (t, i) => (t, i + 256) }
+
+  /** [[encodeIds]] with BYTE FALLBACK instead of UNK: a token in `vocab`
+    * encodes as its id + 256; a token outside it (a code point absent
+    * from the vocabulary's alphabet) expands to its UTF-8 BYTES, one id
+    * per byte in [0, 255]. No input is unrepresentable — the trainer-
+    * grade guarantee UNK = −1 could not give — and
+    * [[decodeIdsBytes]]`(encode(x)) == x` exactly (after the tokenizer's
+    * U+001F strip; PropertySpec pins the round trip). Same narrow
+    * plan shape as [[encodeIds]] plus a per-OOV-token hex expansion —
+    * still one projection, no shuffle. */
+  def encodeIdsBytes(
+      df: DataFrame,
+      textCol: String,
+      model: BpeModel,
+      vocab: Seq[(String, Int)],
+      outCol: String = "bpe_ids"): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(textCol))
+    graft.core.Validators.requireColumnsAbsent(df, Seq(outCol), "encodeIdsBytes")
+    require(vocab.nonEmpty, "encodeIdsBytes: vocab must be non-empty")
+    require(vocab.map(_._1).distinct.size == vocab.size,
+      "encodeIdsBytes: vocab tokens must be distinct")
+    val m = typedLit(vocab.toMap)
+    def byteIds(t: Column): Column =
+      transform(
+        regexp_extract_all(hex(encode(t, "UTF-8")), lit("[0-9A-F]{2}"), lit(0)),
+        p => conv(p, 16, 10).cast("int"))
+    df.withColumn(outCol,
+      flatten(transform(bpeTokens(df.sparkSession, col(textCol), model), t =>
+        when(element_at(m, t).isNotNull,
+          array(element_at(m, t) + lit(256)))
+          .otherwise(byteIds(t)))))
+  }
+
+  /** Driver-side inverse of [[encodeIdsBytes]] (verification / export
+    * tooling, not a data path): byte ids reassemble into UTF-8, vocab ids
+    * map back through the shifted table, in order. Total round trip:
+    * `decodeIdsBytes(ids, vocab)` equals the encoded text exactly. */
+  def decodeIdsBytes(ids: Seq[Int], vocab: Seq[(String, Int)]): String = {
+    val rev = vocab.map { case (t, i) => (i + 256) -> t }.toMap
+    val out = new java.io.ByteArrayOutputStream()
+    ids.foreach { id =>
+      if (id >= 0 && id < 256) out.write(id)
+      else out.write(rev.getOrElse(id,
+        throw graft.errors.FeatureFactoryException.InvalidParameter(
+          s"decodeIdsBytes: id $id not in the byte range or the vocab"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Per-group tokenizer-fit report — the "does this merge table suit this
     * corpus slice?" table: a tokenizer trained on English spends far more
     * tokens per character on, say, Chinese, and this surfaces exactly that

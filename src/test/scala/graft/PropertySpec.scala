@@ -272,6 +272,34 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: byte-fallback ids round-trip losslessly, even with OOV code points") {
+    // texts mix in-alphabet latin, spaces, and OOV chars (accented + CJK +
+    // an astral-plane emoji) the vocab's alphabet cannot contain
+    val richTextGen: Gen[List[String]] = Gen.listOfN(6, Gen.listOfN(24,
+      Gen.oneOf(Gen.alphaLowerChar.map(_.toString), Gen.const(" "),
+        Gen.oneOf("é", "à", "中", "文", "😀"))).map(_.mkString))
+    check(Prop.forAll(Gen.zip(richTextGen, mergeGen)) { case (texts, merges) =>
+      val model = graft.ops.Bpe.BpeModel(
+        Seq("a" -> "b", "b" -> "a", "ab" -> "ba") ++ merges)
+      // vocab alphabet: ascii only — every non-latin char is OOV
+      val vocab = graft.ops.Bpe.vocabOf(model, ('a' to 'z').map(_.toString) :+ " ")
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val out = graft.ops.Bpe.encodeIdsBytes(df, "text", model, vocab)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val ids = out(i.toLong)
+        // total round trip: decode(encode(x)) == x, no id unmapped
+        graft.ops.Bpe.decodeIdsBytes(ids, vocab) == t &&
+          ids.forall(id => id >= 0 && id < 256 + vocab.size)
+      }
+    })
+    // the exported piece table covers the byte floor + the shifted vocab
+    val v = graft.ops.Bpe.vocabWithBytes(Seq("a" -> 0, "ab" -> 1))
+    v.take(2) shouldBe Seq("<0x00>" -> 0, "<0x01>" -> 1)
+    v.drop(256) shouldBe Seq("a" -> 256, "ab" -> 257)
+  }
+
   test("property: BPE native kernel == REPLACE-chain fallback on random data") {
     check(Prop.forAll(Gen.zip(textGen, mergeGen)) { case (texts, merges) =>
       val model = graft.ops.Bpe.BpeModel(
