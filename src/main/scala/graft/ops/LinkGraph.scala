@@ -147,13 +147,17 @@ object LinkGraph {
     require(iterations >= 0 && iterations <= 10,
       "iterations must be in [0, 10] (integer path counts grow geometrically)")
     graft.core.Validators.requireColumns(edges, Seq(srcCol, dstCol, weightCol))
+    // materialize the edge table ONCE: every round joins it, and an
+    // un-checkpointed edges frame would re-run the whole upstream plan
+    // (link extraction + the hostGraph aggregate) per round
+    val e = Dedup.materialize(edges.select(col(srcCol), col(dstCol), col(weightCol)))
     val nodes = Dedup.materialize(
-      edges.select(col(srcCol).as("domain"))
-        .unionByName(edges.select(col(dstCol).as("domain")))
+      e.select(col(srcCol).as("domain"))
+        .unionByName(e.select(col(dstCol).as("domain")))
         .distinct())
     var score = nodes.withColumn("centrality", lit(1L))
     for (_ <- 1 to iterations) {
-      val contrib = edges
+      val contrib = e
         .join(score.select(col("domain").as(srcCol), col("centrality").as("__graft_cs")),
           srcCol)
         .groupBy(col(dstCol).as("domain"))

@@ -348,7 +348,9 @@ object Demo {
       docs.select("doc_id", "source", "text").limit(200).collect().foreach { r =>
         val page = ("<html><body><div><a href=\"/\">Home navigation menu</a> " +
           "<a href=\"/x\">About us and contact</a></div><p>" + r.getString(2) +
-          "</p><div><a href=\"/tos\">Terms of service page</a></div></body></html>")
+          "</p><div><a href=\"https://partner" + (r.getLong(0) % 3) +
+          ".example.com/ref\">partner site</a> " +
+          "<a href=\"/tos\">Terms of service page</a></div></body></html>")
           .getBytes("UTF-8")
         // true Common-Crawl response shape: the record payload is the
         // whole HTTP message; the reader strips the envelope
@@ -383,12 +385,45 @@ object Demo {
       crawled.withColumn("h", graft.ops.Url.host(col("target_uri"))), "h", "dom")
     println(s"psl domains: ${pslDoms.select("dom").distinct().count()} registered domains " +
       s"(co.uk handled: ${pslDoms.filter(col("dom").endsWith(".co.uk")).count()} rows)")
-    println(s"epoch shuffle: shard-0 head moves across epochs: " +
-      (0L to 1L).map { epoch =>
-        graft.sources.Writer.shardAssignments(docs, "doc_id", 8, seed = epoch)
-          .filter(col("shard") === 0 && col("shard_pos") === 0)
-          .select("doc_id").head().getLong(0)
-      }.mkString("epoch0=", " epoch1=", ""))
+    // crawl link graph: outlinks → registered-domain edges → integer Katz
+    // centrality; the low tail is blocklist fodder
+    val linkEdges = graft.ops.LinkGraph.hostGraph(
+      graft.ops.LinkGraph.extractLinks(
+        crawled.select("target_uri", "payload"), "payload", "target_uri"),
+      "target_uri", "link_url")
+    val topDom = graft.ops.LinkGraph.domainCentrality(linkEdges, iterations = 2)
+      .orderBy(col("centrality").desc, col("domain")).head()
+    println(s"link graph: ${linkEdges.count()} cross-domain edges from the crawl; " +
+      s"top centrality ${topDom.getString(0)}=${topDom.getLong(1)}")
+    // persistable near-dup index: nightly batch probes stored signatures,
+    // the historical corpus is never re-shingled
+    val ndDir = java.nio.file.Files.createTempDirectory("demo_ndidx").toString
+    graft.ops.Dedup.nearDupIndexFit(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text").save(ndDir)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val surv = graft.ops.Dedup.nearDupIndexApply(batch, "doc_id", "text",
+      graft.ops.Dedup.NearDupIndex.load(spark, ndDir))
+    println(s"near-dup index: ${batch.count()} incoming docs -> ${surv.count()} " +
+      "survive the stored-signature probe (corpus untouched)")
+    // byte-fallback BPE: OOV code points become UTF-8 bytes, never UNK
+    locally {
+      import spark.implicits._
+      val bm = graft.ops.Bpe.BpeModel(Seq("t" -> "h", "th" -> "e"))
+      val bv = graft.ops.Bpe.vocabOf(bm, ('a' to 'z').map(_.toString) :+ " ")
+      val sample = "the caf\u00e9 \u4e2d"
+      val ids = graft.ops.Bpe.encodeIdsBytes(
+        Seq((1L, sample)).toDF("id", "text"), "text", bm, bv)
+        .head().getSeq[Int](2)
+      println(s"byte-fallback bpe: '${sample}' -> ${ids.size} ids " +
+        s"(${ids.count(_ < 256)} byte-fallback), lossless round trip: " +
+        (graft.ops.Bpe.decodeIdsBytes(ids, bv) == sample))
+    }
+    println(s"epoch shuffle: seed-7 scatters epoch-0 shard 0 into " + {
+      val l0 = graft.sources.Writer.shardAssignments(docs, "doc_id", 8)
+        .filter(col("shard") === 0).select("doc_id")
+      graft.sources.Writer.shardAssignments(docs, "doc_id", 8, seed = 7L)
+        .join(l0, "doc_id").select("shard").distinct().count()
+    } + " of 8 shards (a real re-permutation, not a relabeling)")
 
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =
