@@ -157,6 +157,9 @@ object SparkEntry {
     * the index builds); the QUERY is the distributed loadWarc read. */
   private val warcDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Files per fixture archive directory (the one-task-per-archive read
+    * unit — see the writeArchive note). */
+  private val WarcShards = 16
   private def warcFixture(s: SparkSession, dir: String): String =
     warcDirs.getOrElseUpdate(dir, {
       val rows = rt(s, dir, "documents")
@@ -164,11 +167,19 @@ object SparkEntry {
           synthHtml.as("html"), col("source"))
         .orderBy("doc_id").collect()
       val d = java.nio.file.Files.createTempDirectory("graft_warc").toString
+      // Each fixture "archive" is a DIRECTORY of WarcShards files (records
+      // split by doc_id % shards) — the real crawl layout, where one
+      // archive file = one read task (gzip is not splittable): a
+      // single-file fixture would serialize the whole corpus behind one
+      // task at sf1+ and misrepresent every downstream query's scaling.
+      // All warc_* queries aggregate or key by record id, so the
+      // record-to-file assignment is invisible to their results.
       def writeArchive(
           file: String, warcType: String, contentType: String,
           payloadOf: org.apache.spark.sql.Row => Array[Byte]): Unit = {
-        val out = new java.io.ByteArrayOutputStream()
+        val outs = Array.fill(WarcShards)(new java.io.ByteArrayOutputStream())
         rows.foreach { r =>
+          val out = outs((r.getLong(0) % WarcShards).toInt)
           val payload = payloadOf(r)
           val header =
             s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
@@ -181,8 +192,12 @@ object SparkEntry {
           out.write(payload)
           out.write("\r\n\r\n".getBytes("UTF-8"))
         }
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(d, file), out.toByteArray)
+        val p = java.nio.file.Paths.get(d, file)
+        java.nio.file.Files.createDirectories(p)
+        outs.zipWithIndex.foreach { case (o, k) =>
+          java.nio.file.Files.write(
+            p.resolve(f"part-$k%03d.warc"), o.toByteArray)
+        }
       }
       // the WET-shaped plain-text archive (warc_extract)...
       writeArchive("docs.warc", "conversion", "text/plain",
@@ -229,9 +244,10 @@ object SparkEntry {
       // synthUrl (simple, path-bearing, no userinfo/port cases — those
       // are warc_extract's job).
       locally {
-        val out = new java.io.ByteArrayOutputStream()
+        val outs = Array.fill(WarcShards)(new java.io.ByteArrayOutputStream())
         rows.foreach { r =>
           val id = r.getLong(0)
+          val out = outs((id % WarcShards).toInt)
           val source = r.getString(4)
           val body = ("<html><body><p>crawl page body text</p>" +
             s"""<a href="https://src${id % 7}-news.com/a/b">partner</a>""" +
@@ -256,8 +272,11 @@ object SparkEntry {
           out.write(msg)
           out.write("\r\n\r\n".getBytes("UTF-8"))
         }
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(d, "docs_links.warc"), out.toByteArray)
+        val p = java.nio.file.Paths.get(d, "docs_links.warc")
+        java.nio.file.Files.createDirectories(p)
+        outs.zipWithIndex.foreach { case (o, k) =>
+          java.nio.file.Files.write(p.resolve(f"part-$k%03d.warc"), o.toByteArray)
+        }
       }
       d
     })
