@@ -395,6 +395,34 @@ object SparkEntry {
       |  WHEN 5 THEN 'www.ck'
       |  ELSE 'docs.' || source || '.github.io' END""".stripMargin
 
+  /** The synthetic MESSY URLs of text_url_canonical — six shapes keyed on
+    * doc_id % 6 exercising every canonicalization rule: case folding +
+    * default-port drop + fragment, query sorting, userinfo strip with a
+    * kept non-default port, empty path, empty query, and a non-URL
+    * passthrough. */
+  private def synthMessyUrl: org.apache.spark.sql.Column =
+    when(col("doc_id") % 6 === 0,
+      concat(lit("HTTP://WWW."), col("source"), lit(".COM:80/a/b#frag")))
+      .when(col("doc_id") % 6 === 1,
+        concat(lit("https://"), col("source"), lit(".com:443/x?b=2&a=1")))
+      .when(col("doc_id") % 6 === 2,
+        concat(lit("https://user:pw@"), col("source"), lit(".com:8080/p?z=1#x")))
+      .when(col("doc_id") % 6 === 3,
+        concat(lit("ftp://files."), col("source"), lit(".net")))
+      .when(col("doc_id") % 6 === 4,
+        concat(lit("https://"), col("source"), lit(".com/p?")))
+      .otherwise(lit("relative/path only"))
+
+  /** SQL twin of [[synthMessyUrl]]. */
+  private val synthMessyUrlSql =
+    """CASE doc_id % 6
+      |  WHEN 0 THEN 'HTTP://WWW.' || source || '.COM:80/a/b#frag'
+      |  WHEN 1 THEN 'https://' || source || '.com:443/x?b=2&a=1'
+      |  WHEN 2 THEN 'https://user:pw@' || source || '.com:8080/p?z=1#x'
+      |  WHEN 3 THEN 'ftp://files.' || source || '.net'
+      |  WHEN 4 THEN 'https://' || source || '.com/p?'
+      |  ELSE 'relative/path only' END""".stripMargin
+
   /** The synthetic full PAGE of text_main_content — a link-saturated nav
     * block, a too-short heading and "ok" block, the document text as the
     * body paragraph, and a link-saturated footer: every boilerplate rule
@@ -1728,6 +1756,16 @@ object SparkEntry {
         rt(s, dir, "documents").select(col("doc_id"), synthPslHost.as("url_host")),
         "url_host", rules = graft.ops.Psl.snapshotWithPrivate)
         .select("doc_id", "url_host", "url_domain")),
+    // Crawl-frontier URL canonicalization: case folding, userinfo strip,
+    // default-port drop, query sort, fragment drop, empty-path slash —
+    // the seen-key normalizer. The oracle computes each shape's expected
+    // canonical string INDEPENDENTLY from the source columns, so every
+    // rule must agree.
+    "text_url_canonical" -> ((s, dir) =>
+      Url.canonicalizeUrls(
+        rt(s, dir, "documents").select(col("doc_id"), synthMessyUrl.as("url")),
+        "url")
+        .select("doc_id", "url", "url_canonical")),
     // Main-content extraction (jusText-lite): block split at closing
     // block tags, keep blocks that are long enough AND not link-saturated
     // — the nav/footer boilerplate around every synthetic page drops, the
@@ -3947,6 +3985,18 @@ object SparkEntry {
         |         AS http_status,
         |       'text/html; charset=UTF-8' AS http_content_type
         |FROM documents""".stripMargin,
+    // Expected canonical form per shape, recomputed independently.
+    "text_url_canonical" ->
+      s"""WITH u AS (SELECT doc_id, source, $synthMessyUrlSql AS url FROM documents)
+         |SELECT doc_id, url,
+         |       CASE doc_id % 6
+         |         WHEN 0 THEN 'http://www.' || source || '.com/a/b'
+         |         WHEN 1 THEN 'https://' || source || '.com/x?a=1&b=2'
+         |         WHEN 2 THEN 'https://' || source || '.com:8080/p?z=1'
+         |         WHEN 3 THEN 'ftp://files.' || source || '.net/'
+         |         WHEN 4 THEN 'https://' || source || '.com/p'
+         |         ELSE 'relative/path only' END AS url_canonical
+         |FROM u""".stripMargin,
     // The fixture's cross-domain links replayed from the source columns:
     // per page, partner (absolute), cdn (protocol-relative → <source>.net)
     // and docs (private github.io suffix → <source>.github.io); the

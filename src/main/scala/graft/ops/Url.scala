@@ -261,4 +261,60 @@ object Url {
     import df.sparkSession.implicits._
     domainFilter(df, urlCol, blocked.toDF("domain"))
   }
+
+  /** Canonical form of a URL — the crawl-frontier dedup key: the same
+    * page fetched as `HTTP://WWW.Ex.COM:80/a?b=2&a=1#x` and
+    * `http://www.ex.com/a?a=1&b=2` must collide in a seen-key probe
+    * ([[graft.ops.Dedup.keyIndexApply]] is the standing consumer), or the
+    * crawler refetches — and the corpus double-ingests — every
+    * cosmetically-distinct alias.
+    *
+    * Rules (RFC-3986-lite, each one a pure narrow expression — shared
+    * verbatim with the oracle SQL):
+    *  - scheme and host LOWERCASE (both case-insensitive by spec);
+    *  - userinfo stripped (crawl identity lives in the host, and
+    *    credentials must never become corpus keys);
+    *  - default ports dropped (`:80` for http, `:443` for https; other
+    *    ports kept);
+    *  - empty path → `/` (`http://h` ≡ `http://h/`);
+    *  - query parameters SORTED bytewise and an empty query (`?` alone)
+    *    dropped; the `?` is kept only when parameters exist;
+    *  - fragment dropped entirely (never sent to the server).
+    * Deliberately NOT done (documented, the conservative side of every
+    * trade): percent-decoding (decoding can change meaning;
+    * case-normalizing %XX alone is not worth divergence risk),
+    * dot-segment collapse, `www.` stripping, tracking-parameter removal
+    * — all of those can merge genuinely different pages.
+    * A value with no `scheme://` prefix passes through unchanged (it is
+    * not a fetchable URL; leave its identity alone). NULL stays NULL. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val auth0 = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val auth = regexp_replace(auth0, "^[^/?#@]*@", "") // strip userinfo
+    val host = lower(regexp_extract(auth, "^([^:]*)", 1))
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val path0 = regexp_extract(url, PathPattern, 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val sortedQuery = array_join(array_sort(split(query, "&")), "&")
+    when(url.isNull, lit(null))
+      .when(scheme === "", url) // not scheme://… — pass through
+      .otherwise(concat(
+        scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        when(sortedQuery =!= "", concat(lit("?"), sortedQuery)).otherwise(lit(""))))
+  }
+
+  /** Appends `outCol` = [[canonicalizeUrl]] of `urlCol` — the DataFrame
+    * form feeding seen-key fits/probes. Pure narrow projection. */
+  def canonicalizeUrls(
+      df: DataFrame, urlCol: String, outCol: String = "url_canonical"): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(urlCol))
+    graft.core.Validators.requireColumnsAbsent(df, Seq(outCol), "canonicalizeUrls")
+    df.withColumn(outCol, canonicalizeUrl(col(urlCol)))
+  }
 }

@@ -3225,6 +3225,29 @@ class OpsSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
   }
 
+  test("canonicalizeUrl: case, userinfo, default ports, query sort, fragments, passthrough") {
+    import graft.ops.Url
+    val cases = Seq(
+      // the same page under two cosmetic spellings collides
+      ("HTTP://WWW.Ex.COM:80/a?b=2&a=1#x", "http://www.ex.com/a?a=1&b=2"),
+      ("http://www.ex.com/a?a=1&b=2", "http://www.ex.com/a?a=1&b=2"),
+      ("https://u:pw@ex.com:443/p", "https://ex.com/p"),
+      ("https://ex.com:8443/p", "https://ex.com:8443/p"), // non-default port kept
+      ("http://ex.com:443/p", "http://ex.com:443/p"), // 443 is NOT http's default
+      ("https://ex.com", "https://ex.com/"), // empty path → /
+      ("https://ex.com/p?", "https://ex.com/p"), // empty query dropped
+      ("https://ex.com/p?only=1", "https://ex.com/p?only=1"),
+      ("ftp://Files.Ex.net/Dir/F.txt", "ftp://files.ex.net/Dir/F.txt"), // path case kept
+      ("no scheme here", "no scheme here"), // passthrough
+      (null, null),
+    )
+    val out = Url.canonicalizeUrls(
+      cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+        .toDF("id", "url"), "url")
+      .orderBy("id").collect().map(_.getString(2)).toSeq
+    out shouldBe cases.map(_._2)
+  }
+
   test("LinkGraph: href extraction + resolution, host graph, integer centrality") {
     import graft.ops.{LinkGraph, Psl}
     val page =
