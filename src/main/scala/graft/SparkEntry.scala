@@ -423,6 +423,34 @@ object SparkEntry {
       |  WHEN 4 THEN 'https://' || source || '.com/p?'
       |  ELSE 'relative/path only' END""".stripMargin
 
+  /** The synthetic URLs of text_robots_filter — six shapes keyed on
+    * doc_id % 6 against one shared per-host robots policy, covering:
+    * unmatched path, plain-prefix Disallow, the longer Allow override,
+    * a `*` wildcard rule, a `$`-anchored rule hitting, and the same
+    * anchor NOT hitting one char later. */
+  private def synthRobotsUrl: org.apache.spark.sql.Column =
+    when(col("doc_id") % 6 === 0,
+      concat(lit("https://"), col("source"), lit(".com/page/"), col("doc_id")))
+      .when(col("doc_id") % 6 === 1,
+        concat(lit("https://"), col("source"), lit(".com/private/"), col("doc_id")))
+      .when(col("doc_id") % 6 === 2,
+        concat(lit("https://"), col("source"), lit(".com/private/ok/"), col("doc_id")))
+      .when(col("doc_id") % 6 === 3,
+        concat(lit("https://"), col("source"), lit(".com/tmp"), col("doc_id"), lit("/f")))
+      .when(col("doc_id") % 6 === 4,
+        concat(lit("https://"), col("source"), lit(".com/exact")))
+      .otherwise(concat(lit("https://"), col("source"), lit(".com/exactly")))
+
+  /** SQL twin of [[synthRobotsUrl]]. */
+  private val synthRobotsUrlSql =
+    """CASE doc_id % 6
+      |  WHEN 0 THEN 'https://' || source || '.com/page/' || doc_id
+      |  WHEN 1 THEN 'https://' || source || '.com/private/' || doc_id
+      |  WHEN 2 THEN 'https://' || source || '.com/private/ok/' || doc_id
+      |  WHEN 3 THEN 'https://' || source || '.com/tmp' || doc_id || '/f'
+      |  WHEN 4 THEN 'https://' || source || '.com/exact'
+      |  ELSE 'https://' || source || '.com/exactly' END""".stripMargin
+
   /** The synthetic full PAGE of text_main_content — a link-saturated nav
     * block, a too-short heading and "ok" block, the document text as the
     * body paragraph, and a link-saturated footer: every boilerplate rule
@@ -1766,6 +1794,23 @@ object SparkEntry {
         rt(s, dir, "documents").select(col("doc_id"), synthMessyUrl.as("url")),
         "url")
         .select("doc_id", "url", "url_canonical")),
+    // Crawl politeness as a corpus filter: per-host robots.txt parsed
+    // into the rule table (wildcards, $-anchors, allow-overrides), every
+    // URL checked under REP longest-match semantics. The oracle computes
+    // each shape's expected verdict independently, so the parse, group
+    // assignment, regex translation, and best-rule window all must
+    // agree.
+    "text_robots_filter" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      val robots = d.select(concat(col("source"), lit(".com")).as("host"))
+        .distinct()
+        .withColumn("content", lit(
+          "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n" +
+            "Disallow: /tmp*\nDisallow: /exact$"))
+      graft.ops.Robots.robotsAllowed(
+        d.select(col("doc_id"), synthRobotsUrl.as("url")), "url",
+        graft.ops.Robots.robotsParse(robots, "host", "content"), "graftbot")
+    }),
     // Main-content extraction (jusText-lite): block split at closing
     // block tags, keep blocks that are long enough AND not link-saturated
     // — the nav/footer boilerplate around every synthetic page drops, the
@@ -3985,6 +4030,13 @@ object SparkEntry {
         |         AS http_status,
         |       'text/html; charset=UTF-8' AS http_content_type
         |FROM documents""".stripMargin,
+    // Expected robots verdict per shape, recomputed independently:
+    // /private/ and /tmp* and /exact$ deny; /private/ok's longer Allow
+    // and the off-anchor /exactly survive.
+    "text_robots_filter" ->
+      s"""SELECT doc_id, $synthRobotsUrlSql AS url,
+         |       CAST(doc_id % 6 NOT IN (1, 3, 4) AS BOOLEAN) AS allowed
+         |FROM documents""".stripMargin,
     // Expected canonical form per shape, recomputed independently.
     "text_url_canonical" ->
       s"""WITH u AS (SELECT doc_id, source, $synthMessyUrlSql AS url FROM documents)

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing and URL permission checks — the crawl-politeness
+  * gate of the first mile (extension beyond the reference surface,
+  * SURVEY §2.11's URL/crawl family): a fetched corpus must be filterable
+  * down to what the robots exclusion protocol actually permitted, both
+  * for re-crawls and for audits of an existing crawl.
+  *
+  * Semantics implemented (RFC 9309 / the Google REP, the parts that
+  * matter for corpus filtering):
+  *  - groups of one or more consecutive `User-agent` lines followed by
+  *    their directives; `Allow` and `Disallow` kept, other directives
+  *    and `#` comments ignored; empty-value rules ignored (an empty
+  *    `Disallow:` means "no restriction", not "deny all");
+  *  - agent selection per host: the target agent's own groups when any
+  *    exist (case-insensitive token match), otherwise the `*` groups;
+  *  - rule matching against path + query: `*` matches any characters,
+  *    a trailing `$` anchors at the end, otherwise prefix match; the
+  *    MOST SPECIFIC rule (longest rule text) wins, `Allow` beating
+  *    `Disallow` on ties; no matching rule → allowed (and a host with
+  *    no rules at all → allowed).
+  * Everything is Catalyst expressions — the per-line parse is a split +
+  * narrow projections, group assignment is one running-count window per
+  * host, and the permission check is one host join + one per-URL
+  * best-rule window.
+  */
+object Robots {
+
+  /** Translate one robots rule value into the anchored regex that
+    * implements REP matching (shared verbatim with the oracle SQL): the
+    * trailing `$` (if any) becomes the regex end anchor, every other
+    * regex metacharacter is escaped, `*` → `.*`, and the whole pattern
+    * is start-anchored. Used as `regexp_like(target, pattern)`. */
+  private[ops] def buildRegex(rule: Column): Column = {
+    val endAnchored = rule.endsWith("$")
+    val body = when(endAnchored, rule.substr(lit(1), length(rule) - 1))
+      .otherwise(rule)
+    val escaped = regexp_replace(body, "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1")
+    val starred = regexp_replace(escaped, "\\*", ".*")
+    concat(lit("^"), starred, when(endAnchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Parse per-host robots.txt documents into a rule table.
+    *
+    * Input: one row per host — `hostCol` (the key the permission check
+    * joins on) and `contentCol` (the raw robots.txt text; NULL → no
+    * rules). Output: one row per (host, group, agent, rule):
+    *   host, grp (0-based group index), agent (lowercased token),
+    *   kind ('allow' | 'disallow'), rule (the raw value), rule_len
+    *   (specificity), pattern (the anchored match regex).
+    *
+    * Scale shape: split + posexplode (narrow), one per-host running-count
+    * window to assign groups (robots files are KB-sized — a host's lines
+    * always fit one task), and one within-group agents×rules join keyed
+    * on (host, grp) — dictionary-sized per host. */
+  def robotsParse(
+      df: DataFrame,
+      hostCol: String,
+      contentCol: String): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(hostCol, contentCol))
+    import org.apache.spark.sql.expressions.Window
+    val lines = df
+      .select(col(hostCol).as("host"), col(contentCol).as("__g_c"))
+      .filter(col("__g_c").isNotNull)
+      .select(col("host"),
+        posexplode(split(col("__g_c"), "\r?\n")).as(Seq("line_no", "__g_l")))
+      // strip comments, trim
+      .withColumn("__g_l", trim(regexp_replace(col("__g_l"), "#.*$", "")))
+      .withColumn("field",
+        lower(trim(regexp_extract(col("__g_l"), "^([^:]+):", 1))))
+      .withColumn("value",
+        trim(regexp_extract(col("__g_l"), "^[^:]+:(.*)$", 1)))
+      .filter(col("field").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy("host").orderBy("line_no")
+    // a user-agent line NOT preceded by another user-agent line starts a
+    // new group; its directives run until the next such start
+    val grouped = lines
+      .withColumn("__g_prev", lag(col("field"), 1).over(w))
+      .withColumn("__g_start",
+        (col("field") === "user-agent" &&
+          (col("__g_prev").isNull || col("__g_prev") =!= "user-agent")).cast("int"))
+      .withColumn("grp",
+        sum(col("__g_start")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+      .filter(col("grp") >= 0) // directives before any user-agent line: ignored
+    val agents = grouped.filter(col("field") === "user-agent")
+      .select(col("host"), col("grp"), lower(col("value")).as("agent"))
+      .distinct()
+    val rules = grouped
+      .filter(col("field") =!= "user-agent" && col("value") =!= "")
+      .select(col("host"), col("grp"), col("field").as("kind"),
+        col("value").as("rule"))
+    agents.join(rules, Seq("host", "grp"))
+      .select(col("host"), col("grp"), col("agent"), col("kind"), col("rule"),
+        length(col("rule")).as("rule_len"),
+        buildRegex(col("rule")).as("pattern"))
+  }
+
+  /** Appends `allowed` (boolean) to `urls`: whether `agent` may fetch
+    * each URL under the parsed `rules` ([[robotsParse]] output). The
+    * match target is path + `?query` (fragments are never sent); a URL
+    * whose host has no applicable rules — or no rules at all — is
+    * allowed.
+    *
+    * Scale shape: one narrow target projection, one join keyed on host
+    * against the rules table (rules are hosts-sized — broadcast when
+    * small, AQE decides), one per-URL best-rule window (longest rule
+    * wins, allow beats disallow on ties), and a left join back so
+    * rule-less URLs keep a row. The regex evaluation is per (url,
+    * same-host candidate rule) — robots files are tens of rules, so the
+    * fan-out is bounded per URL. */
+  def robotsAllowed(
+      urls: DataFrame,
+      urlCol: String,
+      rules: DataFrame,
+      agent: String,
+      outCol: String = "allowed"): DataFrame = {
+    graft.core.Validators.requireColumns(urls, Seq(urlCol))
+    graft.core.Validators.requireColumnsAbsent(urls, Seq(outCol), "robotsAllowed")
+    require(agent.nonEmpty, "robotsAllowed: agent must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val a = lit(agent.toLowerCase)
+    // agent selection per host: exact groups when any exist, else '*'
+    val hostsWithExact = rules.filter(col("agent") === a)
+      .select(col("host")).distinct().withColumn("__g_ex", lit(1))
+    val applicable = rules
+      .join(hostsWithExact, Seq("host"), "left")
+      .filter(when(col("__g_ex").isNotNull, col("agent") === a)
+        .otherwise(col("agent") === "*"))
+      .select(col("host").as("__g_rh"), col("kind"), col("rule_len"),
+        col("pattern"))
+    val keyed = urls.withColumn("__g_host", Url.host(col(urlCol)))
+      .withColumn("__g_target",
+        concat(
+          when(regexp_extract(col(urlCol), Url.PathPattern, 1) === "", lit("/"))
+            .otherwise(regexp_extract(col(urlCol), Url.PathPattern, 1)),
+          when(regexp_extract(col(urlCol), "\\?([^#]*)", 1) =!= "",
+            concat(lit("?"), regexp_extract(col(urlCol), "\\?([^#]*)", 1)))
+            .otherwise(lit(""))))
+      .withColumn("__g_uid", monotonically_increasing_id())
+    val matched = keyed
+      .join(applicable, col("__g_host") === col("__g_rh"))
+      .filter(regexp_like(col("__g_target"), col("pattern")))
+      .withColumn("__g_rn", row_number().over(
+        Window.partitionBy(col("__g_uid"))
+          .orderBy(col("rule_len").desc,
+            when(col("kind") === "allow", 0).otherwise(1))))
+      .filter(col("__g_rn") === 1)
+      .select(col("__g_uid").as("__g_mid"),
+        (col("kind") === "allow").as("__g_ok"))
+    keyed
+      .join(matched, col("__g_uid") === col("__g_mid"), "left")
+      .withColumn(outCol, coalesce(col("__g_ok"), lit(true)))
+      .drop("__g_host", "__g_target", "__g_uid", "__g_mid", "__g_ok")
+  }
+}

@@ -3225,6 +3225,64 @@ class OpsSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
   }
 
+  test("Robots: REP parse (groups, comments), agent selection, longest-match permissions") {
+    import graft.ops.Robots
+    val robots = Seq(
+      ("a.com",
+        """# site policy
+          |User-agent: crawler-x
+          |User-agent: *
+          |Disallow: /private/
+          |Allow: /private/ok
+          |Disallow: /tmp*
+          |Disallow: /exact$
+          |Disallow:
+          |
+          |User-agent: graftbot
+          |Disallow: /graft-only/
+          |""".stripMargin),
+      ("b.com", "User-agent: *\nDisallow: /\nAllow: /pub/"),
+      ("empty.com", "# nothing but comments\n"),
+    ).toDF("host", "content")
+    val rules = Robots.robotsParse(robots, "host", "content")
+    // group 0 of a.com carries BOTH consecutive agents; the empty
+    // Disallow is dropped; graftbot's group is separate
+    rules.filter($"host" === "a.com" && $"grp" === 0)
+      .select("agent").distinct().collect().map(_.getString(0)).sorted.toSeq shouldBe
+      Seq("*", "crawler-x")
+    rules.filter($"host" === "a.com" && $"grp" === 0).count() shouldBe 8 // 4 rules × 2 agents
+    rules.filter($"host" === "a.com" && $"agent" === "graftbot")
+      .select("rule").head().getString(0) shouldBe "/graft-only/"
+    rules.filter($"host" === "empty.com").count() shouldBe 0
+    val urls = Seq(
+      "https://a.com/public/page",      // no match → allowed
+      "https://a.com/private/secret",   // /private/ → denied
+      "https://a.com/private/ok-page",  // longer Allow wins → allowed
+      "https://a.com/tmp123/x",         // wildcard → denied
+      "https://a.com/exact",            // $-anchored → denied
+      "https://a.com/exactly",          // past the anchor → allowed
+      "https://b.com/anything",         // Disallow: / → denied
+      "https://b.com/pub/x",            // longer Allow → allowed
+      "https://empty.com/x",            // comment-only robots → allowed
+      "https://norobots.com/x",         // host absent from rules → allowed
+    ).zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    def verdicts(agent: String): Seq[Boolean] =
+      Robots.robotsAllowed(urls, "url", rules, agent)
+        .orderBy("id").collect().map(_.getBoolean(2)).toSeq
+    verdicts("SomeBot") shouldBe
+      Seq(true, false, true, false, false, true, false, true, true, true)
+    // graftbot has its OWN group on a.com: the * group no longer applies
+    // (so /private/ is fine) but /graft-only/ is denied
+    val g = Robots.robotsAllowed(
+      Seq((1L, "https://a.com/private/secret"), (2L, "https://a.com/graft-only/x"))
+        .toDF("id", "url"), "url", rules, "graftbot")
+      .orderBy("id").collect().map(_.getBoolean(2)).toSeq
+    g shouldBe Seq(true, false)
+    // output schema: input columns + allowed, helpers dropped
+    Robots.robotsAllowed(urls, "url", rules, "x").columns.toSeq shouldBe
+      Seq("id", "url", "allowed")
+  }
+
   test("canonicalizeUrl: case, userinfo, default ports, query sort, fragments, passthrough") {
     import graft.ops.Url
     val cases = Seq(
