@@ -257,6 +257,11 @@ object SparkEntry {
             s"""<a href="mailto:team@example.com">mail</a>""" +
             s"""<a href="#top">top</a>""" +
             s"""<a href="https://docs.$source.github.io/guide">docs</a>""" +
+            // the SAME docs page under a cosmetically different spelling
+            // (case, default port, fragment): hostGraph counts it as a
+            // second edge (hosts are case-folded), and the frontier
+            // query's canonicalization collapses it back to one URL
+            s"""<a href="HTTPS://Docs.$source.GitHub.IO:443/guide#ref">docs again</a>""" +
             "</body></html>").getBytes("UTF-8")
           val envelope = "HTTP/1.1 200 OK\r\n" +
             "Content-Type: text/html; charset=UTF-8\r\n\r\n"
@@ -1520,6 +1525,40 @@ object SparkEntry {
             .select("target_uri", "payload"),
           "payload", "target_uri"),
         "target_uri", "link_url", rules = graft.ops.Psl.snapshotWithPrivate)),
+    // The whole frontier mile COMPOSED (no new op — the §2.12
+    // composed-query convention): crawled pages → outlinks →
+    // canonicalization (the cosmetically-doubled github link collapses
+    // back to one URL) → robots gate (odd-numbered partner hosts
+    // disallow /a/) → seen-key probe (every cdn URL is already crawled)
+    // → the distinct fetch frontier. The oracle recomputes the surviving
+    // URL set independently from the source columns.
+    "warc_crawl_frontier" -> ((s, dir) => {
+      import org.apache.spark.sql.types.StringType
+      val pages = graft.sources.Loader
+        .load(s, warcFixture(s, dir) + "/docs_links.warc")
+        .select("target_uri", "payload")
+      val canon = Url.canonicalizeUrls(
+        graft.ops.LinkGraph.extractLinks(pages, "payload", "target_uri")
+          .select("link_url"),
+        "link_url")
+        .select("url_canonical").distinct()
+      val robots = Sampling.localFrame(s,
+        Seq("host" -> StringType, "content" -> StringType),
+        (0 until 7).map { k =>
+          org.apache.spark.sql.Row(s"src$k-news.com",
+            if (k % 2 == 1) "User-agent: *\nDisallow: /a/"
+            else "User-agent: *\nDisallow:")
+        })
+      val allowed = graft.ops.Robots.robotsAllowed(
+        canon, "url_canonical",
+        graft.ops.Robots.robotsParse(robots, "host", "content"), "graftbot")
+        .filter(col("allowed")).drop("allowed")
+      val seen = Dedup.keyIndexFit(
+        rt(s, dir, "documents").select(
+          concat(lit("https://cdn."), col("source"), lit(".net/lib.js")).as("u")),
+        "u")
+      Dedup.keyIndexApply(allowed, "url_canonical", seen)
+    }),
     // Katz-style integer in-link centrality over that edge graph, two
     // bounded rounds — the domain-ranking signal crawl blocklists feed
     // on. Exact BIGINT path counts, replayed as two unrolled SQL rounds.
@@ -4059,10 +4098,31 @@ object SparkEntry {
         |     e AS (SELECT source || '.co.uk' AS s,
         |                  'src' || (doc_id % 7) || '-news.com' AS t FROM u
         |           UNION ALL SELECT source || '.co.uk', source || '.net' FROM u
+        |           UNION ALL SELECT source || '.co.uk', source || '.github.io' FROM u
         |           UNION ALL SELECT source || '.co.uk', source || '.github.io' FROM u)
         |SELECT s AS src_domain, t AS dst_domain,
         |       CAST(count(*) AS BIGINT) AS n_links
         |FROM e GROUP BY 1, 2""".stripMargin,
+    // The surviving frontier recomputed independently: even partner
+    // hosts (odd ones robots-deny /a/), the root-relative about page,
+    // each page's document-relative archive link, and ONE github URL per
+    // source (canonicalization collapses the doubled spelling); the cdn
+    // links die in the seen-key probe.
+    "warc_crawl_frontier" ->
+      """WITH f AS (
+        |  SELECT DISTINCT 'https://src' || (doc_id % 7) || '-news.com/a/b' AS u
+        |  FROM documents WHERE (doc_id % 7) % 2 = 0
+        |  UNION
+        |  SELECT DISTINCT 'https://www.' || source || '.co.uk/about/contact.html'
+        |  FROM documents
+        |  UNION
+        |  SELECT 'https://www.' || source || '.co.uk/p/' || doc_id ||
+        |         '/archive/page' || (doc_id % 5) || '.html'
+        |  FROM documents
+        |  UNION
+        |  SELECT DISTINCT 'https://docs.' || source || '.github.io/guide'
+        |  FROM documents)
+        |SELECT u AS url_canonical FROM f""".stripMargin,
     // Two unrolled integer Katz rounds over the same edge graph:
     // c0 = 1; c_{t+1}(d) = 1 + Σ_{(s,d)} w·c_t(s) — all BIGINT, so the
     // sums match bit-for-bit in any order on any engine.
@@ -4071,6 +4131,7 @@ object SparkEntry {
         |     e AS (SELECT source || '.co.uk' AS s,
         |                  'src' || (doc_id % 7) || '-news.com' AS t FROM u
         |           UNION ALL SELECT source || '.co.uk', source || '.net' FROM u
+        |           UNION ALL SELECT source || '.co.uk', source || '.github.io' FROM u
         |           UNION ALL SELECT source || '.co.uk', source || '.github.io' FROM u),
         |     g AS (SELECT s, t, CAST(count(*) AS BIGINT) AS w
         |           FROM e GROUP BY 1, 2),

@@ -104,13 +104,16 @@ object Robots {
     * whose host has no applicable rules — or no rules at all — is
     * allowed.
     *
-    * Scale shape: one narrow target projection, one join keyed on host
-    * against the rules table (rules are hosts-sized — broadcast when
-    * small, AQE decides), one per-URL best-rule window (longest rule
-    * wins, allow beats disallow on ties), and a left join back so
-    * rule-less URLs keep a row. The regex evaluation is per (url,
-    * same-host candidate rule) — robots files are tens of rules, so the
-    * fan-out is bounded per URL. */
+    * Scale shape: the URL side is scanned ONCE — one narrow target
+    * projection, then one LEFT join keyed on host with the regex match
+    * inside the join condition (unmatched URLs keep their row with a
+    * NULL rule, so rule-less hosts cost no second pass), then one
+    * per-URL best-rule window (longest rule wins, allow beats disallow
+    * on ties, the no-rule NULL row losing to any real match). The rules
+    * side is unhinted — hosts-sized in practice (AQE broadcasts it when
+    * small), shuffled by host like any join at crawl scale. The regex
+    * evaluation is per (url, same-host candidate rule) — robots files
+    * are tens of rules, so the fan-out is bounded per URL. */
   def robotsAllowed(
       urls: DataFrame,
       urlCol: String,
@@ -140,19 +143,18 @@ object Robots {
             concat(lit("?"), regexp_extract(col(urlCol), "\\?([^#]*)", 1)))
             .otherwise(lit(""))))
       .withColumn("__g_uid", monotonically_increasing_id())
-    val matched = keyed
-      .join(applicable, col("__g_host") === col("__g_rh"))
-      .filter(regexp_like(col("__g_target"), col("pattern")))
+    keyed
+      .join(applicable,
+        col("__g_host") === col("__g_rh") &&
+          regexp_like(col("__g_target"), col("pattern")),
+        "left")
       .withColumn("__g_rn", row_number().over(
         Window.partitionBy(col("__g_uid"))
-          .orderBy(col("rule_len").desc,
-            when(col("kind") === "allow", 0).otherwise(1))))
+          .orderBy(col("rule_len").desc_nulls_last,
+            when(col("kind") === "allow", 0).otherwise(1).asc_nulls_last)))
       .filter(col("__g_rn") === 1)
-      .select(col("__g_uid").as("__g_mid"),
-        (col("kind") === "allow").as("__g_ok"))
-    keyed
-      .join(matched, col("__g_uid") === col("__g_mid"), "left")
-      .withColumn(outCol, coalesce(col("__g_ok"), lit(true)))
-      .drop("__g_host", "__g_target", "__g_uid", "__g_mid", "__g_ok")
+      .withColumn(outCol, coalesce(col("kind") === "allow", lit(true)))
+      .drop("__g_host", "__g_target", "__g_uid", "__g_rh", "kind",
+        "rule_len", "pattern", "__g_rn")
   }
 }

@@ -72,6 +72,15 @@ class QueriesSmokeSpec extends SparkSpec {
     "dedup_incremental_model" -> 5,
     // one (src, dst) aggregate; link extraction + PSL joins are narrow
     "warc_link_graph" -> 1,
+    // URL side: one host-keyed rules join + one best-rule window; the
+    // other four are robots-parse/agent-selection shuffles on the
+    // HOSTS-sized rules tables, never the corpus
+    "text_robots_filter" -> 6,
+    "text_url_canonical" -> 0, // pure narrow projection
+    // extract (narrow) + canonical distinct pair + the robots chain +
+    // the bloom-prefiltered seen-key anti join — frontier-sized inputs
+    // everywhere past the one distinct over extracted links
+    "warc_crawl_frontier" -> 12,
     // the final frame is the last round's localCheckpoint (each round
     // internally = one edges⋈scores join + one dst agg over DOMAIN-sized
     // tables, truncated per round exactly like duplicateClusters)
