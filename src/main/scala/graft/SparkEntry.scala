@@ -1559,6 +1559,18 @@ object SparkEntry {
         "u")
       Dedup.keyIndexApply(allowed, "url_canonical", seen)
     }),
+    // The politeness-rate side of the same robots parse: per-host
+    // Crawl-delay extraction (agent-selected like the permission check;
+    // fractional seconds), the scheduler input of a polite fetcher.
+    "text_robots_delay" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      val robots = d.select(concat(col("source"), lit(".com")).as("host"),
+        concat(lit("User-agent: *\nDisallow: /private/\nCrawl-delay: "),
+          (length(col("source")) % 5).cast("string")).as("content"))
+        .distinct()
+      graft.ops.Robots.crawlDelays(
+        graft.ops.Robots.robotsParse(robots, "host", "content"), "graftbot")
+    }),
     // Katz-style integer in-link centrality over that edge graph, two
     // bounded rounds — the domain-ranking signal crawl blocklists feed
     // on. Exact BIGINT path counts, replayed as two unrolled SQL rounds.
@@ -4076,6 +4088,12 @@ object SparkEntry {
       s"""SELECT doc_id, $synthRobotsUrlSql AS url,
          |       CAST(doc_id % 6 NOT IN (1, 3, 4) AS BOOLEAN) AS allowed
          |FROM documents""".stripMargin,
+    // Expected per-host delay recomputed independently (the fixture
+    // derives it from the source-name length).
+    "text_robots_delay" ->
+      """SELECT DISTINCT source || '.com' AS host,
+        |       CAST(length(source) % 5 AS DOUBLE) AS crawl_delay_sec
+        |FROM documents""".stripMargin,
     // Expected canonical form per shape, recomputed independently.
     "text_url_canonical" ->
       s"""WITH u AS (SELECT doc_id, source, $synthMessyUrlSql AS url FROM documents)

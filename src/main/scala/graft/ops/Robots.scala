@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * Semantics implemented (RFC 9309 / the Google REP, the parts that
   * matter for corpus filtering):
   *  - groups of one or more consecutive `User-agent` lines followed by
-  *    their directives; `Allow` and `Disallow` kept, other directives
-  *    and `#` comments ignored; empty-value rules ignored (an empty
-  *    `Disallow:` means "no restriction", not "deny all");
+  *    their directives; `Allow`, `Disallow`, and `Crawl-delay` kept
+  *    (the delay surfaces through [[crawlDelays]], never as a path
+  *    rule), other directives and `#` comments ignored; empty-value
+  *    rules ignored (an empty `Disallow:` means "no restriction", not
+  *    "deny all");
   *  - agent selection per host: the target agent's own groups when any
   *    exist (case-insensitive token match), otherwise the `*` groups;
   *  - rule matching against path + query: `*` matches any characters,
@@ -73,7 +75,7 @@ object Robots {
         lower(trim(regexp_extract(col("__g_l"), "^([^:]+):", 1))))
       .withColumn("value",
         trim(regexp_extract(col("__g_l"), "^[^:]+:(.*)$", 1)))
-      .filter(col("field").isin("user-agent", "allow", "disallow"))
+      .filter(col("field").isin("user-agent", "allow", "disallow", "crawl-delay"))
     val w = Window.partitionBy("host").orderBy("line_no")
     // a user-agent line NOT preceded by another user-agent line starts a
     // new group; its directives run until the next such start
@@ -96,6 +98,32 @@ object Robots {
       .select(col("host"), col("grp"), col("agent"), col("kind"), col("rule"),
         length(col("rule")).as("rule_len"),
         buildRegex(col("rule")).as("pattern"))
+  }
+
+  /** The per-host crawl delay for `agent` from a [[robotsParse]] rule
+    * table: one row per host that declares a `Crawl-delay`, with the
+    * SAME agent-selection rule as [[robotsAllowed]] (the agent's own
+    * groups when any exist, else the `*` groups) and the maximum delay
+    * when a host declares several. Output: (host, crawl_delay_sec
+    * DOUBLE — the directive accepts fractional seconds); hosts without
+    * a parseable delay are absent (scheduler default applies). Rules
+    * tables are hosts-sized; two dictionary joins + one aggregate. */
+  def crawlDelays(
+      rules: DataFrame,
+      agent: String): DataFrame = {
+    require(agent.nonEmpty, "crawlDelays: agent must be non-empty")
+    val a = lit(agent.toLowerCase)
+    val hostsWithExact = rules.filter(col("agent") === a)
+      .select(col("host")).distinct().withColumn("__g_ex", lit(1))
+    rules
+      .filter(col("kind") === "crawl-delay")
+      .join(hostsWithExact, Seq("host"), "left")
+      .filter(when(col("__g_ex").isNotNull, col("agent") === a)
+        .otherwise(col("agent") === "*"))
+      .withColumn("__g_d", col("rule").cast("double"))
+      .filter(col("__g_d").isNotNull && col("__g_d") >= 0)
+      .groupBy("host")
+      .agg(max(col("__g_d")).as("crawl_delay_sec"))
   }
 
   /** Appends `allowed` (boolean) to `urls`: whether `agent` may fetch
@@ -129,6 +157,7 @@ object Robots {
     val hostsWithExact = rules.filter(col("agent") === a)
       .select(col("host")).distinct().withColumn("__g_ex", lit(1))
     val applicable = rules
+      .filter(col("kind").isin("allow", "disallow")) // crawl-delay rows aside
       .join(hostsWithExact, Seq("host"), "left")
       .filter(when(col("__g_ex").isNotNull, col("agent") === a)
         .otherwise(col("agent") === "*"))

@@ -3236,10 +3236,12 @@ class OpsSpec extends SparkSpec {
           |Allow: /private/ok
           |Disallow: /tmp*
           |Disallow: /exact$
+          |Crawl-delay: 2.5
           |Disallow:
           |
           |User-agent: graftbot
           |Disallow: /graft-only/
+          |Crawl-delay: 7
           |""".stripMargin),
       ("b.com", "User-agent: *\nDisallow: /\nAllow: /pub/"),
       ("empty.com", "# nothing but comments\n"),
@@ -3250,7 +3252,8 @@ class OpsSpec extends SparkSpec {
     rules.filter($"host" === "a.com" && $"grp" === 0)
       .select("agent").distinct().collect().map(_.getString(0)).sorted.toSeq shouldBe
       Seq("*", "crawler-x")
-    rules.filter($"host" === "a.com" && $"grp" === 0).count() shouldBe 8 // 4 rules × 2 agents
+    rules.filter($"host" === "a.com" && $"grp" === 0)
+      .count() shouldBe 10 // (4 path rules + 1 crawl-delay) × 2 agents
     rules.filter($"host" === "a.com" && $"agent" === "graftbot")
       .select("rule").head().getString(0) shouldBe "/graft-only/"
     rules.filter($"host" === "empty.com").count() shouldBe 0
@@ -3281,6 +3284,16 @@ class OpsSpec extends SparkSpec {
     // output schema: input columns + allowed, helpers dropped
     Robots.robotsAllowed(urls, "url", rules, "x").columns.toSeq shouldBe
       Seq("id", "url", "allowed")
+    // crawl-delay: agent-selected like the permission check; fractional
+    // seconds; hosts without a delay are simply absent
+    def delays(agent: String): Map[String, Double] =
+      Robots.crawlDelays(rules, agent)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    delays("SomeBot") shouldBe Map("a.com" -> 2.5)
+    delays("graftbot") shouldBe Map("a.com" -> 7.0)
+    // the delay directive never leaks into path permissions
+    verdicts("SomeBot") shouldBe
+      Seq(true, false, true, false, false, true, false, true, true, true)
   }
 
   test("canonicalizeUrl: case, userinfo, default ports, query sort, fragments, passthrough") {
