@@ -176,16 +176,20 @@ object SparkEntry {
       // record-to-file assignment is invisible to their results.
       def writeArchive(
           file: String, warcType: String, contentType: String,
-          payloadOf: org.apache.spark.sql.Row => Array[Byte]): Unit = {
+          payloadOf: org.apache.spark.sql.Row => Array[Byte],
+          recordIdOf: org.apache.spark.sql.Row => String =
+            r => s"<urn:graft:doc-${r.getLong(0)}>",
+          targetUriOf: org.apache.spark.sql.Row => String =
+            r => r.getString(1)): Unit = {
         val outs = Array.fill(WarcShards)(new java.io.ByteArrayOutputStream())
         rows.foreach { r =>
           val out = outs((r.getLong(0) % WarcShards).toInt)
           val payload = payloadOf(r)
           val header =
             s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
-              s"WARC-Record-ID: <urn:graft:doc-${r.getLong(0)}>\r\n" +
+              s"WARC-Record-ID: ${recordIdOf(r)}\r\n" +
               s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
-              s"WARC-Target-URI: ${r.getString(1)}\r\n" +
+              s"WARC-Target-URI: ${targetUriOf(r)}\r\n" +
               s"Content-Type: $contentType\r\n" +
               s"Content-Length: ${payload.length}\r\n\r\n"
           out.write(header.getBytes("UTF-8"))
@@ -243,11 +247,10 @@ object SparkEntry {
       // hashes to match. NOTE: target_uri here deliberately differs from
       // synthUrl (simple, path-bearing, no userinfo/port cases — those
       // are warc_extract's job).
-      locally {
-        val outs = Array.fill(WarcShards)(new java.io.ByteArrayOutputStream())
-        rows.foreach { r =>
+      writeArchive("docs_links.warc", "response",
+        "application/http; msgtype=response",
+        payloadOf = { r =>
           val id = r.getLong(0)
-          val out = outs((id % WarcShards).toInt)
           val source = r.getString(4)
           val body = ("<html><body><p>crawl page body text</p>" +
             s"""<a href="https://src${id % 7}-news.com/a/b">partner</a>""" +
@@ -263,26 +266,12 @@ object SparkEntry {
             // query's canonicalization collapses it back to one URL
             s"""<a href="HTTPS://Docs.$source.GitHub.IO:443/guide#ref">docs again</a>""" +
             "</body></html>").getBytes("UTF-8")
-          val envelope = "HTTP/1.1 200 OK\r\n" +
-            "Content-Type: text/html; charset=UTF-8\r\n\r\n"
-          val msg = envelope.getBytes("UTF-8") ++ body
-          val header =
-            s"WARC/1.0\r\nWARC-Type: response\r\n" +
-              s"WARC-Record-ID: <urn:graft:link-$id>\r\n" +
-              s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
-              s"WARC-Target-URI: https://www.$source.co.uk/p/$id/index.html\r\n" +
-              "Content-Type: application/http; msgtype=response\r\n" +
-              s"Content-Length: ${msg.length}\r\n\r\n"
-          out.write(header.getBytes("UTF-8"))
-          out.write(msg)
-          out.write("\r\n\r\n".getBytes("UTF-8"))
-        }
-        val p = java.nio.file.Paths.get(d, "docs_links.warc")
-        java.nio.file.Files.createDirectories(p)
-        outs.zipWithIndex.foreach { case (o, k) =>
-          java.nio.file.Files.write(p.resolve(f"part-$k%03d.warc"), o.toByteArray)
-        }
-      }
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n")
+            .getBytes("UTF-8") ++ body
+        },
+        recordIdOf = r => s"<urn:graft:link-${r.getLong(0)}>",
+        targetUriOf = r =>
+          s"https://www.${r.getString(4)}.co.uk/p/${r.getLong(0)}/index.html")
       d
     })
 

@@ -87,8 +87,13 @@ object Robots {
       .withColumn("grp",
         sum(col("__g_start")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
       .filter(col("grp") >= 0) // directives before any user-agent line: ignored
+    // PRODUCT TOKEN, not the whole line: `User-agent: GraftBot/1.2`
+    // targets the crawler "graftbot" (RFC 9309 token matching) — keeping
+    // the version would silently fall every versioned group back to `*`
     val agents = grouped.filter(col("field") === "user-agent")
-      .select(col("host"), col("grp"), lower(col("value")).as("agent"))
+      .select(col("host"), col("grp"),
+        lower(regexp_extract(col("value"), "^([^/\\s]*)", 1)).as("agent"))
+      .filter(col("agent") =!= "")
       .distinct()
     val rules = grouped
       .filter(col("field") =!= "user-agent" && col("value") =!= "")
@@ -98,6 +103,24 @@ object Robots {
       .select(col("host"), col("grp"), col("agent"), col("kind"), col("rule"),
         length(col("rule")).as("rule_len"),
         buildRegex(col("rule")).as("pattern"))
+  }
+
+  /** The ONE agent-selection rule ([[robotsAllowed]] and [[crawlDelays]]
+    * must never diverge): per host, the agent's own groups when any
+    * exist, otherwise the `*` groups. Callers filter by directive KIND
+    * only AFTER selection — group membership is decided by the whole
+    * group (an exact group that happens to lack a delay, or path rules,
+    * means "this group applies and says nothing", never a fallback to
+    * `*`). */
+  private def agentSelected(rules: DataFrame, agent: String): DataFrame = {
+    val a = lit(agent.toLowerCase)
+    val hostsWithExact = rules.filter(col("agent") === a)
+      .select(col("host")).distinct().withColumn("__g_ex", lit(1))
+    rules
+      .join(hostsWithExact, Seq("host"), "left")
+      .filter(when(col("__g_ex").isNotNull, col("agent") === a)
+        .otherwise(col("agent") === "*"))
+      .drop("__g_ex")
   }
 
   /** The per-host crawl delay for `agent` from a [[robotsParse]] rule
@@ -112,14 +135,8 @@ object Robots {
       rules: DataFrame,
       agent: String): DataFrame = {
     require(agent.nonEmpty, "crawlDelays: agent must be non-empty")
-    val a = lit(agent.toLowerCase)
-    val hostsWithExact = rules.filter(col("agent") === a)
-      .select(col("host")).distinct().withColumn("__g_ex", lit(1))
-    rules
+    agentSelected(rules, agent)
       .filter(col("kind") === "crawl-delay")
-      .join(hostsWithExact, Seq("host"), "left")
-      .filter(when(col("__g_ex").isNotNull, col("agent") === a)
-        .otherwise(col("agent") === "*"))
       .withColumn("__g_d", col("rule").cast("double"))
       .filter(col("__g_d").isNotNull && col("__g_d") >= 0)
       .groupBy("host")
@@ -152,38 +169,37 @@ object Robots {
     graft.core.Validators.requireColumnsAbsent(urls, Seq(outCol), "robotsAllowed")
     require(agent.nonEmpty, "robotsAllowed: agent must be non-empty")
     import org.apache.spark.sql.expressions.Window
-    val a = lit(agent.toLowerCase)
-    // agent selection per host: exact groups when any exist, else '*'
-    val hostsWithExact = rules.filter(col("agent") === a)
-      .select(col("host")).distinct().withColumn("__g_ex", lit(1))
-    val applicable = rules
+    // helper-prefixed rule columns so a urls frame carrying its own
+    // kind/pattern/… columns can never collide with the join
+    val applicable = agentSelected(rules, agent)
       .filter(col("kind").isin("allow", "disallow")) // crawl-delay rows aside
-      .join(hostsWithExact, Seq("host"), "left")
-      .filter(when(col("__g_ex").isNotNull, col("agent") === a)
-        .otherwise(col("agent") === "*"))
-      .select(col("host").as("__g_rh"), col("kind"), col("rule_len"),
-        col("pattern"))
+      .select(col("host").as("__g_rh"), col("kind").as("__g_kind"),
+        col("rule_len").as("__g_len"), col("pattern").as("__g_pat"))
+    // fragments are never sent to the server: strip them BEFORE the
+    // query extraction, so a '?' inside the fragment can't resurrect as
+    // a query string
+    val noFrag = regexp_replace(col(urlCol), "#.*$", "")
     val keyed = urls.withColumn("__g_host", Url.host(col(urlCol)))
       .withColumn("__g_target",
         concat(
           when(regexp_extract(col(urlCol), Url.PathPattern, 1) === "", lit("/"))
             .otherwise(regexp_extract(col(urlCol), Url.PathPattern, 1)),
-          when(regexp_extract(col(urlCol), "\\?([^#]*)", 1) =!= "",
-            concat(lit("?"), regexp_extract(col(urlCol), "\\?([^#]*)", 1)))
+          when(regexp_extract(noFrag, "\\?(.*)$", 1) =!= "",
+            concat(lit("?"), regexp_extract(noFrag, "\\?(.*)$", 1)))
             .otherwise(lit(""))))
       .withColumn("__g_uid", monotonically_increasing_id())
     keyed
       .join(applicable,
         col("__g_host") === col("__g_rh") &&
-          regexp_like(col("__g_target"), col("pattern")),
+          regexp_like(col("__g_target"), col("__g_pat")),
         "left")
       .withColumn("__g_rn", row_number().over(
         Window.partitionBy(col("__g_uid"))
-          .orderBy(col("rule_len").desc_nulls_last,
-            when(col("kind") === "allow", 0).otherwise(1).asc_nulls_last)))
+          .orderBy(col("__g_len").desc_nulls_last,
+            when(col("__g_kind") === "allow", 0).otherwise(1).asc_nulls_last)))
       .filter(col("__g_rn") === 1)
-      .withColumn(outCol, coalesce(col("kind") === "allow", lit(true)))
-      .drop("__g_host", "__g_target", "__g_uid", "__g_rh", "kind",
-        "rule_len", "pattern", "__g_rn")
+      .withColumn(outCol, coalesce(col("__g_kind") === "allow", lit(true)))
+      .drop("__g_host", "__g_target", "__g_uid", "__g_rh", "__g_kind",
+        "__g_len", "__g_pat", "__g_rn")
   }
 }

@@ -291,14 +291,25 @@ object Url {
     val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val auth0 = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
     val auth = regexp_replace(auth0, "^[^/?#@]*@", "") // strip userinfo
-    val host = lower(regexp_extract(auth, "^([^:]*)", 1))
-    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    // a bracketed IPv6 authority keeps its brackets as the host; the
+    // plain split-at-colon rule would otherwise shear the address apart
+    val bracketed = auth.startsWith("[")
+    val host =
+      when(bracketed, lower(regexp_extract(auth, "^(\\[[^\\]]*\\])", 1)))
+        .otherwise(lower(regexp_extract(auth, "^([^:]*)", 1)))
+    val port =
+      when(bracketed, regexp_extract(auth, "^\\[[^\\]]*\\]:([0-9]+)$", 1))
+        .otherwise(regexp_extract(auth, "^[^:]*:([0-9]+)$", 1))
     val keepPort = port =!= "" &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
     val path0 = regexp_extract(url, PathPattern, 1)
     val path = when(path0 === "", lit("/")).otherwise(path0)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // strip the fragment BEFORE query extraction: a '?' inside the
+    // fragment (SPA routes: /app#/route?tab=1) is not a query and must
+    // not resurrect as one
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
     val sortedQuery = array_join(array_sort(split(query, "&")), "&")
     when(url.isNull, lit(null))
       .when(scheme === "", url) // not scheme://… — pass through

@@ -159,6 +159,10 @@ private[warc] class WarcScan(paths: Seq[String], required: StructType)
 }
 
 private[warc] object WarcScan {
+  /** Directory-recursion bound for [[listFiles]] (real crawl layouts are
+    * ~3 deep; past this a symlink cycle is the only explanation). */
+  private val MaxListDepth = 32
+
   /** Driver-side planning: expand globs/directories to data files.
     * `strict` (the batch path) refuses an empty match loudly; the
     * streaming path is lenient — an empty landing directory just means
@@ -176,17 +180,23 @@ private[warc] object WarcScan {
       // RECURSIVE directory expansion: crawl layouts nest (e.g.
       // crawl-data/<segment>/wet/...), and a non-recursive listing would
       // silently ingest a partial corpus — skip _/.-prefixed names
-      // (atomic-landing temps, _SUCCESS markers) at EVERY level
-      def expand(st: FileStatus): Seq[FileStatus] =
-        if (st.isDirectory)
+      // (atomic-landing temps, _SUCCESS markers) at EVERY level. Depth
+      // is BOUNDED: a symlinked directory cycle must fail loudly at
+      // planning time, not recurse forever
+      def expand(st: FileStatus, depth: Int): Seq[FileStatus] =
+        if (!st.isDirectory) Seq(st)
+        else if (depth > MaxListDepth)
+          throw graft.errors.FeatureFactoryException.InvalidParameter(
+            s"graft-warc: directory nesting under '${st.getPath}' exceeds " +
+              s"$MaxListDepth levels — symlink cycle?")
+        else
           fs.listStatus(st.getPath).toSeq
             .filterNot { f =>
               val n = f.getPath.getName
               n.startsWith("_") || n.startsWith(".")
             }
-            .flatMap(expand)
-        else Seq(st)
-      matched.flatMap(expand).map(_.getPath.toString)
+            .flatMap(expand(_, depth + 1))
+      matched.flatMap(expand(_, 0)).map(_.getPath.toString)
     }.sorted
   }
 

@@ -225,7 +225,11 @@ object WarcRecordIterator {
       try {
         val gz = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(body), 1 << 13)
-        val out = new ByteArrayOutputStream(body.length * 4)
+        // capacity is a HINT: clamp it — body.length * 4 overflows Int
+        // for >512 MB bodies and a negative capacity throws, aborting
+        // the task this method promises never to abort
+        val out = new ByteArrayOutputStream(
+          math.max(64, math.min(body.length, 1 << 20)))
         val chunk = new Array[Byte](1 << 13)
         var n = gz.read(chunk)
         var total = 0L

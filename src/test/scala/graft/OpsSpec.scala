@@ -3245,6 +3245,8 @@ class OpsSpec extends SparkSpec {
           |""".stripMargin),
       ("b.com", "User-agent: *\nDisallow: /\nAllow: /pub/"),
       ("empty.com", "# nothing but comments\n"),
+      // versioned product token: targets the crawler "verbot"
+      ("v.com", "User-agent: VerBot/1.2\nDisallow: /\n\nUser-agent: *\nDisallow: /none/"),
     ).toDF("host", "content")
     val rules = Robots.robotsParse(robots, "host", "content")
     // group 0 of a.com carries BOTH consecutive agents; the empty
@@ -3294,6 +3296,19 @@ class OpsSpec extends SparkSpec {
     // the delay directive never leaks into path permissions
     verdicts("SomeBot") shouldBe
       Seq(true, false, true, false, false, true, false, true, true, true)
+    // versioned product token (VerBot/1.2) targets the crawler "verbot":
+    // its own group denies everything; other agents get the * group
+    def one(u: String, agent: String): Boolean =
+      Robots.robotsAllowed(Seq((1L, u)).toDF("id", "url"), "url", rules, agent)
+        .head().getBoolean(2)
+    one("https://v.com/anything", "verbot") shouldBe false
+    one("https://v.com/anything", "other") shouldBe true
+    // a '?' inside the FRAGMENT never reaches the match target
+    val fr = Seq(("f.com", "User-agent: *\nDisallow: /p?q")).toDF("host", "content")
+    Robots.robotsAllowed(
+      Seq((1L, "https://f.com/p#x?q=1")).toDF("id", "url"), "url",
+      Robots.robotsParse(fr, "host", "content"), "x")
+      .head().getBoolean(2) shouldBe true
   }
 
   test("canonicalizeUrl: case, userinfo, default ports, query sort, fragments, passthrough") {
@@ -3309,6 +3324,11 @@ class OpsSpec extends SparkSpec {
       ("https://ex.com/p?", "https://ex.com/p"), // empty query dropped
       ("https://ex.com/p?only=1", "https://ex.com/p?only=1"),
       ("ftp://Files.Ex.net/Dir/F.txt", "ftp://files.ex.net/Dir/F.txt"), // path case kept
+      // a '?' INSIDE the fragment is not a query (SPA route shape)
+      ("https://ex.com/app#/route?tab=1", "https://ex.com/app"),
+      // bracketed IPv6 authorities keep their brackets; default port drops
+      ("https://[2001:db8::5]:443/x", "https://[2001:db8::5]/x"),
+      ("http://[2001:db8::5]:8080/x", "http://[2001:db8::5]:8080/x"),
       ("no scheme here", "no scheme here"), // passthrough
       (null, null),
     )
