@@ -48,6 +48,17 @@ object Bench {
         .withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("count")))
         .count()
     }
+    // CONTENTION SELF-DIAGNOSIS: three rounds of driver benches (r5, r7,
+    // r8) were contaminated by co-tenant load and had to be re-litigated
+    // against quiet reruns. The JSON now carries the 1-minute loadavg
+    // before/after the run plus each query's max/min rep spread, so a
+    // contaminated run documents itself: loadavg ≫ the bench's own CPU
+    // budget, or spreads far above ~1.3, mean the machine was busy —
+    // re-run before reading the numbers (BASELINE.md noise protocol).
+    def loadavg(): Double =
+      try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadavg()
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
@@ -62,30 +73,41 @@ object Bench {
       val median =
         if (timed.size % 2 == 1) timed(timed.size / 2)
         else (timed(timed.size / 2 - 1) + timed(timed.size / 2)) / 2.0
-      name -> median
+      name -> (median, timed.last / timed.head.max(1e-9))
     }
-    def jsonLine(rs: Map[String, Double]): String = {
+    val loadAfter = loadavg()
+    val medians = results.map { case (n, (m, _)) => n -> m }
+    def jsonLine(rs: Map[String, Double], withSpread: Boolean): String = {
       val qs = rs.toSeq.sortBy(-_._2)
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-      val total = f"${results.values.sum}%.3f"
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val total = f"${medians.values.sum}%.3f"
+      val spread =
+        if (!withSpread) ""
+        else results.toSeq.sortBy(-_._2._1)
+          .map { case (k, (_, s)) => "\"" + k + "\":" + f"$s%.2f" }
+          .mkString(""","spread":{""", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        f""""loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,""" +
+        s""""queries":$qs$spread,"sf":"$sfDir"}"""
     }
-    // Full detail goes to the file; the stdout line must survive the
-    // driver's ~2 KB tail capture (BENCH_r02 "parsed": null was this line
-    // getting truncated), so trim it to the slowest queries if oversized.
-    val full = jsonLine(results.toMap)
+    // Full detail (incl. per-query spread) goes to the file; the stdout
+    // line must survive the driver's ~2 KB tail capture (BENCH_r02
+    // "parsed": null was this line getting truncated), so it drops the
+    // spread map and trims to the slowest queries if oversized.
+    val full = jsonLine(medians.toMap, withSpread = true)
     Files.writeString(Paths.get(outFile), full + "\n")
+    val noSpread = jsonLine(medians.toMap, withSpread = false)
     val stdoutLine =
-      if (full.length <= 1600) full
+      if (noSpread.length <= 1600) noSpread
       else {
-        val slowest = results.toSeq.sortBy(-_._2)
-          .scanLeft(("", 0.0, 90)) { case ((_, _, len), (k, v)) =>
+        val slowest = medians.toSeq.sortBy(-_._2)
+          .scanLeft(("", 0.0, 150)) { case ((_, _, len), (k, v)) =>
             (k, v, len + k.length + 12)
           }
           .drop(1).takeWhile(_._3 <= 1600)
           .map { case (k, v, _) => k -> v }.toMap
-        jsonLine(slowest)
+        jsonLine(slowest, withSpread = false)
       }
     spark.stop()
     println(stdoutLine)

@@ -155,6 +155,13 @@ object SparkEntry {
     * oracle replays the parsed records straight off the documents table.
     * The build is a bounded driver-side dump (fixture construction, like
     * the index builds); the QUERY is the distributed loadWarc read. */
+  /** Non-ASCII marker paragraphs of the charset-varied HTML fixture
+    * records (code points pinned by escape — the text_bpe_ids_bytes
+    * convention — so no toolchain encoding step can silently mangle
+    * what the oracle expects): Latin-1 "café münü", CJK "中文测试". */
+  private val CharsetMarkerLatin = "<p>caf\u00e9 m\u00fcn\u00fc</p>"
+  private val CharsetMarkerCjk = "<p>\u4e2d\u6587\u6d4b\u8bd5</p>"
+
   private val warcDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
   /** Files per fixture archive directory (the one-task-per-archive read
@@ -211,14 +218,24 @@ object SparkEntry {
       // is the full HTTP message — status line + response headers +
       // CRLF CRLF + body — exactly what a real Common Crawl .warc
       // carries, so the reader's envelope stripping (not the fixture)
-      // is what keeps the downstream htmlToText oracle green. Statuses
-      // and content-codings vary deterministically by doc_id: every
-      // 20th doc is a 404 (same body), every 10th-plus-3 body travels
-      // gzip content-coded.
+      // is what keeps the downstream htmlToText oracle green. Statuses,
+      // content-codings AND CHARSETS vary deterministically by doc_id:
+      // every 20th doc is a 404 (same body), every 10th-plus-3 body
+      // travels gzip content-coded, every 10th-plus-7 body is
+      // ISO-8859-1 with the charset declared in the HTTP header, and
+      // every 10th-plus-9 is GBK declared ONLY by an HTML <meta> tag
+      // (the header says bare text/html). The non-UTF-8 bodies carry a
+      // NON-ASCII marker paragraph — an all-ASCII fixture would pass
+      // under a UTF-8-only reader and prove nothing about the decode.
       writeArchive("docs_html.warc", "response", "application/http; msgtype=response",
         { r =>
           val id = r.getLong(0)
-          val rawBody = r.getString(3).getBytes("UTF-8")
+          val (charset, metaPrefix, marker) =
+            if (id % 10 == 7) ("ISO-8859-1", "", CharsetMarkerLatin)
+            else if (id % 10 == 9)
+              ("GBK", "<meta charset=\"GBK\">", CharsetMarkerCjk)
+            else ("UTF-8", "", "")
+          val rawBody = (metaPrefix + r.getString(3) + marker).getBytes(charset)
           val gzipped = id % 10 == 3
           val body =
             if (!gzipped) rawBody
@@ -229,8 +246,11 @@ object SparkEntry {
             }
           val statusLine =
             if (id % 20 == 0) "HTTP/1.1 404 Not Found" else "HTTP/1.1 200 OK"
-          val envelope = statusLine + "\r\n" +
-            "Content-Type: text/html; charset=UTF-8\r\n" +
+          val ctHeader =
+            if (id % 10 == 7) "Content-Type: text/html; charset=ISO-8859-1\r\n"
+            else if (id % 10 == 9) "Content-Type: text/html\r\n"
+            else "Content-Type: text/html; charset=UTF-8\r\n"
+          val envelope = statusLine + "\r\n" + ctHeader +
             (if (gzipped) "Content-Encoding: gzip\r\n" else "") +
             s"Content-Length: ${body.length}\r\n\r\n"
           val msg = new java.io.ByteArrayOutputStream()
@@ -272,8 +292,100 @@ object SparkEntry {
         recordIdOf = r => s"<urn:graft:link-${r.getLong(0)}>",
         targetUriOf = r =>
           s"https://www.${r.getString(4)}.co.uk/p/${r.getLong(0)}/index.html")
+      // ...and the REVISIT archive (warc_revisit_dedup): every document
+      // is one response record carrying a WARC-Payload-Digest; every 4th
+      // document is re-fetched later as a `revisit` record — empty
+      // payload, the SAME digest (ISO 28500 §6.7's refetch dedup), so
+      // ingest must resolve the refetch to its original capture via the
+      // digest join instead of seeing an empty page.
+      locally {
+        val outs = Array.fill(WarcShards)(new java.io.ByteArrayOutputStream())
+        def writeRec(out: java.io.ByteArrayOutputStream, warcType: String,
+            recordId: String, uri: String, date: String, digest: String,
+            payload: Array[Byte]): Unit = {
+          val header =
+            s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
+              s"WARC-Record-ID: $recordId\r\n" +
+              s"WARC-Date: $date\r\n" +
+              s"WARC-Target-URI: $uri\r\n" +
+              s"WARC-Payload-Digest: $digest\r\n" +
+              "Content-Type: application/http; msgtype=response\r\n" +
+              s"Content-Length: ${payload.length}\r\n\r\n"
+          out.write(header.getBytes("UTF-8")); out.write(payload)
+          out.write("\r\n\r\n".getBytes("UTF-8"))
+        }
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          val out = outs((id % WarcShards).toInt)
+          val digest = s"sha1:GRAFT$id"
+          val msg = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+            .getBytes("UTF-8") ++ r.getString(2).getBytes("UTF-8")
+          writeRec(out, "response", s"<urn:graft:doc-$id>", r.getString(1),
+            "2026-01-01T00:00:00Z", digest, msg)
+          if (id % 4 == 0)
+            writeRec(out, "revisit", s"<urn:graft:rev-$id>", r.getString(1),
+              "2026-02-01T00:00:00Z", digest, Array.empty[Byte])
+        }
+        val p = java.nio.file.Paths.get(d, "docs_revisit.warc")
+        java.nio.file.Files.createDirectories(p)
+        outs.zipWithIndex.foreach { case (o, k) =>
+          java.nio.file.Files.write(p.resolve(f"part-$k%03d.warc"), o.toByteArray)
+        }
+      }
       d
     })
+
+  /** The shared crawl-frontier construction of warc_crawl_frontier /
+    * warc_frontier_schedule — crawled pages → outlinks ∪ the
+    * sitemap-discovered branch → canonicalize → robots gate → seen-key
+    * probe; returns (rule table, frontier). Both queries RECOMPUTE it
+    * (one shared builder, no caching — the benchmark-honesty
+    * convention). The per-host robots policy carries all three
+    * directive families: the /a/ gate on odd hosts (an EMPTY Disallow on
+    * even ones — the RFC 9309 "no restriction" shape), a Crawl-delay of
+    * (k%3)+1 seconds, and the Sitemap pointer. */
+  private def crawlFrontierParts(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.StringType
+    val pages = graft.sources.Loader
+      .load(s, warcFixture(s, dir) + "/docs_links.warc")
+      .select("target_uri", "payload")
+    val robots = Sampling.localFrame(s,
+      Seq("host" -> StringType, "content" -> StringType),
+      (0 until 7).map { k =>
+        org.apache.spark.sql.Row(s"src$k-news.com",
+          (if (k % 2 == 1) "User-agent: *\nDisallow: /a/"
+           else "User-agent: *\nDisallow:") +
+            s"\nCrawl-delay: ${k % 3 + 1}" +
+            s"\nSitemap: https://src$k-news.com/sitemap.xml")
+      })
+    val rules = graft.ops.Robots.robotsParse(robots, "host", "content")
+    // the fetched sitemap bodies, keyed by their robots-declared URL
+    val smBodies = Sampling.localFrame(s,
+      Seq("sitemap_url" -> StringType, "xml" -> StringType),
+      (0 until 7).map { k =>
+        org.apache.spark.sql.Row(s"https://src$k-news.com/sitemap.xml",
+          s"<urlset><url><loc>https://src$k-news.com/s/$k</loc></url></urlset>")
+      })
+    val smDiscovered = graft.ops.Sitemap.sitemapUrls(
+      graft.ops.Robots.sitemaps(rules).join(smBodies, Seq("sitemap_url")),
+      "xml", "link_url")
+      .select("link_url")
+    val canon = Url.canonicalizeUrls(
+      graft.ops.LinkGraph.extractLinks(pages, "payload", "target_uri")
+        .select("link_url")
+        .unionByName(smDiscovered),
+      "link_url")
+      .select("url_canonical").distinct()
+    val allowed = graft.ops.Robots.robotsAllowed(
+      canon, "url_canonical", rules, "graftbot")
+      .filter(col("allowed")).drop("allowed")
+    val seen = Dedup.keyIndexFit(
+      rt(s, dir, "documents").select(
+        concat(lit("https://cdn."), col("source"), lit(".net/lib.js")).as("u")),
+      "u")
+    (rules, Dedup.keyIndexApply(allowed, "url_canonical", seen))
+  }
 
   private val bpeModels =
     scala.collection.concurrent.TrieMap.empty[String, Bpe.BpeModel]
@@ -541,7 +653,7 @@ object SparkEntry {
     * multi-suffix set. */
   private val urlFeaturesCte =
     """f AS (SELECT u.*,
-      |        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)) AS url_host,
+      |        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\[[^\]/?#]*\]|[^/?#:]*)', 1)) AS url_host,
       |        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS url_path
       |      FROM u),
       |g AS (SELECT f.*, string_split(url_host, '.') AS labels FROM f),
@@ -1502,6 +1614,23 @@ object SparkEntry {
     "warc_http_meta" -> ((s, dir) =>
       graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_html.warc")
         .select("record_id", "http_status", "http_content_type")),
+    // The crawl's OWN dedup signal surfaced: `revisit` records (a
+    // refetch whose payload matched an earlier capture, ISO 28500 §6.7)
+    // resolve back to the original response via the WARC-Payload-Digest
+    // join — without it every revisit looks like an empty page. One
+    // shuffle join keyed on the digest (both sides crawl-sized at 100 TB
+    // — no broadcast assumption).
+    "warc_revisit_dedup" -> ((s, dir) => {
+      val recs = graft.sources.Loader
+        .load(s, warcFixture(s, dir) + "/docs_revisit.warc")
+      val orig = recs.filter(col("warc_type") === "response")
+        .select(col("payload_digest"),
+          col("record_id").as("original_id"), col("payload"))
+      val rev = recs.filter(col("warc_type") === "revisit")
+        .select(col("record_id").as("revisit_id"), col("payload_digest"))
+      rev.join(orig, Seq("payload_digest"))
+        .select("revisit_id", "original_id", "payload_digest", "payload")
+    }),
     // The crawl LINK graph first mile: WARC pages → outlink extraction
     // (every href resolution shape) → registered-domain edges under
     // with-private PSL semantics. The oracle recomputes the expected
@@ -1515,38 +1644,54 @@ object SparkEntry {
           "payload", "target_uri"),
         "target_uri", "link_url", rules = graft.ops.Psl.snapshotWithPrivate)),
     // The whole frontier mile COMPOSED (no new op — the §2.12
-    // composed-query convention): crawled pages → outlinks →
-    // canonicalization (the cosmetically-doubled github link collapses
-    // back to one URL) → robots gate (odd-numbered partner hosts
-    // disallow /a/) → seen-key probe (every cdn URL is already crawled)
-    // → the distinct fetch frontier. The oracle recomputes the surviving
-    // URL set independently from the source columns.
-    "warc_crawl_frontier" -> ((s, dir) => {
-      import org.apache.spark.sql.types.StringType
-      val pages = graft.sources.Loader
-        .load(s, warcFixture(s, dir) + "/docs_links.warc")
-        .select("target_uri", "payload")
-      val canon = Url.canonicalizeUrls(
-        graft.ops.LinkGraph.extractLinks(pages, "payload", "target_uri")
-          .select("link_url"),
-        "link_url")
-        .select("url_canonical").distinct()
-      val robots = Sampling.localFrame(s,
-        Seq("host" -> StringType, "content" -> StringType),
-        (0 until 7).map { k =>
-          org.apache.spark.sql.Row(s"src$k-news.com",
-            if (k % 2 == 1) "User-agent: *\nDisallow: /a/"
-            else "User-agent: *\nDisallow:")
-        })
-      val allowed = graft.ops.Robots.robotsAllowed(
-        canon, "url_canonical",
-        graft.ops.Robots.robotsParse(robots, "host", "content"), "graftbot")
-        .filter(col("allowed")).drop("allowed")
-      val seen = Dedup.keyIndexFit(
-        rt(s, dir, "documents").select(
-          concat(lit("https://cdn."), col("source"), lit(".net/lib.js")).as("u")),
-        "u")
-      Dedup.keyIndexApply(allowed, "url_canonical", seen)
+    // composed-query convention): crawled pages → outlinks, UNIONED with
+    // the sitemap-discovered branch (robots.txt `Sitemap:` lines →
+    // fetched sitemap bodies → `<loc>` extraction) → canonicalization
+    // (the cosmetically-doubled github link collapses back to one URL)
+    // → robots gate (odd-numbered partner hosts disallow /a/; the same
+    // parse feeds both the gate and the sitemap discovery) → seen-key
+    // probe (every cdn URL is already crawled) → the distinct fetch
+    // frontier. The oracle recomputes the surviving URL set
+    // independently from the source columns.
+    "warc_crawl_frontier" -> ((s, dir) => crawlFrontierParts(s, dir)._2),
+    // Frontier PRIORITIZATION (composed, no new op): the frontier joined
+    // with the link graph's Katz centrality (by registered domain under
+    // with-private PSL semantics) and the robots Crawl-delay (by host),
+    // then one per-host window assigns the polite fetch sequence —
+    // scheduled_at = (seq−1) × delay, the rate arithmetic a fetcher
+    // replays. Hosts without a declared delay default to 1 s; domains
+    // outside the graph rank at centrality 0. No global window — the
+    // order is per host (the politeness unit), so the plan scales with
+    // hosts, not one partition.
+    "warc_frontier_schedule" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (rules, frontier) = crawlFrontierParts(s, dir)
+      val cent = graft.ops.LinkGraph.domainCentrality(
+        graft.ops.LinkGraph.hostGraph(
+          graft.ops.LinkGraph.extractLinks(
+            graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_links.warc")
+              .select("target_uri", "payload"),
+            "payload", "target_uri"),
+          "target_uri", "link_url", rules = graft.ops.Psl.snapshotWithPrivate),
+        iterations = 2)
+      val delays = graft.ops.Robots.crawlDelays(rules, "graftbot")
+      val withDom = Url.registeredDomainPsl(
+        frontier.withColumn("host", Url.host(col("url_canonical"))),
+        "host", "domain", rules = graft.ops.Psl.snapshotWithPrivate)
+      withDom
+        .join(cent.withColumnRenamed("domain", "__c_dom"),
+          col("domain") === col("__c_dom"), "left")
+        .drop("__c_dom")
+        .join(delays, Seq("host"), "left")
+        .withColumn("centrality", coalesce(col("centrality"), lit(0L)))
+        .withColumn("crawl_delay_sec", coalesce(col("crawl_delay_sec"), lit(1.0)))
+        .withColumn("seq", row_number().over(
+          Window.partitionBy("host")
+            .orderBy(col("centrality").desc, col("url_canonical"))))
+        .withColumn("scheduled_at",
+          (col("seq") - 1).cast("double") * col("crawl_delay_sec"))
+        .select("url_canonical", "host", "domain", "centrality", "seq",
+          "scheduled_at")
     }),
     // The politeness-rate side of the same robots parse: per-host
     // Crawl-delay extraction (agent-selected like the permission check;
@@ -1851,6 +1996,21 @@ object SparkEntry {
         d.select(col("doc_id"), synthRobotsUrl.as("url")), "url",
         graft.ops.Robots.robotsParse(robots, "host", "content"), "graftbot")
     }),
+    // Sitemap <loc> extraction — the discovery half of the frontier
+    // mile: each synthetic sitemap carries one clean URL and one
+    // pretty-printed XML-escaped URL, so extraction, whitespace
+    // trimming, and entity unescaping must all agree with the oracle's
+    // independent reconstruction.
+    "text_sitemap_urls" -> ((s, dir) =>
+      graft.ops.Sitemap.sitemapUrls(
+        rt(s, dir, "documents").select(col("doc_id"),
+          concat(
+            lit("<?xml version=\"1.0\"?><urlset><url><loc>https://"),
+            col("source"), lit(".com/p/"), col("doc_id"),
+            lit("</loc></url><url><loc>\n  https://"), col("source"),
+            lit(".com/q?a=1&amp;b=2\n</loc></url></urlset>")).as("xml")),
+        "xml")
+        .select("doc_id", "sitemap_url")),
     // Main-content extraction (jusText-lite): block split at closing
     // block tags, keep blocks that are long enough AND not link-saturated
     // — the nav/footer boilerplate around every synthetic page drops, the
@@ -4051,25 +4211,43 @@ object SparkEntry {
          |$stripHtmlCascadeSql
          |FROM u""".stripMargin,
     // loadWarc composed with the strip cascade: the HTML archive is a
-    // faithful WARC encoding of the synthHtml wrapper, so the parsed
-    // payloads strip to exactly what the documents-table replay strips to.
+    // faithful WARC encoding of the synthHtml wrapper — now under THREE
+    // charsets (UTF-8 / header-declared ISO-8859-1 / meta-only GBK, each
+    // non-UTF-8 body carrying a non-ASCII marker paragraph) — so the
+    // parsed payloads strip to exactly what the documents-table replay
+    // strips to ONLY when the reader honors the declared charset.
     "warc_html_extract" ->
       s"""WITH u AS (SELECT '<urn:graft:doc-' || doc_id || '>' AS record_id,
-         |                  $synthHtmlSql AS html
+         |                  CASE WHEN doc_id % 10 = 9
+         |                       THEN '<meta charset="GBK">' ELSE '' END ||
+         |                  $synthHtmlSql ||
+         |                  CASE WHEN doc_id % 10 = 7 THEN '$CharsetMarkerLatin'
+         |                       WHEN doc_id % 10 = 9 THEN '$CharsetMarkerCjk'
+         |                       ELSE '' END AS html
          |           FROM documents)
          |SELECT record_id,
          |$stripHtmlCascadeSql
          |FROM u""".stripMargin,
     // The fixture's envelope rules replayed: every 20th doc a 404, the
-    // HTTP Content-Type constant (the gzip coding is invisible here by
-    // design — warc_html_extract proves the body still strips to the
-    // same text).
+    // HTTP Content-Type varying with the fixture's charset scheme (the
+    // gzip coding is invisible here by design — warc_html_extract proves
+    // the body still strips to the same text).
     "warc_http_meta" ->
       """SELECT '<urn:graft:doc-' || doc_id || '>' AS record_id,
         |       CAST(CASE WHEN doc_id % 20 = 0 THEN 404 ELSE 200 END AS INTEGER)
         |         AS http_status,
-        |       'text/html; charset=UTF-8' AS http_content_type
+        |       CASE WHEN doc_id % 10 = 7 THEN 'text/html; charset=ISO-8859-1'
+        |            WHEN doc_id % 10 = 9 THEN 'text/html'
+        |            ELSE 'text/html; charset=UTF-8' END AS http_content_type
         |FROM documents""".stripMargin,
+    // Revisit resolution recomputed independently: every 4th document
+    // was re-fetched, its digest joins back to the original capture.
+    "warc_revisit_dedup" ->
+      """SELECT '<urn:graft:rev-' || doc_id || '>' AS revisit_id,
+        |       '<urn:graft:doc-' || doc_id || '>' AS original_id,
+        |       'sha1:GRAFT' || doc_id AS payload_digest,
+        |       text AS payload
+        |FROM documents WHERE doc_id % 4 = 0""".stripMargin,
     // Expected robots verdict per shape, recomputed independently:
     // /private/ and /tmp* and /exact$ deny; /private/ok's longer Allow
     // and the off-anchor /exactly survive.
@@ -4077,6 +4255,15 @@ object SparkEntry {
       s"""SELECT doc_id, $synthRobotsUrlSql AS url,
          |       CAST(doc_id % 6 NOT IN (1, 3, 4) AS BOOLEAN) AS allowed
          |FROM documents""".stripMargin,
+    // Expected sitemap URLs recomputed independently: the clean loc and
+    // the whitespace-wrapped, &amp;-escaped loc per document.
+    "text_sitemap_urls" ->
+      """SELECT doc_id,
+        |       'https://' || source || '.com/p/' || doc_id AS sitemap_url
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'https://' || source || '.com/q?a=1&b=2'
+        |FROM documents""".stripMargin,
     // Expected per-host delay recomputed independently (the fixture
     // derives it from the source-name length).
     "text_robots_delay" ->
@@ -4112,9 +4299,10 @@ object SparkEntry {
         |FROM e GROUP BY 1, 2""".stripMargin,
     // The surviving frontier recomputed independently: even partner
     // hosts (odd ones robots-deny /a/), the root-relative about page,
-    // each page's document-relative archive link, and ONE github URL per
-    // source (canonicalization collapses the doubled spelling); the cdn
-    // links die in the seen-key probe.
+    // each page's document-relative archive link, ONE github URL per
+    // source (canonicalization collapses the doubled spelling), and the
+    // sitemap-discovered /s/<k> page of EVERY partner host (the /a/ rule
+    // never matches them); the cdn links die in the seen-key probe.
     "warc_crawl_frontier" ->
       """WITH f AS (
         |  SELECT DISTINCT 'https://src' || (doc_id % 7) || '-news.com/a/b' AS u
@@ -4128,8 +4316,77 @@ object SparkEntry {
         |  FROM documents
         |  UNION
         |  SELECT DISTINCT 'https://docs.' || source || '.github.io/guide'
+        |  FROM documents
+        |  UNION
+        |  SELECT DISTINCT 'https://src' || (doc_id % 7) || '-news.com/s/' ||
+        |         (doc_id % 7)
         |  FROM documents)
         |SELECT u AS url_canonical FROM f""".stripMargin,
+    // The polite fetch schedule replayed independently: the frontier's
+    // five branches with their fixture-known host/domain/delay, the
+    // two-round integer Katz centrality, and the per-host
+    // ROW_NUMBER × delay arithmetic.
+    "warc_frontier_schedule" ->
+      """WITH u AS (SELECT doc_id, source FROM documents),
+        |     e AS (SELECT source || '.co.uk' AS s,
+        |                  'src' || (doc_id % 7) || '-news.com' AS t FROM u
+        |           UNION ALL SELECT source || '.co.uk', source || '.net' FROM u
+        |           UNION ALL SELECT source || '.co.uk', source || '.github.io' FROM u
+        |           UNION ALL SELECT source || '.co.uk', source || '.github.io' FROM u),
+        |     g AS (SELECT s, t, CAST(count(*) AS BIGINT) AS w
+        |           FROM e GROUP BY 1, 2),
+        |     nodes AS (SELECT DISTINCT dom FROM
+        |                 (SELECT s AS dom FROM g UNION SELECT t FROM g)),
+        |     c1 AS (SELECT n.dom, 1 + COALESCE(SUM(g.w), 0) AS c
+        |            FROM nodes n LEFT JOIN g ON g.t = n.dom
+        |            GROUP BY n.dom),
+        |     c2 AS (SELECT n.dom, 1 + COALESCE(SUM(g.w * c1.c), 0) AS c
+        |            FROM nodes n
+        |            LEFT JOIN g ON g.t = n.dom
+        |            LEFT JOIN c1 ON c1.dom = g.s
+        |            GROUP BY n.dom),
+        |     f AS (
+        |       SELECT DISTINCT
+        |              'https://src' || (doc_id % 7) || '-news.com/a/b' AS url,
+        |              'src' || (doc_id % 7) || '-news.com' AS host,
+        |              'src' || (doc_id % 7) || '-news.com' AS dom,
+        |              CAST((doc_id % 7) % 3 + 1 AS DOUBLE) AS delay
+        |       FROM u WHERE (doc_id % 7) % 2 = 0
+        |       UNION
+        |       SELECT DISTINCT
+        |              'https://src' || (doc_id % 7) || '-news.com/s/' || (doc_id % 7),
+        |              'src' || (doc_id % 7) || '-news.com',
+        |              'src' || (doc_id % 7) || '-news.com',
+        |              CAST((doc_id % 7) % 3 + 1 AS DOUBLE)
+        |       FROM u
+        |       UNION
+        |       SELECT DISTINCT
+        |              'https://www.' || source || '.co.uk/about/contact.html',
+        |              'www.' || source || '.co.uk', source || '.co.uk',
+        |              CAST(1 AS DOUBLE)
+        |       FROM u
+        |       UNION
+        |       SELECT 'https://www.' || source || '.co.uk/p/' || doc_id ||
+        |              '/archive/page' || (doc_id % 5) || '.html',
+        |              'www.' || source || '.co.uk', source || '.co.uk',
+        |              CAST(1 AS DOUBLE)
+        |       FROM u
+        |       UNION
+        |       SELECT DISTINCT 'https://docs.' || source || '.github.io/guide',
+        |              'docs.' || source || '.github.io', source || '.github.io',
+        |              CAST(1 AS DOUBLE)
+        |       FROM u),
+        |     j AS (SELECT f.url, f.host, f.dom,
+        |                  COALESCE(c2.c, 0) AS cent, f.delay
+        |           FROM f LEFT JOIN c2 ON c2.dom = f.dom),
+        |     r AS (SELECT *, ROW_NUMBER() OVER
+        |                       (PARTITION BY host ORDER BY cent DESC, url) AS seq
+        |           FROM j)
+        |SELECT url AS url_canonical, host, dom AS domain,
+        |       CAST(cent AS BIGINT) AS centrality,
+        |       CAST(seq AS INTEGER) AS seq,
+        |       CAST((seq - 1) * delay AS DOUBLE) AS scheduled_at
+        |FROM r""".stripMargin,
     // Two unrolled integer Katz rounds over the same edge graph:
     // c0 = 1; c_{t+1}(d) = 1 + Σ_{(s,d)} w·c_t(s) — all BIGINT, so the
     // sums match bit-for-bit in any order on any engine.

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   *  - groups of one or more consecutive `User-agent` lines followed by
   *    their directives; `Allow`, `Disallow`, and `Crawl-delay` kept
   *    (the delay surfaces through [[crawlDelays]], never as a path
-  *    rule), other directives and `#` comments ignored; empty-value
+  *    rule), `Sitemap` kept as host-level rows (through [[sitemaps]]),
+  *    other directives and `#` comments ignored; empty-value
   *    rules ignored (an empty `Disallow:` means "no restriction", not
   *    "deny all");
   *  - agent selection per host: the target agent's own groups when any
@@ -51,8 +52,10 @@ object Robots {
     * joins on) and `contentCol` (the raw robots.txt text; NULL → no
     * rules). Output: one row per (host, group, agent, rule):
     *   host, grp (0-based group index), agent (lowercased token),
-    *   kind ('allow' | 'disallow'), rule (the raw value), rule_len
-    *   (specificity), pattern (the anchored match regex).
+    *   kind ('allow' | 'disallow' | 'crawl-delay' | 'none' — the
+    *   directive-less-group sentinel — | 'sitemap' — host-level, grp=-1),
+    *   rule (the raw value), rule_len (specificity), pattern (the
+    *   anchored match regex; null for sentinels and sitemap rows).
     *
     * Scale shape: split + posexplode (narrow), one per-host running-count
     * window to assign groups (robots files are KB-sized — a host's lines
@@ -64,7 +67,7 @@ object Robots {
       contentCol: String): DataFrame = {
     graft.core.Validators.requireColumns(df, Seq(hostCol, contentCol))
     import org.apache.spark.sql.expressions.Window
-    val lines = df
+    val kept = df
       .select(col(hostCol).as("host"), col(contentCol).as("__g_c"))
       .filter(col("__g_c").isNotNull)
       .select(col("host"),
@@ -75,7 +78,22 @@ object Robots {
         lower(trim(regexp_extract(col("__g_l"), "^([^:]+):", 1))))
       .withColumn("value",
         trim(regexp_extract(col("__g_l"), "^[^:]+:(.*)$", 1)))
-      .filter(col("field").isin("user-agent", "allow", "disallow", "crawl-delay"))
+      .filter(col("field").isin(
+        "user-agent", "allow", "disallow", "crawl-delay", "sitemap"))
+    // `Sitemap:` is HOST-level, not group-level (RFC 9309 §2.3 treats it
+    // as independent of any user-agent group): it surfaces as
+    // kind='sitemap' rows (grp=-1, agent='*') and never participates in
+    // grouping — a Sitemap line between two User-agent lines must not
+    // split their group. Consumers read these rows straight off the
+    // parse ([[sitemaps]]); both permission-side consumers filter by
+    // directive kind after agent selection, so they never see them.
+    val sitemapRows = kept
+      .filter(col("field") === "sitemap" && col("value") =!= "")
+      .select(col("host"), lit(-1).as("grp"), lit("*").as("agent"),
+        lit("sitemap").as("kind"), col("value").as("rule"),
+        length(col("value")).as("rule_len"),
+        lit(null).cast("string").as("pattern"))
+    val lines = kept.filter(col("field") =!= "sitemap")
     val w = Window.partitionBy("host").orderBy("line_no")
     // a user-agent line NOT preceded by another user-agent line starts a
     // new group; its directives run until the next such start
@@ -99,11 +117,30 @@ object Robots {
       .filter(col("field") =!= "user-agent" && col("value") =!= "")
       .select(col("host"), col("grp"), col("field").as("kind"),
         col("value").as("rule"))
-    agents.join(rules, Seq("host", "grp"))
-      .select(col("host"), col("grp"), col("agent"), col("kind"), col("rule"),
-        length(col("rule")).as("rule_len"),
-        buildRegex(col("rule")).as("pattern"))
+    // LEFT join, not inner: a group whose directives are all empty-value
+    // (the whitelist idiom `User-agent: foo` + bare `Disallow:`) must
+    // still EXIST in the rule table — RFC 9309 says a matching group with
+    // no rules means UNRESTRICTED. An inner join would vanish the group,
+    // agent selection would fall back to `*`, and the idiom would invert
+    // into a full deny. Directive-less groups keep one kind='none'
+    // sentinel row; both consumers filter by kind AFTER selection, so a
+    // sentinel selects its group but never matches a URL.
+    agents.join(rules, Seq("host", "grp"), "left")
+      .select(col("host"), col("grp"), col("agent"),
+        coalesce(col("kind"), lit("none")).as("kind"),
+        coalesce(col("rule"), lit("")).as("rule"),
+        coalesce(length(col("rule")), lit(0)).as("rule_len"),
+        when(col("rule").isNotNull, buildRegex(col("rule"))).as("pattern"))
+      .unionByName(sitemapRows)
   }
+
+  /** The per-host sitemap URLs declared in robots.txt — kind='sitemap'
+    * rows of a [[robotsParse]] table as (host, sitemap_url), the
+    * discovery half of the frontier mile ([[Sitemap.sitemapUrls]]
+    * extracts the page URLs once the sitemap bodies are fetched). */
+  def sitemaps(rules: DataFrame): DataFrame =
+    rules.filter(col("kind") === "sitemap")
+      .select(col("host"), col("rule").as("sitemap_url"))
 
   /** The ONE agent-selection rule ([[robotsAllowed]] and [[crawlDelays]]
     * must never diverge): per host, the agent's own groups when any

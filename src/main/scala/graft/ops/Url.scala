@@ -38,10 +38,14 @@ object Url {
 
   /** Authority/host/path extraction patterns — RE2-compatible, shared
     * verbatim with the oracle SQL:
-    *   host: after `scheme://`, skip optional `userinfo@`, take chars up to
-    *         the first of `:/?#` (so ports never leak into the host);
+    *   host: after `scheme://`, skip optional `userinfo@`, then EITHER a
+    *         bracketed IPv6 literal (brackets kept — the same host notion
+    *         as [[canonicalizeUrl]]; the plain rule would shear the
+    *         address at its first ':') OR chars up to the first of `:/?#`
+    *         (so ports never leak into the host);
     *   path: after the authority, chars up to the first of `?#`. */
-  val HostPattern = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)"
+  val HostPattern =
+    "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/?#:]*)"
   val PathPattern = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
 
   /** Lowercased host of `url` (empty string when `url` has no

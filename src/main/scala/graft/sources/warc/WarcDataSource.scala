@@ -36,7 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Schema (one row per record):
   * (warc_file, record_index, warc_type, record_id, target_uri, warc_date,
-  * content_type, content_length, payload).
+  * content_type, content_length, http_status, http_content_type,
+  * payload_digest, payload).
   */
 class WarcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-warc"
@@ -66,6 +67,11 @@ object WarcDataSource {
     // envelope stripped (and gzip content-coding inflated).
     StructField("http_status", IntegerType),
     StructField("http_content_type", StringType),
+    // WARC-Payload-Digest when present (any record kind) — the join key
+    // that resolves `revisit` records back to the capture they
+    // deduplicate (ISO 28500 §6.7). Parsed from the headers, so it is
+    // populated identically whether or not the payload column is read.
+    StructField("payload_digest", StringType),
     StructField("payload", StringType, nullable = false)))
 
   /** `load(p)` arrives as "path"; `load(p1, p2, …)` as a JSON-array
@@ -304,6 +310,7 @@ private[warc] class WarcPartitionReader(
       case "content_length" => r => r.contentLength
       case "http_status" => r => r.httpStatus
       case "http_content_type" => r => s(r.httpContentType)
+      case "payload_digest" => r => s(r.payloadDigest)
       case "payload" => r => s(r.payload)
     }
   }

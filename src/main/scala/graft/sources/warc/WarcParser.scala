@@ -28,7 +28,8 @@ final case class WarcRecord(
     contentLength: Long,
     payload: String,
     httpStatus: Integer = null,
-    httpContentType: String = null)
+    httpContentType: String = null,
+    payloadDigest: String = null)
 
 /** STREAMING WARC record iterator — the memory contract that makes crawl
   * ingest work: only ONE record is materialized at a time (bounded by the
@@ -41,9 +42,12 @@ final case class WarcRecord(
   *    blank line, then exactly Content-Length payload bytes; record
   *    separators (CRLF CRLF, or any CR/LF run) are skipped; bare-LF line
   *    endings are accepted;
-  *  - the payload decodes as UTF-8 with invalid sequences replaced (the
-  *    text-pipeline reading; binary payloads belong to
-  *    [[graft.ops.Multimodal]]'s binary columns);
+  *  - the payload decodes under its DECLARED charset ([[WarcRecordIterator
+  *    .decodeBody]]: the HTTP Content-Type `charset=` for http records,
+  *    the WARC-level Content-Type otherwise, an HTML `<meta>` sniff as
+  *    the middle fallback, UTF-8 last — always with invalid sequences
+  *    replaced; binary payloads belong to [[graft.ops.Multimodal]]'s
+  *    binary columns);
   *  - LENIENT tail: a truncated or malformed trailing record (no version
   *    line, no Content-Length, or fewer payload bytes than declared) ends
   *    the iteration with the records read so far — a 100 TB crawl ingest
@@ -128,21 +132,33 @@ final class WarcRecordIterator(
           if (!readFully(bytes)) { done = true; return } // payload truncated
           val isHttp = headers.get("content-type")
             .exists(_.toLowerCase.startsWith("application/http"))
+          // WARC-Payload-Digest surfaces on EVERY record kind — it is
+          // how `revisit` records (Common Crawl's refetch dedup, ISO
+          // 28500 §6.7) point back at the capture they duplicate; a
+          // reader that drops it cannot tell "empty page" from
+          // "duplicate of an earlier capture"
+          val digest = g("warc-payload-digest")
           pending =
             if (isHttp) {
               val (status, httpCt, body) = WarcRecordIterator.stripHttpEnvelope(bytes)
               WarcRecord(
                 g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
-                g("warc-date"), g("content-type"), len, body, status, httpCt)
+                g("warc-date"), g("content-type"), len, body, status, httpCt,
+                digest)
             } else
               WarcRecord(
                 g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
-                g("warc-date"), g("content-type"), len, new String(bytes, UTF_8))
+                g("warc-date"), g("content-type"), len,
+                // non-http (conversion/WET, metadata): the WARC-level
+                // Content-Type is where a declared charset lives
+                WarcRecordIterator.decodeBody(bytes, g("content-type")),
+                payloadDigest = digest)
         } else {
           if (!skipFully(len)) { done = true; return }
           pending = WarcRecord(
             g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
-            g("warc-date"), g("content-type"), len, null)
+            g("warc-date"), g("content-type"), len, null,
+            payloadDigest = g("warc-payload-digest"))
         }
       case Some(len) if len > maxPayloadBytes =>
         // oversized single record: consume and move on (skip, don't abort).
@@ -172,6 +188,62 @@ object WarcRecordIterator {
   /** Largest single-record payload materialized (a String needs an Int
     * array); records beyond this are skipped, not fatal. */
   val MaxPayloadBytes: Long = Int.MaxValue - 16L
+
+  /** Largest INFLATED http body materialized from a gzip content-coding
+    * (256 MB — far past any real page, far short of heap trouble): a
+    * decompression bomb must fall back to the raw captured bytes, not
+    * inflate ~2 GB per task thread. Checked BEFORE each chunk is
+    * buffered, so the bomb never allocates past the cap. */
+  val MaxInflatedBodyBytes: Long = 1L << 28
+
+  /** `charset=` token of a Content-Type value (HTTP or WARC level),
+    * resolved to a JVM charset; None when absent/unknown/illegal —
+    * decoding then falls through to the next source in
+    * [[decodeBody]]'s chain. Quotes around the token are stripped
+    * (`charset="ISO-8859-1"` is common in the wild). */
+  private[warc] def charsetFrom(contentType: String): Option[java.nio.charset.Charset] = {
+    if (contentType == null) return None
+    val m = CharsetParam.matcher(contentType)
+    if (!m.find()) None
+    else
+      try Some(java.nio.charset.Charset.forName(m.group(1)))
+      catch { case _: IllegalArgumentException => None }
+  }
+  private val CharsetParam = java.util.regex.Pattern.compile(
+    "(?i)charset\\s*=\\s*\"?\\s*([A-Za-z0-9][A-Za-z0-9._:-]*)")
+
+  /** HTML `<meta charset=…>` / `http-equiv Content-Type` sniff over the
+    * first [[MetaSniffBytes]] of a body — where the charset lives when
+    * the HTTP header only says `text/html`. The prefix is scanned as
+    * ISO-8859-1 (byte-transparent for the ASCII the markup itself is
+    * in), and the same `charset=` token rule applies to both meta
+    * forms. */
+  private[warc] def sniffMetaCharset(body: Array[Byte]): Option[java.nio.charset.Charset] = {
+    val n = math.min(body.length, MetaSniffBytes)
+    val head = new String(body, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val m = MetaCharset.matcher(head)
+    if (!m.find()) None
+    else
+      try Some(java.nio.charset.Charset.forName(m.group(1)))
+      catch { case _: IllegalArgumentException => None }
+  }
+  private val MetaSniffBytes = 1024
+  private val MetaCharset = java.util.regex.Pattern.compile(
+    "(?i)<meta[^>]*charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9][A-Za-z0-9._:-]*)")
+
+  /** Decode a record body honoring the DECLARED charset — the real-crawl
+    * rule (a large fraction of the web is not UTF-8; decoding everything
+    * as UTF-8 mojibakes quality filters, dedup shingles, and tokenizer
+    * input silently): the Content-Type `charset=` parameter wins, else
+    * an HTML `<meta>` sniff in the first KB, else UTF-8. Malformed
+    * sequences are REPLACED, never thrown (the String constructor's
+    * contract) — one mislabeled page must not abort a crawl task. */
+  private[warc] def decodeBody(bytes: Array[Byte], contentType: String): String = {
+    val cs = charsetFrom(contentType)
+      .orElse(sniffMetaCharset(bytes))
+      .getOrElse(UTF_8)
+    new String(bytes, cs)
+  }
 
   /** Split an `application/http` record payload into
     * (status, http content-type, body text).
@@ -203,7 +275,7 @@ object WarcRecordIterator {
       }
       i += 1
     }
-    if (bodyStart < 0) return (null, null, new String(bytes, UTF_8))
+    if (bodyStart < 0) return (null, null, decodeBody(bytes, null))
     val envLines = new String(bytes, 0, bodyStart, UTF_8).split("\r?\n")
     val status: Integer =
       if (envLines.nonEmpty && envLines(0).startsWith("HTTP/")) {
@@ -233,12 +305,17 @@ object WarcRecordIterator {
         val chunk = new Array[Byte](1 << 13)
         var n = gz.read(chunk)
         var total = 0L
-        while (n != -1 && total <= MaxPayloadBytes) {
-          out.write(chunk, 0, n); total += n; n = gz.read(chunk)
+        var over = false
+        // cap BEFORE buffering each chunk: a decompression bomb must
+        // never allocate past MaxInflatedBodyBytes — it falls back to
+        // the raw captured bytes like any other undecodable coding
+        while (n != -1 && !over) {
+          if (total + n > MaxInflatedBodyBytes) over = true
+          else { out.write(chunk, 0, n); total += n; n = gz.read(chunk) }
         }
-        if (total <= MaxPayloadBytes) body = out.toByteArray
-      } catch { case _: java.io.IOException => () } // keep raw bytes
+        if (!over) body = out.toByteArray
+      } catch { case scala.util.control.NonFatal(_) => () } // keep raw bytes
     }
-    (status, httpCt, new String(body, UTF_8))
+    (status, httpCt, decodeBody(body, httpCt))
   }
 }

@@ -210,6 +210,95 @@ class CoreExtrasSpec extends SparkSpec {
     spark.read.format("graft-warc").load(root.toString).count() shouldBe 6
   }
 
+  test("WARC payloads decode under their DECLARED charset (header, meta sniff, fallbacks)") {
+    def rec(id: Int, warcCt: String, warcType: String, payload: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Record-ID: <urn:c:$id>\r\n" +
+        s"Content-Type: $warcCt\r\nContent-Length: ${payload.length}\r\n\r\n")
+        .getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+    def http(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$headers\r\n").getBytes("UTF-8") ++ body
+    val httpCt = "application/http; msgtype=response"
+    val latin = "<p>café münü</p>"
+    val cjk = "<p>中文</p>"
+    val bytes =
+      // 1: charset in the HTTP header — ISO-8859-1 bytes decode back
+      rec(1, httpCt, "response", http(
+        "Content-Type: text/html; charset=ISO-8859-1\r\n",
+        latin.getBytes("ISO-8859-1"))) ++
+      // 2: header says bare text/html; the <meta> tag declares GBK
+      rec(2, httpCt, "response", http(
+        "Content-Type: text/html\r\n",
+        (s"""<meta charset="GBK">$cjk""").getBytes("GBK"))) ++
+      // 3: UNKNOWN charset label → UTF-8 replacement fallback, no abort
+      rec(3, httpCt, "response", http(
+        "Content-Type: text/html; charset=no-such-charset\r\n",
+        latin.getBytes("UTF-8"))) ++
+      // 4: non-http conversion record — WARC-level Content-Type charset
+      rec(4, "text/plain; charset=ISO-8859-1", "conversion",
+        "café".getBytes("ISO-8859-1")) ++
+      // 5: quoted charset token + http-equiv meta form both parse
+      rec(5, httpCt, "response", http(
+        "Content-Type: text/html; charset=\"ISO-8859-1\"\r\n",
+        latin.getBytes("ISO-8859-1")))
+    val d = java.nio.file.Files.createTempDirectory("graft_warc_cs")
+    java.nio.file.Files.write(d.resolve("c.warc"), bytes)
+    val rows = Loader.load(spark, d.resolve("c.warc").toString)
+      .orderBy("record_index").collect()
+    rows(0).getAs[String]("payload") shouldBe latin
+    rows(1).getAs[String]("payload") shouldBe s"""<meta charset="GBK">$cjk"""
+    rows(2).getAs[String]("payload") shouldBe latin // UTF-8 bytes read fine
+    rows(3).getAs[String]("payload") shouldBe "café"
+    rows(4).getAs[String]("payload") shouldBe latin
+    // a gzip DECOMPRESSION BOMB falls back to the raw captured bytes
+    // (never inflates past the cap, never aborts the task)
+    val bomb = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      val zeros = new Array[Byte](1 << 20)
+      (0 to (graft.sources.warc.WarcRecordIterator.MaxInflatedBodyBytes >> 20).toInt)
+        .foreach(_ => g.write(zeros))
+      g.close(); bo.toByteArray
+    }
+    val bombBytes = rec(9, httpCt, "response",
+      http("Content-Encoding: gzip\r\n", bomb))
+    val it = new graft.sources.warc.WarcRecordIterator(
+      new java.io.ByteArrayInputStream(bombBytes))
+    val r = it.next()
+    // raw (still-compressed) bytes survive — tiny relative to the bomb
+    r.payload.length should be < (1 << 24)
+    it.hasNext shouldBe false
+  }
+
+  test("WARC revisit records surface payload_digest; pruning never changes rows") {
+    def rec(warcType: String, id: String, digest: Option[String],
+        payload: String): Array[Byte] = {
+      val p = payload.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Record-ID: $id\r\n" +
+        digest.map(x => s"WARC-Payload-Digest: $x\r\n").getOrElse("") +
+        s"Content-Length: ${p.length}\r\n\r\n").getBytes("UTF-8") ++
+        p ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val bytes =
+      rec("response", "<urn:r:1>", Some("sha1:AAA"), "original page") ++
+        rec("revisit", "<urn:r:2>", Some("sha1:AAA"), "") ++
+        rec("response", "<urn:r:3>", None, "no digest")
+    val d = java.nio.file.Files.createTempDirectory("graft_warc_rv")
+    java.nio.file.Files.write(d.resolve("r.warc"), bytes)
+    val df = Loader.load(spark, d.resolve("r.warc").toString)
+    val rows = df.orderBy("record_index").collect()
+    rows.map(r => (r.getAs[String]("warc_type"), r.getAs[String]("payload_digest")))
+      .toSeq shouldBe Seq(
+      ("response", "sha1:AAA"), ("revisit", "sha1:AAA"), ("response", null))
+    rows(1).getAs[String]("payload") shouldBe "" // revisit body is empty, not null
+    // digest lives in the HEADERS: a payload-pruned read surfaces the
+    // same digests and the same row count
+    val pruned = df.select("record_id", "payload_digest")
+      .orderBy("record_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    pruned shouldBe Seq(
+      ("<urn:r:1>", "sha1:AAA"), ("<urn:r:2>", "sha1:AAA"), ("<urn:r:3>", null))
+  }
+
   test("graft-warc streams newly landed archives exactly once across restarts") {
     def rec(id: Int, payload: String): Array[Byte] = {
       val p = payload.getBytes("UTF-8")

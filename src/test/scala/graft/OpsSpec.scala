@@ -2367,6 +2367,11 @@ class OpsSpec extends SparkSpec {
       (3L, "https://login:pw@files.cdn.org:8080/dl"), // userinfo + port
       (4L, "ftp://HOST.Example.NET"), // bare host, case folding
       (5L, "not a url at all"),
+      // bracketed IPv6 authorities: the SAME host notion as
+      // canonicalizeUrl (brackets kept, port split after the bracket) —
+      // the plain split-at-colon rule would shear every IPv6 URL to "["
+      (6L, "http://[2001:db8::5]/x"),
+      (7L, "https://[2001:DB8::5]:8443/a/b"),
     ).toDF("id", "url")
     val out = Url.urlFeatures(df, "url").collect()
       .map(r => r.getLong(0) ->
@@ -2377,6 +2382,8 @@ class OpsSpec extends SparkSpec {
     out(3L) shouldBe (("files.cdn.org", "cdn.org", "/dl", 1))
     out(4L) shouldBe (("host.example.net", "example.net", "", 0))
     out(5L) shouldBe (("", "", "", 0)) // no scheme → no features
+    out(6L) shouldBe (("[2001:db8::5]", "[2001:db8::5]", "/x", 1))
+    out(7L) shouldBe (("[2001:db8::5]", "[2001:db8::5]", "/a/b", 2))
   }
 
   test("Url.domainFilter drops blocklisted registered domains, keeps hostless") {
@@ -3256,7 +3263,8 @@ class OpsSpec extends SparkSpec {
       Seq("*", "crawler-x")
     rules.filter($"host" === "a.com" && $"grp" === 0)
       .count() shouldBe 10 // (4 path rules + 1 crawl-delay) × 2 agents
-    rules.filter($"host" === "a.com" && $"agent" === "graftbot")
+    rules.filter($"host" === "a.com" && $"agent" === "graftbot" &&
+        $"kind" === "disallow")
       .select("rule").head().getString(0) shouldBe "/graft-only/"
     rules.filter($"host" === "empty.com").count() shouldBe 0
     val urls = Seq(
@@ -3309,6 +3317,67 @@ class OpsSpec extends SparkSpec {
       Seq((1L, "https://f.com/p#x?q=1")).toDF("id", "url"), "url",
       Robots.robotsParse(fr, "host", "content"), "x")
       .head().getBoolean(2) shouldBe true
+  }
+
+  test("Robots: directive-less group still selects (RFC 9309 whitelist idiom), Sitemap lines") {
+    import graft.ops.{Robots, Sitemap}
+    // the common whitelist shape: foo's group has ONLY an empty Disallow
+    // (= no rules = unrestricted), everyone else is denied everything.
+    // The empty-value filter must NOT vanish foo's group, or agent
+    // selection falls back to `*` and inverts the policy.
+    val robots = Seq(
+      ("w.com",
+        """User-agent: foo
+          |Disallow:
+          |
+          |User-agent: *
+          |Disallow: /
+          |Crawl-delay: 9
+          |""".stripMargin),
+      // Sitemap is HOST-level: kept wherever it appears (even before any
+      // group, or between a group's User-agent lines without splitting
+      // them), and never agent-scoped
+      ("s.com",
+        """Sitemap: https://s.com/a.xml
+          |User-agent: x
+          |Sitemap: https://s.com/b.xml
+          |User-agent: y
+          |Disallow: /p/
+          |""".stripMargin),
+    ).toDF("host", "content")
+    val rules = Robots.robotsParse(robots, "host", "content")
+    def one(u: String, agent: String): Boolean =
+      Robots.robotsAllowed(Seq((1L, u)).toDF("id", "url"), "url", rules, agent)
+        .head().getBoolean(2)
+    one("https://w.com/anything", "foo") shouldBe true // own empty group wins
+    one("https://w.com/anything", "bar") shouldBe false // * denies the rest
+    // the sentinel never leaks a delay (foo's group has none — and "no
+    // rules" must not fall through to *'s 9 s)
+    Robots.crawlDelays(rules, "foo").count() shouldBe 0L
+    Robots.crawlDelays(rules, "bar").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe Map("w.com" -> 9.0)
+    // sitemap rows surface host-keyed regardless of position...
+    Robots.sitemaps(rules).collect().map(_.getString(1)).sorted.toSeq shouldBe
+      Seq("https://s.com/a.xml", "https://s.com/b.xml")
+    // ...and the Sitemap line between the two User-agent lines did NOT
+    // split their group: x and y share group 0 and its /p/ rule
+    rules.filter($"host" === "s.com" && $"kind" === "disallow")
+      .select("agent").collect().map(_.getString(0)).sorted.toSeq shouldBe
+      Seq("x", "y")
+    // <loc> extraction: entity unescape, whitespace trim, sitemapindex
+    // locs extract the same way, loc-less rows vanish
+    val xml = Seq(
+      (1L, "<urlset><url><loc>https://a.com/p?x=1&amp;y=2</loc></url>" +
+        "<url><loc>\n  https://a.com/q \n</loc></url></urlset>"),
+      (2L, "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc></sitemap>" +
+        "</sitemapindex>"),
+      (3L, "<urlset></urlset>"),
+    ).toDF("id", "xml")
+    Sitemap.sitemapUrls(xml, "xml").select("id", "sitemap_url").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._2).toSeq shouldBe Seq(
+      (1L, "https://a.com/p?x=1&y=2"),
+      (1L, "https://a.com/q"),
+      (2L, "https://a.com/s1.xml"))
   }
 
   test("canonicalizeUrl: case, userinfo, default ports, query sort, fragments, passthrough") {

@@ -79,8 +79,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_url_canonical" -> 0, // pure narrow projection
     // extract (narrow) + canonical distinct pair + the robots chain +
     // the bloom-prefiltered seen-key anti join — frontier-sized inputs
-    // everywhere past the one distinct over extracted links
-    "warc_crawl_frontier" -> 12,
+    // everywhere past the one distinct over extracted links. +4 in r9:
+    // the sitemap-discovered branch re-evaluates the robots parse for
+    // its Sitemap rows and joins the fetched bodies — every one of those
+    // shuffles moves the HOSTS-sized rule/sitemap tables, never corpus
+    "warc_crawl_frontier" -> 16,
     // the final frame is the last round's localCheckpoint (each round
     // internally = one edges⋈scores join + one dst agg over DOMAIN-sized
     // tables, truncated per round exactly like duplicateClusters)
