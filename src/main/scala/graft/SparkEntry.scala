@@ -402,6 +402,18 @@ object SparkEntry {
       Bpe.BpeModel.load(d)
     })
 
+  private val bpePretokModels =
+    scala.collection.concurrent.TrieMap.empty[String, Bpe.BpeModel]
+  private def bpePretokFitted(s: SparkSession, dir: String): Bpe.BpeModel =
+    bpePretokModels.getOrElseUpdate(dir, {
+      val m = Bpe.bpeFit(
+        rt(s, dir, "documents").filter(col("lang") === "en"), "text",
+        numMerges = 24, pretok = Some(Bpe.Gpt2PretokPattern))
+      val d = java.nio.file.Files.createTempDirectory("graft_bpe_pretok").toString
+      m.save(d)
+      Bpe.BpeModel.load(d)
+    })
+
   /** events.parquet's ts encoding is generation-dependent: older drops
     * store TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects — with spark.sql.legacy.parquet.nanosAsLong=
@@ -474,32 +486,37 @@ object SparkEntry {
         concat(lit("https://login:pw@"), col("source"), lit("-cdn.org:8080/dl/v2")))
       .otherwise(concat(lit("ftp://files."), col("source"), lit(".net")))
 
-  /** The synthetic HOST of the text_url_psl query — seven shapes keyed on
-    * doc_id % 7 exercising every PSL rule kind: plain gTLD, two-label
+  /** The synthetic HOST of the text_url_psl query — eight shapes keyed on
+    * doc_id % 8 exercising every PSL rule kind: plain gTLD, two-label
     * exact (co.uk), three-label wildcard (*.kawasaki.jp — the public
     * suffix eats a host label), a wildcard's city EXCEPTION, a
-    * wildcard-only TLD (*.ck), the !www.ck exception itself, and a
+    * wildcard-only TLD (*.ck), the !www.ck exception itself, a
     * PRIVATE-section operator suffix (github.io: each user site is its
-    * own registered domain under the with-private rule set). */
+    * own registered domain under the with-private rule set), and a
+    * PUNYCODE host against a rule upstream writes in Unicode
+    * (公司.cn → xn--55qx5d.cn — distinguishable from the plain `cn`
+    * fallback because the suffix is two labels deep). */
   private def synthPslHost: org.apache.spark.sql.Column =
-    when(col("doc_id") % 7 === 0, concat(lit("www."), col("source"), lit("-news.com")))
-      .when(col("doc_id") % 7 === 1, concat(lit("blog."), col("source"), lit(".co.uk")))
-      .when(col("doc_id") % 7 === 2, concat(lit("a.b."), col("source"), lit(".kawasaki.jp")))
-      .when(col("doc_id") % 7 === 3, lit("www.city.kawasaki.jp"))
-      .when(col("doc_id") % 7 === 4, concat(lit("x."), col("source"), lit(".ck")))
-      .when(col("doc_id") % 7 === 5, lit("www.ck"))
-      .otherwise(concat(lit("docs."), col("source"), lit(".github.io")))
+    when(col("doc_id") % 8 === 0, concat(lit("www."), col("source"), lit("-news.com")))
+      .when(col("doc_id") % 8 === 1, concat(lit("blog."), col("source"), lit(".co.uk")))
+      .when(col("doc_id") % 8 === 2, concat(lit("a.b."), col("source"), lit(".kawasaki.jp")))
+      .when(col("doc_id") % 8 === 3, lit("www.city.kawasaki.jp"))
+      .when(col("doc_id") % 8 === 4, concat(lit("x."), col("source"), lit(".ck")))
+      .when(col("doc_id") % 8 === 5, lit("www.ck"))
+      .when(col("doc_id") % 8 === 6, concat(lit("docs."), col("source"), lit(".github.io")))
+      .otherwise(concat(lit("biz."), col("source"), lit(".xn--55qx5d.cn")))
 
   /** SQL twin of [[synthPslHost]]. */
   private val synthPslHostSql =
-    """CASE doc_id % 7
+    """CASE doc_id % 8
       |  WHEN 0 THEN 'www.' || source || '-news.com'
       |  WHEN 1 THEN 'blog.' || source || '.co.uk'
       |  WHEN 2 THEN 'a.b.' || source || '.kawasaki.jp'
       |  WHEN 3 THEN 'www.city.kawasaki.jp'
       |  WHEN 4 THEN 'x.' || source || '.ck'
       |  WHEN 5 THEN 'www.ck'
-      |  ELSE 'docs.' || source || '.github.io' END""".stripMargin
+      |  WHEN 6 THEN 'docs.' || source || '.github.io'
+      |  ELSE 'biz.' || source || '.xn--55qx5d.cn' END""".stripMargin
 
   /** The synthetic MESSY URLs of text_url_canonical — six shapes keyed on
     * doc_id % 6 exercising every canonicalization rule: case folding +
@@ -700,6 +717,43 @@ object SparkEntry {
       |            list_filter(string_split(trim(e, chr(31)), chr(31)||chr(31)),
       |                        x -> x <> '') AS toks
       |          FROM fin)""".stripMargin
+
+  /** [[bpeReplayCte]] under the GPT-2 regex pre-tokenizer: e0 encodes
+    * each regexp_extract_all pre-token independently and concatenates
+    * them (the four-separator boundary no merge can span); the replace
+    * chain is identical, reading the text_bpe_pretok_merges dump. The
+    * pattern is the RE2/Java-portable [[graft.ops.Bpe.Gpt2PretokPattern]],
+    * single-quote-escaped for SQL. */
+  private val bpePretokReplayCte = {
+    val pat = graft.ops.Bpe.Gpt2PretokPattern.replace("'", "''")
+    s"""m AS (SELECT CAST(rank AS INTEGER) AS r, a, b
+       |      FROM read_parquet('{GRAFT_OUT}/text_bpe_pretok_merges/*.parquet')),
+       |nm AS (SELECT count(*) AS n FROM m),
+       |e0 AS (SELECT doc_id,
+       |         array_to_string(
+       |           [CASE WHEN len(t) = 0 THEN ''
+       |                 ELSE chr(31)||chr(31)||
+       |                      array_to_string([substr(t, i, 1)
+       |                                       FOR i IN range(1, len(t)+1)],
+       |                                      chr(31)||chr(31)) ||
+       |                      chr(31)||chr(31) END
+       |            FOR t IN regexp_extract_all(replace(text, chr(31), ''), '$pat')],
+       |           '') AS e
+       |       FROM documents),
+       |st AS (
+       |  SELECT doc_id, e, 0 AS r FROM e0
+       |  UNION ALL
+       |  SELECT s.doc_id,
+       |         replace(s.e, chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31),
+       |                      chr(31)||m.a||m.b||chr(31)),
+       |         s.r + 1
+       |  FROM st s JOIN m ON m.r = s.r),
+       |fin AS (SELECT doc_id, e FROM st WHERE r = (SELECT n FROM nm)),
+       |btoks AS (SELECT doc_id,
+       |            list_filter(string_split(trim(e, chr(31)), chr(31)||chr(31)),
+       |                        x -> x <> '') AS toks
+       |          FROM fin)""".stripMargin
+  }
 
   /** Shared CTE suffix of the IVF-PQ PRODUCT oracles, composed ON TOP of
     * [[ivfPqCodesCte]] (which supplies `sc` = id/cell/res and `cent`):
@@ -1959,8 +2013,9 @@ object SparkEntry {
           rows(r.exceptions, "exception"))
     }),
     // Registered-domain extraction under FULL public-suffix-list semantics
-    // (wildcards, exceptions, default rule, PRIVATE section) over seven
-    // host shapes covering every rule kind. The oracle replays the
+    // (wildcards, exceptions, default rule, PRIVATE section, punycode-
+    // normalized IDN rules) over eight host shapes covering every rule
+    // kind. The oracle replays the
     // longest-match/exception algorithm as SQL joins against the
     // text_psl_rules dump (rule-set agnostic: its suffix-level range
     // derives from the dump's max label count).
@@ -2119,6 +2174,23 @@ object SparkEntry {
         Bpe.vocabOf(bpeFitted(s, dir),
           Bpe.alphabetOf(rt(s, dir, "documents"), "text")))
         .select(col("doc_id"), posexplode(col("bpe_ids")).as(Seq("pos", "id")))),
+    // Regex-PRE-TOKENIZED BPE (GPT-2 convention): merges fit and apply
+    // within pre-tokens (contractions / space-prefixed letter / digit /
+    // punctuation runs / whitespace runs), so " the" can become one
+    // space-glued token and digits never fuse across punctuation. The
+    // merge dump is the aux table; the tokenize oracle replays the
+    // RE2-compatible pre-split AND the replace chain from scratch.
+    "text_bpe_pretok_merges" -> ((s, dir) => {
+      import s.implicits._
+      bpePretokFitted(s, dir).merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("rank", "a", "b")
+    }),
+    "text_bpe_pretok" -> ((s, dir) =>
+      Bpe.tokenizeBpe(
+        rt(s, dir, "documents").select("doc_id", "text"), "text",
+        bpePretokFitted(s, dir), pretok = Some(Bpe.Gpt2PretokPattern))
+        .select(col("doc_id"), size(col("bpe_tokens")).as("n_bpe"),
+          array_join(col("bpe_tokens"), Bpe.Sep).as("bpe_joined"))),
     // Tokenizer-fit report: chars-per-BPE-token by language under the
     // English-fitted merge table — the fertility check run before
     // committing a tokenizer to a pretraining mix (the en slice should
@@ -4440,6 +4512,15 @@ object SparkEntry {
          |FROM feats GROUP BY url_domain""".stripMargin,
     "text_bpe" ->
       s"""WITH RECURSIVE $bpeReplayCte
+         |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_bpe,
+         |       array_to_string(toks, chr(31)) AS bpe_joined
+         |FROM btoks""".stripMargin,
+    // Pre-tokenized replay: the SAME recursive replace chain over the
+    // pretok merge dump, with e0 rebuilt through the regex pre-split —
+    // extraction, boundary encoding, and every learned space-glued merge
+    // must all agree for the joined token strings to hash-match.
+    "text_bpe_pretok" ->
+      s"""WITH RECURSIVE $bpePretokReplayCte
          |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_bpe,
          |       array_to_string(toks, chr(31)) AS bpe_joined
          |FROM btoks""".stripMargin,

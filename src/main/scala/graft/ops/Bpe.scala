@@ -45,6 +45,19 @@ object Bpe {
     * reasonable plan; install GraftExtensions for the native kernel. */
   val MaxFallbackMerges = 512
 
+  /** GPT-2-style regex pre-tokenizer (contractions, space-prefixed letter
+    * runs, space-prefixed digit runs, space-prefixed punctuation runs,
+    * whitespace runs) — the trainer-convention alternative to the default
+    * word-internal mode: merges stay INSIDE pre-tokens, so " the" can
+    * become one token (space-glued) while "3.14" can never fuse across
+    * the digit/punctuation boundary. RE2-COMPATIBLE by construction (the
+    * upstream GPT-2 pattern's `\s+(?!\S)` lookahead branch is dropped —
+    * a whitespace run stays one pre-token instead of donating its last
+    * space to the next word), so the DuckDB oracle replays the split
+    * byte-for-byte. Case-sensitive contractions, the GPT-2 convention. */
+  val Gpt2PretokPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
   /** A fitted BPE merge table, in rank order. Persists as a single
     * `bpe.json` (merge tables are dictionary-sized — no parquet needed). */
   final case class BpeModel(merges: Seq[(String, String)]) {
@@ -102,6 +115,26 @@ object Bpe {
       .otherwise(concat(lit(Sep2), array_join(chars, Sep2), lit(Sep2)))
   }
 
+  /** [[encode0]] under a regex pre-tokenizer: each pre-token encodes
+    * independently and the per-pre-token encodings CONCATENATE — the
+    * boundary between two pre-tokens is therefore FOUR separators
+    * (`…b␟␟␟␟c…`), which no merge pattern (`␟a␟␟b␟`, tokens never
+    * containing U+001F) can ever span: boundaries are structurally
+    * un-mergeable, no filtering needed. [[decodeTokens]] reads the
+    * result unchanged (the boundary splits as an empty element and is
+    * filtered). Shared by the fallback tokenizer and [[bpeFit]]'s
+    * pretok mode so they can never disagree. */
+  private[ops] def encode0Pretok(text: Column, pattern: String): Column = {
+    val cleaned = regexp_replace(coalesce(text, lit("")), Sep, "")
+    val pts = regexp_extract_all(cleaned, lit(pattern), lit(0))
+    array_join(
+      transform(pts, t =>
+        concat(lit(Sep2),
+          array_join(filter(split(t, ""), c => c =!= ""), Sep2),
+          lit(Sep2))),
+      "")
+  }
+
   /** Inverse of the encoding: token array of an encoded string. */
   private[ops] def decodeTokens(enc: Column): Column =
     filter(split(trim(enc, Sep), Sep2), t => t =!= "")
@@ -114,12 +147,34 @@ object Bpe {
     call_function("replace", enc, lit(Sep + a + Sep2 + b + Sep), lit(Sep + a + b + Sep))
 
   /** BPE token array of `text` under `model` — native kernel when available,
-    * else the REPLACE-chain fallback (≤ [[MaxFallbackMerges]] merges). */
-  def bpeTokens(spark: SparkSession, text: Column, model: BpeModel): Column =
-    if (spark.catalog.functionExists(graft.functions.TilePairs.BpeName))
-      call_function(graft.functions.TilePairs.BpeName, text,
-        typedLit(model.flat))
-    else bpeTokensFallback(text, model)
+    * else the REPLACE-chain fallback (≤ [[MaxFallbackMerges]] merges).
+    * `pretok = Some(pattern)` switches to regex-pre-tokenized mode
+    * ([[Gpt2PretokPattern]] is the standard choice): pre-tokens tokenize
+    * INDEPENDENTLY and their token lists concatenate — on the kernel path
+    * one kernel call per pre-token inside a `transform` + `flatten` (still
+    * one narrow projection), on the fallback path the REPLACE chain over
+    * [[encode0Pretok]]'s boundary encoding. A model must be APPLIED in the
+    * same mode it was fit in ([[bpeFit]]'s `pretok`). */
+  def bpeTokens(
+      spark: SparkSession,
+      text: Column,
+      model: BpeModel,
+      pretok: Option[String] = None): Column = pretok match {
+    case None =>
+      if (spark.catalog.functionExists(graft.functions.TilePairs.BpeName))
+        call_function(graft.functions.TilePairs.BpeName, text,
+          typedLit(model.flat))
+      else bpeTokensFallback(text, model)
+    case Some(pattern) =>
+      val cleaned = regexp_replace(coalesce(text, lit("")), Sep, "")
+      val pts = regexp_extract_all(cleaned, lit(pattern), lit(0))
+      if (spark.catalog.functionExists(graft.functions.TilePairs.BpeName))
+        flatten(transform(pts, t =>
+          call_function(graft.functions.TilePairs.BpeName, t,
+            typedLit(model.flat))))
+      else
+        flatten(transform(pts, t => bpeTokensFallback(t, model)))
+  }
 
   /** The pure-Column tokenizer: one codegen'd REPLACE per merge over the
     * separator encoding. Bit-identical to the kernel (OpsSpec pins it). */
@@ -136,15 +191,16 @@ object Bpe {
   }
 
   /** Appends `outCol` = the BPE token array of `textCol`. Narrow
-    * projection, no shuffle. */
+    * projection, no shuffle. `pretok` as in [[bpeTokens]]. */
   def tokenizeBpe(
       df: DataFrame,
       textCol: String,
       model: BpeModel,
-      outCol: String = "bpe_tokens"): DataFrame = {
+      outCol: String = "bpe_tokens",
+      pretok: Option[String] = None): DataFrame = {
     graft.core.Validators.requireColumns(df, Seq(textCol))
     graft.core.Validators.requireColumnsAbsent(df, Seq(outCol), "tokenizeBpe")
-    df.withColumn(outCol, bpeTokens(df.sparkSession, col(textCol), model))
+    df.withColumn(outCol, bpeTokens(df.sparkSession, col(textCol), model, pretok))
   }
 
   /** Appends `outCol` = the BPE token COUNT of `textCol` — the drop-in
@@ -245,7 +301,8 @@ object Bpe {
       textCol: String,
       model: BpeModel,
       vocab: Seq[(String, Int)],
-      outCol: String = "bpe_ids"): DataFrame = {
+      outCol: String = "bpe_ids",
+      pretok: Option[String] = None): DataFrame = {
     graft.core.Validators.requireColumns(df, Seq(textCol))
     graft.core.Validators.requireColumnsAbsent(df, Seq(outCol), "encodeIdsBytes")
     require(vocab.nonEmpty, "encodeIdsBytes: vocab must be non-empty")
@@ -257,10 +314,11 @@ object Bpe {
         regexp_extract_all(hex(encode(t, "UTF-8")), lit("[0-9A-F]{2}"), lit(0)),
         p => conv(p, 16, 10).cast("int"))
     df.withColumn(outCol,
-      flatten(transform(bpeTokens(df.sparkSession, col(textCol), model), t =>
-        when(element_at(m, t).isNotNull,
-          array(element_at(m, t) + lit(256)))
-          .otherwise(byteIds(t)))))
+      flatten(transform(bpeTokens(df.sparkSession, col(textCol), model, pretok),
+        t =>
+          when(element_at(m, t).isNotNull,
+            array(element_at(m, t) + lit(256)))
+            .otherwise(byteIds(t)))))
   }
 
   /** Driver-side inverse of [[encodeIdsBytes]] (verification / export
@@ -328,6 +386,11 @@ object Bpe {
     * (localCheckpoint, so the plan stays one REPLACE deep). Stops early
     * when the best pair's count drops below `minCount`.
     *
+    * `pretok = Some(pattern)` fits in regex-pre-tokenized mode
+    * ([[Gpt2PretokPattern]]): pairs count within pre-tokens only, and
+    * space-prefixed merges (" the") are learned — apply the model with
+    * the SAME `pretok` in [[bpeTokens]].
+    *
     * Cost: `numMerges` small jobs over ≤ `sampleCap` encoded documents —
     * the corpus itself is scanned once. */
   def bpeFit(
@@ -335,13 +398,17 @@ object Bpe {
       textCol: String,
       numMerges: Int,
       minCount: Long = 2L,
-      sampleCap: Int = 100000): BpeModel = {
+      sampleCap: Int = 100000,
+      pretok: Option[String] = None): BpeModel = {
     require(numMerges >= 1, "numMerges must be >= 1")
     require(minCount >= 1, "minCount must be >= 1")
     require(sampleCap >= 1, "sampleCap must be >= 1")
     graft.core.Validators.requireColumns(corpus, Seq(textCol))
+    val enc0 = pretok
+      .map(p => encode0Pretok(col(textCol), p))
+      .getOrElse(encode0(col(textCol)))
     var enc = corpus
-      .select(encode0(col(textCol)).as("e"))
+      .select(enc0.as("e"))
       .filter(length(col("e")) > 0)
       .limit(sampleCap)
       .localCheckpoint(true)
@@ -349,17 +416,28 @@ object Bpe {
     var round = 0
     var done = false
     while (round < numMerges && !done) {
-      val toks = decodeTokens(col("e"))
+      // pretok mode counts pairs WITHIN each pre-token segment (the
+      // four-separator boundary splits to segments; a pair can never
+      // straddle one — the GPT-2 convention, where " the" merges are the
+      // point and no whitespace filter applies). Default mode counts over
+      // the whole encoding and filters whitespace pairs: word-internal
+      // BPE, no token ever spans a word boundary.
+      val encCol = pretok match {
+        case Some(_) => explode(split(col("e"), Sep2 + Sep2))
+        case None => col("e")
+      }
+      val toks = decodeTokens(col("__g_seg"))
       val m = greatest(size(toks) - 1, lit(0))
       val pairs = zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
         (a, b) => struct(a.as("pa"), b.as("pb")))
-      // word-internal BPE: whitespace code points never merge, so no token
-      // ever spans a word boundary (the classic pre-split-by-words behavior
-      // without needing an actual pre-split)
-      val best = enc
+      val exploded = enc
+        .select(encCol.as("__g_seg"))
         .select(explode(pairs).as("p"))
         .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
-        .filter(!col("pa").rlike("\\s") && !col("pb").rlike("\\s"))
+      val filtered =
+        if (pretok.isDefined) exploded
+        else exploded.filter(!col("pa").rlike("\\s") && !col("pb").rlike("\\s"))
+      val best = filtered
         .groupBy("pa", "pb")
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("pa").asc, col("pb").asc)

@@ -44,11 +44,12 @@ object Psl {
     *    (registry-level suffixes), `true` also keeps the private section
     *    (github.io-style operator suffixes). Lines outside any marker
     *    count as ICANN (covers snapshots without markers);
-    *  - rules are lowercased; IDN rules are kept in the (lowercased)
-    *    form they appear in — the upstream list writes them in UNICODE,
-    *    so punycode (`xn--`) crawl hosts will not match them. Punycode-
-    *    normalize hosts upstream (or pre-encode the rules) if IDN
-    *    grouping matters for the corpus. */
+    *  - rules are lowercased AND PUNYCODE-NORMALIZED: the upstream list
+    *    writes IDN rules in Unicode while crawl hosts arrive as ASCII
+    *    `xn--` labels — every rule is converted to its ASCII form at
+    *    parse time (dictionary-sized, driver-side; hosts are never
+    *    touched), so the full upstream file matches real crawl hosts
+    *    verbatim. */
   def parse(lines: Iterator[String], includePrivate: Boolean = true): Rules = {
     val exact = Set.newBuilder[String]
     val wild = Set.newBuilder[String]
@@ -61,13 +62,23 @@ object Psl {
           (includePrivate || !inPrivate)) {
         // spec: "each line is only read up to the first whitespace"
         val l = raw.takeWhile(!_.isWhitespace).toLowerCase
-        if (l.startsWith("*.")) wild += l.stripPrefix("*.")
-        else if (l.startsWith("!")) exc += l.stripPrefix("!")
-        else if (l.nonEmpty) exact += l
+        if (l.startsWith("*.")) wild += toAscii(l.stripPrefix("*."))
+        else if (l.startsWith("!")) exc += toAscii(l.stripPrefix("!"))
+        else if (l.nonEmpty) exact += toAscii(l)
       }
     }
     Rules(exact.result(), wild.result(), exc.result())
   }
+
+  /** Punycode form of a (lowercased) rule. All-ASCII rules pass through
+    * untouched (the common case — no IDN round-trip risk); a rule
+    * java.net.IDN rejects is kept verbatim (an unmatchable rule beats a
+    * failed parse of the whole list). */
+  private def toAscii(rule: String): String =
+    if (rule.forall(_ < 0x80)) rule
+    else
+      try java.net.IDN.toASCII(rule, java.net.IDN.ALLOW_UNASSIGNED).toLowerCase
+      catch { case _: IllegalArgumentException => rule }
 
   /** Load a rules file from disk (e.g. a freshly downloaded full list). */
   def fromFile(path: String, includePrivate: Boolean = true): Rules = {

@@ -3201,6 +3201,15 @@ class OpsSpec extends SparkSpec {
     Psl.snapshot.exact should contain("co.uk")
     Psl.snapshot.wildcardBases should contain("ck")
     Psl.snapshot.exceptions should contain("www.ck")
+    // IDN rules punycode-normalize at parse time: the upstream list
+    // writes them in Unicode, crawl hosts arrive as xn-- — every rule
+    // kind converts, and an xn-- host matches the Unicode-origin rule
+    Psl.parse(Iterator("公司.cn", "*.中国", "!reg.中国")) shouldBe
+      Psl.Rules(Set("xn--55qx5d.cn"), Set("xn--fiqs8s"), Set("reg.xn--fiqs8s"))
+    Psl.snapshot.exact should contain("xn--55qx5d.cn")
+    Url.registeredDomainPsl(
+      Seq("biz.shop.xn--55qx5d.cn").toDF("h"), "h", "dom", Psl.snapshot)
+      .head().getString(1) shouldBe "shop.xn--55qx5d.cn"
     // spec rule: a line reads up to the FIRST whitespace — an inline
     // annotation can't create a never-matching rule
     Psl.parse(Iterator("foo.bar  // operator note")).exact shouldBe Set("foo.bar")

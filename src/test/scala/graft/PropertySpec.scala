@@ -316,6 +316,61 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: pretok BPE is lossless, boundary-respecting, byte-fallback round-trips") {
+    import graft.ops.Bpe
+    val pat = Bpe.Gpt2PretokPattern
+    // latin runs, digits, punctuation, contractions, spaces, and OOV
+    // (accented/CJK/astral) — every pre-tokenizer branch fires
+    val richTextGen: Gen[List[String]] = Gen.listOfN(5, Gen.listOfN(20,
+      Gen.oneOf(Gen.alphaLowerChar.map(_.toString), Gen.const(" "),
+        Gen.oneOf("7", ".", ",", "'s", "'t", "é", "中", "😀"))).map(_.mkString))
+    check(Prop.forAll(Gen.zip(richTextGen, mergeGen)) { case (texts, merges) =>
+      // space-glued merges — legal ONLY in pretok mode, where the GPT-2
+      // convention learns them (" a" as one token)
+      val model = Bpe.BpeModel(
+        Seq(" " -> "a", "a" -> "b", " a" -> "b") ++ merges)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val out = Bpe.tokenizeBpe(df, "text", model, pretok = Some(pat))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+      val jpat = java.util.regex.Pattern.compile(pat)
+      texts.zipWithIndex.forall { case (t, i) =>
+        val toks = out(i.toLong)
+        // lossless: concat reconstructs the text
+        toks.mkString == t && {
+          // boundary-respecting: the token stream re-segments into the
+          // pre-tokens — walking the tokens never straddles a pre-token
+          val m = jpat.matcher(t)
+          val pres = Iterator.continually(m).takeWhile(_.find())
+            .map(_.group()).toList
+          var rest = toks.toList
+          pres.forall { p =>
+            var acc = ""
+            var ok = true
+            while (acc.length < p.length && ok) rest match {
+              case h :: tl => acc += h; rest = tl
+              case Nil => ok = false
+            }
+            ok && acc == p
+          } && rest.isEmpty
+        }
+      }
+    })
+    // byte-fallback round trip under pretok: OOV code points expand to
+    // UTF-8 bytes and decode back exactly
+    val model = Bpe.BpeModel(Seq(" " -> "a", "a" -> "b"))
+    val vocab = Bpe.vocabOf(model, ('a' to 'z').map(_.toString) :+ " ")
+    val texts = Seq("don't stop 42 times", "café 中文 😀!",
+      "  double  spaces ", "")
+    val df2 = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val ids = Bpe.encodeIdsBytes(df2, "text", model, vocab, pretok = Some(pat))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      Bpe.decodeIdsBytes(ids(i.toLong), vocab) shouldBe t
+    }
+  }
+
   test("property: keepTopFraction keeps >= the requested share, all above threshold") {
     val scoresGen = Gen.listOfN(40, Gen.choose(-50.0, 50.0))
     check(Prop.forAll(Gen.zip(scoresGen, Gen.choose(1, 9))) { case (scores, tenths) =>
