@@ -359,7 +359,12 @@ object SparkEntry {
             s"\nCrawl-delay: ${k % 3 + 1}" +
             s"\nSitemap: https://src$k-news.com/sitemap.xml")
       })
-    val rules = graft.ops.Robots.robotsParse(robots, "host", "content")
+    // CACHE the parsed rule table: it is hosts-dictionary-sized, and the
+    // composed query evaluates it repeatedly (the sitemap-discovery leg,
+    // agent selection's two passes, the schedule's crawlDelays) — without
+    // materialization each consumer re-runs the whole parse subtree, pure
+    // constant overhead that bench r9 measured at ~2× the query
+    val rules = graft.ops.Robots.robotsParse(robots, "host", "content").cache()
     // the fetched sitemap bodies, keyed by their robots-declared URL
     val smBodies = Sampling.localFrame(s,
       Seq("sitemap_url" -> StringType, "xml" -> StringType),
@@ -546,33 +551,47 @@ object SparkEntry {
       |  WHEN 4 THEN 'https://' || source || '.com/p?'
       |  ELSE 'relative/path only' END""".stripMargin
 
+  /** The per-host key of the robots fixtures: source × REPLICA (the
+    * ScaleData 1M doc_id stride), so the rule table scales WITH the
+    * corpus (20 hosts at sf≤0.1, 200 at the 10× sf1 sweep) instead of
+    * pinning the host side at a constant 20 while URLs grow — a real
+    * crawl's host cardinality grows with its page count. */
+  private def robotsHost: org.apache.spark.sql.Column =
+    concat(col("source"), lit("-"),
+      expr("doc_id DIV 1000000").cast("string"), lit(".com"))
+
+  /** SQL twin of [[robotsHost]]. */
+  private val robotsHostSql =
+    "source || '-' || CAST(doc_id // 1000000 AS VARCHAR) || '.com'"
+
   /** The synthetic URLs of text_robots_filter — six shapes keyed on
     * doc_id % 6 against one shared per-host robots policy, covering:
     * unmatched path, plain-prefix Disallow, the longer Allow override,
     * a `*` wildcard rule, a `$`-anchored rule hitting, and the same
     * anchor NOT hitting one char later. */
-  private def synthRobotsUrl: org.apache.spark.sql.Column =
+  private def synthRobotsUrl: org.apache.spark.sql.Column = {
+    val h = concat(lit("https://"), robotsHost)
     when(col("doc_id") % 6 === 0,
-      concat(lit("https://"), col("source"), lit(".com/page/"), col("doc_id")))
+      concat(h, lit("/page/"), col("doc_id")))
       .when(col("doc_id") % 6 === 1,
-        concat(lit("https://"), col("source"), lit(".com/private/"), col("doc_id")))
+        concat(h, lit("/private/"), col("doc_id")))
       .when(col("doc_id") % 6 === 2,
-        concat(lit("https://"), col("source"), lit(".com/private/ok/"), col("doc_id")))
+        concat(h, lit("/private/ok/"), col("doc_id")))
       .when(col("doc_id") % 6 === 3,
-        concat(lit("https://"), col("source"), lit(".com/tmp"), col("doc_id"), lit("/f")))
-      .when(col("doc_id") % 6 === 4,
-        concat(lit("https://"), col("source"), lit(".com/exact")))
-      .otherwise(concat(lit("https://"), col("source"), lit(".com/exactly")))
+        concat(h, lit("/tmp"), col("doc_id"), lit("/f")))
+      .when(col("doc_id") % 6 === 4, concat(h, lit("/exact")))
+      .otherwise(concat(h, lit("/exactly")))
+  }
 
   /** SQL twin of [[synthRobotsUrl]]. */
   private val synthRobotsUrlSql =
-    """CASE doc_id % 6
-      |  WHEN 0 THEN 'https://' || source || '.com/page/' || doc_id
-      |  WHEN 1 THEN 'https://' || source || '.com/private/' || doc_id
-      |  WHEN 2 THEN 'https://' || source || '.com/private/ok/' || doc_id
-      |  WHEN 3 THEN 'https://' || source || '.com/tmp' || doc_id || '/f'
-      |  WHEN 4 THEN 'https://' || source || '.com/exact'
-      |  ELSE 'https://' || source || '.com/exactly' END""".stripMargin
+    s"""CASE doc_id % 6
+       |  WHEN 0 THEN 'https://' || $robotsHostSql || '/page/' || doc_id
+       |  WHEN 1 THEN 'https://' || $robotsHostSql || '/private/' || doc_id
+       |  WHEN 2 THEN 'https://' || $robotsHostSql || '/private/ok/' || doc_id
+       |  WHEN 3 THEN 'https://' || $robotsHostSql || '/tmp' || doc_id || '/f'
+       |  WHEN 4 THEN 'https://' || $robotsHostSql || '/exact'
+       |  ELSE 'https://' || $robotsHostSql || '/exactly' END""".stripMargin
 
   /** The synthetic full PAGE of text_main_content — a link-saturated nav
     * block, a too-short heading and "ok" block, the document text as the
@@ -1752,7 +1771,7 @@ object SparkEntry {
     // fractional seconds), the scheduler input of a polite fetcher.
     "text_robots_delay" -> ((s, dir) => {
       val d = rt(s, dir, "documents")
-      val robots = d.select(concat(col("source"), lit(".com")).as("host"),
+      val robots = d.select(robotsHost.as("host"),
         concat(lit("User-agent: *\nDisallow: /private/\nCrawl-delay: "),
           (length(col("source")) % 5).cast("string")).as("content"))
         .distinct()
@@ -2042,7 +2061,7 @@ object SparkEntry {
     // agree.
     "text_robots_filter" -> ((s, dir) => {
       val d = rt(s, dir, "documents")
-      val robots = d.select(concat(col("source"), lit(".com")).as("host"))
+      val robots = d.select(robotsHost.as("host"))
         .distinct()
         .withColumn("content", lit(
           "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n" +
@@ -4337,11 +4356,12 @@ object SparkEntry {
         |SELECT doc_id, 'https://' || source || '.com/q?a=1&b=2'
         |FROM documents""".stripMargin,
     // Expected per-host delay recomputed independently (the fixture
-    // derives it from the source-name length).
+    // derives it from the source-name length; hosts are source × replica
+    // so the table scales with the corpus).
     "text_robots_delay" ->
-      """SELECT DISTINCT source || '.com' AS host,
-        |       CAST(length(source) % 5 AS DOUBLE) AS crawl_delay_sec
-        |FROM documents""".stripMargin,
+      s"""SELECT DISTINCT $robotsHostSql AS host,
+         |       CAST(length(source) % 5 AS DOUBLE) AS crawl_delay_sec
+         |FROM documents""".stripMargin,
     // Expected canonical form per shape, recomputed independently.
     "text_url_canonical" ->
       s"""WITH u AS (SELECT doc_id, source, $synthMessyUrlSql AS url FROM documents)
