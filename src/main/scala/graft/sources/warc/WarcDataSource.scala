@@ -37,7 +37,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Schema (one row per record):
   * (warc_file, record_index, warc_type, record_id, target_uri, warc_date,
   * content_type, content_length, http_status, http_content_type,
-  * payload_digest, payload).
+  * payload_digest, truncated, payload).
   */
 class WarcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-warc"
@@ -72,6 +72,11 @@ object WarcDataSource {
     // deduplicate (ISO 28500 §6.7). Parsed from the headers, so it is
     // populated identically whether or not the payload column is read.
     StructField("payload_digest", StringType),
+    // WARC-Truncated when present ('length' | 'time' | 'disconnect' |
+    // 'unspecified', ISO 28500 §5.13): the record's payload was CUT at
+    // capture time — Common Crawl marks ~1 MB body cuts with 'length'.
+    // Header-derived like payload_digest, identical under pruning.
+    StructField("truncated", StringType),
     StructField("payload", StringType, nullable = false)))
 
   /** `load(p)` arrives as "path"; `load(p1, p2, …)` as a JSON-array
@@ -311,6 +316,7 @@ private[warc] class WarcPartitionReader(
       case "http_status" => r => r.httpStatus
       case "http_content_type" => r => s(r.httpContentType)
       case "payload_digest" => r => s(r.payloadDigest)
+      case "truncated" => r => s(r.truncated)
       case "payload" => r => s(r.payload)
     }
   }

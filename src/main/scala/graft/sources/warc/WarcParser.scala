@@ -29,7 +29,8 @@ final case class WarcRecord(
     payload: String,
     httpStatus: Integer = null,
     httpContentType: String = null,
-    payloadDigest: String = null)
+    payloadDigest: String = null,
+    truncated: String = null)
 
 /** STREAMING WARC record iterator — the memory contract that makes crawl
   * ingest work: only ONE record is materialized at a time (bounded by the
@@ -136,15 +137,19 @@ final class WarcRecordIterator(
           // how `revisit` records (Common Crawl's refetch dedup, ISO
           // 28500 §6.7) point back at the capture they duplicate; a
           // reader that drops it cannot tell "empty page" from
-          // "duplicate of an earlier capture"
+          // "duplicate of an earlier capture". WARC-Truncated likewise
+          // (ISO 28500 §5.13): Common Crawl cuts bodies at ~1 MB and
+          // marks them `length` — a quality pipeline must be able to
+          // drop or flag cut documents.
           val digest = g("warc-payload-digest")
+          val trunc = g("warc-truncated")
           pending =
             if (isHttp) {
               val (status, httpCt, body) = WarcRecordIterator.stripHttpEnvelope(bytes)
               WarcRecord(
                 g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
                 g("warc-date"), g("content-type"), len, body, status, httpCt,
-                digest)
+                digest, trunc)
             } else
               WarcRecord(
                 g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
@@ -152,13 +157,14 @@ final class WarcRecordIterator(
                 // non-http (conversion/WET, metadata): the WARC-level
                 // Content-Type is where a declared charset lives
                 WarcRecordIterator.decodeBody(bytes, g("content-type")),
-                payloadDigest = digest)
+                payloadDigest = digest, truncated = trunc)
         } else {
           if (!skipFully(len)) { done = true; return }
           pending = WarcRecord(
             g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
             g("warc-date"), g("content-type"), len, null,
-            payloadDigest = g("warc-payload-digest"))
+            payloadDigest = g("warc-payload-digest"),
+            truncated = g("warc-truncated"))
         }
       case Some(len) if len > maxPayloadBytes =>
         // oversized single record: consume and move on (skip, don't abort).
@@ -239,10 +245,60 @@ object WarcRecordIterator {
     * sequences are REPLACED, never thrown (the String constructor's
     * contract) — one mislabeled page must not abort a crawl task. */
   private[warc] def decodeBody(bytes: Array[Byte], contentType: String): String = {
+    // WHATWG encoding sniff, step 1: a BYTE-ORDER MARK overrides any
+    // declared charset (servers routinely mislabel BOM'd content), and
+    // the BOM itself is not content — strip it from the decoded text
+    // (a surviving U+FEFF would leak into shingles/tokens invisibly)
+    if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
+        bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte)
+      return new String(bytes, 3, bytes.length - 3, UTF_8)
+    if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte)
+      return new String(bytes, 2, bytes.length - 2,
+        java.nio.charset.StandardCharsets.UTF_16LE)
+    if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
+      return new String(bytes, 2, bytes.length - 2,
+        java.nio.charset.StandardCharsets.UTF_16BE)
     val cs = charsetFrom(contentType)
       .orElse(sniffMetaCharset(bytes))
       .getOrElse(UTF_8)
     new String(bytes, cs)
+  }
+
+  /** Reassemble a `Transfer-Encoding: chunked` HTTP body (hex-size line,
+    * data, CRLF, …, 0-size terminator; chunk extensions and trailers
+    * ignored). Returns None when the bytes do not start with a valid
+    * chunk-size line (mislabeled as chunked — keep the raw capture);
+    * a TORN chunked stream (truncated capture) returns the bytes
+    * assembled so far, the lenient-framing convention. De-chunking only
+    * ever removes bytes, so no inflation cap is needed. */
+  private[warc] def dechunk(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream(math.max(64, math.min(bytes.length, 1 << 20)))
+    var i = 0
+    var first = true
+    while (i <= bytes.length) {
+      var j = i
+      while (j < bytes.length && bytes(j) != '\n') j += 1
+      if (j >= bytes.length) // no size line terminator: torn
+        return if (first) None else Some(out.toByteArray)
+      val line = new String(bytes, i, j - i,
+        java.nio.charset.StandardCharsets.ISO_8859_1).trim
+      val sizeStr = line.takeWhile(_ != ';').trim
+      val size =
+        try java.lang.Long.parseLong(sizeStr, 16)
+        catch { case _: NumberFormatException => -1L }
+      if (size < 0 || size > MaxPayloadBytes)
+        return if (first) None else Some(out.toByteArray)
+      if (size == 0) return Some(out.toByteArray) // terminator; trailers ignored
+      val start = j + 1
+      val end = math.min(bytes.length.toLong, start + size).toInt
+      out.write(bytes, start, end - start)
+      if (end < start + size) return Some(out.toByteArray) // torn mid-chunk
+      i = end
+      if (i < bytes.length && bytes(i) == '\r') i += 1
+      if (i < bytes.length && bytes(i) == '\n') i += 1
+      first = false
+    }
+    None // unreachable: every path above returns
   }
 
   /** Split an `application/http` record payload into
@@ -292,6 +348,14 @@ object WarcRecordIterator {
       }.nextOption()
     val httpCt = header("content-type").orNull
     var body = java.util.Arrays.copyOfRange(bytes, bodyStart, bytes.length)
+    // HTTP layering: Transfer-Encoding (message framing) unwraps FIRST,
+    // Content-Encoding (entity coding) second — a chunked capture of a
+    // gzip page de-chunks, THEN inflates. WARC stores the raw message,
+    // so chunked bodies do appear in real archives; without this the
+    // hex size lines leak into the text as garbage tokens.
+    val te = header("transfer-encoding").map(_.toLowerCase)
+    if (te.exists(_.contains("chunked")))
+      dechunk(body).foreach(b => body = b)
     val enc = header("content-encoding").map(_.toLowerCase)
     if (enc.exists(e => e == "gzip" || e == "x-gzip")) {
       try {

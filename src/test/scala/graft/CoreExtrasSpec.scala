@@ -269,6 +269,63 @@ class CoreExtrasSpec extends SparkSpec {
     it.hasNext shouldBe false
   }
 
+  test("WARC: BOM overrides declared charset; chunked bodies reassemble; truncation surfaces") {
+    def rec(id: Int, warcCt: String, payload: Array[Byte], extra: String = ""): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:b:$id>\r\n" + extra +
+        s"Content-Type: $warcCt\r\nContent-Length: ${payload.length}\r\n\r\n")
+        .getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+    def http(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$headers\r\n").getBytes("UTF-8") ++ body
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    val httpCt = "application/http; msgtype=response"
+    val utf8Bom = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    def chunked(parts: String*): Array[Byte] =
+      (parts.map(p => f"${p.getBytes("UTF-8").length}%x\r\n$p\r\n").mkString +
+        "0\r\n\r\n").getBytes("UTF-8")
+    val gzBody = gzip("<p>chunked gzip page</p>".getBytes("UTF-8"))
+    val gzChunked = // binary chunks: size lines around the raw gzip bytes
+      (f"${gzBody.length}%x\r\n".getBytes("UTF-8") ++ gzBody ++ "\r\n0\r\n\r\n".getBytes("UTF-8"))
+    val bytes =
+      // 1: UTF-8 BOM + mislabeling header — the BOM wins AND strips
+      rec(1, httpCt, http("Content-Type: text/html; charset=ISO-8859-1\r\n",
+        utf8Bom ++ "café".getBytes("UTF-8"))) ++
+      // 2: UTF-16LE BOM, no charset anywhere
+      rec(2, httpCt, http("Content-Type: text/html\r\n",
+        Array[Byte](0xFF.toByte, 0xFE.toByte) ++ "hi".getBytes("UTF-16LE"))) ++
+      // 3: chunked transfer coding reassembles (extensions tolerated)
+      rec(3, httpCt, http("Transfer-Encoding: chunked\r\n",
+        chunked("Wiki", "pedia", " works"))) ++
+      // 4: chunked WRAPPING gzip content-coding — dechunk THEN inflate
+      rec(4, httpCt, http(
+        "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n", gzChunked)) ++
+      // 5: labeled chunked but NOT chunked — raw bytes kept (lenient)
+      rec(5, httpCt, http("Transfer-Encoding: chunked\r\n",
+        "just plain text".getBytes("UTF-8"))) ++
+      // 6: torn chunked stream — assembled prefix survives
+      rec(6, httpCt, http("Transfer-Encoding: chunked\r\n",
+        "6\r\nabcdef\r\n10\r\nshort".getBytes("UTF-8"))) ++
+      // 7: WARC-Truncated surfaces as a column
+      rec(7, httpCt, http("", "cut body".getBytes("UTF-8")),
+        extra = "WARC-Truncated: length\r\n")
+    val d = java.nio.file.Files.createTempDirectory("graft_warc_bom")
+    java.nio.file.Files.write(d.resolve("b.warc"), bytes)
+    val rows = Loader.load(spark, d.resolve("b.warc").toString)
+      .orderBy("record_index").collect()
+    rows(0).getAs[String]("payload") shouldBe "café" // no U+FEFF residue
+    rows(1).getAs[String]("payload") shouldBe "hi"
+    rows(2).getAs[String]("payload") shouldBe "Wikipedia works"
+    rows(3).getAs[String]("payload") shouldBe "<p>chunked gzip page</p>"
+    rows(4).getAs[String]("payload") shouldBe "just plain text"
+    rows(5).getAs[String]("payload") shouldBe "abcdefshort"
+    rows(6).getAs[String]("truncated") shouldBe "length"
+    rows(6).getAs[String]("payload") shouldBe "cut body"
+    rows.take(6).foreach(_.getAs[String]("truncated") shouldBe null)
+  }
+
   test("WARC revisit records surface payload_digest; pruning never changes rows") {
     def rec(warcType: String, id: String, digest: Option[String],
         payload: String): Array[Byte] = {

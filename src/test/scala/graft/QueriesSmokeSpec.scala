@@ -79,11 +79,25 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_url_canonical" -> 0, // pure narrow projection
     // extract (narrow) + canonical distinct pair + the robots chain +
     // the bloom-prefiltered seen-key anti join — frontier-sized inputs
-    // everywhere past the one distinct over extracted links. +4 in r9:
-    // the sitemap-discovered branch re-evaluates the robots parse for
-    // its Sitemap rows and joins the fetched bodies — every one of those
-    // shuffles moves the HOSTS-sized rule/sitemap tables, never corpus
-    "warc_crawl_frontier" -> 16,
+    // everywhere past the one distinct over extracted links. r9: the
+    // sitemap-discovered branch joined in, and the hosts-sized rule
+    // table is CACHEd (it feeds three consumers), which also replaces
+    // the repeated parse subtrees in the plan: 12 → 8
+    "warc_crawl_frontier" -> 8,
+    // warc_frontier_schedule is deliberately UNPINNED: it shares the
+    // frontier's cached rule table, and its Exchange count shifts ±1
+    // with whether an earlier query already materialized that cache
+    // (13 cold, 14 after warc_crawl_frontier ran) — the anti-pattern
+    // audit still covers it; its own shuffles move domain- and
+    // host-sized tables, never the corpus
+    // one digest-keyed shuffle join (both sides crawl-sized by design —
+    // no broadcast assumption) over two filters of the same scan
+    "warc_revisit_dedup" -> 2,
+    "text_sitemap_urls" -> 0, // extract_all + explode, pure narrow
+    "text_bpe_pretok" -> 0, // per-pre-token kernel inside transform, narrow
+    // the robots-parse window chain + agent selection over the
+    // hosts-sized rule table; the per-host delay agg rides the end
+    "text_robots_delay" -> 8,
     // the final frame is the last round's localCheckpoint (each round
     // internally = one edges⋈scores join + one dst agg over DOMAIN-sized
     // tables, truncated per round exactly like duplicateClusters)
