@@ -302,13 +302,14 @@ object SparkEntry {
         val outs = Array.fill(WarcShards)(new java.io.ByteArrayOutputStream())
         def writeRec(out: java.io.ByteArrayOutputStream, warcType: String,
             recordId: String, uri: String, date: String, digest: String,
-            payload: Array[Byte]): Unit = {
+            payload: Array[Byte], extraHeaders: String = ""): Unit = {
           val header =
             s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
               s"WARC-Record-ID: $recordId\r\n" +
               s"WARC-Date: $date\r\n" +
               s"WARC-Target-URI: $uri\r\n" +
               s"WARC-Payload-Digest: $digest\r\n" +
+              extraHeaders +
               "Content-Type: application/http; msgtype=response\r\n" +
               s"Content-Length: ${payload.length}\r\n\r\n"
           out.write(header.getBytes("UTF-8")); out.write(payload)
@@ -320,8 +321,13 @@ object SparkEntry {
           val digest = s"sha1:GRAFT$id"
           val msg = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
             .getBytes("UTF-8") ++ r.getString(2).getBytes("UTF-8")
+          // every 8th-plus-1 response is marked length-truncated (the
+          // Common Crawl ~1 MB cut marker) — warc_truncated_census
+          // oracles the column end to end through the source
           writeRec(out, "response", s"<urn:graft:doc-$id>", r.getString(1),
-            "2026-01-01T00:00:00Z", digest, msg)
+            "2026-01-01T00:00:00Z", digest, msg,
+            extraHeaders =
+              if (id % 8 == 1) "WARC-Truncated: length\r\n" else "")
           if (id % 4 == 0)
             writeRec(out, "revisit", s"<urn:graft:rev-$id>", r.getString(1),
               "2026-02-01T00:00:00Z", digest, Array.empty[Byte])
@@ -1704,6 +1710,15 @@ object SparkEntry {
       rev.join(orig, Seq("payload_digest"))
         .select("revisit_id", "original_id", "payload_digest", "payload")
     }),
+    // The capture-time truncation census (WARC-Truncated, the Common
+    // Crawl ~1 MB cut marker): a quality pipeline's first gate on cut
+    // documents. One narrow filter + one hash aggregate over the
+    // header-derived column — the payload is never decoded.
+    "warc_truncated_census" -> ((s, dir) =>
+      graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_revisit.warc")
+        .filter(col("warc_type") === "response")
+        .groupBy(coalesce(col("truncated"), lit("none")).as("truncated"))
+        .agg(count(lit(1)).as("n_records"))),
     // The crawl LINK graph first mile: WARC pages → outlink extraction
     // (every href resolution shape) → registered-domain edges under
     // with-private PSL semantics. The oracle recomputes the expected
@@ -4339,6 +4354,13 @@ object SparkEntry {
         |       'sha1:GRAFT' || doc_id AS payload_digest,
         |       text AS payload
         |FROM documents WHERE doc_id % 4 = 0""".stripMargin,
+    // Truncation-marker counts recomputed independently: every
+    // 8th-plus-1 response was cut at capture.
+    "warc_truncated_census" ->
+      """SELECT CASE WHEN doc_id % 8 = 1 THEN 'length' ELSE 'none' END
+        |         AS truncated,
+        |       CAST(count(*) AS BIGINT) AS n_records
+        |FROM documents GROUP BY 1""".stripMargin,
     // Expected robots verdict per shape, recomputed independently:
     // /private/ and /tmp* and /exact$ deny; /private/ok's longer Allow
     // and the off-anchor /exactly survive.
