@@ -244,13 +244,25 @@ object SparkEntry {
               val gz = new java.util.zip.GZIPOutputStream(bo)
               gz.write(rawBody); gz.close(); bo.toByteArray
             }
+          // ...and REDIRECTS: every 10th-plus-5 response is a 301 whose
+          // Location header is absolute (%20==5) or RELATIVE (%20==15 —
+          // RFC 9110 allows it; the query resolves against target_uri).
+          // Redirect bodies stay the same html, so warc_html_extract's
+          // oracle is untouched.
           val statusLine =
-            if (id % 20 == 0) "HTTP/1.1 404 Not Found" else "HTTP/1.1 200 OK"
+            if (id % 20 == 0) "HTTP/1.1 404 Not Found"
+            else if (id % 10 == 5) "HTTP/1.1 301 Moved Permanently"
+            else "HTTP/1.1 200 OK"
+          val locHeader =
+            if (id % 20 == 5)
+              s"Location: https://www.${r.getString(4)}-moved.example/p/$id\r\n"
+            else if (id % 20 == 15) s"Location: /moved/$id\r\n"
+            else ""
           val ctHeader =
             if (id % 10 == 7) "Content-Type: text/html; charset=ISO-8859-1\r\n"
             else if (id % 10 == 9) "Content-Type: text/html\r\n"
             else "Content-Type: text/html; charset=UTF-8\r\n"
-          val envelope = statusLine + "\r\n" + ctHeader +
+          val envelope = statusLine + "\r\n" + locHeader + ctHeader +
             (if (gzipped) "Content-Encoding: gzip\r\n" else "") +
             s"Content-Length: ${body.length}\r\n\r\n"
           val msg = new java.io.ByteArrayOutputStream()
@@ -1710,6 +1722,17 @@ object SparkEntry {
       rev.join(orig, Seq("payload_digest"))
         .select("revisit_id", "original_id", "payload_digest", "payload")
     }),
+    // The REDIRECT edges of a crawl: 3xx responses' Location headers
+    // (absolute or relative) resolved to absolute targets against each
+    // record's own URI — the frontier edges a fetcher follows. One
+    // narrow filter + the shared resolveUrl projection; no shuffle.
+    "warc_redirects" -> ((s, dir) =>
+      graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_html.warc")
+        .filter(col("http_status").isin(301, 302, 303, 307, 308) &&
+          col("http_location").isNotNull)
+        .withColumn("redirect_target",
+          graft.ops.LinkGraph.resolveUrl(col("target_uri"), col("http_location")))
+        .select("record_id", "http_location", "redirect_target")),
     // The capture-time truncation census (WARC-Truncated, the Common
     // Crawl ~1 MB cut marker): a quality pipeline's first gate on cut
     // documents. One narrow filter + one hash aggregate over the
@@ -4340,12 +4363,26 @@ object SparkEntry {
     // the body still strips to the same text).
     "warc_http_meta" ->
       """SELECT '<urn:graft:doc-' || doc_id || '>' AS record_id,
-        |       CAST(CASE WHEN doc_id % 20 = 0 THEN 404 ELSE 200 END AS INTEGER)
-        |         AS http_status,
+        |       CAST(CASE WHEN doc_id % 20 = 0 THEN 404
+        |                 WHEN doc_id % 10 = 5 THEN 301
+        |                 ELSE 200 END AS INTEGER) AS http_status,
         |       CASE WHEN doc_id % 10 = 7 THEN 'text/html; charset=ISO-8859-1'
         |            WHEN doc_id % 10 = 9 THEN 'text/html'
         |            ELSE 'text/html; charset=UTF-8' END AS http_content_type
         |FROM documents""".stripMargin,
+    // Redirect edges recomputed independently: absolute Locations pass
+    // through, the relative /moved shape resolves against the record's
+    // own synthetic URI (doc_id%20=15 → synthUrl shape doc_id%4=3).
+    "warc_redirects" ->
+      """SELECT '<urn:graft:doc-' || doc_id || '>' AS record_id,
+        |       CASE WHEN doc_id % 20 = 5
+        |            THEN 'https://www.' || source || '-moved.example/p/' || doc_id
+        |            ELSE '/moved/' || doc_id END AS http_location,
+        |       CASE WHEN doc_id % 20 = 5
+        |            THEN 'https://www.' || source || '-moved.example/p/' || doc_id
+        |            ELSE 'ftp://files.' || source || '.net/moved/' || doc_id
+        |            END AS redirect_target
+        |FROM documents WHERE doc_id % 10 = 5""".stripMargin,
     // Revisit resolution recomputed independently: every 4th document
     // was re-fetched, its digest joins back to the original capture.
     "warc_revisit_dedup" ->

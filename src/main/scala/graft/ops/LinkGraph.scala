@@ -62,7 +62,20 @@ object LinkGraph {
       t => trim(regexp_extract(t, HrefPattern, 1), "\"'"))
     val hrefs = filter(rawHrefs, h =>
       h =!= "" && !h.startsWith("#") && !h.rlike(SkipSchemes))
-    val base = col(baseUrlCol)
+    df.withColumn("__graft_h", explode(hrefs))
+      .withColumn(outCol, resolveUrl(col(baseUrlCol), col("__graft_h")))
+      .drop("__graft_h")
+  }
+
+  /** Resolve `ref` to an ABSOLUTE URL against `base` — the RFC-3986-lite
+    * rule set documented on [[extractLinks]] (absolute kept,
+    * protocol-relative gains the base scheme, root-relative gains
+    * `scheme://authority`, anything else appends to the base DIRECTORY;
+    * dot segments kept verbatim). Public because it is ALSO the
+    * Location-header resolver of the redirect surface (3xx Location may
+    * be relative per RFC 9110) — one resolution implementation, one
+    * oracle replay. Pure narrow expressions. */
+  def resolveUrl(base: Column, ref: Column): Column = {
     val scheme = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
     val authority = regexp_extract(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
     val basePath = regexp_extract(base, Url.PathPattern, 1)
@@ -72,14 +85,10 @@ object LinkGraph {
       val d = regexp_replace(basePath, "[^/]*$", "")
       when(d === "", lit("/")).otherwise(d)
     }
-    def resolved(h: Column): Column =
-      when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), h)
-        .when(h.startsWith("//"), concat(scheme, lit(":"), h))
-        .when(h.startsWith("/"), concat(scheme, lit("://"), authority, h))
-        .otherwise(concat(scheme, lit("://"), authority, baseDir, h))
-    df.withColumn("__graft_h", explode(hrefs))
-      .withColumn(outCol, resolved(col("__graft_h")))
-      .drop("__graft_h")
+    when(ref.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), ref)
+      .when(ref.startsWith("//"), concat(scheme, lit(":"), ref))
+      .when(ref.startsWith("/"), concat(scheme, lit("://"), authority, ref))
+      .otherwise(concat(scheme, lit("://"), authority, baseDir, ref))
   }
 
   /** The registered-domain edge graph of an outlink table:

@@ -37,7 +37,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Schema (one row per record):
   * (warc_file, record_index, warc_type, record_id, target_uri, warc_date,
   * content_type, content_length, http_status, http_content_type,
-  * payload_digest, truncated, payload).
+  * http_location, payload_digest, truncated, payload).
   */
 class WarcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-warc"
@@ -67,6 +67,10 @@ object WarcDataSource {
     // envelope stripped (and gzip content-coding inflated).
     StructField("http_status", IntegerType),
     StructField("http_content_type", StringType),
+    // 3xx Location header (possibly relative — resolve against
+    // target_uri with LinkGraph.resolveUrl): the redirect edge the
+    // frontier follows; null for non-http / non-redirect records
+    StructField("http_location", StringType),
     // WARC-Payload-Digest when present (any record kind) — the join key
     // that resolves `revisit` records back to the capture they
     // deduplicate (ISO 28500 §6.7). Parsed from the headers, so it is
@@ -284,7 +288,8 @@ private[warc] class WarcPartitionReader(
   // the http_* columns are parsed out of the payload bytes, so asking for
   // either forces the decode just like asking for the payload itself
   private val wantPayload = columns.exists(c =>
-    c == "payload" || c == "http_status" || c == "http_content_type")
+    c == "payload" || c == "http_status" || c == "http_content_type" ||
+      c == "http_location")
 
   private def ensureOpen(): Unit = if (it == null) {
     val hconf = new Configuration()
@@ -315,6 +320,7 @@ private[warc] class WarcPartitionReader(
       case "content_length" => r => r.contentLength
       case "http_status" => r => r.httpStatus
       case "http_content_type" => r => s(r.httpContentType)
+      case "http_location" => r => s(r.httpLocation)
       case "payload_digest" => r => s(r.payloadDigest)
       case "truncated" => r => s(r.truncated)
       case "payload" => r => s(r.payload)

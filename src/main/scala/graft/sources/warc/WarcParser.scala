@@ -29,6 +29,7 @@ final case class WarcRecord(
     payload: String,
     httpStatus: Integer = null,
     httpContentType: String = null,
+    httpLocation: String = null,
     payloadDigest: String = null,
     truncated: String = null)
 
@@ -145,11 +146,12 @@ final class WarcRecordIterator(
           val trunc = g("warc-truncated")
           pending =
             if (isHttp) {
-              val (status, httpCt, body) = WarcRecordIterator.stripHttpEnvelope(bytes)
+              val (status, httpCt, loc, body) =
+                WarcRecordIterator.stripHttpEnvelope(bytes)
               WarcRecord(
                 g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
                 g("warc-date"), g("content-type"), len, body, status, httpCt,
-                digest, trunc)
+                loc, digest, trunc)
             } else
               WarcRecord(
                 g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
@@ -302,7 +304,7 @@ object WarcRecordIterator {
   }
 
   /** Split an `application/http` record payload into
-    * (status, http content-type, body text).
+    * (status, http content-type, location, body text).
     *
     * The envelope ends at the first blank line (`\r\n\r\n`, or bare
     * `\n\n` from lenient re-writers) — the split happens on BYTES, before
@@ -318,7 +320,7 @@ object WarcRecordIterator {
     * with no blank line at all (malformed envelope) is returned verbatim
     * with null status. */
   private[warc] def stripHttpEnvelope(
-      bytes: Array[Byte]): (Integer, String, String) = {
+      bytes: Array[Byte]): (Integer, String, String, String) = {
     // find the first \r\n\r\n or \n\n; remember where the body starts
     var i = 0
     var bodyStart = -1
@@ -331,7 +333,7 @@ object WarcRecordIterator {
       }
       i += 1
     }
-    if (bodyStart < 0) return (null, null, decodeBody(bytes, null))
+    if (bodyStart < 0) return (null, null, null, decodeBody(bytes, null))
     val envLines = new String(bytes, 0, bodyStart, UTF_8).split("\r?\n")
     val status: Integer =
       if (envLines.nonEmpty && envLines(0).startsWith("HTTP/")) {
@@ -347,6 +349,10 @@ object WarcRecordIterator {
         else None
       }.nextOption()
     val httpCt = header("content-type").orNull
+    // where a 3xx points (RFC 9110 §10.2.2; possibly RELATIVE — resolve
+    // downstream against the record's target URI): the redirect edge a
+    // frontier must follow, ~a third of real crawl fetches
+    val httpLoc = header("location").orNull
     var body = java.util.Arrays.copyOfRange(bytes, bodyStart, bytes.length)
     // HTTP layering: Transfer-Encoding (message framing) unwraps FIRST,
     // Content-Encoding (entity coding) second — a chunked capture of a
@@ -380,6 +386,6 @@ object WarcRecordIterator {
         if (!over) body = out.toByteArray
       } catch { case scala.util.control.NonFatal(_) => () } // keep raw bytes
     }
-    (status, httpCt, decodeBody(body, httpCt))
+    (status, httpCt, httpLoc, decodeBody(body, httpCt))
   }
 }

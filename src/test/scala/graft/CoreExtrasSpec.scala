@@ -310,11 +310,18 @@ class CoreExtrasSpec extends SparkSpec {
         "6\r\nabcdef\r\n10\r\nshort".getBytes("UTF-8"))) ++
       // 7: WARC-Truncated surfaces as a column
       rec(7, httpCt, http("", "cut body".getBytes("UTF-8")),
-        extra = "WARC-Truncated: length\r\n")
+        extra = "WARC-Truncated: length\r\n") ++
+      // 8: a 302 with a relative Location — surfaced verbatim (the
+      // QUERY resolves it against target_uri via LinkGraph.resolveUrl)
+      rec(8, httpCt, ("HTTP/1.1 302 Found\r\nLocation: /next\r\n\r\n")
+        .getBytes("UTF-8"))
     val d = java.nio.file.Files.createTempDirectory("graft_warc_bom")
     java.nio.file.Files.write(d.resolve("b.warc"), bytes)
     val rows = Loader.load(spark, d.resolve("b.warc").toString)
       .orderBy("record_index").collect()
+    rows(7).getAs[Any]("http_status") shouldBe 302
+    rows(7).getAs[String]("http_location") shouldBe "/next"
+    rows.take(7).foreach(_.getAs[String]("http_location") shouldBe null)
     rows(0).getAs[String]("payload") shouldBe "café" // no U+FEFF residue
     rows(1).getAs[String]("payload") shouldBe "hi"
     rows(2).getAs[String]("payload") shouldBe "Wikipedia works"
