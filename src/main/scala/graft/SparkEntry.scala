@@ -2123,6 +2123,23 @@ object SparkEntry {
             lit(".com/q?a=1&amp;b=2\n</loc></url></urlset>")).as("xml")),
         "xml")
         .select("doc_id", "sitemap_url")),
+    // Full sitemap ENTRIES — the recrawl-scheduling surface: per <url>
+    // block, loc + lastmod + priority (second block carries only a loc
+    // → NULL metadata), every element trimmed/unescaped and priority
+    // cast exactly. The oracle rebuilds all four columns independently.
+    "text_sitemap_entries" -> ((s, dir) =>
+      graft.ops.Sitemap.sitemapEntries(
+        rt(s, dir, "documents").select(col("doc_id"),
+          concat(
+            lit("<?xml version=\"1.0\"?><urlset><url><loc>https://"),
+            col("source"), lit(".com/p/"), col("doc_id"),
+            lit("</loc><lastmod>2026-01-0"), col("doc_id") % 9 + 1,
+            lit("</lastmod><priority>0."), col("doc_id") % 10,
+            lit("</priority></url><url><loc>\n  https://"), col("source"),
+            lit(".com/q?a=1&amp;b=2\n</loc></url></urlset>")).as("xml")),
+        "xml")
+        .select("doc_id", "sitemap_loc", "sitemap_lastmod",
+          "sitemap_changefreq", "sitemap_priority")),
     // Main-content extraction (jusText-lite): block split at closing
     // block tags, keep blocks that are long enough AND not link-saturated
     // — the nav/footer boilerplate around every synthetic page drops, the
@@ -4413,6 +4430,19 @@ object SparkEntry {
         |FROM documents
         |UNION ALL
         |SELECT doc_id, 'https://' || source || '.com/q?a=1&b=2'
+        |FROM documents""".stripMargin,
+    // Expected sitemap entries recomputed independently: the metadata
+    // block per document plus the loc-only block with NULL metadata.
+    "text_sitemap_entries" ->
+      """SELECT doc_id,
+        |       'https://' || source || '.com/p/' || doc_id AS sitemap_loc,
+        |       '2026-01-0' || (doc_id % 9 + 1) AS sitemap_lastmod,
+        |       CAST(NULL AS VARCHAR) AS sitemap_changefreq,
+        |       CAST('0.' || (doc_id % 10) AS DOUBLE) AS sitemap_priority
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'https://' || source || '.com/q?a=1&b=2',
+        |       NULL, NULL, CAST(NULL AS DOUBLE)
         |FROM documents""".stripMargin,
     // Expected per-host delay recomputed independently (the fixture
     // derives it from the source-name length; hosts are source × replica

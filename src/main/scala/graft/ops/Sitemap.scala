@@ -67,4 +67,44 @@ object Sitemap {
         xmlUnescape(regexp_replace(col(outCol), "^\\s+|\\s+$", "")))
       .filter(col(outCol) =!= "")
   }
+
+  /** The `<url>` BLOCK pattern of [[sitemapEntries]] — non-greedy so
+    * adjacent blocks never fuse; RE2-compatible, shared with the oracle. */
+  val UrlBlockPattern = "(?s)<url>(.*?)</url>"
+
+  /** Explode full sitemap `<url>` ENTRIES — the recrawl-scheduling
+    * surface ([[sitemapUrls]] keeps only the locations): one row per
+    * `<url>` block carrying
+    *   sitemap_loc        the page URL (blocks without one are dropped),
+    *   sitemap_lastmod    `<lastmod>` verbatim (W3C datetime string —
+    *                      kept as TEXT: real sitemaps mix date-only and
+    *                      full-datetime forms, the consumer casts),
+    *   sitemap_changefreq `<changefreq>` verbatim,
+    *   sitemap_priority   `<priority>` as DOUBLE (unparseable → NULL).
+    * Absent elements are NULL. Same scale shape as [[sitemapUrls]]: one
+    * regexp_extract_all + explode + narrow per-block extractions; no
+    * shuffle. */
+  def sitemapEntries(df: DataFrame, xmlCol: String): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(xmlCol))
+    graft.core.Validators.requireColumnsAbsent(df,
+      Seq("sitemap_loc", "sitemap_lastmod", "sitemap_changefreq",
+        "sitemap_priority", "__g_block"), "sitemapEntries")
+    def elem(tag: String): Column = {
+      val v = xmlUnescape(regexp_replace(
+        regexp_extract(col("__g_block"), s"(?s)<$tag>([^<]*)</$tag>", 1),
+        "^\\s+|\\s+$", ""))
+      when(v === "", lit(null)).otherwise(v)
+    }
+    df.withColumn("__g_block",
+      explode(regexp_extract_all(col(xmlCol), lit(UrlBlockPattern), lit(1))))
+      .withColumn("sitemap_loc", elem("loc"))
+      .filter(col("sitemap_loc").isNotNull)
+      .withColumn("sitemap_lastmod", elem("lastmod"))
+      .withColumn("sitemap_changefreq", elem("changefreq"))
+      // try_cast, not cast: a malformed <priority> in one entry must
+      // yield NULL, not fail the task under ANSI mode
+      .withColumn("sitemap_priority",
+        elem("priority").try_cast(org.apache.spark.sql.types.DoubleType))
+      .drop("__g_block")
+  }
 }

@@ -3387,6 +3387,20 @@ class OpsSpec extends SparkSpec {
       (1L, "https://a.com/p?x=1&y=2"),
       (1L, "https://a.com/q"),
       (2L, "https://a.com/s1.xml"))
+    // full entries: metadata extracted per block, absent elements NULL,
+    // unparseable priority NULL, loc-less blocks dropped
+    val exml = Seq((1L,
+      "<urlset><url><loc>https://a.com/1</loc><lastmod>2026-02-01</lastmod>" +
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>" +
+        "<url><loc> https://a.com/2 </loc><priority>high</priority></url>" +
+        "<url><lastmod>2026-01-01</lastmod></url></urlset>")).toDF("id", "xml")
+    Sitemap.sitemapEntries(exml, "xml")
+      .select("sitemap_loc", "sitemap_lastmod", "sitemap_changefreq",
+        "sitemap_priority")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getAs[Any]("sitemap_priority")))).sortBy(_._1).toSeq shouldBe Seq(
+      ("https://a.com/1", "2026-02-01", "daily", Some(0.8)),
+      ("https://a.com/2", null, null, None))
   }
 
   test("canonicalizeUrl: case, userinfo, default ports, query sort, fragments, passthrough") {
