@@ -230,10 +230,15 @@ object SparkEntry {
       writeArchive("docs_html.warc", "response", "application/http; msgtype=response",
         { r =>
           val id = r.getLong(0)
+          // ...and every 10th-plus-1 page declares <meta name=robots
+          // noindex> — the compliance marker warc_meta_robots oracles
           val (charset, metaPrefix, marker) =
             if (id % 10 == 7) ("ISO-8859-1", "", CharsetMarkerLatin)
             else if (id % 10 == 9)
               ("GBK", "<meta charset=\"GBK\">", CharsetMarkerCjk)
+            else if (id % 10 == 1)
+              ("UTF-8",
+                "<meta name=\"robots\" content=\"noindex, nofollow\">", "")
             else ("UTF-8", "", "")
           val rawBody = (metaPrefix + r.getString(3) + marker).getBytes(charset)
           val gzipped = id % 10 == 3
@@ -1722,6 +1727,15 @@ object SparkEntry {
       rev.join(orig, Seq("payload_digest"))
         .select("revisit_id", "original_id", "payload_digest", "payload")
     }),
+    // The robots-META compliance gate: per page, the <meta name=robots>
+    // directives and the noindex verdict — corpus builders honor page-
+    // level opt-outs like robots.txt. One narrow projection over the
+    // charset-decoded payloads.
+    "warc_meta_robots" -> ((s, dir) =>
+      graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_html.warc")
+        .select(col("record_id"),
+          TextOps.metaRobots(col("payload")).as("robots_meta"))
+        .withColumn("indexable", !col("robots_meta").rlike("\\bnoindex\\b"))),
     // The REDIRECT edges of a crawl: 3xx responses' Location headers
     // (absolute or relative) resolved to absolute targets against each
     // record's own URI — the frontier edges a fetcher follows. One
@@ -4365,7 +4379,10 @@ object SparkEntry {
     "warc_html_extract" ->
       s"""WITH u AS (SELECT '<urn:graft:doc-' || doc_id || '>' AS record_id,
          |                  CASE WHEN doc_id % 10 = 9
-         |                       THEN '<meta charset="GBK">' ELSE '' END ||
+         |                       THEN '<meta charset="GBK">'
+         |                       WHEN doc_id % 10 = 1
+         |                       THEN '<meta name="robots" content="noindex, nofollow">'
+         |                       ELSE '' END ||
          |                  $synthHtmlSql ||
          |                  CASE WHEN doc_id % 10 = 7 THEN '$CharsetMarkerLatin'
          |                       WHEN doc_id % 10 = 9 THEN '$CharsetMarkerCjk'
@@ -4386,6 +4403,14 @@ object SparkEntry {
         |       CASE WHEN doc_id % 10 = 7 THEN 'text/html; charset=ISO-8859-1'
         |            WHEN doc_id % 10 = 9 THEN 'text/html'
         |            ELSE 'text/html; charset=UTF-8' END AS http_content_type
+        |FROM documents""".stripMargin,
+    // The compliance verdicts recomputed independently: every
+    // 10th-plus-1 page carries the noindex meta.
+    "warc_meta_robots" ->
+      """SELECT '<urn:graft:doc-' || doc_id || '>' AS record_id,
+        |       CASE WHEN doc_id % 10 = 1 THEN 'noindex, nofollow'
+        |            ELSE '' END AS robots_meta,
+        |       CAST(doc_id % 10 <> 1 AS BOOLEAN) AS indexable
         |FROM documents""".stripMargin,
     // Redirect edges recomputed independently: absolute Locations pass
     // through, the relative /moved shape resolves against the record's

@@ -558,6 +558,24 @@ object TextOps {
     df.withColumn(outCol, htmlToText(col(htmlCol)))
   }
 
+  /** The robots META directives of an HTML page — `<meta name="robots"
+    * content="…">` (attribute order-insensitive), lowercased and
+    * trimmed; empty string when absent. The training-data COMPLIANCE
+    * gate a curation pipeline pairs with robots.txt: a page that says
+    * `noindex` asked not to be indexed, and corpus builders honor it
+    * the same way crawlers do. RE2-compatible (the two attribute orders
+    * as separate patterns — no lookarounds), shared with the oracle;
+    * one narrow projection. */
+  def metaRobots(html: Column): Column = {
+    val nameFirst = regexp_extract(html,
+      "(?is)<meta[^>]*\\bname\\s*=\\s*[\"']?robots[\"']?[^>]*" +
+        "\\bcontent\\s*=\\s*[\"']([^\"']*)", 1)
+    val contentFirst = regexp_extract(html,
+      "(?is)<meta[^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"'][^>]*" +
+        "\\bname\\s*=\\s*[\"']?robots[\"']?", 1)
+    lower(trim(when(nameFirst =!= "", nameFirst).otherwise(contentFirst)))
+  }
+
   /** The six-entity decode table shared by [[htmlToText]] and
     * [[mainContent]]'s block cleanup — ONE copy so the `&amp;`-last
     * ordering invariant (decoding it first would double-decode

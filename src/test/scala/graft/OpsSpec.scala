@@ -2342,6 +2342,21 @@ class OpsSpec extends SparkSpec {
     out(4L) shouldBe "x\ny\nz"
   }
 
+  test("TextOps.metaRobots: both attribute orders, case folding, absent/charset-only metas") {
+    val df = Seq(
+      (1L, """<html><head><meta name="robots" content="NOINDEX, nofollow"></head>x"""),
+      (2L, """<meta content="none" name=robots><p>y</p>"""), // content-first, bare name
+      (3L, """<meta charset="utf-8"><p>no robots meta</p>"""),
+      (4L, "plain text"),
+    ).toDF("id", "html")
+    val out = df.select($"id", graft.ops.TextOps.metaRobots($"html").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "noindex, nofollow"
+    out(2L) shouldBe "none"
+    out(3L) shouldBe ""
+    out(4L) shouldBe ""
+  }
+
   test("TextOps.splitSentences: reading-order ids, empties dropped, no lookbehind") {
     val df = Seq(
       (1L, "One. Two two! Three? End"),
