@@ -267,7 +267,13 @@ object SparkEntry {
             if (id % 10 == 7) "Content-Type: text/html; charset=ISO-8859-1\r\n"
             else if (id % 10 == 9) "Content-Type: text/html\r\n"
             else "Content-Type: text/html; charset=UTF-8\r\n"
-          val envelope = statusLine + "\r\n" + locHeader + ctHeader +
+          // ...and every 20th-plus-2 response opts out via the HEADER
+          // side (X-Robots-Tag) — disjoint from the %10==1 meta opt-out,
+          // so warc_meta_robots proves both compliance channels
+          val robotsTagHeader =
+            if (id % 20 == 2) "X-Robots-Tag: noindex\r\n" else ""
+          val envelope = statusLine + "\r\n" + locHeader + robotsTagHeader +
+            ctHeader +
             (if (gzipped) "Content-Encoding: gzip\r\n" else "") +
             s"Content-Length: ${body.length}\r\n\r\n"
           val msg = new java.io.ByteArrayOutputStream()
@@ -1727,15 +1733,19 @@ object SparkEntry {
       rev.join(orig, Seq("payload_digest"))
         .select("revisit_id", "original_id", "payload_digest", "payload")
     }),
-    // The robots-META compliance gate: per page, the <meta name=robots>
-    // directives and the noindex verdict — corpus builders honor page-
-    // level opt-outs like robots.txt. One narrow projection over the
-    // charset-decoded payloads.
+    // The robots compliance gate, BOTH channels: the <meta name=robots>
+    // directives from the page and the X-Robots-Tag header from the
+    // response — corpus builders honor either opt-out like robots.txt.
+    // One narrow projection over the charset-decoded payloads.
     "warc_meta_robots" -> ((s, dir) =>
       graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_html.warc")
         .select(col("record_id"),
-          TextOps.metaRobots(col("payload")).as("robots_meta"))
-        .withColumn("indexable", !col("robots_meta").rlike("\\bnoindex\\b"))),
+          TextOps.metaRobots(col("payload")).as("robots_meta"),
+          lower(coalesce(col("http_robots_tag"), lit("")))
+            .as("robots_header"))
+        .withColumn("indexable",
+          !col("robots_meta").rlike("\\bnoindex\\b") &&
+            !col("robots_header").rlike("\\bnoindex\\b"))),
     // The REDIRECT edges of a crawl: 3xx responses' Location headers
     // (absolute or relative) resolved to absolute targets against each
     // record's own URI — the frontier edges a fetcher follows. One
@@ -4405,12 +4415,16 @@ object SparkEntry {
         |            ELSE 'text/html; charset=UTF-8' END AS http_content_type
         |FROM documents""".stripMargin,
     // The compliance verdicts recomputed independently: every
-    // 10th-plus-1 page carries the noindex meta.
+    // 10th-plus-1 page carries the noindex meta, every 20th-plus-2 the
+    // noindex header — either channel flips the verdict.
     "warc_meta_robots" ->
       """SELECT '<urn:graft:doc-' || doc_id || '>' AS record_id,
         |       CASE WHEN doc_id % 10 = 1 THEN 'noindex, nofollow'
         |            ELSE '' END AS robots_meta,
-        |       CAST(doc_id % 10 <> 1 AS BOOLEAN) AS indexable
+        |       CASE WHEN doc_id % 20 = 2 THEN 'noindex'
+        |            ELSE '' END AS robots_header,
+        |       CAST(doc_id % 10 <> 1 AND doc_id % 20 <> 2 AS BOOLEAN)
+        |         AS indexable
         |FROM documents""".stripMargin,
     // Redirect edges recomputed independently: absolute Locations pass
     // through, the relative /moved shape resolves against the record's

@@ -37,7 +37,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Schema (one row per record):
   * (warc_file, record_index, warc_type, record_id, target_uri, warc_date,
   * content_type, content_length, http_status, http_content_type,
-  * http_location, payload_digest, truncated, payload).
+  * http_location, http_robots_tag, payload_digest, truncated, payload).
   */
 class WarcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-warc"
@@ -71,6 +71,10 @@ object WarcDataSource {
     // target_uri with LinkGraph.resolveUrl): the redirect edge the
     // frontier follows; null for non-http / non-redirect records
     StructField("http_location", StringType),
+    // X-Robots-Tag header — the header-side robots directives (the
+    // compliance opt-out for non-HTML content); pair with
+    // TextOps.metaRobots over the payload for the page-level half
+    StructField("http_robots_tag", StringType),
     // WARC-Payload-Digest when present (any record kind) — the join key
     // that resolves `revisit` records back to the capture they
     // deduplicate (ISO 28500 §6.7). Parsed from the headers, so it is
@@ -289,7 +293,7 @@ private[warc] class WarcPartitionReader(
   // either forces the decode just like asking for the payload itself
   private val wantPayload = columns.exists(c =>
     c == "payload" || c == "http_status" || c == "http_content_type" ||
-      c == "http_location")
+      c == "http_location" || c == "http_robots_tag")
 
   private def ensureOpen(): Unit = if (it == null) {
     val hconf = new Configuration()
@@ -321,6 +325,7 @@ private[warc] class WarcPartitionReader(
       case "http_status" => r => r.httpStatus
       case "http_content_type" => r => s(r.httpContentType)
       case "http_location" => r => s(r.httpLocation)
+      case "http_robots_tag" => r => s(r.httpRobotsTag)
       case "payload_digest" => r => s(r.payloadDigest)
       case "truncated" => r => s(r.truncated)
       case "payload" => r => s(r.payload)

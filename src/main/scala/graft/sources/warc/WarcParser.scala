@@ -30,6 +30,7 @@ final case class WarcRecord(
     httpStatus: Integer = null,
     httpContentType: String = null,
     httpLocation: String = null,
+    httpRobotsTag: String = null,
     payloadDigest: String = null,
     truncated: String = null)
 
@@ -146,12 +147,11 @@ final class WarcRecordIterator(
           val trunc = g("warc-truncated")
           pending =
             if (isHttp) {
-              val (status, httpCt, loc, body) =
-                WarcRecordIterator.stripHttpEnvelope(bytes)
+              val env = WarcRecordIterator.stripHttpEnvelope(bytes)
               WarcRecord(
                 g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
-                g("warc-date"), g("content-type"), len, body, status, httpCt,
-                loc, digest, trunc)
+                g("warc-date"), g("content-type"), len, env.body, env.status,
+                env.contentType, env.location, env.robotsTag, digest, trunc)
             } else
               WarcRecord(
                 g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
@@ -319,8 +319,16 @@ object WarcRecordIterator {
     * and the raw bytes preserve what was actually captured. A payload
     * with no blank line at all (malformed envelope) is returned verbatim
     * with null status. */
-  private[warc] def stripHttpEnvelope(
-      bytes: Array[Byte]): (Integer, String, String, String) = {
+  /** The parsed HTTP response envelope — what [[stripHttpEnvelope]]
+    * surfaces as columns next to the decoded body. */
+  private[warc] final case class HttpEnvelope(
+      status: Integer,
+      contentType: String,
+      location: String,
+      robotsTag: String,
+      body: String)
+
+  private[warc] def stripHttpEnvelope(bytes: Array[Byte]): HttpEnvelope = {
     // find the first \r\n\r\n or \n\n; remember where the body starts
     var i = 0
     var bodyStart = -1
@@ -333,7 +341,8 @@ object WarcRecordIterator {
       }
       i += 1
     }
-    if (bodyStart < 0) return (null, null, null, decodeBody(bytes, null))
+    if (bodyStart < 0)
+      return HttpEnvelope(null, null, null, null, decodeBody(bytes, null))
     val envLines = new String(bytes, 0, bodyStart, UTF_8).split("\r?\n")
     val status: Integer =
       if (envLines.nonEmpty && envLines(0).startsWith("HTTP/")) {
@@ -353,6 +362,9 @@ object WarcRecordIterator {
     // downstream against the record's target URI): the redirect edge a
     // frontier must follow, ~a third of real crawl fetches
     val httpLoc = header("location").orNull
+    // the header-side robots directives (X-Robots-Tag) — the compliance
+    // opt-out for non-HTML content that has no <meta> to carry it
+    val robotsTag = header("x-robots-tag").orNull
     var body = java.util.Arrays.copyOfRange(bytes, bodyStart, bytes.length)
     // HTTP layering: Transfer-Encoding (message framing) unwraps FIRST,
     // Content-Encoding (entity coding) second — a chunked capture of a
@@ -386,6 +398,6 @@ object WarcRecordIterator {
         if (!over) body = out.toByteArray
       } catch { case scala.util.control.NonFatal(_) => () } // keep raw bytes
     }
-    (status, httpCt, httpLoc, decodeBody(body, httpCt))
+    HttpEnvelope(status, httpCt, httpLoc, robotsTag, decodeBody(body, httpCt))
   }
 }

@@ -312,16 +312,21 @@ class CoreExtrasSpec extends SparkSpec {
       rec(7, httpCt, http("", "cut body".getBytes("UTF-8")),
         extra = "WARC-Truncated: length\r\n") ++
       // 8: a 302 with a relative Location — surfaced verbatim (the
-      // QUERY resolves it against target_uri via LinkGraph.resolveUrl)
-      rec(8, httpCt, ("HTTP/1.1 302 Found\r\nLocation: /next\r\n\r\n")
-        .getBytes("UTF-8"))
+      // QUERY resolves it against target_uri via LinkGraph.resolveUrl) —
+      // plus the header-side robots opt-out
+      rec(8, httpCt, ("HTTP/1.1 302 Found\r\nLocation: /next\r\n" +
+        "X-Robots-Tag: noindex, nofollow\r\n\r\n").getBytes("UTF-8"))
     val d = java.nio.file.Files.createTempDirectory("graft_warc_bom")
     java.nio.file.Files.write(d.resolve("b.warc"), bytes)
     val rows = Loader.load(spark, d.resolve("b.warc").toString)
       .orderBy("record_index").collect()
     rows(7).getAs[Any]("http_status") shouldBe 302
     rows(7).getAs[String]("http_location") shouldBe "/next"
-    rows.take(7).foreach(_.getAs[String]("http_location") shouldBe null)
+    rows(7).getAs[String]("http_robots_tag") shouldBe "noindex, nofollow"
+    rows.take(7).foreach { r =>
+      r.getAs[String]("http_location") shouldBe null
+      r.getAs[String]("http_robots_tag") shouldBe null
+    }
     rows(0).getAs[String]("payload") shouldBe "café" // no U+FEFF residue
     rows(1).getAs[String]("payload") shouldBe "hi"
     rows(2).getAs[String]("payload") shouldBe "Wikipedia works"
