@@ -353,9 +353,23 @@ object Demo {
           "<a href=\"/tos\">Terms of service page</a></div></body></html>")
           .getBytes("UTF-8")
         // true Common-Crawl response shape: the record payload is the
-        // whole HTTP message; the reader strips the envelope
-        val msg = ("HTTP/1.1 200 OK\r\n" +
-          "Content-Type: text/html; charset=UTF-8\r\n\r\n").getBytes("UTF-8") ++ page
+        // whole HTTP message; the reader strips the envelope. Round-9
+        // realism: every 10th page is a 301 (Location surfaced), every
+        // 10th-plus-1 opts out via <meta robots>, every 20th-plus-2 via
+        // the X-Robots-Tag header.
+        val id = r.getLong(0)
+        val statusLine =
+          if (id % 10 == 5) "HTTP/1.1 301 Moved Permanently\r\nLocation: /moved\r\n"
+          else "HTTP/1.1 200 OK\r\n"
+        val extra =
+          if (id % 20 == 2) "X-Robots-Tag: noindex\r\n" else ""
+        val taggedPage =
+          if (id % 10 == 1)
+            "<meta name=\"robots\" content=\"noindex\">".getBytes("UTF-8") ++ page
+          else page
+        val msg = (statusLine + extra +
+          "Content-Type: text/html; charset=UTF-8\r\n\r\n").getBytes("UTF-8") ++
+          taggedPage
         out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
           s"WARC-Record-ID: <urn:demo:${r.getLong(0)}>\r\n" +
           s"WARC-Target-URI: https://www.${r.getString(1)}.co.uk/p/${r.getLong(0)}\r\n" +
@@ -424,6 +438,49 @@ object Demo {
       graft.sources.Writer.shardAssignments(docs, "doc_id", 8, seed = 7L)
         .join(l0, "doc_id").select("shard").distinct().count()
     } + " of 8 shards (a real re-permutation, not a relabeling)")
+
+    // The round-9 crawl surface over the same archive: redirect edges,
+    // page- and header-level robots compliance, sitemap discovery, and
+    // the GPT-2-style pre-tokenized BPE fit.
+    val redirects = crawled
+      .filter(col("http_status") === 301 && col("http_location").isNotNull)
+      .withColumn("target",
+        graft.ops.LinkGraph.resolveUrl(col("target_uri"), col("http_location")))
+    val compliance = crawled.select(
+      graft.ops.TextOps.metaRobots(col("payload")).as("m"),
+      lower(coalesce(col("http_robots_tag"), lit(""))).as("h"))
+    println(s"crawl compliance: ${redirects.count()} redirects " +
+      s"(relative Locations resolved: ${redirects.filter(col("target").startsWith("https://")).count()}), " +
+      s"${compliance.filter(col("m").rlike("\\bnoindex\\b")).count()} meta opt-outs, " +
+      s"${compliance.filter(col("h").rlike("\\bnoindex\\b")).count()} header opt-outs honored")
+    locally {
+      import spark.implicits._
+      val robots = Seq(("www.demo.com",
+        "User-agent: graftbot\nDisallow:\n\nUser-agent: *\nDisallow: /\n" +
+          "Crawl-delay: 2\nSitemap: https://www.demo.com/sitemap.xml"))
+        .toDF("host", "content")
+      val rules = graft.ops.Robots.robotsParse(robots, "host", "content").cache()
+      val ok = graft.ops.Robots.robotsAllowed(
+        Seq((1L, "https://www.demo.com/page")).toDF("id", "url"), "url",
+        rules, "graftbot").head().getBoolean(2)
+      println(s"robots: whitelist idiom allows graftbot: $ok; " +
+        s"${graft.ops.Robots.sitemaps(rules).count()} sitemap declared; " +
+        s"others throttled to ${graft.ops.Robots.crawlDelays(rules, "otherbot").head().getDouble(1)}s")
+      val entries = graft.ops.Sitemap.sitemapEntries(Seq((1L,
+        "<urlset><url><loc>https://www.demo.com/a</loc>" +
+          "<lastmod>2026-03-01</lastmod><priority>0.9</priority></url>" +
+          "<url><loc>https://www.demo.com/b</loc></url></urlset>"))
+        .toDF("id", "xml"), "xml")
+      println(s"sitemap: ${entries.count()} entries, " +
+        s"${entries.filter(col("sitemap_lastmod").isNotNull).count()} with lastmod " +
+        "(recrawl-scheduling metadata)")
+    }
+    locally {
+      val pm = graft.ops.Bpe.bpeFit(docs.limit(500), "text", numMerges = 8,
+        pretok = Some(graft.ops.Bpe.Gpt2PretokPattern))
+      println(s"pretok bpe: ${pm.merges.size} merges learned under the GPT-2 " +
+        s"pre-split, ${pm.merges.count(_._1.startsWith(" "))} space-glued")
+    }
 
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =
