@@ -1778,6 +1778,20 @@ object SparkEntry {
             .select("target_uri", "payload"),
           "payload", "target_uri"),
         "target_uri", "link_url", rules = graft.ops.Psl.snapshotWithPrivate)),
+    // ANCHOR TEXT — the text other pages use to describe a target URL,
+    // the web-scale query-document relevance signal a training pipeline
+    // mines: per (canonical target, anchor) counts. The oracle replays
+    // extraction, resolution, canonicalization (the cosmetically-doubled
+    // github spelling collapses onto one dst, its two anchors stay
+    // distinct rows) AND the aggregation from the source columns.
+    "warc_anchor_text" -> ((s, dir) =>
+      graft.ops.LinkGraph.extractAnchors(
+        graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_links.warc")
+          .select("target_uri", "payload"),
+        "payload", "target_uri")
+        .withColumn("dst", Url.canonicalizeUrl(col("link_url")))
+        .groupBy("dst", "anchor_text")
+        .agg(count(lit(1)).as("n_links"))),
     // The whole frontier mile COMPOSED (no new op — the §2.12
     // composed-query convention): crawled pages → outlinks, UNIONED with
     // the sitemap-discovered branch (robots.txt `Sitemap:` lines →
@@ -4517,6 +4531,28 @@ object SparkEntry {
         |SELECT s AS src_domain, t AS dst_domain,
         |       CAST(count(*) AS BIGINT) AS n_links
         |FROM e GROUP BY 1, 2""".stripMargin,
+    // Anchor text replayed from the source columns: each page emits six
+    // (resolved target, anchor) pairs — partner/cdn/about/archive/docs
+    // plus the doubled docs spelling, which canonicalization collapses
+    // onto the same dst while its 'docs again' anchor stays a distinct
+    // row; mailto and fragment anchors never extract.
+    "warc_anchor_text" ->
+      """WITH u AS (SELECT doc_id, source FROM documents),
+        |     a AS (SELECT 'https://src' || (doc_id % 7) || '-news.com/a/b' AS dst,
+        |                  'partner' AS anchor_text FROM u
+        |           UNION ALL SELECT 'https://cdn.' || source || '.net/lib.js',
+        |                  'cdn' FROM u
+        |           UNION ALL SELECT 'https://www.' || source ||
+        |                  '.co.uk/about/contact.html', 'about' FROM u
+        |           UNION ALL SELECT 'https://www.' || source || '.co.uk/p/' ||
+        |                  doc_id || '/archive/page' || (doc_id % 5) || '.html',
+        |                  'archive' FROM u
+        |           UNION ALL SELECT 'https://docs.' || source || '.github.io/guide',
+        |                  'docs' FROM u
+        |           UNION ALL SELECT 'https://docs.' || source || '.github.io/guide',
+        |                  'docs again' FROM u)
+        |SELECT dst, anchor_text, CAST(count(*) AS BIGINT) AS n_links
+        |FROM a GROUP BY 1, 2""".stripMargin,
     // The surviving frontier recomputed independently: even partner
     // hosts (odd ones robots-deny /a/), the root-relative about page,
     // each page's document-relative archive link, ONE github URL per

@@ -67,6 +67,52 @@ object LinkGraph {
       .drop("__graft_h")
   }
 
+  /** Complete `<a …>text</a>` pairs whose inner text carries NO nested
+    * markup — `[^<]*` keeps the scan linear (RE2-compatible, no
+    * backtracking) and is also the honesty boundary: an anchor wrapping
+    * another tag (`<a…><b>x</b></a>`) is NOT matched here (its link is
+    * still extracted by [[extractLinks]], whose pattern is tag-only). */
+  private val AnchorPairPattern = "(?is)<a[\\s/][^>]*>[^<]*</a\\s*>"
+
+  /** One row per outlink WITH its anchor text: appends `urlOut` (the
+    * href resolved to an absolute URL, exactly [[extractLinks]]'
+    * resolution) and `anchorOut` (the tag's inner text,
+    * whitespace-collapsed and trimmed) to every input row.
+    *
+    * Anchor text is the classic web-scale relevance signal — the
+    * query-document pair miner of a training pipeline: the text OTHER
+    * pages use to describe a target URL. Same skip rules as
+    * [[extractLinks]] (empty hrefs, pure fragments, mailto/javascript/
+    * data/tel); additionally only simple anchors (no nested markup in
+    * the inner text — see [[AnchorPairPattern]]) yield rows, and an
+    * anchor whose inner text is all whitespace emits `''` (kept: an
+    * image-only anchor is still a link-graph edge with empty evidence).
+    *
+    * Scale shape: one generator (explode) over a narrow per-row
+    * projection, no shuffle — the [[extractLinks]] shape with one more
+    * per-match regex extract. */
+  def extractAnchors(
+      df: DataFrame,
+      htmlCol: String,
+      baseUrlCol: String,
+      urlOut: String = "link_url",
+      anchorOut: String = "anchor_text"): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(htmlCol, baseUrlCol))
+    graft.core.Validators.requireColumnsAbsent(
+      df, Seq(urlOut, anchorOut), "extractAnchors")
+    val pairs = regexp_extract_all(col(htmlCol), lit(AnchorPairPattern), lit(0))
+    val href = trim(regexp_extract(col("__graft_pair"), HrefPattern, 1), "\"'")
+    val inner = regexp_extract(col("__graft_pair"), "(?is)>([^<]*)</a\\s*>$", 1)
+    df.withColumn("__graft_pair", explode(pairs))
+      .withColumn("__graft_h", href)
+      .filter(col("__graft_h") =!= "" &&
+        !col("__graft_h").startsWith("#") &&
+        !col("__graft_h").rlike(SkipSchemes))
+      .withColumn(urlOut, resolveUrl(col(baseUrlCol), col("__graft_h")))
+      .withColumn(anchorOut, trim(regexp_replace(inner, "\\s+", " ")))
+      .drop("__graft_pair", "__graft_h")
+  }
+
   /** Resolve `ref` to an ABSOLUTE URL against `base` — the RFC-3986-lite
     * rule set documented on [[extractLinks]] (absolute kept,
     * protocol-relative gains the base scheme, root-relative gains

@@ -3505,6 +3505,38 @@ class OpsSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
   }
 
+  test("LinkGraph: anchor-text extraction — pairs, skips, whitespace, nested-markup boundary") {
+    import graft.ops.LinkGraph
+    val page =
+      """<html><body>
+        |<a href="https://other.com/x">plain anchor</a>
+        |<a href='/p.html'>  spaced
+        |   anchor  </a>
+        |<a class="y" href=bare.html></a>
+        |<a href="https://img.com/i"><img src="i.png"></a>
+        |<a href="mailto:a@b.c">mail</a>
+        |<a href="#frag">frag</a>
+        |<A HREF="https://caps.com/Y">CAPS TAG</A>
+        |</body></html>""".stripMargin
+    val df = Seq((1L, "https://www.site.co.uk/dir/index.html", page))
+      .toDF("id", "base", "html")
+    val out = LinkGraph.extractAnchors(df, "html", "base")
+      .select("link_url", "anchor_text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    out shouldBe Seq(
+      // inner whitespace collapses; an empty-text anchor stays a row
+      ("https://other.com/x", "plain anchor"),
+      ("https://www.site.co.uk/p.html", "spaced anchor"),
+      ("https://www.site.co.uk/dir/bare.html", ""),
+      // the nested-markup anchor (<img> inside) is NOT matched — the
+      // documented AnchorPairPattern boundary — and the case-folded tag is;
+      // mailto/fragment skip exactly as extractLinks
+      ("https://caps.com/Y", "CAPS TAG"))
+    // payload columns pass through untouched
+    LinkGraph.extractAnchors(df, "html", "base").columns.toSeq shouldBe
+      Seq("id", "base", "html", "link_url", "anchor_text")
+  }
+
   test("LangId: hand-checked NB fit, argmax score, default path, save/load round trip") {
     import graft.ops.LangId
     def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
