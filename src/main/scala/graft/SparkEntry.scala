@@ -295,7 +295,30 @@ object SparkEntry {
         payloadOf = { r =>
           val id = r.getLong(0)
           val source = r.getString(4)
-          val body = ("<html><body><p>crawl page body text</p>" +
+          // …and a HEAD block (warc_html_meta / warc_canonical_dedup):
+          // title always; meta description absent on %4==3 and
+          // attribute-REVERSED on %4==0; rel=canonical absent on %5==0,
+          // RELATIVE (resolution must run) on %5==2, href-first attribute
+          // order on %4==1 — three pages share each /c/<id DIV 3> key, so
+          // the canonical dedup has real collapse to prove. None of these
+          // tags match the <a…> patterns, so every link/frontier oracle
+          // over this archive is untouched.
+          val canonicalTag =
+            if (id % 5 == 0) ""
+            else {
+              val target =
+                if (id % 5 == 2) s"/c/${id / 3}"
+                else s"https://www.$source.co.uk/c/${id / 3}"
+              if (id % 4 == 1) s"""<link href="$target" rel="canonical">"""
+              else s"""<link rel="canonical" href="$target">"""
+            }
+          val descTag =
+            if (id % 4 == 3) ""
+            else if (id % 4 == 0)
+              s"""<meta content="summary ${id % 7} of page" name="description">"""
+            else s"""<meta name="description" content="summary ${id % 7} of page">"""
+          val head = s"<head><title>Page $id - $source</title>$descTag$canonicalTag</head>"
+          val body = (s"<html>$head<body><p>crawl page body text</p>" +
             s"""<a href="https://src${id % 7}-news.com/a/b">partner</a>""" +
             s"""<a href="//cdn.$source.net/lib.js">cdn</a>""" +
             s"""<a href="/about/contact.html">about</a>""" +
@@ -1792,6 +1815,34 @@ object SparkEntry {
         .withColumn("dst", Url.canonicalizeUrl(col("link_url")))
         .groupBy("dst", "anchor_text")
         .agg(count(lit(1)).as("n_links"))),
+    // HEAD metadata ingest columns — title, meta description (both
+    // attribute orders), rel=canonical (both orders, absent on every
+    // 5th page, RELATIVE on every 5th-plus-2). One narrow projection;
+    // the oracle replays every shape from the source columns.
+    "warc_html_meta" -> ((s, dir) =>
+      graft.ops.TextOps.htmlHead(
+        graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_links.warc")
+          .select("target_uri", "payload"),
+        "payload")
+        .drop("payload")),
+    // CANONICAL-URL dedup (RFC 6596) — the crawl-side collapse that runs
+    // BEFORE any content comparison: group pages by their declared
+    // canonical (resolved against the page URL, then canonicalized;
+    // pages without one key on themselves), keep the lexicographically
+    // first member as the fetch representative.
+    "warc_canonical_dedup" -> ((s, dir) => {
+      val pages = graft.sources.Loader
+        .load(s, warcFixture(s, dir) + "/docs_links.warc")
+        .select("target_uri", "payload")
+      pages
+        .withColumn("__c", graft.ops.TextOps.relCanonical(col("payload")))
+        .withColumn("canonical_key", Url.canonicalizeUrl(
+          coalesce(
+            graft.ops.LinkGraph.resolveUrl(col("target_uri"), col("__c")),
+            col("target_uri"))))
+        .groupBy("canonical_key")
+        .agg(count(lit(1)).as("n_pages"), min("target_uri").as("kept_uri"))
+    }),
     // The whole frontier mile COMPOSED (no new op — the §2.12
     // composed-query convention): crawled pages → outlinks, UNIONED with
     // the sitemap-discovered branch (robots.txt `Sitemap:` lines →
@@ -4553,6 +4604,41 @@ object SparkEntry {
         |                  'docs again' FROM u)
         |SELECT dst, anchor_text, CAST(count(*) AS BIGINT) AS n_links
         |FROM a GROUP BY 1, 2""".stripMargin,
+    // Every head-block shape replayed: title always, description NULL on
+    // %4==3 (reversed attribute order on %4==0 extracts identically),
+    // canonical NULL on %5==0 and VERBATIM otherwise — the relative
+    // %5==2 href stays relative here (resolution is the dedup query's
+    // job, this op reports what the page declared).
+    "warc_html_meta" ->
+      """SELECT 'https://www.' || source || '.co.uk/p/' || doc_id ||
+        |         '/index.html' AS target_uri,
+        |       'Page ' || doc_id || ' - ' || source AS title,
+        |       CASE WHEN doc_id % 4 = 3 THEN NULL
+        |            ELSE 'summary ' || (doc_id % 7) || ' of page' END
+        |         AS meta_description,
+        |       CASE WHEN doc_id % 5 = 0 THEN NULL
+        |            WHEN doc_id % 5 = 2 THEN '/c/' || (doc_id // 3)
+        |            ELSE 'https://www.' || source || '.co.uk/c/' ||
+        |                 (doc_id // 3) END AS canonical_url
+        |FROM documents""".stripMargin,
+    // The canonical collapse replayed: pages without a declared
+    // canonical key on their own URL; the rest (absolute AND the
+    // resolved relative shape) share /c/<id DIV 3> per source, so up to
+    // three pages collapse onto one key with the smallest page URL
+    // (string order) kept.
+    "warc_canonical_dedup" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN doc_id % 5 = 0
+        |              THEN 'https://www.' || source || '.co.uk/p/' ||
+        |                   doc_id || '/index.html'
+        |              ELSE 'https://www.' || source || '.co.uk/c/' ||
+        |                   (doc_id // 3) END AS canonical_key,
+        |         'https://www.' || source || '.co.uk/p/' || doc_id ||
+        |           '/index.html' AS uri
+        |  FROM documents)
+        |SELECT canonical_key, CAST(count(*) AS BIGINT) AS n_pages,
+        |       min(uri) AS kept_uri
+        |FROM k GROUP BY 1""".stripMargin,
     // The surviving frontier recomputed independently: even partner
     // hosts (odd ones robots-deny /a/), the root-relative about page,
     // each page's document-relative archive link, ONE github URL per

@@ -566,14 +566,74 @@ object TextOps {
     * the same way crawlers do. RE2-compatible (the two attribute orders
     * as separate patterns — no lookarounds), shared with the oracle;
     * one narrow projection. */
-  def metaRobots(html: Column): Column = {
+  def metaRobots(html: Column): Column =
+    lower(trim(metaContentRaw(html, "robots")))
+
+  /** `<meta name="<name>" content="…">` extraction, both attribute
+    * orders — the shared core of [[metaRobots]] and [[metaContent]].
+    * Yields `''` when the tag is absent. `name` must be a plain
+    * attribute token (letters/digits/`:_-`) — it is spliced into the
+    * pattern verbatim. */
+  private def metaContentRaw(html: Column, name: String): Column = {
+    require(name.matches("[A-Za-z0-9:_-]+"),
+      s"meta name must be a plain token, got '$name'")
     val nameFirst = regexp_extract(html,
-      "(?is)<meta[^>]*\\bname\\s*=\\s*[\"']?robots[\"']?[^>]*" +
+      "(?is)<meta[^>]*\\bname\\s*=\\s*[\"']?" + name + "[\"']?[^>]*" +
         "\\bcontent\\s*=\\s*[\"']([^\"']*)", 1)
     val contentFirst = regexp_extract(html,
       "(?is)<meta[^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"'][^>]*" +
-        "\\bname\\s*=\\s*[\"']?robots[\"']?", 1)
-    lower(trim(when(nameFirst =!= "", nameFirst).otherwise(contentFirst)))
+        "\\bname\\s*=\\s*[\"']?" + name + "[\"']?", 1)
+    when(nameFirst =!= "", nameFirst).otherwise(contentFirst)
+  }
+
+  /** The content of a named `<meta>` tag (description, keywords, any
+    * plain-token name), whitespace-collapsed and trimmed; NULL when the
+    * page has no such tag (or its content is empty — indistinguishable
+    * by construction, documented). Both attribute orders, RE2-safe. */
+  def metaContent(html: Column, name: String): Column = {
+    val raw = trim(regexp_replace(metaContentRaw(html, name), "\\s+", " "))
+    when(raw =!= "", raw)
+  }
+
+  /** The page `<title>` — first title tag's inner text (nested markup in
+    * a title is invalid HTML and not matched), whitespace-collapsed and
+    * trimmed; NULL when absent or empty. */
+  def htmlTitle(html: Column): Column = {
+    val raw = trim(regexp_replace(
+      regexp_extract(html, "(?is)<title[^>]*>([^<]*)</title", 1), "\\s+", " "))
+    when(raw =!= "", raw)
+  }
+
+  /** The `<link rel="canonical" href="…">` target — the page's OWN
+    * declared canonical URL (RFC 6596), the crawl-side dedup signal that
+    * collapses print/mobile/tracking variants BEFORE any content
+    * comparison runs. Both attribute orders, either quote style or bare
+    * href; NULL when absent. The value is returned VERBATIM (sites emit
+    * relative canonicals — resolve against the page URL with
+    * [[graft.ops.LinkGraph.resolveUrl]]). */
+  def relCanonical(html: Column): Column = {
+    val relFirst = regexp_extract(html,
+      "(?is)<link[^>]*\\brel\\s*=\\s*[\"']?canonical[\"']?[^>]*" +
+        "\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1)
+    val hrefFirst = regexp_extract(html,
+      "(?is)<link[^>]*\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)[^>]*" +
+        "\\brel\\s*=\\s*[\"']?canonical[\"']?", 1)
+    val raw = trim(when(relFirst =!= "", relFirst).otherwise(hrefFirst), "\"'")
+    when(raw =!= "", raw)
+  }
+
+  /** The head-metadata columns of an HTML page in one pass: appends
+    * `title`, `meta_description`, `canonical_url` ([[htmlTitle]] /
+    * [[metaContent]](description) / [[relCanonical]]) — the ingest
+    * columns a document store keys search snippets and canonical-dedup
+    * on. One narrow projection, no shuffle. */
+  def htmlHead(df: DataFrame, htmlCol: String): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(htmlCol))
+    graft.core.Validators.requireColumnsAbsent(
+      df, Seq("title", "meta_description", "canonical_url"), "htmlHead")
+    df.withColumn("title", htmlTitle(col(htmlCol)))
+      .withColumn("meta_description", metaContent(col(htmlCol), "description"))
+      .withColumn("canonical_url", relCanonical(col(htmlCol)))
   }
 
   /** The six-entity decode table shared by [[htmlToText]] and

@@ -2357,6 +2357,36 @@ class OpsSpec extends SparkSpec {
     out(4L) shouldBe ""
   }
 
+  test("TextOps.htmlHead: title collapse, description both orders, canonical shapes") {
+    val df = Seq(
+      (1L, "<html><head><title> My  Page\n Title </title>" +
+        """<meta name="description" content="a  desc">""" +
+        """<link rel="canonical" href="https://ex.com/c1"></head><body>x"""),
+      // content-first meta, href-first link, single quotes, bare href
+      (2L, """<meta content="d2" name='description'>""" +
+        """<link href=/rel/c2 rel=canonical>"""),
+      // nothing declared → all NULL; empty title is NULL too
+      (3L, "<title></title><p>plain</p>"),
+      // uppercase tag + attributes still match
+      (4L, """<LINK REL="CANONICAL" HREF="https://ex.com/C4"><TITLE>T4</TITLE>"""),
+    ).toDF("id", "html")
+    val out = graft.ops.TextOps.htmlHead(df, "html")
+      .select("id", "title", "meta_description", "canonical_url")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    out(1L) shouldBe (("My Page Title", "a desc", "https://ex.com/c1"))
+    out(2L) shouldBe ((null, "d2", "/rel/c2"))
+    out(3L) shouldBe ((null, null, null))
+    // rel=CANONICAL matches case-insensitively; href VALUE case is kept
+    out(4L) shouldBe (("T4", null, "https://ex.com/C4"))
+    // metaContent generalizes: any plain-token name, injection rejected
+    df.filter($"id" === 1L)
+      .select(graft.ops.TextOps.metaContent($"html", "description"))
+      .head().getString(0) shouldBe "a desc"
+    an[IllegalArgumentException] should be thrownBy
+      graft.ops.TextOps.metaContent($"html", "a[b")
+  }
+
   test("TextOps.splitSentences: reading-order ids, empties dropped, no lookbehind") {
     val df = Seq(
       (1L, "One. Two two! Three? End"),
