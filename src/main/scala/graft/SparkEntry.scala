@@ -384,6 +384,46 @@ object SparkEntry {
           java.nio.file.Files.write(p.resolve(f"part-$k%03d.warc"), o.toByteArray)
         }
       }
+      // ...and the CDX-J INDEX of that revisit archive (cdx_read /
+      // cdx_host_lookup): one `urlkey ts {json}` line per capture in the
+      // pywb/cc-index convention — responses at the Jan capture time,
+      // every 4th doc's revisit at the Feb refetch with mime
+      // 'warc/revisit' and status '-' (the format's no-status marker; the
+      // reader's try_cast turns it NULL). The urlkey strings replay the
+      // four synthUrl SURT shapes verbatim, so the reader's parse — NOT
+      // the fixture — is what the oracle checks. One trailing blank line
+      // per shard proves the blank-drop.
+      locally {
+        val outs = Array.fill(WarcShards)(new StringBuilder())
+        def surtOf(id: Long, source: String): String = (id % 4) match {
+          case 0 => s"com,$source-news)/a/b/c?x=1"
+          case 1 => s"uk,co,$source,blog)/post/$id"
+          case 2 => s"org,$source-cdn:8080)/dl/v2"
+          case _ => s"net,$source,files)/"
+        }
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          val shard = (id % WarcShards).toInt
+          val key = surtOf(id, r.getString(4))
+          val url = r.getString(1)
+          val len = r.getString(2).getBytes("UTF-8").length + 45
+          outs(shard).append(
+            s"""$key 20260101000000 {"url": "$url", "mime": "text/plain", """ +
+              s""""status": "200", "digest": "sha1:GRAFT$id", "length": "$len", """ +
+              s""""offset": "0", "filename": "part-$shard.warc"}\n""")
+          if (id % 4 == 0)
+            outs(shard).append(
+              s"""$key 20260201000000 {"url": "$url", "mime": "warc/revisit", """ +
+                s""""status": "-", "digest": "sha1:GRAFT$id", "length": "0", """ +
+                s""""offset": "0", "filename": "part-$shard.warc"}\n""")
+        }
+        val p = java.nio.file.Paths.get(d, "docs.cdxj")
+        java.nio.file.Files.createDirectories(p)
+        outs.zipWithIndex.foreach { case (o, k) =>
+          java.nio.file.Files.write(p.resolve(f"part-$k%03d.cdxj"),
+            (o.toString + "\n").getBytes("UTF-8"))
+        }
+      }
       d
     })
 
@@ -1789,6 +1829,40 @@ object SparkEntry {
         .filter(col("warc_type") === "response")
         .groupBy(coalesce(col("truncated"), lit("none")).as("truncated"))
         .agg(count(lit(1)).as("n_records"))),
+    // The CDX INDEX BUILD — crawl archive → cc-index records: SURT
+    // urlkey (one domain's captures sort contiguously), 14-digit capture
+    // timestamp, mime (warc/revisit for refetch records, the cc-index
+    // convention), status, digest, record length. The write side of the
+    // index the cdx_* queries read; one narrow projection, no shuffle —
+    // a real build then sorts by (urlkey, cdx_ts), which is ONE
+    // range-partitioned sort at any scale.
+    "warc_cdx_index" -> ((s, dir) =>
+      graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_revisit.warc")
+        .select(
+          Url.surtKey(col("target_uri")).as("urlkey"),
+          regexp_replace(col("warc_date"), "[-:TZ]", "").as("cdx_ts"),
+          col("target_uri").as("url"),
+          when(col("warc_type") === "revisit", lit("warc/revisit"))
+            .otherwise(trim(regexp_extract(col("http_content_type"),
+              "^([^;]*)", 1))).as("mime"),
+          col("http_status").as("status"),
+          col("payload_digest").as("digest"),
+          col("content_length").as("length"))),
+    // The CDX-J SOURCE read end to end: every line of the index fixture
+    // parsed to typed columns (status '-' on revisit lines goes NULL via
+    // try_cast, blank lines drop). The oracle replays both line kinds
+    // from the documents table — the reader's parse, not the fixture, is
+    // under test.
+    "cdx_read" -> ((s, dir) =>
+      graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs.cdxj")),
+    // The lookup pattern SURT keys exist for: one host family's captures
+    // as a PREFIX scan over the urlkey space (here every blog.*.co.uk
+    // capture) — on a (urlkey, cdx_ts)-sorted index this is a contiguous
+    // range read, never a full scan.
+    "cdx_host_lookup" -> ((s, dir) =>
+      graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs.cdxj")
+        .filter(col("urlkey").startsWith("uk,co,"))
+        .select("urlkey", "cdx_ts", "url", "status")),
     // The crawl LINK graph first mile: WARC pages → outlink extraction
     // (every href resolution shape) → registered-domain edges under
     // with-private PSL semantics. The oracle recomputes the expected
@@ -2180,6 +2254,12 @@ object SparkEntry {
         rt(s, dir, "documents").select(col("doc_id"), synthMessyUrl.as("url")),
         "url")
         .select("doc_id", "url", "url_canonical")),
+    // The SURT index key over the same messy shapes: canonicalization,
+    // www-strip, host-label reversal, kept non-default port, sorted
+    // query — and NULL for the non-URL passthrough (no host, no key).
+    "text_url_surt" -> ((s, dir) =>
+      rt(s, dir, "documents").select(
+        col("doc_id"), Url.surtKey(synthMessyUrl).as("surt_key"))),
     // Crawl politeness as a corpus filter: per-host robots.txt parsed
     // into the rule table (wildcards, $-anchors, allow-overrides), every
     // URL checked under REP longest-match semantics. The oracle computes
@@ -4519,6 +4599,56 @@ object SparkEntry {
         |         AS truncated,
         |       CAST(count(*) AS BIGINT) AS n_records
         |FROM documents GROUP BY 1""".stripMargin,
+    // Expected cc-index records recomputed independently: every response
+    // capture (urlkey = the synthUrl SURT shape, length = the 45-byte
+    // HTTP envelope + body) plus every 4th document's revisit at the Feb
+    // refetch with mime warc/revisit and no status.
+    "warc_cdx_index" ->
+      s"""WITH u AS (SELECT doc_id, source, text, $synthUrlSql AS url,
+         |                  CASE doc_id % 4
+         |                    WHEN 0 THEN 'com,' || source || '-news)/a/b/c?x=1'
+         |                    WHEN 1 THEN 'uk,co,' || source || ',blog)/post/' || doc_id
+         |                    WHEN 2 THEN 'org,' || source || '-cdn:8080)/dl/v2'
+         |                    ELSE 'net,' || source || ',files)/' END AS urlkey
+         |           FROM documents)
+         |SELECT urlkey, '20260101000000' AS cdx_ts, url,
+         |       'text/plain' AS mime, 200 AS status,
+         |       'sha1:GRAFT' || doc_id AS digest,
+         |       CAST(octet_length(encode(text)) + 45 AS BIGINT) AS length
+         |FROM u
+         |UNION ALL
+         |SELECT urlkey, '20260201000000', url, 'warc/revisit',
+         |       CAST(NULL AS INTEGER), 'sha1:GRAFT' || doc_id, 0
+         |FROM u WHERE doc_id % 4 = 0""".stripMargin,
+    // The CDX-J reader's parse replayed: the same two line kinds with
+    // the reader's typed columns — revisit status '-' is NULL, length 0,
+    // shared offset/filename fields.
+    "cdx_read" ->
+      s"""WITH u AS (SELECT doc_id, source, text, $synthUrlSql AS url,
+         |                  CASE doc_id % 4
+         |                    WHEN 0 THEN 'com,' || source || '-news)/a/b/c?x=1'
+         |                    WHEN 1 THEN 'uk,co,' || source || ',blog)/post/' || doc_id
+         |                    WHEN 2 THEN 'org,' || source || '-cdn:8080)/dl/v2'
+         |                    ELSE 'net,' || source || ',files)/' END AS urlkey,
+         |                  'part-' || (doc_id % 16) || '.warc' AS filename
+         |           FROM documents)
+         |SELECT urlkey, '20260101000000' AS cdx_ts, url,
+         |       'text/plain' AS mime, 200 AS status,
+         |       'sha1:GRAFT' || doc_id AS digest,
+         |       CAST(octet_length(encode(text)) + 45 AS BIGINT) AS length,
+         |       CAST(0 AS BIGINT) AS "offset", filename
+         |FROM u
+         |UNION ALL
+         |SELECT urlkey, '20260201000000', url, 'warc/revisit',
+         |       CAST(NULL AS INTEGER), 'sha1:GRAFT' || doc_id, 0, 0, filename
+         |FROM u WHERE doc_id % 4 = 0""".stripMargin,
+    // The prefix-lookup result: exactly the %4==1 blog captures' lines.
+    "cdx_host_lookup" ->
+      """SELECT 'uk,co,' || source || ',blog)/post/' || doc_id AS urlkey,
+        |       '20260101000000' AS cdx_ts,
+        |       'http://blog.' || source || '.co.uk/post/' || doc_id AS url,
+        |       200 AS status
+        |FROM documents WHERE doc_id % 4 = 1""".stripMargin,
     // Expected robots verdict per shape, recomputed independently:
     // /private/ and /tmp* and /exact$ deny; /private/ok's longer Allow
     // and the off-anchor /exactly survive.
@@ -4567,6 +4697,20 @@ object SparkEntry {
          |         WHEN 4 THEN 'https://' || source || '.com/p'
          |         ELSE 'relative/path only' END AS url_canonical
          |FROM u""".stripMargin,
+    // Expected SURT keys per shape: canonicalization folds case and
+    // default ports first, then www strips, labels reverse comma-joined,
+    // the kept :8080 lands before ')', queries stay sorted, and the
+    // non-URL shape keys NULL.
+    "text_url_surt" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 6
+        |         WHEN 0 THEN 'com,' || source || ')/a/b'
+        |         WHEN 1 THEN 'com,' || source || ')/x?a=1&b=2'
+        |         WHEN 2 THEN 'com,' || source || ':8080)/p?z=1'
+        |         WHEN 3 THEN 'net,' || source || ',files)/'
+        |         WHEN 4 THEN 'com,' || source || ')/p'
+        |         ELSE NULL END AS surt_key
+        |FROM documents""".stripMargin,
     // The fixture's cross-domain links replayed from the source columns:
     // per page, partner (absolute), cdn (protocol-relative → <source>.net)
     // and docs (private github.io suffix → <source>.github.io); the

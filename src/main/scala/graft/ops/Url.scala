@@ -324,6 +324,50 @@ object Url {
         when(sortedQuery =!= "", concat(lit("?"), sortedQuery)).otherwise(lit(""))))
   }
 
+  /** The SURT key (Sort-friendly URI Reordering Transform) of a URL —
+    * the `urlkey` convention of web-archive CDX indexes (OpenWayback /
+    * Common Crawl cc-index): host labels REVERSED and comma-joined so
+    * one domain's captures sort contiguously, then `)` + path + sorted
+    * query. `com,example)/page?a=1` — a prefix scan over the sorted key
+    * space is a domain lookup.
+    *
+    * Built ON [[canonicalizeUrl]] (case folding, userinfo strip,
+    * default-port drop, fragment drop, query sort), then the wayback
+    * canonicalizer's aggressive additions: a leading `www.` label is
+    * stripped, a kept non-default port lands between host and `)`
+    * (`com,example:8080)/p`), and the WHOLE key is lowercased (paths
+    * differing only by case collide — the archive-dedup trade, not a
+    * URL-semantics claim). A bracketed IPv6 host is kept verbatim
+    * (label reversal is a DNS-name notion). NULL for NULL input and for
+    * anything that is not `scheme://…` (no host, no key).
+    *
+    * Pure narrow expressions (split + reverse + array_join — no UDF, no
+    * shuffle); the DuckDB oracle replays it with list functions. */
+  def surtKey(url: Column): Column = {
+    val c = canonicalizeUrl(url)
+    val auth = regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    val bracketed = auth.startsWith("[")
+    val host =
+      when(bracketed, regexp_extract(auth, "^(\\[[^\\]]*\\])", 1))
+        .otherwise(regexp_extract(auth, "^([^:]*)", 1))
+    val port =
+      when(bracketed, regexp_extract(auth, "^\\[[^\\]]*\\]:([0-9]+)$", 1))
+        .otherwise(regexp_extract(auth, "^[^:]*:([0-9]+)$", 1))
+    val hostKey = regexp_replace(host, "^www\\.", "")
+    val revHost = when(bracketed, hostKey)
+      .otherwise(array_join(reverse(split(hostKey, "\\.")), ","))
+    // everything after the authority: path (always non-empty after
+    // canonicalization) + the sorted query
+    val rest = regexp_replace(c, "^[a-z][a-z0-9+.-]*://[^/?#]*", "")
+    when(url.isNull, lit(null).cast("string"))
+      .when(regexp_extract(c, "^([a-z][a-z0-9+.-]*)://", 1) === "",
+        lit(null).cast("string"))
+      .otherwise(lower(concat(
+        revHost,
+        when(port =!= "", concat(lit(":"), port)).otherwise(lit("")),
+        lit(")"), rest)))
+  }
+
   /** Appends `outCol` = [[canonicalizeUrl]] of `urlCol` — the DataFrame
     * form feeding seen-key fits/probes. Pure narrow projection. */
   def canonicalizeUrls(

@@ -59,6 +59,29 @@ class CoreExtrasSpec extends SparkSpec {
     intercept[UnsupportedFormat](Loader.load(spark, "/tmp/whatever.avro.gz"))
   }
 
+  test("Loader reads CDX-J lines: typed fields, '-' status, blank/malformed lenient") {
+    val lines =
+      """com,example)/p?a=1 20260101000000 {"url": "https://example.com/p?a=1", "mime": "text/html", "status": "200", "digest": "sha1:AAA", "length": "512", "offset": "100", "filename": "a.warc"}
+        |
+        |com,example)/p?a=1 20260201000000 {"url": "https://example.com/p?a=1", "mime": "warc/revisit", "status": "-", "digest": "sha1:AAA", "length": "0", "offset": "700", "filename": "a.warc"}
+        |garbage-without-json-block 20260101000000 not-json
+        |""".stripMargin
+    val d = java.nio.file.Files.createTempDirectory("graft_cdxj_t")
+    java.nio.file.Files.write(d.resolve("idx.cdxj"), lines.getBytes("UTF-8"))
+    val df = Loader.load(spark, d.resolve("idx.cdxj").toString)
+    df.count() shouldBe 3 // blank dropped, malformed kept with NULLs
+    val rows = df.orderBy("cdx_ts", "urlkey").collect()
+    rows(0).getAs[String]("urlkey") shouldBe "com,example)/p?a=1"
+    rows(0).getAs[Int]("status") shouldBe 200
+    rows(0).getAs[Long]("length") shouldBe 512L
+    rows(0).getAs[Long]("offset") shouldBe 100L
+    rows(0).getAs[String]("filename") shouldBe "a.warc"
+    rows(1).getAs[String]("urlkey") shouldBe "garbage-without-json-block"
+    rows(1).getAs[String]("url") shouldBe null // quarantine filter target
+    rows(2).getAs[String]("mime") shouldBe "warc/revisit"
+    rows(2).isNullAt(rows(2).fieldIndex("status")) shouldBe true // '-' → NULL via try_cast
+  }
+
   test("Loader reads WARC/WET records: headers, payload framing, gzip, torn tail") {
     def rec(id: Int, uri: Option[String], payload: String): Array[Byte] = {
       val p = payload.getBytes("UTF-8")

@@ -3476,6 +3476,28 @@ class OpsSpec extends SparkSpec {
     out shouldBe cases.map(_._2)
   }
 
+  test("Url.surtKey: label reversal, www strip, ports, query sort, IPv6, non-URL") {
+    val cases = Seq(
+      ("https://www.Example.COM/Page?b=2&a=1", "com,example)/page?a=1&b=2"),
+      ("http://example.com:80/x", "com,example)/x"), // default port drops
+      ("https://sub.blog.example.co.uk:8443/P", "uk,co,example,blog,sub:8443)/p"),
+      ("https://www.example.com", "com,example)/"), // empty path → /
+      // only a LEADING www. label strips
+      ("https://www.www2.example.com/x", "com,example,www2)/x"),
+      ("https://user:pw@example.org/d#frag", "org,example)/d"),
+      // bracketed IPv6 hosts are kept verbatim (no label reversal)
+      ("https://[2001:DB8::5]:8080/x", "[2001:db8::5]:8080)/x"),
+      ("no scheme here", null), // no host → no key
+      (null, null),
+    )
+    import graft.ops.Url
+    val out = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select($"id", Url.surtKey($"url").as("k"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    out shouldBe cases.map(_._2)
+  }
+
   test("LinkGraph: href extraction + resolution, host graph, integer centrality") {
     import graft.ops.{LinkGraph, Psl}
     val page =
