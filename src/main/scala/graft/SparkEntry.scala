@@ -162,6 +162,15 @@ object SparkEntry {
   private val CharsetMarkerLatin = "<p>caf\u00e9 m\u00fcn\u00fc</p>"
   private val CharsetMarkerCjk = "<p>\u4e2d\u6587\u6d4b\u8bd5</p>"
 
+  /** Script markers of text_script_profile (codepoints pinned by escape,
+    * the CharsetMarker convention): Cyrillic "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440", Han "\u4e2d\u6587\u6d4b\u8bd5",
+    * Arabic "\u0645\u0631\u062d\u0628\u0627", and a two-char U+FFFD mojibake marker. */
+  private val ScriptMarkerCyr =
+    " \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"
+  private val ScriptMarkerHan = " \u4e2d\u6587\u6d4b\u8bd5"
+  private val ScriptMarkerArab = " \u0645\u0631\u062d\u0628\u0627"
+  private val ScriptMarkerBad = " \ufffd\ufffd"
+
   private val warcDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
   /** Files per fixture archive directory (the one-task-per-archive read
@@ -2469,6 +2478,22 @@ object SparkEntry {
       TextOps.removeRepeatedSpans(
         rt(s, dir, "documents").select("doc_id", "text"),
         "doc_id", "text", n = 3, maxDocFreq = 5L)),
+    // Unicode-script histogram over a DELIBERATELY multi-script corpus
+    // (the round-8 "inject mess" lesson): per doc_id%5 the text gains a
+    // Cyrillic / Han / Arabic / U+FFFD-mojibake marker (one shape stays
+    // pure). The oracle recomputes every count with RE2's script
+    // classes — two independent regex engines must agree on the same
+    // Unicode script property — and replays the dominant-script
+    // tie-break order.
+    "text_script_profile" -> ((s, dir) =>
+      TextOps.scriptProfile(
+        rt(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(ScriptMarkerCyr)))
+            .when(col("doc_id") % 5 === 1, concat(col("text"), lit(ScriptMarkerHan)))
+            .when(col("doc_id") % 5 === 2, concat(col("text"), lit(ScriptMarkerArab)))
+            .when(col("doc_id") % 5 === 3, concat(col("text"), lit(ScriptMarkerBad)))
+            .otherwise(col("text")).as("text")),
+        "text").drop("text")),
     "text_fingerprint" -> ((s, dir) =>
       rt(s, dir, "documents").select(
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
@@ -5154,6 +5179,38 @@ object SparkEntry {
         |       COALESCE(p.score, (SELECT bias FROM dflt)) AS lang_score
         |FROM documents d LEFT JOIN (SELECT doc_id, lang, score FROM pred WHERE rn = 1) p
         |     USING (doc_id)""".stripMargin,
+    // Script counts recomputed with RE2's script classes over the same
+    // marker-injected text; dominant-script tie-break replayed in the
+    // same order (latin, cyrillic, han, arabic, hangul, kana).
+    "text_script_profile" ->
+      s"""WITH u AS (SELECT doc_id,
+         |                  text || CASE doc_id % 5
+         |                    WHEN 0 THEN '$ScriptMarkerCyr'
+         |                    WHEN 1 THEN '$ScriptMarkerHan'
+         |                    WHEN 2 THEN '$ScriptMarkerArab'
+         |                    WHEN 3 THEN '$ScriptMarkerBad'
+         |                    ELSE '' END AS t
+         |           FROM documents),
+         |     v AS (SELECT doc_id, t,
+         |                  CAST(length(regexp_replace(t, '[^\\p{Latin}]', '', 'g')) AS BIGINT) AS n_latin,
+         |                  CAST(length(regexp_replace(t, '[^\\p{Cyrillic}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+         |                  CAST(length(regexp_replace(t, '[^\\p{Han}]', '', 'g')) AS BIGINT) AS n_han,
+         |                  CAST(length(regexp_replace(t, '[^\\p{Arabic}]', '', 'g')) AS BIGINT) AS n_arabic,
+         |                  CAST(length(regexp_replace(t, '[^\\p{Hangul}]', '', 'g')) AS BIGINT) AS n_hangul,
+         |                  CAST(length(regexp_replace(t, '[^\\p{Hiragana}\\p{Katakana}]', '', 'g')) AS BIGINT) AS n_kana
+         |           FROM u)
+         |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+         |       n_latin, n_cyrillic, n_han, n_arabic, n_hangul, n_kana,
+         |       CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         |       CAST(length(regexp_replace(t, '[^\\x{FFFD}]', '', 'g')) AS BIGINT) AS n_replacement,
+         |       CASE WHEN greatest(n_latin, n_cyrillic, n_han, n_arabic, n_hangul, n_kana) = 0 THEN 'none'
+         |            WHEN n_latin = greatest(n_latin, n_cyrillic, n_han, n_arabic, n_hangul, n_kana) THEN 'latin'
+         |            WHEN n_cyrillic = greatest(n_cyrillic, n_han, n_arabic, n_hangul, n_kana) THEN 'cyrillic'
+         |            WHEN n_han = greatest(n_han, n_arabic, n_hangul, n_kana) THEN 'han'
+         |            WHEN n_arabic = greatest(n_arabic, n_hangul, n_kana) THEN 'arabic'
+         |            WHEN n_hangul = greatest(n_hangul, n_kana) THEN 'hangul'
+         |            ELSE 'kana' END AS dominant_script
+         |FROM v""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -622,6 +622,61 @@ object TextOps {
     when(raw =!= "", raw)
   }
 
+  /** Unicode-script histogram of a text column — the mixed-script /
+    * mojibake quality signal of a multilingual crawl: appends per-script
+    * character counts (`n_latin`, `n_cyrillic`, `n_han`, `n_arabic`,
+    * `n_hangul`, `n_kana`), `n_digit`, `n_replacement` (U+FFFD — the
+    * char the round-9 charset decode emits for undecodable bytes, so a
+    * nonzero count IS the mojibake detector), `n_chars`, and
+    * `dominant_script` (the max-count script, first-in-order on ties:
+    * latin, cyrillic, han, arabic, hangul, kana; 'none' when the text
+    * has no scripted character at all — numbers-and-punctuation rows).
+    *
+    * Spam/encoding gates compose directly: a page claiming lang='en'
+    * with dominant_script='cyrillic' is a lang-id contradiction; a page
+    * with n_replacement > 0 survived a broken decode; a page whose
+    * second script exceeds ~20% of its scripted chars is a mixed-script
+    * suspect (the homoglyph-spam shape).
+    *
+    * All counts are strip-and-measure regex expressions over Unicode
+    * script classes (Java `\p{IsLatin}` here, RE2 `\p{Latin}` in the
+    * oracle twin — same script property, both linear-scan); one narrow
+    * projection, no shuffle, codegen-friendly. */
+  def scriptProfile(df: DataFrame, textCol: String): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(textCol))
+    graft.core.Validators.requireColumnsAbsent(df,
+      Seq("n_chars", "n_latin", "n_cyrillic", "n_han", "n_arabic",
+        "n_hangul", "n_kana", "n_digit", "n_replacement", "dominant_script"),
+      "scriptProfile")
+    val t = coalesce(col(textCol), lit(""))
+    def cnt(cls: String): Column =
+      length(regexp_replace(t, s"[^$cls]", "")).cast("long")
+    val nLatin = cnt("\\p{IsLatin}")
+    val nCyr = cnt("\\p{IsCyrillic}")
+    val nHan = cnt("\\p{IsHan}")
+    val nArab = cnt("\\p{IsArabic}")
+    val nHang = cnt("\\p{IsHangul}")
+    val nKana = cnt("\\p{IsHiragana}\\p{IsKatakana}")
+    val top = greatest(nLatin, nCyr, nHan, nArab, nHang, nKana)
+    df.withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_latin", nLatin)
+      .withColumn("n_cyrillic", nCyr)
+      .withColumn("n_han", nHan)
+      .withColumn("n_arabic", nArab)
+      .withColumn("n_hangul", nHang)
+      .withColumn("n_kana", nKana)
+      .withColumn("n_digit", cnt("0-9"))
+      .withColumn("n_replacement", cnt("\\uFFFD"))
+      .withColumn("dominant_script",
+        when(top === 0L, "none")
+          .when(nLatin === top, "latin")
+          .when(nCyr === top, "cyrillic")
+          .when(nHan === top, "han")
+          .when(nArab === top, "arabic")
+          .when(nHang === top, "hangul")
+          .otherwise("kana"))
+  }
+
   /** The head-metadata columns of an HTML page in one pass: appends
     * `title`, `meta_description`, `canonical_url` ([[htmlTitle]] /
     * [[metaContent]](description) / [[relCanonical]]) — the ingest

@@ -3476,6 +3476,32 @@ class OpsSpec extends SparkSpec {
     out shouldBe cases.map(_._2)
   }
 
+  test("TextOps.scriptProfile: hand-counted scripts, dominance, ties, none, null") {
+    val rows = Seq(
+      (1L, "ab АБВ 漢字 한 カナ mix 12 �"),
+      (2L, "123 !!!"), // no scripted char at all
+      (3L, "АБ 中文"), // 2-2 tie → first in order wins
+      (4L, null),
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.scriptProfile(rows, "text")
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    r1.getAs[Long]("n_chars") shouldBe 23L
+    r1.getAs[Long]("n_latin") shouldBe 5L
+    r1.getAs[Long]("n_cyrillic") shouldBe 3L
+    r1.getAs[Long]("n_han") shouldBe 2L
+    r1.getAs[Long]("n_hangul") shouldBe 1L
+    r1.getAs[Long]("n_kana") shouldBe 2L
+    r1.getAs[Long]("n_digit") shouldBe 2L
+    r1.getAs[Long]("n_replacement") shouldBe 1L
+    r1.getAs[String]("dominant_script") shouldBe "latin"
+    out(1).getAs[String]("dominant_script") shouldBe "none"
+    out(1).getAs[Long]("n_digit") shouldBe 3L
+    out(2).getAs[String]("dominant_script") shouldBe "cyrillic"
+    out(3).getAs[Long]("n_chars") shouldBe 0L
+    out(3).getAs[String]("dominant_script") shouldBe "none"
+  }
+
   test("Url.surtKey: label reversal, www strip, ports, query sort, IPv6, non-URL") {
     val cases = Seq(
       ("https://www.Example.COM/Page?b=2&a=1", "com,example)/page?a=1&b=2"),
