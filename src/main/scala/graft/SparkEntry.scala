@@ -2318,6 +2318,41 @@ object SparkEntry {
         "xml")
         .select("doc_id", "sitemap_loc", "sitemap_lastmod",
           "sitemap_changefreq", "sitemap_priority")),
+    // The RECRAWL schedule a sitemap drives (composed — the only new op
+    // is the changefreq→seconds vocabulary): entries → refetch interval
+    // → next_fetch_epoch = lastmod + interval → overdue against a
+    // pinned audit instant (2026-02-01Z). 'never' entries schedule
+    // nothing (NULL interval, overdue=false) — the protocol's hint
+    // semantics. Epoch-integer arithmetic end to end: no timezone
+    // arithmetic can fork between the engines.
+    "warc_recrawl_schedule" -> ((s, dir) => {
+      val freq = when(col("doc_id") % 7 === 0, "always")
+        .when(col("doc_id") % 7 === 1, "hourly")
+        .when(col("doc_id") % 7 === 2, "daily")
+        .when(col("doc_id") % 7 === 3, "weekly")
+        .when(col("doc_id") % 7 === 4, "monthly")
+        .when(col("doc_id") % 7 === 5, "yearly")
+        .otherwise("never")
+      graft.ops.Sitemap.sitemapEntries(
+        rt(s, dir, "documents").select(col("doc_id"),
+          concat(
+            lit("<urlset><url><loc>https://"), col("source"),
+            lit(".com/p/"), col("doc_id"),
+            lit("</loc><lastmod>2026-01-0"), col("doc_id") % 9 + 1,
+            lit("</lastmod><changefreq>"), freq,
+            lit("</changefreq><priority>0."), col("doc_id") % 10,
+            lit("</priority></url></urlset>")).as("xml")),
+        "xml")
+        .withColumn("interval_sec",
+          graft.ops.Sitemap.changefreqSeconds(col("sitemap_changefreq")))
+        .withColumn("next_fetch_epoch",
+          unix_timestamp(to_timestamp(col("sitemap_lastmod"), "yyyy-MM-dd")) +
+            col("interval_sec"))
+        .withColumn("overdue",
+          coalesce(col("next_fetch_epoch") <= lit(1769904000L), lit(false)))
+        .select("doc_id", "sitemap_loc", "sitemap_changefreq",
+          "interval_sec", "sitemap_priority", "next_fetch_epoch", "overdue")
+    }),
     // Main-content extraction (jusText-lite): block split at closing
     // block tags, keep blocks that are long enough AND not link-saturated
     // — the nav/footer boilerplate around every synthetic page drops, the
@@ -4703,6 +4738,33 @@ object SparkEntry {
         |SELECT doc_id, 'https://' || source || '.com/q?a=1&b=2',
         |       NULL, NULL, CAST(NULL AS DOUBLE)
         |FROM documents""".stripMargin,
+    // The recrawl arithmetic replayed: the changefreq vocabulary, the
+    // epoch addition, and the pinned-instant overdue verdict ('never'
+    // schedules nothing and is never overdue).
+    "warc_recrawl_schedule" ->
+      """WITH u AS (SELECT doc_id,
+        |                  'https://' || source || '.com/p/' || doc_id AS sitemap_loc,
+        |                  '2026-01-0' || (doc_id % 9 + 1) AS lastmod,
+        |                  CASE doc_id % 7
+        |                    WHEN 0 THEN 'always' WHEN 1 THEN 'hourly'
+        |                    WHEN 2 THEN 'daily' WHEN 3 THEN 'weekly'
+        |                    WHEN 4 THEN 'monthly' WHEN 5 THEN 'yearly'
+        |                    ELSE 'never' END AS sitemap_changefreq,
+        |                  CAST('0.' || (doc_id % 10) AS DOUBLE) AS sitemap_priority
+        |           FROM documents),
+        |     v AS (SELECT *,
+        |                  CASE sitemap_changefreq
+        |                    WHEN 'always' THEN 0 WHEN 'hourly' THEN 3600
+        |                    WHEN 'daily' THEN 86400 WHEN 'weekly' THEN 604800
+        |                    WHEN 'monthly' THEN 2592000 WHEN 'yearly' THEN 31536000
+        |                    ELSE NULL END AS iv,
+        |                  CAST(epoch(CAST(lastmod AS TIMESTAMP)) AS BIGINT) AS lm
+        |           FROM u)
+        |SELECT doc_id, sitemap_loc, sitemap_changefreq,
+        |       CAST(iv AS BIGINT) AS interval_sec, sitemap_priority,
+        |       CAST(lm + iv AS BIGINT) AS next_fetch_epoch,
+        |       COALESCE(lm + iv <= 1769904000, FALSE) AS overdue
+        |FROM v""".stripMargin,
     // Expected per-host delay recomputed independently (the fixture
     // derives it from the source-name length; hosts are source × replica
     // so the table scales with the corpus).

@@ -107,4 +107,23 @@ object Sitemap {
         elem("priority").try_cast(org.apache.spark.sql.types.DoubleType))
       .drop("__g_block")
   }
+
+  /** The sitemaps-protocol `<changefreq>` vocabulary as a refetch
+    * interval in seconds — the recrawl scheduler's arithmetic unit:
+    * always→0 (refetch every visit), hourly/daily/weekly, monthly→30 d,
+    * yearly→365 d; `never` and anything unrecognized → NULL (no
+    * time-driven refetch — the protocol says the value is a HINT, so an
+    * unknown token must not schedule anything). Case-insensitive per
+    * the spec's lowercase convention with real-world tolerance. Pure
+    * narrow expression. */
+  def changefreqSeconds(changefreq: Column): Column = {
+    val c = lower(trim(changefreq))
+    when(c === "always", 0L)
+      .when(c === "hourly", 3600L)
+      .when(c === "daily", 86400L)
+      .when(c === "weekly", 604800L)
+      .when(c === "monthly", 2592000L)
+      .when(c === "yearly", 31536000L)
+      .otherwise(lit(null).cast("long"))
+  }
 }

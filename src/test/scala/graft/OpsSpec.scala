@@ -3446,6 +3446,15 @@ class OpsSpec extends SparkSpec {
         Option(r.getAs[Any]("sitemap_priority")))).sortBy(_._1).toSeq shouldBe Seq(
       ("https://a.com/1", "2026-02-01", "daily", Some(0.8)),
       ("https://a.com/2", null, null, None))
+    // changefreq vocabulary → refetch seconds; never/unknown/null → NULL
+    val freqs = Seq("always", "HOURLY", " daily ", "weekly", "monthly",
+      "yearly", "never", "sometimes", null).zipWithIndex
+      .map { case (f, i) => (i.toLong, f) }.toDF("id", "f")
+    freqs.select($"id", Sitemap.changefreqSeconds($"f").as("s"))
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getLong(1))).toSeq shouldBe
+      Seq(Some(0L), Some(3600L), Some(86400L), Some(604800L),
+        Some(2592000L), Some(31536000L), None, None, None)
   }
 
   test("canonicalizeUrl: case, userinfo, default ports, query sort, fragments, passthrough") {
