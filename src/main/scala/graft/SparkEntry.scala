@@ -3064,6 +3064,15 @@ object SparkEntry {
       StreamingOps.dedupNearDups(
         rt(s, dir, "documents").select("doc_id", "text"),
         "doc_id", "text", "doc_id")),
+    // The DETERMINISTIC variant's batch twin (the stream side is the
+    // transformWithState processor — StreamingSpec proves stream ≡ batch
+    // including same-batch near-dups): with a unique LONG tie the
+    // min-(tie, xxhash) rule coincides with first-wins-per-band, so the
+    // same band-key dump oracles both.
+    "stream_neardup_det" -> ((s, dir) =>
+      StreamingOps.dedupNearDupsDeterministic(
+        rt(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", "doc_id")),
     // Aux dump backing the stream_neardup_dedup oracle: one row per
     // (doc, band) with the band's chained hash, from the same kernels.
     "stream_neardup_keys" -> ((s, dir) => {
@@ -5818,6 +5827,18 @@ object SparkEntry {
     // first-wins-on-every-band replay over the exported band-key table;
     // docs with no band rows (no shingles) are kept
     "stream_neardup_dedup" ->
+      """WITH k AS (SELECT * FROM read_parquet('{GRAFT_OUT}/stream_neardup_keys/*.parquet')),
+        |     m AS (SELECT band, band_hash, min(doc_id) AS first_id
+        |           FROM k GROUP BY band, band_hash),
+        |     dropped AS (SELECT DISTINCT k.doc_id
+        |                 FROM k JOIN m USING (band, band_hash)
+        |                 WHERE k.doc_id <> m.first_id)
+        |SELECT d.doc_id, d.text
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+    // identical replay: with a unique long tie the deterministic
+    // min-(tie, xxhash) rule reduces to first-wins-per-band
+    "stream_neardup_det" ->
       """WITH k AS (SELECT * FROM read_parquet('{GRAFT_OUT}/stream_neardup_keys/*.parquet')),
         |     m AS (SELECT band, band_hash, min(doc_id) AS first_id
         |           FROM k GROUP BY band, band_hash),

@@ -198,12 +198,15 @@ object StreamingOps {
     * bands, different texts) in the SAME micro-batch still race per band
     * (no intra-batch order) and can lose different bands and both drop;
     * at ingest granularity near-dups usually span batches, and the batch
-    * path below is the deterministic form. (A fully deterministic stream
-    * would need arbitrary state chained into an aggregation, which Spark's
-    * checker disallows — flatMapGroupsWithState cannot precede stateful
-    * operators in append mode.) The documented repair is
-    * [[reconcileNearDups]]: a nightly batch replay over the day's raw
-    * ingest diffs the stream's output back to the deterministic set.
+    * path below is the deterministic form. For a stream with NO residual
+    * race use [[dedupNearDupsDeterministic]] — its transformWithState
+    * processor sees a batch's whole band group at once and picks the
+    * min-tie winner (flatMapGroupsWithState could not precede stateful
+    * operators in append mode; the Spark-4 processor API chains). This
+    * op stays for deployments without the RocksDB state store; its
+    * documented repair is [[reconcileNearDups]]: a nightly batch replay
+    * over the day's raw ingest diffs the stream's output back to the
+    * deterministic set.
     *
     * CHECKPOINT COMPATIBILITY: the exact-copy collapse added a stateful
     * operator to this op's plan. A streaming query restarted from a
@@ -342,6 +345,186 @@ object StreamingOps {
       .unionByName(
         streamIds.join(batchKept, Seq(idCol), "left_anti")
           .withColumn("action", lit("remove")))
+  }
+
+  /** [[dedupNearDups]] WITHOUT the same-batch race: the per-band
+    * first-arrival state is an Arbitrary-State processor
+    * (`transformWithState`, Spark 4's stateful-processor API) keyed by
+    * (band, band_hash) — ALL of a batch's rows for one band key arrive
+    * in ONE `handleInputRows` call, so the winner is chosen by
+    * DETERMINISTIC comparison (min `(tie, xxhash64(id))`), not by
+    * intra-batch arrival order. Two true near-duplicates landing in the
+    * same micro-batch — the case [[dedupNearDups]] documents as its
+    * residual race (they could split band wins and BOTH drop) — now
+    * resolve exactly like the batch replay: the min-tie doc wins every
+    * shared band, the other drops, [[reconcileNearDups]] finds zero
+    * disagreements (StreamingSpec proves the equality end to end).
+    *
+    * Batch mode applies the identical rule (keep a doc iff it holds the
+    * minimal `(tie, xxhash64(id))` on every one of its band keys), so
+    * stream and nightly replay cannot fork. `tieCol` must be LONG-typed
+    * (epoch millis, a sequence number — any 64-bit priority); a NULL tie
+    * sorts LAST (it loses any contested band), and the xxhash64(id)
+    * component breaks exact tie collisions deterministically.
+    *
+    * Chaining: the processor emits with `eventTimeColumnName = tsCol`,
+    * so the per-doc win-count aggregation chains downstream in append
+    * mode (Spark's multi-stateful rule for transformWithState). State is
+    * one boolean per distinct band key within the horizon, expired by an
+    * event-time timer at `first arrival + watermark` — the
+    * dropDuplicatesWithinWatermark retention contract. REQUIRES the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider`) — Spark's HDFS-backed default
+    * does not implement the processor state API.
+    *
+    * Scale shape: identical to [[dedupNearDups]] — explode to
+    * numHashes/bands keys per doc, ONE shuffle onto band keys, state
+    * bounded by the watermark horizon, then the windowed win-count. */
+  def dedupNearDupsDeterministic(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tieCol: String,
+      tsCol: String = "",
+      watermark: String = "1 hour",
+      emitWindow: String = "1 minute",
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 8,
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    import graft.ops.Dedup
+    graft.core.Validators.requireColumns(df,
+      Seq(idCol, textCol, tieCol) ++ (if (df.isStreaming) Seq(tsCol) else Nil))
+    require(df.schema(tieCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"dedupNearDupsDeterministic needs a LONG tie column, got " +
+        s"${df.schema(tieCol).dataType.simpleString} for '$tieCol'")
+    val payloadCols = df.columns.toSeq
+    // NULL tie sorts LAST (loses any contested band); xxhash64(id) breaks
+    // exact collisions — both engines of the pair (stream processor,
+    // batch replay) compare the same two longs
+    val tieKey = coalesce(col(tieCol), lit(Long.MaxValue))
+    val tieBreak = xxhash64(col(idCol))
+    if (df.isStreaming) {
+      val delayMs = parseDurationMs(watermark)
+      val wm = df.withWatermark(tsCol, watermark)
+      val withSig = Dedup.withMinhashSig(wm, col(textCol), n, numHashes, "__graft_sig")
+      val keyArr = when(col("__graft_sig").isNotNull,
+        Dedup.bandKeyStructs(col("__graft_sig"), numHashes, bands))
+        .otherwise(array(struct(lit(-1).as("band"), xxhash64(col(idCol)).as("band_hash"))))
+      val exploded = withSig
+        .withColumn("__graft_nb", size(keyArr))
+        .select(col(tsCol), col(idCol).as("__graft_id"), col("__graft_nb"),
+          explode(keyArr).as("__graft_bh"),
+          tieKey.as("__graft_tie"), tieBreak.as("__graft_tb"),
+          struct(payloadCols.map(col): _*).as("__graft_row"))
+        .select(col(tsCol), col("__graft_id"), col("__graft_nb"),
+          col("__graft_bh.band").as("__graft_band"),
+          col("__graft_bh.band_hash").as("__graft_hash"),
+          col("__graft_tie"), col("__graft_tb"), col("__graft_row"))
+      val schema = exploded.schema
+      val bandIdx = schema.fieldIndex("__graft_band")
+      val hashIdx = schema.fieldIndex("__graft_hash")
+      val tieIdx = schema.fieldIndex("__graft_tie")
+      val tbIdx = schema.fieldIndex("__graft_tb")
+      val tsIdx = schema.fieldIndex(tsCol)
+      import org.apache.spark.sql.{Encoder, Encoders, Row}
+      implicit val rowEnc: Encoder[Row] = Encoders.row(schema)
+      val winners = exploded
+        .groupByKey(r => (r.getInt(bandIdx), r.getLong(hashIdx)))(
+          Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+        .transformWithState(
+          new BandFirstArrival(tieIdx, tbIdx, tsIdx, delayMs),
+          tsCol,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      winners
+        .groupBy(window(col(tsCol), emitWindow), col("__graft_id"))
+        .agg(count(lit(1)).as("__graft_won"),
+          first(col("__graft_nb")).as("__graft_nb"),
+          first(col("__graft_row")).as("__graft_row"))
+        .filter(col("__graft_won") === col("__graft_nb"))
+        .select(col("__graft_row.*"))
+    } else {
+      // the exact batch twin: keep a doc iff it holds the minimal
+      // (tie, xxhash64(id)) pair on EVERY one of its band keys — struct
+      // ordering gives the lexicographic comparison for free
+      val withSig = Dedup.withMinhashSig(df, col(textCol), n, numHashes, "__graft_sig")
+      val keyed = withSig
+        .filter(col("__graft_sig").isNotNull)
+        .select(col(idCol).as("__graft_id"),
+          struct(tieKey.as("t"), tieBreak.as("b")).as("__graft_tie"),
+          explode(Dedup.bandKeyStructs(col("__graft_sig"), numHashes, bands))
+            .as("__graft_bh"))
+        .select(col("__graft_id"), col("__graft_tie"),
+          col("__graft_bh.band").as("__graft_band"),
+          col("__graft_bh.band_hash").as("__graft_hash"))
+      val firsts = keyed.groupBy("__graft_band", "__graft_hash")
+        .agg(min(col("__graft_tie")).as("__graft_min"))
+      val dropped = keyed.join(firsts, Seq("__graft_band", "__graft_hash"))
+        .filter(col("__graft_tie") =!= col("__graft_min"))
+        .select("__graft_id").distinct()
+      df.join(dropped, col(idCol) === col("__graft_id"), "left_anti")
+    }
+  }
+
+  /** "N second(s)|minute(s)|hour(s)|day(s)" → milliseconds — the
+    * watermark-delay grammar this module's ops accept (the subset of
+    * CalendarInterval the streaming examples use). */
+  private[streaming] def parseDurationMs(s: String): Long = {
+    val m = "^\\s*(\\d+)\\s*(millisecond|second|minute|hour|day)s?\\s*$".r
+      .findFirstMatchIn(s.toLowerCase)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse duration '$s' (expected 'N second|minute|hour|day')"))
+    val unit = m.group(2) match {
+      case "millisecond" => 1L
+      case "second" => 1000L
+      case "minute" => 60000L
+      case "hour" => 3600000L
+      case "day" => 86400000L
+    }
+    m.group(1).toLong * unit
+  }
+
+  /** The per-band first-arrival processor of
+    * [[dedupNearDupsDeterministic]]: state = one boolean per live band
+    * key. First batch a key appears, the minimal `(tie, tiebreak)` row
+    * wins the band (emitted) and an event-time timer at
+    * `its event time + delayMs` bounds the state exactly like
+    * dropDuplicatesWithinWatermark; every other same-batch row and every
+    * later arrival loses silently. */
+  private class BandFirstArrival(
+      tieIdx: Int, tbIdx: Int, tsIdx: Int, delayMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (Int, Long), org.apache.spark.sql.Row, org.apache.spark.sql.Row] {
+    import org.apache.spark.sql.streaming.{TimeMode, OutputMode, TTLConfig, TimerValues, ValueState, ExpiredTimerInfo}
+    import org.apache.spark.sql.{Encoders, Row}
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean](
+        "seen", Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (Int, Long), rows: Iterator[Row],
+        timerValues: TimerValues): Iterator[Row] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        val winner = rows.minBy(r => (r.getLong(tieIdx), r.getLong(tbIdx)))
+        seen.update(true)
+        getHandle.registerTimer(
+          winner.getTimestamp(tsIdx).getTime + delayMs)
+        Iterator.single(winner)
+      }
+    }
+
+    override def handleExpiredTimer(
+        key: (Int, Long), timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Row] = {
+      seen.clear()
+      Iterator.empty
+    }
   }
 
   /** Typed JSON property extraction from a string payload column — the

@@ -284,6 +284,67 @@ class StreamingSpec extends SparkSpec {
     (streamed & Set(1L, 2L, 3L)) should have size 1
   }
 
+  test("dedupNearDupsDeterministic: same-batch TRUE near-dups resolve like the batch rule") {
+    // two different texts with IDENTICAL character-3-gram sets — identical
+    // signatures, identical bands: the exact shape dedupNearDups documents
+    // as its residual same-batch race (both could drop). The deterministic
+    // processor must keep exactly the min-tie doc and match the batch twin.
+    val t1 = "xyzxyzxyz"
+    val t2 = "xyzxyzxyzxyz"
+    val fresh = "completely unrelated text about distributed query engines"
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      mem.addData((10L, ts(0), t1), (11L, ts(0), t2), (12L, ts(1), fresh))
+      val out = StreamingOps.dedupNearDupsDeterministic(
+        mem.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "doc_id",
+        tsCol = "ts", watermark = "5 minutes", emitWindow = "1 minute")
+      val q = out.writeStream.format("memory")
+        .queryName("stream_neardup_det").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // a later exact resend of the winner still drops; heartbeats flush
+        mem.addData((13L, ts(20), t1),
+          (14L, ts(21), "yet another novel piece of text about volcanoes"))
+        q.processAllAvailable()
+        mem.addData((99L, ts(59), "final heartbeat to advance the watermark"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("stream_neardup_det").collect()
+        .map(_.getLong(0)).toSet
+      streamed shouldBe Set(10L, 12L, 14L) // 11 lost the tie, 13 arrived later
+      // the batch twin agrees doc-for-doc (heartbeat window never flushed)
+      val allRows = Seq((10L, ts(0), t1), (11L, ts(0), t2), (12L, ts(1), fresh),
+        (13L, ts(20), t1),
+        (14L, ts(21), "yet another novel piece of text about volcanoes"),
+        (99L, ts(59), "final heartbeat to advance the watermark"))
+        .toDF("doc_id", "ts", "text")
+      val batch = StreamingOps.dedupNearDupsDeterministic(
+        allRows, "doc_id", "text", "doc_id").collect().map(_.getLong(0)).toSet
+      batch shouldBe streamed + 99L
+      // reconcileNearDups over the deterministic stream finds NOTHING but
+      // the never-flushed heartbeat — the race repair is now a no-op
+      val delta = StreamingOps.reconcileNearDups(
+        allRows, spark.table("stream_neardup_det").select("doc_id"),
+        "doc_id", "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      delta shouldBe Set((99L, "add"))
+      // a LONG tie is required: the deterministic comparison is 64-bit
+      an[IllegalArgumentException] should be thrownBy
+        StreamingOps.dedupNearDupsDeterministic(
+          allRows.withColumn("s", $"doc_id".cast("string")),
+          "doc_id", "text", "s")
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("reconcileNearDups repairs the stream to the batch-deterministic set") {
     // two TRUE near-duplicates share micro-batch 1 (the documented race:
     // they can split band wins and both drop), and the final heartbeat's
