@@ -1872,6 +1872,31 @@ object SparkEntry {
       graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs.cdxj")
         .filter(col("urlkey").startsWith("uk,co,"))
         .select("urlkey", "cdx_ts", "url", "status")),
+    // FETCH DECISIONS (composed, no new op) — the incremental-crawl
+    // gate: candidate URLs surt-keyed against the previous crawl's CDX
+    // index (latest capture per urlkey; the 14-digit timestamps compare
+    // as strings). Never captured → fetch; captured within the
+    // freshness horizon (the Feb revisits) → skip_fresh; stale (the Jan
+    // originals) → refetch. ONE urlkey-keyed aggregate over the index +
+    // one urlkey join — both sides crawl-sized, no broadcast assumption.
+    "cdx_fetch_decisions" -> ((s, dir) => {
+      val idx = graft.sources.Loader
+        .load(s, warcFixture(s, dir) + "/docs.cdxj")
+        .groupBy("urlkey").agg(max("cdx_ts").as("last_capture"))
+      val docs = rt(s, dir, "documents")
+      val cands = docs.select(synthUrl.as("url"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select(concat(lit("https://new."), col("source"),
+            lit(".org/x/"), col("doc_id")).as("url")))
+        .distinct()
+      cands.withColumn("urlkey", Url.surtKey(col("url")))
+        .join(idx, Seq("urlkey"), "left")
+        .withColumn("decision",
+          when(col("last_capture").isNull, "fetch")
+            .when(col("last_capture") >= "20260115000000", "skip_fresh")
+            .otherwise("refetch"))
+        .select("url", "urlkey", "last_capture", "decision")
+    }),
     // The crawl LINK graph first mile: WARC pages → outlink extraction
     // (every href resolution shape) → registered-domain edges under
     // with-private PSL semantics. The oracle recomputes the expected
@@ -4718,6 +4743,28 @@ object SparkEntry {
         |       'http://blog.' || source || '.co.uk/post/' || doc_id AS url,
         |       200 AS status
         |FROM documents WHERE doc_id % 4 = 1""".stripMargin,
+    // The incremental-crawl verdicts replayed: shape-0 URLs were
+    // revisited in Feb (fresh → skip), shapes 1-3 only captured in Jan
+    // (stale → refetch), the novel URLs were never captured (fetch).
+    "cdx_fetch_decisions" ->
+      s"""WITH k AS (SELECT DISTINCT $synthUrlSql AS url,
+         |                  CASE doc_id % 4
+         |                    WHEN 0 THEN 'com,' || source || '-news)/a/b/c?x=1'
+         |                    WHEN 1 THEN 'uk,co,' || source || ',blog)/post/' || doc_id
+         |                    WHEN 2 THEN 'org,' || source || '-cdn:8080)/dl/v2'
+         |                    ELSE 'net,' || source || ',files)/' END AS urlkey,
+         |                  CASE WHEN doc_id % 4 = 0 THEN '20260201000000'
+         |                       ELSE '20260101000000' END AS last_capture,
+         |                  CASE WHEN doc_id % 4 = 0 THEN 'skip_fresh'
+         |                       ELSE 'refetch' END AS decision
+         |           FROM documents
+         |           UNION
+         |           SELECT DISTINCT
+         |                  'https://new.' || source || '.org/x/' || doc_id,
+         |                  'org,' || source || ',new)/x/' || doc_id,
+         |                  NULL, 'fetch'
+         |           FROM documents WHERE doc_id % 3 = 0)
+         |SELECT url, urlkey, last_capture, decision FROM k""".stripMargin,
     // Expected robots verdict per shape, recomputed independently:
     // /private/ and /tmp* and /exact$ deny; /private/ok's longer Allow
     // and the off-anchor /exactly survive.

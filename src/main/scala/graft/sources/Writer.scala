@@ -62,10 +62,37 @@ object Writer {
             "txt output requires exactly one string column; " +
               s"got ${df.schema.simpleString}")
         w.text(path)
+      case "cdxj" =>
+        val lw0 = cdxjLines(df).write.mode("overwrite")
+        compression.fold(lw0)(c => lw0.option("compression", c)).text(path)
       case _ =>
         throw UnsupportedFormat(
-          "Unsupported file format. Please provide a CSV, Parquet, JSONL, or TXT file.")
+          "Unsupported file format. Please provide a CSV, Parquet, JSONL, " +
+            "TXT, or CDXJ file.")
     }
+  }
+
+  /** [[graft.sources.Loader.loadCdxj]]'s write mirror: serializes the
+    * reader's column contract (urlkey, cdx_ts, url, mime, status, digest,
+    * length, offset, filename) back to `urlkey ts {json}` lines — numbers
+    * as strings and NULL status as `-`, the pywb field conventions, so
+    * load(save(x)) is identity on the contract columns. NULL urlkey /
+    * cdx_ts serialize as `-` (a CDX line cannot omit its sort key);
+    * to_json drops other NULL fields and the reader re-NULLs them. */
+  private def cdxjLines(df: DataFrame): DataFrame = {
+    graft.core.Validators.requireColumns(df,
+      Seq("urlkey", "cdx_ts", "url", "mime", "status", "digest",
+        "length", "offset", "filename"))
+    df.select(concat_ws(" ",
+      coalesce(col("urlkey"), lit("-")),
+      coalesce(col("cdx_ts").cast("string"), lit("-")),
+      to_json(struct(
+        col("url"), col("mime"),
+        coalesce(col("status").cast("string"), lit("-")).as("status"),
+        col("digest"),
+        col("length").cast("string").as("length"),
+        col("offset").cast("string").as("offset"),
+        col("filename")))).as("value"))
   }
 
   /** Bucketed + sorted managed table: `numBuckets` hash buckets on

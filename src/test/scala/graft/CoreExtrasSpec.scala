@@ -82,6 +82,35 @@ class CoreExtrasSpec extends SparkSpec {
     rows(2).isNullAt(rows(2).fieldIndex("status")) shouldBe true // '-' → NULL via try_cast
   }
 
+  test("Writer CDX-J mirror: save→load round trip, NULL status as '-', gzip variant") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("urlkey", StringType), StructField("cdx_ts", StringType),
+      StructField("url", StringType), StructField("mime", StringType),
+      StructField("status", IntegerType), StructField("digest", StringType),
+      StructField("length", LongType), StructField("offset", LongType),
+      StructField("filename", StringType)))
+    val rows = Seq(
+      org.apache.spark.sql.Row("com,example)/p?a=1", "20260101000000",
+        "https://example.com/p?a=1", "text/html", 200, "sha1:AAA",
+        512L, 100L, "a.warc"),
+      org.apache.spark.sql.Row("com,example)/p?a=1", "20260201000000",
+        "https://example.com/p?a=1", "warc/revisit", null, "sha1:AAA",
+        0L, 700L, "a.warc"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    def roundTrip(path: String): Unit = {
+      graft.sources.Writer.save(df, path)
+      val back = Loader.load(spark, path)
+      back.columns.toSeq shouldBe df.columns.toSeq
+      back.orderBy("cdx_ts").collect().toSeq shouldBe
+        df.orderBy("cdx_ts").collect().toSeq
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft_cdxj_w")
+    roundTrip(d.resolve("out.cdxj").toString)
+    roundTrip(d.resolve("out2.cdxj.gz").toString) // codec via suffix
+  }
+
   test("Loader reads WARC/WET records: headers, payload framing, gzip, torn tail") {
     def rec(id: Int, uri: Option[String], payload: String): Array[Byte] = {
       val p = payload.getBytes("UTF-8")
