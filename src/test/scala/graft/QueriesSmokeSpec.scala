@@ -72,6 +72,18 @@ class QueriesSmokeSpec extends SparkSpec {
     "dedup_incremental_model" -> 5,
     // one (src, dst) aggregate; link extraction + PSL joins are narrow
     "warc_link_graph" -> 1,
+    "warc_anchor_text" -> 1, // narrow explode + ONE (dst, anchor) agg
+    "warc_html_meta" -> 0, // pure narrow head-metadata projection
+    "warc_canonical_dedup" -> 1, // ONE hash agg keyed by canonical URL
+    "text_url_surt" -> 0, // pure narrow projection
+    "warc_cdx_index" -> 0, // index BUILD is one narrow projection
+    "cdx_read" -> 0, "cdx_host_lookup" -> 0, // splittable line scans
+    // latest-capture agg + the urlkey join (candidate distinct reuses
+    // the join partitioning) — both sides crawl-sized by design
+    "cdx_fetch_decisions" -> 2,
+    "text_script_profile" -> 0, // strip-and-measure narrow regexes
+    "warc_recrawl_schedule" -> 0, // entries explode + epoch arithmetic, narrow
+    "stream_neardup_det" -> 2, // band agg + keep-id anti join (batch twin)
     // URL side: one host-keyed rules join + one best-rule window; the
     // other four are robots-parse/agent-selection shuffles on the
     // HOSTS-sized rules tables, never the corpus
