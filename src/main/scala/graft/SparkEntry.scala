@@ -1872,6 +1872,25 @@ object SparkEntry {
       graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs.cdxj")
         .filter(col("urlkey").startsWith("uk,co,"))
         .select("urlkey", "cdx_ts", "url", "status")),
+    // RANDOM-ACCESS record fetch — the CDX replay path end to end: a
+    // metadata-only index pass (payload pruned — never decoded) yields
+    // each wanted record's (file, offset, length); the ranged read then
+    // fetches EXACTLY those records by seek, one task per touched file.
+    // The oracle replays the fetched subset's content from documents —
+    // a wrong offset or length returns the wrong record (or none) and
+    // nothing can hash-match.
+    "warc_range_fetch" -> ((s, dir) => {
+      val wanted = graft.sources.Loader
+        .load(s, warcFixture(s, dir) + "/docs_revisit.warc")
+        .filter(col("warc_type") === "response" &&
+          regexp_extract(col("record_id"), "doc-(\\d+)", 1).cast("long") % 5 === 0)
+        .select("warc_file", "record_offset", "record_length")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      graft.sources.Loader.loadWarcRanges(s, wanted)
+        .select("record_id", "target_uri", "payload")
+    }),
     // FETCH DECISIONS (composed, no new op) — the incremental-crawl
     // gate: candidate URLs surt-keyed against the previous crawl's CDX
     // index (latest capture per urlkey; the 14-digit timestamps compare
@@ -4743,6 +4762,15 @@ object SparkEntry {
         |       'http://blog.' || source || '.co.uk/post/' || doc_id AS url,
         |       200 AS status
         |FROM documents WHERE doc_id % 4 = 1""".stripMargin,
+    // The ranged fetch replayed by CONTENT: exactly the %5==0 response
+    // records, each with its envelope-stripped text payload — the
+    // offsets themselves never appear, they are exercised (a wrong seek
+    // fetches the wrong record).
+    "warc_range_fetch" ->
+      s"""SELECT '<urn:graft:doc-' || doc_id || '>' AS record_id,
+         |       $synthUrlSql AS target_uri,
+         |       text AS payload
+         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
     // The incremental-crawl verdicts replayed: shape-0 URLs were
     // revisited in Feb (fresh → skip), shapes 1-3 only captured in Jan
     // (stale → refetch), the novel URLs were never captured (fetch).

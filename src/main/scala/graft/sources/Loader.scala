@@ -60,6 +60,34 @@ object Loader {
   def loadWarc(spark: SparkSession, path: String): DataFrame =
     spark.read.format("graft-warc").load(path)
 
+  /** RANDOM-ACCESS record fetch — the read side of a CDX index lookup
+    * (pywb's replay path): fetch exactly the records named by
+    * `(file, offset, length)` triples instead of scanning archives.
+    * Offsets are plain-`.warc` file offsets (what this reader's
+    * `record_offset` column reports) or member-per-record `.warc.gz`
+    * compressed member offsets (what Common Crawl's cc-index stores) —
+    * each range window is gzip-sniffed independently, so both work.
+    *
+    * Scale shape: ranges group into ONE task per archive file, visited
+    * in offset order (forward seeks, near-sequential I/O when the index
+    * is urlkey-sorted); fetching R records across F files costs F tasks
+    * and R bounded reads — never a full scan. The triple list is a
+    * DRIVER-side argument (it IS the query plan, like a file listing):
+    * a lookup is bounded by its result size, so collect the ranges from
+    * the index query first and keep lookups to what you would actually
+    * materialize. */
+  def loadWarcRanges(
+      spark: SparkSession, ranges: Seq[(String, Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "loadWarcRanges: no ranges given")
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val json = JsonMethods.compact(JsonMethods.render(JArray(
+      ranges.map { case (f, o, l) =>
+        JArray(List(JString(f), JInt(o), JInt(l)))
+      }.toList)))
+    spark.read.format("graft-warc").option("ranges", json).load()
+  }
+
   /** CDX-J web-archive index lines (pywb/OpenWayback convention, the
     * format of Common Crawl's cc-index files): each line is
     * `<urlkey> <timestamp> {json}` — the SURT urlkey (see

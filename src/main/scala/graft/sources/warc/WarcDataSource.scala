@@ -46,8 +46,13 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new WarcTable(WarcDataSource.pathsOf(properties))
+      properties: java.util.Map[String, String]): Table = {
+    val ranges = WarcDataSource.rangesOf(properties)
+    val paths =
+      if (ranges.isDefined) ranges.get.map(_._1).distinct
+      else WarcDataSource.pathsOf(properties)
+    new WarcTable(paths, ranges)
+  }
 }
 
 object WarcDataSource {
@@ -85,6 +90,15 @@ object WarcDataSource {
     // capture time — Common Crawl marks ~1 MB body cuts with 'length'.
     // Header-derived like payload_digest, identical under pruning.
     StructField("truncated", StringType),
+    // The record's random-access coordinates — byte position of its
+    // version line and its exact header+payload span (separators
+    // excluded) in the stream the reader consumed: FILE offsets for a
+    // plain .warc, INFLATED-stream positions for .warc.gz (only the
+    // former — or an external index's compressed member offsets — can
+    // seed [[graft.sources.Loader.loadWarcRanges]]). Framing-derived,
+    // identical under payload pruning.
+    StructField("record_offset", LongType, nullable = false),
+    StructField("record_length", LongType, nullable = false),
     StructField("payload", StringType, nullable = false)))
 
   /** `load(p)` arrives as "path"; `load(p1, p2, …)` as a JSON-array
@@ -102,6 +116,24 @@ object WarcDataSource {
     all
   }
 
+  /** The `ranges` option of the CDX random-access path
+    * ([[graft.sources.Loader.loadWarcRanges]]): a JSON array of
+    * `[file, offset, length]` triples. None when the option is absent
+    * (the normal full-archive scan). */
+  private[warc] def rangesOf(
+      properties: java.util.Map[String, String]): Option[Seq[(String, Long, Long)]] =
+    Option(properties.get("ranges")).map { json =>
+      org.json4s.jackson.JsonMethods.parse(json) match {
+        case org.json4s.JArray(xs) => xs.collect {
+          case org.json4s.JArray(List(
+            org.json4s.JString(f), org.json4s.JInt(o), org.json4s.JInt(l))) =>
+            (f, o.toLong, l.toLong)
+        }
+        case _ => throw graft.errors.FeatureFactoryException.InvalidParameter(
+          s"graft-warc: malformed ranges option")
+      }
+    }
+
   /** Sniff the gzip magic (1f 8b) and wrap; mark/reset needs the buffer. */
   private[warc] def maybeGunzip(raw: InputStream): InputStream = {
     val buffered = new BufferedInputStream(raw, 1 << 16)
@@ -114,13 +146,16 @@ object WarcDataSource {
   }
 }
 
-private[warc] class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
+private[warc] class WarcTable(
+    paths: Seq[String],
+    ranges: Option[Seq[(String, Long, Long)]] = None)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(paths)
+    new WarcScanBuilder(paths, ranges)
 }
 
 /** COLUMN PRUNING: the archive bytes must be read sequentially either way
@@ -128,26 +163,38 @@ private[warc] class WarcTable(paths: Seq[String]) extends Table with SupportsRea
   * census) should not pay the UTF-8 decode + String allocation of every
   * payload — the dominant CPU cost. Spark pushes the required columns
   * here; the reader only materializes what the query asks for. */
-private[warc] class WarcScanBuilder(paths: Seq[String])
+private[warc] class WarcScanBuilder(
+    paths: Seq[String], ranges: Option[Seq[(String, Long, Long)]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = WarcDataSource.Schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve source field ORDER (get() emits by our own layout)
     required = StructType(WarcDataSource.Schema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new WarcScan(paths, required)
+  override def build(): Scan = new WarcScan(paths, required, ranges)
 }
 
-private[warc] class WarcScan(paths: Seq[String], required: StructType)
+private[warc] class WarcScan(
+    paths: Seq[String], required: StructType,
+    ranges: Option[Seq[(String, Long, Long)]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-warc ${paths.mkString(",")} cols=[${required.fieldNames.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    WarcScan.listFiles(paths, strict = true)
-      .map(f => WarcInputPartition(f): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = ranges match {
+    // ranged mode: one partition per file carrying its (sorted) byte
+    // ranges — a CDX-driven lookup of R records over F files is F tasks
+    // doing forward seeks, never a full scan
+    case Some(rs) =>
+      rs.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, g) =>
+        WarcInputPartition(f, g.map(t => (t._2, t._3))): InputPartition
+      }.toArray
+    case None =>
+      WarcScan.listFiles(paths, strict = true)
+        .map(f => WarcInputPartition(f): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     WarcScan.readerFactory(required)
@@ -266,28 +313,64 @@ private[warc] class WarcMicroBatchStream(paths: Seq[String], required: StructTyp
     WarcScan.readerFactory(required)
 }
 
-private[warc] final case class WarcInputPartition(file: String) extends InputPartition
+private[warc] final case class WarcInputPartition(
+    file: String, ranges: Seq[(Long, Long)] = Nil) extends InputPartition
 
 private[warc] class WarcReaderFactory(
     conf: Map[String, String], columns: Array[String])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WarcPartitionReader(
-      partition.asInstanceOf[WarcInputPartition].file, conf, columns)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WarcInputPartition]
+    new WarcPartitionReader(p.file, conf, columns, p.ranges)
+  }
+}
+
+/** Bounded view over a stream: reads at most `limit` bytes and never
+  * closes the underlying stream — the per-range window of
+  * [[WarcPartitionReader]]'s ranged mode (one shared seekable file
+  * stream serves every range of the partition). */
+private[warc] final class BoundedInputStream(in: InputStream, limit: Long)
+    extends InputStream {
+  private var left = limit
+  override def read(): Int =
+    if (left <= 0) -1
+    else { val b = in.read(); if (b != -1) left -= 1; b }
+  override def read(dst: Array[Byte], off: Int, len: Int): Int = {
+    if (left <= 0) return -1
+    val n = in.read(dst, off, math.min(len.toLong, left).toInt)
+    if (n > 0) left -= n
+    n
+  }
+  override def close(): Unit = () // the range reader owns the file stream
 }
 
 /** Streams one archive: open → sniff gzip → [[WarcRecordIterator]] → one
   * InternalRow per record, emitting only the pruned `columns`. Memory is
   * bounded by the largest single record regardless of archive size; when
-  * `payload` is pruned away the record bytes are SKIPPED, never decoded. */
+  * `payload` is pruned away the record bytes are SKIPPED, never decoded.
+  *
+  * RANGED mode (`ranges` non-empty — the CDX random-access path): one
+  * seekable file stream, ranges visited in offset order (forward seeks,
+  * near-sequential I/O when ranges are index-sorted); each range is a
+  * [[BoundedInputStream]] window re-sniffed for gzip, so BOTH plain
+  * `.warc` file offsets and member-per-record `.warc.gz` compressed
+  * member offsets (the Common Crawl cc-index convention) fetch
+  * correctly. `record_offset` of an emitted row = range offset + the
+  * record's position within its window (0 for the record the range
+  * points at). */
 private[warc] class WarcPartitionReader(
-    file: String, conf: Map[String, String], columns: Array[String])
+    file: String, conf: Map[String, String], columns: Array[String],
+    ranges: Seq[(Long, Long)] = Nil)
     extends PartitionReader[InternalRow] {
 
-  private var stream: InputStream = _
+  private var fsin: org.apache.hadoop.fs.FSDataInputStream = _
+  private var wrapped: InputStream = _
   private var it: Iterator[WarcRecord] = _
   private var index = -1L
   private var current: WarcRecord = _
+  private var baseOffset = 0L
+  private var rangeIdx = 0
+  private val sortedRanges = ranges.sortBy(_._1)
   private val fileUtf8 = UTF8String.fromString(file)
   // the http_* columns are parsed out of the payload bytes, so asking for
   // either forces the decode just like asking for the payload itself
@@ -295,18 +378,41 @@ private[warc] class WarcPartitionReader(
     c == "payload" || c == "http_status" || c == "http_content_type" ||
       c == "http_location" || c == "http_robots_tag")
 
-  private def ensureOpen(): Unit = if (it == null) {
+  private def openFile(): Unit = if (fsin == null) {
     val hconf = new Configuration()
     conf.foreach { case (k, v) => hconf.set(k, v) }
     val hp = new Path(file)
-    stream = WarcDataSource.maybeGunzip(hp.getFileSystem(hconf).open(hp))
-    it = new WarcRecordIterator(stream, decodePayload = wantPayload)
+    fsin = hp.getFileSystem(hconf).open(hp)
+  }
+
+  /** Advance to the next record source: the whole file (full-scan mode,
+    * once) or the next byte range. False when exhausted. */
+  private def nextIterator(): Boolean = {
+    if (sortedRanges.isEmpty) {
+      if (it != null) return false
+      openFile()
+      wrapped = WarcDataSource.maybeGunzip(fsin)
+      it = new WarcRecordIterator(wrapped, decodePayload = wantPayload)
+      true
+    } else if (rangeIdx < sortedRanges.length) {
+      openFile()
+      val (off, len) = sortedRanges(rangeIdx)
+      rangeIdx += 1
+      fsin.seek(off)
+      baseOffset = off
+      // close the previous window's wrapper (frees a gzip Inflater; the
+      // BoundedInputStream shields the shared file stream)
+      if (wrapped != null) wrapped.close()
+      wrapped = WarcDataSource.maybeGunzip(new BoundedInputStream(fsin, len))
+      it = new WarcRecordIterator(wrapped, decodePayload = wantPayload)
+      true
+    } else false
   }
 
   override def next(): Boolean = {
-    ensureOpen()
-    if (it.hasNext) { current = it.next(); index += 1; true }
-    else false
+    if (it == null && !nextIterator()) return false
+    while (!it.hasNext) if (!nextIterator()) return false
+    current = it.next(); index += 1; true
   }
 
   // field extractors resolved ONCE from the pruned column list — the
@@ -328,6 +434,8 @@ private[warc] class WarcPartitionReader(
       case "http_robots_tag" => r => s(r.httpRobotsTag)
       case "payload_digest" => r => s(r.payloadDigest)
       case "truncated" => r => s(r.truncated)
+      case "record_offset" => r => r.offset + baseOffset
+      case "record_length" => r => r.length
       case "payload" => r => s(r.payload)
     }
   }
@@ -335,5 +443,8 @@ private[warc] class WarcPartitionReader(
   override def get(): InternalRow =
     new GenericInternalRow(extractors.map(_.apply(current)))
 
-  override def close(): Unit = if (stream != null) stream.close()
+  override def close(): Unit = {
+    if (wrapped != null) wrapped.close()
+    if (fsin != null) fsin.close()
+  }
 }

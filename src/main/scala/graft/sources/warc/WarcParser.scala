@@ -32,7 +32,15 @@ final case class WarcRecord(
     httpLocation: String = null,
     httpRobotsTag: String = null,
     payloadDigest: String = null,
-    truncated: String = null)
+    truncated: String = null,
+    // byte position of the record's version line in the stream the
+    // iterator consumed, and the exact header+payload byte span (record
+    // separators excluded) — the random-access coordinates a CDX index
+    // stores. For a plain .warc these are FILE offsets; for .warc.gz
+    // they are positions in the INFLATED stream (see the ranged-read
+    // notes on [[WarcDataSource]]).
+    offset: Long = -1L,
+    length: Long = -1L)
 
 /** STREAMING WARC record iterator — the memory contract that makes crawl
   * ingest work: only ONE record is materialized at a time (bounded by the
@@ -78,13 +86,23 @@ final class WarcRecordIterator(
   private val buf = new BufferedInputStream(in, 1 << 16)
   private var pending: WarcRecord = null
   private var done = false
+  // bytes CONSUMED from the stream so far — the iterator-level counter
+  // that makes record offsets exact regardless of BufferedInputStream's
+  // read-ahead (counting the underlying stream would measure buffer
+  // fills, not logical position)
+  private var pos: Long = 0L
 
   /** Bytes up to (excluding) the next LF, CR stripped; null at clean EOF. */
   private def readLine(): String = {
     var b = buf.read()
     if (b == -1) return null
+    pos += 1
     val bo = new ByteArrayOutputStream(128)
-    while (b != -1 && b != '\n') { bo.write(b); b = buf.read() }
+    while (b != -1 && b != '\n') {
+      bo.write(b)
+      b = buf.read()
+      if (b != -1) pos += 1
+    }
     val bytes = bo.toByteArray
     val len =
       if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1
@@ -97,6 +115,7 @@ final class WarcRecordIterator(
     while (off < dst.length) {
       val n = buf.read(dst, off, dst.length - off)
       if (n == -1) return false
+      pos += n
       off += n
     }
     true
@@ -106,9 +125,9 @@ final class WarcRecordIterator(
     var left = n
     while (left > 0) {
       val s = buf.skip(left)
-      if (s > 0) left -= s
+      if (s > 0) { pos += s; left -= s }
       else if (buf.read() == -1) return false // skip() can return 0 at EOF
-      else left -= 1
+      else { pos += 1; left -= 1 }
     }
     true
   }
@@ -116,9 +135,11 @@ final class WarcRecordIterator(
   @scala.annotation.tailrec
   private def advance(): Unit = {
     if (done) return
+    var lineStart = pos
     var line = readLine()
-    while (line != null && line.isEmpty) line = readLine()
+    while (line != null && line.isEmpty) { lineStart = pos; line = readLine() }
     if (line == null || !line.startsWith("WARC/")) { done = true; return }
+    val recordStart = lineStart
     val headers = scala.collection.mutable.Map.empty[String, String]
     var h = readLine()
     while (h != null && h.nonEmpty) {
@@ -151,7 +172,8 @@ final class WarcRecordIterator(
               WarcRecord(
                 g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
                 g("warc-date"), g("content-type"), len, env.body, env.status,
-                env.contentType, env.location, env.robotsTag, digest, trunc)
+                env.contentType, env.location, env.robotsTag, digest, trunc,
+                offset = recordStart, length = pos - recordStart)
             } else
               WarcRecord(
                 g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
@@ -159,14 +181,16 @@ final class WarcRecordIterator(
                 // non-http (conversion/WET, metadata): the WARC-level
                 // Content-Type is where a declared charset lives
                 WarcRecordIterator.decodeBody(bytes, g("content-type")),
-                payloadDigest = digest, truncated = trunc)
+                payloadDigest = digest, truncated = trunc,
+                offset = recordStart, length = pos - recordStart)
         } else {
           if (!skipFully(len)) { done = true; return }
           pending = WarcRecord(
             g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
             g("warc-date"), g("content-type"), len, null,
             payloadDigest = g("warc-payload-digest"),
-            truncated = g("warc-truncated"))
+            truncated = g("warc-truncated"),
+            offset = recordStart, length = pos - recordStart)
         }
       case Some(len) if len > maxPayloadBytes =>
         // oversized single record: consume and move on (skip, don't abort).

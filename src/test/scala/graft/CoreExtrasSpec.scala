@@ -82,6 +82,60 @@ class CoreExtrasSpec extends SparkSpec {
     rows(2).isNullAt(rows(2).fieldIndex("status")) shouldBe true // '-' → NULL via try_cast
   }
 
+  test("WARC record offsets are exact; ranged fetch seeks plain files and gzip members") {
+    def rec(id: Int, payload: String): Array[Byte] = {
+      val p = payload.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Record-ID: <urn:t:$id>\r\n" +
+        s"Content-Length: ${p.length}\r\n\r\n").getBytes("UTF-8") ++
+        p ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val (r1, r2, r3) = (rec(1, "hello world"), rec(2, "second record here"), rec(3, "third"))
+    val d = java.nio.file.Files.createTempDirectory("graft_warc_rng")
+    val plain = d.resolve("a.warc")
+    java.nio.file.Files.write(plain, r1 ++ r2 ++ r3)
+    val full = Loader.load(spark, plain.toString).orderBy("record_index").collect()
+    // offsets are exact FILE positions; length excludes the \r\n\r\n separator
+    full.map(_.getAs[Long]("record_offset")).toSeq shouldBe
+      Seq(0L, r1.length.toLong, (r1.length + r2.length).toLong)
+    full.map(_.getAs[Long]("record_length")).toSeq shouldBe
+      Seq(r1.length - 4L, r2.length - 4L, r3.length - 4L)
+    // the pruned projection reports identical coordinates (framing-derived)
+    Loader.load(spark, plain.toString)
+      .select("record_offset", "record_length").orderBy("record_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      full.map(r => (r.getAs[Long]("record_offset"), r.getAs[Long]("record_length"))).toSeq
+    // ranged fetch: exactly the middle record, with true file coordinates
+    val got = graft.sources.Loader.loadWarcRanges(spark,
+      Seq((plain.toString, r1.length.toLong, r2.length - 4L))).collect()
+    got.length shouldBe 1
+    got(0).getAs[String]("record_id") shouldBe "<urn:t:2>"
+    got(0).getAs[String]("payload") shouldBe "second record here"
+    got(0).getAs[Long]("record_offset") shouldBe r1.length.toLong
+    // gzip member-per-record (the cc-index layout): offset = COMPRESSED
+    // member start; each range window re-sniffs the magic
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    val (m1, m2) = (gzip(r1), gzip(r2))
+    val gz = d.resolve("b.warc.gz")
+    java.nio.file.Files.write(gz, m1 ++ m2)
+    val gotGz = graft.sources.Loader.loadWarcRanges(spark,
+      Seq((gz.toString, m1.length.toLong, m2.length.toLong))).collect()
+    gotGz.length shouldBe 1
+    gotGz(0).getAs[String]("record_id") shouldBe "<urn:t:2>"
+    gotGz(0).getAs[String]("payload") shouldBe "second record here"
+    // two ranges over one file = one task, offset order; both come back
+    graft.sources.Loader.loadWarcRanges(spark,
+      Seq((plain.toString, (r1.length + r2.length).toLong, r3.length - 4L),
+        (plain.toString, 0L, r1.length - 4L)))
+      .orderBy("record_offset").collect()
+      .map(_.getAs[String]("record_id")).toSeq shouldBe
+      Seq("<urn:t:1>", "<urn:t:3>")
+  }
+
   test("Writer CDX-J mirror: save→load round trip, NULL status as '-', gzip variant") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

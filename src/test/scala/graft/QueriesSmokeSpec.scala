@@ -81,6 +81,7 @@ class QueriesSmokeSpec extends SparkSpec {
     // latest-capture agg + the urlkey join (candidate distinct reuses
     // the join partitioning) — both sides crawl-sized by design
     "cdx_fetch_decisions" -> 2,
+    "warc_range_fetch" -> 0, // bounded index collect + seek-scan, narrow
     "text_script_profile" -> 0, // strip-and-measure narrow regexes
     "warc_recrawl_schedule" -> 0, // entries explode + epoch arithmetic, narrow
     "stream_neardup_det" -> 2, // band agg + keep-id anti join (batch twin)
