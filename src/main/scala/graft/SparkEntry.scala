@@ -1765,6 +1765,25 @@ object SparkEntry {
     "sink_shards" -> ((s, dir) =>
       Writer.shardAssignments(rt(s, dir, "documents"), "doc_id", 16)
         .select("doc_id", "shard", "shard_pos")),
+    // The EXPORT mile: the curated corpus leaves as WET (graft-warc DSV2
+    // write — one archive per partition, executor-side), then round-trips
+    // through this library's own reader; the oracle replays the records
+    // from documents, so header synthesis, Content-Length framing, AND
+    // the re-parse must all agree.
+    "sink_wet_export" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_wet_export").toString + "/docs.warc"
+      Writer.save(
+        rt(s, dir, "documents").select(
+          lit("conversion").as("warc_type"),
+          concat(lit("<urn:graft:exp-"), col("doc_id"), lit(">")).as("record_id"),
+          synthUrl.as("target_uri"),
+          lit("2026-03-01T00:00:00Z").as("warc_date"),
+          lit("text/plain").as("content_type"),
+          col("text").as("payload")), out)
+      graft.sources.Loader.load(s, out)
+        .select("record_id", "target_uri", "content_length", "payload")
+    }),
     // WARC ingest (the Common-Crawl first mile): every document round-trips
     // through a real WARC/1.0 conversion record — header parse, exact
     // Content-Length payload framing, and the record→row explode all
@@ -4100,6 +4119,15 @@ object SparkEntry {
     // over the UTF-8 blob = the record's exact Content-Length).
     "warc_extract" ->
       s"""SELECT '<urn:graft:doc-' || doc_id || '>' AS record_id,
+         |       $synthUrlSql AS target_uri,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+         |       text AS payload
+         |FROM documents""".stripMargin,
+    // The export round trip replayed: same shape, the exp- record ids
+    // and the pinned export date — content_length must equal the body's
+    // UTF-8 byte count (the writer computes it from the payload).
+    "sink_wet_export" ->
+      s"""SELECT '<urn:graft:exp-' || doc_id || '>' AS record_id,
          |       $synthUrlSql AS target_uri,
          |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
          |       text AS payload

@@ -65,6 +65,17 @@ object Writer {
       case "cdxj" =>
         val lw0 = cdxjLines(df).write.mode("overwrite")
         compression.fold(lw0)(c => lw0.option("compression", c)).text(path)
+      case "warc" | "wet" =>
+        // the graft-warc DSV2 write path (one archive file per input
+        // partition, executor-side; see WarcWriteSupport for the column
+        // contract). gzip output would need member-per-record framing to
+        // stay random-accessible — refuse rather than write a misnamed
+        // uncompressed archive.
+        if (compression.isDefined)
+          throw UnsupportedFormat(
+            "graft-warc write: compressed .warc.gz output is not " +
+              "supported — write plain .warc")
+        df.write.format("graft-warc").mode("overwrite").save(path)
       case _ =>
         throw UnsupportedFormat(
           "Unsupported file format. Please provide a CSV, Parquet, JSONL, " +
@@ -79,6 +90,22 @@ object Writer {
     * load(save(x)) is identity on the contract columns. NULL urlkey /
     * cdx_ts serialize as `-` (a CDX line cannot omit its sort key);
     * to_json drops other NULL fields and the reader re-NULLs them. */
+  /** The SORTED CDX-J export — the layout cc-index actually ships:
+    * range-partitioned by (urlkey, cdx_ts) and sorted within each file,
+    * so part files in name order form ONE globally ordered index and a
+    * domain lookup is a contiguous range over few files (the
+    * [[graft.ops.Url.surtKey]] design point). ONE range-exchange + local
+    * sort at any scale — the sort never funnels through a single task.
+    * `numPartitions` sizes the output files (a 100 TB crawl's ~100 GB
+    * index at ~1 GB/file → ~100). */
+  def writeCdxjSorted(df: DataFrame, path: String, numPartitions: Int): Unit = {
+    require(numPartitions > 0, "writeCdxjSorted: numPartitions must be > 0")
+    cdxjLines(df
+      .repartitionByRange(numPartitions, col("urlkey"), col("cdx_ts"))
+      .sortWithinPartitions("urlkey", "cdx_ts"))
+      .write.mode("overwrite").text(path)
+  }
+
   private def cdxjLines(df: DataFrame): DataFrame = {
     graft.core.Validators.requireColumns(df,
       Seq("urlkey", "cdx_ts", "url", "mime", "status", "digest",

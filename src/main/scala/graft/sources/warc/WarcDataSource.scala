@@ -43,6 +43,9 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-warc"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     WarcDataSource.Schema
+  // writes arrive with the DataFrame's own schema (the export contract
+  // is narrower than the read schema); reads keep the inferred one
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
@@ -51,7 +54,7 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
     val paths =
       if (ranges.isDefined) ranges.get.map(_._1).distinct
       else WarcDataSource.pathsOf(properties)
-    new WarcTable(paths, ranges)
+    new WarcTable(paths, ranges, Option(schema))
   }
 }
 
@@ -148,14 +151,27 @@ object WarcDataSource {
 
 private[warc] class WarcTable(
     paths: Seq[String],
-    ranges: Option[Seq[(String, Long, Long)]] = None)
-    extends Table with SupportsRead {
+    ranges: Option[Seq[(String, Long, Long)]] = None,
+    schemaOverride: Option[StructType] = None)
+    extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-warc(${paths.mkString(",")})"
-  override def schema(): StructType = WarcDataSource.Schema
+  override def schema(): StructType =
+    schemaOverride.getOrElse(WarcDataSource.Schema)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths, ranges)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(paths.length == 1,
+      s"graft-warc write: exactly one target directory, got ${paths.length}")
+    new WarcWriteBuilder(paths.head, info)
+  }
 }
 
 /** COLUMN PRUNING: the archive bytes must be read sequentially either way

@@ -82,6 +82,49 @@ class CoreExtrasSpec extends SparkSpec {
     rows(2).isNullAt(rows(2).fieldIndex("status")) shouldBe true // '-' → NULL via try_cast
   }
 
+  test("WARC write mirror: WET export round-trips through the reader; contract enforced") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(7).selectExpr(
+      "'conversion' AS warc_type",
+      "concat('<urn:w:', id, '>') AS record_id",
+      "concat('https://ex.com/', id) AS target_uri",
+      "'2026-03-01T00:00:00Z' AS warc_date",
+      "'text/plain' AS content_type",
+      // CRLFCRLF INSIDE a payload must survive (Content-Length framing)
+      "concat('body ', id, '\r\n\r\ntail ', id) AS payload")
+      .repartition(3)
+    val d = java.nio.file.Files.createTempDirectory("graft_warc_wr")
+    val out = d.resolve("export.warc").toString
+    graft.sources.Writer.save(docs, out)
+    // one archive file per input partition
+    new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".warc")) shouldBe 3
+    val back = Loader.load(spark, out)
+    back.count() shouldBe 7
+    val r = back.filter($"record_id" === "<urn:w:4>").head()
+    r.getAs[String]("payload") shouldBe "body 4\r\n\r\ntail 4"
+    r.getAs[String]("target_uri") shouldBe "https://ex.com/4"
+    r.getAs[String]("warc_type") shouldBe "conversion"
+    // optional digest column writes its header; null digest omits it
+    val withDigest = docs.withColumn("payload_digest",
+      when($"record_id" === "<urn:w:1>", lit("sha1:D1")))
+    graft.sources.Writer.save(withDigest, out) // overwrite truncates
+    val back2 = Loader.load(spark, out)
+    back2.count() shouldBe 7
+    back2.filter($"record_id" === "<urn:w:1>")
+      .head().getAs[String]("payload_digest") shouldBe "sha1:D1"
+    back2.filter($"payload_digest".isNotNull).count() shouldBe 1
+    // contract: unexpected / missing / non-string columns are loud errors
+    an[Exception] should be thrownBy
+      graft.sources.Writer.save(docs.withColumn("extra", lit(1)), out)
+    an[Exception] should be thrownBy
+      graft.sources.Writer.save(docs.drop("warc_date"), out)
+    an[Exception] should be thrownBy graft.sources.Writer.save(
+      docs.withColumn("payload", lit(7)), out)
+    an[Exception] should be thrownBy graft.sources.Writer.save(
+      docs, d.resolve("x.warc.gz").toString)
+  }
+
   test("WARC record offsets are exact; ranged fetch seeks plain files and gzip members") {
     def rec(id: Int, payload: String): Array[Byte] = {
       val p = payload.getBytes("UTF-8")
@@ -163,6 +206,28 @@ class CoreExtrasSpec extends SparkSpec {
     val d = java.nio.file.Files.createTempDirectory("graft_cdxj_w")
     roundTrip(d.resolve("out.cdxj").toString)
     roundTrip(d.resolve("out2.cdxj.gz").toString) // codec via suffix
+    // SORTED export: part files in name order form one globally ordered
+    // index (range partition + within-file sort), still load-compatible
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val many = spark.range(100).selectExpr(
+      "concat('com,site', cast(xxhash64(id) % 50 as string), ')/p') AS urlkey",
+      "concat('2026010100000', cast(id % 10 as string)) AS cdx_ts",
+      "concat('https://x/', id) AS url", "'text/html' AS mime",
+      "cast(200 as int) AS status", "'sha1:X' AS digest",
+      "cast(10 as bigint) AS length", "cast(0 as bigint) AS offset",
+      "'a.warc' AS filename")
+    val sd = d.resolve("sorted.cdxj").toString
+    graft.sources.Writer.writeCdxjSorted(many, sd, numPartitions = 4)
+    val files = new java.io.File(sd).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    files.length should be >= 2
+    val keysInFileOrder = files.flatMap(f =>
+      scala.io.Source.fromFile(f, "UTF-8").getLines().toList
+        .filter(_.nonEmpty).map(_.split(" ", 3).take(2).mkString(" ")))
+    keysInFileOrder.toSeq shouldBe keysInFileOrder.sorted.toSeq // global order
+    val back = Loader.load(spark, sd) // dir ends .cdxj → parses as index
+    back.count() shouldBe 100L
+    back.select("status").distinct().head().getInt(0) shouldBe 200
   }
 
   test("Loader reads WARC/WET records: headers, payload framing, gzip, torn tail") {
