@@ -482,6 +482,51 @@ object Demo {
         s"pre-split, ${pm.merges.count(_._1.startsWith(" "))} space-glued")
     }
 
+    // The round-10 crawl-INDEX circle, end to end over real temp files:
+    // curated docs → WET export (DSV2 writer) → CDX index build with
+    // REAL byte coordinates (SURT urlkeys) → sorted CDX-J on disk →
+    // index prefix lookup → random-access record fetch by seek.
+    locally {
+      import graft.sources.{Loader, Writer}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_demo_r10")
+      val wet = tmp.resolve("export.warc").toString
+      Writer.save(
+        docs.limit(200).select(
+          lit("conversion").as("warc_type"),
+          concat(lit("<urn:demo:"), col("doc_id"), lit(">")).as("record_id"),
+          concat(lit("https://www."), col("source"), lit(".com/p/"),
+            col("doc_id")).as("target_uri"),
+          lit("2026-03-01T00:00:00Z").as("warc_date"),
+          lit("text/plain").as("content_type"),
+          col("text").as("payload")), wet)
+      val archived = Loader.load(spark, wet)
+      val cdx = tmp.resolve("index.cdxj").toString
+      Writer.writeCdxjSorted(
+        archived.select(
+          graft.ops.Url.surtKey(col("target_uri")).as("urlkey"),
+          regexp_replace(col("warc_date"), "[-:TZ]", "").as("cdx_ts"),
+          col("target_uri").as("url"),
+          col("content_type").as("mime"),
+          lit(null).cast("int").as("status"),
+          col("payload_digest").as("digest"),
+          col("record_length").as("length"),
+          col("record_offset").as("offset"),
+          col("warc_file").as("filename")), cdx, numPartitions = 2)
+      val idx = Loader.load(spark, cdx)
+      val hits = idx.filter(col("urlkey").startsWith("com,")).limit(5)
+        .select("filename", "offset", "length").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val fetched = Loader.loadWarcRanges(spark, hits)
+      println(s"crawl index circle: ${archived.count()} records exported as WET, " +
+        s"${idx.count()} sorted index lines, ${hits.size} prefix hits, " +
+        s"${fetched.count()} records fetched back by seek " +
+        s"(first payload ${fetched.head().getAs[String]("payload").take(30)}…)")
+      val mism = fetched.join(archived.select(col("record_id"),
+          col("payload").as("orig")), Seq("record_id"))
+        .filter(col("payload") =!= col("orig")).count()
+      println(s"crawl index circle: $mism payload mismatches after the round trip")
+    }
+
     // Probe error paths through the same public surface.
     def probe(name: String)(body: => Unit): Unit =
       try { body; println(s"PROBE $name: NO ERROR (unexpected)") }
