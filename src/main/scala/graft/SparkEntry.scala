@@ -1784,6 +1784,28 @@ object SparkEntry {
       graft.sources.Loader.load(s, out)
         .select("record_id", "target_uri", "content_length", "payload")
     }),
+    // The COMPRESSED export with random access (member-per-record gzip,
+    // the Common Crawl framing): export → the writer's own offsets
+    // sidecar → fetch EVERY record back by compressed member seek. A
+    // wrong member boundary or offset returns garbage (gzip won't sniff
+    // mid-member) — the oracle's content replay is the proof.
+    "sink_wet_export_gz" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_wet_export_gz").toString + "/docs.warc.gz"
+      Writer.save(
+        rt(s, dir, "documents").select(
+          lit("conversion").as("warc_type"),
+          concat(lit("<urn:graft:gz-"), col("doc_id"), lit(">")).as("record_id"),
+          synthUrl.as("target_uri"),
+          lit("2026-03-01T00:00:00Z").as("warc_date"),
+          lit("text/plain").as("content_type"),
+          col("text").as("payload")), out)
+      val offs = s.read.json(out + "/*.offsets.jsonl")
+        .select("filename", "offset", "length").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      graft.sources.Loader.loadWarcRanges(s, offs)
+        .select("record_id", "target_uri", "content_length", "payload")
+    }),
     // WARC ingest (the Common-Crawl first mile): every document round-trips
     // through a real WARC/1.0 conversion record — header parse, exact
     // Content-Length payload framing, and the record→row explode all
@@ -4128,6 +4150,14 @@ object SparkEntry {
     // UTF-8 byte count (the writer computes it from the payload).
     "sink_wet_export" ->
       s"""SELECT '<urn:graft:exp-' || doc_id || '>' AS record_id,
+         |       $synthUrlSql AS target_uri,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+         |       text AS payload
+         |FROM documents""".stripMargin,
+    // Same replay for the compressed export — every record must come
+    // back intact through its own gzip member's (offset, length).
+    "sink_wet_export_gz" ->
+      s"""SELECT '<urn:graft:gz-' || doc_id || '>' AS record_id,
          |       $synthUrlSql AS target_uri,
          |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
          |       text AS payload

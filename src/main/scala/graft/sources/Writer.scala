@@ -68,14 +68,21 @@ object Writer {
       case "warc" | "wet" =>
         // the graft-warc DSV2 write path (one archive file per input
         // partition, executor-side; see WarcWriteSupport for the column
-        // contract). gzip output would need member-per-record framing to
-        // stay random-accessible — refuse rather than write a misnamed
-        // uncompressed archive.
-        if (compression.isDefined)
-          throw UnsupportedFormat(
-            "graft-warc write: compressed .warc.gz output is not " +
-              "supported — write plain .warc")
-        df.write.format("graft-warc").mode("overwrite").save(path)
+        // contract). `.warc.gz` writes MEMBER-PER-RECORD gzip (the
+        // Common Crawl framing — stays random-accessible) plus a sibling
+        // offsets.jsonl per archive with each member's compressed
+        // coordinates; non-gzip codecs have no WARC convention.
+        compression match {
+          case Some("gzip") =>
+            df.write.format("graft-warc").option("codec", "gzip-member")
+              .mode("overwrite").save(path)
+          case Some(c) =>
+            throw UnsupportedFormat(
+              s"graft-warc write: codec '$c' has no WARC framing — " +
+                "use .warc (plain) or .warc.gz (member-per-record gzip)")
+          case None =>
+            df.write.format("graft-warc").mode("overwrite").save(path)
+        }
       case _ =>
         throw UnsupportedFormat(
           "Unsupported file format. Please provide a CSV, Parquet, JSONL, " +

@@ -36,10 +36,14 @@ private[warc] class WarcWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new WarcWrite(path, info.schema(), doTruncate)
+  override def build(): Write = new WarcWrite(
+    path, info.schema(), doTruncate,
+    gzipMembers = "gzip-member" == info.options().get("codec"))
 }
 
-private[warc] class WarcWrite(path: String, schema: StructType, doTruncate: Boolean)
+private[warc] class WarcWrite(
+    path: String, schema: StructType, doTruncate: Boolean,
+    gzipMembers: Boolean = false)
     extends Write with BatchWrite {
   WarcWriteSupport.validateSchema(schema)
   override def toBatch: BatchWrite = this
@@ -56,7 +60,7 @@ private[warc] class WarcWrite(path: String, schema: StructType, doTruncate: Bool
     val fs = hp.getFileSystem(hconf)
     if (doTruncate && fs.exists(hp)) fs.delete(hp, true)
     fs.mkdirs(hp)
-    new WarcWriterFactory(path, conf, schema)
+    new WarcWriterFactory(path, conf, schema, gzipMembers)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -73,28 +77,49 @@ private[warc] final case class WarcCommitMessage(file: String)
     extends WriterCommitMessage
 
 private[warc] class WarcWriterFactory(
-    path: String, conf: Map[String, String], schema: StructType)
+    path: String, conf: Map[String, String], schema: StructType,
+    gzipMembers: Boolean)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WarcDataWriter(path, conf, schema, partitionId, taskId)
+    new WarcDataWriter(path, conf, schema, partitionId, taskId, gzipMembers)
 }
 
-/** Streams one partition's rows into one `part-…​.warc` file. */
+/** Streams one partition's rows into one `part-…​.warc` file.
+  *
+  * `gzipMembers = true` is the RANDOM-ACCESSIBLE compressed layout
+  * (Common Crawl's member-per-record framing): each record is its own
+  * gzip member in `part-….warc.gz`, and — because only the WRITER knows
+  * each member's compressed start — a sibling `part-….offsets.jsonl`
+  * records `{"record_id", "offset", "length"}` per member (the
+  * coordinates [[graft.sources.Loader.loadWarcRanges]] fetches by; a
+  * full CDX index composes from this plus the main table's urlkeys).
+  * The whole file still reads sequentially through the normal loader
+  * (multi-member inflate). */
 private[warc] class WarcDataWriter(
     path: String, conf: Map[String, String], schema: StructType,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long, gzipMembers: Boolean)
     extends DataWriter[InternalRow] {
 
-  private val file = f"$path/part-$partitionId%05d-$taskId.warc"
+  private val suffix = if (gzipMembers) "warc.gz" else "warc"
+  private val file = f"$path/part-$partitionId%05d-$taskId.$suffix"
+  private val offsetsFile = f"$path/part-$partitionId%05d-$taskId.offsets.jsonl"
   private val idx = WarcWriteSupport.fieldIndexes(schema)
   private var out: java.io.OutputStream = _
+  private var offsetsOut: java.io.Writer = _
+  private var bytesWritten = 0L
 
-  private def ensureOpen(): Unit = if (out == null) {
+  private def fs(f: String) = {
     val hconf = new Configuration()
     conf.foreach { case (k, v) => hconf.set(k, v) }
-    val hp = new Path(file)
+    new Path(f).getFileSystem(hconf)
+  }
+
+  private def ensureOpen(): Unit = if (out == null) {
     out = new java.io.BufferedOutputStream(
-      hp.getFileSystem(hconf).create(hp, true), 1 << 16)
+      fs(file).create(new Path(file), true), 1 << 16)
+    if (gzipMembers)
+      offsetsOut = new java.io.OutputStreamWriter(
+        fs(offsetsFile).create(new Path(offsetsFile), true), "UTF-8")
   }
 
   override def write(row: InternalRow): Unit = {
@@ -118,25 +143,44 @@ private[warc] class WarcDataWriter(
     }
     sb.append("Content-Type: ").append(s(idx.contentType)).append("\r\n")
     sb.append("Content-Length: ").append(body.length).append("\r\n\r\n")
-    out.write(sb.toString.getBytes("UTF-8"))
-    out.write(body)
-    out.write(WarcWriteSupport.Separator)
+    val head = sb.toString.getBytes("UTF-8")
+    if (gzipMembers) {
+      val bo = new java.io.ByteArrayOutputStream(head.length + body.length)
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      gz.write(head); gz.write(body); gz.write(WarcWriteSupport.Separator)
+      gz.close()
+      val member = bo.toByteArray
+      out.write(member)
+      // JSON by hand is safe here: record_id is angle-bracket URN text the
+      // schema requires, offsets are integers — but escape quotes anyway
+      val rid = s(idx.recordId).replace("\\", "\\\\").replace("\"", "\\\"")
+      val fn = file.replace("\\", "\\\\").replace("\"", "\\\"")
+      offsetsOut.write(
+        s"""{"record_id": "$rid", "filename": "$fn", """ +
+          s""""offset": $bytesWritten, "length": ${member.length}}\n""")
+      bytesWritten += member.length
+    } else {
+      out.write(head)
+      out.write(body)
+      out.write(WarcWriteSupport.Separator)
+    }
   }
 
   override def commit(): WriterCommitMessage = {
-    if (out != null) out.close()
+    close()
     WarcCommitMessage(file)
   }
 
   override def abort(): Unit = {
-    if (out != null) out.close()
-    val hconf = new Configuration()
-    conf.foreach { case (k, v) => hconf.set(k, v) }
-    val hp = new Path(file)
-    hp.getFileSystem(hconf).delete(hp, false)
+    close()
+    fs(file).delete(new Path(file), false)
+    if (gzipMembers) fs(offsetsFile).delete(new Path(offsetsFile), false)
   }
 
-  override def close(): Unit = if (out != null) { out.close(); out = null }
+  override def close(): Unit = {
+    if (out != null) { out.close(); out = null }
+    if (offsetsOut != null) { offsetsOut.close(); offsetsOut = null }
+  }
 }
 
 private[warc] object WarcWriteSupport {

@@ -122,7 +122,22 @@ class CoreExtrasSpec extends SparkSpec {
     an[Exception] should be thrownBy graft.sources.Writer.save(
       docs.withColumn("payload", lit(7)), out)
     an[Exception] should be thrownBy graft.sources.Writer.save(
-      docs, d.resolve("x.warc.gz").toString)
+      docs, d.resolve("x.warc.zst").toString) // no WARC framing for zstd
+    // .warc.gz = member-per-record gzip + a side offsets.jsonl whose
+    // compressed coordinates feed the ranged fetch — our own compressed
+    // exports are random-accessible
+    val gzOut = d.resolve("export.warc.gz").toString
+    graft.sources.Writer.save(docs, gzOut)
+    val gzBack = Loader.load(spark, gzOut)
+    gzBack.count() shouldBe 7 // sequential multi-member inflate
+    val offs = spark.read.json(gzOut + "/*.offsets.jsonl")
+    offs.count() shouldBe 7
+    val pick = offs.filter($"record_id" === "<urn:w:5>").head()
+    val fetched5 = graft.sources.Loader.loadWarcRanges(spark,
+      Seq((pick.getAs[String]("filename"), pick.getAs[Long]("offset"),
+        pick.getAs[Long]("length")))).collect()
+    fetched5.map(_.getAs[String]("record_id")).toSeq shouldBe Seq("<urn:w:5>")
+    fetched5.head.getAs[String]("payload") shouldBe "body 5\r\n\r\ntail 5"
   }
 
   test("WARC record offsets are exact; ranged fetch seeks plain files and gzip members") {

@@ -83,6 +83,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "cdx_fetch_decisions" -> 2,
     "warc_range_fetch" -> 0, // bounded index collect + seek-scan, narrow
     "sink_wet_export" -> 0, // DSV2 write then a fresh narrow archive read
+    "sink_wet_export_gz" -> 0, // gz-member write + offsets-seeded ranged read
     "text_script_profile" -> 0, // strip-and-measure narrow regexes
     "warc_recrawl_schedule" -> 0, // entries explode + epoch arithmetic, narrow
     "stream_neardup_det" -> 2, // band agg + keep-id anti join (batch twin)
