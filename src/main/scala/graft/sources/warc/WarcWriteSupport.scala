@@ -71,10 +71,58 @@ private[warc] class WarcWrite(
       p.getFileSystem(hconf).delete(p, false)
     }
   }
+
+  /** The STREAMING write — live curation-to-archive: each micro-batch's
+    * partition appends one `part-<partition>-e<epoch>.warc[.gz]` file.
+    * File names are deterministic in (partition, epoch), so a REPLAYED
+    * epoch (failure recovery) overwrites its own files instead of
+    * duplicating records — idempotent per epoch, the file-sink
+    * convention without the metadata log. Caveat (documented, not
+    * hidden): two CONCURRENT attempts of one task (speculative
+    * execution) are not coordinated — last writer wins; disable
+    * speculation for archive sinks or accept it. */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+      import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+      override def createStreamingWriterFactory(
+          info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+        val hconf = org.apache.spark.sql.SparkSession.active
+          .sessionState.newHadoopConf()
+        val conf = {
+          import scala.jdk.CollectionConverters._
+          hconf.asScala.map(e => e.getKey -> e.getValue).toMap
+        }
+        val hp = new Path(path)
+        hp.getFileSystem(hconf).mkdirs(hp)
+        WarcStreamingWriterFactory(path, conf, schema, gzipMembers)
+      }
+      override def commit(
+          epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(
+          epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+        val hconf = new Configuration()
+        messages.collect { case WarcCommitMessage(f) =>
+          val p = new Path(f)
+          p.getFileSystem(hconf).delete(p, false)
+        }
+      }
+    }
 }
 
 private[warc] final case class WarcCommitMessage(file: String)
     extends WriterCommitMessage
+
+/** Serializable factory of the streaming sink (a closure over the anon
+  * StreamingWrite would drag a non-serializable parent to executors). */
+private[warc] final case class WarcStreamingWriterFactory(
+    path: String, conf: Map[String, String], schema: StructType,
+    gzipMembers: Boolean)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new WarcDataWriter(path, conf, schema, partitionId, taskId,
+      gzipMembers, epoch = Some(epochId))
+}
 
 private[warc] class WarcWriterFactory(
     path: String, conf: Map[String, String], schema: StructType,
@@ -97,12 +145,20 @@ private[warc] class WarcWriterFactory(
   * (multi-member inflate). */
 private[warc] class WarcDataWriter(
     path: String, conf: Map[String, String], schema: StructType,
-    partitionId: Int, taskId: Long, gzipMembers: Boolean)
+    partitionId: Int, taskId: Long, gzipMembers: Boolean,
+    epoch: Option[Long] = None)
     extends DataWriter[InternalRow] {
 
   private val suffix = if (gzipMembers) "warc.gz" else "warc"
-  private val file = f"$path/part-$partitionId%05d-$taskId.$suffix"
-  private val offsetsFile = f"$path/part-$partitionId%05d-$taskId.offsets.jsonl"
+  // batch: task-attempt-unique names (abort deletes them). streaming:
+  // (partition, epoch)-DETERMINISTIC names, so an epoch replay
+  // overwrites itself — idempotence without a metadata log
+  private val stem = epoch match {
+    case Some(e) => f"$path/part-$partitionId%05d-e$e"
+    case None => f"$path/part-$partitionId%05d-$taskId"
+  }
+  private val file = s"$stem.$suffix"
+  private val offsetsFile = s"$stem.offsets.jsonl"
   private val idx = WarcWriteSupport.fieldIndexes(schema)
   private var out: java.io.OutputStream = _
   private var offsetsOut: java.io.Writer = _

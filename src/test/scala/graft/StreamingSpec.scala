@@ -284,6 +284,37 @@ class StreamingSpec extends SparkSpec {
     (streamed & Set(1L, 2L, 3L)) should have size 1
   }
 
+  test("streaming WARC sink: micro-batches land as epoch-named archives our reader ingests") {
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[(Long, String)]
+    val d = java.nio.file.Files.createTempDirectory("graft_warc_stream_w")
+    val out = d.resolve("live.warc").toString
+    val ckpt = d.resolve("ckpt").toString
+    val recs = mem.toDF.toDF("id", "text").select(
+      lit("conversion").as("warc_type"),
+      concat(lit("<urn:s:"), col("id"), lit(">")).as("record_id"),
+      concat(lit("https://ex.com/"), col("id")).as("target_uri"),
+      lit("2026-03-01T00:00:00Z").as("warc_date"),
+      lit("text/plain").as("content_type"),
+      col("text").as("payload"))
+    val q = recs.writeStream.format("graft-warc")
+      .option("checkpointLocation", ckpt).outputMode("append").start(out)
+    try {
+      mem.addData((1L, "first doc"), (2L, "second doc"))
+      q.processAllAvailable()
+      mem.addData((3L, "third doc in a later batch"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // epoch-named archives, no task-id entropy (replay idempotence)
+    val files = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.endsWith(".warc")).sorted
+    all(files) should fullyMatch regex "part-\\d{5}-e\\d+\\.warc"
+    val back = graft.sources.Loader.load(spark, out)
+    back.count() shouldBe 3
+    back.orderBy("record_id").collect().map(_.getAs[String]("payload")).toSeq shouldBe
+      Seq("first doc", "second doc", "third doc in a later batch")
+  }
+
   test("dedupNearDupsDeterministic: same-batch TRUE near-dups resolve like the batch rule") {
     // two different texts with IDENTICAL character-3-gram sets — identical
     // signatures, identical bands: the exact shape dedupNearDups documents
