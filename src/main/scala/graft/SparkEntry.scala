@@ -3087,6 +3087,35 @@ object SparkEntry {
         rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
         "payload").select("doc_id", "n_bytes", "format", "truncated")
     }),
+    // REAL image-dimension extraction (not the decode stub): true PNG
+    // IHDR / GIF logical-screen headers are synthesized with dimensions
+    // DERIVED FROM doc_id (big-endian 32-bit for PNG, little-endian
+    // 16-bit for GIF — byte construction via unhex/lpad), the op parses
+    // them back from raw bytes, and the oracle recomputes the expected
+    // numbers from doc_id arithmetic alone — a wrong endianness or
+    // offset cannot match.
+    "mm_image_dims" -> ((s, dir) => {
+      def hx(h: String): Array[Byte] =
+        h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      val w = col("doc_id") % 500 + 1
+      val h = col("doc_id") % 300 + 1
+      def be32(v: org.apache.spark.sql.Column) = unhex(lpad(hex(v), 8, "0"))
+      def le16(v: org.apache.spark.sql.Column) = unhex(concat(
+        lpad(hex(v % 256), 2, "0"),
+        lpad(hex(shiftright(v.cast("int"), 8)), 2, "0")))
+      val body = col("text").cast("binary")
+      val payload =
+        when(col("doc_id") % 3 === 0, concat(
+          lit(hx("89504E470D0A1A0A" + "0000000D" + "49484452")),
+          be32(w), be32(h), lit(hx("0806000000")), body))
+          .when(col("doc_id") % 3 === 1, concat(
+            lit(hx("474946383961")), le16(w), le16(h), body, lit(hx("3B"))))
+          .otherwise(body)
+      Multimodal.imageDims(
+        rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
+        "payload")
+        .select("doc_id", "img_width", "img_height")
+    }),
     // Frame sampling stub over binary payloads: byte-range slices, one row
     // per frame. Frames dumped as hex strings (binary columns are not
     // hashable by the driver compare; hex slicing is exactly replayable in
@@ -6398,6 +6427,16 @@ object SparkEntry {
     // BLOBs): magic = chars 1-8, RIFF form = 17-24, box type = 9-16, and
     // the RIFF little-endian chunk size is reassembled from its byte pairs
     // with instr-digit arithmetic (no hex→int cast needed on either side).
+    // Image dimensions recomputed from the SAME arithmetic that sized
+    // the synthesized headers — the byte round trip (BE-32 PNG, LE-16
+    // GIF) happens only on the Spark side, so the comparison proves it.
+    "mm_image_dims" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 2 THEN NULL
+        |            ELSE CAST(doc_id % 500 + 1 AS BIGINT) END AS img_width,
+        |       CASE WHEN doc_id % 3 = 2 THEN NULL
+        |            ELSE CAST(doc_id % 300 + 1 AS BIGINT) END AS img_height
+        |FROM documents""".stripMargin,
     "mm_binary_meta_ext" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -65,6 +65,36 @@ object Multimodal {
           .otherwise(lit(null).cast("boolean")))
   }
 
+  /** REAL image dimensions from header bytes — no codec needed, so this
+    * is NOT part of the decode stub: PNG stores width/height as
+    * big-endian 32-bit ints at fixed IHDR offsets (bytes 17-24, after
+    * the 8-byte signature + chunk length + "IHDR"), GIF as little-endian
+    * 16-bit ints in the logical screen descriptor (bytes 7-10). Appends
+    * `img_width`/`img_height`, NULL for any other format (JPEG's SOF
+    * frame floats at a variable offset — a marker scan belongs in the
+    * real decoder, documented non-goal) and for payloads too short to
+    * carry the header. Constant-width slices, one narrow projection. */
+  def imageDims(df: DataFrame, binCol: String): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(binCol))
+    graft.core.Validators.requireColumnsAbsent(
+      df, Seq("img_width", "img_height"), "imageDims")
+    val b = col(binCol)
+    def beInt(off: Int): Column =
+      conv(hex(substring(b, off, 4)), 16, 10).cast("long")
+    def leShort(off: Int): Column =
+      conv(hex(substring(b, off + 1, 1)), 16, 10).cast("long") * 256 +
+        conv(hex(substring(b, off, 1)), 16, 10).cast("long")
+    val isPng = length(b) >= 24 &&
+      hex(substring(b, 1, 8)) === "89504E470D0A1A0A" &&
+      hex(substring(b, 13, 4)) === "49484452" // the IHDR tag itself
+    val isGif = length(b) >= 10 &&
+      hex(substring(b, 1, 6)).isin("474946383761", "474946383961")
+    df.withColumn("img_width",
+      when(isPng, beInt(17)).when(isGif, leShort(7)))
+      .withColumn("img_height",
+        when(isPng, beInt(21)).when(isGif, leShort(9)))
+  }
+
   /** DETERMINISTIC STUB for the decode + feature-extract step: a `dim`-long
     * pseudo-embedding derived from content hashes, values in [0, 1). A real
     * deployment replaces this with an actual decoder producing the same

@@ -1635,6 +1635,30 @@ class OpsSpec extends SparkSpec {
     out(10L) shouldBe (("mp4", None))
   }
 
+  test("Multimodal.imageDims parses real PNG/GIF headers; others and short payloads NULL") {
+    def hx(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // a real 800×600 PNG IHDR prefix and a 320×200 GIF89a screen descriptor
+    val png = hx("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000320" + "00000258" + "0806000000") ++ "rest".getBytes
+    val gif = hx("474946383961" + "4001" + "C800") ++ "rest".getBytes
+    val rows = Seq(
+      (1L, png), (2L, gif),
+      (3L, "no magic here".getBytes),
+      (4L, hx("89504E470D0A1A0A")), // PNG signature but too short for IHDR
+      (5L, hx("FFD8FFE0") ++ "jpeg needs a marker scan".getBytes),
+    ).toDF("id", "payload")
+    val out = graft.ops.Multimodal.imageDims(rows, "payload")
+      .orderBy("id").collect()
+      .map(r => (if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))
+    out(0) shouldBe ((800L, 600L))
+    out(1) shouldBe ((320L, 200L))
+    out(2) shouldBe ((null, null))
+    out(3) shouldBe ((null, null))
+    out(4) shouldBe ((null, null)) // jpeg: documented non-goal
+  }
+
   test("Multimodal.fakeEmbedding is deterministic with the right shape") {
     val d = Seq((1L, "same payload"), (2L, "same payload"), (3L, "other"))
       .toDF("id", "text")
