@@ -2614,6 +2614,21 @@ object SparkEntry {
             .when(col("doc_id") % 5 === 3, concat(col("text"), lit(ScriptMarkerBad)))
             .otherwise(col("text")).as("text")),
         "text").drop("text")),
+    // The lang-vs-script CONTRADICTION gate scriptProfile's doc promises:
+    // a doc whose label claims a language whose script its characters
+    // don't carry is a labeling/decode suspect. Here every zh-labeled
+    // doc flags (the synthetic zh text is Latin — exactly the kind of
+    // mislabel the gate exists to catch); the oracle recomputes the
+    // dominant script with RE2 and replays the expectation table.
+    "text_script_lang_check" -> ((s, dir) => {
+      val expected = when(col("lang") === "zh", "han").otherwise("latin")
+      TextOps.scriptProfile(
+        rt(s, dir, "documents").select("doc_id", "lang", "text"), "text")
+        .withColumn("expected_script", expected)
+        .withColumn("consistent", col("dominant_script") === expected)
+        .select("doc_id", "lang", "dominant_script", "expected_script",
+          "consistent")
+    }),
     "text_fingerprint" -> ((s, dir) =>
       rt(s, dir, "documents").select(
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
@@ -5444,6 +5459,31 @@ object SparkEntry {
          |            WHEN n_hangul = greatest(n_hangul, n_kana) THEN 'hangul'
          |            ELSE 'kana' END AS dominant_script
          |FROM v""".stripMargin,
+    // Dominant script recomputed with RE2 over the RAW text, then the
+    // per-lang expectation and the verdict.
+    "text_script_lang_check" ->
+      """WITH v AS (SELECT doc_id, lang,
+        |                  CAST(length(regexp_replace(text, '[^\p{Latin}]', '', 'g')) AS BIGINT) AS n_latin,
+        |                  CAST(length(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |                  CAST(length(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS BIGINT) AS n_han,
+        |                  CAST(length(regexp_replace(text, '[^\p{Arabic}]', '', 'g')) AS BIGINT) AS n_arabic,
+        |                  CAST(length(regexp_replace(text, '[^\p{Hangul}]', '', 'g')) AS BIGINT) AS n_hangul,
+        |                  CAST(length(regexp_replace(text, '[^\p{Hiragana}\p{Katakana}]', '', 'g')) AS BIGINT) AS n_kana
+        |           FROM documents),
+        |     d AS (SELECT doc_id, lang,
+        |                  CASE WHEN greatest(n_latin, n_cyrillic, n_han, n_arabic, n_hangul, n_kana) = 0 THEN 'none'
+        |                       WHEN n_latin = greatest(n_latin, n_cyrillic, n_han, n_arabic, n_hangul, n_kana) THEN 'latin'
+        |                       WHEN n_cyrillic = greatest(n_cyrillic, n_han, n_arabic, n_hangul, n_kana) THEN 'cyrillic'
+        |                       WHEN n_han = greatest(n_han, n_arabic, n_hangul, n_kana) THEN 'han'
+        |                       WHEN n_arabic = greatest(n_arabic, n_hangul, n_kana) THEN 'arabic'
+        |                       WHEN n_hangul = greatest(n_hangul, n_kana) THEN 'hangul'
+        |                       ELSE 'kana' END AS dominant_script
+        |           FROM v)
+        |SELECT doc_id, lang, dominant_script,
+        |       CASE WHEN lang = 'zh' THEN 'han' ELSE 'latin' END AS expected_script,
+        |       dominant_script = CASE WHEN lang = 'zh' THEN 'han' ELSE 'latin' END
+        |         AS consistent
+        |FROM d""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
