@@ -2348,6 +2348,26 @@ object SparkEntry {
         rt(s, dir, "documents").select(col("doc_id"), synthMessyUrl.as("url")),
         "url")
         .select("doc_id", "url", "url_canonical")),
+    // Tracking-parameter strip — the aggressive half of frontier dedup
+    // (utm_*/gclid/… identify the CLICK, not the page): canonicalize
+    // (query sorts), then strip, per four shapes incl. an all-tracking
+    // query whose '?' disappears. The oracle replays the expected
+    // strings per shape.
+    "text_url_strip_tracking" -> ((s, dir) => {
+      val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://"), col("source"),
+          lit(".com/p?utm_source=x&a=1&utm_campaign=y")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://"), col("source"), lit(".com/q?gclid=abc123")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://"), col("source"), lit(".com/r?b=2&a=1")))
+        .otherwise(concat(lit("https://"), col("source"), lit(".com/s")))
+      rt(s, dir, "documents").select(
+        col("doc_id"),
+        Url.canonicalizeUrl(url).as("url_canonical"))
+        .withColumn("url_stripped",
+          Url.stripTrackingParams(col("url_canonical")))
+    }),
     // The SURT index key over the same messy shapes: canonicalization,
     // www-strip, host-label reversal, kept non-default port, sorted
     // query — and NULL for the non-URL passthrough (no host, no key).
@@ -4970,6 +4990,21 @@ object SparkEntry {
          |         WHEN 4 THEN 'https://' || source || '.com/p'
          |         ELSE 'relative/path only' END AS url_canonical
          |FROM u""".stripMargin,
+    // Expected canonical + stripped strings per shape: the sorted query
+    // loses its utm_* keys, the all-tracking query loses its '?'.
+    "text_url_strip_tracking" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 4
+        |         WHEN 0 THEN 'https://' || source || '.com/p?a=1&utm_campaign=y&utm_source=x'
+        |         WHEN 1 THEN 'https://' || source || '.com/q?gclid=abc123'
+        |         WHEN 2 THEN 'https://' || source || '.com/r?a=1&b=2'
+        |         ELSE 'https://' || source || '.com/s' END AS url_canonical,
+        |       CASE doc_id % 4
+        |         WHEN 0 THEN 'https://' || source || '.com/p?a=1'
+        |         WHEN 1 THEN 'https://' || source || '.com/q'
+        |         WHEN 2 THEN 'https://' || source || '.com/r?a=1&b=2'
+        |         ELSE 'https://' || source || '.com/s' END AS url_stripped
+        |FROM documents""".stripMargin,
     // Expected SURT keys per shape: canonicalization folds case and
     // default ports first, then www strips, labels reverse comma-joined,
     // the kept :8080 lands before ')', queries stay sorted, and the

@@ -368,6 +368,39 @@ object Url {
         lit(")"), rest)))
   }
 
+  /** Query parameters that advertising/analytics attach to inbound links
+    * without changing the page: the default strip set of
+    * [[stripTrackingParams]] (utm_* by prefix; the rest exact). */
+  val DefaultTrackingParams: Set[String] = Set(
+    "gclid", "fbclid", "msclkid", "dclid", "igshid", "mc_cid", "mc_eid",
+    "ref_src", "cmpid", "s_kwcid")
+
+  /** Drops tracking query parameters from an already-CANONICAL URL (run
+    * [[canonicalizeUrl]] first — this op assumes the canonical shape:
+    * lowercase scheme/host, sorted `k=v&k=v` query, no fragment): any
+    * `utm_*` key plus the [[DefaultTrackingParams]] exact keys. The
+    * aggressive half of frontier dedup the base canonicalizer leaves
+    * out (stripping is a POLICY — some sites route on these — so it is
+    * a separate opt-in step, not part of canonicalizeUrl). A URL whose
+    * query empties loses its `?` entirely. Pure narrow expressions
+    * (split → filter → rejoin), oracle-replayable with list functions. */
+  def stripTrackingParams(
+      canonicalUrl: Column,
+      exactKeys: Set[String] = DefaultTrackingParams): Column = {
+    val query = regexp_extract(canonicalUrl, "\\?(.*)$", 1)
+    val keysLit = array(exactKeys.toSeq.sorted.map(lit): _*)
+    val kept = filter(split(query, "&"), p => {
+      val k = regexp_extract(p, "^([^=]*)", 1)
+      !k.startsWith("utm_") && !array_contains(keysLit, k)
+    })
+    val newQuery = array_join(kept, "&")
+    val base = regexp_replace(canonicalUrl, "\\?.*$", "")
+    when(canonicalUrl.isNull, lit(null).cast("string"))
+      .when(query === "", canonicalUrl)
+      .when(newQuery === "", base)
+      .otherwise(concat(base, lit("?"), newQuery))
+  }
+
   /** Appends `outCol` = [[canonicalizeUrl]] of `urlCol` — the DataFrame
     * form feeding seen-key fits/probes. Pure narrow projection. */
   def canonicalizeUrls(

@@ -29,6 +29,7 @@ object Loader {
     }
     ext match {
       case "parquet" => spark.read.parquet(path)
+      case "orc" => spark.read.orc(path)
       case "csv" =>
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
       case "json" | "jsonl" => spark.read.json(path)
@@ -37,8 +38,8 @@ object Loader {
       case "cdxj" => loadCdxj(spark, path)
       case _ =>
         throw UnsupportedFormat(
-          "Unsupported file format. Please provide a CSV, Parquet, JSON(L), " +
-            "TXT, WARC/WET, or CDXJ file.")
+          "Unsupported file format. Please provide a CSV, Parquet, ORC, " +
+            "JSON(L), TXT, WARC/WET, or CDXJ file.")
     }
   }
 

@@ -51,6 +51,7 @@ object Writer {
     val w = compression.fold(w0)(c => w0.option("compression", c))
     fmt match {
       case "parquet" => w.parquet(path)
+      case "orc" => w.orc(path)
       case "csv" => w.option("header", "true").csv(path)
       case "json" | "jsonl" => w.json(path)
       case "txt" =>
@@ -85,18 +86,11 @@ object Writer {
         }
       case _ =>
         throw UnsupportedFormat(
-          "Unsupported file format. Please provide a CSV, Parquet, JSONL, " +
-            "TXT, or CDXJ file.")
+          "Unsupported file format. Please provide a CSV, Parquet, ORC, JSONL, " +
+            "TXT, CDXJ, or WARC/WET file.")
     }
   }
 
-  /** [[graft.sources.Loader.loadCdxj]]'s write mirror: serializes the
-    * reader's column contract (urlkey, cdx_ts, url, mime, status, digest,
-    * length, offset, filename) back to `urlkey ts {json}` lines — numbers
-    * as strings and NULL status as `-`, the pywb field conventions, so
-    * load(save(x)) is identity on the contract columns. NULL urlkey /
-    * cdx_ts serialize as `-` (a CDX line cannot omit its sort key);
-    * to_json drops other NULL fields and the reader re-NULLs them. */
   /** The SORTED CDX-J export — the layout cc-index actually ships:
     * range-partitioned by (urlkey, cdx_ts) and sorted within each file,
     * so part files in name order form ONE globally ordered index and a
@@ -113,6 +107,13 @@ object Writer {
       .write.mode("overwrite").text(path)
   }
 
+  /** [[graft.sources.Loader.loadCdxj]]'s write mirror: serializes the
+    * reader's column contract (urlkey, cdx_ts, url, mime, status, digest,
+    * length, offset, filename) back to `urlkey ts {json}` lines — numbers
+    * as strings and NULL status as `-`, the pywb field conventions, so
+    * load(save(x)) is identity on the contract columns. NULL urlkey /
+    * cdx_ts serialize as `-` (a CDX line cannot omit its sort key);
+    * to_json drops other NULL fields and the reader re-NULLs them. */
   private def cdxjLines(df: DataFrame): DataFrame = {
     graft.core.Validators.requireColumns(df,
       Seq("urlkey", "cdx_ts", "url", "mime", "status", "digest",

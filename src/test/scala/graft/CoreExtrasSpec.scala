@@ -57,6 +57,13 @@ class CoreExtrasSpec extends SparkSpec {
     gdf.select("id").head().getLong(0) shouldBe 7L
     // a compression suffix on an unsupported inner extension still rejects
     intercept[UnsupportedFormat](Loader.load(spark, "/tmp/whatever.avro.gz"))
+    // ORC round trips through the same dispatch, both directions
+    val orc = java.nio.file.Files.createTempDirectory("graft_orc")
+      .resolve("docs.orc").toString
+    graft.sources.Writer.save(jdf, orc)
+    val odf = Loader.load(spark, orc)
+    odf.count() shouldBe 2
+    odf.columns.toSet shouldBe Set("id", "text")
   }
 
   test("Loader reads CDX-J lines: typed fields, '-' status, blank/malformed lenient") {

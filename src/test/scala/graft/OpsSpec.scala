@@ -3535,6 +3535,25 @@ class OpsSpec extends SparkSpec {
     out(3).getAs[String]("dominant_script") shouldBe "none"
   }
 
+  test("Url.stripTrackingParams: utm prefix, exact keys, emptied query, passthroughs") {
+    import graft.ops.Url
+    val cases = Seq(
+      ("https://ex.com/p?a=1&utm_campaign=y&utm_source=x", "https://ex.com/p?a=1"),
+      ("https://ex.com/q?gclid=abc", "https://ex.com/q"), // query empties → no '?'
+      ("https://ex.com/r?a=1&b=2", "https://ex.com/r?a=1&b=2"),
+      ("https://ex.com/s", "https://ex.com/s"),
+      // 'utm' must be a KEY prefix, not a value substring
+      ("https://ex.com/t?x=utm_source", "https://ex.com/t?x=utm_source"),
+      ("https://ex.com/u?fbclid=1&mc_cid=2&z=3", "https://ex.com/u?z=3"),
+      (null, null),
+    )
+    val out = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select($"id", Url.stripTrackingParams($"url").as("s"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    out shouldBe cases.map(_._2)
+  }
+
   test("Url.surtKey: label reversal, www strip, ports, query sort, IPv6, non-URL") {
     val cases = Seq(
       ("https://www.Example.COM/Page?b=2&a=1", "com,example)/page?a=1&b=2"),

@@ -87,6 +87,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_script_profile" -> 0, // strip-and-measure narrow regexes
     "mm_image_dims" -> 0, // constant-width header slices, narrow
     "text_script_lang_check" -> 0, // profile + verdict, still narrow
+    "text_url_strip_tracking" -> 0, // split-filter-rejoin, narrow
     "warc_recrawl_schedule" -> 0, // entries explode + epoch arithmetic, narrow
     "stream_neardup_det" -> 2, // band agg + keep-id anti join (batch twin)
     // URL side: one host-keyed rules join + one best-rule window; the
