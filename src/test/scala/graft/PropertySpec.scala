@@ -427,4 +427,66 @@ class PropertySpec extends SparkSpec {
       kept == (cut until n.toLong)
     })
   }
+
+  /** Randomized URL shapes: optional case-mixed scheme/host, userinfo,
+    * default/explicit ports, multi-label hosts with an optional leading
+    * www, paths, shuffled queries (tracking keys mixed in), fragments. */
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "HTTP", "https", "HtTpS")
+    user <- Gen.option(Gen.const("u:p@"))
+    www <- Gen.oneOf("", "www.", "WWW.")
+    labels <- Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("ex", "Site", "blog", "a1")))
+    tld <- Gen.oneOf("com", "co.uk", "net")
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    path <- Gen.oneOf("", "/", "/A/b", "/p/Q")
+    qparts <- Gen.someOf("b=2", "a=1", "utm_source=x", "gclid=1", "z=Z")
+    frag <- Gen.oneOf("", "#x", "#/route?tab=1")
+  } yield s"$scheme://${user.getOrElse("")}$www${labels.mkString(".")}.$tld" +
+    s"$port$path${if (qparts.isEmpty) "" else qparts.mkString("?", "&", "")}$frag"
+
+  test("property: canonicalizeUrl is idempotent; surt/strip stable under re-canonicalization") {
+    import graft.ops.Url
+    check(Prop.forAll(Gen.listOfN(12, urlGen)) { urls =>
+      val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+        .toDF("id", "url")
+        .select(
+          col("id"),
+          Url.canonicalizeUrl(col("url")).as("c1"))
+        .select(
+          col("id"), col("c1"),
+          Url.canonicalizeUrl(col("c1")).as("c2"),
+          Url.surtKey(col("c1")).as("s1"),
+          Url.stripTrackingParams(col("c1")).as("t1"))
+        .select(col("*"),
+          Url.surtKey(col("c2")).as("s2"),
+          Url.stripTrackingParams(col("t1")).as("t2"),
+          Url.canonicalizeUrl(col("t1")).as("t1c"))
+      df.collect().forall { r =>
+        r.getString(1) == r.getString(2) && // canonical idempotent
+          r.getString(3) == r.getString(5) && // surt(c) == surt(canon(c))
+          r.getString(4) == r.getString(6) && // strip idempotent
+          // stripping a canonical URL yields a STILL-canonical URL
+          r.getString(4) == r.getString(7)
+      }
+    })
+  }
+
+  test("property: surtKey sorts one host's captures contiguously (prefix = host lookup)") {
+    import graft.ops.Url
+    check(Prop.forAll(Gen.listOfN(10, urlGen)) { urls =>
+      val rows = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+        .toDF("id", "url")
+        .select(Url.host(col("url")).as("h"), Url.surtKey(col("url")).as("k"))
+        .collect().filter(r => !r.isNullAt(1)).map(r => (r.getString(0), r.getString(1)))
+      // sort by key: every (lowercased, www-stripped) host's keys must be
+      // one contiguous run — the whole point of the transform
+      val sortedHosts = rows.sortBy(_._2).map(_._1.toLowerCase.replaceFirst("^www\\.", ""))
+      val runs = sortedHosts.foldLeft(List.empty[String]) {
+        case (acc, h) if acc.headOption.contains(h) => acc
+        case (acc, h) => h :: acc
+      }
+      runs.distinct.size == runs.size // no host appears in two runs
+    })
+  }
 }
