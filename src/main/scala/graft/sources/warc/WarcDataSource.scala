@@ -415,13 +415,23 @@ private[warc] class WarcPartitionReader(
       openFile()
       val (off, len) = sortedRanges(rangeIdx)
       rangeIdx += 1
-      fsin.seek(off)
-      baseOffset = off
       // close the previous window's wrapper (frees a gzip Inflater; the
       // BoundedInputStream shields the shared file stream)
       if (wrapped != null) wrapped.close()
-      wrapped = WarcDataSource.maybeGunzip(new BoundedInputStream(fsin, len))
-      it = new WarcRecordIterator(wrapped, decodePayload = wantPayload)
+      // LENIENT seek: a stale index entry (offset past EOF after an
+      // archive was rewritten, corrupt member bytes) yields zero rows
+      // for THAT range — one bad index line must not abort a lookup job
+      // (the WarcRecordIterator torn-tail rule, applied to windows)
+      try {
+        fsin.seek(off)
+        baseOffset = off
+        wrapped = WarcDataSource.maybeGunzip(new BoundedInputStream(fsin, len))
+        it = new WarcRecordIterator(wrapped, decodePayload = wantPayload)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          wrapped = null
+          it = Iterator.empty
+      }
       true
     } else false
   }

@@ -64,13 +64,8 @@ private[warc] class WarcWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val hconf = new Configuration()
-    messages.collect { case WarcCommitMessage(f) =>
-      val p = new Path(f)
-      p.getFileSystem(hconf).delete(p, false)
-    }
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    WarcWriteSupport.deleteOutputs(messages)
 
   /** The STREAMING write — live curation-to-archive: each micro-batch's
     * partition appends one `part-<partition>-e<epoch>.warc[.gz]` file.
@@ -99,13 +94,8 @@ private[warc] class WarcWrite(
       override def commit(
           epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(
-          epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-        val hconf = new Configuration()
-        messages.collect { case WarcCommitMessage(f) =>
-          val p = new Path(f)
-          p.getFileSystem(hconf).delete(p, false)
-        }
-      }
+          epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+        WarcWriteSupport.deleteOutputs(messages)
     }
 }
 
@@ -241,6 +231,24 @@ private[warc] class WarcDataWriter(
 
 private[warc] object WarcWriteSupport {
   val Separator: Array[Byte] = "\r\n\r\n".getBytes("UTF-8")
+
+  /** Job-level abort cleanup: each committed message names its archive
+    * file; the gzip-member mode also leaves an offsets sidecar next to
+    * it (same stem) — delete BOTH, or an aborted job strands a sidecar
+    * pointing at a deleted archive. */
+  def deleteOutputs(messages: Array[WriterCommitMessage]): Unit = {
+    val hconf = new Configuration()
+    messages.foreach {
+      case WarcCommitMessage(f) =>
+        val p = new Path(f)
+        val fs = p.getFileSystem(hconf)
+        fs.delete(p, false)
+        val sidecar = new Path(
+          f.replaceAll("\\.warc(\\.gz)?$", "") + ".offsets.jsonl")
+        if (fs.exists(sidecar)) fs.delete(sidecar, false)
+      case _ => ()
+    }
+  }
 
   final case class Indexes(
       warcType: Int, recordId: Int, targetUri: Int, warcDate: Int,

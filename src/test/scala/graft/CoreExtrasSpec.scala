@@ -199,6 +199,14 @@ class CoreExtrasSpec extends SparkSpec {
       .orderBy("record_offset").collect()
       .map(_.getAs[String]("record_id")).toSeq shouldBe
       Seq("<urn:t:1>", "<urn:t:3>")
+    // LENIENT ranges: a stale entry (offset past EOF, a mid-record seek)
+    // yields zero rows for THAT range; the good range still fetches
+    graft.sources.Loader.loadWarcRanges(spark,
+      Seq((plain.toString, 1000000L, 100L), // past EOF
+        (plain.toString, 5L, 40L), // mid-record: no version line
+        (plain.toString, 0L, r1.length - 4L)))
+      .collect().map(_.getAs[String]("record_id")).toSeq shouldBe
+      Seq("<urn:t:1>")
   }
 
   test("Writer CDX-J mirror: save→load round trip, NULL status as '-', gzip variant") {
