@@ -347,6 +347,30 @@ object SparkEntry {
         recordIdOf = r => s"<urn:graft:link-${r.getLong(0)}>",
         targetUriOf = r =>
           s"https://www.${r.getString(4)}.co.uk/p/${r.getLong(0)}/index.html")
+      // ...and the WAT metadata sidecar (warc_wat_links): per page, one
+      // `metadata` record whose JSON payload pre-parses the page —
+      // title, three anchor links (absolute / protocol-relative /
+      // root-relative, so WAT-side resolution is exercised), one
+      // text-less anchor, and one IMG resource the anchors-only default
+      // must drop. The oracle replays every row from the source columns.
+      writeArchive("docs_wat.warc", "metadata", "application/json",
+        payloadOf = { r =>
+          val id = r.getLong(0)
+          val source = r.getString(4)
+          (s"""{"Envelope": {"WARC-Header-Metadata": {"WARC-Type": "response"}, """ +
+            s""""Payload-Metadata": {"HTTP-Response-Metadata": {"HTML-Metadata": {""" +
+            s""""Head": {"Title": "Page $id - $source"}, "Links": [""" +
+            s"""{"path": "A@/href", "url": "https://src${id % 7}-news.com/a/b", "text": "partner"}, """ +
+            s"""{"path": "A@/href", "url": "//cdn.$source.net/lib.js", "text": "cdn"}, """ +
+            s"""{"path": "A@/href", "url": "/about/contact.html", "text": "about"}, """ +
+            s"""{"path": "A@/href", "url": "archive/page${id % 5}.html"}, """ +
+            s"""{"path": "IMG@/src", "url": "/img/$id.png"}]}}}}}""").getBytes("UTF-8")
+        },
+        recordIdOf = r => s"<urn:graft:wat-${r.getLong(0)}>",
+        targetUriOf = r => {
+          val id = r.getLong(0)
+          s"https://www.${r.getString(4)}.co.uk/p/$id/index.html"
+        })
       // ...and the REVISIT archive (warc_revisit_dedup): every document
       // is one response record carrying a WARC-Payload-Digest; every 4th
       // document is re-fetched later as a `revisit` record — empty
@@ -1983,6 +2007,18 @@ object SparkEntry {
         .withColumn("dst", Url.canonicalizeUrl(col("link_url")))
         .groupBy("dst", "anchor_text")
         .agg(count(lit(1)).as("n_links"))),
+    // The WAT route into the link graph — Common Crawl's pre-parsed JSON
+    // sidecar, so ingest can skip raw-HTML parsing: per record the
+    // sidecar title plus every ANCHOR link resolved absolute (the IMG
+    // resource drops under the anchors-only default; the text-less
+    // anchor keeps a NULL anchor_text). One narrow JSON generator.
+    "warc_wat_links" -> ((s, dir) =>
+      graft.ops.LinkGraph.watOutlinks(
+        graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_wat.warc")
+          .select("record_id", "target_uri", "payload"),
+        "payload", "target_uri")
+        .withColumn("wat_title", graft.ops.LinkGraph.watTitle(col("payload")))
+        .select("record_id", "wat_title", "link_url", "anchor_text")),
     // HEAD metadata ingest columns — title, meta description (both
     // attribute orders), rel=canonical (both orders, absent on every
     // 5th page, RELATIVE on every 5th-plus-2). One narrow projection;
@@ -5056,6 +5092,31 @@ object SparkEntry {
         |                  'docs again' FROM u)
         |SELECT dst, anchor_text, CAST(count(*) AS BIGINT) AS n_links
         |FROM a GROUP BY 1, 2""".stripMargin,
+    // The WAT rows replayed: per document the sidecar title and four
+    // anchors (absolute kept, protocol-relative gains https, the
+    // root-relative and document-relative resolve against the page URI;
+    // the text-less archive anchor is NULL; the IMG entry never emits).
+    "warc_wat_links" ->
+      """WITH u AS (SELECT doc_id, source,
+        |                  '<urn:graft:wat-' || doc_id || '>' AS record_id,
+        |                  'Page ' || doc_id || ' - ' || source AS wat_title
+        |           FROM documents)
+        |SELECT record_id, wat_title,
+        |       'https://src' || (doc_id % 7) || '-news.com/a/b' AS link_url,
+        |       'partner' AS anchor_text
+        |FROM u
+        |UNION ALL
+        |SELECT record_id, wat_title, 'https://cdn.' || source || '.net/lib.js',
+        |       'cdn' FROM u
+        |UNION ALL
+        |SELECT record_id, wat_title,
+        |       'https://www.' || source || '.co.uk/about/contact.html',
+        |       'about' FROM u
+        |UNION ALL
+        |SELECT record_id, wat_title,
+        |       'https://www.' || source || '.co.uk/p/' || doc_id ||
+        |         '/archive/page' || (doc_id % 5) || '.html',
+        |       NULL FROM u""".stripMargin,
     // Every head-block shape replayed: title always, description NULL on
     // %4==3 (reversed attribute order on %4==0 extracts identically),
     // canonical NULL on %5==0 and VERBATIM otherwise — the relative

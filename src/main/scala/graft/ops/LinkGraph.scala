@@ -113,6 +113,63 @@ object LinkGraph {
       .drop("__graft_pair", "__graft_h")
   }
 
+  /** The WAT `Links` array location (Common Crawl's metadata sidecar:
+    * one JSON document per capture under
+    * Envelope → Payload-Metadata → HTTP-Response-Metadata →
+    * HTML-Metadata). Bracket segments: the keys carry hyphens. */
+  private val WatHtmlMeta =
+    "$.Envelope['Payload-Metadata']['HTTP-Response-Metadata']['HTML-Metadata']"
+
+  private val WatLinkSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("url",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType)))
+
+  /** Outlinks from a WAT metadata payload — the pre-parsed route into
+    * the link graph: Common Crawl ships WAT sidecars so a pipeline can
+    * skip raw-HTML parsing entirely. One row per link: `link_url` (the
+    * WAT-listed target resolved absolute against `baseUrlCol` — WAT
+    * stores hrefs VERBATIM, relative ones included) and `anchor_text`
+    * (the `text` field, NULL when the entry has none). `anchorsOnly`
+    * (default) keeps `A@/href` entries — the `<a>` links; false emits
+    * every linked resource (IMG@/src, LINK@/href, SCRIPT@/src …) with
+    * the WAT path kept in `link_path`. Malformed/absent Links arrays
+    * yield zero rows for that record, never an error (one bad sidecar
+    * line must not abort ingest — from_json is lenient by default).
+    *
+    * Scale shape: one get_json_object + from_json + explode — a narrow
+    * generator, no shuffle; the [[extractLinks]] shape with JSON in
+    * place of regexes. */
+  def watOutlinks(
+      df: DataFrame,
+      payloadCol: String,
+      baseUrlCol: String,
+      anchorsOnly: Boolean = true): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(payloadCol, baseUrlCol))
+    graft.core.Validators.requireColumnsAbsent(
+      df, Seq("link_url", "anchor_text", "link_path"), "watOutlinks")
+    val links = from_json(
+      get_json_object(col(payloadCol), WatHtmlMeta + ".Links"),
+      org.apache.spark.sql.types.ArrayType(WatLinkSchema))
+    val out = df
+      .withColumn("__graft_l", explode(links))
+      .withColumn("link_path", col("__graft_l.path"))
+      .filter(if (anchorsOnly) col("link_path") === "A@/href" else lit(true))
+      .filter(col("__graft_l.url").isNotNull && col("__graft_l.url") =!= "")
+      .withColumn("link_url", resolveUrl(col(baseUrlCol), col("__graft_l.url")))
+      .withColumn("anchor_text", col("__graft_l.text"))
+      .drop("__graft_l")
+    if (anchorsOnly) out.drop("link_path") else out
+  }
+
+  /** The page title a WAT sidecar already extracted
+    * (HTML-Metadata → Head → Title); NULL when absent. */
+  def watTitle(payload: Column): Column =
+    get_json_object(payload, WatHtmlMeta + ".Head.Title")
+
   /** Resolve `ref` to an ABSOLUTE URL against `base` — the RFC-3986-lite
     * rule set documented on [[extractLinks]] (absolute kept,
     * protocol-relative gains the base scheme, root-relative gains

@@ -3635,6 +3635,38 @@ class OpsSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
   }
 
+  test("LinkGraph.watOutlinks: anchors-only default, full-resource mode, lenient JSON") {
+    import graft.ops.LinkGraph
+    val wat =
+      """{"Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": {"HTML-Metadata": {
+        |"Head": {"Title": "T1"},
+        |"Links": [
+        | {"path": "A@/href", "url": "https://other.com/x", "text": "abs"},
+        | {"path": "A@/href", "url": "/rel", "text": "rel"},
+        | {"path": "A@/href", "url": ""},
+        | {"path": "IMG@/src", "url": "/i.png"},
+        | {"path": "SCRIPT@/src", "url": "https://cdn.js/x.js"}
+        |]}}}}}""".stripMargin
+    val df = Seq(
+      (1L, "https://www.s.com/d/p.html", wat),
+      (2L, "https://www.s.com/q.html", "not json at all"),
+      (3L, "https://www.s.com/r.html", """{"Envelope": {}}"""),
+    ).toDF("id", "base", "payload")
+    val anchors = LinkGraph.watOutlinks(df, "payload", "base")
+      .select("id", "link_url", "anchor_text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    anchors shouldBe Seq( // empty-url anchor drops; malformed rows yield none
+      (1L, "https://other.com/x", "abs"),
+      (1L, "https://www.s.com/rel", "rel"))
+    val all = LinkGraph.watOutlinks(df, "payload", "base", anchorsOnly = false)
+      .select("link_path", "link_url").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    all.map(_._1) shouldBe Seq("A@/href", "A@/href", "IMG@/src", "SCRIPT@/src")
+    all.last._2 shouldBe "https://cdn.js/x.js"
+    df.select(LinkGraph.watTitle($"payload")).collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("T1", null, null)
+  }
+
   test("LinkGraph: anchor-text extraction — pairs, skips, whitespace, nested-markup boundary") {
     import graft.ops.LinkGraph
     val page =

@@ -74,6 +74,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "warc_link_graph" -> 1,
     "warc_anchor_text" -> 1, // narrow explode + ONE (dst, anchor) agg
     "warc_html_meta" -> 0, // pure narrow head-metadata projection
+    "warc_wat_links" -> 0, // JSON generator over the sidecar, narrow
     "warc_canonical_dedup" -> 1, // ONE hash agg keyed by canonical URL
     "text_url_surt" -> 0, // pure narrow projection
     "warc_cdx_index" -> 0, // index BUILD is one narrow projection
