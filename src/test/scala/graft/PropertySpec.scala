@@ -472,21 +472,27 @@ class PropertySpec extends SparkSpec {
     })
   }
 
-  test("property: surtKey sorts one host's captures contiguously (prefix = host lookup)") {
+  test("property: surtKey sorts one authority's captures contiguously (prefix = lookup)") {
     import graft.ops.Url
+    // the group is the AUTHORITY (host + kept port): a host with an
+    // explicit non-default port keys as `…:8080)` which sorts AFTER its
+    // subdomains' `…,sub)` keys (')' < ',' < ':') — bare-host grouping
+    // would falsely flag that as a split run
     check(Prop.forAll(Gen.listOfN(10, urlGen)) { urls =>
       val rows = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
         .toDF("id", "url")
-        .select(Url.host(col("url")).as("h"), Url.surtKey(col("url")).as("k"))
-        .collect().filter(r => !r.isNullAt(1)).map(r => (r.getString(0), r.getString(1)))
-      // sort by key: every (lowercased, www-stripped) host's keys must be
-      // one contiguous run — the whole point of the transform
-      val sortedHosts = rows.sortBy(_._2).map(_._1.toLowerCase.replaceFirst("^www\\.", ""))
-      val runs = sortedHosts.foldLeft(List.empty[String]) {
+        .select(
+          regexp_extract(Url.canonicalizeUrl(col("url")),
+            "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1).as("auth"),
+          Url.surtKey(col("url")).as("k"))
+        .collect().filter(r => !r.isNullAt(1))
+        .map(r => (r.getString(0).replaceFirst("^www\\.", ""), r.getString(1)))
+      val sortedAuths = rows.sortBy(_._2).map(_._1)
+      val runs = sortedAuths.foldLeft(List.empty[String]) {
         case (acc, h) if acc.headOption.contains(h) => acc
         case (acc, h) => h :: acc
       }
-      runs.distinct.size == runs.size // no host appears in two runs
+      runs.distinct.size == runs.size // no authority appears in two runs
     })
   }
 }
