@@ -321,8 +321,14 @@ object SparkEntry {
               if (id % 4 == 1) s"""<link href="$target" rel="canonical">"""
               else s"""<link rel="canonical" href="$target">"""
             }
+          // %4==3 pages have NO description — but they DO carry a DECOY
+          // tag whose name merely EXTENDS the token ("descriptions"): the
+          // warc_html_meta oracle expects NULL here, so a bare-prefix
+          // name match (the metaContentRaw terminator bug) extracts the
+          // decoy and cannot hash-match
           val descTag =
-            if (id % 4 == 3) ""
+            if (id % 4 == 3)
+              s"""<meta name="descriptions" content="decoy $id never extracted">"""
             else if (id % 4 == 0)
               s"""<meta content="summary ${id % 7} of page" name="description">"""
             else s"""<meta name="description" content="summary ${id % 7} of page">"""

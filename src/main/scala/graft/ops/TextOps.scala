@@ -577,12 +577,18 @@ object TextOps {
   private def metaContentRaw(html: Column, name: String): Column = {
     require(name.matches("[A-Za-z0-9:_-]+"),
       s"meta name must be a plain token, got '$name'")
+    // the name token must be TERMINATED (closing quote, whitespace, `/`,
+    // or — content-first order only — the tag's `>`): a bare-prefix match
+    // would extract <meta name="descriptions"> for the 'description'
+    // request. Consumed character classes, not lookarounds (RE2-safe);
+    // in name-first order `>` can't terminate because content= must still
+    // follow inside the same tag.
     val nameFirst = regexp_extract(html,
-      "(?is)<meta[^>]*\\bname\\s*=\\s*[\"']?" + name + "[\"']?[^>]*" +
+      "(?is)<meta[^>]*\\bname\\s*=\\s*[\"']?" + name + "[\"'\\s/][^>]*" +
         "\\bcontent\\s*=\\s*[\"']([^\"']*)", 1)
     val contentFirst = regexp_extract(html,
       "(?is)<meta[^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"'][^>]*" +
-        "\\bname\\s*=\\s*[\"']?" + name + "[\"']?", 1)
+        "\\bname\\s*=\\s*[\"']?" + name + "[\"'\\s/>]", 1)
     when(nameFirst =!= "", nameFirst).otherwise(contentFirst)
   }
 

@@ -64,9 +64,20 @@ object Writer {
               s"got ${df.schema.simpleString}")
         w.text(path)
       case "cdxj" =>
+        // partitionBy would be silently discarded below (the line writer
+        // and the graft-warc DSV2 sink have no hive-layout path) — reject
+        // loudly rather than hand back an unpartitioned output
+        if (partitionBy.nonEmpty)
+          throw UnsupportedFormat(
+            "cdxj output does not support partitionBy (a CDX index is " +
+              "urlkey-sorted, not hive-partitioned) — use writeCdxjSorted")
         val lw0 = cdxjLines(df).write.mode("overwrite")
         compression.fold(lw0)(c => lw0.option("compression", c)).text(path)
       case "warc" | "wet" =>
+        if (partitionBy.nonEmpty)
+          throw UnsupportedFormat(
+            "WARC/WET output does not support partitionBy — archives land " +
+              "one file per input partition; repartition by the key instead")
         // the graft-warc DSV2 write path (one archive file per input
         // partition, executor-side; see WarcWriteSupport for the column
         // contract). `.warc.gz` writes MEMBER-PER-RECORD gzip (the

@@ -127,10 +127,19 @@ object WarcDataSource {
       properties: java.util.Map[String, String]): Option[Seq[(String, Long, Long)]] =
     Option(properties.get("ranges")).map { json =>
       org.json4s.jackson.JsonMethods.parse(json) match {
-        case org.json4s.JArray(xs) => xs.collect {
+        case org.json4s.JArray(xs) => xs.map {
+          // EVERY element must be a [string, int, int] triple: a partial
+          // match (collect) would silently DROP a malformed entry and a
+          // ranged fetch would quietly return fewer records — the loud
+          // InvalidParameter is the whole point of validating here
           case org.json4s.JArray(List(
             org.json4s.JString(f), org.json4s.JInt(o), org.json4s.JInt(l))) =>
             (f, o.toLong, l.toLong)
+          case bad => throw graft.errors.FeatureFactoryException.InvalidParameter(
+            "graft-warc: malformed ranges entry " +
+              s"${org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(bad))} " +
+              "— each element must be a [file, offset, length] triple of " +
+              "(string, integer, integer)")
         }
         case _ => throw graft.errors.FeatureFactoryException.InvalidParameter(
           s"graft-warc: malformed ranges option")

@@ -235,9 +235,19 @@ private[warc] object WarcWriteSupport {
   /** Job-level abort cleanup: each committed message names its archive
     * file; the gzip-member mode also leaves an offsets sidecar next to
     * it (same stem) — delete BOTH, or an aborted job strands a sidecar
-    * pointing at a deleted archive. */
+    * pointing at a deleted archive.
+    *
+    * Runs driver-side (DSV2 job abort), so the SESSION Hadoop conf is the
+    * one that resolved the output filesystem at write time — a bare
+    * `new Configuration()` would miss S3/HDFS credentials configured via
+    * the session and fail the cleanup, stranding part files. Falls back
+    * to the default conf only when no session is active (can't happen in
+    * a real abort path; keeps the call total). */
   def deleteOutputs(messages: Array[WriterCommitMessage]): Unit = {
-    val hconf = new Configuration()
+    val hconf =
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new Configuration())
     messages.foreach {
       case WarcCommitMessage(f) =>
         val p = new Path(f)

@@ -130,6 +130,10 @@ class CoreExtrasSpec extends SparkSpec {
       docs.withColumn("payload", lit(7)), out)
     an[Exception] should be thrownBy graft.sources.Writer.save(
       docs, d.resolve("x.warc.zst").toString) // no WARC framing for zstd
+    // partitionBy has no hive layout in the warc/wet/cdxj branches —
+    // rejected loudly instead of silently writing unpartitioned output
+    an[Exception] should be thrownBy graft.sources.Writer.save(
+      docs, out, partitionBy = Seq("warc_type"))
     // .warc.gz = member-per-record gzip + a side offsets.jsonl whose
     // compressed coordinates feed the ranged fetch — our own compressed
     // exports are random-accessible
@@ -207,6 +211,19 @@ class CoreExtrasSpec extends SparkSpec {
         (plain.toString, 0L, r1.length - 4L)))
       .collect().map(_.getAs[String]("record_id")).toSeq shouldBe
       Seq("<urn:t:1>")
+    // MALFORMED ranges entries are LOUD, not silently dropped: a pair, a
+    // float offset, and string-typed numbers each throw InvalidParameter
+    // at the raw-option layer (the typed loadWarcRanges API can't build
+    // them; a hand-written index lookup could)
+    for (bad <- Seq(
+        s"""[["$plain", 0]]""", // pair, not triple
+        s"""[["$plain", 0.5, 10]]""", // float offset
+        s"""[["$plain", "0", "10"]]""")) { // string-typed numbers
+      val e = intercept[Exception] {
+        spark.read.format("graft-warc").option("ranges", bad).load().collect()
+      }
+      e.getMessage should include("malformed ranges entry")
+    }
   }
 
   test("Writer CDX-J mirror: save→load round trip, NULL status as '-', gzip variant") {

@@ -2409,6 +2409,25 @@ class OpsSpec extends SparkSpec {
       .head().getString(0) shouldBe "a desc"
     an[IllegalArgumentException] should be thrownBy
       graft.ops.TextOps.metaContent($"html", "a[b")
+    // a name that merely EXTENDS the requested token must NOT match —
+    // in either attribute order, quoted or bare (the terminator rule)
+    val decoys = Seq(
+      (1L, """<meta name="descriptions" content="decoy">"""),
+      (2L, """<meta content="decoy" name="descriptions">"""),
+      (3L, """<meta name=descriptions content="decoy">"""),
+      (4L, """<meta content="decoy" name=descriptions>"""),
+      // the real tag still extracts when a decoy precedes it
+      (5L, """<meta name="descriptions" content="decoy">""" +
+        """<meta name="description" content="real">"""),
+    ).toDF("id", "html")
+    val got = decoys
+      .select($"id", graft.ops.TextOps.metaContent($"html", "description").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got(1L) shouldBe null
+    got(2L) shouldBe null
+    got(3L) shouldBe null
+    got(4L) shouldBe null
+    got(5L) shouldBe "real"
   }
 
   test("TextOps.splitSentences: reading-order ids, empties dropped, no lookbehind") {
