@@ -3165,28 +3165,55 @@ object SparkEntry {
         "payload").select("doc_id", "n_bytes", "format", "truncated")
     }),
     // REAL image-dimension extraction (not the decode stub): true PNG
-    // IHDR / GIF logical-screen headers are synthesized with dimensions
-    // DERIVED FROM doc_id (big-endian 32-bit for PNG, little-endian
-    // 16-bit for GIF — byte construction via unhex/lpad), the op parses
-    // them back from raw bytes, and the oracle recomputes the expected
-    // numbers from doc_id arithmetic alone — a wrong endianness or
-    // offset cannot match.
+    // IHDR / GIF logical-screen / JPEG SOF headers are synthesized with
+    // dimensions DERIVED FROM doc_id (big-endian 32-bit for PNG,
+    // little-endian 16-bit for GIF, big-endian 16-bit in the SOF frame
+    // for JPEG — byte construction via unhex/lpad), the op parses them
+    // back from raw bytes, and the oracle recomputes the expected
+    // numbers from doc_id arithmetic alone — a wrong endianness, offset,
+    // or marker walk cannot match. The JPEG shapes are deliberately
+    // adversarial (the inject-mess convention): %5==2 is a baseline
+    // SOF0 behind a JFIF APP0 plus a VARIABLE-length COM segment whose
+    // body EMBEDS a decoy SOF byte string with wrong dims (a walk that
+    // scans bytes instead of jumping segment lengths extracts 9×7 and
+    // hash-mismatches); %5==3 is a progressive SOF2 behind a DQT with a
+    // padding FILL byte before the frame marker; %10==4 is a malformed
+    // JPEG whose SOS arrives before any SOF (NULL, like the %5==4
+    // non-image text payloads).
     "mm_image_dims" -> ((s, dir) => {
       def hx(h: String): Array[Byte] =
         h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
       val w = col("doc_id") % 500 + 1
       val h = col("doc_id") % 300 + 1
       def be32(v: org.apache.spark.sql.Column) = unhex(lpad(hex(v), 8, "0"))
+      def be16(v: org.apache.spark.sql.Column) = unhex(lpad(hex(v), 4, "0"))
       def le16(v: org.apache.spark.sql.Column) = unhex(concat(
         lpad(hex(v % 256), 2, "0"),
         lpad(hex(shiftright(v.cast("int"), 8)), 2, "0")))
       val body = col("text").cast("binary")
+      // COM body: source-derived text + an embedded DECOY SOF0 (h=7, w=9)
+      // the length jump must skip without parsing
+      val comBody = concat(
+        concat(lit("graft comment "), col("source")).cast("binary"),
+        lit(hx("FFC0000B0800070009")))
+      val com = concat(
+        lit(hx("FFFE")), be16(length(comBody) + 2), comBody)
+      val jfif = lit(hx("FFE000104A46494600010100004800480000"))
+      val sofTail = lit(hx("01011100")) // 1 component + its spec
       val payload =
-        when(col("doc_id") % 3 === 0, concat(
+        when(col("doc_id") % 5 === 0, concat(
           lit(hx("89504E470D0A1A0A" + "0000000D" + "49484452")),
           be32(w), be32(h), lit(hx("0806000000")), body))
-          .when(col("doc_id") % 3 === 1, concat(
+          .when(col("doc_id") % 5 === 1, concat(
             lit(hx("474946383961")), le16(w), le16(h), body, lit(hx("3B"))))
+          .when(col("doc_id") % 5 === 2, concat(
+            lit(hx("FFD8")), jfif, com,
+            lit(hx("FFC0000B08")), be16(h), be16(w), sofTail, body))
+          .when(col("doc_id") % 5 === 3, concat(
+            lit(hx("FFD8")), lit(hx("FFDB0005000102")), lit(hx("FF")),
+            lit(hx("FFC2000B08")), be16(h), be16(w), sofTail, body))
+          .when(col("doc_id") % 10 === 4, concat(
+            lit(hx("FFD8FFDA0002")), body)) // SOS before any SOF → NULL
           .otherwise(body)
       Multimodal.imageDims(
         rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
@@ -6571,12 +6598,15 @@ object SparkEntry {
     // with instr-digit arithmetic (no hex→int cast needed on either side).
     // Image dimensions recomputed from the SAME arithmetic that sized
     // the synthesized headers — the byte round trip (BE-32 PNG, LE-16
-    // GIF) happens only on the Spark side, so the comparison proves it.
+    // GIF, the BE-16 JPEG SOF marker walk behind variable-length
+    // segments, decoy embedded SOF bytes, and a fill byte) happens only
+    // on the Spark side, so the comparison proves it. %5==4 payloads are
+    // non-images (and %10==4 a malformed SOS-first JPEG) → NULL.
     "mm_image_dims" ->
       """SELECT doc_id,
-        |       CASE WHEN doc_id % 3 = 2 THEN NULL
+        |       CASE WHEN doc_id % 5 = 4 THEN NULL
         |            ELSE CAST(doc_id % 500 + 1 AS BIGINT) END AS img_width,
-        |       CASE WHEN doc_id % 3 = 2 THEN NULL
+        |       CASE WHEN doc_id % 5 = 4 THEN NULL
         |            ELSE CAST(doc_id % 300 + 1 AS BIGINT) END AS img_height
         |FROM documents""".stripMargin,
     "mm_binary_meta_ext" ->

@@ -104,5 +104,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 3, s"${TilePairs.HashEmbedName} expects 3 arguments")
       HashEmbedCounts(args(0), args(1), args(2))
     }))
+    ext.injectFunction(fn(TilePairs.JpegDimsName, { args =>
+      require(args.length == 1, s"${TilePairs.JpegDimsName} expects 1 argument")
+      JpegDims(args(0))
+    }))
   }
 }

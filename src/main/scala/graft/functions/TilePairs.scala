@@ -39,6 +39,7 @@ object TilePairs {
   val TokenNgramName = "graft_token_ngram_hashes"
   val BpeName = "graft_bpe_encode"
   val HashEmbedName = "graft_hash_embed"
+  val JpegDimsName = "graft_jpeg_dims"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

@@ -69,11 +69,15 @@ object Multimodal {
     * is NOT part of the decode stub: PNG stores width/height as
     * big-endian 32-bit ints at fixed IHDR offsets (bytes 17-24, after
     * the 8-byte signature + chunk length + "IHDR"), GIF as little-endian
-    * 16-bit ints in the logical screen descriptor (bytes 7-10). Appends
-    * `img_width`/`img_height`, NULL for any other format (JPEG's SOF
-    * frame floats at a variable offset — a marker scan belongs in the
-    * real decoder, documented non-goal) and for payloads too short to
-    * carry the header. Constant-width slices, one narrow projection. */
+    * 16-bit ints in the logical screen descriptor (bytes 7-10), and JPEG
+    * — the majority format of a real crawl — as big-endian 16-bit ints
+    * in the SOF frame header, which floats at a VARIABLE offset behind
+    * APPn/DQT/DHT segments and is found by the bounded marker walk of
+    * [[graft.functions.JpegDims]] (O(#segments) jumps, never a decode;
+    * pure-Column [[jpegDimsFallback]] when the extensions are not
+    * installed). Appends `img_width`/`img_height`, NULL for any other
+    * format and for payloads too short (or too malformed) to carry their
+    * header. One narrow projection. */
   def imageDims(df: DataFrame, binCol: String): DataFrame = {
     graft.core.Validators.requireColumns(df, Seq(binCol))
     graft.core.Validators.requireColumnsAbsent(
@@ -89,10 +93,70 @@ object Multimodal {
       hex(substring(b, 13, 4)) === "49484452" // the IHDR tag itself
     val isGif = length(b) >= 10 &&
       hex(substring(b, 1, 6)).isin("474946383761", "474946383961")
+    val isJpeg = length(b) >= 4 && hex(substring(b, 1, 2)) === "FFD8"
+    val jpegDims =
+      if (df.sparkSession.catalog.functionExists(
+          graft.functions.TilePairs.JpegDimsName))
+        call_function(graft.functions.TilePairs.JpegDimsName, b)
+      else jpegDimsFallback(b)
+    // one shared array value per row: width/height read the same walk
+    // result (whole-stage codegen CSEs the identical deterministic
+    // subtree — the walk runs once, not twice)
     df.withColumn("img_width",
-      when(isPng, beInt(17)).when(isGif, leShort(7)))
+      when(isPng, beInt(17)).when(isGif, leShort(7))
+        .when(isJpeg, element_at(jpegDims, 1)))
       .withColumn("img_height",
-        when(isPng, beInt(21)).when(isGif, leShort(9)))
+        when(isPng, beInt(21)).when(isGif, leShort(9))
+          .when(isJpeg, element_at(jpegDims, 2)))
+  }
+
+  /** Segment cap of [[jpegDimsFallback]]'s unrolled walk. Real-world
+    * headers sit behind <20 segments; multi-segment ICC profiles can add
+    * a few dozen more — a header deeper than this reads as NULL on the
+    * fallback path (the kernel has no such cap; its loop is bounded by
+    * the forward-progress guarantee alone). */
+  val MaxJpegSegments = 48
+
+  /** Pure-Column twin of [[graft.functions.JpegDims]] — the same marker
+    * walk as an `aggregate` fold over at most [[MaxJpegSegments]] steps
+    * (state = (pos, w, h); pos −1 encodes "stopped"). Bit-parity with the
+    * kernel is pinned in FunctionsSpec. Used only when GraftExtensions is
+    * not installed; the folded expression tree is larger than the kernel
+    * call but still one narrow codegen'd projection. */
+  private[graft] def jpegDimsFallback(b: Column): Column = {
+    val n = length(b).cast("long")
+    def byteAt(pos: Column): Column =
+      conv(hex(b.substr((pos + 1).cast("int"), lit(1))), 16, 10).cast("long")
+    def be16(pos: Column): Column = byteAt(pos) * 256 + byteAt(pos + 1)
+    def st(pos: Column, w: Column, h: Column): Column =
+      struct(pos.as("pos"), w.as("w"), h.as("h"))
+    val folded = aggregate(
+      sequence(lit(1), lit(MaxJpegSegments)),
+      st(lit(2L), lit(-1L), lit(-1L)),
+      (s, _) => {
+        val pos = s.getField("pos")
+        val w = s.getField("w")
+        val h = s.getField("h")
+        val keep = st(pos, w, h)
+        val fail = st(lit(-1L), w, h)
+        val code = byteAt(pos + 1)
+        val len = be16(pos + 2)
+        val isSof = (code >= 192L && code <= 207L) &&
+          code =!= 196L && code =!= 200L && code =!= 204L
+        when(pos < 0 || w >= 0 || pos + 3 >= n, keep) // stopped / found / short
+          .when(byteAt(pos) =!= 255L, fail) // lost framing
+          .when(code === 255L, st(pos + 1, w, h)) // fill byte
+          .when(code === 216L || code === 1L ||
+            (code >= 208L && code <= 215L), st(pos + 2, w, h)) // standalone
+          .when(code === 217L || code === 218L, fail) // EOI / SOS first
+          .when(len < 2L, fail) // malformed length
+          .when(isSof && (pos + 8 >= n || len < 7L), fail)
+          .when(isSof, st(lit(-1L), be16(pos + 7), be16(pos + 5)))
+          .otherwise(st(pos + 2L + len, w, h))
+      })
+    when(
+      n >= 4 && hex(b.substr(1, 2)) === "FFD8" && folded.getField("w") >= 0,
+      array(folded.getField("w"), folded.getField("h")))
   }
 
   /** DETERMINISTIC STUB for the decode + feature-extract step: a `dim`-long

@@ -144,7 +144,8 @@ class FunctionsSpec extends SparkSpec {
     Seq(
       classOf[graft.functions.ShingleHashes], classOf[graft.functions.ShingleStrings],
       classOf[graft.functions.MinhashSig], classOf[graft.functions.BitmapOfSet],
-      classOf[graft.functions.SimHash64], classOf[graft.functions.IvfCell])
+      classOf[graft.functions.SimHash64], classOf[graft.functions.IvfCell],
+      classOf[graft.functions.JpegDims])
       .foreach(c => classOf[CodegenFallback].isAssignableFrom(c) shouldBe false)
     // and a projection through them really compiles into a codegen stage
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -257,6 +258,68 @@ class FunctionsSpec extends SparkSpec {
     graft.functions.BloomRuntime.mightContain(bf, 42L, 3) shouldBe true
     graft.functions.BloomRuntime.mightContain(Array.emptyByteArray, 42L, 3) shouldBe false
     graft.functions.BloomRuntime.mightContain(null, 42L, 3) shouldBe false
+  }
+
+  test("graft_jpeg_dims: SOF marker walk — real ImageIO bytes, adversarial shapes, kernel ≡ fallback") {
+    def hx(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val jfif = hx("FFE000104A46494600010100004800480000")
+    def sof(marker: String, w: Int, h: Int): Array[Byte] =
+      hx(marker + "000B08") ++ be16(h) ++ be16(w) ++ hx("01011100")
+    // a COM segment whose body EMBEDS a decoy SOF byte string (w=9, h=7):
+    // a walk that scans instead of jumping by segment length extracts 9×7
+    val decoyBody = "decoy".getBytes("UTF-8") ++ hx("FFC0000B0800070009")
+    val com = hx("FFFE") ++ be16(decoyBody.length + 2) ++ decoyBody
+    // REAL encoder bytes: the JDK's ImageIO JPEG/PNG writers
+    val realJpeg = {
+      val img = new java.awt.image.BufferedImage(
+        123, 77, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bo = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bo) shouldBe true
+      bo.toByteArray
+    }
+    val cases: Seq[(Int, Array[Byte], Option[(Long, Long)])] = Seq(
+      (1, hx("FFD8") ++ jfif ++ com ++ sof("FFC0", 200, 300), Some((200L, 300L))),
+      // progressive SOF2 behind a DQT, with a padding FILL byte; 16-bit extremes
+      (2, hx("FFD8FFDB0005000102FF") ++ sof("FFC2", 1, 65535), Some((1L, 65535L))),
+      // TEM standalone marker (no length field) between SOI and the frame
+      (3, hx("FFD8FF01") ++ sof("FFC1", 640, 480), Some((640L, 480L))),
+      (4, hx("FFD8") ++ jfif ++ hx("FFD9"), None), // EOI, no SOF
+      (5, hx("FFD8FFDA000263") ++ sof("FFC0", 5, 5), None), // SOS before SOF
+      (6, hx("FFD8") ++ jfif ++ hx("FFC0000B08") ++ be16(300), None), // truncated SOF
+      (7, hx("89504E470D0A1A0A0000000D49484452"), None), // PNG, not JPEG
+      (8, Array.emptyByteArray, None),
+      (9, hx("FFD8AB") ++ sof("FFC0", 5, 5), None), // framing lost: no FF
+      // DHT (C4) is NOT a frame marker — must be skipped, not parsed as SOF
+      (10, hx("FFD8FFC4000500AABB") ++ sof("FFC0", 31, 15), Some((31L, 15L))),
+      (11, realJpeg, Some((123L, 77L))))
+    val df = cases.map { case (id, b, _) => (id, b) }.toDF("id", "payload")
+    val both = df.select(
+      $"id",
+      call_function(TilePairs.JpegDimsName, $"payload").as("k"),
+      graft.ops.Multimodal.jpegDimsFallback($"payload").as("f"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        (Option(r.getSeq[Long](1)).map(s => (s(0), s(1))),
+          Option(r.getSeq[Long](2)).map(s => (s(0), s(1))))).toMap
+    for ((id, _, want) <- cases) {
+      withClue(s"case $id kernel:") { both(id)._1 shouldBe want }
+      withClue(s"case $id fallback ≡ kernel:") { both(id)._2 shouldBe both(id)._1 }
+    }
+    // the real encoder's PNG bytes drive the PNG branch of imageDims too
+    val realPng = {
+      val img = new java.awt.image.BufferedImage(
+        61, 43, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bo = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bo) shouldBe true
+      bo.toByteArray
+    }
+    val dims = graft.ops.Multimodal.imageDims(
+      Seq((1, realJpeg), (2, realPng)).toDF("id", "payload"), "payload")
+      .orderBy("id").select("img_width", "img_height")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    dims shouldBe Seq((123L, 77L), (61L, 43L))
   }
 
   test("moment kernels skip null VECTORS but raise on null ELEMENTS") {
