@@ -622,29 +622,44 @@ object SparkEntry {
         concat(lit("https://login:pw@"), col("source"), lit("-cdn.org:8080/dl/v2")))
       .otherwise(concat(lit("ftp://files."), col("source"), lit(".net")))
 
-  /** The synthetic HOST of the text_url_psl query — eight shapes keyed on
-    * doc_id % 8 exercising every PSL rule kind: plain gTLD, two-label
+  /** The synthetic HOST of the text_url_psl query — twelve shapes keyed on
+    * doc_id % 12 exercising every PSL rule kind: plain gTLD, two-label
     * exact (co.uk), three-label wildcard (*.kawasaki.jp — the public
     * suffix eats a host label), a wildcard's city EXCEPTION, a
     * wildcard-only TLD (*.ck), the !www.ck exception itself, a
     * PRIVATE-section operator suffix (github.io: each user site is its
-    * own registered domain under the with-private rule set), and a
-    * PUNYCODE host against a rule upstream writes in Unicode
-    * (公司.cn → xn--55qx5d.cn — distinguishable from the plain `cn`
-    * fallback because the suffix is two labels deep). */
+    * own registered domain under the with-private rule set), a PUNYCODE
+    * host against a rule upstream writes in Unicode (公司.cn →
+    * xn--55qx5d.cn — distinguishable from the plain `cn` fallback
+    * because the suffix is two labels deep), and four shapes that only
+    * resolve correctly under the round-11 full-snapshot rules: a PRIVATE
+    * WILDCARD with a multi-label base (*.compute.amazonaws.com — an EC2
+    * VM hostname), a PRIVATE MULTI-LEVEL exact rule (the four-label
+    * dualstack S3 endpoint), a three-label ICANN locality registry
+    * (k12.ca.us), and an ICANN wildcard with a TWO-label base
+    * (*.sch.uk). Under the old subset each of the four mis-split to the
+    * shorter registry suffix, so the dump-replaying oracle pins the
+    * expansion. */
   private def synthPslHost: org.apache.spark.sql.Column =
-    when(col("doc_id") % 8 === 0, concat(lit("www."), col("source"), lit("-news.com")))
-      .when(col("doc_id") % 8 === 1, concat(lit("blog."), col("source"), lit(".co.uk")))
-      .when(col("doc_id") % 8 === 2, concat(lit("a.b."), col("source"), lit(".kawasaki.jp")))
-      .when(col("doc_id") % 8 === 3, lit("www.city.kawasaki.jp"))
-      .when(col("doc_id") % 8 === 4, concat(lit("x."), col("source"), lit(".ck")))
-      .when(col("doc_id") % 8 === 5, lit("www.ck"))
-      .when(col("doc_id") % 8 === 6, concat(lit("docs."), col("source"), lit(".github.io")))
-      .otherwise(concat(lit("biz."), col("source"), lit(".xn--55qx5d.cn")))
+    when(col("doc_id") % 12 === 0, concat(lit("www."), col("source"), lit("-news.com")))
+      .when(col("doc_id") % 12 === 1, concat(lit("blog."), col("source"), lit(".co.uk")))
+      .when(col("doc_id") % 12 === 2, concat(lit("a.b."), col("source"), lit(".kawasaki.jp")))
+      .when(col("doc_id") % 12 === 3, lit("www.city.kawasaki.jp"))
+      .when(col("doc_id") % 12 === 4, concat(lit("x."), col("source"), lit(".ck")))
+      .when(col("doc_id") % 12 === 5, lit("www.ck"))
+      .when(col("doc_id") % 12 === 6, concat(lit("docs."), col("source"), lit(".github.io")))
+      .when(col("doc_id") % 12 === 7, concat(lit("biz."), col("source"), lit(".xn--55qx5d.cn")))
+      .when(col("doc_id") % 12 === 8,
+        concat(lit("api.ec2-1-2-3-4."), col("source"), lit(".compute.amazonaws.com")))
+      .when(col("doc_id") % 12 === 9,
+        concat(lit("cdn."), col("source"), lit("-bucket.s3.dualstack.eu-west-1.amazonaws.com")))
+      .when(col("doc_id") % 12 === 10,
+        concat(lit("lincoln."), col("source"), lit(".k12.ca.us")))
+      .otherwise(concat(lit("portal.www."), col("source"), lit("-academy.sch.uk")))
 
   /** SQL twin of [[synthPslHost]]. */
   private val synthPslHostSql =
-    """CASE doc_id % 8
+    """CASE doc_id % 12
       |  WHEN 0 THEN 'www.' || source || '-news.com'
       |  WHEN 1 THEN 'blog.' || source || '.co.uk'
       |  WHEN 2 THEN 'a.b.' || source || '.kawasaki.jp'
@@ -652,7 +667,11 @@ object SparkEntry {
       |  WHEN 4 THEN 'x.' || source || '.ck'
       |  WHEN 5 THEN 'www.ck'
       |  WHEN 6 THEN 'docs.' || source || '.github.io'
-      |  ELSE 'biz.' || source || '.xn--55qx5d.cn' END""".stripMargin
+      |  WHEN 7 THEN 'biz.' || source || '.xn--55qx5d.cn'
+      |  WHEN 8 THEN 'api.ec2-1-2-3-4.' || source || '.compute.amazonaws.com'
+      |  WHEN 9 THEN 'cdn.' || source || '-bucket.s3.dualstack.eu-west-1.amazonaws.com'
+      |  WHEN 10 THEN 'lincoln.' || source || '.k12.ca.us'
+      |  ELSE 'portal.www.' || source || '-academy.sch.uk' END""".stripMargin
 
   /** The synthetic MESSY URLs of text_url_canonical — six shapes keyed on
     * doc_id % 6 exercising every canonicalization rule: case folding +
@@ -2370,8 +2389,10 @@ object SparkEntry {
     }),
     // Registered-domain extraction under FULL public-suffix-list semantics
     // (wildcards, exceptions, default rule, PRIVATE section, punycode-
-    // normalized IDN rules) over eight host shapes covering every rule
-    // kind. The oracle replays the
+    // normalized IDN rules) over twelve host shapes covering every rule
+    // kind — including the round-11 full-snapshot shapes (private
+    // multi-level S3 endpoint, private *.compute wildcard, k12.ca.us
+    // locality, *.sch.uk two-label wildcard base). The oracle replays the
     // longest-match/exception algorithm as SQL joins against the
     // text_psl_rules dump (rule-set agnostic: its suffix-level range
     // derives from the dump's max label count).

@@ -9,15 +9,19 @@ package graft.ops
   * the implicit default rule `*` (any unlisted TLD is a public suffix).
   *
   * The classpath resource
-  * (src/main/resources/graft/public_suffix_snapshot.dat) ships a curated
-  * SUBSET in the upstream layout — ICANN section (common multi-label
-  * registries + every wildcard/exception TLD) and PRIVATE section
-  * (well-known operator suffixes: github.io, blogspot.com, …), separated
-  * by the upstream `===BEGIN/END=== ` markers. [[snapshot]] keeps the
-  * ICANN section only; [[snapshotWithPrivate]] keeps both. The parser
-  * accepts the upstream publicsuffix.org file verbatim (section markers,
-  * inline whitespace rule), so production deployments drop the full
-  * current list in via [[parse]]/[[fromFile]] without code changes.
+  * (src/main/resources/graft/public_suffix_snapshot.dat) ships a ~1200-rule
+  * snapshot in the upstream layout — ICANN section (the multi-label
+  * registries of every major ccTLD, every wildcard/exception TLD, the
+  * `*.sch.uk` multi-label wildcard base, US state k12/cc/lib locality
+  * registries, Unicode IDN rules) and PRIVATE section (operator suffixes:
+  * github.io, blogspot.com, …, plus MULTI-LEVEL rules like the regional
+  * S3 endpoints and WILDCARD rules like `*.compute.amazonaws.com`),
+  * separated by the upstream `===BEGIN/END=== ` markers. [[snapshot]]
+  * keeps the ICANN section only; [[snapshotWithPrivate]] keeps both. The
+  * parser accepts the upstream publicsuffix.org file verbatim (section
+  * markers, inline whitespace rule), so production deployments drop the
+  * full current list in via [[parse]]/[[fromFile]] without code changes;
+  * a TLD outside the snapshot falls back to the default rule `*`.
   */
 object Psl {
 

@@ -3320,6 +3320,33 @@ class OpsSpec extends SparkSpec {
       .head().getString(1) shouldBe "github.io"
     Url.registeredDomainPsl(gh, "h", "dom", Psl.snapshotWithPrivate)
       .head().getString(1) shouldBe "alice.github.io"
+    // round-11 full-snapshot shapes: a private WILDCARD with a
+    // multi-label base, a private MULTI-LEVEL exact rule, a three-label
+    // ICANN locality registry, a two-label ICANN wildcard base, and a
+    // sectoral rule (gouv.fr) the old subset lacked
+    Psl.snapshotWithPrivate.wildcardBases should contain("compute.amazonaws.com")
+    Psl.snapshotWithPrivate.exact should contain(
+      "s3.dualstack.eu-west-1.amazonaws.com")
+    Psl.snapshot.exact should contain("k12.ca.us")
+    Psl.snapshot.wildcardBases should contain("sch.uk")
+    Psl.snapshot.exact should contain("gouv.fr")
+    val full = Seq(
+      "api.ec2-1-2-3-4.us-east-1.compute.amazonaws.com",
+      "cdn.media-bucket.s3.dualstack.eu-west-1.amazonaws.com",
+      "lincoln.unified.k12.ca.us",
+      "portal.www.milton-academy.sch.uk",
+      "www.impots.gouv.fr").toDF("h")
+    Url.registeredDomainPsl(full, "h", "dom", Psl.snapshotWithPrivate)
+      .collect().map(_.getString(1)).toSeq shouldBe Seq(
+      "ec2-1-2-3-4.us-east-1.compute.amazonaws.com",
+      "media-bucket.s3.dualstack.eu-west-1.amazonaws.com",
+      "unified.k12.ca.us",
+      "www.milton-academy.sch.uk",
+      "impots.gouv.fr")
+    // the AWS rules are PRIVATE-section: domain stats under ICANN-only
+    // rules group whole endpoints under amazonaws.com
+    Url.registeredDomainPsl(full.limit(1), "h", "dom", Psl.snapshot)
+      .head().getString(1) shouldBe "amazonaws.com"
     // blocklist filtering under PSL semantics: b.x.kawasaki.jp blocked
     import org.apache.spark.sql.functions.concat_ws
     val docs = Seq(
