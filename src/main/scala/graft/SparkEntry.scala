@@ -383,11 +383,19 @@ object SparkEntry {
       // payload, the SAME digest (ISO 28500 §6.7's refetch dedup), so
       // ingest must resolve the refetch to its original capture via the
       // digest join instead of seeing an empty page.
+      // coordinates of every record the revisit archive writes, recorded
+      // AS WRITTEN — (offset = file position of the record's first byte,
+      // length = header + payload WITHOUT the trailing CRLFCRLF, exactly
+      // the reader's record_offset/record_length contract) — so the
+      // docs.cdxj index below carries REAL seek coordinates and
+      // cdx_replay_at can fetch records straight off the index
+      val revisitCoords =
+        scala.collection.mutable.Map.empty[(Long, String), (Long, Long)]
       locally {
         val outs = Array.fill(WarcShards)(new java.io.ByteArrayOutputStream())
         def writeRec(out: java.io.ByteArrayOutputStream, warcType: String,
             recordId: String, uri: String, date: String, digest: String,
-            payload: Array[Byte], extraHeaders: String = ""): Unit = {
+            payload: Array[Byte], extraHeaders: String = ""): (Long, Long) = {
           val header =
             s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
               s"WARC-Record-ID: $recordId\r\n" +
@@ -397,8 +405,10 @@ object SparkEntry {
               extraHeaders +
               "Content-Type: application/http; msgtype=response\r\n" +
               s"Content-Length: ${payload.length}\r\n\r\n"
+          val offset = out.size().toLong
           out.write(header.getBytes("UTF-8")); out.write(payload)
           out.write("\r\n\r\n".getBytes("UTF-8"))
+          (offset, out.size().toLong - offset - 4L)
         }
         rows.foreach { r =>
           val id = r.getLong(0)
@@ -409,13 +419,15 @@ object SparkEntry {
           // every 8th-plus-1 response is marked length-truncated (the
           // Common Crawl ~1 MB cut marker) — warc_truncated_census
           // oracles the column end to end through the source
-          writeRec(out, "response", s"<urn:graft:doc-$id>", r.getString(1),
-            "2026-01-01T00:00:00Z", digest, msg,
-            extraHeaders =
-              if (id % 8 == 1) "WARC-Truncated: length\r\n" else "")
+          revisitCoords((id, "response")) =
+            writeRec(out, "response", s"<urn:graft:doc-$id>", r.getString(1),
+              "2026-01-01T00:00:00Z", digest, msg,
+              extraHeaders =
+                if (id % 8 == 1) "WARC-Truncated: length\r\n" else "")
           if (id % 4 == 0)
-            writeRec(out, "revisit", s"<urn:graft:rev-$id>", r.getString(1),
-              "2026-02-01T00:00:00Z", digest, Array.empty[Byte])
+            revisitCoords((id, "revisit")) =
+              writeRec(out, "revisit", s"<urn:graft:rev-$id>", r.getString(1),
+                "2026-02-01T00:00:00Z", digest, Array.empty[Byte])
         }
         val p = java.nio.file.Paths.get(d, "docs_revisit.warc")
         java.nio.file.Files.createDirectories(p)
@@ -445,16 +457,23 @@ object SparkEntry {
           val shard = (id % WarcShards).toInt
           val key = surtOf(id, r.getString(4))
           val url = r.getString(1)
-          val len = r.getString(2).getBytes("UTF-8").length + 45
+          // REAL coordinates of the capture inside docs_revisit.warc —
+          // length/offset are the reader's record_length/record_offset
+          // (cc-index stores exactly this), so loadWarcRanges can seek
+          // any indexed capture (cdx_replay_at exercises it)
+          val (rOff, rLen) = revisitCoords((id, "response"))
+          val fn = f"part-$shard%03d.warc"
           outs(shard).append(
             s"""$key 20260101000000 {"url": "$url", "mime": "text/plain", """ +
-              s""""status": "200", "digest": "sha1:GRAFT$id", "length": "$len", """ +
-              s""""offset": "0", "filename": "part-$shard.warc"}\n""")
-          if (id % 4 == 0)
+              s""""status": "200", "digest": "sha1:GRAFT$id", "length": "$rLen", """ +
+              s""""offset": "$rOff", "filename": "$fn"}\n""")
+          if (id % 4 == 0) {
+            val (vOff, vLen) = revisitCoords((id, "revisit"))
             outs(shard).append(
               s"""$key 20260201000000 {"url": "$url", "mime": "warc/revisit", """ +
-                s""""status": "-", "digest": "sha1:GRAFT$id", "length": "0", """ +
-                s""""offset": "0", "filename": "part-$shard.warc"}\n""")
+                s""""status": "-", "digest": "sha1:GRAFT$id", "length": "$vLen", """ +
+                s""""offset": "$vOff", "filename": "$fn"}\n""")
+          }
         }
         val p = java.nio.file.Paths.get(d, "docs.cdxj")
         java.nio.file.Files.createDirectories(p)
@@ -803,6 +822,77 @@ object SparkEntry {
       |  WHEN 1 THEN 'http://blog.' || source || '.co.uk/post/' || doc_id
       |  WHEN 2 THEN 'https://login:pw@' || source || '-cdn.org:8080/dl/v2'
       |  ELSE 'ftp://files.' || source || '.net' END""".stripMargin
+
+  /** Shared capture-replay CTE of the cdx_* oracles: rebuilds every
+    * docs.cdxj index line — urlkeys from the synthUrl SURT shapes AND the
+    * REAL seek coordinates, recovered by reconstructing each WARC
+    * record's header byte for byte (lines joined with CRLF via
+    * array_to_string, the chr(31) convention — escape literals would be
+    * mangled by the s-interpolator; octet_length = header size; response
+    * payload = 45-byte HTTP envelope + text) and running per-shard
+    * offset sums in doc order with the 4-byte CRLFCRLF record
+    * separators. Ends in `cap` = one row per capture, with doc_id.
+    * Consumers embed it once and must not start a line with `|`
+    * (the composed string passes through stripMargin a second time). */
+  private val cdxCapturesCte =
+    s"""u AS (SELECT doc_id, source, text, $synthUrlSql AS url,
+       |             CASE doc_id % 4
+       |               WHEN 0 THEN 'com,' || source || '-news)/a/b/c?x=1'
+       |               WHEN 1 THEN 'uk,co,' || source || ',blog)/post/' || doc_id
+       |               WHEN 2 THEN 'org,' || source || '-cdn:8080)/dl/v2'
+       |               ELSE 'net,' || source || ',files)/' END AS urlkey,
+       |             'part-' || lpad(CAST(doc_id % 16 AS VARCHAR), 3, '0') || '.warc' AS filename,
+       |             doc_id % 16 AS shard,
+       |             octet_length(encode(text)) + 45 AS n
+       |      FROM documents),
+       |hl AS (SELECT *,
+       |         octet_length(encode(array_to_string(
+       |           ['WARC/1.0', 'WARC-Type: response',
+       |            'WARC-Record-ID: <urn:graft:doc-' || doc_id || '>',
+       |            'WARC-Date: 2026-01-01T00:00:00Z',
+       |            'WARC-Target-URI: ' || url,
+       |            'WARC-Payload-Digest: sha1:GRAFT' || doc_id] ||
+       |           CASE WHEN doc_id % 8 = 1
+       |                THEN ['WARC-Truncated: length'] ELSE [] END ||
+       |           ['Content-Type: application/http; msgtype=response',
+       |            'Content-Length: ' || n, '', ''],
+       |           chr(13) || chr(10)))) + n AS resp_len,
+       |         CASE WHEN doc_id % 4 = 0 THEN octet_length(encode(array_to_string(
+       |           ['WARC/1.0', 'WARC-Type: revisit',
+       |            'WARC-Record-ID: <urn:graft:rev-' || doc_id || '>',
+       |            'WARC-Date: 2026-02-01T00:00:00Z',
+       |            'WARC-Target-URI: ' || url,
+       |            'WARC-Payload-Digest: sha1:GRAFT' || doc_id,
+       |            'Content-Type: application/http; msgtype=response',
+       |            'Content-Length: 0', '', ''],
+       |           chr(13) || chr(10)))) END AS rev_len
+       |       FROM u),
+       |off AS (SELECT *,
+       |          COALESCE(SUM(resp_len + 4 + COALESCE(rev_len + 4, 0))
+       |            OVER (PARTITION BY shard ORDER BY doc_id
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |            AS resp_off
+       |        FROM hl),
+       |cap AS (
+       |  SELECT doc_id, urlkey, '20260101000000' AS cdx_ts, url,
+       |         'text/plain' AS mime, 200 AS status,
+       |         'sha1:GRAFT' || doc_id AS digest,
+       |         CAST(resp_len AS BIGINT) AS length,
+       |         CAST(resp_off AS BIGINT) AS "offset", filename
+       |  FROM off
+       |  UNION ALL
+       |  SELECT doc_id, urlkey, '20260201000000', url, 'warc/revisit',
+       |         CAST(NULL AS INTEGER), 'sha1:GRAFT' || doc_id,
+       |         CAST(rev_len AS BIGINT),
+       |         CAST(resp_off + resp_len + 4 AS BIGINT), filename
+       |  FROM off WHERE doc_id % 4 = 0)""".stripMargin
+
+  /** cdx_read's oracle: every capture line, reader-typed. */
+  private val cdxReadOracleSql =
+    s"""WITH $cdxCapturesCte
+       |SELECT urlkey, cdx_ts, url, mime, status, digest, length,
+       |       "offset", filename
+       |FROM cap""".stripMargin
 
   /** The synthetic HTML wrapper of text_strip_html — three shapes keyed on
     * doc_id % 3 (full page with script/style/comment; inline div with all
@@ -2005,6 +2095,54 @@ object SparkEntry {
             .when(col("last_capture") >= "20260115000000", "skip_fresh")
             .otherwise("refetch"))
         .select("url", "urlkey", "last_capture", "decision")
+    }),
+    // CLOSEST-capture lookup (the wayback verb): per (urlkey, target T)
+    // the capture nearest T by REAL elapsed time. Targets split around
+    // the fixture's two capture instants so BOTH directions win
+    // somewhere: Jan-10 targets resolve to the Jan originals, Jan-25
+    // targets to the Feb revisits where one exists (7 days beats 24) —
+    // and Jan 25 is the month-boundary shape where bare digit-distance
+    // arithmetic picks the WRONG capture, so the epoch replay pins it.
+    // Shared urlkeys (the non-blog SURT shapes collapse a source's docs
+    // onto one key) hold several same-instant captures; the digest
+    // tie-break keeps the winner deterministic.
+    "cdx_closest" -> ((s, dir) => {
+      val idx = graft.sources.Loader
+        .load(s, warcFixture(s, dir) + "/docs.cdxj")
+      val targets = rt(s, dir, "documents").select(
+        Url.surtKey(synthUrl).as("urlkey"),
+        when(col("doc_id") % 8 < 4, lit("20260110000000"))
+          .otherwise(lit("20260125000000")).as("target_ts"))
+        .distinct()
+      graft.ops.Cdx.closestCaptures(idx, targets, tieCols = Seq("digest"))
+        .select("urlkey", "target_ts", "cdx_ts", "url", "digest", "dist_sec")
+    }),
+    // POINT-IN-TIME REPLAY — the closest lookup COMPOSED with the ranged
+    // fetch, entirely off the index: every 3rd document's urlkey is
+    // asked for "the page nearest Jan 25" among RESPONSE captures (a
+    // revisit record carries no content — resolving it to its original
+    // via the digest is warc_revisit_dedup's path), and the winning
+    // rows' OWN (filename, offset, length) coordinates seed
+    // loadWarcRanges. A one-byte coordinate error in the index fetches
+    // the wrong record (or none) and the content oracle cannot match.
+    "cdx_replay_at" -> ((s, dir) => {
+      val wdir = warcFixture(s, dir)
+      val idx = graft.sources.Loader.load(s, wdir + "/docs.cdxj")
+        .filter(col("mime") =!= "warc/revisit")
+      val docs = rt(s, dir, "documents")
+      val targets = docs.filter(col("doc_id") % 3 === 0)
+        .select(Url.surtKey(synthUrl).as("urlkey"),
+          lit("20260125000000").as("target_ts"))
+        .distinct()
+      val wanted = graft.ops.Cdx
+        .closestCaptures(idx, targets, tieCols = Seq("digest"))
+        .select("filename", "offset", "length")
+        .collect()
+        .map(r => (s"$wdir/docs_revisit.warc/${r.getString(0)}",
+          r.getLong(1), r.getLong(2)))
+        .toSeq
+      graft.sources.Loader.loadWarcRanges(s, wanted)
+        .select("record_id", "target_uri", "payload")
     }),
     // The crawl LINK graph first mile: WARC pages → outlink extraction
     // (every href resolution shape) → registered-domain edges under
@@ -4945,28 +5083,14 @@ object SparkEntry {
          |SELECT urlkey, '20260201000000', url, 'warc/revisit',
          |       CAST(NULL AS INTEGER), 'sha1:GRAFT' || doc_id, 0
          |FROM u WHERE doc_id % 4 = 0""".stripMargin,
-    // The CDX-J reader's parse replayed: the same two line kinds with
-    // the reader's typed columns — revisit status '-' is NULL, length 0,
-    // shared offset/filename fields.
-    "cdx_read" ->
-      s"""WITH u AS (SELECT doc_id, source, text, $synthUrlSql AS url,
-         |                  CASE doc_id % 4
-         |                    WHEN 0 THEN 'com,' || source || '-news)/a/b/c?x=1'
-         |                    WHEN 1 THEN 'uk,co,' || source || ',blog)/post/' || doc_id
-         |                    WHEN 2 THEN 'org,' || source || '-cdn:8080)/dl/v2'
-         |                    ELSE 'net,' || source || ',files)/' END AS urlkey,
-         |                  'part-' || (doc_id % 16) || '.warc' AS filename
-         |           FROM documents)
-         |SELECT urlkey, '20260101000000' AS cdx_ts, url,
-         |       'text/plain' AS mime, 200 AS status,
-         |       'sha1:GRAFT' || doc_id AS digest,
-         |       CAST(octet_length(encode(text)) + 45 AS BIGINT) AS length,
-         |       CAST(0 AS BIGINT) AS "offset", filename
-         |FROM u
-         |UNION ALL
-         |SELECT urlkey, '20260201000000', url, 'warc/revisit',
-         |       CAST(NULL AS INTEGER), 'sha1:GRAFT' || doc_id, 0, 0, filename
-         |FROM u WHERE doc_id % 4 = 0""".stripMargin,
+    // The CDX-J reader's parse replayed — INCLUDING the REAL seek
+    // coordinates: the oracle rebuilds each WARC record's header string
+    // byte for byte (truncation marker on %8==1, revisit records on
+    // %4==0), takes record lengths from octet_length, and recovers
+    // offsets as the per-shard running sum over records in doc order
+    // (each record also writes a 4-byte CRLFCRLF separator). A fixture
+    // or reader drift of a single byte breaks the hash.
+    "cdx_read" -> cdxReadOracleSql,
     // The prefix-lookup result: exactly the %4==1 blog captures' lines.
     "cdx_host_lookup" ->
       """SELECT 'uk,co,' || source || ',blog)/post/' || doc_id AS urlkey,
@@ -5005,6 +5129,54 @@ object SparkEntry {
          |                  NULL, 'fetch'
          |           FROM documents WHERE doc_id % 3 = 0)
          |SELECT url, urlkey, last_capture, decision FROM k""".stripMargin,
+    // Closest-capture winners replayed with EPOCH distance (strptime →
+    // epoch seconds): Jan-10 targets pick the Jan originals, Jan-25
+    // targets the Feb revisit where one exists — the digit-arithmetic
+    // answer differs exactly there, so it cannot hash-match. Ties at one
+    // instant resolve by digest string order, both engines alike.
+    "cdx_closest" ->
+      s"""WITH $cdxCapturesCte,
+         |t AS (SELECT DISTINCT
+         |        CASE doc_id % 4
+         |          WHEN 0 THEN 'com,' || source || '-news)/a/b/c?x=1'
+         |          WHEN 1 THEN 'uk,co,' || source || ',blog)/post/' || doc_id
+         |          WHEN 2 THEN 'org,' || source || '-cdn:8080)/dl/v2'
+         |          ELSE 'net,' || source || ',files)/' END AS urlkey,
+         |        CASE WHEN doc_id % 8 < 4 THEN '20260110000000'
+         |             ELSE '20260125000000' END AS target_ts
+         |      FROM documents),
+         |j AS (SELECT t.urlkey, t.target_ts, cap.cdx_ts, cap.url, cap.digest,
+         |             abs(epoch(strptime(cap.cdx_ts, '%Y%m%d%H%M%S'))
+         |               - epoch(strptime(t.target_ts, '%Y%m%d%H%M%S'))) AS d
+         |      FROM t JOIN cap ON cap.urlkey = t.urlkey)
+         |SELECT urlkey, target_ts, cdx_ts, url, digest,
+         |       CAST(d AS BIGINT) AS dist_sec
+         |FROM j
+         |QUALIFY row_number() OVER (PARTITION BY urlkey, target_ts
+         |                           ORDER BY d, cdx_ts, digest) = 1""".stripMargin,
+    // The replay content recomputed: per %3-doc urlkey, the response
+    // capture the closest lookup picks (all responses share the Jan
+    // instant → digest-min wins), with ITS document's envelope-stripped
+    // text as the fetched payload — the seek coordinates never appear
+    // but a wrong one fetches the wrong record.
+    "cdx_replay_at" ->
+      s"""WITH $cdxCapturesCte,
+         |t AS (SELECT DISTINCT
+         |        CASE doc_id % 4
+         |          WHEN 0 THEN 'com,' || source || '-news)/a/b/c?x=1'
+         |          WHEN 1 THEN 'uk,co,' || source || ',blog)/post/' || doc_id
+         |          WHEN 2 THEN 'org,' || source || '-cdn:8080)/dl/v2'
+         |          ELSE 'net,' || source || ',files)/' END AS urlkey
+         |      FROM documents WHERE doc_id % 3 = 0),
+         |w AS (SELECT t.urlkey, cap.doc_id
+         |      FROM t JOIN cap ON cap.urlkey = t.urlkey
+         |      WHERE cap.mime = 'text/plain'
+         |      QUALIFY row_number() OVER (PARTITION BY t.urlkey
+         |                                 ORDER BY cap.cdx_ts, cap.digest) = 1)
+         |SELECT '<urn:graft:doc-' || d.doc_id || '>' AS record_id,
+         |       $synthUrlSql AS target_uri,
+         |       d.text AS payload
+         |FROM w JOIN documents d USING (doc_id)""".stripMargin,
     // Expected robots verdict per shape, recomputed independently:
     // /private/ and /tmp* and /exact$ deny; /private/ok's longer Allow
     // and the off-anchor /exactly survive.

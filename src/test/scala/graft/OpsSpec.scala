@@ -3970,4 +3970,37 @@ class OpsSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet shouldBe
       Set(1L, 2L, 3L, 4L, 5L)
   }
+
+  test("Cdx.closestCaptures: epoch distance beats digit distance, ties earlier then by tieCols, malformed ts never wins") {
+    val index = Seq(
+      // k1: Jan 1 vs Feb 1 captures — target Jan 25 is 7 days from Feb,
+      // 24 from Jan; DIGIT distance says the opposite (24e6 < 76e6)
+      ("k1", "20260101000000", "d-jan"),
+      ("k1", "20260201000000", "d-feb"),
+      // k2: two captures at ONE instant → tieCols (digest) decide
+      ("k2", "20260101000000", "d-b"),
+      ("k2", "20260101000000", "d-a"),
+      // k3: a malformed timestamp line plus a good one
+      ("k3", "2026-01-01T00:00", "d-bad"),
+      ("k3", "20260103000000", "d-good"),
+      // k4: equidistant captures (±1 day) → EARLIER capture wins
+      ("k4", "20260110000000", "d-early"),
+      ("k4", "20260112000000", "d-late"),
+    ).toDF("urlkey", "cdx_ts", "digest")
+    val targets = Seq(
+      ("k1", "20260125000000"), ("k2", "20260115000000"),
+      ("k3", "20260104000000"), ("k4", "20260111000000"),
+      ("k5", "20260101000000"), // no captures at all → no row
+    ).toDF("urlkey", "target_ts")
+    val out = graft.ops.Cdx
+      .closestCaptures(index, targets, tieCols = Seq("digest"))
+      .collect()
+      .map(r => r.getAs[String]("urlkey") ->
+        (r.getAs[String]("digest"), r.getAs[Long]("dist_sec"))).toMap
+    out("k1") shouldBe ("d-feb", 7L * 86400)
+    out("k2") shouldBe ("d-a", 14L * 86400)
+    out("k3") shouldBe ("d-good", 86400L)
+    out("k4") shouldBe ("d-early", 86400L)
+    out.keySet shouldBe Set("k1", "k2", "k3", "k4")
+  }
 }

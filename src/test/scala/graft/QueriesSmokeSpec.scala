@@ -82,6 +82,11 @@ class QueriesSmokeSpec extends SparkSpec {
     // latest-capture agg + the urlkey join (candidate distinct reuses
     // the join partitioning) — both sides crawl-sized by design
     "cdx_fetch_decisions" -> 2,
+    // closest lookup: one urlkey join + one (urlkey, target) window —
+    // the fetch_decisions plan shape; the replay's ranged fetch is a
+    // seek-only scan (the closest sub-plan runs driver-side to collect
+    // coordinates, the fetch itself never shuffles)
+    "cdx_closest" -> 2, "cdx_replay_at" -> 0,
     "warc_range_fetch" -> 0, // bounded index collect + seek-scan, narrow
     "sink_wet_export" -> 0, // DSV2 write then a fresh narrow archive read
     "sink_wet_export_gz" -> 0, // gz-member write + offsets-seeded ranged read
