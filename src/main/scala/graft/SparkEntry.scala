@@ -1575,6 +1575,19 @@ object SparkEntry {
     }),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithDups(s, dir), "doc_id", "text")),
+    // Auxiliary dump: the LSH candidate pairs the calibration grades —
+    // engine-side minhash math with no SQL equivalent (the simhash-sig
+    // convention); the report oracle joins them against ITS OWN exact
+    // Jaccard replay, so the confusion arithmetic is fully checked.
+    "dedup_calibration_pairs" -> ((s, dir) =>
+      Dedup.calibrationCandidatePairs(docsWithDups(s, dir), "doc_id", "text")),
+    // The (bands, rows, threshold) calibration report — near-dup's
+    // sim_recall sibling: per threshold, exact-Jaccard truth counts,
+    // candidate precision/recall, and the pure-banding expected-recall
+    // bound. The only evidence the production threshold neither over-
+    // nor under-deletes at scale.
+    "dedup_calibration" -> ((s, dir) =>
+      Dedup.minhashCalibration(docsWithDups(s, dir), "doc_id", "text")),
     // Near-dup pairs → connected components → one cluster id (min member)
     // per doc: the step that picks a single representative per duplicate
     // cluster. The oracle recomputes the same components with a recursive
@@ -4047,6 +4060,48 @@ object SparkEntry {
          |FROM u JOIN k ON u.doc_id = k.doc_id AND u.text = k.text""".stripMargin,
     "dedup_minhash" -> ngramJaccardOracleSql,
     "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
+    // The calibration report replayed closed-form: truth = DuckDB's own
+    // exact 3-gram Jaccard over one representative per distinct text
+    // (min doc_id — the same collapse the op applies), candidates from
+    // the aux dump; every count, ratio, and the banding bound
+    // 1−(1−t²)³² recomputed independently per grid threshold.
+    "dedup_calibration" ->
+      s"""WITH u AS ($docsWithDupsSql),
+         |reps AS (SELECT min(doc_id) AS doc_id, text FROM u GROUP BY text),
+         |g AS (SELECT doc_id,
+         |             list_distinct([substr(text, i, 3)
+         |                            FOR i IN range(1, len(text) - 1)]) AS gs
+         |      FROM reps),
+         |tj AS (SELECT id_a, id_b, jaccard FROM (
+         |         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |                CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+         |                  / (len(a.gs) + len(b.gs)
+         |                     - len(list_intersect(a.gs, b.gs))) AS jaccard
+         |         FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         |       WHERE jaccard >= 0.5),
+         |cand AS (SELECT id_a, id_b
+         |         FROM read_parquet('{GRAFT_OUT}/dedup_calibration_pairs/*.parquet')),
+         |nc AS (SELECT count(*) AS n_cand FROM cand),
+         |grid AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+         |m AS (SELECT grid.threshold,
+         |             (SELECT count(*) FROM tj
+         |              WHERE jaccard >= grid.threshold) AS n_true,
+         |             (SELECT count(*) FROM cand c
+         |              JOIN tj ON tj.id_a = c.id_a AND tj.id_b = c.id_b
+         |              WHERE tj.jaccard >= grid.threshold) AS tp
+         |      FROM grid)
+         |SELECT threshold, n_true,
+         |       (SELECT n_cand FROM nc) AS n_candidates, tp,
+         |       (SELECT n_cand FROM nc) - tp AS fp,
+         |       n_true - tp AS fn,
+         |       CASE WHEN (SELECT n_cand FROM nc) > 0
+         |            THEN round(CAST(tp AS DOUBLE)
+         |                       / (SELECT n_cand FROM nc), 9) END AS precision,
+         |       CASE WHEN n_true > 0
+         |            THEN round(CAST(tp AS DOUBLE) / n_true, 9) END AS recall,
+         |       round(1 - power(1 - power(threshold, 2.0), 32.0), 9)
+         |         AS expected_recall
+         |FROM m""".stripMargin,
     // Connected components by recursive closure: walk(id, lbl) enumerates
     // every (node, label of a node reachable from it); min per node = the
     // smallest id in its component. Pair graph = the same true-Jaccard ≥ 0.8

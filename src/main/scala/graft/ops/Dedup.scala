@@ -596,6 +596,117 @@ object Dedup {
     * rejects a true-0.8 pair with p ≈ 1e-6 at 64 hashes (σ ≈ 0.05). */
   val DefaultEstThreshold: Double = 0.5625
 
+  /** THRESHOLD CALIBRATION for the MinHash-LSH near-dup pipeline — the
+    * dedup-side sibling of `sim_recall`: grade the candidate stage
+    * ([[minhashCandidates]]' banding + inline-estimate filter, the exact
+    * configuration production [[minhashDedupPairs]] verifies from)
+    * against TRUE n-gram Jaccard, per threshold of `thresholds`. At
+    * 100 TB an uncalibrated (bands, rows, threshold) silently over- or
+    * under-deletes; this report is the evidence the chosen point does
+    * neither.
+    *
+    * One row per threshold t:
+    *  - `n_true` — pairs with exact Jaccard ≥ t ([[ngramJaccardPairs]]
+    *    at the grid minimum: exact for everything the grid grades);
+    *  - `n_candidates` — the candidate set size (constant across rows:
+    *    candidates are generated once, thresholds only re-grade them);
+    *  - `tp` / `fp` / `fn`, `precision` = tp/n_candidates (the fraction
+    *    of exact-verify work that pays off at t), `recall` = tp/n_true;
+    *  - `expected_recall` — the pure-banding bound 1 − (1 − t^r)^b
+    *    (r = numHashes/bands). Measured recall sits UNDER the bound at
+    *    low t when the estimate filter (`estThreshold`) already cuts
+    *    there — exactly the effect the report exists to expose.
+    *
+    * Calibration runs on one representative per distinct text (the same
+    * collapse [[minhashDedupPairs]] applies, via min id): the banding
+    * never sees exact duplicates, so grading it on representatives
+    * grades what it actually does. Truth is an inverted-index exact
+    * join (pairs sharing ≥1 shingle), never all-pairs; at corpus scale
+    * calibrate on a bounded sample of the corpus — the report is
+    * configuration evidence, not a per-document operator.
+    *
+    * Returns the report; [[calibrationCandidatePairs]] exposes the raw
+    * candidate pair frame it grades (the driver oracle's aux dump). */
+  def minhashCalibration(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+      estThreshold: Double = DefaultEstThreshold,
+      maxBucketSize: Int = 100000,
+  ): DataFrame = {
+    require(thresholds.nonEmpty, "minhashCalibration: empty threshold grid")
+    require(thresholds.forall(t => t > 0.0 && t <= 1.0),
+      "minhashCalibration: thresholds must be in (0, 1]")
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val minT = thresholds.min
+    val groups = dupGroups(df, idCol, textCol)
+    val reps = groups.select(col("ids").getItem(0).as("id"), col("text"))
+    val truth = ngramJaccardPairsDistinct(reps, n, minT, maxShingleFreq = 1000000L)
+    val cands = calibrationCandidates(
+      reps, n, numHashes, bands, estThreshold, maxBucketSize)
+    val joined = cands.withColumn("__c", lit(true))
+      .join(truth, Seq("id_a", "id_b"), "full")
+      .select(coalesce(col("__c"), lit(false)).as("is_cand"),
+        coalesce(col("jaccard"), lit(0.0)).as("j"))
+    val r = numHashes / bands
+    val grid = joined.sparkSession
+      .createDataFrame(thresholds.sorted.map(Tuple1(_)))
+      .toDF("threshold")
+    grid.crossJoin(joined)
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("j") >= col("threshold"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_candidates"),
+        sum(when(col("is_cand") && col("j") >= col("threshold"), 1L)
+          .otherwise(0L)).as("tp"))
+      .withColumn("fp", col("n_candidates") - col("tp"))
+      .withColumn("fn", col("n_true") - col("tp"))
+      .withColumn("precision",
+        when(col("n_candidates") > 0,
+          round(col("tp").cast("double") / col("n_candidates"), 9)))
+      .withColumn("recall",
+        when(col("n_true") > 0,
+          round(col("tp").cast("double") / col("n_true"), 9)))
+      .withColumn("expected_recall",
+        round(lit(1.0) - pow(lit(1.0) - pow(col("threshold"), lit(r.toDouble)),
+          lit(bands.toDouble)), 9))
+  }
+
+  /** The candidate-pair frame [[minhashCalibration]] grades — exposed so
+    * the calibration query can export it (the oracle recomputes the
+    * report from these pairs + its own exact-Jaccard replay). Same
+    * representative collapse as the calibration itself. */
+  def calibrationCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      estThreshold: Double = DefaultEstThreshold,
+      maxBucketSize: Int = 100000,
+  ): DataFrame = {
+    val groups = dupGroups(df, idCol, textCol)
+    val reps = groups.select(col("ids").getItem(0).as("id"), col("text"))
+    calibrationCandidates(reps, n, numHashes, bands, estThreshold, maxBucketSize)
+  }
+
+  private def calibrationCandidates(
+      reps: DataFrame,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      estThreshold: Double,
+      maxBucketSize: Int,
+  ): DataFrame =
+    estCandidatePairs(
+      docSignatures(reps, "id", "text", n, numHashes),
+      numHashes, bands, estThreshold, maxBucketSize, "minhashCalibration")
+
   /** The est-filtered LSH candidate pipeline shared by [[minhashCandidates]]
     * and [[minhashDedupPairs]]' general-vocabulary path: band a (id, sig)
     * frame, cap buckets (counted/WARNed under `opName` — the op the USER

@@ -3971,6 +3971,42 @@ class OpsSpec extends SparkSpec {
       Set(1L, 2L, 3L, 4L, 5L)
   }
 
+  test("Dedup.minhashCalibration: exact confusion counts on a corpus with known near-dups") {
+    // 1↔2 near-dup (high J), 3 unrelated, 4 = exact copy of 1 (collapses
+    // onto 1's representative — calibration never sees exact dups)
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonite"),
+      (3L, "completely different content with no shared shingles here"),
+      (4L, "the quick brown fox jumps over the lazy dog tonight"),
+    ).toDF("doc_id", "text")
+    val rep = Dedup.minhashCalibration(d, "doc_id", "text",
+      thresholds = Seq(0.5, 0.99))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // (1,2) true J ≈ 0.8+: the only true pair at 0.5; candidates find it
+    val (nTrue, nCand, tp, fp, fn) = rep(0.5)
+    nTrue shouldBe 1L
+    tp shouldBe 1L
+    fn shouldBe 0L
+    fp shouldBe (nCand - 1L)
+    // at 0.99 nothing is a true pair; the candidate set is unchanged
+    rep(0.99)._1 shouldBe 0L
+    rep(0.99)._2 shouldBe nCand
+    rep(0.99)._3 shouldBe 0L
+    // expected_recall: 1-(1-t^2)^32 replayed
+    val er = Dedup.minhashCalibration(d, "doc_id", "text",
+      thresholds = Seq(0.5, 0.99))
+      .orderBy("threshold")
+      .collect().map(_.getAs[Double]("expected_recall"))
+    er(0) shouldBe (1.0 - math.pow(1.0 - 0.25, 32.0)) +- 1e-8
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.minhashCalibration(d, "doc_id", "text", thresholds = Nil)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.minhashCalibration(d, "doc_id", "text", thresholds = Seq(1.5))
+  }
+
   test("Cdx.closestCaptures: epoch distance beats digit distance, ties earlier then by tieCols, malformed ts never wins") {
     val index = Seq(
       // k1: Jan 1 vs Feb 1 captures — target Jan 25 is 7 days from Feb,

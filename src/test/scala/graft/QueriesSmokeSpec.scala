@@ -87,6 +87,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // seek-only scan (the closest sub-plan runs driver-side to collect
     // coordinates, the fetch itself never shuffles)
     "cdx_closest" -> 2, "cdx_replay_at" -> 0,
+    // calibration: dup-group collapse + banded candidates (3) + the
+    // exact-truth inverted index join + the grid aggregate; the aux
+    // pair dump is the candidate pipeline alone
+    "dedup_calibration" -> 7, "dedup_calibration_pairs" -> 3,
     "warc_range_fetch" -> 0, // bounded index collect + seek-scan, narrow
     "sink_wet_export" -> 0, // DSV2 write then a fresh narrow archive read
     "sink_wet_export_gz" -> 0, // gz-member write + offsets-seeded ranged read
