@@ -569,6 +569,36 @@ object SparkEntry {
       Bpe.BpeModel.load(d)
     })
 
+  /** The EXTERNAL-tokenizer fixture: a GPT-2-format `merges.txt` (with
+    * `#version:` header and byte-alphabet 'Ġ…' tokens, U+0120 pinned by
+    * escape per the CharsetMarker convention) and `vocab.json` written
+    * verbatim to a temp dir once per JVM, then loaded through the
+    * PRODUCTION import path ([[Bpe.loadGpt2Merges]]/[[Bpe.loadGpt2Vocab]])
+    * — the file parse, not a hand-built model, is what the queries run.
+    * The vocab covers only the merge products plus a few single symbols,
+    * so most tokens encode UNK (−1) and the id probe is genuinely
+    * exercised both ways. */
+  private lazy val gpt2External: (Bpe.BpeModel, Seq[(String, Int)]) = {
+    val G = "\u0120" // 'G-dot' U+0120, the byte alphabet's space
+    val d = java.nio.file.Files.createTempDirectory("graft_gpt2")
+    val merges =
+      ("#version: 0.2" +:
+        Seq("t h", "i n", "a n", "r e", "o n", "e r", "th e",
+          s"$G t", s"$G a", s"$G s", s"$G o", s"$G w",
+          s"${G}t h", s"${G}th e", s"${G}a n", s"${G}an d",
+          "e n", "in g", "o u", s"$G (")) // a punctuation-glued merge too
+        .mkString("", "\n", "\n") + "\n" // trailing blank line: skipped
+    val vocab =
+      s"""{"the": 0, "${G}the": 1, "${G}and": 2, "in": 3, "ing": 4,
+         |"t": 5, "h": 6, "e": 7, "a": 8, "$G": 9, "er": 10, "on": 11,
+         |"${G}t": 12, "${G}a": 13, "ou": 14, "an": 15, "re": 16,
+         |"en": 17, "$G(": 18}""".stripMargin
+    java.nio.file.Files.writeString(d.resolve("merges.txt"), merges)
+    java.nio.file.Files.writeString(d.resolve("vocab.json"), vocab)
+    (Bpe.loadGpt2Merges(d.resolve("merges.txt").toString),
+      Bpe.loadGpt2Vocab(d.resolve("vocab.json").toString))
+  }
+
   /** events.parquet's ts encoding is generation-dependent: older drops
     * store TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects — with spark.sql.legacy.parquet.nanosAsLong=
@@ -999,6 +1029,55 @@ object SparkEntry {
        |            FOR t IN regexp_extract_all(replace(text, chr(31), ''), '$pat')],
        |           '') AS e
        |       FROM documents),
+       |st AS (
+       |  SELECT doc_id, e, 0 AS r FROM e0
+       |  UNION ALL
+       |  SELECT s.doc_id,
+       |         replace(s.e, chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31),
+       |                      chr(31)||m.a||m.b||chr(31)),
+       |         s.r + 1
+       |  FROM st s JOIN m ON m.r = s.r),
+       |fin AS (SELECT doc_id, e FROM st WHERE r = (SELECT n FROM nm)),
+       |btoks AS (SELECT doc_id,
+       |            list_filter(string_split(trim(e, chr(31)), chr(31)||chr(31)),
+       |                        x -> x <> '') AS toks
+       |          FROM fin)""".stripMargin
+  }
+
+  /** [[bpeReplayCte]] for the EXTERNAL GPT-2-format tokenizer: e0 is
+    * rebuilt through the regex pre-split AND the BYTE-LEVEL alphabet
+    * mapping — each pre-token's UTF-8 hex pairs joined through the
+    * text_bpe_ext_bytemap dump (two-level unnest with subscripts, re-
+    * aggregated in order), so the oracle recomputes the 'Ġ' encoding
+    * without knowing the table; the replace chain then runs over the
+    * text_bpe_ext_merges dump. Ends in `btoks` like its siblings. */
+  private val bpeExtReplayCte = {
+    val pat = graft.ops.Bpe.Gpt2PretokPattern.replace("'", "''")
+    s"""m AS (SELECT CAST(rank AS INTEGER) AS r, a, b
+       |      FROM read_parquet('{GRAFT_OUT}/text_bpe_ext_merges/*.parquet')),
+       |nm AS (SELECT count(*) AS n FROM m),
+       |bmap AS (SELECT byte_hex, mapped
+       |         FROM read_parquet('{GRAFT_OUT}/text_bpe_ext_bytemap/*.parquet')),
+       |pts AS (SELECT doc_id,
+       |          regexp_extract_all(replace(text, chr(31), ''), '$pat') AS ps
+       |        FROM documents),
+       |pt AS (SELECT doc_id, generate_subscripts(ps, 1) AS pi, unnest(ps) AS p
+       |       FROM pts),
+       |pb AS (SELECT doc_id, pi, generate_subscripts(bl, 1) AS bi,
+       |              unnest(bl) AS bh
+       |       FROM (SELECT doc_id, pi,
+       |               regexp_extract_all(hex(encode(p)), '..') AS bl
+       |             FROM pt)),
+       |pm AS (SELECT doc_id, pi,
+       |         string_agg(bmap.mapped, chr(31)||chr(31) ORDER BY bi) AS inr
+       |       FROM pb JOIN bmap ON bmap.byte_hex = pb.bh
+       |       GROUP BY doc_id, pi),
+       |e0p AS (SELECT doc_id,
+       |          string_agg(chr(31)||chr(31) || inr || chr(31)||chr(31), ''
+       |                     ORDER BY pi) AS e
+       |        FROM pm GROUP BY doc_id),
+       |e0 AS (SELECT d.doc_id, COALESCE(e0p.e, '') AS e
+       |       FROM documents d LEFT JOIN e0p USING (doc_id)),
        |st AS (
        |  SELECT doc_id, e, 0 AS r FROM e0
        |  UNION ALL
@@ -2813,6 +2892,59 @@ object SparkEntry {
         Bpe.bpeTokenCount(
           rt(s, dir, "documents").select("doc_id", "text"), "text",
           bpeFitted(s, dir))
+          .select("doc_id", "n_bpe"),
+        "doc_id", "n_bpe", budget = 20000L, numBuckets = 8)),
+    // EXTERNAL tokenizer import (GPT-2 file formats): merges loaded from
+    // a verbatim merges.txt fixture through the production parser. Aux
+    // dumps: the loaded merge table (the text_bpe_merges convention),
+    // the byte→alphabet map (so the oracle can recompute the byte-level
+    // encoding without knowing the table), and the vocab.json ids.
+    "text_bpe_ext_merges" -> ((s, dir) => {
+      import s.implicits._
+      gpt2External._1.merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("rank", "a", "b")
+    }),
+    "text_bpe_ext_bytemap" -> ((s, dir) => {
+      import s.implicits._
+      Bpe.Gpt2ByteMap.toDF("byte_hex", "mapped")
+    }),
+    "text_bpe_ext_vocab" -> ((s, dir) => {
+      import s.implicits._
+      gpt2External._2.toDF("token", "id")
+        .select(col("token"), col("id").cast("int").as("id"))
+    }),
+    // Tokenization under the EXTERNAL tokenizer, exactly as a production
+    // GPT-2-family trainer applies it: GPT-2 regex pre-split on the raw
+    // text, each pre-token byte-mapped into the 'Ġ' alphabet, then the
+    // imported merges in rank order; ids from the imported vocab with
+    // real UNKs (the fixture vocab is deliberately partial). The oracle
+    // replays the byte mapping from the dumped map table (two-level
+    // unnest over hex pairs), the replace chain, and the id probe — so
+    // file parse, byte encoding, merges, and vocab all must agree.
+    "text_bpe_external" -> ((s, dir) => {
+      val (model, vocab) = gpt2External
+      val vmap = typedLit(vocab.toMap)
+      rt(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("__t", Bpe.bpeTokens(s, col("text"), model,
+          pretok = Some(Bpe.Gpt2PretokPattern), byteLevel = true))
+        .select(col("doc_id"),
+          size(col("__t")).as("n_bpe"),
+          array_join(col("__t"), Bpe.Sep).as("bpe_joined"),
+          array_join(
+            transform(col("__t"),
+              t => coalesce(element_at(vmap, t), lit(-1)).cast("string")),
+            ",").as("ids_joined"))
+    }),
+    // Token budgeting under the external tokenizer — the reason the
+    // import exists: "first N tokens" measured with the trainer's own
+    // merges, not the whitespace proxy or a corpus-fit table.
+    "sample_token_budget_gpt2" -> ((s, dir) =>
+      Sampling.sampleTokenBudget(
+        Bpe.bpeTokenCount(
+          rt(s, dir, "documents").select("doc_id", "text"), "text",
+          gpt2External._1, pretok = Some(Bpe.Gpt2PretokPattern),
+          byteLevel = true)
           .select("doc_id", "n_bpe"),
         "doc_id", "n_bpe", budget = 20000L, numBuckets = 8)),
     // Context-length chunking in SUBWORD tokens: 120-token windows advancing
@@ -5687,6 +5819,45 @@ object SparkEntry {
          |FROM g GROUP BY lang""".stripMargin,
     // sample_token_budget's bucket-major running-sum replay, with the token
     // counts swapped for the BPE replay's counts.
+    // External-tokenizer replay: byte-level e0 via the dumped map, the
+    // imported merges' replace chain, and the vocab-dump id probe with
+    // real UNK −1s — the whole import path must agree with the files.
+    "text_bpe_external" ->
+      s"""WITH RECURSIVE $bpeExtReplayCte,
+         |v AS (SELECT token, id
+         |      FROM read_parquet('{GRAFT_OUT}/text_bpe_ext_vocab/*.parquet')),
+         |tt AS (SELECT doc_id, generate_subscripts(toks, 1) AS ti,
+         |              unnest(toks) AS t
+         |       FROM btoks),
+         |ids AS (SELECT doc_id,
+         |          string_agg(CAST(COALESCE(v.id, -1) AS VARCHAR), ','
+         |                     ORDER BY ti) AS ids_joined
+         |        FROM tt LEFT JOIN v ON v.token = tt.t
+         |        GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(len(b.toks) AS INTEGER) AS n_bpe,
+         |       array_to_string(b.toks, chr(31)) AS bpe_joined,
+         |       COALESCE(i.ids_joined, '') AS ids_joined
+         |FROM btoks b LEFT JOIN ids i USING (doc_id)""".stripMargin,
+    // The budget replay under the external tokenizer's counts.
+    "sample_token_budget_gpt2" ->
+      s"""WITH RECURSIVE $bpeExtReplayCte,
+         |t AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_bpe FROM btoks),
+         |h AS (SELECT doc_id, n_bpe,
+         |        (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS hh
+         |      FROM t WHERE n_bpe > 0),
+         |c AS (SELECT doc_id, n_bpe, hh % 8 AS bkt,
+         |        CAST(sum(n_bpe) OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id
+         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM h),
+         |tot AS (SELECT bkt, CAST(sum(n_bpe) AS BIGINT) AS tot
+         |        FROM h, LATERAL (SELECT hh % 8 AS bkt) GROUP BY bkt),
+         |off AS (SELECT bkt,
+         |          CAST(COALESCE(sum(tot) OVER (ORDER BY bkt
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |        FROM tot)
+         |SELECT c.doc_id, c.n_bpe
+         |FROM c JOIN off USING (bkt)
+         |WHERE off.off + c.cum <= 20000""".stripMargin,
     "sample_token_budget_bpe" ->
       s"""WITH RECURSIVE $bpeReplayCte,
          |t AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_bpe FROM btoks),

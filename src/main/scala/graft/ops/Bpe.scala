@@ -146,6 +146,86 @@ object Bpe {
   private[ops] def mergeStep(enc: Column, a: String, b: String): Column =
     call_function("replace", enc, lit(Sep + a + Sep2 + b + Sep), lit(Sep + a + b + Sep))
 
+  // ── external tokenizer import (GPT-2 file formats + byte alphabet) ───
+
+  /** GPT-2's byte→unicode alphabet (Radford et al. 2019, the
+    * `bytes_to_unicode` table every GPT-2-family tokenizer shares):
+    * printable latin bytes map to themselves ('!'..'~', '¡'..'¬',
+    * '®'..'ÿ') and every other byte to U+0100+n in byte order — so a
+    * space is 'Ġ' (U+0120) and a newline 'Ċ' (U+010A), the characters a
+    * production merges.txt is full of. Keyed by UPPERCASE two-digit hex
+    * (what Spark's `hex` emits). */
+  lazy val Gpt2ByteMap: Seq[(String, String)] = {
+    val printable =
+      ((0x21 to 0x7e) ++ (0xa1 to 0xac) ++ (0xae to 0xff)).toSet
+    var n = 0
+    (0 to 255).map { b =>
+      val cp = if (printable(b)) b else { val c = 256 + n; n += 1; c }
+      f"$b%02X" -> new String(Character.toChars(cp))
+    }
+  }
+
+  /** `text` → its GPT-2 byte-alphabet form: UTF-8 bytes, each mapped
+    * through [[Gpt2ByteMap]] (NULL → empty string, the tokenizer's null
+    * convention). One narrow projection — hex + a 256-entry plan-literal
+    * map probe per byte; every output code point is one INPUT BYTE, so
+    * downstream merges operate on bytes exactly like the production
+    * tokenizer. SQL-replayable: any engine recomputes it from hex pairs
+    * and a dumped map table. */
+  def gpt2ByteEncode(text: Column): Column = {
+    val m = typedLit(Gpt2ByteMap.toMap)
+    array_join(
+      transform(
+        regexp_extract_all(
+          hex(encode(coalesce(text, lit("")), "UTF-8")), lit(".."), lit(0)),
+        h => element_at(m, h)),
+      "")
+  }
+
+  /** Load a PRODUCTION GPT-2-format `merges.txt` into a [[BpeModel]]: an
+    * optional `#version:` header line, then one `a b` pair per line in
+    * rank order (tokens in the byte alphabet — apply with
+    * `byteLevel = true` and [[Gpt2PretokPattern]], the trainer's
+    * configuration, so token budgets are computed against the tokenizer
+    * a production model actually uses). Blank lines are skipped; any
+    * other malformed line is a LOUD InvalidParameter — a silently
+    * dropped merge would shift every later rank. */
+  def loadGpt2Merges(path: String): BpeModel = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try {
+      val merges = src.getLines().zipWithIndex.flatMap { case (raw, i) =>
+        val line = raw.stripLineEnd
+        if (line.isEmpty || (i == 0 && line.startsWith("#version")))
+          None
+        else line.split(" ", -1) match {
+          case Array(a, b) if a.nonEmpty && b.nonEmpty => Some((a, b))
+          case _ => throw graft.errors.FeatureFactoryException.InvalidParameter(
+            s"loadGpt2Merges: malformed merge line ${i + 1}: '$line'")
+        }
+      }.toList
+      BpeModel(merges)
+    } finally src.close()
+  }
+
+  /** Load a GPT-2-format `vocab.json` (`{"token": id, …}`) as the
+    * (token, id) pairs [[encodeIds]] consumes, sorted by id. */
+  def loadGpt2Vocab(path: String): Seq[(String, Int)] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path))) match {
+      case JObject(fields) =>
+        fields.map {
+          case (tok, JInt(id)) => (tok, id.toInt)
+          case (tok, other) =>
+            throw graft.errors.FeatureFactoryException.InvalidParameter(
+              s"loadGpt2Vocab: non-integer id for '$tok': $other")
+        }.sortBy(_._2)
+      case other => throw graft.errors.FeatureFactoryException.InvalidParameter(
+        s"loadGpt2Vocab: expected a JSON object, got $other")
+    }
+  }
+
   /** BPE token array of `text` under `model` — native kernel when available,
     * else the REPLACE-chain fallback (≤ [[MaxFallbackMerges]] merges).
     * `pretok = Some(pattern)` switches to regex-pre-tokenized mode
@@ -154,26 +234,39 @@ object Bpe {
     * one kernel call per pre-token inside a `transform` + `flatten` (still
     * one narrow projection), on the fallback path the REPLACE chain over
     * [[encode0Pretok]]'s boundary encoding. A model must be APPLIED in the
-    * same mode it was fit in ([[bpeFit]]'s `pretok`). */
+    * same mode it was fit in ([[bpeFit]]'s `pretok`).
+    *
+    * `byteLevel = true` is the external-tokenizer mode ([[loadGpt2Merges]]
+    * tables): each pre-token (or, without `pretok`, the whole text) is
+    * first mapped through [[gpt2ByteEncode]], so merges run over the
+    * GPT-2 byte alphabet exactly as the production tokenizer applies
+    * them. Pre-tokenization runs on the RAW text BEFORE the byte mapping
+    * (the GPT-2 order — the regex classes would misread 'Ġ' as a
+    * letter). */
   def bpeTokens(
       spark: SparkSession,
       text: Column,
       model: BpeModel,
-      pretok: Option[String] = None): Column = pretok match {
-    case None =>
-      if (spark.catalog.functionExists(graft.functions.TilePairs.BpeName))
-        call_function(graft.functions.TilePairs.BpeName, text,
-          typedLit(model.flat))
-      else bpeTokensFallback(text, model)
-    case Some(pattern) =>
-      val cleaned = regexp_replace(coalesce(text, lit("")), Sep, "")
-      val pts = regexp_extract_all(cleaned, lit(pattern), lit(0))
-      if (spark.catalog.functionExists(graft.functions.TilePairs.BpeName))
-        flatten(transform(pts, t =>
-          call_function(graft.functions.TilePairs.BpeName, t,
-            typedLit(model.flat))))
-      else
-        flatten(transform(pts, t => bpeTokensFallback(t, model)))
+      pretok: Option[String] = None,
+      byteLevel: Boolean = false): Column = {
+    val prep: Column => Column =
+      if (byteLevel) gpt2ByteEncode else identity
+    pretok match {
+      case None =>
+        if (spark.catalog.functionExists(graft.functions.TilePairs.BpeName))
+          call_function(graft.functions.TilePairs.BpeName, prep(text),
+            typedLit(model.flat))
+        else bpeTokensFallback(prep(text), model)
+      case Some(pattern) =>
+        val cleaned = regexp_replace(coalesce(text, lit("")), Sep, "")
+        val pts = regexp_extract_all(cleaned, lit(pattern), lit(0))
+        if (spark.catalog.functionExists(graft.functions.TilePairs.BpeName))
+          flatten(transform(pts, t =>
+            call_function(graft.functions.TilePairs.BpeName, prep(t),
+              typedLit(model.flat))))
+        else
+          flatten(transform(pts, t => bpeTokensFallback(prep(t), model)))
+    }
   }
 
   /** The pure-Column tokenizer: one codegen'd REPLACE per merge over the
@@ -197,10 +290,12 @@ object Bpe {
       textCol: String,
       model: BpeModel,
       outCol: String = "bpe_tokens",
-      pretok: Option[String] = None): DataFrame = {
+      pretok: Option[String] = None,
+      byteLevel: Boolean = false): DataFrame = {
     graft.core.Validators.requireColumns(df, Seq(textCol))
     graft.core.Validators.requireColumnsAbsent(df, Seq(outCol), "tokenizeBpe")
-    df.withColumn(outCol, bpeTokens(df.sparkSession, col(textCol), model, pretok))
+    df.withColumn(outCol,
+      bpeTokens(df.sparkSession, col(textCol), model, pretok, byteLevel))
   }
 
   /** Appends `outCol` = the BPE token COUNT of `textCol` — the drop-in
@@ -209,10 +304,13 @@ object Bpe {
       df: DataFrame,
       textCol: String,
       model: BpeModel,
-      outCol: String = "n_bpe"): DataFrame = {
+      outCol: String = "n_bpe",
+      pretok: Option[String] = None,
+      byteLevel: Boolean = false): DataFrame = {
     graft.core.Validators.requireColumns(df, Seq(textCol))
     graft.core.Validators.requireColumnsAbsent(df, Seq(outCol), "bpeTokenCount")
-    df.withColumn(outCol, size(bpeTokens(df.sparkSession, col(textCol), model)))
+    df.withColumn(outCol,
+      size(bpeTokens(df.sparkSession, col(textCol), model, pretok, byteLevel)))
   }
 
   /** Deterministic integer-id vocabulary of a merge table: ids 0..k−1 are

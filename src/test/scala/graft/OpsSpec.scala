@@ -2600,6 +2600,45 @@ class OpsSpec extends SparkSpec {
     out.agg(sum("n_bpe")).head().getLong(0) should be <= 100L
   }
 
+  test("Bpe external import: GPT-2 merges.txt/vocab.json parse, byte alphabet, byteLevel tokens") {
+    val G = "Ġ" // 'G-dot': the byte alphabet's space
+    val d = java.nio.file.Files.createTempDirectory("gpt2_test")
+    java.nio.file.Files.writeString(d.resolve("merges.txt"),
+      s"#version: 0.2\nt h\nth e\n$G t\n\n") // header + blank line skipped
+    java.nio.file.Files.writeString(d.resolve("vocab.json"),
+      s"""{"the": 0, "${G}the": 1, "$G": 9, "t": 5}""")
+    val m = Bpe.loadGpt2Merges(d.resolve("merges.txt").toString)
+    m.merges shouldBe Seq(("t", "h"), ("th", "e"), (G, "t"))
+    Bpe.loadGpt2Vocab(d.resolve("vocab.json").toString) shouldBe
+      Seq("the" -> 0, s"${G}the" -> 1, "t" -> 5, G -> 9)
+    // malformed line (a single token, no pair) is LOUD
+    java.nio.file.Files.writeString(d.resolve("bad.txt"), "t h\nxyz\n")
+    val e = intercept[Exception] {
+      Bpe.loadGpt2Merges(d.resolve("bad.txt").toString)
+    }
+    e.getMessage should include("malformed merge line 2")
+    // byte alphabet: printable bytes map to themselves, space → Ġ,
+    // newline → Ċ (U+010A), é's UTF-8 bytes → 'Ã©' (one char per BYTE)
+    val enc = Seq(Tuple1("A é\n")).toDF("t")
+      .select(Bpe.gpt2ByteEncode($"t")).head().getString(0)
+    enc shouldBe "A" + G + "Ã©" + "Ċ"
+    // byteLevel tokenization under the imported merges, GPT-2 pretok:
+    // " the" → Ġthe → [Ġ, the] (t+h, th+e fire; Ġ+t no longer adjacent),
+    // " cat" → [Ġ, c, a, t] (no merge applies)
+    val toks = Bpe.bpeTokens(spark, lit(" the cat"), m,
+      pretok = Some(Bpe.Gpt2PretokPattern), byteLevel = true)
+    val got = Seq(Tuple1(1)).toDF("x").select(toks.as("t"))
+      .head().getSeq[String](0)
+    got shouldBe Seq(G, "the", G, "c", "a", "t")
+    // and the fallback path agrees token for token
+    val fb = Seq(Tuple1(" the cat")).toDF("t").select(
+      flatten(transform(
+        regexp_extract_all($"t", lit(Bpe.Gpt2PretokPattern), lit(0)),
+        p => Bpe.bpeTokensFallback(Bpe.gpt2ByteEncode(p), m))))
+      .head().getSeq[String](0)
+    fb shouldBe got
+  }
+
   test("vocabOf/encodeIds: deterministic ids, alphabet-first, UNK for unseen code points") {
     val model = Bpe.BpeModel(Seq(("a", "b"), ("ab", "c"), ("a", "b"))) // dup product
     val vocab = Bpe.vocabOf(model, Seq("c", "a", "b", "a")) // unsorted, dup input

@@ -136,6 +136,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "sample_dsir" -> 4,
     "sel_mrmr" -> 0, "sel_smart_correlated" -> 0,
     "sample_token_budget_bpe" -> 1, "sample_top_fraction" -> 0,
+    // external tokenizer: tokenization is a pure narrow projection; the
+    // budget twin keeps sample_token_budget_bpe's single bucket exchange
+    "text_bpe_external" -> 0, "text_bpe_ext_merges" -> 0,
+    "text_bpe_ext_bytemap" -> 0, "text_bpe_ext_vocab" -> 0,
+    "sample_token_budget_gpt2" -> 1,
     // one (group, bucket) shuffle — the group rides the same window
     "sample_token_budget_group" -> 1,
     "sample_upsample" -> 0, // pure narrow projection + generator
