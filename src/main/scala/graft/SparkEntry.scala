@@ -3543,6 +3543,27 @@ object SparkEntry {
       StreamingOps.windowedAgg(
         rtEvents(s, dir), "ts", Seq("event_type"), "value", "6 hours")
         .withColumn("sum_value", round(col("sum_value"), 6))),
+    // POLITE FETCH SCHEDULING, batch twin (the streaming side runs the
+    // same op through transformWithState — StreamingSpec pins
+    // stream ≡ batch): per-host crawl-delay slots over a synthetic
+    // frontier whose timestamps deliberately COLLIDE within hosts (the
+    // url tiebreak matters) — scheduled_at_ms = max(event time, host's
+    // next free slot) in closed window form. The oracle replays the
+    // running-sum/running-max unrolling exactly.
+    "stream_frontier_schedule" -> ((s, dir) => {
+      val d = rt(s, dir, "documents")
+      val frontier = d.select(
+        concat(lit("www."), col("source"), lit(".example")).as("host"),
+        concat(lit("https://www."), col("source"), lit(".example/p/"),
+          col("doc_id")).as("url"),
+        expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, CAST(doc_id % 7 AS INT), 0)")
+          .as("ts"),
+        ((length(col("source")) % 3 + 1).cast("double") * 0.5)
+          .as("crawl_delay_sec"))
+      StreamingOps.politenessSchedule(
+        frontier, "host", "url", "crawl_delay_sec")
+        .select("host", "url", "scheduled_at_ms")
+    }),
     // Live ingest-quality monitor over the documents table with a synthetic
     // arrival time (doc_id minutes past midnight, the synthUrl convention —
     // documents carry no timestamp): per (6h window, lang), docs, token
@@ -6499,6 +6520,28 @@ object SparkEntry {
         |                                   FOR i IN range(1, 65)]))) >= 0.95)
         |SELECT vec_id FROM a
         |WHERE vec_id NOT IN (SELECT vec_id FROM drp)""".stripMargin,
+    // Politeness-schedule replay: the closed-form unrolling of
+    // s_i = max(t_i, s_{i-1} + d_{i-1}) — per-host running delay sums
+    // (pprev) + running max of (ts − pprev), ordered (ts, url). 2024-01-01
+    // UTC = epoch 1704067200000 ms.
+    "stream_frontier_schedule" ->
+      """WITH u AS (SELECT 'www.' || source || '.example' AS host,
+        |             'https://www.' || source || '.example/p/' || doc_id AS url,
+        |             CAST(1704067200000 + (doc_id % 7) * 60000 AS BIGINT) AS ts_ms,
+        |             CAST(round((length(source) % 3 + 1) * 0.5 * 1000, 0) AS BIGINT) AS delay_ms
+        |           FROM documents),
+        |     w1 AS (SELECT *,
+        |              COALESCE(SUM(delay_ms) OVER (PARTITION BY host
+        |                ORDER BY ts_ms, url
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                0) AS pprev
+        |            FROM u)
+        |SELECT host, url,
+        |       MAX(ts_ms - pprev) OVER (PARTITION BY host
+        |         ORDER BY ts_ms, url
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         + pprev AS scheduled_at_ms
+        |FROM w1""".stripMargin,
     "stream_window_agg" ->
       """SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
         |       time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS window_end,

@@ -527,6 +527,144 @@ object StreamingOps {
     }
   }
 
+  /** POLITE FETCH SCHEDULING over a frontier — warc_frontier_schedule's
+    * per-host Crawl-delay arithmetic as a LIVE operator: each incoming
+    * candidate URL is assigned the earliest fetch slot that respects its
+    * host's crawl delay, `scheduled_at_ms = max(event time, host's next
+    * free slot)`, and the host's next free slot advances to
+    * `scheduled_at_ms + delay`. Appends `scheduled_at_ms` (epoch millis).
+    *
+    * Streaming: a `transformWithState` processor keyed by host
+    * ([[BandFirstArrival]]'s sibling — state is ONE long per live host,
+    * the next free slot). A micro-batch's whole host group arrives in one
+    * call and is folded in `(event time, url)` order, so intra-batch
+    * arrival order never matters. State expires LOSSLESSLY via an
+    * event-time timer at `next free + watermark delay`: by firing time
+    * the watermark has passed the slot, so every still-admissible future
+    * row has event time ≥ the expired slot and schedules identically
+    * with or without the state — eviction can never change a result
+    * (the guard in the timer handler keeps a still-advancing host's
+    * state alive). REQUIRES the RocksDB state store provider, like
+    * [[dedupNearDupsDeterministic]].
+    *
+    * Batch mode is the exact twin in closed form: the recurrence
+    * `s_i = max(t_i, s_{i−1} + d_{i−1})` unrolls to
+    * `s_i = max_{j≤i}(t_j − P_{j−1}) + P_{i−1}` with `P` the per-host
+    * running delay sum — two window passes over ONE (host) shuffle,
+    * never a per-host collect. Stream ≡ batch whenever each host's rows
+    * arrive across micro-batches in `(event time, url)` order (an
+    * in-order stream); a LATE row inside the watermark is scheduled on
+    * arrival instead of retroactively (append mode cannot retract
+    * already-emitted slots) — the same documented residual fork as the
+    * near-dup dedup, and the spec pins both sides of it.
+    *
+    * `delayCol` is the host's crawl delay in SECONDS (fractional ok,
+    * [[graft.ops.Robots.crawlDelays]]' output; per-host constant — it
+    * rides per row, and the closed form assumes rows of one host carry
+    * one delay). NULL delay → 0 (no politeness declared). */
+  def politenessSchedule(
+      df: DataFrame,
+      hostCol: String,
+      urlCol: String,
+      delayCol: String,
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(hostCol, urlCol, delayCol, tsCol))
+    graft.core.Validators.requireColumnsAbsent(
+      df, Seq("scheduled_at_ms"), "politenessSchedule")
+    val payloadCols = df.columns.toSeq
+    val tsMs = unix_millis(col(tsCol).cast("timestamp"))
+    val delayMs = round(coalesce(col(delayCol), lit(0.0)) * 1000.0, 0).cast("long")
+    if (df.isStreaming) {
+      val wmDelayMs = parseDurationMs(watermark)
+      val wm = df.withWatermark(tsCol, watermark)
+      val prepped = wm.select(
+        (payloadCols.map(col) :+ tsMs.as("__graft_ts_ms") :+
+          delayMs.as("__graft_delay_ms")): _*)
+      val schema = prepped.schema
+      val hostIdx = schema.fieldIndex(hostCol)
+      val urlIdx = schema.fieldIndex(urlCol)
+      val tsMsIdx = schema.fieldIndex("__graft_ts_ms")
+      val delayMsIdx = schema.fieldIndex("__graft_delay_ms")
+      import org.apache.spark.sql.{Encoder, Encoders, Row}
+      val outSchema = schema.add("scheduled_at_ms",
+        org.apache.spark.sql.types.LongType, nullable = false)
+      val outEnc: Encoder[Row] = Encoders.row(outSchema)
+      prepped
+        .groupByKey(r => r.getString(hostIdx))(Encoders.STRING)
+        .transformWithState(
+          new PolitenessScheduler(urlIdx, tsMsIdx, delayMsIdx, wmDelayMs),
+          tsCol,
+          org.apache.spark.sql.streaming.OutputMode.Append())(outEnc)
+        .drop("__graft_ts_ms", "__graft_delay_ms")
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(hostCol))
+        .orderBy(col(tsCol).asc, col(urlCol).asc)
+      val base = df
+        .withColumn("__graft_ts_ms", tsMs)
+        .withColumn("__graft_delay_ms", delayMs)
+        .withColumn("__graft_pprev",
+          coalesce(
+            sum(col("__graft_delay_ms"))
+              .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+      base
+        .withColumn("scheduled_at_ms",
+          max(col("__graft_ts_ms") - col("__graft_pprev"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            + col("__graft_pprev"))
+        .drop("__graft_ts_ms", "__graft_delay_ms", "__graft_pprev")
+    }
+  }
+
+  /** The per-host slot fold of [[politenessSchedule]]: state = the next
+    * free slot (one long). Rows of a batch fold in (event time, url)
+    * order; the event-time timer at `next free + watermark delay` clears
+    * state only once no admissible row can be affected (see the op's
+    * scaladoc for the losslessness argument). */
+  private class PolitenessScheduler(
+      urlIdx: Int, tsMsIdx: Int, delayMsIdx: Int, wmDelayMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, org.apache.spark.sql.Row, org.apache.spark.sql.Row] {
+    import org.apache.spark.sql.streaming.{TimeMode, OutputMode, TTLConfig, TimerValues, ValueState, ExpiredTimerInfo}
+    import org.apache.spark.sql.{Encoders, Row}
+    @transient private var nextFree: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      nextFree = getHandle.getValueState[Long](
+        "nextFree", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[Row],
+        timerValues: TimerValues): Iterator[Row] = {
+      val sorted = rows.toArray.sortBy(r =>
+        (r.getLong(tsMsIdx), r.getString(urlIdx)))
+      var nf = if (nextFree.exists()) nextFree.get() else Long.MinValue
+      val out = sorted.map { r =>
+        val sched = math.max(r.getLong(tsMsIdx), nf)
+        nf = sched + r.getLong(delayMsIdx)
+        Row.fromSeq(r.toSeq :+ sched)
+      }
+      nextFree.update(nf)
+      getHandle.registerTimer(nf + wmDelayMs)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Row] = {
+      // a later batch may have advanced the slot past this (stale) timer:
+      // only evict once the watermark has truly passed next free + delay —
+      // then any admissible row has ts ≥ next free and the fold restarts
+      // from max(ts, MinValue) = ts, identical with or without the state
+      if (nextFree.exists() &&
+        nextFree.get() + wmDelayMs <= timerValues.getCurrentWatermarkInMs())
+        nextFree.clear()
+      Iterator.empty
+    }
+  }
+
   /** Typed JSON property extraction from a string payload column — the
     * enrichment step of an event pipeline (codegen'd get_json_object, no
     * UDF). */

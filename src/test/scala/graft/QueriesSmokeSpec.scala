@@ -151,6 +151,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_truncation_report" -> 1, // one hash aggregate
     "text_diversity" -> 2, // the standard two-phase distinct-agg
     "stream_quality_monitor" -> 1, // narrow features + one windowed agg
+    "stream_frontier_schedule" -> 1, // ONE host shuffle, two window passes
     "sim_ivf" -> 0, "sim_ivf_batch" -> 2, "sim_ivf_bcast" -> 1,
     "sim_ivfpq" -> 0, "sim_ivfpq_codes" -> 0, "sim_ivfpq_disk" -> 0,
     "sim_knn" -> 1,

@@ -376,6 +376,93 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("politenessSchedule: stream ≡ batch on in-order arrivals; late rows schedule on arrival") {
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, java.sql.Timestamp, String, Double)]
+      // batch 1: three a.com URLs, two at the SAME instant (url tiebreak),
+      // plus one b.com URL with a different delay
+      mem.addData(
+        ("a.com", ts("10:00:00"), "u2", 1.0), // arrival order ≠ url order
+        ("a.com", ts("10:00:00"), "u1", 1.0),
+        ("a.com", ts("10:00:30"), "u3", 1.0),
+        ("b.com", ts("10:00:00"), "v1", 2.5))
+      val out = StreamingOps.politenessSchedule(
+        mem.toDF.toDF("host", "ts", "url", "crawl_delay_sec"),
+        "host", "url", "crawl_delay_sec", watermark = "10 minutes")
+      val q = out.writeStream.format("memory")
+        .queryName("stream_politeness").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // batch 2, in order: lands while a.com's slot chain is still live
+        mem.addData(("a.com", ts("10:00:30"), "u4", 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("stream_politeness").collect()
+        .map(r => r.getAs[String]("url") -> r.getAs[Long]("scheduled_at_ms"))
+        .toMap
+      val base = 1704103200000L // 2024-01-01 10:00:00 UTC in epoch ms
+      streamed("u1") shouldBe base // first slot at its own event time
+      streamed("u2") shouldBe base + 1000 // url order, NOT arrival order
+      streamed("u3") shouldBe base + 30000 // event time past the chain
+      streamed("v1") shouldBe base // hosts are independent
+      streamed("u4") shouldBe base + 31000 // cross-batch: slot chain held
+      // the batch twin agrees slot for slot on the in-order history
+      val allRows = Seq(
+        ("a.com", ts("10:00:00"), "u2", 1.0),
+        ("a.com", ts("10:00:00"), "u1", 1.0),
+        ("a.com", ts("10:00:30"), "u3", 1.0),
+        ("b.com", ts("10:00:00"), "v1", 2.5),
+        ("a.com", ts("10:00:30"), "u4", 1.0))
+        .toDF("host", "ts", "url", "crawl_delay_sec")
+      val batch = StreamingOps.politenessSchedule(
+        allRows, "host", "url", "crawl_delay_sec")
+        .collect()
+        .map(r => r.getAs[String]("url") -> r.getAs[Long]("scheduled_at_ms"))
+        .toMap
+      batch shouldBe streamed
+      // a LATE row (within the watermark, event time before already-
+      // emitted slots) schedules ON ARRIVAL in the stream — append mode
+      // cannot retract — while the batch twin re-orders it first: the
+      // documented residual fork, pinned from both sides
+      val mem2 = MemoryStream[(String, java.sql.Timestamp, String, Double)]
+      mem2.addData(("c.com", ts("10:00:00"), "w2", 1.0))
+      val out2 = StreamingOps.politenessSchedule(
+        mem2.toDF.toDF("host", "ts", "url", "crawl_delay_sec"),
+        "host", "url", "crawl_delay_sec", watermark = "10 minutes")
+      val q2 = out2.writeStream.format("memory")
+        .queryName("stream_politeness_late").outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        mem2.addData(("c.com", ts("10:00:00"), "w1", 1.0)) // late, smaller url
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val late = spark.table("stream_politeness_late").collect()
+        .map(r => r.getAs[String]("url") -> r.getAs[Long]("scheduled_at_ms"))
+        .toMap
+      late("w2") shouldBe base
+      late("w1") shouldBe base + 1000 // scheduled AFTER w2 (arrival order)
+      val lateBatch = StreamingOps.politenessSchedule(
+        Seq(("c.com", ts("10:00:00"), "w2", 1.0),
+          ("c.com", ts("10:00:00"), "w1", 1.0))
+          .toDF("host", "ts", "url", "crawl_delay_sec"),
+        "host", "url", "crawl_delay_sec")
+        .collect()
+        .map(r => r.getAs[String]("url") -> r.getAs[Long]("scheduled_at_ms"))
+        .toMap
+      lateBatch("w1") shouldBe base // the twin orders by (ts, url)
+      lateBatch("w2") shouldBe base + 1000
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("reconcileNearDups repairs the stream to the batch-deterministic set") {
     // two TRUE near-duplicates share micro-batch 1 (the documented race:
     // they can split band wins and both drop), and the final heartbeat's
