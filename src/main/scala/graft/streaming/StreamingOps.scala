@@ -361,11 +361,22 @@ object StreamingOps {
     * disagreements (StreamingSpec proves the equality end to end).
     *
     * Batch mode applies the identical rule (keep a doc iff it holds the
-    * minimal `(tie, xxhash64(id))` on every one of its band keys), so
-    * stream and nightly replay cannot fork. `tieCol` must be LONG-typed
-    * (epoch millis, a sequence number — any 64-bit priority); a NULL tie
-    * sorts LAST (it loses any contested band), and the xxhash64(id)
-    * component breaks exact tie collisions deterministically.
+    * minimal `(tie, xxhash64(id))` on every one of its band keys).
+    * GUARANTEE SCOPE: stream ≡ batch whenever each band key's minimal
+    * pair arrives in the band's FIRST micro-batch — always true when the
+    * tie follows arrival order (tie = ingest sequence number, or event
+    * time on an in-order stream). A LATE out-of-order row carrying a
+    * smaller pair (possible within the watermark when the tie is event
+    * time) was already beaten by an emitted winner — append mode cannot
+    * retract it — so it loses in the stream but wins the batch replay:
+    * the RESIDUAL fork. It is detected and COUNTED (`lateForkCounter`,
+    * also surfaced in the Spark UI when named) so a deployment alarms
+    * and runs [[reconcileNearDups]] instead of discovering divergence at
+    * the nightly replay; StreamingSpec pins both the in-order equality
+    * and the counted fork. `tieCol` must be LONG-typed (epoch millis, a
+    * sequence number — any 64-bit priority); a NULL tie sorts LAST (it
+    * loses any contested band), and the xxhash64(id) component breaks
+    * exact tie collisions deterministically.
     *
     * Chaining: the processor emits with `eventTimeColumnName = tsCol`,
     * so the per-doc win-count aggregation chains downstream in append
@@ -392,6 +403,7 @@ object StreamingOps {
       n: Int = 3,
       numHashes: Int = 64,
       bands: Int = 8,
+      lateForkCounter: Option[org.apache.spark.util.LongAccumulator] = None,
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     import graft.ops.Dedup
@@ -436,7 +448,7 @@ object StreamingOps {
         .groupByKey(r => (r.getInt(bandIdx), r.getLong(hashIdx)))(
           Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
         .transformWithState(
-          new BandFirstArrival(tieIdx, tbIdx, tsIdx, delayMs),
+          new BandFirstArrival(tieIdx, tbIdx, tsIdx, delayMs, lateForkCounter),
           tsCol,
           org.apache.spark.sql.streaming.OutputMode.Append())
       winners
@@ -488,41 +500,55 @@ object StreamingOps {
   }
 
   /** The per-band first-arrival processor of
-    * [[dedupNearDupsDeterministic]]: state = one boolean per live band
-    * key. First batch a key appears, the minimal `(tie, tiebreak)` row
-    * wins the band (emitted) and an event-time timer at
-    * `its event time + delayMs` bounds the state exactly like
-    * dropDuplicatesWithinWatermark; every other same-batch row and every
-    * later arrival loses silently. */
+    * [[dedupNearDupsDeterministic]]: state = the winner's `(tie,
+    * tiebreak)` pair per live band key (two longs — same footprint class
+    * as the old boolean, and it buys fork DETECTION). First batch a key
+    * appears, the minimal `(tie, tiebreak)` row wins the band (emitted)
+    * and an event-time timer at `its event time + delayMs` bounds the
+    * state exactly like dropDuplicatesWithinWatermark; every other
+    * same-batch row and every later arrival loses. A LATER batch whose
+    * minimal pair beats the stored winner is the residual stream/batch
+    * fork (append mode cannot retract the emitted winner) — it is
+    * COUNTED into `lateForks` so operators can alarm and trigger
+    * [[StreamingOps.reconcileNearDups]] instead of discovering the
+    * divergence at the nightly replay. */
   private class BandFirstArrival(
-      tieIdx: Int, tbIdx: Int, tsIdx: Int, delayMs: Long)
+      tieIdx: Int, tbIdx: Int, tsIdx: Int, delayMs: Long,
+      lateForks: Option[org.apache.spark.util.LongAccumulator] = None)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       (Int, Long), org.apache.spark.sql.Row, org.apache.spark.sql.Row] {
     import org.apache.spark.sql.streaming.{TimeMode, OutputMode, TTLConfig, TimerValues, ValueState, ExpiredTimerInfo}
     import org.apache.spark.sql.{Encoders, Row}
-    @transient private var seen: ValueState[Boolean] = _
+    @transient private var winner: ValueState[(Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      seen = getHandle.getValueState[Boolean](
-        "seen", Encoders.scalaBoolean, TTLConfig.NONE)
+      winner = getHandle.getValueState[(Long, Long)](
+        "winner", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
 
     override def handleInputRows(
         key: (Int, Long), rows: Iterator[Row],
         timerValues: TimerValues): Iterator[Row] = {
-      if (seen.exists()) Iterator.empty
-      else {
-        val winner = rows.minBy(r => (r.getLong(tieIdx), r.getLong(tbIdx)))
-        seen.update(true)
+      val best = rows.minBy(r => (r.getLong(tieIdx), r.getLong(tbIdx)))
+      val bestPair = (best.getLong(tieIdx), best.getLong(tbIdx))
+      if (winner.exists()) {
+        // late arrival: the stored winner was already emitted. A smaller
+        // late pair would have won the batch replay — the residual fork.
+        if (Ordering[(Long, Long)].lt(bestPair, winner.get()))
+          lateForks.foreach(_.add(1))
+        Iterator.empty
+      } else {
+        winner.update(bestPair)
         getHandle.registerTimer(
-          winner.getTimestamp(tsIdx).getTime + delayMs)
-        Iterator.single(winner)
+          best.getTimestamp(tsIdx).getTime + delayMs)
+        Iterator.single(best)
       }
     }
 
     override def handleExpiredTimer(
         key: (Int, Long), timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Row] = {
-      seen.clear()
+      winner.clear()
       Iterator.empty
     }
   }

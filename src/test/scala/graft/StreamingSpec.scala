@@ -368,6 +368,44 @@ class StreamingSpec extends SparkSpec {
         StreamingOps.dedupNearDupsDeterministic(
           allRows.withColumn("s", $"doc_id".cast("string")),
           "doc_id", "text", "s")
+      // RESIDUAL FORK, pinned from both sides: a LATE out-of-order row
+      // with a SMALLER tie (admissible — inside the watermark) arrives
+      // after the band's winner was already emitted. The stream keeps
+      // the emitted winner (append mode cannot retract), the batch
+      // replay keeps the min-tie doc, reconcileNearDups reports exactly
+      // that swap, and the fork counter records one hit per shared band
+      // key so a deployment can alarm instead of diverging silently.
+      val forks = spark.sparkContext.longAccumulator("graft.neardup.late_tie_forks")
+      val mem2 = MemoryStream[(Long, java.sql.Timestamp, String)]
+      mem2.addData((20L, ts(0), t1))
+      val out2 = StreamingOps.dedupNearDupsDeterministic(
+        mem2.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "doc_id",
+        tsCol = "ts", watermark = "5 minutes", emitWindow = "1 minute",
+        lateForkCounter = Some(forks))
+      val q2 = out2.writeStream.format("memory")
+        .queryName("stream_neardup_fork").outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        mem2.addData((19L, ts(1), t2)) // same shingle set, SMALLER tie
+        q2.processAllAvailable()
+        mem2.addData((98L, ts(30), "flush heartbeat for the fork case"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val forkStream = spark.table("stream_neardup_fork").collect()
+        .map(_.getLong(0)).toSet
+      forkStream shouldBe Set(20L) // the late min-tie doc lost in the stream
+      forks.value shouldBe 8L // one fork per shared band key (8 bands)
+      val forkRows = Seq((20L, ts(0), t1), (19L, ts(1), t2),
+        (98L, ts(30), "flush heartbeat for the fork case"))
+        .toDF("doc_id", "ts", "text")
+      StreamingOps.dedupNearDupsDeterministic(
+        forkRows, "doc_id", "text", "doc_id")
+        .collect().map(_.getLong(0)).toSet shouldBe Set(19L, 98L)
+      val forkDelta = StreamingOps.reconcileNearDups(
+        forkRows, spark.table("stream_neardup_fork").select("doc_id"),
+        "doc_id", "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      forkDelta shouldBe Set((19L, "add"), (20L, "remove"), (98L, "add"))
     } finally prev match {
       case Some(v) =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
