@@ -653,10 +653,11 @@ object Dedup {
       .select(coalesce(col("__c"), lit(false)).as("is_cand"),
         coalesce(col("jaccard"), lit(0.0)).as("j"))
     val r = numHashes / bands
-    val grid = joined.sparkSession
-      .createDataFrame(thresholds.sorted.map(Tuple1(_)))
-      .toDF("threshold")
-    grid.crossJoin(joined)
+    // the grid rides as a literal-array explode (a 5× narrow fan-out),
+    // NOT a cross join — a BroadcastNestedLoopJoin for a 5-row grid is
+    // plan noise the smoke spec rightly bans
+    joined
+      .withColumn("threshold", explode(typedLit(thresholds.sorted)))
       .groupBy("threshold")
       .agg(
         sum(when(col("j") >= col("threshold"), 1L).otherwise(0L)).as("n_true"),
