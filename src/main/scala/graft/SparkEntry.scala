@@ -2201,10 +2201,17 @@ object SparkEntry {
     "cdx_closest" -> ((s, dir) => {
       val idx = graft.sources.Loader
         .load(s, warcFixture(s, dir) + "/docs.cdxj")
-      val targets = rt(s, dir, "documents").select(
-        Url.surtKey(synthUrl).as("urlkey"),
-        when(col("doc_id") % 8 < 4, lit("20260110000000"))
-          .otherwise(lit("20260125000000")).as("target_ts"))
+      // surtKey over a NAMED column, not the inline synthUrl when-chain:
+      // surtKey references its input many times, so inlining multiplies
+      // the four-shape tree into seconds of pure planning (the
+      // cdx_fetch_decisions pattern; CollapseProject keeps non-cheap
+      // multiply-referenced projections behind the boundary)
+      val targets = rt(s, dir, "documents")
+        .select(col("doc_id"), synthUrl.as("url"))
+        .select(
+          Url.surtKey(col("url")).as("urlkey"),
+          when(col("doc_id") % 8 < 4, lit("20260110000000"))
+            .otherwise(lit("20260125000000")).as("target_ts"))
         .distinct()
       graft.ops.Cdx.closestCaptures(idx, targets, tieCols = Seq("digest"))
         .select("urlkey", "target_ts", "cdx_ts", "url", "digest", "dist_sec")
@@ -2223,7 +2230,8 @@ object SparkEntry {
         .filter(col("mime") =!= "warc/revisit")
       val docs = rt(s, dir, "documents")
       val targets = docs.filter(col("doc_id") % 3 === 0)
-        .select(Url.surtKey(synthUrl).as("urlkey"),
+        .select(synthUrl.as("url")) // named column: see cdx_closest's note
+        .select(Url.surtKey(col("url")).as("urlkey"),
           lit("20260125000000").as("target_ts"))
         .distinct()
       val wanted = graft.ops.Cdx

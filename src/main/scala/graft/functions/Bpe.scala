@@ -34,10 +34,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * graft_ivf_cell's centroids; graft.ops.Bpe bounds its size. Per-row cost
   * is O(K) hash probes (a merge whose parts are both absent from the
   * document's current token multiset is skipped without a scan) plus one
-  * O(n) scan per merge that might apply. Null text → empty array. */
-case class BpeEncode(child: Expression, merges: Expression) extends Expression {
+  * O(n) scan per merge that might apply. Null text → empty array.
+  *
+  * The optional third argument `byteLevel` (foldable boolean) switches the
+  * initial split from code points to UTF-8 BYTES mapped through the GPT-2
+  * byte alphabet ([[BpeBytes.Alphabet]]) — the external-tokenizer mode: one
+  * array lookup per byte in the same primitive loop, replacing the
+  * hex/regex/HOF Column byte-encode (measured ~1.3 ms/doc) with
+  * microseconds. Bit-identical to `gpt2ByteEncode` ∘ the code-point path
+  * (every mapped char is one code point; no separator strip — the mapped
+  * alphabet cannot contain U+001F). */
+case class BpeEncode(
+    child: Expression, merges: Expression,
+    byteLevel: Option[Expression] = None) extends Expression {
 
-  override def children: Seq[Expression] = Seq(child, merges)
+  override def children: Seq[Expression] = Seq(child, merges) ++ byteLevel
   override def nullable: Boolean = false
   override lazy val deterministic: Boolean = true
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -46,11 +57,13 @@ case class BpeEncode(child: Expression, merges: Expression) extends Expression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType && merges.foldable &&
       (merges.dataType == ArrayType(StringType, containsNull = false) ||
-        merges.dataType == ArrayType(StringType, containsNull = true)))
+        merges.dataType == ArrayType(StringType, containsNull = true)) &&
+      byteLevel.forall(b => b.foldable && b.dataType == BooleanType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "graft_bpe_encode expects (string, foldable array<string> of flattened pairs)")
+        "graft_bpe_encode expects (string, foldable array<string> of flattened " +
+          "pairs[, foldable boolean byteLevel])")
 
   private lazy val mergeList: Array[(String, String)] = {
     val a = merges.eval().asInstanceOf[ArrayData]
@@ -69,17 +82,33 @@ case class BpeEncode(child: Expression, merges: Expression) extends Expression {
 
   private val empty = new GenericArrayData(Array.empty[Any])
 
+  private lazy val byteMode: Boolean =
+    byteLevel.exists(_.eval().asInstanceOf[Boolean])
+
   def compute(s: UTF8String): ArrayData = {
     if (s == null) return empty
-    val str = s.toString
-    // code-point tokens, stripping the U+001F separator
-    var toks = new ArrayBuffer[String](str.length)
-    var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
-      val n = Character.charCount(cp)
-      if (cp != 0x1f) toks += str.substring(i, i + n)
-      i += n
+    var toks = new ArrayBuffer[String](16)
+    if (byteMode) {
+      // GPT-2 byte alphabet: one mapped char per UTF-8 byte (no separator
+      // strip — the mapped alphabet cannot contain U+001F)
+      val bytes = s.getBytes
+      toks.sizeHint(bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        toks += BpeBytes.Alphabet(bytes(i) & 0xff)
+        i += 1
+      }
+    } else {
+      val str = s.toString
+      // code-point tokens, stripping the U+001F separator
+      toks.sizeHint(str.length)
+      var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        val n = Character.charCount(cp)
+        if (cp != 0x1f) toks += str.substring(i, i + n)
+        i += n
+      }
     }
     if (toks.isEmpty) return empty
     // token multiset counts — O(1) "can this merge apply at all?" probe
@@ -131,5 +160,23 @@ case class BpeEncode(child: Expression, merges: Expression) extends Expression {
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren(0), merges = newChildren(1))
+    copy(child = newChildren(0), merges = newChildren(1),
+      byteLevel = newChildren.lift(2))
+}
+
+/** The GPT-2 byte alphabet (Radford et al. 2019 `bytes_to_unicode`),
+  * indexed by byte value: printable latin bytes map to themselves
+  * ('!'..'~', '¡'..'¬', '®'..'ÿ'), every other byte to U+0100+n in byte
+  * order — space is 'Ġ' (U+0120), newline 'Ċ' (U+010A). Shared by the
+  * [[BpeEncode]] byte mode and graft.ops.Bpe's Column-side encode/dump. */
+object BpeBytes {
+  val Alphabet: Array[String] = {
+    val printable =
+      ((0x21 to 0x7e) ++ (0xa1 to 0xac) ++ (0xae to 0xff)).toSet
+    var n = 0
+    Array.tabulate(256) { b =>
+      val cp = if (printable(b)) b else { val c = 256 + n; n += 1; c }
+      new String(Character.toChars(cp))
+    }
+  }
 }

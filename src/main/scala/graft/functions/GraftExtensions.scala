@@ -97,8 +97,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TokenNgramHashes(args(0), args(1))
     }))
     ext.injectFunction(fn(TilePairs.BpeName, { args =>
-      require(args.length == 2, s"${TilePairs.BpeName} expects 2 arguments")
-      BpeEncode(args(0), args(1))
+      require(args.length == 2 || args.length == 3,
+        s"${TilePairs.BpeName} expects 2 or 3 arguments")
+      BpeEncode(args(0), args(1), args.lift(2))
     }))
     ext.injectFunction(fn(TilePairs.HashEmbedName, { args =>
       require(args.length == 3, s"${TilePairs.HashEmbedName} expects 3 arguments")

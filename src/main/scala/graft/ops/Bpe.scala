@@ -155,15 +155,10 @@ object Bpe {
     * space is 'Ġ' (U+0120) and a newline 'Ċ' (U+010A), the characters a
     * production merges.txt is full of. Keyed by UPPERCASE two-digit hex
     * (what Spark's `hex` emits). */
-  lazy val Gpt2ByteMap: Seq[(String, String)] = {
-    val printable =
-      ((0x21 to 0x7e) ++ (0xa1 to 0xac) ++ (0xae to 0xff)).toSet
-    var n = 0
-    (0 to 255).map { b =>
-      val cp = if (printable(b)) b else { val c = 256 + n; n += 1; c }
-      f"$b%02X" -> new String(Character.toChars(cp))
-    }
-  }
+  lazy val Gpt2ByteMap: Seq[(String, String)] =
+    graft.functions.BpeBytes.Alphabet.zipWithIndex.map { case (c, b) =>
+      f"$b%02X" -> c
+    }.toSeq
 
   /** `text` → its GPT-2 byte-alphabet form: UTF-8 bytes, each mapped
     * through [[Gpt2ByteMap]] (NULL → empty string, the tokenizer's null
@@ -249,21 +244,28 @@ object Bpe {
       model: BpeModel,
       pretok: Option[String] = None,
       byteLevel: Boolean = false): Column = {
+    // kernel path: the byte mapping runs INSIDE the primitive loop (third
+    // kernel argument) — the Column-side gpt2ByteEncode (hex + regex +
+    // HOF per pre-token) is the fallback-only route, bit-parity-tested
     val prep: Column => Column =
       if (byteLevel) gpt2ByteEncode else identity
+    def kernel(t: Column): Column =
+      if (byteLevel)
+        call_function(graft.functions.TilePairs.BpeName, t,
+          typedLit(model.flat), lit(true))
+      else
+        call_function(graft.functions.TilePairs.BpeName, t,
+          typedLit(model.flat))
     pretok match {
       case None =>
         if (spark.catalog.functionExists(graft.functions.TilePairs.BpeName))
-          call_function(graft.functions.TilePairs.BpeName, prep(text),
-            typedLit(model.flat))
+          kernel(text)
         else bpeTokensFallback(prep(text), model)
       case Some(pattern) =>
         val cleaned = regexp_replace(coalesce(text, lit("")), Sep, "")
         val pts = regexp_extract_all(cleaned, lit(pattern), lit(0))
         if (spark.catalog.functionExists(graft.functions.TilePairs.BpeName))
-          flatten(transform(pts, t =>
-            call_function(graft.functions.TilePairs.BpeName, prep(t),
-              typedLit(model.flat))))
+          flatten(transform(pts, t => kernel(t)))
         else
           flatten(transform(pts, t => bpeTokensFallback(prep(t), model)))
     }
