@@ -1654,6 +1654,26 @@ object SparkEntry {
     }),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithDups(s, dir), "doc_id", "text")),
+    // C4-STYLE GLOBAL PARAGRAPH DEDUP — the boilerplate killer: every
+    // doc gains a shared subscribe banner, a per-(doc_id%5) shared
+    // block, a shared CJK paragraph (codepoints pinned by escape), a
+    // whitespace-only segment (never a paragraph), consecutive
+    // separators (empty split), and its OWN text repeated (the same-doc
+    // repeat case). Each distinct paragraph survives only at min
+    // (doc_id, position); documents reassemble in order. The oracle
+    // replays split, trim, first-occurrence, reassembly, and the
+    // kept/dropped accounting from the source column alone.
+    "dedup_paragraphs" -> ((s, dir) =>
+      Dedup.dedupParagraphsExact(
+        rt(s, dir, "documents").select(col("doc_id"),
+          concat(
+            col("text"), lit("\n"),
+            lit("Subscribe to our newsletter for updates\n\n"),
+            lit("shared block "), (col("doc_id") % 5).cast("string"), lit("\n"),
+            lit("\u4e2d\u6587\u6837\u677f\u6bb5\u843d\n"),
+            lit("   \n"),
+            col("text")).as("text")),
+        "doc_id", "text")),
     // Auxiliary dump: the LSH candidate pairs the calibration grades —
     // engine-side minhash math with no SQL equivalent (the simhash-sig
     // convention); the report oracle joins them against ITS OWN exact
@@ -4221,6 +4241,41 @@ object SparkEntry {
          |FROM u JOIN k ON u.doc_id = k.doc_id AND u.text = k.text""".stripMargin,
     "dedup_minhash" -> ngramJaccardOracleSql,
     "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
+    // Paragraph-dedup replay: split on newline runs, full-whitespace
+    // trim, global first-occurrence = min (doc_id, pos) via two grouped
+    // mins, in-order reassembly with string_agg, kept/dropped counts,
+    // all-dropped docs filtered — entirely from the source column.
+    "dedup_paragraphs" ->
+      """WITH u AS (SELECT doc_id,
+        |             text || chr(10) ||
+        |             'Subscribe to our newsletter for updates' ||
+        |             chr(10) || chr(10) ||
+        |             'shared block ' || (doc_id % 5) || chr(10) ||
+        |             chr(20013)||chr(25991)||chr(26679)||chr(26495)||
+        |             chr(27573)||chr(33853) || chr(10) ||
+        |             '   ' || chr(10) ||
+        |             text AS t
+        |           FROM documents),
+        |p AS (SELECT doc_id, generate_subscripts(ps, 1) - 1 AS pos,
+        |             regexp_replace(unnest(ps), '^\s+|\s+$', '', 'g') AS para
+        |      FROM (SELECT doc_id,
+        |              string_split_regex(t, chr(10) || '+') AS ps FROM u)),
+        |nz AS (SELECT * FROM p WHERE para <> ''),
+        |w1 AS (SELECT para, min(doc_id) AS md FROM nz GROUP BY para),
+        |w2 AS (SELECT nz.para, w1.md, min(nz.pos) AS mp
+        |       FROM nz JOIN w1 ON nz.para = w1.para AND nz.doc_id = w1.md
+        |       GROUP BY 1, 2),
+        |k AS (SELECT nz.doc_id, nz.pos, nz.para,
+        |             (nz.doc_id = w2.md AND nz.pos = w2.mp) AS keep
+        |      FROM nz JOIN w2 ON nz.para = w2.para)
+        |SELECT doc_id,
+        |       string_agg(CASE WHEN keep THEN para END, chr(10)
+        |                  ORDER BY pos) AS text_dedup,
+        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |         AS n_dropped
+        |FROM k GROUP BY doc_id
+        |HAVING sum(CASE WHEN keep THEN 1 ELSE 0 END) > 0""".stripMargin,
     // The calibration report replayed closed-form: truth = DuckDB's own
     // exact 3-gram Jaccard over one representative per distinct text
     // (min doc_id — the same collapse the op applies), candidates from

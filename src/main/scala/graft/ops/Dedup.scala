@@ -1120,6 +1120,80 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** C4-STYLE GLOBAL PARAGRAPH DEDUP (Raffel et al. 2020 deduplicate
+    * repeated spans; FineWeb/RefinedWeb dedup repeated lines): each
+    * distinct non-empty paragraph survives only at its FIRST occurrence
+    * in the corpus — min `(idCol, position)`, a total order, so the
+    * survivor is deterministic whatever the partitioning — and is
+    * dropped everywhere else, INCLUDING later repeats inside the same
+    * document. Documents reassemble from their kept paragraphs in
+    * original order; a document whose every paragraph was seen before
+    * drops entirely (the C4 behavior — what remains would be nothing).
+    *
+    * This is the boilerplate killer near-dup document dedup cannot be:
+    * cookie banners, nav footers, and subscribe blocks repeat across
+    * MILLIONS of otherwise-distinct pages, poisoning the training
+    * distribution without ever tripping a document-level Jaccard
+    * threshold.
+    *
+    * Normalization (documented, the C4 convention): paragraphs are the
+    * `sepRegex` splits of the text with leading/trailing whitespace
+    * trimmed; whitespace-only segments are not paragraphs (they neither
+    * dedup nor reassemble) and the output joins kept paragraphs with a
+    * single `\n`.
+    *
+    * Output: `idCol`, `outCol` (the deduped text), `n_kept`,
+    * `n_dropped` — per-document accounting, because a pipeline MUST be
+    * able to report how much text this stage deleted.
+    *
+    * Scale shape: explode to (id, pos, paragraph), ONE shuffle keyed on
+    * the paragraph string for the min-(id, pos) window, one shuffle back
+    * onto the id for reassembly — both corpus-linear in total paragraph
+    * bytes, no driver state, no all-pairs anything. Skew note: a
+    * pathological paragraph repeated billions of times lands one window
+    * partition with billions of rows but the window computes only a
+    * running min — no buffering (Spark's min-over-entire-partition frame
+    * is O(1) memory); AQE skew splitting does not apply to windows, so
+    * at the extreme pre-aggregate with a groupBy min instead — the
+    * [[exact]]-dedup-first convention covers the common case already. */
+  def dedupParagraphsExact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sepRegex: String = "\\n+",
+      outCol: String = "text_dedup",
+  ): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(idCol, textCol))
+    graft.core.Validators.requireColumnsAbsent(
+      df, Seq(outCol, "n_kept", "n_dropped"), "dedupParagraphsExact")
+    val paras = df
+      .select(col(idCol), posexplode(split(coalesce(col(textCol), lit("")),
+        sepRegex)).as(Seq("__graft_pos", "__graft_p")))
+      // full-whitespace trim (not trim()'s space-only), regex-replayable
+      .withColumn("__graft_p",
+        regexp_replace(col("__graft_p"), "^\\s+|\\s+$", ""))
+      .filter(col("__graft_p") =!= "")
+    val w = Window.partitionBy(col("__graft_p"))
+    val kept = paras
+      .withColumn("__graft_first",
+        min(struct(col(idCol), col("__graft_pos"))).over(w))
+      .withColumn("__graft_keep",
+        col("__graft_first") === struct(col(idCol), col("__graft_pos")))
+      .drop("__graft_first")
+    kept
+      .groupBy(idCol)
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__graft_keep"),
+              struct(col("__graft_pos"), col("__graft_p"))))),
+            s => s.getField("__graft_p")),
+          "\n").as(outCol),
+        sum(when(col("__graft_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("__graft_keep"), 1L).otherwise(0L)).as("n_dropped"))
+      .filter(col("n_kept") > 0)
+  }
+
   /** [[dedupCorpus]] with a QUALITY keep rule: per duplicate cluster the
     * survivor is the member with the LARGEST `scoreCol` (ties → smallest
     * id), not the smallest id. Production pipelines keep the best page of

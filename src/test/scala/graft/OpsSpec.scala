@@ -4010,6 +4010,27 @@ class OpsSpec extends SparkSpec {
       Set(1L, 2L, 3L, 4L, 5L)
   }
 
+  test("Dedup.dedupParagraphsExact: global first-occurrence, same-doc repeats, all-dropped docs vanish") {
+    val d = Seq(
+      (2L, "alpha one\nBOILER\nalpha two"),
+      (1L, "beta one\nBOILER\nbeta one\n  \n\nbeta two"), // same-doc repeat + whitespace-only + empty split
+      (3L, "BOILER"), // everything seen before → doc drops
+      (4L, "  gamma  \nBOILER"), // trim: '  gamma  ' == 'gamma'? no other gamma — kept trimmed
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphsExact(d, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // BOILER's first occurrence is (1, pos 1) — doc 1 keeps it, 2/3/4 drop it
+    out(1L) shouldBe (("beta one\nBOILER\nbeta two", 3L, 1L)) // repeat dropped
+    out(2L) shouldBe (("alpha one\nalpha two", 2L, 1L))
+    out(4L) shouldBe (("gamma", 1L, 1L))
+    out.contains(3L) shouldBe false // nothing survived
+    // schema: id, deduped text, accounting
+    Dedup.dedupParagraphsExact(d, "doc_id", "text").columns.toSeq shouldBe
+      Seq("doc_id", "text_dedup", "n_kept", "n_dropped")
+  }
+
   test("Dedup.minhashCalibration: exact confusion counts on a corpus with known near-dups") {
     // 1↔2 near-dup (high J), 3 unrelated, 4 = exact copy of 1 (collapses
     // onto 1's representative — calibration never sees exact dups)

@@ -91,6 +91,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // exact-truth inverted index join + the grid aggregate; the aux
     // pair dump is the candidate pipeline alone
     "dedup_calibration" -> 7, "dedup_calibration_pairs" -> 3,
+    // paragraph dedup: ONE shuffle onto the paragraph for the
+    // first-occurrence window + ONE back onto the id for reassembly
+    "dedup_paragraphs" -> 2,
     "warc_range_fetch" -> 0, // bounded index collect + seek-scan, narrow
     "sink_wet_export" -> 0, // DSV2 write then a fresh narrow archive read
     "sink_wet_export_gz" -> 0, // gz-member write + offsets-seeded ranged read
