@@ -3552,6 +3552,62 @@ object SparkEntry {
         "payload")
         .select("doc_id", "img_width", "img_height")
     }),
+    // REAL media durations from header bytes (the imageDims sibling):
+    // true RIFF/WAVE and ISO-BMFF headers are synthesized with
+    // doc_id-derived numbers, the chunk/box walks parse them back, and
+    // the oracle recomputes the durations from arithmetic alone. The
+    // shapes are deliberately adversarial: the WAV hides fmt/data behind
+    // an ODD-sized LIST chunk (forgetting RIFF's even-offset pad shifts
+    // every later chunk and cannot hash-match) and truncates the audio
+    // payload (declared duration still answers); the v0 mp4 puts mvhd
+    // behind a LARGESIZE free box and a udta sibling; the v1 mp4 uses
+    // the 64-bit-duration mvhd layout; %4==3 payloads are text → NULL.
+    "mm_media_duration" -> ((s, dir) => {
+      def hx(h: String): Array[Byte] =
+        h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      def le32(v: org.apache.spark.sql.Column) = unhex(concat(
+        lpad(hex(v.bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(v, 8).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(v, 16).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(v, 24).bitwiseAND(lit(255L))), 2, "0")))
+      def be32(v: org.apache.spark.sql.Column) = unhex(lpad(hex(v), 8, "0"))
+      def be64(v: org.apache.spark.sql.Column) = unhex(lpad(hex(v), 16, "0"))
+      val byteRate = (col("doc_id") % 100 + 1) * 1000
+      val dataSize = (col("doc_id") % 997 + 1) * 100
+      val dur0 = (col("doc_id") % 7200 + 1) * 100 // units at timescale 600
+      val dur1 = (col("doc_id") % 100000 + 1) * 10 // units at timescale 1000
+      val ftyp = lit(hx("00000010" + "66747970" + "69736F6D" + "00000200"))
+      val freeLarge = lit(hx("00000001" + "66726565" +
+        "0000000000000018" + "0011223344556677")) // largesize box, 24 bytes
+      val udta = lit(hx("0000000C" + "75647461" + "DEADBEEF"))
+      val payload =
+        when(col("doc_id") % 4 === 0, concat(
+          lit(hx("52494646")), le32(lit(1000L)), lit(hx("57415645")),
+          lit(hx("4C495354")), le32(lit(5L)), lit(hx("696E666F21")),
+          lit(hx("00")), // the ODD-size pad byte
+          lit(hx("666D7420")), le32(lit(16L)), lit(hx("01000200")),
+          le32(lit(8000L)), le32(byteRate), lit(hx("04001000")),
+          lit(hx("64617461")), le32(dataSize), lit(hx("AA")))) // truncated audio
+          .when(col("doc_id") % 4 === 1, concat(
+            ftyp, freeLarge,
+            be32(lit(48L)), lit(hx("6D6F6F76")), // moov: udta + mvhd v0
+            udta,
+            be32(lit(28L)), lit(hx("6D766864")), lit(hx("00000000")),
+            lit(hx("00000000" + "00000000")), be32(lit(600L)), be32(dur0)))
+          .when(col("doc_id") % 4 === 2, concat(
+            ftyp,
+            be32(lit(60L)), lit(hx("6D6F6F76")), // moov: udta + mvhd v1
+            udta,
+            be32(lit(40L)), lit(hx("6D766864")), lit(hx("01000000")),
+            lit(hx("0000000000000000" + "0000000000000000")),
+            be32(lit(1000L)), be64(dur1)))
+          .otherwise(col("text").cast("binary"))
+      Multimodal.withMediaDuration(
+        rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
+        "payload")
+        .select("doc_id", "media_dur_num", "media_dur_den",
+          "media_duration_sec")
+    }),
     // Frame sampling stub over binary payloads: byte-range slices, one row
     // per frame. Frames dumped as hex strings (binary columns are not
     // hashable by the driver compare; hex slicing is exactly replayable in
@@ -7134,6 +7190,27 @@ object SparkEntry {
         |       CASE WHEN doc_id % 5 = 4 THEN NULL
         |            ELSE CAST(doc_id % 300 + 1 AS BIGINT) END AS img_height
         |FROM documents""".stripMargin,
+    // Media durations recomputed from the SAME arithmetic that sized the
+    // synthesized headers — the byte round trips (LE-32 RIFF, BE-32/64
+    // BMFF, the pad/largesize/version shapes) happen only on the Spark
+    // side, so the comparison proves the walks.
+    "mm_media_duration" ->
+      """WITH n AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN CAST((doc_id % 997 + 1) * 100 AS BIGINT)
+        |    WHEN 1 THEN CAST((doc_id % 7200 + 1) * 100 AS BIGINT)
+        |    WHEN 2 THEN CAST((doc_id % 100000 + 1) * 10 AS BIGINT)
+        |  END AS media_dur_num,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN CAST((doc_id % 100 + 1) * 1000 AS BIGINT)
+        |    WHEN 1 THEN CAST(600 AS BIGINT)
+        |    WHEN 2 THEN CAST(1000 AS BIGINT)
+        |  END AS media_dur_den
+        |FROM documents)
+        |SELECT doc_id, media_dur_num, media_dur_den,
+        |       round(CAST(media_dur_num AS DOUBLE)
+        |             / CAST(media_dur_den AS DOUBLE), 6) AS media_duration_sec
+        |FROM n""".stripMargin,
     "mm_binary_meta_ext" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -109,5 +109,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 1, s"${TilePairs.JpegDimsName} expects 1 argument")
       JpegDims(args(0))
     }))
+    ext.injectFunction(fn(TilePairs.RiffDurationName, { args =>
+      require(args.length == 1, s"${TilePairs.RiffDurationName} expects 1 argument")
+      RiffDuration(args(0))
+    }))
+    ext.injectFunction(fn(TilePairs.Mp4DurationName, { args =>
+      require(args.length == 1, s"${TilePairs.Mp4DurationName} expects 1 argument")
+      Mp4Duration(args(0))
+    }))
   }
 }

@@ -99,3 +99,150 @@ case class JpegDims(child: Expression) extends Expression {
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0))
 }
+
+/** Shared shape of the codec-free media-duration kernels: binary in,
+  * `[numerator, denominator]` out (duration = num/denom seconds — the
+  * integer pair, not the division, so any SQL engine replays the exact
+  * arithmetic), NULL for unparseable bytes. Same whole-stage-codegen
+  * convention as [[JpegDims]]. */
+private[functions] trait MediaDuration extends Expression {
+  def child: Expression
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def compute(bytes: Array[Byte]): ArrayData
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary input")
+
+  override def eval(input: InternalRow): Any = {
+    val b = child.eval(input).asInstanceOf[Array[Byte]]
+    if (b == null) null else compute(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${c.isNull}) ${ev.value} = $ref.compute(${c.value});
+      boolean ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+}
+
+/** graft_riff_duration(payload): `[data_bytes, byte_rate]` of a RIFF/WAVE
+  * payload — audio duration without a codec. A CHUNK WALK (the RIFF
+  * sibling of [[JpegDims]]' marker walk): each chunk declares a
+  * little-endian 32-bit size and pads to EVEN offsets (the classic
+  * RIFF gotcha — an odd-sized LIST chunk shifts every later chunk by
+  * one byte if the pad is forgotten; the fixture injects exactly that),
+  * `fmt ` carries the byte rate at body offset 8, `data` carries the
+  * payload size in its own header — so a TRUNCATED capture (header
+  * present, audio bytes cut) still yields its declared duration, which
+  * is precisely what a crawl pipeline wants to know. NULL for non-WAVE
+  * bytes, a zero byte rate, or a walk that runs off the payload. */
+case class RiffDuration(child: Expression) extends MediaDuration {
+  override def prettyName: String = TilePairs.RiffDurationName
+
+  def compute(bytes: Array[Byte]): ArrayData = {
+    val n = bytes.length
+    def u(i: Int): Long = (bytes(i) & 0xff).toLong
+    def le32(i: Int): Long = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+    def tag(i: Int, s: String): Boolean =
+      (0 until 4).forall(k => bytes(i + k) == s.charAt(k).toByte)
+    if (n < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return null
+    var pos = 12
+    var byteRate = -1L
+    var dataSize = -1L
+    while (pos + 8 <= n && (byteRate < 0 || dataSize < 0)) {
+      val size = le32(pos + 4)
+      val body = pos + 8
+      if (tag(pos, "fmt ") && size >= 16 && body + 12 + 4 <= n)
+        byteRate = le32(body + 8)
+      else if (tag(pos, "data"))
+        dataSize = size
+      pos = body + size.toInt + (size.toInt & 1) // chunks pad to even
+      if (size < 0 || pos < body) return null // declared-size overflow
+    }
+    if (byteRate <= 0 || dataSize < 0) null
+    else new GenericArrayData(Array(dataSize, byteRate))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+/** graft_mp4_duration(payload): `[duration, timescale]` from an
+  * ISO-BMFF (mp4/mov) payload's `moov`→`mvhd` header — video duration
+  * without a codec. A BOX WALK: big-endian 32-bit sizes that INCLUDE the
+  * 8-byte header; `size == 1` switches to a 64-bit largesize (the
+  * >4 GiB convention — the fixture injects it on a skip box) and
+  * `size == 0` means "to end of file". `mvhd` version 0 stores 32-bit
+  * timescale/duration at body offsets 12/16, version 1 pushes them to
+  * 20/24 with a 64-bit duration (both shapes in the fixture). Only the
+  * top level and the `moov` children are walked — mdat is skipped by
+  * its declared size, so a truncated capture with an intact moov still
+  * answers. NULL for non-BMFF bytes, zero timescale, or a malformed
+  * walk. */
+case class Mp4Duration(child: Expression) extends MediaDuration {
+  override def prettyName: String = TilePairs.Mp4DurationName
+
+  def compute(bytes: Array[Byte]): ArrayData = {
+    val n = bytes.length
+    def u(i: Int): Long = (bytes(i) & 0xff).toLong
+    def be32(i: Int): Long = (u(i) << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int, s: String): Boolean =
+      (0 until 4).forall(k => bytes(i + k) == s.charAt(k).toByte)
+    if (n < 12 || !tag(4, "ftyp")) return null
+    // walk one box level in [from, to); returns the mvhd pair or null
+    def walk(from: Long, to: Long, inMoov: Boolean): ArrayData = {
+      var pos = from
+      while (pos + 8 <= to) {
+        var size = be32(pos.toInt)
+        var hdr = 8L
+        if (size == 1L) {
+          if (pos + 16 > to) return null
+          size = be64(pos.toInt + 8); hdr = 16L
+        } else if (size == 0L) size = to - pos // box runs to EOF
+        if (size < hdr || pos + size > to) return null
+        val body = pos + hdr
+        if (!inMoov && tag(pos.toInt + 4, "moov")) {
+          val r = walk(body, pos + size, inMoov = true)
+          if (r != null) return r
+        } else if (inMoov && tag(pos.toInt + 4, "mvhd")) {
+          val b = body.toInt
+          if (b >= n || body + 4 > to) return null
+          val version = u(b)
+          if (version == 1L) {
+            if (body + 32 > to) return null
+            val ts = be32(b + 20)
+            val dur = be64(b + 24)
+            return if (ts <= 0) null else new GenericArrayData(Array(dur, ts))
+          } else {
+            if (body + 20 > to) return null
+            val ts = be32(b + 12)
+            val dur = be32(b + 16)
+            return if (ts <= 0) null else new GenericArrayData(Array(dur, ts))
+          }
+        }
+        pos += size
+      }
+      null
+    }
+    walk(0L, n.toLong, inMoov = false)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}

@@ -40,6 +40,8 @@ object TilePairs {
   val BpeName = "graft_bpe_encode"
   val HashEmbedName = "graft_hash_embed"
   val JpegDimsName = "graft_jpeg_dims"
+  val RiffDurationName = "graft_riff_duration"
+  val Mp4DurationName = "graft_mp4_duration"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

@@ -159,6 +159,47 @@ object Multimodal {
       array(folded.getField("w"), folded.getField("h")))
   }
 
+  /** REAL media duration from header bytes — no codec, like [[imageDims]]:
+    * RIFF/WAVE payloads walk their chunk chain to `fmt `'s byte rate and
+    * `data`'s declared size ([[graft.functions.RiffDuration]] — even-offset
+    * padding handled); ISO-BMFF (mp4/mov) payloads walk the box chain to
+    * `moov`→`mvhd`'s timescale/duration ([[graft.functions.Mp4Duration]] —
+    * 64-bit largesize and both mvhd versions handled). Appends
+    * `media_duration_sec` (seconds, 6-dp — the exact integer pair divides
+    * identically in any engine) and the raw `media_dur_num`/`media_dur_den`
+    * pair, NULL for other formats or unparseable headers. A truncated
+    * capture with an intact header still answers — the declared duration
+    * is what a curation pipeline filters on.
+    *
+    * EXTENSION-REQUIRED (the graft_normalize convention): the chunk/box
+    * walks are native kernels with no pure-Column twin — install
+    * GraftExtensions. One narrow projection, whole-stage codegen. */
+  def withMediaDuration(df: DataFrame, binCol: String): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(binCol))
+    graft.core.Validators.requireColumnsAbsent(
+      df, Seq("media_duration_sec", "media_dur_num", "media_dur_den"),
+      "withMediaDuration")
+    val fns = Seq(graft.functions.TilePairs.RiffDurationName,
+      graft.functions.TilePairs.Mp4DurationName)
+    require(fns.forall(df.sparkSession.catalog.functionExists),
+      "withMediaDuration needs the native media kernels — set " +
+        "spark.sql.extensions=graft.functions.GraftExtensions")
+    val b = col(binCol)
+    val isWav = length(b) >= 12 && hex(substring(b, 1, 4)) === "52494646" &&
+      hex(substring(b, 9, 4)) === "57415645"
+    val isMp4 = length(b) >= 12 && hex(substring(b, 5, 4)) === "66747970"
+    val pair =
+      when(isWav, call_function(graft.functions.TilePairs.RiffDurationName, b))
+        .when(isMp4, call_function(graft.functions.TilePairs.Mp4DurationName, b))
+    df.withColumn("__graft_md", pair)
+      .withColumn("media_dur_num", element_at(col("__graft_md"), 1))
+      .withColumn("media_dur_den", element_at(col("__graft_md"), 2))
+      .withColumn("media_duration_sec",
+        round(col("media_dur_num").cast("double") /
+          col("media_dur_den").cast("double"), 6))
+      .drop("__graft_md")
+  }
+
   /** DETERMINISTIC STUB for the decode + feature-extract step: a `dim`-long
     * pseudo-embedding derived from content hashes, values in [0, 1). A real
     * deployment replaces this with an actual decoder producing the same

@@ -322,6 +322,84 @@ class FunctionsSpec extends SparkSpec {
     dims shouldBe Seq((123L, 77L), (61L, 43L))
   }
 
+  test("graft_riff_duration / graft_mp4_duration: chunk/box walks — real JDK WAV bytes, adversarial shapes") {
+    def hx(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def le32(v: Int): Array[Byte] =
+      Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff).map(_.toByte)
+    // REAL encoder bytes: the JDK's javax.sound WAV writer — 8 kHz, 2ch,
+    // 16-bit (byte rate 32000), 4000 frames (16000 data bytes) = 0.5 s
+    val realWav = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(8000f, 16, 2, true, false)
+      val pcm = new Array[Byte](16000)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 4000L)
+      val bo = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bo)
+      bo.toByteArray
+    }
+    val fmtChunk = hx("666D7420") ++ le32(16) ++ hx("01000200") ++
+      le32(8000) ++ le32(32000) ++ hx("04001000")
+    val wavCases: Seq[(Int, Array[Byte], Option[(Long, Long)])] = Seq(
+      (1, realWav, Some((16000L, 32000L))),
+      // data BEFORE fmt (its bytes present): walk keeps going past it
+      (2, hx("52494646") ++ le32(100) ++ hx("57415645") ++
+        hx("64617461") ++ le32(6) ++ new Array[Byte](6) ++ fmtChunk,
+        Some((6L, 32000L))),
+      // odd-size LIST chunk: forgetting the even pad shifts fmt by 1
+      (3, hx("52494646") ++ le32(100) ++ hx("57415645") ++
+        hx("4C495354") ++ le32(3) ++ hx("414243") ++ hx("00") ++
+        fmtChunk ++ hx("64617461") ++ le32(320), Some((320L, 32000L))),
+      (4, hx("52494646") ++ le32(100) ++ hx("41564920"), None), // AVI, not WAVE
+      (5, hx("52494646") ++ le32(100) ++ hx("57415645") ++
+        hx("666D7420") ++ le32(16) ++ hx("01000200") ++ le32(8000) ++
+        le32(0) ++ hx("04001000") ++ hx("64617461") ++ le32(99), None), // zero rate
+      (6, hx("52494646") ++ le32(100) ++ hx("57415645"), None)) // no chunks
+    val mvhdV0 = be32(28) ++ hx("6D766864") ++ hx("00000000") ++
+      be32(0) ++ be32(0) ++ be32(600) ++ be32(9000)
+    val ftyp = be32(16) ++ hx("66747970" + "69736F6D" + "00000200")
+    val mp4Cases: Seq[(Int, Array[Byte], Option[(Long, Long)])] = Seq(
+      // moov behind a LARGESIZE free box; mvhd behind a udta sibling
+      (11, ftyp ++ be32(1) ++ hx("66726565") ++
+        hx("0000000000000018") ++ hx("0011223344556677") ++
+        be32(48) ++ hx("6D6F6F76") ++
+        be32(12) ++ hx("75647461") ++ hx("DEADBEEF") ++ mvhdV0,
+        Some((9000L, 600L))),
+      // v1 mvhd: 64-bit duration at body offset 24
+      (12, ftyp ++ be32(48) ++ hx("6D6F6F76") ++
+        be32(40) ++ hx("6D766864") ++ hx("01000000") ++
+        hx("0000000000000000" + "0000000000000000") ++
+        be32(1000) ++ hx("00000000000186A0"), Some((100000L, 1000L))),
+      // mdat skipped by declared size; moov last with size 0 (to EOF)
+      (13, ftyp ++ be32(16) ++ hx("6D646174") ++ hx("0000000000000000") ++
+        be32(0) ++ hx("6D6F6F76") ++ mvhdV0, Some((9000L, 600L))),
+      (14, ftyp ++ be32(16) ++ hx("6D646174") ++ hx("0000000000000000"), None), // no moov
+      (15, hx("0000001066726565") ++ be32(0) ++ be32(0), None), // no ftyp
+      (16, ftyp ++ be32(48) ++ hx("6D6F6F76") ++ be32(12) ++
+        hx("75647461") ++ hx("DEADBEEF") ++ be32(28) ++ hx("6D766864") ++
+        hx("00000000") ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(9000),
+        None)) // zero timescale
+    val df = (wavCases ++ mp4Cases).map { case (id, b, _) => (id, b) }
+      .toDF("id", "payload")
+    val got = df.select($"id",
+      when(hex(substring($"payload", 1, 4)) === "52494646",
+        call_function(TilePairs.RiffDurationName, $"payload"))
+        .otherwise(call_function(TilePairs.Mp4DurationName, $"payload")).as("p"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        Option(r.getSeq[Long](1)).map(s => (s(0), s(1)))).toMap
+    for ((id, _, want) <- wavCases ++ mp4Cases)
+      withClue(s"case $id:") { got(id) shouldBe want }
+    // the op end to end: duration_sec = num/den, 6 dp
+    val out = graft.ops.Multimodal.withMediaDuration(
+      Seq((1, realWav)).toDF("id", "payload"), "payload")
+      .select("media_duration_sec").head().getDouble(0)
+    out shouldBe 0.5
+  }
+
   test("moment kernels skip null VECTORS but raise on null ELEMENTS") {
     // null vectors: not counted
     val vs = Seq(Some(Seq(1.0, 2.0)), None).toDF("e")
