@@ -2208,6 +2208,60 @@ object SparkEntry {
             .otherwise("refetch"))
         .select("url", "urlkey", "last_capture", "decision")
     }),
+    // The ROBOTS-AWARE RECRAWL PLAN (composed, no new op — the whole
+    // operational loop in one query): the index's fetch decisions pick
+    // what is DUE (never captured → fetch, stale → refetch; the fresh
+    // Feb revisits drop out), the robots gate then kills every
+    // 'new.*.org/x/…' candidate (those hosts disallow /x/ — a decision
+    // to fetch is not permission to fetch), per-host Crawl-delays attach
+    // (blog hosts declare 2 s; undeclared hosts default to 1 s), and the
+    // politeness scheduler assigns each surviving URL its fetch slot
+    // from a pinned plan instant. The oracle recomputes decisions, the
+    // robots kill, and the slot arithmetic independently.
+    "warc_recrawl_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.types.StringType
+      val idx = graft.sources.Loader
+        .load(s, warcFixture(s, dir) + "/docs.cdxj")
+        .groupBy("urlkey").agg(max("cdx_ts").as("last_capture"))
+      val docs = rt(s, dir, "documents")
+      val cands = docs.select(synthUrl.as("url"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select(concat(lit("https://new."), col("source"),
+            lit(".org/x/"), col("doc_id")).as("url")))
+        .distinct()
+      val due = cands
+        .withColumn("urlkey", Url.surtKey(col("url")))
+        .join(idx, Seq("urlkey"), "left")
+        .withColumn("decision",
+          when(col("last_capture").isNull, "fetch")
+            .when(col("last_capture") >= "20260115000000", "skip_fresh")
+            .otherwise("refetch"))
+        .filter(col("decision") =!= "skip_fresh")
+        .withColumn("host", Url.host(col("url")))
+      val hosts = docs.select(col("source")).distinct()
+      val robots = hosts.select(
+        concat(lit("blog."), col("source"), lit(".co.uk")).as("host"),
+        lit("User-agent: *\nDisallow: /private/\nCrawl-delay: 2").as("content"))
+        .unionByName(hosts.select(
+          concat(lit("new."), col("source"), lit(".org")).as("host"),
+          lit("User-agent: *\nDisallow: /x/").as("content")))
+      // CACHE the parsed rule table (the crawlFrontierParts convention):
+      // hosts-dictionary-sized, consumed by the gate AND the delay join —
+      // uncached, each consumer re-runs the whole parse subtree
+      val rules = graft.ops.Robots.robotsParse(robots, "host", "content").cache()
+      val allowed = graft.ops.Robots
+        .robotsAllowed(due, "url", rules, "graftbot")
+        .filter(col("allowed")).drop("allowed")
+      val delays = graft.ops.Robots.crawlDelays(rules, "graftbot")
+      val planned = allowed
+        .join(delays, Seq("host"), "left")
+        .withColumn("crawl_delay_sec",
+          coalesce(col("crawl_delay_sec"), lit(1.0)))
+        .withColumn("ts", lit("2026-03-01 00:00:00").cast("timestamp"))
+      StreamingOps.politenessSchedule(
+        planned, "host", "url", "crawl_delay_sec")
+        .select("url", "host", "decision", "scheduled_at_ms")
+    }),
     // CLOSEST-capture lookup (the wayback verb): per (urlkey, target T)
     // the capture nearest T by REAL elapsed time. Targets split around
     // the fixture's two capture instants so BOTH directions win
@@ -5456,6 +5510,31 @@ object SparkEntry {
          |                  NULL, 'fetch'
          |           FROM documents WHERE doc_id % 3 = 0)
          |SELECT url, urlkey, last_capture, decision FROM k""".stripMargin,
+    // Recrawl-plan replay: the due set is exactly the %4∈{1,2,3} shapes
+    // (shape 0 is Feb-fresh; every new.*.org candidate dies at the
+    // robots /x/ rule), hosts and delays derive from the shapes (blog
+    // 2 s declared, others 1 s default), and the slots are the pinned
+    // instant + (rank−1)·delay per host in url order — the constant-ts
+    // closed form of the politeness recurrence.
+    "warc_recrawl_plan" ->
+      """WITH d AS (SELECT DISTINCT
+        |             CASE CAST(doc_id % 4 AS INTEGER)
+        |               WHEN 1 THEN 'http://blog.' || source || '.co.uk/post/' || doc_id
+        |               WHEN 2 THEN 'https://login:pw@' || source || '-cdn.org:8080/dl/v2'
+        |               ELSE 'ftp://files.' || source || '.net' END AS url,
+        |             CASE CAST(doc_id % 4 AS INTEGER)
+        |               WHEN 1 THEN 'blog.' || source || '.co.uk'
+        |               WHEN 2 THEN source || '-cdn.org'
+        |               ELSE 'files.' || source || '.net' END AS host,
+        |             CASE CAST(doc_id % 4 AS INTEGER)
+        |               WHEN 1 THEN 2000 ELSE 1000 END AS delay_ms
+        |           FROM documents WHERE doc_id % 4 IN (1, 2, 3)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY host ORDER BY url) AS rn
+        |      FROM d)
+        |SELECT url, host, 'refetch' AS decision,
+        |       CAST(epoch_ms(TIMESTAMP '2026-03-01 00:00:00')
+        |            + (rn - 1) * delay_ms AS BIGINT) AS scheduled_at_ms
+        |FROM r""".stripMargin,
     // Closest-capture winners replayed with EPOCH distance (strptime →
     // epoch seconds): Jan-10 targets pick the Jan originals, Jan-25
     // targets the Feb revisit where one exists — the digit-arithmetic

@@ -116,6 +116,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // table is CACHEd (it feeds three consumers), which also replaces
     // the repeated parse subtrees in the plan: 12 → 8
     "warc_crawl_frontier" -> 8,
+    // composed operational mile: decisions (index agg + urlkey join,
+    // crawl-sized) + robots gate/delay joins (hosts-sized, rule table
+    // cached) + the politeness window — the frontier-mile convention
+    "warc_recrawl_plan" -> 17,
     // warc_frontier_schedule is deliberately UNPINNED: it shares the
     // frontier's cached rule table, and its Exchange count shifts ±1
     // with whether an earlier query already materialized that cache
