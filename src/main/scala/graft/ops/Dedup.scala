@@ -1144,7 +1144,11 @@ object Dedup {
     *
     * Output: `idCol`, `outCol` (the deduped text), `n_kept`,
     * `n_dropped` — per-document accounting, because a pipeline MUST be
-    * able to report how much text this stage deleted.
+    * able to report how much text this stage deleted. Note the scope: a
+    * document that vanishes entirely takes its accounting with it (its
+    * row no longer exists) — corpus-level deletion totals come from
+    * diffing against the input's document set, and the global invariant
+    * is `sum(n_kept) = |distinct paragraphs|` (PropertySpec pins it).
     *
     * Scale shape: explode to (id, pos, paragraph), ONE shuffle keyed on
     * the paragraph string for the min-(id, pos) window, one shuffle back

@@ -495,4 +495,98 @@ class PropertySpec extends SparkSpec {
       runs.distinct.size == runs.size // no authority appears in two runs
     })
   }
+
+  test("property: paragraph dedup is idempotent, loses no distinct paragraph, keeps each exactly once") {
+    // small alphabet of paragraphs → heavy cross-document repetition
+    val paraGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps one two")
+    val docGen = Gen.listOfN(4, paraGen).map(_.mkString("\n"))
+    check(Prop.forAll(Gen.listOfN(8, docGen)) { texts =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.ops.Dedup.dedupParagraphsExact(d, "doc_id", "text")
+      val kept = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val allKeptParas = kept.values.flatMap(_.split("\n")).toList
+      val distinctIn = texts.flatMap(_.split("\n+"))
+        .map(_.trim).filter(_.nonEmpty).distinct.sorted
+      // every distinct input paragraph survives somewhere, exactly once
+      val once = allKeptParas.sorted == distinctIn
+      // accounting: kept totals = the distinct paragraph count, and each
+      // SURVIVING doc's kept+dropped equals its own paragraph count (an
+      // all-duplicate doc vanishes WITH its accounting — the documented
+      // C4 drop semantics; coalesce covers an all-boilerplate corpus)
+      val keptTotal = out.agg(coalesce(sum("n_kept"), lit(0L)))
+        .head().getLong(0)
+      val perDocIn = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split("\n+").count(_.trim.nonEmpty).toLong
+      }.toMap
+      val perDoc = out.select("doc_id", "n_kept", "n_dropped").collect()
+        .forall(r => r.getLong(1) + r.getLong(2) == perDocIn(r.getLong(0)))
+      val conserved = keptTotal == distinctIn.size.toLong && perDoc
+      // idempotent: a second pass over the deduped corpus drops nothing
+      val again = graft.ops.Dedup.dedupParagraphsExact(
+        out.select(col("doc_id"), col("text_dedup").as("text")),
+        "doc_id", "text")
+      val stable = again.collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap == kept
+      once && conserved && stable
+    })
+  }
+
+  test("property: politeness slots respect the delay and never precede the event") {
+    import java.sql.Timestamp
+    val rowGen = for {
+      host <- Gen.oneOf("a.com", "b.com", "c.com")
+      url <- Gen.choose(0, 999).map(i => s"https://x/$i")
+      min <- Gen.choose(0, 30)
+    } yield (host, Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), url)
+    check(Prop.forAll(Gen.listOfN(20, rowGen)) { rows =>
+      val d = rows.toDF("host", "ts", "url")
+        .withColumn("crawl_delay_sec",
+          expr("CAST(length(host) % 3 + 1 AS DOUBLE) * 0.5"))
+        .dropDuplicates("host", "ts", "url") // total order per host
+      val out = graft.streaming.StreamingOps
+        .politenessSchedule(d, "host", "url", "crawl_delay_sec")
+        .collect()
+        .map(r => (r.getAs[String]("host"), r.getAs[Timestamp]("ts"),
+          r.getAs[String]("url"), r.getAs[Double]("crawl_delay_sec"),
+          r.getAs[Long]("scheduled_at_ms")))
+      val byHost = out.groupBy(_._1)
+      byHost.values.forall { hs =>
+        val ordered = hs.sortBy(h => (h._2.getTime, h._3))
+        // a slot never precedes its event time
+        val causal = ordered.forall(h => h._5 >= h._2.getTime)
+        // consecutive slots are at least the delay apart
+        val spaced = ordered.zip(ordered.drop(1)).forall { case (a, b) =>
+          b._5 - a._5 >= math.round(a._4 * 1000.0)
+        }
+        causal && spaced
+      }
+    })
+  }
+
+  test("property: jpegDims round-trips random dimensions behind random segment prefixes") {
+    def hx(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+    val segGen: Gen[Array[Byte]] = for {
+      kind <- Gen.oneOf("FFE0", "FFE1", "FFDB", "FFFE")
+      body <- Gen.choose(0, 24).flatMap(n => Gen.listOfN(n, Gen.choose(0, 255)))
+    } yield hx(kind) ++ be16(body.length + 2) ++ body.map(_.toByte).toArray
+    val caseGen = for {
+      w <- Gen.choose(1, 65535)
+      h <- Gen.choose(1, 65535)
+      segs <- Gen.listOfN(3, segGen)
+      sof <- Gen.oneOf("FFC0", "FFC1", "FFC2")
+    } yield (w, h,
+      hx("FFD8") ++ segs.flatten.toArray ++
+        hx(sof + "000B08") ++ be16(h) ++ be16(w) ++ hx("01011100"))
+    check(Prop.forAll(Gen.listOfN(6, caseGen)) { cases =>
+      val d = cases.zipWithIndex.map { case ((_, _, b), i) => (i, b) }
+        .toDF("id", "payload")
+      val got = graft.ops.Multimodal.imageDims(d, "payload")
+        .orderBy("id").select("img_width", "img_height")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+      got == cases.map { case (w, h, _) => (w.toLong, h.toLong) }
+    })
+  }
 }
