@@ -1134,7 +1134,11 @@ object Dedup {
     * cookie banners, nav footers, and subscribe blocks repeat across
     * MILLIONS of otherwise-distinct pages, poisoning the training
     * distribution without ever tripping a document-level Jaccard
-    * threshold.
+    * threshold. Distinct from its two siblings:
+    * [[graft.ops.TextOps.removeCommonLines]] deletes segments whose doc
+    * frequency exceeds a threshold (from EVERY doc — nothing survives),
+    * and [[graft.ops.TextOps.dedupLinesWithinDoc]] dedups only inside
+    * each document; this op keeps exactly ONE global copy.
     *
     * Normalization (documented, the C4 convention): paragraphs are the
     * `sepRegex` splits of the text with leading/trailing whitespace

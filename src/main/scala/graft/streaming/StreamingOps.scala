@@ -691,6 +691,60 @@ object StreamingOps {
     }
   }
 
+  /** LIVE ingest dedup against a PERSISTED near-dup index — the nightly
+    * probe → keep survivors → append loop ([[graft.ops.Dedup]]'s
+    * `nearDupIndexApply`/`appendToNearDupIndex`) run per micro-batch:
+    * each batch is probed against the index AS OF the previous batch
+    * (original corpus ∪ every earlier batch's survivors — the index is
+    * reloaded per batch, so appended generations are visible), the
+    * survivors go to `sink`, and they are appended as a new index
+    * generation before the epoch commits. Semantics are therefore
+    * EXACTLY the sequential batch loop's — a cross-batch duplicate of an
+    * earlier survivor drops, two true near-dups inside ONE batch resolve
+    * by the batch op's intra-batch rule — so the nightly replay and the
+    * stream agree document for document (StreamingSpec pins it).
+    *
+    * `foreachBatch`, not a stateful operator, is the right shape here:
+    * the state is the ON-DISK index (shared with the batch pipeline and
+    * unbounded-corpus-sized — not state-store material), and the probe
+    * is a stream-static join + the batch op's verify machinery, which
+    * the micro-batch boundary already scopes. Failure note: foreachBatch
+    * can re-run an epoch; [[graft.ops.Dedup.appendToNearDupIndex]]'s
+    * atomic params.json commit keeps the index readable through a crash,
+    * and a REPLAYED epoch re-probes against an index that may already
+    * contain its own survivors — they then drop as self-matches, so the
+    * sink may see an epoch's rows twice but the INDEX never double-grows
+    * (at-least-once sink, idempotent index — state the guarantee, don't
+    * hide it).
+    *
+    * Returns the started query; the caller owns its lifecycle. */
+  def dedupStreamAgainstIndex(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+      queryName: String = "graft_stream_index_dedup",
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "dedupStreamAgainstIndex needs a streaming frame")
+    graft.core.Validators.requireColumns(stream, Seq(idCol, textCol))
+    import graft.ops.Dedup
+    stream.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val idx = Dedup.NearDupIndex.load(batch.sparkSession, indexDir)
+        val survivors = Dedup
+          .nearDupIndexApply(batch.toDF(), idCol, textCol, idx, bands, threshold)
+          .cache()
+        try {
+          sink(survivors)
+          Dedup.appendToNearDupIndex(survivors, idCol, textCol, indexDir)
+        } finally survivors.unpersist()
+      }
+      .start()
+  }
+
   /** Typed JSON property extraction from a string payload column — the
     * enrichment step of an event pipeline (codegen'd get_json_object, no
     * UDF). */

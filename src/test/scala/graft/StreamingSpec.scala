@@ -501,6 +501,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedupStreamAgainstIndex: live probe-and-append loop equals the sequential batch loop") {
+    import graft.ops.Dedup
+    val docA = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val docA2 = "the quick brown fox jumps over the lazy cat near the riverbank today"
+    val docC = "completely unrelated text about distributed query engines and shuffles"
+    val docC2 = "completely unrelated text about distributed query engines and shuffled"
+    val docE = "a third topic entirely: polite crawl scheduling with per host delays"
+    val corpus = Seq((1L, docA), (2L, "some other indexed base document text"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_live_idx").toString
+    Dedup.nearDupIndexFit(corpus, "doc_id", "text").save(dir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupStreamAgainstIndex(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", "text", dir) { survivors =>
+      seen.synchronized { seen ++= survivors.collect().map(_.getLong(0)) }
+    }
+    try {
+      // batch 1: a near-dup of indexed A drops; novel C survives + appends
+      mem.addData((10L, docA2), (11L, docC))
+      q.processAllAvailable()
+      // batch 2: a near-dup of batch-1 SURVIVOR C drops (the index grew);
+      // novel E survives
+      mem.addData((20L, docC2), (21L, docE))
+      q.processAllAvailable()
+    } finally q.stop()
+    seen.sorted.toList shouldBe List(11L, 21L)
+    // the sequential batch loop over a fresh index agrees doc for doc
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_live_idx2").toString
+    Dedup.nearDupIndexFit(corpus, "doc_id", "text").save(dir2)
+    val batches = Seq(
+      Seq((10L, docA2), (11L, docC)), Seq((20L, docC2), (21L, docE)))
+    val batchSurvivors = batches.flatMap { b =>
+      val idx = Dedup.NearDupIndex.load(spark, dir2)
+      val s = Dedup.nearDupIndexApply(
+        b.toDF("doc_id", "text"), "doc_id", "text", idx)
+      val kept = s.collect().map(_.getLong(0)).toList
+      Dedup.appendToNearDupIndex(s, "doc_id", "text", dir2)
+      kept
+    }
+    batchSurvivors.sorted shouldBe seen.sorted.toList
+    // and the grown index now kills a re-send of every survivor
+    val regrown = Dedup.NearDupIndex.load(spark, dir)
+    Dedup.nearDupIndexApply(
+      Seq((30L, docC), (31L, docE)).toDF("doc_id", "text"),
+      "doc_id", "text", regrown).count() shouldBe 0L
+  }
+
   test("reconcileNearDups repairs the stream to the batch-deterministic set") {
     // two TRUE near-duplicates share micro-batch 1 (the documented race:
     // they can split band wins and both drop), and the final heartbeat's
