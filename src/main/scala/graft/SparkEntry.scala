@@ -3606,6 +3606,50 @@ object SparkEntry {
         "payload")
         .select("doc_id", "img_width", "img_height")
     }),
+    // REAL EXIF orientation (JPEG APP1 → TIFF IFD walk) + the dims AS
+    // DISPLAYED: true EXIF blocks are synthesized in BOTH byte orders
+    // (II on %3==0, MM on %3==1 — phone makers split down the middle)
+    // with a DECOY ImageWidth tag before the orientation entry; %3==2
+    // JPEGs carry no EXIF → NULL orientation, dims pass through.
+    // Orientations 5-8 transpose the display dims — doc_id-derived, so
+    // the oracle replays everything from arithmetic (a wrong endianness
+    // or a walk that grabs the decoy tag cannot match).
+    "mm_exif_orientation" -> ((s, dir) => {
+      def hx(h: String): Array[Byte] =
+        h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      def be16(v: org.apache.spark.sql.Column) = unhex(lpad(hex(v), 4, "0"))
+      val w = col("doc_id") % 500 + 1
+      val h = col("doc_id") % 300 + 1
+      val ori = col("doc_id") % 8 + 1
+      val ob = lpad(hex(ori), 2, "0") // one orientation byte, hex
+      // APP1 len 46 = 2(len) + 6(Exif\0\0) + 8(TIFF hdr) + 30(IFD: cnt +
+      // 2 entries + next-IFD offset)
+      val exifII = concat(
+        lit(hx("FFE1002E" + "457869660000" + "49492A00" + "08000000" + "0200" +
+          "0001" + "0300" + "01000000" + "E7030000" + // decoy ImageWidth=999
+          "1201" + "0300" + "01000000")),
+        unhex(concat(ob, lit("000000"))), // LE SHORT value + pad
+        lit(hx("00000000"))) // next-IFD offset
+      val exifMM = concat(
+        lit(hx("FFE1002E" + "457869660000" + "4D4D002A" + "00000008" + "0002" +
+          "0100" + "0003" + "00000001" + "03E70000" +
+          "0112" + "0003" + "00000001")),
+        unhex(concat(lit("00"), ob, lit("0000"))), // BE SHORT value + pad
+        lit(hx("00000000")))
+      val jfif = lit(hx("FFE000104A46494600010100004800480000"))
+      val sof = concat(lit(hx("FFC0000B08")), be16(h), be16(w), lit(hx("01011100")))
+      val payload =
+        when(col("doc_id") % 3 === 0, concat(lit(hx("FFD8")), exifII, sof))
+          .when(col("doc_id") % 3 === 1, concat(lit(hx("FFD8")), exifMM, sof))
+          .otherwise(concat(lit(hx("FFD8")), jfif, sof))
+      Multimodal.withExifOrientation(
+        Multimodal.imageDims(
+          rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
+          "payload"),
+        "payload")
+        .select("doc_id", "img_width", "img_height", "img_orientation",
+          "display_width", "display_height")
+    }),
     // REAL media durations from header bytes (the imageDims sibling):
     // true RIFF/WAVE and ISO-BMFF headers are synthesized with
     // doc_id-derived numbers, the chunk/box walks parse them back, and
@@ -7268,6 +7312,22 @@ object SparkEntry {
         |            ELSE CAST(doc_id % 500 + 1 AS BIGINT) END AS img_width,
         |       CASE WHEN doc_id % 5 = 4 THEN NULL
         |            ELSE CAST(doc_id % 300 + 1 AS BIGINT) END AS img_height
+        |FROM documents""".stripMargin,
+    // EXIF orientation + display dims recomputed from arithmetic: the
+    // II/MM byte round trips, the decoy-tag skip, and the 5-8 transpose
+    // happen only on the Spark side.
+    "mm_exif_orientation" ->
+      """SELECT doc_id,
+        |       CAST(doc_id % 500 + 1 AS BIGINT) AS img_width,
+        |       CAST(doc_id % 300 + 1 AS BIGINT) AS img_height,
+        |       CASE WHEN doc_id % 3 = 2 THEN NULL
+        |            ELSE CAST(doc_id % 8 + 1 AS INTEGER) END AS img_orientation,
+        |       CASE WHEN doc_id % 3 <> 2 AND doc_id % 8 + 1 >= 5
+        |            THEN CAST(doc_id % 300 + 1 AS BIGINT)
+        |            ELSE CAST(doc_id % 500 + 1 AS BIGINT) END AS display_width,
+        |       CASE WHEN doc_id % 3 <> 2 AND doc_id % 8 + 1 >= 5
+        |            THEN CAST(doc_id % 500 + 1 AS BIGINT)
+        |            ELSE CAST(doc_id % 300 + 1 AS BIGINT) END AS display_height
         |FROM documents""".stripMargin,
     // Media durations recomputed from the SAME arithmetic that sized the
     // synthesized headers — the byte round trips (LE-32 RIFF, BE-32/64

@@ -117,5 +117,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 1, s"${TilePairs.Mp4DurationName} expects 1 argument")
       Mp4Duration(args(0))
     }))
+    ext.injectFunction(fn(TilePairs.ExifOrientationName, { args =>
+      require(args.length == 1, s"${TilePairs.ExifOrientationName} expects 1 argument")
+      ExifOrientation(args(0))
+    }))
   }
 }

@@ -100,6 +100,119 @@ case class JpegDims(child: Expression) extends Expression {
     copy(child = newChildren(0))
 }
 
+/** graft_exif_orientation(payload): the EXIF Orientation tag (1-8) of a
+  * JPEG payload, or NULL — the bit a pipeline needs to INTERPRET
+  * [[JpegDims]] (orientations 5-8 transpose width and height on
+  * display). Three bounded walks composed: the [[JpegDims]] MARKER walk
+  * to the APP1 segment bearing the `Exif\0\0` header, then the TIFF
+  * structure inside it — the byte-order mark (`II` little / `MM` big
+  * endian, BOTH real: phone makers split roughly down the middle), the
+  * 42 magic, the IFD0 offset — then one IFD ENTRY scan (12-byte
+  * entries: tag, type, count, value) for tag 0x0112 as an inline SHORT,
+  * read under the declared byte order. Entry count capped at 512
+  * (a real IFD0 has dozens); values outside 1-8 are malformed → NULL.
+  * All offsets are validated against the segment, so a truncated or
+  * lying EXIF can never read out of bounds. */
+case class ExifOrientation(child: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = TilePairs.ExifOrientationName
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_exif_orientation expects a binary input")
+
+  def compute(bytes: Array[Byte]): Any = {
+    val n = bytes.length
+    def u(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u(i) << 8) | u(i + 1)
+    if (n < 4 || u(0) != 0xff || u(1) != 0xd8) return null
+    // marker walk (the JpegDims chain) to an APP1 segment with Exif\0\0
+    var pos = 2
+    while (pos + 3 < n) {
+      if (u(pos) != 0xff) return null
+      var code = u(pos + 1)
+      while (code == 0xff && pos + 2 < n) { pos += 1; code = u(pos + 1) }
+      if (code == 0xff) return null
+      if (code == 0xd8 || code == 0x01 || (code >= 0xd0 && code <= 0xd7)) {
+        pos += 2
+      } else if (code == 0xd9 || code == 0xda) {
+        return null // entropy data reached without an EXIF APP1
+      } else {
+        if (pos + 3 >= n) return null
+        val len = be16(pos + 2)
+        if (len < 2) return null
+        val segEnd = pos + 2 + len // one past the segment's last byte
+        if (code == 0xe1 && segEnd <= n && len >= 16 &&
+          bytes(pos + 4) == 'E' && bytes(pos + 5) == 'x' &&
+          bytes(pos + 6) == 'i' && bytes(pos + 7) == 'f' &&
+          bytes(pos + 8) == 0 && bytes(pos + 9) == 0) {
+          // TIFF header starts after Exif\0\0; all offsets are relative to it
+          val t = pos + 10
+          if (t + 8 > segEnd) return null
+          val little =
+            if (bytes(t) == 'I' && bytes(t + 1) == 'I') true
+            else if (bytes(t) == 'M' && bytes(t + 1) == 'M') false
+            else return null
+          def r16(i: Int): Int =
+            if (little) u(i) | (u(i + 1) << 8) else be16(i)
+          def r32(i: Int): Long =
+            if (little)
+              u(i).toLong | (u(i + 1).toLong << 8) |
+                (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
+            else
+              (u(i).toLong << 24) | (u(i + 1).toLong << 16) |
+                (u(i + 2).toLong << 8) | u(i + 3).toLong
+          if (r16(t + 2) != 42) return null
+          val ifd = t + r32(t + 4)
+          if (ifd < t || ifd + 2 > segEnd) return null
+          val count = math.min(r16(ifd.toInt), 512)
+          var e = 0
+          while (e < count) {
+            val at = ifd.toInt + 2 + 12 * e
+            if (at + 12 > segEnd) return null
+            if (r16(at) == 0x0112 && r16(at + 2) == 3 && r32(at + 4) == 1L) {
+              val v = r16(at + 8) // inline SHORT, endianness applies
+              return if (v >= 1 && v <= 8) Integer.valueOf(v) else null
+            }
+            e += 1
+          }
+          return null // APP1/Exif present, no orientation tag
+        }
+        pos = segEnd
+      }
+    }
+    null
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val b = child.eval(input).asInstanceOf[Array[Byte]]
+    if (b == null) null else compute(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      Object ${ev.value}_o = null;
+      if (!${c.isNull}) ${ev.value}_o = $ref.compute(${c.value});
+      boolean ${ev.isNull} = ${ev.value}_o == null;
+      int ${ev.value} = ${ev.isNull} ? -1 : ((Integer) ${ev.value}_o).intValue();
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
 /** Shared shape of the codec-free media-duration kernels: binary in,
   * `[numerator, denominator]` out (duration = num/denom seconds — the
   * integer pair, not the division, so any SQL engine replays the exact

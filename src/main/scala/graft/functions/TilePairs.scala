@@ -42,6 +42,7 @@ object TilePairs {
   val JpegDimsName = "graft_jpeg_dims"
   val RiffDurationName = "graft_riff_duration"
   val Mp4DurationName = "graft_mp4_duration"
+  val ExifOrientationName = "graft_exif_orientation"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

@@ -159,6 +159,40 @@ object Multimodal {
       array(folded.getField("w"), folded.getField("h")))
   }
 
+  /** REAL EXIF orientation from header bytes (JPEG APP1 → TIFF IFD walk,
+    * [[graft.functions.ExifOrientation]]): appends `img_orientation`
+    * (1-8, NULL when absent/malformed) and — when the frame dims are
+    * also present — `display_width`/`display_height`, the dims AS SHOWN:
+    * orientations 5-8 are the transposed ones, so raw SOF width/height
+    * swap. A pipeline that filters or buckets by aspect ratio without
+    * this reads every portrait phone photo as landscape.
+    * EXTENSION-REQUIRED (the graft_normalize convention). Expects the
+    * [[imageDims]] columns when `withDisplayDims = true`. */
+  def withExifOrientation(
+      df: DataFrame, binCol: String, withDisplayDims: Boolean = true): DataFrame = {
+    graft.core.Validators.requireColumns(df,
+      Seq(binCol) ++ (if (withDisplayDims) Seq("img_width", "img_height") else Nil))
+    graft.core.Validators.requireColumnsAbsent(
+      df, Seq("img_orientation") ++
+        (if (withDisplayDims) Seq("display_width", "display_height") else Nil),
+      "withExifOrientation")
+    require(df.sparkSession.catalog.functionExists(
+      graft.functions.TilePairs.ExifOrientationName),
+      "withExifOrientation needs the native EXIF kernel — set " +
+        "spark.sql.extensions=graft.functions.GraftExtensions")
+    val out = df.withColumn("img_orientation",
+      call_function(graft.functions.TilePairs.ExifOrientationName, col(binCol)))
+    if (!withDisplayDims) out
+    else {
+      val transposed = col("img_orientation") >= 5
+      out
+        .withColumn("display_width",
+          when(transposed, col("img_height")).otherwise(col("img_width")))
+        .withColumn("display_height",
+          when(transposed, col("img_width")).otherwise(col("img_height")))
+    }
+  }
+
   /** REAL media duration from header bytes — no codec, like [[imageDims]]:
     * RIFF/WAVE payloads walk their chunk chain to `fmt `'s byte rate and
     * `data`'s declared size ([[graft.functions.RiffDuration]] — even-offset

@@ -145,7 +145,9 @@ class FunctionsSpec extends SparkSpec {
       classOf[graft.functions.ShingleHashes], classOf[graft.functions.ShingleStrings],
       classOf[graft.functions.MinhashSig], classOf[graft.functions.BitmapOfSet],
       classOf[graft.functions.SimHash64], classOf[graft.functions.IvfCell],
-      classOf[graft.functions.JpegDims])
+      classOf[graft.functions.JpegDims], classOf[graft.functions.RiffDuration],
+      classOf[graft.functions.Mp4Duration],
+      classOf[graft.functions.ExifOrientation])
       .foreach(c => classOf[CodegenFallback].isAssignableFrom(c) shouldBe false)
     // and a projection through them really compiles into a codegen stage
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -398,6 +400,63 @@ class FunctionsSpec extends SparkSpec {
       Seq((1, realWav)).toDF("id", "payload"), "payload")
       .select("media_duration_sec").head().getDouble(0)
     out shouldBe 0.5
+  }
+
+  test("graft_exif_orientation: IFD walk — both byte orders, decoys, malformed EXIF") {
+    def hx(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val sof = hx("FFC0000B08" + "0064" + "00C8" + "01011100") // h=100, w=200
+    def seg(marker: String, body: Array[Byte]): Array[Byte] =
+      hx(marker) ++ Array(((body.length + 2) >> 8).toByte,
+        ((body.length + 2) & 0xff).toByte) ++ body
+    def app1(tiff: String): Array[Byte] =
+      seg("FFE1", hx("457869660000") ++ hx(tiff))
+    // II: decoy ImageWidth entry, then orientation 6
+    val ii = "49492A0008000000" + "0200" +
+      "00010300" + "01000000" + "E7030000" +
+      "12010300" + "01000000" + "06000000" + "00000000"
+    // MM: orientation 8 as the only entry
+    val mm = "4D4D002A00000008" + "0001" +
+      "01120003" + "00000001" + "00080000" + "00000000"
+    // MM with an out-of-range value (9)
+    val bad = "4D4D002A00000008" + "0001" +
+      "01120003" + "00000001" + "00090000" + "00000000"
+    // II where orientation is a LONG (type 4) — not the SHORT contract
+    val wrongType = "49492A0008000000" + "0100" +
+      "12010400" + "01000000" + "06000000" + "00000000"
+    // IFD offset points past the segment
+    val oob = "49492A00FF000000"
+    val xmpApp1 = seg("FFE1",
+      "http://ns.adobe.com/xap/1.0/ xmp payload".getBytes("UTF-8"))
+    val cases: Seq[(Int, Array[Byte], Option[Int])] = Seq(
+      (1, hx("FFD8") ++ app1(ii) ++ sof, Some(6)),
+      (2, hx("FFD8") ++ app1(mm) ++ sof, Some(8)),
+      (3, hx("FFD8") ++ app1(bad) ++ sof, None),
+      (4, hx("FFD8") ++ app1(wrongType) ++ sof, None),
+      (5, hx("FFD8") ++ app1(oob) ++ sof, None),
+      // an XMP APP1 is not EXIF; with no EXIF APP1 anywhere → NULL
+      (6, hx("FFD8") ++ xmpApp1 ++ sof, None),
+      // XMP APP1 first, REAL EXIF APP1 second — the walk keeps going
+      (7, hx("FFD8") ++ xmpApp1 ++ app1(mm) ++ sof, Some(8)),
+      (8, hx("FFD8") ++ sof, None), // no APP1 at all
+      (9, "not an image".getBytes("UTF-8"), None))
+    val got = cases.map { case (id, b, _) => (id, b) }.toDF("id", "payload")
+      .select($"id",
+        call_function(TilePairs.ExifOrientationName, $"payload").as("o"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    for ((id, _, want) <- cases) withClue(s"case $id:") { got(id) shouldBe want }
+    // the op composes: orientation 6 transposes the display dims
+    val out = graft.ops.Multimodal.withExifOrientation(
+      graft.ops.Multimodal.imageDims(
+        Seq((1, hx("FFD8") ++ app1(ii) ++ sof)).toDF("id", "payload"),
+        "payload"),
+      "payload")
+      .select("img_width", "img_height", "img_orientation",
+        "display_width", "display_height").head()
+    (out.getLong(0), out.getLong(1), out.getInt(2),
+      out.getLong(3), out.getLong(4)) shouldBe ((200L, 100L, 6, 100L, 200L))
   }
 
   test("moment kernels skip null VECTORS but raise on null ELEMENTS") {

@@ -100,6 +100,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_script_profile" -> 0, // strip-and-measure narrow regexes
     "mm_image_dims" -> 0, // constant-width header slices, narrow
     "mm_media_duration" -> 0, // chunk/box walk kernels, narrow
+    "mm_exif_orientation" -> 0, // IFD walk kernel, narrow
     "text_script_lang_check" -> 0, // profile + verdict, still narrow
     "text_url_strip_tracking" -> 0, // split-filter-rejoin, narrow
     "warc_recrawl_schedule" -> 0, // entries explode + epoch arithmetic, narrow
