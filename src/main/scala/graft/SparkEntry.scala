@@ -3650,6 +3650,102 @@ object SparkEntry {
         .select("doc_id", "img_width", "img_height", "img_orientation",
           "display_width", "display_height")
     }),
+    // EXIF GPS report + scrub (the privacy-release gate): true GPS
+    // sub-IFDs — pointer tag in IFD0 behind a decoy ImageWidth, refs as
+    // inline ASCII, coordinates as out-of-line RATIONAL deg/min/sec
+    // triples (sec denominator 100) — synthesized in BOTH byte orders
+    // with doc_id-derived values; %8>=4 rows carry S/W refs (negative
+    // decimal degrees). %4==2 payloads have EXIF but NO GPS pointer
+    // (present=false), %4==3 no EXIF at all (NULL). The same payloads
+    // are then STRIPPED and re-read: gps_present_after must be false
+    // wherever EXIF survives, and width_after proves the scrub left the
+    // rest of the JPEG (the SOF walk) intact. The oracle recomputes the
+    // signed decimal degrees from doc_id arithmetic in the kernel's
+    // exact operation order — IEEE-754 determinism, no rounding.
+    "mm_exif_gps" -> ((s, dir) => {
+      def hx(h: String): Array[Byte] =
+        h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      def be16(v: org.apache.spark.sql.Column) = unhex(lpad(hex(v), 4, "0"))
+      def be32(v: org.apache.spark.sql.Column) = unhex(lpad(hex(v), 8, "0"))
+      def le32(v: org.apache.spark.sql.Column) = unhex(concat(
+        lpad(hex(v.bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(v, 8).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(v, 16).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(v, 24).bitwiseAND(lit(255L))), 2, "0")))
+      val w = col("doc_id") % 500 + 1
+      val h = col("doc_id") % 300 + 1
+      val latDeg = col("doc_id") % 90
+      val latMin = col("doc_id") % 60
+      val latSecN = col("doc_id") % 3600 // denominator 100
+      val lonDeg = col("doc_id") % 180
+      val lonMin = (col("doc_id") + 17) % 60
+      val lonSecN = (col("doc_id") * 7) % 3600
+      val south = col("doc_id") % 8 >= 4
+      val latRef = when(south, lit("53")).otherwise(lit("4E")) // S / N
+      val lonRef = when(south, lit("57")).otherwise(lit("45")) // W / E
+      def rats(enc: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        concat(
+          enc(latDeg), enc(lit(1L)), enc(latMin), enc(lit(1L)),
+          enc(latSecN), enc(lit(100L)),
+          enc(lonDeg), enc(lit(1L)), enc(lonMin), enc(lit(1L)),
+          enc(lonSecN), enc(lit(100L)))
+      // APP1 len 0x94 = 2 + 6(Exif\0\0) + 140 TIFF: hdr(8) + IFD0 at 8
+      // (2 entries: decoy ImageWidth, GPS pointer → 38) + GPS IFD at 38
+      // (4 entries: latref/lat/lonref/lon, rationals at 92/116) = 140
+      val gpsII = concat(
+        lit(hx("FFE10094" + "457869660000" + "49492A00" + "08000000" +
+          "0200" +
+          "0001" + "0300" + "01000000" + "E7030000" + // decoy ImageWidth=999
+          "2588" + "0400" + "01000000" + "26000000" + // GPS IFD → 38
+          "00000000" +
+          "0400" +
+          "0100" + "0200" + "02000000")),
+        unhex(concat(latRef, lit("000000"))),
+        lit(hx("0200" + "0500" + "03000000" + "5C000000" + // lat rats → 92
+          "0300" + "0200" + "02000000")),
+        unhex(concat(lonRef, lit("000000"))),
+        lit(hx("0400" + "0500" + "03000000" + "74000000" + // lon rats → 116
+          "00000000")),
+        rats(le32))
+      val gpsMM = concat(
+        lit(hx("FFE10094" + "457869660000" + "4D4D002A" + "00000008" +
+          "0002" +
+          "0100" + "0003" + "00000001" + "03E70000" +
+          "8825" + "0004" + "00000001" + "00000026" +
+          "00000000" +
+          "0004" +
+          "0001" + "0002" + "00000002")),
+        unhex(concat(latRef, lit("000000"))),
+        lit(hx("0002" + "0005" + "00000003" + "0000005C" +
+          "0003" + "0002" + "00000002")),
+        unhex(concat(lonRef, lit("000000"))),
+        lit(hx("0004" + "0005" + "00000003" + "00000074" +
+          "00000000")),
+        rats(be32))
+      // orientation-only EXIF: pointer tag absent → present=false
+      val exifNoGps = lit(hx("FFE1002E" + "457869660000" + "49492A00" +
+        "08000000" + "0200" +
+        "0001" + "0300" + "01000000" + "E7030000" +
+        "1201" + "0300" + "01000000" + "01000000" +
+        "00000000"))
+      val jfif = lit(hx("FFE000104A46494600010100004800480000"))
+      val sof = concat(lit(hx("FFC0000B08")), be16(h), be16(w), lit(hx("01011100")))
+      val payload =
+        when(col("doc_id") % 4 === 0, concat(lit(hx("FFD8")), gpsII, sof))
+          .when(col("doc_id") % 4 === 1, concat(lit(hx("FFD8")), gpsMM, sof))
+          .when(col("doc_id") % 4 === 2, concat(lit(hx("FFD8")), exifNoGps, sof))
+          .otherwise(concat(lit(hx("FFD8")), jfif, sof))
+      val base = rt(s, dir, "documents").select(col("doc_id"), payload.as("payload"))
+      val report = Multimodal.withExifGps(base, "payload")
+        .select("doc_id", "gps_present", "gps_lat", "gps_lon")
+      val after = Multimodal.withExifGps(
+        Multimodal.imageDims(Multimodal.stripExifGps(base, "payload"), "payload"),
+        "payload")
+        .select(col("doc_id"),
+          col("gps_present").as("gps_present_after"),
+          col("img_width").as("width_after"))
+      report.join(after, "doc_id")
+    }),
     // REAL media durations from header bytes (the imageDims sibling):
     // true RIFF/WAVE and ISO-BMFF headers are synthesized with
     // doc_id-derived numbers, the chunk/box walks parse them back, and
@@ -3659,7 +3755,13 @@ object SparkEntry {
     // every later chunk and cannot hash-match) and truncates the audio
     // payload (declared duration still answers); the v0 mp4 puts mvhd
     // behind a LARGESIZE free box and a udta sibling; the v1 mp4 uses
-    // the 64-bit-duration mvhd layout; %4==3 payloads are text → NULL.
+    // the 64-bit-duration mvhd layout. %4==3 splits on %16 into the MP3
+    // shapes: a VBR MPEG1-stereo frame whose Xing block (at the 4+32
+    // side-info offset) carries the frame count; a bare CBR MPEG1 Layer
+    // III 128 kbps stream (declared-bitrate math over the byte span); an
+    // ID3v2-PREFIXED CBR MPEG2 Layer III mono 32 kbps stream (syncsafe
+    // tag skip + the 4+9 mono offset probing non-Xing bytes); and an ID3
+    // tag whose declared size runs past the payload → NULL.
     "mm_media_duration" -> ((s, dir) => {
       def hx(h: String): Array[Byte] =
         h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
@@ -3699,7 +3801,27 @@ object SparkEntry {
             be32(lit(40L)), lit(hx("6D766864")), lit(hx("01000000")),
             lit(hx("0000000000000000" + "0000000000000000")),
             be32(lit(1000L)), be64(dur1)))
-          .otherwise(col("text").cast("binary"))
+          // VBR: FFFB9000 = MPEG1 Layer III 44100 stereo; 32 zero
+          // side-info bytes; Xing + frames-flag + BE-32 frame count
+          .when(col("doc_id") % 16 === 3, concat(
+            lit(hx("FFFB9000" + "00" * 32 + "58696E67" + "00000001")),
+            be32(col("doc_id") % 5000 + 1)))
+          // bare CBR MPEG1 L3 128 kbps: header + doc_id-sized audio bytes
+          .when(col("doc_id") % 16 === 7, concat(
+            lit(hx("FFFB9000")),
+            expr("unhex(repeat('AA', CAST(doc_id % 997 + 64 AS INT)))")))
+          // ID3v2-prefixed CBR MPEG2 L3 mono 32 kbps: syncsafe tag size
+          // < 128 keeps the size byte single; FFF340C0 = MPEG2/LIII/
+          // 32 kbps/22050/mono
+          .when(col("doc_id") % 16 === 11, concat(
+            lit(hx("494433" + "0300" + "00" + "000000")),
+            unhex(lpad(hex(col("doc_id") % 100 + 5), 2, "0")),
+            expr("unhex(repeat('AA', CAST(doc_id % 100 + 5 AS INT)))"),
+            lit(hx("FFF340C0")),
+            expr("unhex(repeat('AA', CAST(doc_id % 500 + 32 AS INT)))")))
+          // ID3 declaring 128 body bytes over a 15-byte payload: the tag
+          // skip runs past the end → NULL
+          .otherwise(lit(hx("494433" + "0300" + "00" + "00000100" + "AAAAAAAAAA")))
       Multimodal.withMediaDuration(
         rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
         "payload")
@@ -6779,10 +6901,10 @@ object SparkEntry {
         |                0) AS pprev
         |            FROM u)
         |SELECT host, url,
-        |       MAX(ts_ms - pprev) OVER (PARTITION BY host
+        |       CAST(MAX(ts_ms - pprev) OVER (PARTITION BY host
         |         ORDER BY ts_ms, url
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |         + pprev AS scheduled_at_ms
+        |         + pprev AS BIGINT) AS scheduled_at_ms
         |FROM w1""".stripMargin,
     "stream_window_agg" ->
       """SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
@@ -7293,7 +7415,8 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |       md5(text) AS content_md5,
-        |       'unknown' AS format,
+        |       CASE WHEN substr(upper(hex(encode(text))), 1, 6) = '494433'
+        |            THEN 'mp3' ELSE 'unknown' END AS format,
         |       CAST(NULL AS BOOLEAN) AS truncated
         |FROM documents""".stripMargin,
     // Replays the sniffer over the hex encoding (DuckDB cannot slice
@@ -7329,21 +7452,56 @@ object SparkEntry {
         |            THEN CAST(doc_id % 500 + 1 AS BIGINT)
         |            ELSE CAST(doc_id % 300 + 1 AS BIGINT) END AS display_height
         |FROM documents""".stripMargin,
+    // GPS decimal degrees recomputed from doc_id arithmetic in the
+    // kernel's exact operation order (deg + min/60 + (sec/100)/3600,
+    // negated for S/W) — IEEE-754 division/addition are correctly
+    // rounded, so identical operation order is bit-identical with no
+    // rounding step. The byte round trips (both endiannesses, the decoy
+    // tag, out-of-line rationals, the in-place scrub) happen only on the
+    // Spark side.
+    "mm_exif_gps" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(doc_id % 90 AS DOUBLE)
+        |    + CAST(doc_id % 60 AS DOUBLE) / 60.0
+        |    + (CAST(doc_id % 3600 AS DOUBLE) / 100.0) / 3600.0 AS lat0,
+        |  CAST(doc_id % 180 AS DOUBLE)
+        |    + CAST((doc_id + 17) % 60 AS DOUBLE) / 60.0
+        |    + (CAST((doc_id * 7) % 3600 AS DOUBLE) / 100.0) / 3600.0 AS lon0
+        |FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 4 IN (0, 1) THEN true
+        |       WHEN doc_id % 4 = 2 THEN false
+        |       ELSE NULL END AS gps_present,
+        |  CASE WHEN doc_id % 4 IN (0, 1) THEN
+        |    CASE WHEN doc_id % 8 >= 4 THEN -lat0 ELSE lat0 END
+        |  END AS gps_lat,
+        |  CASE WHEN doc_id % 4 IN (0, 1) THEN
+        |    CASE WHEN doc_id % 8 >= 4 THEN -lon0 ELSE lon0 END
+        |  END AS gps_lon,
+        |  CASE WHEN doc_id % 4 = 3 THEN NULL ELSE false END AS gps_present_after,
+        |  CAST(doc_id % 500 + 1 AS BIGINT) AS width_after
+        |FROM b""".stripMargin,
     // Media durations recomputed from the SAME arithmetic that sized the
     // synthesized headers — the byte round trips (LE-32 RIFF, BE-32/64
     // BMFF, the pad/largesize/version shapes) happen only on the Spark
     // side, so the comparison proves the walks.
     "mm_media_duration" ->
       """WITH n AS (SELECT doc_id,
-        |  CASE CAST(doc_id % 4 AS INTEGER)
-        |    WHEN 0 THEN CAST((doc_id % 997 + 1) * 100 AS BIGINT)
-        |    WHEN 1 THEN CAST((doc_id % 7200 + 1) * 100 AS BIGINT)
-        |    WHEN 2 THEN CAST((doc_id % 100000 + 1) * 10 AS BIGINT)
+        |  CASE
+        |    WHEN doc_id % 4 = 0 THEN CAST((doc_id % 997 + 1) * 100 AS BIGINT)
+        |    WHEN doc_id % 4 = 1 THEN CAST((doc_id % 7200 + 1) * 100 AS BIGINT)
+        |    WHEN doc_id % 4 = 2 THEN CAST((doc_id % 100000 + 1) * 10 AS BIGINT)
+        |    WHEN doc_id % 16 = 3 THEN CAST((doc_id % 5000 + 1) * 1152 AS BIGINT)
+        |    WHEN doc_id % 16 = 7 THEN CAST((doc_id % 997 + 68) * 8 AS BIGINT)
+        |    WHEN doc_id % 16 = 11 THEN CAST((doc_id % 500 + 36) * 8 AS BIGINT)
         |  END AS media_dur_num,
-        |  CASE CAST(doc_id % 4 AS INTEGER)
-        |    WHEN 0 THEN CAST((doc_id % 100 + 1) * 1000 AS BIGINT)
-        |    WHEN 1 THEN CAST(600 AS BIGINT)
-        |    WHEN 2 THEN CAST(1000 AS BIGINT)
+        |  CASE
+        |    WHEN doc_id % 4 = 0 THEN CAST((doc_id % 100 + 1) * 1000 AS BIGINT)
+        |    WHEN doc_id % 4 = 1 THEN CAST(600 AS BIGINT)
+        |    WHEN doc_id % 4 = 2 THEN CAST(1000 AS BIGINT)
+        |    WHEN doc_id % 16 = 3 THEN CAST(44100 AS BIGINT)
+        |    WHEN doc_id % 16 = 7 THEN CAST(128000 AS BIGINT)
+        |    WHEN doc_id % 16 = 11 THEN CAST(32000 AS BIGINT)
         |  END AS media_dur_den
         |FROM documents)
         |SELECT doc_id, media_dur_num, media_dur_den,
@@ -7381,6 +7539,9 @@ object SparkEntry {
         |              WHEN '41564920' THEN 'avi'
         |              ELSE 'riff' END
         |          WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
+        |          WHEN substr(hx, 1, 6) = '494433' THEN 'mp3'
+        |          WHEN substr(hx, 1, 2) = 'FF'
+        |               AND substr(hx, 3, 1) IN ('E', 'F') THEN 'mp3'
         |          ELSE 'unknown'
         |        END AS format
         |      FROM h),

@@ -117,9 +117,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 1, s"${TilePairs.Mp4DurationName} expects 1 argument")
       Mp4Duration(args(0))
     }))
+    ext.injectFunction(fn(TilePairs.Mp3DurationName, { args =>
+      require(args.length == 1, s"${TilePairs.Mp3DurationName} expects 1 argument")
+      Mp3Duration(args(0))
+    }))
     ext.injectFunction(fn(TilePairs.ExifOrientationName, { args =>
       require(args.length == 1, s"${TilePairs.ExifOrientationName} expects 1 argument")
       ExifOrientation(args(0))
+    }))
+    ext.injectFunction(fn(TilePairs.ExifGpsName, { args =>
+      require(args.length == 1, s"${TilePairs.ExifGpsName} expects 1 argument")
+      ExifGps(args(0))
+    }))
+    ext.injectFunction(fn(TilePairs.ExifGpsStripName, { args =>
+      require(args.length == 1, s"${TilePairs.ExifGpsStripName} expects 1 argument")
+      ExifGpsStrip(args(0))
     }))
   }
 }

@@ -213,6 +213,89 @@ case class ExifOrientation(child: Expression) extends Expression {
     copy(child = newChildren(0))
 }
 
+/** Shared JPEG APP1 → EXIF/TIFF locator for the EXIF kernels: the same
+  * bounded marker walk as [[JpegDims]] to the APP1 segment bearing
+  * `Exif\0\0`, then the TIFF header (byte-order mark, 42 magic, IFD0
+  * offset) — all offsets validated against the segment so a truncated or
+  * lying EXIF can never read out of bounds. */
+private[functions] object ExifWalk {
+  /** TIFF region: `t` = absolute offset of the TIFF header (all TIFF
+    * offsets are relative to it), `segEnd` = one past the APP1 segment's
+    * last byte, `little` = byte order, `ifd0` = absolute IFD0 offset. */
+  final case class Tiff(t: Int, segEnd: Int, little: Boolean, ifd0: Int)
+
+  def u(bytes: Array[Byte], i: Int): Int = bytes(i) & 0xff
+
+  def r16(bytes: Array[Byte], i: Int, little: Boolean): Int =
+    if (little) u(bytes, i) | (u(bytes, i + 1) << 8)
+    else (u(bytes, i) << 8) | u(bytes, i + 1)
+
+  def r32(bytes: Array[Byte], i: Int, little: Boolean): Long =
+    if (little)
+      u(bytes, i).toLong | (u(bytes, i + 1).toLong << 8) |
+        (u(bytes, i + 2).toLong << 16) | (u(bytes, i + 3).toLong << 24)
+    else
+      (u(bytes, i).toLong << 24) | (u(bytes, i + 1).toLong << 16) |
+        (u(bytes, i + 2).toLong << 8) | u(bytes, i + 3).toLong
+
+  def locate(bytes: Array[Byte]): Tiff = {
+    val n = bytes.length
+    def b(i: Int): Int = u(bytes, i)
+    def be16(i: Int): Int = (b(i) << 8) | b(i + 1)
+    if (n < 4 || b(0) != 0xff || b(1) != 0xd8) return null
+    var pos = 2
+    while (pos + 3 < n) {
+      if (b(pos) != 0xff) return null
+      var code = b(pos + 1)
+      while (code == 0xff && pos + 2 < n) { pos += 1; code = b(pos + 1) }
+      if (code == 0xff) return null
+      if (code == 0xd8 || code == 0x01 || (code >= 0xd0 && code <= 0xd7)) {
+        pos += 2
+      } else if (code == 0xd9 || code == 0xda) {
+        return null // entropy data reached without an EXIF APP1
+      } else {
+        if (pos + 3 >= n) return null
+        val len = be16(pos + 2)
+        if (len < 2) return null
+        val segEnd = pos + 2 + len
+        if (code == 0xe1 && segEnd <= n && len >= 16 &&
+          bytes(pos + 4) == 'E' && bytes(pos + 5) == 'x' &&
+          bytes(pos + 6) == 'i' && bytes(pos + 7) == 'f' &&
+          bytes(pos + 8) == 0 && bytes(pos + 9) == 0) {
+          val t = pos + 10
+          if (t + 8 > segEnd) return null
+          val little =
+            if (bytes(t) == 'I' && bytes(t + 1) == 'I') true
+            else if (bytes(t) == 'M' && bytes(t + 1) == 'M') false
+            else return null
+          if (r16(bytes, t + 2, little) != 42) return null
+          val ifd = t + r32(bytes, t + 4, little)
+          if (ifd < t || ifd + 2 > segEnd) return null
+          return Tiff(t, segEnd, little, ifd.toInt)
+        }
+        pos = segEnd
+      }
+    }
+    null
+  }
+
+  /** Byte width of one TIFF value of the given type code; 0 for unknown
+    * types (the walk must then ignore the entry). */
+  def typeSize(typ: Int): Int = typ match {
+    case 1 | 2 | 6 | 7 => 1 // BYTE / ASCII / SBYTE / UNDEFINED
+    case 3 | 8 => 2 // SHORT / SSHORT
+    case 4 | 9 | 11 => 4 // LONG / SLONG / FLOAT
+    case 5 | 10 | 12 => 8 // RATIONAL / SRATIONAL / DOUBLE
+    case _ => 0
+  }
+
+  /** IFD entry cap — a real IFD has dozens of entries; 512 bounds a lying
+    * count without truncating any real tag table. */
+  val MaxIfdEntries = 512
+  /** The IFD0 tag pointing at the GPS Info sub-IFD (EXIF 2.3 §4.6.6). */
+  val GpsIfdPointerTag = 0x8825
+}
+
 /** Shared shape of the codec-free media-duration kernels: binary in,
   * `[numerator, denominator]` out (duration = num/denom seconds — the
   * integer pair, not the division, so any SQL engine replays the exact
@@ -272,18 +355,22 @@ case class RiffDuration(child: Expression) extends MediaDuration {
     def tag(i: Int, s: String): Boolean =
       (0 until 4).forall(k => bytes(i + k) == s.charAt(k).toByte)
     if (n < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return null
-    var pos = 12
+    // pos stays Long: a chunk may declare up to 4 GiB−1 (unsigned 32-bit),
+    // legal for WAV data chunks — Int arithmetic would step BACKWARDS past
+    // 2 GiB and misparse. Oversized declarations just walk past n and the
+    // loop bound ends the walk with whatever fmt/data it has seen.
+    var pos = 12L
     var byteRate = -1L
     var dataSize = -1L
     while (pos + 8 <= n && (byteRate < 0 || dataSize < 0)) {
-      val size = le32(pos + 4)
+      val p = pos.toInt // pos + 8 <= n ⇒ fits in Int
+      val size = le32(p + 4) // unsigned: 0 .. 0xFFFFFFFF, never negative
       val body = pos + 8
-      if (tag(pos, "fmt ") && size >= 16 && body + 12 + 4 <= n)
-        byteRate = le32(body + 8)
-      else if (tag(pos, "data"))
+      if (tag(p, "fmt ") && size >= 16 && body + 12 + 4 <= n)
+        byteRate = le32(body.toInt + 8)
+      else if (tag(p, "data"))
         dataSize = size
-      pos = body + size.toInt + (size.toInt & 1) // chunks pad to even
-      if (size < 0 || pos < body) return null // declared-size overflow
+      pos = body + size + (size & 1L) // chunks pad to even
     }
     if (byteRate <= 0 || dataSize < 0) null
     else new GenericArrayData(Array(dataSize, byteRate))
@@ -306,6 +393,116 @@ case class RiffDuration(child: Expression) extends MediaDuration {
   * its declared size, so a truncated capture with an intact moov still
   * answers. NULL for non-BMFF bytes, zero timescale, or a malformed
   * walk. */
+/** graft_mp3_duration(payload): `[num, denom]` (seconds = num/denom) of an
+  * MPEG-audio (mp3) payload — the most common audio format in a crawl —
+  * without a codec. Three bounded steps: (1) skip a leading ID3v2 tag by
+  * its syncsafe 28-bit declared size (+10 for the footer when its flag
+  * bit is set; a non-syncsafe size byte is malformed → NULL); (2) a
+  * bounded forward scan (≤ [[Mp3Duration.MaxSyncScan]] bytes — real
+  * files put the first frame right after the tag; the scan only
+  * tolerates small junk gaps) to the first VALID frame header: 11-bit
+  * sync + non-reserved version/layer + in-table bitrate/sample-rate
+  * indices, per ISO/IEC 11172-3 / 13818-3 framing; (3) duration. For a
+  * VBR file, the first frame carries a `Xing`/`Info` block at the
+  * side-info-sized offset (MPEG1: 17 mono / 32 stereo; MPEG2/2.5: 9 /
+  * 17 — both offsets exercised by fixtures) whose frame count gives the
+  * EXACT pair `[frames × samplesPerFrame, sampleRate]`. Otherwise the
+  * CBR fallback derives `[audioBytes × 8, bitrate_bps]` from the first
+  * header's declared bitrate over the byte span from the first frame to
+  * the end (minus a trailing 128-byte ID3v1 `TAG` when present) — the
+  * declared-rate estimate every tag reader uses. NULL for non-MPEG
+  * bytes, a tag with no frame behind it, or a truncated skip. */
+case class Mp3Duration(child: Expression) extends MediaDuration {
+  import Mp3Duration._
+  override def prettyName: String = TilePairs.Mp3DurationName
+
+  def compute(bytes: Array[Byte]): ArrayData = {
+    val n = bytes.length
+    def u(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      (u(i).toLong << 24) | (u(i + 1).toLong << 16) | (u(i + 2).toLong << 8) | u(i + 3).toLong
+    if (n < 4) return null
+    var pos = 0
+    if (n >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      // ID3v2: bytes 6-9 are a syncsafe size (7 bits each; a high bit set
+      // is malformed); flag bit 4 declares a 10-byte footer after the body
+      if ((u(6) | u(7) | u(8) | u(9)) >= 0x80) return null
+      val sz = (u(6) << 21) | (u(7) << 14) | (u(8) << 7) | u(9)
+      pos = 10 + sz + (if ((u(5) & 0x10) != 0) 10 else 0)
+    }
+    val scanEnd = math.min(n - 4, pos + MaxSyncScan)
+    while (pos >= 0 && pos <= scanEnd) {
+      if (u(pos) == 0xff && (u(pos + 1) & 0xe0) == 0xe0) {
+        val h1 = u(pos + 1); val h2 = u(pos + 2); val h3 = u(pos + 3)
+        val ver = (h1 >> 3) & 3 // 0 = MPEG2.5, 2 = MPEG2, 3 = MPEG1; 1 reserved
+        val layer = (h1 >> 1) & 3 // 1 = III, 2 = II, 3 = I; 0 reserved
+        val brIdx = (h2 >> 4) & 15 // 0 = "free format", 15 reserved
+        val srIdx = (h2 >> 2) & 3 // 3 reserved
+        if (ver != 1 && layer != 0 && brIdx != 0 && brIdx != 15 && srIdx != 3) {
+          val mpeg1 = ver == 3
+          val sampleRate =
+            (if (mpeg1) SrMpeg1 else if (ver == 2) SrMpeg2 else SrMpeg25)(srIdx)
+          val layerIdx = 3 - layer // 0 = I, 1 = II, 2 = III
+          val kbps = (if (mpeg1) BrMpeg1 else BrMpeg2)(layerIdx)(brIdx)
+          val samplesPerFrame =
+            if (layerIdx == 0) 384L
+            else if (layerIdx == 1) 1152L
+            else if (mpeg1) 1152L else 576L
+          val mono = ((h3 >> 6) & 3) == 3
+          // Xing/Info VBR block sits past the side-info region of the
+          // first frame; offset depends on version + channel mode
+          val xoff = pos + 4 +
+            (if (mpeg1) { if (mono) 17 else 32 } else { if (mono) 9 else 17 })
+          if (xoff + 12 <= n &&
+            ((bytes(xoff) == 'X' && bytes(xoff + 1) == 'i' &&
+              bytes(xoff + 2) == 'n' && bytes(xoff + 3) == 'g') ||
+              (bytes(xoff) == 'I' && bytes(xoff + 1) == 'n' &&
+                bytes(xoff + 2) == 'f' && bytes(xoff + 3) == 'o')) &&
+            (be32(xoff + 4) & 1L) != 0L) { // flags bit 0: frame count present
+            val frames = be32(xoff + 8)
+            return new GenericArrayData(
+              Array(frames * samplesPerFrame, sampleRate.toLong))
+          }
+          // CBR fallback: declared bitrate over the audio byte span,
+          // excluding a trailing 128-byte ID3v1 tag
+          var end = n
+          if (end - pos >= 132 && bytes(n - 128) == 'T' &&
+            bytes(n - 127) == 'A' && bytes(n - 126) == 'G') end = n - 128
+          return new GenericArrayData(
+            Array((end - pos).toLong * 8L, kbps.toLong * 1000L))
+        }
+      }
+      pos += 1
+    }
+    null
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+object Mp3Duration {
+  /** Junk tolerance between the ID3v2 tag (or payload start) and the first
+    * frame sync — bounds the scan so a non-MPEG payload that happens to
+    * start with `ID3` costs O(MaxSyncScan), never a full-payload walk. */
+  val MaxSyncScan = 2048
+
+  // ISO/IEC 11172-3 table B.2 (MPEG1) / 13818-3 (MPEG2 & 2.5 share one
+  // Layer II/III column) bitrates in kbps, indexed [layer−1][bitrateIdx]
+  private[functions] val BrMpeg1: Array[Array[Int]] = Array(
+    Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))
+  private[functions] val BrMpeg2: Array[Array[Int]] = Array(
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+  private[functions] val SrMpeg1 = Array(44100, 48000, 32000, -1)
+  private[functions] val SrMpeg2 = Array(22050, 24000, 16000, -1)
+  private[functions] val SrMpeg25 = Array(11025, 12000, 8000, -1)
+}
+
 case class Mp4Duration(child: Expression) extends MediaDuration {
   override def prettyName: String = TilePairs.Mp4DurationName
 
@@ -327,7 +524,11 @@ case class Mp4Duration(child: Expression) extends MediaDuration {
           if (pos + 16 > to) return null
           size = be64(pos.toInt + 8); hdr = 16L
         } else if (size == 0L) size = to - pos // box runs to EOF
-        if (size < hdr || pos + size > to) return null
+        // overflow-safe: pos ≤ to is invariant so (to − pos) cannot
+        // underflow, while (pos + size) wraps negative for a 64-bit
+        // largesize near Long.MaxValue and would re-enter the loop with
+        // truncated indices on a ~40-byte crafted payload.
+        if (size < hdr || size > to - pos) return null
         val body = pos + hdr
         if (!inMoov && tag(pos.toInt + 4, "moov")) {
           val r = walk(body, pos + size, inMoov = true)
@@ -353,6 +554,231 @@ case class Mp4Duration(child: Expression) extends MediaDuration {
       null
     }
     walk(0L, n.toLong, inMoov = false)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+/** graft_exif_gps(payload): GPS presence + signed decimal coordinates of a
+  * JPEG payload's EXIF — the privacy-policy gate an image-corpus release
+  * needs (the multimodal sibling of `redactPii`). Struct
+  * `(gps_present, lat, lon)`:
+  *
+  *   - NULL for payloads with no parseable EXIF TIFF at all;
+  *   - `(false, NULL, NULL)` when EXIF exists but IFD0 carries no GPS
+  *     Info pointer (tag 0x8825);
+  *   - `(true, …)` when the pointer exists — lat/lon are the EXIF
+  *     degree/minute/second RATIONAL triples folded to signed decimal
+  *     degrees (`d + m/60 + s/3600`, negated for `S`/`W` refs), NULL
+  *     individually when the triple is missing, truncated, or carries a
+  *     zero denominator. "Present but unreadable" still reports `true`:
+  *     the privacy gate must FLAG a payload whose GPS block it cannot
+  *     parse, never wave it through.
+  *
+  * The walk is [[ExifWalk]] (bounded, offset-validated) + one scan of
+  * IFD0 for the pointer + one scan of the GPS sub-IFD for tags 1-4
+  * (lat ref / lat / lon ref / lon). The decimal fold uses one fixed
+  * operation order so any IEEE-754 engine replays it bit-identically. */
+case class ExifGps(child: Expression) extends Expression {
+  import ExifWalk._
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def prettyName: String = TilePairs.ExifGpsName
+  override def dataType: DataType = StructType(Seq(
+    StructField("gps_present", BooleanType, nullable = false),
+    StructField("lat", DoubleType, nullable = true),
+    StructField("lon", DoubleType, nullable = true)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary input")
+
+  def compute(bytes: Array[Byte]): Any = {
+    val w = locate(bytes)
+    if (w == null) return null
+    val little = w.little
+    def e16(i: Int): Int = r16(bytes, i, little)
+    def e32(i: Int): Long = r32(bytes, i, little)
+    // IFD0 scan for the GPS Info pointer (LONG, count 1)
+    val c0 = math.min(e16(w.ifd0), MaxIfdEntries)
+    var gpsAt = -1L
+    var e = 0
+    while (e < c0 && gpsAt < 0) {
+      val at = w.ifd0 + 2 + 12 * e
+      if (at + 12 > w.segEnd) return null
+      if (e16(at) == GpsIfdPointerTag && e16(at + 2) == 4 && e32(at + 4) == 1L)
+        gpsAt = w.t + e32(at + 8)
+      e += 1
+    }
+    if (gpsAt < 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](false, null, null))
+    def flagged(lat: Any, lon: Any) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](true, lat, lon))
+    if (gpsAt < w.t || gpsAt + 2 > w.segEnd) return flagged(null, null)
+    val g = gpsAt.toInt
+    val cg = math.min(e16(g), MaxIfdEntries)
+    // one rational triple folded to decimal degrees; null on any defect
+    def triple(valOff: Long): Any = {
+      if (valOff < w.t || valOff + 24 > w.segEnd) return null
+      val v = valOff.toInt
+      var acc = 0.0
+      var k = 0
+      while (k < 3) {
+        val num = e32(v + 8 * k)
+        val den = e32(v + 8 * k + 4)
+        if (den == 0L) return null
+        val part = num.toDouble / den.toDouble
+        acc += (if (k == 0) part else if (k == 1) part / 60.0 else part / 3600.0)
+        k += 1
+      }
+      acc
+    }
+    var latRef = 0; var lonRef = 0 // first ASCII byte of tags 1 / 3
+    var lat: Any = null; var lon: Any = null
+    e = 0
+    while (e < cg) {
+      val at = g + 2 + 12 * e
+      if (at + 12 > w.segEnd) return flagged(null, null)
+      val tag = e16(at)
+      val typ = e16(at + 2)
+      val cnt = e32(at + 4)
+      if (tag == 1 && typ == 2) latRef = u(bytes, at + 8)
+      else if (tag == 3 && typ == 2) lonRef = u(bytes, at + 8)
+      else if (tag == 2 && typ == 5 && cnt == 3L) lat = triple(w.t + e32(at + 8))
+      else if (tag == 4 && typ == 5 && cnt == 3L) lon = triple(w.t + e32(at + 8))
+      e += 1
+    }
+    def signed(v: Any, ref: Int, neg: Int): Any = v match {
+      case d: Double => if (ref == neg) -d else d
+      case _ => null
+    }
+    flagged(signed(lat, latRef, 'S'), signed(lon, lonRef, 'W'))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val b = child.eval(input).asInstanceOf[Array[Byte]]
+    if (b == null) null else compute(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      Object ${ev.value}_o = null;
+      if (!${c.isNull}) ${ev.value}_o = $ref.compute(${c.value});
+      boolean ${ev.isNull} = ${ev.value}_o == null;
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = ${ev.isNull}
+        ? null : (org.apache.spark.sql.catalyst.InternalRow) ${ev.value}_o;
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+/** graft_exif_gps_strip(payload): the payload with its EXIF GPS Info
+  * scrubbed IN PLACE — the write half of [[ExifGps]]'s privacy gate.
+  * Because every TIFF offset is absolute (relative to the TIFF header),
+  * deleting bytes would shift and corrupt every later tag — so the scrub
+  * keeps the payload size and OVERWRITES: each GPS sub-IFD entry's
+  * out-of-line value region (the coordinate rationals), then the GPS
+  * sub-IFD block itself (count + entries + next-IFD), then the IFD0
+  * pointer entry (tag 0x8825 → 12 zero bytes — a reader sees tag 0,
+  * which no EXIF consumer interprets). Dimensions, orientation, and all
+  * other metadata survive untouched; [[ExifGps]] on the result reports
+  * `gps_present = false`. Payloads with no parseable EXIF or no GPS
+  * pointer return UNCHANGED (never NULL: the scrub is safe to run
+  * unconditionally across a mixed corpus). All offsets are validated
+  * against the APP1 segment, so a lying GPS block can at worst keep its
+  * own unparseable bytes — the pointer to it is still severed. */
+case class ExifGpsStrip(child: Expression) extends Expression {
+  import ExifWalk._
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def prettyName: String = TilePairs.ExifGpsStripName
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary input")
+
+  def compute(bytes: Array[Byte]): Array[Byte] = {
+    val w = locate(bytes)
+    if (w == null) return bytes
+    val little = w.little
+    def e16(i: Int): Int = r16(bytes, i, little)
+    def e32(i: Int): Long = r32(bytes, i, little)
+    val c0 = math.min(e16(w.ifd0), MaxIfdEntries)
+    var ptrAt = -1
+    var gpsAt = -1L
+    var e = 0
+    while (e < c0 && ptrAt < 0) {
+      val at = w.ifd0 + 2 + 12 * e
+      if (at + 12 > w.segEnd) return bytes
+      if (e16(at) == GpsIfdPointerTag && e16(at + 2) == 4 && e32(at + 4) == 1L) {
+        ptrAt = at
+        gpsAt = w.t + e32(at + 8)
+      }
+      e += 1
+    }
+    if (ptrAt < 0) return bytes
+    val out = bytes.clone()
+    if (gpsAt >= w.t && gpsAt + 2 <= w.segEnd) {
+      val g = gpsAt.toInt
+      val cg = math.min(e16(g), MaxIfdEntries)
+      e = 0
+      var ok = true
+      while (e < cg && ok) {
+        val at = g + 2 + 12 * e
+        if (at + 12 > w.segEnd) ok = false
+        else {
+          val ts = typeSize(e16(at + 2))
+          val sz = ts.toLong * e32(at + 4)
+          if (ts > 0 && sz > 4) { // out-of-line value: zero its region
+            val off = w.t + e32(at + 8)
+            if (off >= w.t && sz <= w.segEnd && off + sz <= w.segEnd)
+              java.util.Arrays.fill(out, off.toInt, (off + sz).toInt, 0.toByte)
+          }
+          e += 1
+        }
+      }
+      val blockEnd = math.min(gpsAt + 2 + 12L * cg + 4, w.segEnd.toLong)
+      java.util.Arrays.fill(out, g, blockEnd.toInt, 0.toByte)
+    }
+    java.util.Arrays.fill(out, ptrAt, ptrAt + 12, 0.toByte) // sever the pointer
+    out
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val b = child.eval(input).asInstanceOf[Array[Byte]]
+    if (b == null) null else compute(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      byte[] ${ev.value} = null;
+      if (!${c.isNull}) ${ev.value} = $ref.compute(${c.value});
+      boolean ${ev.isNull} = ${ev.value} == null;
+    """)
   }
 
   override protected def withNewChildrenInternal(

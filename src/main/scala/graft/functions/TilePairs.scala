@@ -42,7 +42,10 @@ object TilePairs {
   val JpegDimsName = "graft_jpeg_dims"
   val RiffDurationName = "graft_riff_duration"
   val Mp4DurationName = "graft_mp4_duration"
+  val Mp3DurationName = "graft_mp3_duration"
   val ExifOrientationName = "graft_exif_orientation"
+  val ExifGpsName = "graft_exif_gps"
+  val ExifGpsStripName = "graft_exif_gps_strip"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

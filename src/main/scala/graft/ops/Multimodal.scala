@@ -44,6 +44,8 @@ object Multimodal {
             .when(riffForm === "41564920", lit("avi"))
             .otherwise(lit("riff")))
         .when(boxType === "66747970", lit("mp4"))
+        .when(magic.startsWith("494433"), lit("mp3")) // ID3v2-tagged
+        .when(magic.rlike("^FF[EF]"), lit("mp3")) // bare MPEG frame sync
         .otherwise(lit("unknown"))
     // RIFF header: bytes 4-7 are the chunk size (little endian), which for a
     // complete file equals total length − 8
@@ -193,12 +195,58 @@ object Multimodal {
     }
   }
 
+  /** REAL EXIF GPS report from header bytes ([[graft.functions.ExifGps]]):
+    * appends `gps_present` (true whenever IFD0 carries a GPS Info pointer —
+    * even an unparseable one: the privacy gate must flag what it cannot
+    * read), `gps_lat`, `gps_lon` (signed decimal degrees, NULL when the
+    * rational triples are absent or defective). All three NULL for
+    * payloads with no parseable EXIF. The report half of the
+    * image-corpus privacy-release gate; [[stripExifGps]] is the scrub
+    * half. EXTENSION-REQUIRED (the graft_normalize convention). */
+  def withExifGps(df: DataFrame, binCol: String): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(binCol))
+    graft.core.Validators.requireColumnsAbsent(
+      df, Seq("gps_present", "gps_lat", "gps_lon"), "withExifGps")
+    require(df.sparkSession.catalog.functionExists(
+      graft.functions.TilePairs.ExifGpsName),
+      "withExifGps needs the native EXIF GPS kernel — set " +
+        "spark.sql.extensions=graft.functions.GraftExtensions")
+    val g = call_function(graft.functions.TilePairs.ExifGpsName, col(binCol))
+    df.withColumn("__graft_gps", g)
+      .withColumn("gps_present", col("__graft_gps.gps_present"))
+      .withColumn("gps_lat", col("__graft_gps.lat"))
+      .withColumn("gps_lon", col("__graft_gps.lon"))
+      .drop("__graft_gps")
+  }
+
+  /** Scrub EXIF GPS in place ([[graft.functions.ExifGpsStrip]]): replaces
+    * `binCol` with a same-size payload whose GPS sub-IFD (coordinate
+    * rationals included) is zeroed and whose IFD0 GPS pointer entry is
+    * severed — every other byte (dims, orientation, the image itself)
+    * survives untouched, because TIFF offsets are absolute and deletion
+    * would corrupt them. Payloads without EXIF or without GPS pass
+    * through unchanged, so the scrub is safe to run unconditionally
+    * across a mixed corpus. [[withExifGps]] on the result reports
+    * `gps_present = false`. EXTENSION-REQUIRED. */
+  def stripExifGps(df: DataFrame, binCol: String): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(binCol))
+    require(df.sparkSession.catalog.functionExists(
+      graft.functions.TilePairs.ExifGpsStripName),
+      "stripExifGps needs the native EXIF GPS kernel — set " +
+        "spark.sql.extensions=graft.functions.GraftExtensions")
+    df.withColumn(binCol,
+      call_function(graft.functions.TilePairs.ExifGpsStripName, col(binCol)))
+  }
+
   /** REAL media duration from header bytes — no codec, like [[imageDims]]:
     * RIFF/WAVE payloads walk their chunk chain to `fmt `'s byte rate and
     * `data`'s declared size ([[graft.functions.RiffDuration]] — even-offset
     * padding handled); ISO-BMFF (mp4/mov) payloads walk the box chain to
     * `moov`→`mvhd`'s timescale/duration ([[graft.functions.Mp4Duration]] —
-    * 64-bit largesize and both mvhd versions handled). Appends
+    * 64-bit largesize and both mvhd versions handled); MPEG-audio (mp3)
+    * payloads skip the ID3v2 tag, validate the first frame header, and
+    * read the Xing/Info VBR frame count — or fall back to declared-bitrate
+    * CBR math — ([[graft.functions.Mp3Duration]]). Appends
     * `media_duration_sec` (seconds, 6-dp — the exact integer pair divides
     * identically in any engine) and the raw `media_dur_num`/`media_dur_den`
     * pair, NULL for other formats or unparseable headers. A truncated
@@ -214,7 +262,8 @@ object Multimodal {
       df, Seq("media_duration_sec", "media_dur_num", "media_dur_den"),
       "withMediaDuration")
     val fns = Seq(graft.functions.TilePairs.RiffDurationName,
-      graft.functions.TilePairs.Mp4DurationName)
+      graft.functions.TilePairs.Mp4DurationName,
+      graft.functions.TilePairs.Mp3DurationName)
     require(fns.forall(df.sparkSession.catalog.functionExists),
       "withMediaDuration needs the native media kernels — set " +
         "spark.sql.extensions=graft.functions.GraftExtensions")
@@ -222,9 +271,15 @@ object Multimodal {
     val isWav = length(b) >= 12 && hex(substring(b, 1, 4)) === "52494646" &&
       hex(substring(b, 9, 4)) === "57415645"
     val isMp4 = length(b) >= 12 && hex(substring(b, 5, 4)) === "66747970"
+    // mp3 sniff: an ID3v2 tag, or a bare MPEG frame sync (11 set bits —
+    // the hex of the first two bytes is FFEx/FFFx; JPEG's FFD8 never
+    // matches, and WAV/MP4 are sniffed first anyway)
+    val isMp3 = length(b) >= 4 && (hex(substring(b, 1, 3)) === "494433" ||
+      hex(substring(b, 1, 2)).rlike("^FF[EF]"))
     val pair =
       when(isWav, call_function(graft.functions.TilePairs.RiffDurationName, b))
         .when(isMp4, call_function(graft.functions.TilePairs.Mp4DurationName, b))
+        .when(isMp3, call_function(graft.functions.TilePairs.Mp3DurationName, b))
     df.withColumn("__graft_md", pair)
       .withColumn("media_dur_num", element_at(col("__graft_md"), 1))
       .withColumn("media_dur_den", element_at(col("__graft_md"), 2))

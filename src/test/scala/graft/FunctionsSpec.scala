@@ -146,8 +146,9 @@ class FunctionsSpec extends SparkSpec {
       classOf[graft.functions.MinhashSig], classOf[graft.functions.BitmapOfSet],
       classOf[graft.functions.SimHash64], classOf[graft.functions.IvfCell],
       classOf[graft.functions.JpegDims], classOf[graft.functions.RiffDuration],
-      classOf[graft.functions.Mp4Duration],
-      classOf[graft.functions.ExifOrientation])
+      classOf[graft.functions.Mp4Duration], classOf[graft.functions.Mp3Duration],
+      classOf[graft.functions.ExifOrientation],
+      classOf[graft.functions.ExifGps], classOf[graft.functions.ExifGpsStrip])
       .foreach(c => classOf[CodegenFallback].isAssignableFrom(c) shouldBe false)
     // and a projection through them really compiles into a codegen stage
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -400,6 +401,185 @@ class FunctionsSpec extends SparkSpec {
       Seq((1, realWav)).toDF("id", "payload"), "payload")
       .select("media_duration_sec").head().getDouble(0)
     out shouldBe 0.5
+  }
+
+  test("media-duration walks survive lying sizes: BMFF largesize overflow, RIFF >2GiB chunks") {
+    def hx(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def be32b(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def le32b(v: Long): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val ftyp = be32b(16) ++ hx("66747970" + "69736F6D" + "00000200")
+    // a ~40-byte payload declaring a 64-bit largesize near Long.MaxValue:
+    // pos + size would wrap negative and re-enter the loop with truncated
+    // indices — must be NULL, not an exception or a hang
+    val evilLarge = ftyp ++ be32b(1) ++ hx("66726565") ++
+      hx("7FFFFFFFFFFFFFFF") ++ hx("0011223344556677")
+    val fmtChunk = hx("666D7420") ++ le32b(16) ++ hx("01000200") ++
+      le32b(8000) ++ le32b(32000) ++ hx("04001000")
+    // data chunk declaring 0x90000000 (>2 GiB, valid for WAV): the
+    // truncated-capture-with-declared-duration case — Int arithmetic
+    // would step the walk BACKWARDS; must report the declared pair
+    val bigData = hx("52494646") ++ le32b(100) ++ hx("57415645") ++
+      fmtChunk ++ hx("64617461") ++ le32b(0x90000000L) ++ hx("AA")
+    // a junk chunk declaring 0xFFFFFFFF before fmt: the walk steps past
+    // the payload end and must stop (NULL), never re-parse chunk bodies
+    val hugeJunk = hx("52494646") ++ le32b(100) ++ hx("57415645") ++
+      hx("4A554E4B") ++ le32b(0xFFFFFFFFL) ++ fmtChunk
+    val cases = Seq(
+      (1, evilLarge, false, None),
+      (2, bigData, true, Some((0x90000000L, 32000L))),
+      (3, hugeJunk, true, None))
+    val got = cases.map { case (id, b, _, _) => (id, b) }.toDF("id", "payload")
+      .select($"id",
+        when(hex(substring($"payload", 1, 4)) === "52494646",
+          call_function(TilePairs.RiffDurationName, $"payload"))
+          .otherwise(call_function(TilePairs.Mp4DurationName, $"payload")).as("p"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        Option(r.getSeq[Long](1)).map(s => (s(0), s(1)))).toMap
+    for ((id, _, _, want) <- cases) withClue(s"case $id:") { got(id) shouldBe want }
+  }
+
+  test("graft_mp3_duration: ID3 skip, Xing/Info VBR, CBR fallback, adversarial shapes") {
+    def hx(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def be32b(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val hdrM1S = hx("FFFB9000") // MPEG1 LIII 128k 44100 stereo
+    val hdrM1M = hx("FFFB90C0") // … mono
+    val hdrM2M = hx("FFF340C0") // MPEG2 LIII 32k 22050 mono
+    def fill(k: Int, b: Int = 0xAA): Array[Byte] = Array.fill(k)(b.toByte)
+    // ID3v2 header with a 33-byte body (syncsafe size, no footer)
+    val id3 = "ID3".getBytes ++ hx("030000") ++ hx("00000021") ++ new Array[Byte](33)
+    val cases: Seq[(Int, Array[Byte], Option[(Long, Long)])] = Seq(
+      // VBR stereo MPEG1: Xing at the 4+32 offset, frames flag set
+      (1, hdrM1S ++ new Array[Byte](32) ++ "Xing".getBytes ++
+        be32b(1) ++ be32b(2500), Some((2500L * 1152, 44100L))),
+      // VBR mono MPEG1: Xing at 4+17
+      (2, hdrM1M ++ new Array[Byte](17) ++ "Xing".getBytes ++
+        be32b(1) ++ be32b(300), Some((300L * 1152, 44100L))),
+      // VBR mono MPEG2 via the Info tag at 4+9; MPEG2 LIII = 576 samples
+      (3, hdrM2M ++ new Array[Byte](9) ++ "Info".getBytes ++
+        be32b(1) ++ be32b(77), Some((77L * 576, 22050L))),
+      // Xing present but frames flag CLEAR → CBR fallback over 48 bytes
+      (4, hdrM1S ++ new Array[Byte](32) ++ "Xing".getBytes ++
+        be32b(0) ++ be32b(2500), Some((48L * 8, 128000L))),
+      // bare CBR: 4-byte header + 996 audio bytes at 128 kbps
+      (5, hdrM1S ++ fill(996), Some((1000L * 8, 128000L))),
+      // ID3-prefixed CBR MPEG2 mono 32 kbps: tag skip lands on the sync
+      (6, id3 ++ hdrM2M ++ fill(60), Some((64L * 8, 32000L))),
+      // trailing ID3v1 'TAG' block excluded from the CBR span
+      (7, hdrM1S ++ fill(196, 0x11) ++ "TAG".getBytes ++ new Array[Byte](125),
+        Some((200L * 8, 128000L))),
+      // ID3 declaring 256 body bytes over a 15-byte payload → NULL
+      (8, "ID3".getBytes ++ hx("030000") ++ hx("00000200") ++ new Array[Byte](5), None),
+      // junk before the first sync: the bounded scan finds it
+      (9, new Array[Byte](7) ++ hdrM1S ++ fill(96), Some((100L * 8, 128000L))),
+      // free-format bitrate index 0 is not a valid header → NULL
+      (10, hx("FFFB0000") ++ new Array[Byte](60), None),
+      // reserved version bits (01) → NULL
+      (11, hx("FFEB9000") ++ new Array[Byte](60), None),
+      (12, "not audio at all".getBytes("UTF-8"), None))
+    val got = cases.map { case (id, b, _) => (id, b) }.toDF("id", "payload")
+      .select($"id", call_function(TilePairs.Mp3DurationName, $"payload").as("p"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        Option(r.getSeq[Long](1)).map(s => (s(0), s(1)))).toMap
+    for ((id, _, want) <- cases) withClue(s"case $id:") { got(id) shouldBe want }
+    // the op routes mp3 payloads (ID3-tagged AND bare-sync) to the kernel
+    val out = graft.ops.Multimodal.withMediaDuration(
+      Seq((1, id3 ++ hdrM2M ++ fill(60)), (2, hdrM1S ++ fill(996)))
+        .toDF("id", "payload"), "payload")
+      .orderBy("id").select("media_duration_sec").collect().map(_.getDouble(0))
+    out(0) shouldBe (64.0 * 8 / 32000.0) +- 1e-9
+    out(1) shouldBe (8000.0 / 128000.0) +- 1e-9
+  }
+
+  test("graft_exif_gps + strip: both byte orders, refs, defects; scrub zeroes and severs") {
+    def hx(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def ii16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def ii32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def mm16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    def mm32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val sof = hx("FFC0000B08" + "0064" + "00C8" + "01011100") // h=100, w=200
+    def app1(tiff: Array[Byte]): Array[Byte] = {
+      val body = hx("457869660000") ++ tiff
+      hx("FFE1") ++ Array(((body.length + 2) >> 8).toByte,
+        ((body.length + 2) & 0xff).toByte) ++ body
+    }
+    def gpsTiff(little: Boolean, latRef: Char, lonRef: Char,
+        latSecDen: Long = 100L): Array[Byte] = {
+      val e16 = if (little) ii16 _ else mm16 _
+      val e32 = if (little) ii32 _ else mm32 _
+      def entry(tag: Int, typ: Int, cnt: Long, v: Array[Byte]) =
+        e16(tag) ++ e16(typ) ++ e32(cnt) ++ v
+      val hdr = (if (little) hx("49492A00") else hx("4D4D002A")) ++ e32(8)
+      val ifd0 = e16(2) ++
+        entry(0x0100, 3, 1, e32(999)) ++ // decoy ImageWidth
+        entry(0x8825, 4, 1, e32(38)) ++ e32(0)
+      val gps = e16(4) ++
+        entry(1, 2, 2, latRef.toByte +: Array[Byte](0, 0, 0)) ++
+        entry(2, 5, 3, e32(92)) ++
+        entry(3, 2, 2, lonRef.toByte +: Array[Byte](0, 0, 0)) ++
+        entry(4, 5, 3, e32(116)) ++ e32(0)
+      val latRats = e32(10) ++ e32(1) ++ e32(30) ++ e32(1) ++ e32(4500) ++ e32(latSecDen)
+      val lonRats = e32(20) ++ e32(1) ++ e32(15) ++ e32(1) ++ e32(0) ++ e32(100)
+      hdr ++ ifd0 ++ gps ++ latRats ++ lonRats
+    }
+    val expLat = 10.0 + 30.0 / 60.0 + (4500.0 / 100.0) / 3600.0
+    val expLon = 20.0 + 15.0 / 60.0 + (0.0 / 100.0) / 3600.0
+    // EXIF with orientation only — no GPS pointer
+    val noGpsTiff = hx("49492A0008000000" + "0100" +
+      "12010300" + "01000000" + "06000000" + "00000000")
+    // GPS pointer aiming past the segment: present, unreadable
+    val oobTiff = hx("49492A0008000000" + "0100" +
+      "25880400" + "01000000" + "88130000" + "00000000")
+    val cases: Seq[(Int, Array[Byte], Option[(Boolean, Option[Double], Option[Double])])] = Seq(
+      (1, hx("FFD8") ++ app1(gpsTiff(little = true, 'N', 'E')) ++ sof,
+        Some((true, Some(expLat), Some(expLon)))),
+      (2, hx("FFD8") ++ app1(gpsTiff(little = false, 'S', 'W')) ++ sof,
+        Some((true, Some(-expLat), Some(-expLon)))),
+      // zero denominator on the lat seconds → lat NULL, lon intact
+      (3, hx("FFD8") ++ app1(gpsTiff(little = true, 'N', 'E', latSecDen = 0L)) ++ sof,
+        Some((true, None, Some(expLon)))),
+      (4, hx("FFD8") ++ app1(noGpsTiff) ++ sof, Some((false, None, None))),
+      (5, hx("FFD8") ++ app1(oobTiff) ++ sof, Some((true, None, None))),
+      (6, hx("FFD8") ++ sof, None), // no EXIF at all
+      (7, "not an image".getBytes("UTF-8"), None))
+    val got = cases.map { case (id, b, _) => (id, b) }.toDF("id", "payload")
+      .select($"id", call_function(TilePairs.ExifGpsName, $"payload").as("g"))
+      .select($"id", $"g.gps_present", $"g.lat", $"g.lon")
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some((
+        r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))))
+      .toMap
+    for ((id, _, want) <- cases) withClue(s"case $id:") { got(id) shouldBe want }
+    // strip: same size, GPS gone, the rest of the JPEG intact
+    val withGps = hx("FFD8") ++ app1(gpsTiff(little = true, 'N', 'E')) ++ sof
+    val stripped = graft.ops.Multimodal.stripExifGps(
+      Seq((1, withGps)).toDF("id", "payload"), "payload")
+      .select("payload").head().getAs[Array[Byte]](0)
+    stripped.length shouldBe withGps.length
+    stripped should not equal withGps
+    // the TIFF header sits at abs 12 (FFD8 + FFE1 + len + Exif\0\0);
+    // lat rationals at t+92 must be zeroed by the scrub
+    stripped.slice(12 + 92, 12 + 92 + 48).forall(_ == 0) shouldBe true
+    val after = Seq((1, stripped)).toDF("id", "payload")
+      .select(call_function(TilePairs.ExifGpsName, $"payload").as("g"),
+        call_function(TilePairs.JpegDimsName, $"payload").as("d"))
+      .head()
+    after.getStruct(0).getBoolean(0) shouldBe false
+    after.getSeq[Long](1) shouldBe Seq(200L, 100L) // SOF walk still intact
+    // payloads without GPS pass through byte-identical
+    val noGps = hx("FFD8") ++ app1(noGpsTiff) ++ sof
+    graft.ops.Multimodal.stripExifGps(
+      Seq((1, noGps)).toDF("id", "payload"), "payload")
+      .select("payload").head().getAs[Array[Byte]](0) shouldBe noGps
   }
 
   test("graft_exif_orientation: IFD walk — both byte orders, decoys, malformed EXIF") {
