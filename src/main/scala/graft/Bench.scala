@@ -68,6 +68,11 @@ object Bench {
       }
       (1 to warmups).foreach(_ => once())
       val timed = (1 to reps).map(_ => once()).sorted
+      // drop anything a query cached (fit tables, bloom/BPE models,
+      // on-disk index frames) so the alphabetically-late tail doesn't run
+      // under the accumulated cache pressure of 250+ earlier queries —
+      // round 11's two driver-bench regressions sat exactly there
+      spark.catalog.clearCache()
       // true median: average the two middles for even rep counts (the
       // upper-middle alone would bias toward a repeated stall)
       val median =

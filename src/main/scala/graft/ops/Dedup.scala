@@ -596,6 +596,12 @@ object Dedup {
     * rejects a true-0.8 pair with p ≈ 1e-6 at 64 hashes (σ ≈ 0.05). */
   val DefaultEstThreshold: Double = 0.5625
 
+  /** Default enforced sample cap for [[minhashCalibration]]: 100k docs is
+    * ~5 × 10⁹ potential pairs BEFORE the inverted-index prefix filter —
+    * ample statistics for a banding curve, bounded even on a corpus
+    * whose truth grading would otherwise go quadratic. */
+  val DefaultCalibrationSampleRows: Long = 100000L
+
   /** THRESHOLD CALIBRATION for the MinHash-LSH near-dup pipeline — the
     * dedup-side sibling of `sim_recall`: grade the candidate stage
     * ([[minhashCandidates]]' banding + inline-estimate filter, the exact
@@ -621,9 +627,18 @@ object Dedup {
     * collapse [[minhashDedupPairs]] applies, via min id): the banding
     * never sees exact duplicates, so grading it on representatives
     * grades what it actually does. Truth is an inverted-index exact
-    * join (pairs sharing ≥1 shingle), never all-pairs; at corpus scale
-    * calibrate on a bounded sample of the corpus — the report is
-    * configuration evidence, not a per-document operator.
+    * join (pairs sharing ≥1 shingle), never all-pairs; the
+    * bounded-sample-at-corpus-scale contract is ENFORCED, not advisory:
+    * inputs beyond `maxSampleRows` (default
+    * [[DefaultCalibrationSampleRows]]) are cut to a deterministic
+    * id-hash sample via [[Sampling.hashSampleAtMost]] BEFORE any wide
+    * op, so the truth grading can never silently go quadratic on a
+    * template-heavy corpus — the report is configuration evidence, not
+    * a per-document operator. Inputs at or under the cap are exact and
+    * untouched. Every threshold always yields a row — a corpus with
+    * zero candidate AND zero truth pairs reports all-zero counts per
+    * threshold ("zero recall evidence"), never an empty frame ("no
+    * evidence").
     *
     * Returns the report; [[calibrationCandidatePairs]] exposes the raw
     * candidate pair frame it grades (the driver oracle's aux dump). */
@@ -637,13 +652,15 @@ object Dedup {
       thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
       estThreshold: Double = DefaultEstThreshold,
       maxBucketSize: Int = 100000,
+      maxSampleRows: Long = DefaultCalibrationSampleRows,
   ): DataFrame = {
     require(thresholds.nonEmpty, "minhashCalibration: empty threshold grid")
     require(thresholds.forall(t => t > 0.0 && t <= 1.0),
       "minhashCalibration: thresholds must be in (0, 1]")
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val minT = thresholds.min
-    val groups = dupGroups(df, idCol, textCol)
+    val groups = dupGroups(
+      Sampling.hashSampleAtMost(df, idCol, maxSampleRows), idCol, textCol)
     val reps = groups.select(col("ids").getItem(0).as("id"), col("text"))
     val truth = ngramJaccardPairsDistinct(reps, n, minT, maxShingleFreq = 1000000L)
     val cands = calibrationCandidates(
@@ -656,7 +673,7 @@ object Dedup {
     // the grid rides as a literal-array explode (a 5× narrow fan-out),
     // NOT a cross join — a BroadcastNestedLoopJoin for a 5-row grid is
     // plan noise the smoke spec rightly bans
-    joined
+    val counts = joined
       .withColumn("threshold", explode(typedLit(thresholds.sorted)))
       .groupBy("threshold")
       .agg(
@@ -664,6 +681,15 @@ object Dedup {
         sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_candidates"),
         sum(when(col("is_cand") && col("j") >= col("threshold"), 1L)
           .otherwise(0L)).as("tp"))
+    // the grid is its own driver-built frame, left-joined (broadcast, no
+    // shuffle): a corpus with zero candidate AND zero truth pairs still
+    // yields one all-zero row per threshold — "zero recall", distinct
+    // from "no evidence" (the literal values match typedLit's bit-exact)
+    val grid = Sampling.localFrame(df.sparkSession,
+      Seq("threshold" -> org.apache.spark.sql.types.DoubleType),
+      thresholds.sorted.map(org.apache.spark.sql.Row(_)))
+    grid.join(broadcast(counts), Seq("threshold"), "left")
+      .na.fill(0L, Seq("n_true", "n_candidates", "tp"))
       .withColumn("fp", col("n_candidates") - col("tp"))
       .withColumn("fn", col("n_true") - col("tp"))
       .withColumn("precision",
@@ -690,8 +716,10 @@ object Dedup {
       bands: Int = 32,
       estThreshold: Double = DefaultEstThreshold,
       maxBucketSize: Int = 100000,
+      maxSampleRows: Long = DefaultCalibrationSampleRows,
   ): DataFrame = {
-    val groups = dupGroups(df, idCol, textCol)
+    val groups = dupGroups(
+      Sampling.hashSampleAtMost(df, idCol, maxSampleRows), idCol, textCol)
     val reps = groups.select(col("ids").getItem(0).as("id"), col("text"))
     calibrationCandidates(reps, n, numHashes, bands, estThreshold, maxBucketSize)
   }

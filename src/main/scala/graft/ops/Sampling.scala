@@ -106,6 +106,28 @@ object Sampling {
     df.filter(pmod(minstdHash(col(idCol)), lit(100L)) < percent)
   }
 
+  /** [[hashSample]] with a ROW CAP instead of a rate: keep roughly (never
+    * deliberately more than) `maxRows` rows, chosen by id hash — the
+    * enforcement half of a "bounded sample at corpus scale" contract. One
+    * `count()` job sizes the frame; at or under the cap the frame passes
+    * through UNTOUCHED (small inputs are exact, which keeps sf-scale
+    * oracles byte-stable), over it the kept fraction is
+    * `floor(maxRows/total · 1e6)` parts-per-million of the id-hash space
+    * (floored so the expected sample is ≤ maxRows; hash unevenness can
+    * overshoot by O(√maxRows), and a total beyond 1e6 × maxRows keeps the
+    * 1-ppm floor — both noted here rather than hidden). Deterministic:
+    * the same ids survive on every run, engine, and partitioning. */
+  def hashSampleAtMost(df: DataFrame, idCol: String, maxRows: Long): DataFrame = {
+    require(maxRows > 0, "maxRows must be positive")
+    graft.core.Validators.requireColumns(df, Seq(idCol))
+    val total = df.count()
+    if (total <= maxRows) df
+    else {
+      val ppm = math.max(1L, maxRows * 1000000L / total)
+      df.filter(pmod(minstdHash(col(idCol)), lit(1000000L)) < ppm)
+    }
+  }
+
   /** The shared split decision of [[trainTestSplit]] and
     * [[leakageSafeSplit]]: "train" iff the id's hash bucket is below the
     * percent, "test" otherwise (including a NULL id — the hash comparison

@@ -4067,6 +4067,38 @@ class OpsSpec extends SparkSpec {
       Dedup.minhashCalibration(d, "doc_id", "text", thresholds = Seq(1.5))
   }
 
+  test("Dedup.minhashCalibration: enforced sample cap, and every threshold always yields a row") {
+    // the bounded-sample contract is API-enforced: 200 template docs with
+    // a cap of 40 must grade a hash-sample, not the full corpus — the
+    // graded doc universe is bounded by the cap's ppm math, never ~full
+    val docs = (1L to 200L)
+      .map(i => (i, s"shared boilerplate template text block number ${i % 7} tail $i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.calibrationCandidatePairs(
+      docs, "doc_id", "text", maxSampleRows = 40L)
+      .select(explode(array($"id_a", $"id_b")).as("id")).distinct().count()
+    val sampled = graft.ops.Sampling.hashSampleAtMost(docs, "doc_id", 40L).count()
+    sampled should be < 200L // the cap really cut the input
+    capped should be <= sampled
+    // at or under the cap the frame passes through exact (oracle stability)
+    graft.ops.Sampling.hashSampleAtMost(docs, "doc_id", 200L).count() shouldBe 200L
+    // a corpus with zero candidate AND zero truth pairs still reports one
+    // all-zero row per threshold — "zero recall", not "no evidence"
+    val disjoint = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot"),
+      (2L, "golf hotel india juliet kilo lima")).toDF("doc_id", "text")
+    val rep = Dedup.minhashCalibration(disjoint, "doc_id", "text",
+      thresholds = Seq(0.5, 0.9))
+      .orderBy("threshold")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    rep.length shouldBe 2
+    rep.map(_._1).toSeq shouldBe Seq(0.5, 0.9)
+    rep.foreach { case (_, nTrue, nCand, tp, fp, fn) =>
+      (nTrue, nCand, tp, fp, fn) shouldBe ((0L, 0L, 0L, 0L, 0L))
+    }
+  }
+
   test("Cdx.closestCaptures: epoch distance beats digit distance, ties earlier then by tieCols, malformed ts never wins") {
     val index = Seq(
       // k1: Jan 1 vs Feb 1 captures — target Jan 25 is 7 days from Feb,
