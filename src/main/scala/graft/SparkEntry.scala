@@ -353,19 +353,54 @@ object SparkEntry {
         recordIdOf = r => s"<urn:graft:link-${r.getLong(0)}>",
         targetUriOf = r =>
           s"https://www.${r.getString(4)}.co.uk/p/${r.getLong(0)}/index.html")
-      // ...and the WAT metadata sidecar (warc_wat_links): per page, one
-      // `metadata` record whose JSON payload pre-parses the page —
-      // title, three anchor links (absolute / protocol-relative /
-      // root-relative, so WAT-side resolution is exercised), one
-      // text-less anchor, and one IMG resource the anchors-only default
-      // must drop. The oracle replays every row from the source columns.
+      // ...and the WAT metadata sidecar (warc_wat_links /
+      // warc_wat_meta): per page, one `metadata` record whose JSON
+      // payload pre-parses the page — title, three anchor links
+      // (absolute / protocol-relative / root-relative, so WAT-side
+      // resolution is exercised), one text-less anchor, and one IMG
+      // resource the anchors-only default must drop; PLUS the full-
+      // enrichment surfaces mirroring docs_links' head shapes: Metas
+      // with the %4 description logic (absent-with-"descriptions"-decoy
+      // on 3, listed SECOND behind a viewport decoy on 0 — the
+      // first-match filter must not grab position 0), Head.Link with
+      // the %5 canonical logic (absent / relative / absolute) behind a
+      // stylesheet decoy, a %3-cycled Content-Type header, and a
+      // %7==3→404 status. The oracles replay every row from the source
+      // columns.
       writeArchive("docs_wat.warc", "metadata", "application/json",
         payloadOf = { r =>
           val id = r.getLong(0)
           val source = r.getString(4)
+          val desc =
+            if (id % 4 == 3)
+              s"""{"name": "descriptions", "content": "decoy $id never extracted"}"""
+            else s"""{"name": "description", "content": "summary ${id % 7} of page"}"""
+          val metas =
+            if (id % 4 == 0)
+              s"""[{"name": "viewport", "content": "width=device-width"}, $desc]"""
+            else s"""[$desc, {"name": "viewport", "content": "width=device-width"}]"""
+          val canonicalEntry =
+            if (id % 5 == 0) ""
+            else {
+              val target =
+                if (id % 5 == 2) s"/c/${id / 3}"
+                else s"https://www.$source.co.uk/c/${id / 3}"
+              s"""{"path": "LINK@/href", "url": "$target", "rel": "canonical"}, """
+            }
+          val headLink =
+            s"""[$canonicalEntry{"path": "LINK@/href", "url": "/style.css", "rel": "stylesheet"}]"""
+          val status = if (id % 7 == 3) "404" else "200"
+          val ct = (id % 3) match {
+            case 0 => "text/html; charset=UTF-8"
+            case 1 => "text/html"
+            case _ => "application/xhtml+xml"
+          }
           (s"""{"Envelope": {"WARC-Header-Metadata": {"WARC-Type": "response"}, """ +
-            s""""Payload-Metadata": {"HTTP-Response-Metadata": {"HTML-Metadata": {""" +
-            s""""Head": {"Title": "Page $id - $source"}, "Links": [""" +
+            s""""Payload-Metadata": {"HTTP-Response-Metadata": {""" +
+            s""""Response-Message": {"Status": "$status"}, """ +
+            s""""Headers": {"Content-Type": "$ct"}, """ +
+            s""""HTML-Metadata": {""" +
+            s""""Head": {"Title": "Page $id - $source", "Metas": $metas, "Link": $headLink}, "Links": [""" +
             s"""{"path": "A@/href", "url": "https://src${id % 7}-news.com/a/b", "text": "partner"}, """ +
             s"""{"path": "A@/href", "url": "//cdn.$source.net/lib.js", "text": "cdn"}, """ +
             s"""{"path": "A@/href", "url": "/about/contact.html", "text": "about"}, """ +
@@ -2356,6 +2391,18 @@ object SparkEntry {
         "payload", "target_uri")
         .withColumn("wat_title", graft.ops.LinkGraph.watTitle(col("payload")))
         .select("record_id", "wat_title", "link_url", "anchor_text")),
+    // FULL WAT enrichment — the sidecar route to warc_html_meta's ingest
+    // columns plus the header half (content type, status), so a WAT-only
+    // ingest needs no raw fetch bytes. One narrow JSON projection; the
+    // oracle replays every shape (decoy meta name, position-1
+    // description, verbatim relative canonical, 404s) from the source
+    // columns.
+    "warc_wat_meta" -> ((s, dir) =>
+      graft.ops.LinkGraph.watHeadMeta(
+        graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_wat.warc")
+          .select("record_id", "payload"),
+        "payload")
+        .drop("payload")),
     // HEAD metadata ingest columns — title, meta description (both
     // attribute orders), rel=canonical (both orders, absent on every
     // 5th page, RELATIVE on every 5th-plus-2). One narrow projection;
@@ -4263,7 +4310,22 @@ object SparkEntry {
 
   /** DuckDB-runnable ANSI SQL oracle for each query key. Column names/aliases
     * match the Spark outputs exactly (the driver sorts columns by name before
-    * hashing). */
+    * hashing).
+    *
+    * TERMINAL-CAST RULE (the round-11 `stream_frontier_schedule` red):
+    * DuckDB widens integer aggregates — `SUM(BIGINT)` is HUGEINT,
+    * `COUNT(*)` arithmetic can follow it — and a HUGEINT column reaches
+    * the driver's dtype-sensitive hash as float64 while Spark emits
+    * int64, failing the compare on BIT-IDENTICAL values. So: every FINAL
+    * emitted column whose value derives from a DuckDB SUM/COUNT (windowed
+    * or grouped, directly or through +/-/* arithmetic) must wrap its
+    * outermost integer expression in `CAST(… AS BIGINT)`. Intermediate
+    * CTE columns only need the cast if they flow to an emitted integer
+    * column without one of their own. Columns emitted as doubles
+    * (ratios, `round(…)`) are exempt — the division already leaves
+    * HUGEINT. Sibling conventions: non-ASCII literals ride as `\uXXXX`
+    * escapes (the CharsetMarker convention), and `{GRAFT_OUT}` resolves
+    * to the Verify dump directory for aux-table oracles. */
   def oracleSql: Map[String, String] = Map(
     "imp_mean" ->
       s"""WITH t AS ($qtyNullsSql)
@@ -5915,6 +5977,28 @@ object SparkEntry {
         |       'https://www.' || source || '.co.uk/p/' || doc_id ||
         |         '/archive/page' || (doc_id % 5) || '.html',
         |       NULL FROM u""".stripMargin,
+    // Every sidecar-enrichment shape replayed from the source columns:
+    // description NULL on %4==3 (the "descriptions" decoy must not
+    // leak), found at position 1 on %4==0; canonical NULL on %5==0 and
+    // VERBATIM otherwise (relative stays relative); the %3 content-type
+    // cycle; the %7==3 404s.
+    "warc_wat_meta" ->
+      """SELECT '<urn:graft:wat-' || doc_id || '>' AS record_id,
+        |       'Page ' || doc_id || ' - ' || source AS wat_title,
+        |       CASE WHEN doc_id % 4 = 3 THEN NULL
+        |            ELSE 'summary ' || (doc_id % 7) || ' of page' END
+        |         AS meta_description,
+        |       CASE WHEN doc_id % 5 = 0 THEN NULL
+        |            WHEN doc_id % 5 = 2 THEN '/c/' || (doc_id // 3)
+        |            ELSE 'https://www.' || source || '.co.uk/c/' ||
+        |                 (doc_id // 3) END AS canonical_url,
+        |       CASE CAST(doc_id % 3 AS INTEGER)
+        |         WHEN 0 THEN 'text/html; charset=UTF-8'
+        |         WHEN 1 THEN 'text/html'
+        |         ELSE 'application/xhtml+xml' END AS content_type,
+        |       CAST(CASE WHEN doc_id % 7 = 3 THEN 404 ELSE 200 END
+        |            AS INTEGER) AS http_status
+        |FROM documents""".stripMargin,
     // Every head-block shape replayed: title always, description NULL on
     // %4==3 (reversed attribute order on %4==0 extracts identically),
     // canonical NULL on %5==0 and VERBATIM otherwise — the relative

@@ -113,12 +113,15 @@ object LinkGraph {
       .drop("__graft_pair", "__graft_h")
   }
 
-  /** The WAT `Links` array location (Common Crawl's metadata sidecar:
-    * one JSON document per capture under
-    * Envelope → Payload-Metadata → HTTP-Response-Metadata →
-    * HTML-Metadata). Bracket segments: the keys carry hyphens. */
-  private val WatHtmlMeta =
-    "$.Envelope['Payload-Metadata']['HTTP-Response-Metadata']['HTML-Metadata']"
+  /** The WAT HTTP-response-metadata location (Common Crawl's metadata
+    * sidecar: one JSON document per capture under
+    * Envelope → Payload-Metadata → HTTP-Response-Metadata). Bracket
+    * segments: the keys carry hyphens. */
+  private val WatHttpMeta =
+    "$.Envelope['Payload-Metadata']['HTTP-Response-Metadata']"
+
+  /** …and its HTML-Metadata subtree (the `Links` array, `Head` block). */
+  private val WatHtmlMeta = WatHttpMeta + "['HTML-Metadata']"
 
   private val WatLinkSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("path",
@@ -169,6 +172,68 @@ object LinkGraph {
     * (HTML-Metadata → Head → Title); NULL when absent. */
   def watTitle(payload: Column): Column =
     get_json_object(payload, WatHtmlMeta + ".Head.Title")
+
+  private val WatMetaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("name",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.StringType)))
+
+  private val WatHeadLinkSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("url",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("rel",
+      org.apache.spark.sql.types.StringType)))
+
+  /** FULL head + header enrichment from a WAT metadata payload — the
+    * sidecar route to the same ingest columns [[TextOps.htmlHead]]
+    * extracts from raw HTML, so a WAT-only pipeline (Common Crawl ships
+    * the sidecars precisely so ingest can skip the raw fetch bytes) gets
+    * metadata parity. Appends:
+    *
+    *  - `wat_title` — Head → Title ([[watTitle]]);
+    *  - `meta_description` — the first Head → Metas entry whose `name`
+    *    is exactly `description` case-insensitively (the JSON twin of
+    *    htmlHead's exact-token match: a `descriptions` decoy must NOT
+    *    leak through a prefix match), NULL when absent;
+    *  - `canonical_url` — the first Head → Link entry with
+    *    `rel = canonical`, VERBATIM as declared (relative hrefs stay
+    *    relative — resolution is the dedup consumer's job, this op
+    *    reports what the sidecar declared, the htmlHead contract);
+    *  - `content_type` — Headers → Content-Type as sent;
+    *  - `http_status` — Response-Message → Status as an int.
+    *
+    * Absent/malformed subtrees yield NULLs for that record, never an
+    * error (`from_json` lenient, `get` instead of ANSI `element_at`).
+    * Scale shape: narrow per-row JSON projections — no explode, no
+    * shuffle. */
+  def watHeadMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(payloadCol))
+    graft.core.Validators.requireColumnsAbsent(
+      df, Seq("wat_title", "meta_description", "canonical_url",
+        "content_type", "http_status"), "watHeadMeta")
+    val p = col(payloadCol)
+    val metas = from_json(
+      get_json_object(p, WatHtmlMeta + ".Head.Metas"),
+      org.apache.spark.sql.types.ArrayType(WatMetaSchema))
+    val headLinks = from_json(
+      get_json_object(p, WatHtmlMeta + ".Head.Link"),
+      org.apache.spark.sql.types.ArrayType(WatHeadLinkSchema))
+    df.withColumn("wat_title", watTitle(p))
+      .withColumn("meta_description",
+        get(filter(metas, m => lower(m.getField("name")) === "description"),
+          lit(0)).getField("content"))
+      .withColumn("canonical_url",
+        get(filter(headLinks, l => lower(l.getField("rel")) === "canonical"),
+          lit(0)).getField("url"))
+      .withColumn("content_type",
+        get_json_object(p, WatHttpMeta + ".Headers['Content-Type']"))
+      .withColumn("http_status",
+        get_json_object(p, WatHttpMeta + "['Response-Message'].Status")
+          .cast("int"))
+  }
 
   /** Resolve `ref` to an ABSOLUTE URL against `base` — the RFC-3986-lite
     * rule set documented on [[extractLinks]] (absolute kept,

@@ -186,16 +186,19 @@ object Robots {
     * whose host has no applicable rules — or no rules at all — is
     * allowed.
     *
-    * Scale shape: the URL side is scanned ONCE — one narrow target
-    * projection, then one LEFT join keyed on host with the regex match
-    * inside the join condition (unmatched URLs keep their row with a
-    * NULL rule, so rule-less hosts cost no second pass), then one
-    * per-URL best-rule window (longest rule wins, allow beats disallow
-    * on ties, the no-rule NULL row losing to any real match). The rules
-    * side is unhinted — hosts-sized in practice (AQE broadcasts it when
-    * small), shuffled by host like any join at crawl scale. The regex
-    * evaluation is per (url, same-host candidate rule) — robots files
-    * are tens of rules, so the fan-out is bounded per URL. */
+    * Scale shape: the rules collapse to ONE precedence-sorted array per
+    * host (a hosts-sized aggregate — longest rule first, allow before
+    * disallow on length ties, robots precedence baked into the sort
+    * key), the URL side takes one narrow target projection + one LEFT
+    * join keyed on host (hosts-sized build side: AQE broadcasts it),
+    * and the verdict is the first array entry whose pattern matches —
+    * a per-row higher-order `filter`, so the URL side never shuffles
+    * and never widens. The regex evaluation count is the same per
+    * (url, same-host rule) bound as a join-condition match — robots
+    * files are tens of rules. STREAM-CAPABLE: every URL-side op is a
+    * narrow projection or a stream-static join, so the gate drops into
+    * a live frontier ([[graft.streaming.StreamingOps.politenessSchedule]]'s
+    * recrawl loop) unchanged. */
   def robotsAllowed(
       urls: DataFrame,
       urlCol: String,
@@ -205,13 +208,18 @@ object Robots {
     graft.core.Validators.requireColumns(urls, Seq(urlCol))
     graft.core.Validators.requireColumnsAbsent(urls, Seq(outCol), "robotsAllowed")
     require(agent.nonEmpty, "robotsAllowed: agent must be non-empty")
-    import org.apache.spark.sql.expressions.Window
-    // helper-prefixed rule columns so a urls frame carrying its own
-    // kind/pattern/… columns can never collide with the join
+    // one precedence-sorted rule array per host: sort_array ascending on
+    // (−rule_len, kind rank) puts the longest rule first and allow (0)
+    // before disallow (1) on ties — the robots precedence order, so the
+    // FIRST matching entry is the verdict. Helper-prefixed so a urls
+    // frame carrying its own kind/pattern/… columns can never collide.
     val applicable = agentSelected(rules, agent)
       .filter(col("kind").isin("allow", "disallow")) // crawl-delay rows aside
-      .select(col("host").as("__g_rh"), col("kind").as("__g_kind"),
-        col("rule_len").as("__g_len"), col("pattern").as("__g_pat"))
+      .groupBy(col("host").as("__g_rh"))
+      .agg(sort_array(collect_list(struct(
+        (-col("rule_len")).as("nl"),
+        when(col("kind") === "allow", 0).otherwise(1).as("kr"),
+        col("pattern").as("pat")))).as("__g_rules"))
     // fragments are never sent to the server: strip them BEFORE the
     // query extraction, so a '?' inside the fragment can't resurrect as
     // a query string
@@ -224,19 +232,13 @@ object Robots {
           when(regexp_extract(noFrag, "\\?(.*)$", 1) =!= "",
             concat(lit("?"), regexp_extract(noFrag, "\\?(.*)$", 1)))
             .otherwise(lit(""))))
-      .withColumn("__g_uid", monotonically_increasing_id())
+    val verdict = get(
+      filter(col("__g_rules"),
+        r => regexp_like(col("__g_target"), r.getField("pat"))),
+      lit(0)).getField("kr")
     keyed
-      .join(applicable,
-        col("__g_host") === col("__g_rh") &&
-          regexp_like(col("__g_target"), col("__g_pat")),
-        "left")
-      .withColumn("__g_rn", row_number().over(
-        Window.partitionBy(col("__g_uid"))
-          .orderBy(col("__g_len").desc_nulls_last,
-            when(col("__g_kind") === "allow", 0).otherwise(1).asc_nulls_last)))
-      .filter(col("__g_rn") === 1)
-      .withColumn(outCol, coalesce(col("__g_kind") === "allow", lit(true)))
-      .drop("__g_host", "__g_target", "__g_uid", "__g_rh", "__g_kind",
-        "__g_len", "__g_pat", "__g_rn")
+      .join(applicable, col("__g_host") === col("__g_rh"), "left")
+      .withColumn(outCol, coalesce(verdict === 0, lit(true)))
+      .drop("__g_host", "__g_target", "__g_rh", "__g_rules")
   }
 }

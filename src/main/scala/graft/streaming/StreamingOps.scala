@@ -381,13 +381,24 @@ object StreamingOps {
     * Chaining: the processor emits with `eventTimeColumnName = tsCol`,
     * so the per-doc win-count aggregation chains downstream in append
     * mode (Spark's multi-stateful rule for transformWithState). State is
-    * one boolean per distinct band key within the horizon, expired by an
-    * event-time timer at `first arrival + watermark` — the
-    * dropDuplicatesWithinWatermark retention contract. REQUIRES the
-    * RocksDB state store provider
+    * the winner's `(tie, tiebreak)` pair per distinct band key within
+    * the horizon, expired by an event-time timer at
+    * `first arrival + watermark` — the dropDuplicatesWithinWatermark
+    * retention contract. REQUIRES the RocksDB state store provider
     * (`spark.sql.streaming.stateStore.providerClass =
     * ...state.RocksDBStateStoreProvider`) — Spark's HDFS-backed default
     * does not implement the processor state API.
+    *
+    * CHECKPOINT BREAK (round 11 → 12 of this library): the processor's
+    * state changed name and type — `seen: ValueState[Boolean]` became
+    * `winner: ValueState[(Long, Long)]` when fork DETECTION was added. A
+    * streaming query restored from a checkpoint written by the
+    * boolean-state build fails state-store schema validation (and must
+    * not be force-migrated: a boolean cannot say WHICH pair won, so
+    * late-fork counting would misfire on every pre-existing key).
+    * Redeploying over an old checkpoint requires a NEW checkpoint
+    * directory; run [[reconcileNearDups]] over the cutover window to
+    * reconcile what the fresh state re-emits.
     *
     * Scale shape: identical to [[dedupNearDups]] — explode to
     * numHashes/bands keys per doc, ONE shuffle onto band keys, state

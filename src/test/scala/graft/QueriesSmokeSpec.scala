@@ -108,7 +108,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // URL side: one host-keyed rules join + one best-rule window; the
     // other four are robots-parse/agent-selection shuffles on the
     // HOSTS-sized rules tables, never the corpus
-    "text_robots_filter" -> 6,
+    // r12: robotsAllowed's per-URL best-rule window became a per-host
+    // rules-array + higher-order first-match — the URL-side uid shuffle
+    // is gone (and the gate is now stream-capable)
+    "text_robots_filter" -> 5,
     "text_url_canonical" -> 0, // pure narrow projection
     // extract (narrow) + canonical distinct pair + the robots chain +
     // the bloom-prefiltered seen-key anti join — frontier-sized inputs
@@ -120,7 +123,7 @@ class QueriesSmokeSpec extends SparkSpec {
     // composed operational mile: decisions (index agg + urlkey join,
     // crawl-sized) + robots gate/delay joins (hosts-sized, rule table
     // cached) + the politeness window — the frontier-mile convention
-    "warc_recrawl_plan" -> 17,
+    "warc_recrawl_plan" -> 16, // r12: −1, the robotsAllowed window shuffle
     // warc_frontier_schedule is deliberately UNPINNED: it shares the
     // frontier's cached rule table, and its Exchange count shifts ±1
     // with whether an earlier query already materialized that cache

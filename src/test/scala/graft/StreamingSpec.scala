@@ -501,6 +501,96 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("live recrawl loop: cdx decisions → robots gate → politeness schedule, stream ≡ batch") {
+    import graft.ops.{Robots, Url}
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // previous crawl's index: p/1 stale (refetch), p/2 fresh (skip),
+      // x/9 stale but its host robots-denies /x/ (the decision to fetch
+      // is not permission to fetch)
+      val idx = Seq(
+        ("https://site-a.com/p/1", "20260101000000"),
+        ("https://site-a.com/p/2", "20260120000000"),
+        ("https://new-b.org/x/9", "20260101000000"))
+        .toDF("u", "last_capture")
+        .select(Url.surtKey($"u").as("urlkey"), $"last_capture")
+      val rules = Robots.robotsParse(Seq(
+        ("site-a.com", "User-agent: *\nCrawl-delay: 2"),
+        ("new-b.org", "User-agent: *\nDisallow: /x/"))
+        .toDF("host", "content"), "host", "content")
+      val delays = Robots.crawlDelays(rules, "graftbot")
+      // the whole live loop — every URL-side step is a narrow projection
+      // or a stream-static join, so the SAME composition runs in both
+      // modes (the batch twin is warc_recrawl_plan's shape)
+      def recrawlLoop(cands: org.apache.spark.sql.DataFrame) = {
+        val due = cands
+          .withColumn("urlkey", Url.surtKey(col("url")))
+          .join(idx, Seq("urlkey"), "left")
+          .withColumn("decision",
+            when(col("last_capture").isNull, "fetch")
+              .when(col("last_capture") >= "20260115000000", "skip_fresh")
+              .otherwise("refetch"))
+          .filter(col("decision") =!= "skip_fresh")
+          .withColumn("host", Url.host(col("url")))
+        val allowed = Robots.robotsAllowed(due, "url", rules, "graftbot")
+          .filter(col("allowed")).drop("allowed")
+        val planned = allowed
+          .join(delays, Seq("host"), "left")
+          .withColumn("crawl_delay_sec",
+            coalesce(col("crawl_delay_sec"), lit(1.0)))
+        StreamingOps.politenessSchedule(
+          planned, "host", "url", "crawl_delay_sec", watermark = "10 minutes")
+          .select("url", "decision", "scheduled_at_ms")
+      }
+      val mem = MemoryStream[(String, java.sql.Timestamp)]
+      mem.addData(
+        ("https://site-a.com/p/1", ts("10:00:00")), // refetch
+        ("https://site-a.com/p/2", ts("10:00:00")), // skip_fresh → dropped
+        ("https://site-a.com/p/3", ts("10:00:00")), // fetch (same instant: url tiebreak)
+        ("https://new-b.org/x/9", ts("10:00:00")), // refetch but robots-denied
+        ("https://new-b.org/ok/1", ts("10:00:00"))) // fetch, default 1 s delay
+      val q = recrawlLoop(mem.toDF.toDF("url", "ts"))
+        .writeStream.format("memory").queryName("stream_recrawl")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // a later micro-batch, in order: site-a's slot chain is still live
+        mem.addData(("https://site-a.com/p/4", ts("10:00:30")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("stream_recrawl").collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val base = 1704103200000L // 2024-01-01 10:00:00 UTC
+      streamed.keySet shouldBe Set(
+        "https://site-a.com/p/1", "https://site-a.com/p/3",
+        "https://site-a.com/p/4", "https://new-b.org/ok/1")
+      streamed("https://site-a.com/p/1") shouldBe (("refetch", base))
+      streamed("https://site-a.com/p/3") shouldBe (("fetch", base + 2000)) // 2 s delay
+      streamed("https://site-a.com/p/4") shouldBe (("fetch", base + 30000))
+      streamed("https://new-b.org/ok/1") shouldBe (("fetch", base))
+      // the batch twin of the SAME composition agrees row for row
+      val batch = recrawlLoop(Seq(
+        ("https://site-a.com/p/1", ts("10:00:00")),
+        ("https://site-a.com/p/2", ts("10:00:00")),
+        ("https://site-a.com/p/3", ts("10:00:00")),
+        ("https://new-b.org/x/9", ts("10:00:00")),
+        ("https://new-b.org/ok/1", ts("10:00:00")),
+        ("https://site-a.com/p/4", ts("10:00:30")))
+        .toDF("url", "ts"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      batch shouldBe streamed
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("dedupStreamAgainstIndex: live probe-and-append loop equals the sequential batch loop") {
     import graft.ops.Dedup
     val docA = "the quick brown fox jumps over the lazy dog near the riverbank today"
