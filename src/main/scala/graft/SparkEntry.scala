@@ -395,12 +395,15 @@ object SparkEntry {
             case 1 => "text/html"
             case _ => "application/xhtml+xml"
           }
+          val scripts =
+            s"""[{"path": "SCRIPT@/src", "url": "/js/app-${id % 3}.js"}, """ +
+              s"""{"path": "SCRIPT@/src", "url": "https://analytics.example-cdn.com/t.js"}]"""
           (s"""{"Envelope": {"WARC-Header-Metadata": {"WARC-Type": "response"}, """ +
             s""""Payload-Metadata": {"HTTP-Response-Metadata": {""" +
             s""""Response-Message": {"Status": "$status"}, """ +
             s""""Headers": {"Content-Type": "$ct"}, """ +
             s""""HTML-Metadata": {""" +
-            s""""Head": {"Title": "Page $id - $source", "Metas": $metas, "Link": $headLink}, "Links": [""" +
+            s""""Head": {"Title": "Page $id - $source", "Metas": $metas, "Link": $headLink, "Scripts": $scripts}, "Links": [""" +
             s"""{"path": "A@/href", "url": "https://src${id % 7}-news.com/a/b", "text": "partner"}, """ +
             s"""{"path": "A@/href", "url": "//cdn.$source.net/lib.js", "text": "cdn"}, """ +
             s"""{"path": "A@/href", "url": "/about/contact.html", "text": "about"}, """ +
@@ -2403,6 +2406,15 @@ object SparkEntry {
           .select("record_id", "payload"),
         "payload")
         .drop("payload")),
+    // WAT script resources — the supply-chain surface: one row per
+    // <script src> the sidecar pre-parsed, resolved absolute (the
+    // root-relative app-N.js must gain scheme://host). Narrow generator.
+    "warc_wat_scripts" -> ((s, dir) =>
+      graft.ops.LinkGraph.watScripts(
+        graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_wat.warc")
+          .select("record_id", "target_uri", "payload"),
+        "payload", "target_uri")
+        .select("record_id", "script_url")),
     // HEAD metadata ingest columns — title, meta description (both
     // attribute orders), rel=canonical (both orders, absent on every
     // 5th page, RELATIVE on every 5th-plus-2). One narrow projection;
@@ -4318,7 +4330,7 @@ object SparkEntry {
     * the driver's dtype-sensitive hash as float64 while Spark emits
     * int64, failing the compare on BIT-IDENTICAL values. So: every FINAL
     * emitted column whose value derives from a DuckDB SUM/COUNT (windowed
-    * or grouped, directly or through +/-/* arithmetic) must wrap its
+    * or grouped, directly or through add/subtract/multiply) must wrap its
     * outermost integer expression in `CAST(… AS BIGINT)`. Intermediate
     * CTE columns only need the cast if they flow to an emitted integer
     * column without one of their own. Columns emitted as doubles
@@ -5998,6 +6010,17 @@ object SparkEntry {
         |         ELSE 'application/xhtml+xml' END AS content_type,
         |       CAST(CASE WHEN doc_id % 7 = 3 THEN 404 ELSE 200 END
         |            AS INTEGER) AS http_status
+        |FROM documents""".stripMargin,
+    // Two scripts per page: the root-relative one resolves against the
+    // capture URL's authority, the absolute one rides verbatim.
+    "warc_wat_scripts" ->
+      """SELECT '<urn:graft:wat-' || doc_id || '>' AS record_id,
+        |       'https://www.' || source || '.co.uk/js/app-' ||
+        |         (doc_id % 3) || '.js' AS script_url
+        |FROM documents
+        |UNION ALL
+        |SELECT '<urn:graft:wat-' || doc_id || '>',
+        |       'https://analytics.example-cdn.com/t.js'
         |FROM documents""".stripMargin,
     // Every head-block shape replayed: title always, description NULL on
     // %4==3 (reversed attribute order on %4==0 extracts identically),

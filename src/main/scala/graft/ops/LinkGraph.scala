@@ -187,6 +187,29 @@ object LinkGraph {
     org.apache.spark.sql.types.StructField("rel",
       org.apache.spark.sql.types.StringType)))
 
+  /** Script resources from a WAT metadata payload (Head → Scripts — the
+    * sidecar pre-parses `<script src>` separately from body links): one
+    * row per script with `script_url` resolved absolute against
+    * `baseUrlCol` (WAT stores srcs verbatim, relative included). The
+    * supply-chain surface of a crawl — which pages load which external
+    * scripts — without touching raw HTML. Absent/malformed Scripts
+    * arrays yield zero rows, never an error. Narrow generator, no
+    * shuffle (the [[watOutlinks]] shape). */
+  def watScripts(
+      df: DataFrame,
+      payloadCol: String,
+      baseUrlCol: String): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(payloadCol, baseUrlCol))
+    graft.core.Validators.requireColumnsAbsent(df, Seq("script_url"), "watScripts")
+    val scripts = from_json(
+      get_json_object(col(payloadCol), WatHtmlMeta + ".Head.Scripts"),
+      org.apache.spark.sql.types.ArrayType(WatLinkSchema))
+    df.withColumn("__graft_s", explode(scripts))
+      .filter(col("__graft_s.url").isNotNull && col("__graft_s.url") =!= "")
+      .withColumn("script_url", resolveUrl(col(baseUrlCol), col("__graft_s.url")))
+      .drop("__graft_s")
+  }
+
   /** FULL head + header enrichment from a WAT metadata payload — the
     * sidecar route to the same ingest columns [[TextOps.htmlHead]]
     * extracts from raw HTML, so a WAT-only pipeline (Common Crawl ships
