@@ -7612,8 +7612,8 @@ object SparkEntry {
         |  END AS media_dur_den
         |FROM documents)
         |SELECT doc_id, media_dur_num, media_dur_den,
-        |       round(CAST(media_dur_num AS DOUBLE)
-        |             / CAST(media_dur_den AS DOUBLE), 6) AS media_duration_sec
+        |       CAST(media_dur_num AS DOUBLE)
+        |         / CAST(media_dur_den AS DOUBLE) AS media_duration_sec
         |FROM n""".stripMargin,
     "mm_binary_meta_ext" ->
       """WITH p AS (

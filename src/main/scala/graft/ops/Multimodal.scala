@@ -247,9 +247,12 @@ object Multimodal {
     * payloads skip the ID3v2 tag, validate the first frame header, and
     * read the Xing/Info VBR frame count — or fall back to declared-bitrate
     * CBR math — ([[graft.functions.Mp3Duration]]). Appends
-    * `media_duration_sec` (seconds, 6-dp — the exact integer pair divides
-    * identically in any engine) and the raw `media_dur_num`/`media_dur_den`
-    * pair, NULL for other formats or unparseable headers. A truncated
+    * `media_duration_sec` (seconds — the RAW num/den division, no
+    * rounding: int64/int64 division is correctly rounded IEEE-754, so
+    * any engine reproduces it bit-exactly, whereas rounding to N
+    * decimals forks on half-way ties that the exact pair freely
+    * generates) and the raw `media_dur_num`/`media_dur_den` pair, NULL
+    * for other formats or unparseable headers. A truncated
     * capture with an intact header still answers — the declared duration
     * is what a curation pipeline filters on.
     *
@@ -284,8 +287,8 @@ object Multimodal {
       .withColumn("media_dur_num", element_at(col("__graft_md"), 1))
       .withColumn("media_dur_den", element_at(col("__graft_md"), 2))
       .withColumn("media_duration_sec",
-        round(col("media_dur_num").cast("double") /
-          col("media_dur_den").cast("double"), 6))
+        col("media_dur_num").cast("double") /
+          col("media_dur_den").cast("double"))
       .drop("__graft_md")
   }
 
