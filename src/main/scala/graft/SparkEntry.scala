@@ -3709,6 +3709,45 @@ object SparkEntry {
         .select("doc_id", "img_width", "img_height", "img_orientation",
           "display_width", "display_height")
     }),
+    // WebP dimensions — all three container shapes with doc_id-derived
+    // numbers: VP8 lossy (14-bit LE dims behind the 9D012A sync), VP8L
+    // lossless (width−1/height−1 packed as two 14-bit fields of one LE
+    // u32 behind the 0x2F signature), VP8X extended (LE-24 canvas−1
+    // pair) hidden behind an ODD-sized junk chunk (the RIFF pad rule
+    // again), and a TRUNCATED VP8 whose dims are cut → NULL. The oracle
+    // recomputes from arithmetic; the packings happen only Spark-side.
+    "mm_webp_dims" -> ((s, dir) => {
+      def hx(h: String): Array[Byte] =
+        h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      def le16(v: org.apache.spark.sql.Column) = unhex(concat(
+        lpad(hex(v.bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(v, 8).bitwiseAND(lit(255L))), 2, "0")))
+      def le24(v: org.apache.spark.sql.Column) = unhex(concat(
+        lpad(hex(v.bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(v, 8).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(v, 16).bitwiseAND(lit(255L))), 2, "0")))
+      def le32(v: org.apache.spark.sql.Column) = concat(le16(v), le16(shiftright(v, 16)))
+      val w = col("doc_id") % 500 + 1
+      val h = col("doc_id") % 300 + 1
+      val riff = lit(hx("52494646" + "64000000" + "57454250"))
+      val payload =
+        when(col("doc_id") % 4 === 0, concat(
+          riff, lit(hx("56503820" + "0A000000" + "000000" + "9D012A")),
+          le16(w), le16(h)))
+          .when(col("doc_id") % 4 === 1, concat(
+            riff, lit(hx("5650384C" + "05000000" + "2F")),
+            le32(w - 1 + (h - 1) * 16384)))
+          .when(col("doc_id") % 4 === 2, concat(
+            riff, lit(hx("4A554E4B" + "03000000" + "AABBCC" + "00")), // odd junk + pad
+            lit(hx("56503858" + "0A000000" + "00000000")),
+            le24(w - 1), le24(h - 1)))
+          .otherwise(concat(
+            riff, lit(hx("56503820" + "0A000000" + "000000" + "9D012A")))) // dims cut
+      Multimodal.imageDims(
+        rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
+        "payload")
+        .select("doc_id", "img_width", "img_height")
+    }),
     // EXIF GPS report + scrub (the privacy-release gate): true GPS
     // sub-IFDs — pointer tag in IFD0 behind a decoy ImageWidth, refs as
     // inline ASCII, coordinates as out-of-line RATIONAL deg/min/sec
@@ -7558,6 +7597,15 @@ object SparkEntry {
         |       CASE WHEN doc_id % 3 <> 2 AND doc_id % 8 + 1 >= 5
         |            THEN CAST(doc_id % 500 + 1 AS BIGINT)
         |            ELSE CAST(doc_id % 300 + 1 AS BIGINT) END AS display_height
+        |FROM documents""".stripMargin,
+    // WebP dims recomputed from arithmetic — the 14-bit/packed-u32/LE-24
+    // byte round trips happen only on the Spark side.
+    "mm_webp_dims" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 4 = 3 THEN NULL
+        |            ELSE CAST(doc_id % 500 + 1 AS BIGINT) END AS img_width,
+        |       CASE WHEN doc_id % 4 = 3 THEN NULL
+        |            ELSE CAST(doc_id % 300 + 1 AS BIGINT) END AS img_height
         |FROM documents""".stripMargin,
     // GPS decimal degrees recomputed from doc_id arithmetic in the
     // kernel's exact operation order (deg + min/60 + (sec/100)/3600,

@@ -133,5 +133,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 1, s"${TilePairs.ExifGpsStripName} expects 1 argument")
       ExifGpsStrip(args(0))
     }))
+    ext.injectFunction(fn(TilePairs.WebpDimsName, { args =>
+      require(args.length == 1, s"${TilePairs.WebpDimsName} expects 1 argument")
+      WebpDims(args(0))
+    }))
   }
 }

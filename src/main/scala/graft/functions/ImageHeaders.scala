@@ -785,3 +785,95 @@ case class ExifGpsStrip(child: Expression) extends Expression {
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0))
 }
+
+/** graft_webp_dims(payload): `[width, height]` of a WebP payload — the
+  * second-most-common crawl image format after JPEG. A RIFF chunk walk
+  * (the [[RiffDuration]] pattern: Long arithmetic, even-offset padding,
+  * oversized declarations just end the walk) to the first codec chunk,
+  * all three WebP shapes per the container spec:
+  *
+  *  - `VP8 ` (lossy): 3-byte frame tag, the 9D 01 2A sync, then 14-bit
+  *    little-endian width/height (upper scaling bits masked off);
+  *  - `VP8L` (lossless): the 0x2F signature byte, then width−1 and
+  *    height−1 packed as two 14-bit fields of one little-endian u32;
+  *  - `VP8X` (extended): flags + reserved, then 24-bit little-endian
+  *    canvas width−1 / height−1.
+  *
+  * NULL for non-WebP bytes, truncated chunk bodies, or a walk that finds
+  * no codec chunk. EXTENSION-REQUIRED (no pure-Column twin):
+  * [[graft.ops.Multimodal.imageDims]] emits NULL for WebP payloads when
+  * GraftExtensions is not installed, stated in its scaladoc. */
+case class WebpDims(child: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def prettyName: String = TilePairs.WebpDimsName
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary input")
+
+  def compute(bytes: Array[Byte]): ArrayData = {
+    val n = bytes.length
+    def u(i: Int): Long = (bytes(i) & 0xff).toLong
+    def le16(i: Int): Long = u(i) | (u(i + 1) << 8)
+    def le24(i: Int): Long = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16)
+    def le32(i: Int): Long = le16(i) | (le16(i + 2) << 16)
+    def tag(i: Int, s: String): Boolean =
+      (0 until 4).forall(k => bytes(i + k) == s.charAt(k).toByte)
+    if (n < 16 || !tag(0, "RIFF") || !tag(8, "WEBP")) return null
+    var pos = 12L // Long walk: declared sizes are unsigned 32-bit
+    while (pos + 8 <= n) {
+      val p = pos.toInt
+      val size = le32(p + 4)
+      val body = pos + 8
+      if (tag(p, "VP8 ")) {
+        // frame tag(3) + sync 9D 01 2A + two 14-bit LE dims
+        if (body + 10 > n || size < 10) return null
+        val b = body.toInt
+        if (u(b + 3) != 0x9d || u(b + 4) != 0x01 || u(b + 5) != 0x2a) return null
+        return new GenericArrayData(
+          Array(le16(b + 6) & 0x3fff, le16(b + 8) & 0x3fff))
+      } else if (tag(p, "VP8L")) {
+        if (body + 5 > n || size < 5) return null
+        val b = body.toInt
+        if (u(b) != 0x2f) return null
+        val v = le32(b + 1)
+        return new GenericArrayData(
+          Array((v & 0x3fff) + 1, ((v >> 14) & 0x3fff) + 1))
+      } else if (tag(p, "VP8X")) {
+        // flags(1) + reserved(3) + canvas w−1 / h−1 as LE-24
+        if (body + 10 > n || size < 10) return null
+        val b = body.toInt
+        return new GenericArrayData(Array(le24(b + 4) + 1, le24(b + 7) + 1))
+      }
+      pos = body + size + (size & 1L) // chunks pad to even
+    }
+    null
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val b = child.eval(input).asInstanceOf[Array[Byte]]
+    if (b == null) null else compute(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${c.isNull}) ${ev.value} = $ref.compute(${c.value});
+      boolean ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}

@@ -46,6 +46,7 @@ object TilePairs {
   val ExifOrientationName = "graft_exif_orientation"
   val ExifGpsName = "graft_exif_gps"
   val ExifGpsStripName = "graft_exif_gps_strip"
+  val WebpDimsName = "graft_webp_dims"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

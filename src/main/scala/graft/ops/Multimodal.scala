@@ -77,9 +77,14 @@ object Multimodal {
     * APPn/DQT/DHT segments and is found by the bounded marker walk of
     * [[graft.functions.JpegDims]] (O(#segments) jumps, never a decode;
     * pure-Column [[jpegDimsFallback]] when the extensions are not
-    * installed). Appends `img_width`/`img_height`, NULL for any other
-    * format and for payloads too short (or too malformed) to carry their
-    * header. One narrow projection. */
+    * installed). WebP — the second-most-common crawl format — walks its
+    * RIFF chunks to the codec chunk via [[graft.functions.WebpDims]]
+    * (all three container shapes: VP8 lossy, VP8L lossless, VP8X
+    * extended canvas); the walk has no pure-Column twin, so WITHOUT
+    * GraftExtensions WebP payloads yield NULL dims (every other format
+    * still answers). Appends `img_width`/`img_height`, NULL for any
+    * other format and for payloads too short (or too malformed) to
+    * carry their header. One narrow projection. */
   def imageDims(df: DataFrame, binCol: String): DataFrame = {
     graft.core.Validators.requireColumns(df, Seq(binCol))
     graft.core.Validators.requireColumnsAbsent(
@@ -96,20 +101,29 @@ object Multimodal {
     val isGif = length(b) >= 10 &&
       hex(substring(b, 1, 6)).isin("474946383761", "474946383961")
     val isJpeg = length(b) >= 4 && hex(substring(b, 1, 2)) === "FFD8"
+    val isWebp = length(b) >= 16 && hex(substring(b, 1, 4)) === "52494646" &&
+      hex(substring(b, 9, 4)) === "57454250"
     val jpegDims =
       if (df.sparkSession.catalog.functionExists(
           graft.functions.TilePairs.JpegDimsName))
         call_function(graft.functions.TilePairs.JpegDimsName, b)
       else jpegDimsFallback(b)
+    val webpDims =
+      if (df.sparkSession.catalog.functionExists(
+          graft.functions.TilePairs.WebpDimsName))
+        call_function(graft.functions.TilePairs.WebpDimsName, b)
+      else lit(null).cast("array<bigint>") // no Column twin of the chunk walk
     // one shared array value per row: width/height read the same walk
     // result (whole-stage codegen CSEs the identical deterministic
     // subtree — the walk runs once, not twice)
     df.withColumn("img_width",
       when(isPng, beInt(17)).when(isGif, leShort(7))
-        .when(isJpeg, element_at(jpegDims, 1)))
+        .when(isJpeg, element_at(jpegDims, 1))
+        .when(isWebp, element_at(webpDims, 1)))
       .withColumn("img_height",
         when(isPng, beInt(21)).when(isGif, leShort(9))
-          .when(isJpeg, element_at(jpegDims, 2)))
+          .when(isJpeg, element_at(jpegDims, 2))
+          .when(isWebp, element_at(webpDims, 2)))
   }
 
   /** Segment cap of [[jpegDimsFallback]]'s unrolled walk. Real-world

@@ -148,7 +148,8 @@ class FunctionsSpec extends SparkSpec {
       classOf[graft.functions.JpegDims], classOf[graft.functions.RiffDuration],
       classOf[graft.functions.Mp4Duration], classOf[graft.functions.Mp3Duration],
       classOf[graft.functions.ExifOrientation],
-      classOf[graft.functions.ExifGps], classOf[graft.functions.ExifGpsStrip])
+      classOf[graft.functions.ExifGps], classOf[graft.functions.ExifGpsStrip],
+      classOf[graft.functions.WebpDims])
       .foreach(c => classOf[CodegenFallback].isAssignableFrom(c) shouldBe false)
     // and a projection through them really compiles into a codegen stage
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -580,6 +581,47 @@ class FunctionsSpec extends SparkSpec {
     graft.ops.Multimodal.stripExifGps(
       Seq((1, noGps)).toDF("id", "payload"), "payload")
       .select("payload").head().getAs[Array[Byte]](0) shouldBe noGps
+  }
+
+  test("graft_webp_dims: chunk walk — VP8/VP8L/VP8X shapes, bad sync/signature, lying sizes") {
+    def hx(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def le16b(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+    def le24b(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    def le32b(v: Long): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val riff = hx("52494646") ++ le32b(100) ++ hx("57454250")
+    val vp8 = hx("56503820") ++ le32b(10) ++ hx("000000" + "9D012A") ++
+      le16b(320) ++ le16b(240)
+    val cases: Seq[(Int, Array[Byte], Option[(Long, Long)])] = Seq(
+      (1, riff ++ vp8, Some((320L, 240L))),
+      // scaling bits in the upper 2 bits must be masked off
+      (2, riff ++ hx("56503820") ++ le32b(10) ++ hx("0000009D012A") ++
+        le16b(320 | 0xc000) ++ le16b(240 | 0x4000), Some((320L, 240L))),
+      (3, riff ++ hx("5650384C") ++ le32b(5) ++ hx("2F") ++
+        le32b((499L | (299L << 14))), Some((500L, 300L))),
+      // VP8X behind an ODD-sized junk chunk (pad rule)
+      (4, riff ++ hx("4A554E4B") ++ le32b(3) ++ hx("AABBCC") ++ hx("00") ++
+        hx("56503858") ++ le32b(10) ++ hx("00000000") ++
+        le24b(1919) ++ le24b(1079), Some((1920L, 1080L))),
+      (5, riff ++ hx("56503820") ++ le32b(10) ++ hx("0000009D012B") ++
+        le16b(320) ++ le16b(240), None), // wrong sync
+      (6, riff ++ hx("5650384C") ++ le32b(5) ++ hx("30") ++ le32b(0), None), // wrong sig
+      (7, riff ++ hx("4A554E4B") ++ le32b(0xFFFFFFFFL) ++ vp8, None), // lying junk size
+      (8, riff, None), // no codec chunk
+      (9, hx("52494646") ++ le32b(100) ++ hx("57415645") ++ vp8, None), // WAVE not WEBP
+      (10, riff ++ hx("56503820") ++ le32b(10) ++ hx("0000009D012A"), None)) // dims cut
+    val got = cases.map { case (id, b, _) => (id, b) }.toDF("id", "payload")
+      .select($"id", call_function(TilePairs.WebpDimsName, $"payload").as("p"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        Option(r.getSeq[Long](1)).map(s => (s(0), s(1)))).toMap
+    for ((id, _, want) <- cases) withClue(s"case $id:") { got(id) shouldBe want }
+    // the op routes webp through the kernel alongside the other formats
+    val out = graft.ops.Multimodal.imageDims(
+      Seq((1, riff ++ vp8)).toDF("id", "payload"), "payload")
+      .select("img_width", "img_height").head()
+    (out.getLong(0), out.getLong(1)) shouldBe ((320L, 240L))
   }
 
   test("graft_exif_orientation: IFD walk — both byte orders, decoys, malformed EXIF") {

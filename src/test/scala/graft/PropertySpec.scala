@@ -589,4 +589,65 @@ class PropertySpec extends SparkSpec {
       got == cases.map { case (w, h, _) => (w.toLong, h.toLong) }
     })
   }
+
+  test("property: byte-walk kernels never throw on arbitrary bytes; GPS strip is idempotent") {
+    // A framework whose primary input is UNTRUSTED crawl bytes must treat
+    // "malformed" as a value (NULL / pass-through), never an exception —
+    // the walks' contract, fuzzed here driver-side (no Spark job per
+    // trial, so thousands of adversarial payloads are cheap). Each random
+    // body is also re-tested under every format's magic prefix, which
+    // steers the fuzz INTO the walk instead of dying at the sniff.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    import graft.functions._
+    val child = Literal.create(null, BinaryType)
+    val kernels: Seq[(String, Array[Byte] => Any)] = Seq(
+      "jpeg_dims" -> JpegDims(child).compute _,
+      "exif_orientation" -> ExifOrientation(child).compute _,
+      "exif_gps" -> ExifGps(child).compute _,
+      "exif_gps_strip" -> ExifGpsStrip(child).compute _,
+      "riff_duration" -> RiffDuration(child).compute _,
+      "mp4_duration" -> Mp4Duration(child).compute _,
+      "mp3_duration" -> Mp3Duration(child).compute _,
+      "webp_dims" -> WebpDims(child).compute _)
+    def hx(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val prefixes: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      hx("FFD8"), // JPEG SOI
+      hx("FFD8FFE1"), // SOI + APP1 marker (length bytes come from the fuzz)
+      "ID3".getBytes, // ID3v2
+      hx("FFFB"), // bare MPEG sync
+      hx("52494646AAAAAAAA57415645"), // RIFF/WAVE
+      hx("0000001066747970AAAAAAAA")) // BMFF ftyp
+    val bodyGen = Gen.choose(0, 300)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(0, 255)))
+      .map(_.map(_.toByte).toArray)
+    val fuzzParams = SCTest.Parameters.default.withMinSuccessfulTests(400)
+    val res = SCTest.check(fuzzParams, Prop.forAll(bodyGen) { body =>
+      prefixes.forall { p =>
+        val payload = p ++ body
+        kernels.forall { case (name, k) =>
+          try { k(payload); true }
+          catch { case e: Throwable =>
+            println(s"$name threw ${e.getClass.getSimpleName} on " +
+              payload.map("%02X".format(_)).mkString)
+            false
+          }
+        } && {
+          // strip is idempotent, and its verdict half agrees: once
+          // stripped, gps_present can never still be true
+          val strip = ExifGpsStrip(child)
+          val once = strip.compute(payload)
+          java.util.Arrays.equals(strip.compute(once), once) && {
+            ExifGps(child).compute(once) match {
+              case null => true
+              case r: org.apache.spark.sql.catalyst.InternalRow => !r.getBoolean(0)
+            }
+          }
+        }
+      }
+    })
+    withClue(res.status.toString)(res.passed shouldBe true)
+  }
 }
