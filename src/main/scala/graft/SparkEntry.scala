@@ -3748,6 +3748,59 @@ object SparkEntry {
         "payload")
         .select("doc_id", "img_width", "img_height")
     }),
+    // EXIF camera-provenance tags: out-of-line ASCII Make/Model/Software
+    // values (count includes the NUL) synthesized in BOTH byte orders
+    // with doc_id-derived fixed-width strings; %4==2 payloads omit
+    // Software (field NULL, others present), %4==3 have no EXIF (all
+    // NULL). The oracle rebuilds the strings from arithmetic; the TIFF
+    // byte round trips happen only on the Spark side.
+    "mm_exif_tags" -> ((s, dir) => {
+      def hx(h: String): Array[Byte] =
+        h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      val mk = concat(lit("MK"),
+        lpad((col("doc_id") % 97).cast("string"), 4, "0")).cast("binary")
+      val md = concat(lit("MD"),
+        lpad((col("doc_id") % 53).cast("string"), 4, "0")).cast("binary")
+      val sw = concat(lit("SW"),
+        lpad((col("doc_id") % 11111).cast("string"), 5, "0")).cast("binary")
+      val nul = lit(hx("00"))
+      // full: TIFF 72 bytes — IFD0 (3 entries) at 8, values at 50/57/64
+      val tagsII = concat(
+        lit(hx("FFE10050" + "457869660000" + "49492A00" + "08000000" +
+          "0300" +
+          "0F01" + "0200" + "07000000" + "32000000" +
+          "1001" + "0200" + "07000000" + "39000000" +
+          "3101" + "0200" + "08000000" + "40000000" +
+          "00000000")),
+        mk, nul, md, nul, sw, nul)
+      val tagsMM = concat(
+        lit(hx("FFE10050" + "457869660000" + "4D4D002A" + "00000008" +
+          "0003" +
+          "010F" + "0002" + "00000007" + "00000032" +
+          "0110" + "0002" + "00000007" + "00000039" +
+          "0131" + "0002" + "00000008" + "00000040" +
+          "00000000")),
+        mk, nul, md, nul, sw, nul)
+      // make/model only: TIFF 52 bytes — IFD0 (2 entries), values 38/45
+      val tagsNoSw = concat(
+        lit(hx("FFE1003C" + "457869660000" + "49492A00" + "08000000" +
+          "0200" +
+          "0F01" + "0200" + "07000000" + "26000000" +
+          "1001" + "0200" + "07000000" + "2D000000" +
+          "00000000")),
+        mk, nul, md, nul)
+      val jfif = lit(hx("FFE000104A46494600010100004800480000"))
+      val sof = lit(hx("FFC0000B08" + "0064" + "00C8" + "01011100"))
+      val payload =
+        when(col("doc_id") % 4 === 0, concat(lit(hx("FFD8")), tagsII, sof))
+          .when(col("doc_id") % 4 === 1, concat(lit(hx("FFD8")), tagsMM, sof))
+          .when(col("doc_id") % 4 === 2, concat(lit(hx("FFD8")), tagsNoSw, sof))
+          .otherwise(concat(lit(hx("FFD8")), jfif, sof))
+      Multimodal.withExifTags(
+        rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
+        "payload")
+        .select("doc_id", "exif_make", "exif_model", "exif_software")
+    }),
     // EXIF GPS report + scrub (the privacy-release gate): true GPS
     // sub-IFDs — pointer tag in IFD0 behind a decoy ImageWidth, refs as
     // inline ASCII, coordinates as out-of-line RATIONAL deg/min/sec
@@ -7606,6 +7659,20 @@ object SparkEntry {
         |            ELSE CAST(doc_id % 500 + 1 AS BIGINT) END AS img_width,
         |       CASE WHEN doc_id % 4 = 3 THEN NULL
         |            ELSE CAST(doc_id % 300 + 1 AS BIGINT) END AS img_height
+        |FROM documents""".stripMargin,
+    // Camera tags rebuilt from arithmetic; NULL software on %4==2, all
+    // NULL on the no-EXIF %4==3 shape.
+    "mm_exif_tags" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 4 = 3 THEN NULL
+        |            ELSE 'MK' || lpad(CAST(doc_id % 97 AS VARCHAR), 4, '0')
+        |       END AS exif_make,
+        |       CASE WHEN doc_id % 4 = 3 THEN NULL
+        |            ELSE 'MD' || lpad(CAST(doc_id % 53 AS VARCHAR), 4, '0')
+        |       END AS exif_model,
+        |       CASE WHEN doc_id % 4 IN (0, 1)
+        |            THEN 'SW' || lpad(CAST(doc_id % 11111 AS VARCHAR), 5, '0')
+        |       END AS exif_software
         |FROM documents""".stripMargin,
     // GPS decimal degrees recomputed from doc_id arithmetic in the
     // kernel's exact operation order (deg + min/60 + (sec/100)/3600,

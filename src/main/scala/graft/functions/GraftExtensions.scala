@@ -137,5 +137,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 1, s"${TilePairs.WebpDimsName} expects 1 argument")
       WebpDims(args(0))
     }))
+    ext.injectFunction(fn(TilePairs.ExifTagsName, { args =>
+      require(args.length == 1, s"${TilePairs.ExifTagsName} expects 1 argument")
+      ExifTags(args(0))
+    }))
   }
 }

@@ -877,3 +877,90 @@ case class WebpDims(child: Expression) extends Expression {
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0))
 }
+
+/** graft_exif_tags(payload): the camera-provenance ASCII tags of a JPEG
+  * payload's EXIF IFD0 — struct `(make, model, software)` (tags 0x010F /
+  * 0x0110 / 0x0131), each NULL when absent; NULL struct when the payload
+  * carries no parseable EXIF. The curation companions of [[ExifGps]]:
+  * device priors, scanner/phone splits, and the `software` tag is the
+  * cheap synthetic/edited-image screen (editor names land there). ASCII
+  * values decode per TIFF rules — count INCLUDES the NUL terminator,
+  * ≤ 4 bytes inline / otherwise out-of-line at a validated offset, read
+  * up to the first NUL. Same bounded [[ExifWalk]] as the siblings. */
+case class ExifTags(child: Expression) extends Expression {
+  import ExifWalk._
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def prettyName: String = TilePairs.ExifTagsName
+  override def dataType: DataType = StructType(Seq(
+    StructField("make", StringType, nullable = true),
+    StructField("model", StringType, nullable = true),
+    StructField("software", StringType, nullable = true)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary input")
+
+  def compute(bytes: Array[Byte]): Any = {
+    val w = locate(bytes)
+    if (w == null) return null
+    val little = w.little
+    def e16(i: Int): Int = r16(bytes, i, little)
+    def e32(i: Int): Long = r32(bytes, i, little)
+    // one ASCII value, TIFF rules: count includes the NUL; inline ≤ 4
+    def ascii(at: Int): Any = {
+      val cnt = e32(at + 4)
+      if (cnt <= 0L || cnt > 65536L) return null
+      val off = if (cnt <= 4L) (at + 8).toLong else w.t + e32(at + 8)
+      if (off < w.t || off + cnt > w.segEnd) return null
+      var end = off.toInt
+      val lim = (off + cnt).toInt
+      while (end < lim && bytes(end) != 0) end += 1
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(
+        bytes, off.toInt, end - off.toInt)
+    }
+    val c0 = math.min(e16(w.ifd0), MaxIfdEntries)
+    var make: Any = null; var model: Any = null; var software: Any = null
+    var e = 0
+    while (e < c0) {
+      val at = w.ifd0 + 2 + 12 * e
+      if (at + 12 > w.segEnd) return null
+      if (e16(at + 2) == 2) e16(at) match { // ASCII type only
+        case 0x010f => make = ascii(at)
+        case 0x0110 => model = ascii(at)
+        case 0x0131 => software = ascii(at)
+        case _ => ()
+      }
+      e += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](make, model, software))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val b = child.eval(input).asInstanceOf[Array[Byte]]
+    if (b == null) null else compute(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      Object ${ev.value}_o = null;
+      if (!${c.isNull}) ${ev.value}_o = $ref.compute(${c.value});
+      boolean ${ev.isNull} = ${ev.value}_o == null;
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = ${ev.isNull}
+        ? null : (org.apache.spark.sql.catalyst.InternalRow) ${ev.value}_o;
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}

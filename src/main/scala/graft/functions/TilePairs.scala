@@ -47,6 +47,7 @@ object TilePairs {
   val ExifGpsName = "graft_exif_gps"
   val ExifGpsStripName = "graft_exif_gps_strip"
   val WebpDimsName = "graft_webp_dims"
+  val ExifTagsName = "graft_exif_tags"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

@@ -209,6 +209,28 @@ object Multimodal {
     }
   }
 
+  /** REAL camera-provenance tags from header bytes
+    * ([[graft.functions.ExifTags]]): appends `exif_make`, `exif_model`,
+    * `exif_software` (IFD0 ASCII tags 0x010F/0x0110/0x0131; each NULL
+    * when absent, all NULL without parseable EXIF). Device priors for
+    * curation, and the `software` tag is the cheap synthetic/edited
+    * screen — editor names land there. EXTENSION-REQUIRED. */
+  def withExifTags(df: DataFrame, binCol: String): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(binCol))
+    graft.core.Validators.requireColumnsAbsent(
+      df, Seq("exif_make", "exif_model", "exif_software"), "withExifTags")
+    require(df.sparkSession.catalog.functionExists(
+      graft.functions.TilePairs.ExifTagsName),
+      "withExifTags needs the native EXIF kernel — set " +
+        "spark.sql.extensions=graft.functions.GraftExtensions")
+    val t = call_function(graft.functions.TilePairs.ExifTagsName, col(binCol))
+    df.withColumn("__graft_xt", t)
+      .withColumn("exif_make", col("__graft_xt.make"))
+      .withColumn("exif_model", col("__graft_xt.model"))
+      .withColumn("exif_software", col("__graft_xt.software"))
+      .drop("__graft_xt")
+  }
+
   /** REAL EXIF GPS report from header bytes ([[graft.functions.ExifGps]]):
     * appends `gps_present` (true whenever IFD0 carries a GPS Info pointer —
     * even an unparseable one: the privacy gate must flag what it cannot

@@ -149,7 +149,7 @@ class FunctionsSpec extends SparkSpec {
       classOf[graft.functions.Mp4Duration], classOf[graft.functions.Mp3Duration],
       classOf[graft.functions.ExifOrientation],
       classOf[graft.functions.ExifGps], classOf[graft.functions.ExifGpsStrip],
-      classOf[graft.functions.WebpDims])
+      classOf[graft.functions.WebpDims], classOf[graft.functions.ExifTags])
       .foreach(c => classOf[CodegenFallback].isAssignableFrom(c) shouldBe false)
     // and a projection through them really compiles into a codegen stage
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -622,6 +622,43 @@ class FunctionsSpec extends SparkSpec {
       Seq((1, riff ++ vp8)).toDF("id", "payload"), "payload")
       .select("img_width", "img_height").head()
     (out.getLong(0), out.getLong(1)) shouldBe ((320L, 240L))
+  }
+
+  test("graft_exif_tags: ASCII tag rules — inline values, truncated offsets, lying counts") {
+    def hx(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val sof = hx("FFC0000B08" + "0064" + "00C8" + "01011100")
+    def app1(tiff: Array[Byte]): Array[Byte] = {
+      val body = hx("457869660000") ++ tiff
+      hx("FFE1") ++ Array(((body.length + 2) >> 8).toByte,
+        ((body.length + 2) & 0xff).toByte) ++ body
+    }
+    // II, one INLINE make ("A1\0", count 3 ≤ 4 rides in the value field)
+    val inline = hx("49492A0008000000" + "0100" +
+      "0F01" + "0200" + "03000000") ++ "A1".getBytes ++ hx("0000") ++ hx("00000000")
+    // II, model whose out-of-line offset runs past the segment → NULL field
+    val oob = hx("49492A0008000000" + "0100" +
+      "1001" + "0200" + "10000000" + "F0000000" + "00000000")
+    // II, software with a LYING count (64k+) → NULL field
+    val lying = hx("49492A0008000000" + "0100" +
+      "3101" + "0200" + "01000100" + "1A000000" + "00000000")
+    val cases: Seq[(Int, Array[Byte], Option[(Option[String], Option[String], Option[String])])] = Seq(
+      (1, hx("FFD8") ++ app1(inline) ++ sof, Some((Some("A1"), None, None))),
+      (2, hx("FFD8") ++ app1(oob) ++ sof, Some((None, None, None))),
+      (3, hx("FFD8") ++ app1(lying) ++ sof, Some((None, None, None))),
+      (4, hx("FFD8") ++ sof, None), // no EXIF
+      (5, "not an image".getBytes("UTF-8"), None))
+    val got = cases.map { case (id, b, _) => (id, b) }.toDF("id", "payload")
+      .select($"id", call_function(TilePairs.ExifTagsName, $"payload").as("t"))
+      .collect()
+      .map { r =>
+        val v = if (r.isNullAt(1)) None else {
+          val s = r.getStruct(1)
+          Some((Option(s.getString(0)), Option(s.getString(1)), Option(s.getString(2))))
+        }
+        r.getInt(0) -> v
+      }.toMap
+    for ((id, _, want) <- cases) withClue(s"case $id:") { got(id) shouldBe want }
   }
 
   test("graft_exif_orientation: IFD walk — both byte orders, decoys, malformed EXIF") {
