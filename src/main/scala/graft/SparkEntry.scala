@@ -3596,14 +3596,22 @@ object SparkEntry {
         h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
       val body = col("text").cast("binary")
       val payload =
-        when(col("doc_id") % 7 === 0, concat(lit(hx("FFD8FFE0")), body, lit(hx("FFD9"))))
-          .when(col("doc_id") % 7 === 1, concat(lit(hx("FFD8FFE0")), body))
-          .when(col("doc_id") % 7 === 2,
+        when(col("doc_id") % 10 === 0, concat(lit(hx("FFD8FFE0")), body, lit(hx("FFD9"))))
+          .when(col("doc_id") % 10 === 1, concat(lit(hx("FFD8FFE0")), body))
+          .when(col("doc_id") % 10 === 2,
             concat(lit(hx("89504E470D0A1A0A")), body, lit(hx("0000000049454E44AE426082"))))
-          .when(col("doc_id") % 7 === 3, concat(lit(hx("474946383961")), body, lit(hx("3B"))))
-          .when(col("doc_id") % 7 === 4, concat(lit(hx("664C6143")), body))
-          .when(col("doc_id") % 7 === 5,
+          .when(col("doc_id") % 10 === 3, concat(lit(hx("474946383961")), body, lit(hx("3B"))))
+          .when(col("doc_id") % 10 === 4, concat(lit(hx("664C6143")), body))
+          .when(col("doc_id") % 10 === 5,
             concat(lit(hx("52494646")), lit(hx("10000000")), lit("WEBP".getBytes), body))
+          // complete PDF: %%EOF in the tail with bytes AFTER it (ISO
+          // 32000 allows trailers past the marker — containment, not
+          // suffix, is the right truncation test)
+          .when(col("doc_id") % 10 === 6, concat(
+            lit("%PDF-1.7\n".getBytes), body, lit("\n%%EOF\n ok".getBytes)))
+          // truncated PDF: header only, the marker never arrives
+          .when(col("doc_id") % 10 === 7, concat(lit("%PDF-1.4\n".getBytes), body))
+          .when(col("doc_id") % 10 === 8, concat(lit(hx("1F8B0800")), body))
           .otherwise(body)
       Multimodal.withBinaryMeta(
         rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
@@ -3747,6 +3755,49 @@ object SparkEntry {
         rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
         "payload")
         .select("doc_id", "img_width", "img_height")
+    }),
+    // ID3v2 text frames — the audio sibling of mm_exif_tags: v2.3
+    // plain-u32 frame sizes vs v2.4 syncsafe (the classic confusion,
+    // both pinned), Latin-1 / UTF-8 / BOM'd UTF-16 text encodings,
+    // missing-album and no-tag shapes. Strings are doc_id-derived
+    // fixed-width so frame offsets stay literal; the oracle rebuilds
+    // them from arithmetic.
+    "mm_mp3_tags" -> ((s, dir) => {
+      def hx(h: String): Array[Byte] =
+        h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      val ti = concat(lit("T"),
+        lpad((col("doc_id") % 89).cast("string"), 4, "0")).cast("binary")
+      val ar = concat(lit("A"),
+        lpad((col("doc_id") % 83).cast("string"), 4, "0")).cast("binary")
+      val al = concat(lit("L"),
+        lpad((col("doc_id") % 79).cast("string"), 4, "0")).cast("binary")
+      // three 16-byte text frames (1 encoding byte + 5 chars each)
+      def frames3 = concat(
+        lit(hx("54495432" + "00000006" + "0000" + "00")), ti,
+        lit(hx("54504531" + "00000006" + "0000" + "00")), ar,
+        lit(hx("54414C42" + "00000006" + "0000" + "00")), al)
+      val v23 = concat(lit(hx("494433" + "0300" + "00" + "00000030")), frames3)
+      // v2.4: same byte shapes (sizes < 128 encode identically), but the
+      // kernel must take the SYNCSAFE branch; encoding byte 03 = UTF-8
+      val v24 = concat(
+        lit(hx("494433" + "0400" + "00" + "00000030")),
+        lit(hx("54495432" + "00000006" + "0000" + "03")), ti,
+        lit(hx("54504531" + "00000006" + "0000" + "03")), ar,
+        lit(hx("54414C42" + "00000006" + "0000" + "03")), al)
+      // v2.3 with a BOM'd UTF-16LE title ("T16") + Latin-1 artist, no album
+      val v16 = concat(
+        lit(hx("494433" + "0300" + "00" + "00000023")),
+        lit(hx("54495432" + "00000009" + "0000" + "01" + "FFFE" + "540031003600")),
+        lit(hx("54504531" + "00000006" + "0000" + "00")), ar)
+      val payload =
+        when(col("doc_id") % 4 === 0, v23)
+          .when(col("doc_id") % 4 === 1, v24)
+          .when(col("doc_id") % 4 === 2, v16)
+          .otherwise(lit(hx("FFFB9000AAAAAAAA"))) // bare frames, no tag
+      Multimodal.withMp3Tags(
+        rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
+        "payload")
+        .select("doc_id", "mp3_title", "mp3_artist", "mp3_album")
     }),
     // EXIF camera-provenance tags: out-of-line ASCII Make/Model/Software
     // values (count includes the NUL) synthesized in BOTH byte orders
@@ -7611,13 +7662,22 @@ object SparkEntry {
         |FROM t LEFT JOIN p ON t.query_id = p.query_id AND t.id = p.id
         |GROUP BY t.query_id""".stripMargin,
     "mm_binary_meta" ->
-      """SELECT doc_id,
+      """WITH h AS (SELECT doc_id, text,
+        |             upper(hex(encode(text))) AS hx FROM documents),
+        |f AS (SELECT doc_id, text, hx,
+        |        CASE WHEN substr(hx, 1, 6) = '494433' THEN 'mp3'
+        |             WHEN substr(hx, 1, 8) = '25504446' THEN 'pdf'
+        |             WHEN substr(hx, 1, 4) = '1F8B' THEN 'gzip'
+        |             ELSE 'unknown' END AS format
+        |      FROM h)
+        |SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |       md5(text) AS content_md5,
-        |       CASE WHEN substr(upper(hex(encode(text))), 1, 6) = '494433'
-        |            THEN 'mp3' ELSE 'unknown' END AS format,
-        |       CAST(NULL AS BOOLEAN) AS truncated
-        |FROM documents""".stripMargin,
+        |       format,
+        |       CASE WHEN format = 'pdf'
+        |            THEN position('2525454F46' IN right(hx, 2048)) = 0
+        |            ELSE CAST(NULL AS BOOLEAN) END AS truncated
+        |FROM f""".stripMargin,
     // Replays the sniffer over the hex encoding (DuckDB cannot slice
     // BLOBs): magic = chars 1-8, RIFF form = 17-24, box type = 9-16, and
     // the RIFF little-endian chunk size is reassembled from its byte pairs
@@ -7659,6 +7719,21 @@ object SparkEntry {
         |            ELSE CAST(doc_id % 500 + 1 AS BIGINT) END AS img_width,
         |       CASE WHEN doc_id % 4 = 3 THEN NULL
         |            ELSE CAST(doc_id % 300 + 1 AS BIGINT) END AS img_height
+        |FROM documents""".stripMargin,
+    // ID3 text frames rebuilt from arithmetic; the UTF-16 shape's title
+    // is the fixed literal, the no-tag shape is all NULL.
+    "mm_mp3_tags" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 4 IN (0, 1)
+        |              THEN 'T' || lpad(CAST(doc_id % 89 AS VARCHAR), 4, '0')
+        |            WHEN doc_id % 4 = 2 THEN 'T16'
+        |       END AS mp3_title,
+        |       CASE WHEN doc_id % 4 = 3 THEN NULL
+        |            ELSE 'A' || lpad(CAST(doc_id % 83 AS VARCHAR), 4, '0')
+        |       END AS mp3_artist,
+        |       CASE WHEN doc_id % 4 IN (0, 1)
+        |            THEN 'L' || lpad(CAST(doc_id % 79 AS VARCHAR), 4, '0')
+        |       END AS mp3_album
         |FROM documents""".stripMargin,
     // Camera tags rebuilt from arithmetic; NULL software on %4==2, all
     // NULL on the no-EXIF %4==3 shape.
@@ -7733,7 +7808,7 @@ object SparkEntry {
     "mm_binary_meta_ext" ->
       """WITH p AS (
         |  SELECT doc_id,
-        |    CASE CAST(doc_id % 7 AS INTEGER)
+        |    CASE CAST(doc_id % 10 AS INTEGER)
         |      WHEN 0 THEN from_hex('FFD8FFE0') || encode(text) || from_hex('FFD9')
         |      WHEN 1 THEN from_hex('FFD8FFE0') || encode(text)
         |      WHEN 2 THEN from_hex('89504E470D0A1A0A') || encode(text)
@@ -7742,6 +7817,10 @@ object SparkEntry {
         |      WHEN 4 THEN from_hex('664C6143') || encode(text)
         |      WHEN 5 THEN from_hex('52494646') || from_hex('10000000')
         |                  || encode('WEBP') || encode(text)
+        |      WHEN 6 THEN encode('%PDF-1.7' || chr(10)) || encode(text)
+        |                  || encode(chr(10) || '%%EOF' || chr(10) || ' ok')
+        |      WHEN 7 THEN encode('%PDF-1.4' || chr(10)) || encode(text)
+        |      WHEN 8 THEN from_hex('1F8B0800') || encode(text)
         |      ELSE encode(text)
         |    END AS payload
         |  FROM documents),
@@ -7764,6 +7843,8 @@ object SparkEntry {
         |          WHEN substr(hx, 1, 6) = '494433' THEN 'mp3'
         |          WHEN substr(hx, 1, 2) = 'FF'
         |               AND substr(hx, 3, 1) IN ('E', 'F') THEN 'mp3'
+        |          WHEN substr(hx, 1, 8) = '25504446' THEN 'pdf'
+        |          WHEN substr(hx, 1, 4) = '1F8B' THEN 'gzip'
         |          ELSE 'unknown'
         |        END AS format
         |      FROM h),
@@ -7785,6 +7866,8 @@ object SparkEntry {
         |         WHEN format = 'gif' THEN right(hx, 2) <> '3B'
         |         WHEN format IN ('webp', 'wav', 'avi', 'riff')
         |           THEN n_bytes <> riff_declared + 8
+        |         WHEN format = 'pdf'
+        |           THEN position('2525454F46' IN right(hx, 2048)) = 0
         |         ELSE CAST(NULL AS BOOLEAN)
         |       END AS truncated
         |FROM r""".stripMargin,

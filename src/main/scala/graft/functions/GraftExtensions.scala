@@ -141,5 +141,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 1, s"${TilePairs.ExifTagsName} expects 1 argument")
       ExifTags(args(0))
     }))
+    ext.injectFunction(fn(TilePairs.Mp3TagsName, { args =>
+      require(args.length == 1, s"${TilePairs.Mp3TagsName} expects 1 argument")
+      Mp3Tags(args(0))
+    }))
   }
 }

@@ -964,3 +964,131 @@ case class ExifTags(child: Expression) extends Expression {
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0))
 }
+
+/** graft_mp3_tags(payload): the ID3v2 text frames of an MPEG-audio
+  * payload — struct `(title, artist, album)` (frames TIT2 / TPE1 /
+  * TALB), the audio sibling of [[ExifTags]]. ID3v2.3 and v2.4 framing:
+  * the tag's syncsafe size bounds the walk; v2.3 frame sizes are plain
+  * big-endian u32, v2.4 are syncsafe (the classic parser bug is using
+  * one for the other — fixtures pin both); an extended header is
+  * skipped per-version (v2.3 size EXCLUDES its own 4 bytes, v2.4
+  * syncsafe size INCLUDES itself); a zero byte where a frame id should
+  * be is padding → stop. Text-frame bodies decode by their encoding
+  * byte — 0 Latin-1, 1 UTF-16 with BOM (both orders), 2 UTF-16BE,
+  * 3 UTF-8 — read up to the first NUL. Frames with lying sizes stop
+  * the walk with whatever was already read; a v2.2 tag (3-char frames)
+  * or the unsynchronisation flag (0xFF-stuffed bytes, pre-2000 rarity)
+  * return NULL rather than misparse. NULL for payloads bearing no
+  * ID3v2 tag at all. */
+case class Mp3Tags(child: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def prettyName: String = TilePairs.Mp3TagsName
+  override def dataType: DataType = StructType(Seq(
+    StructField("title", StringType, nullable = true),
+    StructField("artist", StringType, nullable = true),
+    StructField("album", StringType, nullable = true)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary input")
+
+  def compute(bytes: Array[Byte]): Any = {
+    val n = bytes.length
+    def u(i: Int): Int = bytes(i) & 0xff
+    if (n < 10 || bytes(0) != 'I' || bytes(1) != 'D' || bytes(2) != '3') return null
+    val maj = u(3)
+    if (maj != 3 && maj != 4) return null // v2.2 frames are 3-char: out of scope
+    val flags = u(5)
+    if ((flags & 0x80) != 0) return null // unsynchronised: stuffed bytes
+    def syncsafe(i: Int): Int = {
+      if ((u(i) | u(i + 1) | u(i + 2) | u(i + 3)) >= 0x80) -1
+      else (u(i) << 21) | (u(i + 1) << 14) | (u(i + 2) << 7) | u(i + 3)
+    }
+    def be32(i: Int): Long =
+      (u(i).toLong << 24) | (u(i + 1).toLong << 16) | (u(i + 2).toLong << 8) | u(i + 3).toLong
+    val tagSz = syncsafe(6)
+    if (tagSz < 0) return null
+    val tagEnd = math.min(n.toLong, 10L + tagSz)
+    var pos = 10L
+    if ((flags & 0x40) != 0) { // extended header
+      if (pos + 4 > tagEnd) return null
+      pos +=
+        (if (maj == 4) { val s = syncsafe(pos.toInt); if (s < 4) return null; s.toLong }
+         else 4L + be32(pos.toInt))
+      if (pos < 10L) return null
+    }
+    var title: Any = null; var artist: Any = null; var album: Any = null
+    def text(off: Int, len: Int): Any = {
+      if (len < 1) return null
+      val enc = u(off)
+      val start = off + 1
+      val avail = len - 1
+      val s: String = enc match {
+        case 0 => new String(bytes, start, avail, java.nio.charset.StandardCharsets.ISO_8859_1)
+        case 1 =>
+          if (avail < 2) return null
+          if (u(start) == 0xff && u(start + 1) == 0xfe)
+            new String(bytes, start + 2, avail - 2, java.nio.charset.StandardCharsets.UTF_16LE)
+          else if (u(start) == 0xfe && u(start + 1) == 0xff)
+            new String(bytes, start + 2, avail - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+          else return null // encoding 1 REQUIRES a BOM
+        case 2 => new String(bytes, start, avail, java.nio.charset.StandardCharsets.UTF_16BE)
+        case 3 => new String(bytes, start, avail, java.nio.charset.StandardCharsets.UTF_8)
+        case _ => return null
+      }
+      val cut = s.indexOf(0.toChar) // read up to the first NUL
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        if (cut >= 0) s.substring(0, cut) else s)
+    }
+    var walking = true
+    while (walking && pos + 10 <= tagEnd) {
+      val p = pos.toInt
+      if (bytes(p) == 0) walking = false // padding reached
+      else {
+        val fs = if (maj == 4) syncsafe(p + 4).toLong else be32(p + 4)
+        if (fs < 0 || fs > tagEnd - (pos + 10)) walking = false // lying size
+        else {
+          val id = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val body = p + 10
+          id match {
+            case "TIT2" => title = text(body, fs.toInt)
+            case "TPE1" => artist = text(body, fs.toInt)
+            case "TALB" => album = text(body, fs.toInt)
+            case _ => ()
+          }
+          pos = pos + 10 + fs
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](title, artist, album))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val b = child.eval(input).asInstanceOf[Array[Byte]]
+    if (b == null) null else compute(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      Object ${ev.value}_o = null;
+      if (!${c.isNull}) ${ev.value}_o = $ref.compute(${c.value});
+      boolean ${ev.isNull} = ${ev.value}_o == null;
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = ${ev.isNull}
+        ? null : (org.apache.spark.sql.catalyst.InternalRow) ${ev.value}_o;
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}

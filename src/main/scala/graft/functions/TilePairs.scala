@@ -48,6 +48,7 @@ object TilePairs {
   val ExifGpsStripName = "graft_exif_gps_strip"
   val WebpDimsName = "graft_webp_dims"
   val ExifTagsName = "graft_exif_tags"
+  val Mp3TagsName = "graft_mp3_tags"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

@@ -46,6 +46,8 @@ object Multimodal {
         .when(boxType === "66747970", lit("mp4"))
         .when(magic.startsWith("494433"), lit("mp3")) // ID3v2-tagged
         .when(magic.rlike("^FF[EF]"), lit("mp3")) // bare MPEG frame sync
+        .when(magic === "25504446", lit("pdf")) // %PDF
+        .when(magic.startsWith("1F8B"), lit("gzip"))
         .otherwise(lit("unknown"))
     // RIFF header: bytes 4-7 are the chunk size (little endian), which for a
     // complete file equals total length − 8
@@ -64,6 +66,11 @@ object Multimodal {
           .when(fmt === "gif", hex(substring(b, -1, 1)) =!= "3B")
           .when(fmt.isin("webp", "wav", "avi", "riff"),
             length(b).cast("long") =!= riffDeclared + 8L)
+          // PDF: the %%EOF marker must sit in the last KiB (ISO 32000
+          // allows trailing bytes after it, so a containment check on
+          // the tail — not an exact-suffix check — is the correct test)
+          .when(fmt === "pdf",
+            !hex(substring(b, -1024, 1024)).contains("2525454F46"))
           .otherwise(lit(null).cast("boolean")))
   }
 
@@ -229,6 +236,28 @@ object Multimodal {
       .withColumn("exif_model", col("__graft_xt.model"))
       .withColumn("exif_software", col("__graft_xt.software"))
       .drop("__graft_xt")
+  }
+
+  /** REAL audio-provenance tags from header bytes
+    * ([[graft.functions.Mp3Tags]]): appends `mp3_title`, `mp3_artist`,
+    * `mp3_album` from the ID3v2 text frames (TIT2/TPE1/TALB; v2.3 and
+    * v2.4 framing, all four text encodings) — the audio sibling of
+    * [[withExifTags]]. Each NULL when the frame is absent; all NULL for
+    * payloads bearing no ID3v2 tag. EXTENSION-REQUIRED. */
+  def withMp3Tags(df: DataFrame, binCol: String): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(binCol))
+    graft.core.Validators.requireColumnsAbsent(
+      df, Seq("mp3_title", "mp3_artist", "mp3_album"), "withMp3Tags")
+    require(df.sparkSession.catalog.functionExists(
+      graft.functions.TilePairs.Mp3TagsName),
+      "withMp3Tags needs the native ID3 kernel — set " +
+        "spark.sql.extensions=graft.functions.GraftExtensions")
+    val t = call_function(graft.functions.TilePairs.Mp3TagsName, col(binCol))
+    df.withColumn("__graft_id3", t)
+      .withColumn("mp3_title", col("__graft_id3.title"))
+      .withColumn("mp3_artist", col("__graft_id3.artist"))
+      .withColumn("mp3_album", col("__graft_id3.album"))
+      .drop("__graft_id3")
   }
 
   /** REAL EXIF GPS report from header bytes ([[graft.functions.ExifGps]]):

@@ -149,7 +149,8 @@ class FunctionsSpec extends SparkSpec {
       classOf[graft.functions.Mp4Duration], classOf[graft.functions.Mp3Duration],
       classOf[graft.functions.ExifOrientation],
       classOf[graft.functions.ExifGps], classOf[graft.functions.ExifGpsStrip],
-      classOf[graft.functions.WebpDims], classOf[graft.functions.ExifTags])
+      classOf[graft.functions.WebpDims], classOf[graft.functions.ExifTags],
+      classOf[graft.functions.Mp3Tags])
       .foreach(c => classOf[CodegenFallback].isAssignableFrom(c) shouldBe false)
     // and a projection through them really compiles into a codegen stage
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -622,6 +623,71 @@ class FunctionsSpec extends SparkSpec {
       Seq((1, riff ++ vp8)).toDF("id", "payload"), "payload")
       .select("img_width", "img_height").head()
     (out.getLong(0), out.getLong(1)) shouldBe ((320L, 240L))
+  }
+
+  test("graft_mp3_tags: v2.3 vs v2.4 sizes, encodings, lying frames, padding, ext header") {
+    def hx(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def frame23(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes ++ hx(f"${body.length}%08X" + "0000") ++ body
+    def tag(maj: Int, flags: Int, frames: Array[Byte]): Array[Byte] = {
+      val s = frames.length
+      "ID3".getBytes ++ Array(maj.toByte, 0.toByte, flags.toByte) ++
+        Array(((s >> 21) & 0x7f).toByte, ((s >> 14) & 0x7f).toByte,
+          ((s >> 7) & 0x7f).toByte, (s & 0x7f).toByte) ++ frames
+    }
+    def latin1(s: String): Array[Byte] = hx("00") ++ s.getBytes("ISO-8859-1")
+    type R = Option[(Option[String], Option[String], Option[String])]
+    val cases: Seq[(Int, Array[Byte], R)] = Seq(
+      // v2.3 all three frames + trailing padding bytes (walk must stop)
+      (1, tag(3, 0, frame23("TIT2", latin1("Song")) ++
+        frame23("TPE1", latin1("Band")) ++ frame23("TALB", latin1("Disc")) ++
+        new Array[Byte](12)),
+        Some((Some("Song"), Some("Band"), Some("Disc")))),
+      // v2.4: a 200-byte body whose size encodes DIFFERENTLY under
+      // syncsafe (0x000001 0x48) vs plain u32 — a parser using the v2.3
+      // rule misreads 328 and runs off the tag
+      (2, tag(4, 0, "TIT2".getBytes ++ hx("00000148" + "0000") ++
+        latin1("x" * 199)),
+        Some((Some("x" * 199), None, None))),
+      // lying frame size: the first frame survives, the walk stops there
+      (3, tag(3, 0, frame23("TPE1", latin1("Kept")) ++
+        "TIT2".getBytes ++ hx("7FFFFFFF" + "0000") ++ latin1("lost")),
+        Some((None, Some("Kept"), None))),
+      // encoding 1 without a BOM is malformed → that field NULL
+      (4, tag(3, 0, frame23("TIT2", hx("01") ++ "NoBom".getBytes) ++
+        frame23("TPE1", latin1("Ok"))),
+        Some((None, Some("Ok"), None))),
+      // UTF-16BE via encoding 2 (v2.4)
+      (5, tag(4, 0, "TIT2".getBytes ++ hx("00000005" + "0000") ++
+        hx("02" + "00420045")),
+        Some((Some("BE"), None, None))),
+      // v2.3 extended header (size EXCLUDES its own 4 bytes): 6 bytes
+      // of ext data, then a normal frame
+      (6, tag(3, 0x40, hx("00000006" + "000000000000") ++
+        frame23("TALB", latin1("Ext"))),
+        Some((None, None, Some("Ext")))),
+      // unsynchronisation flag → NULL; v2.2 → NULL; no tag → NULL
+      (7, tag(3, 0x80, frame23("TIT2", latin1("S"))), None),
+      (8, tag(2, 0, Array.emptyByteArray), None),
+      (9, hx("FFFB9000AAAA"), None))
+    val got = cases.map { case (id, b, _) => (id, b) }.toDF("id", "payload")
+      .select($"id", call_function(TilePairs.Mp3TagsName, $"payload").as("t"))
+      .collect()
+      .map { r =>
+        val v = if (r.isNullAt(1)) None else {
+          val s = r.getStruct(1)
+          Some((Option(s.getString(0)), Option(s.getString(1)), Option(s.getString(2))))
+        }
+        r.getInt(0) -> v
+      }.toMap
+    for ((id, _, want) <- cases) withClue(s"case $id:") { got(id) shouldBe want }
+    // the op appends the three columns
+    val out = graft.ops.Multimodal.withMp3Tags(
+      Seq((1, cases.head._2)).toDF("id", "payload"), "payload")
+      .select("mp3_title", "mp3_artist", "mp3_album").head()
+    (out.getString(0), out.getString(1), out.getString(2)) shouldBe
+      (("Song", "Band", "Disc"))
   }
 
   test("graft_exif_tags: ASCII tag rules — inline values, truncated offsets, lying counts") {

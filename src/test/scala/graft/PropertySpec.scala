@@ -610,7 +610,8 @@ class PropertySpec extends SparkSpec {
       "mp4_duration" -> Mp4Duration(child).compute _,
       "mp3_duration" -> Mp3Duration(child).compute _,
       "webp_dims" -> WebpDims(child).compute _,
-      "exif_tags" -> ExifTags(child).compute _)
+      "exif_tags" -> ExifTags(child).compute _,
+      "mp3_tags" -> Mp3Tags(child).compute _)
     def hx(h: String): Array[Byte] =
       h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     val prefixes: Seq[Array[Byte]] = Seq(
