@@ -3756,6 +3756,75 @@ object SparkEntry {
         "payload")
         .select("doc_id", "img_width", "img_height")
     }),
+    // MULTIMODAL INGEST PROFILE (composed, no new op): every header
+    // kernel in ONE narrow projection over a mixed corpus — sniff +
+    // truncation, dims (JPEG marker walk / WebP chunk walk), EXIF
+    // orientation + display transpose + GPS flag + camera tags, media
+    // duration (ID3-skip MP3 CBR), ID3 text frames. Zero shuffles
+    // (smoke-pinned): the whole profile is one WholeStageCodegen pass
+    // per file split — the shape a 100 TB multimodal ingest runs. The
+    // oracle rebuilds every column from the per-shape arithmetic.
+    "mm_ingest_profile" -> ((s, dir) => {
+      def hx(h: String): Array[Byte] =
+        h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      def be16(v: org.apache.spark.sql.Column) = unhex(lpad(hex(v), 4, "0"))
+      val w = col("doc_id") % 500 + 1
+      val h = col("doc_id") % 300 + 1
+      val ori = col("doc_id") % 8 + 1
+      val ob = lpad(hex(ori), 2, "0")
+      val exifII = concat(
+        lit(hx("FFE1002E" + "457869660000" + "49492A00" + "08000000" + "0200" +
+          "0001" + "0300" + "01000000" + "E7030000" +
+          "1201" + "0300" + "01000000")),
+        unhex(concat(ob, lit("000000"))),
+        lit(hx("00000000")))
+      val sof = concat(lit(hx("FFC0000B08")), be16(h), be16(w), lit(hx("01011100")))
+      val jpeg = concat(lit(hx("FFD8")), exifII, sof)
+      val ti = concat(lit("T"),
+        lpad((col("doc_id") % 89).cast("string"), 4, "0")).cast("binary")
+      val ar = concat(lit("A"),
+        lpad((col("doc_id") % 83).cast("string"), 4, "0")).cast("binary")
+      val al = concat(lit("L"),
+        lpad((col("doc_id") % 79).cast("string"), 4, "0")).cast("binary")
+      val mp3 = concat(
+        lit(hx("494433" + "0300" + "00" + "00000030")),
+        lit(hx("54495432" + "00000006" + "0000" + "00")), ti,
+        lit(hx("54504531" + "00000006" + "0000" + "00")), ar,
+        lit(hx("54414C42" + "00000006" + "0000" + "00")), al,
+        lit(hx("FFFB9000")),
+        expr("unhex(repeat('AA', CAST(doc_id % 997 + 64 AS INT)))"))
+      val webp = concat(
+        lit(hx("52494646" + "64000000" + "57454250")),
+        lit(hx("56503820" + "0A000000" + "000000" + "9D012A")),
+        unhex(concat(
+          lpad(hex(w.bitwiseAND(lit(255L))), 2, "0"),
+          lpad(hex(shiftright(w, 8).bitwiseAND(lit(255L))), 2, "0"),
+          lpad(hex(h.bitwiseAND(lit(255L))), 2, "0"),
+          lpad(hex(shiftright(h, 8).bitwiseAND(lit(255L))), 2, "0"))))
+      val payload =
+        when(col("doc_id") % 3 === 0, jpeg)
+          .when(col("doc_id") % 3 === 1, mp3)
+          .otherwise(webp)
+      val base = rt(s, dir, "documents").select(col("doc_id"), payload.as("payload"))
+      val profiled = Multimodal.withMp3Tags(
+        Multimodal.withMediaDuration(
+          Multimodal.withExifTags(
+            Multimodal.withExifGps(
+              Multimodal.withExifOrientation(
+                Multimodal.imageDims(
+                  Multimodal.withBinaryMeta(base, "payload"),
+                  "payload"),
+                "payload"),
+              "payload"),
+            "payload"),
+          "payload"),
+        "payload")
+      profiled.select("doc_id", "format", "n_bytes", "truncated",
+        "img_width", "img_height", "img_orientation",
+        "display_width", "display_height", "gps_present",
+        "media_dur_num", "media_dur_den", "media_duration_sec",
+        "mp3_title", "mp3_artist", "mp3_album")
+    }),
     // ID3v2 text frames — the audio sibling of mm_exif_tags: v2.3
     // plain-u32 frame sizes vs v2.4 syncsafe (the classic confusion,
     // both pinned), Latin-1 / UTF-8 / BOM'd UTF-16 text encodings,
@@ -7719,6 +7788,55 @@ object SparkEntry {
         |            ELSE CAST(doc_id % 500 + 1 AS BIGINT) END AS img_width,
         |       CASE WHEN doc_id % 4 = 3 THEN NULL
         |            ELSE CAST(doc_id % 300 + 1 AS BIGINT) END AS img_height
+        |FROM documents""".stripMargin,
+    // The whole ingest profile rebuilt from per-shape arithmetic: fixed
+    // header sizes (jpeg 63 B, webp 30 B), jpeg/webp truncation is TRUE
+    // by construction (no EOI trailer / RIFF declares 100), the display
+    // transpose fires on orientations 5-8, and the MP3 leg reuses the
+    // CBR duration + ID3 frame arithmetic verbatim. NOTE display dims:
+    // a NULL orientation falls to the otherwise-branch, so webp display
+    // = raw dims while mp3 (null dims) stays NULL.
+    "mm_ingest_profile" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'mp3' ELSE 'webp' END AS format,
+        |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 63 WHEN 1 THEN doc_id % 997 + 126 ELSE 30
+        |  END AS INTEGER) AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 1 THEN NULL ELSE TRUE END AS truncated,
+        |  CASE WHEN doc_id % 3 <> 1
+        |       THEN CAST(doc_id % 500 + 1 AS BIGINT) END AS img_width,
+        |  CASE WHEN doc_id % 3 <> 1
+        |       THEN CAST(doc_id % 300 + 1 AS BIGINT) END AS img_height,
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN CAST(doc_id % 8 + 1 AS INTEGER) END AS img_orientation,
+        |  CASE WHEN doc_id % 3 = 0 AND doc_id % 8 + 1 >= 5
+        |         THEN CAST(doc_id % 300 + 1 AS BIGINT)
+        |       WHEN doc_id % 3 <> 1
+        |         THEN CAST(doc_id % 500 + 1 AS BIGINT)
+        |  END AS display_width,
+        |  CASE WHEN doc_id % 3 = 0 AND doc_id % 8 + 1 >= 5
+        |         THEN CAST(doc_id % 500 + 1 AS BIGINT)
+        |       WHEN doc_id % 3 <> 1
+        |         THEN CAST(doc_id % 300 + 1 AS BIGINT)
+        |  END AS display_height,
+        |  CASE WHEN doc_id % 3 = 0 THEN FALSE END AS gps_present,
+        |  CASE WHEN doc_id % 3 = 1
+        |       THEN CAST((doc_id % 997 + 68) * 8 AS BIGINT) END AS media_dur_num,
+        |  CASE WHEN doc_id % 3 = 1
+        |       THEN CAST(128000 AS BIGINT) END AS media_dur_den,
+        |  CASE WHEN doc_id % 3 = 1
+        |       THEN CAST((doc_id % 997 + 68) * 8 AS DOUBLE) / 128000.0
+        |  END AS media_duration_sec,
+        |  CASE WHEN doc_id % 3 = 1
+        |       THEN 'T' || lpad(CAST(doc_id % 89 AS VARCHAR), 4, '0')
+        |  END AS mp3_title,
+        |  CASE WHEN doc_id % 3 = 1
+        |       THEN 'A' || lpad(CAST(doc_id % 83 AS VARCHAR), 4, '0')
+        |  END AS mp3_artist,
+        |  CASE WHEN doc_id % 3 = 1
+        |       THEN 'L' || lpad(CAST(doc_id % 79 AS VARCHAR), 4, '0')
+        |  END AS mp3_album
         |FROM documents""".stripMargin,
     // ID3 text frames rebuilt from arithmetic; the UTF-16 shape's title
     // is the fixed literal, the no-tag shape is all NULL.

@@ -101,6 +101,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "mm_image_dims" -> 0, // constant-width header slices, narrow
     "mm_media_duration" -> 0, // chunk/box walk kernels, narrow
     "mm_exif_orientation" -> 0, // IFD walk kernel, narrow
+    "mm_webp_dims" -> 0, // RIFF chunk walk kernel, narrow
+    "mm_exif_tags" -> 0, "mm_mp3_tags" -> 0, // tag walks, narrow
+    // ALL header kernels composed stay one shuffle-free pass — the
+    // 100 TB multimodal-ingest plan shape
+    "mm_ingest_profile" -> 0,
     "text_script_lang_check" -> 0, // profile + verdict, still narrow
     "text_url_strip_tracking" -> 0, // split-filter-rejoin, narrow
     "warc_recrawl_schedule" -> 0, // entries explode + epoch arithmetic, narrow
