@@ -182,6 +182,43 @@ class StreamingSpec extends SparkSpec {
     got.head.getInt(got.head.fieldIndex("n_emails")) shouldBe 0
   }
 
+  test("multimodal header kernels run unchanged on a stream (narrow per-row projections)") {
+    // the whole ingest profile — sniff, dims, EXIF, durations, ID3 —
+    // is stateless narrow projections, so the SAME chain composes onto
+    // a readStream source: the streaming half of multimodal ingest
+    def hx(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val jpeg = hx("FFD8" +
+      "FFE1002E" + "457869660000" + "49492A00" + "08000000" + "0200" +
+      "0001" + "0300" + "01000000" + "E7030000" +
+      "1201" + "0300" + "01000000" + "06000000" + "00000000" +
+      "FFC0000B08" + "0064" + "00C8" + "01011100")
+    val mp3 = hx("FFFB9000") ++ Array.fill[Byte](996)(0xAA.toByte)
+    def profile(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Multimodal.withMediaDuration(
+        graft.ops.Multimodal.withExifOrientation(
+          graft.ops.Multimodal.imageDims(
+            graft.ops.Multimodal.withBinaryMeta(df, "payload"), "payload"),
+          "payload"),
+        "payload")
+        .select("id", "format", "img_width", "img_orientation",
+          "display_width", "media_dur_num")
+    val mem = MemoryStream[(Int, Array[Byte])]
+    mem.addData((1, jpeg), (2, mp3))
+    val q = profile(mem.toDF.toDF("id", "payload"))
+      .writeStream.format("memory").queryName("stream_mm_profile")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("stream_mm_profile").collect()
+      .map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+    val batch = profile(Seq((1, jpeg), (2, mp3)).toDF("id", "payload"))
+      .collect().map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+    batch shouldBe streamed
+    streamed(1) shouldBe Seq("jpeg", 200L, 6, 100L, null) // orientation 6 transposes
+    streamed(2) shouldBe Seq("mp3", null, null, null, 1000L * 8)
+  }
+
   test("dedupByContent drops same-fingerprint docs across micro-batches") {
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
