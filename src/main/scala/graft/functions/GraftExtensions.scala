@@ -145,5 +145,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 1, s"${TilePairs.Mp3TagsName} expects 1 argument")
       Mp3Tags(args(0))
     }))
+    ext.injectFunction(fn(TilePairs.RobotsVerdictName, { args =>
+      require(args.length == 2, s"${TilePairs.RobotsVerdictName} expects 2 arguments")
+      RobotsVerdict(args(0), args(1))
+    }))
   }
 }

@@ -49,6 +49,7 @@ object TilePairs {
   val WebpDimsName = "graft_webp_dims"
   val ExifTagsName = "graft_exif_tags"
   val Mp3TagsName = "graft_mp3_tags"
+  val RobotsVerdictName = "graft_robots_verdict"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

@@ -192,10 +192,13 @@ object Robots {
     * key), the URL side takes one narrow target projection + one LEFT
     * join keyed on host (hosts-sized build side: AQE broadcasts it),
     * and the verdict is the first array entry whose pattern matches —
-    * a per-row higher-order `filter`, so the URL side never shuffles
-    * and never widens. The regex evaluation count is the same per
-    * (url, same-host rule) bound as a join-condition match — robots
-    * files are tens of rules. STREAM-CAPABLE: every URL-side op is a
+    * the [[graft.functions.RobotsVerdict]] kernel (compiled patterns
+    * memoized per executor) when GraftExtensions is installed, a
+    * per-row higher-order `filter` otherwise; either way the URL side
+    * never shuffles and never widens. The regex evaluation count is
+    * the same per (url, same-host rule) bound as a join-condition
+    * match — robots files are tens of rules. STREAM-CAPABLE: every
+    * URL-side op is a
     * narrow projection or a stream-static join, so the gate drops into
     * a live frontier ([[graft.streaming.StreamingOps.politenessSchedule]]'s
     * recrawl loop) unchanged. */
@@ -232,10 +235,20 @@ object Robots {
           when(regexp_extract(noFrag, "\\?(.*)$", 1) =!= "",
             concat(lit("?"), regexp_extract(noFrag, "\\?(.*)$", 1)))
             .otherwise(lit(""))))
-    val verdict = get(
-      filter(col("__g_rules"),
-        r => regexp_like(col("__g_target"), r.getField("pat"))),
-      lit(0)).getField("kr")
+    // first-match verdict: the native kernel memoizes compiled patterns
+    // per executor (a non-foldable regexp_like pays Pattern.compile per
+    // row × rule — pure CPU burn at crawl scale on identical host-level
+    // patterns); pure-Column twin on vanilla sessions, bit-parity-tested
+    val verdict =
+      if (urls.sparkSession.catalog.functionExists(
+          graft.functions.TilePairs.RobotsVerdictName))
+        call_function(graft.functions.TilePairs.RobotsVerdictName,
+          col("__g_target"), col("__g_rules"))
+      else
+        get(
+          filter(col("__g_rules"),
+            r => regexp_like(col("__g_target"), r.getField("pat"))),
+          lit(0)).getField("kr")
     keyed
       .join(applicable, col("__g_host") === col("__g_rh"), "left")
       .withColumn(outCol, coalesce(verdict === 0, lit(true)))

@@ -150,7 +150,7 @@ class FunctionsSpec extends SparkSpec {
       classOf[graft.functions.ExifOrientation],
       classOf[graft.functions.ExifGps], classOf[graft.functions.ExifGpsStrip],
       classOf[graft.functions.WebpDims], classOf[graft.functions.ExifTags],
-      classOf[graft.functions.Mp3Tags])
+      classOf[graft.functions.Mp3Tags], classOf[graft.functions.RobotsVerdict])
       .foreach(c => classOf[CodegenFallback].isAssignableFrom(c) shouldBe false)
     // and a projection through them really compiles into a codegen stage
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -623,6 +623,37 @@ class FunctionsSpec extends SparkSpec {
       Seq((1, riff ++ vp8)).toDF("id", "payload"), "payload")
       .select("img_width", "img_height").head()
     (out.getLong(0), out.getLong(1)) shouldBe ((320L, 240L))
+  }
+
+  test("graft_robots_verdict: first-match precedence, bit-parity with the HOF twin") {
+    // precedence-sorted rules: longest first, allow before disallow on
+    // ties — the kernel takes the FIRST match, exactly like the
+    // pure-Column filter+get twin
+    val rules = "array(" +
+      "named_struct('nl', -12, 'kr', 0, 'pat', '^/private/ok'), " +
+      "named_struct('nl', -9, 'kr', 1, 'pat', '^/private/'), " +
+      "named_struct('nl', -6, 'kr', 1, 'pat', '^/tmp.*x$'), " +
+      "named_struct('nl', -1, 'kr', 0, 'pat', CAST(NULL AS STRING)), " + // sentinel never matches
+      "named_struct('nl', -1, 'kr', 1, 'pat', '^/exact$'))"
+    val targets = Seq("/private/ok-page", "/private/secret", "/tmp123x",
+      "/exact", "/exactly", "/none")
+    val df = targets.toDF("t").selectExpr("t", s"$rules AS rules")
+    val out = df.select($"t",
+      call_function(TilePairs.RobotsVerdictName, $"t", $"rules").as("k"),
+      get(filter($"rules", r => regexp_like($"t", r.getField("pat"))), lit(0))
+        .getField("kr").as("hof"))
+      .collect()
+      .map(r => r.getString(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2))))).toMap
+    // kernel ≡ twin on every target
+    out.values.foreach { case (k, h) => k shouldBe h }
+    out("/private/ok-page")._1 shouldBe Some(0) // longer allow wins
+    out("/private/secret")._1 shouldBe Some(1)
+    out("/tmp123x")._1 shouldBe Some(1)
+    out("/exact")._1 shouldBe Some(1)
+    out("/exactly")._1 shouldBe None // the $ anchor holds
+    out("/none")._1 shouldBe None
   }
 
   test("graft_mp3_tags: v2.3 vs v2.4 sizes, encodings, lying frames, padding, ext header") {
