@@ -4549,7 +4549,15 @@ object SparkEntry {
     * (ratios, `round(…)`) are exempt — the division already leaves
     * HUGEINT. Sibling conventions: non-ASCII literals ride as `\uXXXX`
     * escapes (the CharsetMarker convention), and `{GRAFT_OUT}` resolves
-    * to the Verify dump directory for aux-table oracles. */
+    * to the Verify dump directory for aux-table oracles.
+    *
+    * PLAN-SHAPE RULE (the round-12 dedup_calibration correction): never
+    * END a query in a LEFT JOIN whose build side has provably-unique
+    * keys (e.g. a groupBy aggregate joined back to a tiny grid) —
+    * Catalyst eliminates such a join under a count()-only consumer, so
+    * Bench silently measures none of the pipeline while Verify still
+    * writes correct rows. Fill/align frames by union + re-aggregate
+    * instead; an aggregate final op always executes. */
   def oracleSql: Map[String, String] = Map(
     "imp_mean" ->
       s"""WITH t AS ($qtyNullsSql)

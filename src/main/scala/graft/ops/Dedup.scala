@@ -681,15 +681,25 @@ object Dedup {
         sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_candidates"),
         sum(when(col("is_cand") && col("j") >= col("threshold"), 1L)
           .otherwise(0L)).as("tp"))
-    // the grid is its own driver-built frame, left-joined (broadcast, no
-    // shuffle): a corpus with zero candidate AND zero truth pairs still
-    // yields one all-zero row per threshold — "zero recall", distinct
-    // from "no evidence" (the literal values match typedLit's bit-exact)
-    val grid = Sampling.localFrame(df.sparkSession,
-      Seq("threshold" -> org.apache.spark.sql.types.DoubleType),
-      thresholds.sorted.map(org.apache.spark.sql.Row(_)))
-    grid.join(broadcast(counts), Seq("threshold"), "left")
-      .na.fill(0L, Seq("n_true", "n_candidates", "tp"))
+    // the grid rides as driver-built ALL-ZERO rows UNIONED into the
+    // counts and re-aggregated: a corpus with zero candidate AND zero
+    // truth pairs still yields one all-zero row per threshold — "zero
+    // recall", distinct from "no evidence". A union+aggregate (not a
+    // unique-key left join) deliberately: Catalyst ELIMINATES a left
+    // join whose build side has provably-unique keys under a count-only
+    // consumer, which silently skips the whole calibration pipeline in
+    // count()-style harnesses — an aggregate final op always executes.
+    val zeros = Sampling.localFrame(df.sparkSession,
+      Seq("threshold" -> org.apache.spark.sql.types.DoubleType,
+        "n_true" -> org.apache.spark.sql.types.LongType,
+        "n_candidates" -> org.apache.spark.sql.types.LongType,
+        "tp" -> org.apache.spark.sql.types.LongType),
+      thresholds.sorted.map(t => org.apache.spark.sql.Row(t, 0L, 0L, 0L)))
+    counts.unionByName(zeros)
+      .groupBy("threshold")
+      .agg(sum("n_true").as("n_true"),
+        sum("n_candidates").as("n_candidates"),
+        sum("tp").as("tp"))
       .withColumn("fp", col("n_candidates") - col("tp"))
       .withColumn("fn", col("n_true") - col("tp"))
       .withColumn("precision",
