@@ -63,7 +63,15 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // Force the FULL declared plan, not count(): a count-only
+        // consumer lets Catalyst prune every output column and then
+        // ELIMINATE whole subtrees (unique-key left joins drop, scans
+        // degrade to metadata row counts) — round 12 found twelve
+        // queries partially measured this way. toRdd executes the
+        // plan as written: every scan, join, and projection the query
+        // declares — the same work Verify's parquet write does.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       (1 to warmups).foreach(_ => once())

@@ -4551,13 +4551,16 @@ object SparkEntry {
     * escapes (the CharsetMarker convention), and `{GRAFT_OUT}` resolves
     * to the Verify dump directory for aux-table oracles.
     *
-    * PLAN-SHAPE RULE (the round-12 dedup_calibration correction): never
-    * END a query in a LEFT JOIN whose build side has provably-unique
-    * keys (e.g. a groupBy aggregate joined back to a tiny grid) —
-    * Catalyst eliminates such a join under a count()-only consumer, so
-    * Bench silently measures none of the pipeline while Verify still
-    * writes correct rows. Fill/align frames by union + re-aggregate
-    * instead; an aggregate final op always executes. */
+    * MEASUREMENT NOTE (the round-12 dedup_calibration correction): a
+    * count()-only consumer lets Catalyst prune all output columns and
+    * then ELIMINATE unique-key left joins — whole subtrees go
+    * unmeasured while Verify's parquet write still executes them.
+    * `Bench` therefore times `queryExecution.toRdd.count()` (the full
+    * declared plan), and QueriesSmokeSpec pins the hazard so nobody
+    * simplifies it back. When a query's own semantics need a
+    * guaranteed-executing final op regardless of consumer, prefer
+    * union + re-aggregate over a unique-key left join (the calibration
+    * grid fill does). */
   def oracleSql: Map[String, String] = Map(
     "imp_mean" ->
       s"""WITH t AS ($qtyNullsSql)

@@ -90,7 +90,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // calibration: dup-group collapse + banded candidates (3) + the
     // exact-truth inverted index join + the grid aggregate; the aux
     // pair dump is the candidate pipeline alone
-    "dedup_calibration" -> 7, "dedup_calibration_pairs" -> 3,
+    // r12: +1, the zero-evidence grid fill's union+re-aggregate (10
+    // rows — chosen over a unique-key left join, which Catalyst
+    // eliminates under count-only consumers)
+    "dedup_calibration" -> 8, "dedup_calibration_pairs" -> 3,
     // paragraph dedup: ONE shuffle onto the paragraph for the
     // first-occurrence window + ONE back onto the id for reassembly
     "dedup_paragraphs" -> 2,
@@ -245,6 +248,15 @@ class QueriesSmokeSpec extends SparkSpec {
   private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int =
     graft.tools.CountX.shuffleExchanges(df)
 
+  /** Source scans (parquet file scans + DSv2 batch scans, i.e. the WARC
+    * reader) in the compiled plan — the denominator of the
+    * count()-honesty law below. */
+  private def sourceScanCount(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.size
+
   test("entry flagship runs and returns rows") {
     SparkEntry.entry(spark).count() should be > 0L
   }
@@ -269,5 +281,26 @@ class QueriesSmokeSpec extends SparkSpec {
       }
       noException should be thrownBy df.count()
     }
+  }
+
+  test("count() prunes subtrees — which is why Bench forces the full plan via toRdd") {
+    // The round-12 measurement lesson, pinned as a living document: a
+    // count-only consumer lets Catalyst prune all output columns and
+    // then eliminate a LEFT join whose build side has provably-unique
+    // keys — twelve queries (asof_join, text_bm25_eval 2-of-11 scans,
+    // text_robots_filter, …) were PARTIALLY measured while Bench used
+    // count(). Bench now times queryExecution.toRdd.count(), which
+    // executes the plan as declared. This test demonstrates the hazard
+    // stays real (so nobody "simplifies" Bench back) and that the full
+    // plan keeps both scans.
+    import org.apache.spark.sql.functions.{count => cnt, lit, col}
+    val left = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val right = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("doc_id").agg(cnt(lit(1)).as("n")) // unique keys by construction
+    val joined = left.join(right, Seq("doc_id"), "left")
+    sourceScanCount(joined) shouldBe 2
+    // under a count-only consumer the unique-key left join is eliminated
+    sourceScanCount(joined.groupBy().agg(cnt(lit(1)))) shouldBe 1
   }
 }
