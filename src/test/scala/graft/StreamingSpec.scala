@@ -219,6 +219,31 @@ class StreamingSpec extends SparkSpec {
     streamed(2) shouldBe Seq("mp3", null, null, null, 1000L * 8)
   }
 
+  test("WAT enrichment runs unchanged on a stream (narrow JSON projections)") {
+    // watHeadMeta is per-row get_json_object/from_json — a live WAT
+    // sidecar feed enriches without any batch detour
+    val wat = """{"Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": {""" +
+      """"Response-Message": {"Status": "200"}, """ +
+      """"Headers": {"Content-Type": "text/html"}, """ +
+      """"HTML-Metadata": {"Head": {"Title": "T", """ +
+      """"Metas": [{"name": "description", "content": "D"}], """ +
+      """"Link": [{"path": "LINK@/href", "url": "/c/1", "rel": "canonical"}]}}}}}}"""
+    val mem = MemoryStream[(String, String)]
+    mem.addData(("u1", wat), ("u2", "{}"))
+    val q = graft.ops.LinkGraph.watHeadMeta(
+      mem.toDF.toDF("url", "payload"), "payload")
+      .select("url", "wat_title", "meta_description", "canonical_url",
+        "content_type", "http_status")
+      .writeStream.format("memory").queryName("stream_wat")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("stream_wat").collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    got("u1") shouldBe Seq("T", "D", "/c/1", "text/html", 200)
+    got("u2") shouldBe Seq(null, null, null, null, null)
+  }
+
   test("dedupByContent drops same-fingerprint docs across micro-batches") {
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
