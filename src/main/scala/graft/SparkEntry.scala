@@ -7755,7 +7755,7 @@ object SparkEntry {
         |       md5(text) AS content_md5,
         |       format,
         |       CASE WHEN format = 'pdf'
-        |            THEN position('2525454F46' IN right(hx, 2048)) = 0
+        |            THEN NOT regexp_matches(right(hx, 2048), '^(..)*2525454F46')
         |            ELSE CAST(NULL AS BOOLEAN) END AS truncated
         |FROM f""".stripMargin,
     // Replays the sniffer over the hex encoding (DuckDB cannot slice
@@ -7996,7 +7996,7 @@ object SparkEntry {
         |         WHEN format IN ('webp', 'wav', 'avi', 'riff')
         |           THEN n_bytes <> riff_declared + 8
         |         WHEN format = 'pdf'
-        |           THEN position('2525454F46' IN right(hx, 2048)) = 0
+        |           THEN NOT regexp_matches(right(hx, 2048), '^(..)*2525454F46')
         |         ELSE CAST(NULL AS BOOLEAN)
         |       END AS truncated
         |FROM r""".stripMargin,

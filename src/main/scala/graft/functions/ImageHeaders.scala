@@ -695,13 +695,20 @@ case class ExifGps(child: Expression) extends Expression {
   * out-of-line value region (the coordinate rationals), then the GPS
   * sub-IFD block itself (count + entries + next-IFD), then the IFD0
   * pointer entry (tag 0x8825 → 12 zero bytes — a reader sees tag 0,
-  * which no EXIF consumer interprets). Dimensions, orientation, and all
-  * other metadata survive untouched; [[ExifGps]] on the result reports
-  * `gps_present = false`. Payloads with no parseable EXIF or no GPS
-  * pointer return UNCHANGED (never NULL: the scrub is safe to run
-  * unconditionally across a mixed corpus). All offsets are validated
-  * against the APP1 segment, so a lying GPS block can at worst keep its
-  * own unparseable bytes — the pointer to it is still severed. */
+  * which no EXIF consumer interprets). On WELL-FORMED files dimensions,
+  * orientation, and all other metadata survive untouched; [[ExifGps]] on
+  * the result reports `gps_present = false`. Payloads with no parseable
+  * EXIF or no GPS pointer return UNCHANGED (never NULL: the scrub is
+  * safe to run unconditionally across a mixed corpus). All offsets are
+  * validated against the APP1 segment, so a lying GPS block can at worst
+  * keep its own unparseable bytes — the pointer to it is still severed.
+  * ADVERSARIAL CAVEAT (deliberate, privacy-safe direction): a crafted
+  * GPS entry whose out-of-line value offset points back INTO IFD0 or
+  * another tag's value region passes the in-segment bounds check and
+  * gets zeroed — such a payload may lose additional in-segment metadata.
+  * The scrub errs toward over-redaction, never under-redaction; offsets
+  * are NOT restricted to the GPS block because real writers do emit GPS
+  * values interleaved with other IFDs' value regions. */
 case class ExifGpsStrip(child: Expression) extends Expression {
   import ExifWalk._
 

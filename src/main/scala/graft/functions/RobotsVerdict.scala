@@ -96,20 +96,36 @@ case class RobotsVerdict(target: Expression, rules: Expression) extends Expressi
 }
 
 object RobotsVerdict {
-  /** Per-executor compiled-pattern memo. Bounded by a clear-at-capacity
-    * rule: the working set (distinct rule strings of the hosts one task
-    * touches) is far below the cap, so a clear is a correctness-neutral
-    * rare refresh, never an eviction policy that needs tuning. */
+  /** Per-executor compiled-pattern memo. Bounded by an INSERT-BELOW-CAP
+    * rule: once the map is full, new patterns compile per call but the
+    * established working set is NEVER evicted — round 12 cleared the whole
+    * map at capacity, which near the boundary recompiled every cached
+    * pattern under concurrent tasks (cache thrash with zero benefit). The
+    * working set (distinct rule strings of the hosts one task touches) is
+    * far below the cap, so in practice the map never fills; the cap is a
+    * memory backstop, not an eviction policy. COMPILE FAILURES ARE CACHED
+    * TOO (as their `PatternSyntaxException`, rethrown on every hit) — the
+    * kernel keeps bit-parity with the pure-Column `regexp_like` twin,
+    * which throws on a malformed data-derived rule, but no longer pays an
+    * uncached recompile per row to do so. */
   private val MaxCachedPatterns = 16384
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
   private[functions] def compiled(pat: String): java.util.regex.Pattern = {
-    val hit = cache.get(pat)
-    if (hit != null) return hit
-    val p = java.util.regex.Pattern.compile(pat)
-    if (cache.size() >= MaxCachedPatterns) cache.clear()
-    cache.putIfAbsent(pat, p)
-    p
+    cache.get(pat) match {
+      case p: java.util.regex.Pattern => return p
+      case e: java.util.regex.PatternSyntaxException => throw e
+      case _ => ()
+    }
+    val v: AnyRef =
+      try java.util.regex.Pattern.compile(pat)
+      catch {
+        case e: java.util.regex.PatternSyntaxException =>
+          if (cache.size() < MaxCachedPatterns) cache.putIfAbsent(pat, e)
+          throw e
+      }
+    if (cache.size() < MaxCachedPatterns) cache.putIfAbsent(pat, v)
+    v.asInstanceOf[java.util.regex.Pattern]
   }
 }

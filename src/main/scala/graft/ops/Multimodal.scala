@@ -68,9 +68,13 @@ object Multimodal {
             length(b).cast("long") =!= riffDeclared + 8L)
           // PDF: the %%EOF marker must sit in the last KiB (ISO 32000
           // allows trailing bytes after it, so a containment check on
-          // the tail — not an exact-suffix check — is the correct test)
+          // the tail — not an exact-suffix check — is the correct test).
+          // The hex match is anchored to EVEN offsets via ^(..)* — a bare
+          // substring search could hit 2525454F46 at an odd NIBBLE
+          // boundary (tail bytes ..x2 52 54 5F 46 x..) and report a
+          // truncated PDF complete; same regex in the DuckDB oracle.
           .when(fmt === "pdf",
-            !hex(substring(b, -1024, 1024)).contains("2525454F46"))
+            !hex(substring(b, -1024, 1024)).rlike("^(..)*2525454F46"))
           .otherwise(lit(null).cast("boolean")))
   }
 

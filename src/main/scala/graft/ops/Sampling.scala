@@ -108,24 +108,43 @@ object Sampling {
 
   /** [[hashSample]] with a ROW CAP instead of a rate: keep roughly (never
     * deliberately more than) `maxRows` rows, chosen by id hash — the
-    * enforcement half of a "bounded sample at corpus scale" contract. One
-    * `count()` job sizes the frame; at or under the cap the frame passes
-    * through UNTOUCHED (small inputs are exact, which keeps sf-scale
-    * oracles byte-stable), over it the kept fraction is
-    * `floor(maxRows/total · 1e6)` parts-per-million of the id-hash space
-    * (floored so the expected sample is ≤ maxRows; hash unevenness can
-    * overshoot by O(√maxRows), and a total beyond 1e6 × maxRows keeps the
-    * 1-ppm floor — both noted here rather than hidden). Deterministic:
-    * the same ids survive on every run, engine, and partitioning. */
+    * enforcement half of a "bounded sample at corpus scale" contract.
+    * FULLY LAZY: the frame is sized by a single-row `count(*)` aggregate
+    * broadcast-cross-joined into the filter (no eager driver job — merely
+    * BUILDING a plan on this result never triggers Spark work; round 12
+    * shipped an eager `df.count()` here, which made plan construction an
+    * action). At or under the cap every row passes the filter UNTOUCHED
+    * (small inputs are exact, which keeps sf-scale oracles byte-stable);
+    * over it the kept set is exactly the old
+    * `hash < max(1, floor(maxRows·1e6/total))` ppm rule, expressed
+    * division-free as `hash == 0 OR (hash+1)·total ≤ maxRows·1e6` (the two
+    * are ⟺ for ints; the product comparison runs in decimal(38,0) so no
+    * Long overflow at any realistic total). Expected sample ≤ maxRows;
+    * hash unevenness can overshoot by O(√maxRows), and a total beyond
+    * 1e6 × maxRows keeps the 1-ppm floor — both noted rather than hidden.
+    * NULL ids cannot be hashed and are kept DETERMINISTICALLY on both
+    * sides of the cap (round 12 kept them under the cap but silently
+    * dropped them over it — inconsistent). Deterministic: the same ids
+    * survive on every run, engine, and partitioning. */
   def hashSampleAtMost(df: DataFrame, idCol: String, maxRows: Long): DataFrame = {
     require(maxRows > 0, "maxRows must be positive")
+    require(maxRows <= Long.MaxValue / 1000000L,
+      s"maxRows=$maxRows overflows the ppm math (max ${Long.MaxValue / 1000000L})")
     graft.core.Validators.requireColumns(df, Seq(idCol))
-    val total = df.count()
-    if (total <= maxRows) df
-    else {
-      val ppm = math.max(1L, maxRows * 1000000L / total)
-      df.filter(pmod(minstdHash(col(idCol)), lit(1000000L)) < ppm)
-    }
+    graft.core.Validators.requireColumnsAbsent(
+      df, Seq("__hsam_h", "__hsam_total"), "hashSampleAtMost")
+    val totalRow = broadcast(df.agg(count(lit(1)).as("__hsam_total")))
+    val dec = "decimal(20,0)"
+    df.withColumn("__hsam_h",
+        when(col(idCol).isNotNull, pmod(minstdHash(col(idCol)), lit(1000000L))))
+      .crossJoin(totalRow)
+      .filter(
+        col("__hsam_total") <= maxRows ||
+          col("__hsam_h").isNull || // NULL id: kept, cap or no cap
+          col("__hsam_h") === 0L ||
+          (col("__hsam_h") + 1L).cast(dec) * col("__hsam_total").cast(dec) <=
+            lit(maxRows).cast(dec) * lit(1000000L).cast(dec))
+      .drop("__hsam_h", "__hsam_total")
   }
 
   /** The shared split decision of [[trainTestSplit]] and
