@@ -3827,7 +3827,8 @@ object SparkEntry {
     }),
     // ID3v2 text frames — the audio sibling of mm_exif_tags: v2.3
     // plain-u32 frame sizes vs v2.4 syncsafe (the classic confusion,
-    // both pinned), Latin-1 / UTF-8 / BOM'd UTF-16 text encodings,
+    // both pinned), the pre-1999 v2.2 layout (3-char TT2/TP1/TAL ids,
+    // BE u24 sizes), Latin-1 / UTF-8 / BOM'd UTF-16 text encodings,
     // missing-album and no-tag shapes. Strings are doc_id-derived
     // fixed-width so frame offsets stay literal; the oracle rebuilds
     // them from arithmetic.
@@ -3858,10 +3859,18 @@ object SparkEntry {
         lit(hx("494433" + "0300" + "00" + "00000023")),
         lit(hx("54495432" + "00000009" + "0000" + "01" + "FFFE" + "540031003600")),
         lit(hx("54504531" + "00000006" + "0000" + "00")), ar)
+      // v2.2: 3-char frame ids (TT2/TP1/TAL), BE u24 sizes, 6-byte frame
+      // headers — 3 × 12-byte frames = 0x24 tag bytes
+      val v22 = concat(
+        lit(hx("494433" + "0200" + "00" + "00000024")),
+        lit(hx("545432" + "000006" + "00")), ti,
+        lit(hx("545031" + "000006" + "00")), ar,
+        lit(hx("54414C" + "000006" + "00")), al)
       val payload =
-        when(col("doc_id") % 4 === 0, v23)
-          .when(col("doc_id") % 4 === 1, v24)
-          .when(col("doc_id") % 4 === 2, v16)
+        when(col("doc_id") % 5 === 0, v23)
+          .when(col("doc_id") % 5 === 1, v24)
+          .when(col("doc_id") % 5 === 2, v16)
+          .when(col("doc_id") % 5 === 3, v22)
           .otherwise(lit(hx("FFFB9000AAAAAAAA"))) // bare frames, no tag
       Multimodal.withMp3Tags(
         rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
@@ -7850,17 +7859,18 @@ object SparkEntry {
         |  END AS mp3_album
         |FROM documents""".stripMargin,
     // ID3 text frames rebuilt from arithmetic; the UTF-16 shape's title
-    // is the fixed literal, the no-tag shape is all NULL.
+    // is the fixed literal, the no-tag shape is all NULL; the %5==3 arm
+    // is the v2.2 layout (3-char frames) carrying all three tags.
     "mm_mp3_tags" ->
       """SELECT doc_id,
-        |       CASE WHEN doc_id % 4 IN (0, 1)
+        |       CASE WHEN doc_id % 5 IN (0, 1, 3)
         |              THEN 'T' || lpad(CAST(doc_id % 89 AS VARCHAR), 4, '0')
-        |            WHEN doc_id % 4 = 2 THEN 'T16'
+        |            WHEN doc_id % 5 = 2 THEN 'T16'
         |       END AS mp3_title,
-        |       CASE WHEN doc_id % 4 = 3 THEN NULL
+        |       CASE WHEN doc_id % 5 = 4 THEN NULL
         |            ELSE 'A' || lpad(CAST(doc_id % 83 AS VARCHAR), 4, '0')
         |       END AS mp3_artist,
-        |       CASE WHEN doc_id % 4 IN (0, 1)
+        |       CASE WHEN doc_id % 5 IN (0, 1, 3)
         |            THEN 'L' || lpad(CAST(doc_id % 79 AS VARCHAR), 4, '0')
         |       END AS mp3_album
         |FROM documents""".stripMargin,

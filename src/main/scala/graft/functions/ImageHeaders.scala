@@ -982,10 +982,14 @@ case class ExifTags(child: Expression) extends Expression {
   * syncsafe size INCLUDES itself); a zero byte where a frame id should
   * be is padding → stop. Text-frame bodies decode by their encoding
   * byte — 0 Latin-1, 1 UTF-16 with BOM (both orders), 2 UTF-16BE,
-  * 3 UTF-8 — read up to the first NUL. Frames with lying sizes stop
-  * the walk with whatever was already read; a v2.2 tag (3-char frames)
-  * or the unsynchronisation flag (0xFF-stuffed bytes, pre-2000 rarity)
-  * return NULL rather than misparse. NULL for payloads bearing no
+  * 3 UTF-8 — read up to the first NUL. ID3v2.2 (the pre-1999 layout
+  * still carried by old MP3s in crawls) is handled too: 3-char frame
+  * ids (TT2 / TP1 / TAL), 6-byte frame headers with plain big-endian
+  * u24 sizes, no frame flags; its header compression bit (0x40, an
+  * undefined scheme) returns NULL rather than misparse. Frames with
+  * lying sizes stop the walk with whatever was already read; the
+  * unsynchronisation flag (0xFF-stuffed bytes, pre-2000 rarity)
+  * returns NULL rather than misparse. NULL for payloads bearing no
   * ID3v2 tag at all. */
 case class Mp3Tags(child: Expression) extends Expression {
 
@@ -1010,20 +1014,24 @@ case class Mp3Tags(child: Expression) extends Expression {
     def u(i: Int): Int = bytes(i) & 0xff
     if (n < 10 || bytes(0) != 'I' || bytes(1) != 'D' || bytes(2) != '3') return null
     val maj = u(3)
-    if (maj != 3 && maj != 4) return null // v2.2 frames are 3-char: out of scope
+    if (maj != 2 && maj != 3 && maj != 4) return null
     val flags = u(5)
     if ((flags & 0x80) != 0) return null // unsynchronised: stuffed bytes
+    // v2.2 bit 6 is COMPRESSION (scheme never defined), not ext. header
+    if (maj == 2 && (flags & 0x40) != 0) return null
     def syncsafe(i: Int): Int = {
       if ((u(i) | u(i + 1) | u(i + 2) | u(i + 3)) >= 0x80) -1
       else (u(i) << 21) | (u(i + 1) << 14) | (u(i + 2) << 7) | u(i + 3)
     }
     def be32(i: Int): Long =
       (u(i).toLong << 24) | (u(i + 1).toLong << 16) | (u(i + 2).toLong << 8) | u(i + 3).toLong
+    def be24(i: Int): Long =
+      (u(i).toLong << 16) | (u(i + 1).toLong << 8) | u(i + 2).toLong
     val tagSz = syncsafe(6)
     if (tagSz < 0) return null
     val tagEnd = math.min(n.toLong, 10L + tagSz)
     var pos = 10L
-    if ((flags & 0x40) != 0) { // extended header
+    if (maj != 2 && (flags & 0x40) != 0) { // extended header (v2.3/v2.4)
       if (pos + 4 > tagEnd) return null
       pos +=
         (if (maj == 4) { val s = syncsafe(pos.toInt); if (s < 4) return null; s.toLong }
@@ -1053,23 +1061,31 @@ case class Mp3Tags(child: Expression) extends Expression {
       org.apache.spark.unsafe.types.UTF8String.fromString(
         if (cut >= 0) s.substring(0, cut) else s)
     }
+    // v2.2 frame header: 3-char id + BE u24 size, no flags (6 bytes);
+    // v2.3/v2.4: 4-char id + u32/syncsafe size + 2 flag bytes (10 bytes)
+    val hdr = if (maj == 2) 6 else 10
     var walking = true
-    while (walking && pos + 10 <= tagEnd) {
+    while (walking && pos + hdr <= tagEnd) {
       val p = pos.toInt
       if (bytes(p) == 0) walking = false // padding reached
       else {
-        val fs = if (maj == 4) syncsafe(p + 4).toLong else be32(p + 4)
-        if (fs < 0 || fs > tagEnd - (pos + 10)) walking = false // lying size
+        val fs =
+          if (maj == 2) be24(p + 3)
+          else if (maj == 4) syncsafe(p + 4).toLong
+          else be32(p + 4)
+        if (fs < 0 || fs > tagEnd - (pos + hdr)) walking = false // lying size
         else {
-          val id = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
-          val body = p + 10
+          val id = new String(
+            bytes, p, if (maj == 2) 3 else 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          val body = p + hdr
           id match {
-            case "TIT2" => title = text(body, fs.toInt)
-            case "TPE1" => artist = text(body, fs.toInt)
-            case "TALB" => album = text(body, fs.toInt)
+            case "TIT2" | "TT2" => title = text(body, fs.toInt)
+            case "TPE1" | "TP1" => artist = text(body, fs.toInt)
+            case "TALB" | "TAL" => album = text(body, fs.toInt)
             case _ => ()
           }
-          pos = pos + 10 + fs
+          pos = pos + hdr + fs
         }
       }
     }

@@ -656,11 +656,14 @@ class FunctionsSpec extends SparkSpec {
     out("/none")._1 shouldBe None
   }
 
-  test("graft_mp3_tags: v2.3 vs v2.4 sizes, encodings, lying frames, padding, ext header") {
+  test("graft_mp3_tags: v2.2/v2.3/v2.4 sizes, encodings, lying frames, padding, ext header") {
     def hx(h: String): Array[Byte] =
       h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     def frame23(id: String, body: Array[Byte]): Array[Byte] =
       id.getBytes ++ hx(f"${body.length}%08X" + "0000") ++ body
+    // v2.2 frame: 3-char id + plain BE u24 size, no flag bytes
+    def frame22(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes ++ hx(f"${body.length}%06X") ++ body
     def tag(maj: Int, flags: Int, frames: Array[Byte]): Array[Byte] = {
       val s = frames.length
       "ID3".getBytes ++ Array(maj.toByte, 0.toByte, flags.toByte) ++
@@ -698,10 +701,21 @@ class FunctionsSpec extends SparkSpec {
       (6, tag(3, 0x40, hx("00000006" + "000000000000") ++
         frame23("TALB", latin1("Ext"))),
         Some((None, None, Some("Ext")))),
-      // unsynchronisation flag → NULL; v2.2 → NULL; no tag → NULL
+      // unsynchronisation flag → NULL; no tag → NULL
       (7, tag(3, 0x80, frame23("TIT2", latin1("S"))), None),
-      (8, tag(2, 0, Array.emptyByteArray), None),
-      (9, hx("FFFB9000AAAA"), None))
+      (9, hx("FFFB9000AAAA"), None),
+      // v2.2: 3-char TT2/TP1/TAL ids, u24 sizes, stop at padding
+      (10, tag(2, 0, frame22("TT2", latin1("Old")) ++
+        frame22("TP1", latin1("Duo")) ++ frame22("TAL", latin1("LP")) ++
+        new Array[Byte](6)),
+        Some((Some("Old"), Some("Duo"), Some("LP")))),
+      // v2.2 compression bit (0x40, scheme never defined) → NULL — it is
+      // NOT the v2.3 extended-header flag
+      (11, tag(2, 0x40, frame22("TT2", latin1("S"))), None),
+      // v2.2 lying u24 size: first frame kept, walk stops
+      (12, tag(2, 0, frame22("TP1", latin1("Keep")) ++
+        "TT2".getBytes ++ hx("7FFFFF") ++ latin1("lost")),
+        Some((None, Some("Keep"), None))))
     val got = cases.map { case (id, b, _) => (id, b) }.toDF("id", "payload")
       .select($"id", call_function(TilePairs.Mp3TagsName, $"payload").as("t"))
       .collect()
