@@ -3877,6 +3877,59 @@ object SparkEntry {
         "payload")
         .select("doc_id", "mp3_title", "mp3_artist", "mp3_album")
     }),
+    // PDF text extraction (the largest non-HTML text reservoir in a
+    // crawl): %5==0 an UNCOMPRESSED content stream with doc_id-varying
+    // text exercising escaped parens, hex strings, Td line moves, and a
+    // TJ array; %5==1 a /FlateDecode stream of a FIXED content (deflated
+    // once driver-side at plan build — fixture construction; the
+    // Inflater round trip happens only on the Spark side); %5==2 an
+    // ENCRYPTED document whose stream would otherwise parse (the
+    // /Encrypt screen must win → NULL); %5==3 an image-only PDF
+    // (/DCTDecode, no extractable text → NULL); %5==4 non-PDF bytes
+    // (→ NULL). The oracle rebuilds the two text shapes from arithmetic
+    // and string literals.
+    "mm_pdf_text" -> ((s, dir) => {
+      val nn = lpad((col("doc_id") % 9973).cast("string"), 4, "0")
+      val c0 = concat(
+        lit("BT /F1 12 Tf 72 720 Td (Doc \\(P".getBytes),
+        nn.cast("binary"),
+        lit("\\)) Tj 0 -14 Td [(tail )<4142>] TJ ET".getBytes))
+      val pdf0 = concat(
+        lit(("%PDF-1.7\n1 0 obj\n<< /Type /Page >>\nendobj\n" +
+          "2 0 obj\n<< /Length 70 >>\nstream\n").getBytes),
+        c0,
+        lit("\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF\n".getBytes))
+      val flateContent =
+        "BT 72 720 Td (Compressed stream payload) Tj T* (second line) ' ET"
+      val deflated = {
+        val d = new java.util.zip.Deflater()
+        d.setInput(flateContent.getBytes("ISO-8859-1")); d.finish()
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        while (!d.finished()) { val m = d.deflate(buf); bos.write(buf, 0, m) }
+        d.end(); bos.toByteArray
+      }
+      val pdf1 = concat(
+        lit("%PDF-1.5\n3 0 obj\n<< /Filter /FlateDecode >>\nstream\n".getBytes),
+        lit(deflated),
+        lit("\nendstream\nendobj\n%%EOF\n".getBytes))
+      val pdf2 = lit(("%PDF-1.7\n4 0 obj\n<< >>\nstream\nBT (secret) Tj ET\n" +
+        "endstream\nendobj\ntrailer\n<< /Encrypt 9 0 R >>\n%%EOF\n").getBytes)
+      val pdf3 = concat(
+        lit("%PDF-1.7\n5 0 obj\n<< /Filter /DCTDecode /Length 4 >>\nstream\n".getBytes),
+        unhex(lit("FFD8FFE0")),
+        lit("\nendstream\nendobj\n%%EOF\n".getBytes))
+      val payload =
+        when(col("doc_id") % 5 === 0, pdf0)
+          .when(col("doc_id") % 5 === 1, pdf1)
+          .when(col("doc_id") % 5 === 2, pdf2)
+          .when(col("doc_id") % 5 === 3, pdf3)
+          .otherwise(lit("plain text, no PDF magic".getBytes))
+      Multimodal.withPdfText(
+        rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
+        "payload")
+        .select("doc_id", "pdf_text")
+    }),
     // EXIF camera-provenance tags: out-of-line ASCII Make/Model/Software
     // values (count includes the NUL) synthesized in BOTH byte orders
     // with doc_id-derived fixed-width strings; %4==2 payloads omit
@@ -7873,6 +7926,19 @@ object SparkEntry {
         |       CASE WHEN doc_id % 5 IN (0, 1, 3)
         |            THEN 'L' || lpad(CAST(doc_id % 79 AS VARCHAR), 4, '0')
         |       END AS mp3_album
+        |FROM documents""".stripMargin,
+    // PDF text rebuilt from arithmetic + the fixed Flate literal; the
+    // encrypted / image-only / non-PDF shapes are NULL. The byte walk,
+    // FlateDecode, escape handling, and hex-string decode happen only on
+    // the Spark side.
+    "mm_pdf_text" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 5 = 0
+        |              THEN 'Doc (P' || lpad(CAST(doc_id % 9973 AS VARCHAR), 4, '0')
+        |                   || ')' || chr(10) || 'tail AB'
+        |            WHEN doc_id % 5 = 1
+        |              THEN 'Compressed stream payload' || chr(10) || 'second line'
+        |       END AS pdf_text
         |FROM documents""".stripMargin,
     // Camera tags rebuilt from arithmetic; NULL software on %4==2, all
     // NULL on the no-EXIF %4==3 shape.

@@ -149,5 +149,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 2, s"${TilePairs.RobotsVerdictName} expects 2 arguments")
       RobotsVerdict(args(0), args(1))
     }))
+    ext.injectFunction(fn(TilePairs.PdfTextName, { args =>
+      require(args.length == 1, s"${TilePairs.PdfTextName} expects 1 argument")
+      PdfText(args(0))
+    }))
   }
 }

@@ -1,0 +1,356 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** graft_pdf_text(payload): rule-based text extraction from a PDF payload
+  * — the PDF sibling of [[graft.ops.TextOps]]'s `htmlToText` convention
+  * (engine-portable byte rules, no rendering library). PDFs are the
+  * largest non-HTML text reservoir in a web crawl; this kernel recovers
+  * the text-showing operators without a PDF engine.
+  *
+  * WHAT IT DOES (ISO 32000-1): walks the raw bytes for `<< dict >>
+  * stream … endstream` objects; decodes a stream when it is UNFILTERED
+  * or filtered by exactly `/FlateDecode` (via `java.util.zip.Inflater` —
+  * the only filter with a JDK-native codec); then scans the decoded
+  * content for `BT … ET` text objects and appends the string operands of
+  * the text-showing operators `Tj`, `TJ`, `'`, `"`. Literal strings
+  * `(…)` honor balanced parens, the `\n \r \t \b \f \( \) \\` escapes,
+  * octal `\ddd`, and line continuations; in-string EOLs normalize to
+  * `\n`. Hex strings `<…>` decode byte-per-pair (odd final digit padded
+  * with 0). Line-move operators (`Td`, `TD`, `T*`, `'`, `"`) and text-
+  * object boundaries emit a newline (never doubled, never leading).
+  *
+  * HONEST BOUNDARIES (each deliberate, all documented here rather than
+  * hidden): encrypted documents (`/Encrypt` in the trailer) return NULL
+  * — extraction would emit ciphertext; streams under any OTHER filter
+  * (DCTDecode, LZWDecode, Crypt, ASCII85, …) are skipped; bytes decode
+  * as Latin-1, so composite-font hex strings (CMap-indexed CIDs) come
+  * out as mojibake rather than being remapped — real Unicode mapping
+  * needs the font's ToUnicode CMap, which is out of scope by the same
+  * rule that keeps `htmlToText` free of a JS engine; TJ kerning numbers
+  * are NOT turned into heuristic spaces (deterministic beats pretty);
+  * inline-image data (`BI … EI`) is not special-cased, which can feed
+  * garbage tokens to the scanner on adversarial input — never a throw,
+  * at worst junk text. Inflate output is capped at 16 MiB per stream
+  * (zip-bomb guard; an over-cap stream is skipped) and total extracted
+  * text at 1M chars. NULL for non-PDF bytes and for PDFs yielding no
+  * text at all — "nothing extractable" and "not extractable" share NULL
+  * so the release-gate filter is one IS NOT NULL.
+  *
+  * `doGenCode` calls straight into [[compute]] ([[ShingleHashes]]
+  * convention), so profiling projections stay in whole-stage codegen. */
+case class PdfText(child: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def prettyName: String = TilePairs.PdfTextName
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary input")
+
+  import PdfText._
+
+  def compute(bytes: Array[Byte]): Any = {
+    if (bytes == null) return null
+    val n = bytes.length
+    if (n < 8 || bytes(0) != '%' || bytes(1) != 'P' || bytes(2) != 'D' ||
+      bytes(3) != 'F') return null
+    if (hasEncryptToken(bytes)) return null
+    val sb = new java.lang.StringBuilder
+    var pos = 0
+    while (pos < n - 1 && sb.length < MaxTextChars) {
+      val d0 = indexOf(bytes, DictOpen, pos)
+      if (d0 < 0) pos = n
+      else {
+        val dEnd = skipDict(bytes, d0)
+        if (dEnd < 0) pos = n
+        else {
+          var k = dEnd
+          while (k < n && isWs(bytes(k))) k += 1
+          if (k + 6 <= n && regionMatches(bytes, k, StreamKw)) {
+            var ds = k + 6
+            if (ds < n && bytes(ds) == '\r') ds += 1
+            if (ds < n && bytes(ds) == '\n') ds += 1
+            val de = indexOf(bytes, EndstreamKw, ds)
+            var dataEnd = if (de < 0) n else de
+            // the writer's EOL before `endstream` is framing, not data
+            if (dataEnd > ds && bytes(dataEnd - 1) == '\n') dataEnd -= 1
+            if (dataEnd > ds && bytes(dataEnd - 1) == '\r') dataEnd -= 1
+            val dict =
+              new String(bytes, d0, dEnd - d0,
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+            val hasFilter = dict.contains("/Filter")
+            val flate = dict.contains("/FlateDecode")
+            val unsupported = UnsupportedFilters.exists(dict.contains)
+            if (!unsupported && (!hasFilter || flate) && dataEnd > ds) {
+              val data = java.util.Arrays.copyOfRange(bytes, ds, dataEnd)
+              val content = if (flate) inflate(data) else data
+              if (content != null) extract(content, sb)
+            }
+            pos = if (de < 0) n else de + EndstreamKw.length
+          } else pos = dEnd
+        }
+      }
+    }
+    if (sb.length == 0) null else UTF8String.fromString(sb.toString)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val b = child.eval(input).asInstanceOf[Array[Byte]]
+    if (b == null) null else compute(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      Object ${ev.value}_o = null;
+      if (!${c.isNull}) ${ev.value}_o = $ref.compute(${c.value});
+      boolean ${ev.isNull} = ${ev.value}_o == null;
+      org.apache.spark.unsafe.types.UTF8String ${ev.value} = ${ev.isNull}
+        ? null : (org.apache.spark.unsafe.types.UTF8String) ${ev.value}_o;
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+object PdfText {
+  private val MaxTextChars = 1 << 20 // 1M chars of extracted text
+  private val MaxInflate = 16 << 20 // 16 MiB decoded per stream (bomb cap)
+  private val DictOpen = "<<".getBytes
+  private val StreamKw = "stream".getBytes
+  private val EndstreamKw = "endstream".getBytes
+  // every ISO 32000-1 §7.4 filter this kernel does NOT decode; a stream
+  // whose dict names any of them is skipped (FlateDecode-chained too:
+  // [/FlateDecode /DCTDecode] is still an image)
+  private val UnsupportedFilters = Seq(
+    "/ASCIIHexDecode", "/ASCII85Decode", "/LZWDecode", "/RunLengthDecode",
+    "/CCITTFaxDecode", "/JBIG2Decode", "/DCTDecode", "/JPXDecode", "/Crypt",
+    // 1.0-era abbreviations remain legal in inline images and lax writers
+    "/AHx", "/A85", "/LZW", "/RL", "/CCF", "/DCT")
+
+  private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0 || c == 12
+  private def isDelim(c: Byte): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  private def regionMatches(b: Array[Byte], at: Int, pat: Array[Byte]): Boolean = {
+    if (at + pat.length > b.length) return false
+    var i = 0
+    while (i < pat.length) { if (b(at + i) != pat(i)) return false; i += 1 }
+    true
+  }
+
+  private def indexOf(b: Array[Byte], pat: Array[Byte], from: Int): Int = {
+    var i = math.max(0, from)
+    val last = b.length - pat.length
+    while (i <= last) { if (regionMatches(b, i, pat)) return i; i += 1 }
+    -1
+  }
+
+  /** `/Encrypt` as a TOKEN (next char is whitespace/delimiter/EOF), so
+    * `/EncryptedPayload`-style names don't false-positive. A literal
+    * string containing the token still trips this — accepted: the miss
+    * direction is "extractable file reported out of scope", never
+    * ciphertext reported as text. */
+  private def hasEncryptToken(b: Array[Byte]): Boolean = {
+    val pat = "/Encrypt".getBytes
+    var at = indexOf(b, pat, 0)
+    while (at >= 0) {
+      val next = at + pat.length
+      if (next >= b.length || isWs(b(next)) || isDelim(b(next))) return true
+      at = indexOf(b, pat, at + 1)
+    }
+    false
+  }
+
+  /** Index just past the `>>` matching the `<<` at `d0`, tracking dict
+    * nesting — or -1 when unbalanced. Strings/comments inside the dict
+    * containing `<<`/`>>` can over-count (accepted: the walk then skips
+    * bytes, never loops — progress is always forward). */
+  private def skipDict(b: Array[Byte], d0: Int): Int = {
+    val n = b.length
+    var i = d0 + 2
+    var depth = 1
+    while (i < n - 1 && depth > 0) {
+      if (b(i) == '<' && b(i + 1) == '<') { depth += 1; i += 2 }
+      else if (b(i) == '>' && b(i + 1) == '>') { depth -= 1; i += 2 }
+      else i += 1
+    }
+    if (depth == 0) i else -1
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(math.max(64, data.length * 4), 1 << 16))
+      val buf = new Array[Byte](8192)
+      var total = 0
+      var stalled = false
+      while (!inf.finished() && !stalled && total <= MaxInflate) {
+        val m = inf.inflate(buf)
+        if (m == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+        else { out.write(buf, 0, m); total += m }
+      }
+      if (total > MaxInflate) null // zip bomb: skip the stream entirely
+      else if (total == 0) null
+      else out.toByteArray // truncated input keeps the decoded prefix
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+      case _: IllegalArgumentException => null
+    } finally inf.end()
+  }
+
+  /** One pass over decoded content bytes: a content-stream tokenizer just
+    * deep enough for the text operators. String operands accumulate in
+    * `pending`; `Tj`/`TJ`/`'`/`"` inside a BT..ET block emit them; any
+    * other operator clears them (operands precede their operator, so a
+    * string consumed by an unhandled operator never leaks into the next
+    * show). Tokens inside a `[` TJ array are operands, not operators —
+    * kerning numbers there must NOT clear the strings around them. */
+  private def extract(b: Array[Byte], sb: java.lang.StringBuilder): Unit = {
+    val n = b.length
+    var i = 0
+    var inText = false
+    var inArray = false
+    val pending = new scala.collection.mutable.ArrayBuffer[String](4)
+    def newline(): Unit =
+      if (sb.length > 0 && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+    def emit(): Unit = {
+      pending.foreach { s =>
+        val room = MaxTextChars - sb.length
+        if (room > 0) sb.append(if (s.length <= room) s else s.substring(0, room))
+      }
+      pending.clear()
+    }
+    while (i < n && sb.length < MaxTextChars) {
+      val c = b(i)
+      if (isWs(c)) i += 1
+      else if (c == '%') { while (i < n && b(i) != '\n' && b(i) != '\r') i += 1 }
+      else if (c == '(') i = literalString(b, i, pending)
+      else if (c == '<' && i + 1 < n && b(i + 1) == '<') {
+        val e = skipDict(b, i); i = if (e < 0) n else e
+      } else if (c == '<') i = hexString(b, i, pending)
+      else if (c == '[') { inArray = true; i += 1 }
+      else if (c == ']') { inArray = false; i += 1 }
+      else if (c == '/') { // name: skipped, never clears operands
+        i += 1
+        while (i < n && !isWs(b(i)) && !isDelim(b(i))) i += 1
+      } else if (isDelim(c)) i += 1 // stray ) > } {
+      else {
+        val t0 = i
+        while (i < n && !isWs(b(i)) && !isDelim(b(i))) i += 1
+        if (!inArray) {
+          val len = i - t0
+          val c0 = b(t0)
+          val c1 = if (len > 1) b(t0 + 1) else 0.toByte
+          if (len == 2 && c0 == 'B' && c1 == 'T') {
+            inText = true; pending.clear(); newline() // text-object boundary
+          }
+          else if (len == 2 && c0 == 'E' && c1 == 'T') { inText = false; pending.clear() }
+          else if (len == 2 && c0 == 'T' && (c1 == 'j' || c1 == 'J')) {
+            if (inText) emit() else pending.clear()
+          } else if (len == 1 && (c0 == '\'' || c0 == '"')) {
+            if (inText) { newline(); emit() } else pending.clear()
+          } else if (len == 2 && c0 == 'T' && (c1 == 'd' || c1 == 'D' || c1 == '*')) {
+            if (inText) newline(); pending.clear()
+          } else pending.clear()
+        }
+      }
+    }
+  }
+
+  /** Decode the literal string starting at `b(start) == '('`; returns the
+    * index just past the closing paren (or n for an unterminated string —
+    * the decoded prefix is still kept: crawl payloads truncate). */
+  private def literalString(
+      b: Array[Byte], start: Int,
+      out: scala.collection.mutable.ArrayBuffer[String]): Int = {
+    val n = b.length
+    val s = new java.lang.StringBuilder
+    var i = start + 1
+    var depth = 1
+    var done = false
+    while (i < n && !done) {
+      val c = b(i)
+      if (c == '\\' && i + 1 < n) {
+        val e = b(i + 1)
+        (e: @annotation.switch) match {
+          case 'n' => s.append('\n'); i += 2
+          case 'r' => s.append('\r'); i += 2
+          case 't' => s.append('\t'); i += 2
+          case 'b' => s.append('\b'); i += 2
+          case 'f' => s.append('\f'); i += 2
+          case '(' => s.append('('); i += 2
+          case ')' => s.append(')'); i += 2
+          case '\\' => s.append('\\'); i += 2
+          case '\r' => i += (if (i + 2 < n && b(i + 2) == '\n') 3 else 2)
+          case '\n' => i += 2
+          case _ =>
+            if (e >= '0' && e <= '7') {
+              var v = 0; var k = i + 1; var cnt = 0
+              while (k < n && cnt < 3 && b(k) >= '0' && b(k) <= '7') {
+                v = v * 8 + (b(k) - '0'); k += 1; cnt += 1
+              }
+              s.append((v & 0xff).toChar); i = k
+            } else { s.append((e & 0xff).toChar); i += 2 } // lone \: dropped
+        }
+      } else if (c == '\\') i += 1 // trailing backslash at EOF
+      else if (c == '(') { depth += 1; s.append('('); i += 1 }
+      else if (c == ')') { depth -= 1; if (depth == 0) done = true else s.append(')'); i += 1 }
+      else if (c == '\r') { // in-string EOL normalizes to \n (§7.3.4.2)
+        s.append('\n'); i += (if (i + 1 < n && b(i + 1) == '\n') 2 else 1)
+      } else { s.append((c & 0xff).toChar); i += 1 }
+    }
+    out += s.toString
+    i
+  }
+
+  /** Decode the hex string starting at `b(start) == '<'`; whitespace
+    * between digits is legal, non-hex junk is skipped leniently, an odd
+    * final digit pads with 0 (§7.3.4.3). Bytes map via Latin-1 — see the
+    * composite-font boundary in the class doc. */
+  private def hexString(
+      b: Array[Byte], start: Int,
+      out: scala.collection.mutable.ArrayBuffer[String]): Int = {
+    val n = b.length
+    val s = new java.lang.StringBuilder
+    var i = start + 1
+    var hi = -1
+    var done = false
+    while (i < n && !done) {
+      val c = b(i)
+      if (c == '>') done = true
+      else {
+        val v =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else -1
+        if (v >= 0) { if (hi < 0) hi = v else { s.append(((hi << 4) | v).toChar); hi = -1 } }
+      }
+      i += 1
+    }
+    if (hi >= 0) s.append((hi << 4).toChar)
+    out += s.toString
+    i
+  }
+}

@@ -50,6 +50,7 @@ object TilePairs {
   val ExifTagsName = "graft_exif_tags"
   val Mp3TagsName = "graft_mp3_tags"
   val RobotsVerdictName = "graft_robots_verdict"
+  val PdfTextName = "graft_pdf_text"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

@@ -264,6 +264,26 @@ object Multimodal {
       .drop("__graft_id3")
   }
 
+  /** REAL text extraction from PDF payloads ([[graft.functions.PdfText]]):
+    * appends `pdf_text` — the concatenated string operands of the
+    * text-showing operators across every unfiltered or FlateDecode
+    * content stream, NULL for non-PDF bytes, encrypted documents, and
+    * PDFs yielding no extractable text. PDFs are the largest non-HTML
+    * text reservoir in a crawl; this plugs them into the text-quality /
+    * dedup / langid stack with one projection. Rule-based with honest
+    * boundaries (no DCT/JPX/LZW filters, no CMap remapping) — see the
+    * kernel doc. EXTENSION-REQUIRED. */
+  def withPdfText(df: DataFrame, binCol: String): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(binCol))
+    graft.core.Validators.requireColumnsAbsent(df, Seq("pdf_text"), "withPdfText")
+    require(df.sparkSession.catalog.functionExists(
+      graft.functions.TilePairs.PdfTextName),
+      "withPdfText needs the native PDF kernel — set " +
+        "spark.sql.extensions=graft.functions.GraftExtensions")
+    df.withColumn("pdf_text",
+      call_function(graft.functions.TilePairs.PdfTextName, col(binCol)))
+  }
+
   /** REAL EXIF GPS report from header bytes ([[graft.functions.ExifGps]]):
     * appends `gps_present` (true whenever IFD0 carries a GPS Info pointer —
     * even an unparseable one: the privacy gate must flag what it cannot

@@ -150,7 +150,8 @@ class FunctionsSpec extends SparkSpec {
       classOf[graft.functions.ExifOrientation],
       classOf[graft.functions.ExifGps], classOf[graft.functions.ExifGpsStrip],
       classOf[graft.functions.WebpDims], classOf[graft.functions.ExifTags],
-      classOf[graft.functions.Mp3Tags], classOf[graft.functions.RobotsVerdict])
+      classOf[graft.functions.Mp3Tags], classOf[graft.functions.RobotsVerdict],
+      classOf[graft.functions.PdfText])
       .foreach(c => classOf[CodegenFallback].isAssignableFrom(c) shouldBe false)
     // and a projection through them really compiles into a codegen stage
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -733,6 +734,75 @@ class FunctionsSpec extends SparkSpec {
       .select("mp3_title", "mp3_artist", "mp3_album").head()
     (out.getString(0), out.getString(1), out.getString(2)) shouldBe
       (("Song", "Band", "Disc"))
+  }
+
+  test("graft_pdf_text: operators, escapes, Flate, filters, encryption, bomb cap") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val k = graft.functions.PdfText(Literal.create(null, BinaryType))
+    def ext(b: Array[Byte]): Option[String] =
+      Option(k.compute(b)).map(_.toString)
+    def pdf(body: String): Array[Byte] =
+      ("%PDF-1.7\n" + body + "\n%%EOF\n").getBytes("ISO-8859-1")
+    def obj(dict: String, stream: String): String =
+      s"1 0 obj\n<< $dict >>\nstream\n$stream\nendstream\nendobj"
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes("ISO-8859-1")); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) { val m = d.deflate(buf); bos.write(buf, 0, m) }
+      d.end(); bos.toByteArray
+    }
+    // escapes: \( \) \\ \n octal \101='A', line continuation, nested parens
+    ext(pdf(obj("/Length 1",
+      """BT (a\(b\)c \\ \n\101(nest)d) Tj ET"""))) shouldBe
+      Some("a(b)c \\ \nA(nest)d")
+    // hex strings: whitespace inside, odd final digit pads 0
+    ext(pdf(obj("", "BT <48 65 6C6C 6F> Tj <7> Tj ET"))) shouldBe
+      Some("Hellop") // 0x70 = 'p'
+    // TJ array: kerning numbers must NOT clear the string operands;
+    // Td/T*/' emit single newlines, never doubled or leading
+    ext(pdf(obj("", "BT 9 0 Td [(A) -200 (B)] TJ T* T* (c) ' ET"))) shouldBe
+      Some("AB\nc")
+    // strings OUTSIDE a BT..ET block never emit
+    ext(pdf(obj("", "(free) Tj BT (in) Tj ET"))) shouldBe Some("in")
+    // an unknown operator consumes pending strings ((gone) belongs to Tz)
+    ext(pdf(obj("", "BT (gone) Tz (kept) Tj ET"))) shouldBe Some("kept")
+    // comments skip to EOL
+    ext(pdf(obj("", "BT % comment (not text) Tj\n(real) Tj ET"))) shouldBe
+      Some("real")
+    // FlateDecode round trip + text objects across streams separate by \n
+    val flateBytes =
+      ("%PDF-1.5\n2 0 obj\n<< /Filter /FlateDecode >>\nstream\n").getBytes("ISO-8859-1") ++
+        deflate("BT (first) Tj ET") ++
+        ("\nendstream\nendobj\n" + obj("", "BT (second) Tj ET") + "\n%%EOF\n")
+          .getBytes("ISO-8859-1")
+    ext(flateBytes) shouldBe Some("first\nsecond")
+    // unsupported filter skipped, later raw stream still extracted
+    ext(pdf(obj("/Filter /DCTDecode", "BT (junk) Tj ET") + "\n" +
+      obj("", "BT (ok) Tj ET"))) shouldBe Some("ok")
+    // a Flate-chained image ([/FlateDecode /DCTDecode]) is still an image
+    ext(pdf(obj("/Filter [/FlateDecode /DCTDecode]", "xx"))) shouldBe None
+    // /Encrypt wins even when a stream would parse; name-prefix immune
+    ext(pdf("trailer\n<< /Encrypt 9 0 R >>\n" + obj("", "BT (s) Tj ET"))) shouldBe None
+    ext(pdf("<< /EncryptMetadataX true >>\n" + obj("", "BT (s) Tj ET"))) shouldBe
+      Some("s")
+    // corrupt deflate data → stream skipped, not thrown
+    ext(pdf(obj("/Filter /FlateDecode", "not deflate data"))) shouldBe None
+    // zip bomb: a stream inflating past 16 MiB is skipped entirely
+    ext("%PDF-1.7\n9 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
+      .getBytes("ISO-8859-1") ++
+      deflate("BT (x) Tj ET" + new String(Array.fill(17 << 20)(' '))) ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")) shouldBe None
+    // non-PDF and no-text PDFs are NULL
+    ext("plain bytes".getBytes) shouldBe None
+    ext(pdf(obj("", "no text operators here"))) shouldBe None
+    // the op appends pdf_text
+    val out = graft.ops.Multimodal.withPdfText(
+      Seq((1, pdf(obj("", "BT (row) Tj ET")))).toDF("id", "payload"), "payload")
+      .select("pdf_text").head().getString(0)
+    out shouldBe "row"
   }
 
   test("graft_exif_tags: ASCII tag rules — inline values, truncated offsets, lying counts") {

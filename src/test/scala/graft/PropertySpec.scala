@@ -611,7 +611,8 @@ class PropertySpec extends SparkSpec {
       "mp3_duration" -> Mp3Duration(child).compute _,
       "webp_dims" -> WebpDims(child).compute _,
       "exif_tags" -> ExifTags(child).compute _,
-      "mp3_tags" -> Mp3Tags(child).compute _)
+      "mp3_tags" -> Mp3Tags(child).compute _,
+      "pdf_text" -> PdfText(child).compute _)
     def hx(h: String): Array[Byte] =
       h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     val prefixes: Seq[Array[Byte]] = Seq(
@@ -621,7 +622,12 @@ class PropertySpec extends SparkSpec {
       "ID3".getBytes, // ID3v2
       hx("FFFB"), // bare MPEG sync
       hx("52494646AAAAAAAA57415645"), // RIFF/WAVE
-      hx("0000001066747970AAAAAAAA")) // BMFF ftyp
+      hx("0000001066747970AAAAAAAA"), // BMFF ftyp
+      "%PDF-1.7\n".getBytes, // PDF header
+      // PDF header + dict + stream keyword: steers the fuzz into the
+      // stream walk, the Inflater error path, and the content tokenizer
+      "%PDF-1.7\n<< /Filter /FlateDecode >>\nstream\n".getBytes,
+      "%PDF-1.4\n<< >>\nstream\nBT (".getBytes) // unterminated string
     val bodyGen = Gen.choose(0, 300)
       .flatMap(n => Gen.listOfN(n, Gen.choose(0, 255)))
       .map(_.map(_.toByte).toArray)

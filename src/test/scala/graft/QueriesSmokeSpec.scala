@@ -106,6 +106,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "mm_exif_orientation" -> 0, // IFD walk kernel, narrow
     "mm_webp_dims" -> 0, // RIFF chunk walk kernel, narrow
     "mm_exif_tags" -> 0, "mm_mp3_tags" -> 0, // tag walks, narrow
+    "mm_pdf_text" -> 0, // stream walk + inflate kernel, narrow
     // ALL header kernels composed stay one shuffle-free pass — the
     // 100 TB multimodal-ingest plan shape
     "mm_ingest_profile" -> 0,
