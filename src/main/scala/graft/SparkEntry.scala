@@ -289,6 +289,45 @@ object SparkEntry {
           msg.write(envelope.getBytes("UTF-8")); msg.write(body)
           msg.toByteArray
         })
+      // ...and the CONTENT-CODING archive (warc_content_coding): the same
+      // text body under every coding a crawl actually serves — identity,
+      // gzip, deflate (zlib-wrapped), zstd, and brotli. The first four
+      // decode inside the reader; brotli has NO codec on a Spark
+      // classpath, so those records keep their coded bytes and raise
+      // http_coding_unsupported. The "br" body is an ASCII marker string
+      // (real brotli bytes would be nondeterministic binary an oracle
+      // cannot rebuild) — what's under test is the flag + the raw
+      // passthrough, not a codec we don't have.
+      writeArchive("docs_coded.warc", "response",
+        "application/http; msgtype=response",
+        { r =>
+          val id = r.getLong(0)
+          val raw = r.getString(2).getBytes("UTF-8")
+          val (coding, body) = (id % 5) match {
+            case 1 =>
+              val bo = new java.io.ByteArrayOutputStream()
+              val gz = new java.util.zip.GZIPOutputStream(bo)
+              gz.write(raw); gz.close()
+              ("gzip", bo.toByteArray)
+            case 2 =>
+              val d = new java.util.zip.Deflater()
+              d.setInput(raw); d.finish()
+              val bo = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](4096)
+              while (!d.finished()) { val m = d.deflate(buf); bo.write(buf, 0, m) }
+              d.end(); ("deflate", bo.toByteArray)
+            case 3 => ("zstd", com.github.luben.zstd.Zstd.compress(raw))
+            case 4 => ("br", ("BR:" + r.getString(2)).getBytes("UTF-8"))
+            case _ => ("", raw)
+          }
+          val envelope = "HTTP/1.1 200 OK\r\n" +
+            "Content-Type: text/plain; charset=UTF-8\r\n" +
+            (if (coding.nonEmpty) s"Content-Encoding: $coding\r\n" else "") +
+            s"Content-Length: ${body.length}\r\n\r\n"
+          val msg = new java.io.ByteArrayOutputStream()
+          msg.write(envelope.getBytes("UTF-8")); msg.write(body)
+          msg.toByteArray
+        })
       // ...and the LINK-graph archive (warc_link_graph /
       // warc_domain_centrality): each page carries one link of every
       // resolution shape — absolute, protocol-relative, root-relative,
@@ -2118,6 +2157,16 @@ object SparkEntry {
     "warc_http_meta" -> ((s, dir) =>
       graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_html.warc")
         .select("record_id", "http_status", "http_content_type")),
+    // Content-coding census + decode: gzip/deflate/zstd bodies decode
+    // inside the reader (flag false, payload = the original text);
+    // brotli has no codec on a Spark classpath, so its records keep the
+    // CODED bytes and raise http_coding_unsupported — the release filter
+    // for "this payload is not text". One narrow projection.
+    "warc_content_coding" -> ((s, dir) =>
+      graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_coded.warc")
+        .select(col("record_id"),
+          col("http_coding_unsupported").as("coding_unsupported"),
+          col("payload"))),
     // The crawl's OWN dedup signal surfaced: `revisit` records (a
     // refetch whose payload matched an earlier capture, ISO 28500 §6.7)
     // resolve back to the original response via the WARC-Payload-Digest
@@ -5927,6 +5976,15 @@ object SparkEntry {
         |       CASE WHEN doc_id % 10 = 7 THEN 'text/html; charset=ISO-8859-1'
         |            WHEN doc_id % 10 = 9 THEN 'text/html'
         |            ELSE 'text/html; charset=UTF-8' END AS http_content_type
+        |FROM documents""".stripMargin,
+    // The coding fixture replayed: gzip/deflate/zstd round-trip back to
+    // the source text (the compress/decompress happens only Spark-side);
+    // the brotli arm keeps its ASCII-marker coded bytes and flags.
+    "warc_content_coding" ->
+      """SELECT '<urn:graft:doc-' || doc_id || '>' AS record_id,
+        |       CAST(doc_id % 5 = 4 AS BOOLEAN) AS coding_unsupported,
+        |       CASE WHEN doc_id % 5 = 4 THEN 'BR:' || text
+        |            ELSE text END AS payload
         |FROM documents""".stripMargin,
     // The compliance verdicts recomputed independently: every
     // 10th-plus-1 page carries the noindex meta, every 20th-plus-2 the

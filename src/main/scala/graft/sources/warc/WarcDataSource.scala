@@ -31,13 +31,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * read+inflate+parse pass. Directories and globs expand at planning
   * time through the path's Hadoop filesystem — local, HDFS, or object
   * store alike. Multi-member gzip (Common Crawl's member-per-record
-  * framing) inflates naturally; torn tails end a file's rows, never the
-  * job ([[WarcRecordIterator]]'s lenient rule).
+  * framing) and multi-frame zstd (`.warc.zst`, incl. the IIPC
+  * dictionary-frame convention) inflate naturally; torn tails end a
+  * file's rows, never the job ([[WarcRecordIterator]]'s lenient rule).
   *
   * Schema (one row per record):
   * (warc_file, record_index, warc_type, record_id, target_uri, warc_date,
   * content_type, content_length, http_status, http_content_type,
-  * http_location, http_robots_tag, payload_digest, truncated, payload).
+  * http_location, http_robots_tag, http_coding_unsupported,
+  * payload_digest, truncated, payload).
   */
 class WarcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-warc"
@@ -83,6 +85,14 @@ object WarcDataSource {
     // compliance opt-out for non-HTML content); pair with
     // TextOps.metaRobots over the payload for the page-level half
     StructField("http_robots_tag", StringType),
+    // true when the body declared a Content-Encoding the reader did not
+    // decode (brotli — no public codec on a Spark classpath — compress,
+    // chained codings, or a failed/bomb-capped decode): `payload` then
+    // still holds the CODED bytes, and a text pipeline must filter or
+    // branch on this flag instead of tokenizing compressed garbage.
+    // gzip/x-gzip/deflate/zstd decode fine (flag false). Null for
+    // non-http records, like the other http_* fields.
+    StructField("http_coding_unsupported", BooleanType),
     // WARC-Payload-Digest when present (any record kind) — the join key
     // that resolves `revisit` records back to the capture they
     // deduplicate (ISO 28500 §6.7). Parsed from the headers, so it is
@@ -146,16 +156,68 @@ object WarcDataSource {
       }
     }
 
-  /** Sniff the gzip magic (1f 8b) and wrap; mark/reset needs the buffer. */
-  private[warc] def maybeGunzip(raw: InputStream): InputStream = {
+  /** Sniff the compression magic and wrap; mark/reset needs the buffer.
+    *
+    * Three layouts, byte-sniffed so extensions never matter:
+    *  - gzip `1f 8b` (incl. Common Crawl's member-per-record archives);
+    *  - zstd `28 b5 2f fd` — `.warc.zst`, the newer web-archive-tooling
+    *    output; Spark bundles zstd-jni, so no new dependency. Multi-frame
+    *    (frame-per-record) archives decode seamlessly: the stream walks
+    *    frame to frame like multi-member gzip;
+    *  - a leading zstd SKIPPABLE frame `5x 2a 4d 18` — the IIPC
+    *    `.warc.zst` convention stores a shared compression DICTIONARY
+    *    there (itself optionally zstd-compressed). The frame is read
+    *    (64 MiB cap — real dictionaries are ~100 KiB), unwrapped, and
+    *    armed on the decoder, so dictionary-compressed archives decode
+    *    too. A lying dictionary-frame size or an over-cap dictionary
+    *    fails LOUDLY (config evidence beats silently-empty scans);
+    *    dictionary archives fetched through the per-member `ranges` seek
+    *    path are out of scope — each window would need the file-head
+    *    dictionary, which a range deliberately never re-reads. */
+  private[warc] def maybeDecompress(raw: InputStream): InputStream = {
     val buffered = new BufferedInputStream(raw, 1 << 16)
-    buffered.mark(2)
-    val b0 = buffered.read()
-    val b1 = buffered.read()
+    buffered.mark(4)
+    val b0 = buffered.read(); val b1 = buffered.read()
+    val b2 = buffered.read(); val b3 = buffered.read()
     buffered.reset()
     if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(buffered, 1 << 16)
-    else buffered
+    else if (b0 == 0x28 && b1 == 0xb5 && b2 == 0x2f && b3 == 0xfd)
+      new com.github.luben.zstd.ZstdInputStream(buffered)
+    else if ((b0 & 0xf0) == 0x50 && b1 == 0x2a && b2 == 0x4d && b3 == 0x18) {
+      // skippable frame: magic(4) + LE u32 size + dictionary bytes
+      val hdr = buffered.readNBytes(8)
+      if (hdr.length < 8)
+        throw graft.errors.FeatureFactoryException.InvalidParameter(
+          "graft-warc: truncated zstd skippable-frame header")
+      val size = (hdr(4) & 0xffL) | ((hdr(5) & 0xffL) << 8) |
+        ((hdr(6) & 0xffL) << 16) | ((hdr(7) & 0xffL) << 24)
+      if (size > ZstdDictCap)
+        throw graft.errors.FeatureFactoryException.InvalidParameter(
+          s"graft-warc: zstd dictionary frame declares $size bytes " +
+            s"(cap $ZstdDictCap)")
+      val content = buffered.readNBytes(size.toInt)
+      if (content.length < size)
+        throw graft.errors.FeatureFactoryException.InvalidParameter(
+          "graft-warc: truncated zstd dictionary frame")
+      val dict =
+        if (content.length >= 4 && (content(0) & 0xff) == 0x28 &&
+          (content(1) & 0xff) == 0xb5 && (content(2) & 0xff) == 0x2f &&
+          (content(3) & 0xff) == 0xfd) {
+          val n = com.github.luben.zstd.Zstd.getFrameContentSize(content)
+          if (n <= 0 || n > ZstdDictCap)
+            throw graft.errors.FeatureFactoryException.InvalidParameter(
+              s"graft-warc: zstd-compressed dictionary declares $n bytes")
+          com.github.luben.zstd.Zstd.decompress(content, n.toInt)
+        } else content
+      val zin = new com.github.luben.zstd.ZstdInputStream(buffered)
+      zin.setDict(dict)
+      zin
+    } else buffered
   }
+
+  /** Bomb/typo guard for the `.warc.zst` dictionary frame — real shared
+    * dictionaries are ~100 KiB; 64 MiB is "obviously wrong" territory. */
+  private val ZstdDictCap: Long = 64L << 20
 }
 
 private[warc] class WarcTable(
@@ -370,7 +432,8 @@ private[warc] final class BoundedInputStream(in: InputStream, limit: Long)
   override def close(): Unit = () // the range reader owns the file stream
 }
 
-/** Streams one archive: open → sniff gzip → [[WarcRecordIterator]] → one
+/** Streams one archive: open → sniff compression → [[WarcRecordIterator]] →
+  * one
   * InternalRow per record, emitting only the pruned `columns`. Memory is
   * bounded by the largest single record regardless of archive size; when
   * `payload` is pruned away the record bytes are SKIPPED, never decoded.
@@ -378,10 +441,11 @@ private[warc] final class BoundedInputStream(in: InputStream, limit: Long)
   * RANGED mode (`ranges` non-empty — the CDX random-access path): one
   * seekable file stream, ranges visited in offset order (forward seeks,
   * near-sequential I/O when ranges are index-sorted); each range is a
-  * [[BoundedInputStream]] window re-sniffed for gzip, so BOTH plain
-  * `.warc` file offsets and member-per-record `.warc.gz` compressed
-  * member offsets (the Common Crawl cc-index convention) fetch
-  * correctly. `record_offset` of an emitted row = range offset + the
+  * [[BoundedInputStream]] window re-sniffed for compression, so plain
+  * `.warc` file offsets, member-per-record `.warc.gz` compressed member
+  * offsets (the Common Crawl cc-index convention), and frame-per-record
+  * `.warc.zst` frame offsets all fetch correctly (dictionary-compressed
+  * zstd archives excepted — see [[WarcDataSource.maybeDecompress]]). `record_offset` of an emitted row = range offset + the
   * record's position within its window (0 for the record the range
   * points at). */
 private[warc] class WarcPartitionReader(
@@ -402,7 +466,8 @@ private[warc] class WarcPartitionReader(
   // either forces the decode just like asking for the payload itself
   private val wantPayload = columns.exists(c =>
     c == "payload" || c == "http_status" || c == "http_content_type" ||
-      c == "http_location" || c == "http_robots_tag")
+      c == "http_location" || c == "http_robots_tag" ||
+      c == "http_coding_unsupported")
 
   private def openFile(): Unit = if (fsin == null) {
     val hconf = new Configuration()
@@ -417,7 +482,7 @@ private[warc] class WarcPartitionReader(
     if (sortedRanges.isEmpty) {
       if (it != null) return false
       openFile()
-      wrapped = WarcDataSource.maybeGunzip(fsin)
+      wrapped = WarcDataSource.maybeDecompress(fsin)
       it = new WarcRecordIterator(wrapped, decodePayload = wantPayload)
       true
     } else if (rangeIdx < sortedRanges.length) {
@@ -434,7 +499,7 @@ private[warc] class WarcPartitionReader(
       try {
         fsin.seek(off)
         baseOffset = off
-        wrapped = WarcDataSource.maybeGunzip(new BoundedInputStream(fsin, len))
+        wrapped = WarcDataSource.maybeDecompress(new BoundedInputStream(fsin, len))
         it = new WarcRecordIterator(wrapped, decodePayload = wantPayload)
       } catch {
         case scala.util.control.NonFatal(_) =>
@@ -468,6 +533,7 @@ private[warc] class WarcPartitionReader(
       case "http_content_type" => r => s(r.httpContentType)
       case "http_location" => r => s(r.httpLocation)
       case "http_robots_tag" => r => s(r.httpRobotsTag)
+      case "http_coding_unsupported" => r => r.httpCodingUnsupported
       case "payload_digest" => r => s(r.payloadDigest)
       case "truncated" => r => s(r.truncated)
       case "record_offset" => r => r.offset + baseOffset

@@ -31,6 +31,11 @@ final case class WarcRecord(
     httpContentType: String = null,
     httpLocation: String = null,
     httpRobotsTag: String = null,
+    // true when an http body's declared Content-Encoding was NOT decoded
+    // (brotli/compress/chained codings, or a failed decode): `payload`
+    // still holds the coded bytes. Null for non-http records, like the
+    // other http_* fields.
+    httpCodingUnsupported: java.lang.Boolean = null,
     payloadDigest: String = null,
     truncated: String = null,
     // byte position of the record's version line in the stream the
@@ -68,7 +73,7 @@ final case class WarcRecord(
   *
   * The caller owns the stream (close it when done; [[WarcDataSource]]'s
   * reader does). gzip decompression is the caller's wrapping —
-  * [[WarcDataSource.maybeGunzip]] sniffs the magic.
+  * [[WarcDataSource.maybeDecompress]] sniffs the magic.
   *
   * `decodePayload = false` (the column-pruned read) SKIPS every payload's
   * bytes instead of allocating and UTF-8-decoding them — payload comes
@@ -172,7 +177,8 @@ final class WarcRecordIterator(
               WarcRecord(
                 g("warc-type"), g("warc-record-id"), g("warc-target-uri"),
                 g("warc-date"), g("content-type"), len, env.body, env.status,
-                env.contentType, env.location, env.robotsTag, digest, trunc,
+                env.contentType, env.location, env.robotsTag,
+                java.lang.Boolean.valueOf(env.codingUnsupported), digest, trunc,
                 offset = recordStart, length = pos - recordStart)
             } else
               WarcRecord(
@@ -335,22 +341,31 @@ object WarcRecordIterator {
     * any charset decode, because the body may be binary-ish or
     * content-coded. Status parses only when the first line is an
     * `HTTP/x.y <code>` status line (request records' `GET / HTTP/1.1`
-    * yields null). A body declared `Content-Encoding: gzip` (or
-    * `x-gzip`) is inflated here, bounded by [[MaxPayloadBytes]]; any
-    * other content coding, or a gzip stream that fails to inflate
-    * (truncated capture), falls back to the raw bytes — LENIENT, like
-    * the record framing: one bad response must not abort a crawl task,
-    * and the raw bytes preserve what was actually captured. A payload
+    * yields null). A body declared `Content-Encoding: gzip`/`x-gzip`/
+    * `deflate`/`zstd` is decoded here, bounded by
+    * [[MaxInflatedBodyBytes]]; any other content coding (brotli has no
+    * public codec on a Spark classpath), or a coded stream that fails to
+    * decode (truncated capture), falls back to the raw bytes WITH the
+    * envelope's `codingUnsupported` flag raised — LENIENT, like the
+    * record framing: one bad response must not abort a crawl task, and
+    * the raw bytes preserve what was actually captured, but the flag
+    * means downstream never mistakes coded bytes for text. A payload
     * with no blank line at all (malformed envelope) is returned verbatim
     * with null status. */
   /** The parsed HTTP response envelope — what [[stripHttpEnvelope]]
-    * surfaces as columns next to the decoded body. */
+    * surfaces as columns next to the decoded body. `codingUnsupported`
+    * is true when the body declared a Content-Encoding this reader did
+    * not decode (brotli, compress, a chained multi-coding, or a coded
+    * stream that failed to decode) — the payload column then still holds
+    * the CODED bytes, and a text pipeline must branch on the flag
+    * instead of tokenizing compressed garbage. */
   private[warc] final case class HttpEnvelope(
       status: Integer,
       contentType: String,
       location: String,
       robotsTag: String,
-      body: String)
+      body: String,
+      codingUnsupported: Boolean = false)
 
   private[warc] def stripHttpEnvelope(bytes: Array[Byte]): HttpEnvelope = {
     // find the first \r\n\r\n or \n\n; remember where the body starts
@@ -398,30 +413,62 @@ object WarcRecordIterator {
     val te = header("transfer-encoding").map(_.toLowerCase)
     if (te.exists(_.contains("chunked")))
       dechunk(body).foreach(b => body = b)
-    val enc = header("content-encoding").map(_.toLowerCase)
-    if (enc.exists(e => e == "gzip" || e == "x-gzip")) {
-      try {
-        val gz = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(body), 1 << 13)
-        // capacity is a HINT: clamp it — body.length * 4 overflows Int
-        // for >512 MB bodies and a negative capacity throws, aborting
-        // the task this method promises never to abort
-        val out = new ByteArrayOutputStream(
-          math.max(64, math.min(body.length, 1 << 20)))
-        val chunk = new Array[Byte](1 << 13)
-        var n = gz.read(chunk)
-        var total = 0L
-        var over = false
-        // cap BEFORE buffering each chunk: a decompression bomb must
-        // never allocate past MaxInflatedBodyBytes — it falls back to
-        // the raw captured bytes like any other undecodable coding
-        while (n != -1 && !over) {
-          if (total + n > MaxInflatedBodyBytes) over = true
-          else { out.write(chunk, 0, n); total += n; n = gz.read(chunk) }
-        }
-        if (!over) body = out.toByteArray
-      } catch { case scala.util.control.NonFatal(_) => () } // keep raw bytes
+    // Content-Encoding (entity coding) second. Every coding with a codec
+    // already on a Spark classpath decodes here — gzip/x-gzip (JDK),
+    // deflate (JDK; RFC 9110 says zlib-wrapped, real servers also ship
+    // RAW deflate, so both are tried), zstd (zstd-jni, which Spark
+    // bundles). Brotli (`br`) has NO public codec on the classpath and
+    // chained multi-codings are not unwound — those, and any coded
+    // stream that fails or over-inflates its bomb cap, keep the RAW
+    // captured bytes and raise `codingUnsupported` instead of silently
+    // passing coded bytes off as text (the round-12 behavior).
+    val enc = header("content-encoding").map(_.trim.toLowerCase)
+    var codingUnsupported = false
+    enc.filter(e => e.nonEmpty && e != "identity").foreach { e =>
+      val decoded: Option[Array[Byte]] = e match {
+        case "gzip" | "x-gzip" =>
+          decodeCapped(body, s => new java.util.zip.GZIPInputStream(s, 1 << 13))
+        case "deflate" =>
+          decodeCapped(body, s => new java.util.zip.InflaterInputStream(s))
+            .orElse(decodeCapped(body, s => new java.util.zip.InflaterInputStream(
+              s, new java.util.zip.Inflater(true))))
+        case "zstd" =>
+          decodeCapped(body, s => new com.github.luben.zstd.ZstdInputStream(s))
+        case _ => None // br, compress, "gzip, br" chains, unknown tokens
+      }
+      decoded match {
+        case Some(b) => body = b
+        case None => codingUnsupported = true
+      }
     }
-    HttpEnvelope(status, httpCt, httpLoc, robotsTag, decodeBody(body, httpCt))
+    HttpEnvelope(status, httpCt, httpLoc, robotsTag, decodeBody(body, httpCt),
+      codingUnsupported)
   }
+
+  /** Decode `body` through `open`'s stream, bounded by
+    * [[MaxInflatedBodyBytes]] — None on any decode error, a truncated
+    * stream, or a decompression bomb exceeding the cap (the cap is
+    * checked BEFORE buffering each chunk, so a bomb never allocates past
+    * it). One helper so every content-coding shares the exact bomb/error
+    * discipline the gzip path always had. */
+  private def decodeCapped(
+      body: Array[Byte],
+      open: java.io.InputStream => java.io.InputStream): Option[Array[Byte]] =
+    try {
+      val in = open(new java.io.ByteArrayInputStream(body))
+      // capacity is a HINT: clamp it — body.length * 4 overflows Int
+      // for >512 MB bodies and a negative capacity throws, aborting
+      // the task this method promises never to abort
+      val out = new ByteArrayOutputStream(
+        math.max(64, math.min(body.length, 1 << 20)))
+      val chunk = new Array[Byte](1 << 13)
+      var n = in.read(chunk)
+      var total = 0L
+      var over = false
+      while (n != -1 && !over) {
+        if (total + n > MaxInflatedBodyBytes) over = true
+        else { out.write(chunk, 0, n); total += n; n = in.read(chunk) }
+      }
+      if (over) None else Some(out.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -151,6 +151,66 @@ class CoreExtrasSpec extends SparkSpec {
     fetched5.head.getAs[String]("payload") shouldBe "body 5\r\n\r\ntail 5"
   }
 
+  test("WARC .zst: whole-file, frame-per-record + ranges, IIPC dictionary frame") {
+    import com.github.luben.zstd.{Zstd, ZstdCompressCtx}
+    def rec(id: Int, payload: String): Array[Byte] = {
+      val p = payload.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Record-ID: <urn:z:$id>\r\n" +
+        s"Content-Length: ${p.length}\r\n\r\n").getBytes("UTF-8") ++
+        p ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val recs = (0 until 5).map(i => rec(i, s"zst body $i"))
+    val plain = recs.reduce(_ ++ _)
+    val d = java.nio.file.Files.createTempDirectory("graft_warc_zst")
+    // whole-file single frame: the magic sniff routes it, extension aside
+    java.nio.file.Files.write(d.resolve("a.warc.zst"), Zstd.compress(plain))
+    val a = Loader.load(spark, d.resolve("a.warc.zst").toString)
+    a.count() shouldBe 5
+    a.filter($"record_id" === "<urn:z:3>").head()
+      .getAs[String]("payload") shouldBe "zst body 3"
+    // frame-per-record (the random-accessible layout): sequential scan
+    // walks the frames; a ranged fetch seeks a COMPRESSED frame offset
+    // and re-sniffs the window — the cc-index convention, zstd edition
+    val frames = recs.map(Zstd.compress)
+    java.nio.file.Files.write(d.resolve("b.warc.zst"), frames.reduce(_ ++ _))
+    Loader.load(spark, d.resolve("b.warc.zst").toString).count() shouldBe 5
+    val off2 = frames.take(2).map(_.length.toLong).sum
+    val got = graft.sources.Loader.loadWarcRanges(spark,
+      Seq((d.resolve("b.warc.zst").toString, off2, frames(2).length.toLong)))
+      .collect()
+    got.map(_.getAs[String]("record_id")).toSeq shouldBe Seq("<urn:z:2>")
+    got.head.getAs[String]("payload") shouldBe "zst body 2"
+    // IIPC dictionary convention: leading skippable frame carries the
+    // shared dict; content frames only decode WITH it
+    val dict = ("graft shared zstd dictionary block " * 8).getBytes("UTF-8")
+    def skippable(content: Array[Byte]): Array[Byte] = {
+      val h = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      h.putInt(0x184D2A5D); h.putInt(content.length)
+      h.array() ++ content
+    }
+    val cctx = new ZstdCompressCtx()
+    cctx.loadDict(dict)
+    val dictFrames = recs.map(r => cctx.compress(r)).reduce(_ ++ _)
+    java.nio.file.Files.write(d.resolve("c.warc.zst"), skippable(dict) ++ dictFrames)
+    val c = Loader.load(spark, d.resolve("c.warc.zst").toString)
+    c.count() shouldBe 5
+    c.filter($"record_id" === "<urn:z:4>").head()
+      .getAs[String]("payload") shouldBe "zst body 4"
+    // the dictionary itself may arrive zstd-compressed inside the frame
+    java.nio.file.Files.write(d.resolve("e.warc.zst"),
+      skippable(Zstd.compress(dict)) ++ dictFrames)
+    Loader.load(spark, d.resolve("e.warc.zst").toString).count() shouldBe 5
+    // a lying dictionary-frame size fails LOUDLY, never a silent empty scan
+    val lying = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(0x184D2A5D).putInt(200 << 20).array()
+    java.nio.file.Files.write(d.resolve("f.warc.zst"), lying)
+    an[Exception] should be thrownBy
+      Loader.load(spark, d.resolve("f.warc.zst").toString).collect()
+  }
+
   test("WARC record offsets are exact; ranged fetch seeks plain files and gzip members") {
     def rec(id: Int, payload: String): Array[Byte] = {
       val p = payload.getBytes("UTF-8")

@@ -113,6 +113,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_script_lang_check" -> 0, // profile + verdict, still narrow
     "text_url_strip_tracking" -> 0, // split-filter-rejoin, narrow
     "warc_recrawl_schedule" -> 0, // entries explode + epoch arithmetic, narrow
+    "warc_content_coding" -> 0, // per-record decode in the reader, narrow
     "stream_neardup_det" -> 2, // band agg + keep-id anti join (batch twin)
     // URL side: one host-keyed rules join + one best-rule window; the
     // other four are robots-parse/agent-selection shuffles on the
