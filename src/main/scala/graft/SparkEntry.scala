@@ -3254,6 +3254,18 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
       Similarity.cosineTopK(e, "vec_id", "embedding", q, 10)
     }),
+    // The external-embedding IMPORT contract end-to-end: the testdata
+    // embeddings parquet plays the role of a GPU-side encoder's dump —
+    // loadEmbeddings validates every row against the (id, float[64])
+    // contract (lazy raise_error projection, no pre-scan job), then the
+    // standard brute-force top-k consumes the imported frame unchanged.
+    // Same oracle as sim_topk: a valid dump must import as a no-op.
+    "sim_import_topk" -> ((s, dir) => {
+      val e = Similarity.loadEmbeddings(s, s"$dir/embeddings.parquet", dim = 64)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.cosineTopK(e, "vec_id", "embedding", q, 10)
+    }),
     "sim_ann_lsh" -> ((s, dir) => {
       val e = rt(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
@@ -7091,6 +7103,20 @@ object SparkEntry {
         |                            ORDER BY tfidf DESC, term) AS rn
         |  FROM scored)
         |WHERE rn <= 3""".stripMargin,
+    // sim_import_topk: a valid external dump must import as a no-op, so
+    // its oracle is sim_topk's verbatim (the validation projection adds
+    // no rows, drops no rows, and float->float casts are identity).
+    "sim_import_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |     c AS (SELECT vec_id AS id,
+        |             list_sum([CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |                       FOR i IN range(1, len(embedding) + 1)])
+        |             / (sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                               FOR i IN range(1, len(embedding) + 1)]))
+        |                * sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |                                 FOR i IN range(1, len(qe) + 1)]))) AS cos
+        |           FROM embeddings, q)
+        |SELECT id, cos FROM c ORDER BY cos DESC, id LIMIT 10""".stripMargin,
     "sim_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |     c AS (SELECT vec_id AS id,

@@ -15,6 +15,58 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   */
 object Similarity {
 
+  /** External-embedding IMPORT contract — the practical unblock for the
+    * env-blocked multimodal decode stub
+    * ([[graft.ops.Multimodal.fakeEmbedding]]): run the GPU-side encoder
+    * wherever GPUs live, dump `(id, vector)` parquet, and this loader
+    * validates the dump into the exact shape every sim_* / embedding-dedup
+    * op here consumes.
+    *
+    * Validation is loud but stays LAZY and fully distributed (a
+    * `raise_error` projection, never a driver-side scan): schema problems
+    * — missing columns, an embedding column that is not
+    * `array<float|double>` — throw `InvalidParameter` at PLAN time; data
+    * problems — a NULL id, a NULL or wrong-length vector, a NULL/NaN
+    * component — fail the first task that reads the bad row, with the
+    * offending id and observed size in the message. At 10⁹ imported rows
+    * nobody pre-scans twice; the check rides the first real pass.
+    *
+    * Output schema: `(idCol as-is, embCol: array<float>)` — float because
+    * imported corpora are memory-bound and every op here upcasts to
+    * double per-element anyway ([[dot]]). */
+  def loadEmbeddings(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      dim: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+  ): DataFrame = {
+    require(dim > 0, s"loadEmbeddings: dim must be positive, got $dim")
+    val df = spark.read.parquet(path)
+    graft.core.Validators.requireColumns(df, Seq(idCol, embCol))
+    df.schema(embCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType |
+        org.apache.spark.sql.types.DoubleType, _) => ()
+      case other =>
+        throw graft.errors.FeatureFactoryException.InvalidParameter(
+          s"loadEmbeddings($path): column '$embCol' must be array<float> " +
+            s"or array<double>, got ${other.simpleString}")
+    }
+    val e = col(embCol)
+    val ok = col(idCol).isNotNull && e.isNotNull && size(e) === dim &&
+      !exists(e, x => x.isNull || isnan(x))
+    val msg = concat(
+      lit(s"loadEmbeddings($path): row id="),
+      coalesce(col(idCol).cast("string"), lit("NULL")),
+      lit(s" violates the (id, float[$dim]) contract (vector size="),
+      coalesce(size(e).cast("string"), lit("NULL")),
+      lit(", or a NULL id / NULL or NaN component)"))
+    df.select(
+      col(idCol),
+      when(ok, e).otherwise(raise_error(msg)).cast("array<float>").as(embCol))
+  }
+
   /** Sequential left fold Σ aᵢ·bᵢ in double precision. The fold order is the
     * array order, so results are bit-deterministic. */
   def dot(a: Column, b: Column): Column =

@@ -693,6 +693,57 @@ class OpsSpec extends SparkSpec {
     assert(approxEqual(out(2).getDouble(1), 0.6, 1e-7))
   }
 
+  test("Similarity.loadEmbeddings: valid dumps import as a no-op, violations are loud") {
+    val d = java.nio.file.Files.createTempDirectory("graft_emb_import")
+    def write(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val p = d.resolve(name).toString
+      df.write.mode("overwrite").parquet(p); p
+    }
+    // a valid float dump: row set unchanged, schema lands array<float>
+    val good = write(vecs, "good.parquet")
+    val in = Similarity.loadEmbeddings(spark, good, dim = 3)
+    in.count() shouldBe 4
+    in.schema("embedding").dataType shouldBe
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true)
+    // merely BUILDING the frame runs no job and throws nothing (lazy);
+    // double-typed dumps import too (downcast to float)
+    val dbl = write(
+      Seq((7L, Seq(0.25, 0.5, 0.75))).toDF("vec_id", "embedding"), "dbl.parquet")
+    Similarity.loadEmbeddings(spark, dbl, dim = 3)
+      .head().getSeq[Float](1) shouldBe Seq(0.25f, 0.5f, 0.75f)
+    // the import feeds the sim stack unchanged
+    Similarity.cosineTopK(in, "vec_id", "embedding", Seq(1.0, 0.0, 0.0), 1)
+      .head().getLong(0) shouldBe 0L
+    // dim mismatch fails the first task that reads the row, id in message
+    val short = write(
+      Seq((5L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding"), "short.parquet")
+    val eDim = intercept[Exception](
+      Similarity.loadEmbeddings(spark, short, dim = 3).collect())
+    eDim.getMessage should include("id=5")
+    eDim.getMessage should include("float[3]")
+    // NaN component and NULL id are violations too
+    val nan = write(
+      Seq((6L, Seq(1.0f, Float.NaN, 0.0f))).toDF("vec_id", "embedding"),
+      "nan.parquet")
+    an[Exception] should be thrownBy
+      Similarity.loadEmbeddings(spark, nan, dim = 3).collect()
+    val nullId = write(
+      Seq((Option.empty[Long], Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "nullid.parquet")
+    an[Exception] should be thrownBy
+      Similarity.loadEmbeddings(spark, nullId, dim = 3).collect()
+    // schema problems are PLAN-time loud: wrong type, missing column
+    val wrongType = write(
+      Seq((1L, "not a vector")).toDF("vec_id", "embedding"), "wt.parquet")
+    val eType = intercept[Exception](
+      Similarity.loadEmbeddings(spark, wrongType, dim = 3))
+    eType.getMessage should include("array<float>")
+    an[Exception] should be thrownBy
+      Similarity.loadEmbeddings(spark, good, dim = 3, embCol = "no_such")
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.loadEmbeddings(spark, good, dim = 0)
+  }
+
   test("Similarity.annTopK finds the identical vector through the LSH prune") {
     val out = Similarity.annTopK(vecs, "vec_id", "embedding", Seq(1.0, 0.0, 0.0), 3,
       numPlanes = 4)
