@@ -167,6 +167,15 @@ object Curation {
         .agg(count(lit(1)).as(out))
     val r = counted(ref, "n_ref")
     val c = counted(cur, "n_cur")
+    // DELIBERATE single-partition window: the frame below it is the
+    // joined category-count table — dictionary-sized by construction
+    // (categories of lang/domain/bin labels), never the drops. Catalyst
+    // folds the constant partition key to an EMPTY spec, so the runtime
+    // logs `WindowExec: No Partition Defined` — expected here, and
+    // pinned as the ONLY allowed case (QueriesSmokeSpec's
+    // globalWindowAllowed). The distributed alternative (aggregate +
+    // broadcast cross join) would re-scan the count subtree for totals
+    // that Σ-over-categories already carries in one pass.
     val all = Window.partitionBy(lit(1))
     val joined = r.join(c, col("__graft_g_n_ref") <=> col("__graft_g_n_cur"), "full_outer")
       .select(
