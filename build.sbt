@@ -30,4 +30,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK-8192647 mitigation: JNI GetPrimitiveArrayCritical sections
+  // (java.util.zip Inflater/Deflater on the gzip/deflate/PDF-Flate
+  // paths, zstd-jni on .warc.zst) stall GC; a concurrent allocating
+  // thread retries only GCLockerRetryAllocationCount times (DEFAULT 2)
+  // before throwing a SPURIOUS OutOfMemoryError — observed as a 2-WORD
+  // "heap space" OOM killing a 32-thread bench at 8g with gigabytes
+  // actually free. Fixed properly in JDK 21+ (GCLocker removed); on 17
+  // raising the retry count is the standard mitigation.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )

@@ -2134,6 +2134,29 @@ object SparkEntry {
       graft.sources.Loader.loadWarcRanges(s, offs)
         .select("record_id", "target_uri", "content_length", "payload")
     }),
+    // The zstd twin of sink_wet_export_gz: frame-per-record .warc.zst
+    // export (the newer web-archive tooling convention) + the offsets
+    // sidecar, then every record fetched BACK purely by its compressed
+    // frame coordinates — write and ranged read both proven in one
+    // oracle. Same round-trip contract: the export must be a no-op on
+    // the record content.
+    "sink_wet_export_zst" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_wet_export_zst").toString + "/docs.warc.zst"
+      Writer.save(
+        rt(s, dir, "documents").select(
+          lit("conversion").as("warc_type"),
+          concat(lit("<urn:graft:zst-"), col("doc_id"), lit(">")).as("record_id"),
+          synthUrl.as("target_uri"),
+          lit("2026-03-01T00:00:00Z").as("warc_date"),
+          lit("text/plain").as("content_type"),
+          col("text").as("payload")), out)
+      val offs = s.read.json(out + "/*.offsets.jsonl")
+        .select("filename", "offset", "length").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      graft.sources.Loader.loadWarcRanges(s, offs)
+        .select("record_id", "target_uri", "content_length", "payload")
+    }),
     // WARC ingest (the Common-Crawl first mile): every document round-trips
     // through a real WARC/1.0 conversion record — header parse, exact
     // Content-Length payload framing, and the record→row explode all
@@ -5415,6 +5438,12 @@ object SparkEntry {
          |FROM documents""".stripMargin,
     // Same replay for the compressed export — every record must come
     // back intact through its own gzip member's (offset, length).
+    "sink_wet_export_zst" ->
+      s"""SELECT '<urn:graft:zst-' || doc_id || '>' AS record_id,
+         |       $synthUrlSql AS target_uri,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+         |       text AS payload
+         |FROM documents""".stripMargin,
     "sink_wet_export_gz" ->
       s"""SELECT '<urn:graft:gz-' || doc_id || '>' AS record_id,
          |       $synthUrlSql AS target_uri,

@@ -81,17 +81,23 @@ object Writer {
         // the graft-warc DSV2 write path (one archive file per input
         // partition, executor-side; see WarcWriteSupport for the column
         // contract). `.warc.gz` writes MEMBER-PER-RECORD gzip (the
-        // Common Crawl framing — stays random-accessible) plus a sibling
-        // offsets.jsonl per archive with each member's compressed
-        // coordinates; non-gzip codecs have no WARC convention.
+        // Common Crawl framing) and `.warc.zst` FRAME-PER-RECORD zstd
+        // (the newer tooling convention) — both stay random-accessible,
+        // each with a sibling offsets.jsonl per archive carrying the
+        // members' compressed coordinates; other codecs have no WARC
+        // convention.
         compression match {
           case Some("gzip") =>
             df.write.format("graft-warc").option("codec", "gzip-member")
               .mode("overwrite").save(path)
+          case Some("zstd") =>
+            df.write.format("graft-warc").option("codec", "zstd-member")
+              .mode("overwrite").save(path)
           case Some(c) =>
             throw UnsupportedFormat(
               s"graft-warc write: codec '$c' has no WARC framing — " +
-                "use .warc (plain) or .warc.gz (member-per-record gzip)")
+                "use .warc (plain), .warc.gz (member-per-record gzip), " +
+                "or .warc.zst (frame-per-record zstd)")
           case None =>
             df.write.format("graft-warc").mode("overwrite").save(path)
         }

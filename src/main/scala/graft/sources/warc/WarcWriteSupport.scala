@@ -38,14 +38,17 @@ private[warc] class WarcWriteBuilder(path: String, info: LogicalWriteInfo)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new WarcWrite(
     path, info.schema(), doTruncate,
-    gzipMembers = "gzip-member" == info.options().get("codec"))
+    codec = Option(info.options().get("codec")).getOrElse(""))
 }
 
 private[warc] class WarcWrite(
     path: String, schema: StructType, doTruncate: Boolean,
-    gzipMembers: Boolean = false)
+    codec: String = "")
     extends Write with BatchWrite {
   WarcWriteSupport.validateSchema(schema)
+  require(codec == "" || codec == "gzip-member" || codec == "zstd-member",
+    s"graft-warc write: unknown codec '$codec' — use gzip-member, " +
+      "zstd-member, or none")
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -60,7 +63,7 @@ private[warc] class WarcWrite(
     val fs = hp.getFileSystem(hconf)
     if (doTruncate && fs.exists(hp)) fs.delete(hp, true)
     fs.mkdirs(hp)
-    new WarcWriterFactory(path, conf, schema, gzipMembers)
+    new WarcWriterFactory(path, conf, schema, codec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -89,7 +92,7 @@ private[warc] class WarcWrite(
         }
         val hp = new Path(path)
         hp.getFileSystem(hconf).mkdirs(hp)
-        WarcStreamingWriterFactory(path, conf, schema, gzipMembers)
+        WarcStreamingWriterFactory(path, conf, schema, codec)
       }
       override def commit(
           epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -106,40 +109,48 @@ private[warc] final case class WarcCommitMessage(file: String)
   * StreamingWrite would drag a non-serializable parent to executors). */
 private[warc] final case class WarcStreamingWriterFactory(
     path: String, conf: Map[String, String], schema: StructType,
-    gzipMembers: Boolean)
+    codec: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new WarcDataWriter(path, conf, schema, partitionId, taskId,
-      gzipMembers, epoch = Some(epochId))
+      codec, epoch = Some(epochId))
 }
 
 private[warc] class WarcWriterFactory(
     path: String, conf: Map[String, String], schema: StructType,
-    gzipMembers: Boolean)
+    codec: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WarcDataWriter(path, conf, schema, partitionId, taskId, gzipMembers)
+    new WarcDataWriter(path, conf, schema, partitionId, taskId, codec)
 }
 
 /** Streams one partition's rows into one `part-…​.warc` file.
   *
-  * `gzipMembers = true` is the RANDOM-ACCESSIBLE compressed layout
-  * (Common Crawl's member-per-record framing): each record is its own
-  * gzip member in `part-….warc.gz`, and — because only the WRITER knows
-  * each member's compressed start — a sibling `part-….offsets.jsonl`
-  * records `{"record_id", "offset", "length"}` per member (the
-  * coordinates [[graft.sources.Loader.loadWarcRanges]] fetches by; a
-  * full CDX index composes from this plus the main table's urlkeys).
-  * The whole file still reads sequentially through the normal loader
-  * (multi-member inflate). */
+  * `codec = "gzip-member"` / `"zstd-member"` are the RANDOM-ACCESSIBLE
+  * compressed layouts: each record is its own gzip member (Common
+  * Crawl's `.warc.gz` framing) or its own zstd frame (the newer
+  * `.warc.zst` tooling convention — one frame per record, no shared
+  * dictionary, so every frame decodes standalone), and — because only
+  * the WRITER knows each member's compressed start — a sibling
+  * `part-….offsets.jsonl` records `{"record_id", "offset", "length"}`
+  * per member (the coordinates
+  * [[graft.sources.Loader.loadWarcRanges]] fetches by; a full CDX
+  * index composes from this plus the main table's urlkeys). Both
+  * layouts still read sequentially through the normal loader
+  * (multi-member inflate / multi-frame decode). */
 private[warc] class WarcDataWriter(
     path: String, conf: Map[String, String], schema: StructType,
-    partitionId: Int, taskId: Long, gzipMembers: Boolean,
+    partitionId: Int, taskId: Long, codec: String,
     epoch: Option[Long] = None)
     extends DataWriter[InternalRow] {
 
-  private val suffix = if (gzipMembers) "warc.gz" else "warc"
+  private val members = codec.nonEmpty
+  private val suffix = codec match {
+    case "gzip-member" => "warc.gz"
+    case "zstd-member" => "warc.zst"
+    case _ => "warc"
+  }
   // batch: task-attempt-unique names (abort deletes them). streaming:
   // (partition, epoch)-DETERMINISTIC names, so an epoch replay
   // overwrites itself — idempotence without a metadata log
@@ -163,7 +174,7 @@ private[warc] class WarcDataWriter(
   private def ensureOpen(): Unit = if (out == null) {
     out = new java.io.BufferedOutputStream(
       fs(file).create(new Path(file), true), 1 << 16)
-    if (gzipMembers)
+    if (members)
       offsetsOut = new java.io.OutputStreamWriter(
         fs(offsetsFile).create(new Path(offsetsFile), true), "UTF-8")
   }
@@ -190,12 +201,23 @@ private[warc] class WarcDataWriter(
     sb.append("Content-Type: ").append(s(idx.contentType)).append("\r\n")
     sb.append("Content-Length: ").append(body.length).append("\r\n\r\n")
     val head = sb.toString.getBytes("UTF-8")
-    if (gzipMembers) {
-      val bo = new java.io.ByteArrayOutputStream(head.length + body.length)
-      val gz = new java.util.zip.GZIPOutputStream(bo)
-      gz.write(head); gz.write(body); gz.write(WarcWriteSupport.Separator)
-      gz.close()
-      val member = bo.toByteArray
+    if (members) {
+      val member =
+        if (codec == "gzip-member") {
+          val bo = new java.io.ByteArrayOutputStream(head.length + body.length)
+          val gz = new java.util.zip.GZIPOutputStream(bo)
+          gz.write(head); gz.write(body); gz.write(WarcWriteSupport.Separator)
+          gz.close()
+          bo.toByteArray
+        } else { // zstd-member: one standalone frame per record
+          val raw = new Array[Byte](
+            head.length + body.length + WarcWriteSupport.Separator.length)
+          System.arraycopy(head, 0, raw, 0, head.length)
+          System.arraycopy(body, 0, raw, head.length, body.length)
+          System.arraycopy(WarcWriteSupport.Separator, 0, raw,
+            head.length + body.length, WarcWriteSupport.Separator.length)
+          com.github.luben.zstd.Zstd.compress(raw)
+        }
       out.write(member)
       // JSON by hand is safe here: record_id is angle-bracket URN text the
       // schema requires, offsets are integers — but escape quotes anyway
@@ -220,7 +242,7 @@ private[warc] class WarcDataWriter(
   override def abort(): Unit = {
     close()
     fs(file).delete(new Path(file), false)
-    if (gzipMembers) fs(offsetsFile).delete(new Path(offsetsFile), false)
+    if (members) fs(offsetsFile).delete(new Path(offsetsFile), false)
   }
 
   override def close(): Unit = {
@@ -233,7 +255,7 @@ private[warc] object WarcWriteSupport {
   val Separator: Array[Byte] = "\r\n\r\n".getBytes("UTF-8")
 
   /** Job-level abort cleanup: each committed message names its archive
-    * file; the gzip-member mode also leaves an offsets sidecar next to
+    * file; the member modes also leave an offsets sidecar next to
     * it (same stem) — delete BOTH, or an aborted job strands a sidecar
     * pointing at a deleted archive.
     *
@@ -254,7 +276,7 @@ private[warc] object WarcWriteSupport {
         val fs = p.getFileSystem(hconf)
         fs.delete(p, false)
         val sidecar = new Path(
-          f.replaceAll("\\.warc(\\.gz)?$", "") + ".offsets.jsonl")
+          f.replaceAll("\\.warc(\\.gz|\\.zst)?$", "") + ".offsets.jsonl")
         if (fs.exists(sidecar)) fs.delete(sidecar, false)
       case _ => ()
     }

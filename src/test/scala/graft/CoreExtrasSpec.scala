@@ -129,7 +129,7 @@ class CoreExtrasSpec extends SparkSpec {
     an[Exception] should be thrownBy graft.sources.Writer.save(
       docs.withColumn("payload", lit(7)), out)
     an[Exception] should be thrownBy graft.sources.Writer.save(
-      docs, d.resolve("x.warc.zst").toString) // no WARC framing for zstd
+      docs, d.resolve("x.warc.bz2").toString) // no WARC framing for bzip2
     // partitionBy has no hive layout in the warc/wet/cdxj branches —
     // rejected loudly instead of silently writing unpartitioned output
     an[Exception] should be thrownBy graft.sources.Writer.save(
@@ -149,6 +149,22 @@ class CoreExtrasSpec extends SparkSpec {
         pick.getAs[Long]("length")))).collect()
     fetched5.map(_.getAs[String]("record_id")).toSeq shouldBe Seq("<urn:w:5>")
     fetched5.head.getAs[String]("payload") shouldBe "body 5\r\n\r\ntail 5"
+    // .warc.zst = frame-per-record zstd + the same offsets sidecar — the
+    // write mirror of the round-13 zstd read path, random-accessible too
+    val zstOut = d.resolve("export.warc.zst").toString
+    graft.sources.Writer.save(docs, zstOut)
+    val zstBack = Loader.load(spark, zstOut)
+    zstBack.count() shouldBe 7 // sequential multi-frame decode
+    zstBack.filter($"record_id" === "<urn:w:3>")
+      .head().getAs[String]("payload") shouldBe "body 3\r\n\r\ntail 3"
+    val zOffs = spark.read.json(zstOut + "/*.offsets.jsonl")
+    zOffs.count() shouldBe 7
+    val zPick = zOffs.filter($"record_id" === "<urn:w:6>").head()
+    val zFetched = graft.sources.Loader.loadWarcRanges(spark,
+      Seq((zPick.getAs[String]("filename"), zPick.getAs[Long]("offset"),
+        zPick.getAs[Long]("length")))).collect()
+    zFetched.map(_.getAs[String]("record_id")).toSeq shouldBe Seq("<urn:w:6>")
+    zFetched.head.getAs[String]("payload") shouldBe "body 6\r\n\r\ntail 6"
   }
 
   test("WARC .zst: whole-file, frame-per-record + ranges, IIPC dictionary frame") {

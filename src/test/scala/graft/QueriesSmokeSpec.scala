@@ -132,6 +132,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "warc_range_fetch" -> 0, // bounded index collect + seek-scan, narrow
     "sink_wet_export" -> 0, // DSV2 write then a fresh narrow archive read
     "sink_wet_export_gz" -> 0, // gz-member write + offsets-seeded ranged read
+    "sink_wet_export_zst" -> 0, // zstd-frame write + offsets-seeded ranged read
     "text_script_profile" -> 0, // strip-and-measure narrow regexes
     "mm_image_dims" -> 0, // constant-width header slices, narrow
     "mm_media_duration" -> 0, // chunk/box walk kernels, narrow
