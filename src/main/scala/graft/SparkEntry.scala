@@ -4014,6 +4014,49 @@ object SparkEntry {
         "payload")
         .select("doc_id", "pdf_text")
     }),
+    // PDF document metadata (the provenance screen): %5==0 an
+    // INCREMENTALLY-UPDATED document — two trailers, the LAST /Info
+    // reference must win (obj 12's doc_id-derived values, never obj 9's
+    // stale ones) — with an escaped-paren producer; %5==1 a UTF-16BE
+    // BOM'd hex title + hex author + an INDIRECT-reference producer
+    // (→ NULL, the documented no-xref boundary) + an apostrophe-bearing
+    // timezone date; %5==2 no /Info at all (all NULL); %5==3 encrypted
+    // (all NULL); %5==4 non-PDF (all NULL). The oracle rebuilds the
+    // strings from arithmetic and literals.
+    "mm_pdf_meta" -> ((s, dir) => {
+      val ti = concat(lit("T"), lpad((col("doc_id") % 89).cast("string"), 4, "0"))
+      val au = concat(lit("A"), lpad((col("doc_id") % 83).cast("string"), 4, "0"))
+      val pdf0 = concat(
+        lit(("%PDF-1.7\n" +
+          "9 0 obj\n<< /Title (OLD) /Producer (stale) >>\nendobj\n" +
+          "12 0 obj\n<< /Title (").getBytes),
+        ti.cast("binary"),
+        lit(") /Author (".getBytes),
+        au.cast("binary"),
+        lit((") /Creator (graftc) /Producer (graft \\(exporter\\)) " +
+          "/CreationDate (D:20260101000000Z) >>\nendobj\n" +
+          "trailer\n<< /Root 1 0 R /Info 9 0 R >>\nstartxref\n0\n%%EOF\n" +
+          "trailer\n<< /Root 1 0 R /Info 12 0 R >>\nstartxref\n0\n%%EOF\n").getBytes))
+      val pdf1 = lit(("%PDF-1.5\n3 0 obj\n<< /Title <FEFF005000310036> " +
+        "/Author <48455841> /Producer 7 0 R " +
+        "/CreationDate (D:20251231235959+01'00') >>\nendobj\n" +
+        "trailer\n<< /Info 3 0 R >>\n%%EOF\n").getBytes)
+      val pdf2 = lit(("%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n" +
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes)
+      val pdf3 = lit(("%PDF-1.7\n3 0 obj\n<< /Title (secret) >>\nendobj\n" +
+        "trailer\n<< /Info 3 0 R /Encrypt 9 0 R >>\n%%EOF\n").getBytes)
+      val payload =
+        when(col("doc_id") % 5 === 0, pdf0)
+          .when(col("doc_id") % 5 === 1, pdf1)
+          .when(col("doc_id") % 5 === 2, pdf2)
+          .when(col("doc_id") % 5 === 3, pdf3)
+          .otherwise(lit("not a pdf at all".getBytes))
+      Multimodal.withPdfInfo(
+        rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
+        "payload")
+        .select("doc_id", "pdf_title", "pdf_author", "pdf_creator",
+          "pdf_producer", "pdf_created")
+    }),
     // EXIF camera-provenance tags: out-of-line ASCII Make/Model/Software
     // values (count includes the NUL) synthesized in BOTH byte orders
     // with doc_id-derived fixed-width strings; %4==2 payloads omit
@@ -8039,6 +8082,24 @@ object SparkEntry {
         |       CASE WHEN doc_id % 5 IN (0, 1, 3)
         |            THEN 'L' || lpad(CAST(doc_id % 79 AS VARCHAR), 4, '0')
         |       END AS mp3_album
+        |FROM documents""".stripMargin,
+    // PDF Info-dict metadata rebuilt from arithmetic + literals; the
+    // last-/Info-wins walk, BOM decodes, and escape handling happen only
+    // on the Spark side. The %5==1 date carries PDF's apostrophe
+    // timezone syntax (doubled in SQL).
+    "mm_pdf_meta" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 5 = 0
+        |              THEN 'T' || lpad(CAST(doc_id % 89 AS VARCHAR), 4, '0')
+        |            WHEN doc_id % 5 = 1 THEN 'P16' END AS pdf_title,
+        |       CASE WHEN doc_id % 5 = 0
+        |              THEN 'A' || lpad(CAST(doc_id % 83 AS VARCHAR), 4, '0')
+        |            WHEN doc_id % 5 = 1 THEN 'HEXA' END AS pdf_author,
+        |       CASE WHEN doc_id % 5 = 0 THEN 'graftc' END AS pdf_creator,
+        |       CASE WHEN doc_id % 5 = 0 THEN 'graft (exporter)' END AS pdf_producer,
+        |       CASE WHEN doc_id % 5 = 0 THEN 'D:20260101000000Z'
+        |            WHEN doc_id % 5 = 1 THEN 'D:20251231235959+01''00'''
+        |       END AS pdf_created
         |FROM documents""".stripMargin,
     // PDF text rebuilt from arithmetic + the fixed Flate literal; the
     // encrypted / image-only / non-PDF shapes are NULL. The byte walk,

@@ -153,5 +153,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 1, s"${TilePairs.PdfTextName} expects 1 argument")
       PdfText(args(0))
     }))
+    ext.injectFunction(fn(TilePairs.PdfInfoName, { args =>
+      require(args.length == 1, s"${TilePairs.PdfInfoName} expects 1 argument")
+      PdfInfo(args(0))
+    }))
   }
 }

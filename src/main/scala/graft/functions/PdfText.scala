@@ -144,20 +144,20 @@ object PdfText {
     // 1.0-era abbreviations remain legal in inline images and lax writers
     "/AHx", "/A85", "/LZW", "/RL", "/CCF", "/DCT")
 
-  private def isWs(c: Byte): Boolean =
+  private[functions] def isWs(c: Byte): Boolean =
     c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0 || c == 12
-  private def isDelim(c: Byte): Boolean =
+  private[functions] def isDelim(c: Byte): Boolean =
     c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
       c == '{' || c == '}' || c == '/' || c == '%'
 
-  private def regionMatches(b: Array[Byte], at: Int, pat: Array[Byte]): Boolean = {
+  private[functions] def regionMatches(b: Array[Byte], at: Int, pat: Array[Byte]): Boolean = {
     if (at + pat.length > b.length) return false
     var i = 0
     while (i < pat.length) { if (b(at + i) != pat(i)) return false; i += 1 }
     true
   }
 
-  private def indexOf(b: Array[Byte], pat: Array[Byte], from: Int): Int = {
+  private[functions] def indexOf(b: Array[Byte], pat: Array[Byte], from: Int): Int = {
     var i = math.max(0, from)
     val last = b.length - pat.length
     while (i <= last) { if (regionMatches(b, i, pat)) return i; i += 1 }
@@ -169,7 +169,7 @@ object PdfText {
     * string containing the token still trips this — accepted: the miss
     * direction is "extractable file reported out of scope", never
     * ciphertext reported as text. */
-  private def hasEncryptToken(b: Array[Byte]): Boolean = {
+  private[functions] def hasEncryptToken(b: Array[Byte]): Boolean = {
     val pat = "/Encrypt".getBytes
     var at = indexOf(b, pat, 0)
     while (at >= 0) {
@@ -184,7 +184,7 @@ object PdfText {
     * nesting — or -1 when unbalanced. Strings/comments inside the dict
     * containing `<<`/`>>` can over-count (accepted: the walk then skips
     * bytes, never loops — progress is always forward). */
-  private def skipDict(b: Array[Byte], d0: Int): Int = {
+  private[functions] def skipDict(b: Array[Byte], d0: Int): Int = {
     val n = b.length
     var i = d0 + 2
     var depth = 1
@@ -281,7 +281,7 @@ object PdfText {
   /** Decode the literal string starting at `b(start) == '('`; returns the
     * index just past the closing paren (or n for an unterminated string —
     * the decoded prefix is still kept: crawl payloads truncate). */
-  private def literalString(
+  private[functions] def literalString(
       b: Array[Byte], start: Int,
       out: scala.collection.mutable.ArrayBuffer[String]): Int = {
     val n = b.length
@@ -328,7 +328,7 @@ object PdfText {
     * between digits is legal, non-hex junk is skipped leniently, an odd
     * final digit pads with 0 (§7.3.4.3). Bytes map via Latin-1 — see the
     * composite-font boundary in the class doc. */
-  private def hexString(
+  private[functions] def hexString(
       b: Array[Byte], start: Int,
       out: scala.collection.mutable.ArrayBuffer[String]): Int = {
     val n = b.length
@@ -352,5 +352,214 @@ object PdfText {
     if (hi >= 0) s.append((hi << 4).toChar)
     out += s.toString
     i
+  }
+}
+
+/** graft_pdf_info(payload): the document-information dictionary of a PDF
+  * — struct `(title, author, creator, producer, created)`, the
+  * provenance complement of [[PdfText]] (what [[ExifTags]] is to images
+  * and [[Mp3Tags]] to audio: the cheap synthetic/converted screen —
+  * generator tools land in Producer/Creator — plus dedup-by-title and
+  * date-based recrawl priors).
+  *
+  * HOW (ISO 32000-1 §14.3.3): the LAST `/Info N G R` reference in the
+  * file wins (incremental updates append new trailers; the final one is
+  * authoritative), then the LAST `N G obj` body (same rule) has its
+  * `<< … >>` dictionary scanned for the /Title /Author /Creator
+  * /Producer /CreationDate keys. Values parse as PDF text strings:
+  * literal or hex, with the UTF-16BE (FE FF) and UTF-8 (EF BB BF) BOMs
+  * honored and everything else read as Latin-1 (≈PDFDocEncoding — the
+  * same approximation [[PdfText]] documents). `created` stays the RAW
+  * `D:YYYYMMDDHHmmSS…` string — deterministic, and downstream can parse
+  * the prefix it needs.
+  *
+  * Boundaries: indirect-reference values (`/Title 7 0 R`) yield NULL for
+  * that field (no xref walk — same rule that keeps the text kernel
+  * engine-portable); encrypted documents return NULL (strings are
+  * ciphertext); a present-but-empty Info dict returns a row of NULLs
+  * (info EXISTS), while no /Info at all returns NULL (none declared). */
+case class PdfInfo(child: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def prettyName: String = TilePairs.PdfInfoName
+  override def dataType: DataType = StructType(Seq(
+    StructField("title", StringType, nullable = true),
+    StructField("author", StringType, nullable = true),
+    StructField("creator", StringType, nullable = true),
+    StructField("producer", StringType, nullable = true),
+    StructField("created", StringType, nullable = true)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary input")
+
+  import PdfText._
+  import PdfInfo._
+
+  def compute(bytes: Array[Byte]): Any = {
+    if (bytes == null) return null
+    val n = bytes.length
+    if (n < 8 || bytes(0) != '%' || bytes(1) != 'P' || bytes(2) != 'D' ||
+      bytes(3) != 'F') return null
+    if (hasEncryptToken(bytes)) return null
+    val ref = lastInfoRef(bytes)
+    if (ref == null) return null
+    val objAt = lastObjStart(bytes, ref(0), ref(1))
+    if (objAt < 0) return null
+    var k = objAt
+    while (k < n && isWs(bytes(k))) k += 1
+    if (k + 2 > n || bytes(k) != '<' || bytes(k + 1) != '<') return null
+    val dEnd = skipDict(bytes, k)
+    if (dEnd < 0) return null
+    def field(key: String): Any = keyText(bytes, k + 2, dEnd - 2, key)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](field("/Title"), field("/Author"), field("/Creator"),
+        field("/Producer"), field("/CreationDate")))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val b = child.eval(input).asInstanceOf[Array[Byte]]
+    if (b == null) null else compute(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      Object ${ev.value}_o = null;
+      if (!${c.isNull}) ${ev.value}_o = $ref.compute(${c.value});
+      boolean ${ev.isNull} = ${ev.value}_o == null;
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = ${ev.isNull}
+        ? null : (org.apache.spark.sql.catalyst.InternalRow) ${ev.value}_o;
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+object PdfInfo {
+  import PdfText._
+
+  /** The LAST well-formed `/Info N G R` in the file, as Array(n, g) —
+    * or null when absent. */
+  private[functions] def lastInfoRef(b: Array[Byte]): Array[Int] = {
+    val pat = "/Info".getBytes
+    val n = b.length
+    var found: Array[Int] = null
+    var at = indexOf(b, pat, 0)
+    while (at >= 0) {
+      var i = at + pat.length
+      // token boundary: "/Information" must not match
+      if (i >= n || isWs(b(i)) || isDelim(b(i))) {
+        while (i < n && isWs(b(i))) i += 1
+        val (num, i2) = digits(b, i)
+        if (num >= 0) {
+          var j = i2
+          while (j < n && isWs(b(j))) j += 1
+          val (gen, j2) = digits(b, j)
+          if (gen >= 0) {
+            var r = j2
+            while (r < n && isWs(b(r))) r += 1
+            if (r < n && b(r) == 'R' &&
+              (r + 1 >= n || isWs(b(r + 1)) || isDelim(b(r + 1))))
+              found = Array(num, gen)
+          }
+        }
+      }
+      at = indexOf(b, pat, at + 1)
+    }
+    found
+  }
+
+  /** Index just past the `obj` keyword of the LAST `n g obj` header — or
+    * -1. Byte scan with token-boundary checks on both sides. */
+  private[functions] def lastObjStart(b: Array[Byte], num: Int, gen: Int): Int = {
+    val n = b.length
+    val pat = String.valueOf(num).getBytes
+    var found = -1
+    var at = indexOf(b, pat, 0)
+    while (at >= 0) {
+      if (at == 0 || isWs(b(at - 1)) || isDelim(b(at - 1))) {
+        var i = at + pat.length
+        if (i < n && isWs(b(i))) {
+          while (i < n && isWs(b(i))) i += 1
+          val (g2, i2) = digits(b, i)
+          if (g2 == gen) {
+            var j = i2
+            while (j < n && isWs(b(j))) j += 1
+            if (j + 3 <= n && b(j) == 'o' && b(j + 1) == 'b' && b(j + 2) == 'j' &&
+              (j + 3 >= n || isWs(b(j + 3)) || isDelim(b(j + 3))))
+              found = j + 3
+          }
+        }
+      }
+      at = indexOf(b, pat, at + 1)
+    }
+    found
+  }
+
+  /** (value, index-after) of an unsigned int at `i`, or (-1, i). Caps at
+    * 8 digits — object numbers beyond that are lying bytes, not PDFs. */
+  private def digits(b: Array[Byte], i0: Int): (Int, Int) = {
+    var i = i0
+    var v = 0
+    var cnt = 0
+    while (i < b.length && cnt < 8 && b(i) >= '0' && b(i) <= '9') {
+      v = v * 10 + (b(i) - '0'); i += 1; cnt += 1
+    }
+    if (cnt == 0 || (i < b.length && b(i) >= '0' && b(i) <= '9')) (-1, i0)
+    else (v, i)
+  }
+
+  /** The decoded text-string value of `key` inside the dict body
+    * [start, end), or null when the key is absent or its value is not a
+    * direct string (indirect refs, names, numbers — out of scope). */
+  private def keyText(b: Array[Byte], start: Int, end: Int, key: String): Any = {
+    val pat = key.getBytes
+    var at = indexOf(b, pat, start)
+    while (at >= 0 && at + pat.length <= end) {
+      val after = at + pat.length
+      if (after >= end || isWs(b(after)) || isDelim(b(after))) {
+        var i = after
+        while (i < end && isWs(b(i))) i += 1
+        if (i < end && b(i) == '(') {
+          val buf = new scala.collection.mutable.ArrayBuffer[String](1)
+          literalString(b, i, buf)
+          return UTF8String.fromString(decodeTextString(buf.head))
+        } else if (i < end && b(i) == '<' && (i + 1 >= end || b(i + 1) != '<')) {
+          val buf = new scala.collection.mutable.ArrayBuffer[String](1)
+          hexString(b, i, buf)
+          return UTF8String.fromString(decodeTextString(buf.head))
+        } else return null // indirect ref / name / number value
+      }
+      at = indexOf(b, pat, at + 1)
+    }
+    null
+  }
+
+  /** PDF text-string decode (§7.9.2.2): chars so far are raw byte values
+    * — re-decode behind a UTF-16BE or UTF-8 BOM, else keep as Latin-1
+    * (≈PDFDocEncoding). */
+  private def decodeTextString(raw: String): String = {
+    def bytesOf(from: Int): Array[Byte] = {
+      val bs = new Array[Byte](raw.length - from)
+      var i = 0
+      while (i < bs.length) { bs(i) = raw.charAt(i + from).toByte; i += 1 }
+      bs
+    }
+    if (raw.length >= 2 && raw.charAt(0) == 0xFE.toChar && raw.charAt(1) == 0xFF.toChar)
+      new String(bytesOf(2), java.nio.charset.StandardCharsets.UTF_16BE)
+    else if (raw.length >= 3 && raw.charAt(0) == 0xEF.toChar &&
+      raw.charAt(1) == 0xBB.toChar && raw.charAt(2) == 0xBF.toChar)
+      new String(bytesOf(3), java.nio.charset.StandardCharsets.UTF_8)
+    else raw
   }
 }

@@ -51,6 +51,7 @@ object TilePairs {
   val Mp3TagsName = "graft_mp3_tags"
   val RobotsVerdictName = "graft_robots_verdict"
   val PdfTextName = "graft_pdf_text"
+  val PdfInfoName = "graft_pdf_info"
 }
 
 private[functions] trait TileExpression extends Expression with CodegenFallback {

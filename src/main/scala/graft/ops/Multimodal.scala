@@ -284,6 +284,34 @@ object Multimodal {
       call_function(graft.functions.TilePairs.PdfTextName, col(binCol)))
   }
 
+  /** REAL document metadata from PDF payloads
+    * ([[graft.functions.PdfInfo]]): appends `pdf_title`, `pdf_author`,
+    * `pdf_creator`, `pdf_producer`, `pdf_created` from the Info
+    * dictionary (last `/Info` reference wins — incremental updates).
+    * The provenance screen for PDF corpora: generator tools land in
+    * creator/producer (the synthetic/converted filter), titles feed
+    * metadata dedup, dates feed recrawl priors. Each NULL when absent
+    * or indirect; all NULL for non-PDF / encrypted / Info-less
+    * payloads. EXTENSION-REQUIRED. */
+  def withPdfInfo(df: DataFrame, binCol: String): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(binCol))
+    graft.core.Validators.requireColumnsAbsent(
+      df, Seq("pdf_title", "pdf_author", "pdf_creator", "pdf_producer",
+        "pdf_created"), "withPdfInfo")
+    require(df.sparkSession.catalog.functionExists(
+      graft.functions.TilePairs.PdfInfoName),
+      "withPdfInfo needs the native PDF kernel — set " +
+        "spark.sql.extensions=graft.functions.GraftExtensions")
+    val t = call_function(graft.functions.TilePairs.PdfInfoName, col(binCol))
+    df.withColumn("__graft_pi", t)
+      .withColumn("pdf_title", col("__graft_pi.title"))
+      .withColumn("pdf_author", col("__graft_pi.author"))
+      .withColumn("pdf_creator", col("__graft_pi.creator"))
+      .withColumn("pdf_producer", col("__graft_pi.producer"))
+      .withColumn("pdf_created", col("__graft_pi.created"))
+      .drop("__graft_pi")
+  }
+
   /** REAL EXIF GPS report from header bytes ([[graft.functions.ExifGps]]):
     * appends `gps_present` (true whenever IFD0 carries a GPS Info pointer —
     * even an unparseable one: the privacy gate must flag what it cannot

@@ -151,7 +151,7 @@ class FunctionsSpec extends SparkSpec {
       classOf[graft.functions.ExifGps], classOf[graft.functions.ExifGpsStrip],
       classOf[graft.functions.WebpDims], classOf[graft.functions.ExifTags],
       classOf[graft.functions.Mp3Tags], classOf[graft.functions.RobotsVerdict],
-      classOf[graft.functions.PdfText])
+      classOf[graft.functions.PdfText], classOf[graft.functions.PdfInfo])
       .foreach(c => classOf[CodegenFallback].isAssignableFrom(c) shouldBe false)
     // and a projection through them really compiles into a codegen stage
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -803,6 +803,60 @@ class FunctionsSpec extends SparkSpec {
       Seq((1, pdf(obj("", "BT (row) Tj ET")))).toDF("id", "payload"), "payload")
       .select("pdf_text").head().getString(0)
     out shouldBe "row"
+  }
+
+  test("graft_pdf_info: last /Info wins, BOMs, indirect refs, token boundaries") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val k = graft.functions.PdfInfo(Literal.create(null, BinaryType))
+    type R = Option[(Option[String], Option[String], Option[String],
+      Option[String], Option[String])]
+    def info(b: Array[Byte]): R = k.compute(b) match {
+      case null => None
+      case r: org.apache.spark.sql.catalyst.expressions.GenericInternalRow =>
+        def f(i: Int) = if (r.isNullAt(i)) None else Some(r.getUTF8String(i).toString)
+        Some((f(0), f(1), f(2), f(3), f(4)))
+    }
+    def pdf(body: String): Array[Byte] =
+      ("%PDF-1.7\n" + body + "\n%%EOF\n").getBytes("ISO-8859-1")
+    // incremental update: TWO trailers — the last /Info (obj 12) wins
+    info(pdf(
+      "9 0 obj\n<< /Title (OLD) >>\nendobj\n" +
+        "12 0 obj\n<< /Title (New \\(v2\\)) /Author (Ann) /Creator (app) " +
+        "/Producer (conv) /CreationDate (D:20260101120000Z) >>\nendobj\n" +
+        "trailer\n<< /Info 9 0 R >>\n%%EOF\n" +
+        "trailer\n<< /Info 12 0 R >>")) shouldBe
+      Some((Some("New (v2)"), Some("Ann"), Some("app"), Some("conv"),
+        Some("D:20260101120000Z")))
+    // UTF-16BE BOM hex title, UTF-8 BOM literal author, plain hex creator,
+    // INDIRECT-ref producer -> NULL field
+    info(pdf(
+      "3 0 obj\n<< /Title <FEFF005000E9> " +
+        "/Author (ï»¿BÃ©) /Creator <4170> " +
+        "/Producer 7 0 R >>\nendobj\ntrailer\n<< /Info 3 0 R >>")) shouldBe
+      Some((Some("Pé"), Some("Bé"), Some("Ap"), None, None))
+    // /Information must NOT satisfy the /Info token scan
+    info(pdf(
+      "3 0 obj\n<< /Title (x) >>\nendobj\n" +
+        "trailer\n<< /Information 3 0 R >>")) shouldBe None
+    // no /Info at all; Info ref to a MISSING object; empty Info dict
+    info(pdf("1 0 obj\n<< /Type /Catalog >>\nendobj\ntrailer\n<< >>")) shouldBe None
+    info(pdf("trailer\n<< /Info 42 0 R >>")) shouldBe None
+    info(pdf("5 0 obj\n<< >>\nendobj\ntrailer\n<< /Info 5 0 R >>")) shouldBe
+      Some((None, None, None, None, None))
+    // generation must match: `5 1 obj` is not the target of `/Info 5 0 R`
+    info(pdf("5 1 obj\n<< /Title (g1) >>\nendobj\ntrailer\n<< /Info 5 0 R >>")) shouldBe
+      None
+    // encrypted documents answer nothing (strings are ciphertext)
+    info(pdf("3 0 obj\n<< /Title (s) >>\nendobj\n" +
+      "trailer\n<< /Info 3 0 R /Encrypt 9 0 R >>")) shouldBe None
+    info("not a pdf".getBytes) shouldBe None
+    // the op appends the five columns
+    val out = graft.ops.Multimodal.withPdfInfo(
+      Seq((1, pdf("2 0 obj\n<< /Title (t) /Producer (p) >>\nendobj\n" +
+        "trailer\n<< /Info 2 0 R >>"))).toDF("id", "payload"), "payload")
+      .select("pdf_title", "pdf_producer", "pdf_author").head()
+    (out.getString(0), out.getString(1), out.isNullAt(2)) shouldBe (("t", "p", true))
   }
 
   test("graft_exif_tags: ASCII tag rules — inline values, truncated offsets, lying counts") {

@@ -612,7 +612,8 @@ class PropertySpec extends SparkSpec {
       "webp_dims" -> WebpDims(child).compute _,
       "exif_tags" -> ExifTags(child).compute _,
       "mp3_tags" -> Mp3Tags(child).compute _,
-      "pdf_text" -> PdfText(child).compute _)
+      "pdf_text" -> PdfText(child).compute _,
+      "pdf_info" -> PdfInfo(child).compute _)
     def hx(h: String): Array[Byte] =
       h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     val prefixes: Seq[Array[Byte]] = Seq(
@@ -627,7 +628,8 @@ class PropertySpec extends SparkSpec {
       // PDF header + dict + stream keyword: steers the fuzz into the
       // stream walk, the Inflater error path, and the content tokenizer
       "%PDF-1.7\n<< /Filter /FlateDecode >>\nstream\n".getBytes,
-      "%PDF-1.4\n<< >>\nstream\nBT (".getBytes) // unterminated string
+      "%PDF-1.4\n<< >>\nstream\nBT (".getBytes, // unterminated string
+      "%PDF-1.6\ntrailer << /Info ".getBytes) // Info-ref walk steering
     val bodyGen = Gen.choose(0, 300)
       .flatMap(n => Gen.listOfN(n, Gen.choose(0, 255)))
       .map(_.map(_.toByte).toArray)

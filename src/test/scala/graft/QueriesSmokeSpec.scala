@@ -140,6 +140,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "mm_webp_dims" -> 0, // RIFF chunk walk kernel, narrow
     "mm_exif_tags" -> 0, "mm_mp3_tags" -> 0, // tag walks, narrow
     "mm_pdf_text" -> 0, // stream walk + inflate kernel, narrow
+    "mm_pdf_meta" -> 0, // Info-dict walk kernel, narrow
     // ALL header kernels composed stay one shuffle-free pass — the
     // 100 TB multimodal-ingest plan shape
     "mm_ingest_profile" -> 0,
