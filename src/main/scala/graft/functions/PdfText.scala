@@ -28,7 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * HONEST BOUNDARIES (each deliberate, all documented here rather than
   * hidden): encrypted documents (`/Encrypt` in the trailer) return NULL
   * — extraction would emit ciphertext; streams under any OTHER filter
-  * (DCTDecode, LZWDecode, Crypt, ASCII85, …) are skipped; bytes decode
+  * (DCTDecode, LZWDecode, Crypt, ASCII85, inline-image abbreviations,
+  * an indirect-reference /Filter, …) are skipped — filter names are
+  * read TOKEN-accurately off the dict (a "/DCT" inside a string value
+  * cannot misclassify a stream); FlateDecode streams carrying
+  * /DecodeParms are skipped too (PNG/TIFF predictors would need
+  * de-predicting after the inflate — feeding predictor-coded bytes to
+  * the tokenizer would emit junk; content streams essentially never
+  * carry predictors, xref/object streams do); bytes decode
   * as Latin-1, so composite-font hex strings (CMap-indexed CIDs) come
   * out as mojibake rather than being remapped — real Unicode mapping
   * needs the font's ToUnicode CMap, which is out of scope by the same
@@ -87,13 +94,35 @@ case class PdfText(child: Expression) extends Expression {
             // the writer's EOL before `endstream` is framing, not data
             if (dataEnd > ds && bytes(dataEnd - 1) == '\n') dataEnd -= 1
             if (dataEnd > ds && bytes(dataEnd - 1) == '\r') dataEnd -= 1
-            val dict =
-              new String(bytes, d0, dEnd - d0,
-                java.nio.charset.StandardCharsets.ISO_8859_1)
-            val hasFilter = dict.contains("/Filter")
-            val flate = dict.contains("/FlateDecode")
-            val unsupported = UnsupportedFilters.exists(dict.contains)
-            if (!unsupported && (!hasFilter || flate) && dataEnd > ds) {
+            // token-accurate dict read (walkDictKeys consumes string
+            // values atomically, so "/DCT" inside a path-string value
+            // can never misclassify the stream; round-13 review)
+            var filters: List[String] = Nil
+            var hasParms = false
+            walkDictKeys(bytes, d0 + 2, dEnd - 2) { (key, v) =>
+              if (key == "Filter") {
+                if (v < dEnd - 2 && bytes(v) == '/')
+                  filters = filters :+ nameAt(bytes, v, dEnd - 2)
+                else if (v < dEnd - 2 && bytes(v) == '[') {
+                  var j = v + 1
+                  while (j < dEnd - 2 && bytes(j) != ']') {
+                    if (bytes(j) == '/') {
+                      val nm = nameAt(bytes, j, dEnd - 2)
+                      filters = filters :+ nm
+                      j += 1 + nm.length
+                    } else j += 1
+                  }
+                } else filters = filters :+ "?" // indirect ref: can't resolve
+              } else if (key == "DecodeParms" || key == "DP") hasParms = true
+            }
+            val flate = filters.nonEmpty && filters.forall(_ == "FlateDecode")
+            val unsupported = filters.exists(_ != "FlateDecode") ||
+              // predictors (PNG/TIFF row filters) would need de-predicting
+              // after the inflate — skip rather than feed predictor-coded
+              // bytes to the tokenizer (xref/object streams carry these;
+              // BT-text content streams essentially never do)
+              (flate && hasParms)
+            if (!unsupported && (filters.isEmpty || flate) && dataEnd > ds) {
               val data = java.util.Arrays.copyOfRange(bytes, ds, dataEnd)
               val content = if (flate) inflate(data) else data
               if (content != null) extract(content, sb)
@@ -135,14 +164,6 @@ object PdfText {
   private val DictOpen = "<<".getBytes
   private val StreamKw = "stream".getBytes
   private val EndstreamKw = "endstream".getBytes
-  // every ISO 32000-1 §7.4 filter this kernel does NOT decode; a stream
-  // whose dict names any of them is skipped (FlateDecode-chained too:
-  // [/FlateDecode /DCTDecode] is still an image)
-  private val UnsupportedFilters = Seq(
-    "/ASCIIHexDecode", "/ASCII85Decode", "/LZWDecode", "/RunLengthDecode",
-    "/CCITTFaxDecode", "/JBIG2Decode", "/DCTDecode", "/JPXDecode", "/Crypt",
-    // 1.0-era abbreviations remain legal in inline images and lax writers
-    "/AHx", "/A85", "/LZW", "/RL", "/CCF", "/DCT")
 
   private[functions] def isWs(c: Byte): Boolean =
     c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0 || c == 12
@@ -245,10 +266,10 @@ object PdfText {
       val c = b(i)
       if (isWs(c)) i += 1
       else if (c == '%') { while (i < n && b(i) != '\n' && b(i) != '\r') i += 1 }
-      else if (c == '(') i = literalString(b, i, pending)
+      else if (c == '(') i = literalString(b, i, pending, n, MaxTextChars)
       else if (c == '<' && i + 1 < n && b(i + 1) == '<') {
         val e = skipDict(b, i); i = if (e < 0) n else e
-      } else if (c == '<') i = hexString(b, i, pending)
+      } else if (c == '<') i = hexString(b, i, pending, n, MaxTextChars)
       else if (c == '[') { inArray = true; i += 1 }
       else if (c == ']') { inArray = false; i += 1 }
       else if (c == '/') { // name: skipped, never clears operands
@@ -279,12 +300,16 @@ object PdfText {
   }
 
   /** Decode the literal string starting at `b(start) == '('`; returns the
-    * index just past the closing paren (or n for an unterminated string —
-    * the decoded prefix is still kept: crawl payloads truncate). */
+    * index just past the closing paren (or `end` for an unterminated
+    * string — the decoded prefix is still kept: crawl payloads truncate).
+    * The scan never reads past `end` (PdfInfo bounds it to the Info dict,
+    * so a torn string cannot swallow trailing file bytes) and stops
+    * APPENDING at `maxChars` while still consuming to the close paren. */
   private[functions] def literalString(
       b: Array[Byte], start: Int,
-      out: scala.collection.mutable.ArrayBuffer[String]): Int = {
-    val n = b.length
+      out: scala.collection.mutable.ArrayBuffer[String],
+      end: Int, maxChars: Int): Int = {
+    val n = math.min(end, b.length)
     val s = new java.lang.StringBuilder
     var i = start + 1
     var depth = 1
@@ -320,7 +345,7 @@ object PdfText {
         s.append('\n'); i += (if (i + 1 < n && b(i + 1) == '\n') 2 else 1)
       } else { s.append((c & 0xff).toChar); i += 1 }
     }
-    out += s.toString
+    out += (if (s.length <= maxChars) s.toString else s.substring(0, maxChars))
     i
   }
 
@@ -330,8 +355,9 @@ object PdfText {
     * composite-font boundary in the class doc. */
   private[functions] def hexString(
       b: Array[Byte], start: Int,
-      out: scala.collection.mutable.ArrayBuffer[String]): Int = {
-    val n = b.length
+      out: scala.collection.mutable.ArrayBuffer[String],
+      end: Int, maxChars: Int): Int = {
+    val n = math.min(end, b.length)
     val s = new java.lang.StringBuilder
     var i = start + 1
     var hi = -1
@@ -350,8 +376,83 @@ object PdfText {
       i += 1
     }
     if (hi >= 0) s.append((hi << 4).toChar)
-    out += s.toString
+    out += (if (s.length <= maxChars) s.toString else s.substring(0, maxChars))
     i
+  }
+
+  /** Alternating key→value walk of a dict BODY [start, end): invokes `f`
+    * with each key name and its value's start index, then consumes the
+    * value ATOMICALLY — strings, arrays, and nested dicts are skipped as
+    * whole objects, so a key name occurring INSIDE a string value can
+    * never be mistaken for a dict key (the round-13 review caught
+    * `/Author (by /Title (fake))` poisoning the /Title field under the
+    * old raw-byte key scan). Malformed bytes always make forward
+    * progress; never throws. */
+  private[functions] def walkDictKeys(b: Array[Byte], start: Int, end: Int)(
+      f: (String, Int) => Unit): Unit = {
+    val sink = new scala.collection.mutable.ArrayBuffer[String](1)
+    def skipValue(at: Int): Int = {
+      var i = at
+      while (i < end && isWs(b(i))) i += 1
+      if (i >= end) return end
+      b(i) match {
+        case '(' => sink.clear(); literalString(b, i, sink, end, 0)
+        case '<' if i + 1 < end && b(i + 1) == '<' =>
+          val e = skipDict(b, i); if (e < 0 || e > end) end else e
+        case '<' => sink.clear(); hexString(b, i, sink, end, 0)
+        case '[' =>
+          var depth = 1
+          var j = i + 1
+          while (j < end && depth > 0) {
+            b(j) match {
+              case '(' => sink.clear(); j = literalString(b, j, sink, end, 0)
+              case '<' if j + 1 < end && b(j + 1) == '<' =>
+                val e = skipDict(b, j); j = if (e < 0 || e > end) end else e
+              case '<' => sink.clear(); j = hexString(b, j, sink, end, 0)
+              case '[' => depth += 1; j += 1
+              case ']' => depth -= 1; j += 1
+              case '%' =>
+                while (j < end && b(j) != '\n' && b(j) != '\r') j += 1
+              case _ => j += 1
+            }
+          }
+          j
+        case '/' =>
+          var j = i + 1
+          while (j < end && !isWs(b(j)) && !isDelim(b(j))) j += 1
+          j
+        case _ => // number / indirect ref / boolean / null: token run
+          var j = i
+          while (j < end && b(j) != '/' && b(j) != '(' && b(j) != '<' &&
+            b(j) != '[' && b(j) != ']' && b(j) != '>') j += 1
+          j
+      }
+    }
+    var i = start
+    while (i < end) {
+      val c = b(i)
+      if (isWs(c)) i += 1
+      else if (c == '%') { while (i < end && b(i) != '\n' && b(i) != '\r') i += 1 }
+      else if (c == '/') {
+        val t0 = i + 1
+        var j = t0
+        while (j < end && !isWs(b(j)) && !isDelim(b(j))) j += 1
+        val key = new String(b, t0, j - t0,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        var v = j
+        while (v < end && isWs(b(v))) v += 1
+        f(key, v)
+        val next = skipValue(j)
+        i = if (next > j) next else j + 1 // malformed: progress over purity
+      } else i += 1 // stray token at key position: advance
+    }
+  }
+
+  /** The name token at `b(at) == '/'` (empty for a bare slash). */
+  private[functions] def nameAt(b: Array[Byte], at: Int, end: Int): String = {
+    var j = at + 1
+    while (j < end && !isWs(b(j)) && !isDelim(b(j))) j += 1
+    new String(b, at + 1, j - at - 1, java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 }
 
@@ -416,10 +517,34 @@ case class PdfInfo(child: Expression) extends Expression {
     if (k + 2 > n || bytes(k) != '<' || bytes(k + 1) != '<') return null
     val dEnd = skipDict(bytes, k)
     if (dEnd < 0) return null
-    def field(key: String): Any = keyText(bytes, k + 2, dEnd - 2, key)
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](field("/Title"), field("/Author"), field("/Creator"),
-        field("/Producer"), field("/CreationDate")))
+    val body1 = dEnd - 2
+    val vals = new Array[Any](5)
+    // string-atomic key walk: a key name INSIDE a string value (an
+    // Author of "by /Title (fake)") can never shadow the real key, and
+    // every string read is bounded by the dict and capped — a torn
+    // literal cannot swallow trailing file bytes into a metadata field
+    walkDictKeys(bytes, k + 2, body1) { (key, v) =>
+      val idx = key match {
+        case "Title" => 0
+        case "Author" => 1
+        case "Creator" => 2
+        case "Producer" => 3
+        case "CreationDate" => 4
+        case _ => -1
+      }
+      if (idx >= 0 && vals(idx) == null && v < body1) {
+        if (bytes(v) == '(') {
+          val buf = new scala.collection.mutable.ArrayBuffer[String](1)
+          literalString(bytes, v, buf, body1, MaxMetaChars)
+          vals(idx) = UTF8String.fromString(decodeTextString(buf.head))
+        } else if (bytes(v) == '<' && (v + 1 >= body1 || bytes(v + 1) != '<')) {
+          val buf = new scala.collection.mutable.ArrayBuffer[String](1)
+          hexString(bytes, v, buf, body1, MaxMetaChars)
+          vals(idx) = UTF8String.fromString(decodeTextString(buf.head))
+        } // else: indirect ref / name / number value — out of scope, NULL
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
 
   override def eval(input: InternalRow): Any = {
@@ -447,6 +572,11 @@ case class PdfInfo(child: Expression) extends Expression {
 
 object PdfInfo {
   import PdfText._
+
+  /** Per-field cap on decoded metadata strings — real Info values are
+    * tens of chars; a torn/adversarial string stops appending here
+    * while still being consumed to its delimiter. */
+  private val MaxMetaChars = 1 << 16
 
   /** The LAST well-formed `/Info N G R` in the file, as Array(n, g) —
     * or null when absent. */
@@ -517,32 +647,6 @@ object PdfInfo {
     }
     if (cnt == 0 || (i < b.length && b(i) >= '0' && b(i) <= '9')) (-1, i0)
     else (v, i)
-  }
-
-  /** The decoded text-string value of `key` inside the dict body
-    * [start, end), or null when the key is absent or its value is not a
-    * direct string (indirect refs, names, numbers — out of scope). */
-  private def keyText(b: Array[Byte], start: Int, end: Int, key: String): Any = {
-    val pat = key.getBytes
-    var at = indexOf(b, pat, start)
-    while (at >= 0 && at + pat.length <= end) {
-      val after = at + pat.length
-      if (after >= end || isWs(b(after)) || isDelim(b(after))) {
-        var i = after
-        while (i < end && isWs(b(i))) i += 1
-        if (i < end && b(i) == '(') {
-          val buf = new scala.collection.mutable.ArrayBuffer[String](1)
-          literalString(b, i, buf)
-          return UTF8String.fromString(decodeTextString(buf.head))
-        } else if (i < end && b(i) == '<' && (i + 1 >= end || b(i + 1) != '<')) {
-          val buf = new scala.collection.mutable.ArrayBuffer[String](1)
-          hexString(b, i, buf)
-          return UTF8String.fromString(decodeTextString(buf.head))
-        } else return null // indirect ref / name / number value
-      }
-      at = indexOf(b, pat, at + 1)
-    }
-    null
   }
 
   /** PDF text-string decode (§7.9.2.2): chars so far are raw byte values

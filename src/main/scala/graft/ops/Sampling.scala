@@ -110,10 +110,18 @@ object Sampling {
     * deliberately more than) `maxRows` rows, chosen by id hash — the
     * enforcement half of a "bounded sample at corpus scale" contract.
     * FULLY LAZY: the frame is sized by a single-row `count(*)` aggregate
-    * broadcast-cross-joined into the filter (no eager driver job — merely
-    * BUILDING a plan on this result never triggers Spark work; round 12
-    * shipped an eager `df.count()` here, which made plan construction an
-    * action). At or under the cap every row passes the filter UNTOUCHED
+    * broadcast-cross-joined into the filter (no eager driver job —
+    * merely BUILDING a plan on this result never triggers Spark work;
+    * round 12 shipped an eager `df.count()` here, which made plan
+    * construction an action). PLAN-SHAPE NOTE: this is a
+    * BroadcastNestedLoopJoin whose build side is EXACTLY ONE ROW — cost-
+    * identical to a broadcast hash join (there is no key to hash on; a
+    * constant join key gets folded away by Catalyst, degrading right
+    * back to BNLJ — tried and reverted in round 13). The smoke audit's
+    * BNLJ ban exists for unbounded fan-outs; queries whose visible plan
+    * carries this single-row fan-in belong on its allow-list with a
+    * size note (PlanSpec pins the shape). At or
+    * under the cap every row passes the filter UNTOUCHED
     * (small inputs are exact, which keeps sf-scale oracles byte-stable);
     * over it the kept set is exactly the old
     * `hash < max(1, floor(maxRows·1e6/total))` ppm rule, expressed

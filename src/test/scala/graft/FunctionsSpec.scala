@@ -784,6 +784,19 @@ class FunctionsSpec extends SparkSpec {
       obj("", "BT (ok) Tj ET"))) shouldBe Some("ok")
     // a Flate-chained image ([/FlateDecode /DCTDecode]) is still an image
     ext(pdf(obj("/Filter [/FlateDecode /DCTDecode]", "xx"))) shouldBe None
+    // review pin: filter names are TOKEN-accurate — "/DCT" inside a
+    // string VALUE of the stream dict cannot misclassify the stream
+    ext(pdf(obj("/Length 16 /Subj (see /DCT art in C:/RL/x)",
+      "BT (kept) Tj ET"))) shouldBe Some("kept")
+    // review pin: FlateDecode + /DecodeParms (predictors) is skipped —
+    // inflating without de-predicting would tokenize garbage
+    ext(("%PDF-1.6\n7 0 obj\n<< /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 12 /Columns 4 >> >>\nstream\n")
+      .getBytes("ISO-8859-1") ++
+      deflate("BT (junk) Tj ET") ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")) shouldBe None
+    // an indirect-reference /Filter cannot be resolved: skipped
+    ext(pdf(obj("/Filter 9 0 R", "BT (x) Tj ET"))) shouldBe None
     // /Encrypt wins even when a stream would parse; name-prefix immune
     ext(pdf("trailer\n<< /Encrypt 9 0 R >>\n" + obj("", "BT (s) Tj ET"))) shouldBe None
     ext(pdf("<< /EncryptMetadataX true >>\n" + obj("", "BT (s) Tj ET"))) shouldBe
@@ -851,6 +864,21 @@ class FunctionsSpec extends SparkSpec {
     info(pdf("3 0 obj\n<< /Title (s) >>\nendobj\n" +
       "trailer\n<< /Info 3 0 R /Encrypt 9 0 R >>")) shouldBe None
     info("not a pdf".getBytes) shouldBe None
+    // review pin: a key name INSIDE a string value never shadows the real
+    // key — the dict walk consumes string values atomically
+    info(pdf("4 0 obj\n<< /Author (by /Title \\(fake\\)) /Title (Real) >>\n" +
+      "endobj\ntrailer\n<< /Info 4 0 R >>")) shouldBe
+      Some((Some("Real"), Some("by /Title (fake)"), None, None, None))
+    info(pdf("4 0 obj\n<< /Author (see /Title below) /Title (Real) >>\n" +
+      "endobj\ntrailer\n<< /Info 4 0 R >>")) shouldBe
+      Some((Some("Real"), Some("see /Title below"), None, None, None))
+    // review pin: a TORN literal is bounded by the dict — trailing file
+    // bytes never leak into a metadata field
+    val torn = info(pdf("4 0 obj\n<< /Title (abc >>\nendobj\n" +
+      "SECRET TRAILING BYTES THAT MUST NOT LEAK\n" +
+      "trailer\n<< /Info 4 0 R >>"))
+    torn.isDefined shouldBe true
+    torn.get._1.getOrElse("") should not include "SECRET"
     // the op appends the five columns
     val out = graft.ops.Multimodal.withPdfInfo(
       Seq((1, pdf("2 0 obj\n<< /Title (t) /Producer (p) >>\nendobj\n" +

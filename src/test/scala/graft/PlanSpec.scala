@@ -156,6 +156,26 @@ class PlanSpec extends SparkSpec {
     formatted(out) should not include "Exchange"
   }
 
+  test("hashSampleAtMost: lazy single-row broadcast fan-in, documented shape") {
+    // The lazy size check is a BroadcastNestedLoopJoin whose BUILD side
+    // is exactly one row (the count(*) aggregate) — cost-identical to a
+    // broadcast hash join; there is no key to hash on, and a constant
+    // join key gets constant-folded away by Catalyst, degrading right
+    // back to BNLJ (tried in round 13). This pin asserts (a) the shape —
+    // the only BNLJ source besides cosineTopKBatch — and (b) LAZINESS:
+    // building the frame runs zero Spark jobs (round 12's eager count()
+    // made plan construction an action).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val out = graft.ops.Sampling.hashSampleAtMost(docs, "doc_id", 40L)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    after shouldBe before // no job ran at construction time
+    val plan = formatted(out)
+    plan should include("BroadcastNestedLoopJoin")
+    // the build side is the single-row HashAggregate, nothing wider
+    plan should include("HashAggregate")
+  }
+
   test("balanceGroups transform is a pure narrow filter — no shuffle") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = graft.ops.Sampling.balanceGroups(docs, "lang", "doc_id")

@@ -21,7 +21,15 @@ class QueriesSmokeSpec extends SparkSpec {
     // hash-embedding retrieval demo)
     "text_rrf_hybrid", "text_embed_topk",
     // the dense-truth leg of the ranking report card
-    "text_bm25_eval")
+    "text_bm25_eval",
+    // the repo's OTHER intentional BNLJ: hashSampleAtMost's lazy size
+    // check — a fan-in whose build side is EXACTLY ONE ROW (the count(*)
+    // aggregate), cost-identical to a broadcast hash join; a constant
+    // equi-key gets folded away by Catalyst, so BNLJ is the only shape
+    // (PlanSpec pins it). The calibration queries consume it behind
+    // dupGroups' RDD boundary today, so the audit cannot see it there —
+    // these entries protect any future plan-visible use.
+    "dedup_calibration", "dedup_calibration_pairs")
 
   /** Queries allowed to plan a window with an EMPTY partition spec — each
     * one a deliberately tiny frame where a single-task sort is the point,
