@@ -3962,16 +3962,18 @@ object SparkEntry {
         .select("doc_id", "mp3_title", "mp3_artist", "mp3_album")
     }),
     // PDF text extraction (the largest non-HTML text reservoir in a
-    // crawl): %5==0 an UNCOMPRESSED content stream with doc_id-varying
+    // crawl): %7==0 an UNCOMPRESSED content stream with doc_id-varying
     // text exercising escaped parens, hex strings, Td line moves, and a
-    // TJ array; %5==1 a /FlateDecode stream of a FIXED content (deflated
+    // TJ array; %7==1 a /FlateDecode stream of a FIXED content (deflated
     // once driver-side at plan build — fixture construction; the
-    // Inflater round trip happens only on the Spark side); %5==2 an
+    // Inflater round trip happens only on the Spark side); %7==2 an
     // ENCRYPTED document whose stream would otherwise parse (the
-    // /Encrypt screen must win → NULL); %5==3 an image-only PDF
-    // (/DCTDecode, no extractable text → NULL); %5==4 non-PDF bytes
-    // (→ NULL). The oracle rebuilds the two text shapes from arithmetic
-    // and string literals.
+    // /Encrypt screen must win → NULL); %7==3 an image-only PDF
+    // (/DCTDecode, no extractable text → NULL); %7==4 non-PDF bytes
+    // (→ NULL); %7==5 an /ASCIIHexDecode stream (whitespaced digits +
+    // EOD); %7==6 the classic 7-bit-safe CHAIN
+    // [/ASCII85Decode /FlateDecode] — declared-order decode. The oracle
+    // rebuilds the text shapes from arithmetic and string literals.
     "mm_pdf_text" -> ((s, dir) => {
       val nn = lpad((col("doc_id") % 9973).cast("string"), 4, "0")
       val c0 = concat(
@@ -4003,11 +4005,42 @@ object SparkEntry {
         lit("%PDF-1.7\n5 0 obj\n<< /Filter /DCTDecode /Length 4 >>\nstream\n".getBytes),
         unhex(lit("FFD8FFE0")),
         lit("\nendstream\nendobj\n%%EOF\n".getBytes))
+      def toHex(x: Array[Byte]): String = x.map("%02X".format(_)).mkString
+      val pdf5 = lit(("%PDF-1.3\n6 0 obj\n<< /Filter /ASCIIHexDecode >>\nstream\n" +
+        toHex("BT (hex encoded stream) Tj ET".getBytes("ISO-8859-1"))
+          .grouped(4).mkString(" ") + ">" +
+        "\nendstream\nendobj\n%%EOF\n").getBytes)
+      def a85(x: Array[Byte]): String = {
+        val sb = new StringBuilder
+        x.grouped(4).foreach { g =>
+          var v = 0L
+          g.padTo(4, 0.toByte).foreach(b => v = (v << 8) | (b & 0xff))
+          val cs = (0 until 5).map(i =>
+            ('!' + (v / math.pow(85, 4 - i).toLong % 85)).toChar)
+          sb.append(cs.take(g.length + 1).mkString)
+        }
+        sb.append("~>").toString
+      }
+      val chained = {
+        val d = new java.util.zip.Deflater()
+        d.setInput("BT (chained transport) Tj ET".getBytes("ISO-8859-1"))
+        d.finish()
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        while (!d.finished()) { val m = d.deflate(buf); bos.write(buf, 0, m) }
+        d.end(); bos.toByteArray
+      }
+      val pdf6 = lit(("%PDF-1.4\n8 0 obj\n" +
+        "<< /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n" +
+        a85(chained) +
+        "\nendstream\nendobj\n%%EOF\n").getBytes)
       val payload =
-        when(col("doc_id") % 5 === 0, pdf0)
-          .when(col("doc_id") % 5 === 1, pdf1)
-          .when(col("doc_id") % 5 === 2, pdf2)
-          .when(col("doc_id") % 5 === 3, pdf3)
+        when(col("doc_id") % 7 === 0, pdf0)
+          .when(col("doc_id") % 7 === 1, pdf1)
+          .when(col("doc_id") % 7 === 2, pdf2)
+          .when(col("doc_id") % 7 === 3, pdf3)
+          .when(col("doc_id") % 7 === 5, pdf5)
+          .when(col("doc_id") % 7 === 6, pdf6)
           .otherwise(lit("plain text, no PDF magic".getBytes))
       Multimodal.withPdfText(
         rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
@@ -8107,11 +8140,13 @@ object SparkEntry {
     // the Spark side.
     "mm_pdf_text" ->
       """SELECT doc_id,
-        |       CASE WHEN doc_id % 5 = 0
+        |       CASE WHEN doc_id % 7 = 0
         |              THEN 'Doc (P' || lpad(CAST(doc_id % 9973 AS VARCHAR), 4, '0')
         |                   || ')' || chr(10) || 'tail AB'
-        |            WHEN doc_id % 5 = 1
+        |            WHEN doc_id % 7 = 1
         |              THEN 'Compressed stream payload' || chr(10) || 'second line'
+        |            WHEN doc_id % 7 = 5 THEN 'hex encoded stream'
+        |            WHEN doc_id % 7 = 6 THEN 'chained transport'
         |       END AS pdf_text
         |FROM documents""".stripMargin,
     // Camera tags rebuilt from arithmetic; NULL software on %4==2, all

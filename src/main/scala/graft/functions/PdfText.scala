@@ -14,9 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the text-showing operators without a PDF engine.
   *
   * WHAT IT DOES (ISO 32000-1): walks the raw bytes for `<< dict >>
-  * stream … endstream` objects; decodes a stream when it is UNFILTERED
-  * or filtered by exactly `/FlateDecode` (via `java.util.zip.Inflater` —
-  * the only filter with a JDK-native codec); then scans the decoded
+  * stream … endstream` objects; decodes a stream when its filter chain
+  * is any sequence of `/FlateDecode` (JDK Inflater), `/ASCIIHexDecode`,
+  * and `/ASCII85Decode` (pure byte math), applied in declared order —
+  * or no filter at all; then scans the decoded
   * content for `BT … ET` text objects and appends the string operands of
   * the text-showing operators `Tj`, `TJ`, `'`, `"`. Literal strings
   * `(…)` honor balanced parens, the `\n \r \t \b \f \( \) \\` escapes,
@@ -27,8 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * HONEST BOUNDARIES (each deliberate, all documented here rather than
   * hidden): encrypted documents (`/Encrypt` in the trailer) return NULL
-  * — extraction would emit ciphertext; streams under any OTHER filter
-  * (DCTDecode, LZWDecode, Crypt, ASCII85, inline-image abbreviations,
+  * — extraction would emit ciphertext; ASCIIHexDecode and ASCII85Decode
+  * decode too (pure byte math), INCLUDING chains in declared order
+  * ([/ASCII85Decode /FlateDecode]); streams under any OTHER filter
+  * (DCTDecode, LZWDecode, Crypt, JBIG2, JPX,
   * an indirect-reference /Filter, …) are skipped — filter names are
   * read TOKEN-accurately off the dict (a "/DCT" inside a string value
   * cannot misclassify a stream); FlateDecode streams carrying
@@ -115,16 +118,16 @@ case class PdfText(child: Expression) extends Expression {
                 } else filters = filters :+ "?" // indirect ref: can't resolve
               } else if (key == "DecodeParms" || key == "DP") hasParms = true
             }
-            val flate = filters.nonEmpty && filters.forall(_ == "FlateDecode")
-            val unsupported = filters.exists(_ != "FlateDecode") ||
+            val decodable = filters.forall(SupportedFilters)
+            val unsupported = !decodable ||
               // predictors (PNG/TIFF row filters) would need de-predicting
-              // after the inflate — skip rather than feed predictor-coded
+              // after the decode — skip rather than feed predictor-coded
               // bytes to the tokenizer (xref/object streams carry these;
               // BT-text content streams essentially never do)
-              (flate && hasParms)
-            if (!unsupported && (filters.isEmpty || flate) && dataEnd > ds) {
+              (filters.nonEmpty && hasParms)
+            if (!unsupported && dataEnd > ds) {
               val data = java.util.Arrays.copyOfRange(bytes, ds, dataEnd)
-              val content = if (flate) inflate(data) else data
+              val content = decodeFilters(data, filters)
               if (content != null) extract(content, sb)
             }
             pos = if (de < 0) n else de + EndstreamKw.length
@@ -164,6 +167,93 @@ object PdfText {
   private val DictOpen = "<<".getBytes
   private val StreamKw = "stream".getBytes
   private val EndstreamKw = "endstream".getBytes
+
+  /** The filters this kernel decodes, CHAINS included, applied in the
+    * dict's declared order ([/ASCII85Decode /FlateDecode] — the classic
+    * 7-bit-safe transport around a compressed stream). FlateDecode via
+    * the JDK Inflater; ASCIIHex/ASCII85 are pure byte math (ISO 32000-1
+    * §7.4.2/§7.4.3), incl. the 1.0-era inline abbreviations some lax
+    * writers emit in stream dicts. Anything else skips the stream. */
+  private val SupportedFilters: Set[String] =
+    Set("FlateDecode", "Fl", "ASCIIHexDecode", "AHx", "ASCII85Decode", "A85")
+
+  private def decodeFilters(data: Array[Byte], filters: List[String]): Array[Byte] = {
+    var cur = data
+    filters.foreach { f =>
+      if (cur == null) return null
+      f match {
+        case "FlateDecode" | "Fl" => cur = inflate(cur)
+        case "ASCIIHexDecode" | "AHx" => cur = asciiHexDecode(cur)
+        case "ASCII85Decode" | "A85" => cur = ascii85Decode(cur)
+        case _ => return null // unreachable: SupportedFilters gated
+      }
+    }
+    cur
+  }
+
+  /** §7.4.2: hex pairs, whitespace ignored, `>` is EOD, an odd final
+    * digit pads with 0; any other byte is malformed → null (skip). */
+  private def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    while (i < data.length) {
+      val c = data(i)
+      if (c == '>') {
+        if (hi >= 0) out.write(hi << 4)
+        return out.toByteArray
+      }
+      val v =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (isWs(c)) -2
+        else return null // malformed
+      if (v >= 0) { if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 } }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // EOD marker missing: tolerate (torn)
+    out.toByteArray
+  }
+
+  /** §7.4.3: base-85 groups of 5 chars `!`..`u` → 4 bytes; `z` = four
+    * zero bytes (only BETWEEN groups); whitespace ignored; `~>` is EOD;
+    * a partial final group of n ∈ [2,5) chars pads with `u` and emits
+    * n−1 bytes; a group decoding past 2³²−1, a `z` inside a group, a
+    * 1-char final group, or any other byte → null (skip). */
+  private def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var k = 0
+    def flush(n: Int): Boolean = { // n chars present (2..5); emits n-1 bytes
+      var v = 0L
+      var i = 0
+      while (i < 5) { v = v * 85 + (if (i < n) grp(i) else 84); i += 1 }
+      if (v > 0xffffffffL) return false
+      var j = 0
+      while (j < n - 1) { out.write(((v >>> (24 - 8 * j)) & 0xff).toInt); j += 1 }
+      true
+    }
+    var i = 0
+    while (i < data.length) {
+      val c = data(i)
+      if (c == '~') { // EOD
+        if (k == 1) return null
+        if (k >= 2 && !flush(k)) return null
+        return out.toByteArray
+      } else if (c == 'z') {
+        if (k != 0) return null // z inside a group is malformed
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (c >= '!' && c <= 'u') {
+        grp(k) = c - '!'; k += 1
+        if (k == 5) { if (!flush(5)) return null; k = 0 }
+      } else if (!isWs(c)) return null
+      i += 1
+    }
+    if (k == 1) return null // torn tail: a lone char is undecodable
+    if (k >= 2 && !flush(k)) return null
+    out.toByteArray // EOD missing: tolerate (torn capture)
+  }
 
   private[functions] def isWs(c: Byte): Boolean =
     c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0 || c == 12

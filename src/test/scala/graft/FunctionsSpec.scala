@@ -797,6 +797,32 @@ class FunctionsSpec extends SparkSpec {
       "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")) shouldBe None
     // an indirect-reference /Filter cannot be resolved: skipped
     ext(pdf(obj("/Filter 9 0 R", "BT (x) Tj ET"))) shouldBe None
+    // ASCIIHexDecode: whitespace between digits, > EOD, odd digit pads
+    def toHex(s: String): String =
+      s.getBytes("ISO-8859-1").map("%02X".format(_)).mkString
+    ext(pdf(obj("/Filter /ASCIIHexDecode",
+      toHex("BT (hex) Tj ET").grouped(4).mkString(" ") + ">"))) shouldBe
+      Some("hex")
+    ext(pdf(obj("/Filter /ASCIIHexDecode", "4QZ>"))) shouldBe None // bad digit
+    // ASCII85Decode, incl. a partial final group and the z shortcut rule
+    def a85(bytes: Array[Byte]): String = {
+      val sb = new StringBuilder
+      bytes.grouped(4).foreach { g =>
+        var v = 0L
+        g.padTo(4, 0.toByte).foreach(b => v = (v << 8) | (b & 0xff))
+        val cs = (0 until 5).map(i =>
+          ('!' + (v / math.pow(85, 4 - i).toLong % 85)).toChar)
+        sb.append(cs.take(g.length + 1).mkString)
+      }
+      sb.append("~>").toString
+    }
+    ext(pdf(obj("/Filter /ASCII85Decode",
+      a85("BT (eighty five) Tj ET".getBytes)))) shouldBe Some("eighty five")
+    ext(pdf(obj("/Filter /ASCII85Decode", "z!~>"))) shouldBe None // lone char
+    // filter CHAIN in declared order: flate-compressed, then a85 for the
+    // 7-bit-safe transport — the classic email/PostScript wrapping
+    ext(pdf(obj("/Filter [/ASCII85Decode /FlateDecode]",
+      a85(deflate("BT (chained) Tj ET"))))) shouldBe Some("chained")
     // /Encrypt wins even when a stream would parse; name-prefix immune
     ext(pdf("trailer\n<< /Encrypt 9 0 R >>\n" + obj("", "BT (s) Tj ET"))) shouldBe None
     ext(pdf("<< /EncryptMetadataX true >>\n" + obj("", "BT (s) Tj ET"))) shouldBe
