@@ -16,8 +16,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * WHAT IT DOES (ISO 32000-1): walks the raw bytes for `<< dict >>
   * stream … endstream` objects; decodes a stream when its filter chain
   * is any sequence of `/FlateDecode` (JDK Inflater), `/ASCIIHexDecode`,
-  * and `/ASCII85Decode` (pure byte math), applied in declared order —
-  * or no filter at all; then scans the decoded
+  * `/ASCII85Decode`, and `/RunLengthDecode` (pure byte math), applied
+  * in declared order — or no filter at all; then scans the decoded
   * content for `BT … ET` text objects and appends the string operands of
   * the text-showing operators `Tj`, `TJ`, `'`, `"`. Literal strings
   * `(…)` honor balanced parens, the `\n \r \t \b \f \( \) \\` escapes,
@@ -175,7 +175,8 @@ object PdfText {
     * §7.4.2/§7.4.3), incl. the 1.0-era inline abbreviations some lax
     * writers emit in stream dicts. Anything else skips the stream. */
   private val SupportedFilters: Set[String] =
-    Set("FlateDecode", "Fl", "ASCIIHexDecode", "AHx", "ASCII85Decode", "A85")
+    Set("FlateDecode", "Fl", "ASCIIHexDecode", "AHx", "ASCII85Decode", "A85",
+      "RunLengthDecode", "RL")
 
   private def decodeFilters(data: Array[Byte], filters: List[String]): Array[Byte] = {
     var cur = data
@@ -185,6 +186,7 @@ object PdfText {
         case "FlateDecode" | "Fl" => cur = inflate(cur)
         case "ASCIIHexDecode" | "AHx" => cur = asciiHexDecode(cur)
         case "ASCII85Decode" | "A85" => cur = ascii85Decode(cur)
+        case "RunLengthDecode" | "RL" => cur = runLengthDecode(cur)
         case _ => return null // unreachable: SupportedFilters gated
       }
     }
@@ -214,6 +216,37 @@ object PdfText {
     }
     if (hi >= 0) out.write(hi << 4) // EOD marker missing: tolerate (torn)
     out.toByteArray
+  }
+
+  /** §7.4.5: length byte L — L<128 copies the next L+1 literal bytes,
+    * L>128 repeats the next byte 257−L times, L==128 is EOD. Torn runs
+    * keep the decoded prefix (crawl captures truncate); output is capped
+    * at [[MaxInflate]] like every other decode (a repeat-heavy stream is
+    * a 128× amplifier — bounded, but the cap keeps the discipline
+    * uniform). */
+  private def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(data.length * 2 + 16, 1 << 16))
+    var i = 0
+    while (i < data.length) {
+      val l = data(i) & 0xff
+      if (l == 128) return out.toByteArray // EOD
+      else if (l < 128) {
+        val n = l + 1
+        val end = math.min(data.length, i + 1 + n)
+        out.write(data, i + 1, end - (i + 1))
+        if (end < i + 1 + n) return out.toByteArray // torn literal run
+        i = end
+      } else {
+        if (i + 1 >= data.length) return out.toByteArray // torn repeat
+        val n = 257 - l
+        val b = data(i + 1).toInt
+        var k = 0
+        while (k < n) { out.write(b); k += 1 }
+        i += 2
+      }
+      if (out.size > MaxInflate) return null // uniform bomb cap
+    }
+    out.toByteArray // EOD missing: tolerate (torn capture)
   }
 
   /** §7.4.3: base-85 groups of 5 chars `!`..`u` → 4 bytes; `z` = four

@@ -823,6 +823,17 @@ class FunctionsSpec extends SparkSpec {
     // 7-bit-safe transport — the classic email/PostScript wrapping
     ext(pdf(obj("/Filter [/ASCII85Decode /FlateDecode]",
       a85(deflate("BT (chained) Tj ET"))))) shouldBe Some("chained")
+    // RunLengthDecode: literal runs + a repeat run + the 128 EOD; bytes
+    // AFTER the EOD must not leak into the text
+    def rleLit(x: String): Array[Byte] =
+      Array((x.length - 1).toByte) ++ x.getBytes("ISO-8859-1")
+    val rle = rleLit("BT (r") ++
+      Array((257 - 4).toByte, 'l'.toByte) ++ // 'l' x 4, a repeat run
+      rleLit("e) Tj ET") ++ Array(128.toByte) ++ "(junk) Tj".getBytes
+    ext("%PDF-1.2\n5 0 obj\n<< /Filter /RunLengthDecode >>\nstream\n"
+      .getBytes("ISO-8859-1") ++ rle ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")) shouldBe
+      Some("rlllle")
     // /Encrypt wins even when a stream would parse; name-prefix immune
     ext(pdf("trailer\n<< /Encrypt 9 0 R >>\n" + obj("", "BT (s) Tj ET"))) shouldBe None
     ext(pdf("<< /EncryptMetadataX true >>\n" + obj("", "BT (s) Tj ET"))) shouldBe
