@@ -14,11 +14,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * the text-showing operators without a PDF engine.
   *
   * WHAT IT DOES (ISO 32000-1): walks the raw bytes for `<< dict >>
-  * stream … endstream` objects; decodes a stream when its filter chain
-  * is any sequence of `/FlateDecode` (JDK Inflater), `/ASCIIHexDecode`,
-  * `/ASCII85Decode`, and `/RunLengthDecode` (pure byte math), applied
-  * in declared order — or no filter at all; then scans the decoded
-  * content for `BT … ET` text objects and appends the string operands of
+  * stream … endstream` objects; a direct integer `/Length` bounds the
+  * stream data when `endstream` verifies right after it (so compressed
+  * bytes that happen to contain the word `endstream` cannot truncate
+  * the stream), with the byte scan as the fallback for indirect,
+  * missing, or lying lengths. A stream decodes when its filter chain is
+  * any sequence of `/FlateDecode` (JDK Inflater), `/LZWDecode` (§7.4.4
+  * variable-width codes incl. the EarlyChange parameter),
+  * `/ASCIIHexDecode`, `/ASCII85Decode`, and `/RunLengthDecode` (pure
+  * byte math), applied in declared order — or no filter at all.
+  * `/DecodeParms` predictors are de-predicted after the Flate/LZW
+  * decode: PNG row filters None/Sub/Up/Average/Paeth (Predictor 10–15,
+  * honoring /Columns /Colors /BitsPerComponent) and TIFF horizontal
+  * differencing (Predictor 2, 8-bit components). The decoded content is
+  * scanned for `BT … ET` text objects, appending the string operands of
   * the text-showing operators `Tj`, `TJ`, `'`, `"`. Literal strings
   * `(…)` honor balanced parens, the `\n \r \t \b \f \( \) \\` escapes,
   * octal `\ddd`, and line continuations; in-string EOLs normalize to
@@ -26,31 +35,42 @@ import org.apache.spark.unsafe.types.UTF8String
   * with 0). Line-move operators (`Td`, `TD`, `T*`, `'`, `"`) and text-
   * object boundaries emit a newline (never doubled, never leading).
   *
+  * COMPOSITE FONTS (round 14): when the file mentions `/ToUnicode`, a
+  * raw-byte object table is built (`N G obj` headers, last definition
+  * wins — the same incremental-update rule [[PdfInfo]] applies to
+  * trailers), `/Font` resource dicts are walked to map each resource
+  * name (`/F1`) to its font object's ToUnicode CMap (`bfchar`/`bfrange`
+  * entries, 1- or 2-byte codes per the first `codespacerange`), and the
+  * `Tf` operator then selects the CMap in effect: string operands shown
+  * under a CMap'd font are re-read as code sequences and remapped to
+  * the CMap's UTF-16BE targets (an unmapped or torn code emits U+FFFD —
+  * visible, never silently dropped), while fonts without a ToUnicode
+  * stay on the Latin-1 byte read. Boundaries of the mapping, each
+  * deliberate: resource names resolve file-globally with the last
+  * definition winning (per-page scoping would need the page tree walk);
+  * codespaces wider than 2 bytes and CMaps reached only through
+  * `/Encoding` (no ToUnicode) are ignored — such text stays Latin-1
+  * mojibake, exactly as before; at most [[PdfText.MaxFonts]] fonts and
+  * [[PdfText.MaxCmapEntries]] mappings per CMap are honored
+  * (adversarial-input caps).
+  *
   * HONEST BOUNDARIES (each deliberate, all documented here rather than
   * hidden): encrypted documents (`/Encrypt` in the trailer) return NULL
-  * — extraction would emit ciphertext; ASCIIHexDecode and ASCII85Decode
-  * decode too (pure byte math), INCLUDING chains in declared order
-  * ([/ASCII85Decode /FlateDecode]); streams under any OTHER filter
-  * (DCTDecode, LZWDecode, Crypt, JBIG2, JPX,
-  * an indirect-reference /Filter, …) are skipped — filter names are
-  * read TOKEN-accurately off the dict (a "/DCT" inside a string value
-  * cannot misclassify a stream); FlateDecode streams carrying
-  * /DecodeParms are skipped too (PNG/TIFF predictors would need
-  * de-predicting after the inflate — feeding predictor-coded bytes to
-  * the tokenizer would emit junk; content streams essentially never
-  * carry predictors, xref/object streams do); bytes decode
-  * as Latin-1, so composite-font hex strings (CMap-indexed CIDs) come
-  * out as mojibake rather than being remapped — real Unicode mapping
-  * needs the font's ToUnicode CMap, which is out of scope by the same
-  * rule that keeps `htmlToText` free of a JS engine; TJ kerning numbers
-  * are NOT turned into heuristic spaces (deterministic beats pretty);
-  * inline-image data (`BI … EI`) is not special-cased, which can feed
-  * garbage tokens to the scanner on adversarial input — never a throw,
-  * at worst junk text. Inflate output is capped at 16 MiB per stream
-  * (zip-bomb guard; an over-cap stream is skipped) and total extracted
-  * text at 1M chars. NULL for non-PDF bytes and for PDFs yielding no
-  * text at all — "nothing extractable" and "not extractable" share NULL
-  * so the release-gate filter is one IS NOT NULL.
+  * — extraction would emit ciphertext; streams under any OTHER filter
+  * (DCTDecode, Crypt, JBIG2, JPX, an indirect-reference /Filter, …) are
+  * skipped — filter names are read TOKEN-accurately off the dict (a
+  * "/DCT" inside a string value cannot misclassify a stream); an
+  * indirect-reference /DecodeParms or an unknown /Predictor value skips
+  * the stream too (de-predicting wrongly would tokenize garbage); TJ
+  * kerning numbers are NOT turned into heuristic spaces (deterministic
+  * beats pretty); inline-image data (`BI … EI`) is not special-cased,
+  * which can feed garbage tokens to the scanner on adversarial input —
+  * never a throw, at worst junk text. Decoded output is capped at
+  * 16 MiB per stream (bomb guard; an over-cap stream is skipped) and
+  * total extracted text at 1M chars. NULL for non-PDF bytes and for
+  * PDFs yielding no text at all — "nothing extractable" and "not
+  * extractable" share NULL so the release-gate filter is one IS NOT
+  * NULL.
   *
   * `doGenCode` calls straight into [[compute]] ([[ShingleHashes]]
   * convention), so profiling projections stay in whole-stage codegen. */
@@ -77,61 +97,27 @@ case class PdfText(child: Expression) extends Expression {
     if (n < 8 || bytes(0) != '%' || bytes(1) != 'P' || bytes(2) != 'D' ||
       bytes(3) != 'F') return null
     if (hasEncryptToken(bytes)) return null
+    // composite-font mapping is only attempted when the file can carry
+    // one — the token screen keeps the common no-CMap case one pass
+    val cmaps: java.util.HashMap[String, Cmap] =
+      if (indexOf(bytes, ToUnicodeTok, 0) >= 0) fontCmaps(bytes) else null
     val sb = new java.lang.StringBuilder
     var pos = 0
     while (pos < n - 1 && sb.length < MaxTextChars) {
       val d0 = indexOf(bytes, DictOpen, pos)
       if (d0 < 0) pos = n
       else {
-        val dEnd = skipDict(bytes, d0)
-        if (dEnd < 0) pos = n
-        else {
-          var k = dEnd
-          while (k < n && isWs(bytes(k))) k += 1
-          if (k + 6 <= n && regionMatches(bytes, k, StreamKw)) {
-            var ds = k + 6
-            if (ds < n && bytes(ds) == '\r') ds += 1
-            if (ds < n && bytes(ds) == '\n') ds += 1
-            val de = indexOf(bytes, EndstreamKw, ds)
-            var dataEnd = if (de < 0) n else de
-            // the writer's EOL before `endstream` is framing, not data
-            if (dataEnd > ds && bytes(dataEnd - 1) == '\n') dataEnd -= 1
-            if (dataEnd > ds && bytes(dataEnd - 1) == '\r') dataEnd -= 1
-            // token-accurate dict read (walkDictKeys consumes string
-            // values atomically, so "/DCT" inside a path-string value
-            // can never misclassify the stream; round-13 review)
-            var filters: List[String] = Nil
-            var hasParms = false
-            walkDictKeys(bytes, d0 + 2, dEnd - 2) { (key, v) =>
-              if (key == "Filter") {
-                if (v < dEnd - 2 && bytes(v) == '/')
-                  filters = filters :+ nameAt(bytes, v, dEnd - 2)
-                else if (v < dEnd - 2 && bytes(v) == '[') {
-                  var j = v + 1
-                  while (j < dEnd - 2 && bytes(j) != ']') {
-                    if (bytes(j) == '/') {
-                      val nm = nameAt(bytes, j, dEnd - 2)
-                      filters = filters :+ nm
-                      j += 1 + nm.length
-                    } else j += 1
-                  }
-                } else filters = filters :+ "?" // indirect ref: can't resolve
-              } else if (key == "DecodeParms" || key == "DP") hasParms = true
-            }
-            val decodable = filters.forall(SupportedFilters)
-            val unsupported = !decodable ||
-              // predictors (PNG/TIFF row filters) would need de-predicting
-              // after the decode — skip rather than feed predictor-coded
-              // bytes to the tokenizer (xref/object streams carry these;
-              // BT-text content streams essentially never do)
-              (filters.nonEmpty && hasParms)
-            if (!unsupported && dataEnd > ds) {
-              val data = java.util.Arrays.copyOfRange(bytes, ds, dataEnd)
-              val content = decodeFilters(data, filters)
-              if (content != null) extract(content, sb)
-            }
-            pos = if (de < 0) n else de + EndstreamKw.length
-          } else pos = dEnd
+        val s = parseStreamAt(bytes, d0)
+        if (s == null) { // dict without a stream body: step past it
+          val dEnd = skipDict(bytes, d0)
+          pos = if (dEnd < 0) n else dEnd
+        } else {
+          if (s.decodable && s.dataEnd > s.dataStart) {
+            val data = java.util.Arrays.copyOfRange(bytes, s.dataStart, s.dataEnd)
+            val content = decodeFilters(data, s.filters, s.parms)
+            if (content != null) extract(content, sb, cmaps)
+          }
+          pos = s.resumeAt
         }
       }
     }
@@ -164,31 +150,203 @@ case class PdfText(child: Expression) extends Expression {
 object PdfText {
   private val MaxTextChars = 1 << 20 // 1M chars of extracted text
   private val MaxInflate = 16 << 20 // 16 MiB decoded per stream (bomb cap)
+  private[functions] val MaxFonts = 64 // fonts honored per document
+  private[functions] val MaxCmapEntries = 1 << 16 // mappings per CMap
   private val DictOpen = "<<".getBytes
   private val StreamKw = "stream".getBytes
   private val EndstreamKw = "endstream".getBytes
+  private val ToUnicodeTok = "/ToUnicode".getBytes
 
   /** The filters this kernel decodes, CHAINS included, applied in the
     * dict's declared order ([/ASCII85Decode /FlateDecode] — the classic
     * 7-bit-safe transport around a compressed stream). FlateDecode via
-    * the JDK Inflater; ASCIIHex/ASCII85 are pure byte math (ISO 32000-1
-    * §7.4.2/§7.4.3), incl. the 1.0-era inline abbreviations some lax
-    * writers emit in stream dicts. Anything else skips the stream. */
+    * the JDK Inflater; LZWDecode is §7.4.4 variable-width codes;
+    * ASCIIHex/ASCII85/RunLength are pure byte math (§7.4.2/3/5), incl.
+    * the 1.0-era inline abbreviations some lax writers emit in stream
+    * dicts. Anything else skips the stream. */
   private val SupportedFilters: Set[String] =
     Set("FlateDecode", "Fl", "ASCIIHexDecode", "AHx", "ASCII85Decode", "A85",
-      "RunLengthDecode", "RL")
+      "RunLengthDecode", "RL", "LZWDecode", "LZW")
 
-  private def decodeFilters(data: Array[Byte], filters: List[String]): Array[Byte] = {
+  /** One filter's /DecodeParms (defaults per §7.4.4.3 Table 8). */
+  private[functions] final case class FilterParms(
+      predictor: Int = 1, columns: Int = 1, colors: Int = 1,
+      bpc: Int = 8, early: Int = 1)
+
+  /** Sentinel for a /DecodeParms this kernel cannot honor (indirect
+    * reference, non-dict value) — the stream is skipped rather than
+    * decoded wrong. */
+  private[functions] val BadParms = FilterParms(predictor = -1)
+
+  /** One `<< dict >> stream … endstream` occurrence: data bounds, the
+    * declared filter chain with per-filter parms, and where the outer
+    * walk resumes. */
+  private[functions] final class StreamSlice(
+      val dataStart: Int, val dataEnd: Int, val resumeAt: Int,
+      val filters: List[String], val parms: Array[FilterParms],
+      val decodable: Boolean)
+
+  /** Parse the stream object whose dict opens at `d0` (`<<`). Returns
+    * null when no `stream` keyword follows the dict (plain dict object).
+    * A direct integer /Length bounds the data when `endstream` verifies
+    * right after it; otherwise the byte scan (with the writer's framing
+    * EOL trimmed) decides — round-14 review: declared length beats the
+    * scan because compressed bytes can contain `endstream`. */
+  private[functions] def parseStreamAt(b: Array[Byte], d0: Int): StreamSlice = {
+    val n = b.length
+    val dEnd = skipDict(b, d0)
+    if (dEnd < 0) return null
+    var k = dEnd
+    while (k < n && isWs(b(k))) k += 1
+    if (k + 6 > n || !regionMatches(b, k, StreamKw)) return null
+    var ds = k + 6
+    if (ds < n && b(ds) == '\r') ds += 1
+    if (ds < n && b(ds) == '\n') ds += 1
+    // token-accurate dict read (walkDictKeys consumes string values
+    // atomically, so "/DCT" inside a path-string value can never
+    // misclassify the stream; round-13 review)
+    var filters: List[String] = Nil
+    var parmsAt = -1
+    var lengthDirect = -1
+    walkDictKeys(b, d0 + 2, dEnd - 2) { (key, v) =>
+      if (key == "Filter") {
+        if (v < dEnd - 2 && b(v) == '/')
+          filters = filters :+ nameAt(b, v, dEnd - 2)
+        else if (v < dEnd - 2 && b(v) == '[') {
+          var j = v + 1
+          while (j < dEnd - 2 && b(j) != ']') {
+            if (b(j) == '/') {
+              val nm = nameAt(b, j, dEnd - 2)
+              filters = filters :+ nm
+              j += 1 + nm.length
+            } else j += 1
+          }
+        } else filters = filters :+ "?" // indirect ref: can't resolve
+      } else if (key == "DecodeParms" || key == "DP") parmsAt = v
+      else if (key == "Length" && v < dEnd - 2) {
+        val (len, after) = parseUInt(b, v, dEnd - 2)
+        if (len >= 0) {
+          // `/Length 7 0 R` is an indirect ref, not the integer 7
+          var r = after
+          while (r < dEnd - 2 && isWs(b(r))) r += 1
+          val (g, after2) = parseUInt(b, r, dEnd - 2)
+          var r2 = after2
+          while (r2 < dEnd - 2 && isWs(b(r2))) r2 += 1
+          val indirect = g >= 0 && r2 < dEnd - 2 && b(r2) == 'R'
+          if (!indirect) lengthDirect = len
+        }
+      }
+    }
+    var dataEnd = -1
+    var resumeAt = -1
+    if (lengthDirect >= 0 && ds + lengthDirect <= n) {
+      var w = ds + lengthDirect
+      while (w < n && isWs(b(w))) w += 1
+      if (regionMatches(b, w, EndstreamKw)) {
+        dataEnd = ds + lengthDirect
+        resumeAt = w + EndstreamKw.length
+      }
+    }
+    if (dataEnd < 0) { // no usable /Length: scan, trim the framing EOL
+      val de = indexOf(b, EndstreamKw, ds)
+      dataEnd = if (de < 0) n else de
+      if (dataEnd > ds && b(dataEnd - 1) == '\n') dataEnd -= 1
+      if (dataEnd > ds && b(dataEnd - 1) == '\r') dataEnd -= 1
+      resumeAt = if (de < 0) n else de + EndstreamKw.length
+    }
+    val parms = parseParms(b, parmsAt, dEnd - 2, filters.length)
+    val decodable = filters.forall(SupportedFilters) &&
+      (filters.isEmpty || parms == null ||
+        parms.forall(p => p == null || p.predictor != -1))
+    new StreamSlice(ds, dataEnd, resumeAt, filters, parms, decodable)
+  }
+
+  /** /DecodeParms value at `v` (or -1 for absent) → per-filter array
+    * aligned with the filter chain; null when no parms apply. Forms
+    * honored (§7.4.1): a single dict, the `null` keyword, and an array
+    * of dict/null entries parallel to the /Filter array. An indirect
+    * reference or any other form yields [[BadParms]] for that slot —
+    * the caller skips the stream. */
+  private def parseParms(
+      b: Array[Byte], v: Int, end: Int, nFilters: Int): Array[FilterParms] = {
+    if (v < 0 || v >= end) return null
+    val out = new Array[FilterParms](math.max(nFilters, 1))
+    b(v) match {
+      case '<' if v + 1 < end && b(v + 1) == '<' =>
+        out(0) = parseParmsDict(b, v, end)
+        out
+      case '[' =>
+        var j = v + 1
+        var idx = 0
+        while (j < end && b(j) != ']' && idx < out.length) {
+          if (isWs(b(j))) j += 1
+          else if (b(j) == '<' && j + 1 < end && b(j + 1) == '<') {
+            out(idx) = parseParmsDict(b, j, end)
+            val e = skipDict(b, j)
+            j = if (e < 0 || e > end) end else e
+            idx += 1
+          } else if (b(j) == 'n' && regionMatches(b, j, "null".getBytes)) {
+            out(idx) = null; j += 4; idx += 1
+          } else {
+            // one un-honorable element (indirect ref or junk): consume it
+            // as a whole — an `N G R` ref is three tokens but ONE slot
+            out(idx) = BadParms
+            val ref = parseRef(b, j, end)
+            if (ref != null) j = ref(2)
+            else { while (j < end && !isWs(b(j)) && b(j) != ']') j += 1 }
+            idx += 1
+          }
+        }
+        out
+      case 'n' if regionMatches(b, v, "null".getBytes) => null
+      case _ => // indirect ref / number / name: can't honor
+        out(0) = BadParms
+        out
+    }
+  }
+
+  /** The Predictor/Columns/Colors/BitsPerComponent/EarlyChange ints of a
+    * parms dict opening at `d0`; unknown predictors surface at
+    * de-predict time (null output), not here. */
+  private def parseParmsDict(b: Array[Byte], d0: Int, end: Int): FilterParms = {
+    val dEnd = skipDict(b, d0)
+    val e = if (dEnd < 0 || dEnd > end) end else dEnd - 2
+    var p = FilterParms()
+    walkDictKeys(b, d0 + 2, e) { (key, v) =>
+      val (x, _) = parseUInt(b, v, e)
+      if (x >= 0) key match {
+        case "Predictor" => p = p.copy(predictor = x)
+        case "Columns" => p = p.copy(columns = x)
+        case "Colors" => p = p.copy(colors = x)
+        case "BitsPerComponent" => p = p.copy(bpc = x)
+        case "EarlyChange" => p = p.copy(early = x)
+        case _ => ()
+      }
+    }
+    p
+  }
+
+  private[functions] def decodeFilters(
+      data: Array[Byte], filters: List[String],
+      parms: Array[FilterParms]): Array[Byte] = {
     var cur = data
+    var i = 0
     filters.foreach { f =>
       if (cur == null) return null
+      val p = if (parms != null && i < parms.length) parms(i) else null
       f match {
-        case "FlateDecode" | "Fl" => cur = inflate(cur)
+        case "FlateDecode" | "Fl" =>
+          cur = inflate(cur)
+          if (p != null && p.predictor != 1) cur = dePredict(cur, p)
+        case "LZWDecode" | "LZW" =>
+          cur = lzwDecode(cur, if (p == null) 1 else p.early)
+          if (p != null && p.predictor != 1) cur = dePredict(cur, p)
         case "ASCIIHexDecode" | "AHx" => cur = asciiHexDecode(cur)
         case "ASCII85Decode" | "A85" => cur = ascii85Decode(cur)
         case "RunLengthDecode" | "RL" => cur = runLengthDecode(cur)
         case _ => return null // unreachable: SupportedFilters gated
       }
+      i += 1
     }
     cur
   }
@@ -196,7 +354,8 @@ object PdfText {
   /** §7.4.2: hex pairs, whitespace ignored, `>` is EOD, an odd final
     * digit pads with 0; any other byte is malformed → null (skip). */
   private def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64, math.min(data.length / 2 + 1, 1 << 16)))
     var hi = -1
     var i = 0
     while (i < data.length) {
@@ -223,9 +382,12 @@ object PdfText {
     * keep the decoded prefix (crawl captures truncate); output is capped
     * at [[MaxInflate]] like every other decode (a repeat-heavy stream is
     * a 128× amplifier — bounded, but the cap keeps the discipline
-    * uniform). */
+    * uniform). The capacity hint clamps BEFORE any arithmetic that could
+    * overflow Int on a GB-scale payload (round-14 review: `len * 2 + 16`
+    * goes negative past ~1 GiB and the constructor would throw). */
   private def runLengthDecode(data: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(math.min(data.length * 2 + 16, 1 << 16))
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64, math.min(data.length, 1 << 16)))
     var i = 0
     while (i < data.length) {
       val l = data(i) & 0xff
@@ -253,9 +415,12 @@ object PdfText {
     * zero bytes (only BETWEEN groups); whitespace ignored; `~>` is EOD;
     * a partial final group of n ∈ [2,5) chars pads with `u` and emits
     * n−1 bytes; a group decoding past 2³²−1, a `z` inside a group, a
-    * 1-char final group, or any other byte → null (skip). */
+    * 1-char final group, or any other byte → null (skip). The capacity
+    * hint clamps before multiplying (round-14 review: `len * 4 / 5`
+    * overflows Int past ~512 MiB — WARC payloads reach 2 GB). */
   private def ascii85Decode(data: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64, math.min(data.length / 5 * 4 + 4, 1 << 16)))
     val grp = new Array[Int](5)
     var k = 0
     def flush(n: Int): Boolean = { // n chars present (2..5); emits n-1 bytes
@@ -288,6 +453,147 @@ object PdfText {
     out.toByteArray // EOD missing: tolerate (torn capture)
   }
 
+  /** §7.4.4: variable-width LZW, codes packed MSB-first. 256 clears the
+    * table, 257 is EOD; new entries from 258; the code width grows 9→12
+    * when the table reaches 2^width − EarlyChange (the PDF/TIFF
+    * "one code early" convention, /EarlyChange 1 default). The table is
+    * the classic (prefix-code, suffix-byte) chain — entry memory is
+    * O(4096), never O(output). Exhausted input keeps the decoded prefix
+    * (torn capture); an impossible code (beyond the table) is corruption
+    * → null; output past [[MaxInflate]] → null (bomb cap). */
+  private[functions] def lzwDecode(data: Array[Byte], earlyChange: Int): Array[Byte] = {
+    val early = if (earlyChange == 0) 0 else 1
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64, math.min(data.length, 1 << 16)))
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val seq = new Array[Byte](4097) // longest possible chain
+    var size = 258
+    var width = 9
+    var prev = -1
+    var bitBuf = 0L
+    var bitCnt = 0
+    var i = 0
+    while (true) {
+      while (bitCnt < width && i < data.length) {
+        bitBuf = (bitBuf << 8) | (data(i) & 0xff); bitCnt += 8; i += 1
+      }
+      if (bitCnt < width) return out.toByteArray // torn input: keep prefix
+      val code = ((bitBuf >>> (bitCnt - width)) & ((1 << width) - 1)).toInt
+      bitCnt -= width
+      if (code == 257) return out.toByteArray // EOD
+      if (code == 256) { size = 258; width = 9; prev = -1 }
+      else {
+        // expand `code` (or prev+firstByte for the just-defined code)
+        var len = 0
+        if (code < 256) { seq(0) = code.toByte; len = 1 }
+        else if (code >= 258 && code < size) {
+          var c = code
+          while (c >= 258) { seq(len) = suffix(c); len += 1; c = prefix(c) }
+          seq(len) = c.toByte; len += 1
+          // reverse in place (chain walks tail-first)
+          var a = 0; var z = len - 1
+          while (a < z) {
+            val t = seq(a); seq(a) = seq(z); seq(z) = t; a += 1; z -= 1
+          }
+        } else if (code == size && prev >= 0) {
+          // KwKwK case: prev's expansion + its first byte
+          var c = prev
+          len = 0
+          while (c >= 258) { seq(len) = suffix(c); len += 1; c = prefix(c) }
+          seq(len) = c.toByte; len += 1
+          var a = 0; var z = len - 1
+          while (a < z) {
+            val t = seq(a); seq(a) = seq(z); seq(z) = t; a += 1; z -= 1
+          }
+          seq(len) = seq(0); len += 1
+        } else return null // impossible code: corruption
+        out.write(seq, 0, len)
+        if (out.size > MaxInflate) return null // bomb cap
+        if (prev >= 0 && size < 4096) {
+          prefix(size) = prev; suffix(size) = seq(0); size += 1
+        }
+        if (size + early >= (1 << width) && width < 12) width += 1
+        prev = code
+      }
+    }
+    null // unreachable
+  }
+
+  /** Undo a /Predictor after Flate/LZW: 1 = none; 2 = TIFF horizontal
+    * differencing (8-bit components only — other depths skip the
+    * stream); ≥10 = PNG row filters, where each row leads with its own
+    * filter-type byte (§7.4.4.4 defers to RFC 2083). Trailing partial
+    * rows are dropped (torn capture keeps the full rows); an unknown
+    * predictor or filter type, or an absurd geometry, returns null. */
+  private[functions] def dePredict(data: Array[Byte], p: FilterParms): Array[Byte] = {
+    if (data == null) return null
+    if (p.predictor == 1) return data
+    if (p.columns < 1 || p.colors < 1 || p.colors > 64) return null
+    if (p.predictor == 2) {
+      if (p.bpc != 8) return null // sub-byte TIFF diffs: out of scope
+      val rowLen = p.colors.toLong * p.columns
+      if (rowLen <= 0 || rowLen > MaxInflate) return null
+      val rl = rowLen.toInt
+      val rows = data.length / rl
+      val out = java.util.Arrays.copyOf(data, rows * rl)
+      var r = 0
+      while (r < rows) {
+        val base = r * rl
+        var i = p.colors
+        while (i < rl) {
+          out(base + i) = (out(base + i) + out(base + i - p.colors)).toByte
+          i += 1
+        }
+        r += 1
+      }
+      return out
+    }
+    if (p.predictor < 10 || p.predictor > 15) return null
+    if (p.bpc != 1 && p.bpc != 2 && p.bpc != 4 && p.bpc != 8 && p.bpc != 16)
+      return null
+    val bpp = math.max(1, (p.colors * p.bpc + 7) / 8)
+    val rowLenL = (p.colors.toLong * p.bpc * p.columns + 7) / 8
+    if (rowLenL <= 0 || rowLenL > MaxInflate) return null
+    val rowLen = rowLenL.toInt
+    val rows = data.length / (rowLen + 1)
+    val out = new Array[Byte](rows * rowLen)
+    val zero = new Array[Byte](rowLen)
+    var prevRow = zero
+    var r = 0
+    while (r < rows) {
+      val in = r * (rowLen + 1)
+      val ob = r * rowLen
+      val ft = data(in) & 0xff
+      if (ft > 4) return null // not a PNG filter type: corruption
+      var i = 0
+      while (i < rowLen) {
+        val x = data(in + 1 + i) & 0xff
+        val a = if (i >= bpp) out(ob + i - bpp) & 0xff else 0
+        val bb = prevRow(i) & 0xff
+        val c = if (i >= bpp) prevRowAt(prevRow, i - bpp) else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + bb
+          case 3 => x + ((a + bb) >> 1)
+          case 4 => // Paeth
+            val pp = a + bb - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - bb)
+            val pc = math.abs(pp - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c)
+        }
+        out(ob + i) = v.toByte
+        i += 1
+      }
+      prevRow = java.util.Arrays.copyOfRange(out, ob, ob + rowLen)
+      r += 1
+    }
+    out
+  }
+
+  private def prevRowAt(row: Array[Byte], i: Int): Int = row(i) & 0xff
+
   private[functions] def isWs(c: Byte): Boolean =
     c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0 || c == 12
   private[functions] def isDelim(c: Byte): Boolean =
@@ -295,7 +601,7 @@ object PdfText {
       c == '{' || c == '}' || c == '/' || c == '%'
 
   private[functions] def regionMatches(b: Array[Byte], at: Int, pat: Array[Byte]): Boolean = {
-    if (at + pat.length > b.length) return false
+    if (at < 0 || at + pat.length > b.length) return false
     var i = 0
     while (i < pat.length) { if (b(at + i) != pat(i)) return false; i += 1 }
     true
@@ -306,6 +612,21 @@ object PdfText {
     val last = b.length - pat.length
     while (i <= last) { if (regionMatches(b, i, pat)) return i; i += 1 }
     -1
+  }
+
+  /** (value, index-after) of an unsigned int at `i` (leading ws NOT
+    * skipped), or (-1, i). Caps at 8 digits — larger numbers are lying
+    * bytes, not PDFs. */
+  private[functions] def parseUInt(b: Array[Byte], i0: Int, end: Int): (Int, Int) = {
+    var i = i0
+    var v = 0
+    var cnt = 0
+    val n = math.min(end, b.length)
+    while (i < n && cnt < 8 && b(i) >= '0' && b(i) <= '9') {
+      v = v * 10 + (b(i) - '0'); i += 1; cnt += 1
+    }
+    if (cnt == 0 || (i < n && b(i) >= '0' && b(i) <= '9')) (-1, i0)
+    else (v, i)
   }
 
   /** `/Encrypt` as a TOKEN (next char is whitespace/delimiter/EOF), so
@@ -363,23 +684,309 @@ object PdfText {
     } finally inf.end()
   }
 
+  // ===================== composite-font ToUnicode =====================
+
+  /** A parsed ToUnicode CMap: fixed code width (1 or 2 bytes, from the
+    * first codespacerange; 2 when absent — Identity-H convention) and
+    * the code → UTF-16 target map. */
+  private[functions] final class Cmap(
+      val codeBytes: Int, val map: java.util.HashMap[Integer, String])
+
+  /** Raw-byte object table: every token-accurate `N G obj` header →
+    * offset just past the `obj` keyword, LAST definition winning (the
+    * incremental-update rule). Binary stream bytes that happen to spell
+    * a header can shadow a real object — accepted: the failure mode is
+    * a font losing its CMap (Latin-1 fallback), never a throw. */
+  private[functions] def buildObjTable(b: Array[Byte]): java.util.HashMap[Long, Integer] = {
+    val t = new java.util.HashMap[Long, Integer]()
+    val n = b.length
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c >= '0' && c <= '9' &&
+        (i == 0 || isWs(b(i - 1)) || isDelim(b(i - 1)))) {
+        val (num, i2) = parseUInt(b, i, n)
+        var advanced = false
+        if (num >= 0 && i2 < n && isWs(b(i2))) {
+          var j = i2
+          while (j < n && isWs(b(j))) j += 1
+          val (gen, j2) = parseUInt(b, j, n)
+          if (gen >= 0) {
+            var k = j2
+            while (k < n && isWs(b(k))) k += 1
+            if (k + 3 <= n && b(k) == 'o' && b(k + 1) == 'b' && b(k + 2) == 'j' &&
+              (k + 3 >= n || isWs(b(k + 3)) || isDelim(b(k + 3)))) {
+              t.put((num.toLong << 16) | gen, Integer.valueOf(k + 3))
+              i = k + 3
+              advanced = true
+            }
+          }
+        }
+        if (!advanced) i = math.max(i2, i + 1)
+      } else i += 1
+    }
+    t
+  }
+
+  /** (num, gen, after) of an `N G R` indirect reference at `v`, or null. */
+  private def parseRef(b: Array[Byte], v: Int, end: Int): Array[Int] = {
+    val (num, i2) = parseUInt(b, v, end)
+    if (num < 0) return null
+    var j = i2
+    while (j < end && isWs(b(j))) j += 1
+    val (gen, j2) = parseUInt(b, j, end)
+    if (gen < 0) return null
+    var r = j2
+    while (r < end && isWs(b(r))) r += 1
+    if (r < end && b(r) == 'R' &&
+      (r + 1 >= end || isWs(b(r + 1)) || isDelim(b(r + 1))))
+      Array(num, gen, r + 1)
+    else null
+  }
+
+  /** Resource-name → ToUnicode CMap for the whole file: each `/Font`
+    * token whose value is a dict (inline or one indirect hop) maps
+    * resource names to font refs; each font's /ToUnicode ref resolves
+    * to a stream whose decoded bytes parse as a CMap. Last definition
+    * of a name wins (file-global scoping — see the class doc). */
+  private[functions] def fontCmaps(b: Array[Byte]): java.util.HashMap[String, Cmap] = {
+    val table = buildObjTable(b)
+    val out = new java.util.HashMap[String, Cmap]()
+    def objDictStart(num: Int, gen: Int): Int = {
+      val at = table.get((num.toLong << 16) | gen)
+      if (at == null) return -1
+      var k = at.intValue()
+      while (k < b.length && isWs(b(k))) k += 1
+      if (k + 2 <= b.length && b(k) == '<' && b(k + 1) == '<') k else -1
+    }
+    def cmapOf(num: Int, gen: Int): Cmap = {
+      val d0 = objDictStart(num, gen)
+      if (d0 < 0) return null
+      val s = parseStreamAt(b, d0)
+      if (s == null || !s.decodable || s.dataEnd <= s.dataStart) return null
+      val data = java.util.Arrays.copyOfRange(b, s.dataStart, s.dataEnd)
+      val content = decodeFilters(data, s.filters, s.parms)
+      if (content == null) null else parseCmap(content)
+    }
+    var fonts = 0
+    val pat = "/Font".getBytes
+    var at = indexOf(b, pat, 0)
+    while (at >= 0 && fonts < MaxFonts) {
+      val next = at + pat.length
+      if (next >= b.length || isWs(b(next)) || isDelim(b(next))) {
+        var v = next
+        while (v < b.length && isWs(b(v))) v += 1
+        // the /Font value: an inline dict, or one indirect hop to a dict
+        var fd0 = -1
+        if (v + 1 < b.length && b(v) == '<' && b(v + 1) == '<') fd0 = v
+        else {
+          val ref = parseRef(b, v, b.length)
+          if (ref != null) fd0 = objDictStart(ref(0), ref(1))
+        }
+        if (fd0 >= 0) {
+          val fdEnd = skipDict(b, fd0)
+          if (fdEnd > 0) {
+            walkDictKeys(b, fd0 + 2, fdEnd - 2) { (name, vv) =>
+              if (fonts < MaxFonts) {
+                val fref = parseRef(b, vv, fdEnd - 2)
+                if (fref != null) {
+                  fonts += 1
+                  val fdict = objDictStart(fref(0), fref(1))
+                  if (fdict >= 0) {
+                    val fe = skipDict(b, fdict)
+                    if (fe > 0) walkDictKeys(b, fdict + 2, fe - 2) { (k2, v2) =>
+                      if (k2 == "ToUnicode") {
+                        val tref = parseRef(b, v2, fe - 2)
+                        if (tref != null) {
+                          val cm = cmapOf(tref(0), tref(1))
+                          if (cm != null) out.put(name, cm)
+                        }
+                      }
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+      at = indexOf(b, pat, at + 1)
+    }
+    if (out.isEmpty) null else out
+  }
+
+  /** Parse decoded CMap bytes: the first codespacerange entry fixes the
+    * code width (1 or 2 bytes; anything wider → null, the font falls
+    * back to Latin-1); every bfchar pair and bfrange triple (scalar or
+    * array destination) fills the map, capped at [[MaxCmapEntries]].
+    * Destinations decode as UTF-16BE (odd-length destinations read as
+    * Latin-1 — deterministic, never a throw). */
+  private[functions] def parseCmap(c: Array[Byte]): Cmap = {
+    val n = c.length
+    // hex token <...> at or after i (ws skipped): (bytes, after) or null
+    def hexTok(i0: Int): (Array[Byte], Int) = {
+      var i = i0
+      while (i < n && isWs(c(i))) i += 1
+      if (i >= n || c(i) != '<') return null
+      val bos = new java.io.ByteArrayOutputStream(8)
+      var hi = -1
+      i += 1
+      while (i < n && c(i) != '>') {
+        val ch = c(i)
+        val v =
+          if (ch >= '0' && ch <= '9') ch - '0'
+          else if (ch >= 'A' && ch <= 'F') ch - 'A' + 10
+          else if (ch >= 'a' && ch <= 'f') ch - 'a' + 10
+          else -1
+        if (v >= 0) { if (hi < 0) hi = v else { bos.write((hi << 4) | v); hi = -1 } }
+        i += 1
+      }
+      if (hi >= 0) bos.write(hi << 4)
+      (bos.toByteArray, math.min(i + 1, n))
+    }
+    def codeOf(bs: Array[Byte]): Int = {
+      var v = 0
+      var i = 0
+      while (i < bs.length) { v = (v << 8) | (bs(i) & 0xff); i += 1 }
+      v
+    }
+    def utf16Of(bs: Array[Byte]): String =
+      if (bs.length % 2 == 0) new String(bs, java.nio.charset.StandardCharsets.UTF_16BE)
+      else new String(bs, java.nio.charset.StandardCharsets.ISO_8859_1)
+    var codeBytes = 2 // Identity-H convention when no codespacerange
+    val cs = indexOf(c, "begincodespacerange".getBytes, 0)
+    if (cs >= 0) {
+      val t = hexTok(cs + "begincodespacerange".length)
+      if (t != null && t._1.length >= 1 && t._1.length <= 2) codeBytes = t._1.length
+      else if (t != null) return null // 3+-byte codespace: out of scope
+    }
+    val map = new java.util.HashMap[Integer, String]()
+    // bfchar blocks: <src> <dst> pairs
+    val bcPat = "beginbfchar".getBytes
+    val bcEnd = "endbfchar".getBytes
+    var at = indexOf(c, bcPat, 0)
+    while (at >= 0 && map.size < MaxCmapEntries) {
+      val stop0 = indexOf(c, bcEnd, at)
+      val stop = if (stop0 < 0) n else stop0
+      var i = at + bcPat.length
+      var ok = true
+      while (ok && i < stop && map.size < MaxCmapEntries) {
+        val src = hexTok(i)
+        if (src == null || src._2 > stop) ok = false
+        else {
+          val dst = hexTok(src._2)
+          if (dst == null || dst._2 > stop) ok = false
+          else {
+            map.put(Integer.valueOf(codeOf(src._1)), utf16Of(dst._1))
+            i = dst._2
+          }
+        }
+      }
+      at = indexOf(c, bcPat, stop)
+    }
+    // bfrange blocks: <lo> <hi> (<dstStart> | [<d1> ... <dn>])
+    val brPat = "beginbfrange".getBytes
+    val brEnd = "endbfrange".getBytes
+    at = indexOf(c, brPat, 0)
+    while (at >= 0 && map.size < MaxCmapEntries) {
+      val stop0 = indexOf(c, brEnd, at)
+      val stop = if (stop0 < 0) n else stop0
+      var i = at + brPat.length
+      var ok = true
+      while (ok && i < stop && map.size < MaxCmapEntries) {
+        val lo = hexTok(i)
+        if (lo == null || lo._2 > stop) ok = false
+        else {
+          val hi = hexTok(lo._2)
+          if (hi == null || hi._2 > stop) ok = false
+          else {
+            var j = hi._2
+            while (j < stop && isWs(c(j))) j += 1
+            val loC = codeOf(lo._1)
+            val hiC = codeOf(hi._1)
+            if (j < stop && c(j) == '[') {
+              // array form: one destination per code
+              var k = loC
+              var p = j + 1
+              var inner = true
+              while (inner && k <= hiC && map.size < MaxCmapEntries) {
+                val d = hexTok(p)
+                if (d == null || d._2 > stop) inner = false
+                else {
+                  map.put(Integer.valueOf(k), utf16Of(d._1)); k += 1; p = d._2
+                }
+              }
+              while (p < stop && c(p) != ']') p += 1
+              i = math.min(p + 1, stop)
+            } else {
+              val d = hexTok(j)
+              if (d == null || d._2 > stop) ok = false
+              else {
+                val base = utf16Of(d._1)
+                var k = loC
+                while (k <= hiC && map.size < MaxCmapEntries) {
+                  val s =
+                    if (base.isEmpty) base
+                    else base.substring(0, base.length - 1) +
+                      (base.charAt(base.length - 1) + (k - loC)).toChar
+                  map.put(Integer.valueOf(k), s)
+                  k += 1
+                }
+                i = d._2
+              }
+            }
+          }
+        }
+      }
+      at = indexOf(c, brPat, stop)
+    }
+    if (map.isEmpty) null else new Cmap(codeBytes, map)
+  }
+
+  /** Re-read a raw string's bytes (chars 0–255) as CMap codes and remap
+    * each to its UTF-16 target; unmapped and torn-tail codes emit
+    * U+FFFD — visibly wrong beats silently dropped. */
+  private[functions] def remap(raw: String, cm: Cmap): String = {
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i + cm.codeBytes <= raw.length) {
+      var code = 0
+      var k = 0
+      while (k < cm.codeBytes) { code = (code << 8) | (raw.charAt(i + k) & 0xff); k += 1 }
+      val m = cm.map.get(Integer.valueOf(code))
+      if (m != null) sb.append(m) else sb.append('\uFFFD')
+      i += cm.codeBytes
+    }
+    if (i < raw.length) sb.append('\uFFFD') // torn trailing partial code
+    sb.toString
+  }
+
+  // =========================== extraction =============================
+
   /** One pass over decoded content bytes: a content-stream tokenizer just
     * deep enough for the text operators. String operands accumulate in
     * `pending`; `Tj`/`TJ`/`'`/`"` inside a BT..ET block emit them; any
     * other operator clears them (operands precede their operator, so a
     * string consumed by an unhandled operator never leaks into the next
     * show). Tokens inside a `[` TJ array are operands, not operators —
-    * kerning numbers there must NOT clear the strings around them. */
-  private def extract(b: Array[Byte], sb: java.lang.StringBuilder): Unit = {
+    * kerning numbers there must NOT clear the strings around them. The
+    * `Tf` operator selects the current font: when it carries a ToUnicode
+    * CMap, emitted strings remap code-wise (see [[remap]]). */
+  private def extract(
+      b: Array[Byte], sb: java.lang.StringBuilder,
+      cmaps: java.util.HashMap[String, Cmap]): Unit = {
     val n = b.length
     var i = 0
     var inText = false
     var inArray = false
+    var lastName: String = null
+    var curFont: Cmap = null
     val pending = new scala.collection.mutable.ArrayBuffer[String](4)
     def newline(): Unit =
       if (sb.length > 0 && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
     def emit(): Unit = {
-      pending.foreach { s =>
+      pending.foreach { s0 =>
+        val s = if (curFont != null) remap(s0, curFont) else s0
         val room = MaxTextChars - sb.length
         if (room > 0) sb.append(if (s.length <= room) s else s.substring(0, room))
       }
@@ -396,8 +1003,12 @@ object PdfText {
       else if (c == '[') { inArray = true; i += 1 }
       else if (c == ']') { inArray = false; i += 1 }
       else if (c == '/') { // name: skipped, never clears operands
-        i += 1
+        val t0 = i + 1
+        i = t0
         while (i < n && !isWs(b(i)) && !isDelim(b(i))) i += 1
+        if (cmaps != null)
+          lastName = new String(b, t0, i - t0,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
       } else if (isDelim(c)) i += 1 // stray ) > } {
       else {
         val t0 = i
@@ -416,6 +1027,10 @@ object PdfText {
             if (inText) { newline(); emit() } else pending.clear()
           } else if (len == 2 && c0 == 'T' && (c1 == 'd' || c1 == 'D' || c1 == '*')) {
             if (inText) newline(); pending.clear()
+          } else if (len == 2 && c0 == 'T' && c1 == 'f') {
+            // font selection: the name operand two tokens back (/F1 12 Tf)
+            if (cmaps != null && lastName != null) curFont = cmaps.get(lastName)
+            pending.clear()
           } else pending.clear()
         }
       }
@@ -474,8 +1089,8 @@ object PdfText {
 
   /** Decode the hex string starting at `b(start) == '<'`; whitespace
     * between digits is legal, non-hex junk is skipped leniently, an odd
-    * final digit pads with 0 (§7.3.4.3). Bytes map via Latin-1 — see the
-    * composite-font boundary in the class doc. */
+    * final digit pads with 0 (§7.3.4.3). Bytes map via Latin-1 —
+    * composite-font codes remap later (see [[remap]]). */
   private[functions] def hexString(
       b: Array[Byte], start: Int,
       out: scala.collection.mutable.ArrayBuffer[String],
@@ -590,15 +1205,23 @@ object PdfText {
   * file wins (incremental updates append new trailers; the final one is
   * authoritative), then the LAST `N G obj` body (same rule) has its
   * `<< … >>` dictionary scanned for the /Title /Author /Creator
-  * /Producer /CreationDate keys. Values parse as PDF text strings:
-  * literal or hex, with the UTF-16BE (FE FF) and UTF-8 (EF BB BF) BOMs
-  * honored and everything else read as Latin-1 (≈PDFDocEncoding — the
-  * same approximation [[PdfText]] documents). `created` stays the RAW
-  * `D:YYYYMMDDHHmmSS…` string — deterministic, and downstream can parse
-  * the prefix it needs.
+  * /Producer /CreationDate keys — a duplicated key takes its LAST
+  * occurrence, the ISO 32000 dict rule (round-14 review). When no such
+  * body exists and the reference's generation is 0, compressed object
+  * streams are searched: each `/Type /ObjStm` stream decodes through
+  * the [[PdfText]] filter chain (incl. Flate predictors), its `N`
+  * pair-header locates the member object, and the member dict parses
+  * exactly like a file-level one — the LAST object stream containing
+  * the number wins; modern writers put /Info in an ObjStm, where the
+  * raw-byte scan alone would return NULL. Values parse as PDF text
+  * strings: literal or hex, with the UTF-16BE (FE FF) and UTF-8
+  * (EF BB BF) BOMs honored and everything else read as Latin-1
+  * (≈PDFDocEncoding — the same approximation [[PdfText]] documents).
+  * `created` stays the RAW `D:YYYYMMDDHHmmSS…` string — deterministic,
+  * and downstream can parse the prefix it needs.
   *
   * Boundaries: indirect-reference values (`/Title 7 0 R`) yield NULL for
-  * that field (no xref walk — same rule that keeps the text kernel
+  * that field (no second-hop walk — same rule that keeps the text kernel
   * engine-portable); encrypted documents return NULL (strings are
   * ciphertext); a present-but-empty Info dict returns a row of NULLs
   * (info EXISTS), while no /Info at all returns NULL (none declared). */
@@ -634,39 +1257,15 @@ case class PdfInfo(child: Expression) extends Expression {
     val ref = lastInfoRef(bytes)
     if (ref == null) return null
     val objAt = lastObjStart(bytes, ref(0), ref(1))
-    if (objAt < 0) return null
-    var k = objAt
-    while (k < n && isWs(bytes(k))) k += 1
-    if (k + 2 > n || bytes(k) != '<' || bytes(k + 1) != '<') return null
-    val dEnd = skipDict(bytes, k)
-    if (dEnd < 0) return null
-    val body1 = dEnd - 2
-    val vals = new Array[Any](5)
-    // string-atomic key walk: a key name INSIDE a string value (an
-    // Author of "by /Title (fake)") can never shadow the real key, and
-    // every string read is bounded by the dict and capped — a torn
-    // literal cannot swallow trailing file bytes into a metadata field
-    walkDictKeys(bytes, k + 2, body1) { (key, v) =>
-      val idx = key match {
-        case "Title" => 0
-        case "Author" => 1
-        case "Creator" => 2
-        case "Producer" => 3
-        case "CreationDate" => 4
-        case _ => -1
-      }
-      if (idx >= 0 && vals(idx) == null && v < body1) {
-        if (bytes(v) == '(') {
-          val buf = new scala.collection.mutable.ArrayBuffer[String](1)
-          literalString(bytes, v, buf, body1, MaxMetaChars)
-          vals(idx) = UTF8String.fromString(decodeTextString(buf.head))
-        } else if (bytes(v) == '<' && (v + 1 >= body1 || bytes(v + 1) != '<')) {
-          val buf = new scala.collection.mutable.ArrayBuffer[String](1)
-          hexString(bytes, v, buf, body1, MaxMetaChars)
-          vals(idx) = UTF8String.fromString(decodeTextString(buf.head))
-        } // else: indirect ref / name / number value — out of scope, NULL
-      }
-    }
+    val vals =
+      if (objAt >= 0) {
+        var k = objAt
+        while (k < n && isWs(bytes(k))) k += 1
+        if (k + 2 > n || bytes(k) != '<' || bytes(k + 1) != '<') return null
+        infoValsAt(bytes, k)
+      } else if (ref(1) == 0) infoFromObjStm(bytes, ref(0))
+      else null
+    if (vals == null) return null
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
 
@@ -701,6 +1300,126 @@ object PdfInfo {
     * while still being consumed to its delimiter. */
   private val MaxMetaChars = 1 << 16
 
+  /** At most this many object streams decoded per document and member
+    * pairs read per header (adversarial-input caps). */
+  private val MaxObjStm = 64
+  private val MaxObjStmPairs = 1 << 16
+
+  /** The five Info fields of the dict opening at `k` (`<<`), or null
+    * when unbalanced. String-atomic key walk: a key name INSIDE a
+    * string value (an Author of "by /Title (fake)") can never shadow
+    * the real key; every string read is bounded by the dict and capped
+    * — a torn literal cannot swallow trailing bytes into a metadata
+    * field. A duplicated key takes its LAST occurrence (ISO 32000 dict
+    * semantics — round-14 review). */
+  private[functions] def infoValsAt(b: Array[Byte], k: Int): Array[Any] = {
+    val dEnd = skipDict(b, k)
+    if (dEnd < 0) return null
+    val body1 = dEnd - 2
+    val vals = new Array[Any](5)
+    walkDictKeys(b, k + 2, body1) { (key, v) =>
+      val idx = key match {
+        case "Title" => 0
+        case "Author" => 1
+        case "Creator" => 2
+        case "Producer" => 3
+        case "CreationDate" => 4
+        case _ => -1
+      }
+      if (idx >= 0 && v < body1) {
+        if (b(v) == '(') {
+          val buf = new scala.collection.mutable.ArrayBuffer[String](1)
+          literalString(b, v, buf, body1, MaxMetaChars)
+          vals(idx) = UTF8String.fromString(decodeTextString(buf.head))
+        } else if (b(v) == '<' && (v + 1 >= body1 || b(v + 1) != '<')) {
+          val buf = new scala.collection.mutable.ArrayBuffer[String](1)
+          hexString(b, v, buf, body1, MaxMetaChars)
+          vals(idx) = UTF8String.fromString(decodeTextString(buf.head))
+        } else vals(idx) = null // indirect ref / name / number: out of scope
+      }
+    }
+    vals
+  }
+
+  /** Search `/Type /ObjStm` streams for member object `num` (ObjStm
+    * members always have generation 0, §7.5.7): decode each through the
+    * shared filter chain, read the `num offset` pair header, and parse
+    * the member dict with the same walk a file-level Info dict gets.
+    * The LAST object stream containing `num` wins (incremental-update
+    * rule). Null when no stream carries it. */
+  private[functions] def infoFromObjStm(b: Array[Byte], num: Int): Array[Any] = {
+    if (indexOf(b, "/ObjStm".getBytes, 0) < 0) return null
+    val n = b.length
+    var found: Array[Any] = null
+    var streams = 0
+    var pos = 0
+    while (pos < n - 1 && streams < MaxObjStm) {
+      val d0 = indexOf(b, "<<".getBytes, pos)
+      if (d0 < 0) pos = n
+      else {
+        val dEnd = skipDict(b, d0)
+        if (dEnd < 0) pos = n
+        else {
+          var isObjStm = false
+          var count = -1
+          var first = -1
+          walkDictKeys(b, d0 + 2, dEnd - 2) { (key, v) =>
+            key match {
+              case "Type" =>
+                if (v < dEnd - 2 && b(v) == '/' &&
+                  nameAt(b, v, dEnd - 2) == "ObjStm") isObjStm = true
+              case "N" => count = parseUInt(b, v, dEnd - 2)._1
+              case "First" => first = parseUInt(b, v, dEnd - 2)._1
+              case _ => ()
+            }
+          }
+          var resumed = dEnd
+          if (isObjStm && count > 0 && first >= 0) {
+            val s = parseStreamAt(b, d0)
+            if (s != null) {
+              resumed = s.resumeAt
+              streams += 1
+              if (s.decodable && s.dataEnd > s.dataStart) {
+                val data = java.util.Arrays.copyOfRange(b, s.dataStart, s.dataEnd)
+                val c = decodeFilters(data, s.filters, s.parms)
+                if (c != null && first <= c.length) {
+                  // pair header: N × (objnum offset), offsets from /First
+                  var i = 0
+                  var pair = 0
+                  var memberOff = -1
+                  val pairs = math.min(count, MaxObjStmPairs)
+                  while (pair < pairs && i < first) {
+                    while (i < first && isWs(c(i))) i += 1
+                    val (on, i2) = parseUInt(c, i, first)
+                    var j = i2
+                    while (j < first && isWs(c(j))) j += 1
+                    val (off, j2) = parseUInt(c, j, first)
+                    if (on < 0 || off < 0) { pair = pairs } // malformed header
+                    else {
+                      if (on == num) memberOff = off
+                      i = j2
+                      pair += 1
+                    }
+                  }
+                  if (memberOff >= 0 && first + memberOff < c.length) {
+                    var m = first + memberOff
+                    while (m < c.length && isWs(c(m))) m += 1
+                    if (m + 2 <= c.length && c(m) == '<' && c(m + 1) == '<') {
+                      val vals = infoValsAt(c, m)
+                      if (vals != null) found = vals // last ObjStm wins
+                    }
+                  }
+                }
+              }
+            }
+          }
+          pos = math.max(resumed, d0 + 2)
+        }
+      }
+    }
+    found
+  }
+
   /** The LAST well-formed `/Info N G R` in the file, as Array(n, g) —
     * or null when absent. */
   private[functions] def lastInfoRef(b: Array[Byte]): Array[Int] = {
@@ -713,11 +1432,11 @@ object PdfInfo {
       // token boundary: "/Information" must not match
       if (i >= n || isWs(b(i)) || isDelim(b(i))) {
         while (i < n && isWs(b(i))) i += 1
-        val (num, i2) = digits(b, i)
+        val (num, i2) = parseUInt(b, i, n)
         if (num >= 0) {
           var j = i2
           while (j < n && isWs(b(j))) j += 1
-          val (gen, j2) = digits(b, j)
+          val (gen, j2) = parseUInt(b, j, n)
           if (gen >= 0) {
             var r = j2
             while (r < n && isWs(b(r))) r += 1
@@ -744,7 +1463,7 @@ object PdfInfo {
         var i = at + pat.length
         if (i < n && isWs(b(i))) {
           while (i < n && isWs(b(i))) i += 1
-          val (g2, i2) = digits(b, i)
+          val (g2, i2) = parseUInt(b, i, n)
           if (g2 == gen) {
             var j = i2
             while (j < n && isWs(b(j))) j += 1
@@ -757,19 +1476,6 @@ object PdfInfo {
       at = indexOf(b, pat, at + 1)
     }
     found
-  }
-
-  /** (value, index-after) of an unsigned int at `i`, or (-1, i). Caps at
-    * 8 digits — object numbers beyond that are lying bytes, not PDFs. */
-  private def digits(b: Array[Byte], i0: Int): (Int, Int) = {
-    var i = i0
-    var v = 0
-    var cnt = 0
-    while (i < b.length && cnt < 8 && b(i) >= '0' && b(i) <= '9') {
-      v = v * 10 + (b(i) - '0'); i += 1; cnt += 1
-    }
-    if (cnt == 0 || (i < b.length && b(i) >= '0' && b(i) <= '9')) (-1, i0)
-    else (v, i)
   }
 
   /** PDF text-string decode (§7.9.2.2): chars so far are raw byte values

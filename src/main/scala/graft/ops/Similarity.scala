@@ -54,14 +54,18 @@ object Similarity {
             s"or array<double>, got ${other.simpleString}")
     }
     val e = col(embCol)
+    // `isnan` does not catch ±Infinity — an Inf component would pass
+    // "validated import" and surface later as NaN/Inf cosines; the
+    // abs(x) <= MaxValue form rejects NaN AND both infinities in one test
     val ok = col(idCol).isNotNull && e.isNotNull && size(e) === dim &&
-      !exists(e, x => x.isNull || isnan(x))
+      !exists(e, x => x.isNull || isnan(x) ||
+        !(abs(x.cast("double")) <= lit(Double.MaxValue)))
     val msg = concat(
       lit(s"loadEmbeddings($path): row id="),
       coalesce(col(idCol).cast("string"), lit("NULL")),
       lit(s" violates the (id, float[$dim]) contract (vector size="),
       coalesce(size(e).cast("string"), lit("NULL")),
-      lit(", or a NULL id / NULL or NaN component)"))
+      lit(", or a NULL id / NaN / Infinity component)"))
     df.select(
       col(idCol),
       when(ok, e).otherwise(raise_error(msg)).cast("array<float>").as(embCol))

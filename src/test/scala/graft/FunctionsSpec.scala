@@ -788,10 +788,18 @@ class FunctionsSpec extends SparkSpec {
     // string VALUE of the stream dict cannot misclassify the stream
     ext(pdf(obj("/Length 16 /Subj (see /DCT art in C:/RL/x)",
       "BT (kept) Tj ET"))) shouldBe Some("kept")
-    // review pin: FlateDecode + /DecodeParms (predictors) is skipped —
-    // inflating without de-predicting would tokenize garbage
+    // review pin (r14 update: predictors now DE-PREDICT) — data that
+    // merely DECLARES a PNG predictor but isn't predictor-coded hits the
+    // invalid-filter-type guard ('B' = 0x42 is no PNG row filter) and the
+    // stream is skipped, never tokenized as garbage
     ext(("%PDF-1.6\n7 0 obj\n<< /Filter /FlateDecode " +
       "/DecodeParms << /Predictor 12 /Columns 4 >> >>\nstream\n")
+      .getBytes("ISO-8859-1") ++
+      deflate("BT (junk) Tj ET") ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")) shouldBe None
+    // an INDIRECT-reference /DecodeParms cannot be honored: skipped
+    ext(("%PDF-1.6\n7 0 obj\n<< /Filter /FlateDecode " +
+      "/DecodeParms 9 0 R >>\nstream\n")
       .getBytes("ISO-8859-1") ++
       deflate("BT (junk) Tj ET") ++
       "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")) shouldBe None
@@ -855,6 +863,214 @@ class FunctionsSpec extends SparkSpec {
     out shouldBe "row"
   }
 
+  test("graft_pdf_text: LZWDecode, predictors, /Length bounding, ToUnicode CMaps") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val k = graft.functions.PdfText(Literal.create(null, BinaryType))
+    def ext(b: Array[Byte]): Option[String] =
+      Option(k.compute(b)).map(_.toString)
+    def pdf(body: String): Array[Byte] =
+      ("%PDF-1.7\n" + body + "\n%%EOF\n").getBytes("ISO-8859-1")
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) { val m = d.deflate(buf); bos.write(buf, 0, m) }
+      d.end(); bos.toByteArray
+    }
+    // ---- LZW encoder mirroring the §7.4.4 decoder (test fixture) ----
+    def lzwEncode(s: Array[Byte], early: Int): Array[Byte] = {
+      // pass 1: the code sequence (dict keyed by the byte run as Latin-1)
+      val dict = new java.util.HashMap[String, Integer]()
+      var size = 258
+      val codes = scala.collection.mutable.ArrayBuffer[Int](256) // clear
+      var w = ""
+      for (b <- s) {
+        val wc = w + (b & 0xff).toChar
+        val known = wc.length == 1 || dict.containsKey(wc)
+        if (known) w = wc
+        else {
+          codes += (if (w.length == 1) w.charAt(0).toInt else dict.get(w).intValue())
+          if (size < 4096) { dict.put(wc, size); size += 1 }
+          w = wc.substring(wc.length - 1)
+        }
+      }
+      if (w.nonEmpty)
+        codes += (if (w.length == 1) w.charAt(0).toInt else dict.get(w).intValue())
+      codes += 257 // EOD
+      // pass 2: widths simulate the DECODER's table growth exactly
+      val bos = new java.io.ByteArrayOutputStream()
+      var bitBuf = 0L; var bitCnt = 0; var width = 9
+      var dsize = 258; var prevSeen = false
+      def put(c: Int): Unit = {
+        bitBuf = (bitBuf << width) | c; bitCnt += width
+        while (bitCnt >= 8) {
+          bos.write(((bitBuf >>> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8
+        }
+      }
+      for (c <- codes) {
+        put(c)
+        if (c == 256) { dsize = 258; width = 9; prevSeen = false }
+        else if (c != 257) {
+          if (prevSeen && dsize < 4096) {
+            dsize += 1
+            if (dsize + early >= (1 << width) && width < 12) width += 1
+          }
+          prevSeen = true
+        }
+      }
+      if (bitCnt > 0) bos.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+      bos.toByteArray
+    }
+    // short LZW stream round-trips
+    ext(pdf("3 0 obj\n<< /Filter /LZWDecode >>\nstream\n")
+      .dropRight(7) ++ // strip the %%EOF the helper appended mid-build
+      lzwEncode("BT (lzw text) Tj ET".getBytes("ISO-8859-1"), 1) ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")) shouldBe
+      Some("lzw text")
+    // a LONG stream crosses the 9→10→11-bit width boundaries (the
+    // EarlyChange timing would corrupt everything after code 510 if the
+    // decoder lagged the encoder) and exercises the KwKwK case (runs)
+    val long = ("BT (" + (0 until 400).map(i => s"tok$i").mkString(" ") +
+      " aaaaaaaaaaaaaaaaaaaaaaaa) Tj ET").getBytes("ISO-8859-1")
+    val wantLong = new String(long, "ISO-8859-1").drop(4).dropRight(7)
+    def lzwPdf(early: Int, parms: String): Array[Byte] =
+      ("%PDF-1.7\n3 0 obj\n<< /Filter /LZWDecode " + parms + ">>\nstream\n")
+        .getBytes("ISO-8859-1") ++
+        lzwEncode(long, early) ++
+        "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")
+    ext(lzwPdf(1, "")) shouldBe Some(wantLong)
+    // /EarlyChange 0 shifts every width bump by one code
+    ext(lzwPdf(0, "/DecodeParms << /EarlyChange 0 >> ")) shouldBe Some(wantLong)
+    // mismatched EarlyChange must NOT round-trip the long stream (guards
+    // against a decoder that ignores the parameter)
+    ext(lzwPdf(0, "")) should not be Some(wantLong)
+    // ---- predictors ----
+    // PNG row filters: predict driver-side (Sub on row 0, Up after),
+    // declare /Predictor 12 /Columns 8, deflate — the kernel must
+    // de-predict after the inflate
+    val content = "BT (png predicted rows go here!!) Tj ET" // 39 B
+      .padTo(40, ' ').getBytes("ISO-8859-1") // 5 rows of 8
+    def pngPredict(raw: Array[Byte], cols: Int): Array[Byte] = {
+      val rows = raw.length / cols
+      val out = new java.io.ByteArrayOutputStream()
+      for (r <- 0 until rows) {
+        val ft = if (r == 0) 1 else 2 // Sub, then Up
+        out.write(ft)
+        for (i <- 0 until cols) {
+          val x = raw(r * cols + i) & 0xff
+          val pred =
+            if (ft == 1) (if (i > 0) raw(r * cols + i - 1) & 0xff else 0)
+            else raw((r - 1) * cols + i) & 0xff
+          out.write((x - pred) & 0xff)
+        }
+      }
+      out.toByteArray
+    }
+    ext(("%PDF-1.7\n4 0 obj\n<< /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 12 /Columns 8 >> >>\nstream\n")
+      .getBytes("ISO-8859-1") ++
+      deflate(pngPredict(content, 8)) ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")) shouldBe
+      Some("png predicted rows go here!!")
+    // Paeth + Average rows de-predict too
+    def pngPredictAll(raw: Array[Byte], cols: Int): Array[Byte] = {
+      val rows = raw.length / cols
+      val out = new java.io.ByteArrayOutputStream()
+      for (r <- 0 until rows) {
+        val ft = Seq(0, 3, 4)(r % 3) // None, Average, Paeth
+        out.write(ft)
+        for (i <- 0 until cols) {
+          val x = raw(r * cols + i) & 0xff
+          val a = if (i > 0) raw(r * cols + i - 1) & 0xff else 0
+          val b = if (r > 0) raw((r - 1) * cols + i) & 0xff else 0
+          val c = if (i > 0 && r > 0) raw((r - 1) * cols + i - 1) & 0xff else 0
+          val pred = ft match {
+            case 0 => 0
+            case 3 => (a + b) >> 1
+            case 4 =>
+              val p = a + b - c
+              val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          out.write((x - pred) & 0xff)
+        }
+      }
+      out.toByteArray
+    }
+    ext(("%PDF-1.7\n4 0 obj\n<< /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 15 /Columns 8 >> >>\nstream\n")
+      .getBytes("ISO-8859-1") ++
+      deflate(pngPredictAll(content, 8)) ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")) shouldBe
+      Some("png predicted rows go here!!")
+    // TIFF horizontal differencing (Predictor 2, colors=1)
+    def tiffPredict(raw: Array[Byte], cols: Int): Array[Byte] = {
+      val rows = raw.length / cols
+      val out = new Array[Byte](rows * cols)
+      for (r <- 0 until rows; i <- 0 until cols) {
+        val x = raw(r * cols + i) & 0xff
+        val pred = if (i > 0) raw(r * cols + i - 1) & 0xff else 0
+        out(r * cols + i) = ((x - pred) & 0xff).toByte
+      }
+      out
+    }
+    ext(("%PDF-1.7\n4 0 obj\n<< /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 2 /Columns 8 >> >>\nstream\n")
+      .getBytes("ISO-8859-1") ++
+      deflate(tiffPredict(content, 8)) ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")) shouldBe
+      Some("png predicted rows go here!!")
+    // an LZW + predictor combination (the xref-stream shape)
+    ext(("%PDF-1.7\n4 0 obj\n<< /Filter /LZWDecode " +
+      "/DecodeParms << /Predictor 12 /Columns 8 >> >>\nstream\n")
+      .getBytes("ISO-8859-1") ++
+      lzwEncode(pngPredict(content, 8), 1) ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")) shouldBe
+      Some("png predicted rows go here!!")
+    // ---- /Length bounding (round-14 review) ----
+    // stream DATA containing the word `endstream` must not truncate when
+    // the declared direct /Length verifies
+    val tricky = "BT (before endstream after) Tj ET"
+    ext(pdf(s"5 0 obj\n<< /Length ${tricky.length} >>\nstream\n" + tricky +
+      "\nendstream\nendobj")) shouldBe Some("before endstream after")
+    // a LYING /Length (endstream does not verify there) falls back to the
+    // byte scan — the pre-r14 behavior
+    ext(pdf("5 0 obj\n<< /Length 4 >>\nstream\nBT (scanned) Tj ET" +
+      "\nendstream\nendobj")) shouldBe Some("scanned")
+    // ---- ToUnicode CMaps (composite fonts) ----
+    val cmapStream =
+      "/CIDInit /ProcSet findresource begin\nbegincmap\n" +
+        "1 begincodespacerange <0000> <FFFF> endcodespacerange\n" +
+        "2 beginbfchar <0003> <0043> <0004> <00490044> endbfchar\n" +
+        "1 beginbfrange <0010> <0019> <0061> endbfrange\n" +
+        "endcmap end"
+    def cidPdf(contentOps: String): Array[Byte] = pdf(
+      "1 0 obj\n<< /Type /Page /Resources << /Font << /FC 7 0 R /FP 9 0 R >> >> >>\nendobj\n" +
+        "7 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 8 0 R >>\nendobj\n" +
+        "9 0 obj\n<< /Type /Font /Subtype /Type1 >>\nendobj\n" +
+        s"8 0 obj\n<< /Length ${cmapStream.length} >>\nstream\n" + cmapStream +
+        "\nendstream\nendobj\n" +
+        "2 0 obj\n<< >>\nstream\n" + contentOps + "\nendstream\nendobj")
+    // bfchar singles + multi-char target + bfrange span, via hex strings
+    ext(cidPdf("BT /FC 12 Tf <0003 0004 0010 0011 0019> Tj ET")) shouldBe
+      Some("CIDabj")
+    // an unmapped code emits U+FFFD (visibly wrong beats silently dropped)
+    ext(cidPdf("BT /FC 12 Tf <0003 00FF> Tj ET")) shouldBe Some("C\uFFFD")
+    // literal strings remap too (bytes are codes regardless of syntax)
+    ext(cidPdf("BT /FC 12 Tf (\\000\\003\\000\\004) Tj ET")) shouldBe
+      Some("CID")
+    // Tf switches fonts mid-stream: /FP has no ToUnicode → Latin-1 read
+    ext(cidPdf("BT /FC 12 Tf <0003> Tj /FP 12 Tf (plain) Tj ET")) shouldBe
+      Some("Cplain")
+    // a torn trailing half-code emits U+FFFD
+    ext(cidPdf("BT /FC 12 Tf <000300> Tj ET")) shouldBe Some("C\uFFFD")
+    // no /ToUnicode anywhere → the pre-r14 Latin-1 path, byte-identical
+    ext(pdf("1 0 obj\n<< >>\nstream\nBT /F1 12 Tf <4142> Tj ET\nendstream\nendobj")) shouldBe
+      Some("AB")
+  }
+
   test("graft_pdf_info: last /Info wins, BOMs, indirect refs, token boundaries") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.BinaryType
@@ -916,12 +1132,73 @@ class FunctionsSpec extends SparkSpec {
       "trailer\n<< /Info 4 0 R >>"))
     torn.isDefined shouldBe true
     torn.get._1.getOrElse("") should not include "SECRET"
+    // a DUPLICATED key takes its LAST occurrence — ISO 32000 dict
+    // semantics (round-14 review; the old walk kept the stale first)
+    info(pdf("4 0 obj\n<< /Title (stale) /Title (fresh) >>\nendobj\n" +
+      "trailer\n<< /Info 4 0 R >>")) shouldBe
+      Some((Some("fresh"), None, None, None, None))
     // the op appends the five columns
     val out = graft.ops.Multimodal.withPdfInfo(
       Seq((1, pdf("2 0 obj\n<< /Title (t) /Producer (p) >>\nendobj\n" +
         "trailer\n<< /Info 2 0 R >>"))).toDF("id", "payload"), "payload")
       .select("pdf_title", "pdf_producer", "pdf_author").head()
     (out.getString(0), out.getString(1), out.isNullAt(2)) shouldBe (("t", "p", true))
+  }
+
+  test("graft_pdf_info: /Info inside compressed object streams (ObjStm)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val k = graft.functions.PdfInfo(Literal.create(null, BinaryType))
+    type R = Option[(Option[String], Option[String], Option[String],
+      Option[String], Option[String])]
+    def info(b: Array[Byte]): R = k.compute(b) match {
+      case null => None
+      case r: org.apache.spark.sql.catalyst.expressions.GenericInternalRow =>
+        def f(i: Int) = if (r.isNullAt(i)) None else Some(r.getUTF8String(i).toString)
+        Some((f(0), f(1), f(2), f(3), f(4)))
+    }
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes("ISO-8859-1")); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) { val m = d.deflate(buf); bos.write(buf, 0, m) }
+      d.end(); bos.toByteArray
+    }
+    // an ObjStm holding members 20 (the Info dict) and 30 — the modern-
+    // writer shape where the raw `N G obj` scan finds nothing
+    def objStmPdf(members: String, first: Int, n: Int,
+        infoRef: String = "/Info 20 0 R"): Array[Byte] =
+      (s"%PDF-1.5\n21 0 obj\n<< /Type /ObjStm /N $n /First $first " +
+        "/Filter /FlateDecode >>\nstream\n").getBytes("ISO-8859-1") ++
+        deflate(members) ++
+        ("\nendstream\nendobj\ntrailer\n<< /Root 1 0 R " + infoRef +
+          " >>\nstartxref\n0\n%%EOF\n").getBytes("ISO-8859-1")
+    val dict1 = "<< /Title (ObjStm title) /Producer (zipped) >>"
+    val dict2 = "<< /Type /Catalog >>"
+    val header = s"20 0 30 ${dict1.length + 1}\n"
+    val body = header + dict1 + "\n" + dict2
+    info(objStmPdf(body, header.length, 2)) shouldBe
+      Some((Some("ObjStm title"), None, None, Some("zipped"), None))
+    // the second member resolves too (offset arithmetic, not luck)
+    info(objStmPdf(body, header.length, 2, infoRef = "/Info 30 0 R")) shouldBe
+      Some((None, None, None, None, None)) // present-but-empty member dict
+    // a member number NOT in the header → no Info (NULL row)
+    info(objStmPdf(body, header.length, 2, infoRef = "/Info 99 0 R")) shouldBe None
+    // a LATER raw `20 0 obj` supersedes the ObjStm member (last-wins
+    // incremental-update rule: the visible object is authoritative)
+    val updated = objStmPdf(body, header.length, 2) ++
+      ("20 0 obj\n<< /Title (updated) >>\nendobj\n" +
+        "trailer\n<< /Info 20 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    info(updated) shouldBe Some((Some("updated"), None, None, None, None))
+    // generation ≠ 0 never searches ObjStms (members are gen-0 by spec)
+    info(objStmPdf(body, header.length, 2, infoRef = "/Info 20 1 R")) shouldBe None
+    // a corrupt ObjStm stream answers nothing rather than throwing
+    // (zlib header zeroed → the inflate fails, the /Info ref stays)
+    val corrupt = objStmPdf(body, header.length, 2)
+    val sAt = new String(corrupt, "ISO-8859-1").indexOf("stream\n") + 7
+    corrupt(sAt) = 0; corrupt(sAt + 1) = 0
+    info(corrupt) shouldBe None
   }
 
   test("graft_exif_tags: ASCII tag rules — inline values, truncated offsets, lying counts") {

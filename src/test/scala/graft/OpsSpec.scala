@@ -732,6 +732,14 @@ class OpsSpec extends SparkSpec {
       "nullid.parquet")
     an[Exception] should be thrownBy
       Similarity.loadEmbeddings(spark, nullId, dim = 3).collect()
+    // ±Infinity is a violation too (isnan alone would admit it and the
+    // Inf would surface downstream as NaN/Inf cosines — round-14 review)
+    val inf = write(
+      Seq((8L, Seq(1.0f, Float.PositiveInfinity, 0.0f)),
+        (9L, Seq(Float.NegativeInfinity, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "inf.parquet")
+    an[Exception] should be thrownBy
+      Similarity.loadEmbeddings(spark, inf, dim = 3).collect()
     // schema problems are PLAN-time loud: wrong type, missing column
     val wrongType = write(
       Seq((1L, "not a vector")).toDF("vec_id", "embedding"), "wt.parquet")
