@@ -3962,18 +3962,24 @@ object SparkEntry {
         .select("doc_id", "mp3_title", "mp3_artist", "mp3_album")
     }),
     // PDF text extraction (the largest non-HTML text reservoir in a
-    // crawl): %7==0 an UNCOMPRESSED content stream with doc_id-varying
+    // crawl): %11==0 an UNCOMPRESSED content stream with doc_id-varying
     // text exercising escaped parens, hex strings, Td line moves, and a
-    // TJ array; %7==1 a /FlateDecode stream of a FIXED content (deflated
+    // TJ array; %11==1 a /FlateDecode stream of a FIXED content (deflated
     // once driver-side at plan build — fixture construction; the
-    // Inflater round trip happens only on the Spark side); %7==2 an
+    // Inflater round trip happens only on the Spark side); %11==2 an
     // ENCRYPTED document whose stream would otherwise parse (the
-    // /Encrypt screen must win → NULL); %7==3 an image-only PDF
-    // (/DCTDecode, no extractable text → NULL); %7==4 non-PDF bytes
-    // (→ NULL); %7==5 an /ASCIIHexDecode stream (whitespaced digits +
-    // EOD); %7==6 the classic 7-bit-safe CHAIN
-    // [/ASCII85Decode /FlateDecode] — declared-order decode. The oracle
-    // rebuilds the text shapes from arithmetic and string literals.
+    // /Encrypt screen must win → NULL); %11==3 an image-only PDF
+    // (/DCTDecode, no extractable text → NULL); %11==4 non-PDF bytes
+    // (→ NULL); %11==5 an /ASCIIHexDecode stream (whitespaced digits +
+    // EOD); %11==6 the classic 7-bit-safe CHAIN
+    // [/ASCII85Decode /FlateDecode] — declared-order decode. Round-14
+    // shapes: %11==7 an /LZWDecode stream (variable-width codes,
+    // LZW-packed driver-side); %11==8 FlateDecode + /DecodeParms PNG
+    // Predictor 12 (Sub row then Up rows, de-predicted after the
+    // inflate); %11==9 a COMPOSITE font — /Font resources → /ToUnicode
+    // CMap (bfchar + bfrange), a doc_id-varying CID hex string remaps to
+    // 'CID' + a bfrange letter; %11==10 FlateDecode + TIFF Predictor 2.
+    // The oracle rebuilds the text shapes from arithmetic and literals.
     "mm_pdf_text" -> ((s, dir) => {
       val nn = lpad((col("doc_id") % 9973).cast("string"), 4, "0")
       val c0 = concat(
@@ -4034,28 +4040,149 @@ object SparkEntry {
         "<< /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n" +
         a85(chained) +
         "\nendstream\nendobj\n%%EOF\n").getBytes)
+      // §7.4.4 LZW packer (fixture construction, driver-side once): the
+      // code stream a conforming writer would emit — clear, data codes
+      // with decoder-synchronized width bumps (EarlyChange 1), EOD
+      def lzw(s: Array[Byte]): Array[Byte] = {
+        val dict = new java.util.HashMap[String, Integer]()
+        var size = 258
+        val codes = scala.collection.mutable.ArrayBuffer[Int](256)
+        var w = ""
+        s.foreach { b =>
+          val wc = w + (b & 0xff).toChar
+          if (wc.length == 1 || dict.containsKey(wc)) w = wc
+          else {
+            codes += (if (w.length == 1) w.charAt(0).toInt else dict.get(w).intValue())
+            if (size < 4096) { dict.put(wc, size); size += 1 }
+            w = wc.substring(wc.length - 1)
+          }
+        }
+        if (w.nonEmpty)
+          codes += (if (w.length == 1) w.charAt(0).toInt else dict.get(w).intValue())
+        codes += 257
+        val bos = new java.io.ByteArrayOutputStream()
+        var bitBuf = 0L; var bitCnt = 0; var width = 9
+        var dsize = 258; var prevSeen = false
+        codes.foreach { c =>
+          bitBuf = (bitBuf << width) | c; bitCnt += width
+          while (bitCnt >= 8) {
+            bos.write(((bitBuf >>> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8
+          }
+          if (c == 256) { dsize = 258; width = 9; prevSeen = false }
+          else if (c != 257) {
+            if (prevSeen && dsize < 4096) {
+              dsize += 1
+              if (dsize + 1 >= (1 << width) && width < 12) width += 1
+            }
+            prevSeen = true
+          }
+        }
+        if (bitCnt > 0) bos.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+        bos.toByteArray
+      }
+      val pdf7 = lit(("%PDF-1.2\n10 0 obj\n<< /Filter /LZWDecode >>\nstream\n"
+        .getBytes("ISO-8859-1")) ++
+        lzw("BT (lzw compressed stream) Tj ET".getBytes("ISO-8859-1")) ++
+        "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1"))
+      // PNG-predict rows (Sub first row, Up after) then deflate — the
+      // kernel must inflate AND de-predict (fixture construction)
+      def pngPredict(raw: Array[Byte], cols: Int): Array[Byte] = {
+        val rows = raw.length / cols
+        val out = new java.io.ByteArrayOutputStream()
+        (0 until rows).foreach { r =>
+          val ft = if (r == 0) 1 else 2
+          out.write(ft)
+          (0 until cols).foreach { i =>
+            val x = raw(r * cols + i) & 0xff
+            val pred =
+              if (ft == 1) (if (i > 0) raw(r * cols + i - 1) & 0xff else 0)
+              else raw((r - 1) * cols + i) & 0xff
+            out.write((x - pred) & 0xff)
+          }
+        }
+        out.toByteArray
+      }
+      def deflateBytes(x: Array[Byte]): Array[Byte] = {
+        val d = new java.util.zip.Deflater()
+        d.setInput(x); d.finish()
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        while (!d.finished()) { val m = d.deflate(buf); bos.write(buf, 0, m) }
+        d.end(); bos.toByteArray
+      }
+      val pngContent = "BT (predicted payload rows) Tj ET"
+        .padTo(40, ' ').getBytes("ISO-8859-1") // 5 rows of 8
+      val pdf8 = lit(("%PDF-1.7\n11 0 obj\n<< /Filter /FlateDecode " +
+        "/DecodeParms << /Predictor 12 /Columns 8 >> >>\nstream\n")
+        .getBytes("ISO-8859-1") ++
+        deflateBytes(pngPredict(pngContent, 8)) ++
+        "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1"))
+      // composite font: Resources → /FC → /ToUnicode CMap; the content
+      // hex string carries codes 0003 (bfchar → 'C'), 0004 (→ 'ID'), and
+      // 001d for d = doc_id%10 (bfrange <0010><0019> → 'a'..'j')
+      val cmapStream =
+        "begincmap\n1 begincodespacerange <0000> <FFFF> endcodespacerange\n" +
+          "2 beginbfchar <0003> <0043> <0004> <00490044> endbfchar\n" +
+          "1 beginbfrange <0010> <0019> <0061> endbfrange\nendcmap"
+      val pdf9 = concat(
+        lit(("%PDF-1.6\n" +
+          "1 0 obj\n<< /Type /Page /Resources << /Font << /FC 7 0 R >> >> >>\nendobj\n" +
+          "7 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 8 0 R >>\nendobj\n" +
+          s"8 0 obj\n<< /Length ${cmapStream.length} >>\nstream\n" + cmapStream +
+          "\nendstream\nendobj\n" +
+          "2 0 obj\n<< >>\nstream\nBT /FC 12 Tf <0003 0004 001").getBytes),
+        (col("doc_id") % 10).cast("string").cast("binary"),
+        lit("> Tj ET\nendstream\nendobj\n%%EOF\n".getBytes))
+      // TIFF horizontal differencing (Predictor 2, colors=1)
+      def tiffPredict(raw: Array[Byte], cols: Int): Array[Byte] = {
+        val rows = raw.length / cols
+        val out = new Array[Byte](rows * cols)
+        (0 until rows).foreach { r =>
+          (0 until cols).foreach { i =>
+            val x = raw(r * cols + i) & 0xff
+            val pred = if (i > 0) raw(r * cols + i - 1) & 0xff else 0
+            out(r * cols + i) = ((x - pred) & 0xff).toByte
+          }
+        }
+        out
+      }
+      val tiffContent = "BT (tiff differenced rows) Tj ET"
+        .padTo(40, ' ').getBytes("ISO-8859-1")
+      val pdf10 = lit(("%PDF-1.7\n12 0 obj\n<< /Filter /FlateDecode " +
+        "/DecodeParms << /Predictor 2 /Columns 8 >> >>\nstream\n")
+        .getBytes("ISO-8859-1") ++
+        deflateBytes(tiffPredict(tiffContent, 8)) ++
+        "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1"))
       val payload =
-        when(col("doc_id") % 7 === 0, pdf0)
-          .when(col("doc_id") % 7 === 1, pdf1)
-          .when(col("doc_id") % 7 === 2, pdf2)
-          .when(col("doc_id") % 7 === 3, pdf3)
-          .when(col("doc_id") % 7 === 5, pdf5)
-          .when(col("doc_id") % 7 === 6, pdf6)
+        when(col("doc_id") % 11 === 0, pdf0)
+          .when(col("doc_id") % 11 === 1, pdf1)
+          .when(col("doc_id") % 11 === 2, pdf2)
+          .when(col("doc_id") % 11 === 3, pdf3)
+          .when(col("doc_id") % 11 === 5, pdf5)
+          .when(col("doc_id") % 11 === 6, pdf6)
+          .when(col("doc_id") % 11 === 7, pdf7)
+          .when(col("doc_id") % 11 === 8, pdf8)
+          .when(col("doc_id") % 11 === 9, pdf9)
+          .when(col("doc_id") % 11 === 10, pdf10)
           .otherwise(lit("plain text, no PDF magic".getBytes))
       Multimodal.withPdfText(
         rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
         "payload")
         .select("doc_id", "pdf_text")
     }),
-    // PDF document metadata (the provenance screen): %5==0 an
+    // PDF document metadata (the provenance screen): %7==0 an
     // INCREMENTALLY-UPDATED document — two trailers, the LAST /Info
     // reference must win (obj 12's doc_id-derived values, never obj 9's
-    // stale ones) — with an escaped-paren producer; %5==1 a UTF-16BE
+    // stale ones) — with an escaped-paren producer; %7==1 a UTF-16BE
     // BOM'd hex title + hex author + an INDIRECT-reference producer
     // (→ NULL, the documented no-xref boundary) + an apostrophe-bearing
-    // timezone date; %5==2 no /Info at all (all NULL); %5==3 encrypted
-    // (all NULL); %5==4 non-PDF (all NULL). The oracle rebuilds the
-    // strings from arithmetic and literals.
+    // timezone date; %7==2 no /Info at all (all NULL); %7==3 encrypted
+    // (all NULL); %7==4 non-PDF (all NULL). Round-14 shapes: %7==5 the
+    // MODERN-WRITER layout — the Info dict lives inside a compressed
+    // /Type /ObjStm object stream (deflated driver-side; the member
+    // offset walk happens only on the Spark side); %7==6 an /Info ref
+    // whose object exists nowhere, raw or packed (all NULL). The oracle
+    // rebuilds the strings from arithmetic and literals.
     "mm_pdf_meta" -> ((s, dir) => {
       val ti = concat(lit("T"), lpad((col("doc_id") % 89).cast("string"), 4, "0"))
       val au = concat(lit("A"), lpad((col("doc_id") % 83).cast("string"), 4, "0"))
@@ -4078,11 +4205,36 @@ object SparkEntry {
         "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes)
       val pdf3 = lit(("%PDF-1.7\n3 0 obj\n<< /Title (secret) >>\nendobj\n" +
         "trailer\n<< /Info 3 0 R /Encrypt 9 0 R >>\n%%EOF\n").getBytes)
+      // ObjStm shape: two members packed in one Flate stream, the first
+      // (obj 20) the Info dict — modern writers compress /Info this way
+      // and the raw `N G obj` scan alone finds nothing
+      val objStm = {
+        val dict1 = "<< /Title (Packed title) /Producer (objstm-gen) >>"
+        val dict2 = "<< /Type /Catalog >>"
+        val header = s"20 0 30 ${dict1.length + 1}\n"
+        val body = (header + dict1 + "\n" + dict2).getBytes("ISO-8859-1")
+        val d = new java.util.zip.Deflater()
+        d.setInput(body); d.finish()
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        while (!d.finished()) { val m = d.deflate(buf); bos.write(buf, 0, m) }
+        d.end()
+        (s"%PDF-1.5\n21 0 obj\n<< /Type /ObjStm /N 2 /First ${header.length} " +
+          "/Filter /FlateDecode >>\nstream\n").getBytes("ISO-8859-1") ++
+          bos.toByteArray ++
+          ("\nendstream\nendobj\ntrailer\n<< /Root 1 0 R /Info 20 0 R >>\n" +
+            "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1")
+      }
+      val pdf5 = lit(objStm)
+      val pdf6 = lit(("%PDF-1.5\n1 0 obj\n<< /Type /Catalog >>\nendobj\n" +
+        "trailer\n<< /Root 1 0 R /Info 99 0 R >>\n%%EOF\n").getBytes)
       val payload =
-        when(col("doc_id") % 5 === 0, pdf0)
-          .when(col("doc_id") % 5 === 1, pdf1)
-          .when(col("doc_id") % 5 === 2, pdf2)
-          .when(col("doc_id") % 5 === 3, pdf3)
+        when(col("doc_id") % 7 === 0, pdf0)
+          .when(col("doc_id") % 7 === 1, pdf1)
+          .when(col("doc_id") % 7 === 2, pdf2)
+          .when(col("doc_id") % 7 === 3, pdf3)
+          .when(col("doc_id") % 7 === 5, pdf5)
+          .when(col("doc_id") % 7 === 6, pdf6)
           .otherwise(lit("not a pdf at all".getBytes))
       Multimodal.withPdfInfo(
         rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
@@ -8122,31 +8274,38 @@ object SparkEntry {
     // timezone syntax (doubled in SQL).
     "mm_pdf_meta" ->
       """SELECT doc_id,
-        |       CASE WHEN doc_id % 5 = 0
+        |       CASE WHEN doc_id % 7 = 0
         |              THEN 'T' || lpad(CAST(doc_id % 89 AS VARCHAR), 4, '0')
-        |            WHEN doc_id % 5 = 1 THEN 'P16' END AS pdf_title,
-        |       CASE WHEN doc_id % 5 = 0
+        |            WHEN doc_id % 7 = 1 THEN 'P16'
+        |            WHEN doc_id % 7 = 5 THEN 'Packed title' END AS pdf_title,
+        |       CASE WHEN doc_id % 7 = 0
         |              THEN 'A' || lpad(CAST(doc_id % 83 AS VARCHAR), 4, '0')
-        |            WHEN doc_id % 5 = 1 THEN 'HEXA' END AS pdf_author,
-        |       CASE WHEN doc_id % 5 = 0 THEN 'graftc' END AS pdf_creator,
-        |       CASE WHEN doc_id % 5 = 0 THEN 'graft (exporter)' END AS pdf_producer,
-        |       CASE WHEN doc_id % 5 = 0 THEN 'D:20260101000000Z'
-        |            WHEN doc_id % 5 = 1 THEN 'D:20251231235959+01''00'''
+        |            WHEN doc_id % 7 = 1 THEN 'HEXA' END AS pdf_author,
+        |       CASE WHEN doc_id % 7 = 0 THEN 'graftc' END AS pdf_creator,
+        |       CASE WHEN doc_id % 7 = 0 THEN 'graft (exporter)'
+        |            WHEN doc_id % 7 = 5 THEN 'objstm-gen' END AS pdf_producer,
+        |       CASE WHEN doc_id % 7 = 0 THEN 'D:20260101000000Z'
+        |            WHEN doc_id % 7 = 1 THEN 'D:20251231235959+01''00'''
         |       END AS pdf_created
         |FROM documents""".stripMargin,
-    // PDF text rebuilt from arithmetic + the fixed Flate literal; the
+    // PDF text rebuilt from arithmetic + the fixed literals; the
     // encrypted / image-only / non-PDF shapes are NULL. The byte walk,
-    // FlateDecode, escape handling, and hex-string decode happen only on
-    // the Spark side.
+    // Flate/LZW decodes, predictor undo, escape handling, hex-string
+    // decode, and ToUnicode CMap remap happen only on the Spark side.
     "mm_pdf_text" ->
       """SELECT doc_id,
-        |       CASE WHEN doc_id % 7 = 0
+        |       CASE WHEN doc_id % 11 = 0
         |              THEN 'Doc (P' || lpad(CAST(doc_id % 9973 AS VARCHAR), 4, '0')
         |                   || ')' || chr(10) || 'tail AB'
-        |            WHEN doc_id % 7 = 1
+        |            WHEN doc_id % 11 = 1
         |              THEN 'Compressed stream payload' || chr(10) || 'second line'
-        |            WHEN doc_id % 7 = 5 THEN 'hex encoded stream'
-        |            WHEN doc_id % 7 = 6 THEN 'chained transport'
+        |            WHEN doc_id % 11 = 5 THEN 'hex encoded stream'
+        |            WHEN doc_id % 11 = 6 THEN 'chained transport'
+        |            WHEN doc_id % 11 = 7 THEN 'lzw compressed stream'
+        |            WHEN doc_id % 11 = 8 THEN 'predicted payload rows'
+        |            WHEN doc_id % 11 = 9
+        |              THEN 'CID' || chr(CAST(97 + doc_id % 10 AS INTEGER))
+        |            WHEN doc_id % 11 = 10 THEN 'tiff differenced rows'
         |       END AS pdf_text
         |FROM documents""".stripMargin,
     // Camera tags rebuilt from arithmetic; NULL software on %4==2, all
