@@ -676,6 +676,74 @@ object SparkEntry {
       Bpe.loadGpt2Vocab(d.resolve("vocab.json").toString))
   }
 
+  /** The tiktoken-format fixture (GPT-4-family rank files): every single
+    * byte at rank = byte value (the cl100k shape) plus 15 multi-byte
+    * tokens, written verbatim as `base64(bytes) rank` lines and loaded
+    * through the PRODUCTION parser ([[Bpe.loadTiktoken]]) — the base64
+    * decode, merge-table RECOVERY from ranks, and byte-alphabet mapping
+    * are what the queries exercise, not a hand-built model. */
+  private lazy val tiktokenExternal: (Bpe.BpeModel, Seq[(String, Int)]) = {
+    val d = java.nio.file.Files.createTempDirectory("graft_tiktoken")
+    def b64(s: String): String =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("ISO-8859-1"))
+    val singles = (0 until 256).map(b =>
+      java.util.Base64.getEncoder.encodeToString(Array(b.toByte)) + s" $b")
+    val multis = Seq(
+      b64("th") + " 256", b64("in") + " 257", b64("an") + " 258",
+      b64("re") + " 259", b64(" t") + " 260", b64(" a") + " 261",
+      b64("the") + " 262", b64(" th") + " 263", b64(" the") + " 264",
+      b64("ing") + " 265", b64("and") + " 266", b64("er") + " 267",
+      b64("on") + " 268", b64("en") + " 269", b64("ou") + " 270")
+    java.nio.file.Files.writeString(d.resolve("ranks.tiktoken"),
+      (singles ++ multis).mkString("\n") + "\n")
+    Bpe.loadTiktoken(d.resolve("ranks.tiktoken").toString)
+  }
+
+  /** The SentencePiece fixture: a hand-assembled binary ModelProto
+    * (<unk> + '▁' + a–z + 18 BPE-trained pieces + one BYTE piece, with
+    * decoy proto fields the walk must skip) loaded through the
+    * PRODUCTION parser ([[Bpe.loadSentencePiece]]) and converted to a
+    * merge table by [[Bpe.sentencePieceModel]]'s rank recovery. The
+    * vocab ids are piece INDEXES — the model's token-id convention. */
+  private lazy val spExternal: (Bpe.BpeModel, Seq[(String, Int)]) = {
+    val W = "▁" // '▁', SP's word-boundary marker
+    def buildModel(pieces: Seq[(String, Float, Int)]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def varint(o: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+        var v = v0
+        while ((v & ~0x7fL) != 0) { o.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+        o.write(v.toInt)
+      }
+      pieces.foreach { case (p, s, k) =>
+        val inner = new java.io.ByteArrayOutputStream()
+        val pb = p.getBytes("UTF-8")
+        inner.write(0x0A); varint(inner, pb.length); inner.write(pb)
+        inner.write(0x15)
+        val bits = java.lang.Float.floatToIntBits(s)
+        inner.write(bits & 0xff); inner.write((bits >> 8) & 0xff)
+        inner.write((bits >> 16) & 0xff); inner.write((bits >> 24) & 0xff)
+        if (k != 1) { inner.write(0x18); varint(inner, k) }
+        bos.write(0x0A); varint(bos, inner.size); inner.writeTo(bos)
+      }
+      bos.write(0x12); varint(bos, 3); bos.write(Array[Byte](1, 2, 3)) // decoy
+      bos.toByteArray
+    }
+    val pieces: Seq[(String, Float, Int)] =
+      Seq(("<unk>", 0f, 2), (W, -1f, 1)) ++
+        ('a' to 'z').zipWithIndex.map { case (c, i) => (c.toString, -2f - i, 1) } ++
+        Seq("th", "in", "an", "er", "on", "en", "re", "ou",
+          s"${W}t", s"${W}a", s"${W}s", s"${W}w", s"${W}o",
+          s"${W}th", s"${W}the", s"${W}an", s"${W}and", "ing")
+          .zipWithIndex.map { case (p, i) => (p, -30f - i, 1) } ++
+        Seq(("<0x41>", 0f, 6))
+    val d = java.nio.file.Files.createTempDirectory("graft_sp")
+    val mp = d.resolve("sp.model")
+    java.nio.file.Files.write(mp, buildModel(pieces))
+    val loaded = Bpe.loadSentencePiece(mp.toString)
+    (Bpe.sentencePieceModel(loaded),
+      loaded.zipWithIndex.map { case (p, i) => (p.piece, i) })
+  }
+
   /** events.parquet's ts encoding is generation-dependent: older drops
     * store TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects — with spark.sql.legacy.parquet.nanosAsLong=
@@ -1128,10 +1196,10 @@ object SparkEntry {
     * aggregated in order), so the oracle recomputes the 'Ġ' encoding
     * without knowing the table; the replace chain then runs over the
     * text_bpe_ext_merges dump. Ends in `btoks` like its siblings. */
-  private val bpeExtReplayCte = {
+  private def bpeExtReplayCteFor(mergesTable: String) = {
     val pat = graft.ops.Bpe.Gpt2PretokPattern.replace("'", "''")
     s"""m AS (SELECT CAST(rank AS INTEGER) AS r, a, b
-       |      FROM read_parquet('{GRAFT_OUT}/text_bpe_ext_merges/*.parquet')),
+       |      FROM read_parquet('{GRAFT_OUT}/$mergesTable/*.parquet')),
        |nm AS (SELECT count(*) AS n FROM m),
        |bmap AS (SELECT byte_hex, mapped
        |         FROM read_parquet('{GRAFT_OUT}/text_bpe_ext_bytemap/*.parquet')),
@@ -1169,6 +1237,50 @@ object SparkEntry {
        |                        x -> x <> '') AS toks
        |          FROM fin)""".stripMargin
   }
+
+  private val bpeExtReplayCte = bpeExtReplayCteFor("text_bpe_ext_merges")
+
+  /** [[bpeExtReplayCteFor]] over the tiktoken import's RECOVERED merge
+    * dump — pre-split, byte mapping, and replace chain are identical to
+    * the GPT-2 external path (the byte map rides the shared
+    * text_bpe_ext_bytemap dump); only the merge table differs. */
+  private val bpeTkReplayCte = bpeExtReplayCteFor("text_bpe_tk_merges")
+
+  /** [[bpeReplayCte]] for the SentencePiece import: e0 is the '▁'
+    * preprocessing (space → ▁ plus the dummy prefix) encoded character
+    * by character — NO byte alphabet and NO regex pre-split, SP's
+    * convention — and the replace chain runs over the recovered-merge
+    * dump. Ends in `btoks` like its siblings. */
+  private val bpeSpReplayCte =
+    """m AS (SELECT CAST(rank AS INTEGER) AS r, a, b
+      |      FROM read_parquet('{GRAFT_OUT}/text_bpe_sp_merges/*.parquet')),
+      |nm AS (SELECT count(*) AS n FROM m),
+      |e0 AS (SELECT doc_id,
+      |         CASE WHEN t IS NULL OR len(t) = 0 THEN ''
+      |              ELSE chr(31)||chr(31)||
+      |                   array_to_string([substr(t, i, 1)
+      |                                    FOR i IN range(1, len(t)+1)],
+      |                                   chr(31)||chr(31)) ||
+      |                   chr(31)||chr(31) END AS e
+      |       FROM (SELECT doc_id,
+      |               CASE WHEN text IS NULL OR len(text) = 0 THEN ''
+      |                    ELSE chr(9601) ||
+      |                         replace(replace(text, chr(31), ''), ' ', chr(9601))
+      |               END AS t
+      |             FROM documents)),
+      |st AS (
+      |  SELECT doc_id, e, 0 AS r FROM e0
+      |  UNION ALL
+      |  SELECT s.doc_id,
+      |         replace(s.e, chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31),
+      |                      chr(31)||m.a||m.b||chr(31)),
+      |         s.r + 1
+      |  FROM st s JOIN m ON m.r = s.r),
+      |fin AS (SELECT doc_id, e FROM st WHERE r = (SELECT n FROM nm)),
+      |btoks AS (SELECT doc_id,
+      |            list_filter(string_split(trim(e, chr(31)), chr(31)||chr(31)),
+      |                        x -> x <> '') AS toks
+      |          FROM fin)""".stripMargin
 
   /** Shared CTE suffix of the IVF-PQ PRODUCT oracles, composed ON TOP of
     * [[ivfPqCodesCte]] (which supplies `sc` = id/cell/res and `cent`):
@@ -3157,6 +3269,80 @@ object SparkEntry {
         Bpe.bpeTokenCount(
           rt(s, dir, "documents").select("doc_id", "text"), "text",
           gpt2External._1, pretok = Some(Bpe.Gpt2PretokPattern),
+          byteLevel = true)
+          .select("doc_id", "n_bpe"),
+        "doc_id", "n_bpe", budget = 20000L, numBuckets = 8)),
+    // tiktoken-format import (GPT-4-family rank files): the merge table
+    // is RECOVERED from ranks (each multi-byte token's minimal-max-rank
+    // split), so the dump IS the recovery's output — the oracle replays
+    // tokenization over it byte-for-byte. Vocab ids are the real ranks.
+    "text_bpe_tk_merges" -> ((s, dir) => {
+      import s.implicits._
+      tiktokenExternal._1.merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("rank", "a", "b")
+    }),
+    "text_bpe_tk_vocab" -> ((s, dir) => {
+      import s.implicits._
+      tiktokenExternal._2.toDF("token", "id")
+        .select(col("token"), col("id").cast("int").as("id"))
+    }),
+    // Tokenization under the imported tiktoken ranks, applied exactly
+    // like text_bpe_external (GPT-2 pre-split, byte alphabet, merges in
+    // rank order — the greedy lowest-rank-pair equivalence): n_bpe +
+    // joined tokens + REAL ids (every byte has a rank, so no UNKs — the
+    // id probe must hit for every token).
+    "text_bpe_tiktoken" -> ((s, dir) => {
+      val (model, vocab) = tiktokenExternal
+      val vmap = typedLit(vocab.toMap)
+      rt(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("__t", Bpe.bpeTokens(s, col("text"), model,
+          pretok = Some(Bpe.Gpt2PretokPattern), byteLevel = true))
+        .select(col("doc_id"),
+          size(col("__t")).as("n_bpe"),
+          array_join(col("__t"), Bpe.Sep).as("bpe_joined"),
+          array_join(
+            transform(col("__t"),
+              t => coalesce(element_at(vmap, t), lit(-1)).cast("string")),
+            ",").as("ids_joined"))
+    }),
+    // SentencePiece import: pieces parsed from the binary model proto,
+    // merges recovered from piece order, text preprocessed with the '▁'
+    // word-boundary convention (space → ▁, dummy prefix), CHARACTER-level
+    // merges (no byte alphabet). Ids are piece indexes with real UNKs
+    // (capitals/digits/punctuation are not in the fixture's pieces).
+    "text_bpe_sp_merges" -> ((s, dir) => {
+      import s.implicits._
+      spExternal._1.merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("rank", "a", "b")
+    }),
+    "text_bpe_sp_vocab" -> ((s, dir) => {
+      import s.implicits._
+      spExternal._2.toDF("token", "id")
+        .select(col("token"), col("id").cast("int").as("id"))
+    }),
+    "text_bpe_sp" -> ((s, dir) => {
+      val (model, vocab) = spExternal
+      val vmap = typedLit(vocab.toMap)
+      rt(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("__t",
+          Bpe.bpeTokens(s, Bpe.spPretokEncode(col("text")), model))
+        .select(col("doc_id"),
+          size(col("__t")).as("n_bpe"),
+          array_join(col("__t"), Bpe.Sep).as("bpe_joined"),
+          array_join(
+            transform(col("__t"),
+              t => coalesce(element_at(vmap, t), lit(-1)).cast("string")),
+            ",").as("ids_joined"))
+    }),
+    // Token budgeting with the GPT-4-family tokenizer's own counts — the
+    // production "first N tokens" cut under an imported rank file.
+    "sample_token_budget_tk" -> ((s, dir) =>
+      Sampling.sampleTokenBudget(
+        Bpe.bpeTokenCount(
+          rt(s, dir, "documents").select("doc_id", "text"), "text",
+          tiktokenExternal._1, pretok = Some(Bpe.Gpt2PretokPattern),
           byteLevel = true)
           .select("doc_id", "n_bpe"),
         "doc_id", "n_bpe", budget = 20000L, numBuckets = 8)),
@@ -6942,6 +7128,63 @@ object SparkEntry {
          |       array_to_string(b.toks, chr(31)) AS bpe_joined,
          |       COALESCE(i.ids_joined, '') AS ids_joined
          |FROM btoks b LEFT JOIN ids i USING (doc_id)""".stripMargin,
+    // tiktoken replay: the same byte-level pre-split + replace chain,
+    // reading the RECOVERED merge dump and the rank vocab — the base64
+    // parse, rank→merge recovery, and id probe all must agree.
+    "text_bpe_tiktoken" ->
+      s"""WITH RECURSIVE $bpeTkReplayCte,
+         |v AS (SELECT token, id
+         |      FROM read_parquet('{GRAFT_OUT}/text_bpe_tk_vocab/*.parquet')),
+         |tt AS (SELECT doc_id, generate_subscripts(toks, 1) AS ti,
+         |              unnest(toks) AS t
+         |       FROM btoks),
+         |ids AS (SELECT doc_id,
+         |          string_agg(CAST(COALESCE(v.id, -1) AS VARCHAR), ','
+         |                     ORDER BY ti) AS ids_joined
+         |        FROM tt LEFT JOIN v ON v.token = tt.t
+         |        GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(len(b.toks) AS INTEGER) AS n_bpe,
+         |       array_to_string(b.toks, chr(31)) AS bpe_joined,
+         |       COALESCE(i.ids_joined, '') AS ids_joined
+         |FROM btoks b LEFT JOIN ids i USING (doc_id)""".stripMargin,
+    // SentencePiece replay: '▁' preprocessing + character-level replace
+    // chain over the recovered merges, ids = piece indexes with UNK −1.
+    "text_bpe_sp" ->
+      s"""WITH RECURSIVE $bpeSpReplayCte,
+         |v AS (SELECT token, id
+         |      FROM read_parquet('{GRAFT_OUT}/text_bpe_sp_vocab/*.parquet')),
+         |tt AS (SELECT doc_id, generate_subscripts(toks, 1) AS ti,
+         |              unnest(toks) AS t
+         |       FROM btoks),
+         |ids AS (SELECT doc_id,
+         |          string_agg(CAST(COALESCE(v.id, -1) AS VARCHAR), ','
+         |                     ORDER BY ti) AS ids_joined
+         |        FROM tt LEFT JOIN v ON v.token = tt.t
+         |        GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(len(b.toks) AS INTEGER) AS n_bpe,
+         |       array_to_string(b.toks, chr(31)) AS bpe_joined,
+         |       COALESCE(i.ids_joined, '') AS ids_joined
+         |FROM btoks b LEFT JOIN ids i USING (doc_id)""".stripMargin,
+    // The budget replay under the tiktoken import's counts.
+    "sample_token_budget_tk" ->
+      s"""WITH RECURSIVE $bpeTkReplayCte,
+         |t AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_bpe FROM btoks),
+         |h AS (SELECT doc_id, n_bpe,
+         |        (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS hh
+         |      FROM t WHERE n_bpe > 0),
+         |c AS (SELECT doc_id, n_bpe, hh % 8 AS bkt,
+         |        CAST(sum(n_bpe) OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id
+         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM h),
+         |tot AS (SELECT bkt, CAST(sum(n_bpe) AS BIGINT) AS tot
+         |        FROM h, LATERAL (SELECT hh % 8 AS bkt) GROUP BY bkt),
+         |off AS (SELECT bkt,
+         |          CAST(COALESCE(sum(tot) OVER (ORDER BY bkt
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |        FROM tot)
+         |SELECT c.doc_id, c.n_bpe
+         |FROM c JOIN off USING (bkt)
+         |WHERE off.off + c.cum <= 20000""".stripMargin,
     // The budget replay under the external tokenizer's counts.
     "sample_token_budget_gpt2" ->
       s"""WITH RECURSIVE $bpeExtReplayCte,

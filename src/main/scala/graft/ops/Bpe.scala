@@ -221,6 +221,228 @@ object Bpe {
     }
   }
 
+  /** Load a tiktoken rank file (the `.tiktoken` format GPT-4-family
+    * tokenizers ship: one `base64(token_bytes) rank` per line) into the
+    * merge machinery: returns the [[BpeModel]] (apply with
+    * `byteLevel = true` — ranks are over raw bytes, mapped here into the
+    * shared GPT-2 byte alphabet) and the (token, rank) vocabulary for
+    * [[encodeIds]]-style id probes, sorted by rank.
+    *
+    * The file carries RANKS, not merges — the merge table is recovered:
+    * each multi-byte token of rank r splits into the two lower-rank
+    * tokens minimizing max(rank(a), rank(b)) (the standard BPE-history
+    * reconstruction; for a vocabulary produced by byte-pair training the
+    * minimizing split IS the training-time merge). A multi-byte token
+    * with NO lower-rank split is a LOUD error — special tokens live in a
+    * separate table in this format, so an unreachable token means a
+    * corrupt file, and silently skipping it would shift the greedy merge
+    * order for every text containing it. Duplicate ranks and malformed
+    * lines are loud too. */
+  def loadTiktoken(path: String): (BpeModel, Seq[(String, Int)]) = {
+    val alpha = graft.functions.BpeBytes.Alphabet
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    val entries =
+      try {
+        src.getLines().zipWithIndex.flatMap { case (raw, i) =>
+          val line = raw.stripLineEnd
+          if (line.isEmpty) None
+          else line.split(" ", -1) match {
+            case Array(b64, rankStr) if b64.nonEmpty =>
+              val bytes =
+                try java.util.Base64.getDecoder.decode(b64)
+                catch {
+                  case _: IllegalArgumentException =>
+                    throw graft.errors.FeatureFactoryException.InvalidParameter(
+                      s"loadTiktoken: line ${i + 1}: bad base64 '$b64'")
+                }
+              val rank =
+                try rankStr.toInt
+                catch {
+                  case _: NumberFormatException =>
+                    throw graft.errors.FeatureFactoryException.InvalidParameter(
+                      s"loadTiktoken: line ${i + 1}: bad rank '$rankStr'")
+                }
+              Some((bytes.map(b => alpha(b & 0xff)).mkString, rank))
+            case _ =>
+              throw graft.errors.FeatureFactoryException.InvalidParameter(
+                s"loadTiktoken: malformed line ${i + 1}: '$line'")
+          }
+        }.toList
+      } finally src.close()
+    val rankOf = new java.util.HashMap[String, Integer](entries.size * 2)
+    entries.foreach { case (tok, r) =>
+      val prev = rankOf.put(tok, Integer.valueOf(r))
+      if (prev != null)
+        throw graft.errors.FeatureFactoryException.InvalidParameter(
+          s"loadTiktoken: token '$tok' appears twice (ranks $prev and $r)")
+    }
+    val byRank = entries.sortBy(_._2)
+    val merges = byRank.flatMap { case (tok, r) =>
+      if (tok.length < 2) None
+      else {
+        var best: (String, String) = null
+        var bestMax = Int.MaxValue
+        var i = 1
+        while (i < tok.length) {
+          val a = tok.substring(0, i)
+          val b = tok.substring(i)
+          val ra = rankOf.get(a)
+          val rb = rankOf.get(b)
+          if (ra != null && rb != null && ra < r && rb < r) {
+            val mx = math.max(ra.intValue(), rb.intValue())
+            if (mx < bestMax) { bestMax = mx; best = (a, b) }
+          }
+          i += 1
+        }
+        if (best == null)
+          throw graft.errors.FeatureFactoryException.InvalidParameter(
+            s"loadTiktoken: rank-$r token has no lower-rank split — " +
+              "corrupt rank file (specials belong in their own table)")
+        Some(best)
+      }
+    }
+    (BpeModel(merges), byRank)
+  }
+
+  /** One SentencePiece vocabulary entry: the piece string, its score,
+    * and the proto `type` enum (1 = NORMAL, 2 = UNKNOWN, 3 = CONTROL,
+    * 4 = USER_DEFINED, 5 = UNUSED, 6 = BYTE). */
+  final case class SpPiece(piece: String, score: Float, kind: Int)
+
+  /** Load a SentencePiece `.model` file (a binary protobuf ModelProto)
+    * WITHOUT a protobuf library: a minimal wire-format walk reads the
+    * repeated `pieces` field (#1) and, inside each, `piece` (#1, string),
+    * `score` (#2, float32) and `type` (#3, enum; absent = NORMAL);
+    * every other field at either level is skipped by wire type. Order is
+    * preserved — piece index IS the model's token id. Truncated or
+    * non-protobuf bytes are a LOUD error, never a silent empty vocab. */
+  def loadSentencePiece(path: String): Seq[SpPiece] = {
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    def fail(msg: String): Nothing =
+      throw graft.errors.FeatureFactoryException.InvalidParameter(
+        s"loadSentencePiece($path): $msg")
+    // (value, next) of a varint at i
+    def varint(i0: Int): (Long, Int) = {
+      var v = 0L; var shift = 0; var i = i0
+      while (i < b.length && shift <= 63) {
+        val x = b(i) & 0xff
+        v |= (x & 0x7fL) << shift
+        i += 1
+        if ((x & 0x80) == 0) return (v, i)
+        shift += 7
+      }
+      fail(s"truncated varint at byte $i0")
+    }
+    def skipField(wire: Int, i: Int): Int = wire match {
+      case 0 => varint(i)._2
+      case 1 => i + 8
+      case 2 => val (len, j) = varint(i); j + len.toInt
+      case 5 => i + 4
+      case w => fail(s"unsupported wire type $w at byte $i")
+    }
+    def parsePiece(start: Int, end: Int): SpPiece = {
+      var piece: String = null
+      var score = 0.0f
+      var kind = 1 // proto3 default when absent: NORMAL
+      var i = start
+      while (i < end) {
+        val (key, j) = varint(i)
+        val field = (key >>> 3).toInt
+        val wire = (key & 7).toInt
+        (field, wire) match {
+          case (1, 2) =>
+            val (len, k) = varint(j)
+            val e = k + len.toInt
+            if (e > end) fail(s"piece string overruns its message at byte $k")
+            piece = new String(b, k, len.toInt,
+              java.nio.charset.StandardCharsets.UTF_8)
+            i = e
+          case (2, 5) =>
+            if (j + 4 > end) fail(s"truncated score at byte $j")
+            score = java.lang.Float.intBitsToFloat(
+              (b(j) & 0xff) | ((b(j + 1) & 0xff) << 8) |
+                ((b(j + 2) & 0xff) << 16) | ((b(j + 3) & 0xff) << 24))
+            i = j + 4
+          case (3, 0) =>
+            val (v, k) = varint(j); kind = v.toInt; i = k
+          case _ => i = skipField(wire, j)
+        }
+      }
+      if (piece == null) fail("a SentencePiece message without a piece string")
+      SpPiece(piece, score, kind)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[SpPiece]
+    var i = 0
+    while (i < b.length) {
+      val (key, j) = varint(i)
+      val field = (key >>> 3).toInt
+      val wire = (key & 7).toInt
+      if (field == 1 && wire == 2) {
+        val (len, k) = varint(j)
+        val e = k + len.toInt
+        if (e > b.length) fail(s"pieces message overruns the file at byte $k")
+        out += parsePiece(k, e)
+        i = e
+      } else i = skipField(wire, j)
+    }
+    if (out.isEmpty) fail("no pieces found — not a SentencePiece model")
+    out.toSeq
+  }
+
+  /** Merge table of a BPE-trained SentencePiece model: NORMAL pieces in
+    * index order are the rank order (SP's BPE trainer scores merged
+    * pieces by creation order), and each multi-char piece splits into
+    * the two lower-index pieces minimizing the max index — the same
+    * reconstruction [[loadTiktoken]] uses. Pieces are CHARACTER-level
+    * over SP's '▁' word-boundary alphabet: apply with [[spPretokEncode]]
+    * and `byteLevel = false`. CONTROL/UNKNOWN/BYTE pieces never join the
+    * merge table; a NORMAL multi-char piece with no split is loud. */
+  def sentencePieceModel(pieces: Seq[SpPiece]): BpeModel = {
+    val normal = pieces.zipWithIndex.filter(_._1.kind == 1)
+    val rankOf = new java.util.HashMap[String, Integer](normal.size * 2)
+    normal.foreach { case (p, i) => rankOf.putIfAbsent(p.piece, Integer.valueOf(i)) }
+    val merges = normal.flatMap { case (p, r) =>
+      val tok = p.piece
+      if (tok.codePointCount(0, tok.length) < 2) None
+      else {
+        var best: (String, String) = null
+        var bestMax = Int.MaxValue
+        var i = 1
+        while (i < tok.length) {
+          if (!Character.isLowSurrogate(tok.charAt(i))) {
+            val a = tok.substring(0, i)
+            val b = tok.substring(i)
+            val ra = rankOf.get(a)
+            val rb = rankOf.get(b)
+            if (ra != null && rb != null && ra < r && rb < r) {
+              val mx = math.max(ra.intValue(), rb.intValue())
+              if (mx < bestMax) { bestMax = mx; best = (a, b) }
+            }
+          }
+          i += 1
+        }
+        if (best == null)
+          throw graft.errors.FeatureFactoryException.InvalidParameter(
+            s"sentencePieceModel: piece '$tok' (index $r) has no " +
+              "lower-index split — not a BPE-trained model (unigram " +
+              "models carry no merge history)")
+        Some(best)
+      }
+    }
+    BpeModel(merges)
+  }
+
+  /** SentencePiece's input normalization for [[sentencePieceModel]]
+    * tables: spaces become '▁' (U+2581) and a dummy '▁' prefixes the
+    * text (add_dummy_prefix, the trainer default) — so '▁the' tokenizes
+    * identically at sentence start and after a space. One narrow
+    * projection; NULL text → empty string (the tokenizer convention). */
+  def spPretokEncode(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    when(length(t) === 0, lit(""))
+      .otherwise(concat(lit("▁"), translate(t, " ", "▁")))
+  }
+
   /** BPE token array of `text` under `model` — native kernel when available,
     * else the REPLACE-chain fallback (≤ [[MaxFallbackMerges]] merges).
     * `pretok = Some(pattern)` switches to regex-pre-tokenized mode

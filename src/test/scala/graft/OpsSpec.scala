@@ -2698,6 +2698,115 @@ class OpsSpec extends SparkSpec {
     fb shouldBe got
   }
 
+  test("Bpe.loadTiktoken: rank file parse, merge recovery, byteLevel tokens agree with greedy") {
+    val G = "Ġ" // byte 0x20 in the shared byte alphabet
+    val d = java.nio.file.Files.createTempDirectory("tiktoken_test")
+    def b64(s: String): String =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("ISO-8859-1"))
+    // cl100k shape: every single byte at rank = byte value, then merges
+    val singles = (0 until 256).map(b =>
+      java.util.Base64.getEncoder.encodeToString(Array(b.toByte)) + s" $b")
+    val multis = Seq(
+      b64("in") + " 256", b64("an") + " 257", b64(" a") + " 258",
+      b64("and") + " 259", b64("ing") + " 260")
+    java.nio.file.Files.writeString(d.resolve("ranks.tiktoken"),
+      (singles ++ multis).mkString("\n") + "\n")
+    val (m, vocab) = Bpe.loadTiktoken(d.resolve("ranks.tiktoken").toString)
+    // recovered merges, in rank order, over the byte alphabet
+    m.merges shouldBe Seq(("i", "n"), ("a", "n"), (G, "a"), ("an", "d"), ("in", "g"))
+    vocab.size shouldBe 261
+    vocab.take(2) shouldBe Seq("Ā" -> 0, "ā" -> 1) // bytes 0, 1 → U+0100, U+0101
+    vocab.last shouldBe ("ing" -> 260)
+    // application matches tiktoken's greedy lowest-rank-pair semantics
+    val toks = Bpe.bpeTokens(spark, lit(" and inking"), m,
+      pretok = Some(Bpe.Gpt2PretokPattern), byteLevel = true)
+    Seq(Tuple1(1)).toDF("x").select(toks.as("t")).head().getSeq[String](0) shouldBe
+      Seq(G, "and", G, "in", "k", "ing")
+    // a multi-byte token with no lower-rank split is LOUD (corrupt file)
+    java.nio.file.Files.writeString(d.resolve("bad.tiktoken"), b64("ab") + " 0\n")
+    val e1 = intercept[Exception](
+      Bpe.loadTiktoken(d.resolve("bad.tiktoken").toString))
+    e1.getMessage should include("no lower-rank split")
+    // duplicate tokens and malformed lines are loud too
+    java.nio.file.Files.writeString(d.resolve("dup.tiktoken"),
+      b64("a") + " 0\n" + b64("a") + " 1\n")
+    intercept[Exception](
+      Bpe.loadTiktoken(d.resolve("dup.tiktoken").toString))
+      .getMessage should include("appears twice")
+    java.nio.file.Files.writeString(d.resolve("mal.tiktoken"), "notbase64&& x\n")
+    an[Exception] should be thrownBy
+      Bpe.loadTiktoken(d.resolve("mal.tiktoken").toString)
+  }
+
+  test("Bpe.loadSentencePiece: protobuf walk, BPE merge recovery, ▁ preprocessing") {
+    val W = "▁" // '▁', SP's word-boundary marker
+    // hand-built ModelProto: repeated field-1 SentencePiece messages
+    // (piece=1 string, score=2 float, type=3 enum), plus decoy fields at
+    // both levels that the walk must skip by wire type
+    def buildModel(pieces: Seq[(String, Float, Int)]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def varint(o: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+        var v = v0
+        while ((v & ~0x7fL) != 0) { o.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+        o.write(v.toInt)
+      }
+      pieces.foreach { case (p, s, k) =>
+        val inner = new java.io.ByteArrayOutputStream()
+        val pb = p.getBytes("UTF-8")
+        inner.write(0x0A); varint(inner, pb.length); inner.write(pb)
+        inner.write(0x15) // field 2, fixed32
+        val bits = java.lang.Float.floatToIntBits(s)
+        inner.write(bits & 0xff); inner.write((bits >> 8) & 0xff)
+        inner.write((bits >> 16) & 0xff); inner.write((bits >> 24) & 0xff)
+        if (k != 1) { inner.write(0x18); varint(inner, k) } // absent = NORMAL
+        inner.write(0x28); varint(inner, 7L) // decoy inner varint field 5
+        bos.write(0x0A); varint(bos, inner.size); inner.writeTo(bos)
+      }
+      // decoy top-level field 2 (trainer_spec), wire 2
+      bos.write(0x12); varint(bos, 3); bos.write(Array[Byte](1, 2, 3))
+      bos.toByteArray
+    }
+    val pieces = Seq(
+      ("<unk>", 0f, 2), (W, -1f, 1), ("a", -2f, 1), ("n", -3f, 1),
+      ("d", -4f, 1), ("t", -5f, 1), ("h", -6f, 1), ("e", -7f, 1),
+      ("an", -8f, 1), ("and", -9f, 1), (s"${W}t", -10f, 1), ("th", -11f, 1),
+      (s"${W}th", -12f, 1), (s"${W}the", -13f, 1), ("<0x41>", 0f, 6))
+    val d = java.nio.file.Files.createTempDirectory("sp_test")
+    val mp = d.resolve("sp.model")
+    java.nio.file.Files.write(mp, buildModel(pieces))
+    val loaded = Bpe.loadSentencePiece(mp.toString)
+    loaded.size shouldBe 15
+    loaded(0) shouldBe Bpe.SpPiece("<unk>", 0f, 2)
+    loaded(1) shouldBe Bpe.SpPiece(W, -1f, 1)
+    loaded(14).kind shouldBe 6 // BYTE piece carried through
+    // merge recovery: index order, minimizing the max parent index —
+    // '▁th' must split (▁t, h), not (▁, th)
+    val m = Bpe.sentencePieceModel(loaded)
+    m.merges shouldBe Seq(("a", "n"), ("an", "d"), (W, "t"), ("t", "h"),
+      (s"${W}t", "h"), (s"${W}th", "e"))
+    // ▁ preprocessing + merge application: "the and" → [▁the, ▁, and]
+    val toks = Bpe.bpeTokens(spark, Bpe.spPretokEncode(lit("the and")), m)
+    Seq(Tuple1(1)).toDF("x").select(toks.as("t")).head().getSeq[String](0) shouldBe
+      Seq(s"${W}the", W, "and")
+    // NULL text → no tokens (the tokenizer convention)
+    val nullToks = Bpe.bpeTokens(spark,
+      Bpe.spPretokEncode(lit(null).cast("string")), m)
+    Seq(Tuple1(1)).toDF("x").select(nullToks.as("t")).head().getSeq[String](0) shouldBe
+      Seq.empty
+    // a unigram model (no merge history) is LOUD, not silently wrong
+    val uni = Seq(("<unk>", 0f, 2), ("a", -1f, 1), ("xyz", -2f, 1))
+    val up = d.resolve("uni.model")
+    java.nio.file.Files.write(up, buildModel(uni))
+    intercept[Exception](
+      Bpe.sentencePieceModel(Bpe.loadSentencePiece(up.toString)))
+      .getMessage should include("no lower-index split")
+    // truncated bytes are loud, never an empty vocab
+    java.nio.file.Files.write(d.resolve("torn.model"),
+      buildModel(pieces).dropRight(9))
+    an[Exception] should be thrownBy
+      Bpe.loadSentencePiece(d.resolve("torn.model").toString)
+  }
+
   test("vocabOf/encodeIds: deterministic ids, alphabet-first, UNK for unseen code points") {
     val model = Bpe.BpeModel(Seq(("a", "b"), ("ab", "c"), ("a", "b"))) // dup product
     val vocab = Bpe.vocabOf(model, Seq("c", "a", "b", "a")) // unsorted, dup input

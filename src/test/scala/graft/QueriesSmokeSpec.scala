@@ -205,6 +205,12 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_bpe_external" -> 0, "text_bpe_ext_merges" -> 0,
     "text_bpe_ext_bytemap" -> 0, "text_bpe_ext_vocab" -> 0,
     "sample_token_budget_gpt2" -> 1,
+    // tiktoken / SentencePiece imports follow the same shapes: pure
+    // narrow tokenization, driver-frame dumps, one bucket exchange
+    "text_bpe_tiktoken" -> 0, "text_bpe_tk_merges" -> 0,
+    "text_bpe_tk_vocab" -> 0,
+    "text_bpe_sp" -> 0, "text_bpe_sp_merges" -> 0, "text_bpe_sp_vocab" -> 0,
+    "sample_token_budget_tk" -> 1,
     // one (group, bucket) shuffle — the group rides the same window
     "sample_token_budget_group" -> 1,
     "sample_upsample" -> 0, // pure narrow projection + generator
