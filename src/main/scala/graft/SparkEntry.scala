@@ -4592,7 +4592,12 @@ object SparkEntry {
     // III 128 kbps stream (declared-bitrate math over the byte span); an
     // ID3v2-PREFIXED CBR MPEG2 Layer III mono 32 kbps stream (syncsafe
     // tag skip + the 4+9 mono offset probing non-Xing bytes); and an ID3
-    // tag whose declared size runs past the payload → NULL.
+    // tag whose declared size runs past the payload → NULL. Round-14
+    // shapes: %8==4 a FLAC STREAMINFO (packed 20-bit rate + 36-bit
+    // total-sample fields, doc_id-varying count); %8==5 an Ogg VORBIS
+    // pair of pages (id-header rate, doc_id-varying end granule); %8==6
+    // an Ogg OPUS stream (48 kHz granule clock, pre-skip 312 subtracted);
+    // %8==7 a FLAC whose total-samples field is 0 = "unknown" → NULL.
     "mm_media_duration" -> ((s, dir) => {
       def hx(h: String): Array[Byte] =
         h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
@@ -4601,6 +4606,8 @@ object SparkEntry {
         lpad(hex(shiftright(v, 8).bitwiseAND(lit(255L))), 2, "0"),
         lpad(hex(shiftright(v, 16).bitwiseAND(lit(255L))), 2, "0"),
         lpad(hex(shiftright(v, 24).bitwiseAND(lit(255L))), 2, "0")))
+      def le64(v: org.apache.spark.sql.Column) = concat(
+        le32(v.bitwiseAND(lit(0xffffffffL))), le32(shiftright(v, 32)))
       def be32(v: org.apache.spark.sql.Column) = unhex(lpad(hex(v), 8, "0"))
       def be64(v: org.apache.spark.sql.Column) = unhex(lpad(hex(v), 16, "0"))
       val byteRate = (col("doc_id") % 100 + 1) * 1000
@@ -4611,21 +4618,41 @@ object SparkEntry {
       val freeLarge = lit(hx("00000001" + "66726565" +
         "0000000000000018" + "0011223344556677")) // largesize box, 24 bytes
       val udta = lit(hx("0000000C" + "75647461" + "DEADBEEF"))
+      // FLAC: fLaC + last-flag STREAMINFO header + 34 bytes with rate
+      // 44100 packed at offsets 10-12 and the 32-bit total at 13-16
+      def flacBytes(total: org.apache.spark.sql.Column) = concat(
+        lit(hx("664C6143" + "80000022" + "00" * 10 + "0AC4" + "40")),
+        be32(total), lit(hx("00" * 17)))
+      val flacTotal = (col("doc_id") % 100000 + 1) * 10
+      // Ogg: a fixed id page (granule 0) + a varying-granule EOS page
+      val vorbisIdPage = lit(hx("4F676753" + "0002" + "00" * 8 +
+        "01000000" + "00000000" + "00000000" + "01" + "1E" + // 30-byte seg
+        "01" + "766F72626973" + "00000000" + "02" + "44AC0000" + // rate 44100
+        "00" * 12 + "B8" + "01"))
+      val opusIdPage = lit(hx("4F676753" + "0002" + "00" * 8 +
+        "01000000" + "00000000" + "00000000" + "01" + "13" + // 19-byte seg
+        "4F70757348656164" + "01" + "02" + "3801" + // pre-skip 312
+        "80BB0000" + "0000" + "00"))
+      def eosPage(granule: org.apache.spark.sql.Column) = concat(
+        lit(hx("4F676753" + "0004")), le64(granule),
+        lit(hx("01000000" + "01000000" + "00000000" + "01" + "01" + "AA")))
+      val vorbisGranule = (col("doc_id") % 100000 + 1) * 4
+      val opusGranule = (col("doc_id") % 48000 + 1) * 10 + 312
       val payload =
-        when(col("doc_id") % 4 === 0, concat(
+        when(col("doc_id") % 8 === 0, concat(
           lit(hx("52494646")), le32(lit(1000L)), lit(hx("57415645")),
           lit(hx("4C495354")), le32(lit(5L)), lit(hx("696E666F21")),
           lit(hx("00")), // the ODD-size pad byte
           lit(hx("666D7420")), le32(lit(16L)), lit(hx("01000200")),
           le32(lit(8000L)), le32(byteRate), lit(hx("04001000")),
           lit(hx("64617461")), le32(dataSize), lit(hx("AA")))) // truncated audio
-          .when(col("doc_id") % 4 === 1, concat(
+          .when(col("doc_id") % 8 === 1, concat(
             ftyp, freeLarge,
             be32(lit(48L)), lit(hx("6D6F6F76")), // moov: udta + mvhd v0
             udta,
             be32(lit(28L)), lit(hx("6D766864")), lit(hx("00000000")),
             lit(hx("00000000" + "00000000")), be32(lit(600L)), be32(dur0)))
-          .when(col("doc_id") % 4 === 2, concat(
+          .when(col("doc_id") % 8 === 2, concat(
             ftyp,
             be32(lit(60L)), lit(hx("6D6F6F76")), // moov: udta + mvhd v1
             udta,
@@ -4634,17 +4661,17 @@ object SparkEntry {
             be32(lit(1000L)), be64(dur1)))
           // VBR: FFFB9000 = MPEG1 Layer III 44100 stereo; 32 zero
           // side-info bytes; Xing + frames-flag + BE-32 frame count
-          .when(col("doc_id") % 16 === 3, concat(
+          .when(col("doc_id") % 32 === 3, concat(
             lit(hx("FFFB9000" + "00" * 32 + "58696E67" + "00000001")),
             be32(col("doc_id") % 5000 + 1)))
           // bare CBR MPEG1 L3 128 kbps: header + doc_id-sized audio bytes
-          .when(col("doc_id") % 16 === 7, concat(
+          .when(col("doc_id") % 32 === 11, concat(
             lit(hx("FFFB9000")),
             expr("unhex(repeat('AA', CAST(doc_id % 997 + 64 AS INT)))")))
           // ID3v2-prefixed CBR MPEG2 L3 mono 32 kbps: syncsafe tag size
           // < 128 keeps the size byte single; FFF340C0 = MPEG2/LIII/
           // 32 kbps/22050/mono
-          .when(col("doc_id") % 16 === 11, concat(
+          .when(col("doc_id") % 32 === 19, concat(
             lit(hx("494433" + "0300" + "00" + "000000")),
             unhex(lpad(hex(col("doc_id") % 100 + 5), 2, "0")),
             expr("unhex(repeat('AA', CAST(doc_id % 100 + 5 AS INT)))"),
@@ -4652,7 +4679,14 @@ object SparkEntry {
             expr("unhex(repeat('AA', CAST(doc_id % 500 + 32 AS INT)))")))
           // ID3 declaring 128 body bytes over a 15-byte payload: the tag
           // skip runs past the end → NULL
-          .otherwise(lit(hx("494433" + "0300" + "00" + "00000100" + "AAAAAAAAAA")))
+          .when(col("doc_id") % 32 === 27,
+            lit(hx("494433" + "0300" + "00" + "00000100" + "AAAAAAAAAA")))
+          .when(col("doc_id") % 8 === 4, flacBytes(flacTotal))
+          .when(col("doc_id") % 8 === 5,
+            concat(vorbisIdPage, eosPage(vorbisGranule)))
+          .when(col("doc_id") % 8 === 6,
+            concat(opusIdPage, eosPage(opusGranule)))
+          .otherwise(flacBytes(lit(0L))) // total 0 = "unknown" → NULL
       Multimodal.withMediaDuration(
         rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
         "payload")
@@ -8601,20 +8635,26 @@ object SparkEntry {
     "mm_media_duration" ->
       """WITH n AS (SELECT doc_id,
         |  CASE
-        |    WHEN doc_id % 4 = 0 THEN CAST((doc_id % 997 + 1) * 100 AS BIGINT)
-        |    WHEN doc_id % 4 = 1 THEN CAST((doc_id % 7200 + 1) * 100 AS BIGINT)
-        |    WHEN doc_id % 4 = 2 THEN CAST((doc_id % 100000 + 1) * 10 AS BIGINT)
-        |    WHEN doc_id % 16 = 3 THEN CAST((doc_id % 5000 + 1) * 1152 AS BIGINT)
-        |    WHEN doc_id % 16 = 7 THEN CAST((doc_id % 997 + 68) * 8 AS BIGINT)
-        |    WHEN doc_id % 16 = 11 THEN CAST((doc_id % 500 + 36) * 8 AS BIGINT)
+        |    WHEN doc_id % 8 = 0 THEN CAST((doc_id % 997 + 1) * 100 AS BIGINT)
+        |    WHEN doc_id % 8 = 1 THEN CAST((doc_id % 7200 + 1) * 100 AS BIGINT)
+        |    WHEN doc_id % 8 = 2 THEN CAST((doc_id % 100000 + 1) * 10 AS BIGINT)
+        |    WHEN doc_id % 32 = 3 THEN CAST((doc_id % 5000 + 1) * 1152 AS BIGINT)
+        |    WHEN doc_id % 32 = 11 THEN CAST((doc_id % 997 + 68) * 8 AS BIGINT)
+        |    WHEN doc_id % 32 = 19 THEN CAST((doc_id % 500 + 36) * 8 AS BIGINT)
+        |    WHEN doc_id % 8 = 4 THEN CAST((doc_id % 100000 + 1) * 10 AS BIGINT)
+        |    WHEN doc_id % 8 = 5 THEN CAST((doc_id % 100000 + 1) * 4 AS BIGINT)
+        |    WHEN doc_id % 8 = 6 THEN CAST((doc_id % 48000 + 1) * 10 AS BIGINT)
         |  END AS media_dur_num,
         |  CASE
-        |    WHEN doc_id % 4 = 0 THEN CAST((doc_id % 100 + 1) * 1000 AS BIGINT)
-        |    WHEN doc_id % 4 = 1 THEN CAST(600 AS BIGINT)
-        |    WHEN doc_id % 4 = 2 THEN CAST(1000 AS BIGINT)
-        |    WHEN doc_id % 16 = 3 THEN CAST(44100 AS BIGINT)
-        |    WHEN doc_id % 16 = 7 THEN CAST(128000 AS BIGINT)
-        |    WHEN doc_id % 16 = 11 THEN CAST(32000 AS BIGINT)
+        |    WHEN doc_id % 8 = 0 THEN CAST((doc_id % 100 + 1) * 1000 AS BIGINT)
+        |    WHEN doc_id % 8 = 1 THEN CAST(600 AS BIGINT)
+        |    WHEN doc_id % 8 = 2 THEN CAST(1000 AS BIGINT)
+        |    WHEN doc_id % 32 = 3 THEN CAST(44100 AS BIGINT)
+        |    WHEN doc_id % 32 = 11 THEN CAST(128000 AS BIGINT)
+        |    WHEN doc_id % 32 = 19 THEN CAST(32000 AS BIGINT)
+        |    WHEN doc_id % 8 = 4 THEN CAST(44100 AS BIGINT)
+        |    WHEN doc_id % 8 = 5 THEN CAST(44100 AS BIGINT)
+        |    WHEN doc_id % 8 = 6 THEN CAST(48000 AS BIGINT)
         |  END AS media_dur_den
         |FROM documents)
         |SELECT doc_id, media_dur_num, media_dur_den,

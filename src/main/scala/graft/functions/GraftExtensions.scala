@@ -121,6 +121,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 1, s"${TilePairs.Mp3DurationName} expects 1 argument")
       Mp3Duration(args(0))
     }))
+    ext.injectFunction(fn(TilePairs.FlacDurationName, { args =>
+      require(args.length == 1, s"${TilePairs.FlacDurationName} expects 1 argument")
+      FlacDuration(args(0))
+    }))
+    ext.injectFunction(fn(TilePairs.OggDurationName, { args =>
+      require(args.length == 1, s"${TilePairs.OggDurationName} expects 1 argument")
+      OggDuration(args(0))
+    }))
     ext.injectFunction(fn(TilePairs.ExifOrientationName, { args =>
       require(args.length == 1, s"${TilePairs.ExifOrientationName} expects 1 argument")
       ExifOrientation(args(0))

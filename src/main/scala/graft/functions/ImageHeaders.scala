@@ -561,6 +561,132 @@ case class Mp4Duration(child: Expression) extends MediaDuration {
     copy(child = newChildren(0))
 }
 
+/** graft_flac_duration(payload): `[total_samples, sample_rate]` of a FLAC
+  * payload — lossless-audio duration without a codec. The `fLaC` magic is
+  * followed by metadata blocks (1-byte header: last-flag bit 7 + 7-bit
+  * type, then a 24-bit big-endian length); STREAMINFO (type 0, 34 bytes)
+  * packs the sample rate in 20 bits at byte offset 10 and the total
+  * sample count in the following 36 bits (RFC 9639 §8.2). A zero rate is
+  * malformed and a zero count means "unknown" — both NULL (nothing to
+  * divide). NULL for non-FLAC bytes or a STREAMINFO that does not fit;
+  * later blocks are irrelevant, so a truncated capture with the first
+  * block intact still answers. */
+case class FlacDuration(child: Expression) extends MediaDuration {
+  override def prettyName: String = TilePairs.FlacDurationName
+
+  def compute(bytes: Array[Byte]): ArrayData = {
+    val n = bytes.length
+    def u(i: Int): Long = (bytes(i) & 0xff).toLong
+    if (n < 4 || bytes(0) != 'f' || bytes(1) != 'L' || bytes(2) != 'a' ||
+      bytes(3) != 'C') return null
+    // pos stays Long: 24-bit block lengths chained near a 2 GiB payload
+    // would wrap an Int position negative and index out of bounds
+    var pos = 4L
+    var guard = 0
+    while (pos + 4 <= n && guard < 128) { // 128 blocks bounds lying chains
+      val p = pos.toInt // pos + 4 <= n ⇒ fits in Int
+      val hdr = u(p)
+      val typ = (hdr & 0x7f).toInt
+      val len = (u(p + 1) << 16) | (u(p + 2) << 8) | u(p + 3)
+      val body = pos + 4
+      if (typ == 0) { // STREAMINFO
+        if (len < 34 || body + 34 > n) return null
+        val b = body.toInt
+        val rate = (u(b + 10) << 12) | (u(b + 11) << 4) | (u(b + 12) >> 4)
+        val total = ((u(b + 12) & 0x0f) << 32) | (u(b + 13) << 24) |
+          (u(b + 14) << 16) | (u(b + 15) << 8) | u(b + 16)
+        return if (rate <= 0 || total <= 0) null // 0 samples = "unknown"
+        else new GenericArrayData(Array(total, rate))
+      }
+      if ((hdr & 0x80) != 0) return null // last block and no STREAMINFO seen
+      pos = body + len
+      guard += 1
+    }
+    null
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+/** graft_ogg_duration(payload): `[pcm_samples, rate]` of an Ogg
+  * Vorbis/Opus payload — the remaining common crawl audio containers. A
+  * PAGE WALK (RFC 3533): each `OggS` page header carries a 64-bit
+  * little-endian granule position (offset 6) and a segment table whose
+  * sum is the payload size; the LAST page whose header AND payload fit
+  * the capture gives the stream's end granule (a −1 granule marks a
+  * "continues" page and is skipped). The FIRST page's payload names the
+  * codec: a `vorbis` identification header carries the sample rate
+  * at packet offset 12 (little-endian, RFC 7845's sibling in the Vorbis
+  * I spec §4.2.2) and granules count PCM samples at that rate; an
+  * `OpusHead` header (RFC 7845 §5.1) counts granules at a FIXED 48 kHz
+  * with the 16-bit pre-skip (offset 10) subtracted. NULL for non-Ogg
+  * bytes, an unrecognized codec, a zero/invalid rate, or an end granule
+  * at or below the start (nothing to divide). Truncated captures answer
+  * with the last intact page — the duration actually captured. */
+case class OggDuration(child: Expression) extends MediaDuration {
+  override def prettyName: String = TilePairs.OggDurationName
+
+  def compute(bytes: Array[Byte]): ArrayData = {
+    val n = bytes.length
+    def u(i: Int): Long = (bytes(i) & 0xff).toLong
+    def le32(i: Int): Long = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+    def le64(i: Int): Long = le32(i) | (le32(i + 4) << 32)
+    // positions stay Long: a page chain near a 2 GiB payload would wrap
+    // an Int position negative and index out of bounds
+    def isPage(i: Long): Boolean =
+      i >= 0 && i + 27 <= n && bytes(i.toInt) == 'O' && bytes(i.toInt + 1) == 'g' &&
+        bytes(i.toInt + 2) == 'g' && bytes(i.toInt + 3) == 'S'
+    if (!isPage(0)) return null
+    var denom = -1L
+    var preSkip = 0L
+    var lastGranule = -1L
+    var pos = 0L
+    var first = true
+    while (isPage(pos)) {
+      val nsegs = u(pos.toInt + 26).toInt
+      val segTable = pos.toInt + 27
+      if (segTable + nsegs > n) return finish(lastGranule, preSkip, denom)
+      var payload = 0
+      var k = 0
+      while (k < nsegs) { payload += u(segTable + k).toInt; k += 1 }
+      val body = segTable + nsegs
+      if (body.toLong + payload > n) return finish(lastGranule, preSkip, denom)
+      if (first) {
+        // codec identification from the first page's packet
+        if (payload >= 16 && bytes(body) == 1 && bytes(body + 1) == 'v' &&
+          bytes(body + 2) == 'o' && bytes(body + 3) == 'r' &&
+          bytes(body + 4) == 'b' && bytes(body + 5) == 'i' &&
+          bytes(body + 6) == 's') {
+          denom = le32(body + 12)
+        } else if (payload >= 19 && bytes(body) == 'O' && bytes(body + 1) == 'p' &&
+          bytes(body + 2) == 'u' && bytes(body + 3) == 's' &&
+          bytes(body + 4) == 'H' && bytes(body + 5) == 'e' &&
+          bytes(body + 6) == 'a' && bytes(body + 7) == 'd') {
+          preSkip = u(body + 10) | (u(body + 11) << 8)
+          denom = 48000L // Opus granules are 48 kHz by definition (§4)
+        } else return null // unrecognized codec: out of scope
+        first = false
+      }
+      val granule = le64(pos.toInt + 6)
+      if (granule != -1L) lastGranule = granule
+      pos = body.toLong + payload
+    }
+    finish(lastGranule, preSkip, denom)
+  }
+
+  private def finish(lastGranule: Long, preSkip: Long, denom: Long): ArrayData = {
+    if (denom <= 0 || lastGranule < 0) return null
+    val num = lastGranule - preSkip
+    if (num <= 0) null else new GenericArrayData(Array(num, denom))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
 /** graft_exif_gps(payload): GPS presence + signed decimal coordinates of a
   * JPEG payload's EXIF — the privacy-policy gate an image-corpus release
   * needs (the multimodal sibling of `redactPii`). Struct

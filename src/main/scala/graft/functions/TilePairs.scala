@@ -43,6 +43,8 @@ object TilePairs {
   val RiffDurationName = "graft_riff_duration"
   val Mp4DurationName = "graft_mp4_duration"
   val Mp3DurationName = "graft_mp3_duration"
+  val FlacDurationName = "graft_flac_duration"
+  val OggDurationName = "graft_ogg_duration"
   val ExifOrientationName = "graft_exif_orientation"
   val ExifGpsName = "graft_exif_gps"
   val ExifGpsStripName = "graft_exif_gps_strip"

@@ -363,7 +363,12 @@ object Multimodal {
     * 64-bit largesize and both mvhd versions handled); MPEG-audio (mp3)
     * payloads skip the ID3v2 tag, validate the first frame header, and
     * read the Xing/Info VBR frame count — or fall back to declared-bitrate
-    * CBR math — ([[graft.functions.Mp3Duration]]). Appends
+    * CBR math — ([[graft.functions.Mp3Duration]]); FLAC payloads read
+    * STREAMINFO's packed sample-rate/total-samples fields
+    * ([[graft.functions.FlacDuration]]); Ogg Vorbis/Opus payloads walk
+    * the page chain to the last intact granule position
+    * ([[graft.functions.OggDuration]] — Opus pre-skip subtracted, 48 kHz
+    * granule clock). Appends
     * `media_duration_sec` (seconds — the RAW num/den division, no
     * rounding: int64/int64 division is correctly rounded IEEE-754, so
     * any engine reproduces it bit-exactly, whereas rounding to N
@@ -383,7 +388,9 @@ object Multimodal {
       "withMediaDuration")
     val fns = Seq(graft.functions.TilePairs.RiffDurationName,
       graft.functions.TilePairs.Mp4DurationName,
-      graft.functions.TilePairs.Mp3DurationName)
+      graft.functions.TilePairs.Mp3DurationName,
+      graft.functions.TilePairs.FlacDurationName,
+      graft.functions.TilePairs.OggDurationName)
     require(fns.forall(df.sparkSession.catalog.functionExists),
       "withMediaDuration needs the native media kernels — set " +
         "spark.sql.extensions=graft.functions.GraftExtensions")
@@ -396,9 +403,13 @@ object Multimodal {
     // matches, and WAV/MP4 are sniffed first anyway)
     val isMp3 = length(b) >= 4 && (hex(substring(b, 1, 3)) === "494433" ||
       hex(substring(b, 1, 2)).rlike("^FF[EF]"))
+    val isFlac = length(b) >= 4 && hex(substring(b, 1, 4)) === "664C6143"
+    val isOgg = length(b) >= 27 && hex(substring(b, 1, 4)) === "4F676753"
     val pair =
       when(isWav, call_function(graft.functions.TilePairs.RiffDurationName, b))
         .when(isMp4, call_function(graft.functions.TilePairs.Mp4DurationName, b))
+        .when(isFlac, call_function(graft.functions.TilePairs.FlacDurationName, b))
+        .when(isOgg, call_function(graft.functions.TilePairs.OggDurationName, b))
         .when(isMp3, call_function(graft.functions.TilePairs.Mp3DurationName, b))
     df.withColumn("__graft_md", pair)
       .withColumn("media_dur_num", element_at(col("__graft_md"), 1))

@@ -445,6 +445,86 @@ class FunctionsSpec extends SparkSpec {
     for ((id, _, _, want) <- cases) withClue(s"case $id:") { got(id) shouldBe want }
   }
 
+  test("graft_flac_duration / graft_ogg_duration: STREAMINFO fields, page-walk granules") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    def hx(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val flacK: Array[Byte] => org.apache.spark.sql.catalyst.util.ArrayData =
+      graft.functions.FlacDuration(Literal.create(null, BinaryType)).compute _
+    val oggK: Array[Byte] => org.apache.spark.sql.catalyst.util.ArrayData =
+      graft.functions.OggDuration(Literal.create(null, BinaryType)).compute _
+    def pair(k: Array[Byte] => org.apache.spark.sql.catalyst.util.ArrayData,
+        b: Array[Byte]): Option[(Long, Long)] =
+      Option(k(b)).map(a => (a.getLong(0), a.getLong(1)))
+    // ---- FLAC ----
+    def streaminfo(rate: Int, total: Long): Array[Byte] = {
+      val b = new Array[Byte](34)
+      b(10) = (rate >> 12).toByte
+      b(11) = ((rate >> 4) & 0xff).toByte
+      b(12) = (((rate & 0xf) << 4) | ((total >> 32) & 0xf).toInt).toByte
+      b(13) = ((total >> 24) & 0xff).toByte
+      b(14) = ((total >> 16) & 0xff).toByte
+      b(15) = ((total >> 8) & 0xff).toByte
+      b(16) = (total & 0xff).toByte
+      b
+    }
+    def flac(rate: Int, total: Long): Array[Byte] =
+      "fLaC".getBytes ++ hx("80000022") ++ streaminfo(rate, total)
+    pair(flacK, flac(44100, 441000L)) shouldBe Some((441000L, 44100L))
+    // a 36-bit total (top nibble set) reads all five bytes
+    pair(flacK, flac(96000, 0x9_00000001L)) shouldBe Some((0x9_00000001L, 96000L))
+    // STREAMINFO behind another block still found (lenient order)
+    pair(flacK, "fLaC".getBytes ++ hx("04000003AABBCC") ++
+      hx("80000022") ++ streaminfo(8000, 16000L)) shouldBe Some((16000L, 8000L))
+    // zero rate is malformed; zero total means "unknown" — both NULL
+    pair(flacK, flac(0, 441000L)) shouldBe None
+    pair(flacK, flac(44100, 0L)) shouldBe None
+    // truncated STREAMINFO, non-FLAC bytes, last-block chain without one
+    pair(flacK, flac(44100, 441000L).take(20)) shouldBe None
+    pair(flacK, "fLaX1234".getBytes) shouldBe None
+    pair(flacK, "fLaC".getBytes ++ hx("84000001AA")) shouldBe None
+    // ---- Ogg ----
+    def le32h(v: Long): String =
+      f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X${(v >> 16) & 0xff}%02X${(v >> 24) & 0xff}%02X"
+    def le64h(v: Long): String = le32h(v & 0xffffffffL) + le32h(v >>> 32)
+    def page(granule: Long, typ: Int, payload: Array[Byte]): Array[Byte] =
+      "OggS".getBytes ++ hx(f"00$typ%02X" + le64h(granule) +
+        "01000000" + "00000000" + "00000000" + f"01${payload.length}%02X") ++ payload
+    val vorbisId = hx("01") ++ "vorbis".getBytes ++ hx("00000000" + "02" +
+      le32h(44100L) + "00000000" + "00000000" + "00000000" + "B8" + "01")
+    val opusId = "OpusHead".getBytes ++ hx("01" + "02" + "3801" + // pre-skip 312
+      le32h(48000L) + "0000" + "00")
+    // Vorbis: last intact granule / id-header rate
+    pair(oggK, page(0L, 2, vorbisId) ++ page(132300L, 4, Array[Byte](0x7f))) shouldBe
+      Some((132300L, 44100L))
+    // a -1 granule (continued page) is skipped, the earlier one stands
+    pair(oggK, page(0L, 2, vorbisId) ++ page(88200L, 0, Array[Byte](1)) ++
+      page(-1L, 1, Array[Byte](2))) shouldBe Some((88200L, 44100L))
+    // a TORN final page (payload cut) answers with the last intact page
+    val torn = page(0L, 2, vorbisId) ++ page(44100L, 0, Array[Byte](1)) ++
+      page(99999L, 4, Array.fill[Byte](40)(0x2A))
+    pair(oggK, torn.dropRight(30)) shouldBe Some((44100L, 44100L))
+    // Opus: 48 kHz granule clock, pre-skip subtracted
+    pair(oggK, page(0L, 2, opusId) ++ page(96312L, 4, Array[Byte](0))) shouldBe
+      Some((96000L, 48000L))
+    // id page only (granule 0, nothing after pre-skip) → NULL
+    pair(oggK, page(0L, 2, opusId)) shouldBe None
+    // unknown codec, non-Ogg bytes
+    pair(oggK, page(0L, 2, "FLACwhat".getBytes) ++
+      page(5000L, 4, Array[Byte](0))) shouldBe None
+    pair(oggK, "Oggs but not really".getBytes) shouldBe None
+    // the op sniffs both formats
+    val out = graft.ops.Multimodal.withMediaDuration(
+      Seq((1, flac(44100, 441000L)),
+        (2, page(0L, 2, opusId) ++ page(96312L, 4, Array[Byte](0))))
+        .toDF("id", "payload"), "payload")
+      .orderBy("id")
+      .select("media_dur_num", "media_dur_den").collect()
+    (out(0).getLong(0), out(0).getLong(1)) shouldBe ((441000L, 44100L))
+    (out(1).getLong(0), out(1).getLong(1)) shouldBe ((96000L, 48000L))
+  }
+
   test("graft_mp3_duration: ID3 skip, Xing/Info VBR, CBR fallback, adversarial shapes") {
     def hx(h: String): Array[Byte] =
       h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray

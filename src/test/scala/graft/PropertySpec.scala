@@ -609,6 +609,8 @@ class PropertySpec extends SparkSpec {
       "riff_duration" -> RiffDuration(child).compute _,
       "mp4_duration" -> Mp4Duration(child).compute _,
       "mp3_duration" -> Mp3Duration(child).compute _,
+      "flac_duration" -> FlacDuration(child).compute _,
+      "ogg_duration" -> OggDuration(child).compute _,
       "webp_dims" -> WebpDims(child).compute _,
       "exif_tags" -> ExifTags(child).compute _,
       "mp3_tags" -> Mp3Tags(child).compute _,
@@ -624,6 +626,8 @@ class PropertySpec extends SparkSpec {
       hx("FFFB"), // bare MPEG sync
       hx("52494646AAAAAAAA57415645"), // RIFF/WAVE
       hx("0000001066747970AAAAAAAA"), // BMFF ftyp
+      "fLaC".getBytes, // FLAC magic (metadata-block walk)
+      "OggS".getBytes, // Ogg capture pattern (page walk)
       "%PDF-1.7\n".getBytes, // PDF header
       // PDF header + dict + stream keyword: steers the fuzz into the
       // stream walk, the Inflater error path, and the content tokenizer
