@@ -4366,8 +4366,9 @@ object SparkEntry {
     // (all NULL); %7==4 non-PDF (all NULL). Round-14 shapes: %7==5 the
     // MODERN-WRITER layout — the Info dict lives inside a compressed
     // /Type /ObjStm object stream (deflated driver-side; the member
-    // offset walk happens only on the Spark side); %7==6 an /Info ref
-    // whose object exists nowhere, raw or packed (all NULL). The oracle
+    // offset walk happens only on the Spark side); %7==6 a DANGLING
+    // /Info ref with an XMP packet — the §14.3.2 fallback answers
+    // (dc:title entity-decoded, ISO-8601 raw date). The oracle
     // rebuilds the strings from arithmetic and literals.
     "mm_pdf_meta" -> ((s, dir) => {
       val ti = concat(lit("T"), lpad((col("doc_id") % 89).cast("string"), 4, "0"))
@@ -4412,7 +4413,20 @@ object SparkEntry {
             "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1")
       }
       val pdf5 = lit(objStm)
+      // dangling /Info ref + an XMP packet: the packet answers (§14.3.2
+      // keeps metadata streams uncompressed exactly for this scan)
       val pdf6 = lit(("%PDF-1.5\n1 0 obj\n<< /Type /Catalog >>\nendobj\n" +
+        "8 0 obj\n<< /Type /Metadata /Subtype /XML >>\nstream\n" +
+        "<?xpacket begin=\"\" id=\"W5M0MpCehiHzreSzNTczkc9d\"?>\n" +
+        "<x:xmpmeta><rdf:RDF><rdf:Description>\n" +
+        "<dc:title><rdf:Alt><rdf:li xml:lang=\"x-default\">Packet " +
+        "&amp; title</rdf:li></rdf:Alt></dc:title>\n" +
+        "<dc:creator><rdf:Seq><rdf:li>Xenia</rdf:li></rdf:Seq></dc:creator>\n" +
+        "<xmp:CreatorTool>graft-x</xmp:CreatorTool>\n" +
+        "<pdf:Producer>xmp-gen</pdf:Producer>\n" +
+        "<xmp:CreateDate>2026-01-02T03:04:05Z</xmp:CreateDate>\n" +
+        "</rdf:Description></rdf:RDF></x:xmpmeta>\n<?xpacket end=\"w\"?>" +
+        "\nendstream\nendobj\n" +
         "trailer\n<< /Root 1 0 R /Info 99 0 R >>\n%%EOF\n").getBytes)
       val payload =
         when(col("doc_id") % 7 === 0, pdf0)
@@ -8554,15 +8568,20 @@ object SparkEntry {
         |       CASE WHEN doc_id % 7 = 0
         |              THEN 'T' || lpad(CAST(doc_id % 89 AS VARCHAR), 4, '0')
         |            WHEN doc_id % 7 = 1 THEN 'P16'
-        |            WHEN doc_id % 7 = 5 THEN 'Packed title' END AS pdf_title,
+        |            WHEN doc_id % 7 = 5 THEN 'Packed title'
+        |            WHEN doc_id % 7 = 6 THEN 'Packet & title' END AS pdf_title,
         |       CASE WHEN doc_id % 7 = 0
         |              THEN 'A' || lpad(CAST(doc_id % 83 AS VARCHAR), 4, '0')
-        |            WHEN doc_id % 7 = 1 THEN 'HEXA' END AS pdf_author,
-        |       CASE WHEN doc_id % 7 = 0 THEN 'graftc' END AS pdf_creator,
+        |            WHEN doc_id % 7 = 1 THEN 'HEXA'
+        |            WHEN doc_id % 7 = 6 THEN 'Xenia' END AS pdf_author,
+        |       CASE WHEN doc_id % 7 = 0 THEN 'graftc'
+        |            WHEN doc_id % 7 = 6 THEN 'graft-x' END AS pdf_creator,
         |       CASE WHEN doc_id % 7 = 0 THEN 'graft (exporter)'
-        |            WHEN doc_id % 7 = 5 THEN 'objstm-gen' END AS pdf_producer,
+        |            WHEN doc_id % 7 = 5 THEN 'objstm-gen'
+        |            WHEN doc_id % 7 = 6 THEN 'xmp-gen' END AS pdf_producer,
         |       CASE WHEN doc_id % 7 = 0 THEN 'D:20260101000000Z'
         |            WHEN doc_id % 7 = 1 THEN 'D:20251231235959+01''00'''
+        |            WHEN doc_id % 7 = 6 THEN '2026-01-02T03:04:05Z'
         |       END AS pdf_created
         |FROM documents""".stripMargin,
     // PDF text rebuilt from arithmetic + the fixed literals; the

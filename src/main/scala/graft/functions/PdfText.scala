@@ -1218,7 +1218,13 @@ object PdfText {
   * (EF BB BF) BOMs honored and everything else read as Latin-1
   * (≈PDFDocEncoding — the same approximation [[PdfText]] documents).
   * `created` stays the RAW `D:YYYYMMDDHHmmSS…` string — deterministic,
-  * and downstream can parse the prefix it needs.
+  * and downstream can parse the prefix it needs. When NO /Info exists
+  * or its ref dangles entirely, the XMP packet answers instead
+  * ([[PdfInfo.xmpInfoVals]]: §14.3.2 requires metadata streams stay
+  * uncompressed exactly so packet scans work; dc:title/dc:creator →
+  * title/author, xmp:CreatorTool → creator, pdf:Producer → producer,
+  * xmp:CreateDate → created, RAW ISO 8601); a resolved Info dict is
+  * always authoritative — the two sources never mix.
   *
   * Boundaries: indirect-reference values (`/Title 7 0 R`) yield NULL for
   * that field (no second-hop walk — same rule that keeps the text kernel
@@ -1255,16 +1261,20 @@ case class PdfInfo(child: Expression) extends Expression {
       bytes(3) != 'F') return null
     if (hasEncryptToken(bytes)) return null
     val ref = lastInfoRef(bytes)
-    if (ref == null) return null
-    val objAt = lastObjStart(bytes, ref(0), ref(1))
-    val vals =
+    var vals: Array[Any] = null
+    if (ref != null) {
+      val objAt = lastObjStart(bytes, ref(0), ref(1))
       if (objAt >= 0) {
         var k = objAt
         while (k < n && isWs(bytes(k))) k += 1
-        if (k + 2 > n || bytes(k) != '<' || bytes(k + 1) != '<') return null
-        infoValsAt(bytes, k)
-      } else if (ref(1) == 0) infoFromObjStm(bytes, ref(0))
-      else null
+        if (k + 2 <= n && bytes(k) == '<' && bytes(k + 1) == '<')
+          vals = infoValsAt(bytes, k)
+      } else if (ref(1) == 0) vals = infoFromObjStm(bytes, ref(0))
+    }
+    // the Info DICT is authoritative when it resolves (raw or ObjStm);
+    // the XMP packet is the fallback when no /Info exists or the ref
+    // dangles — never a mix of the two sources
+    if (vals == null) vals = xmpInfoVals(bytes)
     if (vals == null) return null
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
@@ -1418,6 +1428,99 @@ object PdfInfo {
       }
     }
     found
+  }
+
+  /** XMP packet cap — real packets are a few KiB; a torn `<?xpacket
+    * end` bound stops a runaway scan. */
+  private val MaxXmpBytes = 1 << 20
+
+  /** The XMP-packet fallback (ISO 32000-1 §14.3.2): metadata streams
+    * SHALL be uncompressed precisely so packet-scanning tools work —
+    * this is that tool. The LAST `<?xpacket begin` wins (incremental
+    * updates append); the packet decodes as UTF-8 and five rule-based
+    * tag reads fill the Info-shaped row: `dc:title`/`dc:creator` (their
+    * first `rdf:li`, or simple text content), `xmp:CreatorTool`,
+    * `pdf:Producer`, `xmp:CreateDate` (kept RAW — ISO 8601 here vs the
+    * Info dict's `D:` form; downstream sees which convention by shape).
+    * The five XML entities and numeric character references decode;
+    * anything else in the packet is untouched text. Null when no packet
+    * or no field yields a value. */
+  private[functions] def xmpInfoVals(b: Array[Byte]): Array[Any] = {
+    val pat = "<?xpacket begin".getBytes
+    var at = indexOf(b, pat, 0)
+    if (at < 0) return null
+    var last = at
+    while (at >= 0) { last = at; at = indexOf(b, pat, at + 1) }
+    val e0 = indexOf(b, "<?xpacket end".getBytes, last)
+    val end = if (e0 < 0) math.min(b.length, last + MaxXmpBytes) else e0
+    val xml = new String(b, last, end - last,
+      java.nio.charset.StandardCharsets.UTF_8)
+    def tagText(tag: String): String = {
+      val open = xml.indexOf("<" + tag)
+      if (open < 0) return null
+      val gt = xml.indexOf('>', open)
+      if (gt < 0 || xml.charAt(gt - 1) == '/') return null // <tag/>: empty
+      val close = xml.indexOf("</" + tag, gt + 1)
+      if (close < 0) return null
+      xml.substring(gt + 1, close)
+    }
+    def liText(container: String): String = {
+      val body = tagText(container)
+      if (body == null) return null
+      val li = body.indexOf("<rdf:li")
+      if (li < 0) { // simple form: <dc:title>T</dc:title>
+        val t = body.trim
+        return if (t.nonEmpty && !t.startsWith("<")) t else null
+      }
+      val gt = body.indexOf('>', li)
+      if (gt < 0 || body.charAt(gt - 1) == '/') return null
+      val close = body.indexOf("</rdf:li", gt + 1)
+      if (close < 0) null else body.substring(gt + 1, close)
+    }
+    def clean(s: String): Any =
+      if (s == null) null
+      else {
+        val t = decodeXmlEntities(s).trim
+        if (t.isEmpty || t.length > (1 << 16)) null else UTF8String.fromString(t)
+      }
+    val vals = Array[Any](
+      clean(liText("dc:title")), clean(liText("dc:creator")),
+      clean(tagText("xmp:CreatorTool")), clean(tagText("pdf:Producer")),
+      clean(tagText("xmp:CreateDate")))
+    if (vals.forall(_ == null)) null else vals
+  }
+
+  /** The five predefined XML entities + numeric character references;
+    * an unrecognized or torn entity stays literal (never a throw). */
+  private def decodeXmlEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val sc = s.indexOf(';', i + 1)
+        val ent = if (sc > i && sc - i <= 10) s.substring(i + 1, sc) else null
+        val rep = ent match {
+          case null => null
+          case "amp" => "&"
+          case "lt" => "<"
+          case "gt" => ">"
+          case "quot" => "\""
+          case "apos" => "'"
+          case e if e.length > 2 && (e.startsWith("#x") || e.startsWith("#X")) =>
+            try new String(Character.toChars(Integer.parseInt(e.substring(2), 16)))
+            catch { case _: IllegalArgumentException => null }
+          case e if e.length > 1 && e.startsWith("#") =>
+            try new String(Character.toChars(Integer.parseInt(e.substring(1))))
+            catch { case _: IllegalArgumentException => null }
+          case _ => null
+        }
+        if (rep != null) { sb.append(rep); i = sc + 1 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** The LAST well-formed `/Info N G R` in the file, as Array(n, g) —

@@ -1279,6 +1279,44 @@ class FunctionsSpec extends SparkSpec {
     val sAt = new String(corrupt, "ISO-8859-1").indexOf("stream\n") + 7
     corrupt(sAt) = 0; corrupt(sAt + 1) = 0
     info(corrupt) shouldBe None
+    // ---- XMP packet fallback ----
+    val xmp =
+      "<?xpacket begin=\"\" id=\"W5M0MpCehiHzreSzNTczkc9d\"?>\n" +
+        "<x:xmpmeta xmlns:x=\"adobe:ns:meta/\"><rdf:RDF>\n<rdf:Description>\n" +
+        "<dc:title><rdf:Alt><rdf:li xml:lang=\"x-default\">XMP &amp; title" +
+        "</rdf:li></rdf:Alt></dc:title>\n" +
+        "<dc:creator><rdf:Seq><rdf:li>Xavier</rdf:li></rdf:Seq></dc:creator>\n" +
+        "<xmp:CreatorTool>graft-x</xmp:CreatorTool>\n" +
+        "<pdf:Producer>xmp-gen &#8212;v2</pdf:Producer>\n" +
+        "<xmp:CreateDate>2026-01-02T03:04:05Z</xmp:CreateDate>\n" +
+        "</rdf:Description></rdf:RDF></x:xmpmeta>\n<?xpacket end=\"w\"?>"
+    def pdf(bodyStr: String): Array[Byte] =
+      ("%PDF-1.7\n" + bodyStr + "\n%%EOF\n").getBytes("UTF-8")
+    // XMP-only document (no /Info at all): the packet answers
+    info(pdf("8 0 obj\n<< /Type /Metadata /Subtype /XML >>\nstream\n" + xmp +
+      "\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>")) shouldBe
+      Some((Some("XMP & title"), Some("Xavier"), Some("graft-x"),
+        Some("xmp-gen —v2"), Some("2026-01-02T03:04:05Z")))
+    // a DANGLING /Info ref also falls back to the packet
+    info(pdf("8 0 obj\n<< >>\nstream\n" + xmp +
+      "\nendstream\nendobj\ntrailer\n<< /Info 42 0 R >>")) shouldBe
+      Some((Some("XMP & title"), Some("Xavier"), Some("graft-x"),
+        Some("xmp-gen —v2"), Some("2026-01-02T03:04:05Z")))
+    // a RESOLVED Info dict is authoritative — sources never mix
+    info(pdf("3 0 obj\n<< /Title (DictTitle) >>\nendobj\n" +
+      "8 0 obj\n<< >>\nstream\n" + xmp + "\nendstream\nendobj\n" +
+      "trailer\n<< /Info 3 0 R >>")) shouldBe
+      Some((Some("DictTitle"), None, None, None, None))
+    // partial packets: an empty element yields NULL for that field only;
+    // the simple non-rdf:li title form still reads
+    info(pdf("9 0 obj\n<< >>\nstream\n<?xpacket begin=\"\"?>" +
+      "<dc:title>Plain title</dc:title><dc:creator/>" +
+      "<xmp:CreateDate>2025-12-31</xmp:CreateDate><?xpacket end=\"r\"?>" +
+      "\nendstream\nendobj")) shouldBe
+      Some((Some("Plain title"), None, None, None, Some("2025-12-31")))
+    // a packet with no recognized field at all stays NULL
+    info(pdf("9 0 obj\n<< >>\nstream\n<?xpacket begin=\"\"?>" +
+      "<foo>bar</foo><?xpacket end=\"r\"?>\nendstream\nendobj")) shouldBe None
   }
 
   test("graft_exif_tags: ASCII tag rules — inline values, truncated offsets, lying counts") {
