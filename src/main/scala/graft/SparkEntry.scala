@@ -3336,6 +3336,14 @@ object SparkEntry {
               t => coalesce(element_at(vmap, t), lit(-1)).cast("string")),
             ",").as("ids_joined"))
     }),
+    // Fertility under the imported rank file: chars-per-token by language
+    // with the tokenizer applied EXACTLY as imported (pre-split + byte
+    // alphabet) — the check run before committing a tokenizer to a mix.
+    "text_bpe_tk_stats" -> ((s, dir) =>
+      Bpe.compressionStats(
+        rt(s, dir, "documents").select("doc_id", "lang", "text"),
+        "text", tiktokenExternal._1, Seq("lang"),
+        pretok = Some(Bpe.Gpt2PretokPattern), byteLevel = true)),
     // Token budgeting with the GPT-4-family tokenizer's own counts — the
     // production "first N tokens" cut under an imported rank file.
     "sample_token_budget_tk" -> ((s, dir) =>
@@ -7213,6 +7221,24 @@ object SparkEntry {
          |       array_to_string(b.toks, chr(31)) AS bpe_joined,
          |       COALESCE(i.ids_joined, '') AS ids_joined
          |FROM btoks b LEFT JOIN ids i USING (doc_id)""".stripMargin,
+    // Fertility replay under the tiktoken import: counts from the
+    // recovered-merge replay, chars + grouping joined back (LEFT JOIN +
+    // coalesce keep NULL-text docs, matching the Scala side).
+    "text_bpe_tk_stats" ->
+      s"""WITH RECURSIVE $bpeTkReplayCte,
+         |t AS (SELECT doc_id, CAST(coalesce(len(toks), 0) AS BIGINT) AS n_bpe
+         |      FROM btoks),
+         |g AS (SELECT d.lang, coalesce(length(d.text), 0) AS nc,
+         |             coalesce(t.n_bpe, 0) AS n_bpe
+         |      FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id)
+         |SELECT lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nc) AS BIGINT) AS n_chars,
+         |       CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+         |       CASE WHEN sum(n_bpe) > 0
+         |            THEN CAST(sum(nc) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE)
+         |            END AS chars_per_token
+         |FROM g GROUP BY lang""".stripMargin,
     // The budget replay under the tiktoken import's counts.
     "sample_token_budget_tk" ->
       s"""WITH RECURSIVE $bpeTkReplayCte,

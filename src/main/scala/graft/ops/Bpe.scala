@@ -58,6 +58,20 @@ object Bpe {
   val Gpt2PretokPattern: String =
     "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
 
+  /** The cl100k_base pre-tokenizer (the GPT-4-family regex, verbatim):
+    * case-insensitive contractions, words with ONE optional leading
+    * non-letter, digit runs capped at THREE (the "number chunking" that
+    * keeps long numbers from exploding the vocab), punctuation runs
+    * swallowing trailing newlines, and the trailing-space donation rule
+    * (`\s+(?!\S)` leaves the last space for the next word). Java-regex
+    * only: the possessive quantifiers (`?+`, `++`) and the lookahead do
+    * NOT exist in RE2, so a query needing the DuckDB oracle replay uses
+    * [[Gpt2PretokPattern]] instead — this constant is for production
+    * application of cl100k/o200k-family rank files. */
+  val Cl100kPretokPattern: String =
+    "'(?i:[sdmt]|ll|ve|re)|[^\\r\\n\\p{L}\\p{N}]?+\\p{L}+|\\p{N}{1,3}|" +
+      " ?[^\\s\\p{L}\\p{N}]++[\\r\\n]*|\\s*[\\r\\n]|\\s+(?!\\S)|\\s+"
+
   /** A fitted BPE merge table, in rank order. Persists as a single
     * `bpe.json` (merge tables are dictionary-sized — no parquet needed). */
   final case class BpeModel(merges: Seq[(String, String)]) {
@@ -675,12 +689,18 @@ object Bpe {
     * NULL texts count a document but zero chars/tokens. One narrow
     * tokenize projection + one hash aggregation; the division is one
     * exact-long by exact-long double op, so any engine replays it
-    * bit-for-bit. */
+    * bit-for-bit. `pretok`/`byteLevel` pass through to [[bpeTokens]] —
+    * a model must be MEASURED in the mode it was fit or imported in
+    * (an imported tiktoken/GPT-2 table needs its pre-split + byte
+    * alphabet, else the fertility numbers describe a tokenizer nobody
+    * runs). */
   def compressionStats(
       df: DataFrame,
       textCol: String,
       model: BpeModel,
-      groupCols: Seq[String]): DataFrame = {
+      groupCols: Seq[String],
+      pretok: Option[String] = None,
+      byteLevel: Boolean = false): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     graft.core.Validators.requireColumns(df, groupCols :+ textCol)
     graft.core.Validators.requireColumnsAbsent(df,
@@ -688,7 +708,7 @@ object Bpe {
       "compressionStats")
     df
       .withColumn("__graft_nb",
-        size(bpeTokens(df.sparkSession, col(textCol), model)))
+        size(bpeTokens(df.sparkSession, col(textCol), model, pretok, byteLevel)))
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_docs"),

@@ -2738,6 +2738,43 @@ class OpsSpec extends SparkSpec {
       Bpe.loadTiktoken(d.resolve("mal.tiktoken").toString)
   }
 
+  test("Bpe.Cl100kPretokPattern: GPT-4-family pre-split rules (Java regex)") {
+    def split(s: String): List[String] = {
+      val m = java.util.regex.Pattern.compile(Bpe.Cl100kPretokPattern).matcher(s)
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      while (m.find()) out += m.group()
+      out.toList
+    }
+    // digit runs chunk in THREES; spaces glue to the following word
+    split("It's 12345 ok") shouldBe List("It", "'s", " ", "123", "45", " ok")
+    // contractions are case-insensitive (the (?i:) group)
+    split("I'M HERE") shouldBe List("I", "'M", " HERE")
+    // the trailing-space donation rule: a space run leaves its last
+    // space for the next word
+    split("a  b") shouldBe List("a", " ", " b")
+    // punctuation runs swallow trailing newlines (the ++[\r\n]* branch)
+    split("end!!\nnext") shouldBe List("end", "!!\n", "next")
+    // the whole text round-trips (pre-split loses no byte)
+    val s = "Mix3d text, 9000123 numbers — and\nlines\t x"
+    split(s).mkString shouldBe s
+    // production application: cl100k pre-split + the imported ranks
+    // (the kernel path takes any Java-regex pattern)
+    val d = java.nio.file.Files.createTempDirectory("tk_cl100k")
+    def b64(x: String): String =
+      java.util.Base64.getEncoder.encodeToString(x.getBytes("ISO-8859-1"))
+    val singles = (0 until 256).map(b =>
+      java.util.Base64.getEncoder.encodeToString(Array(b.toByte)) + s" $b")
+    java.nio.file.Files.writeString(d.resolve("r.tiktoken"),
+      (singles ++ Seq(b64("12") + " 256")).mkString("\n") + "\n")
+    val (m2, _) = Bpe.loadTiktoken(d.resolve("r.tiktoken").toString)
+    val toks = Bpe.bpeTokens(spark, lit("9 12345"), m2,
+      pretok = Some(Bpe.Cl100kPretokPattern), byteLevel = true)
+    // "12345" chunks to "123","45" BEFORE merging, so "12" only fuses
+    // inside the first chunk: [9, Ġ? ...] — byte alphabet: space → Ġ
+    Seq(Tuple1(1)).toDF("x").select(toks.as("t")).head().getSeq[String](0) shouldBe
+      Seq("9", "Ġ", "12", "3", "4", "5")
+  }
+
   test("Bpe.loadSentencePiece: protobuf walk, BPE merge recovery, ▁ preprocessing") {
     val W = "▁" // '▁', SP's word-boundary marker
     // hand-built ModelProto: repeated field-1 SentencePiece messages
