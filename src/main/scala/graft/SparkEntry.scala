@@ -4640,11 +4640,13 @@ object SparkEntry {
       val freeLarge = lit(hx("00000001" + "66726565" +
         "0000000000000018" + "0011223344556677")) // largesize box, 24 bytes
       val udta = lit(hx("0000000C" + "75647461" + "DEADBEEF"))
-      // FLAC: fLaC + last-flag STREAMINFO header + 34 bytes with rate
-      // 44100 packed at offsets 10-12 and the 32-bit total at 13-16
+      // FLAC: fLaC + last-flag STREAMINFO header + 34 bytes — rate 44100
+      // in the u20 at offsets 10-12, NONZERO channel/bps bits between
+      // rate and count (stereo 16-bit: byte 12 = 0x42, byte 13 high
+      // nibble = 0xF), the 32-bit total at offsets 14-17, 16 MD5 zeros
       def flacBytes(total: org.apache.spark.sql.Column) = concat(
-        lit(hx("664C6143" + "80000022" + "00" * 10 + "0AC4" + "40")),
-        be32(total), lit(hx("00" * 17)))
+        lit(hx("664C6143" + "80000022" + "00" * 10 + "0AC4" + "42" + "F0")),
+        be32(total), lit(hx("00" * 16)))
       val flacTotal = (col("doc_id") % 100000 + 1) * 10
       // Ogg: a fixed id page (granule 0) + a varying-granule EOS page
       val vorbisIdPage = lit(hx("4F676753" + "0002" + "00" * 8 +

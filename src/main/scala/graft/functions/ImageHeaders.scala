@@ -592,9 +592,15 @@ case class FlacDuration(child: Expression) extends MediaDuration {
       if (typ == 0) { // STREAMINFO
         if (len < 34 || body + 34 > n) return null
         val b = body.toInt
+        // packed fields from byte 10: rate u20, channels-1 u3, bps-1 u5,
+        // total u36 — the channel/bps bits sit BETWEEN rate and total
+        // (byte 12 low nibble + byte 13 high nibble), so the count's top
+        // nibble is byte 13's LOW nibble and its low byte is byte 17
+        // (round-14 review: reading one byte early garbled every real
+        // file while the fixtures encoded the same wrong layout)
         val rate = (u(b + 10) << 12) | (u(b + 11) << 4) | (u(b + 12) >> 4)
-        val total = ((u(b + 12) & 0x0f) << 32) | (u(b + 13) << 24) |
-          (u(b + 14) << 16) | (u(b + 15) << 8) | u(b + 16)
+        val total = ((u(b + 13) & 0x0f) << 32) | (u(b + 14) << 24) |
+          (u(b + 15) << 16) | (u(b + 16) << 8) | u(b + 17)
         return if (rate <= 0 || total <= 0) null // 0 samples = "unknown"
         else new GenericArrayData(Array(total, rate))
       }

@@ -107,17 +107,19 @@ case class PdfText(child: Expression) extends Expression {
       val d0 = indexOf(bytes, DictOpen, pos)
       if (d0 < 0) pos = n
       else {
-        val s = parseStreamAt(bytes, d0)
-        if (s == null) { // dict without a stream body: step past it
-          val dEnd = skipDict(bytes, d0)
-          pos = if (dEnd < 0) n else dEnd
-        } else {
-          if (s.decodable && s.dataEnd > s.dataStart) {
-            val data = java.util.Arrays.copyOfRange(bytes, s.dataStart, s.dataEnd)
-            val content = decodeFilters(data, s.filters, s.parms)
-            if (content != null) extract(content, sb, cmaps)
+        val dEnd = skipDict(bytes, d0)
+        if (dEnd < 0) pos = n
+        else {
+          val s = parseStreamAt(bytes, d0, dEnd)
+          if (s == null) pos = dEnd // dict without a stream body
+          else {
+            if (s.decodable && s.dataEnd > s.dataStart) {
+              val data = java.util.Arrays.copyOfRange(bytes, s.dataStart, s.dataEnd)
+              val content = decodeFilters(data, s.filters, s.parms)
+              if (content != null) extract(content, sb, cmaps)
+            }
+            pos = s.resumeAt
           }
-          pos = s.resumeAt
         }
       }
     }
@@ -193,9 +195,14 @@ object PdfText {
     * EOL trimmed) decides — round-14 review: declared length beats the
     * scan because compressed bytes can contain `endstream`. */
   private[functions] def parseStreamAt(b: Array[Byte], d0: Int): StreamSlice = {
-    val n = b.length
     val dEnd = skipDict(b, d0)
-    if (dEnd < 0) return null
+    if (dEnd < 0) null else parseStreamAt(b, d0, dEnd)
+  }
+
+  /** [[parseStreamAt]] with the dict end already known — callers that
+    * computed `dEnd` for their own walk skip the second balanced scan. */
+  private[functions] def parseStreamAt(b: Array[Byte], d0: Int, dEnd: Int): StreamSlice = {
+    val n = b.length
     var k = dEnd
     while (k < n && isWs(b(k))) k += 1
     if (k + 6 > n || !regionMatches(b, k, StreamKw)) return null
@@ -1383,11 +1390,16 @@ object PdfInfo {
               case _ => ()
             }
           }
+          // EVERY stream body is skipped via its slice — resuming at the
+          // dict end would scan compressed bytes for `<<` and junk dict
+          // opens inside Flate data could derail the walk before the
+          // real ObjStm (round-14 review; compute's loop does the same)
           var resumed = dEnd
+          val sAll = parseStreamAt(b, d0, dEnd)
+          if (sAll != null) resumed = sAll.resumeAt
           if (isObjStm && count > 0 && first >= 0) {
-            val s = parseStreamAt(b, d0)
+            val s = sAll
             if (s != null) {
-              resumed = s.resumeAt
               streams += 1
               if (s.decodable && s.dataEnd > s.dataStart) {
                 val data = java.util.Arrays.copyOfRange(b, s.dataStart, s.dataEnd)

@@ -67,7 +67,11 @@ object Bpe {
     * only: the possessive quantifiers (`?+`, `++`) and the lookahead do
     * NOT exist in RE2, so a query needing the DuckDB oracle replay uses
     * [[Gpt2PretokPattern]] instead — this constant is for production
-    * application of cl100k/o200k-family rank files. */
+    * application of cl100k-FAMILY rank files only. o200k_base ships a
+    * materially DIFFERENT regex (other contraction/case handling); pass
+    * that tokenizer's own pattern — the pretok parameter takes any Java
+    * regex — or the measured boundaries describe a tokenizer nobody
+    * runs. */
   val Cl100kPretokPattern: String =
     "'(?i:[sdmt]|ll|ve|re)|[^\\r\\n\\p{L}\\p{N}]?+\\p{L}+|\\p{N}{1,3}|" +
       " ?[^\\s\\p{L}\\p{N}]++[\\r\\n]*|\\s*[\\r\\n]|\\s+(?!\\S)|\\s+"
@@ -284,11 +288,16 @@ object Bpe {
         }.toList
       } finally src.close()
     val rankOf = new java.util.HashMap[String, Integer](entries.size * 2)
+    val seenRanks = new java.util.HashSet[Integer](entries.size * 2)
     entries.foreach { case (tok, r) =>
       val prev = rankOf.put(tok, Integer.valueOf(r))
       if (prev != null)
         throw graft.errors.FeatureFactoryException.InvalidParameter(
           s"loadTiktoken: token '$tok' appears twice (ranks $prev and $r)")
+      if (!seenRanks.add(Integer.valueOf(r)))
+        throw graft.errors.FeatureFactoryException.InvalidParameter(
+          s"loadTiktoken: rank $r assigned to two tokens — merge order " +
+            "would be arbitrary (corrupt rank file)")
     }
     val byRank = entries.sortBy(_._2)
     val merges = byRank.flatMap { case (tok, r) =>

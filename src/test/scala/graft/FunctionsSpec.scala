@@ -458,15 +458,19 @@ class FunctionsSpec extends SparkSpec {
         b: Array[Byte]): Option[(Long, Long)] =
       Option(k(b)).map(a => (a.getLong(0), a.getLong(1)))
     // ---- FLAC ----
+    // the REAL bit layout (RFC 9639): rate u20, channels-1 u3, bps-1 u5
+    // between rate and the u36 total — a 16-bit STEREO stream, so the
+    // inter-field bits are nonzero and a one-byte-early read cannot pass
     def streaminfo(rate: Int, total: Long): Array[Byte] = {
       val b = new Array[Byte](34)
       b(10) = (rate >> 12).toByte
       b(11) = ((rate >> 4) & 0xff).toByte
-      b(12) = (((rate & 0xf) << 4) | ((total >> 32) & 0xf).toInt).toByte
-      b(13) = ((total >> 24) & 0xff).toByte
-      b(14) = ((total >> 16) & 0xff).toByte
-      b(15) = ((total >> 8) & 0xff).toByte
-      b(16) = (total & 0xff).toByte
+      b(12) = (((rate & 0xf) << 4) | (1 << 1) | 0).toByte // ch-1=1, bps-1 hi=0
+      b(13) = ((0xf << 4) | ((total >> 32) & 0xf).toInt).toByte // bps-1 lo=15
+      b(14) = ((total >> 24) & 0xff).toByte
+      b(15) = ((total >> 16) & 0xff).toByte
+      b(16) = ((total >> 8) & 0xff).toByte
+      b(17) = (total & 0xff).toByte
       b
     }
     def flac(rate: Int, total: Long): Array[Byte] =

@@ -2733,6 +2733,13 @@ class OpsSpec extends SparkSpec {
     intercept[Exception](
       Bpe.loadTiktoken(d.resolve("dup.tiktoken").toString))
       .getMessage should include("appears twice")
+    // one rank on two tokens is equally loud (merge order would be
+    // arbitrary — round-14 review)
+    java.nio.file.Files.writeString(d.resolve("duprank.tiktoken"),
+      b64("a") + " 7\n" + b64("b") + " 7\n")
+    intercept[Exception](
+      Bpe.loadTiktoken(d.resolve("duprank.tiktoken").toString))
+      .getMessage should include("two tokens")
     java.nio.file.Files.writeString(d.resolve("mal.tiktoken"), "notbase64&& x\n")
     an[Exception] should be thrownBy
       Bpe.loadTiktoken(d.resolve("mal.tiktoken").toString)
