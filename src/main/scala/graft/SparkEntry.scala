@@ -705,7 +705,7 @@ object SparkEntry {
     * PRODUCTION parser ([[Bpe.loadSentencePiece]]) and converted to a
     * merge table by [[Bpe.sentencePieceModel]]'s rank recovery. The
     * vocab ids are piece INDEXES — the model's token-id convention. */
-  private lazy val spExternal: (Bpe.BpeModel, Seq[(String, Int)]) = {
+  private lazy val spExternal: (Bpe.BpeModel, Seq[Bpe.SpPiece]) = {
     val W = "▁" // '▁', SP's word-boundary marker
     def buildModel(pieces: Seq[(String, Float, Int)]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -735,14 +735,17 @@ object SparkEntry {
           s"${W}t", s"${W}a", s"${W}s", s"${W}w", s"${W}o",
           s"${W}th", s"${W}the", s"${W}an", s"${W}and", "ing")
           .zipWithIndex.map { case (p, i) => (p, -30f - i, 1) } ++
-        Seq(("<0x41>", 0f, 6))
+        // the byte_fallback table (type 6), appended LAST so the piece
+        // indexes of everything above stay stable
+        (0 until 256).map(k => (f"<0x$k%02X>", 0f, 6))
     val d = java.nio.file.Files.createTempDirectory("graft_sp")
     val mp = d.resolve("sp.model")
     java.nio.file.Files.write(mp, buildModel(pieces))
     val loaded = Bpe.loadSentencePiece(mp.toString)
-    (Bpe.sentencePieceModel(loaded),
-      loaded.zipWithIndex.map { case (p, i) => (p.piece, i) })
+    (Bpe.sentencePieceModel(loaded), loaded)
   }
+  private def spVocab: Seq[(String, Int)] =
+    spExternal._2.zipWithIndex.map { case (p, i) => (p.piece, i) }
 
   /** events.parquet's ts encoding is generation-dependent: older drops
     * store TIMESTAMP(NANOS), which Spark's
@@ -3318,12 +3321,12 @@ object SparkEntry {
     }),
     "text_bpe_sp_vocab" -> ((s, dir) => {
       import s.implicits._
-      spExternal._2.toDF("token", "id")
+      spVocab.toDF("token", "id")
         .select(col("token"), col("id").cast("int").as("id"))
     }),
     "text_bpe_sp" -> ((s, dir) => {
-      val (model, vocab) = spExternal
-      val vmap = typedLit(vocab.toMap)
+      val model = spExternal._1
+      val vmap = typedLit(spVocab.toMap)
       rt(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .withColumn("__t",
@@ -3335,6 +3338,22 @@ object SparkEntry {
             transform(col("__t"),
               t => coalesce(element_at(vmap, t), lit(-1)).cast("string")),
             ",").as("ids_joined"))
+    }),
+    // SentencePiece ids with BYTE FALLBACK (the Llama convention): tokens
+    // outside the piece vocab emit their UTF-8 bytes' <0xNN> piece ids —
+    // no UNKs ever, decode round-trips. The oracle replays the fallback
+    // from the vocab dump alone (byte pieces looked up as '<0x'||hex||'>').
+    "text_bpe_sp_bytes" -> ((s, dir) => {
+      val (model, pieces) = spExternal
+      rt(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("__t",
+          Bpe.bpeTokens(s, Bpe.spPretokEncode(col("text")), model))
+        .withColumn("__ids", Bpe.spByteFallbackIds(col("__t"), pieces))
+        .select(col("doc_id"),
+          size(col("__ids")).as("n_ids"),
+          array_join(transform(col("__ids"), i => i.cast("string")), ",")
+            .as("ids_joined"))
     }),
     // Fertility under the imported rank file: chars-per-token by language
     // with the tokenizer applied EXACTLY as imported (pre-split + byte
@@ -7223,6 +7242,36 @@ object SparkEntry {
          |       array_to_string(b.toks, chr(31)) AS bpe_joined,
          |       COALESCE(i.ids_joined, '') AS ids_joined
          |FROM btoks b LEFT JOIN ids i USING (doc_id)""".stripMargin,
+    // SP byte-fallback replay: piece ids where the vocab matches, else
+    // the token's UTF-8 hex pairs looked up as '<0xNN>' byte pieces —
+    // entirely from the vocab dump (DuckDB's hex() is uppercase like the
+    // SentencePiece byte-piece convention).
+    "text_bpe_sp_bytes" ->
+      s"""WITH RECURSIVE $bpeSpReplayCte,
+         |v AS (SELECT token, id
+         |      FROM read_parquet('{GRAFT_OUT}/text_bpe_sp_vocab/*.parquet')),
+         |tt AS (SELECT doc_id, generate_subscripts(toks, 1) AS ti,
+         |              unnest(toks) AS t
+         |       FROM btoks),
+         |tv AS (SELECT tt.doc_id, tt.ti, tt.t, v.id
+         |       FROM tt LEFT JOIN v ON v.token = tt.t),
+         |byt AS (SELECT u.doc_id, u.ti, u.bi, bv.id
+         |        FROM (SELECT doc_id, ti, generate_subscripts(hl, 1) AS bi,
+         |                     unnest(hl) AS h
+         |              FROM (SELECT doc_id, ti,
+         |                      regexp_extract_all(hex(encode(t)), '..') AS hl
+         |                    FROM tv WHERE id IS NULL)) u
+         |        JOIN v bv ON bv.token = '<0x' || u.h || '>'),
+         |ids AS (SELECT doc_id, ti, 0 AS bi, id FROM tv WHERE id IS NOT NULL
+         |        UNION ALL
+         |        SELECT doc_id, ti, bi, id FROM byt),
+         |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_ids,
+         |          string_agg(CAST(id AS VARCHAR), ',' ORDER BY ti, bi)
+         |            AS ids_joined
+         |        FROM ids GROUP BY doc_id)
+         |SELECT b.doc_id, COALESCE(a.n_ids, 0) AS n_ids,
+         |       COALESCE(a.ids_joined, '') AS ids_joined
+         |FROM btoks b LEFT JOIN agg a USING (doc_id)""".stripMargin,
     // Fertility replay under the tiktoken import: counts from the
     // recovered-merge replay, chars + grouping joined back (LEFT JOIN +
     // coalesce keep NULL-text docs, matching the Scala side).

@@ -466,6 +466,38 @@ object Bpe {
       .otherwise(concat(lit("▁"), translate(t, " ", "▁")))
   }
 
+  /** SentencePiece ids with BYTE FALLBACK (the Llama convention): a
+    * token present in the piece vocabulary emits its piece index; any
+    * other token emits the `<0xNN>` BYTE pieces of its UTF-8 bytes —
+    * so no text ever maps to UNK and decode round-trips. Requires the
+    * model to carry all 256 byte pieces (that is what
+    * `byte_fallback=true` puts in the file) — LOUD otherwise, because
+    * silently emitting UNK would change the id stream's meaning. One
+    * narrow projection over a token array column (pair with
+    * [[bpeTokens]] over [[spPretokEncode]]'d text). */
+  def spByteFallbackIds(tokens: Column, pieces: Seq[SpPiece]): Column = {
+    val pieceId = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    pieces.zipWithIndex.foreach { case (p, i) =>
+      if (!pieceId.contains(p.piece)) pieceId(p.piece) = i
+    }
+    val byteIds = (0 until 256).map { k =>
+      val key = f"<0x$k%02X>"
+      val id = pieceId.getOrElse(key,
+        throw graft.errors.FeatureFactoryException.InvalidParameter(
+          s"spByteFallbackIds: model has no byte piece '$key' — not a " +
+            "byte_fallback model (ids would silently become UNKs)"))
+      f"$k%02X" -> id
+    }
+    val vmap = typedLit(pieceId.toMap)
+    val bmap = typedLit(byteIds.toMap)
+    flatten(transform(tokens, t =>
+      when(element_at(vmap, t).isNotNull, array(element_at(vmap, t)))
+        .otherwise(
+          transform(
+            regexp_extract_all(hex(encode(t, "UTF-8")), lit(".."), lit(0)),
+            h => element_at(bmap, h)))))
+  }
+
   /** BPE token array of `text` under `model` — native kernel when available,
     * else the REPLACE-chain fallback (≤ [[MaxFallbackMerges]] merges).
     * `pretok = Some(pattern)` switches to regex-pre-tokenized mode

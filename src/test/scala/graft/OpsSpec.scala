@@ -2837,6 +2837,26 @@ class OpsSpec extends SparkSpec {
       Bpe.spPretokEncode(lit(null).cast("string")), m)
     Seq(Tuple1(1)).toDF("x").select(nullToks.as("t")).head().getSeq[String](0) shouldBe
       Seq.empty
+    // byte fallback: a model carrying the full <0xNN> table maps
+    // out-of-vocab tokens to their UTF-8 bytes' piece ids — no UNKs
+    val withBytes = pieces ++
+      (0 until 256).filter(_ != 0x41).map(k => (f"<0x$k%02X>", 0f, 6))
+    val bp = d.resolve("bytes.model")
+    java.nio.file.Files.write(bp, buildModel(withBytes))
+    val loadedB = Bpe.loadSentencePiece(bp.toString)
+    val mB = Bpe.sentencePieceModel(loadedB)
+    // "Bé" is out of vocab: 'B' → <0x42>, 'é' → UTF-8 C3 A9 → two pieces
+    val idx = loadedB.zipWithIndex.map { case (p, i) => (p.piece, i) }.toMap
+    val ids = Seq(Tuple1(1)).toDF("x").select(
+      Bpe.spByteFallbackIds(
+        Bpe.bpeTokens(spark, Bpe.spPretokEncode(lit("the Bé")), mB),
+        loadedB).as("i")).head().getSeq[Int](0)
+    ids shouldBe Seq(idx(s"${W}the"), idx(W), idx("<0x42>"),
+      idx("<0xC3>"), idx("<0xA9>"))
+    // a model WITHOUT the full byte table is loud (ids would become UNKs)
+    intercept[Exception](
+      Bpe.spByteFallbackIds(lit(Array("x")), loaded))
+      .getMessage should include("byte_fallback")
     // a unigram model (no merge history) is LOUD, not silently wrong
     val uni = Seq(("<unk>", 0f, 2), ("a", -1f, 1), ("xyz", -2f, 1))
     val up = d.resolve("uni.model")

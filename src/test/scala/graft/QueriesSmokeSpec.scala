@@ -210,6 +210,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_bpe_tiktoken" -> 0, "text_bpe_tk_merges" -> 0,
     "text_bpe_tk_vocab" -> 0,
     "text_bpe_sp" -> 0, "text_bpe_sp_merges" -> 0, "text_bpe_sp_vocab" -> 0,
+    "text_bpe_sp_bytes" -> 0,
     "sample_token_budget_tk" -> 1,
     "text_bpe_tk_stats" -> 1, // one hash aggregate, like text_bpe_stats
     // one (group, bucket) shuffle — the group rides the same window
