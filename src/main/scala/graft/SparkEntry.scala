@@ -3909,7 +3909,7 @@ object SparkEntry {
           // truncated PDF: header only, the marker never arrives
           .when(col("doc_id") % 10 === 7, concat(lit("%PDF-1.4\n".getBytes), body))
           .when(col("doc_id") % 10 === 8, concat(lit(hx("1F8B0800")), body))
-          .otherwise(body)
+          .otherwise(concat(lit(hx("4F676753")), body)) // OggS container
       Multimodal.withBinaryMeta(
         rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
         "payload").select("doc_id", "n_bytes", "format", "truncated")
@@ -8512,11 +8512,31 @@ object SparkEntry {
         |         / CAST(count(*) AS DOUBLE) AS recall
         |FROM t LEFT JOIN p ON t.query_id = p.query_id AND t.id = p.id
         |GROUP BY t.query_id""".stripMargin,
+    // Text payloads CAN start with any ASCII-typeable magic ("GIF8",
+    // "fLaC", "OggS", "RIFF", "ftyp" at offset 4…), so the oracle
+    // mirrors the sniffer's FULL precedence order — an arm present on
+    // only one side would fork on the first unlucky document (binary
+    // magics like FFD8/89504E47/1F8B cannot occur in UTF-8 text but
+    // cost nothing to keep in parity).
     "mm_binary_meta" ->
       """WITH h AS (SELECT doc_id, text,
         |             upper(hex(encode(text))) AS hx FROM documents),
         |f AS (SELECT doc_id, text, hx,
-        |        CASE WHEN substr(hx, 1, 6) = '494433' THEN 'mp3'
+        |        CASE WHEN substr(hx, 1, 4) = 'FFD8' THEN 'jpeg'
+        |             WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+        |             WHEN substr(hx, 1, 8) = '47494638' THEN 'gif'
+        |             WHEN substr(hx, 1, 8) = '664C6143' THEN 'flac'
+        |             WHEN substr(hx, 1, 8) = '4F676753' THEN 'ogg'
+        |             WHEN substr(hx, 1, 8) = '52494646' THEN
+        |               CASE substr(hx, 17, 8)
+        |                 WHEN '57454250' THEN 'webp'
+        |                 WHEN '57415645' THEN 'wav'
+        |                 WHEN '41564920' THEN 'avi'
+        |                 ELSE 'riff' END
+        |             WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
+        |             WHEN substr(hx, 1, 6) = '494433' THEN 'mp3'
+        |             WHEN substr(hx, 1, 2) = 'FF'
+        |                  AND substr(hx, 3, 1) IN ('E', 'F') THEN 'mp3'
         |             WHEN substr(hx, 1, 8) = '25504446' THEN 'pdf'
         |             WHEN substr(hx, 1, 4) = '1F8B' THEN 'gzip'
         |             ELSE 'unknown' END AS format
@@ -8525,7 +8545,21 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |       md5(text) AS content_md5,
         |       format,
-        |       CASE WHEN format = 'pdf'
+        |       CASE WHEN format = 'jpeg' THEN right(hx, 4) <> 'FFD9'
+        |            WHEN format = 'png' THEN right(hx, 16) <> '49454E44AE426082'
+        |            WHEN format = 'gif' THEN right(hx, 2) <> '3B'
+        |            WHEN format IN ('webp', 'wav', 'avi', 'riff') THEN
+        |              CAST(octet_length(encode(text)) AS BIGINT) <>
+        |              (instr('0123456789ABCDEF', substr(hx,  9, 1)) - 1) * 16
+        |              + instr('0123456789ABCDEF', substr(hx, 10, 1)) - 1
+        |              + ((instr('0123456789ABCDEF', substr(hx, 11, 1)) - 1) * 16
+        |                 + instr('0123456789ABCDEF', substr(hx, 12, 1)) - 1) * 256
+        |              + ((instr('0123456789ABCDEF', substr(hx, 13, 1)) - 1) * 16
+        |                 + instr('0123456789ABCDEF', substr(hx, 14, 1)) - 1) * 65536
+        |              + ((instr('0123456789ABCDEF', substr(hx, 15, 1)) - 1) * 16
+        |                 + instr('0123456789ABCDEF', substr(hx, 16, 1)) - 1) * 16777216
+        |              + 8
+        |            WHEN format = 'pdf'
         |            THEN NOT regexp_matches(right(hx, 2048), '^(..)*2525454F46')
         |            ELSE CAST(NULL AS BOOLEAN) END AS truncated
         |FROM f""".stripMargin,
@@ -8773,7 +8807,7 @@ object SparkEntry {
         |                  || encode(chr(10) || '%%EOF' || chr(10) || ' ok')
         |      WHEN 7 THEN encode('%PDF-1.4' || chr(10)) || encode(text)
         |      WHEN 8 THEN from_hex('1F8B0800') || encode(text)
-        |      ELSE encode(text)
+        |      ELSE from_hex('4F676753') || encode(text)
         |    END AS payload
         |  FROM documents),
         |h AS (SELECT doc_id, hex(payload) AS hx,
@@ -8785,6 +8819,7 @@ object SparkEntry {
         |          WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
         |          WHEN substr(hx, 1, 8) = '47494638' THEN 'gif'
         |          WHEN substr(hx, 1, 8) = '664C6143' THEN 'flac'
+        |          WHEN substr(hx, 1, 8) = '4F676753' THEN 'ogg'
         |          WHEN substr(hx, 1, 8) = '52494646' THEN
         |            CASE substr(hx, 17, 8)
         |              WHEN '57454250' THEN 'webp'

@@ -38,6 +38,7 @@ object Multimodal {
         .when(magic.startsWith("89504E47"), lit("png"))
         .when(magic.startsWith("47494638"), lit("gif"))
         .when(magic.startsWith("664C6143"), lit("flac"))
+        .when(magic.startsWith("4F676753"), lit("ogg")) // OggS capture
         .when(magic.startsWith("52494646"),
           when(riffForm === "57454250", lit("webp"))
             .when(riffForm === "57415645", lit("wav"))

@@ -1672,7 +1672,8 @@ class OpsSpec extends SparkSpec {
       (7L, hx("664C6143") ++ "streaminfo".getBytes), // flac → no cheap check
       (8L, hx("52494646") ++ hx("08000000") ++ "WEBP".getBytes ++ hx("DEADBEEF")), // webp, declared 8 = 16-8 → complete
       (9L, hx("52494646") ++ hx("20000000") ++ "WAVE".getBytes), // wav, declared 32 ≠ 4 → truncated
-      (10L, hx("00000018") ++ "ftyp".getBytes ++ "isom".getBytes)) // mp4 via box type
+      (10L, hx("00000018") ++ "ftyp".getBytes ++ "isom".getBytes), // mp4 via box type
+      (11L, "OggS".getBytes ++ hx("0002") ++ "page".getBytes)) // ogg container
     val d = spark.createDataFrame(
       java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*),
       StructType(Seq(
@@ -1692,6 +1693,7 @@ class OpsSpec extends SparkSpec {
     out(8L) shouldBe (("webp", Some(false)))
     out(9L) shouldBe (("wav", Some(true)))
     out(10L) shouldBe (("mp4", None))
+    out(11L) shouldBe (("ogg", None))
   }
 
   test("Multimodal.imageDims parses real PNG/GIF headers; others and short payloads NULL") {
