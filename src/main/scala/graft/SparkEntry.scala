@@ -4098,9 +4098,31 @@ object SparkEntry {
           lpad(hex(shiftright(w, 8).bitwiseAND(lit(255L))), 2, "0"),
           lpad(hex(h.bitwiseAND(lit(255L))), 2, "0"),
           lpad(hex(shiftright(h, 8).bitwiseAND(lit(255L))), 2, "0"))))
+      // round-14 arms: a FLAC STREAMINFO and an Ogg Opus page pair — the
+      // same constructions mm_media_duration pins, composed here so the
+      // one-pass profile covers every duration-bearing container
+      def be32(v: org.apache.spark.sql.Column) = unhex(lpad(hex(v), 8, "0"))
+      val flac = concat(
+        lit(hx("664C6143" + "80000022" + "00" * 10 + "0AC4" + "42" + "F0")),
+        be32((col("doc_id") % 100000 + 1) * 10), lit(hx("00" * 16)))
+      def le32(v: org.apache.spark.sql.Column) = unhex(concat(
+        lpad(hex(v.bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(v, 8).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(v, 16).bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(v, 24).bitwiseAND(lit(255L))), 2, "0")))
+      val opus = concat(
+        lit(hx("4F676753" + "0002" + "00" * 8 +
+          "01000000" + "00000000" + "00000000" + "01" + "13" +
+          "4F70757348656164" + "01" + "02" + "3801" + "80BB0000" + "0000" + "00")),
+        lit(hx("4F676753" + "0004")),
+        concat(le32(((col("doc_id") % 48000 + 1) * 10 + 312)
+          .bitwiseAND(lit(0xffffffffL))), lit(hx("00000000"))),
+        lit(hx("01000000" + "01000000" + "00000000" + "01" + "01" + "AA")))
       val payload =
-        when(col("doc_id") % 3 === 0, jpeg)
-          .when(col("doc_id") % 3 === 1, mp3)
+        when(col("doc_id") % 5 === 0, jpeg)
+          .when(col("doc_id") % 5 === 1, mp3)
+          .when(col("doc_id") % 5 === 3, flac)
+          .when(col("doc_id") % 5 === 4, opus)
           .otherwise(webp)
       val base = rt(s, dir, "documents").select(col("doc_id"), payload.as("payload"))
       val profiled = Multimodal.withMp3Tags(
@@ -8606,51 +8628,63 @@ object SparkEntry {
         |            ELSE CAST(doc_id % 300 + 1 AS BIGINT) END AS img_height
         |FROM documents""".stripMargin,
     // The whole ingest profile rebuilt from per-shape arithmetic: fixed
-    // header sizes (jpeg 63 B, webp 30 B), jpeg/webp truncation is TRUE
-    // by construction (no EOI trailer / RIFF declares 100), the display
-    // transpose fires on orientations 5-8, and the MP3 leg reuses the
-    // CBR duration + ID3 frame arithmetic verbatim. NOTE display dims:
-    // a NULL orientation falls to the otherwise-branch, so webp display
-    // = raw dims while mp3 (null dims) stays NULL.
+    // header sizes (jpeg 63 B, webp 30 B, flac 42 B, ogg 76 B),
+    // jpeg/webp truncation is TRUE by construction (no EOI trailer /
+    // RIFF declares 100), the display transpose fires on orientations
+    // 5-8, the MP3 leg reuses the CBR duration + ID3 frame arithmetic
+    // verbatim, and the round-14 FLAC/Opus legs reuse
+    // mm_media_duration's pairs. NOTE display dims: a NULL orientation
+    // falls to the otherwise-branch, so webp display = raw dims while
+    // the audio legs (null dims) stay NULL.
     "mm_ingest_profile" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 3 AS INTEGER)
-        |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'mp3' ELSE 'webp' END AS format,
-        |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
-        |    WHEN 0 THEN 63 WHEN 1 THEN doc_id % 997 + 126 ELSE 30
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'mp3' WHEN 3 THEN 'flac'
+        |    WHEN 4 THEN 'ogg' ELSE 'webp' END AS format,
+        |  CAST(CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN 63 WHEN 1 THEN doc_id % 997 + 126
+        |    WHEN 3 THEN 42 WHEN 4 THEN 76 ELSE 30
         |  END AS INTEGER) AS n_bytes,
-        |  CASE WHEN doc_id % 3 = 1 THEN NULL ELSE TRUE END AS truncated,
-        |  CASE WHEN doc_id % 3 <> 1
+        |  CASE WHEN doc_id % 5 IN (0, 2) THEN TRUE END AS truncated,
+        |  CASE WHEN doc_id % 5 IN (0, 2)
         |       THEN CAST(doc_id % 500 + 1 AS BIGINT) END AS img_width,
-        |  CASE WHEN doc_id % 3 <> 1
+        |  CASE WHEN doc_id % 5 IN (0, 2)
         |       THEN CAST(doc_id % 300 + 1 AS BIGINT) END AS img_height,
-        |  CASE WHEN doc_id % 3 = 0
+        |  CASE WHEN doc_id % 5 = 0
         |       THEN CAST(doc_id % 8 + 1 AS INTEGER) END AS img_orientation,
-        |  CASE WHEN doc_id % 3 = 0 AND doc_id % 8 + 1 >= 5
+        |  CASE WHEN doc_id % 5 = 0 AND doc_id % 8 + 1 >= 5
         |         THEN CAST(doc_id % 300 + 1 AS BIGINT)
-        |       WHEN doc_id % 3 <> 1
+        |       WHEN doc_id % 5 IN (0, 2)
         |         THEN CAST(doc_id % 500 + 1 AS BIGINT)
         |  END AS display_width,
-        |  CASE WHEN doc_id % 3 = 0 AND doc_id % 8 + 1 >= 5
+        |  CASE WHEN doc_id % 5 = 0 AND doc_id % 8 + 1 >= 5
         |         THEN CAST(doc_id % 500 + 1 AS BIGINT)
-        |       WHEN doc_id % 3 <> 1
+        |       WHEN doc_id % 5 IN (0, 2)
         |         THEN CAST(doc_id % 300 + 1 AS BIGINT)
         |  END AS display_height,
-        |  CASE WHEN doc_id % 3 = 0 THEN FALSE END AS gps_present,
-        |  CASE WHEN doc_id % 3 = 1
-        |       THEN CAST((doc_id % 997 + 68) * 8 AS BIGINT) END AS media_dur_num,
-        |  CASE WHEN doc_id % 3 = 1
-        |       THEN CAST(128000 AS BIGINT) END AS media_dur_den,
-        |  CASE WHEN doc_id % 3 = 1
-        |       THEN CAST((doc_id % 997 + 68) * 8 AS DOUBLE) / 128000.0
+        |  CASE WHEN doc_id % 5 = 0 THEN FALSE END AS gps_present,
+        |  CASE WHEN doc_id % 5 = 1 THEN CAST((doc_id % 997 + 68) * 8 AS BIGINT)
+        |       WHEN doc_id % 5 = 3 THEN CAST((doc_id % 100000 + 1) * 10 AS BIGINT)
+        |       WHEN doc_id % 5 = 4 THEN CAST((doc_id % 48000 + 1) * 10 AS BIGINT)
+        |  END AS media_dur_num,
+        |  CASE WHEN doc_id % 5 = 1 THEN CAST(128000 AS BIGINT)
+        |       WHEN doc_id % 5 = 3 THEN CAST(44100 AS BIGINT)
+        |       WHEN doc_id % 5 = 4 THEN CAST(48000 AS BIGINT)
+        |  END AS media_dur_den,
+        |  CASE WHEN doc_id % 5 = 1
+        |         THEN CAST((doc_id % 997 + 68) * 8 AS DOUBLE) / 128000.0
+        |       WHEN doc_id % 5 = 3
+        |         THEN CAST((doc_id % 100000 + 1) * 10 AS DOUBLE) / 44100.0
+        |       WHEN doc_id % 5 = 4
+        |         THEN CAST((doc_id % 48000 + 1) * 10 AS DOUBLE) / 48000.0
         |  END AS media_duration_sec,
-        |  CASE WHEN doc_id % 3 = 1
+        |  CASE WHEN doc_id % 5 = 1
         |       THEN 'T' || lpad(CAST(doc_id % 89 AS VARCHAR), 4, '0')
         |  END AS mp3_title,
-        |  CASE WHEN doc_id % 3 = 1
+        |  CASE WHEN doc_id % 5 = 1
         |       THEN 'A' || lpad(CAST(doc_id % 83 AS VARCHAR), 4, '0')
         |  END AS mp3_artist,
-        |  CASE WHEN doc_id % 3 = 1
+        |  CASE WHEN doc_id % 5 = 1
         |       THEN 'L' || lpad(CAST(doc_id % 79 AS VARCHAR), 4, '0')
         |  END AS mp3_album
         |FROM documents""".stripMargin,

@@ -498,6 +498,28 @@ object Bpe {
             h => element_at(bmap, h)))))
   }
 
+  /** Driver-side inverse of [[spByteFallbackIds]] (verification / export
+    * tooling, not a data path): `<0xNN>` byte pieces reassemble into
+    * UTF-8, other ids map back to their piece strings, '▁' runs undo
+    * [[spPretokEncode]]'s space mapping and dummy prefix. Total round
+    * trip: `spDecodeIds(ids, pieces)` equals the original text exactly
+    * for any text [[spPretokEncode]] accepted. Unknown ids are loud. */
+  def spDecodeIds(ids: Seq[Int], pieces: Seq[SpPiece]): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    ids.foreach { id =>
+      if (id < 0 || id >= pieces.size)
+        throw graft.errors.FeatureFactoryException.InvalidParameter(
+          s"spDecodeIds: id $id outside the ${pieces.size}-piece vocab")
+      val p = pieces(id)
+      if (p.kind == 6 && p.piece.length == 6 && p.piece.startsWith("<0x"))
+        out.write(Integer.parseInt(p.piece.substring(3, 5), 16))
+      else out.write(p.piece.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val s = new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      .replace('▁', ' ')
+    if (s.startsWith(" ")) s.substring(1) else s // the dummy prefix
+  }
+
   /** BPE token array of `text` under `model` — native kernel when available,
     * else the REPLACE-chain fallback (≤ [[MaxFallbackMerges]] merges).
     * `pretok = Some(pattern)` switches to regex-pre-tokenized mode

@@ -2855,6 +2855,10 @@ class OpsSpec extends SparkSpec {
         loadedB).as("i")).head().getSeq[Int](0)
     ids shouldBe Seq(idx(s"${W}the"), idx(W), idx("<0x42>"),
       idx("<0xC3>"), idx("<0xA9>"))
+    // the id stream decodes back to the exact input (encode∘decode = id)
+    Bpe.spDecodeIds(ids, loadedB) shouldBe "the Bé"
+    intercept[Exception](Bpe.spDecodeIds(Seq(99999), loadedB))
+      .getMessage should include("outside")
     // a model WITHOUT the full byte table is loud (ids would become UNKs)
     intercept[Exception](
       Bpe.spByteFallbackIds(lit(Array("x")), loaded))
