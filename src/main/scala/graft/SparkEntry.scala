@@ -700,11 +700,12 @@ object SparkEntry {
   }
 
   /** The SentencePiece fixture: a hand-assembled binary ModelProto
-    * (<unk> + '▁' + a–z + 18 BPE-trained pieces + one BYTE piece, with
-    * decoy proto fields the walk must skip) loaded through the
-    * PRODUCTION parser ([[Bpe.loadSentencePiece]]) and converted to a
-    * merge table by [[Bpe.sentencePieceModel]]'s rank recovery. The
-    * vocab ids are piece INDEXES — the model's token-id convention. */
+    * (<unk> + '▁' + a–z + 18 BPE-trained pieces + the full 256-entry
+    * `<0xNN>` byte_fallback table appended LAST, with decoy proto
+    * fields the walk must skip) loaded through the PRODUCTION parser
+    * ([[Bpe.loadSentencePiece]]) and converted to a merge table by
+    * [[Bpe.sentencePieceModel]]'s rank recovery. The vocab ids are
+    * piece INDEXES — the model's token-id convention. */
   private lazy val spExternal: (Bpe.BpeModel, Seq[Bpe.SpPiece]) = {
     val W = "▁" // '▁', SP's word-boundary marker
     def buildModel(pieces: Seq[(String, Float, Int)]): Array[Byte] = {
@@ -746,6 +747,37 @@ object SparkEntry {
   }
   private def spVocab: Seq[(String, Int)] =
     spExternal._2.zipWithIndex.map { case (p, i) => (p.piece, i) }
+
+  /** Shared multimodal fixture builders — mm_media_duration and
+    * mm_ingest_profile pin the SAME FLAC/Opus byte constructions; one
+    * builder keeps them provably identical (round-14 review: duplicated
+    * hex literals would let a future bit-layout fix miss the twin). */
+  private def fxHx(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  private def fxBe32(v: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(v), 8, "0"))
+  private def fxLe32(v: org.apache.spark.sql.Column) = unhex(concat(
+    lpad(hex(v.bitwiseAND(lit(255L))), 2, "0"),
+    lpad(hex(shiftright(v, 8).bitwiseAND(lit(255L))), 2, "0"),
+    lpad(hex(shiftright(v, 16).bitwiseAND(lit(255L))), 2, "0"),
+    lpad(hex(shiftright(v, 24).bitwiseAND(lit(255L))), 2, "0")))
+  private def fxLe64(v: org.apache.spark.sql.Column) = concat(
+    fxLe32(v.bitwiseAND(lit(0xffffffffL))), fxLe32(shiftright(v, 32)))
+  /** FLAC, one last-flag STREAMINFO: rate 44100 in the u20, stereo
+    * 16-bit channel/bps bits (NONZERO between rate and count — an
+    * offset bug cannot hash-match), the u32 total at offsets 14–17. */
+  private def fxFlac(total: org.apache.spark.sql.Column) = concat(
+    lit(fxHx("664C6143" + "80000022" + "00" * 10 + "0AC4" + "42" + "F0")),
+    fxBe32(total), lit(fxHx("00" * 16)))
+  /** Ogg Opus id page (pre-skip 312, the 48 kHz granule clock) — pair
+    * with [[fxOggEosPage]]. 47 bytes. */
+  private val fxOpusIdPage: Array[Byte] = fxHx("4F676753" + "0002" + "00" * 8 +
+    "01000000" + "00000000" + "00000000" + "01" + "13" +
+    "4F70757348656164" + "01" + "02" + "3801" + "80BB0000" + "0000" + "00")
+  /** A one-segment Ogg EOS page with the given granule. 29 bytes. */
+  private def fxOggEosPage(granule: org.apache.spark.sql.Column) = concat(
+    lit(fxHx("4F676753" + "0004")), fxLe64(granule),
+    lit(fxHx("01000000" + "01000000" + "00000000" + "01" + "01" + "AA")))
 
   /** events.parquet's ts encoding is generation-dependent: older drops
     * store TIMESTAMP(NANOS), which Spark's
@@ -4098,26 +4130,13 @@ object SparkEntry {
           lpad(hex(shiftright(w, 8).bitwiseAND(lit(255L))), 2, "0"),
           lpad(hex(h.bitwiseAND(lit(255L))), 2, "0"),
           lpad(hex(shiftright(h, 8).bitwiseAND(lit(255L))), 2, "0"))))
-      // round-14 arms: a FLAC STREAMINFO and an Ogg Opus page pair — the
-      // same constructions mm_media_duration pins, composed here so the
-      // one-pass profile covers every duration-bearing container
-      def be32(v: org.apache.spark.sql.Column) = unhex(lpad(hex(v), 8, "0"))
-      val flac = concat(
-        lit(hx("664C6143" + "80000022" + "00" * 10 + "0AC4" + "42" + "F0")),
-        be32((col("doc_id") % 100000 + 1) * 10), lit(hx("00" * 16)))
-      def le32(v: org.apache.spark.sql.Column) = unhex(concat(
-        lpad(hex(v.bitwiseAND(lit(255L))), 2, "0"),
-        lpad(hex(shiftright(v, 8).bitwiseAND(lit(255L))), 2, "0"),
-        lpad(hex(shiftright(v, 16).bitwiseAND(lit(255L))), 2, "0"),
-        lpad(hex(shiftright(v, 24).bitwiseAND(lit(255L))), 2, "0")))
-      val opus = concat(
-        lit(hx("4F676753" + "0002" + "00" * 8 +
-          "01000000" + "00000000" + "00000000" + "01" + "13" +
-          "4F70757348656164" + "01" + "02" + "3801" + "80BB0000" + "0000" + "00")),
-        lit(hx("4F676753" + "0004")),
-        concat(le32(((col("doc_id") % 48000 + 1) * 10 + 312)
-          .bitwiseAND(lit(0xffffffffL))), lit(hx("00000000"))),
-        lit(hx("01000000" + "01000000" + "00000000" + "01" + "01" + "AA")))
+      // round-14 arms: the SHARED fxFlac/fxOpus fixture builders (the
+      // same constructions mm_media_duration pins — one builder, so the
+      // twins cannot desynchronize), composed here so the one-pass
+      // profile covers every duration-bearing container
+      val flac = fxFlac((col("doc_id") % 100000 + 1) * 10)
+      val opus = concat(lit(fxOpusIdPage),
+        fxOggEosPage((col("doc_id") % 48000 + 1) * 10 + 312))
       val payload =
         when(col("doc_id") % 5 === 0, jpeg)
           .when(col("doc_id") % 5 === 1, mp3)
@@ -4669,8 +4688,6 @@ object SparkEntry {
         lpad(hex(shiftright(v, 8).bitwiseAND(lit(255L))), 2, "0"),
         lpad(hex(shiftright(v, 16).bitwiseAND(lit(255L))), 2, "0"),
         lpad(hex(shiftright(v, 24).bitwiseAND(lit(255L))), 2, "0")))
-      def le64(v: org.apache.spark.sql.Column) = concat(
-        le32(v.bitwiseAND(lit(0xffffffffL))), le32(shiftright(v, 32)))
       def be32(v: org.apache.spark.sql.Column) = unhex(lpad(hex(v), 8, "0"))
       def be64(v: org.apache.spark.sql.Column) = unhex(lpad(hex(v), 16, "0"))
       val byteRate = (col("doc_id") % 100 + 1) * 1000
@@ -4681,26 +4698,14 @@ object SparkEntry {
       val freeLarge = lit(hx("00000001" + "66726565" +
         "0000000000000018" + "0011223344556677")) // largesize box, 24 bytes
       val udta = lit(hx("0000000C" + "75647461" + "DEADBEEF"))
-      // FLAC: fLaC + last-flag STREAMINFO header + 34 bytes — rate 44100
-      // in the u20 at offsets 10-12, NONZERO channel/bps bits between
-      // rate and count (stereo 16-bit: byte 12 = 0x42, byte 13 high
-      // nibble = 0xF), the 32-bit total at offsets 14-17, 16 MD5 zeros
-      def flacBytes(total: org.apache.spark.sql.Column) = concat(
-        lit(hx("664C6143" + "80000022" + "00" * 10 + "0AC4" + "42" + "F0")),
-        be32(total), lit(hx("00" * 16)))
+      // FLAC + Ogg arms via the SHARED fx* builders (one construction
+      // for this query and mm_ingest_profile); the Vorbis id page stays
+      // local — only this query pins the Vorbis codec path
       val flacTotal = (col("doc_id") % 100000 + 1) * 10
-      // Ogg: a fixed id page (granule 0) + a varying-granule EOS page
       val vorbisIdPage = lit(hx("4F676753" + "0002" + "00" * 8 +
         "01000000" + "00000000" + "00000000" + "01" + "1E" + // 30-byte seg
         "01" + "766F72626973" + "00000000" + "02" + "44AC0000" + // rate 44100
         "00" * 12 + "B8" + "01"))
-      val opusIdPage = lit(hx("4F676753" + "0002" + "00" * 8 +
-        "01000000" + "00000000" + "00000000" + "01" + "13" + // 19-byte seg
-        "4F70757348656164" + "01" + "02" + "3801" + // pre-skip 312
-        "80BB0000" + "0000" + "00"))
-      def eosPage(granule: org.apache.spark.sql.Column) = concat(
-        lit(hx("4F676753" + "0004")), le64(granule),
-        lit(hx("01000000" + "01000000" + "00000000" + "01" + "01" + "AA")))
       val vorbisGranule = (col("doc_id") % 100000 + 1) * 4
       val opusGranule = (col("doc_id") % 48000 + 1) * 10 + 312
       val payload =
@@ -4746,12 +4751,12 @@ object SparkEntry {
           // skip runs past the end → NULL
           .when(col("doc_id") % 32 === 27,
             lit(hx("494433" + "0300" + "00" + "00000100" + "AAAAAAAAAA")))
-          .when(col("doc_id") % 8 === 4, flacBytes(flacTotal))
+          .when(col("doc_id") % 8 === 4, fxFlac(flacTotal))
           .when(col("doc_id") % 8 === 5,
-            concat(vorbisIdPage, eosPage(vorbisGranule)))
+            concat(vorbisIdPage, fxOggEosPage(vorbisGranule)))
           .when(col("doc_id") % 8 === 6,
-            concat(opusIdPage, eosPage(opusGranule)))
-          .otherwise(flacBytes(lit(0L))) // total 0 = "unknown" → NULL
+            concat(lit(fxOpusIdPage), fxOggEosPage(opusGranule)))
+          .otherwise(fxFlac(lit(0L))) // total 0 = "unknown" → NULL
       Multimodal.withMediaDuration(
         rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
         "payload")
@@ -8570,6 +8575,12 @@ object SparkEntry {
         |       CASE WHEN format = 'jpeg' THEN right(hx, 4) <> 'FFD9'
         |            WHEN format = 'png' THEN right(hx, 16) <> '49454E44AE426082'
         |            WHEN format = 'gif' THEN right(hx, 2) <> '3B'
+        |            -- a bare 4-byte 'RIFF' has NO size bytes: Spark's
+        |            -- conv('') is NULL while instr-of-'' arithmetic
+        |            -- would read 0 — guard, don't fork (round-14 review)
+        |            WHEN format IN ('webp', 'wav', 'avi', 'riff')
+        |                 AND octet_length(encode(text)) <= 4
+        |              THEN CAST(NULL AS BOOLEAN)
         |            WHEN format IN ('webp', 'wav', 'avi', 'riff') THEN
         |              CAST(octet_length(encode(text)) AS BIGINT) <>
         |              (instr('0123456789ABCDEF', substr(hx,  9, 1)) - 1) * 16

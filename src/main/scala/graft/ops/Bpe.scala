@@ -480,11 +480,18 @@ object Bpe {
     pieces.zipWithIndex.foreach { case (p, i) =>
       if (!pieceId.contains(p.piece)) pieceId(p.piece) = i
     }
+    // byte pieces resolve by NAME AND kind==6 — a model with
+    // identically-NAMED non-BYTE pieces must hit the loud error, not
+    // emit ids that spDecodeIds would reassemble as literal '<0xNN>'
+    // text (round-14 review)
+    val byteKind = pieces.zipWithIndex.collect {
+      case (p, i) if p.kind == 6 => p.piece -> i
+    }.toMap
     val byteIds = (0 until 256).map { k =>
       val key = f"<0x$k%02X>"
-      val id = pieceId.getOrElse(key,
+      val id = byteKind.getOrElse(key,
         throw graft.errors.FeatureFactoryException.InvalidParameter(
-          s"spByteFallbackIds: model has no byte piece '$key' — not a " +
+          s"spByteFallbackIds: model has no BYTE piece '$key' — not a " +
             "byte_fallback model (ids would silently become UNKs)"))
       f"$k%02X" -> id
     }

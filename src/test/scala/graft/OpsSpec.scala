@@ -2863,6 +2863,13 @@ class OpsSpec extends SparkSpec {
     intercept[Exception](
       Bpe.spByteFallbackIds(lit(Array("x")), loaded))
       .getMessage should include("byte_fallback")
+    // <0xNN>-NAMED pieces of the wrong KIND are equally loud — their ids
+    // would decode as literal '<0xNN>' text, not bytes (round-14 review)
+    val namedNotByte = loadedB.map(p =>
+      if (p.kind == 6) p.copy(kind = 4) else p) // USER_DEFINED impostors
+    intercept[Exception](
+      Bpe.spByteFallbackIds(lit(Array("x")), namedNotByte))
+      .getMessage should include("BYTE piece")
     // a unigram model (no merge history) is LOUD, not silently wrong
     val uni = Seq(("<unk>", 0f, 2), ("a", -1f, 1), ("xyz", -2f, 1))
     val up = d.resolve("uni.model")
