@@ -633,7 +633,21 @@ class PropertySpec extends SparkSpec {
       // stream walk, the Inflater error path, and the content tokenizer
       "%PDF-1.7\n<< /Filter /FlateDecode >>\nstream\n".getBytes,
       "%PDF-1.4\n<< >>\nstream\nBT (".getBytes, // unterminated string
-      "%PDF-1.6\ntrailer << /Info ".getBytes) // Info-ref walk steering
+      "%PDF-1.6\ntrailer << /Info ".getBytes, // Info-ref walk steering
+      // round-14 steering: object table + /Font→/ToUnicode resolution +
+      // CMap parse on fuzz bytes (compute only walks fonts when the
+      // /ToUnicode token appears, so random bodies never reach it alone)
+      ("%PDF-1.6\n1 0 obj\n<< /Resources << /Font << /F1 2 0 R >> >> >>\n" +
+        "2 0 obj\n<< /ToUnicode 3 0 R >>\n3 0 obj\n<< >>\nstream\n" +
+        "begincodespacerange <00").getBytes,
+      ("%PDF-1.5\n<< /ToUnicode 9 0 R >>\nbeginbfrange <00> <FF> ").getBytes,
+      // ObjStm member walk + the LZW/predictor decode paths
+      ("%PDF-1.5\ntrailer << /Info 20 0 R >>\n21 0 obj\n" +
+        "<< /Type /ObjStm /N 2 /First 8 /Filter /FlateDecode " +
+        "/DecodeParms << /Predictor 12 /Columns 3 >> >>\nstream\n").getBytes,
+      "%PDF-1.2\n<< /Filter /LZWDecode >>\nstream\n".getBytes,
+      // XMP packet fallback scan
+      "%PDF-1.7\ntrailer << >>\n<?xpacket begin=\"\"?><dc:title>".getBytes)
     val bodyGen = Gen.choose(0, 300)
       .flatMap(n => Gen.listOfN(n, Gen.choose(0, 255)))
       .map(_.map(_.toByte).toArray)
