@@ -3395,6 +3395,14 @@ object SparkEntry {
         rt(s, dir, "documents").select("doc_id", "lang", "text"),
         "text", tiktokenExternal._1, Seq("lang"),
         pretok = Some(Bpe.Gpt2PretokPattern), byteLevel = true)),
+    // Fertility under the SentencePiece import: the '▁' pre-encode runs
+    // before tokenization while n_chars counts the RAW text — the
+    // chars-per-token a Llama-family budget owner actually wants.
+    "text_bpe_sp_stats" -> ((s, dir) =>
+      Bpe.compressionStats(
+        rt(s, dir, "documents").select("doc_id", "lang", "text"),
+        "text", spExternal._1, Seq("lang"),
+        preEncode = Bpe.spPretokEncode)),
     // Token budgeting with the GPT-4-family tokenizer's own counts — the
     // production "first N tokens" cut under an imported rank file.
     "sample_token_budget_tk" -> ((s, dir) =>
@@ -7304,6 +7312,23 @@ object SparkEntry {
     // coalesce keep NULL-text docs, matching the Scala side).
     "text_bpe_tk_stats" ->
       s"""WITH RECURSIVE $bpeTkReplayCte,
+         |t AS (SELECT doc_id, CAST(coalesce(len(toks), 0) AS BIGINT) AS n_bpe
+         |      FROM btoks),
+         |g AS (SELECT d.lang, coalesce(length(d.text), 0) AS nc,
+         |             coalesce(t.n_bpe, 0) AS n_bpe
+         |      FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id)
+         |SELECT lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nc) AS BIGINT) AS n_chars,
+         |       CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+         |       CASE WHEN sum(n_bpe) > 0
+         |            THEN CAST(sum(nc) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE)
+         |            END AS chars_per_token
+         |FROM g GROUP BY lang""".stripMargin,
+    // SP fertility replay: token counts from the '▁' replay CTE, chars
+    // from the RAW documents text (the Scala side's n_chars contract).
+    "text_bpe_sp_stats" ->
+      s"""WITH RECURSIVE $bpeSpReplayCte,
          |t AS (SELECT doc_id, CAST(coalesce(len(toks), 0) AS BIGINT) AS n_bpe
          |      FROM btoks),
          |g AS (SELECT d.lang, coalesce(length(d.text), 0) AS nc,

@@ -759,18 +759,23 @@ object Bpe {
     * NULL texts count a document but zero chars/tokens. One narrow
     * tokenize projection + one hash aggregation; the division is one
     * exact-long by exact-long double op, so any engine replays it
-    * bit-for-bit. `pretok`/`byteLevel` pass through to [[bpeTokens]] —
-    * a model must be MEASURED in the mode it was fit or imported in
-    * (an imported tiktoken/GPT-2 table needs its pre-split + byte
-    * alphabet, else the fertility numbers describe a tokenizer nobody
-    * runs). */
+    * bit-for-bit. `pretok`/`byteLevel` pass through to [[bpeTokens]] and
+    * `preEncode` maps the text column BEFORE tokenization (identity by
+    * default; [[spPretokEncode]] for SentencePiece models) — a model
+    * must be MEASURED in the mode it was fit or imported in (an
+    * imported tiktoken/GPT-2 table needs its pre-split + byte alphabet,
+    * an SP table its '▁' mapping, else the fertility numbers describe a
+    * tokenizer nobody runs). `n_chars` always counts the RAW text —
+    * chars-per-token answers "how many tokens does MY text cost", not
+    * "how long is the preprocessed form". */
   def compressionStats(
       df: DataFrame,
       textCol: String,
       model: BpeModel,
       groupCols: Seq[String],
       pretok: Option[String] = None,
-      byteLevel: Boolean = false): DataFrame = {
+      byteLevel: Boolean = false,
+      preEncode: Column => Column = identity): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     graft.core.Validators.requireColumns(df, groupCols :+ textCol)
     graft.core.Validators.requireColumnsAbsent(df,
@@ -778,7 +783,8 @@ object Bpe {
       "compressionStats")
     df
       .withColumn("__graft_nb",
-        size(bpeTokens(df.sparkSession, col(textCol), model, pretok, byteLevel)))
+        size(bpeTokens(df.sparkSession, preEncode(col(textCol)), model,
+          pretok, byteLevel)))
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_docs"),

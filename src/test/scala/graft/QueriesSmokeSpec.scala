@@ -213,6 +213,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_bpe_sp_bytes" -> 0,
     "sample_token_budget_tk" -> 1,
     "text_bpe_tk_stats" -> 1, // one hash aggregate, like text_bpe_stats
+    "text_bpe_sp_stats" -> 1,
     // one (group, bucket) shuffle — the group rides the same window
     "sample_token_budget_group" -> 1,
     "sample_upsample" -> 0, // pure narrow projection + generator
