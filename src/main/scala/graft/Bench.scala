@@ -47,6 +47,23 @@ object Bench {
   /** Per-query medians of the reference bench JSON (its `"queries"`
     * object), or empty when the file is absent/unparseable — the bench
     * must run fine on a fresh checkout. */
+  /** A FOCUSED run (SPARK_GRAFT_QUERIES set) must never overwrite a
+    * fuller reference file: round 14's bookkeeping slip was exactly a
+    * focused rerun clobbering the committed full-suite bench_out.json
+    * before the round commit staged it. If the requested out file
+    * already holds any query this run will NOT re-measure, the result
+    * is redirected to a `*_focused.json` sibling — the failure mode is
+    * structurally impossible, not a convention. */
+  private[graft] def guardedOutFile(
+      requested: String,
+      focused: Boolean,
+      selected: Set[String],
+      existing: Set[String]): String =
+    if (focused && existing.exists(q => !selected.contains(q)))
+      (if (requested.endsWith(".json")) requested.dropRight(5)
+       else requested) + "_focused.json"
+    else requested
+
   private[graft] def refMedians(path: String): Map[String, Double] =
     try {
       val text = Files.readString(Paths.get(path))
@@ -61,10 +78,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val requestedOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    val outFile = guardedOutFile(requestedOut, only.isDefined,
+      selected.keySet.toSet, refMedians(requestedOut).keySet)
+    if (outFile != requestedOut)
+      System.err.println(s"[bench] focused run: writing to $outFile " +
+        s"(refusing to overwrite the fuller $requestedOut)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -100,9 +123,10 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     val loadBefore = loadavg()
     // the committed quiet reference must be read BEFORE the run
-    // overwrites outFile (the default ref IS outFile at HEAD)
-    val ref = refMedians(sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", outFile))
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    // overwrites it (the default ref is the REQUESTED out path at HEAD —
+    // a focused run redirected to *_focused.json still compares against
+    // the committed full-suite reference)
+    val ref = refMedians(sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", requestedOut))
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Double) = {
       def once(): Double = {

@@ -246,7 +246,10 @@ object PdfText {
     }
     var dataEnd = -1
     var resumeAt = -1
-    if (lengthDirect >= 0 && ds + lengthDirect <= n) {
+    // compare in Long: a payload near 2 GiB plus an adversarial 8-digit
+    // /Length can wrap Int negative, pass the guard, and index b(w) with
+    // a negative w in the whitespace loop below
+    if (lengthDirect >= 0 && ds.toLong + lengthDirect <= n) {
       var w = ds + lengthDirect
       while (w < n && isWs(b(w))) w += 1
       if (regionMatches(b, w, EndstreamKw)) {
@@ -721,8 +724,13 @@ object PdfText {
           if (gen >= 0) {
             var k = j2
             while (k < n && isWs(b(k))) k += 1
-            if (k + 3 <= n && b(k) == 'o' && b(k + 1) == 'b' && b(k + 2) == 'j' &&
+            if (gen <= 0xFFFF &&
+              k + 3 <= n && b(k) == 'o' && b(k + 1) == 'b' && b(k + 2) == 'j' &&
               (k + 3 >= n || isWs(b(k + 3)) || isDelim(b(k + 3)))) {
+              // gen is capped at the spec's 65535 (ISO 32000 §7.3.10):
+              // parseUInt accepts up to 8 digits, and an over-cap gen
+              // packed into the low 16 bits would alias into the
+              // object-number bits and resolve the WRONG object
               t.put((num.toLong << 16) | gen, Integer.valueOf(k + 3))
               i = k + 3
               advanced = true
@@ -760,6 +768,7 @@ object PdfText {
     val table = buildObjTable(b)
     val out = new java.util.HashMap[String, Cmap]()
     def objDictStart(num: Int, gen: Int): Int = {
+      if (gen > 0xFFFF) return -1 // buildObjTable's cap, mirrored
       val at = table.get((num.toLong << 16) | gen)
       if (at == null) return -1
       var k = at.intValue()

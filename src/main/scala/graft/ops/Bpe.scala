@@ -67,14 +67,39 @@ object Bpe {
     * only: the possessive quantifiers (`?+`, `++`) and the lookahead do
     * NOT exist in RE2, so a query needing the DuckDB oracle replay uses
     * [[Gpt2PretokPattern]] instead — this constant is for production
-    * application of cl100k-FAMILY rank files only. o200k_base ships a
-    * materially DIFFERENT regex (other contraction/case handling); pass
-    * that tokenizer's own pattern — the pretok parameter takes any Java
-    * regex — or the measured boundaries describe a tokenizer nobody
+    * application of cl100k-FAMILY rank files only ([[O200kPretokPattern]]
+    * for GPT-4o/o1-family files — o200k ships a materially DIFFERENT
+    * regex). The `(?U)` prefix turns on UNICODE_CHARACTER_CLASS: Java's
+    * `\s` is ASCII-only by default while tiktoken's engine treats `\s`
+    * as Unicode whitespace, so without it NBSP/U+3000 runs (common in
+    * web corpora) would match the punctuation branch instead of `\s+`
+    * and the measured boundaries would describe a tokenizer nobody
     * runs. */
   val Cl100kPretokPattern: String =
-    "'(?i:[sdmt]|ll|ve|re)|[^\\r\\n\\p{L}\\p{N}]?+\\p{L}+|\\p{N}{1,3}|" +
+    "(?U)'(?i:[sdmt]|ll|ve|re)|[^\\r\\n\\p{L}\\p{N}]?+\\p{L}+|\\p{N}{1,3}|" +
       " ?[^\\s\\p{L}\\p{N}]++[\\r\\n]*|\\s*[\\r\\n]|\\s+(?!\\S)|\\s+"
+
+  /** The o200k_base pre-tokenizer (the GPT-4o/o1-family regex, verbatim
+    * from the published rank-file metadata): two word branches carrying
+    * FULL case structure (an optional non-letter, then optional
+    * uppercase/titlecase prefix + lowercase run — or the reverse — with
+    * the contraction as an optional SUFFIX inside the branch, unlike
+    * cl100k's standalone leading-quote branch), three-digit number
+    * chunking, punctuation runs swallowing trailing newlines AND
+    * slashes (`[\r\n/]*` — the URL-path rule new in o200k), newline
+    * runs (`[\r\n]+`, vs cl100k's single `[\r\n]`), and the same
+    * trailing-space donation. Java-regex only (the `(?!\S)` lookahead
+    * is not RE2); `(?U)` for Unicode `\s` exactly as
+    * [[Cl100kPretokPattern]]. Oracle-replayed queries keep using
+    * [[Gpt2PretokPattern]] — this constant is for production
+    * application of o200k-family rank files. */
+  val O200kPretokPattern: String =
+    "(?U)[^\\r\\n\\p{L}\\p{N}]?[\\p{Lu}\\p{Lt}\\p{Lm}\\p{Lo}\\p{M}]*" +
+      "[\\p{Ll}\\p{Lm}\\p{Lo}\\p{M}]+(?i:'s|'t|'re|'ve|'m|'ll|'d)?|" +
+      "[^\\r\\n\\p{L}\\p{N}]?[\\p{Lu}\\p{Lt}\\p{Lm}\\p{Lo}\\p{M}]+" +
+      "[\\p{Ll}\\p{Lm}\\p{Lo}\\p{M}]*(?i:'s|'t|'re|'ve|'m|'ll|'d)?|" +
+      "\\p{N}{1,3}| ?[^\\s\\p{L}\\p{N}]+[\\r\\n/]*|\\s*[\\r\\n]+|" +
+      "\\s+(?!\\S)|\\s+"
 
   /** A fitted BPE merge table, in rank order. Persists as a single
     * `bpe.json` (merge tables are dictionary-sized — no parquet needed). */
@@ -508,9 +533,14 @@ object Bpe {
   /** Driver-side inverse of [[spByteFallbackIds]] (verification / export
     * tooling, not a data path): `<0xNN>` byte pieces reassemble into
     * UTF-8, other ids map back to their piece strings, '▁' runs undo
-    * [[spPretokEncode]]'s space mapping and dummy prefix. Total round
-    * trip: `spDecodeIds(ids, pieces)` equals the original text exactly
-    * for any text [[spPretokEncode]] accepted. Unknown ids are loud. */
+    * [[spPretokEncode]]'s space mapping and dummy prefix. Round trip:
+    * `spDecodeIds(ids, pieces)` equals the original text exactly for
+    * any text [[spPretokEncode]] accepted that contains no literal
+    * U+2581 (the `replace('▁',' ')` undo cannot distinguish the word-
+    * boundary marker from a genuine U+2581 in the input — that code
+    * point decodes as a space; same convention as [[decodeIdsBytes]]'s
+    * U+001F note: the tokenizer strips U+001F before encoding, so that
+    * character never round-trips either). Unknown ids are loud. */
   def spDecodeIds(ids: Seq[Int], pieces: Seq[SpPiece]): String = {
     val out = new java.io.ByteArrayOutputStream()
     ids.foreach { id =>

@@ -1086,4 +1086,26 @@ class CoreExtrasSpec extends SparkSpec {
     Multimodal.sampleFrames(d, "payload", everyNBytes = 8, frameBytes = 4)
       .count() shouldBe 0
   }
+
+  test("Bench.guardedOutFile: a focused run never overwrites a fuller reference") {
+    // focused + the existing file holds a query this run skips → redirect
+    Bench.guardedOutFile("bench_out.json", focused = true,
+      selected = Set("a"), existing = Set("a", "b")) shouldBe
+      "bench_out_focused.json"
+    // focused but re-measuring a superset of the existing file → keep
+    Bench.guardedOutFile("bench_out.json", focused = true,
+      selected = Set("a", "b"), existing = Set("a", "b")) shouldBe
+      "bench_out.json"
+    // full-suite run always writes the requested path (a query removed
+    // from the suite must not strand the reference forever)
+    Bench.guardedOutFile("bench_out.json", focused = false,
+      selected = Set("a"), existing = Set("a", "b", "gone")) shouldBe
+      "bench_out.json"
+    // no existing reference (fresh checkout) → keep
+    Bench.guardedOutFile("bench_out.json", focused = true,
+      selected = Set("a"), existing = Set.empty) shouldBe "bench_out.json"
+    // non-.json requested names still get a distinguishable sibling
+    Bench.guardedOutFile("ref", focused = true,
+      selected = Set("a"), existing = Set("b")) shouldBe "ref_focused.json"
+  }
 }

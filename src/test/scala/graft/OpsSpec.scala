@@ -2766,6 +2766,13 @@ class OpsSpec extends SparkSpec {
     // the whole text round-trips (pre-split loses no byte)
     val s = "Mix3d text, 9000123 numbers — and\nlines\t x"
     split(s).mkString shouldBe s
+    // (?U): NBSP is Unicode whitespace, so an NBSP run splits like an
+    // ASCII space run (donation rule) — without UNICODE_CHARACTER_CLASS
+    // Java's \s is ASCII-only and the possessive punctuation branch
+    // would swallow the run whole (round-15 ADVICE fix; tiktoken's
+    // engine treats \s as Unicode whitespace)
+    split("a\u00a0\u00a0b") shouldBe List("a", "\u00a0", "\u00a0b")
+    split("a\u00a0\u00a0") shouldBe List("a", "\u00a0\u00a0")
     // production application: cl100k pre-split + the imported ranks
     // (the kernel path takes any Java-regex pattern)
     val d = java.nio.file.Files.createTempDirectory("tk_cl100k")
@@ -2782,6 +2789,55 @@ class OpsSpec extends SparkSpec {
     // inside the first chunk: [9, Ġ? ...] — byte alphabet: space → Ġ
     Seq(Tuple1(1)).toDF("x").select(toks.as("t")).head().getSeq[String](0) shouldBe
       Seq("9", "Ġ", "12", "3", "4", "5")
+  }
+
+  test("Bpe.O200kPretokPattern: GPT-4o-family pre-split rules (Java regex)") {
+    def split(s: String): List[String] = {
+      val m = java.util.regex.Pattern.compile(Bpe.O200kPretokPattern).matcher(s)
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      while (m.find()) out += m.group()
+      out.toList
+    }
+    // contractions attach as a SUFFIX inside the word branch (cl100k
+    // splits them off as a standalone leading-quote token)
+    split("it's here") shouldBe List("it's", " here")
+    split("I'M OK") shouldBe List("I'M", " OK")
+    // case structure: Upper*lower+ is one pre-token, so camel-case
+    // splits at the case boundary and an acronym+word stays fused
+    split("HelloWorld") shouldBe List("Hello", "World")
+    split("HTTPServer") shouldBe List("HTTPServer")
+    split("ABC") shouldBe List("ABC")
+    // digit runs still chunk in threes; spaces glue to words
+    split("a 12345") shouldBe List("a", " ", "123", "45")
+    // punctuation runs swallow trailing slashes AND newlines (the
+    // [\r\n/]* URL-path rule, new vs cl100k's [\r\n]*)
+    split("a://b") shouldBe List("a", "://", "b")
+    split("end!/\nnext") shouldBe List("end", "!/\n", "next")
+    // newline RUNS are one pre-token ([\r\n]+)
+    split("a\n\n\nb") shouldBe List("a", "\n\n\n", "b")
+    // trailing-space donation, ASCII and (?U) Unicode whitespace alike
+    split("a  b") shouldBe List("a", " ", " b")
+    split("a\u00a0\u00a0b") shouldBe List("a", "\u00a0", "\u00a0b")
+    // the whole text round-trips (pre-split loses no byte)
+    val s = "Mix3d O200K text: 9000123, HTTPServer/path — it's\nfine\t x"
+    split(s).mkString shouldBe s
+    // production application: o200k pre-split + imported ranks through
+    // the kernel path (any Java-regex pattern)
+    val d = java.nio.file.Files.createTempDirectory("tk_o200k")
+    def b64(x: String): String =
+      java.util.Base64.getEncoder.encodeToString(x.getBytes("ISO-8859-1"))
+    val singles = (0 until 256).map(b =>
+      java.util.Base64.getEncoder.encodeToString(Array(b.toByte)) + s" $b")
+    java.nio.file.Files.writeString(d.resolve("r.tiktoken"),
+      (singles ++ Seq(b64("it") + " 256")).mkString("\n") + "\n")
+    val (m2, _) = Bpe.loadTiktoken(d.resolve("r.tiktoken").toString)
+    val toks = Bpe.bpeTokens(spark, lit("it's it"), m2,
+      pretok = Some(Bpe.O200kPretokPattern), byteLevel = true)
+    // pre-tokens ["it's", " it"]: "it" merges inside both (the second
+    // under the byte alphabet's Ġ space prefix, which blocks nothing —
+    // merges are within-pre-token)
+    Seq(Tuple1(1)).toDF("x").select(toks.as("t")).head().getSeq[String](0) shouldBe
+      Seq("it", "'", "s", "Ġ", "it")
   }
 
   test("Bpe.loadSentencePiece: protobuf walk, BPE merge recovery, ▁ preprocessing") {
