@@ -706,29 +706,35 @@ object SparkEntry {
     * ([[Bpe.loadSentencePiece]]) and converted to a merge table by
     * [[Bpe.sentencePieceModel]]'s rank recovery. The vocab ids are
     * piece INDEXES — the model's token-id convention. */
+  /** Binary SentencePiece ModelProto bytes for a piece table — shared by
+    * the BPE-trained fixture ([[spExternal]]) and the Unigram fixture
+    * ([[spUnigramExternal]]) so both load through the PRODUCTION parser
+    * from identical wire bytes. A decoy top-level field is appended so
+    * the fixture never passes by accident of being minimal. */
+  private def buildSpModelBytes(pieces: Seq[(String, Float, Int)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def varint(o: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { o.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      o.write(v.toInt)
+    }
+    pieces.foreach { case (p, s, k) =>
+      val inner = new java.io.ByteArrayOutputStream()
+      val pb = p.getBytes("UTF-8")
+      inner.write(0x0A); varint(inner, pb.length); inner.write(pb)
+      inner.write(0x15)
+      val bits = java.lang.Float.floatToIntBits(s)
+      inner.write(bits & 0xff); inner.write((bits >> 8) & 0xff)
+      inner.write((bits >> 16) & 0xff); inner.write((bits >> 24) & 0xff)
+      if (k != 1) { inner.write(0x18); varint(inner, k) }
+      bos.write(0x0A); varint(bos, inner.size); inner.writeTo(bos)
+    }
+    bos.write(0x12); varint(bos, 3); bos.write(Array[Byte](1, 2, 3)) // decoy
+    bos.toByteArray
+  }
+
   private lazy val spExternal: (Bpe.BpeModel, Seq[Bpe.SpPiece]) = {
     val W = "▁" // '▁', SP's word-boundary marker
-    def buildModel(pieces: Seq[(String, Float, Int)]): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      def varint(o: java.io.ByteArrayOutputStream, v0: Long): Unit = {
-        var v = v0
-        while ((v & ~0x7fL) != 0) { o.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-        o.write(v.toInt)
-      }
-      pieces.foreach { case (p, s, k) =>
-        val inner = new java.io.ByteArrayOutputStream()
-        val pb = p.getBytes("UTF-8")
-        inner.write(0x0A); varint(inner, pb.length); inner.write(pb)
-        inner.write(0x15)
-        val bits = java.lang.Float.floatToIntBits(s)
-        inner.write(bits & 0xff); inner.write((bits >> 8) & 0xff)
-        inner.write((bits >> 16) & 0xff); inner.write((bits >> 24) & 0xff)
-        if (k != 1) { inner.write(0x18); varint(inner, k) }
-        bos.write(0x0A); varint(bos, inner.size); inner.writeTo(bos)
-      }
-      bos.write(0x12); varint(bos, 3); bos.write(Array[Byte](1, 2, 3)) // decoy
-      bos.toByteArray
-    }
     val pieces: Seq[(String, Float, Int)] =
       Seq(("<unk>", 0f, 2), (W, -1f, 1)) ++
         ('a' to 'z').zipWithIndex.map { case (c, i) => (c.toString, -2f - i, 1) } ++
@@ -741,12 +747,48 @@ object SparkEntry {
         (0 until 256).map(k => (f"<0x$k%02X>", 0f, 6))
     val d = java.nio.file.Files.createTempDirectory("graft_sp")
     val mp = d.resolve("sp.model")
-    java.nio.file.Files.write(mp, buildModel(pieces))
+    java.nio.file.Files.write(mp, buildSpModelBytes(pieces))
     val loaded = Bpe.loadSentencePiece(mp.toString)
     (Bpe.sentencePieceModel(loaded), loaded)
   }
   private def spVocab: Seq[(String, Int)] =
     spExternal._2.zipWithIndex.map { case (p, i) => (p.piece, i) }
+
+  /** The UNIGRAM-trained SentencePiece fixture (T5/mT5/Gemma-family
+    * shape): log-prob scores NOT in index order — no merge history
+    * exists, so [[Bpe.sentencePieceModel]] rejects this file and only
+    * Viterbi inference ([[Bpe.unigramTokens]]) can run it. Deliberate
+    * coverage: an exact score tie (s(qu) = s(q)+s(u) = −10, the
+    * longer-piece rule), pieces where maximum-likelihood beats
+    * greedy-longest ("the" vs "th"+"e"), no digit/uppercase pieces (UNK
+    * → byte-fallback exercise), and the full 256-entry byte table
+    * appended last. Loaded through the production protobuf parser. */
+  private lazy val spUnigramExternal: Seq[Bpe.SpPiece] = {
+    val W = "▁"
+    val singles = ('a' to 'z').zipWithIndex.map { case (c, i) =>
+      (c.toString, -4.0f - (i % 5) * 0.25f, 1)
+    }
+    val pieces: Seq[(String, Float, Int)] =
+      Seq(("<unk>", 0f, 2), (W, -3.0f, 1)) ++
+        singles.filterNot { case (p, _, _) => p == "q" || p == "u" } ++
+        Seq(("q", -5.0f, 1), ("u", -5.0f, 1), ("qu", -10.0f, 1),
+          ("th", -6.0f, 1), ("he", -6.25f, 1), ("the", -7.0f, 1),
+          ("in", -6.0f, 1), ("ing", -8.0f, 1), ("an", -6.0f, 1),
+          ("and", -8.25f, 1), ("er", -6.5f, 1), ("re", -6.5f, 1),
+          ("on", -6.25f, 1), ("en", -6.25f, 1), ("at", -6.25f, 1),
+          ("es", -6.5f, 1), ("or", -6.5f, 1), ("ti", -6.5f, 1),
+          ("st", -6.5f, 1), ("ar", -6.5f, 1),
+          (s"${W}t", -6.5f, 1), (s"${W}a", -5.5f, 1), (s"${W}s", -6.0f, 1),
+          (s"${W}o", -6.0f, 1), (s"${W}w", -6.25f, 1), (s"${W}c", -6.25f, 1),
+          (s"${W}th", -7.0f, 1), (s"${W}the", -7.5f, 1), (s"${W}an", -7.25f, 1),
+          (s"${W}and", -8.0f, 1), (s"${W}of", -7.5f, 1), (s"${W}to", -7.5f, 1),
+          (s"${W}is", -7.75f, 1), (s"${W}in", -7.25f, 1)) ++
+        (0 until 256).map(k => (f"<0x$k%02X>", 0f, 6))
+    val d = java.nio.file.Files.createTempDirectory("graft_sp_uni")
+    val mp = d.resolve("unigram.model")
+    java.nio.file.Files.write(mp, buildSpModelBytes(pieces))
+    Bpe.loadSentencePiece(mp.toString)
+  }
 
   /** Shared multimodal fixture builders — mm_media_duration and
     * mm_ingest_profile pin the SAME FLAC/Opus byte constructions; one
@@ -1316,6 +1358,65 @@ object SparkEntry {
       |            list_filter(string_split(trim(e, chr(31)), chr(31)||chr(31)),
       |                        x -> x <> '') AS toks
       |          FROM fin)""".stripMargin
+
+  /** Code-point cap shared by the `text_sp_unigram*` queries and their
+    * oracles: the DuckDB Viterbi replay carries the dp vector as a
+    * growing LIST through a recursive CTE (O(n²) list copies per doc),
+    * so the parity gate runs on a documented text prefix. The OPERATOR
+    * ([[Bpe.unigramTokens]]) is uncapped — one linear trie-DP per row. */
+  private val SpUnigramCap = 160
+
+  /** Viterbi replay for the Unigram queries — the DP recomputed from the
+    * text_sp_unigram_pieces dump alone: dp[i] = best score over every
+    * NORMAL piece matching at [i−len, i) plus the unconditional one-char
+    * UNK edge at min(score)−10 (exactly [[Bpe.unigramTokens]]'s
+    * semantics, incl. the float64 sums); best-candidate selection is
+    * max(struct(score, len)) — DuckDB struct comparison is
+    * lexicographic, which IS the longer-piece tie rule. A second
+    * recursive CTE walks the chosen-length list backwards to the token
+    * array. Ends in `btoks` (doc_id, toks) like the BPE replay CTEs.
+    * The '▁' preprocessing and the [[SpUnigramCap]] prefix mirror the
+    * Spark side; U+001F is NOT stripped (unigram has no separator
+    * encoding). */
+  private val spUnigramReplayCte =
+    s"""pz AS (SELECT piece, score, len(piece) AS plen
+       |       FROM read_parquet('{GRAFT_OUT}/text_sp_unigram_pieces/*.parquet')
+       |       WHERE kind = 1),
+       |uz AS (SELECT min(score) - 10.0 AS us FROM pz),
+       |dz AS (SELECT doc_id,
+       |         CASE WHEN text IS NULL OR len(text) = 0 THEN ''
+       |              ELSE chr(9601) ||
+       |                   replace(substr(text, 1, $SpUnigramCap), ' ', chr(9601))
+       |         END AS t
+       |       FROM documents),
+       |dn AS (SELECT doc_id, t, len(t) AS n FROM dz),
+       |dpz AS (
+       |  SELECT doc_id, t, n, 0 AS pos,
+       |         [0.0]::DOUBLE[] AS sc, []::INTEGER[] AS bl
+       |  FROM dn
+       |  UNION ALL
+       |  SELECT d.doc_id, d.t, d.n, d.pos + 1,
+       |         list_append(d.sc,
+       |           max(struct_pack(s := d.sc[d.pos + 2 - q.plen] + q.score,
+       |                           l := q.plen))['s']),
+       |         list_append(d.bl,
+       |           max(struct_pack(s := d.sc[d.pos + 2 - q.plen] + q.score,
+       |                           l := q.plen))['l'])
+       |  FROM dpz d
+       |  JOIN (SELECT piece, plen, score FROM pz
+       |        UNION ALL SELECT NULL, 1, us FROM uz) q
+       |    ON q.piece IS NULL OR (q.plen <= d.pos + 1
+       |        AND q.piece = substr(d.t, d.pos + 2 - q.plen, q.plen))
+       |  WHERE d.pos < d.n
+       |  GROUP BY d.doc_id, d.t, d.n, d.pos, d.sc, d.bl),
+       |finz AS (SELECT doc_id, t, n, bl FROM dpz WHERE pos = n),
+       |btz AS (
+       |  SELECT doc_id, t, bl, n AS pos, []::VARCHAR[] AS toks FROM finz
+       |  UNION ALL
+       |  SELECT doc_id, t, bl, pos - bl[pos],
+       |         list_prepend(substr(t, pos - bl[pos] + 1, bl[pos]), toks)
+       |  FROM btz WHERE pos > 0),
+       |btoks AS (SELECT doc_id, toks FROM btz WHERE pos = 0)""".stripMargin
 
   /** Shared CTE suffix of the IVF-PQ PRODUCT oracles, composed ON TOP of
     * [[ivfPqCodesCte]] (which supplies `sc` = id/cell/res and `cent`):
@@ -3403,6 +3504,44 @@ object SparkEntry {
         rt(s, dir, "documents").select("doc_id", "lang", "text"),
         "text", spExternal._1, Seq("lang"),
         preEncode = Bpe.spPretokEncode)),
+    // SentencePiece UNIGRAM inference (T5/mT5/Gemma-family models carry
+    // no merge history — sentencePieceModel rejects them; this is the
+    // Viterbi path): piece/score/kind dump for the oracle's DP replay…
+    "text_sp_unigram_pieces" -> ((s, dir) => {
+      import s.implicits._
+      spUnigramExternal.zipWithIndex
+        .map { case (p, i) => (i, p.piece, p.score.toDouble, p.kind) }
+        .toDF("id", "piece", "score", "kind")
+    }),
+    // …and the segmentation itself: maximum-likelihood tokens over the
+    // '▁'-encoded first SpUnigramCap chars, with byte-fallback ids
+    // (unknown code points expand to <0xNN> piece ids — no UNKs). The
+    // oracle replays the FULL Viterbi DP from the piece dump.
+    "text_sp_unigram" -> ((s, dir) => {
+      val pieces = spUnigramExternal
+      rt(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("__t",
+          Bpe.unigramTokens(s,
+            Bpe.spPretokEncode(substring(col("text"), 1, SpUnigramCap)),
+            pieces))
+        .withColumn("__ids", Bpe.spByteFallbackIds(col("__t"), pieces))
+        .select(col("doc_id"),
+          size(col("__t")).as("n_sp"),
+          array_join(col("__t"), Bpe.Sep).as("sp_joined"),
+          array_join(transform(col("__ids"), i => i.cast("string")), ",")
+            .as("ids_joined"))
+    }),
+    // Fertility under the Unigram tokenizer: chars-per-token by language
+    // on the same capped prefix (n_chars counts the capped RAW text, the
+    // '▁' encode happens inside tokenization only).
+    "text_sp_unigram_stats" -> ((s, dir) =>
+      Bpe.unigramStats(
+        rt(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            substring(col("text"), 1, SpUnigramCap).as("text")),
+        "text", spUnigramExternal, Seq("lang"),
+        preEncode = Bpe.spPretokEncode)),
     // Token budgeting with the GPT-4-family tokenizer's own counts — the
     // production "first N tokens" cut under an imported rank file.
     "sample_token_budget_tk" -> ((s, dir) =>
@@ -4018,6 +4157,60 @@ object SparkEntry {
     // Orientations 5-8 transpose the display dims — doc_id-derived, so
     // the oracle replays everything from arithmetic (a wrong endianness
     // or a walk that grabs the decoy tag cannot match).
+    // AVIF/HEIC dimensions (ISO-BMFF box walk): %4==0 is an avif whose
+    // ipco lists a DECOY thumbnail ispe (9×7) FIRST — pitm/ipma must
+    // resolve the primary item (id 1) to property 2, so a first-ispe
+    // reader extracts 9×7 and hash-mismatches; %4==1 is a heic with NO
+    // pitm/ipma (the minimal-file shape) whose ipco hides the ispe
+    // behind a pasp box — the documented first-ispe fallback; %4==2 is
+    // a plain mp4 brand (not an image — format 'mp4', dims NULL);
+    // %4==3 is prefixed text (format 'unknown', the prefix keeps raw
+    // text from colliding with a sniffable magic). Dims doc_id-derived;
+    // the oracle replays arithmetic only, so a wrong box offset,
+    // a 1-based/0-based property-index slip, or thumbnail-first
+    // extraction cannot match. Box sizes are true sizes and every
+    // inter-field byte (verflags, pasp body, minor version) is the
+    // spec's value — the SURVEY fixture-discipline rule.
+    "mm_avif_dims" -> ((s, dir) => {
+      def hx(h: String): Array[Byte] =
+        h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      val w = col("doc_id") % 500 + 1
+      val h = col("doc_id") % 300 + 1
+      val body = col("text").cast("binary")
+      val avifHead = lit(hx(
+        "00000010" + "66747970" + "61766966" + "00000000" + // ftyp avif
+          "0000006A" + "6D657461" + "00000000" + // meta (full box)
+          "0000000E" + "7069746D" + "00000000" + "0001" + // pitm → item 1
+          "00000050" + "69707270" + // iprp
+          "00000030" + "6970636F" + // ipco
+          "00000014" + "69737065" + "00000000" + "00000009" + "00000007" + // decoy ispe 9×7
+          "00000014" + "69737065" + "00000000")) // primary ispe … w, h
+      val avifIpma = lit(hx(
+        "00000018" + "69706D61" + "00000000" + "00000002" + // ipma, 2 entries
+          "0001" + "01" + "02" + // item 1 → property 2 (the real ispe)
+          "0002" + "01" + "01")) // decoy item 2 → property 1
+      val heicHead = lit(hx(
+        "00000010" + "66747970" + "68656963" + "00000000" + // ftyp heic
+          "00000040" + "6D657461" + "00000000" + // meta
+          "00000034" + "69707270" + // iprp (no ipma)
+          "0000002C" + "6970636F" + // ipco
+          "00000010" + "70617370" + "00000001" + "00000001" + // pasp decoy
+          "00000014" + "69737065" + "00000000")) // first ispe … w, h
+      val payload =
+        when(col("doc_id") % 4 === 0,
+          concat(avifHead, fxBe32(w), fxBe32(h), avifIpma, body))
+          .when(col("doc_id") % 4 === 1,
+            concat(heicHead, fxBe32(w), fxBe32(h), body))
+          .when(col("doc_id") % 4 === 2, concat(
+            lit(hx("00000010" + "66747970" + "69736F6D" + "00000000")), body))
+          .otherwise(concat(lit("txt:".getBytes), body))
+      Multimodal.imageDims(
+        Multimodal.withBinaryMeta(
+          rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
+          "payload"),
+        "payload")
+        .select("doc_id", "format", "img_width", "img_height")
+    }),
     "mm_exif_orientation" -> ((s, dir) => {
       def hx(h: String): Array[Byte] =
         h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
@@ -7342,6 +7535,56 @@ object SparkEntry {
          |            THEN CAST(sum(nc) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE)
          |            END AS chars_per_token
          |FROM g GROUP BY lang""".stripMargin,
+    // Unigram Viterbi replay: the FULL DP recomputed from the piece
+    // dump (spUnigramReplayCte), tokens joined, ids via first-wins
+    // name probe + <0xNN> byte expansion for unknown surfaces —
+    // exactly spByteFallbackIds' convention.
+    "text_sp_unigram" ->
+      s"""WITH RECURSIVE $spUnigramReplayCte,
+         |v AS (SELECT piece AS token, CAST(min(id) AS INTEGER) AS id
+         |      FROM read_parquet('{GRAFT_OUT}/text_sp_unigram_pieces/*.parquet')
+         |      GROUP BY piece),
+         |tt AS (SELECT doc_id, generate_subscripts(toks, 1) AS ti,
+         |              unnest(toks) AS t
+         |       FROM btoks),
+         |tv AS (SELECT tt.doc_id, tt.ti, tt.t, v.id
+         |       FROM tt LEFT JOIN v ON v.token = tt.t),
+         |byt AS (SELECT u.doc_id, u.ti, u.bi, bv.id
+         |        FROM (SELECT doc_id, ti, generate_subscripts(hl, 1) AS bi,
+         |                     unnest(hl) AS h
+         |              FROM (SELECT doc_id, ti,
+         |                      regexp_extract_all(hex(encode(t)), '..') AS hl
+         |                    FROM tv WHERE id IS NULL)) u
+         |        JOIN v bv ON bv.token = '<0x' || u.h || '>'),
+         |idz AS (SELECT doc_id, ti, 0 AS bi, id FROM tv WHERE id IS NOT NULL
+         |        UNION ALL
+         |        SELECT doc_id, ti, bi, id FROM byt),
+         |agg AS (SELECT doc_id,
+         |          string_agg(CAST(id AS VARCHAR), ',' ORDER BY ti, bi)
+         |            AS ids_joined
+         |        FROM idz GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(len(b.toks) AS INTEGER) AS n_sp,
+         |       COALESCE(array_to_string(b.toks, chr(31)), '') AS sp_joined,
+         |       COALESCE(a.ids_joined, '') AS ids_joined
+         |FROM btoks b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // Unigram fertility replay: token counts from the Viterbi CTE,
+    // chars from the CAPPED raw text (the query's textCol contract).
+    "text_sp_unigram_stats" ->
+      s"""WITH RECURSIVE $spUnigramReplayCte,
+         |t AS (SELECT doc_id, CAST(coalesce(len(toks), 0) AS BIGINT) AS n_sp
+         |      FROM btoks),
+         |g AS (SELECT d.lang,
+         |             coalesce(length(substr(d.text, 1, $SpUnigramCap)), 0) AS nc,
+         |             coalesce(t.n_sp, 0) AS n_sp
+         |      FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id)
+         |SELECT lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nc) AS BIGINT) AS n_chars,
+         |       CAST(sum(n_sp) AS BIGINT) AS n_sp,
+         |       CASE WHEN sum(n_sp) > 0
+         |            THEN CAST(sum(nc) AS DOUBLE) / CAST(sum(n_sp) AS DOUBLE)
+         |            END AS chars_per_token
+         |FROM g GROUP BY lang""".stripMargin,
     // The budget replay under the tiktoken import's counts.
     "sample_token_budget_tk" ->
       s"""WITH RECURSIVE $bpeTkReplayCte,
@@ -8585,7 +8828,13 @@ object SparkEntry {
         |                 WHEN '57415645' THEN 'wav'
         |                 WHEN '41564920' THEN 'avi'
         |                 ELSE 'riff' END
-        |             WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
+        |             WHEN substr(hx, 9, 8) = '66747970' THEN
+        |               CASE WHEN substr(hx, 17, 8)
+        |                         IN ('61766966', '61766973') THEN 'avif'
+        |                    WHEN substr(hx, 17, 8)
+        |                         IN ('68656963', '68656978', '68656966',
+        |                             '6D696631', '6D736631') THEN 'heic'
+        |                    ELSE 'mp4' END
         |             WHEN substr(hx, 1, 6) = '494433' THEN 'mp3'
         |             WHEN substr(hx, 1, 2) = 'FF'
         |                  AND substr(hx, 3, 1) IN ('E', 'F') THEN 'mp3'
@@ -8637,6 +8886,21 @@ object SparkEntry {
         |            ELSE CAST(doc_id % 500 + 1 AS BIGINT) END AS img_width,
         |       CASE WHEN doc_id % 5 = 4 THEN NULL
         |            ELSE CAST(doc_id % 300 + 1 AS BIGINT) END AS img_height
+        |FROM documents""".stripMargin,
+    // AVIF/HEIC dims recomputed from arithmetic — the pitm/ipma primary
+    // resolution, the 1-based property indexing, the decoy-thumbnail
+    // skip, and the first-ispe fallback happen only on the Spark side.
+    // The format column also pins the sniffer's ISO-BMFF brand
+    // refinement (avif/heic off the generic mp4 arm).
+    "mm_avif_dims" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 4 AS INTEGER)
+        |         WHEN 0 THEN 'avif' WHEN 1 THEN 'heic' WHEN 2 THEN 'mp4'
+        |         ELSE 'unknown' END AS format,
+        |       CASE WHEN doc_id % 4 IN (0, 1)
+        |            THEN CAST(doc_id % 500 + 1 AS BIGINT) END AS img_width,
+        |       CASE WHEN doc_id % 4 IN (0, 1)
+        |            THEN CAST(doc_id % 300 + 1 AS BIGINT) END AS img_height
         |FROM documents""".stripMargin,
     // EXIF orientation + display dims recomputed from arithmetic: the
     // II/MM byte round trips, the decoy-tag skip, and the 5-8 transpose

@@ -164,6 +164,183 @@ case class BpeEncode(
       byteLevel = newChildren.lift(2))
 }
 
+/** graft_sp_unigram(text, pieces, scores): SentencePiece UNIGRAM
+  * segmentation (Kudo 2018, "Subword Regularization") — the Viterbi
+  * maximum-likelihood split of `text` over a piece vocabulary with
+  * log-probability scores. This is the inference path for
+  * Unigram-TRAINED models (T5/mT5/Gemma/XLNet families), which carry no
+  * merge history and therefore cannot run through [[BpeEncode]].
+  *
+  * Semantics (engine-portable; graft.ops.Bpe documents the DuckDB
+  * recursive-CTE replay):
+  *   1. positions are CODE POINTS; `dp[i]` = best score of any
+  *      segmentation of the first i code points; `dp[0] = 0`;
+  *   2. candidates ending at i: every piece whose surface equals the
+  *      text at [i−len, i), scoring `dp[i−len] + score(piece)`, plus an
+  *      UNKNOWN edge consuming ONE code point at
+  *      `min(scores) − 10.0` (SentencePiece's kUnkPenalty). The unk
+  *      edge is unconditional here where SentencePiece inserts it only
+  *      when no single-char piece matches — equivalent, because a
+  *      matching single-char piece scores ≥ min(scores), which beats
+  *      the unk edge STRICTLY, so the extra candidate can never win;
+  *   3. ties break toward the LONGER piece — SentencePiece's effective
+  *      rule: its lattice compares nodes ending at a position in
+  *      insertion order (begin ascending = length DESCENDING, unk last)
+  *      with a strict `>`, so the first — longest — equal-scoring node
+  *      keeps the backpointer;
+  *   4. an unknown code point's token is the code point itself (the
+  *      lattice node's surface), so `concat(tokens) == text` exactly.
+  *
+  * Scores arrive as float64 (the proto's float32 widened — exact);
+  * the DP sums in float64, so a replay summing the same dump in
+  * float64 is bit-identical. NULL/empty text → empty array. Per-row
+  * cost is O(n · maxPieceLen) trie steps, allocation-free until the
+  * output copy. `pieces`/`scores` are foldable plan literals
+  * (dictionary-sized, the merge-table convention); duplicate surfaces
+  * keep the FIRST (lowest-index) score, matching the ops layer's
+  * LinkedHashMap convention. */
+case class SpUnigramEncode(
+    child: Expression, pieces: Expression, scores: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(child, pieces, scores)
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = TilePairs.SpUnigramName
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && pieces.foldable && scores.foldable &&
+      (pieces.dataType == ArrayType(StringType, containsNull = false) ||
+        pieces.dataType == ArrayType(StringType, containsNull = true)) &&
+      (scores.dataType == ArrayType(DoubleType, containsNull = false) ||
+        scores.dataType == ArrayType(DoubleType, containsNull = true)))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_sp_unigram expects (string, foldable array<string>, " +
+          "foldable array<double>)")
+
+  /** Code-point trie node; `score` is NaN for non-terminal nodes. */
+  private final class Node {
+    var kids: java.util.HashMap[Integer, Node] = null
+    var score: Double = Double.NaN
+  }
+
+  private lazy val (root: Node, unkScore: Double) = {
+    val ps = pieces.eval().asInstanceOf[ArrayData]
+    val ss = scores.eval().asInstanceOf[ArrayData]
+    require(ps != null && ss != null && ps.numElements() == ss.numElements(),
+      "graft_sp_unigram: pieces and scores must be equal-length arrays")
+    require(ps.numElements() > 0, "graft_sp_unigram: piece table must be non-empty")
+    val r = new Node
+    var mn = Double.PositiveInfinity
+    var i = 0
+    while (i < ps.numElements()) {
+      val pu = ps.getUTF8String(i)
+      require(pu != null, "graft_sp_unigram: pieces must not contain NULL")
+      val p = pu.toString
+      require(p.nonEmpty, "graft_sp_unigram: pieces must be non-empty strings")
+      val sc = ss.getDouble(i)
+      require(!sc.isNaN, "graft_sp_unigram: scores must not be NaN")
+      if (sc < mn) mn = sc
+      var node = r
+      var j = 0
+      while (j < p.length) {
+        val cp = p.codePointAt(j)
+        j += Character.charCount(cp)
+        if (node.kids == null) node.kids = new java.util.HashMap[Integer, Node](4)
+        var nx = node.kids.get(Integer.valueOf(cp))
+        if (nx == null) { nx = new Node; node.kids.put(Integer.valueOf(cp), nx) }
+        node = nx
+      }
+      if (node.score.isNaN) node.score = sc // duplicate surface: first wins
+      i += 1
+    }
+    (r, mn - 10.0)
+  }
+
+  private val empty = new GenericArrayData(Array.empty[Any])
+
+  def compute(s: UTF8String): ArrayData = {
+    if (s == null) return empty
+    val str = s.toString
+    if (str.isEmpty) return empty
+    root // force table validation before any DP work
+    val m = str.length
+    // code-point start offsets (starts(n) = m closes the last token)
+    val starts = new Array[Int](m + 1)
+    var n = 0
+    var i = 0
+    while (i < m) { starts(n) = i; i += Character.charCount(str.codePointAt(i)); n += 1 }
+    starts(n) = m
+    val dp = new Array[Double](n + 1)
+    java.util.Arrays.fill(dp, Double.NegativeInfinity)
+    dp(0) = 0.0
+    val bl = new Array[Int](n + 1) // chosen last-piece length (code points)
+    var b = 0
+    while (b < n) {
+      // every position is reachable (the unk edge chains from dp(0))
+      val base = dp(b)
+      // unk edge: one code point at the penalty score
+      val us = base + unkScore
+      if (us > dp(b + 1)) { dp(b + 1) = us; bl(b + 1) = 1 }
+      // trie walk from b — relax every piece match; the relaxation keeps
+      // the lexicographic (score, length) max, so on equal score the
+      // LONGER candidate wins regardless of relaxation order
+      var node = root
+      var j = b
+      var walking = true
+      while (walking && j < n && node.kids != null) {
+        val nx = node.kids.get(Integer.valueOf(str.codePointAt(starts(j))))
+        if (nx == null) walking = false
+        else {
+          node = nx
+          j += 1
+          if (!node.score.isNaN) {
+            val sc = base + node.score
+            val len = j - b
+            if (sc > dp(j) || (sc == dp(j) && len > bl(j))) {
+              dp(j) = sc; bl(j) = len
+            }
+          }
+        }
+      }
+      b += 1
+    }
+    var cnt = 0
+    var pos = n
+    while (pos > 0) { cnt += 1; pos -= bl(pos) }
+    val out = new Array[Any](cnt)
+    pos = n
+    var k = cnt - 1
+    while (pos > 0) {
+      val len = bl(pos)
+      out(k) = UTF8String.fromString(str.substring(starts(pos - len), starts(pos)))
+      k -= 1
+      pos -= len
+    }
+    new GenericArrayData(out)
+  }
+
+  override def eval(input: InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        $ref.compute(${c.isNull} ? null : ${c.value});
+    """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), pieces = newChildren(1), scores = newChildren(2))
+}
+
 /** The GPT-2 byte alphabet (Radford et al. 2019 `bytes_to_unicode`),
   * indexed by byte value: printable latin bytes map to themselves
   * ('!'..'~', '¡'..'¬', '®'..'ÿ'), every other byte to U+0100+n in byte

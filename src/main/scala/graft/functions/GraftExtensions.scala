@@ -101,6 +101,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"${TilePairs.BpeName} expects 2 or 3 arguments")
       BpeEncode(args(0), args(1), args.lift(2))
     }))
+    ext.injectFunction(fn(TilePairs.SpUnigramName, { args =>
+      require(args.length == 3, s"${TilePairs.SpUnigramName} expects 3 arguments")
+      SpUnigramEncode(args(0), args(1), args(2))
+    }))
     ext.injectFunction(fn(TilePairs.HashEmbedName, { args =>
       require(args.length == 3, s"${TilePairs.HashEmbedName} expects 3 arguments")
       HashEmbedCounts(args(0), args(1), args(2))
@@ -144,6 +148,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn(TilePairs.WebpDimsName, { args =>
       require(args.length == 1, s"${TilePairs.WebpDimsName} expects 1 argument")
       WebpDims(args(0))
+    }))
+    ext.injectFunction(fn(TilePairs.IsoBmffDimsName, { args =>
+      require(args.length == 1, s"${TilePairs.IsoBmffDimsName} expects 1 argument")
+      IsoBmffDims(args(0))
     }))
     ext.injectFunction(fn(TilePairs.ExifTagsName, { args =>
       require(args.length == 1, s"${TilePairs.ExifTagsName} expects 1 argument")

@@ -1017,6 +1017,184 @@ case class WebpDims(child: Expression) extends Expression {
     copy(child = newChildren(0))
 }
 
+/** graft_isobmff_dims(payload): `[width, height]` of an ISO-BMFF still
+  * image (AVIF/HEIC/HEIF — the fastest-growing image formats on the
+  * modern web) from the header boxes alone, no codec. The payload is an
+  * `ftyp`-led box sequence; dimensions live in an `ispe`
+  * (ImageSpatialExtentsProperty, ISO 23008-12) inside
+  * `meta`→`iprp`→`ipco`. A file can carry SEVERAL `ispe` boxes — an
+  * iPhone HEIC lists the thumbnail's before the main image's — so the
+  * walk resolves the PRIMARY item: `pitm` names the item id,
+  * `ipma` associates it with 1-based `ipco` child indexes, and the
+  * first associated child that IS an `ispe` wins. When `pitm`/`ipma`
+  * are absent or do not resolve (minimal single-image AVIFs often omit
+  * them), the FIRST `ispe` in `ipco` is the documented fallback.
+  *
+  * Box walk discipline is [[Mp4Duration]]'s: Long arithmetic, `size==1`
+  * 64-bit largesize, `size==0` runs to EOF, malformed sizes end the
+  * walk NULL — never a throw. `meta` and its `pitm`/`ipma`/`ispe`
+  * children are FULL boxes (4 version/flags bytes after the header);
+  * `ipma` associations are 1 byte (7-bit index) or, under flags bit 0,
+  * 2 bytes (15-bit index) — both parsed. Adversarial caps: ≤ 64 `ipco`
+  * children and ≤ 256 `ipma` entries scanned. NULL for non-ftyp bytes;
+  * the caller gates on the major brand (this kernel reads ANY ISO-BMFF
+  * — brand policy is format sniffing, not box grammar).
+  * EXTENSION-REQUIRED (no pure-Column twin), like [[WebpDims]]. */
+case class IsoBmffDims(child: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def prettyName: String = TilePairs.IsoBmffDimsName
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary input")
+
+  def compute(bytes: Array[Byte]): ArrayData = {
+    val n = bytes.length
+    def u(i: Int): Long = (bytes(i) & 0xff).toLong
+    def be16(i: Int): Int = ((u(i) << 8) | u(i + 1)).toInt
+    def be32(i: Int): Long = (u(i) << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int, s: String): Boolean =
+      (0 until 4).forall(k => bytes(i + k) == s.charAt(k).toByte)
+    if (n < 12 || !tag(4, "ftyp")) return null
+    // (bodyStart, boxEnd) of the first `name` box in [from, to), or null
+    // — one bounded level, the Mp4Duration overflow discipline
+    def findBox(from: Long, to: Long, name: String): Array[Long] = {
+      var pos = from
+      while (pos + 8 <= to) {
+        var size = be32(pos.toInt)
+        var hdr = 8L
+        if (size == 1L) {
+          if (pos + 16 > to) return null
+          size = be64(pos.toInt + 8); hdr = 16L
+        } else if (size == 0L) size = to - pos
+        if (size < hdr || size > to - pos) return null
+        if (tag(pos.toInt + 4, name)) return Array(pos + hdr, pos + size)
+        pos += size
+      }
+      null
+    }
+    val meta = findBox(0L, n.toLong, "meta")
+    if (meta == null || meta(0) + 4 > meta(1)) return null
+    val mBody = meta(0) + 4 // FULL box: skip version/flags
+    val mEnd = meta(1)
+    val iprp = findBox(mBody, mEnd, "iprp")
+    if (iprp == null) return null
+    val ipco = findBox(iprp(0), iprp(1), "ipco")
+    if (ipco == null) return null
+    // ipco children in order: (type-offset, bodyStart, boxEnd), capped
+    val kidOff = new Array[Long](64)
+    val kidBody = new Array[Long](64)
+    val kidEnd = new Array[Long](64)
+    var kids = 0
+    var pos = ipco(0)
+    var walking = true
+    while (walking && pos + 8 <= ipco(1) && kids < 64) {
+      var size = be32(pos.toInt)
+      var hdr = 8L
+      if (size == 1L) {
+        if (pos + 16 > ipco(1)) walking = false
+        else { size = be64(pos.toInt + 8); hdr = 16L }
+      } else if (size == 0L) size = ipco(1) - pos
+      if (walking && (size < hdr || size > ipco(1) - pos)) walking = false
+      if (walking) {
+        kidOff(kids) = pos + 4; kidBody(kids) = pos + hdr; kidEnd(kids) = pos + size
+        kids += 1
+        pos += size
+      }
+    }
+    def ispeDims(k: Int): ArrayData = {
+      if (k < 0 || k >= kids || !tag(kidOff(k).toInt, "ispe")) return null
+      val b = kidBody(k)
+      if (b + 12 > kidEnd(k)) return null
+      new GenericArrayData(Array(be32(b.toInt + 4), be32(b.toInt + 8)))
+    }
+    // primary item: pitm (v0: u16 id, else u32) + its ipma associations
+    def primaryIspe(): ArrayData = {
+      val pitm = findBox(mBody, mEnd, "pitm")
+      if (pitm == null || pitm(0) + 4 > pitm(1)) return null
+      val pv = u(pitm(0).toInt)
+      val primary: Long =
+        if (pv == 0L) {
+          if (pitm(0) + 6 > pitm(1)) return null
+          be16(pitm(0).toInt + 4).toLong
+        } else {
+          if (pitm(0) + 8 > pitm(1)) return null
+          be32(pitm(0).toInt + 4)
+        }
+      val ipma = findBox(iprp(0), iprp(1), "ipma")
+      if (ipma == null || ipma(0) + 8 > ipma(1)) return null
+      val av = u(ipma(0).toInt)
+      val wide = (u(ipma(0).toInt + 3) & 1L) == 1L // flags bit 0: 15-bit idx
+      val entryCount = be32(ipma(0).toInt + 4)
+      var p = ipma(0) + 8
+      var e = 0L
+      while (e < entryCount && e < 256) {
+        val idBytes = if (av < 1L) 2 else 4
+        if (p + idBytes + 1 > ipma(1)) return null
+        val itemId: Long =
+          if (idBytes == 2) be16(p.toInt).toLong else be32(p.toInt)
+        val assocCount = u(p.toInt + idBytes)
+        p += idBytes + 1
+        val w = if (wide) 2 else 1
+        if (p + assocCount * w > ipma(1)) return null
+        if (itemId == primary) {
+          var a = 0L
+          while (a < assocCount) {
+            val idx =
+              if (wide) be16((p + a * 2).toInt) & 0x7fff
+              else (u((p + a).toInt) & 0x7f).toInt
+            val d = ispeDims(idx.toInt - 1) // property indexes are 1-based
+            if (d != null) return d
+            a += 1
+          }
+          return null // primary found but no ispe among its properties
+        }
+        p += assocCount * w
+        e += 1
+      }
+      null
+    }
+    val viaPrimary = primaryIspe()
+    if (viaPrimary != null) return viaPrimary
+    // fallback: the first ispe in ipco (minimal files omit pitm/ipma)
+    var k = 0
+    while (k < kids) {
+      val d = ispeDims(k)
+      if (d != null) return d
+      k += 1
+    }
+    null
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val b = child.eval(input).asInstanceOf[Array[Byte]]
+    if (b == null) null else compute(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("kernel", this)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${c.isNull}) ${ev.value} = $ref.compute(${c.value});
+      boolean ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
 /** graft_exif_tags(payload): the camera-provenance ASCII tags of a JPEG
   * payload's EXIF IFD0 — struct `(make, model, software)` (tags 0x010F /
   * 0x0110 / 0x0131), each NULL when absent; NULL struct when the payload

@@ -38,6 +38,7 @@ object TilePairs {
   val BloomContainsName = "graft_bloom_contains"
   val TokenNgramName = "graft_token_ngram_hashes"
   val BpeName = "graft_bpe_encode"
+  val SpUnigramName = "graft_sp_unigram"
   val HashEmbedName = "graft_hash_embed"
   val JpegDimsName = "graft_jpeg_dims"
   val RiffDurationName = "graft_riff_duration"
@@ -49,6 +50,7 @@ object TilePairs {
   val ExifGpsName = "graft_exif_gps"
   val ExifGpsStripName = "graft_exif_gps_strip"
   val WebpDimsName = "graft_webp_dims"
+  val IsoBmffDimsName = "graft_isobmff_dims"
   val ExifTagsName = "graft_exif_tags"
   val Mp3TagsName = "graft_mp3_tags"
   val RobotsVerdictName = "graft_robots_verdict"

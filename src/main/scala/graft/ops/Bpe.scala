@@ -557,6 +557,175 @@ object Bpe {
     if (s.startsWith(" ")) s.substring(1) else s // the dummy prefix
   }
 
+  // ── SentencePiece UNIGRAM inference (Viterbi segmentation) ───────────
+
+  /** The Viterbi match table of a SentencePiece model: NORMAL pieces
+    * (kind 1) only, first occurrence winning on duplicate surfaces.
+    * CONTROL/UNKNOWN/BYTE/USER_DEFINED pieces never join — a BYTE
+    * piece's literal `<0xNN>` surface would otherwise match literal
+    * text spelling those six characters. Loud when the model carries
+    * no NORMAL pieces (nothing could ever match). */
+  private[graft] def unigramTable(pieces: Seq[SpPiece]): (Seq[String], Seq[Double]) = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    pieces.foreach { p =>
+      if (p.kind == 1 && !seen.contains(p.piece)) seen(p.piece) = p.score.toDouble
+    }
+    if (seen.isEmpty)
+      throw graft.errors.FeatureFactoryException.InvalidParameter(
+        "unigramTokens: model has no NORMAL pieces — nothing could match")
+    (seen.keys.toSeq, seen.values.toSeq)
+  }
+
+  /** UNIGRAM token array of `text` under a SentencePiece piece table
+    * (Kudo 2018): the Viterbi maximum-likelihood segmentation over the
+    * NORMAL pieces' log-prob scores, with SentencePiece's semantics —
+    * unknown code points consume one position at `min(score) − 10`
+    * (kUnkPenalty) and surface as themselves, ties break toward the
+    * longer piece (the lattice's insertion-order rule), and
+    * `concat(tokens) == text` exactly. This is the inference path for
+    * Unigram-TRAINED models (T5/mT5/Gemma/XLNet), which
+    * [[sentencePieceModel]] rejects for having no merge history; pair
+    * with [[spPretokEncode]] for the '▁' convention and
+    * [[spByteFallbackIds]] for byte-fallback ids (an unknown code
+    * point's surface is not in the piece vocab, so it falls back to
+    * its UTF-8 bytes — exactly SentencePiece's byte_fallback).
+    *
+    * Native kernel when [[graft.functions.GraftExtensions]] is
+    * installed (one trie-walk DP per row, whole-stage codegen); else a
+    * pure-Column `aggregate` DP ([[unigramTokensFallback]]) —
+    * bit-identical (OpsSpec pins parity), but O(n²) in text length
+    * from accumulator-array copies, so install the extensions for
+    * production corpora. Scores widen float32 → float64 exactly; the
+    * DP sums in float64 (more tie-resistant than SentencePiece's own
+    * float32 lattice — a documented, strictly-more-precise
+    * divergence). */
+  def unigramTokens(spark: SparkSession, text: Column, pieces: Seq[SpPiece]): Column = {
+    val (surf, sc) = unigramTable(pieces)
+    if (spark.catalog.functionExists(graft.functions.TilePairs.SpUnigramName))
+      call_function(graft.functions.TilePairs.SpUnigramName, text,
+        typedLit(surf), typedLit(sc))
+    else unigramTokensFallback(text, surf, sc)
+  }
+
+  /** The pure-Column Viterbi: dp as an `aggregate` over code-point
+    * positions accumulating array<struct<s, l>>, candidates unrolled to
+    * the table's max piece length, best-by `array_max` (struct ordering
+    * = lexicographic (score, length) — exactly the tie rule), then a
+    * reverse `aggregate` backtrack. The dp array is bound once via a
+    * single-element `transform` so the backtrack does not re-evaluate
+    * it per step. Bit-identical to the kernel. */
+  private[graft] def unigramTokensFallback(
+      text: Column, surfaces: Seq[String], scores: Seq[Double]): Column = {
+    val maxLen = surfaces.map(s => s.codePointCount(0, s.length)).max
+    val unk = scores.min - 10.0
+    val m = typedLit(surfaces.zip(scores).toMap)
+    val cps = filter(split(coalesce(text, lit("")), ""), c => c =!= "")
+    val n = size(cps)
+    def pieceAt(endPos: Column, len: Int): Column =
+      array_join(slice(cps, endPos - lit(len) + 1, lit(len)), "")
+    val dp = aggregate(
+      sequence(lit(1), n),
+      array(struct(lit(0.0).as("s"), lit(0).as("l"))),
+      (acc, i) => {
+        val cands = (1 to maxLen).map { len =>
+          // dp[i-len] lives at acc index i-len+1 (1-based); the outer
+          // guard must wrap the slice/probe — a start index ≤ 0 would
+          // throw (0) or silently read from the END (negative)
+          when(i >= len, {
+            val prev = element_at(acc, i - lit(len) + 1)
+            val sc = element_at(m, pieceAt(i, len))
+            when(sc.isNotNull,
+              struct((prev.getField("s") + sc).as("s"), lit(len).as("l")))
+          })
+        } :+ struct(
+          (element_at(acc, i).getField("s") + lit(unk)).as("s"),
+          lit(1).as("l"))
+        concat(acc, array(array_max(
+          filter(array(cands: _*), c => c.isNotNull))))
+      })
+    val toks = element_at(
+      transform(array(dp), dpA =>
+        aggregate(
+          sequence(n, lit(1)),
+          struct(n.as("pos"), typedLit(Seq.empty[String]).as("toks")),
+          (acc, i) => {
+            val pos = acc.getField("pos")
+            val len = element_at(dpA, pos + 1).getField("l")
+            val tok = array_join(slice(cps, pos - len + 1, len), "")
+            when(i === pos,
+              struct((pos - len).as("pos"),
+                concat(array(tok), acc.getField("toks")).as("toks")))
+              .otherwise(acc)
+          },
+          a => a.getField("toks"))),
+      1)
+    when(n === 0, typedLit(Seq.empty[String])).otherwise(toks)
+  }
+
+  /** Appends `outCol` = the UNIGRAM token array of `textCol`. Narrow
+    * projection, no shuffle. `preEncode` maps the text BEFORE
+    * segmentation (identity by default; [[spPretokEncode]] for the '▁'
+    * convention a real SentencePiece model expects). */
+  def tokenizeUnigram(
+      df: DataFrame,
+      textCol: String,
+      pieces: Seq[SpPiece],
+      outCol: String = "sp_tokens",
+      preEncode: Column => Column = identity): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(textCol))
+    graft.core.Validators.requireColumnsAbsent(df, Seq(outCol), "tokenizeUnigram")
+    df.withColumn(outCol,
+      unigramTokens(df.sparkSession, preEncode(col(textCol)), pieces))
+  }
+
+  /** Appends `outCol` = the UNIGRAM token COUNT of `textCol` — the
+    * drop-in `tokenCol` producer for the token-budget operators
+    * ([[Sampling.sampleTokenBudget]], [[Sampling.packSequences]],
+    * [[graft.sources.Writer.shardByTokenBudget]], [[TextOps.chunkTokens]])
+    * under a Unigram-trained tokenizer. */
+  def unigramTokenCount(
+      df: DataFrame,
+      textCol: String,
+      pieces: Seq[SpPiece],
+      outCol: String = "n_sp",
+      preEncode: Column => Column = identity): DataFrame = {
+    graft.core.Validators.requireColumns(df, Seq(textCol))
+    graft.core.Validators.requireColumnsAbsent(df, Seq(outCol), "unigramTokenCount")
+    df.withColumn(outCol,
+      size(unigramTokens(df.sparkSession, preEncode(col(textCol)), pieces)))
+  }
+
+  /** [[compressionStats]] under a UNIGRAM tokenizer: per `groupCols`
+    * group, n_docs / n_chars / n_sp / chars_per_token with identical
+    * conventions (NULL texts count a document but zero chars/tokens;
+    * n_chars counts the RAW `textCol`, so pass [[spPretokEncode]] via
+    * `preEncode` rather than pre-mapping the column when you want
+    * fertility against the user's text). One narrow tokenize projection
+    * + one hash aggregation. */
+  def unigramStats(
+      df: DataFrame,
+      textCol: String,
+      pieces: Seq[SpPiece],
+      groupCols: Seq[String],
+      preEncode: Column => Column = identity): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    graft.core.Validators.requireColumns(df, groupCols :+ textCol)
+    graft.core.Validators.requireColumnsAbsent(df,
+      Seq("n_docs", "n_chars", "n_sp", "chars_per_token", "__graft_nu"),
+      "unigramStats")
+    df
+      .withColumn("__graft_nu",
+        size(unigramTokens(df.sparkSession, preEncode(col(textCol)), pieces)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(length(col(textCol)), lit(0))).cast("long").as("n_chars"),
+        sum(col("__graft_nu")).cast("long").as("n_sp"))
+      .withColumn("chars_per_token",
+        when(col("n_sp") > 0L,
+          col("n_chars").cast("double") / col("n_sp").cast("double")))
+  }
+
   /** BPE token array of `text` under `model` — native kernel when available,
     * else the REPLACE-chain fallback (≤ [[MaxFallbackMerges]] merges).
     * `pretok = Some(pattern)` switches to regex-pre-tokenized mode

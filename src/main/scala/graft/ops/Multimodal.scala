@@ -44,7 +44,16 @@ object Multimodal {
             .when(riffForm === "57415645", lit("wav"))
             .when(riffForm === "41564920", lit("avi"))
             .otherwise(lit("riff")))
-        .when(boxType === "66747970", lit("mp4"))
+        // ISO-BMFF: refine still-image brands off the generic mp4 arm —
+        // avif/avis (AV1 Image Format) and the HEIF family heic/heix/
+        // heif/mif1/msf1 — by the major brand at offset 8
+        .when(boxType === "66747970",
+          when(hex(substring(b, 9, 4)).isin("61766966", "61766973"),
+            lit("avif"))
+            .when(hex(substring(b, 9, 4)).isin(
+              "68656963", "68656978", "68656966", "6D696631", "6D736631"),
+              lit("heic"))
+            .otherwise(lit("mp4")))
         .when(magic.startsWith("494433"), lit("mp3")) // ID3v2-tagged
         .when(magic.rlike("^FF[EF]"), lit("mp3")) // bare MPEG frame sync
         .when(magic === "25504446", lit("pdf")) // %PDF
@@ -92,9 +101,14 @@ object Multimodal {
     * installed). WebP — the second-most-common crawl format — walks its
     * RIFF chunks to the codec chunk via [[graft.functions.WebpDims]]
     * (all three container shapes: VP8 lossy, VP8L lossless, VP8X
-    * extended canvas); the walk has no pure-Column twin, so WITHOUT
-    * GraftExtensions WebP payloads yield NULL dims (every other format
-    * still answers). Appends `img_width`/`img_height`, NULL for any
+    * extended canvas). AVIF/HEIC — the fastest-growing web image
+    * formats — walk ISO-BMFF boxes to the PRIMARY item's `ispe` via
+    * [[graft.functions.IsoBmffDims]] (pitm/ipma resolution with a
+    * first-ispe fallback; brand-gated here: avif/avis/heic/heix/heif/
+    * mif1/msf1). Neither container walk has a pure-Column twin, so
+    * WITHOUT GraftExtensions WebP and AVIF/HEIC payloads yield NULL
+    * dims (every other format still answers). Appends
+    * `img_width`/`img_height`, NULL for any
     * other format and for payloads too short (or too malformed) to
     * carry their header. One narrow projection. */
   def imageDims(df: DataFrame, binCol: String): DataFrame = {
@@ -115,6 +129,11 @@ object Multimodal {
     val isJpeg = length(b) >= 4 && hex(substring(b, 1, 2)) === "FFD8"
     val isWebp = length(b) >= 16 && hex(substring(b, 1, 4)) === "52494646" &&
       hex(substring(b, 9, 4)) === "57454250"
+    // ISO-BMFF still images, gated by the major brand (the kernel walks
+    // any ftyp-led box grammar; brand policy lives here with the sniffer)
+    val isAvifHeic = length(b) >= 16 && hex(substring(b, 5, 4)) === "66747970" &&
+      hex(substring(b, 9, 4)).isin("61766966", "61766973",
+        "68656963", "68656978", "68656966", "6D696631", "6D736631")
     val jpegDims =
       if (df.sparkSession.catalog.functionExists(
           graft.functions.TilePairs.JpegDimsName))
@@ -125,17 +144,24 @@ object Multimodal {
           graft.functions.TilePairs.WebpDimsName))
         call_function(graft.functions.TilePairs.WebpDimsName, b)
       else lit(null).cast("array<bigint>") // no Column twin of the chunk walk
+    val bmffDims =
+      if (df.sparkSession.catalog.functionExists(
+          graft.functions.TilePairs.IsoBmffDimsName))
+        call_function(graft.functions.TilePairs.IsoBmffDimsName, b)
+      else lit(null).cast("array<bigint>") // no Column twin of the box walk
     // one shared array value per row: width/height read the same walk
     // result (whole-stage codegen CSEs the identical deterministic
     // subtree — the walk runs once, not twice)
     df.withColumn("img_width",
       when(isPng, beInt(17)).when(isGif, leShort(7))
         .when(isJpeg, element_at(jpegDims, 1))
-        .when(isWebp, element_at(webpDims, 1)))
+        .when(isWebp, element_at(webpDims, 1))
+        .when(isAvifHeic, element_at(bmffDims, 1)))
       .withColumn("img_height",
         when(isPng, beInt(21)).when(isGif, leShort(9))
           .when(isJpeg, element_at(jpegDims, 2))
-          .when(isWebp, element_at(webpDims, 2)))
+          .when(isWebp, element_at(webpDims, 2))
+          .when(isAvifHeic, element_at(bmffDims, 2)))
   }
 
   /** Segment cap of [[jpegDimsFallback]]'s unrolled walk. Real-world

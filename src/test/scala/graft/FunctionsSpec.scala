@@ -149,7 +149,8 @@ class FunctionsSpec extends SparkSpec {
       classOf[graft.functions.Mp4Duration], classOf[graft.functions.Mp3Duration],
       classOf[graft.functions.ExifOrientation],
       classOf[graft.functions.ExifGps], classOf[graft.functions.ExifGpsStrip],
-      classOf[graft.functions.WebpDims], classOf[graft.functions.ExifTags],
+      classOf[graft.functions.WebpDims], classOf[graft.functions.IsoBmffDims],
+      classOf[graft.functions.SpUnigramEncode], classOf[graft.functions.ExifTags],
       classOf[graft.functions.Mp3Tags], classOf[graft.functions.RobotsVerdict],
       classOf[graft.functions.PdfText], classOf[graft.functions.PdfInfo])
       .foreach(c => classOf[CodegenFallback].isAssignableFrom(c) shouldBe false)
@@ -708,6 +709,90 @@ class FunctionsSpec extends SparkSpec {
       Seq((1, riff ++ vp8)).toDF("id", "payload"), "payload")
       .select("img_width", "img_height").head()
     (out.getLong(0), out.getLong(1)) shouldBe ((320L, 240L))
+  }
+
+  test("graft_isobmff_dims: primary-item resolution, fallback, wide ipma, largesize") {
+    def be16b(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+    def be32b(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(t: String, body: Array[Byte]): Array[Byte] =
+      be32b(body.length + 8L) ++ t.getBytes("ISO-8859-1") ++ body
+    def full(t: String, body: Array[Byte], verflags: Array[Byte] = Array(0, 0, 0, 0)): Array[Byte] =
+      box(t, verflags ++ body)
+    def ispe(w: Long, h: Long): Array[Byte] = full("ispe", be32b(w) ++ be32b(h))
+    def ftyp(brand: String): Array[Byte] =
+      box("ftyp", brand.getBytes("ISO-8859-1") ++ be32b(0))
+    val pasp = box("pasp", be32b(1) ++ be32b(1))
+    // 1: minimal single-image file — no pitm/ipma, first-ispe fallback
+    val minimal = ftyp("avif") ++
+      full("meta", box("iprp", box("ipco", ispe(100, 50))))
+    // 2: iPhone-shaped — decoy thumbnail ispe FIRST; pitm(item 1) +
+    // ipma resolve to property 3 via a non-ispe property-2 skip
+    val decoyed = ftyp("heic") ++ full("meta",
+      full("pitm", be16b(1)) ++
+        box("iprp",
+          box("ipco", ispe(9, 7) ++ pasp ++ ispe(640, 480)) ++
+            full("ipma", be32b(2) ++
+              (be16b(2) ++ Array(1.toByte, 1.toByte)) ++ // item 2 → prop 1 (thumb)
+              (be16b(1) ++ Array(2.toByte, 2.toByte, 3.toByte))))) // item 1 → props 2,3
+    // 3: ipma BEFORE ipco inside iprp (box order is free)
+    val reordered = ftyp("avif") ++ full("meta",
+      full("pitm", be16b(1)) ++
+        box("iprp",
+          full("ipma", be32b(1) ++ (be16b(1) ++ Array(1.toByte, 2.toByte))) ++
+            box("ipco", ispe(9, 7) ++ ispe(320, 200))))
+    // 4: version-1 pitm (u32 item id) + flags-bit-0 ipma (15-bit indexes
+    // with the essential bit set)
+    val wide = ftyp("avif") ++ full("meta",
+      full("pitm", be32b(7), verflags = Array(1, 0, 0, 0)) ++
+        box("iprp",
+          box("ipco", ispe(9, 7) ++ ispe(800, 600)) ++
+            full("ipma",
+              be32b(1) ++ (be32b(7) ++ Array(1.toByte) ++ be16b(0x8002)),
+              verflags = Array(1, 0, 0, 1))))
+    // 5: meta as a size==1 largesize box
+    val metaBody = Array[Byte](0, 0, 0, 0) ++ box("iprp", box("ipco", ispe(12, 34)))
+    val largesize = ftyp("avif") ++ be32b(1) ++ "meta".getBytes("ISO-8859-1") ++
+      be32b(0) ++ be32b(metaBody.length + 16L) ++ metaBody
+    // 6: adversarial — truncated ispe body; lying child size
+    val tornIspe = ftyp("avif") ++
+      full("meta", box("iprp", box("ipco", ispe(1, 2).dropRight(4))))
+    val lying = ftyp("avif") ++ full("meta", box("iprp",
+      box("ipco", be32b(0xFFFFFFFFL) ++ "ispe".getBytes("ISO-8859-1"))))
+    val cases: Seq[(Int, Array[Byte], Option[(Long, Long)])] = Seq(
+      (1, minimal, Some((100L, 50L))),
+      (2, decoyed, Some((640L, 480L))),
+      (3, reordered, Some((320L, 200L))),
+      (4, wide, Some((800L, 600L))),
+      (5, largesize, Some((12L, 34L))),
+      (6, tornIspe, None),
+      (7, lying, None),
+      (8, "notftypatall----".getBytes("ISO-8859-1"), None),
+      // the kernel is brand-agnostic (policy lives in the ops sniffer)
+      (9, ftyp("isom") ++ full("meta",
+        box("iprp", box("ipco", ispe(4, 5)))), Some((4L, 5L))))
+    val got = cases.map { case (id, b, _) => (id, b) }.toDF("id", "payload")
+      .select($"id", call_function(TilePairs.IsoBmffDimsName, $"payload").as("p"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        Option(r.getSeq[Long](1)).map(s => (s(0), s(1)))).toMap
+    for ((id, _, want) <- cases) withClue(s"case $id:") { got(id) shouldBe want }
+    // ops routing: avif/heic brands get dims; a VIDEO brand does not
+    // (same box grammar, different format policy)
+    val out = graft.ops.Multimodal.imageDims(
+      Seq((1, minimal), (2, ftyp("isom") ++ full("meta",
+        box("iprp", box("ipco", ispe(4, 5))))))
+        .toDF("id", "payload"), "payload")
+      .orderBy("id")
+      .select("img_width", "img_height").collect()
+    (out(0).getLong(0), out(0).getLong(1)) shouldBe ((100L, 50L))
+    out(1).isNullAt(0) shouldBe true
+    // and the sniffer refines the brands off the mp4 arm
+    graft.ops.Multimodal.withBinaryMeta(
+      Seq((1, minimal), (2, decoyed), (3, ftyp("isom")))
+        .toDF("id", "payload"), "payload")
+      .orderBy("id").select("format").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("avif", "heic", "mp4")
   }
 
   test("graft_robots_verdict: first-match precedence, bit-parity with the HOF twin") {

@@ -2940,6 +2940,94 @@ class OpsSpec extends SparkSpec {
       Bpe.loadSentencePiece(d.resolve("torn.model").toString)
   }
 
+  test("Bpe.unigramTokens: Viterbi ML segmentation, tie rule, UNK, kernel/fallback parity") {
+    import Bpe.SpPiece
+    val W = "▁"
+    def P(p: String, s: Double, k: Int = 1) = SpPiece(p, s.toFloat, k)
+    def toks(text: String, pieces: Seq[SpPiece]): Seq[String] =
+      Seq(Tuple1(1)).toDF("x")
+        .select(Bpe.unigramTokens(spark, lit(text), pieces).as("t"))
+        .head().getSeq[String](0)
+    def toksFb(text: String, pieces: Seq[SpPiece]): Seq[String] = {
+      val (surf, sc) = Bpe.unigramTable(pieces)
+      Seq(Tuple1(1)).toDF("x")
+        .select(Bpe.unigramTokensFallback(lit(text), surf, sc).as("t"))
+        .head().getSeq[String](0)
+    }
+    // Viterbi is MAXIMUM-LIKELIHOOD, not greedy-longest: greedy picks
+    // [ab, c] (-1-5 = -6); the ML split is [a, bc] (-2-2 = -4)
+    val vp = Seq(P("<unk>", 0, 2), P("a", -2), P("b", -4), P("c", -5),
+      P("ab", -1), P("bc", -2))
+    toks("abc", vp) shouldBe Seq("a", "bc")
+    // exact score tie → the LONGER piece wins (SentencePiece's lattice
+    // compares nodes ending at a position begin-ascending = length-
+    // DESCENDING with a strict >, so the longest equal-scoring node
+    // keeps the backpointer): s(qu) = -10 = s(q)+s(u) exactly
+    val tp = Seq(P("q", -5), P("u", -5), P("qu", -10), P("x", -1))
+    toks("xqux", tp) shouldBe Seq("x", "qu", "x")
+    toks("qu", tp) shouldBe Seq("qu")
+    // unknown code points surface as themselves (one token per code
+    // point, min(score)−10 each) and never displace a known single
+    val up = Seq(P("a", -1))
+    toks("aZZa", up) shouldBe Seq("a", "Z", "Z", "a")
+    // an astral unknown consumes the WHOLE code point, never half a
+    // surrogate pair
+    val emoji = new String(Character.toChars(0x1F600))
+    toks(s"a${emoji}a", up) shouldBe Seq("a", emoji, "a")
+    // a BYTE piece's literal surface must NOT match literal text —
+    // only NORMAL pieces join the match table
+    val bp = Seq(P("a", -1)) ++ (0 until 256).map(k => P(f"<0x$k%02X>", 0, 6))
+    toks("<0x41>", bp).length shouldBe 6 // six unk chars, not one byte piece
+    // concat(tokens) == text exactly (the lattice-surface law)
+    val mixed = s"a${emoji}Z qu${W}ab"
+    toks(mixed, vp ++ tp).mkString shouldBe mixed
+    // NULL / empty → empty array
+    toks("", vp) shouldBe Seq.empty
+    Seq(Tuple1(1)).toDF("x")
+      .select(Bpe.unigramTokens(spark, lit(null).cast("string"), vp).as("t"))
+      .head().getSeq[String](0) shouldBe Seq.empty
+    // kernel and pure-Column fallback are bit-identical, including the
+    // tie rule, unk handling, and astral steps
+    for (t <- Seq("abc", "xqux", "qu", "aZZa", s"a${emoji}a", mixed, "", "ab"))
+      toksFb(t, vp ++ tp) shouldBe toks(t, vp ++ tp)
+    // duplicate surfaces keep the FIRST score (both paths)
+    val dup = Seq(P("a", -1), P("a", -100), P("b", -1))
+    toks("ab", dup) shouldBe Seq("a", "b")
+    toksFb("ab", dup) shouldBe Seq("a", "b")
+    // no NORMAL pieces is loud, not an empty tokenizer
+    intercept[Exception](
+      toks("a", Seq(P("<unk>", 0, 2), P("<0x41>", 0, 6))))
+      .getMessage should include("NORMAL")
+    // ▁ convention + byte-fallback ids compose: unknown chars (digits)
+    // fall back to UTF-8 byte pieces and the id stream decodes back
+    val full = Seq(P("<unk>", 0, 2), P(W, -2), P(s"${W}a", -3), P("a", -4),
+      P("b", -4.5), P("ab", -6)) ++
+      (0 until 256).map(k => P(f"<0x$k%02X>", 0, 6))
+    val enc = Seq(Tuple1(1)).toDF("x").select(
+      Bpe.spByteFallbackIds(
+        Bpe.unigramTokens(spark, Bpe.spPretokEncode(lit("ab 7a")), full),
+        full).as("i")).head().getSeq[Int](0)
+    Bpe.spDecodeIds(enc, full) shouldBe "ab 7a"
+    // the DataFrame wrappers: tokens + counts + fertility stats
+    val df = Seq((1L, "en", "ab ab"), (2L, "en", null: String),
+      (3L, "xx", "77")).toDF("doc_id", "lang", "text")
+    val tok = Bpe.tokenizeUnigram(df, "text", full,
+      preEncode = Bpe.spPretokEncode)
+    tok.filter(col("doc_id") === 1L).head().getSeq[String](3) shouldBe
+      Seq(s"${W}a", "b", s"${W}a", "b")
+    val cnt = Bpe.unigramTokenCount(df, "text", full,
+      preEncode = Bpe.spPretokEncode)
+    cnt.collect().map(r => r.getLong(0) -> r.getInt(3)).toMap shouldBe
+      Map(1L -> 4, 2L -> 0, 3L -> 3) // "77" → ▁, 7, 7
+    val st = Bpe.unigramStats(df, "text", full, Seq("lang"),
+      preEncode = Bpe.spPretokEncode)
+    val en = st.filter(col("lang") === "en").head()
+    en.getLong(1) shouldBe 2L // n_docs
+    en.getLong(2) shouldBe 5L // n_chars: raw "ab ab", NULL counts 0
+    en.getLong(3) shouldBe 4L // n_sp
+    en.getDouble(4) shouldBe 5.0 / 4.0
+  }
+
   test("vocabOf/encodeIds: deterministic ids, alphabet-first, UNK for unseen code points") {
     val model = Bpe.BpeModel(Seq(("a", "b"), ("ab", "c"), ("a", "b"))) // dup product
     val vocab = Bpe.vocabOf(model, Seq("c", "a", "b", "a")) // unsorted, dup input

@@ -612,6 +612,7 @@ class PropertySpec extends SparkSpec {
       "flac_duration" -> FlacDuration(child).compute _,
       "ogg_duration" -> OggDuration(child).compute _,
       "webp_dims" -> WebpDims(child).compute _,
+      "isobmff_dims" -> IsoBmffDims(child).compute _,
       "exif_tags" -> ExifTags(child).compute _,
       "mp3_tags" -> Mp3Tags(child).compute _,
       "pdf_text" -> PdfText(child).compute _,
@@ -626,6 +627,15 @@ class PropertySpec extends SparkSpec {
       hx("FFFB"), // bare MPEG sync
       hx("52494646AAAAAAAA57415645"), // RIFF/WAVE
       hx("0000001066747970AAAAAAAA"), // BMFF ftyp
+      // round-15 steering: ftyp + meta/iprp/ipco/pitm headers so the
+      // fuzz reaches the ispe/ipma parses instead of dying at findBox
+      hx("0000001066747970617669660000000000000040" + "6D657461" +
+        "00000000" + "0000000E" + "7069746D" + "00000000" + "0001" +
+        "00000026" + "69707270" + "0000000E" + "6970636F" + "00000014" +
+        "69737065"),
+      hx("0000001066747970686569630000000000000030" + "6D657461" +
+        "00000000" + "00000024" + "69707270" + "00000010" + "69706D61" +
+        "00000001"),
       "fLaC".getBytes, // FLAC magic (metadata-block walk)
       "OggS".getBytes, // Ogg capture pattern (page walk)
       "%PDF-1.7\n".getBytes, // PDF header

@@ -152,6 +152,7 @@ class QueriesSmokeSpec extends SparkSpec {
     // ALL header kernels composed stay one shuffle-free pass — the
     // 100 TB multimodal-ingest plan shape
     "mm_ingest_profile" -> 0,
+    "mm_avif_dims" -> 0, // ISO-BMFF box-walk kernel + sniffer, narrow
     "text_script_lang_check" -> 0, // profile + verdict, still narrow
     "text_url_strip_tracking" -> 0, // split-filter-rejoin, narrow
     "warc_recrawl_schedule" -> 0, // entries explode + epoch arithmetic, narrow
@@ -211,6 +212,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_bpe_tk_vocab" -> 0,
     "text_bpe_sp" -> 0, "text_bpe_sp_merges" -> 0, "text_bpe_sp_vocab" -> 0,
     "text_bpe_sp_bytes" -> 0,
+    // Unigram Viterbi inference: one trie-DP kernel per row — pure
+    // narrow; the pieces dump is a driver frame; fertility is one hash
+    // aggregate like its BPE siblings
+    "text_sp_unigram" -> 0, "text_sp_unigram_pieces" -> 0,
+    "text_sp_unigram_stats" -> 1,
     "sample_token_budget_tk" -> 1,
     "text_bpe_tk_stats" -> 1, // one hash aggregate, like text_bpe_stats
     "text_bpe_sp_stats" -> 1,
