@@ -4909,6 +4909,11 @@ object SparkEntry {
         "00" * 12 + "B8" + "01"))
       val vorbisGranule = (col("doc_id") % 100000 + 1) * 4
       val opusGranule = (col("doc_id") % 48000 + 1) * 10 + 312
+      // EBML header element with a DocType 'webm' body (realistic
+      // nonzero inter-field bytes per the fixture-discipline rule)
+      val ebmlHdr = lit(hx("1A45DFA3" + "87" + "4282" + "84" + "7765626D"))
+      val webmScale = (col("doc_id") % 100000 + 1) * 1000 // ns per tick
+      val body = col("text").cast("binary")
       val payload =
         when(col("doc_id") % 8 === 0, concat(
           lit(hx("52494646")), le32(lit(1000L)), lit(hx("57415645")),
@@ -4957,6 +4962,33 @@ object SparkEntry {
             concat(vorbisIdPage, fxOggEosPage(vorbisGranule)))
           .when(col("doc_id") % 8 === 6,
             concat(lit(fxOpusIdPage), fxOggEosPage(opusGranule)))
+          // round-15 WebM/Matroska shapes (EBML walk), carved from the
+          // %8==7 NULL arm: %32==15 a sized Segment whose Info carries
+          // an EXPLICIT doc_id-varying TimestampScale, a decoy MuxingApp
+          // element the walk must skip, and a float32 Duration of 1000
+          // ticks → ns = 1000 × scale; %32==31 a STREAMED Segment
+          // (unknown-size VINT, runs to EOF) with no TimestampScale
+          // (spec default 1e6) and a float64 Duration of 2500.5 ticks
+          // (exact in binary64 — the round never ties); %32==23 an Info
+          // with a scale but NO Duration → NULL (a headerless live
+          // capture genuinely has none)
+          .when(col("doc_id") % 32 === 15, concat(
+            ebmlHdr, lit(hx("18538067" + "9C" + // sized Segment
+              "1549A966" + "97" + // Info, 23-byte body
+              "2AD7B1" + "84")), // TimestampScale, be32 …
+            fxBe32(webmScale),
+            lit(hx("4D80" + "85" + "6772616674" + // MuxingApp "graft" decoy
+              "4489" + "84" + "447A0000")), // Duration float32 = 1000.0
+            body))
+          .when(col("doc_id") % 32 === 31, concat(
+            ebmlHdr, lit(hx("18538067" + "FF" + // unknown size
+              "1549A966" + "8B" +
+              "4489" + "88" + "40A3890000000000")), // float64 = 2500.5
+            body))
+          .when(col("doc_id") % 32 === 23, concat(
+            ebmlHdr, lit(hx("18538067" + "8D" +
+              "1549A966" + "88" +
+              "2AD7B1" + "84" + "000F4240")))) // scale only, no Duration
           .otherwise(fxFlac(lit(0L))) // total 0 = "unknown" → NULL
       Multimodal.withMediaDuration(
         rt(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
@@ -8835,6 +8867,7 @@ object SparkEntry {
         |                         IN ('68656963', '68656978', '68656966',
         |                             '6D696631', '6D736631') THEN 'heic'
         |                    ELSE 'mp4' END
+        |             WHEN substr(hx, 1, 8) = '1A45DFA3' THEN 'webm'
         |             WHEN substr(hx, 1, 6) = '494433' THEN 'mp3'
         |             WHEN substr(hx, 1, 2) = 'FF'
         |                  AND substr(hx, 3, 1) IN ('E', 'F') THEN 'mp3'
@@ -9108,6 +9141,9 @@ object SparkEntry {
         |    WHEN doc_id % 8 = 4 THEN CAST((doc_id % 100000 + 1) * 10 AS BIGINT)
         |    WHEN doc_id % 8 = 5 THEN CAST((doc_id % 100000 + 1) * 4 AS BIGINT)
         |    WHEN doc_id % 8 = 6 THEN CAST((doc_id % 48000 + 1) * 10 AS BIGINT)
+        |    WHEN doc_id % 32 = 15
+        |      THEN CAST((doc_id % 100000 + 1) * 1000000 AS BIGINT)
+        |    WHEN doc_id % 32 = 31 THEN CAST(2500500000 AS BIGINT)
         |  END AS media_dur_num,
         |  CASE
         |    WHEN doc_id % 8 = 0 THEN CAST((doc_id % 100 + 1) * 1000 AS BIGINT)
@@ -9119,6 +9155,7 @@ object SparkEntry {
         |    WHEN doc_id % 8 = 4 THEN CAST(44100 AS BIGINT)
         |    WHEN doc_id % 8 = 5 THEN CAST(44100 AS BIGINT)
         |    WHEN doc_id % 8 = 6 THEN CAST(48000 AS BIGINT)
+        |    WHEN doc_id % 32 IN (15, 31) THEN CAST(1000000000 AS BIGINT)
         |  END AS media_dur_den
         |FROM documents)
         |SELECT doc_id, media_dur_num, media_dur_den,

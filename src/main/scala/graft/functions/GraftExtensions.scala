@@ -133,6 +133,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 1, s"${TilePairs.OggDurationName} expects 1 argument")
       OggDuration(args(0))
     }))
+    ext.injectFunction(fn(TilePairs.WebmDurationName, { args =>
+      require(args.length == 1, s"${TilePairs.WebmDurationName} expects 1 argument")
+      WebmDuration(args(0))
+    }))
     ext.injectFunction(fn(TilePairs.ExifOrientationName, { args =>
       require(args.length == 1, s"${TilePairs.ExifOrientationName} expects 1 argument")
       ExifOrientation(args(0))

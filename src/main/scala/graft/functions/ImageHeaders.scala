@@ -693,6 +693,131 @@ case class OggDuration(child: Expression) extends MediaDuration {
     copy(child = newChildren(0))
 }
 
+/** graft_webm_duration(payload): `[nanoseconds, 1e9]` of a WebM/Matroska
+  * payload — the last common crawl video container without a duration
+  * arm. An EBML walk: elements are (VINT id, VINT size, body); the file
+  * opens with the EBML header element (0x1A45DFA3 — the magic), then
+  * `Segment` (0x18538067) → `Info` (0x1549A966) → `TimestampScale`
+  * (0x2AD7B1, uint ns/tick, DEFAULT 1,000,000 when absent) and
+  * `Duration` (0x4489, IEEE float32 or float64, in ticks). Seconds =
+  * duration × scale / 1e9, surfaced as the exact integer pair
+  * `[round(duration × scale), 1_000_000_000]` — duration is a FLOAT in
+  * this container (unlike every sibling kernel's integer fields), so
+  * the nanosecond numerator is rounded to nearest (ties away from
+  * zero, `Math.round`); fixtures use tick-exact values so the rounding
+  * never fires in the gate. A streamed Segment's UNKNOWN size (all
+  * value bits set) runs to EOF — the live-capture shape. NULL for
+  * non-EBML bytes, a missing/zero/negative Duration (a headerless live
+  * stream genuinely has none), a zero scale, or any walk that runs off
+  * the payload; a skipped element with unknown size aborts NULL (only
+  * Segment may be unsized — in real files Info precedes any such
+  * Cluster). Forward progress is structural: every element consumes
+  * ≥ 2 bytes. */
+case class WebmDuration(child: Expression) extends MediaDuration {
+  override def prettyName: String = TilePairs.WebmDurationName
+
+  def compute(bytes: Array[Byte]): ArrayData = {
+    val n = bytes.length
+    def u(i: Int): Long = (bytes(i) & 0xff).toLong
+    if (n < 4 || u(0) != 0x1aL || u(1) != 0x45L || u(2) != 0xdfL || u(3) != 0xa3L)
+      return null
+    val Unknown = -2L
+    val Bad = -1L
+    // VINT width from the first byte's leading zeros (1..8), 0 = invalid
+    def width(b0: Long): Int = {
+      var w = 1
+      var mask = 0x80L
+      while (mask != 0 && (b0 & mask) == 0) { w += 1; mask >>= 1 }
+      if (mask == 0) 0 else w
+    }
+    // element ID at i, MARKER KEPT (the spec's storage form); Bad on overrun
+    def readId(i: Int): (Long, Int) = {
+      if (i >= n) return (Bad, 0)
+      val w = width(u(i))
+      if (w == 0 || w > 4 || i + w > n) return (Bad, 0)
+      var v = 0L
+      var k = 0
+      while (k < w) { v = (v << 8) | u(i + k); k += 1 }
+      (v, w)
+    }
+    // element size at i, marker cleared; Unknown when all value bits set
+    def readSize(i: Int): (Long, Int) = {
+      if (i >= n) return (Bad, 0)
+      val w = width(u(i))
+      if (w == 0 || i + w > n) return (Bad, 0)
+      var v = u(i) & (0xffL >> w)
+      var k = 1
+      while (k < w) { v = (v << 8) | u(i + k); k += 1 }
+      val allOnes = (1L << (7 * w)) - 1
+      (if (v == allOnes) Unknown else v, w)
+    }
+    def beUint(i: Int, len: Int): Long = {
+      var v = 0L; var k = 0
+      while (k < len) { v = (v << 8) | u(i + k); k += 1 }
+      v
+    }
+    // duration (ticks) + scale (ns/tick) from an Info body
+    def infoPair(from: Long, to: Long): ArrayData = {
+      var scale = 1000000L // the spec default
+      var dur = Double.NaN
+      var pos = from
+      while (pos < to) {
+        val (id, iw) = readId(pos.toInt)
+        if (id == Bad) return null
+        val (sz, sw) = readSize((pos + iw).toInt)
+        if (sz < 0) return null // Bad or Unknown: Info children are sized
+        val body = pos + iw + sw
+        if (sz > to - body) return null
+        if (id == 0x2ad7b1L) {
+          if (sz < 1 || sz > 8) return null
+          scale = beUint(body.toInt, sz.toInt)
+        } else if (id == 0x4489L) {
+          if (sz == 4L)
+            dur = java.lang.Float.intBitsToFloat(beUint(body.toInt, 4).toInt).toDouble
+          else if (sz == 8L)
+            dur = java.lang.Double.longBitsToDouble(beUint(body.toInt, 8))
+          else return null
+        }
+        pos = body + sz
+      }
+      if (dur.isNaN || dur.isInfinite || dur <= 0.0 || scale <= 0L) return null
+      val ns = Math.round(dur * scale)
+      if (ns <= 0L) return null
+      new GenericArrayData(Array(ns, 1000000000L))
+    }
+    // one element level in [from, to): descend into `into`-id elements,
+    // answer from `leaf`-id bodies
+    def walk(from: Long, to: Long, depth: Int): ArrayData = {
+      var pos = from
+      while (pos < to) {
+        val (id, iw) = readId(pos.toInt)
+        if (id == Bad) return null
+        val (sz, sw) = readSize((pos + iw).toInt)
+        val body = pos + iw + sw
+        val end =
+          if (sz == Unknown) to // a streamed Segment runs to EOF
+          else if (sz == Bad || sz > to - body) return null
+          else body + sz
+        if (depth == 0 && id == 0x18538067L) {
+          val r = walk(body, end, 1)
+          if (r != null) return r
+        } else if (depth == 1 && id == 0x1549a966L) {
+          return infoPair(body, end)
+        } else if (sz == Unknown) {
+          return null // only Segment may be unsized; cannot skip otherwise
+        }
+        pos = end
+      }
+      null
+    }
+    walk(0L, n.toLong, 0)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
 /** graft_exif_gps(payload): GPS presence + signed decimal coordinates of a
   * JPEG payload's EXIF — the privacy-policy gate an image-corpus release
   * needs (the multimodal sibling of `redactPii`). Struct

@@ -46,6 +46,7 @@ object TilePairs {
   val Mp3DurationName = "graft_mp3_duration"
   val FlacDurationName = "graft_flac_duration"
   val OggDurationName = "graft_ogg_duration"
+  val WebmDurationName = "graft_webm_duration"
   val ExifOrientationName = "graft_exif_orientation"
   val ExifGpsName = "graft_exif_gps"
   val ExifGpsStripName = "graft_exif_gps_strip"

@@ -54,6 +54,11 @@ object Multimodal {
               "68656963", "68656978", "68656966", "6D696631", "6D736631"),
               lit("heic"))
             .otherwise(lit("mp4")))
+        // EBML magic: WebM and Matroska share it; the DocType string
+        // floats at a variable offset, against the sniffer's fixed-slice
+        // rule, so no further refinement — 'webm' is the dominant crawl
+        // reality for this container
+        .when(magic === "1A45DFA3", lit("webm"))
         .when(magic.startsWith("494433"), lit("mp3")) // ID3v2-tagged
         .when(magic.rlike("^FF[EF]"), lit("mp3")) // bare MPEG frame sync
         .when(magic === "25504446", lit("pdf")) // %PDF
@@ -395,7 +400,10 @@ object Multimodal {
     * ([[graft.functions.FlacDuration]]); Ogg Vorbis/Opus payloads walk
     * the page chain to the last intact granule position
     * ([[graft.functions.OggDuration]] — Opus pre-skip subtracted, 48 kHz
-    * granule clock). Appends
+    * granule clock); WebM/Matroska payloads walk EBML elements to
+    * `Info`'s TimestampScale × Duration ([[graft.functions.WebmDuration]]
+    * — float duration rounded to the nanosecond numerator, unknown-size
+    * streamed Segments handled). Appends
     * `media_duration_sec` (seconds — the RAW num/den division, no
     * rounding: int64/int64 division is correctly rounded IEEE-754, so
     * any engine reproduces it bit-exactly, whereas rounding to N
@@ -417,7 +425,8 @@ object Multimodal {
       graft.functions.TilePairs.Mp4DurationName,
       graft.functions.TilePairs.Mp3DurationName,
       graft.functions.TilePairs.FlacDurationName,
-      graft.functions.TilePairs.OggDurationName)
+      graft.functions.TilePairs.OggDurationName,
+      graft.functions.TilePairs.WebmDurationName)
     require(fns.forall(df.sparkSession.catalog.functionExists),
       "withMediaDuration needs the native media kernels — set " +
         "spark.sql.extensions=graft.functions.GraftExtensions")
@@ -432,11 +441,13 @@ object Multimodal {
       hex(substring(b, 1, 2)).rlike("^FF[EF]"))
     val isFlac = length(b) >= 4 && hex(substring(b, 1, 4)) === "664C6143"
     val isOgg = length(b) >= 27 && hex(substring(b, 1, 4)) === "4F676753"
+    val isWebm = length(b) >= 4 && hex(substring(b, 1, 4)) === "1A45DFA3"
     val pair =
       when(isWav, call_function(graft.functions.TilePairs.RiffDurationName, b))
         .when(isMp4, call_function(graft.functions.TilePairs.Mp4DurationName, b))
         .when(isFlac, call_function(graft.functions.TilePairs.FlacDurationName, b))
         .when(isOgg, call_function(graft.functions.TilePairs.OggDurationName, b))
+        .when(isWebm, call_function(graft.functions.TilePairs.WebmDurationName, b))
         .when(isMp3, call_function(graft.functions.TilePairs.Mp3DurationName, b))
     df.withColumn("__graft_md", pair)
       .withColumn("media_dur_num", element_at(col("__graft_md"), 1))

@@ -711,6 +711,58 @@ class FunctionsSpec extends SparkSpec {
     (out.getLong(0), out.getLong(1)) shouldBe ((320L, 240L))
   }
 
+  test("graft_webm_duration: EBML walk — scale/default, float32/64, unknown-size segment") {
+    def hx(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def be32b(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val hdr = hx("1A45DFA3" + "87" + "4282" + "84" + "7765626D") // DocType webm
+    def seg(infoBody: Array[Byte], unsized: Boolean = false): Array[Byte] = {
+      val info = hx("1549A966") ++ Array((0x80 | infoBody.length).toByte) ++ infoBody
+      hx("18538067") ++
+        (if (unsized) hx("FF") else Array((0x80 | info.length).toByte)) ++ info
+    }
+    val scale2ms = hx("2AD7B1" + "84") ++ be32b(2000000L) // 2 ms ticks
+    val decoy = hx("4D80" + "85") ++ "graft".getBytes("ISO-8859-1") // MuxingApp
+    val durF32 = hx("4489" + "84" + "447A0000") // 1000.0 ticks
+    val durF64 = hx("4489" + "88" + "40A3890000000000") // 2500.5 ticks
+    val cases: Seq[(Int, Array[Byte], Option[(Long, Long)])] = Seq(
+      // explicit scale, float32, decoy element skipped: 1000 × 2 ms = 2 s
+      (1, hdr ++ seg(scale2ms ++ decoy ++ durF32), Some((2000000000L, 1000000000L))),
+      // DEFAULT scale (1e6 ns), float64, streamed unknown-size segment:
+      // 2500.5 ms — the rounding is exact (2500.5 × 1e6 is integral)
+      (2, hdr ++ seg(durF64, unsized = true) ++ "junk".getBytes, Some((2500500000L, 1000000000L))),
+      // Info with a scale but NO Duration → NULL (live capture)
+      (3, hdr ++ seg(scale2ms), None),
+      // zero duration / zero scale → NULL
+      (4, hdr ++ seg(hx("4489" + "84" + "00000000")), None),
+      (5, hdr ++ seg((hx("2AD7B1" + "84") ++ be32b(0L)) ++ durF32), None),
+      // truncated duration body → NULL; lying Info size → NULL
+      (6, hdr ++ seg(hx("4489" + "88" + "40A389")), None),
+      (7, hdr ++ hx("18538067" + "90" + "1549A966" + "9F" + "4489"), None),
+      // a non-Segment element with unknown size cannot be skipped → NULL
+      (8, hdr ++ hx("EC" + "FF" + "AABB") ++ seg(durF32), None),
+      (9, "noebml".getBytes("ISO-8859-1"), None),
+      // Segment behind a sized Void element at the top level
+      (10, hdr ++ hx("EC" + "82" + "AABB") ++ seg(scale2ms ++ durF32),
+        Some((2000000000L, 1000000000L))))
+    val got = cases.map { case (id, b, _) => (id, b) }.toDF("id", "payload")
+      .select($"id", call_function(TilePairs.WebmDurationName, $"payload").as("p"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        Option(r.getSeq[Long](1)).map(s => (s(0), s(1)))).toMap
+    for ((id, _, want) <- cases) withClue(s"case $id:") { got(id) shouldBe want }
+    // ops routing: the webm sniff reaches the kernel, and the sniffer
+    // reports the EBML magic as 'webm'
+    val out = graft.ops.Multimodal.withMediaDuration(
+      graft.ops.Multimodal.withBinaryMeta(
+        Seq((1, hdr ++ seg(scale2ms ++ durF32))).toDF("id", "payload"),
+        "payload"),
+      "payload").select("format", "media_dur_num", "media_dur_den").head()
+    (out.getString(0), out.getLong(1), out.getLong(2)) shouldBe
+      (("webm", 2000000000L, 1000000000L))
+  }
+
   test("graft_isobmff_dims: primary-item resolution, fallback, wide ipma, largesize") {
     def be16b(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
     def be32b(v: Long): Array[Byte] =

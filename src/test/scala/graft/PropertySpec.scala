@@ -613,6 +613,7 @@ class PropertySpec extends SparkSpec {
       "ogg_duration" -> OggDuration(child).compute _,
       "webp_dims" -> WebpDims(child).compute _,
       "isobmff_dims" -> IsoBmffDims(child).compute _,
+      "webm_duration" -> WebmDuration(child).compute _,
       "exif_tags" -> ExifTags(child).compute _,
       "mp3_tags" -> Mp3Tags(child).compute _,
       "pdf_text" -> PdfText(child).compute _,
@@ -637,6 +638,10 @@ class PropertySpec extends SparkSpec {
         "00000000" + "00000024" + "69707270" + "00000010" + "69706D61" +
         "00000001"),
       "fLaC".getBytes, // FLAC magic (metadata-block walk)
+      // EBML magic + header, Segment and Info headers: steers into the
+      // VINT id/size reads and the TimestampScale/Duration parses
+      hx("1A45DFA3" + "87" + "4282" + "84" + "7765626D" + "18538067" + "FF" +
+        "1549A966" + "97" + "2AD7B1"),
       "OggS".getBytes, // Ogg capture pattern (page walk)
       "%PDF-1.7\n".getBytes, // PDF header
       // PDF header + dict + stream keyword: steers the fuzz into the
