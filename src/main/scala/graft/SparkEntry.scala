@@ -821,6 +821,115 @@ object SparkEntry {
     lit(fxHx("4F676753" + "0004")), fxLe64(granule),
     lit(fxHx("01000000" + "01000000" + "00000000" + "01" + "01" + "AA")))
 
+  /** Encrypted-PDF fixtures for `mm_pdf_encrypted`: a WRITER-side
+    * implementation of ISO 32000-1 §7.6.3 (Algorithms 2/3/4/5, RC4,
+    * AES-128-CBC) independent of the kernel's [[graft.functions]]
+    * decryptor — the kernel must round-trip bytes it did not produce,
+    * and the oracle then asserts the KNOWN plaintext from arithmetic
+    * alone. Five constant payloads: RC4-40/R2, RC4-128/R3, AESV2/R4
+    * (all owner-password-only — the EMPTY user password validates), an
+    * R3 file with a REAL user password (must stay NULL — never
+    * ciphertext-as-text), and an unencrypted control. */
+  private lazy val encPdfFixtures: IndexedSeq[Array[Byte]] = {
+    val pad = Array(0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00,
+      0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+      0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+    def md5(xs: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(xs)
+    def rc4(key: Array[Byte], d: Array[Byte]): Array[Byte] = {
+      val s = (0 until 256).toArray
+      var j = 0
+      for (i <- 0 until 256) {
+        j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+        val t = s(i); s(i) = s(j); s(j) = t
+      }
+      var x = 0; var y = 0
+      d.map { c =>
+        x = (x + 1) & 0xff; y = (y + s(x)) & 0xff
+        val t = s(x); s(x) = s(y); s(y) = t
+        (c ^ s((s(x) + s(y)) & 0xff)).toByte
+      }
+    }
+    def padPwd(p: String): Array[Byte] = (p.getBytes("ISO-8859-1") ++ pad).take(32)
+    def xorKey(k: Array[Byte], i: Int): Array[Byte] = k.map(b => (b ^ i).toByte)
+    def le32(v: Int): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val id0 = Array.tabulate(16)(i => (i * 11 + 5).toByte)
+    def computeO(owner: String, user: String, r: Int, kl: Int): Array[Byte] = {
+      var h = md5(padPwd(owner))
+      if (r >= 3) for (_ <- 0 until 50) h = md5(h)
+      val ok = h.take(kl)
+      var enc = rc4(ok, padPwd(user))
+      if (r >= 3) for (i <- 1 to 19) enc = rc4(xorKey(ok, i), enc)
+      enc
+    }
+    def fileKey(o: Array[Byte], p: Int, r: Int, kl: Int, user: String): Array[Byte] = {
+      var k = md5(padPwd(user) ++ o ++ le32(p) ++ id0).take(kl)
+      if (r >= 3) for (_ <- 0 until 50) k = md5(k).take(kl)
+      k
+    }
+    def computeU(key: Array[Byte], r: Int): Array[Byte] =
+      if (r == 2) rc4(key, pad)
+      else {
+        var enc = rc4(key, md5(pad ++ id0))
+        for (i <- 1 to 19) enc = rc4(xorKey(key, i), enc)
+        enc ++ Array.fill(16)(0xcd.toByte)
+      }
+    def objKey(key: Array[Byte], num: Int, aes: Boolean): Array[Byte] = {
+      val salt = if (aes) Array[Byte](0x73, 0x41, 0x6c, 0x54)
+        else Array.emptyByteArray
+      md5(key ++ Array[Byte](num.toByte, (num >> 8).toByte, (num >> 16).toByte,
+        0, 0) ++ salt).take(math.min(key.length + 5, 16))
+    }
+    def aesEnc(key16: Array[Byte], plain: Array[Byte]): Array[Byte] = {
+      val iv = Array.tabulate(16)(i => (i * 29 + 7).toByte)
+      val padN = 16 - (plain.length % 16)
+      val padded = plain ++ Array.fill(padN)(padN.toByte)
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key16, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      iv ++ c.doFinal(padded)
+    }
+    def hxs(bs: Array[Byte]): String =
+      "<" + bs.map("%02X".format(_)).mkString + ">"
+    def raw(bs: Array[Byte]): String = new String(bs.map(b => (b & 0xff).toChar))
+    def build(v: Int, r: Int, bits: Int, user: String, aes: Boolean,
+        text: String, metaTitle: String): Array[Byte] = {
+      val kl = if (r == 2) 5 else bits / 8
+      val o = computeO("own3r", user, r, kl)
+      val key = fileKey(o, -3904, r, kl, user)
+      val u = computeU(key, r)
+      def enc(num: Int, data: Array[Byte]): Array[Byte] =
+        if (aes) aesEnc(objKey(key, num, aes = true), data)
+        else rc4(objKey(key, num, aes = false), data)
+      val content = enc(1, s"BT ($text) Tj ET".getBytes("ISO-8859-1"))
+      val titleEnc = enc(2, metaTitle.getBytes("ISO-8859-1"))
+      val cf = if (v == 4)
+        " /CF << /StdCF << /CFM /" + (if (aes) "AESV2" else "V2") +
+          " /AuthEvent /DocOpen >> >> /StmF /StdCF /StrF /StdCF"
+      else ""
+      ("%PDF-1.6\n" +
+        s"1 0 obj\n<< /Length ${content.length} >>\nstream\n" + raw(content) +
+        "\nendstream\nendobj\n" +
+        s"2 0 obj\n<< /Title ${hxs(titleEnc)} >>\nendobj\n" +
+        s"4 0 obj\n<< /Filter /Standard /V $v /R $r /Length $bits /P -3904" +
+        s" /O ${hxs(o)} /U ${hxs(u)}$cf >>\nendobj\n" +
+        s"trailer\n<< /Info 2 0 R /Encrypt 4 0 R /ID [${hxs(id0)} ${hxs(id0)}] >>" +
+        "\n%%EOF\n").toCharArray.map(_.toByte)
+    }
+    val plain = ("%PDF-1.6\n" +
+      "1 0 obj\n<< >>\nstream\nBT (plain control) Tj ET\nendstream\nendobj\n" +
+      "2 0 obj\n<< /Title (PlainTitle) >>\nendobj\n" +
+      "trailer\n<< /Info 2 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    IndexedSeq(
+      build(1, 2, 40, "", aes = false, "forty bit secret stream", "Enc40"),
+      build(2, 3, 128, "", aes = false, "rc4 128 secret stream", "Enc128"),
+      build(4, 4, 128, "", aes = true, "aes cbc secret stream", "EncAES"),
+      build(2, 3, 128, "s3cret", aes = false, "hidden text", "EncLocked"),
+      plain)
+  }
+
   /** events.parquet's ts encoding is generation-dependent: older drops
     * store TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects — with spark.sql.legacy.parquet.nanosAsLong=
@@ -4639,6 +4748,32 @@ object SparkEntry {
     // /Info ref with an XMP packet — the §14.3.2 fallback answers
     // (dc:title entity-decoded, ISO-8601 raw date). The oracle
     // rebuilds the strings from arithmetic and literals.
+    // Standard-security PDF decryption (round 15): owner-password-only
+    // files (EMPTY user password validates against /U) decrypt
+    // transparently — RC4-40/R2, RC4-128/R3, and AESV2/R4 shapes built
+    // by the INDEPENDENT writer in encPdfFixtures; the real-user-
+    // password shape must stay NULL (never ciphertext-as-text); the
+    // plain control pins the unencrypted path through the same query.
+    // The oracle asserts the known plaintexts from arithmetic alone —
+    // the MD5 key derivation, /U validation, RC4/AES-CBC decrypts, and
+    // per-object keys all happen on the Spark side.
+    "mm_pdf_encrypted" -> ((s, dir) => {
+      val fx = encPdfFixtures
+      val payload =
+        when(col("doc_id") % 5 === 0, lit(fx(0)))
+          .when(col("doc_id") % 5 === 1, lit(fx(1)))
+          .when(col("doc_id") % 5 === 2, lit(fx(2)))
+          .when(col("doc_id") % 5 === 3, lit(fx(3)))
+          .otherwise(lit(fx(4)))
+      rt(s, dir, "documents")
+        .select(col("doc_id"), payload.as("payload"))
+        .withColumn("pdf_text",
+          call_function(graft.functions.TilePairs.PdfTextName, col("payload")))
+        .withColumn("__m",
+          call_function(graft.functions.TilePairs.PdfInfoName, col("payload")))
+        .select(col("doc_id"), col("pdf_text"),
+          col("__m.title").as("pdf_title"))
+    }),
     "mm_pdf_meta" -> ((s, dir) => {
       val ti = concat(lit("T"), lpad((col("doc_id") % 89).cast("string"), 4, "0"))
       val au = concat(lit("A"), lpad((col("doc_id") % 83).cast("string"), 4, "0"))
@@ -9041,6 +9176,23 @@ object SparkEntry {
     // last-/Info-wins walk, BOM decodes, and escape handling happen only
     // on the Spark side. The %5==1 date carries PDF's apostrophe
     // timezone syntax (doubled in SQL).
+    // Encrypted-PDF replay: known plaintexts by shape — the decryption
+    // itself (key derivation, /U check, RC4/AES) is Spark-side only.
+    "mm_pdf_encrypted" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 5 AS INTEGER)
+        |         WHEN 0 THEN 'forty bit secret stream'
+        |         WHEN 1 THEN 'rc4 128 secret stream'
+        |         WHEN 2 THEN 'aes cbc secret stream'
+        |         WHEN 3 THEN NULL
+        |         ELSE 'plain control' END AS pdf_text,
+        |       CASE CAST(doc_id % 5 AS INTEGER)
+        |         WHEN 0 THEN 'Enc40'
+        |         WHEN 1 THEN 'Enc128'
+        |         WHEN 2 THEN 'EncAES'
+        |         WHEN 3 THEN NULL
+        |         ELSE 'PlainTitle' END AS pdf_title
+        |FROM documents""".stripMargin,
     "mm_pdf_meta" ->
       """SELECT doc_id,
         |       CASE WHEN doc_id % 7 = 0

@@ -1,0 +1,301 @@
+package graft.functions
+
+/** ISO 32000-1 §7.6.3 standard security handler, EMPTY-USER-PASSWORD
+  * decryption — the owner-password-only protection a large fraction of
+  * real-world "encrypted" PDFs actually use (the file is openable by any
+  * reader; only permissions are asserted). [[PdfText]]/[[PdfInfo]] call
+  * [[decryptorFor]] when the `/Encrypt` token is present: if the
+  * standard handler validates the EMPTY user password against `/U`, the
+  * returned [[Decryptor]] decrypts stream bodies and Info strings with
+  * the per-object key; anything else (a real user password, a
+  * non-Standard filter, V5/AES-256, an /Identity crypt filter) returns
+  * null and the kernels keep their NULL-for-encrypted behavior.
+  *
+  * Supported: V1 (RC4-40), V2 (RC4, /Length up to 128), V4 with a
+  * /CFM /AESV2 or /V2 crypt filter, R 2/3/4 — all pure JDK (MD5 via
+  * MessageDigest, a 15-line RC4, AES-128-CBC via javax.crypto). Key
+  * derivation is Algorithm 2 (MD5 over the 32-byte pad + /O + /P as
+  * little-endian int32 + ID[0], the R≥4 EncryptMetadata=false FFFFFFFF
+  * suffix, 50 MD5 iterations for R≥3); the empty user password verifies
+  * via Algorithm 6 (R2: RC4(key, pad) == U; R≥3: the 19-pass XOR-key
+  * RC4 chain over MD5(pad ‖ ID[0]), first 16 bytes compared). Per-object
+  * keys are Algorithm 1 (MD5(key ‖ obj₃ ‖ gen₂ [‖ sAlT for AES]),
+  * truncated to min(len+5, 16)); AES payloads carry a 16-byte IV prefix
+  * and PKCS#5 padding (validated — a bad pad is null, never a throw).
+  *
+  * Parsing reuses [[PdfText]]'s raw-byte discipline: the LAST `/Encrypt`
+  * reference wins (incremental updates), the dict resolves through the
+  * last `N G obj` header, /O and /U accept literal or hex strings,
+  * /ID's first element supplies ID[0] (absent → empty, per the spec's
+  * "if the document has no ID" allowance). Never throws on adversarial
+  * bytes — every malformation is a null.
+  */
+private[functions] object PdfCrypt {
+  import PdfText._
+
+  /** §7.6.3.3 Algorithm 2's 32-byte padding string. */
+  val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** Plain RC4 (the spec's "RC4" cipher): KSA + PRGA, allocation-light. */
+  def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = new Array[Int](256)
+    var i = 0
+    while (i < 256) { s(i) = i; i += 1 }
+    var j = 0
+    i = 0
+    while (i < 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0
+    var y = 0
+    var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + s(x)) & 0xff
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(k) = (data(k) ^ s((s(x) + s(y)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** Per-object decryption under a validated file key. */
+  final class Decryptor(val fileKey: Array[Byte], val aes: Boolean) {
+
+    private def objKey(num: Int, gen: Int): Array[Byte] = {
+      val tail =
+        if (aes)
+          Array[Byte](num.toByte, (num >> 8).toByte, (num >> 16).toByte,
+            gen.toByte, (gen >> 8).toByte, 0x73, 0x41, 0x6c, 0x54)
+        else
+          Array[Byte](num.toByte, (num >> 8).toByte, (num >> 16).toByte,
+            gen.toByte, (gen >> 8).toByte)
+      val h = md5(fileKey, tail)
+      java.util.Arrays.copyOf(h, math.min(fileKey.length + 5, 16))
+    }
+
+    /** Decrypted bytes of a stream body / string value belonging to
+      * object (num, gen) — null when the AES framing is malformed. */
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+      val k = objKey(num, gen)
+      if (!aes) rc4(k, data)
+      else {
+        // 16-byte IV prefix + CBC blocks + PKCS#5 padding
+        if (data.length < 32 || data.length % 16 != 0) return null
+        try {
+          val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+          c.init(javax.crypto.Cipher.DECRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(k, "AES"),
+            new javax.crypto.spec.IvParameterSpec(data, 0, 16))
+          val out = c.doFinal(data, 16, data.length - 16)
+          val pad = out(out.length - 1) & 0xff
+          if (pad < 1 || pad > 16 || pad > out.length) null
+          else java.util.Arrays.copyOf(out, out.length - pad)
+        } catch { case _: java.security.GeneralSecurityException => null }
+      }
+    }
+  }
+
+  /** Signed integer at i0 (for /P, which is negative in practice). */
+  private def parseIntSigned(b: Array[Byte], i0: Int, end: Int): (Int, Int) = {
+    if (i0 < end && b(i0) == '-') {
+      val (v, after) = parseUInt(b, i0 + 1, end)
+      if (v < 0) (Int.MinValue, i0) else (-v, after)
+    } else {
+      val (v, after) = parseUInt(b, i0, end)
+      if (v < 0) (Int.MinValue, i0) else (v, after)
+    }
+  }
+
+  /** String value (literal or hex) at `v`, as raw bytes — or null. */
+  private def stringBytes(b: Array[Byte], v: Int, end: Int): Array[Byte] = {
+    if (v >= end) return null
+    val buf = new scala.collection.mutable.ArrayBuffer[String](1)
+    if (b(v) == '(') literalString(b, v, buf, end, 1 << 16)
+    else if (b(v) == '<' && (v + 1 >= end || b(v + 1) != '<'))
+      hexString(b, v, buf, end, 1 << 16)
+    else return null
+    val s = buf.head
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < out.length) { out(i) = s.charAt(i).toByte; i += 1 }
+    out
+  }
+
+  /** ID[0] of the LAST `/ID` entry, or empty when absent (the spec's
+    * no-ID allowance feeds zero bytes into Algorithm 2). */
+  private def firstId(b: Array[Byte]): Array[Byte] = {
+    val pat = "/ID".getBytes
+    val n = b.length
+    var found: Array[Byte] = null
+    var at = indexOf(b, pat, 0)
+    while (at >= 0) {
+      var i = at + pat.length
+      if (i < n && (isWs(b(i)) || isDelim(b(i)))) {
+        while (i < n && isWs(b(i))) i += 1
+        if (i < n && b(i) == '[') {
+          i += 1
+          while (i < n && isWs(b(i))) i += 1
+          val s = stringBytes(b, i, n)
+          if (s != null) found = s
+        }
+      }
+      at = indexOf(b, pat, at + 1)
+    }
+    if (found == null) Array.emptyByteArray else found
+  }
+
+  /** The LAST `/Encrypt N G R` reference's dict start (`<<`), or -1. */
+  private def encryptDictStart(b: Array[Byte]): Int = {
+    val pat = "/Encrypt".getBytes
+    val n = b.length
+    var num = -1
+    var gen = -1
+    var direct = -1
+    var at = indexOf(b, pat, 0)
+    while (at >= 0) {
+      var i = at + pat.length
+      if (i < n && (isWs(b(i)) || isDelim(b(i)))) {
+        while (i < n && isWs(b(i))) i += 1
+        if (i + 1 < n && b(i) == '<' && b(i + 1) == '<') {
+          direct = i; num = -1 // direct dict in the trailer
+        } else {
+          val (nn, i2) = parseUInt(b, i, n)
+          if (nn >= 0) {
+            var j = i2
+            while (j < n && isWs(b(j))) j += 1
+            val (gg, j2) = parseUInt(b, j, n)
+            if (gg >= 0) {
+              var r = j2
+              while (r < n && isWs(b(r))) r += 1
+              if (r < n && b(r) == 'R' &&
+                (r + 1 >= n || isWs(b(r + 1)) || isDelim(b(r + 1)))) {
+                num = nn; gen = gg; direct = -1
+              }
+            }
+          }
+        }
+      }
+      at = indexOf(b, pat, at + 1)
+    }
+    if (direct >= 0) return direct
+    if (num < 0) return -1
+    val objAt = PdfInfo.lastObjStart(b, num, gen)
+    if (objAt < 0) return -1
+    var k = objAt
+    while (k < n && isWs(b(k))) k += 1
+    if (k + 2 <= n && b(k) == '<' && b(k + 1) == '<') k else -1
+  }
+
+  /** Validated empty-user-password [[Decryptor]] for `b`, or null —
+    * null preserves the kernels' NULL-for-encrypted behavior for
+    * everything this handler does not cover. */
+  def decryptorFor(b: Array[Byte]): Decryptor = {
+    val d0 = encryptDictStart(b)
+    if (d0 < 0) return null
+    val dEnd = skipDict(b, d0)
+    if (dEnd < 0) return null
+    val body1 = dEnd - 2
+    var filterStd = false
+    var v = 0
+    var r = 0
+    var p = Int.MinValue
+    var lengthBits = 40
+    var o: Array[Byte] = null
+    var u: Array[Byte] = null
+    var encryptMetadata = true
+    var cfm: String = null
+    var identity = false
+    walkDictKeys(b, d0 + 2, body1) { (key, at) =>
+      key match {
+        case "Filter" =>
+          if (at < body1 && b(at) == '/') filterStd = nameAt(b, at, body1) == "Standard"
+        case "V" => v = math.max(0, parseUInt(b, at, body1)._1)
+        case "R" => r = math.max(0, parseUInt(b, at, body1)._1)
+        case "P" => p = parseIntSigned(b, at, body1)._1
+        case "Length" =>
+          val l = parseUInt(b, at, body1)._1
+          if (l > 0) lengthBits = l
+        case "O" => o = stringBytes(b, at, body1)
+        case "U" => u = stringBytes(b, at, body1)
+        case "EncryptMetadata" =>
+          if (at + 5 <= body1 && regionMatches(b, at, "false".getBytes))
+            encryptMetadata = false
+        case "CF" =>
+          // crypt-filter dict: the /CFM name decides the cipher; any
+          // /Identity leaves parts unencrypted — out of scope
+          if (at + 1 < body1 && b(at) == '<' && b(at + 1) == '<') {
+            val ce = skipDict(b, at)
+            if (ce > 0) {
+              val cfPat = "/CFM".getBytes
+              var ca = indexOf(b, cfPat, at)
+              while (ca >= 0 && ca < ce) {
+                var ci = ca + cfPat.length
+                if (ci < ce && (isWs(b(ci)) || isDelim(b(ci)))) {
+                  while (ci < ce && isWs(b(ci))) ci += 1
+                  if (ci < ce && b(ci) == '/') cfm = nameAt(b, ci, ce)
+                }
+                ca = indexOf(b, cfPat, ca + 1)
+              }
+            }
+          }
+        case "StmF" | "StrF" =>
+          if (at < body1 && b(at) == '/' && nameAt(b, at, body1) == "Identity")
+            identity = true
+        case _ => ()
+      }
+    }
+    if (!filterStd || o == null || u == null || p == Int.MinValue) return null
+    if (o.length < 32 || u.length < 16) return null
+    if (identity) return null
+    val aes = v == 4 && cfm == "AESV2"
+    val okV = v == 1 || v == 2 || (v == 4 && (aes || cfm == "V2"))
+    if (!okV || r < 2 || r > 4) return null
+    val keyLen =
+      if (r == 2 || v == 1) 5
+      else math.max(5, math.min(16, lengthBits / 8))
+    val id0 = firstId(b)
+    val o32 = java.util.Arrays.copyOf(o, 32)
+    val pLe = Array[Byte](p.toByte, (p >> 8).toByte, (p >> 16).toByte, (p >> 24).toByte)
+    val metaSuffix =
+      if (r >= 4 && !encryptMetadata)
+        Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+      else Array.emptyByteArray
+    var key = java.util.Arrays.copyOf(md5(Pad, o32, pLe, id0, metaSuffix), keyLen)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { key = java.util.Arrays.copyOf(md5(key), keyLen); i += 1 }
+    }
+    // Algorithm 6: does the EMPTY user password reproduce /U?
+    val valid =
+      if (r == 2) {
+        val enc = rc4(key, Pad)
+        java.util.Arrays.equals(enc, java.util.Arrays.copyOf(u, 32))
+      } else {
+        var enc = rc4(key, md5(Pad, id0))
+        var i = 1
+        while (i <= 19) {
+          val ki = new Array[Byte](key.length)
+          var t = 0
+          while (t < key.length) { ki(t) = (key(t) ^ i).toByte; t += 1 }
+          enc = rc4(ki, enc)
+          i += 1
+        }
+        java.util.Arrays.equals(enc, java.util.Arrays.copyOfRange(u, 0, 16))
+      }
+    if (!valid) null else new Decryptor(key, aes)
+  }
+}

@@ -54,8 +54,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[PdfText.MaxCmapEntries]] mappings per CMap are honored
   * (adversarial-input caps).
   *
+  * ENCRYPTION (round 15): documents whose `/Encrypt` dict is the
+  * standard security handler AND whose EMPTY user password validates
+  * against `/U` (owner-password-only protection — the common
+  * real-world "encrypted" PDF) decrypt transparently: stream bodies
+  * and ToUnicode CMaps decrypt with their owning object's key
+  * ([[PdfCrypt]] — RC4-40/128 and AESV2, pure JDK) before the filter
+  * chain runs. Everything else stays NULL.
+  *
   * HONEST BOUNDARIES (each deliberate, all documented here rather than
-  * hidden): encrypted documents (`/Encrypt` in the trailer) return NULL
+  * hidden): encrypted documents OUTSIDE the empty-user-password
+  * standard-handler case (a real user password, V5/AES-256, a
+  * non-Standard handler, /Identity crypt filters) return NULL
   * — extraction would emit ciphertext; streams under any OTHER filter
   * (DCTDecode, Crypt, JBIG2, JPX, an indirect-reference /Filter, …) are
   * skipped — filter names are read TOKEN-accurately off the dict (a
@@ -96,11 +106,20 @@ case class PdfText(child: Expression) extends Expression {
     val n = bytes.length
     if (n < 8 || bytes(0) != '%' || bytes(1) != 'P' || bytes(2) != 'D' ||
       bytes(3) != 'F') return null
-    if (hasEncryptToken(bytes)) return null
+    // /Encrypt present: extract ONLY when the standard security handler
+    // validates the EMPTY user password (owner-password-only protection,
+    // the common real-world shape) — every other encrypted file stays
+    // NULL, never ciphertext-as-text
+    var dec: PdfCrypt.Decryptor = null
+    if (hasEncryptToken(bytes)) {
+      dec = PdfCrypt.decryptorFor(bytes)
+      if (dec == null) return null
+    }
+    val spans = if (dec != null) objHeaderSpans(bytes) else null
     // composite-font mapping is only attempted when the file can carry
     // one — the token screen keeps the common no-CMap case one pass
     val cmaps: java.util.HashMap[String, Cmap] =
-      if (indexOf(bytes, ToUnicodeTok, 0) >= 0) fontCmaps(bytes) else null
+      if (indexOf(bytes, ToUnicodeTok, 0) >= 0) fontCmaps(bytes, dec) else null
     val sb = new java.lang.StringBuilder
     var pos = 0
     while (pos < n - 1 && sb.length < MaxTextChars) {
@@ -114,9 +133,21 @@ case class PdfText(child: Expression) extends Expression {
           if (s == null) pos = dEnd // dict without a stream body
           else {
             if (s.decodable && s.dataEnd > s.dataStart) {
-              val data = java.util.Arrays.copyOfRange(bytes, s.dataStart, s.dataEnd)
-              val content = decodeFilters(data, s.filters, s.parms)
-              if (content != null) extract(content, sb, cmaps)
+              var data = java.util.Arrays.copyOfRange(bytes, s.dataStart, s.dataEnd)
+              if (dec != null) {
+                // stream bodies decrypt with their OWNING object's key;
+                // a stream without a resolvable owner is skipped (an
+                // unencrypted XRef stream decrypts to garbage and dies
+                // in the filter chain — harmless, never text)
+                val owner = ownerOf(spans, d0)
+                data =
+                  if (owner < 0) null
+                  else dec.decrypt((owner >> 16).toInt, (owner & 0xffff).toInt, data)
+              }
+              if (data != null) {
+                val content = decodeFilters(data, s.filters, s.parms)
+                if (content != null) extract(content, sb, cmaps)
+              }
             }
             pos = s.resumeAt
           }
@@ -709,6 +740,14 @@ object PdfText {
     * a font losing its CMap (Latin-1 fallback), never a throw. */
   private[functions] def buildObjTable(b: Array[Byte]): java.util.HashMap[Long, Integer] = {
     val t = new java.util.HashMap[Long, Integer]()
+    scanObjHeaders(b)((num, gen, at) => t.put((num.toLong << 16) | gen, Integer.valueOf(at)))
+    t
+  }
+
+  /** Every token-accurate `N G obj` header, in file order — `f(num, gen,
+    * offsetPastObj)`. [[buildObjTable]]'s last-wins map and the
+    * decryption owner spans ([[objHeaderSpans]]) share this one scan. */
+  private[functions] def scanObjHeaders(b: Array[Byte])(f: (Int, Int, Int) => Unit): Unit = {
     val n = b.length
     var i = 0
     while (i < n) {
@@ -731,7 +770,7 @@ object PdfText {
               // parseUInt accepts up to 8 digits, and an over-cap gen
               // packed into the low 16 bits would alias into the
               // object-number bits and resolve the WRONG object
-              t.put((num.toLong << 16) | gen, Integer.valueOf(k + 3))
+              f(num, gen, k + 3)
               i = k + 3
               advanced = true
             }
@@ -740,7 +779,33 @@ object PdfText {
         if (!advanced) i = math.max(i2, i + 1)
       } else i += 1
     }
-    t
+  }
+
+  /** (offsets, packed num/gen) of every `N G obj` header in file order
+    * — the decryption owner lookup: a stream/string at byte position p
+    * belongs to the header with the largest offset ≤ p. File order IS
+    * ascending offset order, so [[ownerOf]] binary-searches directly. */
+  private[functions] def objHeaderSpans(b: Array[Byte]): (Array[Int], Array[Long]) = {
+    val offs = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val keys = new scala.collection.mutable.ArrayBuffer[Long](64)
+    scanObjHeaders(b) { (num, gen, at) =>
+      offs += at
+      keys += (num.toLong << 16) | gen
+    }
+    (offs.toArray, keys.toArray)
+  }
+
+  /** Packed num/gen of the header owning byte position `p`, or -1. */
+  private[functions] def ownerOf(spans: (Array[Int], Array[Long]), p: Int): Long = {
+    val offs = spans._1
+    var lo = 0
+    var hi = offs.length - 1
+    var best = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (offs(mid) <= p) { best = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    if (best < 0) -1L else spans._2(best)
   }
 
   /** (num, gen, after) of an `N G R` indirect reference at `v`, or null. */
@@ -764,7 +829,9 @@ object PdfText {
     * resource names to font refs; each font's /ToUnicode ref resolves
     * to a stream whose decoded bytes parse as a CMap. Last definition
     * of a name wins (file-global scoping — see the class doc). */
-  private[functions] def fontCmaps(b: Array[Byte]): java.util.HashMap[String, Cmap] = {
+  private[functions] def fontCmaps(
+      b: Array[Byte],
+      dec: PdfCrypt.Decryptor = null): java.util.HashMap[String, Cmap] = {
     val table = buildObjTable(b)
     val out = new java.util.HashMap[String, Cmap]()
     def objDictStart(num: Int, gen: Int): Int = {
@@ -780,7 +847,9 @@ object PdfText {
       if (d0 < 0) return null
       val s = parseStreamAt(b, d0)
       if (s == null || !s.decodable || s.dataEnd <= s.dataStart) return null
-      val data = java.util.Arrays.copyOfRange(b, s.dataStart, s.dataEnd)
+      var data = java.util.Arrays.copyOfRange(b, s.dataStart, s.dataEnd)
+      if (dec != null) data = dec.decrypt(num, gen, data) // the CMap's own object key
+      if (data == null) return null
       val content = decodeFilters(data, s.filters, s.parms)
       if (content == null) null else parseCmap(content)
     }
@@ -1275,7 +1344,13 @@ case class PdfInfo(child: Expression) extends Expression {
     val n = bytes.length
     if (n < 8 || bytes(0) != '%' || bytes(1) != 'P' || bytes(2) != 'D' ||
       bytes(3) != 'F') return null
-    if (hasEncryptToken(bytes)) return null
+    // same empty-user-password policy as PdfText: metadata decrypts when
+    // the standard handler validates, else the file stays NULL
+    var dec: PdfCrypt.Decryptor = null
+    if (hasEncryptToken(bytes)) {
+      dec = PdfCrypt.decryptorFor(bytes)
+      if (dec == null) return null
+    }
     val ref = lastInfoRef(bytes)
     var vals: Array[Any] = null
     if (ref != null) {
@@ -1284,8 +1359,9 @@ case class PdfInfo(child: Expression) extends Expression {
         var k = objAt
         while (k < n && isWs(bytes(k))) k += 1
         if (k + 2 <= n && bytes(k) == '<' && bytes(k + 1) == '<')
-          vals = infoValsAt(bytes, k)
-      } else if (ref(1) == 0) vals = infoFromObjStm(bytes, ref(0))
+          // Info STRINGS decrypt with the Info object's own key
+          vals = infoValsAt(bytes, k, dec, ref(0), ref(1))
+      } else if (ref(1) == 0) vals = infoFromObjStm(bytes, ref(0), dec)
     }
     // the Info DICT is authoritative when it resolves (raw or ObjStm);
     // the XMP packet is the fallback when no /Info exists or the ref
@@ -1338,11 +1414,34 @@ object PdfInfo {
     * — a torn literal cannot swallow trailing bytes into a metadata
     * field. A duplicated key takes its LAST occurrence (ISO 32000 dict
     * semantics — round-14 review). */
-  private[functions] def infoValsAt(b: Array[Byte], k: Int): Array[Any] = {
+  private[functions] def infoValsAt(
+      b: Array[Byte], k: Int,
+      dec: PdfCrypt.Decryptor = null, num: Int = 0, gen: Int = 0): Array[Any] = {
     val dEnd = skipDict(b, k)
     if (dEnd < 0) return null
     val body1 = dEnd - 2
     val vals = new Array[Any](5)
+    // under encryption the string's RAW bytes (after syntax-level escape
+    // resolution — escaping is the transport, the cipher is underneath)
+    // decrypt with the dict's owning object key BEFORE text decoding.
+    // Strings inside ObjStm members pass dec = null: the WHOLE stream
+    // was encrypted, member strings are not re-encrypted (§7.6.2).
+    def decoded(raw: String): String = {
+      val r =
+        if (dec == null) raw
+        else {
+          val bs = new Array[Byte](raw.length)
+          var i = 0
+          while (i < bs.length) { bs(i) = raw.charAt(i).toByte; i += 1 }
+          val d = dec.decrypt(num, gen, bs)
+          if (d == null) return null
+          val sb = new java.lang.StringBuilder(d.length)
+          var j = 0
+          while (j < d.length) { sb.append((d(j) & 0xff).toChar); j += 1 }
+          sb.toString
+        }
+      decodeTextString(r)
+    }
     walkDictKeys(b, k + 2, body1) { (key, v) =>
       val idx = key match {
         case "Title" => 0
@@ -1356,11 +1455,13 @@ object PdfInfo {
         if (b(v) == '(') {
           val buf = new scala.collection.mutable.ArrayBuffer[String](1)
           literalString(b, v, buf, body1, MaxMetaChars)
-          vals(idx) = UTF8String.fromString(decodeTextString(buf.head))
+          val s = decoded(buf.head)
+          vals(idx) = if (s == null) null else UTF8String.fromString(s)
         } else if (b(v) == '<' && (v + 1 >= body1 || b(v + 1) != '<')) {
           val buf = new scala.collection.mutable.ArrayBuffer[String](1)
           hexString(b, v, buf, body1, MaxMetaChars)
-          vals(idx) = UTF8String.fromString(decodeTextString(buf.head))
+          val s = decoded(buf.head)
+          vals(idx) = if (s == null) null else UTF8String.fromString(s)
         } else vals(idx) = null // indirect ref / name / number: out of scope
       }
     }
@@ -1373,9 +1474,12 @@ object PdfInfo {
     * the member dict with the same walk a file-level Info dict gets.
     * The LAST object stream containing `num` wins (incremental-update
     * rule). Null when no stream carries it. */
-  private[functions] def infoFromObjStm(b: Array[Byte], num: Int): Array[Any] = {
+  private[functions] def infoFromObjStm(
+      b: Array[Byte], num: Int,
+      dec: PdfCrypt.Decryptor = null): Array[Any] = {
     if (indexOf(b, "/ObjStm".getBytes, 0) < 0) return null
     val n = b.length
+    val spans = if (dec != null) objHeaderSpans(b) else null
     var found: Array[Any] = null
     var streams = 0
     var pos = 0
@@ -1411,8 +1515,17 @@ object PdfInfo {
             if (s != null) {
               streams += 1
               if (s.decodable && s.dataEnd > s.dataStart) {
-                val data = java.util.Arrays.copyOfRange(b, s.dataStart, s.dataEnd)
-                val c = decodeFilters(data, s.filters, s.parms)
+                var data = java.util.Arrays.copyOfRange(b, s.dataStart, s.dataEnd)
+                if (dec != null) {
+                  // the ObjStm stream decrypts with ITS object's key;
+                  // member strings are then plaintext (§7.6.2) —
+                  // infoValsAt below runs with dec = null
+                  val owner = ownerOf(spans, d0)
+                  data =
+                    if (owner < 0) null
+                    else dec.decrypt((owner >> 16).toInt, (owner & 0xffff).toInt, data)
+                }
+                val c = if (data == null) null else decodeFilters(data, s.filters, s.parms)
                 if (c != null && first <= c.length) {
                   // pair header: N × (objnum offset), offsets from /First
                   var i = 0

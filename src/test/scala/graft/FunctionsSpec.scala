@@ -1292,6 +1292,180 @@ class FunctionsSpec extends SparkSpec {
       Some("AB")
   }
 
+  test("graft_pdf_text/info: standard-security decryption with the EMPTY user password") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val kt = graft.functions.PdfText(Literal.create(null, BinaryType))
+    val ki = graft.functions.PdfInfo(Literal.create(null, BinaryType))
+    def ext(b: Array[Byte]): Option[String] =
+      Option(kt.compute(b)).map(_.toString)
+    def title(b: Array[Byte]): Option[String] = ki.compute(b) match {
+      case null => None
+      case r: org.apache.spark.sql.catalyst.expressions.GenericInternalRow =>
+        if (r.isNullAt(0)) None else Some(r.getUTF8String(0).toString)
+    }
+    // ---- an INDEPENDENT writer-side implementation of §7.6.3 (the
+    // kernel must round-trip against code it does not share) ----
+    val pad = Array(0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00,
+      0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+      0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+    def md5(xs: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(xs)
+    def rc4(key: Array[Byte], d: Array[Byte]): Array[Byte] = {
+      val s = (0 until 256).toArray
+      var j = 0
+      for (i <- 0 until 256) {
+        j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+        val t = s(i); s(i) = s(j); s(j) = t
+      }
+      var x = 0; var y = 0
+      d.map { c =>
+        x = (x + 1) & 0xff; y = (y + s(x)) & 0xff
+        val t = s(x); s(x) = s(y); s(y) = t
+        (c ^ s((s(x) + s(y)) & 0xff)).toByte
+      }
+    }
+    def padPwd(p: String): Array[Byte] =
+      (p.getBytes("ISO-8859-1") ++ pad).take(32)
+    def xorKey(k: Array[Byte], i: Int): Array[Byte] = k.map(b => (b ^ i).toByte)
+    def computeO(owner: String, user: String, r: Int, kl: Int): Array[Byte] = {
+      var h = md5(padPwd(owner))
+      if (r >= 3) for (_ <- 0 until 50) h = md5(h)
+      val ok = h.take(kl)
+      var enc = rc4(ok, padPwd(user))
+      if (r >= 3) for (i <- 1 to 19) enc = rc4(xorKey(ok, i), enc)
+      enc
+    }
+    def le32(v: Int): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def fileKey(o: Array[Byte], p: Int, id0: Array[Byte], r: Int, kl: Int,
+        user: String, encMeta: Boolean): Array[Byte] = {
+      val sfx = if (r >= 4 && !encMeta) Array.fill(4)(0xff.toByte)
+        else Array.emptyByteArray
+      var k = md5(padPwd(user) ++ o ++ le32(p) ++ id0 ++ sfx).take(kl)
+      if (r >= 3) for (_ <- 0 until 50) k = md5(k).take(kl)
+      k
+    }
+    def computeU(key: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
+      if (r == 2) rc4(key, pad)
+      else {
+        var enc = rc4(key, md5(pad ++ id0))
+        for (i <- 1 to 19) enc = rc4(xorKey(key, i), enc)
+        enc ++ Array.fill(16)(0xab.toByte) // arbitrary 16-byte tail per spec
+      }
+    def objKey(key: Array[Byte], num: Int, gen: Int, aes: Boolean): Array[Byte] = {
+      val salt = if (aes) Array[Byte](0x73, 0x41, 0x6c, 0x54)
+        else Array.emptyByteArray
+      md5(key ++ Array(num.toByte, (num >> 8).toByte, (num >> 16).toByte,
+        gen.toByte, (gen >> 8).toByte) ++ salt)
+        .take(math.min(key.length + 5, 16))
+    }
+    def aesEnc(key16: Array[Byte], plain: Array[Byte]): Array[Byte] = {
+      val iv = Array.tabulate(16)(i => (i * 17 + 3).toByte) // fixed, arbitrary
+      val padN = 16 - (plain.length % 16)
+      val padded = plain ++ Array.fill(padN)(padN.toByte)
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key16, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      iv ++ c.doFinal(padded)
+    }
+    def hx(bs: Array[Byte]): String =
+      "<" + bs.map("%02X".format(_)).mkString + ">"
+    val id0 = Array.tabulate(16)(i => (i * 7 + 1).toByte)
+    // one encrypted doc, parameterized over version/revision/cipher
+    def encPdf(v: Int, r: Int, bits: Int, user: String, aes: Boolean,
+        text: String, metaTitle: String, encMeta: Boolean = true,
+        extraBody: String = "", cfIdentity: Boolean = false): Array[Byte] = {
+      val kl = if (r == 2) 5 else bits / 8
+      val o = computeO("own3r", user, r, kl)
+      val key = fileKey(o, -3904, id0, r, kl, user, encMeta)
+      val u = computeU(key, id0, r)
+      def encFor(num: Int, data: Array[Byte]): Array[Byte] =
+        if (aes) aesEnc(objKey(key, num, 0, aes = true), data)
+        else rc4(objKey(key, num, 0, aes = false), data)
+      val content = encFor(1, s"BT ($text) Tj ET".getBytes("ISO-8859-1"))
+      val titleEnc = encFor(2, metaTitle.getBytes("ISO-8859-1"))
+      val cf =
+        if (v == 4) {
+          val cfm = if (aes) "AESV2" else "V2"
+          val f = if (cfIdentity) "Identity" else "StdCF"
+          s" /CF << /StdCF << /CFM /$cfm /AuthEvent /DocOpen >> >>" +
+            s" /StmF /$f /StrF /$f"
+        } else ""
+      val em = if (!encMeta) " /EncryptMetadata false" else ""
+      val body =
+        s"1 0 obj\n<< /Length ${content.length} >>\nstream\n" +
+          new String(content.map(b => (b & 0xff).toChar)) +
+          "\nendstream\nendobj\n" +
+          s"2 0 obj\n<< /Title ${hx(titleEnc)} >>\nendobj\n" +
+          extraBody +
+          s"4 0 obj\n<< /Filter /Standard /V $v /R $r /Length $bits /P -3904" +
+          s" /O ${hx(o)} /U ${hx(u)}$cf$em >>\nendobj\n" +
+          s"trailer\n<< /Info 2 0 R /Encrypt 4 0 R /ID [${hx(id0)} ${hx(id0)}] >>"
+      ("%PDF-1.6\n" + body + "\n%%EOF\n").toCharArray.map(_.toByte)
+    }
+    // RC4-40 / V1 R2
+    val p40 = encPdf(1, 2, 40, "", aes = false, "forty bit secret", "T40")
+    ext(p40) shouldBe Some("forty bit secret")
+    title(p40) shouldBe Some("T40")
+    // RC4-128 / V2 R3
+    val p128 = encPdf(2, 3, 128, "", aes = false, "one two eight", "T128")
+    ext(p128) shouldBe Some("one two eight")
+    title(p128) shouldBe Some("T128")
+    // AES-128-CBC / V4 R4 AESV2
+    val paes = encPdf(4, 4, 128, "", aes = true, "aes secret", "TAES")
+    ext(paes) shouldBe Some("aes secret")
+    title(paes) shouldBe Some("TAES")
+    // V4 with a /V2 (RC4) crypt filter
+    val pv4rc4 = encPdf(4, 4, 128, "", aes = false, "v4 rc4", "TV4")
+    ext(pv4rc4) shouldBe Some("v4 rc4")
+    // EncryptMetadata false changes the key derivation (FFFFFFFF suffix)
+    val pnm = encPdf(4, 4, 128, "", aes = false, "no meta key", "TNM",
+      encMeta = false)
+    ext(pnm) shouldBe Some("no meta key")
+    // a REAL user password must stay NULL — never ciphertext
+    val locked = encPdf(2, 3, 128, "s3cret", aes = false, "hidden", "TL")
+    ext(locked) shouldBe None
+    title(locked) shouldBe None
+    // /Identity stream filter and V5/AES-256 are out of scope → NULL
+    ext(encPdf(4, 4, 128, "", aes = true, "x", "T", cfIdentity = true)) shouldBe None
+    ext(encPdf(5, 6, 256, "", aes = true, "x", "T")) shouldBe None
+    // a non-Standard handler → NULL (hand-built dict)
+    val ns = ("%PDF-1.6\n4 0 obj\n<< /Filter /Custom /V 2 /R 3 /O <00> " +
+      "/U <00> /P -1 >>\nendobj\ntrailer << /Encrypt 4 0 R >>\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+    ext(ns) shouldBe None
+    // ToUnicode CMap stream inside an encrypted doc: the CMap decrypts
+    // with ITS object key and the remap still applies
+    locally {
+      val kl = 16
+      val o = computeO("own3r", "", 3, kl)
+      val key = fileKey(o, -3904, id0, 3, kl, "", encMeta = true)
+      val u = computeU(key, id0, 3)
+      val cmapPlain =
+        "begincmap\n1 begincodespacerange <0000> <FFFF> endcodespacerange\n" +
+          "1 beginbfchar <0041> <03A9> endbfchar\nendcmap"
+      val cmapEnc = rc4(objKey(key, 8, 0, aes = false),
+        cmapPlain.getBytes("ISO-8859-1"))
+      val contentEnc = rc4(objKey(key, 2, 0, aes = false),
+        "BT /FC 12 Tf <0041> Tj ET".getBytes("ISO-8859-1"))
+      def raw(bs: Array[Byte]) = new String(bs.map(b => (b & 0xff).toChar))
+      val doc = ("%PDF-1.6\n" +
+        "1 0 obj\n<< /Resources << /Font << /FC 7 0 R >> >> >>\nendobj\n" +
+        "7 0 obj\n<< /Type /Font /ToUnicode 8 0 R >>\nendobj\n" +
+        s"8 0 obj\n<< /Length ${cmapEnc.length} >>\nstream\n" + raw(cmapEnc) +
+        "\nendstream\nendobj\n" +
+        s"2 0 obj\n<< /Length ${contentEnc.length} >>\nstream\n" +
+        raw(contentEnc) + "\nendstream\nendobj\n" +
+        s"4 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /P -3904" +
+        s" /O ${hx(o)} /U ${hx(u)} >>\nendobj\n" +
+        s"trailer\n<< /Encrypt 4 0 R /ID [${hx(id0)} ${hx(id0)}] >>\n%%EOF\n")
+        .toCharArray.map(_.toByte)
+      ext(doc) shouldBe Some("Ω")
+    }
+  }
+
   test("graft_pdf_info: last /Info wins, BOMs, indirect refs, token boundaries") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.BinaryType

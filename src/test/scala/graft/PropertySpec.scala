@@ -662,7 +662,14 @@ class PropertySpec extends SparkSpec {
         "/DecodeParms << /Predictor 12 /Columns 3 >> >>\nstream\n").getBytes,
       "%PDF-1.2\n<< /Filter /LZWDecode >>\nstream\n".getBytes,
       // XMP packet fallback scan
-      "%PDF-1.7\ntrailer << >>\n<?xpacket begin=\"\"?><dc:title>".getBytes)
+      "%PDF-1.7\ntrailer << >>\n<?xpacket begin=\"\"?><dc:title>".getBytes,
+      // round-15 steering: /Encrypt dict parse + key derivation + /U
+      // verification on fuzz bytes (indirect and direct-dict forms —
+      // the O/U/ID string reads and the V/R/P/Length parses all fuzz)
+      ("%PDF-1.6\ntrailer << /Encrypt 4 0 R /ID [<00FF01> (x)] >>\n" +
+        "4 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /P -3904 /O <").getBytes,
+      ("%PDF-1.4\ntrailer << /Encrypt << /Filter /Standard /V 4 /R 4 " +
+        "/CF << /StdCF << /CFM /AESV2 >> >> /P -1 /O (").getBytes)
     val bodyGen = Gen.choose(0, 300)
       .flatMap(n => Gen.listOfN(n, Gen.choose(0, 255)))
       .map(_.map(_.toByte).toArray)

@@ -149,6 +149,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "mm_exif_tags" -> 0, "mm_mp3_tags" -> 0, // tag walks, narrow
     "mm_pdf_text" -> 0, // stream walk + inflate kernel, narrow
     "mm_pdf_meta" -> 0, // Info-dict walk kernel, narrow
+    "mm_pdf_encrypted" -> 0, // decrypt + extract kernels, narrow
     // ALL header kernels composed stay one shuffle-free pass — the
     // 100 TB multimodal-ingest plan shape
     "mm_ingest_profile" -> 0,
