@@ -4697,6 +4697,41 @@ object SparkEntry {
           "2 0 obj\n<< >>\nstream\nBT /FC 12 Tf <0003 0004 001").getBytes),
         (col("doc_id") % 10).cast("string").cast("binary"),
         lit("> Tj ET\nendstream\nendobj\n%%EOF\n".getBytes))
+      // round-15 per-page font scoping: TWO pages, both defining /F1,
+      // with DIFFERENT CMaps (page 1: 0041→'X', range→'A'..; page 2:
+      // 0041→'Y', range→'a'..) and both contents showing the same
+      // doc_id-varying codes — a file-global last-wins table renders
+      // page 1 through page 2's CMap ("Ya…\nYa…") and hash-mismatches;
+      // the page-tree walk must produce "XA…\nYa…"
+      val cmapP1 =
+        "begincmap\n1 begincodespacerange <0000> <FFFF> endcodespacerange\n" +
+          "1 beginbfchar <0041> <0058> endbfchar\n" +
+          "1 beginbfrange <0010> <0019> <0041> endbfrange\nendcmap"
+      val cmapP2 =
+        "begincmap\n1 begincodespacerange <0000> <FFFF> endcodespacerange\n" +
+          "1 beginbfchar <0041> <0059> endbfchar\n" +
+          "1 beginbfrange <0010> <0019> <0061> endbfrange\nendcmap"
+      val dDigit = (col("doc_id") % 10).cast("string").cast("binary")
+      val pdf11 = concat(
+        lit(("%PDF-1.7\ntrailer\n<< /Root 1 0 R >>\n" +
+          "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+          "2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R] >>\nendobj\n" +
+          "3 0 obj\n<< /Type /Page /Resources << /Font << /F1 10 0 R >> >> " +
+          "/Contents 5 0 R >>\nendobj\n" +
+          "4 0 obj\n<< /Type /Page /Resources << /Font << /F1 11 0 R >> >> " +
+          "/Contents 6 0 R >>\nendobj\n" +
+          "10 0 obj\n<< /Type /Font /ToUnicode 20 0 R >>\nendobj\n" +
+          "11 0 obj\n<< /Type /Font /ToUnicode 21 0 R >>\nendobj\n" +
+          s"20 0 obj\n<< /Length ${cmapP1.length} >>\nstream\n" + cmapP1 +
+          "\nendstream\nendobj\n" +
+          s"21 0 obj\n<< /Length ${cmapP2.length} >>\nstream\n" + cmapP2 +
+          "\nendstream\nendobj\n" +
+          "5 0 obj\n<< >>\nstream\nBT /F1 12 Tf <0041 001").getBytes),
+        dDigit,
+        lit(("> Tj ET\nendstream\nendobj\n" +
+          "6 0 obj\n<< >>\nstream\nBT /F1 12 Tf <0041 001").getBytes),
+        dDigit,
+        lit("> Tj ET\nendstream\nendobj\n%%EOF\n".getBytes))
       // TIFF horizontal differencing (Predictor 2, colors=1)
       def tiffPredict(raw: Array[Byte], cols: Int): Array[Byte] = {
         val rows = raw.length / cols
@@ -4726,6 +4761,7 @@ object SparkEntry {
           .when(col("doc_id") % 11 === 6, pdf6)
           .when(col("doc_id") % 11 === 7, pdf7)
           .when(col("doc_id") % 11 === 8, pdf8)
+          .when(col("doc_id") % 22 === 20, pdf11) // carved from the 9 arm
           .when(col("doc_id") % 11 === 9, pdf9)
           .when(col("doc_id") % 11 === 10, pdf10)
           .otherwise(lit("plain text, no PDF magic".getBytes))
@@ -9229,6 +9265,10 @@ object SparkEntry {
         |            WHEN doc_id % 11 = 6 THEN 'chained transport'
         |            WHEN doc_id % 11 = 7 THEN 'lzw compressed stream'
         |            WHEN doc_id % 11 = 8 THEN 'predicted payload rows'
+        |            WHEN doc_id % 22 = 20
+        |              THEN 'X' || chr(CAST(65 + doc_id % 10 AS INTEGER))
+        |                   || chr(10)
+        |                   || 'Y' || chr(CAST(97 + doc_id % 10 AS INTEGER))
         |            WHEN doc_id % 11 = 9
         |              THEN 'CID' || chr(CAST(97 + doc_id % 10 AS INTEGER))
         |            WHEN doc_id % 11 = 10 THEN 'tiff differenced rows'

@@ -45,9 +45,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * under a CMap'd font are re-read as code sequences and remapped to
   * the CMap's UTF-16BE targets (an unmapped or torn code emits U+FFFD —
   * visible, never silently dropped), while fonts without a ToUnicode
-  * stay on the Latin-1 byte read. Boundaries of the mapping, each
-  * deliberate: resource names resolve file-globally with the last
-  * definition winning (per-page scoping would need the page tree walk);
+  * stay on the Latin-1 byte read. Resource names resolve PER PAGE
+  * (round 15): the `/Root`→`/Pages`→`/Kids` tree walk with `/Resources`
+  * inheritance maps each page's `/Contents` streams to that page's own
+  * font table, so two pages defining `/F1` with different CMaps each
+  * remap through theirs; content no page claims (broken or absent page
+  * trees, orphan streams) falls back to the file-global
+  * last-definition-wins table — exactly the pre-r15 behavior.
+  * Boundaries of the mapping, each deliberate:
   * codespaces wider than 2 bytes and CMaps reached only through
   * `/Encoding` (no ToUnicode) are ignored — such text stays Latin-1
   * mojibake, exactly as before; at most [[PdfText.MaxFonts]] fonts and
@@ -115,11 +120,16 @@ case class PdfText(child: Expression) extends Expression {
       dec = PdfCrypt.decryptorFor(bytes)
       if (dec == null) return null
     }
-    val spans = if (dec != null) objHeaderSpans(bytes) else null
     // composite-font mapping is only attempted when the file can carry
     // one — the token screen keeps the common no-CMap case one pass
-    val cmaps: java.util.HashMap[String, Cmap] =
-      if (indexOf(bytes, ToUnicodeTok, 0) >= 0) fontCmaps(bytes, dec) else null
+    val scopes: FontScopes =
+      if (indexOf(bytes, ToUnicodeTok, 0) >= 0) fontScopes(bytes, dec) else null
+    val useScopes = scopes != null && !scopes.isEmpty
+    // owner attribution serves decryption AND page-scoped font tables
+    val spans =
+      if (dec != null || (useScopes && scopes.hasPageScopes))
+        objHeaderSpans(bytes)
+      else null
     val sb = new java.lang.StringBuilder
     var pos = 0
     while (pos < n - 1 && sb.length < MaxTextChars) {
@@ -134,19 +144,21 @@ case class PdfText(child: Expression) extends Expression {
           else {
             if (s.decodable && s.dataEnd > s.dataStart) {
               var data = java.util.Arrays.copyOfRange(bytes, s.dataStart, s.dataEnd)
+              val owner = if (spans != null) ownerOf(spans, d0) else -1L
               if (dec != null) {
                 // stream bodies decrypt with their OWNING object's key;
                 // a stream without a resolvable owner is skipped (an
                 // unencrypted XRef stream decrypts to garbage and dies
                 // in the filter chain — harmless, never text)
-                val owner = ownerOf(spans, d0)
                 data =
                   if (owner < 0) null
                   else dec.decrypt((owner >> 16).toInt, (owner & 0xffff).toInt, data)
               }
               if (data != null) {
                 val content = decodeFilters(data, s.filters, s.parms)
-                if (content != null) extract(content, sb, cmaps)
+                if (content != null)
+                  extract(content, sb,
+                    if (useScopes) scopes.forContent(owner) else null)
               }
             }
             pos = s.resumeAt
@@ -824,68 +836,140 @@ object PdfText {
     else null
   }
 
-  /** Resource-name → ToUnicode CMap for the whole file: each `/Font`
-    * token whose value is a dict (inline or one indirect hop) maps
-    * resource names to font refs; each font's /ToUnicode ref resolves
-    * to a stream whose decoded bytes parse as a CMap. Last definition
-    * of a name wins (file-global scoping — see the class doc). */
-  private[functions] def fontCmaps(
+  /** The LAST `<name> N G R` reference in the file (the incremental-
+    * update rule — later trailers override), token-boundary-checked so
+    * `/Information` can never match `/Info`. Or null. */
+  private[functions] def lastNamedRef(b: Array[Byte], pat: Array[Byte]): Array[Int] = {
+    val n = b.length
+    var found: Array[Int] = null
+    var at = indexOf(b, pat, 0)
+    while (at >= 0) {
+      var i = at + pat.length
+      if (i >= n || isWs(b(i)) || isDelim(b(i))) {
+        while (i < n && isWs(b(i))) i += 1
+        val (num, i2) = parseUInt(b, i, n)
+        if (num >= 0) {
+          var j = i2
+          while (j < n && isWs(b(j))) j += 1
+          val (gen, j2) = parseUInt(b, j, n)
+          if (gen >= 0) {
+            var r = j2
+            while (r < n && isWs(b(r))) r += 1
+            if (r < n && b(r) == 'R' &&
+              (r + 1 >= n || isWs(b(r + 1)) || isDelim(b(r + 1))))
+              found = Array(num, gen)
+          }
+        }
+      }
+      at = indexOf(b, pat, at + 1)
+    }
+    found
+  }
+
+  /** Leaf-page cap of the /Pages tree walk (adversarial-input cap,
+    * [[MaxFonts]]' sibling). */
+  private[functions] val MaxPages = 1024
+
+  /** Per-scope resource-name → ToUnicode CMap tables. `global` is the
+    * whole-file last-definition-wins table — the pre-r15 behavior, kept
+    * as the fallback for content streams no page claims (broken or
+    * absent page trees, orphan streams). `byContent` maps a CONTENT
+    * stream's owning object (packed num/gen) to ITS page's table, built
+    * from the `/Root`→`/Pages`→`/Kids` walk with `/Resources`
+    * inheritance — so two pages defining the same resource name (`/F1`)
+    * with different CMaps each remap through their own (round 15). */
+  private[functions] final class FontScopes(
+      val global: java.util.HashMap[String, Cmap],
+      val byContent: java.util.HashMap[java.lang.Long, java.util.HashMap[String, Cmap]]) {
+    def isEmpty: Boolean =
+      (global == null || global.isEmpty) &&
+        (byContent == null || byContent.isEmpty)
+    def hasPageScopes: Boolean = byContent != null && !byContent.isEmpty
+    /** The table for the content stream owned by `owner` (packed
+      * num/gen, -1 = unknown); the global table when unclaimed. */
+    def forContent(owner: Long): java.util.HashMap[String, Cmap] = {
+      if (owner >= 0 && byContent != null) {
+        val m = byContent.get(java.lang.Long.valueOf(owner))
+        if (m != null) return m
+      }
+      global
+    }
+  }
+
+  /** Build [[FontScopes]]: each `/Font` dict (inline or one indirect
+    * hop) maps resource names to font refs; each font's /ToUnicode ref
+    * resolves to a stream whose decoded bytes parse as a CMap (cached
+    * per font object — pages sharing a font parse it once). The global
+    * table scans every `/Font` token in the file; the per-page tables
+    * walk the page tree (`/Type /Pages` interior nodes' `/Kids`,
+    * `/Type /Page` leaves, nearest-ancestor `/Resources` inheritance,
+    * single-ref or array `/Contents`), capped at [[MaxPages]] leaves,
+    * depth 32, with a visited set against reference cycles. */
+  private[functions] def fontScopes(
       b: Array[Byte],
-      dec: PdfCrypt.Decryptor = null): java.util.HashMap[String, Cmap] = {
+      dec: PdfCrypt.Decryptor = null): FontScopes = {
     val table = buildObjTable(b)
-    val out = new java.util.HashMap[String, Cmap]()
+    val n = b.length
     def objDictStart(num: Int, gen: Int): Int = {
       if (gen > 0xFFFF) return -1 // buildObjTable's cap, mirrored
       val at = table.get((num.toLong << 16) | gen)
       if (at == null) return -1
       var k = at.intValue()
-      while (k < b.length && isWs(b(k))) k += 1
-      if (k + 2 <= b.length && b(k) == '<' && b(k + 1) == '<') k else -1
+      while (k < n && isWs(b(k))) k += 1
+      if (k + 2 <= n && b(k) == '<' && b(k + 1) == '<') k else -1
     }
+    val cmapCache = new java.util.HashMap[java.lang.Long, Cmap]()
     def cmapOf(num: Int, gen: Int): Cmap = {
-      val d0 = objDictStart(num, gen)
-      if (d0 < 0) return null
-      val s = parseStreamAt(b, d0)
-      if (s == null || !s.decodable || s.dataEnd <= s.dataStart) return null
-      var data = java.util.Arrays.copyOfRange(b, s.dataStart, s.dataEnd)
-      if (dec != null) data = dec.decrypt(num, gen, data) // the CMap's own object key
-      if (data == null) return null
-      val content = decodeFilters(data, s.filters, s.parms)
-      if (content == null) null else parseCmap(content)
+      val key = java.lang.Long.valueOf((num.toLong << 16) | gen)
+      if (cmapCache.containsKey(key)) return cmapCache.get(key)
+      val cm = {
+        val d0 = objDictStart(num, gen)
+        if (d0 < 0) null
+        else {
+          val s = parseStreamAt(b, d0)
+          if (s == null || !s.decodable || s.dataEnd <= s.dataStart) null
+          else {
+            var data = java.util.Arrays.copyOfRange(b, s.dataStart, s.dataEnd)
+            if (dec != null) data = dec.decrypt(num, gen, data) // the CMap's own key
+            if (data == null) null
+            else {
+              val content = decodeFilters(data, s.filters, s.parms)
+              if (content == null) null else parseCmap(content)
+            }
+          }
+        }
+      }
+      cmapCache.put(key, cm)
+      cm
     }
     var fonts = 0
-    val pat = "/Font".getBytes
-    var at = indexOf(b, pat, 0)
-    while (at >= 0 && fonts < MaxFonts) {
-      val next = at + pat.length
-      if (next >= b.length || isWs(b(next)) || isDelim(b(next))) {
-        var v = next
-        while (v < b.length && isWs(b(v))) v += 1
-        // the /Font value: an inline dict, or one indirect hop to a dict
-        var fd0 = -1
-        if (v + 1 < b.length && b(v) == '<' && b(v + 1) == '<') fd0 = v
-        else {
-          val ref = parseRef(b, v, b.length)
-          if (ref != null) fd0 = objDictStart(ref(0), ref(1))
-        }
-        if (fd0 >= 0) {
-          val fdEnd = skipDict(b, fd0)
-          if (fdEnd > 0) {
-            walkDictKeys(b, fd0 + 2, fdEnd - 2) { (name, vv) =>
-              if (fonts < MaxFonts) {
-                val fref = parseRef(b, vv, fdEnd - 2)
-                if (fref != null) {
-                  fonts += 1
-                  val fdict = objDictStart(fref(0), fref(1))
-                  if (fdict >= 0) {
-                    val fe = skipDict(b, fdict)
-                    if (fe > 0) walkDictKeys(b, fdict + 2, fe - 2) { (k2, v2) =>
-                      if (k2 == "ToUnicode") {
-                        val tref = parseRef(b, v2, fe - 2)
-                        if (tref != null) {
-                          val cm = cmapOf(tref(0), tref(1))
-                          if (cm != null) out.put(name, cm)
-                        }
+    // add the /Font VALUE at `v` (inline dict or one indirect hop) to `out`
+    def fontMapAt(v0: Int, out: java.util.HashMap[String, Cmap]): Unit = {
+      var v = v0
+      while (v < n && isWs(b(v))) v += 1
+      var fd0 = -1
+      if (v + 1 < n && b(v) == '<' && b(v + 1) == '<') fd0 = v
+      else {
+        val ref = parseRef(b, v, n)
+        if (ref != null) fd0 = objDictStart(ref(0), ref(1))
+      }
+      if (fd0 >= 0) {
+        val fdEnd = skipDict(b, fd0)
+        if (fdEnd > 0) {
+          walkDictKeys(b, fd0 + 2, fdEnd - 2) { (name, vv) =>
+            if (fonts < MaxFonts) {
+              val fref = parseRef(b, vv, fdEnd - 2)
+              if (fref != null) {
+                fonts += 1
+                val fdict = objDictStart(fref(0), fref(1))
+                if (fdict >= 0) {
+                  val fe = skipDict(b, fdict)
+                  if (fe > 0) walkDictKeys(b, fdict + 2, fe - 2) { (k2, v2) =>
+                    if (k2 == "ToUnicode") {
+                      val tref = parseRef(b, v2, fe - 2)
+                      if (tref != null) {
+                        val cm = cmapOf(tref(0), tref(1))
+                        if (cm != null) out.put(name, cm)
                       }
                     }
                   }
@@ -895,9 +979,111 @@ object PdfText {
           }
         }
       }
+    }
+    // ---- global table: every /Font token in the file, last wins ----
+    val global = new java.util.HashMap[String, Cmap]()
+    val pat = "/Font".getBytes
+    var at = indexOf(b, pat, 0)
+    while (at >= 0 && fonts < MaxFonts) {
+      val next = at + pat.length
+      if (next >= n || isWs(b(next)) || isDelim(b(next)))
+        fontMapAt(next, global)
       at = indexOf(b, pat, at + 1)
     }
-    if (out.isEmpty) null else out
+    // ---- per-page tables: the /Root → /Pages → /Kids walk ----
+    val byContent =
+      new java.util.HashMap[java.lang.Long, java.util.HashMap[String, Cmap]]()
+    // font table of the /Resources VALUE at `resV` (inline dict or ref)
+    def resourcesFontMap(resV: Int): java.util.HashMap[String, Cmap] = {
+      var v = resV
+      while (v < n && isWs(b(v))) v += 1
+      var rd0 = -1
+      if (v + 1 < n && b(v) == '<' && b(v + 1) == '<') rd0 = v
+      else {
+        val ref = parseRef(b, v, n)
+        if (ref != null) rd0 = objDictStart(ref(0), ref(1))
+      }
+      if (rd0 < 0) return null
+      val rEnd = skipDict(b, rd0)
+      if (rEnd < 0) return null
+      val m = new java.util.HashMap[String, Cmap]()
+      walkDictKeys(b, rd0 + 2, rEnd - 2) { (key, v2) =>
+        if (key == "Font") fontMapAt(v2, m)
+      }
+      if (m.isEmpty) null else m
+    }
+    val visited = new java.util.HashSet[java.lang.Long]()
+    var leaves = 0
+    def walkNode(num: Int, gen: Int, inhResV: Int, depth: Int): Unit = {
+      if (depth > 32 || leaves >= MaxPages) return
+      if (!visited.add(java.lang.Long.valueOf((num.toLong << 16) | gen))) return
+      val d0 = objDictStart(num, gen)
+      if (d0 < 0) return
+      val dEnd = skipDict(b, d0)
+      if (dEnd < 0) return
+      val body1 = dEnd - 2
+      var typ: String = null
+      var kidsV = -1
+      var resV = -1
+      var contentsV = -1
+      walkDictKeys(b, d0 + 2, body1) { (key, v) =>
+        key match {
+          case "Type" => if (v < body1 && b(v) == '/') typ = nameAt(b, v, body1)
+          case "Kids" => kidsV = v
+          case "Resources" => resV = v
+          case "Contents" => contentsV = v
+          case _ => ()
+        }
+      }
+      val effRes = if (resV >= 0) resV else inhResV
+      if (typ == "Pages" && kidsV >= 0 && kidsV < body1 && b(kidsV) == '[') {
+        var j = kidsV + 1
+        while (j < body1 && b(j) != ']') {
+          val ref = parseRef(b, j, body1)
+          if (ref != null) { walkNode(ref(0), ref(1), effRes, depth + 1); j = ref(2) }
+          else j += 1
+        }
+      } else if (typ == "Page") {
+        leaves += 1
+        val fm = if (effRes >= 0) resourcesFontMap(effRes) else null
+        if (fm != null && contentsV >= 0 && contentsV < body1) {
+          def claim(ref: Array[Int]): Unit =
+            if (ref(1) <= 0xFFFF)
+              byContent.put(
+                java.lang.Long.valueOf((ref(0).toLong << 16) | ref(1)), fm)
+          if (b(contentsV) == '[') {
+            var j = contentsV + 1
+            while (j < body1 && b(j) != ']') {
+              val ref = parseRef(b, j, body1)
+              if (ref != null) { claim(ref); j = ref(2) } else j += 1
+            }
+          } else {
+            val ref = parseRef(b, contentsV, body1)
+            if (ref != null) claim(ref)
+          }
+        }
+      }
+    }
+    val rootRef = lastNamedRef(b, "/Root".getBytes)
+    if (rootRef != null) {
+      val cat = objDictStart(rootRef(0), rootRef(1))
+      if (cat >= 0) {
+        val catEnd = skipDict(b, cat)
+        if (catEnd > 0) {
+          var pagesRef: Array[Int] = null
+          walkDictKeys(b, cat + 2, catEnd - 2) { (key, v) =>
+            if (key == "Pages") {
+              val r = parseRef(b, v, catEnd - 2)
+              if (r != null) pagesRef = r
+            }
+          }
+          if (pagesRef != null) walkNode(pagesRef(0), pagesRef(1), -1, 0)
+        }
+      }
+    }
+    new FontScopes(
+      if (global.isEmpty) null else global,
+      if (byContent.isEmpty) null else byContent)
   }
 
   /** Parse decoded CMap bytes: the first codespacerange entry fixes the
@@ -1659,34 +1845,8 @@ object PdfInfo {
 
   /** The LAST well-formed `/Info N G R` in the file, as Array(n, g) —
     * or null when absent. */
-  private[functions] def lastInfoRef(b: Array[Byte]): Array[Int] = {
-    val pat = "/Info".getBytes
-    val n = b.length
-    var found: Array[Int] = null
-    var at = indexOf(b, pat, 0)
-    while (at >= 0) {
-      var i = at + pat.length
-      // token boundary: "/Information" must not match
-      if (i >= n || isWs(b(i)) || isDelim(b(i))) {
-        while (i < n && isWs(b(i))) i += 1
-        val (num, i2) = parseUInt(b, i, n)
-        if (num >= 0) {
-          var j = i2
-          while (j < n && isWs(b(j))) j += 1
-          val (gen, j2) = parseUInt(b, j, n)
-          if (gen >= 0) {
-            var r = j2
-            while (r < n && isWs(b(r))) r += 1
-            if (r < n && b(r) == 'R' &&
-              (r + 1 >= n || isWs(b(r + 1)) || isDelim(b(r + 1))))
-              found = Array(num, gen)
-          }
-        }
-      }
-      at = indexOf(b, pat, at + 1)
-    }
-    found
-  }
+  private[functions] def lastInfoRef(b: Array[Byte]): Array[Int] =
+    lastNamedRef(b, "/Info".getBytes)
 
   /** Index just past the `obj` keyword of the LAST `n g obj` header — or
     * -1. Byte scan with token-boundary checks on both sides. */

@@ -1292,6 +1292,83 @@ class FunctionsSpec extends SparkSpec {
       Some("AB")
   }
 
+  test("graft_pdf_text: per-page font-resource scoping (two pages, same /F1)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val k = graft.functions.PdfText(Literal.create(null, BinaryType))
+    def ext(b: Array[Byte]): Option[String] =
+      Option(k.compute(b)).map(_.toString)
+    def pdf(body: String): Array[Byte] =
+      ("%PDF-1.7\n" + body + "\n%%EOF\n").getBytes("ISO-8859-1")
+    def cmapObj(num: Int, code: String, target: String): String = {
+      val s = "begincmap\n1 begincodespacerange <0000> <FFFF> endcodespacerange\n" +
+        s"1 beginbfchar <$code> <$target> endbfchar\nendcmap"
+      s"$num 0 obj\n<< /Length ${s.length} >>\nstream\n$s\nendstream\nendobj\n"
+    }
+    // page 1's /F1 maps 0041→'X' (0058); page 2's /F1 maps 0041→'Y'
+    // (0059). Both content streams show <0041> under /F1 — a file-global
+    // last-wins table would emit YY; per-page scoping emits XY.
+    val twoPages = pdf(
+      "trailer\n<< /Root 1 0 R >>\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R] >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Resources << /Font << /F1 10 0 R >> >> " +
+        "/Contents 5 0 R >>\nendobj\n" +
+        "4 0 obj\n<< /Type /Page /Resources << /Font << /F1 11 0 R >> >> " +
+        "/Contents 6 0 R >>\nendobj\n" +
+        "10 0 obj\n<< /Type /Font /ToUnicode 20 0 R >>\nendobj\n" +
+        "11 0 obj\n<< /Type /Font /ToUnicode 21 0 R >>\nendobj\n" +
+        cmapObj(20, "0041", "0058") + cmapObj(21, "0041", "0059") +
+        "5 0 obj\n<< >>\nstream\nBT /F1 12 Tf <0041> Tj ET\nendstream\nendobj\n" +
+        "6 0 obj\n<< >>\nstream\nBT /F1 12 Tf <0041> Tj ET\nendstream\nendobj")
+    ext(twoPages) shouldBe Some("X\nY")
+    // /Resources INHERITED from the Pages node: the leaf carries none
+    val inherited = pdf(
+      "trailer\n<< /Root 1 0 R >>\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] " +
+        "/Resources << /Font << /F1 10 0 R >> >> >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Contents 5 0 R >>\nendobj\n" +
+        "10 0 obj\n<< /Type /Font /ToUnicode 20 0 R >>\nendobj\n" +
+        cmapObj(20, "0041", "0058") +
+        "5 0 obj\n<< >>\nstream\nBT /F1 12 Tf <0041> Tj ET\nendstream\nendobj")
+    ext(inherited) shouldBe Some("X")
+    // array-valued /Contents: both streams claim the page's table
+    val arrContents = pdf(
+      "trailer\n<< /Root 1 0 R >>\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Resources << /Font << /F1 10 0 R >> >> " +
+        "/Contents [5 0 R 6 0 R] >>\nendobj\n" +
+        "10 0 obj\n<< /Type /Font /ToUnicode 20 0 R >>\nendobj\n" +
+        cmapObj(20, "0041", "0058") +
+        "5 0 obj\n<< >>\nstream\nBT /F1 12 Tf <0041> Tj ET\nendstream\nendobj\n" +
+        "6 0 obj\n<< >>\nstream\nBT /F1 12 Tf <0041> Tj ET\nendstream\nendobj")
+    ext(arrContents) shouldBe Some("X\nX")
+    // a BROKEN tree (dangling /Pages ref) falls back to the file-global
+    // last-wins table — the pre-r15 behavior, never a regression to NULL
+    val broken = pdf(
+      "trailer\n<< /Root 1 0 R >>\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 99 0 R >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Resources << /Font << /F1 10 0 R >> >> " +
+        "/Contents 5 0 R >>\nendobj\n" +
+        "10 0 obj\n<< /Type /Font /ToUnicode 20 0 R >>\nendobj\n" +
+        cmapObj(20, "0041", "0058") +
+        "5 0 obj\n<< >>\nstream\nBT /F1 12 Tf <0041> Tj ET\nendstream\nendobj")
+    ext(broken) shouldBe Some("X")
+    // a reference CYCLE in /Kids terminates (visited set), text intact
+    val cyclic = pdf(
+      "trailer\n<< /Root 1 0 R >>\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [2 0 R 3 0 R] >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Resources << /Font << /F1 10 0 R >> >> " +
+        "/Contents 5 0 R >>\nendobj\n" +
+        "10 0 obj\n<< /Type /Font /ToUnicode 20 0 R >>\nendobj\n" +
+        cmapObj(20, "0041", "0058") +
+        "5 0 obj\n<< >>\nstream\nBT /F1 12 Tf <0041> Tj ET\nendstream\nendobj")
+    ext(cyclic) shouldBe Some("X")
+  }
+
   test("graft_pdf_text/info: standard-security decryption with the EMPTY user password") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.BinaryType
