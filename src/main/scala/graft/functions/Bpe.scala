@@ -241,8 +241,14 @@ case class SpUnigramEncode(
       require(pu != null, "graft_sp_unigram: pieces must not contain NULL")
       val p = pu.toString
       require(p.nonEmpty, "graft_sp_unigram: pieces must be non-empty strings")
+      // a NULL element would unbox to 0.0 (the best possible log-prob —
+      // silently dominating segmentation); ±Inf would make unkScore -Inf
+      // and the backtrack's `pos -= bl(pos)` could subtract 0 forever —
+      // the never-throw contract must also be a never-HANG contract
+      require(!ss.isNullAt(i), "graft_sp_unigram: scores must not contain NULL")
       val sc = ss.getDouble(i)
-      require(!sc.isNaN, "graft_sp_unigram: scores must not be NaN")
+      require(!sc.isNaN && !sc.isInfinite,
+        "graft_sp_unigram: scores must be finite")
       if (sc < mn) mn = sc
       var node = r
       var j = 0

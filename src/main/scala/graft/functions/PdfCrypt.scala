@@ -109,15 +109,24 @@ private[functions] object PdfCrypt {
     }
   }
 
-  /** Signed integer at i0 (for /P, which is negative in practice). */
-  private def parseIntSigned(b: Array[Byte], i0: Int, end: Int): (Int, Int) = {
-    if (i0 < end && b(i0) == '-') {
-      val (v, after) = parseUInt(b, i0 + 1, end)
-      if (v < 0) (Int.MinValue, i0) else (-v, after)
-    } else {
-      val (v, after) = parseUInt(b, i0, end)
-      if (v < 0) (Int.MinValue, i0) else (v, after)
+  /** The /P permissions value at i0 as a SIGNED 32-bit int, or null.
+    * Producers write it both signed (-3904) and as the unsigned 32-bit
+    * decimal (4294963392) — up to 10 digits, folded through two's
+    * complement, exactly how a conforming reader treats the bit mask
+    * (PdfText.parseUInt caps at 8 digits, too short for either form). */
+  private def parsePermissions(b: Array[Byte], i0: Int, end: Int): Integer = {
+    var i = i0
+    val neg = i < end && b(i) == '-'
+    if (neg) i += 1
+    var v = 0L
+    var digits = 0
+    while (i < end && digits <= 10 && b(i) >= '0' && b(i) <= '9') {
+      v = v * 10 + (b(i) - '0')
+      i += 1
+      digits += 1
     }
+    if (digits == 0 || digits > 10 || v > 0xffffffffL) return null
+    Integer.valueOf(if (neg) (-v).toInt else v.toInt)
   }
 
   /** String value (literal or hex) at `v`, as raw bytes — or null. */
@@ -212,7 +221,7 @@ private[functions] object PdfCrypt {
     var filterStd = false
     var v = 0
     var r = 0
-    var p = Int.MinValue
+    var p: Integer = null
     var lengthBits = 40
     var o: Array[Byte] = null
     var u: Array[Byte] = null
@@ -225,7 +234,7 @@ private[functions] object PdfCrypt {
           if (at < body1 && b(at) == '/') filterStd = nameAt(b, at, body1) == "Standard"
         case "V" => v = math.max(0, parseUInt(b, at, body1)._1)
         case "R" => r = math.max(0, parseUInt(b, at, body1)._1)
-        case "P" => p = parseIntSigned(b, at, body1)._1
+        case "P" => p = parsePermissions(b, at, body1)
         case "Length" =>
           val l = parseUInt(b, at, body1)._1
           if (l > 0) lengthBits = l
@@ -258,7 +267,7 @@ private[functions] object PdfCrypt {
         case _ => ()
       }
     }
-    if (!filterStd || o == null || u == null || p == Int.MinValue) return null
+    if (!filterStd || o == null || u == null || p == null) return null
     if (o.length < 32 || u.length < 16) return null
     if (identity) return null
     val aes = v == 4 && cfm == "AESV2"
@@ -269,7 +278,8 @@ private[functions] object PdfCrypt {
       else math.max(5, math.min(16, lengthBits / 8))
     val id0 = firstId(b)
     val o32 = java.util.Arrays.copyOf(o, 32)
-    val pLe = Array[Byte](p.toByte, (p >> 8).toByte, (p >> 16).toByte, (p >> 24).toByte)
+    val pi = p.intValue()
+    val pLe = Array[Byte](pi.toByte, (pi >> 8).toByte, (pi >> 16).toByte, (pi >> 24).toByte)
     val metaSuffix =
       if (r >= 4 && !encryptMetadata)
         Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)

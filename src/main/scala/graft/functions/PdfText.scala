@@ -120,16 +120,30 @@ case class PdfText(child: Expression) extends Expression {
       dec = PdfCrypt.decryptorFor(bytes)
       if (dec == null) return null
     }
+    // ONE header scan feeds both consumers: the last-wins object table
+    // (font/CMap resolution) and the ordered owner spans (decryption +
+    // page-scoped font tables) — scanObjHeaders is O(n) over the whole
+    // payload, so the common encrypted-CMap'd case must not pay it twice
+    val hasCmapTok = indexOf(bytes, ToUnicodeTok, 0) >= 0
+    var table: java.util.HashMap[Long, Integer] = null
+    var spans: (Array[Int], Array[Long]) = null
+    if (dec != null || hasCmapTok) {
+      table = new java.util.HashMap[Long, Integer]()
+      val offs = new scala.collection.mutable.ArrayBuffer[Int](64)
+      val keys = new scala.collection.mutable.ArrayBuffer[Long](64)
+      scanObjHeaders(bytes) { (num, gen, at) =>
+        val key = (num.toLong << 16) | gen
+        table.put(key, Integer.valueOf(at))
+        offs += at
+        keys += key
+      }
+      spans = (offs.toArray, keys.toArray)
+    }
     // composite-font mapping is only attempted when the file can carry
     // one — the token screen keeps the common no-CMap case one pass
     val scopes: FontScopes =
-      if (indexOf(bytes, ToUnicodeTok, 0) >= 0) fontScopes(bytes, dec) else null
+      if (hasCmapTok) fontScopes(bytes, dec, table) else null
     val useScopes = scopes != null && !scopes.isEmpty
-    // owner attribution serves decryption AND page-scoped font tables
-    val spans =
-      if (dec != null || (useScopes && scopes.hasPageScopes))
-        objHeaderSpans(bytes)
-      else null
     val sb = new java.lang.StringBuilder
     var pos = 0
     while (pos < n - 1 && sb.length < MaxTextChars) {
@@ -907,8 +921,9 @@ object PdfText {
     * depth 32, with a visited set against reference cycles. */
   private[functions] def fontScopes(
       b: Array[Byte],
-      dec: PdfCrypt.Decryptor = null): FontScopes = {
-    val table = buildObjTable(b)
+      dec: PdfCrypt.Decryptor = null,
+      prebuilt: java.util.HashMap[Long, Integer] = null): FontScopes = {
+    val table = if (prebuilt != null) prebuilt else buildObjTable(b)
     val n = b.length
     def objDictStart(num: Int, gen: Int): Int = {
       if (gen > 0xFFFF) return -1 // buildObjTable's cap, mirrored
@@ -991,6 +1006,13 @@ object PdfText {
       at = indexOf(b, pat, at + 1)
     }
     // ---- per-page tables: the /Root → /Pages → /Kids walk ----
+    // the font budget resets per phase: the global pass above revisits
+    // the SAME font dicts the page walk resolves, and a shared counter
+    // would exhaust at ~MaxFonts/2 pages and silently fall font-rich
+    // documents back to the global table — the exact defect per-page
+    // scoping exists to fix (round-15 review); CMap parses are cached,
+    // so the second phase re-probes dictionaries, never re-decodes
+    fonts = 0
     val byContent =
       new java.util.HashMap[java.lang.Long, java.util.HashMap[String, Cmap]]()
     // font table of the /Resources VALUE at `resV` (inline dict or ref)
@@ -1551,7 +1573,11 @@ case class PdfInfo(child: Expression) extends Expression {
     }
     // the Info DICT is authoritative when it resolves (raw or ObjStm);
     // the XMP packet is the fallback when no /Info exists or the ref
-    // dangles — never a mix of the two sources
+    // dangles — never a mix of the two sources. Under encryption the
+    // Metadata stream body is ciphertext, so the packet is scanned in
+    // the DECRYPTED stream first; the raw scan still runs after it (an
+    // EncryptMetadata=false file stores the packet in plaintext).
+    if (vals == null && dec != null) vals = xmpFromEncryptedMetadata(bytes, dec)
     if (vals == null) vals = xmpInfoVals(bytes)
     if (vals == null) return null
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
@@ -1748,6 +1774,32 @@ object PdfInfo {
       }
     }
     found
+  }
+
+  /** [[xmpInfoVals]] over the DECRYPTED `/Metadata` stream of an
+    * encrypted file (round-15 review: the raw packet scan only sees
+    * ciphertext when EncryptMetadata is true): the LAST `/Metadata`
+    * reference resolves through its `N G obj` body, the stream body
+    * decrypts with ITS object's key, the filter chain runs, and the
+    * plaintext scans for the packet. Null on any miss — the caller's
+    * raw scan still covers EncryptMetadata=false files. */
+  private[functions] def xmpFromEncryptedMetadata(
+      b: Array[Byte], dec: PdfCrypt.Decryptor): Array[Any] = {
+    val ref = lastNamedRef(b, "/Metadata".getBytes)
+    if (ref == null) return null
+    val objAt = lastObjStart(b, ref(0), ref(1))
+    if (objAt < 0) return null
+    var k = objAt
+    while (k < b.length && isWs(b(k))) k += 1
+    if (k + 2 > b.length || b(k) != '<' || b(k + 1) != '<') return null
+    val s = parseStreamAt(b, k)
+    if (s == null || !s.decodable || s.dataEnd <= s.dataStart) return null
+    var data = java.util.Arrays.copyOfRange(b, s.dataStart, s.dataEnd)
+    data = dec.decrypt(ref(0), ref(1), data)
+    if (data == null) return null
+    val c = decodeFilters(data, s.filters, s.parms)
+    if (c == null) return null
+    xmpInfoVals(c)
   }
 
   /** XMP packet cap — real packets are a few KiB; a torn `<?xpacket

@@ -568,7 +568,15 @@ object Bpe {
   private[graft] def unigramTable(pieces: Seq[SpPiece]): (Seq[String], Seq[Double]) = {
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     pieces.foreach { p =>
-      if (p.kind == 1 && !seen.contains(p.piece)) seen(p.piece) = p.score.toDouble
+      if (p.kind == 1 && !seen.contains(p.piece)) {
+        // protobuf floats encode NaN/±Inf; a -Inf score would poison the
+        // DP's unk penalty (min − 10) — loud here, on BOTH engine paths
+        if (p.score.isNaN || p.score.isInfinite)
+          throw graft.errors.FeatureFactoryException.InvalidParameter(
+            s"unigramTokens: piece '${p.piece}' has a non-finite score " +
+              s"(${p.score}) — corrupt model")
+        seen(p.piece) = p.score.toDouble
+      }
     }
     if (seen.isEmpty)
       throw graft.errors.FeatureFactoryException.InvalidParameter(

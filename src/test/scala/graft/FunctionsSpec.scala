@@ -1490,6 +1490,12 @@ class FunctionsSpec extends SparkSpec {
     val p128 = encPdf(2, 3, 128, "", aes = false, "one two eight", "T128")
     ext(p128) shouldBe Some("one two eight")
     title(p128) shouldBe Some("T128")
+    // /P written as the UNSIGNED 32-bit decimal (-3904 ≡ 4294963392):
+    // some producers emit the bit mask that way; the two's-complement
+    // fold must derive the same key (round-15 review)
+    val pUnsigned = new String(p128.map(b => (b & 0xff).toChar))
+      .replace("/P -3904", "/P 4294963392").toCharArray.map(_.toByte)
+    ext(pUnsigned) shouldBe Some("one two eight")
     // AES-128-CBC / V4 R4 AESV2
     val paes = encPdf(4, 4, 128, "", aes = true, "aes secret", "TAES")
     ext(paes) shouldBe Some("aes secret")
@@ -1540,6 +1546,27 @@ class FunctionsSpec extends SparkSpec {
         s"trailer\n<< /Encrypt 4 0 R /ID [${hx(id0)} ${hx(id0)}] >>\n%%EOF\n")
         .toCharArray.map(_.toByte)
       ext(doc) shouldBe Some("Ω")
+    }
+    // XMP fallback under encryption: no /Info, the /Metadata stream is
+    // CIPHERTEXT — the packet must be scanned in the DECRYPTED stream
+    // (round-15 review: the raw scan alone saw only ciphertext)
+    locally {
+      val kl = 16
+      val o = computeO("own3r", "", 3, kl)
+      val key = fileKey(o, -3904, id0, 3, kl, "", encMeta = true)
+      val u = computeU(key, id0, 3)
+      val xmp = "<?xpacket begin=\"\"?><dc:title>EncXmp</dc:title>" +
+        "<?xpacket end=\"w\"?>"
+      val xenc = rc4(objKey(key, 3, 0, aes = false), xmp.getBytes("ISO-8859-1"))
+      val doc = ("%PDF-1.6\n" +
+        "1 0 obj\n<< /Type /Catalog /Metadata 3 0 R >>\nendobj\n" +
+        s"3 0 obj\n<< /Type /Metadata /Length ${xenc.length} >>\nstream\n" +
+        new String(xenc.map(b => (b & 0xff).toChar)) + "\nendstream\nendobj\n" +
+        s"4 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /P -3904" +
+        s" /O ${hx(o)} /U ${hx(u)} >>\nendobj\n" +
+        s"trailer\n<< /Root 1 0 R /Encrypt 4 0 R /ID [${hx(id0)} ${hx(id0)}] >>" +
+        "\n%%EOF\n").toCharArray.map(_.toByte)
+      title(doc) shouldBe Some("EncXmp")
     }
   }
 

@@ -2998,6 +2998,15 @@ class OpsSpec extends SparkSpec {
     intercept[Exception](
       toks("a", Seq(P("<unk>", 0, 2), P("<0x41>", 0, 6))))
       .getMessage should include("NORMAL")
+    // non-finite scores are loud: a -Inf piece would poison the unk
+    // penalty (min − 10) and could hang the kernel's backtrack — the
+    // never-throw contract must also be never-HANG (round-15 review)
+    intercept[Exception](
+      toks("a", Seq(P("a", Double.NegativeInfinity))))
+      .getMessage should include("non-finite")
+    intercept[Exception](
+      toks("a", Seq(P("a", Double.NaN))))
+      .getMessage should include("non-finite")
     // ▁ convention + byte-fallback ids compose: unknown chars (digits)
     // fall back to UTF-8 byte pieces and the id stream decodes back
     val full = Seq(P("<unk>", 0, 2), P(W, -2), P(s"${W}a", -3), P("a", -4),
