@@ -826,8 +826,9 @@ object SparkEntry {
     * AES-128-CBC) independent of the kernel's [[graft.functions]]
     * decryptor — the kernel must round-trip bytes it did not produce,
     * and the oracle then asserts the KNOWN plaintext from arithmetic
-    * alone. Five constant payloads: RC4-40/R2, RC4-128/R3, AESV2/R4
-    * (all owner-password-only — the EMPTY user password validates), an
+    * alone. Six constant payloads: RC4-40/R2, RC4-128/R3, AESV2/R4,
+    * AES-256/R6 (all owner-password-only — the EMPTY user password
+    * validates; R6 through ISO 32000-2's Algorithm 2.B hardening), an
     * R3 file with a REAL user password (must stay NULL — never
     * ciphertext-as-text), and an unencrypted control. */
   private lazy val encPdfFixtures: IndexedSeq[Array[Byte]] = {
@@ -922,11 +923,74 @@ object SparkEntry {
       "1 0 obj\n<< >>\nstream\nBT (plain control) Tj ET\nendstream\nendobj\n" +
       "2 0 obj\n<< /Title (PlainTitle) >>\nendobj\n" +
       "trailer\n<< /Info 2 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    // AES-256 / R6 (ISO 32000-2): Algorithm 2.B hardening, empty user
+    // password, the file key decrypting from /UE — another independent
+    // writer-side transcription of the algorithm
+    def sha(alg: String, xs: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance(alg).digest(xs)
+    def hash2B(pwd: Array[Byte], salt: Array[Byte]): Array[Byte] = {
+      var k = sha("SHA-256", pwd ++ salt)
+      var e: Array[Byte] = null
+      var i = 0
+      var cont = true
+      while (cont) {
+        val k1 = Array.fill(64)(pwd ++ k).flatten
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+          new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+        e = c.doFinal(k1)
+        k = (e.take(16).map(_ & 0xff).sum % 3) match {
+          case 0 => sha("SHA-256", e)
+          case 1 => sha("SHA-384", e)
+          case _ => sha("SHA-512", e)
+        }
+        i += 1
+        cont = i < 64 || (e(e.length - 1) & 0xff) > i - 32
+      }
+      k.take(32)
+    }
+    def buildV5(text: String, metaTitle: String): Array[Byte] = {
+      val vs = Array.tabulate(8)(i => (i * 9 + 3).toByte)
+      val ks = Array.tabulate(8)(i => (i * 7 + 6).toByte)
+      val hashU = hash2B(Array.emptyByteArray, vs)
+      val ik = hash2B(Array.emptyByteArray, ks)
+      val fileKey = Array.tabulate(32)(i => (i * 11 + 19).toByte)
+      def cbc(key: Array[Byte], iv: Array[Byte], mode: Int,
+          data: Array[Byte]): Array[Byte] = {
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+          new javax.crypto.spec.IvParameterSpec(iv))
+        c.doFinal(data)
+      }
+      val ue = cbc(ik, new Array[Byte](16),
+        javax.crypto.Cipher.ENCRYPT_MODE, fileKey)
+      def encData(plain: Array[Byte]): Array[Byte] = {
+        val iv = Array.tabulate(16)(i => (i * 23 + 9).toByte)
+        val padN = 16 - (plain.length % 16)
+        iv ++ cbc(fileKey, iv, javax.crypto.Cipher.ENCRYPT_MODE,
+          plain ++ Array.fill(padN)(padN.toByte))
+      }
+      val content = encData(s"BT ($text) Tj ET".getBytes("ISO-8859-1"))
+      val titleEnc = encData(metaTitle.getBytes("ISO-8859-1"))
+      ("%PDF-2.0\n" +
+        s"1 0 obj\n<< /Length ${content.length} >>\nstream\n" + raw(content) +
+        "\nendstream\nendobj\n" +
+        s"2 0 obj\n<< /Title ${hxs(titleEnc)} >>\nendobj\n" +
+        s"4 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256 /P -3904" +
+        s" /O ${hxs(hashU ++ vs ++ ks)} /U ${hxs(hashU ++ vs ++ ks)}" +
+        s" /UE ${hxs(ue)} /OE ${hxs(Array.fill[Byte](32)(0))}" +
+        " /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen >> >>" +
+        " /StmF /StdCF /StrF /StdCF >>\nendobj\n" +
+        s"trailer\n<< /Info 2 0 R /Encrypt 4 0 R /ID [${hxs(id0)} ${hxs(id0)}] >>" +
+        "\n%%EOF\n").toCharArray.map(_.toByte)
+    }
     IndexedSeq(
       build(1, 2, 40, "", aes = false, "forty bit secret stream", "Enc40"),
       build(2, 3, 128, "", aes = false, "rc4 128 secret stream", "Enc128"),
       build(4, 4, 128, "", aes = true, "aes cbc secret stream", "EncAES"),
       build(2, 3, 128, "s3cret", aes = false, "hidden text", "EncLocked"),
+      buildV5("aes 256 r6 secret stream", "Enc256"),
       plain)
   }
 
@@ -4796,11 +4860,12 @@ object SparkEntry {
     "mm_pdf_encrypted" -> ((s, dir) => {
       val fx = encPdfFixtures
       val payload =
-        when(col("doc_id") % 5 === 0, lit(fx(0)))
-          .when(col("doc_id") % 5 === 1, lit(fx(1)))
-          .when(col("doc_id") % 5 === 2, lit(fx(2)))
-          .when(col("doc_id") % 5 === 3, lit(fx(3)))
-          .otherwise(lit(fx(4)))
+        when(col("doc_id") % 6 === 0, lit(fx(0)))
+          .when(col("doc_id") % 6 === 1, lit(fx(1)))
+          .when(col("doc_id") % 6 === 2, lit(fx(2)))
+          .when(col("doc_id") % 6 === 3, lit(fx(3)))
+          .when(col("doc_id") % 6 === 4, lit(fx(4))) // AES-256 / R6
+          .otherwise(lit(fx(5)))
       rt(s, dir, "documents")
         .select(col("doc_id"), payload.as("payload"))
         .withColumn("pdf_text",
@@ -9216,17 +9281,19 @@ object SparkEntry {
     // itself (key derivation, /U check, RC4/AES) is Spark-side only.
     "mm_pdf_encrypted" ->
       """SELECT doc_id,
-        |       CASE CAST(doc_id % 5 AS INTEGER)
+        |       CASE CAST(doc_id % 6 AS INTEGER)
         |         WHEN 0 THEN 'forty bit secret stream'
         |         WHEN 1 THEN 'rc4 128 secret stream'
         |         WHEN 2 THEN 'aes cbc secret stream'
         |         WHEN 3 THEN NULL
+        |         WHEN 4 THEN 'aes 256 r6 secret stream'
         |         ELSE 'plain control' END AS pdf_text,
-        |       CASE CAST(doc_id % 5 AS INTEGER)
+        |       CASE CAST(doc_id % 6 AS INTEGER)
         |         WHEN 0 THEN 'Enc40'
         |         WHEN 1 THEN 'Enc128'
         |         WHEN 2 THEN 'EncAES'
         |         WHEN 3 THEN NULL
+        |         WHEN 4 THEN 'Enc256'
         |         ELSE 'PlainTitle' END AS pdf_title
         |FROM documents""".stripMargin,
     "mm_pdf_meta" ->

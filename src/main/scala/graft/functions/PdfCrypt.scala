@@ -12,8 +12,16 @@ package graft.functions
   * null and the kernels keep their NULL-for-encrypted behavior.
   *
   * Supported: V1 (RC4-40), V2 (RC4, /Length up to 128), V4 with a
-  * /CFM /AESV2 or /V2 crypt filter, R 2/3/4 — all pure JDK (MD5 via
-  * MessageDigest, a 15-line RC4, AES-128-CBC via javax.crypto). Key
+  * /CFM /AESV2 or /V2 crypt filter, R 2/3/4 — and V5 (AES-256, /CFM
+  * /AESV3) with R5 (the deprecated Adobe ExtensionLevel-3 single
+  * SHA-256) and R6 (ISO 32000-2 Algorithm 2.B: the iterated
+  * SHA-256/384/512 + AES-128-CBC hardening loop), where the empty user
+  * password validates against U[0:32] over the validation salt
+  * U[32:40], the intermediate key hashes over the key salt U[40:48],
+  * and the 32-byte FILE key decrypts from /UE (AES-256-CBC, zero IV);
+  * V5 data uses the file key DIRECTLY — no per-object derivation — with
+  * the same IV-prefix + PKCS#5 framing. All pure JDK (MessageDigest
+  * MD5/SHA-2, a 15-line RC4, AES via javax.crypto). Key
   * derivation is Algorithm 2 (MD5 over the 32-byte pad + /O + /P as
   * little-endian int32 + ID[0], the R≥4 EncryptMetadata=false FFFFFFFF
   * suffix, 50 MD5 iterations for R≥3); the empty user password verifies
@@ -72,8 +80,54 @@ private[functions] object PdfCrypt {
     out
   }
 
-  /** Per-object decryption under a validated file key. */
-  final class Decryptor(val fileKey: Array[Byte], val aes: Boolean) {
+  def sha256(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** ISO 32000-2 Algorithm 2.B (R6 password hardening): iterate
+    * SHA-256/384/512 selected by the AES-encrypted block's byte sum
+    * mod 3, ≥ 64 rounds, until the last cipher byte ≤ round − 32.
+    * `udata` is empty for user-password hashes. Pure JDK. */
+  def alg2B(password: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    var k = sha256(password, salt, udata)
+    var e: Array[Byte] = null
+    var i = 0
+    var done = false
+    while (!done) {
+      val one = new Array[Byte](password.length + k.length + udata.length)
+      System.arraycopy(password, 0, one, 0, password.length)
+      System.arraycopy(k, 0, one, password.length, k.length)
+      System.arraycopy(udata, 0, one, password.length + k.length, udata.length)
+      val k1 = new Array[Byte](one.length * 64)
+      var r = 0
+      while (r < 64) { System.arraycopy(one, 0, k1, r * one.length, one.length); r += 1 }
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k, 0, 16, "AES"),
+        new javax.crypto.spec.IvParameterSpec(k, 16, 16))
+      e = c.doFinal(k1)
+      var sum = 0
+      var t = 0
+      while (t < 16) { sum += e(t) & 0xff; t += 1 }
+      val alg = (sum % 3) match {
+        case 0 => "SHA-256"
+        case 1 => "SHA-384"
+        case _ => "SHA-512"
+      }
+      k = java.security.MessageDigest.getInstance(alg).digest(e)
+      i += 1
+      done = i >= 64 && (e(e.length - 1) & 0xff) <= i - 32
+    }
+    java.util.Arrays.copyOf(k, 32)
+  }
+
+  /** Per-object decryption under a validated file key. `v5` uses the
+    * file key DIRECTLY (AES-256; V5 abolishes per-object keys). */
+  final class Decryptor(val fileKey: Array[Byte], val aes: Boolean,
+      val v5: Boolean = false) {
 
     private def objKey(num: Int, gen: Int): Array[Byte] = {
       val tail =
@@ -90,7 +144,7 @@ private[functions] object PdfCrypt {
     /** Decrypted bytes of a stream body / string value belonging to
       * object (num, gen) — null when the AES framing is malformed. */
     def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
-      val k = objKey(num, gen)
+      val k = if (v5) fileKey else objKey(num, gen)
       if (!aes) rc4(k, data)
       else {
         // 16-byte IV prefix + CBC blocks + PKCS#5 padding
@@ -225,6 +279,7 @@ private[functions] object PdfCrypt {
     var lengthBits = 40
     var o: Array[Byte] = null
     var u: Array[Byte] = null
+    var ue: Array[Byte] = null
     var encryptMetadata = true
     var cfm: String = null
     var identity = false
@@ -240,6 +295,7 @@ private[functions] object PdfCrypt {
           if (l > 0) lengthBits = l
         case "O" => o = stringBytes(b, at, body1)
         case "U" => u = stringBytes(b, at, body1)
+        case "UE" => ue = stringBytes(b, at, body1)
         case "EncryptMetadata" =>
           if (at + 5 <= body1 && regionMatches(b, at, "false".getBytes))
             encryptMetadata = false
@@ -270,6 +326,33 @@ private[functions] object PdfCrypt {
     if (!filterStd || o == null || u == null || p == null) return null
     if (o.length < 32 || u.length < 16) return null
     if (identity) return null
+    if (v == 5) {
+      // AES-256 (AESV3): R6 per ISO 32000-2 §7.6.4, R5 the deprecated
+      // Adobe ExtensionLevel-3 form. U = hash(32) ‖ validationSalt(8) ‖
+      // keySalt(8); the EMPTY user password validates when
+      // hash(pwd, validationSalt) == U[0:32]; the 32-byte file key
+      // decrypts from /UE under hash(pwd, keySalt), AES-256-CBC, zero IV.
+      if (r != 5 && r != 6) return null
+      if (cfm != "AESV3") return null
+      if (u.length < 48 || ue == null || ue.length < 32) return null
+      val vs = java.util.Arrays.copyOfRange(u, 32, 40)
+      val ks = java.util.Arrays.copyOfRange(u, 40, 48)
+      val empty = Array.emptyByteArray
+      val hash = if (r == 5) sha256(vs) else alg2B(empty, vs, empty)
+      if (!java.util.Arrays.equals(hash, java.util.Arrays.copyOfRange(u, 0, 32)))
+        return null // a real user password, or not Standard-shaped
+      val ik = if (r == 5) sha256(ks) else alg2B(empty, ks, empty)
+      try {
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(ik, "AES"),
+          new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+        val fk = c.doFinal(java.util.Arrays.copyOf(ue, 32))
+        return new Decryptor(fk, aes = true, v5 = true)
+      } catch {
+        case _: java.security.GeneralSecurityException => return null
+      }
+    }
     val aes = v == 4 && cfm == "AESV2"
     val okV = v == 1 || v == 2 || (v == 4 && (aes || cfm == "V2"))
     if (!okV || r < 2 || r > 4) return null

@@ -64,12 +64,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * against `/U` (owner-password-only protection — the common
   * real-world "encrypted" PDF) decrypt transparently: stream bodies
   * and ToUnicode CMaps decrypt with their owning object's key
-  * ([[PdfCrypt]] — RC4-40/128 and AESV2, pure JDK) before the filter
-  * chain runs. Everything else stays NULL.
+  * ([[PdfCrypt]] — RC4-40/128, AESV2, and AES-256/AESV3 with R5/R6
+  * password hardening, pure JDK) before the filter chain runs.
+  * Everything else stays NULL.
   *
   * HONEST BOUNDARIES (each deliberate, all documented here rather than
   * hidden): encrypted documents OUTSIDE the empty-user-password
-  * standard-handler case (a real user password, V5/AES-256, a
+  * standard-handler case (a real user password, a
   * non-Standard handler, /Identity crypt filters) return NULL
   * — extraction would emit ciphertext; streams under any OTHER filter
   * (DCTDecode, Crypt, JBIG2, JPX, an indirect-reference /Filter, …) are

@@ -1511,9 +1511,87 @@ class FunctionsSpec extends SparkSpec {
     val locked = encPdf(2, 3, 128, "s3cret", aes = false, "hidden", "TL")
     ext(locked) shouldBe None
     title(locked) shouldBe None
-    // /Identity stream filter and V5/AES-256 are out of scope → NULL
+    // /Identity stream filter is out of scope → NULL; a V5 dict with
+    // R3-SHAPED /U (32 bytes, no salts/UE) is malformed → NULL
     ext(encPdf(4, 4, 128, "", aes = true, "x", "T", cfIdentity = true)) shouldBe None
     ext(encPdf(5, 6, 256, "", aes = true, "x", "T")) shouldBe None
+    // ---- AES-256 (V5): R6's Algorithm 2.B + R5's single SHA-256,
+    // again via an INDEPENDENT writer-side implementation ----
+    def sha(alg: String, xs: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance(alg).digest(xs)
+    def hash2B(pwd: Array[Byte], salt: Array[Byte], ud: Array[Byte]): Array[Byte] = {
+      var k = sha("SHA-256", pwd ++ salt ++ ud)
+      var e: Array[Byte] = null
+      var i = 0
+      var cont = true
+      while (cont) {
+        val k1 = Array.fill(64)(pwd ++ k ++ ud).flatten
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+          new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+        e = c.doFinal(k1)
+        k = (e.take(16).map(_ & 0xff).sum % 3) match {
+          case 0 => sha("SHA-256", e)
+          case 1 => sha("SHA-384", e)
+          case _ => sha("SHA-512", e)
+        }
+        i += 1
+        cont = i < 64 || (e(e.length - 1) & 0xff) > i - 32
+      }
+      k.take(32)
+    }
+    def aes256(key: Array[Byte], iv: Array[Byte], mode: Int,
+        data: Array[Byte]): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      c.doFinal(data)
+    }
+    def encPdfV5(r: Int, user: String, text: String, metaTitle: String): Array[Byte] = {
+      val vs = Array.tabulate(8)(i => (i * 3 + 1).toByte)
+      val ks = Array.tabulate(8)(i => (i * 5 + 2).toByte)
+      val pwd = user.getBytes("UTF-8")
+      val hashU = if (r == 5) sha("SHA-256", pwd ++ vs)
+        else hash2B(pwd, vs, Array.emptyByteArray)
+      val ik = if (r == 5) sha("SHA-256", pwd ++ ks)
+        else hash2B(pwd, ks, Array.emptyByteArray)
+      val fileKey = Array.tabulate(32)(i => (i * 7 + 13).toByte)
+      val ue = aes256(ik, new Array[Byte](16),
+        javax.crypto.Cipher.ENCRYPT_MODE, fileKey)
+      val u48 = hashU ++ vs ++ ks
+      val o48 = Array.fill[Byte](48)(0x5a)
+      def encData(plain: Array[Byte]): Array[Byte] = {
+        val iv = Array.tabulate(16)(i => (i * 13 + 5).toByte)
+        val padN = 16 - (plain.length % 16)
+        iv ++ aes256(fileKey, iv, javax.crypto.Cipher.ENCRYPT_MODE,
+          plain ++ Array.fill(padN)(padN.toByte))
+      }
+      val content = encData(s"BT ($text) Tj ET".getBytes("ISO-8859-1"))
+      val titleEnc = encData(metaTitle.getBytes("ISO-8859-1"))
+      ("%PDF-2.0\n" +
+        s"1 0 obj\n<< /Length ${content.length} >>\nstream\n" +
+        new String(content.map(b => (b & 0xff).toChar)) +
+        "\nendstream\nendobj\n" +
+        s"2 0 obj\n<< /Title ${hx(titleEnc)} >>\nendobj\n" +
+        s"4 0 obj\n<< /Filter /Standard /V 5 /R $r /Length 256 /P -3904" +
+        s" /O ${hx(o48)} /U ${hx(u48)} /UE ${hx(ue)}" +
+        s" /OE ${hx(Array.fill[Byte](32)(0))}" +
+        " /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen >> >>" +
+        " /StmF /StdCF /StrF /StdCF >>\nendobj\n" +
+        s"trailer\n<< /Info 2 0 R /Encrypt 4 0 R /ID [${hx(id0)} ${hx(id0)}] >>" +
+        "\n%%EOF\n").toCharArray.map(_.toByte)
+    }
+    val pr6 = encPdfV5(6, "", "aes two five six", "T256")
+    ext(pr6) shouldBe Some("aes two five six")
+    title(pr6) shouldBe Some("T256")
+    val pr5 = encPdfV5(5, "", "r5 sha only", "T256r5")
+    ext(pr5) shouldBe Some("r5 sha only")
+    title(pr5) shouldBe Some("T256r5")
+    // a real user password under R6 fails the U[0:32] check → NULL
+    val lockedV5 = encPdfV5(6, "s3cret", "hidden", "TL6")
+    ext(lockedV5) shouldBe None
+    title(lockedV5) shouldBe None
     // a non-Standard handler → NULL (hand-built dict)
     val ns = ("%PDF-1.6\n4 0 obj\n<< /Filter /Custom /V 2 /R 3 /O <00> " +
       "/U <00> /P -1 >>\nendobj\ntrailer << /Encrypt 4 0 R >>\n%%EOF\n")

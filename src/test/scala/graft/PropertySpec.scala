@@ -669,7 +669,11 @@ class PropertySpec extends SparkSpec {
       ("%PDF-1.6\ntrailer << /Encrypt 4 0 R /ID [<00FF01> (x)] >>\n" +
         "4 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /P -3904 /O <").getBytes,
       ("%PDF-1.4\ntrailer << /Encrypt << /Filter /Standard /V 4 /R 4 " +
-        "/CF << /StdCF << /CFM /AESV2 >> >> /P -1 /O (").getBytes)
+        "/CF << /StdCF << /CFM /AESV2 >> >> /P -1 /O (").getBytes,
+      // V5/AES-256 steering: the R6 Algorithm-2.B path + /UE parse run
+      // against fuzz-completed U/UE strings
+      ("%PDF-2.0\ntrailer << /Encrypt << /Filter /Standard /V 5 /R 6 " +
+        "/CF << /StdCF << /CFM /AESV3 >> >> /P -4 /O <00> /UE <11> /U <").getBytes)
     val bodyGen = Gen.choose(0, 300)
       .flatMap(n => Gen.listOfN(n, Gen.choose(0, 255)))
       .map(_.map(_.toByte).toArray)
