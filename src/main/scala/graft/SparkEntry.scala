@@ -820,6 +820,20 @@ object SparkEntry {
   private def fxOggEosPage(granule: org.apache.spark.sql.Column) = concat(
     lit(fxHx("4F676753" + "0004")), fxLe64(granule),
     lit(fxHx("01000000" + "01000000" + "00000000" + "01" + "01" + "AA")))
+  /** WebM: EBML header (DocType 'webm' body — nonzero inter-field
+    * bytes) + a SIZED Segment whose Info carries an explicit be32
+    * TimestampScale, a decoy MuxingApp element, and a float32 Duration
+    * of 1000 ticks → ns = 1000 × scale. 45 bytes; shared by
+    * mm_media_duration's %32==15 arm and mm_ingest_profile's webm arm
+    * (one builder, so the twins cannot desynchronize). */
+  private def fxWebmSized(scale: org.apache.spark.sql.Column) = concat(
+    lit(fxHx("1A45DFA3" + "87" + "4282" + "84" + "7765626D")),
+    lit(fxHx("18538067" + "9C" + // sized Segment
+      "1549A966" + "97" + // Info, 23-byte body
+      "2AD7B1" + "84")), // TimestampScale, be32 …
+    fxBe32(scale),
+    lit(fxHx("4D80" + "85" + "6772616674" + // MuxingApp "graft" decoy
+      "4489" + "84" + "447A0000"))) // Duration float32 = 1000.0
 
   /** Encrypted-PDF fixtures for `mm_pdf_encrypted`: a WRITER-side
     * implementation of ISO 32000-1 §7.6.3 (Algorithms 2/3/4/5, RC4,
@@ -3725,6 +3739,18 @@ object SparkEntry {
           byteLevel = true)
           .select("doc_id", "n_bpe"),
         "doc_id", "n_bpe", budget = 20000L, numBuckets = 8)),
+    // Token budgeting under the UNIGRAM tokenizer's counts — the claim
+    // "budgets run against T5/Gemma-family tokenizers" gated end to end
+    // (counts from the Viterbi DP on the shared SpUnigramCap prefix).
+    "sample_token_budget_sp" -> ((s, dir) =>
+      Sampling.sampleTokenBudget(
+        Bpe.unigramTokenCount(
+          rt(s, dir, "documents")
+            .select(col("doc_id"),
+              substring(col("text"), 1, SpUnigramCap).as("text")),
+          "text", spUnigramExternal, preEncode = Bpe.spPretokEncode)
+          .select("doc_id", "n_sp"),
+        "doc_id", "n_sp", budget = 20000L, numBuckets = 8)),
     // Context-length chunking in SUBWORD tokens: 120-token windows advancing
     // by 96, chunk text rebuilt by plain concatenation (BPE tokens are exact
     // character subsequences).
@@ -4515,6 +4541,10 @@ object SparkEntry {
         when(col("doc_id") % 5 === 0, jpeg)
           .when(col("doc_id") % 5 === 1, mp3)
           .when(col("doc_id") % 5 === 3, flac)
+          // round-15: WebM carved from the opus arm — the shared
+          // fxWebmSized construction mm_media_duration pins
+          .when(col("doc_id") % 10 === 9,
+            fxWebmSized((col("doc_id") % 100000 + 1) * 1000))
           .when(col("doc_id") % 5 === 4, opus)
           .otherwise(webp)
       val base = rt(s, dir, "documents").select(col("doc_id"), payload.as("payload"))
@@ -5208,14 +5238,7 @@ object SparkEntry {
           // (exact in binary64 — the round never ties); %32==23 an Info
           // with a scale but NO Duration → NULL (a headerless live
           // capture genuinely has none)
-          .when(col("doc_id") % 32 === 15, concat(
-            ebmlHdr, lit(hx("18538067" + "9C" + // sized Segment
-              "1549A966" + "97" + // Info, 23-byte body
-              "2AD7B1" + "84")), // TimestampScale, be32 …
-            fxBe32(webmScale),
-            lit(hx("4D80" + "85" + "6772616674" + // MuxingApp "graft" decoy
-              "4489" + "84" + "447A0000")), // Duration float32 = 1000.0
-            body))
+          .when(col("doc_id") % 32 === 15, concat(fxWebmSized(webmScale), body))
           .when(col("doc_id") % 32 === 31, concat(
             ebmlHdr, lit(hx("18538067" + "FF" + // unknown size
               "1549A966" + "8B" +
@@ -7873,6 +7896,26 @@ object SparkEntry {
          |SELECT c.doc_id, c.n_bpe
          |FROM c JOIN off USING (bkt)
          |WHERE off.off + c.cum <= 20000""".stripMargin,
+    // The budget replay under the Unigram tokenizer's Viterbi counts.
+    "sample_token_budget_sp" ->
+      s"""WITH RECURSIVE $spUnigramReplayCte,
+         |t AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_sp FROM btoks),
+         |h AS (SELECT doc_id, n_sp,
+         |        (((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) AS hh
+         |      FROM t WHERE n_sp > 0),
+         |c AS (SELECT doc_id, n_sp, hh % 8 AS bkt,
+         |        CAST(sum(n_sp) OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id
+         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM h),
+         |tot AS (SELECT bkt, CAST(sum(n_sp) AS BIGINT) AS tot
+         |        FROM h, LATERAL (SELECT hh % 8 AS bkt) GROUP BY bkt),
+         |off AS (SELECT bkt,
+         |          CAST(COALESCE(sum(tot) OVER (ORDER BY bkt
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |        FROM tot)
+         |SELECT c.doc_id, c.n_sp
+         |FROM c JOIN off USING (bkt)
+         |WHERE off.off + c.cum <= 20000""".stripMargin,
     // The budget replay under the external tokenizer's counts.
     "sample_token_budget_gpt2" ->
       s"""WITH RECURSIVE $bpeExtReplayCte,
@@ -9207,12 +9250,13 @@ object SparkEntry {
     // the audio legs (null dims) stay NULL.
     "mm_ingest_profile" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 5 AS INTEGER)
-        |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'mp3' WHEN 3 THEN 'flac'
-        |    WHEN 4 THEN 'ogg' ELSE 'webp' END AS format,
-        |  CAST(CASE CAST(doc_id % 5 AS INTEGER)
-        |    WHEN 0 THEN 63 WHEN 1 THEN doc_id % 997 + 126
-        |    WHEN 3 THEN 42 WHEN 4 THEN 76 ELSE 30
+        |  CASE WHEN doc_id % 10 = 9 THEN 'webm'
+        |       WHEN doc_id % 5 = 0 THEN 'jpeg' WHEN doc_id % 5 = 1 THEN 'mp3'
+        |       WHEN doc_id % 5 = 3 THEN 'flac' WHEN doc_id % 5 = 4 THEN 'ogg'
+        |       ELSE 'webp' END AS format,
+        |  CAST(CASE WHEN doc_id % 10 = 9 THEN 45
+        |    WHEN doc_id % 5 = 0 THEN 63 WHEN doc_id % 5 = 1 THEN doc_id % 997 + 126
+        |    WHEN doc_id % 5 = 3 THEN 42 WHEN doc_id % 5 = 4 THEN 76 ELSE 30
         |  END AS INTEGER) AS n_bytes,
         |  CASE WHEN doc_id % 5 IN (0, 2) THEN TRUE END AS truncated,
         |  CASE WHEN doc_id % 5 IN (0, 2)
@@ -9234,16 +9278,22 @@ object SparkEntry {
         |  CASE WHEN doc_id % 5 = 0 THEN FALSE END AS gps_present,
         |  CASE WHEN doc_id % 5 = 1 THEN CAST((doc_id % 997 + 68) * 8 AS BIGINT)
         |       WHEN doc_id % 5 = 3 THEN CAST((doc_id % 100000 + 1) * 10 AS BIGINT)
+        |       WHEN doc_id % 10 = 9
+        |         THEN CAST((doc_id % 100000 + 1) * 1000000 AS BIGINT)
         |       WHEN doc_id % 5 = 4 THEN CAST((doc_id % 48000 + 1) * 10 AS BIGINT)
         |  END AS media_dur_num,
         |  CASE WHEN doc_id % 5 = 1 THEN CAST(128000 AS BIGINT)
         |       WHEN doc_id % 5 = 3 THEN CAST(44100 AS BIGINT)
+        |       WHEN doc_id % 10 = 9 THEN CAST(1000000000 AS BIGINT)
         |       WHEN doc_id % 5 = 4 THEN CAST(48000 AS BIGINT)
         |  END AS media_dur_den,
         |  CASE WHEN doc_id % 5 = 1
         |         THEN CAST((doc_id % 997 + 68) * 8 AS DOUBLE) / 128000.0
         |       WHEN doc_id % 5 = 3
         |         THEN CAST((doc_id % 100000 + 1) * 10 AS DOUBLE) / 44100.0
+        |       WHEN doc_id % 10 = 9
+        |         THEN CAST((doc_id % 100000 + 1) * 1000000 AS DOUBLE)
+        |              / 1000000000.0
         |       WHEN doc_id % 5 = 4
         |         THEN CAST((doc_id % 48000 + 1) * 10 AS DOUBLE) / 48000.0
         |  END AS media_duration_sec,

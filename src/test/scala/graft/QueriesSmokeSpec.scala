@@ -219,6 +219,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_sp_unigram" -> 0, "text_sp_unigram_pieces" -> 0,
     "text_sp_unigram_stats" -> 1,
     "sample_token_budget_tk" -> 1,
+    "sample_token_budget_sp" -> 1, // Viterbi counts + the one bucket exchange
     "text_bpe_tk_stats" -> 1, // one hash aggregate, like text_bpe_stats
     "text_bpe_sp_stats" -> 1,
     // one (group, bucket) shuffle — the group rides the same window
