@@ -19,6 +19,14 @@ class PropertySpec extends SparkSpec {
     withClue(res.status.toString)(res.passed shouldBe true)
   }
 
+  /** [[check]] with an explicit trial count — for driver-side laws
+    * (no Spark job per trial) where hundreds of trials are cheap. */
+  private def check(prop: Prop, trials: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(trials), prop)
+    withClue(res.status.toString)(res.passed shouldBe true)
+  }
+
   private val dataGen: Gen[List[(Option[Double], String)]] =
     Gen.listOfN(
       25,
@@ -588,6 +596,89 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toList
       got == cases.map { case (w, h, _) => (w.toLong, h.toLong) }
     })
+  }
+
+  test("property: unigram Viterbi is score-OPTIMAL and total on random tables") {
+    // The kernel's DP is checked against an INDEPENDENT driver-side
+    // best-score recursion (memoized, different code shape): for any
+    // piece table and text, the kernel's segmentation must (a) concat
+    // back to the text exactly, (b) cover it with table pieces or
+    // single unknown code points only, and (c) achieve the OPTIMAL
+    // total score. Scores are multiples of 0.25 so every partial sum is
+    // exact in binary64 — score equality is exact, no epsilon.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val astral = new String(Character.toChars(0x1F600))
+    val alphabet = Vector("a", "b", "c", "d", " ", "▁", astral)
+    val pieceGen = for {
+      len <- Gen.choose(1, 3)
+      cs <- Gen.listOfN(len, Gen.oneOf(alphabet))
+      q <- Gen.choose(-40, -4) // quarters: scores in [-10, -1]
+    } yield (cs.mkString, q / 4.0)
+    val tableGen = Gen.listOfN(12, pieceGen)
+      .map(_.toMap) // dedup surfaces, last wins — a valid table either way
+      .suchThat(_.nonEmpty)
+    val textGen = Gen.choose(0, 24)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(alphabet ++ Vector("z"))))
+      .map(_.mkString)
+    def refBest(text: String, table: Map[String, Double], unk: Double): Double = {
+      // independent formulation: recursion over SUFFIX start, memoized
+      val cps = text.codePoints().toArray
+      val starts = {
+        val arr = new Array[Int](cps.length + 1)
+        var i = 0; var o = 0
+        while (i < cps.length) { arr(i) = o; o += Character.charCount(cps(i)); i += 1 }
+        arr(cps.length) = text.length
+        arr
+      }
+      val memo = new Array[Double](cps.length + 1)
+      java.util.Arrays.fill(memo, Double.NaN)
+      def go(i: Int): Double = {
+        if (i == cps.length) return 0.0
+        if (!memo(i).isNaN) return memo(i)
+        var b = unk + go(i + 1) // unknown code point
+        var L = 1
+        while (L <= cps.length - i) {
+          val cand = text.substring(starts(i), starts(i + L))
+          table.get(cand).foreach { s =>
+            val v = s + go(i + L)
+            if (v > b) b = v
+          }
+          L += 1
+        }
+        memo(i) = b
+        b
+      }
+      go(0)
+    }
+    val child = Literal.create(null, StringType)
+    check(Prop.forAll(tableGen, textGen) { (table, text) =>
+      val surfaces = table.keys.toSeq
+      val scores = surfaces.map(table)
+      val k = graft.functions.SpUnigramEncode(child,
+        Literal.create(
+          new GenericArrayData(surfaces.map(s => UTF8String.fromString(s): Any).toArray),
+          ArrayType(StringType)),
+        Literal.create(new GenericArrayData(scores.toArray[Any]),
+          ArrayType(DoubleType)))
+      val out = k.compute(UTF8String.fromString(text)).asInstanceOf[ArrayData]
+      val toks = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+      val unk = scores.min - 10.0
+      // a non-table token must be exactly ONE code point (unknown)
+      var badUnknown: String = null
+      val total = toks.map(t =>
+        table.getOrElse(t, {
+          if (t.codePointCount(0, t.length) != 1 && badUnknown == null)
+            badUnknown = t
+          unk
+        })).sum
+      (badUnknown == null) :| s"multi-cp unknown token '$badUnknown'" &&
+        (toks.mkString == text) :| "concat law" &&
+        (total == refBest(text, table, unk)) :|
+        s"suboptimal: $total vs ${refBest(text, table, unk)} for '$text'"
+    }, 300)
   }
 
   test("property: byte-walk kernels never throw on arbitrary bytes; GPS strip is idempotent") {
