@@ -78,12 +78,16 @@ def compare(name: str, spark_df: pd.DataFrame, ora_df: pd.DataFrame):
             if a.dtype != b.dtype:
                 # tolerate int32 vs int64 etc. by comparing values
                 pass
+            # pandas 2.2 compares None == None as False elementwise; a
+            # NULL in both engines is a MATCH, so OR in the both-null mask
+            both_null = (pd.isna(a) & pd.isna(b)).to_numpy()
             eq = (a.astype(object).where(pd.notna(a), None)
-                  == b.astype(object).where(pd.notna(b), None))
+                  == b.astype(object).where(pd.notna(b), None)).to_numpy() | both_null
             if not eq.all():
                 bad = int((~eq).sum())
-                i = (~eq).idxmax()
-                issues.append(f"col {c}: {bad} rows differ, e.g. {a[i]!r} vs {b[i]!r}")
+                i = int(np.argmax(~eq))
+                issues.append(
+                    f"col {c}: {bad} rows differ, e.g. {a.iloc[i]!r} vs {b.iloc[i]!r}")
     if issues:
         return "MISMATCH " + "; ".join(issues)
     if exact:
