@@ -31,8 +31,28 @@ import graft.transformers._
   */
 object SparkEntry {
 
-  private def rt(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Read a driver-contract table with a scan-parallelism floor
+    * (optimization guide §2.5 "input skew" / §6 minPartitionNum): the
+    * testdata tables are single-file, SINGLE-ROW-GROUP parquet, so a bare
+    * scan is physically unsplittable — byte-range splits beyond the one
+    * row group produce empty tasks, and every downstream per-row kernel
+    * (tokenize, shingle, BPE merge chain, char-bigram explode, byte walk)
+    * runs in ONE task however many cores the session has (measured: the
+    * r15 profile showed 3–7 s single-task stages on local[32] across the
+    * text/dedup/sample families). When the planned scan has fewer
+    * partitions than the session's default parallelism, a round-robin
+    * repartition spreads the rows; the shuffled bytes are bounded by the
+    * small-input condition itself. On production inputs (many files /
+    * row groups ≥ cores) the condition is false and NO shuffle is added —
+    * the floor is derived from input layout + session cores, not a local
+    * constant. Catalyst pushes filters and projections below Repartition,
+    * so query-side predicates (e.g. doc_id < 3) still reach the parquet
+    * scan under the floor. */
+  private def rt(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    val p = s.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p) else df
+  }
 
   /** One contamination-index save dir per JVM for the model round-trip
     * query: created once, reused (overwrite) across invocations so bench

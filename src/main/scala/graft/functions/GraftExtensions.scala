@@ -24,9 +24,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 4, s"${TilePairs.JaccardName} expects 4 arguments")
       JaccardTilePairs(args(0), args(1), args(2), args(3))
     }))
+    ext.injectFunction(fn(TilePairs.JaccardPfxName, { args =>
+      require(args.length == 6, s"${TilePairs.JaccardPfxName} expects 6 arguments")
+      JaccardPrefixPairs(args(0), args(1), args(2), args(3), args(4), args(5))
+    }))
     ext.injectFunction(fn(TilePairs.HammingName, { args =>
       require(args.length == 4, s"${TilePairs.HammingName} expects 4 arguments")
       HammingTilePairs(args(0), args(1), args(2), args(3))
+    }))
+    ext.injectFunction(fn(TilePairs.SigEstCanonicalName, { args =>
+      require(args.length == 6, s"${TilePairs.SigEstCanonicalName} expects 6 arguments")
+      SigEstCanonicalPairs(args(0), args(1), args(2), args(3), args(4), args(5))
     }))
     ext.injectFunction(fn(TilePairs.SigEstName, { args =>
       require(args.length == 4, s"${TilePairs.SigEstName} expects 4 arguments")

@@ -208,10 +208,10 @@ object Dedup {
       buckets: DataFrame,
       keys: Seq[Column],
       fnName: String,
-      arg: Column): DataFrame =
+      args: Column*): DataFrame =
     tileBuckets(buckets, keys)
       .select(explode(call_function(
-        fnName, col("l"), col("r"), col("bi") === col("bj"), arg)).as("p"))
+        fnName, Seq(col("l"), col("r"), col("bi") === col("bj")) ++ args: _*)).as("p"))
 
   /** Symmetric bucket expansion with native/HOF dispatch — the
     * [[minhashCandidates]] idiom packaged for sibling ops (Similarity's
@@ -773,18 +773,24 @@ object Dedup {
         .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs")),
       maxBucketSize, opName)
     val keys = Seq(col("band"), col("band_hash"))
-    val expanded =
-      if (nativeTilePairsAvailable(sigDf))
-        expandBucketsNative(
-          buckets, keys, graft.functions.TilePairs.SigEstName, lit(estMin))
-      else
-        expandBuckets(
-          buckets, keys,
-          (x, y) => est(x, y) >= estMin,
-          (x, y) => struct(x("id").as("a"), y("id").as("b")))
-    expanded
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // canonical-band kernel: each candidate pair is emitted exactly once —
+    // from the FIRST band whose hashes agree — so the distinct pair set
+    // falls out of the expansion itself and the dropDuplicates shuffle of
+    // one row per (pair × shared band) disappears (optimization guide
+    // §2.4; equivalence + cap note at SigEstCanonicalPairs' scaladoc). The
+    // HOF fallback keeps the per-band emission + dropDuplicates.
+    if (nativeTilePairsAvailable(sigDf))
+      expandBucketsNative(
+        buckets, keys, graft.functions.TilePairs.SigEstCanonicalName,
+        lit(estMin), col("band"), lit(numHashes / bands))
+        .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    else
+      expandBuckets(
+        buckets, keys,
+        (x, y) => est(x, y) >= estMin,
+        (x, y) => struct(x("id").as("a"), y("id").as("b")))
+        .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
   }
 
   /** Production near-dup pattern: MinHash-LSH candidate generation + EXACT
@@ -1530,10 +1536,16 @@ object Dedup {
           .groupBy("pid")
           .agg(sort_array(collect_list(struct(col("id"), col("sz"), col("bm")))).as("xs"))
           .filter(size(col("xs")) > 1)
+        // canonical-bucket kernel: every qualifying pair is emitted exactly
+        // once — from its smallest common prefix shingle's bucket — so the
+        // result IS the distinct pair set and the dropDuplicates shuffle
+        // (1.9 GB written + 1.9 GB spilled on the r15 calibration corpus)
+        // does not exist (optimization guide §2.4 "remove shuffles
+        // outright"; equivalence argument at JaccardPrefixPairs' scaladoc)
         expandBucketsNative(
-          buckets, Seq(col("pid")), graft.functions.TilePairs.JaccardName, lit(threshold))
+          buckets, Seq(col("pid")), graft.functions.TilePairs.JaccardPfxName,
+          lit(threshold), col("pid"), lit(eligible))
           .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.j").as("jaccard"))
-          .dropDuplicates("id_a", "id_b")
       } else {
         val dict = dictionaryDf(df, entries.map(_._1).sorted)
         val feats = bitmapFeatures(hashed, dict, words)

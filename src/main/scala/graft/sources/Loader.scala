@@ -110,6 +110,19 @@ object Loader {
     * since urlkey-sorted index files sort captures by domain, a
     * min/max-pruning format upgrade (parquet-backed index) keeps the
     * same column contract. */
+  /** Scan-parallelism floor (optimization guide §2.5 input skew / §6
+    * minPartitionNum; the [[graft.SparkEntry]] rt rule): a small index
+    * file is ONE text split, so the whole pipeline above it — line parse,
+    * broadcast-join probe, map-side window limits — runs in one task
+    * however many cores the session has. When the planned scan has fewer
+    * partitions than the session's default parallelism, spread the rows;
+    * at production scale (≥ cores splits) the condition is false and no
+    * shuffle is added. */
+  private def floorParallelism(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def loadCdxj(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -122,7 +135,7 @@ object Loader {
     val urlkey = regexp_extract(line, "^(\\S+)", 1)
     val ts = regexp_extract(line, "^\\S+\\s+([0-9]+)", 1)
     val js = regexp_extract(line, "^\\S+\\s+\\S+\\s+(\\{.*\\})$", 1)
-    spark.read.text(path)
+    floorParallelism(spark.read.text(path))
       .filter(line =!= "")
       .select(
         when(urlkey =!= "", urlkey).as("urlkey"),

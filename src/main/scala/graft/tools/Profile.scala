@@ -46,7 +46,11 @@ object Profile {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val r = stages.getOrElseUpdate(i.stageId, StageRec())
-        r.name = i.name.takeWhile(_ != '\n')
+        // first graft frame in the creation-site stack, so a slow stage
+        // names the operator that built it instead of the scheduler thread
+        r.name = i.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("tools.Profile"))
+          .getOrElse(i.name.takeWhile(_ != '\n')).trim
         r.ms = i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)
         r.tasks = i.numTasks
         val m = i.taskMetrics
@@ -81,6 +85,11 @@ object Profile {
         println("  job stage     ms tasks  inputMB sreadMB swriteMB spillMB  name")
         stages.toSeq.sortBy(_._1).foreach { case (sid, r) =>
           println(f"  ${jobOfStage.getOrElse(sid, -1)}%3d ${sid}%5d ${r.ms}%6d ${r.tasks}%5d ${mb(r.input)} ${mb(r.sread)} ${mb(r.swrite)} ${mb(r.spill)}  ${r.name.take(60)}")
+        }
+        if (sys.env.contains("SPARK_GRAFT_PROFILE_PLAN")) {
+          // final (post-AQE) plan with per-operator metrics: the stage
+          // table names WHERE time goes; this names WHICH operator
+          println(df.queryExecution.executedPlan.toString)
         }
         spark.catalog.clearCache()
       }

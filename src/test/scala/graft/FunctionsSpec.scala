@@ -44,6 +44,70 @@ class FunctionsSpec extends SparkSpec {
     out.toSeq shouldBe Seq((1L, 5L, 1.0)) // (1,6): disjoint bitmaps -> 0
   }
 
+  test("graft_jaccard_prefix_pairs: emits each pair from exactly one bucket") {
+    // threshold 0.5; A = bits {0,1,2,3} (sz 4, prefix k = 4-2+1 = 3 → {0,1,2});
+    // B = bits {1,2,3,4} (prefix {1,2,3}). J(A,B) = 3/5 = 0.6 ≥ 0.5; common
+    // bits {1,2,3}; first common bit 1 is in both prefixes → canonical
+    // bucket 1. The plain kernel emits (A,B) from buckets 1 AND 2 (both
+    // common prefix shingles) and needs dropDuplicates; the canonical
+    // kernel must emit from bucket 1 only.
+    val xs = "array(named_struct('id', 1L, 'sz', 4, 'bm', array(15L)), " +
+      "named_struct('id', 2L, 'sz', 4, 'bm', array(30L)))"
+    def runPid(p: Int): Seq[(Long, Long, Double)] = Seq(1).toDF("x")
+      .select(explode(call_function(
+        TilePairs.JaccardPfxName, expr(xs), expr(xs), lit(true), lit(0.5),
+        lit(p), lit(64))).as("p"))
+      .select("p.a", "p.b", "p.j")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    runPid(1) shouldBe Seq((1L, 2L, 0.6))
+    runPid(2) shouldBe Seq.empty // common but non-canonical bucket
+    runPid(3) shouldBe Seq.empty // bit 3 outside A's prefix — never a bucket
+    // union over every bucket id == the plain kernel's DEDUPLICATED output
+    (0 until 5).flatMap(runPid) shouldBe Seq((1L, 2L, 0.6))
+  }
+
+  test("graft_jaccard_prefix_pairs: eligible cap suppresses late canonical bits") {
+    // same pair but first common bit ≥ eligible → no eligible common
+    // prefix shingle exists, so NO bucket emits it (the stop-gram-capped
+    // prefix never indexed the pair together)
+    val xs = "array(named_struct('id', 1L, 'sz', 4, 'bm', array(15L)), " +
+      "named_struct('id', 2L, 'sz', 4, 'bm', array(30L)))"
+    val out = Seq(1).toDF("x")
+      .select(explode(call_function(
+        TilePairs.JaccardPfxName, expr(xs), expr(xs), lit(true), lit(0.5),
+        lit(1), lit(1))).as("p"))
+      .collect()
+    out shouldBe empty
+  }
+
+  test("graft_sig_est_canonical_pairs: emits only from the first colliding band") {
+    // sigs of length 4, 2 rows per band → bands {0, 1}; (1,2) agree in
+    // positions 1,2,3 → band 0 slices (10,20) vs (99,20) differ, band 1
+    // slices (30,40) equal. So the pair collides at band 1 ONLY — and
+    // with 3 equal positions passes minEqual 3 there. (1,3) agree only
+    // at position 0 → fails minEqual everywhere.
+    val xs = "array(named_struct('id', 1L, 'sig', array(10L, 20L, 30L, 40L)), " +
+      "named_struct('id', 2L, 'sig', array(99L, 20L, 30L, 40L)), " +
+      "named_struct('id', 3L, 'sig', array(10L, 77L, 88L, 99L)))"
+    def runBand(b: Int): Seq[(Long, Long)] = Seq(1).toDF("x")
+      .select(explode(call_function(
+        TilePairs.SigEstCanonicalName, expr(xs), expr(xs), lit(true), lit(3),
+        lit(b), lit(2))).as("p"))
+      .select("p.a", "p.b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    runBand(1) shouldBe Seq((1L, 2L))
+    runBand(0) shouldBe Seq.empty // band-0 hashes differ: not this bucket's pair
+    // identical sigs collide at band 0 → band 1 must NOT re-emit them
+    val dup = "array(named_struct('id', 7L, 'sig', array(5L, 6L, 7L, 8L)), " +
+      "named_struct('id', 8L, 'sig', array(5L, 6L, 7L, 8L)))"
+    def runDup(b: Int): Int = Seq(1).toDF("x")
+      .select(explode(call_function(
+        TilePairs.SigEstCanonicalName, expr(dup), expr(dup), lit(true), lit(4),
+        lit(b), lit(2))).as("p")).collect().length
+    runDup(0) shouldBe 1
+    runDup(1) shouldBe 0
+  }
+
   test("graft_sig_est_tile_pairs: pairs with enough equal signature positions") {
     // sigs of length 4; (1,2) agree in 3 positions, (1,3) in 1, (2,3) in 1
     val xs = "array(named_struct('id', 1L, 'sig', array(10L, 20L, 30L, 40L)), " +
