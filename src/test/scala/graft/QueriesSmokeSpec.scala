@@ -143,7 +143,7 @@ class QueriesSmokeSpec extends SparkSpec {
     // r12: +1, the zero-evidence grid fill's union+re-aggregate (10
     // rows — chosen over a unique-key left join, which Catalyst
     // eliminates under count-only consumers)
-    "dedup_calibration" -> 8, "dedup_calibration_pairs" -> 3,
+    "dedup_calibration" -> 8, "dedup_calibration_pairs" -> 2,
     // paragraph dedup: ONE shuffle onto the paragraph for the
     // first-occurrence window + ONE back onto the id for reassembly
     "dedup_paragraphs" -> 3,
@@ -206,7 +206,7 @@ class QueriesSmokeSpec extends SparkSpec {
     // internally = one edges⋈scores join + one dst agg over DOMAIN-sized
     // tables, truncated per round exactly like duplicateClusters)
     "warc_domain_centrality" -> 0,
-    "dedup_ngram_jaccard" -> 4, "dedup_ngram_overlap" -> 2,
+    "dedup_ngram_jaccard" -> 3, "dedup_ngram_overlap" -> 2,
     "dedup_simhash" -> 5,
     "events_rolling_salted" -> 2, "events_sessionize_salted" -> 2,
     "sample_dsir" -> 6,
