@@ -31,28 +31,82 @@ import graft.transformers._
   */
 object SparkEntry {
 
-  /** Read a driver-contract table with a scan-parallelism floor
-    * (optimization guide §2.5 "input skew" / §6 minPartitionNum): the
-    * testdata tables are single-file, SINGLE-ROW-GROUP parquet, so a bare
-    * scan is physically unsplittable — byte-range splits beyond the one
-    * row group produce empty tasks, and every downstream per-row kernel
-    * (tokenize, shingle, BPE merge chain, char-bigram explode, byte walk)
-    * runs in ONE task however many cores the session has (measured: the
-    * r15 profile showed 3–7 s single-task stages on local[32] across the
-    * text/dedup/sample families). When the planned scan has fewer
-    * partitions than the session's default parallelism, a round-robin
-    * repartition spreads the rows; the shuffled bytes are bounded by the
-    * small-input condition itself. On production inputs (many files /
-    * row groups ≥ cores) the condition is false and NO shuffle is added —
-    * the floor is derived from input layout + session cores, not a local
-    * constant. Catalyst pushes filters and projections below Repartition,
-    * so query-side predicates (e.g. doc_id < 3) still reach the parquet
-    * scan under the floor. */
-  private def rt(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    val p = s.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p) else df
+  /** Scan metadata cached per (table path, session cores): planned scan
+    * partition count + estimated scanned bytes (file-source stats = total
+    * file size). Round 15's floor forced physical planning of the bare
+    * scan (`toRdd`) on EVERY table read — dozens per query build; caching
+    * it makes the floor decision one map lookup per read after the first
+    * (the files never change inside a run). */
+  private val scanMeta =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Long)]
+  private def scanInfo(s: SparkSession, path: String): (Int, Long) =
+    scanMeta.getOrElseUpdate(s"$path@${s.sparkContext.defaultParallelism}", {
+      val df = s.read.parquet(path)
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      (df.queryExecution.toRdd.getNumPartitions,
+        bytes.min(BigInt(Long.MaxValue)).toLong)
+    })
+
+  /** Scan-parallelism floor, COST-AWARE (round 16; optimization guide
+    * §2.1/§2.5): repartition a just-read table only when BOTH hold —
+    *  (a) the planned scan has fewer partitions than the session's
+    *      default parallelism (single-file / single-row-group inputs:
+    *      physically unsplittable, every downstream per-row kernel runs
+    *      in ONE task however many cores the session has), AND
+    *  (b) the scanned bytes justify the extra Exchange: the floor target
+    *      is `min(cores, ceil(bytes / bytesPerTask))`, so a table smaller
+    *      than `bytesPerTask` NEVER shuffles — round 15 floored every
+    *      read to `defaultParallelism` unconditionally and the driver
+    *      measured 16 light queries regressing 0.45–0.89× from 32-way
+    *      shuffles of dictionary-sized tables (pure per-task scheduling
+    *      overhead; the whole suite ran 24% faster on 8 cores than 32).
+    * At production scale (many files / row groups ≥ cores) condition (a)
+    * is false and NO shuffle is added — the floor derives from input
+    * layout + bytes + session cores, never a local constant. Catalyst
+    * pushes filters and projections below Repartition, so query-side
+    * predicates still reach the parquet scan under the floor. */
+  private def flooredRead(
+      s: SparkSession, path: String, bytesPerTask: Long): DataFrame = {
+    val df = s.read.parquet(path)
+    val (parts, bytes) = scanInfo(s, path)
+    val target = math.min(
+      s.sparkContext.defaultParallelism.toLong,
+      math.max(1L, (bytes + bytesPerTask - 1) / bytesPerTask)).toInt
+    if (parts < target) df.repartition(target) else df
   }
+
+  private def confBytes(s: SparkSession, key: String, default: Long): Long =
+    s.conf.getOption(key).map(_.toLong).getOrElse(default)
+
+  /** Default driver-table read: COLUMNAR-work floor — tasks of ~4 MB of
+    * scanned bytes (conf `graft.scan.floorBytesPerTask`), the guide-§2.1
+    * "partitions in the 100 MB—1 GB raw / few-MB compressed" sizing for
+    * plain filter/join/aggregate work. Every testdata table is below
+    * 11 MB, so at bench scale this reader adds NO Exchange (the round-14
+    * plan shape the driver measured as fastest for the dedup/sim/sel/
+    * relational families); a production-scale single unsplittable file
+    * still fans out to ~bytes/4MB tasks up to the core count. */
+  private def rt(s: SparkSession, dir: String, name: String): DataFrame =
+    flooredRead(s, dir + "/" + name + ".parquet",
+      confBytes(s, "graft.scan.floorBytesPerTask", 4L << 20))
+
+  /** KERNEL-path table read: floor sized for per-row TEXT KERNELS
+    * (tokenize, shingle-to-BPE merge chains, Viterbi, char-bigram
+    * explode, per-query scoring) whose per-row cost is ~10³× a columnar
+    * filter — tasks of ~16 KB of scanned bytes (conf
+    * `graft.kernelScan.floorBytesPerTask`; ≈100–400 documents ≈
+    * 40–400 ms of kernel work per task). Round 15 measured the win
+    * directly: flooring these reads to the core count took
+    * text_bm25_prf 11.0→3.7 s, text_langid_model 7.6→2.6 s,
+    * text_embed_topk 6.3→2.4 s (driver bench, sf0.1, local[32]) — and
+    * round 16's floor-off experiment confirmed the same queries regress
+    * 1.5–10× without it while the NON-kernel families run faster
+    * unfloored, which is why this is a separate reader instead of a
+    * blanket rule. Only call sites whose dominant cost is a per-row
+    * kernel over the scanned rows use it. */
+  private def rtKernel(s: SparkSession, dir: String, name: String): DataFrame =
+    flooredRead(s, dir + "/" + name + ".parquet",
+      confBytes(s, "graft.kernelScan.floorBytesPerTask", 16L << 10))
 
   /** One contamination-index save dir per JVM for the model round-trip
     * query: created once, reused (overwrite) across invocations so bench
@@ -147,7 +201,7 @@ object SparkEntry {
   private def bm25DiskIndex(s: SparkSession, dir: String): String =
     bm25IndexDirs.getOrElseUpdate(dir, {
       val d = java.nio.file.Files.createTempDirectory("graft_bm25_index").toString
-      graft.ops.Retrieval.bm25Fit(rt(s, dir, "documents"), "doc_id", "text").save(d)
+      graft.ops.Retrieval.bm25Fit(rtKernel(s, dir, "documents"), "doc_id", "text").save(d)
       d
     })
 
@@ -162,7 +216,7 @@ object SparkEntry {
   private def langIdFitted(s: SparkSession, dir: String): graft.ops.LangId.LangIdModel =
     langIdModels.getOrElseUpdate(dir, {
       val m = graft.ops.LangId.langIdFit(
-        rt(s, dir, "documents"), "text", "lang", vocabSize = 256)
+        rtKernel(s, dir, "documents"), "text", "lang", vocabSize = 256)
       val d = java.nio.file.Files.createTempDirectory("graft_langid_model").toString
       m.save(d)
       graft.ops.LangId.LangIdModel.load(s, d)
@@ -644,7 +698,7 @@ object SparkEntry {
   private def bpeFitted(s: SparkSession, dir: String): Bpe.BpeModel =
     bpeModels.getOrElseUpdate(dir, {
       val m = Bpe.bpeFit(
-        rt(s, dir, "documents").filter(col("lang") === "en"), "text",
+        rtKernel(s, dir, "documents").filter(col("lang") === "en"), "text",
         numMerges = 24)
       // a FRESH directory per fit: a shared path would let interleaved
       // fits for two sf dirs cross their save/load round trips and cache
@@ -659,7 +713,7 @@ object SparkEntry {
   private def bpePretokFitted(s: SparkSession, dir: String): Bpe.BpeModel =
     bpePretokModels.getOrElseUpdate(dir, {
       val m = Bpe.bpeFit(
-        rt(s, dir, "documents").filter(col("lang") === "en"), "text",
+        rtKernel(s, dir, "documents").filter(col("lang") === "en"), "text",
         numMerges = 24, pretok = Some(Bpe.Gpt2PretokPattern))
       val d = java.nio.file.Files.createTempDirectory("graft_bpe_pretok").toString
       m.save(d)
@@ -2845,7 +2899,7 @@ object SparkEntry {
       // the four-shape tree into seconds of pure planning (the
       // cdx_fetch_decisions pattern; CollapseProject keeps non-cheap
       // multiply-referenced projections behind the boundary)
-      val targets = rt(s, dir, "documents")
+      val targets = rtKernel(s, dir, "documents")
         .select(col("doc_id"), synthUrl.as("url"))
         .select(
           Url.surtKey(col("url")).as("urlkey"),
@@ -3221,7 +3275,7 @@ object SparkEntry {
     // argmax (vocab head, smoothed weights, ordered fold, prior biases).
     "text_langid_model" -> ((s, dir) =>
       graft.ops.LangId.langIdScore(
-        rt(s, dir, "documents").select("doc_id", "text"),
+        rtKernel(s, dir, "documents").select("doc_id", "text"),
         "doc_id", "text", langIdFitted(s, dir))
         .select("doc_id", "lang_pred", "lang_score")),
     "text_repetition" -> ((s, dir) =>
@@ -3333,7 +3387,7 @@ object SparkEntry {
     // www-strip, host-label reversal, kept non-default port, sorted
     // query — and NULL for the non-URL passthrough (no host, no key).
     "text_url_surt" -> ((s, dir) =>
-      rt(s, dir, "documents").select(
+      rtKernel(s, dir, "documents").select(
         col("doc_id"), Url.surtKey(synthMessyUrl).as("surt_key"))),
     // Crawl politeness as a corpus filter: per-host robots.txt parsed
     // into the rule table (wildcards, $-anchors, allow-overrides), every
@@ -3483,7 +3537,7 @@ object SparkEntry {
     // one plain REPLACE per rank, over the double-separator encoding.
     "text_bpe" -> ((s, dir) =>
       Bpe.tokenizeBpe(
-        rt(s, dir, "documents").select("doc_id", "text"), "text",
+        rtKernel(s, dir, "documents").select("doc_id", "text"), "text",
         bpeFitted(s, dir))
         .select(col("doc_id"), size(col("bpe_tokens")).as("n_bpe"),
           array_join(col("bpe_tokens"), Bpe.Sep).as("bpe_joined"))),
@@ -3492,7 +3546,7 @@ object SparkEntry {
     // text_bpe_merges convention) that text_bpe_ids replays ids from.
     "text_bpe_vocab" -> ((s, dir) => {
       import s.implicits._
-      val d = rt(s, dir, "documents")
+      val d = rtKernel(s, dir, "documents")
       Bpe.vocabOf(bpeFitted(s, dir), Bpe.alphabetOf(d, "text"))
         .toDF("token", "id")
         .select(col("token"), col("id").cast("int").as("id"))
@@ -3503,10 +3557,10 @@ object SparkEntry {
     // columns are not hashable by the driver compare.
     "text_bpe_ids" -> ((s, dir) =>
       Bpe.encodeIds(
-        rt(s, dir, "documents").select("doc_id", "text"), "text",
+        rtKernel(s, dir, "documents").select("doc_id", "text"), "text",
         bpeFitted(s, dir),
         Bpe.vocabOf(bpeFitted(s, dir),
-          Bpe.alphabetOf(rt(s, dir, "documents"), "text")))
+          Bpe.alphabetOf(rtKernel(s, dir, "documents"), "text")))
         .select(col("doc_id"), posexplode(col("bpe_ids")).as(Seq("pos", "id")))),
     // BYTE-FALLBACK ids: every third document gets an accented/CJK tail
     // appended (the synthetic corpus is all-ASCII, so this is what makes
@@ -3519,13 +3573,13 @@ object SparkEntry {
     // hex-pair byte expansion from scratch in SQL.
     "text_bpe_ids_bytes" -> ((s, dir) =>
       Bpe.encodeIdsBytes(
-        rt(s, dir, "documents").select(col("doc_id"),
+        rtKernel(s, dir, "documents").select(col("doc_id"),
           when(col("doc_id") % 3 === 0,
             concat(col("text"), lit(" d\u00e9j\u00e0 \u4e2d\u6587")))
             .otherwise(col("text")).as("text")),
         "text", bpeFitted(s, dir),
         Bpe.vocabOf(bpeFitted(s, dir),
-          Bpe.alphabetOf(rt(s, dir, "documents"), "text")))
+          Bpe.alphabetOf(rtKernel(s, dir, "documents"), "text")))
         .select(col("doc_id"), posexplode(col("bpe_ids")).as(Seq("pos", "id")))),
     // Regex-PRE-TOKENIZED BPE (GPT-2 convention): merges fit and apply
     // within pre-tokens (contractions / space-prefixed letter / digit /
@@ -3540,7 +3594,7 @@ object SparkEntry {
     }),
     "text_bpe_pretok" -> ((s, dir) =>
       Bpe.tokenizeBpe(
-        rt(s, dir, "documents").select("doc_id", "text"), "text",
+        rtKernel(s, dir, "documents").select("doc_id", "text"), "text",
         bpePretokFitted(s, dir), pretok = Some(Bpe.Gpt2PretokPattern))
         .select(col("doc_id"), size(col("bpe_tokens")).as("n_bpe"),
           array_join(col("bpe_tokens"), Bpe.Sep).as("bpe_joined"))),
@@ -3550,7 +3604,7 @@ object SparkEntry {
     // compress best). Integer sums + one exact double division.
     "text_bpe_stats" -> ((s, dir) =>
       Bpe.compressionStats(
-        rt(s, dir, "documents").select("doc_id", "lang", "text"),
+        rtKernel(s, dir, "documents").select("doc_id", "lang", "text"),
         "text", bpeFitted(s, dir), Seq("lang"))),
     // "Train on the first 20k SUBWORD tokens": sample_token_budget with its
     // tokenCol produced by the BPE tokenizer instead of the whitespace
@@ -3558,7 +3612,7 @@ object SparkEntry {
     "sample_token_budget_bpe" -> ((s, dir) =>
       Sampling.sampleTokenBudget(
         Bpe.bpeTokenCount(
-          rt(s, dir, "documents").select("doc_id", "text"), "text",
+          rtKernel(s, dir, "documents").select("doc_id", "text"), "text",
           bpeFitted(s, dir))
           .select("doc_id", "n_bpe"),
         "doc_id", "n_bpe", budget = 20000L, numBuckets = 8)),
@@ -3592,7 +3646,7 @@ object SparkEntry {
     "text_bpe_external" -> ((s, dir) => {
       val (model, vocab) = gpt2External
       val vmap = typedLit(vocab.toMap)
-      rt(s, dir, "documents")
+      rtKernel(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .withColumn("__t", Bpe.bpeTokens(s, col("text"), model,
           pretok = Some(Bpe.Gpt2PretokPattern), byteLevel = true))
@@ -3610,7 +3664,7 @@ object SparkEntry {
     "sample_token_budget_gpt2" -> ((s, dir) =>
       Sampling.sampleTokenBudget(
         Bpe.bpeTokenCount(
-          rt(s, dir, "documents").select("doc_id", "text"), "text",
+          rtKernel(s, dir, "documents").select("doc_id", "text"), "text",
           gpt2External._1, pretok = Some(Bpe.Gpt2PretokPattern),
           byteLevel = true)
           .select("doc_id", "n_bpe"),
@@ -3637,7 +3691,7 @@ object SparkEntry {
     "text_bpe_tiktoken" -> ((s, dir) => {
       val (model, vocab) = tiktokenExternal
       val vmap = typedLit(vocab.toMap)
-      rt(s, dir, "documents")
+      rtKernel(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .withColumn("__t", Bpe.bpeTokens(s, col("text"), model,
           pretok = Some(Bpe.Gpt2PretokPattern), byteLevel = true))
@@ -3667,7 +3721,7 @@ object SparkEntry {
     "text_bpe_sp" -> ((s, dir) => {
       val model = spExternal._1
       val vmap = typedLit(spVocab.toMap)
-      rt(s, dir, "documents")
+      rtKernel(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .withColumn("__t",
           Bpe.bpeTokens(s, Bpe.spPretokEncode(col("text")), model))
@@ -3685,7 +3739,7 @@ object SparkEntry {
     // from the vocab dump alone (byte pieces looked up as '<0x'||hex||'>').
     "text_bpe_sp_bytes" -> ((s, dir) => {
       val (model, pieces) = spExternal
-      rt(s, dir, "documents")
+      rtKernel(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .withColumn("__t",
           Bpe.bpeTokens(s, Bpe.spPretokEncode(col("text")), model))
@@ -3700,7 +3754,7 @@ object SparkEntry {
     // alphabet) — the check run before committing a tokenizer to a mix.
     "text_bpe_tk_stats" -> ((s, dir) =>
       Bpe.compressionStats(
-        rt(s, dir, "documents").select("doc_id", "lang", "text"),
+        rtKernel(s, dir, "documents").select("doc_id", "lang", "text"),
         "text", tiktokenExternal._1, Seq("lang"),
         pretok = Some(Bpe.Gpt2PretokPattern), byteLevel = true)),
     // Fertility under the SentencePiece import: the '▁' pre-encode runs
@@ -3708,7 +3762,7 @@ object SparkEntry {
     // chars-per-token a Llama-family budget owner actually wants.
     "text_bpe_sp_stats" -> ((s, dir) =>
       Bpe.compressionStats(
-        rt(s, dir, "documents").select("doc_id", "lang", "text"),
+        rtKernel(s, dir, "documents").select("doc_id", "lang", "text"),
         "text", spExternal._1, Seq("lang"),
         preEncode = Bpe.spPretokEncode)),
     // SentencePiece UNIGRAM inference (T5/mT5/Gemma-family models carry
@@ -3726,7 +3780,7 @@ object SparkEntry {
     // oracle replays the FULL Viterbi DP from the piece dump.
     "text_sp_unigram" -> ((s, dir) => {
       val pieces = spUnigramExternal
-      rt(s, dir, "documents")
+      rtKernel(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .withColumn("__t",
           Bpe.unigramTokens(s,
@@ -3744,7 +3798,7 @@ object SparkEntry {
     // '▁' encode happens inside tokenization only).
     "text_sp_unigram_stats" -> ((s, dir) =>
       Bpe.unigramStats(
-        rt(s, dir, "documents")
+        rtKernel(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             substring(col("text"), 1, SpUnigramCap).as("text")),
         "text", spUnigramExternal, Seq("lang"),
@@ -3754,7 +3808,7 @@ object SparkEntry {
     "sample_token_budget_tk" -> ((s, dir) =>
       Sampling.sampleTokenBudget(
         Bpe.bpeTokenCount(
-          rt(s, dir, "documents").select("doc_id", "text"), "text",
+          rtKernel(s, dir, "documents").select("doc_id", "text"), "text",
           tiktokenExternal._1, pretok = Some(Bpe.Gpt2PretokPattern),
           byteLevel = true)
           .select("doc_id", "n_bpe"),
@@ -3765,7 +3819,7 @@ object SparkEntry {
     "sample_token_budget_sp" -> ((s, dir) =>
       Sampling.sampleTokenBudget(
         Bpe.unigramTokenCount(
-          rt(s, dir, "documents")
+          rtKernel(s, dir, "documents")
             .select(col("doc_id"),
               substring(col("text"), 1, SpUnigramCap).as("text")),
           "text", spUnigramExternal, preEncode = Bpe.spPretokEncode)
@@ -3777,7 +3831,7 @@ object SparkEntry {
     "text_chunk_bpe" -> ((s, dir) =>
       TextOps.chunkTokensBy(
         Bpe.tokenizeBpe(
-          rt(s, dir, "documents").select("doc_id", "text"), "text",
+          rtKernel(s, dir, "documents").select("doc_id", "text"), "text",
           bpeFitted(s, dir)).drop("text"),
         "bpe_tokens", chunkSize = 120, overlap = 24, joiner = "")
         .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")),
@@ -3786,7 +3840,7 @@ object SparkEntry {
     // doc-frequency tops out at 7, so this threshold has real bite).
     "text_span_dedup" -> ((s, dir) =>
       TextOps.removeRepeatedSpans(
-        rt(s, dir, "documents").select("doc_id", "text"),
+        rtKernel(s, dir, "documents").select("doc_id", "text"),
         "doc_id", "text", n = 3, maxDocFreq = 5L)),
     // Unicode-script histogram over a DELIBERATELY multi-script corpus
     // (the round-8 "inject mess" lesson): per doc_id%5 the text gains a
@@ -3823,9 +3877,9 @@ object SparkEntry {
       rt(s, dir, "documents").select(
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
     "text_top_ngrams" -> ((s, dir) =>
-      TextOps.topNgrams(rt(s, dir, "documents"), "text", 3, 20)),
+      TextOps.topNgrams(rtKernel(s, dir, "documents"), "text", 3, 20)),
     "text_tfidf" -> ((s, dir) =>
-      TextOps.tfidfTopTerms(rt(s, dir, "documents"), "doc_id", "text", 3)
+      TextOps.tfidfTopTerms(rtKernel(s, dir, "documents"), "doc_id", "text", 3)
         .withColumnRenamed("id", "doc_id")),
     "text_quality_filter" -> ((s, dir) =>
       TextOps.qualityFilter(
@@ -3834,12 +3888,12 @@ object SparkEntry {
         .drop("text")),
     "text_corpus_stats" -> ((s, dir) =>
       TextOps.corpusStats(
-        rt(s, dir, "documents").select("lang", "text"), "lang", "text")),
+        rtKernel(s, dir, "documents").select("lang", "text"), "lang", "text")),
     // Distinct-bigram diversity per language — the templated/duplicated-
     // slice detector; exact integer counts, one division.
     "text_diversity" -> ((s, dir) =>
       TextOps.diversityStats(
-        rt(s, dir, "documents").select("lang", "text"), "lang", "text", n = 2)),
+        rtKernel(s, dir, "documents").select("lang", "text"), "lang", "text", n = 2)),
     // Context-window audit: per lang, docs over a 64-token window and the
     // token mass inside / past it — exact integer sums end to end.
     "text_truncation_report" -> ((s, dir) =>
@@ -3861,7 +3915,7 @@ object SparkEntry {
     // anti-join → reassemble path a newline-separated corpus would take.
     "text_line_dedup" -> ((s, dir) =>
       TextOps.removeCommonLines(
-        rt(s, dir, "documents").select("doc_id", "text"),
+        rtKernel(s, dir, "documents").select("doc_id", "text"),
         "doc_id", "text", sepRegex = " ", joinSep = " ", maxDocFreq = 50L)),
     // The intra-doc half of the RefinedWeb line-dedup pass at token
     // granularity: each doc keeps the FIRST occurrence of every token,
@@ -3869,7 +3923,7 @@ object SparkEntry {
     // with DuckDB's indexed list lambda.
     "text_line_dedup_doc" -> ((s, dir) =>
       TextOps.dedupLinesWithinDoc(
-        rt(s, dir, "documents").select("doc_id", "text"),
+        rtKernel(s, dir, "documents").select("doc_id", "text"),
         "text", sepRegex = " ", joinSep = " ")),
     // The composed curation endpoint (quality → repetition → fingerprint
     // dedup → 50% hash sample); near-dup clustering is covered separately
@@ -5412,7 +5466,7 @@ object SparkEntry {
     // text, top-10 each. Per-term scores are 9-decimal-rounded before the
     // per-doc sum (grid-sum rule), so the oracle's replay is order-free.
     "text_bm25" -> ((s, dir) => {
-      val d = rt(s, dir, "documents")
+      val d = rtKernel(s, dir, "documents")
       Retrieval.bm25TopK(d, "doc_id", "text",
         d.filter(col("doc_id") < 3), "doc_id", "text", k = 10)
     }),
@@ -5421,8 +5475,8 @@ object SparkEntry {
     // by reciprocal-rank fusion. The oracle replays both rankings and the
     // 1/(60+rank) sum.
     "text_rrf_hybrid" -> ((s, dir) => {
-      val d = rt(s, dir, "documents")
-      val e = rt(s, dir, "embeddings")
+      val d = rtKernel(s, dir, "documents")
+      val e = rtKernel(s, dir, "embeddings")
       Retrieval.rrfFuse(
         Retrieval.bm25TopK(d, "doc_id", "text",
           d.filter(col("doc_id") < 3), "doc_id", "text", k = 10),
@@ -5446,7 +5500,7 @@ object SparkEntry {
     // from the vocab dump.
     "text_hash_embed" -> ((s, dir) =>
       Retrieval.hashEmbed(
-        rt(s, dir, "documents").select("doc_id", "text"), "text", dim = 16)
+        rtKernel(s, dir, "documents").select("doc_id", "text"), "text", dim = 16)
         .select(col("doc_id"),
           posexplode(col("text_hash")).as(Seq("pos", "value")))
         .withColumn("value", round(col("value"), 9))),
@@ -5462,15 +5516,15 @@ object SparkEntry {
     "text_bm25_indexed" -> ((s, dir) => {
       val idx = graft.ops.Retrieval.Bm25Index.load(s, bm25DiskIndex(s, dir))
       graft.ops.Retrieval.bm25SearchIndex(
-        idx, rt(s, dir, "documents").filter(col("doc_id") < 3),
+        idx, rtKernel(s, dir, "documents").filter(col("doc_id") < 3),
         "doc_id", "text", k = 10)
     }),
     // Two-stage retrieval: 50-doc BM25 shortlist per query, exact-cosine
     // rerank against the query's embedding (doc_id ≡ vec_id), top-10 by
     // rounded cosine. The oracle replays shortlist, join, and rerank.
     "text_bm25_rerank" -> ((s, dir) => {
-      val d = rt(s, dir, "documents")
-      val e = rt(s, dir, "embeddings")
+      val d = rtKernel(s, dir, "documents")
+      val e = rtKernel(s, dir, "embeddings")
       graft.ops.Retrieval.bm25Rerank(
         d, "doc_id", "text", d.filter(col("doc_id") < 3), "doc_id", "text",
         e, "vec_id", "embedding",
@@ -5481,8 +5535,8 @@ object SparkEntry {
     // rerank, identical results (same oracle as text_bm25_rerank) — the
     // corpus text is never rescanned.
     "text_bm25_rerank_indexed" -> ((s, dir) => {
-      val d = rt(s, dir, "documents")
-      val e = rt(s, dir, "embeddings")
+      val d = rtKernel(s, dir, "documents")
+      val e = rtKernel(s, dir, "embeddings")
       graft.ops.Retrieval.bm25RerankIndex(
         graft.ops.Retrieval.Bm25Index.load(s, bm25DiskIndex(s, dir)),
         d.filter(col("doc_id") < 3), "doc_id", "text",
@@ -5495,7 +5549,7 @@ object SparkEntry {
     // zero-training lexical recall lift. Integer tf ranks + the grid-sum
     // scorer keep both passes engine-replayable.
     "text_bm25_prf" -> ((s, dir) => {
-      val d = rt(s, dir, "documents")
+      val d = rtKernel(s, dir, "documents")
       Retrieval.bm25PrfTopK(d, "doc_id", "text",
         d.filter(col("doc_id") < 3), "doc_id", "text",
         k = 10, fbDocs = 5, fbTerms = 10)
@@ -5507,15 +5561,15 @@ object SparkEntry {
     "text_bm25_prf_indexed" -> ((s, dir) => {
       val idx = graft.ops.Retrieval.Bm25Index.load(s, bm25DiskIndex(s, dir))
       Retrieval.bm25PrfSearchIndex(
-        idx, rt(s, dir, "documents").filter(col("doc_id") < 3),
+        idx, rtKernel(s, dir, "documents").filter(col("doc_id") < 3),
         "doc_id", "text", k = 10, fbDocs = 5, fbTerms = 10)
     }),
     // Ranking report card: how well the lexical BM25 ranking approximates
     // the dense-cosine truth (doc_id ≡ vec_id) — hit@10, reciprocal rank,
     // binary NDCG@10 per query, every gain 9-decimal-rounded pre-sum.
     "text_bm25_eval" -> ((s, dir) => {
-      val d = rt(s, dir, "documents")
-      val e = rt(s, dir, "embeddings")
+      val d = rtKernel(s, dir, "documents")
+      val e = rtKernel(s, dir, "embeddings")
       Retrieval.evalRankingMetrics(
         Retrieval.bm25TopK(d, "doc_id", "text",
           d.filter(col("doc_id") < 3), "doc_id", "text", k = 10),
@@ -5551,7 +5605,7 @@ object SparkEntry {
     // 9-decimal-rounded for the value compare.
     "text_embed_topk" -> ((s, dir) => {
       val emb = Retrieval.hashEmbed(
-        rt(s, dir, "documents").select("doc_id", "text"), "text", dim = 16)
+        rtKernel(s, dir, "documents").select("doc_id", "text"), "text", dim = 16)
       Similarity.cosineTopKBatch(emb, "doc_id", "text_hash",
         emb.filter(col("doc_id") < 3), "doc_id", "text_hash", 10)
         .withColumn("cos", round(col("cos"), 9))

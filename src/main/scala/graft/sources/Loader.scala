@@ -110,17 +110,27 @@ object Loader {
     * since urlkey-sorted index files sort captures by domain, a
     * min/max-pruning format upgrade (parquet-backed index) keeps the
     * same column contract. */
-  /** Scan-parallelism floor (optimization guide §2.5 input skew / §6
-    * minPartitionNum; the [[graft.SparkEntry]] rt rule): a small index
-    * file is ONE text split, so the whole pipeline above it — line parse,
+  /** Scan-parallelism floor (optimization guide §2.1/§2.5; the
+    * [[graft.SparkEntry]] rtKernel rule): a small index file is ONE text
+    * split, so the whole pipeline above it — line parse, from_json,
     * broadcast-join probe, map-side window limits — runs in one task
-    * however many cores the session has. When the planned scan has fewer
-    * partitions than the session's default parallelism, spread the rows;
-    * at production scale (≥ cores splits) the condition is false and no
-    * shuffle is added. */
+    * however many cores the session has. COST-AWARE since round 16: the
+    * floor target is `min(cores, ceil(bytes / bytesPerTask))` with the
+    * kernel sizing (~16 KB of raw index lines per task ≈ a few hundred
+    * regex+JSON parses ≈ tens of ms), so a dictionary-sized file never
+    * shuffles; at production scale (≥ cores splits) the planned-partition
+    * condition is false and no shuffle is added. */
   private def floorParallelism(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p) else df
+    val s = df.sparkSession
+    val p = s.sparkContext.defaultParallelism
+    val bytesPerTask = s.conf.getOption("graft.kernelScan.floorBytesPerTask")
+      .map(_.toLong).getOrElse(16L << 10)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong
+    val target = math.min(p.toLong,
+      math.max(1L, (bytes + bytesPerTask - 1) / bytesPerTask)).toInt
+    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 
   def loadCdxj(spark: SparkSession, path: String): DataFrame = {

@@ -97,29 +97,30 @@ class QueriesSmokeSpec extends SparkSpec {
     * failure by design: re-pin deliberately after verifying the cheaper
     * plan is correct.
     *
-    * ROUND-15 RE-PIN: the scan-parallelism floor (SparkEntry.rt /
-    * Loader.loadCdxj — a conditional RoundRobin repartition when a
-    * single-row-group testdata scan cannot split across the session's
-    * cores) adds one REPARTITION_BY_NUM Exchange per driver-table/CDXJ
-    * read at test scale; at production scale (scan partitions ≥ cores)
-    * the floor adds NOTHING. Per-entry comments below describe the
-    * query's own shuffle shape — the pre-floor counts they explain are
-    * higher by the floor shuffles, which move raw-table bytes bounded by
-    * the small-input condition itself, never derived/exploded rows. */
+    * ROUND-16 RE-PIN: the round-15 blanket scan-parallelism floor became
+    * COST-AWARE (SparkEntry.rt/rtKernel, Loader.loadCdxj): the floor
+    * target is now `min(cores, ceil(scanned bytes / bytesPerTask))` —
+    * 4 MB/task for plain columnar reads (never fires on testdata, so the
+    * round-15 +1-per-table-read Exchanges disappear from most pins) and
+    * 16 KB/task for the per-row text-KERNEL reads (still fires where the
+    * table exceeds 16 KB, so kernel-family pins keep their floor
+    * Exchange). At production scale (scan partitions ≥ cores) neither
+    * floor adds anything. Per-entry comments describe the query's own
+    * shuffle shape net of any floor Exchange. */
   private val expectedExchanges = Map(
-    "asof_join" -> 3, "asof_join_salted" -> 9,
-    "corpus_curate" -> 2, "corpus_funnel" -> 2,
-    "dedup_cluster" -> 0, "dedup_contamination" -> 4, "dedup_corpus" -> 6,
+    "asof_join" -> 1, "asof_join_salted" -> 4,
+    "corpus_curate" -> 1, "corpus_funnel" -> 1,
+    "dedup_cluster" -> 0, "dedup_contamination" -> 4, "dedup_corpus" -> 4,
     // +3 over dedup_corpus: the (id, score) ⋈ labels SMJ pair + the
     // cluster-rank window — all on narrow id-tables, never document text
-    "dedup_corpus_best" -> 12,
-    "dedup_key_seen" -> 2, // narrow bloom pass + broadcast anti verify
+    "dedup_corpus_best" -> 7,
+    "dedup_key_seen" -> 0, // narrow bloom pass + broadcast anti verify
     // two drop-side hash aggs + the dictionary-sized full-outer join pair
     // + the single-partition share window — the drops never shuffle
-    "corpus_drift_psi" -> 7,
-    "dedup_exact" -> 3, "dedup_incremental" -> 6, "dedup_minhash" -> 4,
+    "corpus_drift_psi" -> 5,
+    "dedup_exact" -> 1, "dedup_incremental" -> 5, "dedup_minhash" -> 4,
     // identical body to dedup_incremental; the corpus side is parquet
-    "dedup_incremental_model" -> 6,
+    "dedup_incremental_model" -> 5,
     // one (src, dst) aggregate; link extraction + PSL joins are narrow
     "warc_link_graph" -> 1,
     "warc_anchor_text" -> 1, // narrow explode + ONE (dst, anchor) agg
@@ -131,7 +132,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "cdx_read" -> 0, "cdx_host_lookup" -> 0, // splittable line scans
     // latest-capture agg + the urlkey join (candidate distinct reuses
     // the join partitioning) — both sides crawl-sized by design
-    "cdx_fetch_decisions" -> 4,
+    "cdx_fetch_decisions" -> 2,
     // closest lookup: one urlkey join + one (urlkey, target) window —
     // the fetch_decisions plan shape; the replay's ranged fetch is a
     // seek-only scan (the closest sub-plan runs driver-side to collect
@@ -146,37 +147,37 @@ class QueriesSmokeSpec extends SparkSpec {
     "dedup_calibration" -> 8, "dedup_calibration_pairs" -> 2,
     // paragraph dedup: ONE shuffle onto the paragraph for the
     // first-occurrence window + ONE back onto the id for reassembly
-    "dedup_paragraphs" -> 3,
+    "dedup_paragraphs" -> 2,
     "warc_range_fetch" -> 0, // bounded index collect + seek-scan, narrow
     "sink_wet_export" -> 0, // DSV2 write then a fresh narrow archive read
     "sink_wet_export_gz" -> 0, // gz-member write + offsets-seeded ranged read
     "sink_wet_export_zst" -> 0, // zstd-frame write + offsets-seeded ranged read
-    "text_script_profile" -> 1, // strip-and-measure narrow regexes
-    "mm_image_dims" -> 1, // constant-width header slices, narrow
-    "mm_media_duration" -> 1, // chunk/box walk kernels, narrow
-    "mm_exif_orientation" -> 1, // IFD walk kernel, narrow
-    "mm_webp_dims" -> 1, // RIFF chunk walk kernel, narrow
-    "mm_exif_tags" -> 1, "mm_mp3_tags" -> 1, // tag walks, narrow
-    "mm_pdf_text" -> 1, // stream walk + inflate kernel, narrow
-    "mm_pdf_meta" -> 1, // Info-dict walk kernel, narrow
-    "mm_pdf_encrypted" -> 1, // decrypt + extract kernels, narrow
+    "text_script_profile" -> 0, // strip-and-measure narrow regexes
+    "mm_image_dims" -> 0, // constant-width header slices, narrow
+    "mm_media_duration" -> 0, // chunk/box walk kernels, narrow
+    "mm_exif_orientation" -> 0, // IFD walk kernel, narrow
+    "mm_webp_dims" -> 0, // RIFF chunk walk kernel, narrow
+    "mm_exif_tags" -> 0, "mm_mp3_tags" -> 0, // tag walks, narrow
+    "mm_pdf_text" -> 0, // stream walk + inflate kernel, narrow
+    "mm_pdf_meta" -> 0, // Info-dict walk kernel, narrow
+    "mm_pdf_encrypted" -> 0, // decrypt + extract kernels, narrow
     // ALL header kernels composed stay one shuffle-free pass — the
     // 100 TB multimodal-ingest plan shape
-    "mm_ingest_profile" -> 1,
-    "mm_avif_dims" -> 1, // ISO-BMFF box-walk kernel + sniffer, narrow
-    "text_script_lang_check" -> 1, // profile + verdict, still narrow
-    "text_url_strip_tracking" -> 1, // split-filter-rejoin, narrow
-    "warc_recrawl_schedule" -> 1, // entries explode + epoch arithmetic, narrow
+    "mm_ingest_profile" -> 0,
+    "mm_avif_dims" -> 0, // ISO-BMFF box-walk kernel + sniffer, narrow
+    "text_script_lang_check" -> 0, // profile + verdict, still narrow
+    "text_url_strip_tracking" -> 0, // split-filter-rejoin, narrow
+    "warc_recrawl_schedule" -> 0, // entries explode + epoch arithmetic, narrow
     "warc_content_coding" -> 0, // per-record decode in the reader, narrow
-    "stream_neardup_det" -> 5, // band agg + keep-id anti join (batch twin)
+    "stream_neardup_det" -> 2, // band agg + keep-id anti join (batch twin)
     // URL side: one host-keyed rules join + one best-rule window; the
     // other four are robots-parse/agent-selection shuffles on the
     // HOSTS-sized rules tables, never the corpus
     // r12: robotsAllowed's per-URL best-rule window became a per-host
     // rules-array + higher-order first-match — the URL-side uid shuffle
     // is gone (and the gate is now stream-capable)
-    "text_robots_filter" -> 10,
-    "text_url_canonical" -> 1, // pure narrow projection
+    "text_robots_filter" -> 5,
+    "text_url_canonical" -> 0, // pure narrow projection
     // extract (narrow) + canonical distinct pair + the robots chain +
     // the bloom-prefiltered seen-key anti join — frontier-sized inputs
     // everywhere past the one distinct over extracted links. r9: the
@@ -187,7 +188,7 @@ class QueriesSmokeSpec extends SparkSpec {
     // composed operational mile: decisions (index agg + urlkey join,
     // crawl-sized) + robots gate/delay joins (hosts-sized, rule table
     // cached) + the politeness window — the frontier-mile convention
-    "warc_recrawl_plan" -> 24, // r12: −1, the robotsAllowed window shuffle
+    "warc_recrawl_plan" -> 16, // r12: −1, the robotsAllowed window shuffle
     // warc_frontier_schedule is deliberately UNPINNED: it shares the
     // frontier's cached rule table, and its Exchange count shifts ±1
     // with whether an earlier query already materialized that cache
@@ -197,21 +198,21 @@ class QueriesSmokeSpec extends SparkSpec {
     // one digest-keyed shuffle join (both sides crawl-sized by design —
     // no broadcast assumption) over two filters of the same scan
     "warc_revisit_dedup" -> 2,
-    "text_sitemap_urls" -> 1, // extract_all + explode, pure narrow
+    "text_sitemap_urls" -> 0, // extract_all + explode, pure narrow
     "text_bpe_pretok" -> 1, // per-pre-token kernel inside transform, narrow
     // the robots-parse window chain + agent selection over the
     // hosts-sized rule table; the per-host delay agg rides the end
-    "text_robots_delay" -> 12,
+    "text_robots_delay" -> 8,
     // the final frame is the last round's localCheckpoint (each round
     // internally = one edges⋈scores join + one dst agg over DOMAIN-sized
     // tables, truncated per round exactly like duplicateClusters)
     "warc_domain_centrality" -> 0,
-    "dedup_ngram_jaccard" -> 3, "dedup_ngram_overlap" -> 2,
-    "dedup_simhash" -> 5,
-    "events_rolling_salted" -> 2, "events_sessionize_salted" -> 2,
-    "sample_dsir" -> 6,
-    "sel_mrmr" -> 1, "sel_smart_correlated" -> 1,
-    "sample_token_budget_bpe" -> 1, "sample_top_fraction" -> 1,
+    "dedup_ngram_jaccard" -> 3, "dedup_ngram_overlap" -> 1,
+    "dedup_simhash" -> 3,
+    "events_rolling_salted" -> 1, "events_sessionize_salted" -> 2,
+    "sample_dsir" -> 4,
+    "sel_mrmr" -> 0, "sel_smart_correlated" -> 0,
+    "sample_token_budget_bpe" -> 1, "sample_top_fraction" -> 0,
     // external tokenizer: tokenization is a pure narrow projection; the
     // budget twin keeps sample_token_budget_bpe's single bucket exchange
     "text_bpe_external" -> 1, "text_bpe_ext_merges" -> 0,
@@ -234,41 +235,41 @@ class QueriesSmokeSpec extends SparkSpec {
     "text_bpe_sp_stats" -> 2,
     // one (group, bucket) shuffle — the group rides the same window
     "sample_token_budget_group" -> 1,
-    "sample_upsample" -> 1, // pure narrow projection + generator
+    "sample_upsample" -> 0, // pure narrow projection + generator
     // score pass is narrow + broadcast; the prune adds the one cell-rank
     // window shuffle + the keep-id join pair
-    "sim_prototypicality" -> 1, "sim_proto_prune" -> 5,
+    "sim_prototypicality" -> 0, "sim_proto_prune" -> 3,
     "sim_embedding_drift" -> 0, // two map-side vec-sum aggs; result is a driver frame
-    "text_truncation_report" -> 2, // one hash aggregate
+    "text_truncation_report" -> 1, // one hash aggregate
     "text_diversity" -> 3, // the standard two-phase distinct-agg
-    "stream_quality_monitor" -> 2, // narrow features + one windowed agg
-    "stream_frontier_schedule" -> 2, // ONE host shuffle, two window passes
-    "sim_ivf" -> 1, "sim_ivf_batch" -> 4, "sim_ivf_bcast" -> 3,
-    "sim_ivfpq" -> 1, "sim_ivfpq_codes" -> 1, "sim_ivfpq_disk" -> 0,
+    "stream_quality_monitor" -> 1, // narrow features + one windowed agg
+    "stream_frontier_schedule" -> 1, // ONE host shuffle, two window passes
+    "sim_ivf" -> 0, "sim_ivf_batch" -> 2, "sim_ivf_bcast" -> 1,
+    "sim_ivfpq" -> 0, "sim_ivfpq_codes" -> 0, "sim_ivfpq_disk" -> 0,
     "sim_knn" -> 1,
     // knnGraph's shape + the label-aggregate/join pair on the bounded edge
     // stream (unhinted like knnGraph's idMap — AQE broadcasts when small)
-    "sim_hard_negatives" -> 5,
-    "sink_curriculum_shards" -> 2, // one shuffle: the (shard, fine) rank window
+    "sim_hard_negatives" -> 3,
+    "sink_curriculum_shards" -> 1, // one shuffle: the (shard, fine) rank window
     "text_bpe_stats" -> 2,
-    "text_domain_stats" -> 3, // the standard two-phase distinct-agg (n_hosts)
-    "sim_near_dup" -> 5,
-    "sim_pq" -> 1, "sim_pq_codes" -> 1, "sim_pq_refined" -> 2,
-    "sim_quantize" -> 1, "sim_recall" -> 10, "sim_semantic_dedup" -> 12,
+    "text_domain_stats" -> 2, // the standard two-phase distinct-agg (n_hosts)
+    "sim_near_dup" -> 3,
+    "sim_pq" -> 0, "sim_pq_codes" -> 0, "sim_pq_refined" -> 0,
+    "sim_quantize" -> 0, "sim_recall" -> 6, "sim_semantic_dedup" -> 6,
     "text_bpe" -> 1, "text_chunk_bpe" -> 1,
     "text_bpe_vocab" -> 0, "text_bpe_ids" -> 1,
     // the bin aggregate reuses the pack window's bucket partitioning
     // (subset-key clustering) — materializing adds ZERO shuffles
-    "pack_sequences_text" -> 2,
-    "pack_report" -> 3, // pack window + the distinct-agg pair over the report
+    "pack_sequences_text" -> 1,
+    "pack_report" -> 2, // pack window + the distinct-agg pair over the report
     "text_index_stopwords" -> 0, // a narrow filter over the vocab-sized df table
-    "text_classifier_filter" -> 3, "text_classifier_score" -> 4,
-    "text_lm_filter" -> 3, "text_lm_score" -> 4,
+    "text_classifier_filter" -> 1, "text_classifier_score" -> 2,
+    "text_lm_filter" -> 1, "text_lm_score" -> 2,
     "text_line_dedup" -> 6, "text_line_dedup_doc" -> 1,
     "text_span_dedup" -> 18, "text_tfidf" -> 6,
-    "text_sentences" -> 1, "text_strip_html" -> 1, "text_main_content" -> 1,
-    "text_url" -> 1, "text_url_filter" -> 1,
-    "text_pii_ext" -> 1, "text_pii_redact_ext" -> 1, // narrow regexp sweeps
+    "text_sentences" -> 0, "text_strip_html" -> 0, "text_main_content" -> 0,
+    "text_url" -> 0, "text_url_filter" -> 0,
+    "text_pii_ext" -> 0, "text_pii_redact_ext" -> 0, // narrow regexp sweeps
     // postings/tf/df aggregates + the distincts and the top-k window — all
     // downstream of the broadcast query-vocab prune, so every one of them
     // moves query-vocab-sized rows, not the corpus
@@ -294,22 +295,22 @@ class QueriesSmokeSpec extends SparkSpec {
     // truth-count agg, per-query metric agg, and the ideal-DCG rank
     // window (graded-capable) — all queries-sized
     "text_bm25_eval" -> 25,
-    "corpus_drift_numeric" -> 7, // the corpus_drift_psi shape over bins
-    "corpus_diff" -> 5, // the two drops' one full-outer id join (union side +1)
+    "corpus_drift_numeric" -> 5, // the corpus_drift_psi shape over bins
+    "corpus_diff" -> 2, // the two drops' one full-outer id join (union side +1)
     "corpus_expectations" -> 0, // one all-rules aggregate, report is driver-built
     // frame-hash distinct + per-doc counts + bucket agg + pair agg + the
     // two unhinted count join-backs — all capped, never all-pairs
-    "mm_frame_near_dup" -> 13,
-    "sample_cap_per_group" -> 2, // the one per-group rank window
-    "text_hash_vocab" -> 2, // the vocabulary distinct
+    "mm_frame_near_dup" -> 7,
+    "sample_cap_per_group" -> 1, // the one per-group rank window
+    "text_hash_vocab" -> 1, // the vocabulary distinct
     "warc_extract" -> 0, "warc_html_extract" -> 0, // streaming scan, narrow strip
-    "text_url_psl" -> 1, // broadcast rule joins over narrow suffix exprs
+    "text_url_psl" -> 0, // broadcast rule joins over narrow suffix exprs
     "text_psl_rules" -> 0, // a driver-built dictionary frame
     // gram explode + broadcast weight join, ONE (doc, lang) fold shuffle
     // whose partitioning the per-doc argmax window reuses, + the id
     // join-back pair
     "text_langid_model" -> 5,
-    "sink_shuffled_shards" -> 2, // the (shard, sub-bucket) rank window
+    "sink_shuffled_shards" -> 1, // the (shard, sub-bucket) rank window
     "text_hash_embed" -> 1, // pure narrow per-row fold
     "text_embed_topk" -> 3, // cosineTopKBatch's per-query top-k window
   )
