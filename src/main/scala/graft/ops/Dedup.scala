@@ -1961,8 +1961,22 @@ object Dedup {
     if (bloomOk) {
       val hit = call_function(graft.functions.TilePairs.BloomContainsName,
         lit(index.bloom.get), xxhash64(k), lit(index.bloomHashes))
-      incoming.filter(k.isNull || !hit)
-        .unionByName(verified(incoming.filter(k.isNotNull && hit)))
+      // The two legs fork the SAME input. Left unmaterialized, Catalyst
+      // pushes each leg's bloom predicate below any upstream aggregate
+      // (the hit test is a function of the key column), which makes the
+      // two subtrees non-identical and defeats exchange reuse — the whole
+      // upstream pipeline executes TWICE (measured on the crawl-frontier
+      // queries: the WARC-scan → link-extract → canonicalize → distinct →
+      // robots chain ran once per leg, the single most expensive stage of
+      // warc_frontier_schedule). A lazy local checkpoint evaluates the
+      // batch once and both legs read the materialized rows (guide §2.4
+      // common-subexpression / §5 caching-for-reuse: the batch is
+      // daily-ingest-sized by contract, and it was already being fully
+      // computed — twice). Streaming inputs cannot checkpoint; they keep
+      // the recompute-per-leg shape (both legs are stateless there).
+      val once = if (incoming.isStreaming) incoming else materializeLazy(incoming)
+      once.filter(k.isNull || !hit)
+        .unionByName(verified(once.filter(k.isNotNull && hit)))
     } else verified(incoming)
   }
 
