@@ -645,8 +645,16 @@ object SparkEntry {
     * directive families: the /a/ gate on odd hosts (an EMPTY Disallow on
     * even ones — the RFC 9309 "no restriction" shape), a Crawl-delay of
     * (k%3)+1 seconds, and the Sitemap pointer. */
+  /** `linksIn`: an optional pre-extracted (target_uri, link_url) outlink
+    * frame. warc_frontier_schedule consumes the SAME WARC extraction
+    * twice inside one query (frontier construction here + the centrality
+    * edge graph) — passing one lazily-materialized extraction makes the
+    * archive scan + per-anchor regex run once per execution instead of
+    * twice (guide §2.4 common subexpression). Recomputation still happens
+    * per query invocation — nothing is shared across queries. */
   private def crawlFrontierParts(
-      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+      s: SparkSession, dir: String,
+      linksIn: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.StringType
     val pages = graft.sources.Loader
       .load(s, warcFixture(s, dir) + "/docs_links.warc")
@@ -678,7 +686,8 @@ object SparkEntry {
       "xml", "link_url")
       .select("link_url")
     val canon = Url.canonicalizeUrls(
-      graft.ops.LinkGraph.extractLinks(pages, "payload", "target_uri")
+      linksIn.getOrElse(
+        graft.ops.LinkGraph.extractLinks(pages, "payload", "target_uri"))
         .select("link_url")
         .unionByName(smDiscovered),
       "link_url")
@@ -2899,10 +2908,19 @@ object SparkEntry {
       // the four-shape tree into seconds of pure planning (the
       // cdx_fetch_decisions pattern; CollapseProject keeps non-cheap
       // multiply-referenced projections behind the boundary)
+      // coalesce(surtKey, ""): synthUrl is always non-null and scheme'd, so
+      // the key is provably non-null (and "" never matches an index urlkey —
+      // the parser nulls empties), but Catalyst cannot see that: the join's
+      // inferred isnotnull(urlkey) filter was pushed below the kernel-floor
+      // Exchange and evaluated the ENTIRE surtKey(synthUrl) regex cascade
+      // per row in the unsplittable single-task scan stage, just to discard
+      // the value (profiled: a 1.9 s one-task stage, the query's largest).
+      // A non-nullable key makes the inferred filter vanish; results are
+      // row-identical (guide §4.4 duplicated-evaluation discipline).
       val targets = rtKernel(s, dir, "documents")
         .select(col("doc_id"), synthUrl.as("url"))
         .select(
-          Url.surtKey(col("url")).as("urlkey"),
+          coalesce(Url.surtKey(col("url")), lit("")).as("urlkey"),
           when(col("doc_id") % 8 < 4, lit("20260110000000"))
             .otherwise(lit("20260125000000")).as("target_ts"))
         .distinct()
@@ -2921,10 +2939,12 @@ object SparkEntry {
       val wdir = warcFixture(s, dir)
       val idx = graft.sources.Loader.load(s, wdir + "/docs.cdxj")
         .filter(col("mime") =!= "warc/revisit")
-      val docs = rt(s, dir, "documents")
+      val docs = rtKernel(s, dir, "documents")
       val targets = docs.filter(col("doc_id") % 3 === 0)
         .select(synthUrl.as("url")) // named column: see cdx_closest's note
-        .select(Url.surtKey(col("url")).as("urlkey"),
+        // coalesce-to-"" non-nullable key: see cdx_closest — kills the
+        // pushed isnotnull(surtKey cascade) single-task scan filter
+        .select(coalesce(Url.surtKey(col("url")), lit("")).as("urlkey"),
           lit("20260125000000").as("target_ts"))
         .distinct()
       val wanted = graft.ops.Cdx
@@ -3046,13 +3066,20 @@ object SparkEntry {
     // hosts, not one partition.
     "warc_frontier_schedule" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val (rules, frontier) = crawlFrontierParts(s, dir)
+      // ONE archive scan + link extraction feeds both the frontier and
+      // the centrality edges (lazily materialized — see
+      // crawlFrontierParts' linksIn note); round 15 ran it twice per
+      // execution, the query's single most expensive stage.
+      val links = graft.ops.LinkGraph.extractLinks(
+        graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_links.warc")
+          .select("target_uri", "payload"),
+        "payload", "target_uri")
+        .select("target_uri", "link_url")
+        .localCheckpoint(false)
+      val (rules, frontier) = crawlFrontierParts(s, dir, Some(links))
       val cent = graft.ops.LinkGraph.domainCentrality(
         graft.ops.LinkGraph.hostGraph(
-          graft.ops.LinkGraph.extractLinks(
-            graft.sources.Loader.load(s, warcFixture(s, dir) + "/docs_links.warc")
-              .select("target_uri", "payload"),
-            "payload", "target_uri"),
+          links,
           "target_uri", "link_url", rules = graft.ops.Psl.snapshotWithPrivate),
         iterations = 2)
       val delays = graft.ops.Robots.crawlDelays(rules, "graftbot")

@@ -334,10 +334,17 @@ object LinkGraph {
     * Scale shape (the [[Dedup.duplicateClusters]] loop conventions): the
     * node and score tables are DOMAIN-sized (orders of magnitude below
     * page count); each round is one edges⋈scores join + one dst-keyed
-    * aggregate, with the score table re-materialized per round
-    * (localCheckpoint) so lineage stays flat at any iteration count.
-    * Rounds are a fixed constant — total shuffles are bounded at plan
-    * time, never data-dependent. */
+    * aggregate. The edge and node tables are materialized ONCE (every
+    * round joins them); the rounds themselves compose into a single
+    * plan — each round's score feeds exactly one consumer (the next
+    * round), so nothing recomputes, the iteration cap (≤ 10) bounds the
+    * plan depth, and only the FINAL score materializes (callers may fan
+    * it out). Round 16 dropped the per-round localCheckpoint: at a fixed
+    * small horizon it bought no recompute safety and cost one eager
+    * multi-stage job cascade per round — measured as a driver-bound
+    * serial segment of warc_frontier_schedule, the suite's slowest
+    * query. Rounds are a fixed constant — total shuffles are bounded at
+    * plan time, never data-dependent. */
   def domainCentrality(
       edges: DataFrame,
       srcCol: String = "src_domain",
@@ -362,11 +369,10 @@ object LinkGraph {
           srcCol)
         .groupBy(col(dstCol).as("domain"))
         .agg(sum(col(weightCol) * col("__graft_cs")).as("__graft_in"))
-      score = Dedup.materialize(
-        nodes.join(contrib, Seq("domain"), "left")
-          .select(col("domain"),
-            (lit(1L) + coalesce(col("__graft_in"), lit(0L))).as("centrality")))
+      score = nodes.join(contrib, Seq("domain"), "left")
+        .select(col("domain"),
+          (lit(1L) + coalesce(col("__graft_in"), lit(0L))).as("centrality"))
     }
-    score
+    if (iterations == 0) score else Dedup.materialize(score)
   }
 }

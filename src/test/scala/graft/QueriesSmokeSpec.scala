@@ -183,8 +183,13 @@ class QueriesSmokeSpec extends SparkSpec {
     // everywhere past the one distinct over extracted links. r9: the
     // sitemap-discovered branch joined in, and the hosts-sized rule
     // table is CACHEd (it feeds three consumers), which also replaces
-    // the repeated parse subtrees in the plan: 12 → 8
-    "warc_crawl_frontier" -> 8,
+    // the repeated parse subtrees in the plan: 12 → 8. r16: 8 → 0 —
+    // keyIndexApply's bloom fork now lazily checkpoints its batch so
+    // both legs read ONE evaluation; the same shuffles still run but
+    // sit behind the checkpoint's RDD-scan boundary where the plan
+    // audit cannot count them (the bench + stage profile pin the win:
+    // the frontier subtree executes once, not twice)
+    "warc_crawl_frontier" -> 0,
     // composed operational mile: decisions (index agg + urlkey join,
     // crawl-sized) + robots gate/delay joins (hosts-sized, rule table
     // cached) + the politeness window — the frontier-mile convention
